@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QUtil._
+
+/** Deduplication operators over the `documents` table: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash bit-vectors, and n-gram Jaccard verification.
+  *
+  * Scale design (100 TB): exact dedup and MinHash signatures are one
+  * map-side-combinable shuffle each; LSH banding turns all-pairs comparison
+  * into an equi-join on (band, bucket), so cost tracks the number of genuine
+  * candidate pairs instead of n^2. The direct all-pairs Jaccard (x4) is the
+  * verification/oracle path — at scale it runs only on LSH candidates (x2).
+  * Hash functions are md5/lexicographic-min so the DuckDB oracle reproduces
+  * them exactly.
+  */
+object DedupOps {
+
+  /** Distinct word 3-gram shingles per document (docs with >= 3 tokens). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("s"))
+      .distinct()
+
+  /** DuckDB-side spelling of [[shingles]]. */
+  private val shinglesSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] || ' ' || tk[CAST(i AS INT)+3] AS s
+      |  FROM toks, unnest(range(0, len(tk)-2)) g(i))""".stripMargin
+
+  /** Jaccard similarity of candidate pairs (d1, d2) against the shingle set. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("o"))
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("o").cast("double") / (col("ca.n") + col("cb.n") - col("o"))).as("jaccard"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // Exact dedup: content-hash groupBy, keep lowest doc_id per group.
+    // One shuffle with map-side partial aggregation; linear at any scale.
+    QDef(
+      "x1_dedup_exact",
+      Some("""SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dupes
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+          .orderBy("keep_id")),
+
+    // MinHash (8 hashes = lexicographic-min of salted md5) + LSH (4 bands x 2
+    // rows) -> candidate pairs via equi-join on (band, bucket) -> exact
+    // Jaccard verification at >= 0.5.
+    QDef(
+      "x2_dedup_minhash_lsh",
+      Some(s"""WITH $shinglesSql,
+              |mh AS (
+              |  SELECT doc_id, CAST(h AS INT) h,
+              |    min(md5(CAST(CAST(h AS INT) AS VARCHAR) || '|' || s)) sig
+              |  FROM sh, unnest(range(0, 8)) g(h) GROUP BY doc_id, CAST(h AS INT)),
+              |bk AS (
+              |  SELECT doc_id, h // 2 AS band, md5(string_agg(sig, '|' ORDER BY h)) bucket
+              |  FROM mh GROUP BY doc_id, h // 2),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id d1, y.doc_id d2 FROM bk x
+              |  JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT d1, d2, count(*) o FROM cand
+              |  JOIN sh sa ON sa.doc_id = d1
+              |  JOIN sh sb ON sb.doc_id = d2 AND sb.s = sa.s GROUP BY d1, d2)
+              |SELECT d1, d2, CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS jaccard
+              |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+              |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.5
+              |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val mh = sh
+          .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(7))).as("h"))
+          .groupBy("doc_id", "h")
+          .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")))).as("sig"))
+        val bk = mh
+          .withColumn("band", expr("h div 2"))
+          .groupBy("doc_id", "band")
+          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(h, sig))), x -> x.sig), '|'))").as("bucket"))
+        val cand = bk.as("x")
+          .join(bk.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        jaccardOf(cand, sh)
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("d1", "d2")
+      }),
+
+    // SimHash: 16-bit signature from per-token md5 nibbles; near-dup docs get
+    // hamming-close signatures. One explode + two map-side-combinable aggs.
+    QDef(
+      "x3_dedup_simhash",
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) tk FROM documents),
+             |bits AS (
+             |  SELECT doc_id, CAST(b AS INT) b,
+             |    SUM(CASE WHEN ((strpos('0123456789abcdef', substring(md5(tk), CAST(b AS INT)//4 + 1, 1)) - 1)
+             |                   >> (CAST(b AS INT) % 4)) & 1 = 1 THEN 1 ELSE -1 END) s
+             |  FROM tok, unnest(range(0, 16)) g(b) GROUP BY doc_id, CAST(b AS INT))
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tk"))
+          .select(col("doc_id"), col("tk"), explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("v", expr("CAST(conv(substring(md5(tk), b div 4 + 1, 1), 16, 10) AS INT)"))
+          .withColumn("c", expr("CASE WHEN (shiftright(v, b % 4) & 1) = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "b").agg(sum("c").as("s"))
+          .groupBy("doc_id")
+          .agg(expr("CAST(SUM(CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS BIGINT)").as("simhash"))
+          .orderBy("doc_id")),
+
+    // Direct n-gram Jaccard near-dup pairs at >= 0.8 (the exact all-pairs
+    // variant; at 100 TB this runs only on x2's LSH candidates — kept as its
+    // own operator because it is the ground truth the LSH path approximates).
+    QDef(
+      "x4_dedup_ngram_jaccard",
+      Some(s"""WITH $shinglesSql,
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id d1, b.doc_id d2, count(*) o FROM sh a
+              |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT d1, d2, CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS jaccard
+              |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+              |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.8
+              |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val cand = sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        jaccardOf(cand, sh)
+          .filter(col("jaccard") >= 0.8)
+          .orderBy("d1", "d2")
+      })
+  )
+}

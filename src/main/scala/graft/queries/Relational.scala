@@ -269,7 +269,7 @@ object Relational {
     QDef(
       "g1_rollup",
       Some("""SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
-             |  COUNT(*) AS n, SUM(n_chars) AS chars
+             |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
              |FROM documents GROUP BY ROLLUP(lang, source)
              |ORDER BY lang_g, source_g""".stripMargin),
       (s, dir) =>
@@ -314,7 +314,7 @@ object Relational {
              |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
              |  FROM events)
              |SELECT user_id,
-             |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000 THEN 1 ELSE 0 END) AS n_sessions,
+             |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              |  COUNT(*) AS n_events
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
       (s, dir) => {

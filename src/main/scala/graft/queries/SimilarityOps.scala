@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QUtil._
+
+/** Vector-similarity operators over the `embeddings` table
+  * (`Array[Float]` column): brute-force cosine top-k, sign-LSH bucketed ANN,
+  * and embedding-cosine near-dup detection.
+  *
+  * Exactness: elements are quantized to 20-bit fixed point before the
+  * reduction — `floor(v * 2^20 + 0.5)` is bit-exact in IEEE doubles (a
+  * power-of-two scale of a float is exact), so dot products and norms become
+  * int64 sums: order-insensitive, overflow-safe (64 dims x (2^20)^2 << 2^63),
+  * identical across engines and across any partitioning/shuffle order, and
+  * faster than floating-point accumulation. Quantization error on the cosine
+  * is ~1e-6 relative — irrelevant for ranking, and the ranking itself is
+  * fully deterministic (tie-break on neighbor id).
+  *
+  * Scale design (100 TB): brute-force (x6) is O(queries x corpus) — the
+  * correct baseline when the query set is small (it broadcasts the quantized
+  * query vectors). The sign-LSH variant (x7) buckets vectors by the sign
+  * pattern of leading dimensions, turning ANN into an equi-join on the bucket
+  * key: cost tracks bucket occupancy and the key is hash-partitionable.
+  * Near-dup (x5) blocks by label the same way an IVF coarse quantizer would.
+  */
+object SimilarityOps {
+
+  /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point. */
+  private def elements(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .toDF("vec_id", "label", "p", "v0")
+      .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+        quantize(col("v0")).as("q"))
+
+  /** 20-bit fixed-point quantization; floor(x+0.5) = deterministic half-up. */
+  private def quantize(v: Column): Column =
+    floor(v.cast("double") * lit(1048576.0) + lit(0.5)).cast("long")
+
+  /** Squared L2 norm (fixed-point) per vec_id. */
+  private def norms(el: DataFrame): DataFrame =
+    el.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nn"))
+
+  /** cosine from fixed-point dot product and norms — pure double ops on
+    * identical int64 inputs, hence bit-identical across engines.
+    */
+  private def cosine(dp: Column, nna: Column, nnb: Column): Column =
+    dp.cast("double") / sqrt(nna.cast("double") * nnb.cast("double"))
+
+  private val elementsSql: String =
+    """el AS (
+      |  SELECT vec_id, label, CAST(i AS INT) i,
+      |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) q
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) g(i)),
+      |n2 AS (
+      |  SELECT vec_id, CAST(SUM(q*q) AS BIGINT) nn FROM el GROUP BY vec_id)""".stripMargin
+
+  private val cosineSql: String =
+    "CAST(dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))"
+
+  /** Sign pattern of the first 8 dimensions, as an 8-char '0'/'1' string. */
+  private def signBucket(embedding: Column): Column =
+    expr("concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
+
+  private val signBucketSql: String =
+    "array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+
+  val defs: Seq[QDef] = Seq(
+
+    // Brute-force cosine top-k: query set (vec_id < 10) against the corpus.
+    QDef(
+      "x6_sim_topk_bruteforce",
+      Some(s"""WITH $elementsSql,
+              |dots AS (
+              |  SELECT a.vec_id qid, b.vec_id nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT qid, nid, $cosineSql AS cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |  FROM dots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 5
+              |ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val el = elements(s, dir)
+        val n2 = norms(el)
+        val dots = broadcast(el.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("i"), col("q").as("qq")))
+          .as("a")
+          .join(el.as("b"), col("a.i") === col("b.i") && col("b.vec_id") =!= col("a.qid"))
+          .groupBy(col("a.qid"), col("b.vec_id").as("nid"))
+          .agg(sum(col("a.qq") * col("b.q")).as("dp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        dots
+          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .select(col("qid"), col("nid"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      }),
+
+    // Bucketed ANN: sign-LSH on the leading 8 dimensions -> candidates share
+    // a bucket -> exact cosine within bucket -> top-3 per query (vec_id < 50).
+    QDef(
+      "x7_sim_ann_lsh",
+      Some(s"""WITH $elementsSql,
+              |bk AS (SELECT vec_id, $signBucketSql AS bucket FROM embeddings),
+              |cand AS (
+              |  SELECT q.vec_id qid, c.vec_id nid FROM bk q
+              |  JOIN bk c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 50),
+              |dots AS (
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM cand JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY qid, nid),
+              |scored AS (
+              |  SELECT qid, nid, $cosineSql AS cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |  FROM dots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 3
+              |ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val bk = emb.select(col("vec_id"), signBucket(col("embedding")).as("bucket"))
+        val cand = bk.filter(col("vec_id") < 50).as("q")
+          .join(bk.as("c"), col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("q.vec_id"))
+          .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
+        val el = elements(s, dir)
+        val n2 = norms(el)
+        val dots = cand
+          .join(el.as("a"), col("a.vec_id") === col("qid"))
+          .join(el.as("b"), col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
+          .groupBy("qid", "nid")
+          .agg(sum(col("a.q") * col("b.q")).as("dp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        dots
+          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .select(col("qid"), col("nid"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("qid", "rn")
+      }),
+
+    // Embedding-cosine near-dup pairs, blocked by label (block key stands in
+    // for the coarse-quantizer cell an IVF index would assign at scale).
+    QDef(
+      "x5_dedup_embedding",
+      Some(s"""WITH $elementsSql,
+              |dots AS (
+              |  SELECT a.vec_id v1, b.vec_id v2, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM el a JOIN el b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+              |  WHERE a.label = 0
+              |  GROUP BY 1, 2)
+              |SELECT v1, v2, CAST(dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos_sim
+              |FROM dots JOIN n2 na ON na.vec_id = v1 JOIN n2 nb ON nb.vec_id = v2
+              |WHERE CAST(dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.3
+              |ORDER BY v1, v2""".stripMargin),
+      (s, dir) => {
+        val el = elements(s, dir).filter(col("label") === 0)
+        val n2 = norms(elements(s, dir))
+        val dots = el.as("a")
+          .join(el.as("b"),
+            col("a.i") === col("b.i") && col("a.label") === col("b.label")
+              && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+          .agg(sum(col("a.q") * col("b.q")).as("dp"))
+        dots
+          .join(broadcast(n2.as("na")), col("v1") === col("na.vec_id"))
+          .join(broadcast(n2.as("nb")), col("v2") === col("nb.vec_id"))
+          .select(col("v1"), col("v2"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.3)
+          .orderBy("v1", "v2")
+      })
+  )
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import QUtil._
+
+/** Text-analysis operators for large-scale training-data pipelines, run over
+  * the `documents` table: token counting, quality scoring, n-gram-heuristic
+  * language ID, and document fingerprinting. All are per-row (narrow, no
+  * shuffle beyond the final presentation sort) and whole-stage-codegen
+  * friendly: built from `org.apache.spark.sql.functions` only — no UDFs —
+  * so they scale linearly with document count.
+  */
+object TextOps {
+
+  /** Whitespace tokenization shared by the text operators. */
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val enMarkers = Seq("the", "and", "of", "to", "in", "is")
+  private val deMarkers = Seq("der", "die", "und", "das", "ist", "nicht")
+  private val esMarkers = Seq("el", "la", "los", "que", "por", "con")
+
+  private def countIn(set: Seq[String]): Column =
+    size(filter(tokens, tk => tk.isin(set: _*)))
+
+  private def sqlList(set: Seq[String]): String =
+    set.map(s => s"'$s'").mkString(", ")
+
+  val defs: Seq[QDef] = Seq(
+
+    // Token counting (whitespace tokenizer).
+    QDef(
+      "x8_text_tokens",
+      Some("""SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(tokens).as("n_tokens"))
+          .orderBy("doc_id")),
+
+    // Quality scoring: length / punctuation / digit / stopword / word-shape
+    // signals. All ratios are double divisions of exact integer counts, so
+    // they are bit-identical across engines.
+    QDef(
+      "x9_text_quality",
+      Some(s"""SELECT doc_id,
+              |  length(text) AS n_chars_m,
+              |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+              |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+              |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+              |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+              |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |       tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
+              |    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+              |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+              |    / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n_chars_m"),
+            size(tokens).as("n_tokens"),
+            regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
+            (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / length(col("text"))).as("punct_ratio"),
+            (regexp_count(col("text"), lit("[0-9]")).cast("double") / length(col("text"))).as("digit_ratio"),
+            (countIn(stopwords).cast("double") / size(tokens)).as("stopword_ratio"),
+            (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(tokens)).as("avg_token_len"))
+          .orderBy("doc_id")),
+
+    // Language ID: marker-word n-gram heuristic with a deterministic
+    // tie-break (en > de > es, 'und' when no markers at all).
+    QDef(
+      "x10_text_langid",
+      Some(s"""WITH c AS (
+              |  SELECT doc_id, lang,
+              |    len(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk IN (${sqlList(enMarkers)}))) AS c_en,
+              |    len(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk IN (${sqlList(deMarkers)}))) AS c_de,
+              |    len(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk IN (${sqlList(esMarkers)}))) AS c_es
+              |  FROM documents)
+              |SELECT doc_id, lang, c_en, c_de, c_es,
+              |  CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 THEN 'und'
+              |       WHEN c_en >= c_de AND c_en >= c_es THEN 'en'
+              |       WHEN c_de >= c_es THEN 'de'
+              |       ELSE 'es' END AS predicted_lang
+              |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            countIn(enMarkers).as("c_en"),
+            countIn(deMarkers).as("c_de"),
+            countIn(esMarkers).as("c_es"))
+        base.select(
+          col("doc_id"), col("lang"), col("c_en"), col("c_de"), col("c_es"),
+          when(col("c_en") === 0 && col("c_de") === 0 && col("c_es") === 0, "und")
+            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es"), "en")
+            .when(col("c_de") >= col("c_es"), "de")
+            .otherwise("es").as("predicted_lang"))
+          .orderBy("doc_id")
+      }),
+
+    // Document fingerprinting: content hash of the punctuation/whitespace
+    // normalized text (md5 produces identical lowercase hex in both engines).
+    QDef(
+      "x11_text_fingerprint",
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+              " +", " "))).as("fingerprint"))
+          .orderBy("doc_id")),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The text
+    // column stands in for an image/audio blob; the operator extracts byte
+    // length and a sha-256 content id — the same shape a real decode/feature
+    // pipeline hangs off (see graft.operators.Multimodal for the batch path).
+    QDef(
+      "x12_multimodal_meta",
+      Some("""SELECT doc_id,
+             |  strlen(text) AS n_bytes,
+             |  sha256(text) AS content_id,
+             |  substring(md5(text), 1, 16) AS short_id
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            octet_length(col("text")).as("n_bytes"),
+            sha2(col("text"), 256).as("content_id"),
+            substring(md5(col("text")), 1, 16).as("short_id"))
+          .orderBy("doc_id"))
+  )
+}
