@@ -1,0 +1,77 @@
+package graft.icelite
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse-rooted catalog: namespace = directory, table = directory with a
+  * `metadata/` subtree. The Spark-native replacement for the reference's
+  * `RestCatalog(name, warehouse, uri, token)`
+  * (`components/ex-iceberg/src/component.py:88-96`,
+  * `components/wr-iceberg/src/component.py:130-142`) and its DDL surface:
+  * create/exists namespace (`wr:90-91`), create/drop/load table
+  * (`wr:112-128`), listings for the sync actions (`ex:138-162`).
+  *
+  * Uses the Hadoop FileSystem API throughout, so the same code runs against
+  * local disk, HDFS, or an object store — the warehouse URI decides.
+  */
+class IceCatalog(spark: SparkSession, val warehouse: String) {
+
+  private val root = new Path(warehouse)
+  private[icelite] def fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(ns: String, table: String): Path = new Path(new Path(root, ns), table)
+
+  // -- namespaces (D1, D2, D6) ------------------------------------------------
+
+  def createNamespace(ns: String): Unit = { fs.mkdirs(new Path(root, ns)); () }
+
+  def namespaceExists(ns: String): Boolean = fs.exists(new Path(root, ns))
+
+  def listNamespaces(): Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+
+  // -- tables (D2-D5, D7) -----------------------------------------------------
+
+  def tableExists(ns: String, table: String): Boolean =
+    MetaIo.exists(fs, tablePath(ns, table))
+
+  def listTables(ns: String): Seq[String] = {
+    val p = new Path(root, ns)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p)
+      .filter(st => st.isDirectory && MetaIo.exists(fs, st.getPath))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  def createTable(ns: String, table: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): IceTable = {
+    require(!tableExists(ns, table), s"table $ns.$table already exists")
+    createNamespace(ns)
+    val meta = TableMeta(
+      formatVersion = 1, namespace = ns, name = table,
+      schemaDdl = schema.toDDL, partitionBy = partitionBy,
+      currentSnapshotId = 0L, snapshots = Nil, version = 1)
+    MetaIo.commit(fs, tablePath(ns, table), meta)
+    new IceTable(spark, this, ns, table)
+  }
+
+  def dropTable(ns: String, table: String): Boolean =
+    fs.delete(tablePath(ns, table), true)
+
+  def loadTable(ns: String, table: String): IceTable = {
+    require(tableExists(ns, table), s"table $ns.$table does not exist")
+    new IceTable(spark, this, ns, table)
+  }
+
+  /** Drop-if-exists + create: the writer's `replace` table preparation
+    * (`wr/src/component.py:115-124`).
+    */
+  def createOrReplaceTable(ns: String, table: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): IceTable = {
+    if (tableExists(ns, table)) dropTable(ns, table)
+    createTable(ns, table, schema, partitionBy)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.icelite
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** One immutable table version.
+  *
+  * Mirrors the role of an Iceberg snapshot as used by the reference
+  * (`components/ex-iceberg/src/component.py:148-157` lists id+timestamp;
+  * `wr/src/component.py:101-110` commits one per write): a snapshot owns the
+  * *complete* set of data directories visible at that version. Appends carry
+  * forward the parent's directories plus one new one; replace/upsert point
+  * only at their own rewritten directory. Directories are immutable once
+  * committed, so a snapshot's file set never changes after commit — that is
+  * what makes time travel (`snapshot_id` scan pin, `ex/src/component.py:38`)
+  * a pure metadata operation.
+  *
+  * Snapshot ids are sequential per table (1, 2, ...) — deterministic across
+  * runs, unlike the reference's random ids, which keeps golden tests stable.
+  */
+final case class SnapshotMeta(
+    snapshotId: Long,
+    timestampMs: Long,
+    operation: String, // append | replace | upsert
+    dataDirs: Seq[String],
+    addedFiles: Seq[String],
+    addedRows: Long,
+    totalRows: Long)
+
+/** Table metadata document, stored as `metadata/v{version}.json`.
+  *
+  * The schema is kept as a Spark DDL string (`StructType.toDDL` /
+  * `StructType.fromDDL`) — the Spark-native equivalent of the Iceberg schema
+  * JSON the reference derives from the first Arrow batch
+  * (`wr/src/component.py:102-105,121-124`).
+  */
+final case class TableMeta(
+    formatVersion: Int,
+    namespace: String,
+    name: String,
+    schemaDdl: String,
+    partitionBy: Seq[String],
+    currentSnapshotId: Long, // 0 = empty table, no snapshot yet
+    snapshots: Seq[SnapshotMeta],
+    version: Int) {
+
+  def currentSnapshot: Option[SnapshotMeta] =
+    snapshots.find(_.snapshotId == currentSnapshotId)
+
+  def snapshot(id: Long): Option[SnapshotMeta] =
+    snapshots.find(_.snapshotId == id)
+}
+
+/** Metadata persistence + commit protocol.
+  *
+  * Commit = write a fresh `v{N}.json` via create-no-overwrite (optimistic:
+  * two concurrent writers race on the same version and one loses), then swap
+  * the `version-hint.text` pointer. Equivalent in spirit to the REST
+  * catalog's compare-and-swap the reference relies on, degraded to
+  * single-writer guarantees on plain filesystems — the component's one-run
+  * execution model (SURVEY §7 "Atomicity without a catalog service").
+  */
+object MetaIo {
+
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def metadataDir(tableDir: Path): Path = new Path(tableDir, "metadata")
+  def hintFile(tableDir: Path): Path = new Path(metadataDir(tableDir), "version-hint.text")
+
+  def exists(fs: FileSystem, tableDir: Path): Boolean = fs.exists(hintFile(tableDir))
+
+  def read(fs: FileSystem, tableDir: Path): TableMeta = {
+    val v = readFile(fs, hintFile(tableDir)).trim.toInt
+    val json = readFile(fs, new Path(metadataDir(tableDir), s"v$v.json"))
+    mapper.readValue(json, classOf[TableMeta])
+  }
+
+  def commit(fs: FileSystem, tableDir: Path, meta: TableMeta): Unit = {
+    val dir = metadataDir(tableDir)
+    fs.mkdirs(dir)
+    val vFile = new Path(dir, s"v${meta.version}.json")
+    val tmp = new Path(dir, s".v${meta.version}.json.${java.util.UUID.randomUUID()}.tmp")
+    writeFile(fs, tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    // rename-if-absent is the atomicity primitive (true atomic on HDFS;
+    // best-effort on local/object stores — documented single-writer)
+    if (fs.exists(vFile) || !fs.rename(tmp, vFile)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit detected for ${meta.namespace}.${meta.name} v${meta.version}")
+    }
+    writeFile(fs, hintFile(tableDir), meta.version.toString)
+  }
+}

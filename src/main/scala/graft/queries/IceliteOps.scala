@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.icelite.IceCatalog
+import graft.model.KeboolaManifest
+import graft.sources.KeboolaCsv
+import QUtil._
+
+/** The reference's table-layer operators (SURVEY §2.1/2.2/2.4), each driven
+  * end-to-end inside the query: the IceLite machinery (create/append/replace/
+  * upsert/time-travel/catalog listings) runs against a scratch warehouse, and
+  * the DuckDB oracle states the expected *relational* result over the
+  * original test tables — so snapshot semantics are verified by an engine
+  * that knows nothing about our metadata format.
+  */
+object IceliteOps {
+
+  /** Scratch warehouse for one query run (wiped first — reruns idempotent). */
+  private def freshWarehouse(s: SparkSession, tag: String): String = {
+    val wh = s"/root/repo/target/qwh/$tag"
+    val p = new Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    wh
+  }
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  val defs: Seq[QDef] = Seq(
+
+    // K4: append = bag union, one snapshot per call (wr:110).
+    QDef(
+      "k4_ice_append",
+      Some("""SELECT event_id, user_id, event_type, value FROM
+             |  (SELECT * FROM events UNION ALL SELECT * FROM events)
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k4"))
+        val ev = t(s, dir, "events")
+        val tbl = cat.createTable("lake", "events_t", ev.schema)
+        tbl.append(ev)
+        tbl.append(ev)
+        tbl.scan(columns = Seq("event_id", "user_id", "event_type", "value"))
+          .orderBy("event_id")
+      }),
+
+    // K6: replace = drop-and-recreate CTAS semantics (wr:115-124).
+    QDef(
+      "k6_ice_replace",
+      Some("""SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k6"))
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_t", o.schema)
+        tbl.append(o)
+        tbl.replace(o.filter(col("o_orderstatus") === "F"))
+        tbl.toDF.orderBy("o_orderkey")
+      }),
+
+    // K5: primary-key upsert — matched rows take source values, unmatched
+    // source rows insert, unmatched target rows survive (wr:107-108).
+    QDef(
+      "k5_ice_upsert",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+              |UNION ALL
+              |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+              |       o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey % 2 = 0
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k5"))
+        val o = t(s, dir, "orders")
+        val target = o.filter(col("o_orderkey") % 3 === 0)
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        val tbl = cat.createTable("lake", "orders_t", o.schema)
+        tbl.append(target)
+        tbl.upsert(source, keys = Seq("o_orderkey"))
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
+    // R3: snapshot time travel — scan pinned to the first snapshot sees none
+    // of the second append (ex:38, snapshot listing ex:148-157).
+    QDef(
+      "r3_ice_timetravel",
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM events
+             |WHERE event_id % 2 = 0 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "r3"))
+        val ev = t(s, dir, "events")
+        val tbl = cat.createTable("lake", "events_t", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        val firstSnap = tbl.snapshots.head.snapshotId
+        tbl.scan(snapshotId = Some(firstSnap)).orderBy("event_id")
+      }),
+
+    // D1-D9: catalog DDL + sync-action listings (namespaces, tables,
+    // snapshots, columns) rendered as rows; ids are deterministic because
+    // snapshot ids are sequential per table.
+    QDef(
+      "d1_catalog_actions",
+      Some("""SELECT * FROM (VALUES
+             |  ('column', 'lake_a.t1.n_nationkey (INT)'),
+             |  ('column', 'lake_a.t1.n_name (STRING)'),
+             |  ('column', 'lake_a.t1.n_regionkey (INT)'),
+             |  ('namespace', 'lake_a'),
+             |  ('namespace', 'lake_b'),
+             |  ('snapshot', 'lake_a.t1#1 append rows=25'),
+             |  ('snapshot', 'lake_a.t1#2 append rows=50'),
+             |  ('table', 'lake_a.t1'),
+             |  ('table', 'lake_a.t2'),
+             |  ('table', 'lake_b.t3')) AS v(kind, item)
+             |ORDER BY kind, item""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "d1"))
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        val t1 = cat.createTable("lake_a", "t1", n.schema)
+        t1.append(n)
+        t1.append(n)
+        cat.createTable("lake_a", "t2", r.schema).append(r)
+        cat.createTable("lake_b", "t3", r.schema)
+        val rows =
+          cat.listNamespaces().map(ns => ("namespace", ns)) ++
+          cat.listNamespaces().flatMap(ns =>
+            cat.listTables(ns).map(tb => ("table", s"$ns.$tb"))) ++
+          cat.loadTable("lake_a", "t1").snapshots.map(sn =>
+            ("snapshot", s"lake_a.t1#${sn.snapshotId} ${sn.operation} rows=${sn.totalRows}")) ++
+          cat.loadTable("lake_a", "t1").schema.fields.map(f =>
+            ("column", s"lake_a.t1.${f.name} (${f.dataType.sql})"))
+        import s.implicits._
+        rows.toSeq.toDF("kind", "item").orderBy("kind", "item")
+      }),
+
+    // S2 + K1: quoted CSV sink -> manifest-declared-schema CSV source
+    // round trip (FORCE_QUOTE * / header / declared dtypes).
+    QDef(
+      "s2_csv_roundtrip",
+      Some("SELECT * FROM part ORDER BY p_partkey"),
+      (s, dir) => {
+        val out = freshWarehouse(s, "s2") + "/part_csv"
+        val p = t(s, dir, "part")
+        KeboolaCsv.writeQuoted(p, out)
+        val manifest = KeboolaManifest.forSchema(p.schema)
+        KeboolaCsv.read(s, out, manifest).orderBy("p_partkey")
+      }),
+
+    // K2: parquet sink round trip (ex:50-55).
+    QDef(
+      "k2_parquet_sink",
+      Some("SELECT * FROM supplier ORDER BY s_suppkey"),
+      (s, dir) => {
+        val out = freshWarehouse(s, "k2") + "/supplier_pq"
+        t(s, dir, "supplier").write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("s_suppkey")
+      }),
+
+    // K3: out-manifest base-type collapse (mapping A, ex:110-136).
+    QDef(
+      "k3_manifest_types",
+      Some("""SELECT * FROM (VALUES
+             |  ('l_orderkey', 'INTEGER'), ('l_partkey', 'INTEGER'),
+             |  ('l_suppkey', 'INTEGER'), ('l_linenumber', 'INTEGER'),
+             |  ('l_quantity', 'FLOAT'), ('l_extendedprice', 'FLOAT'),
+             |  ('l_discount', 'FLOAT'), ('l_tax', 'FLOAT'),
+             |  ('l_returnflag', 'STRING'), ('l_linestatus', 'STRING'),
+             |  ('l_shipdate', 'TIMESTAMP')) AS v(column_name, base_type)
+             |ORDER BY column_name""".stripMargin),
+      (s, dir) => {
+        val m = KeboolaManifest.forSchema(t(s, dir, "lineitem").schema)
+        import s.implicits._
+        m.schema.map(c => (c.name, c.baseType))
+          .toDF("column_name", "base_type").orderBy("column_name")
+      })
+  )
+}
