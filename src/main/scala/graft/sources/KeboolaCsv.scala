@@ -43,6 +43,10 @@ object KeboolaCsv {
       .option("header", "true")
       .option("quoteAll", "true")
       .option("escape", "\"")
+      // FORCE_QUOTE * preserves whitespace exactly; Spark's CSV *writer*
+      // trims by default (reader does not) — disable to keep byte fidelity.
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("timestampNTZFormat", tsFormat)
       .csv(path)
   }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.icelite.IceCatalog
+
+class IceliteSpec extends SparkSpec {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("create/list/drop namespaces and tables") {
+    val cat = new IceCatalog(spark, scratch("cat"))
+    assert(cat.listNamespaces().isEmpty)
+    cat.createNamespace("a")
+    cat.createNamespace("b")
+    assert(cat.listNamespaces() == Seq("a", "b"))
+    cat.createTable("a", "t1", nation.schema)
+    cat.createTable("a", "t2", nation.schema)
+    assert(cat.listTables("a") == Seq("t1", "t2"))
+    assert(cat.tableExists("a", "t1"))
+    assert(!cat.tableExists("a", "zzz"))
+    assert(cat.dropTable("a", "t1"))
+    assert(cat.listTables("a") == Seq("t2"))
+    intercept[IllegalArgumentException](cat.loadTable("a", "t1"))
+    intercept[IllegalArgumentException](cat.createTable("a", "t2", nation.schema))
+  }
+
+  test("empty table scans as zero rows with the declared schema") {
+    val cat = new IceCatalog(spark, scratch("empty"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    val df = tbl.toDF
+    assert(df.count() == 0)
+    assert(df.schema == nation.schema)
+  }
+
+  test("append accumulates snapshots; scan pins to any snapshot") {
+    val cat = new IceCatalog(spark, scratch("tt"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))
+    tbl.append(nation.filter(col("n_nationkey") >= 10))
+    val snaps = tbl.snapshots
+    assert(snaps.map(_.snapshotId) == Seq(1L, 2L))
+    assert(snaps.map(_.operation) == Seq("append", "append"))
+    assert(tbl.scan(snapshotId = Some(1L)).count() == 10)
+    assert(tbl.toDF.count() == 25)
+    assert(snaps.last.totalRows == 25)
+    intercept[IllegalArgumentException](tbl.scan(snapshotId = Some(99L)))
+  }
+
+  test("scan projection and limit") {
+    val cat = new IceCatalog(spark, scratch("proj"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation)
+    val df = tbl.scan(columns = Seq("n_name"), limit = Some(5))
+    assert(df.columns.toSeq == Seq("n_name"))
+    assert(df.count() == 5)
+  }
+
+  test("append reorders and casts conforming columns, rejects drifted schema") {
+    val cat = new IceCatalog(spark, scratch("conform"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    // same columns, shuffled order, int key as long -> conforms
+    val shuffled = nation.select(
+      col("n_name"), col("n_regionkey"), col("n_nationkey").cast("long"))
+    tbl.append(shuffled)
+    assert(tbl.toDF.schema == nation.schema)
+    assert(tbl.toDF.count() == 25)
+    // missing column -> user-visible failure
+    intercept[IllegalArgumentException](tbl.append(nation.drop("n_name")))
+  }
+
+  test("upsert: matched rows updated, unmatched inserted, others survive") {
+    val cat = new IceCatalog(spark, scratch("upsert"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 15)) // keys 0..14
+    val src = nation.filter(col("n_nationkey") >= 10) // keys 10..24
+      .withColumn("n_name", lit("UPDATED"))
+    tbl.upsert(src, keys = Seq("n_nationkey"))
+    val out = tbl.toDF.orderBy("n_nationkey").collect()
+    assert(out.length == 25)
+    assert(out.count(_.getAs[String]("n_name") == "UPDATED") == 15)
+    assert(out.take(10).forall(_.getAs[String]("n_name") != "UPDATED"))
+    assert(tbl.snapshots.last.operation == "upsert")
+  }
+
+  test("upsert requires keys and is null-safe on them") {
+    val cat = new IceCatalog(spark, scratch("upsertnull"))
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    import spark.implicits._
+    val tbl = cat.createTable("ns", "t", schema)
+    tbl.append(Seq((Some(1), "a"), (None, "b")).toDF("k", "v"))
+    intercept[IllegalArgumentException](tbl.upsert(Seq((1, "x")).toDF("k", "v"), Nil))
+    // null key matches null key (<=>), so the null row is updated not duplicated
+    tbl.upsert(Seq((Option.empty[Int], "B")).toDF("k", "v"), Seq("k"))
+    val rows = tbl.toDF.orderBy("v").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("v")).toSeq == Seq("B", "a"))
+  }
+
+  test("replace swaps content and may change schema") {
+    val cat = new IceCatalog(spark, scratch("replace"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation)
+    val narrowed = nation.select("n_nationkey", "n_name").filter(col("n_nationkey") < 5)
+    tbl.replace(narrowed)
+    assert(tbl.toDF.count() == 5)
+    assert(tbl.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+    // time travel still reaches the pre-replace snapshot
+    assert(tbl.scan(snapshotId = Some(1L)).count() == 25)
+  }
+
+  test("partitionBy lays out hive-style dirs and scans reconstruct the column") {
+    val cat = new IceCatalog(spark, scratch("part"))
+    val tbl = cat.createTable("ns", "t", nation.schema, partitionBy = Seq("n_regionkey"))
+    tbl.append(nation)
+    val df = tbl.toDF
+    assert(df.count() == 25)
+    assert(df.schema.fieldNames.sorted.toSeq == nation.schema.fieldNames.sorted.toSeq)
+    assert(df.groupBy("n_regionkey").count().count() == 5)
+    // second append keeps both snapshots readable
+    tbl.append(nation.filter(col("n_regionkey") === 0))
+    assert(tbl.toDF.count() == 30)
+  }
+
+  test("concurrent commit on the same version is rejected") {
+    val wh = scratch("race")
+    val cat = new IceCatalog(spark, wh)
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    val stale = tbl.meta // version 1
+    tbl.append(nation)   // commits version 2
+    val tableDir = cat.tablePath("ns", "t")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalStateException] {
+      graft.icelite.MetaIo.commit(fs, tableDir, stale.copy(version = stale.version + 1))
+    }
+  }
+}

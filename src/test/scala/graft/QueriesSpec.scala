@@ -1,0 +1,31 @@
+package graft
+
+/** Smoke-level spec over every registered operator query: each one runs on
+  * sf0.001 and yields a sane result. Value-level correctness is enforced by
+  * the DuckDB oracle harness (tools/check_oracle.py + graft.Verify), which
+  * compares exact values at sf0.01 — this spec guards compilation/runtime
+  * health of the whole registry in `sbt test`.
+  */
+class QueriesSpec extends SparkSpec {
+
+  // queries whose result can legitimately be empty at tiny scale
+  private val mayBeEmpty = Set("j2_anti_join", "x4_dedup_ngram_jaccard",
+    "x2_dedup_minhash_lsh", "x5_dedup_embedding")
+
+  SparkEntry.allDefs.foreach { q =>
+    test(s"${q.name} runs on sf0.001") {
+      val df = q.fn(spark, sfDir)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or is documented rows-only") {
+    val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"rows-only checks for: $noOracle")
+  }
+}
