@@ -17,14 +17,23 @@ import QUtil._
   */
 object DedupOps {
 
-  /** Distinct word 3-gram shingles per document (docs with >= 3 tokens). */
+  /** Distinct word 3-gram shingles per document (docs with >= 3 tokens).
+    *
+    * The fixture is a single parquet file (one input split), so the
+    * tokenize+explode map side would otherwise run on one task; repartition
+    * by doc_id first so the expansion is cluster-wide. On a real 100 TB
+    * corpus the scan already has thousands of splits and Catalyst drops the
+    * extra exchange into the shuffle `distinct` needs anyway.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("s"))
-      .distinct()
+      // all shingles of a document live in one row, so per-doc dedup is
+      // array_distinct inside the row — the "distinct" costs no shuffle
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))).as("s"))
 
   /** DuckDB-side spelling of [[shingles]]. */
   private val shinglesSql: String =
@@ -36,18 +45,29 @@ object DedupOps {
       |    tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] || ' ' || tk[CAST(i AS INT)+3] AS s
       |  FROM toks, unnest(range(0, len(tk)-2)) g(i))""".stripMargin
 
-  /** Jaccard similarity of candidate pairs (d1, d2) against the shingle set. */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+  /** Jaccard from per-pair intersection counts `(d1, d2, o)` plus per-doc
+    * shingle counts. The shingle-count side is |docs|-sized (one row per
+    * document), so both lookups broadcast — no shuffle after `inter`.
+    */
+  private def jaccardOf(inter: DataFrame, sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("o"))
-      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+    inter
+      .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
       .select(col("d1"), col("d2"),
         (col("o").cast("double") / (col("ca.n") + col("cb.n") - col("o"))).as("jaccard"))
   }
+
+  /** Pairwise shingle-intersection counts via one self-equi-join on the
+    * shingle value — the join key is hash-partitionable, and the following
+    * groupBy has map-side partial aggregation, so cost tracks the number of
+    * genuinely colliding pairs rather than |docs|^2.
+    */
+  private def intersections(sh: DataFrame): DataFrame =
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("o"))
 
   val defs: Seq[QDef] = Seq(
 
@@ -89,22 +109,38 @@ object DedupOps {
               |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.5
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        val sh = shingles(s, dir)
-        val mh = sh
-          .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(7))).as("h"))
-          .groupBy("doc_id", "h")
-          .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")))).as("sig"))
-        val bk = mh
-          .withColumn("band", expr("h div 2"))
-          .groupBy("doc_id", "band")
-          .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(h, sig))), x -> x.sig), '|'))").as("bucket"))
+        // The shingle set is referenced by the minhash pipeline, both
+        // verification probes, and the per-doc counts — cache it instead of
+        // re-running the tokenize+explode shuffle per reference.
+        // (At 100 TB this would be DISK_ONLY or a staged parquet table.)
+        val sh = shingles(s, dir).persist()
+        // All 8 signatures in ONE map-side-combinable groupBy (8 agg columns
+        // instead of an 8x row explosion + wide-key shuffle); a band bucket is
+        // then md5 of its two signatures in order — row-local, no second
+        // shuffle, same value as md5(string_agg(sig,'|' ORDER BY h)).
+        val sigCols = (0 to 7).map(h =>
+          min(md5(concat(lit(s"$h|"), col("s")))).as(s"sig$h"))
+        val mh = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bk = mh.select(col("doc_id"), explode(array((0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat(col(s"sig${2 * b}"), lit("|"), col(s"sig${2 * b + 1}"))).as("bucket"))): _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val cand = bk.as("x")
           .join(bk.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .distinct()
-        jaccardOf(cand, sh)
+        // Verify candidates only. The candidate-pair set is tiny at any scale
+        // (that is the point of LSH) — broadcast it once; both probe joins
+        // against the shingle set are then narrow on the candidate side, and
+        // the one shuffle keys on (doc_id, shingle). The minhash pipeline is
+        // referenced exactly once so it is evaluated exactly once.
+        val inter = broadcast(cand)
+          .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("o"))
+        jaccardOf(inter, sh)
           .filter(col("jaccard") >= 0.5)
           .orderBy("d1", "d2")
       }),
@@ -149,12 +185,8 @@ object DedupOps {
               |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.8
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        val sh = shingles(s, dir)
-        val cand = sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        jaccardOf(cand, sh)
+        val sh = shingles(s, dir).persist()
+        jaccardOf(intersections(sh), sh)
           .filter(col("jaccard") >= 0.8)
           .orderBy("d1", "d2")
       })
