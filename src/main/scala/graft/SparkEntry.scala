@@ -16,8 +16,8 @@ object SparkEntry {
 
   /** All operator definitions, grouped by module. */
   def allDefs: Seq[QDef] =
-    Relational.defs ++ TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
-      IceliteOps.defs
+    Relational.defs ++ RelationalExt.defs ++ TextOps.defs ++ DedupOps.defs ++
+      SimilarityOps.defs ++ IceliteOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QUtil._
+
+/** Extended relational coverage beyond the reference surface: grouping-set
+  * variants, set operations, outer joins, subqueries, pivot, scalar/array
+  * function bundles, as-of and range joins, and order statistics. The
+  * reference has none of these (SURVEY §2.6 "Absent categories") — they are
+  * the Catalyst-native capabilities a user gains by switching engines.
+  *
+  * Scale notes are per-op; the as-of and range joins use the standard
+  * shuffle-friendly rewrites (union+carry-forward window; time bucketing)
+  * rather than inequality joins, which do not scale.
+  */
+object RelationalExt {
+
+  val defs: Seq[QDef] = Seq(
+
+    // CUBE grouping sets (all 4 combinations of the two dimensions).
+    QDef(
+      "g2_cube",
+      Some("""SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
+             |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY CUBE(lang, source)
+             |ORDER BY lang_g, source_g""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .cube("lang", "source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .select(
+            coalesce(col("lang"), lit("ALL")).as("lang_g"),
+            coalesce(col("source"), lit("ALL")).as("source_g"),
+            col("n"), col("chars"))
+          .orderBy("lang_g", "source_g")),
+
+    // Explicit GROUPING SETS with grouping_id disambiguation (distinguishes
+    // a real NULL group key from a rolled-up one, unlike coalesce tricks).
+    QDef(
+      "g3_grouping_sets",
+      Some("""SELECT lang, source, GROUPING(lang, source) AS gid, COUNT(*) AS n
+             |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+             |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.createOrReplaceTempView("documents_gs")
+        d.sparkSession.sql(
+          """SELECT lang, source, grouping_id(lang, source) AS gid, COUNT(*) AS n
+            |FROM documents_gs GROUP BY GROUPING SETS ((lang), (source), ())
+            |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+      }),
+
+    // INTERSECT (set semantics, distinct).
+    QDef(
+      "set1_intersect",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")),
+
+    // EXCEPT (set difference, distinct).
+    QDef(
+      "set2_except",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")),
+
+    // FULL OUTER join: slice customers so both unmatched sides are non-empty;
+    // NULL ordering pinned explicitly (Spark defaults NULLS FIRST, DuckDB
+    // NULLS LAST — never rely on either).
+    QDef(
+      "j3_full_outer",
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+             |FROM (SELECT * FROM customer WHERE c_custkey <= 100) c
+             |FULL OUTER JOIN orders ON c_custkey = o_custkey
+             |ORDER BY c_custkey NULLS LAST, o_orderkey NULLS LAST""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") <= 100)
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "full_outer")
+          .select("c_custkey", "c_name", "o_orderkey", "o_orderstatus")
+          .orderBy(col("c_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)),
+
+    // Scalar subquery: orders above the global average price. The aggregate
+    // side is a 1-row DataFrame broadcast into a cross join — no correlated
+    // re-evaluation, one pass over orders.
+    QDef(
+      "sub1_scalar_subquery",
+      Some(s"""SELECT o_orderkey, o_totalprice
+              |FROM orders
+              |WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val avgDf = o.agg(davg(col("o_totalprice")).as("avg_price"))
+        o.crossJoin(broadcast(avgDf))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      }),
+
+    // PIVOT: order counts per nation x market segment. Explicit value list so
+    // the output schema is static (required for both engines and for any
+    // sane plan at scale — dynamic pivot means a driver-side distinct first).
+    QDef(
+      "pv1_pivot",
+      Some("""SELECT c_nationkey,
+             |  COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS AUTOMOBILE,
+             |  COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS BUILDING,
+             |  COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS FURNITURE,
+             |  COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS HOUSEHOLD,
+             |  COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS MACHINERY
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_nationkey")
+          .pivot("c_mktsegment",
+            Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("c_nationkey")),
+
+    // Scalar function bundle: string/date/math expressions with identical
+    // cross-engine semantics (all codegen'd, no UDFs).
+    QDef(
+      "f1_scalar_funcs",
+      Some("""SELECT o_orderkey,
+             |  upper(o_orderstatus) AS status_u,
+             |  substring(o_orderpriority, 3) AS prio_txt,
+             |  length(o_orderpriority) AS prio_len,
+             |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+             |  EXTRACT(year FROM o_orderdate) AS y,
+             |  EXTRACT(month FROM o_orderdate) AS m,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |  abs(o_totalprice - 100000.0) AS dist_100k,
+             |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
+             |  o_orderkey % 7 AS key_mod,
+             |  greatest(o_totalprice, 50000.0) AS at_least_50k,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            upper(col("o_orderstatus")).as("status_u"),
+            substring(col("o_orderpriority"), 3, Int.MaxValue).as("prio_txt"),
+            length(col("o_orderpriority")).as("prio_len"),
+            concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            abs(col("o_totalprice") - 100000.0).as("dist_100k"),
+            floor(col("o_totalprice") / 1000.0).as("price_k"),
+            (col("o_orderkey") % 7).as("key_mod"),
+            greatest(col("o_totalprice"), lit(50000.0)).as("at_least_50k"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_decoded"))
+          .orderBy("o_orderkey")),
+
+    // Array function bundle over the embeddings list column: slice, length,
+    // element access, reverse, per-element transform — all row-local.
+    QDef(
+      "f2_array_funcs",
+      Some("""SELECT vec_id,
+             |  len(embedding) AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS first_e,
+             |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_e,
+             |  CAST(list_reverse(embedding[1:3])[1] AS DOUBLE) AS rev_head,
+             |  len(list_filter(embedding, x -> x >= 0)) AS n_nonneg,
+             |  CAST(list_transform(embedding[1:2], x -> CAST(x AS DOUBLE) * 2.0)[1] AS DOUBLE) AS twice_first
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_e"),
+            element_at(col("embedding"), size(col("embedding"))).cast("double").as("last_e"),
+            element_at(reverse(slice(col("embedding"), 1, 3)), 1).cast("double").as("rev_head"),
+            size(filter(col("embedding"), x => x >= 0)).cast("long").as("n_nonneg"),
+            element_at(transform(slice(col("embedding"), 1, 2),
+              x => x.cast("double") * 2.0), 1).as("twice_first"))
+          .orderBy("vec_id")),
+
+    // AS-OF join: each purchase matched to the user's latest click at-or-
+    // before it. Implemented as the scalable union + carry-forward-window
+    // rewrite (one shuffle on user_id, no inequality join): tag both streams,
+    // sort by (ts, clicks-first), carry the last click ts forward.
+    QDef(
+      "j5_asof_join",
+      Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+            col("ts").as("click_ts_raw"), lit(0).as("kind"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("timestamp").as("click_ts_raw"), lit(1).as("kind"))
+        // kind=0 sorts clicks before purchases at equal ts => "at or before"
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("click_ts", last(col("click_ts_raw"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+          .orderBy("event_id")
+      }),
+
+    // Range (interval) join: event pairs of the same user within 10 minutes.
+    // Implemented by time-bucketing: join on (user, bucket) for the event's
+    // own and next bucket, then apply the exact predicate — an equi-join
+    // Catalyst can hash-partition, instead of an O(n^2) theta join. Emitting
+    // a<b once means joining a to both buckets b could land in.
+    QDef(
+      "j6_range_join",
+      Some("""SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND b.ts >= a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val winUs = 600000000L // 10 min
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val a = ev.select(col("event_id").as("id_a"), col("user_id"), col("us").as("us_a"),
+          explode(array((col("us") / winUs).cast("long"),
+            (col("us") / winUs).cast("long") + 1L)).as("bucket"))
+        val b = ev.select(col("event_id").as("id_b"), col("user_id"), col("us").as("us_b"),
+          (col("us") / winUs).cast("long").as("bucket"))
+        a.join(b, Seq("user_id", "bucket"))
+          .filter(col("id_a") < col("id_b")
+            && col("us_b") >= col("us_a") && col("us_b") - col("us_a") <= winUs)
+          .select(col("id_a"), col("id_b"), (col("us_b") - col("us_a")).as("dt_us"))
+          .distinct() // a pair can collide in both buckets
+          .orderBy("id_a", "id_b")
+      }),
+
+    // Order statistics: discrete percentiles (selection of actual values, so
+    // exact and engine-independent) per group.
+    QDef(
+      "a1_percentiles",
+      Some("""SELECT l_returnflag,
+             |  quantile_disc(l_quantity, 0.5) AS p50,
+             |  quantile_disc(l_quantity, 0.9) AS p90,
+             |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90"),
+            min("l_quantity").as("qmin"), max("l_quantity").as("qmax"))
+          .orderBy("l_returnflag")),
+
+    // COUNT(DISTINCT) — exact, per group, two-level shuffle.
+    QDef(
+      "a2_count_distinct",
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+          .orderBy("event_type")),
+
+    // HLL sketch cardinality (approx_count_distinct): the constant-memory
+    // alternative to a2 at 100 TB. Sketches merge associatively, so the agg
+    // is map-side combinable with no distinct shuffle. No cross-engine
+    // oracle (sketch internals differ) -> driver's rows-only check; the
+    // companion spec asserts the estimate lands within HLL error of exact.
+    QDef(
+      "a3_hll_approx",
+      None,
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            countDistinct("user_id").as("exact_users"))
+          .orderBy("event_type"))
+  )
+}
