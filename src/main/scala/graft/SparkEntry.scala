@@ -17,7 +17,7 @@ object SparkEntry {
   /** All operator definitions, grouped by module. */
   def allDefs: Seq[QDef] =
     Relational.defs ++ RelationalExt.defs ++ TextOps.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ IceliteOps.defs
+      SimilarityOps.defs ++ IceliteOps.defs ++ graft.streaming.StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.queries.{QDef, QUtil}
+
+// Encoder-backed records must be public top-level classes: Catalyst's
+// generated (de)serializer code instantiates them from outside this package.
+case class Ev(user_id: Long, event_id: Long, us: Long)
+case class OpenSession(ord: Long, n: Long, startUs: Long, endUs: Long)
+case class SessionRow(
+    user_id: Long, session_ord: Long, n_events: Long, start_us: Long, end_us: Long)
+
+/** Structured Streaming operators over the `events` table, driven as a
+  * bounded file-source stream (`Trigger.AvailableNow` — process everything,
+  * then stop). The reference is batch-only (SURVEY §2.6 "Streaming: none");
+  * these ops are the engine extension for continuous ingestion, expressed in
+  * the idiomatic Spark way: `readStream` → event-time transforms →
+  * `writeStream`, with watermarks for state cleanup and
+  * `flatMapGroupsWithState` for custom session state.
+  *
+  * Determinism for the oracle: the whole fixture arrives in one micro-batch,
+  * so the final in-memory sink table equals the batch-SQL answer; the same
+  * code on an unbounded source incrementally maintains the same result.
+  *
+  * Scale notes: the windowed aggregation is keyed on (window, event_type) —
+  * hash-partitioned state, map-side partial aggregation, watermark bounds
+  * state size. Sessionization state is keyed on user_id (hash-partitioned);
+  * each group's state is one open session summary, not the event backlog.
+  */
+object StreamOps {
+
+  /** events as a bounded stream; ts normalized to epoch micros (the fixture
+    * carries nanosecond timestamps, read as longs — QUtil.t note).
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Run a bounded streaming query to completion against an in-memory sink
+    * and return the sink table. Checkpoints go to a throwaway temp dir.
+    */
+  private def runToTable(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val ckpt = Files.createTempDirectory(s"graft-stream-$name").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // -- sessionization state machine ------------------------------------------
+
+  private val GapUs = 3600L * 1000000L // 1 hour session gap
+
+  /** Per-user session splitter. State carries the open (possibly
+    * still-growing) session across micro-batches; closed sessions are
+    * emitted as final rows, and the open one is emitted too (its row is
+    * re-emitted updated if a later batch extends it — update-mode sink
+    * semantics, keyed on (user_id, session_ord)).
+    */
+  private def sessionize(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionRow] = {
+    val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
+    var open = state.getOption.orNull
+    val out = Seq.newBuilder[SessionRow]
+    sorted.foreach { e =>
+      open match {
+        case null =>
+          open = OpenSession(1, 1, e.us, e.us)
+        case o if e.us - o.endUs > GapUs =>
+          out += SessionRow(userId, o.ord, o.n, o.startUs, o.endUs)
+          open = OpenSession(o.ord + 1, 1, e.us, e.us)
+        case o =>
+          open = o.copy(n = o.n + 1, endUs = e.us)
+      }
+    }
+    if (open != null) {
+      state.update(open)
+      out += SessionRow(userId, open.ord, open.n, open.startUs, open.endUs)
+    }
+    out.result().iterator
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // Tumbling event-time window aggregation with a watermark: per-hour,
+    // per-type event counts and exact value sums.
+    QDef(
+      "st1_stream_window",
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+              |  COUNT(*) AS n, ${QUtil.dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), QUtil.dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value"))
+        runToTable(agg, OutputMode.Complete(), s"st1_sink_${System.nanoTime()}")
+          .orderBy("hour_start", "event_type")
+      }),
+
+    // Stateful sessionization: 1-hour-gap sessions per user via
+    // flatMapGroupsWithState (custom state machine, not a window rewrite).
+    QDef(
+      "st2_stream_sessionize",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |g AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (
+             |  SELECT user_id, us,
+             |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ord
+             |  FROM g)
+             |SELECT user_id, session_ord, COUNT(*) AS n_events,
+             |  MIN(us) AS start_us, MAX(us) AS end_us
+             |FROM s GROUP BY user_id, session_ord
+             |ORDER BY user_id, session_ord""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val evs: Dataset[Ev] = eventStream(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .as[Ev]
+        val sessions = evs
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Update(), GroupStateTimeout.NoTimeout())(sessionize)
+        runToTable(sessions.toDF(), OutputMode.Update(),
+          s"st2_sink_${System.nanoTime()}")
+          .orderBy("user_id", "session_ord")
+      })
+  )
+}
