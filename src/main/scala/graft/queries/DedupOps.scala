@@ -25,15 +25,28 @@ object DedupOps {
     * corpus the scan already has thousands of splits and Catalyst drops the
     * extra exchange into the shuffle `distinct` needs anyway.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    // All shingles of a document live in one row, so per-doc dedup is
+    // array_distinct inside the row (no shuffle), and the per-doc count n
+    // rides along row-locally so Jaccard needs no per-doc-count join.
+    //
+    // The persist at the *array* level is load-bearing twice over: (a) the
+    // shingle set is referenced by several joins, and (b) it is a
+    // materialization boundary — without it, the `size(arr) > 0` filter that
+    // Catalyst infers for the explode gets its `arr` argument inlined by
+    // CollapseProject and pushed below the repartition exchange, re-running
+    // the whole tokenize+shingle expression many times per document inside
+    // the single-input-split scan stage. (At 100 TB this cache would be
+    // DISK_ONLY or a staged parquet table.)
+    val arrays = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      // all shingles of a document live in one row, so per-doc dedup is
-      // array_distinct inside the row — the "distinct" costs no shuffle
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))).as("s"))
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("arr"))
+      .persist()
+    arrays.select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
+  }
 
   /** DuckDB-side spelling of [[shingles]]. */
   private val shinglesSql: String =
@@ -45,29 +58,27 @@ object DedupOps {
       |    tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] || ' ' || tk[CAST(i AS INT)+3] AS s
       |  FROM toks, unnest(range(0, len(tk)-2)) g(i))""".stripMargin
 
-  /** Jaccard from per-pair intersection counts `(d1, d2, o)` plus per-doc
-    * shingle counts. The shingle-count side is |docs|-sized (one row per
-    * document), so both lookups broadcast — no shuffle after `inter`.
+  /** Pairwise Jaccard via one self-equi-join on the shingle value: the join
+    * key is hash-partitionable, the groupBy has map-side partial
+    * aggregation, and because each shingle row carries its document's total
+    * count `n`, the Jaccard denominator falls out of the same aggregate —
+    * no per-doc-count join, no broadcast, no extra job. Cost tracks the
+    * number of genuinely colliding pairs rather than |docs|^2.
+    *
+    * The shuffle_hash hint matters: statistics at plan time predate the
+    * shingle explosion, so AQE would otherwise "broadcast" the smaller-
+    * looking side — a driver-side build of the whole exploded shingle set.
+    * Forcing a shuffled hash join keys both sides on `s`, which is exactly
+    * the partitioning that scales.
     */
-  private def jaccardOf(inter: DataFrame, sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
-      .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("o").cast("double") / (col("ca.n") + col("cb.n") - col("o"))).as("jaccard"))
-  }
-
-  /** Pairwise shingle-intersection counts via one self-equi-join on the
-    * shingle value — the join key is hash-partitionable, and the following
-    * groupBy has map-side partial aggregation, so cost tracks the number of
-    * genuinely colliding pairs rather than |docs|^2.
-    */
-  private def intersections(sh: DataFrame): DataFrame =
-    sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+  private def pairJaccard(shA: DataFrame, shB: DataFrame): DataFrame =
+    shA.as("a")
+      .join(shB.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("o"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("d1"), col("d2"),
+        (col("o").cast("double") / (col("na") + col("nb") - col("o"))).as("jaccard"))
 
   val defs: Seq[QDef] = Seq(
 
@@ -109,11 +120,7 @@ object DedupOps {
               |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.5
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        // The shingle set is referenced by the minhash pipeline, both
-        // verification probes, and the per-doc counts — cache it instead of
-        // re-running the tokenize+explode shuffle per reference.
-        // (At 100 TB this would be DISK_ONLY or a staged parquet table.)
-        val sh = shingles(s, dir).persist()
+        val sh = shingles(s, dir) // explodes from the cached shingle arrays
         // All 8 signatures in ONE map-side-combinable groupBy (8 agg columns
         // instead of an 8x row explosion + wide-key shuffle); a band bucket is
         // then md5 of its two signatures in order — row-local, no second
@@ -135,12 +142,18 @@ object DedupOps {
         // (that is the point of LSH) — broadcast it once; both probe joins
         // against the shingle set are then narrow on the candidate side, and
         // the one shuffle keys on (doc_id, shingle). The minhash pipeline is
-        // referenced exactly once so it is evaluated exactly once.
-        val inter = broadcast(cand)
+        // referenced exactly once so it is evaluated exactly once, and the
+        // row-local per-doc counts make Jaccard one aggregate, zero extra
+        // joins.
+        broadcast(cand)
           .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("o"))
-        jaccardOf(inter, sh)
+          .join(sh.as("sb").hint("shuffle_hash"),
+            col("d2") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("d1", "d2")
+          .agg(count(lit(1)).as("o"),
+            first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
+          .select(col("d1"), col("d2"),
+            (col("o").cast("double") / (col("na") + col("nb") - col("o"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("d1", "d2")
       }),
@@ -185,8 +198,8 @@ object DedupOps {
               |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.8
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        val sh = shingles(s, dir).persist()
-        jaccardOf(intersections(sh), sh)
+        val sh = shingles(s, dir) // explodes from the cached shingle arrays
+        pairJaccard(sh, sh)
           .filter(col("jaccard") >= 0.8)
           .orderBy("d1", "d2")
       })

@@ -148,6 +148,42 @@ object SimilarityOps {
           .orderBy("qid", "rn")
       }),
 
+    // Same query as x6, through the native codegen'd QuantizedCosine
+    // expression (graft.functions.VecMath): the whole corpus stays as packed
+    // float arrays — no posexplode, no per-element shuffle — and each
+    // (query, neighbor) score is one fused-loop expression eval inside
+    // whole-stage codegen. The query set broadcasts; cost is one narrow pass
+    // over the corpus. Identical oracle to x6 (bit-identical fixed-point
+    // semantics), so the two plans cross-check each other.
+    QDef(
+      "x13_sim_native_topk",
+      Some(s"""WITH $elementsSql,
+              |dots AS (
+              |  SELECT a.vec_id qid, b.vec_id nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT qid, nid, $cosineSql AS cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |  FROM dots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 5
+              |ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+          .join(broadcast(qs), col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"),
+            call_function("quantized_cosine", col("qemb"), col("nemb")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      }),
+
     // Embedding-cosine near-dup pairs, blocked by label (block key stands in
     // for the coarse-quantizer cell an IVF index would assign at scale).
     QDef(
