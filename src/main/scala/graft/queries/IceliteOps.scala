@@ -138,6 +138,29 @@ object IceliteOps {
         rows.toSeq.toDF("kind", "item").orderBy("kind", "item")
       }),
 
+    // S1 via DataSource V2: spark.read.format("icelite") with projection +
+    // filter pushdown reaching the source (SupportsPushDownRequiredColumns /
+    // Filters — see graft.sources.v2.IceLiteSource) and snapshot pinning as
+    // a read option. The filter and column set here are chosen so the oracle
+    // reproduces them relationally over the raw table.
+    QDef(
+      "s3_dsv2_scan",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'A'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "s3")
+        val cat = new IceCatalog(s, wh)
+        val li = t(s, dir, "lineitem")
+        cat.createTable("lake", "lineitem_t", li.schema).append(li)
+        s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.lineitem_t")
+          .load()
+          .filter(col("l_quantity") >= 30 && col("l_returnflag") === "A")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
     // S2 + K1: quoted CSV sink -> manifest-declared-schema CSV source
     // round trip (FORCE_QUOTE * / header / declared dtypes).
     QDef(

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.icelite.IceCatalog
+
+/** DSv2 surface: format("icelite") read path, pushdown wiring, time travel. */
+class DsV2Spec extends SparkSpec {
+
+  private def warehouse(tag: String): String = scratch(s"dsv2-$tag")
+
+  private def mkTable(tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    val wh = warehouse(tag)
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders")
+    cat.createTable("lake", "orders_t", df.schema).append(df)
+    (wh, df)
+  }
+
+  test("format(icelite) reads back exactly what was appended") {
+    val (wh, df) = mkTable("roundtrip")
+    val back = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_t").load()
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      df.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("projection and filter are pushed into the scan") {
+    val (wh, _) = mkTable("pushdown")
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_t").load()
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 50000.0)
+      .select("o_orderkey", "o_orderstatus")
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("readSchema=o_orderkey,o_orderstatus"),
+      s"projection not pushed: $scanDesc")
+    assert(scanDesc.contains("EqualTo(o_orderstatus,F)"), s"filter not pushed: $scanDesc")
+    // correctness of the pushed plan
+    val expected = graft.queries.QUtil.t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 50000.0)
+      .select("o_orderkey", "o_orderstatus")
+    assert(q.orderBy("o_orderkey").collect().toSeq ==
+      expected.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("limit pushdown stops readers early") {
+    val (wh, _) = mkTable("limit")
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_t").load()
+      .limit(7)
+    assert(q.count() == 7)
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("limit=7"), s"limit not pushed: $scanDesc")
+  }
+
+  test("snapshotId option time-travels") {
+    val wh = warehouse("tt")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "nation_t", df.schema)
+    tbl.append(df.filter(col("n_nationkey") < 10))
+    tbl.append(df.filter(col("n_nationkey") >= 10))
+    val snap1 = tbl.snapshots.head.snapshotId
+    val pinned = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.nation_t")
+      .option("snapshotId", snap1.toString).load()
+    assert(pinned.count() == df.filter(col("n_nationkey") < 10).count())
+    val current = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.nation_t").load()
+    assert(current.count() == df.count())
+  }
+}
