@@ -132,6 +132,27 @@ class IceTable(
       newSchemaDdl = Some(df.schema.toDDL))
   }
 
+  /** Compaction: rewrite the current snapshot's file set into
+    * `targetFiles` larger files (bin-packing many small append outputs —
+    * the maintenance half of an Iceberg-style table's lifecycle). Pure
+    * rewrite: same rows, new snapshot with operation "compact"; older
+    * snapshots keep pointing at the original immutable directories, so time
+    * travel is unaffected. The data move is one distributed coalesce-write;
+    * planning stays O(files).
+    */
+  def compact(targetFiles: Int = 1): IceTable = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val m = meta
+    val current = m.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"nothing to compact in $namespace.$name"))
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val df = toDF.coalesce(targetFiles)
+    val added = writeData(df, snapId, m.partitionBy)
+    require(added._3 == current.totalRows,
+      s"compaction row-count drift: ${added._3} != ${current.totalRows}")
+    commitSnapshot("compact", Seq(added._1), added, 0L)
+  }
+
   /** Primary-key upsert (K5, `wr:107-108`): matched target rows take the
     * source's values, unmatched source rows are inserted, unmatched target
     * rows survive. Null-safe key equality. Physically a full rewrite into a

@@ -138,6 +138,24 @@ object IceliteOps {
         rows.toSeq.toDF("kind", "item").orderBy("kind", "item")
       }),
 
+    // Compaction: many small append files bin-packed into one, as a new
+    // "compact" snapshot; contents and history are unchanged (the north-star
+    // maintenance op for an Iceberg-style table).
+    QDef(
+      "k7_ice_compact",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k7"))
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_c", ev.schema)
+        (0 until 3).foreach(i => tbl.append(ev.filter(col("event_id") % 3 === i)))
+        tbl.compact(targetFiles = 1)
+        require(tbl.meta.currentSnapshot.get.operation == "compact")
+        tbl.toDF.orderBy("event_id")
+      }),
+
     // S1 via DataSource V2: spark.read.format("icelite") with projection +
     // filter pushdown reaching the source (SupportsPushDownRequiredColumns /
     // Filters — see graft.sources.v2.IceLiteSource) and snapshot pinning as

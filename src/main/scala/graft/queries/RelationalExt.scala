@@ -249,6 +249,55 @@ object RelationalExt {
           .orderBy("id_a", "id_b")
       }),
 
+    // Window function bundle: offsets, ranks, distribution functions, and
+    // frame-bounded first/last over a deterministic (unique-key) ordering.
+    QDef(
+      "w3_window_funcs",
+      Some("""SELECT p_partkey, p_brand, p_retailprice,
+             |  lag(p_retailprice) OVER w AS prev_price,
+             |  lead(p_retailprice) OVER w AS next_price,
+             |  rank() OVER w AS rnk,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  ntile(4) OVER w AS quartile,
+             |  first_value(p_partkey) OVER w AS cheapest_key,
+             |  last_value(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+             |FROM part
+             |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+             |ORDER BY p_partkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"), col("p_brand"), col("p_retailprice"),
+            lag("p_retailprice", 1).over(w).as("prev_price"),
+            lead("p_retailprice", 1).over(w).as("next_price"),
+            rank().over(w).as("rnk"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            ntile(4).over(w).as("quartile"),
+            first_value(col("p_partkey")).over(w).as("cheapest_key"),
+            last_value(col("p_partkey")).over(full).as("priciest_key"))
+          .orderBy("p_partkey")
+      }),
+
+    // Cross join: every (region, market segment) pair with customer counts —
+    // the small-x-small cartesian every reporting rollup needs.
+    QDef(
+      "j4_cross_join",
+      Some("""SELECT r_name, seg, n FROM region
+             |CROSS JOIN (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1) s
+             |ORDER BY r_name, seg""".stripMargin),
+      (s, dir) => {
+        val segs = t(s, dir, "customer")
+          .groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n"))
+        t(s, dir, "region").select("r_name")
+          .crossJoin(broadcast(segs))
+          .orderBy("r_name", "seg")
+      }),
+
     // Order statistics: discrete percentiles (selection of actual values, so
     // exact and engine-independent) per group.
     QDef(

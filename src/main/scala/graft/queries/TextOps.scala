@@ -117,6 +117,41 @@ object TextOps {
               " +", " "))).as("fingerprint"))
           .orderBy("doc_id")),
 
+    // Corpus vocabulary: global token frequencies, top 100. One explode +
+    // one map-side-combinable groupBy — the canonical first step of any
+    // tokenizer/vocab build, linear in corpus size.
+    QDef(
+      "x14_vocab_topk",
+      Some("""SELECT tk AS token, COUNT(*) AS freq
+             |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) tk FROM documents)
+             |GROUP BY tk ORDER BY freq DESC, token LIMIT 100""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(tokens).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(100)),
+
+    // Bigram language-model counts: adjacent token pairs built row-locally
+    // (no self-join), then one global aggregation; top 100.
+    QDef(
+      "x15_bigram_counts",
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2)
+             |SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram, COUNT(*) AS freq
+             |FROM toks, unnest(range(0, len(tk)-1)) g(i)
+             |GROUP BY 1 ORDER BY freq DESC, bigram LIMIT 100""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(tokens.as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(
+            expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("bigram"))
+          .limit(100)),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The text
     // column stands in for an image/audio blob; the operator extracts byte
     // length and a sha-256 content id — the same shape a real decode/feature

@@ -135,4 +135,23 @@ class IceliteSpec extends SparkSpec {
       graft.icelite.MetaIo.commit(fs, tableDir, stale.copy(version = stale.version + 1))
     }
   }
+
+  test("compact rewrites many files into few, preserving rows and history") {
+    val cat = new IceCatalog(spark, scratch("compact"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    // several small appends -> several data dirs, many small files
+    (0 until 4).foreach(i => tbl.append(nation.filter(col("n_nationkey") % 4 === i)))
+    val before = tbl.meta.currentSnapshot.get
+    assert(before.dataDirs.size == 4)
+    tbl.compact(targetFiles = 1)
+    val after = tbl.meta.currentSnapshot.get
+    assert(after.operation == "compact")
+    assert(after.dataDirs.size == 1)
+    assert(after.addedFiles.size == 1, s"expected 1 file, got ${after.addedFiles}")
+    assert(after.totalRows == before.totalRows)
+    assert(tbl.toDF.count() == nation.count())
+    // pre-compaction snapshot still time-travels to the same rows
+    assert(tbl.scan(snapshotId = Some(before.snapshotId)).count() == nation.count())
+    assert(tbl.snapshots.size == 5)
+  }
 }
