@@ -327,6 +327,28 @@ object RelationalExt {
           .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
           .orderBy("event_type")),
 
+    // Two-phase salted aggregation: the skew pattern for hot grouping keys.
+    // Phase 1 aggregates on (key, salt) — hot keys fan out over 16 reducers —
+    // phase 2 merges the partials per key. Result is identical to a direct
+    // groupBy (sums/counts are associative; the decimal sum keeps the double
+    // reduction exact), and both phases are map-side combinable.
+    QDef(
+      "q6_skew_twophase_agg",
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val partial = t(s, dir, "events")
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy("event_type", "salt")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast(DecimalType(22, 8))).as("psum"))
+        partial
+          .groupBy("event_type")
+          .agg(sum("pn").as("n"), sum("psum").cast(DoubleType).as("sum_value"))
+          .orderBy("event_type")
+      }),
+
     // HLL sketch cardinality (approx_count_distinct): the constant-memory
     // alternative to a2 at 100 TB. Sketches merge associatively, so the agg
     // is map-side combinable with no distinct shuffle. No cross-engine

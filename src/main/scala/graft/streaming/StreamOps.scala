@@ -63,6 +63,9 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // bounded run is done: unload state-store providers and stop their
+    // maintenance threads, so later (batch) queries aren't taxed by them
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.table(name)
   }
 
@@ -118,6 +121,72 @@ object StreamOps {
             col("n"), col("sum_value"))
         runToTable(agg, OutputMode.Complete(), s"st1_sink_${System.nanoTime()}")
           .orderBy("hour_start", "event_type")
+      }),
+
+    // Built-in session windows: the declarative sibling of st2 — Spark
+    // merges per-user gap sessions in state; window end = last event + gap.
+    QDef(
+      "st3_stream_session_window",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |g AS (
+             |  SELECT user_id, event_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (
+             |  SELECT user_id, us,
+             |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g)
+             |SELECT user_id, MIN(us) AS start_us, MAX(us) + 3600000000 AS end_us,
+             |  COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin),
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+        runToTable(agg, OutputMode.Complete(), s"st3_sink_${System.nanoTime()}")
+          .orderBy("user_id", "start_us")
+      }),
+
+    // Streaming ingestion into the IceLite table layer via foreachBatch:
+    // one append snapshot per micro-batch — exactly the reference writer's
+    // batch-loop semantics (C6, one snapshot per Arrow batch, wr:101-110),
+    // now with ACID table commits behind a continuous source.
+    QDef(
+      "st4_stream_icelite_sink",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = s"/root/repo/target/qwh/st4"
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val cat = new graft.icelite.IceCatalog(s, wh)
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val ckpt = Files.createTempDirectory("graft-stream-st4").toString
+        val q = eventStream(s, dir)
+          .selectExpr(cols: _*)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val tbl =
+              if (cat.tableExists("lake", "events_s")) cat.loadTable("lake", "events_s")
+              else cat.createTable("lake", "events_s", batch.schema)
+            tbl.append(batch)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        cat.loadTable("lake", "events_s").toDF.orderBy("event_id")
       }),
 
     // Stateful sessionization: 1-hour-gap sessions per user via

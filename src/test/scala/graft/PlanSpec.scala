@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions for the headline queries: the optimizations the
+  * engine's scale story depends on must actually be in the executed plan,
+  * not just intended. (A query that is correct but scans every column, or
+  * broadcasts a fact table, fails here even though the oracle passes.)
+  *
+  * Assertions run on the final AQE plan string — query-stage wrappers hide
+  * children from tree collects, but the rendered plan shows every node.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its decisions
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("r1: filter and projection are pushed to the parquet scan") {
+    val s = finalPlan(SparkEntry.queries("r1_filter_pushdown")(spark, sfDir))
+    assert(s.contains("PushedFilters:") && s.contains("l_quantity"),
+      s"expected pushed filters in:\n$s")
+    assert(s.contains("ReadSchema") &&
+      !s.contains("l_extendedprice"), "projection must prune unused columns")
+  }
+
+  test("q3: dims broadcast, aggregation is two-phase (map-side combine)") {
+    val s = finalPlan(SparkEntry.queries("q3_join_topk")(spark, sfDir))
+    assert(s.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial+final aggregation")
+    // the top-k must be a TakeOrderedAndProject, not a global sort
+    assert(s.contains("TakeOrderedAndProject"),
+      s"limit+orderBy should plan as top-k:\n$s")
+  }
+
+  test("q1: whole-stage codegen covers the aggregation pipeline") {
+    val s = finalPlan(SparkEntry.queries("q1_agg_pricing")(spark, sfDir))
+    // the compact plan string marks codegen stages with "*(n)"
+    assert(s.contains("*(1) HashAggregate") || s.contains("*(1) Filter"),
+      s"aggregation pipeline must be inside whole-stage codegen:\n$s")
+  }
+
+  test("x4: shingle self-join is a shuffled join, never a broadcast of the exploded side") {
+    val s = finalPlan(SparkEntry.queries("x4_dedup_ngram_jaccard")(spark, sfDir))
+    assert(s.contains("ShuffledHashJoin"),
+      s"expected shuffled hash join for the shingle self-join:\n$s")
+    assert(!s.contains("BroadcastHashJoin"),
+      s"exploded shingle side must not broadcast:\n$s")
+  }
+
+  test("x13: native-expression top-k has no explode and broadcasts only the query set") {
+    val s = finalPlan(SparkEntry.queries("x13_sim_native_topk")(spark, sfDir))
+    assert(!s.contains("Generate"), "native path must not explode vector elements")
+    assert(s.contains("quantized_cosine"), "native expression missing from plan")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$s")
+  }
+
+  test("s3 DSv2: no join operators in a pure scan query") {
+    val s = finalPlan(SparkEntry.queries("s3_dsv2_scan")(spark, sfDir))
+    assert(!s.contains("SortMergeJoin") && !s.contains("HashJoin"), s)
+  }
+}
