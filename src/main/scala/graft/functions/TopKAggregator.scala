@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator: keeps the k largest (score, id) pairs per group
+  * — ordered by score descending, id ascending on ties — without sorting
+  * the group.
+  *
+  * This is the `Aggregator[IN, BUF, OUT]` extension point (SURVEY §7 step 7):
+  * the buffer is a bounded list, `reduce` is O(k) per row, `merge` is O(k)
+  * per partial — so a top-k over a billion-row group moves k values per
+  * partition over the shuffle instead of the group's rows, unlike the
+  * window-function formulation (w2) which must sort every partition.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  // descending score, ascending id — deterministic under any merge order
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    // buf is kept sorted best-first and capped at k
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val (front, back) = buf.span(better(_, x))
+      (front :+ x) ++ back.take(k - front.size - 1)
+    }
+  }
+
+  override def zero: Seq[(Double, Long)] = Nil
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    insert(buf, in)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

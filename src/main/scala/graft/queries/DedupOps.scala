@@ -202,6 +202,63 @@ object DedupOps {
         pairJaccard(sh, sh)
           .filter(col("jaccard") >= 0.8)
           .orderBy("d1", "d2")
+      }),
+
+    // Near-dup clustering: connected components over the >=0.8 Jaccard pair
+    // graph — the step that turns pairwise dups into keep/drop decisions.
+    // Implemented as iterative min-label propagation: each round every node
+    // adopts the smallest label among itself and its neighbors; rounds
+    // double the propagation radius, so convergence is O(log diameter)
+    // shuffles (dup clusters are tiny, so 2-3 rounds in practice). The
+    // DuckDB oracle states the same fixpoint with a recursive CTE.
+    QDef(
+      "x16_dedup_cluster",
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id d1, b.doc_id d2, count(*) o FROM sh a
+              |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT d1, d2 FROM inter
+              |  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+              |  WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.8),
+              |bidir AS (SELECT d1, d2 FROM edges UNION SELECT d2, d1 FROM edges),
+              |nodes AS (SELECT DISTINCT d1 AS doc FROM bidir),
+              |reach AS (
+              |  SELECT doc, doc AS label FROM nodes
+              |  UNION
+              |  SELECT b.d2 AS doc, r.label FROM reach r JOIN bidir b ON b.d1 = r.doc)
+              |SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+              |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val edges = pairJaccard(sh, sh)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("d1"), col("d2"))
+          .persist()
+        val bidir = edges.unionByName(
+            edges.select(col("d2").as("d1"), col("d1").as("d2")))
+          .persist()
+        var labels = bidir.select(col("d1").as("doc")).distinct()
+          .withColumn("label", col("doc"))
+          .persist()
+        var changed = 1L
+        while (changed > 0) {
+          // adopt the min label among self and neighbors
+          val next = bidir
+            .join(labels.withColumnRenamed("doc", "d1"), Seq("d1"))
+            .groupBy(col("d2").as("doc"))
+            .agg(min(col("label")).as("nlabel"))
+            .join(labels, Seq("doc"))
+            .select(col("doc"), least(col("label"), col("nlabel")).as("label"))
+            .persist()
+          changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc"))
+            .filter(col("label") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+        }
+        labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -349,6 +349,35 @@ object RelationalExt {
           .orderBy("event_type")
       }),
 
+    // Top-k per group via a typed Aggregator (graft.functions.TopKAggregator):
+    // identical result to the window formulation (w2), but the shuffle moves
+    // k values per partition instead of sorting whole partitions — the shape
+    // that wins when groups are huge. Same oracle as w2 cross-checks the two.
+    QDef(
+      "w4_topk_aggregator",
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) WHERE rn <= 3
+             |ORDER BY p_brand, rn""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val topk = new graft.functions.TopKAggregator(3).toColumn
+        t(s, dir, "part")
+          .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(topk.name("topk"))
+          .flatMap { case (brand, top) =>
+            top.zipWithIndex.map { case ((price, key), i) =>
+              (brand, key, price, i + 1)
+            }
+          }
+          .toDF("p_brand", "p_partkey", "p_retailprice", "rn")
+          .orderBy("p_brand", "rn")
+      }),
+
     // HLL sketch cardinality (approx_count_distinct): the constant-memory
     // alternative to a2 at 100 TB. Sketches merge associatively, so the agg
     // is map-side combinable with no distinct shuffle. No cross-engine
