@@ -156,6 +156,27 @@ object IceliteOps {
         tbl.toDF.orderBy("event_id")
       }),
 
+    // Partitioned table layout: honor the partition_by config the reference
+    // parses but never uses (`wr/src/configuration.py:31`). Hive-style dirs
+    // per event_type; the scan's partition filter prunes directories before
+    // any file IO (PartitionFilters in the plan, verified in IceliteSpec).
+    QDef(
+      "k8_ice_partitioned",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_type IN ('click', 'purchase')
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k8"))
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_p", ev.schema,
+          partitionBy = Seq("event_type"))
+        tbl.append(ev)
+        tbl.toDF
+          .filter(col("event_type").isin("click", "purchase"))
+          .orderBy("event_id")
+      }),
+
     // S1 via DataSource V2: spark.read.format("icelite") with projection +
     // filter pushdown reaching the source (SupportsPushDownRequiredColumns /
     // Filters — see graft.sources.v2.IceLiteSource) and snapshot pinning as

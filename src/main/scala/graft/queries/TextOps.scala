@@ -152,6 +152,39 @@ object TextOps {
           .orderBy(col("freq").desc, col("bigram"))
           .limit(100)),
 
+    // Quality filtering: the keep/drop decision a training pipeline makes
+    // from the x9 signals — thresholds on length, punctuation/digit ratios,
+    // stopword presence, and token shape. Pure row-local predicate.
+    QDef(
+      "x17_quality_filter",
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, lang,
+              |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+              |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+              |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+              |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |         tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
+              |  FROM documents)
+              |SELECT doc_id, lang, n_tokens FROM q
+              |WHERE n_tokens BETWEEN 5 AND 5000
+              |  AND punct_ratio <= 0.10 AND digit_ratio <= 0.20
+              |  AND stopword_ratio >= 0.01
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            size(tokens).as("n_tokens"),
+            (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / length(col("text"))).as("punct_ratio"),
+            (regexp_count(col("text"), lit("[0-9]")).cast("double") / length(col("text"))).as("digit_ratio"),
+            (countIn(stopwords).cast("double") / size(tokens)).as("stopword_ratio"))
+          .filter(col("n_tokens").between(5, 5000)
+            && col("punct_ratio") <= 0.10 && col("digit_ratio") <= 0.20
+            && col("stopword_ratio") >= 0.01)
+          .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The text
     // column stands in for an image/audio blob; the operator extracts byte
     // length and a sha-256 content id — the same shape a real decode/feature

@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
       s"query set must broadcast:\n$s")
   }
 
+  test("k8: partitioned table scan prunes by partition filter") {
+    val s = finalPlan(SparkEntry.queries("k8_ice_partitioned")(spark, sfDir))
+    assert(s.contains("PartitionFilters: [event_type") &&
+      s.contains("IN (click,purchase)"),
+      s"expected partition pruning on event_type:\n$s")
+  }
+
   test("s3 DSv2: no join operators in a pure scan query") {
     val s = finalPlan(SparkEntry.queries("s3_dsv2_scan")(spark, sfDir))
     assert(!s.contains("SortMergeJoin") && !s.contains("HashJoin"), s)
