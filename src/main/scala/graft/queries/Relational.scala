@@ -229,9 +229,9 @@ object Relational {
       "w1_window_running",
       Some("""SELECT event_id, user_id,
              |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-             |  CAST(SUM(CAST(value AS DECIMAL(22,8))) OVER (
+             |  CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS running_value
              |FROM events ORDER BY event_id""".stripMargin),
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -240,9 +240,11 @@ object Relational {
             col("event_id"),
             col("user_id"),
             row_number().over(w).as("rn"),
-            sum(col("value").cast(DecimalType(22, 8)))
+            // micro-unit quantization — see QUtil.dsum for why not a
+            // decimal cast
+            (sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("double").as("running_value"))
+              .cast("double") / lit(1000000.0)).as("running_value"))
           .orderBy("event_id")
       }),
 

@@ -342,10 +342,14 @@ object RelationalExt {
           .withColumn("salt", pmod(col("event_id"), lit(16)))
           .groupBy("event_type", "salt")
           .agg(count(lit(1)).as("pn"),
-            sum(col("value").cast(DecimalType(22, 8))).as("psum"))
+            // micro-unit quantization (see QUtil.dsum) keeps the two-phase
+            // sum exact and bit-identical to the single-phase oracle
+            sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+              .cast(DecimalType(38, 0))).as("psum"))
         partial
           .groupBy("event_type")
-          .agg(sum("pn").as("n"), sum("psum").cast(DoubleType).as("sum_value"))
+          .agg(sum("pn").as("n"),
+            (sum("psum").cast(DoubleType) / lit(1000000.0)).as("sum_value"))
           .orderBy("event_type")
       }),
 

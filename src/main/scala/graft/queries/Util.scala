@@ -33,23 +33,27 @@ object QUtil {
     *
     * Floating-point sums are order-sensitive, and Spark/DuckDB accumulate in
     * different orders — so a plain SUM(double) hash-mismatches the oracle.
-    * Casting every addend to a decimal first makes the reduction exact and
-    * associative; both engines then produce the identical value, and the final
-    * decimal->double conversion is deterministic (nearest double of the same
-    * exact decimal). The per-row double arithmetic *inside* the addend is
-    * IEEE-754, identical in both engines.
+    * Each addend is quantized to micro-units with `floor(x*1e6 + 0.5)`:
+    * pure IEEE-754 double ops that both engines compute bit-identically
+    * (unlike a double→DECIMAL cast, whose rounding path differs between
+    * engines — Spark rounds the exact decimal expansion, DuckDB scales in
+    * double space, and the 1-ulp per-row differences surface at sf>=0.1).
+    * The quantized values sum exactly in a decimal accumulator (no int64
+    * overflow at any scale factor), and the final decimal→double division
+    * is deterministic. Semantics: analytic sums at 1e-6 resolution.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(22, 8))).cast(DoubleType)
+  def dsum(c: Column): Column =
+    (sum(floor(c.cast(DoubleType) * lit(1000000.0) + lit(0.5))
+      .cast("long").cast(DecimalType(38, 0))).cast(DoubleType) / lit(1000000.0))
 
-  /** Exact average: exact decimal sum divided by count, in double. */
-  def davg(c: Column): Column =
-    sum(c.cast(DecimalType(22, 8))).cast(DoubleType) / count(lit(1))
+  /** Exact average: quantized exact sum divided by count, in double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** DuckDB-side spelling of [[dsum]]. */
+  /** DuckDB-side spelling of [[dsum]] (SUM(BIGINT) is exact HUGEINT there). */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(22,8))) AS DOUBLE)"
+    s"CAST(SUM(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
 
   /** DuckDB-side spelling of [[davg]]. */
   def davgSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(22,8))) AS DOUBLE) / COUNT(*)"
+    s"(${dsumSql(expr)}) / COUNT(*)"
 }
