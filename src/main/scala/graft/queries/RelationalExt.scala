@@ -382,6 +382,22 @@ object RelationalExt {
           .orderBy("p_brand", "rn")
       }),
 
+    // The spark.sql surface: same engine, SQL text in — register temp views,
+    // run a multi-table statement through the parser/analyzer path.
+    QDef(
+      "v1_sql_surface",
+      Some("""SELECT n_name, COUNT(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v1_customer")
+        t(s, dir, "nation").createOrReplaceTempView("v1_nation")
+        s.sql(
+          """SELECT n_name, COUNT(*) AS n_customers
+            |FROM v1_customer JOIN v1_nation ON c_nationkey = n_nationkey
+            |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      }),
+
     // HLL sketch cardinality (approx_count_distinct): the constant-memory
     // alternative to a2 at 100 TB. Sketches merge associatively, so the agg
     // is map-side combinable with no distinct shuffle. No cross-engine

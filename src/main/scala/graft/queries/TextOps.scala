@@ -185,6 +185,55 @@ object TextOps {
           .select("doc_id", "lang", "n_tokens")
           .orderBy("doc_id")),
 
+    // Stratified sampling: exactly 30 docs per language, selected by a
+    // deterministic hash ordering (md5 of doc_id) — reproducible "random"
+    // sampling with per-stratum quotas, the shape training-data mixes use.
+    // One window sort per stratum; at scale the rank is computed per
+    // partition-group, never globally.
+    QDef(
+      "x18_stratified_sample",
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 30 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            org.apache.spark.sql.functions.row_number().over(w).as("rn"))
+          .filter(col("rn") <= 30)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // TF-IDF building blocks with exact integer arithmetic: per-(doc, token)
+    // term frequency joined to global document frequency, for tokens in at
+    // least 100 docs. (The log-weighting step is left in exact counts so the
+    // cross-engine compare stays bit-perfect; any downstream scorer applies
+    // its own idf formula.) Two map-side-combinable aggregations + one
+    // broadcastable join on the df side.
+    QDef(
+      "x19_tfidf_counts",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+             |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+             |SELECT doc_id, tk AS token, tf, df FROM tf JOIN df USING (tk)
+             |WHERE df >= 100 ORDER BY doc_id, token""".stripMargin),
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("token")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 100)
+        tf.join(broadcast(df), Seq("token"))
+          .select("doc_id", "token", "tf", "df")
+          .orderBy("doc_id", "token")
+      }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The text
     // column stands in for an image/audio blob; the operator extracts byte
     // length and a sha-256 content id — the same shape a real decode/feature

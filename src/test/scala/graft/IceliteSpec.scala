@@ -154,4 +154,30 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.scan(snapshotId = Some(before.snapshotId)).count() == nation.count())
     assert(tbl.snapshots.size == 5)
   }
+
+  test("wide types round-trip through the table layer") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, BigDecimal("12345.6789"), Seq(1.5f, -2.5f), Map("a" -> 1L),
+        ("x", 42), java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+      (2L, BigDecimal("-0.0001"), Seq.empty[Float], Map.empty[String, Long],
+        ("y", -1), java.sql.Date.valueOf("1970-01-01"),
+        java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+    ).toDF("id", "dec", "arr", "m", "st", "d", "ts")
+    val cat = new IceCatalog(spark, scratch("widetypes"))
+    val tbl = cat.createTable("ns", "wide", df.schema)
+    tbl.append(df)
+    val back = tbl.toDF
+    // nullability relaxes through the DDL/parquet round trip (standard
+    // Spark behavior); names and types must survive exactly
+    def norm(s: org.apache.spark.sql.types.StructType) =
+      s.toDDL.replace(" NOT NULL", "")
+    assert(norm(back.schema) == norm(df.schema),
+      s"schema drift: ${back.schema.toDDL}")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // and a second append + upsert keeps working on the wide schema
+    tbl.upsert(df, keys = Seq("id"))
+    assert(tbl.toDF.count() == 2)
+  }
 }
