@@ -35,8 +35,10 @@ object ComponentMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try sys.exit(execute(spark, dataDir))
-    finally spark.stop()
+    // stop the session BEFORE exiting — sys.exit inside a try never runs
+    // the finally, leaving shutdown to hooks that may not flush cleanly
+    val code = try execute(spark, dataDir) finally spark.stop()
+    sys.exit(code)
   }
 
   /** Testable core: returns the process exit code instead of calling exit. */
@@ -56,8 +58,14 @@ object ComponentMain {
           emit(cat.listTables(ns).map(t => t -> t))
         case "list_snapshots" =>
           val s = sourceOf(cfg)
+          // explicit UTC formatting — java.sql.Timestamp.toString renders in
+          // the JVM default zone, which would make the output host-dependent
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss 'UTC'")
+            .withZone(java.time.ZoneOffset.UTC)
           emit(cat.loadTable(s.namespace, s.tableName).snapshots
-            .map(sn => s"${new java.sql.Timestamp(sn.timestampMs)}" -> sn.snapshotId.toString))
+            .map(sn => fmt.format(java.time.Instant.ofEpochMilli(sn.timestampMs))
+              -> sn.snapshotId.toString))
         case "list_columns" =>
           val s = sourceOf(cfg)
           emit(cat.loadTable(s.namespace, s.tableName).schema.fields.toSeq

@@ -46,7 +46,10 @@ class IceTable(
         throw new IllegalArgumentException(s"no snapshot $id in $namespace.$name"))
       case None => m.currentSnapshot.orNull
     }
-    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    // read pinned snapshots with their own schema: replace() may have
+    // changed the table schema since, and old files carry the old one
+    val tableSchema = StructType.fromDDL(
+      if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else m.schemaDdl)
     val base =
       if (snap == null || snap.dataDirs.isEmpty) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
@@ -103,7 +106,8 @@ class IceTable(
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = operation, dataDirs = dataDirs,
-      addedFiles = added._2, addedRows = added._3, totalRows = prevTotal + added._3)
+      addedFiles = added._2, addedRows = added._3, totalRows = prevTotal + added._3,
+      schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl))
     MetaIo.commit(fs, tableDir, m.copy(
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       currentSnapshotId = snapId,

@@ -23,11 +23,15 @@ import java.nio.charset.StandardCharsets
 final case class SnapshotMeta(
     snapshotId: Long,
     timestampMs: Long,
-    operation: String, // append | replace | upsert
+    operation: String, // append | replace | upsert | compact
     dataDirs: Seq[String],
     addedFiles: Seq[String],
     addedRows: Long,
-    totalRows: Long)
+    totalRows: Long,
+    // schema as of this snapshot — replace() may change it, and a
+    // time-traveling scan must read old files with their own schema.
+    // Empty on pre-upgrade metadata: readers fall back to the table schema.
+    schemaDdl: String = "")
 
 /** Table metadata document, stored as `metadata/v{version}.json`.
   *

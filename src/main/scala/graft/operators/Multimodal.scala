@@ -98,10 +98,15 @@ object Multimodal {
     val side = greatest(col("media.width"), col("media.height"))
     val scale = when(side <= 0, lit(1.0))
       .otherwise(least(lit(1.0), lit(maxSide) / side))
+    // the least() clamp matters: ceil(dim * (maxSide/side)) can overshoot
+    // maxSide by 1 when the scale ratio rounds up in double (e.g. 293 at
+    // maxSide=224 -> 224.00000000000003 -> ceil 225)
     df.withColumn("target_width",
-        ceil(col("media.width") * scale).cast(IntegerType))
+        least(ceil(col("media.width") * scale), lit(maxSide.toLong))
+          .cast(IntegerType))
       .withColumn("target_height",
-        ceil(col("media.height") * scale).cast(IntegerType))
+        least(ceil(col("media.height") * scale), lit(maxSide.toLong))
+          .cast(IntegerType))
   }
 
   /** frame-sample: every k-th frame index per video row, row-local. */

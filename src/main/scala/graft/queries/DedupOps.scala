@@ -257,6 +257,10 @@ object DedupOps {
           labels.unpersist()
           labels = next
         }
+        // the fixpoint labels are materialized (counted) — the join inputs
+        // can release their cached partitions now
+        edges.unpersist()
+        bidir.unpersist()
         labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")
       })

@@ -17,14 +17,8 @@ import QUtil._
   */
 object IceliteOps {
 
-  /** Scratch warehouse for one query run (wiped first — reruns idempotent). */
-  private def freshWarehouse(s: SparkSession, tag: String): String = {
-    val wh = s"/root/repo/target/qwh/$tag"
-    val p = new Path(wh)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    wh
-  }
+  private def freshWarehouse(s: SparkSession, tag: String): String =
+    QUtil.freshWarehouse(s, tag)
 
   private val orderCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")

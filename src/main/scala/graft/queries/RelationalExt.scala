@@ -382,6 +382,27 @@ object RelationalExt {
           .orderBy("p_brand", "rn")
       }),
 
+    // Regex function bundle: extract / global replace / match / count with
+    // cross-engine-identical semantics (Spark replaces globally by default;
+    // DuckDB needs the 'g' flag — pinned explicitly on the oracle side).
+    QDef(
+      "f4_regex_funcs",
+      Some("""SELECT o_orderkey,
+             |  regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2) AS prio_word,
+             |  regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS masked,
+             |  regexp_matches(o_orderpriority, '^[123]-') AS is_top3,
+             |  len(regexp_extract_all(o_orderpriority, '[A-Z]')) AS n_upper
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z]+)", 2).as("prio_word"),
+            regexp_replace(col("o_orderpriority"), "[0-9]+", "#").as("masked"),
+            col("o_orderpriority").rlike("^[123]-").as("is_top3"),
+            regexp_count(col("o_orderpriority"), lit("[A-Z]")).cast("long").as("n_upper"))
+          .orderBy("o_orderkey")),
+
     // The spark.sql surface: same engine, SQL text in — register temp views,
     // run a multi-table statement through the parser/analyzer path.
     QDef(

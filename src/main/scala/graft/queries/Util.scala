@@ -29,6 +29,15 @@ object QUtil {
     else df
   }
 
+  /** Scratch warehouse for one query run (wiped first — reruns idempotent). */
+  def freshWarehouse(s: SparkSession, tag: String): String = {
+    val wh = s"/root/repo/target/qwh/$tag"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    wh
+  }
+
   /** Exact (order-insensitive) sum of a double expression, returned as double.
     *
     * Floating-point sums are order-sensitive, and Spark/DuckDB accumulate in

@@ -60,8 +60,27 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     (MetaIo.read(fs, dir), fs)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType.fromDDL(loadMeta(options)._1.schemaDdl)
+  private def pinnedSnapshot(meta: graft.icelite.TableMeta,
+      options: CaseInsensitiveStringMap): graft.icelite.SnapshotMeta =
+    Option(options.get("snapshotId")) match {
+      case Some(id) => meta.snapshot(id.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot $id in ${meta.namespace}.${meta.name}"))
+      case None => meta.currentSnapshot.orNull
+    }
+
+  /** Schema of the table as of the pinned snapshot (replace() may have
+    * changed it since; old files carry the old schema).
+    */
+  private def schemaAt(meta: graft.icelite.TableMeta,
+      snap: graft.icelite.SnapshotMeta): StructType =
+    StructType.fromDDL(
+      if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else meta.schemaDdl)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val meta = loadMeta(options)._1
+    schemaAt(meta, pinnedSnapshot(meta, options))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -69,12 +88,7 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     val (meta, fs) = loadMeta(options)
     require(meta.partitionBy.isEmpty,
       "icelite DSv2 scan supports unpartitioned tables; use IceTable.scan for partitioned layouts")
-    val snap = Option(options.get("snapshotId")) match {
-      case Some(id) => meta.snapshot(id.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"no snapshot $id in ${meta.namespace}.${meta.name}"))
-      case None => meta.currentSnapshot.orNull
-    }
+    val snap = pinnedSnapshot(meta, options)
     val files: Seq[String] =
       if (snap == null) Nil
       else snap.dataDirs.flatMap { d =>
@@ -299,16 +313,22 @@ private[v2] object FilterEval {
     case LessThan(c, v) => colOk(c, v, schema)
     case LessThanOrEqual(c, v) => colOk(c, v, schema)
     case In(c, vs) => vs.nonEmpty && vs.forall(v => colOk(c, v, schema))
-    case IsNull(c) => schema.fieldNames.contains(c)
-    case IsNotNull(c) => schema.fieldNames.contains(c)
+    // null checks are only claimable on types value() can decode — Spark
+    // auto-generates IsNotNull for every referenced column, including
+    // date/timestamp ones this reader does not evaluate
+    case IsNull(c) => colTypeOk(c, schema)
+    case IsNotNull(c) => colTypeOk(c, schema)
     case And(l, r) => supports(l, schema) && supports(r, schema)
     case Or(l, r) => supports(l, schema) && supports(r, schema)
     case Not(ch) => supports(ch, schema)
     case _ => false
   }
 
+  private def colTypeOk(c: String, schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == c && comparable(f.dataType))
+
   private def colOk(c: String, v: Any, schema: StructType): Boolean =
-    schema.fields.exists(f => f.name == c && comparable(f.dataType)) &&
+    colTypeOk(c, schema) &&
       (v.isInstanceOf[Number] || v.isInstanceOf[String] || v.isInstanceOf[Boolean])
 
   def eval(f: Filter, schema: StructType, row: InternalRow): Boolean = {
@@ -322,13 +342,25 @@ private[v2] object FilterEval {
         case DoubleType => row.getDouble(i)
         case FloatType => row.getFloat(i)
         case BooleanType => row.getBoolean(i)
-        case StringType => row.getUTF8String(i).toString
+        case StringType => row.getUTF8String(i)
         case dt => throw new IllegalStateException(s"unexpected pushed type $dt")
       }
     }
+    def isIntegral(x: Any): Boolean = x match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => true
+      case _ => false
+    }
     def cmp(a: Any, b: Any): Int = (a, b) match {
+      // integral-integral compares exactly (a double detour loses precision
+      // above 2^53); anything involving a floating side compares as double
+      case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+        java.lang.Long.compare(x.longValue(), y.longValue())
       case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-      case (x: String, y: String) => x.compareTo(y)
+      // binary (UTF-8 byte) order — Spark's own string comparison semantics,
+      // which differs from java.lang.String UTF-16 order beyond the BMP
+      case (x: UTF8String, y: String) => x.binaryCompare(UTF8String.fromString(y))
+      case (x: UTF8String, y: UTF8String) => x.binaryCompare(y)
       case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
       case _ => throw new IllegalStateException(s"incomparable $a / $b")
     }

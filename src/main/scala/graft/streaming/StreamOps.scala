@@ -127,10 +127,14 @@ object StreamOps {
     // merges per-user gap sessions in state; window end = last event + gap.
     QDef(
       "st3_stream_session_window",
+      // NB: session_window merges events whose half-open [t, t+gap) ranges
+      // overlap, so two events exactly gap apart are SEPARATE sessions —
+      // the oracle breaks on >= gap (st2's state machine deliberately uses
+      // > gap and its oracle matches that instead)
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
              |g AS (
              |  SELECT user_id, event_id, us,
-             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 3600000000
              |         THEN 1 ELSE 0 END AS brk
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
              |s AS (
@@ -164,11 +168,7 @@ object StreamOps {
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        val wh = s"/root/repo/target/qwh/st4"
-        val p = new org.apache.hadoop.fs.Path(wh)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        val cat = new graft.icelite.IceCatalog(s, wh)
+        val cat = new graft.icelite.IceCatalog(s, QUtil.freshWarehouse(s, "st4"))
         val cols = Seq("event_id", "user_id", "event_type", "value")
         val ckpt = Files.createTempDirectory("graft-stream-st4").toString
         val q = eventStream(s, dir)

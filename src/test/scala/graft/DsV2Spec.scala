@@ -54,6 +54,47 @@ class DsV2Spec extends SparkSpec {
     assert(scanDesc.contains("limit=7"), s"limit not pushed: $scanDesc")
   }
 
+  test("filters on timestamp columns stay residual (not claimed) and still work") {
+    val (wh, df) = mkTable("tsfilter")
+    val cutoff = "2000-01-01 00:00:00"
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_t").load()
+      .filter(col("o_orderdate") < org.apache.spark.sql.functions.lit(cutoff).cast("timestamp"))
+      .select("o_orderkey")
+    val expected = df
+      .filter(col("o_orderdate") < org.apache.spark.sql.functions.lit(cutoff).cast("timestamp"))
+      .count()
+    assert(q.count() == expected)
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scanDesc.contains("pushedFilters=[LessThan(o_orderdate"),
+      s"timestamp filters must not be claimed by the source: $scanDesc")
+  }
+
+  test("time travel across a schema-changing replace reads each snapshot's own schema") {
+    val wh = warehouse("replace-tt")
+    val cat = new IceCatalog(spark, wh)
+    val v1 = graft.queries.QUtil.t(spark, sfDir, "region") // (r_regionkey, r_name)
+    val tbl = cat.createTable("lake", "r", v1.schema)
+    tbl.append(v1)
+    val snap1 = tbl.snapshots.head.snapshotId
+    import spark.implicits._
+    tbl.replace(Seq((1L, "x", 9.9)).toDF("id", "tag", "score")) // different schema
+    // pinned read: old schema, old rows
+    val pinned = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.r")
+      .option("snapshotId", snap1.toString).load()
+    assert(pinned.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(pinned.count() == v1.count())
+    // current read: new schema
+    val current = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.r").load()
+    assert(current.columns.toSeq == Seq("id", "tag", "score"))
+    assert(current.count() == 1)
+    // and the DataFrame-API scan agrees
+    assert(cat.loadTable("lake", "r").scan(snapshotId = Some(snap1))
+      .columns.toSeq == Seq("r_regionkey", "r_name"))
+  }
+
   test("snapshotId option time-travels") {
     val wh = warehouse("tt")
     val cat = new IceCatalog(spark, wh)
