@@ -403,6 +403,49 @@ object RelationalExt {
             regexp_count(col("o_orderpriority"), lit("[A-Z]")).cast("long").as("n_upper"))
           .orderBy("o_orderkey")),
 
+    // Bucketed co-located join: both fact tables written bucketed+sorted on
+    // the join key, so the join runs with ZERO shuffle exchanges (verified
+    // in PlanSpec) — the layout investment that pays off when a key is
+    // joined repeatedly at 100 TB. Buckets also pre-sort, so the SMJ skips
+    // its sort.
+    QDef(
+      "b1_bucketed_join",
+      Some(s"""SELECT o_orderkey, o_totalprice,
+              |  ${dsumSql("l_extendedprice")} AS lineitem_total, COUNT(*) AS n_items
+              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |GROUP BY o_orderkey, o_totalprice
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        Seq("b1_orders", "b1_lineitem").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          // a crashed earlier run can leave the managed location behind
+          // with no catalog entry — remove it or CTAS refuses to create
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        t(s, dir, "orders")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("b1_orders")
+        t(s, dir, "lineitem")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("b1_lineitem")
+        // hint("merge") pins the sort-merge strategy: at fixture scale the
+        // planner would broadcast the small side, which hides the property
+        // under test — two bucketed facts joining with zero exchanges (at
+        // 100 TB neither side is broadcastable and SMJ is the natural pick)
+        s.table("b1_lineitem")
+          .join(s.table("b1_orders").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_totalprice")
+          .agg(dsum(col("l_extendedprice")).as("lineitem_total"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderkey")
+      }),
+
     // The spark.sql surface: same engine, SQL text in — register temp views,
     // run a multi-table statement through the parser/analyzer path.
     QDef(

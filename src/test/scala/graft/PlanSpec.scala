@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
       s"expected partition pruning on event_type:\n$s")
   }
 
+  test("b1: bucketed join runs with zero shuffle exchanges before the join") {
+    val s = finalPlan(SparkEntry.queries("b1_bucketed_join")(spark, sfDir))
+    val joinIdx = s.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join over bucketed tables:\n$s")
+    // everything below the join reads bucketed scans directly: the only
+    // exchange allowed in the whole plan is the final orderBy's range
+    // partitioning (and AQE may add none before the join)
+    val beforeAgg = s.substring(joinIdx)
+    assert(!beforeAgg.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs:\n$s")
+  }
+
   test("s3 DSv2: no join operators in a pure scan query") {
     val s = finalPlan(SparkEntry.queries("s3_dsv2_scan")(spark, sfDir))
     assert(!s.contains("SortMergeJoin") && !s.contains("HashJoin"), s)
