@@ -194,6 +194,25 @@ object IceliteOps {
           .orderBy("l_orderkey", "l_linenumber")
       }),
 
+    // The SQL-catalog surface (graft.sources.v2.IceLiteCatalog): address
+    // IceLite tables as <catalog>.<ns>.<table> in plain SQL; reads flow
+    // through the same pushdown-capable DSv2 scan as format("icelite").
+    QDef(
+      "v2_sql_catalog",
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations FROM nation
+             |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "v2cat")
+        s.conf.set("spark.sql.catalog.icelite_q", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_q.warehouse", wh)
+        val n = t(s, dir, "nation")
+        new IceCatalog(s, wh).createTable("lake", "nation_t", n.schema).append(n)
+        s.sql(
+          """SELECT n_regionkey, COUNT(*) AS n_nations
+            |FROM icelite_q.lake.nation_t
+            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      }),
+
     // S2 + K1: quoted CSV sink -> manifest-declared-schema CSV source
     // round trip (FORCE_QUOTE * / header / declared dtypes).
     QDef(

@@ -53,16 +53,41 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     val ident = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException("icelite: missing option 'table' (ns.tbl)"))
     val Array(ns, tbl) = ident.split("\\.", 2)
+    IceLiteV2.loadMeta(warehouse, ns, tbl)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val meta = loadMeta(options)._1
+    IceLiteV2.schemaAt(meta, IceLiteV2.pinnedSnapshot(meta, Option(options.get("snapshotId"))))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (meta, fs) = loadMeta(options)
+    IceLiteV2.buildTable(meta, fs, Option(options.get("snapshotId")), Some(schema))
+  }
+}
+
+/** Shared table-construction logic for the [[IceLiteSource]] format path and
+  * the [[IceLiteCatalog]] SQL-catalog path.
+  */
+private[v2] object IceLiteV2 {
+
+  def loadMeta(warehouse: String, ns: String, tbl: String)
+      : (graft.icelite.TableMeta, org.apache.hadoop.fs.FileSystem) = {
     val dir = new Path(new Path(warehouse, ns), tbl)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
-    require(MetaIo.exists(fs, dir), s"icelite: no table at $dir")
+    if (!MetaIo.exists(fs, dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(ns, tbl))
     (MetaIo.read(fs, dir), fs)
   }
 
-  private def pinnedSnapshot(meta: graft.icelite.TableMeta,
-      options: CaseInsensitiveStringMap): graft.icelite.SnapshotMeta =
-    Option(options.get("snapshotId")) match {
+  def pinnedSnapshot(meta: graft.icelite.TableMeta,
+      snapshotId: Option[String]): graft.icelite.SnapshotMeta =
+    snapshotId match {
       case Some(id) => meta.snapshot(id.toLong).getOrElse(
         throw new IllegalArgumentException(
           s"no snapshot $id in ${meta.namespace}.${meta.name}"))
@@ -72,23 +97,16 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
   /** Schema of the table as of the pinned snapshot (replace() may have
     * changed it since; old files carry the old schema).
     */
-  private def schemaAt(meta: graft.icelite.TableMeta,
+  def schemaAt(meta: graft.icelite.TableMeta,
       snap: graft.icelite.SnapshotMeta): StructType =
     StructType.fromDDL(
       if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else meta.schemaDdl)
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val meta = loadMeta(options)._1
-    schemaAt(meta, pinnedSnapshot(meta, options))
-  }
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val options = new CaseInsensitiveStringMap(properties)
-    val (meta, fs) = loadMeta(options)
+  def buildTable(meta: graft.icelite.TableMeta, fs: org.apache.hadoop.fs.FileSystem,
+      snapshotId: Option[String], schema: Option[StructType] = None): IceLiteTable = {
     require(meta.partitionBy.isEmpty,
       "icelite DSv2 scan supports unpartitioned tables; use IceTable.scan for partitioned layouts")
-    val snap = pinnedSnapshot(meta, options)
+    val snap = pinnedSnapshot(meta, snapshotId)
     val files: Seq[String] =
       if (snap == null) Nil
       else snap.dataDirs.flatMap { d =>
@@ -98,7 +116,8 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
           .filter(_.getName.endsWith(".parquet"))
           .map(_.toString).toSeq
       }.sorted
-    new IceLiteTable(s"${meta.namespace}.${meta.name}", schema, files)
+    new IceLiteTable(s"${meta.namespace}.${meta.name}",
+      schema.getOrElse(schemaAt(meta, snap)), files)
   }
 }
 

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.icelite.IceCatalog
+
+/** SQL catalog plugin: icelite.<ns>.<table> addressing in spark.sql. */
+class CatalogSpec extends SparkSpec {
+
+  private def configure(tag: String): String = {
+    val wh = scratch(s"sqlcat-$tag")
+    spark.conf.set(s"spark.sql.catalog.icecat_$tag", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set(s"spark.sql.catalog.icecat_$tag.warehouse", wh)
+    wh
+  }
+
+  test("SELECT over a table created through the API") {
+    val wh = configure("read")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    cat.createTable("lake", "nation_t", n.schema).append(n)
+    val viaSql = spark.sql(
+      "SELECT n_name FROM icecat_read.lake.nation_t WHERE n_nationkey < 5 ORDER BY n_name")
+    assert(viaSql.collect().map(_.getString(0)).toSeq ==
+      n.filter(col("n_nationkey") < 5).orderBy("n_name")
+        .collect().map(_.getString(1)).toSeq)
+  }
+
+  test("SHOW NAMESPACES / SHOW TABLES / CREATE TABLE / DROP TABLE via SQL") {
+    val wh = configure("ddl")
+    val cat = new IceCatalog(spark, wh)
+    spark.sql("CREATE NAMESPACE icecat_ddl.lake")
+    spark.sql("CREATE TABLE icecat_ddl.lake.t1 (id BIGINT, name STRING)")
+    assert(cat.tableExists("lake", "t1"))
+    assert(spark.sql("SHOW TABLES IN icecat_ddl.lake")
+      .collect().map(_.getString(1)).toSeq == Seq("t1"))
+    assert(spark.sql("SHOW NAMESPACES IN icecat_ddl")
+      .collect().map(_.getString(0)).toSeq == Seq("lake"))
+    // empty table reads with declared schema
+    assert(spark.table("icecat_ddl.lake.t1").count() == 0)
+    assert(spark.table("icecat_ddl.lake.t1").columns.toSeq == Seq("id", "name"))
+    spark.sql("DROP TABLE icecat_ddl.lake.t1")
+    assert(!cat.tableExists("lake", "t1"))
+  }
+
+  test("filters push down through the SQL path too") {
+    val wh = configure("push")
+    val cat = new IceCatalog(spark, wh)
+    val o = graft.queries.QUtil.t(spark, sfDir, "orders")
+    cat.createTable("lake", "orders_t", o.schema).append(o)
+    val q = spark.sql(
+      "SELECT o_orderkey FROM icecat_push.lake.orders_t WHERE o_orderstatus = 'F'")
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("EqualTo(o_orderstatus,F)"), s"filter not pushed: $scanDesc")
+    assert(q.count() == o.filter(col("o_orderstatus") === "F").count())
+  }
+}
