@@ -19,11 +19,12 @@ import graft.icelite.IceCatalog
   * `DROP TABLE`.
   *
   * Reads go through the same pushdown-capable scan as
-  * `spark.read.format("icelite")` ([[IceLiteV2.buildTable]]). DDL delegates
-  * to [[graft.icelite.IceCatalog]], which maps the reference's catalog
-  * surface (D1-D7). Writes via SQL INSERT are not wired (use
-  * `IceTable.append/replace/upsert` — the component's write modes); the
-  * capability set says so explicitly.
+  * `spark.read.format("icelite")` ([[IceLiteV2.buildTable]]); `INSERT INTO`
+  * / `df.writeTo(...).append()` run the distributed two-phase append in
+  * [[IceLiteWriteBuilder]] (staging dir + driver-side snapshot commit). DDL
+  * delegates to [[graft.icelite.IceCatalog]], which maps the reference's
+  * catalog surface (D1-D7). Upsert/replace stay on the table API — the
+  * component's write modes.
   */
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -57,7 +58,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
-    IceLiteV2.buildTable(meta, fs, snapshotId = None)
+    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

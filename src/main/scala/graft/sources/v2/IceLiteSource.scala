@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -65,7 +65,9 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (meta, fs) = loadMeta(options)
-    IceLiteV2.buildTable(meta, fs, Option(options.get("snapshotId")), Some(schema))
+    val warehouse = Option(options.get("warehouse")).get
+    IceLiteV2.buildTable(warehouse, meta, fs,
+      Option(options.get("snapshotId")), Some(schema))
   }
 }
 
@@ -102,7 +104,8 @@ private[v2] object IceLiteV2 {
     StructType.fromDDL(
       if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else meta.schemaDdl)
 
-  def buildTable(meta: graft.icelite.TableMeta, fs: org.apache.hadoop.fs.FileSystem,
+  def buildTable(warehouse: String, meta: graft.icelite.TableMeta,
+      fs: org.apache.hadoop.fs.FileSystem,
       snapshotId: Option[String], schema: Option[StructType] = None): IceLiteTable = {
     require(meta.partitionBy.isEmpty,
       "icelite DSv2 scan supports unpartitioned tables; use IceTable.scan for partitioned layouts")
@@ -116,22 +119,27 @@ private[v2] object IceLiteV2 {
           .filter(_.getName.endsWith(".parquet"))
           .map(_.toString).toSeq
       }.sorted
-    new IceLiteTable(s"${meta.namespace}.${meta.name}",
+    new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), files)
   }
 }
 
 private[v2] class IceLiteTable(
-    tableName: String, tableSchema: StructType, files: Seq[String])
-    extends Table with SupportsRead {
+    warehouse: String, ns: String, tbl: String,
+    tableSchema: StructType, files: Seq[String])
+    extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = tableName
+  override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IceLiteScanBuilder(tableName, tableSchema, files)
+    new IceLiteScanBuilder(name(), tableSchema, files)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IceLiteWriteBuilder(warehouse, ns, tbl, info)
 }
 
 private[v2] class IceLiteScanBuilder(

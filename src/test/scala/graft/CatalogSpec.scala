@@ -42,6 +42,44 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.tableExists("lake", "t1"))
   }
 
+  test("INSERT INTO and writeTo(...).append() commit snapshots") {
+    val wh = configure("write")
+    val cat = new IceCatalog(spark, wh)
+    spark.sql("CREATE TABLE icecat_write.lake.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO icecat_write.lake.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table("icecat_write.lake.t").count() == 2)
+    // second write = second snapshot; both still readable
+    import spark.implicits._
+    Seq((3L, "c")).toDF("id", "name").writeTo("icecat_write.lake.t").append()
+    val tbl = cat.loadTable("lake", "t")
+    assert(tbl.snapshots.map(_.operation) == Seq("append", "append"))
+    assert(tbl.snapshots.last.totalRows == 3)
+    assert(spark.sql("SELECT id FROM icecat_write.lake.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // time travel still sees only the first write
+    val snap1 = tbl.snapshots.head.snapshotId
+    assert(tbl.scan(snapshotId = Some(snap1)).count() == 2)
+    // distributed write: many partitions -> many files, one snapshot
+    spark.range(100).select(col("id"), col("id").cast("string").as("name"))
+      .repartition(8).writeTo("icecat_write.lake.t").append()
+    val after = cat.loadTable("lake", "t")
+    assert(after.snapshots.size == 3)
+    assert(after.snapshots.last.addedFiles.size == 8)
+    assert(spark.table("icecat_write.lake.t").count() == 103)
+  }
+
+  test("write with mismatched schema fails cleanly, leaving no snapshot") {
+    val wh = configure("badwrite")
+    val cat = new IceCatalog(spark, wh)
+    spark.sql("CREATE TABLE icecat_badwrite.lake.t (id BIGINT, name STRING)")
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((1L, 2.0)).toDF("id", "wrong").writeTo("icecat_badwrite.lake.t").append()
+    }
+    assert(cat.loadTable("lake", "t").snapshots.isEmpty)
+    assert(spark.table("icecat_badwrite.lake.t").count() == 0)
+  }
+
   test("filters push down through the SQL path too") {
     val wh = configure("push")
     val cat = new IceCatalog(spark, wh)
