@@ -1,0 +1,232 @@
+package graft.icelite
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level predicate pruning over [[FileStat]] manifests and hive-style
+  * partition values.
+  *
+  * `canMatch(f, …)` answers: could ANY row of this file evaluate `f` to
+  * TRUE? `false` means the file is provably irrelevant and is dropped from
+  * `planInputPartitions` — predicate pushdown as an IO-planning win, not
+  * just a decode win. The reference inherits the same behavior from
+  * PyIceberg's scan planning over manifest stats
+  * (`components/ex-iceberg/src/component.py:36-40`).
+  *
+  * Soundness rules (conservative in every branch):
+  *  - absent stats = unknown = keep the file;
+  *  - partition values are exact, so partition-only predicates evaluate in
+  *    proper three-valued logic (NULL keeps SQL semantics: a row survives a
+  *    WHERE only when it is TRUE, so Some(false) AND None both prune);
+  *  - data-column ranges only ever prove non-overlap (nulls never satisfy a
+  *    comparison, so range disjointness is proof);
+  *  - NaN float stats are treated as unknown (parquet NaN ordering is
+  *    undefined).
+  */
+object FilePrune {
+
+  /** Could any row of the file satisfy `f`?
+    *
+    * @param partValues exact values for hive-partition columns of this file
+    *                   (name -> decoded external value, null for the hive
+    *                   default partition); columns absent from the map are
+    *                   treated as data columns.
+    */
+  def canMatch(f: Filter, schema: StructType, stat: FileStat,
+      partValues: Map[String, Any] = Map.empty): Boolean = f match {
+    case And(l, r) =>
+      canMatch(l, schema, stat, partValues) && canMatch(r, schema, stat, partValues)
+    case Or(l, r) =>
+      canMatch(l, schema, stat, partValues) || canMatch(r, schema, stat, partValues)
+    case Not(ch) => canBeFalse(ch, schema, stat, partValues)
+    case EqualTo(c, v) => colCanEqual(c, v, schema, stat, partValues)
+    case EqualNullSafe(c, null) => colCanBeNull(c, stat, partValues)
+    case EqualNullSafe(c, v) => colCanEqual(c, v, schema, stat, partValues)
+    case In(c, vs) =>
+      vs == null || vs.isEmpty ||
+        vs.exists(v => v != null && colCanEqual(c, v, schema, stat, partValues))
+    case GreaterThan(c, v) => colCanCompare(c, v, schema, stat, partValues)(_ > 0)
+    case GreaterThanOrEqual(c, v) => colCanCompare(c, v, schema, stat, partValues)(_ >= 0)
+    case LessThan(c, v) => colCanCompare(c, v, schema, stat, partValues)(_ < 0)
+    case LessThanOrEqual(c, v) => colCanCompare(c, v, schema, stat, partValues)(_ <= 0)
+    case IsNull(c) => colCanBeNull(c, stat, partValues)
+    case IsNotNull(c) => colCanBeNonNull(c, stat, partValues)
+    case StringStartsWith(c, prefix) if prefix != null =>
+      partValues.get(c) match {
+        case Some(null) => false
+        case Some(v) => v.toString.startsWith(prefix)
+        case None => rangeMayContainPrefix(c, prefix, stat)
+      }
+    case _ => true // unknown shape: never prune
+  }
+
+  /** Could any row of the file make `f` evaluate to FALSE? (needed under
+    * Not: NOT f is TRUE exactly where f is FALSE — NULL stays NULL).
+    */
+  private def canBeFalse(f: Filter, schema: StructType, stat: FileStat,
+      partValues: Map[String, Any]): Boolean = f match {
+    case And(l, r) =>
+      canBeFalse(l, schema, stat, partValues) || canBeFalse(r, schema, stat, partValues)
+    case Or(l, r) =>
+      canBeFalse(l, schema, stat, partValues) && canBeFalse(r, schema, stat, partValues)
+    case Not(ch) => canMatch(ch, schema, stat, partValues)
+    case EqualTo(c, v) =>
+      partValues.get(c) match {
+        case Some(null) => false // NULL, not FALSE
+        case Some(pv) => cmpExternal(schema, c, pv, v).forall(_ != 0)
+        case None =>
+          // FALSE requires a non-null row value != v: impossible only when
+          // the whole file is the constant v with no nulls
+          !(statRange(schema, c, stat).exists { case (lo, hi) =>
+            cmpDom(lo, hi) == 0 &&
+              norm(schema(c).dataType, v).exists(nv => cmpDom(lo, nv) == 0)
+          } && stat.nullCount(c).contains(0L))
+      }
+    case IsNull(c) => colCanBeNonNull(c, stat, partValues)
+    case IsNotNull(c) => colCanBeNull(c, stat, partValues)
+    case _ => true // conservative: assume some row could falsify
+  }
+
+  // -- column-level primitives -------------------------------------------------
+
+  private def colCanEqual(c: String, v: Any, schema: StructType, stat: FileStat,
+      partValues: Map[String, Any]): Boolean =
+    if (v == null) false // EqualTo(NULL) is never TRUE
+    else partValues.get(c) match {
+      case Some(null) => false
+      case Some(pv) => cmpExternal(schema, c, pv, v).forall(_ == 0)
+      case None =>
+        statRange(schema, c, stat) match {
+          case Some((lo, hi)) =>
+            norm(schema(c).dataType, v) match {
+              case Some(nv) => cmpDom(lo, nv) <= 0 && cmpDom(nv, hi) <= 0
+              case None => true
+            }
+          case None => true
+        }
+    }
+
+  private def colCanCompare(c: String, v: Any, schema: StructType, stat: FileStat,
+      partValues: Map[String, Any])(ok: Int => Boolean): Boolean =
+    if (v == null) false
+    else partValues.get(c) match {
+      case Some(null) => false
+      case Some(pv) => cmpExternal(schema, c, pv, v).forall(ok)
+      case None =>
+        statRange(schema, c, stat) match {
+          case Some((lo, hi)) =>
+            norm(schema(c).dataType, v) match {
+              case Some(nv) =>
+                // some x in [lo, hi] with ok(cmp(x, nv)): the extremes decide
+                ok(cmpDom(lo, nv)) || ok(cmpDom(hi, nv))
+              case None => true
+            }
+          case None => true
+        }
+    }
+
+  private def colCanBeNull(c: String, stat: FileStat,
+      partValues: Map[String, Any]): Boolean =
+    partValues.get(c) match {
+      case Some(pv) => pv == null
+      case None => stat.nullCount(c).forall(_ > 0L)
+    }
+
+  private def colCanBeNonNull(c: String, stat: FileStat,
+      partValues: Map[String, Any]): Boolean =
+    partValues.get(c) match {
+      case Some(pv) => pv != null
+      case None => stat.rows < 0 || stat.nullCount(c).forall(_ < stat.rows)
+    }
+
+  private def rangeMayContainPrefix(c: String, prefix: String, stat: FileStat): Boolean =
+    (stat.min.get(c), stat.max.get(c)) match {
+      case (Some(lo), Some(hi)) =>
+        val p = UTF8String.fromString(prefix)
+        // values starting with p sort in [p, nextAfter(p)); overlap test
+        val hiOk = UTF8String.fromString(hi).binaryCompare(p) >= 0
+        val loOk = UTF8String.fromString(lo).binaryCompare(p) <= 0 || lo.startsWith(prefix)
+        hiOk && loOk
+      case _ => true
+    }
+
+  // -- typed comparison plumbing ----------------------------------------------
+
+  /** Parsed (min, max) from stats in the column's comparison domain — Long
+    * (integral/date/timestamp), Double (float/double), UTF8 bytes (string),
+    * Boolean — or None when stats are absent/unusable.
+    */
+  private def statRange(schema: StructType, c: String, stat: FileStat)
+      : Option[(Any, Any)] =
+    for {
+      loS <- stat.min.get(c)
+      hiS <- stat.max.get(c)
+      if schema.fieldNames.contains(c)
+      lo <- parseStat(schema(c).dataType, loS)
+      hi <- parseStat(schema(c).dataType, hiS)
+    } yield (lo, hi)
+
+  private def parseStat(dt: DataType, s: String): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => s.toLongOption
+    case FloatType | DoubleType => s.toDoubleOption.filterNot(_.isNaN)
+    case StringType => Some(s)
+    case BooleanType => s.toBooleanOption
+    case _ => None
+  }
+
+  /** Normalize a filter/partition value into the column's domain. */
+  private def norm(dt: DataType, v: Any): Option[Any] = Option(v).flatMap { x =>
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        x match { case n: Number => Some(n.longValue); case _ => None }
+      case DateType => x match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      case TimestampType | TimestampNTZType => x match {
+        case t: java.sql.Timestamp =>
+          Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case l: java.time.LocalDateTime =>
+          val i = l.toInstant(java.time.ZoneOffset.UTC)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      case FloatType | DoubleType => x match {
+        case n: Number => Some(n.doubleValue).filterNot(_.isNaN)
+        case _ => None
+      }
+      case StringType => Some(x.toString)
+      case BooleanType =>
+        x match { case b: java.lang.Boolean => Some(b.booleanValue); case _ => None }
+      case _ => None
+    }
+  }
+
+  /** Compare two already-normalized domain values. */
+  private def cmpDom(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y))
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalStateException(s"incomparable domain values $a / $b")
+  }
+
+  /** Compare a partition value against a filter value; None when either side
+    * fails to normalize (then the caller must stay conservative).
+    */
+  private def cmpExternal(schema: StructType, c: String, pv: Any, v: Any): Option[Int] =
+    if (!schema.fieldNames.contains(c)) None
+    else {
+      val dt = schema(c).dataType
+      for { a <- norm(dt, pv); b <- norm(dt, v) } yield cmpDom(a, b)
+    }
+}

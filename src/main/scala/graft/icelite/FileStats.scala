@@ -1,0 +1,141 @@
+package graft.icelite
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+
+/** Extracts [[FileStat]] manifest entries from parquet footers.
+  *
+  * One footer read per data file, done once at commit time (the write path
+  * already has the file open or just closed it), so scans never have to
+  * touch data-file footers during planning — the stats travel in the
+  * snapshot metadata, the same economics as Iceberg's manifests. The
+  * reference gets the equivalent stats for free from PyIceberg's
+  * `add_files`/append write path (`wr/src/component.py:101-110`).
+  *
+  * Encoding: numeric stats as `Long`/`Double` decimal strings (floats are
+  * widened to double exactly before printing, so boundary comparisons never
+  * lose a bit), dates as epoch-day integers, timestamps as micros, strings
+  * raw. INT96 timestamps carry no usable order — skipped. Columns with no
+  * usable stats are simply absent from the maps; planners must treat absent
+  * as unknown (never skip).
+  */
+object FileStats {
+
+  /** Min/max/null stats for one file, aggregated across its row groups. */
+  def fromFooter(footer: ParquetMetadata, path: String, bytes: Long): FileStat = {
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    var mins = Map.empty[String, String]
+    var maxs = Map.empty[String, String]
+    var nulls = Map.empty[String, String]
+
+    val schema = footer.getFileMetaData.getSchema
+    val topLevel = schema.getFields.asScala.collect {
+      case f if f.isPrimitive => f.asPrimitiveType()
+    }
+    topLevel.foreach { pt =>
+      val name = pt.getName
+      val chunks = blocks.flatMap(_.getColumns.asScala.find { c =>
+        c.getPath.size == 1 && c.getPath.toDotString == name
+      })
+      if (chunks.nonEmpty) {
+        val stats = chunks.map(_.getStatistics)
+        // null counts: valid only if every row group reports one
+        if (stats.forall(s => s != null && s.isNumNullsSet && s.getNumNulls >= 0))
+          nulls += name -> stats.map(_.getNumNulls).sum.toString
+        val withValues = stats.filter(s => s != null && s.hasNonNullValue)
+        // min/max usable only when every non-empty chunk has values and the
+        // whole file is covered (a chunk without stats could hide anything)
+        if (withValues.length == chunks.length && withValues.nonEmpty) {
+          encodeMinMax(pt, withValues.map(_.genericGetMin.asInstanceOf[AnyRef]),
+              withValues.map(_.genericGetMax.asInstanceOf[AnyRef])).foreach { case (lo, hi) =>
+            mins += name -> lo
+            maxs += name -> hi
+          }
+        }
+      }
+    }
+    FileStat(path, rows, bytes, mins, maxs, nulls)
+  }
+
+  def fromFooter(conf: Configuration, path: String): FileStat = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try fromFooter(in.getFooter, path, len)
+    finally in.close()
+  }
+
+  /** Footer-scan a batch of files on a small driver-side pool. At cluster
+    * scale this becomes a distributed job over the file list; the per-file
+    * logic is identical.
+    */
+  def collect(conf: Configuration, paths: Seq[String]): Seq[FileStat] = {
+    if (paths.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, paths.length))
+    try {
+      val futs = paths.map(p => pool.submit(
+        new java.util.concurrent.Callable[FileStat] {
+          override def call(): FileStat = fromFooter(conf, p)
+        }))
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** Reduce per-row-group min/max values to one encoded (min, max) pair, or
+    * None when the physical type has no exploitable order (INT96 etc.).
+    */
+  private def encodeMinMax(pt: PrimitiveType, mins: Seq[AnyRef],
+      maxs: Seq[AnyRef]): Option[(String, String)] = {
+    import PrimitiveType.PrimitiveTypeName._
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        val lo = mins.map(v => v.asInstanceOf[Number].longValue).min
+        val hi = maxs.map(v => v.asInstanceOf[Number].longValue).max
+        Some((lo.toString, hi.toString))
+      case FLOAT =>
+        // widen exactly: Float.toString reparsed as double drifts off the
+        // true value; float->double widening is lossless
+        val lo = mins.map(v => v.asInstanceOf[java.lang.Float].floatValue.toDouble).min
+        val hi = maxs.map(v => v.asInstanceOf[java.lang.Float].floatValue.toDouble).max
+        Some((lo.toString, hi.toString))
+      case DOUBLE =>
+        val lo = mins.map(v => v.asInstanceOf[java.lang.Double].doubleValue).min
+        val hi = maxs.map(v => v.asInstanceOf[java.lang.Double].doubleValue).max
+        Some((lo.toString, hi.toString))
+      case BOOLEAN =>
+        val lo = mins.map(v => v.asInstanceOf[java.lang.Boolean].booleanValue).min
+        val hi = maxs.map(v => v.asInstanceOf[java.lang.Boolean].booleanValue).max
+        Some((lo.toString, hi.toString))
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        // byte-lexicographic order == Spark's UTF8String binary order
+        implicit val ord: Ordering[Binary] =
+          (a: Binary, b: Binary) => compareBytes(a.getBytes, b.getBytes)
+        val lo = mins.map(_.asInstanceOf[Binary]).min
+        val hi = maxs.map(_.asInstanceOf[Binary]).max
+        Some((lo.toStringUsingUTF8, hi.toStringUsingUTF8))
+      case _ => None
+    }
+  }
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+}

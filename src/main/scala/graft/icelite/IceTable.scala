@@ -2,7 +2,8 @@ package graft.icelite
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+import org.apache.spark.sql.sources.{And => SAnd, Filter => SFilter, GreaterThanOrEqual => SGte, IsNull => SIsNull, LessThanOrEqual => SLte, Or => SOr}
 import org.apache.spark.sql.types.StructType
 
 /** A versioned Parquet table: snapshot-pinned scans with projection/limit
@@ -16,11 +17,14 @@ import org.apache.spark.sql.types.StructType
   * projection / limit pushdown, vectorized reads, and AQE all apply — the
   * scan-level pushdowns the reference wires by hand arrive via the optimizer.
   *
-  * Scale notes: data is addressed per snapshot *directory* (not per file), so
-  * planning cost is O(snapshots), and each write is a normal distributed
-  * Spark parquet job. Optional `partitionBy` (honoring the config key the
-  * reference parses but never uses, `wr/src/configuration.py:31`) lays data
-  * out hive-style for partition pruning.
+  * Scale notes: every snapshot carries a complete [[FileStat]] manifest, so
+  * scans plan from committed file lists (never directory listings — orphaned
+  * output from failed or speculative tasks is invisible by construction) and
+  * upserts are file-granular copy-on-write: only files whose key-range stats
+  * intersect the source are rewritten; a 1-row upsert against 100 TB touches
+  * one file, not the table. Optional `partitionBy` (honoring the config key
+  * the reference parses but never uses, `wr/src/configuration.py:31`) lays
+  * data out hive-style for partition pruning.
   */
 class IceTable(
     spark: SparkSession,
@@ -34,6 +38,27 @@ class IceTable(
   def meta: TableMeta = MetaIo.read(fs, tableDir)
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
   def snapshots: Seq[SnapshotMeta] = meta.snapshots
+
+  /** Directory strings in metadata may be scheme-less while manifest file
+    * paths are filesystem-qualified (`file:/…`); qualify before comparing.
+    */
+  private def qualify(dir: String): String =
+    fs.makeQualified(new Path(dir)).toString
+
+  /** The complete data-file manifest of a snapshot. Pre-upgrade metadata
+    * (no inline manifest) degrades to a directory listing with unknown
+    * stats (`rows = -1`), which downstream planners treat as unprunable.
+    */
+  private[icelite] def visibleFiles(snap: SnapshotMeta): Seq[FileStat] =
+    if (snap.files.nonEmpty || snap.dataDirs.isEmpty) snap.files
+    else snap.dataDirs.flatMap { d =>
+      val it = fs.listFiles(new Path(d), true)
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next())
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
+        .toSeq
+    }.sortBy(_.path)
 
   // -- read path --------------------------------------------------------------
 
@@ -50,21 +75,32 @@ class IceTable(
     // changed the table schema since, and old files carry the old one
     val tableSchema = StructType.fromDDL(
       if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else m.schemaDdl)
+    val files = if (snap == null) Nil else visibleFiles(snap)
     val base =
-      if (snap == null || snap.dataDirs.isEmpty) {
+      if (files.isEmpty) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
       } else if (m.partitionBy.nonEmpty) {
-        // partitioned layout: partition values live in directory names, so
-        // read per-directory with basePath and let Spark reconstruct them
-        snap.dataDirs
-          .map(d => spark.read.option("basePath", d).parquet(d)
-            .select(tableSchema.fieldNames.map(col): _*))
+        // partitioned layout: partition values live in directory names.
+        // Read per snapshot-dir with basePath and the full *declared*
+        // schema, so partition values are cast to their declared types
+        // (never inferred — inference could drift per directory).
+        files.groupBy(f => snap.dataDirs.map(qualify)
+            .find(d => f.path.startsWith(d + "/"))
+            .getOrElse(new Path(f.path).getParent.toString))
+          .toSeq.sortBy(_._1)
+          .map { case (dir, fsInDir) =>
+            spark.read.schema(tableSchema).option("basePath", dir)
+              .parquet(fsInDir.map(_.path): _*)
+              .select(tableSchema.fieldNames.map(col): _*)
+          }
           .reduce(_ unionByName _)
       } else {
-        spark.read.schema(tableSchema).parquet(snap.dataDirs: _*)
+        spark.read.schema(tableSchema).parquet(files.map(_.path): _*)
       }
     val projected = if (columns.nonEmpty) base.select(columns.map(col): _*) else base
-    limit.map(n => projected.limit(n.toInt)).getOrElse(projected)
+    // a limit beyond Int.MaxValue cannot wrap negative — it is simply no cap
+    limit.filter(_ <= Int.MaxValue).map(n => projected.limit(n.toInt))
+      .getOrElse(projected)
   }
 
   def toDF: DataFrame = scan()
@@ -83,31 +119,37 @@ class IceTable(
     df.select(tableSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
-  /** Write df into a fresh snapshot directory; returns (dir, files, rows). */
-  private def writeData(df: DataFrame, snapId: Long, partitionBy: Seq[String]): (String, Seq[String], Long) = {
+  /** Write df into a fresh snapshot directory; returns (dir, file manifest).
+    * The footer scan that builds the manifest is one read per written file,
+    * at commit time — the same economics as an Iceberg manifest write.
+    */
+  private def writeData(df: DataFrame, snapId: Long, partitionBy: Seq[String])
+      : (String, Seq[FileStat]) = {
     val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir.toString)
     val it = fs.listFiles(dataDir, true)
-    val files = Iterator.continually(it).takeWhile(_.hasNext)
+    val paths = Iterator.continually(it).takeWhile(_.hasNext)
       .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
-    // count() over freshly written parquet resolves from footer metadata only
-    val rows = spark.read.parquet(dataDir.toString).count()
-    (dataDir.toString, files, rows)
+    val stats = FileStats.collect(spark.sparkContext.hadoopConfiguration, paths)
+    (dataDir.toString, stats.sortBy(_.path))
   }
 
   private def commitSnapshot(operation: String, dataDirs: Seq[String],
-      added: (String, Seq[String], Long), prevTotal: Long,
+      added: Seq[FileStat], carried: Seq[FileStat],
       newSchemaDdl: Option[String] = None): IceTable = {
     val m = meta
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val addedRows = added.map(_.rows).sum
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = operation, dataDirs = dataDirs,
-      addedFiles = added._2, addedRows = added._3, totalRows = prevTotal + added._3,
-      schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl))
+      addedFiles = added.map(_.path), addedRows = addedRows,
+      totalRows = carried.map(_.rows).sum + addedRows,
+      schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
+      files = (carried ++ added).sortBy(_.path))
     MetaIo.commit(fs, tableDir, m.copy(
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       currentSnapshotId = snapId,
@@ -121,18 +163,19 @@ class IceTable(
     val m = meta
     val conformed = conform(df, StructType.fromDDL(m.schemaDdl))
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val added = writeData(conformed, snapId, m.partitionBy)
-    val prevDirs = m.currentSnapshot.map(_.dataDirs).getOrElse(Nil)
-    commitSnapshot("append", prevDirs :+ added._1, added,
-      m.currentSnapshot.map(_.totalRows).getOrElse(0L))
+    val (dir, added) = writeData(conformed, snapId, m.partitionBy)
+    val prev = m.currentSnapshot
+    commitSnapshot("append",
+      prev.map(_.dataDirs).getOrElse(Nil) :+ dir, added,
+      carried = prev.map(visibleFiles).getOrElse(Nil))
   }
 
   /** Full rewrite with the incoming schema (K6 CTAS semantics, `wr:115-124`). */
   def replace(df: DataFrame): IceTable = {
     val m = meta
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val added = writeData(df, snapId, m.partitionBy)
-    commitSnapshot("replace", Seq(added._1), added, 0L,
+    val (dir, added) = writeData(df, snapId, m.partitionBy)
+    commitSnapshot("replace", Seq(dir), added, carried = Nil,
       newSchemaDdl = Some(df.schema.toDDL))
   }
 
@@ -141,8 +184,14 @@ class IceTable(
     * the maintenance half of an Iceberg-style table's lifecycle). Pure
     * rewrite: same rows, new snapshot with operation "compact"; older
     * snapshots keep pointing at the original immutable directories, so time
-    * travel is unaffected. The data move is one distributed coalesce-write;
-    * planning stays O(files).
+    * travel is unaffected.
+    *
+    * The read stage runs at full parallelism (one task per input split) and
+    * a round-robin shuffle funnels into exactly `targetFiles` write tasks —
+    * unlike a `coalesce`, which would propagate down and collapse the read
+    * stage itself to `targetFiles` tasks. The extra exchange is one pass
+    * over data that is being fully rewritten anyway; at cluster scale this
+    * runs per table-partition so the shuffle stays partition-local.
     */
   def compact(targetFiles: Int = 1): IceTable = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
@@ -150,18 +199,23 @@ class IceTable(
     val current = m.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"nothing to compact in $namespace.$name"))
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val df = toDF.coalesce(targetFiles)
-    val added = writeData(df, snapId, m.partitionBy)
-    require(added._3 == current.totalRows,
-      s"compaction row-count drift: ${added._3} != ${current.totalRows}")
-    commitSnapshot("compact", Seq(added._1), added, 0L)
+    val df = toDF.repartition(targetFiles)
+    val (dir, added) = writeData(df, snapId, m.partitionBy)
+    require(added.map(_.rows).sum == current.totalRows,
+      s"compaction row-count drift: ${added.map(_.rows).sum} != ${current.totalRows}")
+    commitSnapshot("compact", Seq(dir), added, carried = Nil)
   }
 
   /** Primary-key upsert (K5, `wr:107-108`): matched target rows take the
     * source's values, unmatched source rows are inserted, unmatched target
-    * rows survive. Null-safe key equality. Physically a full rewrite into a
-    * new snapshot — the Spark plan is one anti-join + union, which Catalyst
-    * executes as broadcast or shuffle join depending on source size.
+    * rows survive. Null-safe key equality.
+    *
+    * Physically file-granular copy-on-write: one small aggregation computes
+    * the source's per-key-column [min, max] (+ null presence), the manifest
+    * stats prove which target files cannot contain a matching key, and only
+    * the intersecting files are rewritten (anti-join + union). Every other
+    * file is carried into the new snapshot untouched. Files without stats
+    * are conservatively rewritten.
     */
   def upsert(df: DataFrame, keys: Seq[String]): IceTable = {
     require(keys.nonEmpty,
@@ -169,11 +223,86 @@ class IceTable(
     val m = meta
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     val src = conform(df, tableSchema)
-    val tgt = toDF
+    val current = m.currentSnapshot
+    val files = current.map(visibleFiles).getOrElse(Nil)
+    val legacy = files.exists(_.rows < 0)
+
+    // one tiny driver-side job: per-key min/max + null presence of the source
+    val keyBounds: SFilter = {
+      val aggs = keys.flatMap(k => Seq(
+        min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
+        count(when(col(k).isNull, lit(1))).as(s"__nulls_$k")))
+      val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keys.map { k =>
+        val lo = r.getAs[Any](s"__min_$k")
+        val hi = r.getAs[Any](s"__max_$k")
+        val hasNull = r.getAs[Long](s"__nulls_$k") > 0
+        val range: SFilter =
+          if (lo == null) SIsNull(k) // all-null source key column
+          else SAnd(SGte(k, lo), SLte(k, hi))
+        if (hasNull && lo != null) SOr(range, SIsNull(k)) else range
+      }.reduce(SAnd(_, _): SFilter)
+    }
+
+    val (candidates, untouched) =
+      if (legacy || files.isEmpty) (files, Nil)
+      else files.partition(f => FilePrune.canMatch(keyBounds, tableSchema, f))
+
+    val tgt =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+      else if (m.partitionBy.nonEmpty) scanFilesPartitioned(m, tableSchema, candidates)
+      else spark.read.schema(tableSchema).parquet(candidates.map(_.path): _*)
     val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val merged = tgt.join(src, cond, "left_anti").unionByName(src)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val added = writeData(merged, snapId, m.partitionBy)
-    commitSnapshot("upsert", Seq(added._1), added, 0L)
+    val (dir, added) = writeData(merged, snapId, m.partitionBy)
+    val untouchedDirs = current.map(_.dataDirs).getOrElse(Nil)
+      .filter(d => untouched.exists(_.path.startsWith(qualify(d) + "/")))
+    commitSnapshot("upsert", untouchedDirs :+ dir, added, carried = untouched)
+  }
+
+  /** Read an explicit file subset of a hive-partitioned layout, recovering
+    * partition values from directory names with declared (not inferred)
+    * types.
+    */
+  private def scanFilesPartitioned(m: TableMeta, tableSchema: StructType,
+      files: Seq[FileStat]): DataFrame = {
+    val dirs = m.currentSnapshot.map(_.dataDirs).getOrElse(Nil).map(qualify)
+    files.groupBy(f => dirs.find(d => f.path.startsWith(d + "/"))
+        .getOrElse(new Path(f.path).getParent.toString))
+      .toSeq.sortBy(_._1)
+      .map { case (dir, fsInDir) =>
+        spark.read.schema(tableSchema).option("basePath", dir)
+          .parquet(fsInDir.map(_.path): _*)
+          .select(tableSchema.fieldNames.map(col): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Snapshot expiry (the Iceberg `expire_snapshots` maintenance op): keep
+    * the most recent `keepLast` snapshots, drop the rest from the metadata
+    * log, and physically delete data directories referenced only by dropped
+    * snapshots. Time travel to an expired id fails loudly; current reads are
+    * unaffected. Because copy-on-write snapshots list every carried file's
+    * directory in `dataDirs`, a directory is safe to delete exactly when no
+    * kept snapshot lists it.
+    */
+  def expireSnapshots(keepLast: Int): IceTable = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val m = meta
+    val sorted = m.snapshots.sortBy(_.snapshotId)
+    val keep = sorted.takeRight(keepLast)
+    if (m.currentSnapshotId != 0L)
+      require(keep.exists(_.snapshotId == m.currentSnapshotId),
+        s"expiry would drop the current snapshot of $namespace.$name")
+    val dropped = sorted.dropRight(keepLast)
+    if (dropped.isEmpty) return this
+    val keepDirs = keep.flatMap(_.dataDirs).toSet
+    (dropped.flatMap(_.dataDirs).toSet -- keepDirs).toSeq.sorted
+      .foreach(d => fs.delete(new Path(d), true))
+    MetaIo.commit(fs, tableDir, m.copy(
+      snapshots = keep, version = m.version + 1))
+    this
   }
 }

@@ -5,6 +5,32 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets
 
+/** Per-data-file manifest entry: row count, byte size, and per-column
+  * min / max / null-count statistics for top-level primitive columns.
+  *
+  * The inline analog of an Iceberg manifest-file entry (the reference's
+  * PyIceberg tables carry the same stats per `DataFile`): these stats are
+  * what make file-granular planning possible — scan-time file skipping from
+  * pushed predicates and copy-on-write upserts that rewrite only files whose
+  * key range intersects the source. Values are stored as strings keyed by
+  * column name and re-parsed against the declared schema when compared, so
+  * the metadata JSON stays engine-portable. At 100 TB these entries would
+  * live in separate manifest files rather than inline JSON; the planning
+  * logic is unchanged.
+  */
+final case class FileStat(
+    path: String,
+    rows: Long,
+    bytes: Long,
+    min: Map[String, String] = Map.empty,
+    max: Map[String, String] = Map.empty,
+    // null counts as decimal strings: Jackson round-trips Map[String, Long]
+    // values as Integer when they fit, which explodes on Scala unboxing
+    nulls: Map[String, String] = Map.empty) {
+
+  def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
+}
+
 /** One immutable table version.
   *
   * Mirrors the role of an Iceberg snapshot as used by the reference
@@ -31,7 +57,13 @@ final case class SnapshotMeta(
     // schema as of this snapshot — replace() may change it, and a
     // time-traveling scan must read old files with their own schema.
     // Empty on pre-upgrade metadata: readers fall back to the table schema.
-    schemaDdl: String = "")
+    schemaDdl: String = "",
+    // complete manifest of data files visible at this snapshot (not just the
+    // added ones) with their column stats. Scans plan from this list — never
+    // from directory listings — so a failed/speculative task's orphaned
+    // output in a data dir is invisible by construction. Empty only on
+    // pre-upgrade metadata: readers then fall back to listing dataDirs.
+    files: Seq[FileStat] = Nil)
 
 /** Table metadata document, stored as `metadata/v{version}.json`.
   *

@@ -416,23 +416,27 @@ object RelationalExt {
               |GROUP BY o_orderkey, o_totalprice
               |ORDER BY o_orderkey""".stripMargin),
       (s, dir) => {
-        Seq("b1_orders", "b1_lineitem").foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          // a crashed earlier run can leave the managed location behind
-          // with no catalog entry — remove it or CTAS refuses to create
-          val loc = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), tbl)
-          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
+        // bucketed-table build is fixture, not the operator under test (the
+        // zero-shuffle join is) — memoized per sfDir, see QUtil.cachedFixture
+        QUtil.cachedFixture(s, "b1", dir) { _ =>
+          Seq("b1_orders", "b1_lineitem").foreach { tbl =>
+            s.sql(s"DROP TABLE IF EXISTS $tbl")
+            // a crashed earlier run can leave the managed location behind
+            // with no catalog entry — remove it or CTAS refuses to create
+            val loc = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), tbl)
+            val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(loc)) fs.delete(loc, true)
+          }
+          t(s, dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("b1_orders")
+          t(s, dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("b1_lineitem")
         }
-        t(s, dir, "orders")
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("b1_orders")
-        t(s, dir, "lineitem")
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("b1_lineitem")
         // hint("merge") pins the sort-merge strategy: at fixture scale the
         // planner would broadcast the small side, which hides the property
         // under test — two bucketed facts joining with zero exchanges (at

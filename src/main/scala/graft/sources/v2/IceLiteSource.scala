@@ -1,26 +1,26 @@
 package graft.sources.v2
 
 import java.util
+import java.util.OptionalLong
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
-import graft.icelite.MetaIo
+import graft.icelite.{FilePrune, FileStat, MetaIo}
 
 /** DataSource V2 surface for IceLite tables: `spark.read.format("icelite")
   * .option("warehouse", wh).option("table", "ns.tbl").load()`, with optional
@@ -31,17 +31,21 @@ import graft.icelite.MetaIo
   * (`components/ex-iceberg/src/component.py:36-40`): the three manual knobs
   * become DSv2 pushdowns — `SupportsPushDownRequiredColumns` (projection
   * reaches the parquet page level via a requested reader schema),
-  * `SupportsPushDownFilters` (row filters evaluated at the source), and
-  * `SupportsPushDownLimit` (readers stop early). SURVEY §7 step 6.
+  * `SupportsPushDownFilters` (predicates prune files from the plan via
+  * manifest stats and partition values), and `SupportsPushDownLimit`
+  * (readers stop early). SURVEY §7 step 6.
   *
-  * Scale: one input partition per parquet data file, so parallelism tracks
-  * the file count exactly as a native file source's would; planning is
-  * O(snapshot file list), driver-side metadata only.
+  * Execution: each task hands its file to Spark's own vectorized parquet
+  * reader and returns `ColumnarBatch`es (`supportColumnarReads`), so decode
+  * is columnar and the plan above stays inside whole-stage codegen — the
+  * same decode path a native `spark.read.parquet` gets, with snapshot/file
+  * planning kept custom. Pushed filters stay *residual* (Spark re-evaluates
+  * them above the scan with proper three-valued logic); the source uses them
+  * only to skip whole files, which is always sound.
   *
-  * Scope notes (documented limits of the slice): unpartitioned tables only
-  * (the DataFrame-API `IceTable.scan` covers hive-partitioned layouts), and
-  * the type surface is IceLite's own writer output — primitives, string,
-  * date, timestamp (INT64 micros or legacy INT96).
+  * Scale: one input partition per parquet data file; planning is
+  * O(snapshot manifest), driver-side metadata only — no directory listings,
+  * no footer reads (stats ride in the manifest).
   */
 class IceLiteSource extends TableProvider with DataSourceRegister {
 
@@ -107,26 +111,30 @@ private[v2] object IceLiteV2 {
   def buildTable(warehouse: String, meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem,
       snapshotId: Option[String], schema: Option[StructType] = None): IceLiteTable = {
-    require(meta.partitionBy.isEmpty,
-      "icelite DSv2 scan supports unpartitioned tables; use IceTable.scan for partitioned layouts")
     val snap = pinnedSnapshot(meta, snapshotId)
-    val files: Seq[String] =
+    // plan strictly from the committed manifest — never from directory
+    // listings, which could surface uncommitted output of failed or
+    // speculative write tasks. Legacy snapshots (no inline manifest) fall
+    // back to a listing with unknown stats.
+    val files: Seq[FileStat] =
       if (snap == null) Nil
+      else if (snap.files.nonEmpty) snap.files
       else snap.dataDirs.flatMap { d =>
         val it = fs.listFiles(new Path(d), true)
         Iterator.continually(it).takeWhile(_.hasNext)
-          .map(_.next().getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(_.toString).toSeq
-      }.sorted
+          .map(_.next())
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
+          .toSeq
+      }.sortBy(_.path)
     new IceLiteTable(warehouse, meta.namespace, meta.name,
-      schema.getOrElse(schemaAt(meta, snap)), files)
+      schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files)
   }
 }
 
 private[v2] class IceLiteTable(
     warehouse: String, ns: String, tbl: String,
-    tableSchema: StructType, files: Seq[String])
+    tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat])
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$ns.$tbl"
@@ -135,7 +143,7 @@ private[v2] class IceLiteTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IceLiteScanBuilder(name(), tableSchema, files)
+    new IceLiteScanBuilder(name(), tableSchema, partitionBy, files)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -143,7 +151,8 @@ private[v2] class IceLiteTable(
 }
 
 private[v2] class IceLiteScanBuilder(
-    tableName: String, tableSchema: StructType, files: Seq[String])
+    tableName: String, tableSchema: StructType, partitionBy: Seq[String],
+    files: Seq[FileStat])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -158,252 +167,255 @@ private[v2] class IceLiteScanBuilder(
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
+  /** Every filter stays residual: Spark re-evaluates above the scan with
+    * full three-valued NULL semantics, so no filter shape can ever change
+    * results. The source keeps a copy purely for file-level pruning
+    * (manifest stats + exact partition values), where [[FilePrune]] is
+    * conservative by construction.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, residual) = filters.partition(FilterEval.supports(_, tableSchema))
-    pushed = ok
-    residual // Spark re-applies these above the scan
+    pushed = filters
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pushLimit(n: Int): Boolean = { limit = n; false /* partial: per-partition */ }
 
   override def build(): Scan =
-    new IceLiteScan(tableName, tableSchema, required, files, pushed, limit)
+    new IceLiteScan(tableName, tableSchema, partitionBy, required, files, pushed, limit)
 }
 
 private[v2] class IceLiteScan(
-    tableName: String, tableSchema: StructType, required: StructType,
-    files: Seq[String], filters: Array[Filter], limit: Int) extends Scan with Batch {
+    tableName: String, tableSchema: StructType, partitionBy: Seq[String],
+    required: StructType, files: Seq[FileStat], filters: Array[Filter],
+    limit: Int) extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  // the columnar batch is laid out data-columns-then-partition-columns
+  // (initBatch appends partition vectors at the end), so readSchema must
+  // present the same order
+  private val partSchema = StructType(
+    tableSchema.fields.filter(f =>
+      partitionBy.contains(f.name) && required.fieldNames.contains(f.name)))
+  private val dataSchema = StructType(
+    required.fields.filterNot(f => partitionBy.contains(f.name)))
+
+  override def readSchema(): StructType = StructType(dataSchema ++ partSchema)
   override def toBatch: Batch = this
+
+  /** Files that survive manifest-stat + partition-value pruning, with the
+    * raw partition values parsed from their paths.
+    */
+  private lazy val planned: Seq[(FileStat, Map[String, Option[String]])] =
+    files.flatMap { f =>
+      val raw = PartValues.parse(f.path, partitionBy)
+      val pv = PartValues.decodeExternal(tableSchema, partitionBy, raw)
+      if (filters.forall(FilePrune.canMatch(_, tableSchema, f, pv)))
+        Some((f, raw))
+      else None
+    }
+
   override def description(): String =
-    s"icelite $tableName files=${files.size} " +
-      s"readSchema=${required.fieldNames.mkString(",")} " +
+    s"icelite $tableName files=${files.size} planned=${planned.size} " +
+      s"readSchema=${readSchema().fieldNames.mkString(",")} " +
       s"pushedFilters=[${filters.mkString(", ")}] limit=$limit"
 
-  /** Columns the readers must decode: the required output plus any column a
-    * pushed filter references (Spark prunes fully-pushed filter columns out
-    * of the required schema, but the source still has to evaluate them).
-    */
-  private def readerSchema: StructType = {
-    val filterCols = filters.flatMap(_.references).toSet
-    StructType(tableSchema.fields.filter(f =>
-      required.fieldNames.contains(f.name) || filterCols.contains(f.name)))
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.map { case (f, raw) =>
+      IceLiteInputPartition(f.path, f.bytes, raw): InputPartition
+    }.toArray
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(planned.map(_._1.bytes).sum)
+    override def numRows(): OptionalLong =
+      if (planned.exists(_._1.rows < 0)) OptionalLong.empty()
+      else OptionalLong.of(planned.map(_._1.rows).sum)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => IceLiteInputPartition(f): InputPartition).toArray
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new IceLiteReaderFactory(readerSchema, required.fieldNames, filters, limit)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val c = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    // the vectorized reader's schema converter and read support expect these
+    // session-level SQL confs to be present in the task-side Hadoop conf
+    // (Spark's native scan injects them the same way; they carry no
+    // defaults at that layer)
+    Seq(
+      "spark.sql.parquet.binaryAsString" -> "false",
+      "spark.sql.parquet.int96AsTimestamp" -> "true",
+      "spark.sql.caseSensitive" -> "false",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false",
+      "spark.sql.parquet.fieldId.read.enabled" -> "false",
+      "spark.sql.session.timeZone" -> java.util.TimeZone.getDefault.getID
+    ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
+    new IceLiteReaderFactory(
+      new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit)
+  }
 }
 
-private[v2] case class IceLiteInputPartition(file: String) extends InputPartition
+private[v2] case class IceLiteInputPartition(
+    file: String, length: Long, partValues: Map[String, Option[String]])
+    extends InputPartition
 
 private[v2] class IceLiteReaderFactory(
-    readerSchema: StructType, outputCols: Array[String],
-    filters: Array[Filter], limit: Int)
+    conf: SerializableConfiguration, dataSchemaJson: String,
+    partSchemaJson: String, limit: Int)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[IceLiteInputPartition].file
-    new IceLitefileReader(file, readerSchema, outputCols, filters, limit)
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException(
+      "icelite scan is columnar; Spark must call createColumnarReader")
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[IceLiteInputPartition]
+    new IceLiteColumnarReader(
+      p.file, p.length, p.partValues, conf,
+      DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
+      DataType.fromJson(partSchemaJson).asInstanceOf[StructType], limit)
   }
 }
 
-/** Reads one parquet data file through the public parquet-mr Group API with
-  * a projected requested schema (true column pruning: unrequested columns'
-  * pages are never decoded), applying pushed filters row-wise and stopping
-  * at the pushed (per-partition) limit.
+/** Columnar reader for one parquet data file: delegates decode to Spark's
+  * own [[VectorizedParquetRecordReader]] (the exact engine behind native
+  * `spark.read.parquet`), with the requested column set injected via the
+  * standard parquet-mr read-support contract. Partition columns are
+  * materialized as constant vectors by `initBatch`. Emits whole
+  * `ColumnarBatch`es — the downstream plan stays in whole-stage codegen.
   */
-private[v2] class IceLitefileReader(
-    file: String, readerSchema: StructType, outputCols: Array[String],
-    filters: Array[Filter], limit: Int)
-    extends PartitionReader[InternalRow] {
+private[v2] class IceLiteColumnarReader(
+    file: String, length: Long, rawPartValues: Map[String, Option[String]],
+    conf: SerializableConfiguration, dataSchema: StructType,
+    partSchema: StructType, limit: Int)
+    extends PartitionReader[ColumnarBatch] {
 
-  private val conf = new Configuration()
-
-  private val reader: ParquetReader[Group] = {
-    // a zero-column scan (e.g. count(*)) still has to iterate rows: decode
-    // the narrowest thing available — the first file column — and emit
-    // empty rows
-    val path = new Path(file)
-    val footer = org.apache.parquet.hadoop.ParquetFileReader
-      .readFooter(conf, path, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-    val fileSchema = footer.getFileMetaData.getSchema
-    val names: Seq[String] =
-      if (readerSchema.nonEmpty) readerSchema.fieldNames.toSeq
-      else Seq(fileSchema.getFields.get(0).getName)
-    val fieldList: Seq[org.apache.parquet.schema.Type] =
-      names.map(n => fileSchema.getType(Seq(n): _*))
-    val requested = new org.apache.parquet.schema.MessageType(
-      fileSchema.getName, fieldList.asJava)
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
-    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+  private val reader: VectorizedParquetRecordReader = {
+    val c = new org.apache.hadoop.conf.Configuration(conf.value)
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", dataSchema.json)
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    // Spark's reader base downcasts to the mapred flavor of FileSplit (which
+    // extends the mapreduce one), so that is the class to hand it
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(file), 0, length, Array.empty[String])
+    r.initialize(split, new TaskAttemptContextImpl(c, new TaskAttemptID()))
+    r.initBatch(partSchema, PartValues.internalRow(partSchema, rawPartValues))
+    r.enableReturningBatches()
+    r
   }
 
-  private val outputIdx: Array[Int] = outputCols.map(readerSchema.fieldIndex)
-  private var row: InternalRow = _
-  private var emitted = 0
+  private var batch: ColumnarBatch = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    var g = reader.read()
-    while (g != null) {
-      if (readerSchema.isEmpty) {
-        row = new GenericInternalRow(0)
-        emitted += 1
-        return true
-      }
-      val candidate = convert(g)
-      if (filters.forall(FilterEval.eval(_, readerSchema, candidate))) {
-        row = project(candidate)
-        emitted += 1
-        return true
-      }
-      g = reader.read()
-    }
-    false
+    if (!reader.nextKeyValue()) return false
+    batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+    // over-delivery within the last batch is fine: pushLimit returned
+    // `false` (partial), so Spark re-applies the exact limit above
+    emitted += batch.numRows()
+    true
   }
 
-  override def get(): InternalRow = row
+  override def get(): ColumnarBatch = batch
   override def close(): Unit = reader.close()
-
-  private def project(r: InternalRow): InternalRow =
-    if (outputIdx.length == readerSchema.length &&
-        outputIdx.zipWithIndex.forall { case (a, b) => a == b }) r
-    else {
-      val out = new GenericInternalRow(outputIdx.length)
-      var i = 0
-      while (i < outputIdx.length) {
-        val v = r.get(outputIdx(i), readerSchema.fields(outputIdx(i)).dataType)
-        out.update(i, v)
-        i += 1
-      }
-      out
-    }
-
-  private def convert(g: Group): InternalRow = {
-    val required = readerSchema
-    val out = new GenericInternalRow(required.length)
-    var i = 0
-    while (i < required.length) {
-      if (g.getFieldRepetitionCount(i) == 0) out.setNullAt(i)
-      else required.fields(i).dataType match {
-        case LongType => out.setLong(i, g.getLong(i, 0))
-        case IntegerType => out.setInt(i, g.getInteger(i, 0))
-        case DoubleType => out.setDouble(i, g.getDouble(i, 0))
-        case FloatType => out.setFloat(i, g.getFloat(i, 0))
-        case BooleanType => out.setBoolean(i, g.getBoolean(i, 0))
-        case StringType => out.update(i, UTF8String.fromString(g.getString(i, 0)))
-        case DateType => out.setInt(i, g.getInteger(i, 0))
-        case TimestampType | TimestampNTZType =>
-          val prim = g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName
-          if (prim == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
-            out.setLong(i, int96ToMicros(g.getInt96(i, 0)))
-          else out.setLong(i, g.getLong(i, 0))
-        case dt => throw new UnsupportedOperationException(
-          s"icelite DSv2 reader: unsupported type $dt for ${required.fields(i).name}")
-      }
-      i += 1
-    }
-    out
-  }
-
-  /** Legacy INT96 timestamp: 8 bytes nanos-of-day LE + 4 bytes julian day LE. */
-  private def int96ToMicros(b: org.apache.parquet.io.api.Binary): Long = {
-    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val nanosOfDay = buf.getLong
-    val julianDay = buf.getInt
-    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-  }
 }
 
-/** Evaluates Spark source filters against converted rows. Only the filter
-  * shapes and column types listed in [[supports]] are claimed at pushdown
-  * time; everything else stays in the Spark plan above the scan.
+/** Hive-style partition-value plumbing: parse `col=value` path segments,
+  * unescape, and decode to typed values (catalyst-internal for the batch
+  * vectors; the same representations — boxed numbers / strings — serve
+  * [[FilePrune]]'s external comparisons).
   */
-private[v2] object FilterEval {
+private[v2] object PartValues {
 
-  import org.apache.spark.sql.sources._
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  private def comparable(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | FloatType | BooleanType | StringType => true
-    case _ => false
+  /** Raw (still-string) partition values keyed by column name; None encodes
+    * the hive null partition. Data-file paths never contain '=' outside
+    * partition segments (snapshot dirs are `snap-NNNNN`, files `part-*`).
+    */
+  def parse(path: String, partitionBy: Seq[String]): Map[String, Option[String]] = {
+    if (partitionBy.isEmpty) return Map.empty
+    val byName = path.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(seg.substring(0, i) -> unescape(seg.substring(i + 1)))
+    }.toMap
+    partitionBy.flatMap(c => byName.get(c)
+      .map(v => c -> (if (v == HiveDefaultPartition) None else Some(v)))).toMap
   }
 
-  def supports(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(c, v) => colOk(c, v, schema)
-    case GreaterThan(c, v) => colOk(c, v, schema)
-    case GreaterThanOrEqual(c, v) => colOk(c, v, schema)
-    case LessThan(c, v) => colOk(c, v, schema)
-    case LessThanOrEqual(c, v) => colOk(c, v, schema)
-    case In(c, vs) => vs.nonEmpty && vs.forall(v => colOk(c, v, schema))
-    // null checks are only claimable on types value() can decode — Spark
-    // auto-generates IsNotNull for every referenced column, including
-    // date/timestamp ones this reader does not evaluate
-    case IsNull(c) => colTypeOk(c, schema)
-    case IsNotNull(c) => colTypeOk(c, schema)
-    case And(l, r) => supports(l, schema) && supports(r, schema)
-    case Or(l, r) => supports(l, schema) && supports(r, schema)
-    case Not(ch) => supports(ch, schema)
-    case _ => false
-  }
-
-  private def colTypeOk(c: String, schema: StructType): Boolean =
-    schema.fields.exists(f => f.name == c && comparable(f.dataType))
-
-  private def colOk(c: String, v: Any, schema: StructType): Boolean =
-    colTypeOk(c, schema) &&
-      (v.isInstanceOf[Number] || v.isInstanceOf[String] || v.isInstanceOf[Boolean])
-
-  def eval(f: Filter, schema: StructType, row: InternalRow): Boolean = {
-    import org.apache.spark.sql.sources._
-    def value(c: String): Any = {
-      val i = schema.fieldIndex(c)
-      if (row.isNullAt(i)) null
-      else schema.fields(i).dataType match {
-        case LongType => row.getLong(i)
-        case IntegerType => row.getInt(i)
-        case DoubleType => row.getDouble(i)
-        case FloatType => row.getFloat(i)
-        case BooleanType => row.getBoolean(i)
-        case StringType => row.getUTF8String(i)
-        case dt => throw new IllegalStateException(s"unexpected pushed type $dt")
+  /** Spark escapes special chars in partition dirs as %xx (one escape per
+    * byte of the UTF-8 encoding).
+    */
+  private def unescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      val hex = if (ch == '%' && i + 2 < s.length) {
+        try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+      } else -1
+      if (hex >= 0) { out.write(hex); i += 3 }
+      else {
+        val bytes = ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.write(bytes, 0, bytes.length)
+        i += 1
       }
     }
-    def isIntegral(x: Any): Boolean = x match {
-      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-           _: java.lang.Byte => true
-      case _ => false
-    }
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      // integral-integral compares exactly (a double detour loses precision
-      // above 2^53); anything involving a floating side compares as double
-      case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
-        java.lang.Long.compare(x.longValue(), y.longValue())
-      case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-      // binary (UTF-8 byte) order — Spark's own string comparison semantics,
-      // which differs from java.lang.String UTF-16 order beyond the BMP
-      case (x: UTF8String, y: String) => x.binaryCompare(UTF8String.fromString(y))
-      case (x: UTF8String, y: UTF8String) => x.binaryCompare(y)
-      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-      case _ => throw new IllegalStateException(s"incomparable $a / $b")
-    }
-    f match {
-      case EqualTo(c, v) => val x = value(c); x != null && cmp(x, v) == 0
-      case GreaterThan(c, v) => val x = value(c); x != null && cmp(x, v) > 0
-      case GreaterThanOrEqual(c, v) => val x = value(c); x != null && cmp(x, v) >= 0
-      case LessThan(c, v) => val x = value(c); x != null && cmp(x, v) < 0
-      case LessThanOrEqual(c, v) => val x = value(c); x != null && cmp(x, v) <= 0
-      case In(c, vs) => val x = value(c); x != null && vs.exists(v => cmp(x, v) == 0)
-      case IsNull(c) => value(c) == null
-      case IsNotNull(c) => value(c) != null
-      case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
-      case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
-      case Not(ch) => !eval(ch, schema, row)
-      case other => throw new IllegalStateException(s"unsupported pushed filter $other")
-    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** Catalyst-internal value of one partition column. */
+  private def internalValue(dt: DataType, raw: String): Any = dt match {
+    case StringType => UTF8String.fromString(raw)
+    case IntegerType => raw.toInt
+    case LongType => raw.toLong
+    case ShortType => raw.toShort
+    case ByteType => raw.toByte
+    case DoubleType => raw.toDouble
+    case FloatType => raw.toFloat
+    case BooleanType => raw.toBoolean
+    case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+    case TimestampType | TimestampNTZType =>
+      val i = java.time.Instant.parse(raw)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => throw new UnsupportedOperationException(
+      s"icelite: unsupported partition column type $other")
+  }
+
+  /** InternalRow of partition values matching `partSchema` field order. */
+  def internalRow(partSchema: StructType, raw: Map[String, Option[String]]): InternalRow = {
+    val row = new GenericInternalRow(partSchema.length)
+    partSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      raw.getOrElse(f.name, None) match {
+        case Some(v) => row.update(i, internalValue(f.dataType, v))
+        case None => row.setNullAt(i)
+      }
+    }
+    row
+  }
+
+  /** Typed values for [[FilePrune]] (name -> value or null). Columns whose
+    * raw value fails to decode are omitted — absent means unprunable.
+    */
+  def decodeExternal(tableSchema: StructType, partitionBy: Seq[String],
+      raw: Map[String, Option[String]]): Map[String, Any] =
+    raw.flatMap { case (c, r) =>
+      if (!tableSchema.fieldNames.contains(c)) None
+      else r match {
+        case None => Some(c -> null)
+        case Some(s) =>
+          try Some(c -> internalValue(tableSchema(c).dataType, s))
+          catch { case _: Exception => None }
+      }
+    }
 }

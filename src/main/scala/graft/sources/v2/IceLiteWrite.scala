@@ -2,9 +2,6 @@ package graft.sources.v2
 
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -14,20 +11,24 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
-import graft.icelite.{MetaIo, SnapshotMeta}
+import graft.icelite.{FileStat, FileStats, MetaIo, SnapshotMeta}
 
 /** Distributed append for IceLite tables through the DSv2 write API
   * (`INSERT INTO <catalog>.<ns>.<tbl>`, `df.writeTo(...).append()`).
   *
   * Commit protocol (two-phase, same shape as any object-store table
   * format): executors write parquet task files into a staging directory
-  * `data/.staging-<uuid>` and report (file, rowCount) back as commit
-  * messages; only the driver's `commit()` renames the staging directory to
-  * the next `data/snap-NNNNN` and appends the snapshot to the metadata log
-  * via the existing version-file commit. `abort()` deletes the staging dir —
-  * uncommitted task output is never visible because no snapshot points at
-  * it. Parallelism: one writer (and one output file) per input partition.
+  * `data/.staging-<uuid>` and report (file, rows, column stats) back as
+  * commit messages; only the driver's `commit()` renames the staging
+  * directory to the next `data/snap-NNNNN` and appends the snapshot — with
+  * its complete file manifest — to the metadata log via the existing
+  * version-file commit. Failed/speculative task output is doubly invisible:
+  * the per-task `abort()` deletes the partial file, and scans plan from the
+  * committed manifest (never directory listings), so only files named in a
+  * commit message can ever be read. Parallelism: one writer (and one output
+  * file) per input partition.
   */
 private[v2] class IceLiteWriteBuilder(
     warehouse: String, ns: String, table: String, info: LogicalWriteInfo)
@@ -39,7 +40,7 @@ private[v2] class IceLiteWriteBuilder(
   }
 }
 
-private[v2] case class IceLiteCommitMessage(file: String, rows: Long)
+private[v2] case class IceLiteCommitMessage(stat: FileStat)
     extends WriterCommitMessage
 
 private[v2] class IceLiteBatchWrite(
@@ -49,18 +50,31 @@ private[v2] class IceLiteBatchWrite(
   private val stagingName = s".staging-${UUID.randomUUID()}"
 
   private def tableDir = new Path(new Path(warehouse, ns), table)
-  private def fs = tableDir.getFileSystem(
-    SparkSession.active.sparkContext.hadoopConfiguration)
+  private def hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs = tableDir.getFileSystem(hadoopConf)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // verify the incoming schema against the table before any task runs
+    // verify the incoming schema against the table before any task runs:
+    // same column set AND same types (a name-only check would let an
+    // int-vs-bigint drift write files that disagree with the table schema
+    // and only fail at scan time)
     val meta = MetaIo.read(fs, tableDir)
     val tableSchema = StructType.fromDDL(meta.schemaDdl)
     require(tableSchema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
       s"schema mismatch writing to $ns.$table: " +
         s"incoming ${schema.fieldNames.toSeq.sorted} vs table ${tableSchema.fieldNames.toSeq.sorted}")
+    val typeDrift = tableSchema.fields.flatMap { f =>
+      val in = schema(f.name).dataType
+      if (in == f.dataType) None else Some(s"${f.name}: $in vs ${f.dataType}")
+    }
+    require(typeDrift.isEmpty,
+      s"type mismatch writing to $ns.$table (incoming vs table): ${typeDrift.mkString(", ")}")
+    require(meta.partitionBy.isEmpty,
+      s"icelite DSv2 write supports unpartitioned tables; " +
+        s"use IceTable.append for partitioned layouts")
     new IceLiteWriterFactory(
-      new Path(tableDir, s"data/$stagingName").toString, schema.toDDL)
+      new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
+      new SerializableConfiguration(hadoopConf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -71,18 +85,31 @@ private[v2] class IceLiteBatchWrite(
     if (!fs.exists(staging)) fs.mkdirs(staging) // zero-partition write
     require(fs.rename(staging, dataDir),
       s"failed to publish staging dir for $ns.$table snapshot $snapId")
-    val msgs = messages.collect { case m: IceLiteCommitMessage => m }
-    val rows = msgs.map(_.rows).sum
-    val files = msgs.map(_.file.replace(s"data/$stagingName", f"data/snap-$snapId%05d"))
-      .sorted.toSeq
+    val added = messages.collect { case msg: IceLiteCommitMessage =>
+      msg.stat.copy(path =
+        msg.stat.path.replace(s"data/$stagingName", f"data/snap-$snapId%05d"))
+    }.toSeq.sortBy(_.path)
+    val rows = added.map(_.rows).sum
     val prev = m.currentSnapshot
+    val carried: Seq[FileStat] = prev.map { p =>
+      if (p.files.nonEmpty || p.dataDirs.isEmpty) p.files
+      else p.dataDirs.flatMap { d => // legacy snapshot: degrade to listing
+        val it = fs.listFiles(new Path(d), true)
+        Iterator.continually(it).takeWhile(_.hasNext)
+          .map(_.next())
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
+          .toSeq
+      }
+    }.getOrElse(Nil)
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = "append",
       dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir.toString,
-      addedFiles = files, addedRows = rows,
+      addedFiles = added.map(_.path), addedRows = rows,
       totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
-      schemaDdl = m.schemaDdl)
+      schemaDdl = m.schemaDdl,
+      files = (carried ++ added).sortBy(_.path))
     MetaIo.commit(fs, tableDir, m.copy(
       currentSnapshotId = snapId,
       snapshots = m.snapshots :+ snap,
@@ -96,18 +123,23 @@ private[v2] class IceLiteBatchWrite(
   }
 }
 
-private[v2] class IceLiteWriterFactory(stagingDir: String, schemaDdl: String)
+private[v2] class IceLiteWriterFactory(
+    stagingDir: String, schemaDdl: String, conf: SerializableConfiguration)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new IceLiteDataWriter(stagingDir, StructType.fromDDL(schemaDdl), partitionId, taskId)
+    new IceLiteDataWriter(stagingDir, StructType.fromDDL(schemaDdl),
+      partitionId, taskId, conf)
 }
 
 /** Writes one parquet file per task via the public parquet-mr Group API —
-  * the symmetric inverse of [[IceLitefileReader]]'s type surface.
+  * the symmetric inverse of the scan's type surface. Uses the driver's
+  * Hadoop configuration (serialized into the factory), so `spark.hadoop.*`
+  * settings — object-store credentials, endpoints — reach parquet-mr.
   */
 private[v2] class IceLiteDataWriter(
-    stagingDir: String, schema: StructType, partitionId: Int, taskId: Long)
+    stagingDir: String, schema: StructType, partitionId: Int, taskId: Long,
+    conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-$partitionId%05d-$taskId.parquet"
@@ -139,7 +171,7 @@ private[v2] class IceLiteDataWriter(
   }
 
   private val writer = ExampleParquetWriter.builder(new Path(file))
-    .withConf(new Configuration())
+    .withConf(conf.value)
     .withType(messageType)
     .build()
   private val factory = new SimpleGroupFactory(messageType)
@@ -167,9 +199,21 @@ private[v2] class IceLiteDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    IceLiteCommitMessage(file, rows)
+    // stats from this task's own freshly-written footer, executor-side —
+    // the driver never re-opens data files
+    IceLiteCommitMessage(FileStats.fromFooter(conf.value, file))
   }
 
-  override def abort(): Unit = writer.close()
+  /** A failed/retried/speculative task must leave nothing behind: close the
+    * writer (its footer would otherwise be readable) and delete the file.
+    */
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    val p = new Path(file)
+    val pfs = p.getFileSystem(conf.value)
+    if (pfs.exists(p)) pfs.delete(p, false)
+    ()
+  }
+
   override def close(): Unit = ()
 }
