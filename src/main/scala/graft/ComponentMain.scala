@@ -41,8 +41,12 @@ object ComponentMain {
     sys.exit(code)
   }
 
-  /** Testable core: returns the process exit code instead of calling exit. */
-  def execute(spark: SparkSession, dataDir: String): Int =
+  /** Testable core: returns the process exit code instead of calling exit.
+    * `env` is injectable so specs can point the Storage API client at a
+    * local server (production passes the platform's KBC_URL / KBC_TOKEN).
+    */
+  def execute(spark: SparkSession, dataDir: String,
+      env: Map[String, String] = sys.env): Int =
     try {
       val cfgPath = Paths.get(dataDir, "config.json")
       if (!Files.exists(cfgPath))
@@ -70,6 +74,21 @@ object ComponentMain {
           val s = sourceOf(cfg)
           emit(cat.loadTable(s.namespace, s.tableName).schema.fields.toSeq
             .map(f => s"${f.name} (${f.dataType.sql})" -> f.name))
+        case "list_table_columns" =>
+          // columns of the platform *input* table via the Storage API — the
+          // writer-UI helper (`wr/src/component.py:154-166`): table id from
+          // the first storage input mapping, endpoint/token from the
+          // platform-injected environment
+          val tables = cfg.storage.input.tables
+          if (tables.isEmpty)
+            throw new UserException(
+              "Can list only columns from input tables, not files.")
+          val url = env.getOrElse("KBC_URL",
+            throw new UserException("KBC_URL is not set"))
+          val token = env.getOrElse("KBC_TOKEN",
+            throw new UserException("KBC_TOKEN is not set"))
+          val client = new graft.sources.StorageApiClient(url, token)
+          emit(client.getTableColumns(tables.head.source).map(c => c -> c))
         case other =>
           throw new UserException(s"unknown action '$other'")
       }

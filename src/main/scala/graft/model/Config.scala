@@ -58,9 +58,22 @@ final case class Parameters(
     // kept for config compatibility; Spark's own memory management applies
     @JsonProperty("duckdb_max_memory_mb") maxMemoryMb: Int = 128)
 
+/** Platform-injected storage input mapping (the piece `list_table_columns`
+  * reads: `wr/src/component.py:156-163` uses `tables_input_mapping[0].source`
+  * as the Storage API table id).
+  */
+final case class StorageInputTable(
+    source: String = "",
+    destination: String = "")
+
+final case class StorageInput(tables: Seq[StorageInputTable] = Nil)
+
+final case class StorageConf(input: StorageInput = StorageInput())
+
 final case class ComponentConfig(
     action: String = "run",
-    parameters: Parameters = Parameters())
+    parameters: Parameters = Parameters(),
+    storage: StorageConf = StorageConf())
 
 object ComponentConfig {
 

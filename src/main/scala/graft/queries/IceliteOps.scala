@@ -78,6 +78,36 @@ object IceliteOps {
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
+    // K5b: file-granular copy-on-write upsert. The table is written as four
+    // range-partitioned files (repartitionByRange gives each file a disjoint
+    // o_orderkey range, the layout a clustered 100 TB table would have); the
+    // source touches only keys <= 1000, so manifest key-range stats prove
+    // three of the four files cannot match and they are carried into the new
+    // snapshot byte-identical. IceliteSpec asserts rewritten < total files;
+    // this query verifies the merged content relationally.
+    QDef(
+      "k5b_ice_upsert_cow",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders WHERE o_orderkey > 1000
+              |UNION ALL
+              |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+              |       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey <= 1000
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k5b"))
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_cow", o.schema)
+        tbl.append(o.repartitionByRange(4, col("o_orderkey")))
+        val source = o.filter(col("o_orderkey") <= 1000)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        tbl.upsert(source, keys = Seq("o_orderkey"))
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.files.length > snap.addedFiles.length,
+          s"copy-on-write expected carried files: all ${snap.files.length} rewritten")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // R3: snapshot time travel — scan pinned to the first snapshot sees none
     // of the second append (ex:38, snapshot listing ex:148-157).
     QDef(
@@ -169,6 +199,59 @@ object IceliteOps {
         tbl.toDF
           .filter(col("event_type").isin("click", "purchase"))
           .orderBy("event_id")
+      }),
+
+    // K8b: the partitioned layout read through the SQL catalog — the DSv2
+    // scan reconstructs partition values from hive dirs (declared types) and
+    // prunes non-matching partitions in planInputPartitions before any IO;
+    // PlanSpec asserts the planned-file count. Same oracle as k8: both
+    // paths must agree with the relational answer.
+    QDef(
+      "k8b_ice_partitioned_sql",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_type IN ('click', 'purchase')
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "k8b", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh)
+            .createTable("lake", "events_p", ev.schema, partitionBy = Seq("event_type"))
+            .append(ev)
+        }
+        s.conf.set("spark.sql.catalog.icelite_p", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_p.warehouse", wh)
+        s.sql(
+          """SELECT event_id, user_id, event_type, value
+            |FROM icelite_p.lake.events_p
+            |WHERE event_type IN ('click', 'purchase')
+            |ORDER BY event_id""".stripMargin)
+      }),
+
+    // K9: snapshot expiry — the lifecycle op that bounds metadata and
+    // reclaims space (Iceberg's expire_snapshots). Two appends are
+    // compacted, then everything but the compacted snapshot is expired:
+    // the dropped snapshots' directories are physically deleted (their data
+    // lives on in the compacted rewrite), time travel to expired ids fails
+    // loudly (IceliteSpec), and current reads are unaffected — which is
+    // what this query verifies relationally.
+    QDef(
+      "k9_ice_expire",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k9"))
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_e", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        tbl.compact(targetFiles = 2)
+        tbl.expireSnapshots(keepLast = 1)
+        require(tbl.snapshots.length == 1 &&
+          tbl.snapshots.head.operation == "compact",
+          "expiry must keep exactly the compacted snapshot")
+        tbl.toDF.orderBy("event_id")
       }),
 
     // S1 via DataSource V2: spark.read.format("icelite") with projection +

@@ -148,6 +148,81 @@ object SimilarityOps {
           .orderBy("qid", "rn")
       }),
 
+    // Scale-parameterized ANN: L=4 LSH tables x P=8 seeded +/-1 hyperplanes
+    // (plane p, dim i gets sign + iff (p*1103515245 + i*12345) % 97 < 48 —
+    // a fixed integer formula both engines evaluate identically). Projections
+    // are integer sums of quantized elements, so every sign bit is bit-exact
+    // across engines and partitionings. Occupancy math: P planes make 2^P
+    // buckets, so expected bucket occupancy is corpus/2^P per table — pick
+    // P ~ log2(corpus / target_occupancy) to keep the within-bucket candidate
+    // join linear (e.g. 1e9 vectors, occupancy 1k -> P = 20), and add tables
+    // (L) to buy back recall, since a true neighbor is a candidate if it
+    // agrees on ALL P planes in ANY of the L tables. x7's fixed 8 leading
+    // dims (<=256 buckets) cannot scale this way; this operator is the
+    // 100 TB path.
+    QDef(
+      "x7b_sim_ann_multitable",
+      Some(s"""WITH $elementsSql,
+              |planes AS (SELECT p FROM unnest(range(0, 32)) t(p)),
+              |proj AS (
+              |  SELECT vec_id, p,
+              |    SUM(CASE WHEN (p*1103515245 + i*12345) % 97 < 48 THEN q ELSE -q END) proj
+              |  FROM el CROSS JOIN planes GROUP BY vec_id, p),
+              |bk AS (
+              |  SELECT vec_id, CAST(p // 8 AS INT) tbl,
+              |    string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) bucket
+              |  FROM proj GROUP BY vec_id, CAST(p // 8 AS INT)),
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id qid, c.vec_id nid FROM bk q
+              |  JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 50),
+              |dots AS (
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM cand JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY qid, nid),
+              |scored AS (
+              |  SELECT qid, nid, $cosineSql AS cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |  FROM dots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 3
+              |ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val el = elements(s, dir)
+        val planes = broadcast(s.range(0, 32).toDF("p"))
+        val proj = el.crossJoin(planes)
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(when((col("p") * 1103515245L + col("i") * 12345L) % 97 < 48,
+            col("q")).otherwise(-col("q"))).as("proj"))
+        val bk = proj
+          .select(col("vec_id"), (col("p") / 8).cast("int").as("tbl"),
+            col("p"), when(col("proj") >= 0, "1").otherwise("0").as("bit"))
+          .groupBy("vec_id", "tbl")
+          .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(p, bit))), x -> x.bit))")
+            .as("bucket"))
+        val cand = bk.filter(col("vec_id") < 50).as("q")
+          .join(bk.as("c"),
+            col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket") &&
+              col("c.vec_id") =!= col("q.vec_id"))
+          .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
+          .distinct()
+        val n2 = norms(el)
+        val dots = cand
+          .join(el.as("a"), col("a.vec_id") === col("qid"))
+          .join(el.as("b"), col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
+          .groupBy("qid", "nid")
+          .agg(sum(col("a.q") * col("b.q")).as("dp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        dots
+          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .select(col("qid"), col("nid"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("qid", "rn")
+      }),
+
     // Same query as x6, through the native codegen'd QuantizedCosine
     // expression (graft.functions.VecMath): the whole corpus stays as packed
     // float arrays — no posexplode, no per-element shuffle — and each

@@ -131,4 +131,45 @@ class ComponentSpec extends SparkSpec {
       assert(hits.get() == 3)
     } finally server.stop(0)
   }
+
+  test("list_table_columns sync action: input-mapping table id -> Storage API") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v2/storage/tables/in.c-main.widgets", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = """{"id": "in.c-main.widgets", "columns": ["id", "name", "price"]}"""
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val d = dataDir("ltc")
+      writeConfig(d,
+        s"""{"action": "list_table_columns",
+           | "parameters": {"catalog": {"warehouse": "${scratch("ltc-wh")}"}},
+           | "storage": {"input": {"tables": [
+           |   {"source": "in.c-main.widgets", "destination": "widgets.csv"}]}}}""".stripMargin)
+      val buf = new java.io.ByteArrayOutputStream()
+      val code = Console.withOut(new java.io.PrintStream(buf)) {
+        ComponentMain.execute(spark, d,
+          env = Map("KBC_URL" -> url, "KBC_TOKEN" -> "tok"))
+      }
+      assert(code == 0)
+      val out = buf.toString("UTF-8").trim
+      assert(out == """[{"label": "id", "value": "id"}, """ +
+        """{"label": "name", "value": "name"}, """ +
+        """{"label": "price", "value": "price"}]""", out)
+      // no input mapping -> user error (exit 1), matching wr:163-164
+      val d2 = dataDir("ltc2")
+      writeConfig(d2,
+        s"""{"action": "list_table_columns",
+           | "parameters": {"catalog": {"warehouse": "${scratch("ltc-wh2")}"}}}""".stripMargin)
+      assert(ComponentMain.execute(spark, d2,
+        env = Map("KBC_URL" -> url, "KBC_TOKEN" -> "tok")) == 1)
+    } finally server.stop(0)
+  }
 }

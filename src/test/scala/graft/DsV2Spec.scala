@@ -111,4 +111,67 @@ class DsV2Spec extends SparkSpec {
       .option("warehouse", wh).option("table", "lake.nation_t").load()
     assert(current.count() == df.count())
   }
+
+  private def scanDescOf(q: org.apache.spark.sql.DataFrame): String =
+    q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+
+  private def plannedOf(desc: String): (Int, Int) = {
+    val m = """files=(\d+) planned=(\d+)""".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no planning counters in scan description: $desc"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("manifest stats skip files that cannot match pushed filters") {
+    val wh = warehouse("skip")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders")
+    val tbl = cat.createTable("lake", "orders_r", df.schema)
+    // 4 files with disjoint o_orderkey ranges -> a selective key predicate
+    // can prove 3 of them irrelevant from manifest min/max alone
+    tbl.append(df.repartitionByRange(4, col("o_orderkey")))
+    val maxKey = df.agg(max("o_orderkey")).collect()(0).getAs[Number](0).longValue
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_r").load()
+      .filter(col("o_orderkey") <= maxKey / 8)
+    val (files, planned) = plannedOf(scanDescOf(q))
+    assert(files == 4, s"expected 4 data files, saw $files")
+    assert(planned < files, s"no file skipping: planned=$planned of $files")
+    // and the pruned scan is still exactly right
+    val expect = df.filter(col("o_orderkey") <= maxKey / 8)
+    assert(q.count() == expect.count())
+    assert(q.orderBy("o_orderkey").collect().toSeq ==
+      expect.orderBy("o_orderkey").collect().toSeq)
+    // an unselective filter plans everything
+    val all = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_r").load()
+      .filter(col("o_orderkey") >= 0)
+    assert(plannedOf(scanDescOf(all))._2 == 4)
+  }
+
+  test("partitioned tables read through DSv2/SQL catalog with partition pruning") {
+    val wh = warehouse("part")
+    val cat = new IceCatalog(spark, wh)
+    val ev = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    cat.createTable("lake", "events_p", ev.schema, partitionBy = Seq("event_type"))
+      .append(ev)
+    spark.conf.set("spark.sql.catalog.ice_pt", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_pt.warehouse", wh)
+    val q = spark.sql(
+      "SELECT event_id, event_type, value FROM ice_pt.lake.events_p " +
+        "WHERE event_type = 'click'")
+    val (files, planned) = plannedOf(scanDescOf(q))
+    assert(planned < files,
+      s"partition pruning did not drop files: planned=$planned of $files")
+    val expect = ev.filter(col("event_type") === "click")
+      .select("event_id", "event_type", "value")
+    assert(q.orderBy("event_id").collect().toSeq ==
+      expect.orderBy("event_id").collect().toSeq)
+    // partition values round-trip with declared types on the full read
+    val full = spark.sql("SELECT event_id, user_id, event_type, value FROM ice_pt.lake.events_p")
+    assert(full.schema("event_type").dataType == org.apache.spark.sql.types.StringType)
+    assert(full.count() == ev.count())
+    assert(full.select("event_type").distinct().count() ==
+      ev.select("event_type").distinct().count())
+  }
 }

@@ -180,4 +180,95 @@ class IceliteSpec extends SparkSpec {
     tbl.upsert(df, keys = Seq("id"))
     assert(tbl.toDF.count() == 2)
   }
+
+  test("upsert is copy-on-write: untouched files are carried, not rewritten") {
+    val cat = new IceCatalog(spark, scratch("cow"))
+    val o = graft.queries.QUtil.t(spark, sfDir, "orders")
+    val tbl = cat.createTable("ns", "t", o.schema)
+    // range layout: each of the 4 files owns a disjoint o_orderkey range
+    tbl.append(o.repartitionByRange(4, col("o_orderkey")))
+    val before = tbl.meta.currentSnapshot.get
+    assert(before.files.length == 4)
+    val maxKey = o.agg(max("o_orderkey")).collect()(0)
+      .getAs[Number](0).longValue
+    val src = o.filter(col("o_orderkey") <= maxKey / 8)
+      .withColumn("o_orderstatus", lit("U"))
+    tbl.upsert(src, keys = Seq("o_orderkey"))
+    val after = tbl.meta.currentSnapshot.get
+    // stats proved most files could not contain a matching key
+    assert(after.addedFiles.nonEmpty)
+    assert(after.files.length > after.addedFiles.length,
+      s"no files carried: ${after.files.length} total, ${after.addedFiles.length} added")
+    val carried = after.files.map(_.path).toSet -- after.addedFiles.toSet
+    assert(carried.subsetOf(before.files.map(_.path).toSet),
+      "carried entries must be the previous snapshot's files, byte-identical")
+    // merged content is exactly upsert semantics
+    val expect = o.filter(col("o_orderkey") > maxKey / 8)
+      .unionByName(src).orderBy("o_orderkey").collect().toSeq
+    assert(tbl.toDF.orderBy("o_orderkey").collect().toSeq == expect)
+    // row accounting survives the carry
+    assert(after.totalRows == o.count())
+  }
+
+  test("expireSnapshots drops history and deletes unreferenced dirs") {
+    val cat = new IceCatalog(spark, scratch("expire"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))
+    tbl.append(nation.filter(col("n_nationkey") >= 10))
+    tbl.compact(targetFiles = 1)
+    val dirsBefore = tbl.snapshots.flatMap(_.dataDirs).distinct
+    assert(tbl.snapshots.length == 3)
+    tbl.expireSnapshots(keepLast = 1)
+    assert(tbl.snapshots.map(_.operation) == Seq("compact"))
+    // expired ids fail loudly; current reads are untouched
+    intercept[IllegalArgumentException](tbl.scan(snapshotId = Some(1L)))
+    assert(tbl.toDF.count() == 25)
+    // dropped snapshots' directories are physically gone, kept ones remain
+    val fs = new org.apache.hadoop.fs.Path(dirsBefore.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keptDirs = tbl.snapshots.flatMap(_.dataDirs).toSet
+    dirsBefore.foreach { d =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(d)) == keptDirs.contains(d),
+        s"dir $d should exist iff referenced by a kept snapshot")
+    }
+    // expiring everything including current is refused
+    intercept[IllegalArgumentException] {
+      tbl.append(nation) // snapshots: compact, append
+      // keepLast = 1 keeps only append — legal; dropping current is not
+      // constructible via keepLast, so check the guard directly
+      tbl.expireSnapshots(keepLast = 0)
+    }
+  }
+
+  test("compact reads at full parallelism and funnels into targetFiles") {
+    val cat = new IceCatalog(spark, scratch("compactpar"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    (0 until 6).foreach(i => tbl.append(nation.filter(col("n_nationkey") % 6 === i)))
+    assert(tbl.meta.currentSnapshot.get.files.length >= 6)
+    // make every small file its own input split so read parallelism is
+    // observable at fixture scale (production files are split-sized anyway)
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+    spark.conf.set("spark.sql.files.openCostInBytes", "32768")
+    try {
+      spark.sparkContext.setJobGroup("compact-par", "compact parallelism probe")
+      tbl.compact(targetFiles = 2)
+      spark.sparkContext.clearJobGroup()
+      val tracker = spark.sparkContext.statusTracker
+      val stageTasks = tracker.getJobIdsForGroup("compact-par")
+        .flatMap(j => tracker.getJobInfo(j).map(_.stageIds()).getOrElse(Array.empty[Int]))
+        .flatMap(sid => tracker.getStageInfo(sid)).map(_.numTasks())
+      // the read stage must NOT collapse to targetFiles tasks (the old
+      // coalesce bug); with 6 single-file splits it runs 6-wide
+      assert(stageTasks.nonEmpty && stageTasks.max > 2,
+        s"read stage collapsed: stage task counts = ${stageTasks.mkString(",")}")
+      val snap = tbl.meta.currentSnapshot.get
+      assert(snap.operation == "compact" && snap.addedFiles.length == 2)
+      assert(tbl.toDF.count() == 25)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+  }
 }
