@@ -42,16 +42,33 @@ object ComponentMain {
   }
 
   /** Testable core: returns the process exit code instead of calling exit.
-    * `env` is injectable so specs can point the Storage API client at a
-    * local server (production passes the platform's KBC_URL / KBC_TOKEN).
+    * `env` is injectable so specs can point the Storage API client and the
+    * GELF logger at local servers (production passes the platform's
+    * KBC_URL / KBC_TOKEN / KBC_LOGGER_ADDR / KBC_LOGGER_PORT).
     */
   def execute(spark: SparkSession, dataDir: String,
-      env: Map[String, String] = sys.env): Int =
+      env: Map[String, String] = sys.env): Int = {
+    // C9: when the platform injects a GELF endpoint, run-level events go
+    // there (structured, with the shipped verbosity policy: errors verbose,
+    // crashes camouflaged); stderr stays authoritative for the exit-code
+    // taxonomy either way
+    val gelf = graft.logging.GelfLogger.fromEnv(env)
+    try {
+      val code = executeInner(spark, dataDir, env, gelf)
+      gelf.foreach(_.close())
+      code
+    } catch { case e: Throwable => gelf.foreach(_.close()); throw e }
+  }
+
+  private def executeInner(spark: SparkSession, dataDir: String,
+      env: Map[String, String],
+      gelf: Option[graft.logging.GelfLogger]): Int =
     try {
       val cfgPath = Paths.get(dataDir, "config.json")
       if (!Files.exists(cfgPath))
         throw new UserException(s"missing $cfgPath")
       val cfg = ComponentConfig.fromJson(Files.readString(cfgPath))
+      gelf.foreach(_.info(s"Running action '${cfg.action}'."))
       val cat = new IceCatalog(spark, warehouseOf(cfg))
       cfg.action match {
         case "run" => run(spark, cat, cfg, dataDir)
@@ -92,12 +109,15 @@ object ComponentMain {
         case other =>
           throw new UserException(s"unknown action '$other'")
       }
+      gelf.foreach(_.info("Component finished."))
       0
     } catch {
       case e: UserException =>
+        gelf.foreach(_.error(e.getMessage))
         System.err.println(s"ERROR: ${e.getMessage}")
         1
       case NonFatal(e) =>
+        gelf.foreach(_.critical(e.toString))
         System.err.println(s"UNEXPECTED: $e")
         2
     }

@@ -39,11 +39,12 @@ class IceTable(
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
   def snapshots: Seq[SnapshotMeta] = meta.snapshots
 
-  /** Directory strings in metadata may be scheme-less while manifest file
-    * paths are filesystem-qualified (`file:/…`); qualify before comparing.
+  /** Path strings in metadata can be scheme-less or filesystem-qualified
+    * (`file:/…`) depending on which writer produced them; qualify both
+    * sides before any prefix comparison.
     */
-  private def qualify(dir: String): String =
-    fs.makeQualified(new Path(dir)).toString
+  private def qualify(p: String): String =
+    fs.makeQualified(new Path(p)).toString
 
   /** The complete data-file manifest of a snapshot. Pre-upgrade metadata
     * (no inline manifest) degrades to a directory listing with unknown
@@ -85,7 +86,7 @@ class IceTable(
         // schema, so partition values are cast to their declared types
         // (never inferred — inference could drift per directory).
         files.groupBy(f => snap.dataDirs.map(qualify)
-            .find(d => f.path.startsWith(d + "/"))
+            .find(d => qualify(f.path).startsWith(d + "/"))
             .getOrElse(new Path(f.path).getParent.toString))
           .toSeq.sortBy(_._1)
           .map { case (dir, fsInDir) =>
@@ -258,7 +259,7 @@ class IceTable(
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) = writeData(merged, snapId, m.partitionBy)
     val untouchedDirs = current.map(_.dataDirs).getOrElse(Nil)
-      .filter(d => untouched.exists(_.path.startsWith(qualify(d) + "/")))
+      .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
     commitSnapshot("upsert", untouchedDirs :+ dir, added, carried = untouched)
   }
 
@@ -269,7 +270,7 @@ class IceTable(
   private def scanFilesPartitioned(m: TableMeta, tableSchema: StructType,
       files: Seq[FileStat]): DataFrame = {
     val dirs = m.currentSnapshot.map(_.dataDirs).getOrElse(Nil).map(qualify)
-    files.groupBy(f => dirs.find(d => f.path.startsWith(d + "/"))
+    files.groupBy(f => dirs.find(d => qualify(f.path).startsWith(d + "/"))
         .getOrElse(new Path(f.path).getParent.toString))
       .toSeq.sortBy(_._1)
       .map { case (dir, fsInDir) =>

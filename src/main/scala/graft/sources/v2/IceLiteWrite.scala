@@ -34,13 +34,40 @@ private[v2] class IceLiteWriteBuilder(
     warehouse: String, ns: String, table: String, info: LogicalWriteInfo)
     extends WriteBuilder {
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new IceLiteBatchWrite(warehouse, ns, table, info.schema())
+  override def build(): Write = {
+    val dir = new Path(new Path(warehouse, ns), table)
+    val meta = MetaIo.read(fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration), tableDir = dir)
+    if (meta.partitionBy.isEmpty)
+      new Write {
+        override def toBatch: BatchWrite =
+          new IceLiteBatchWrite(warehouse, ns, table, info.schema())
+      }
+    else
+      // hive-partitioned layout: require Spark to cluster + sort incoming
+      // rows by the partition columns, so each write task sees its
+      // partitions contiguously and holds ONE open file at a time — the
+      // only dynamic-partition write shape that survives wide tables at
+      // 100 TB (an unsorted writer would hold a file handle per live
+      // partition per task)
+      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            meta.partitionBy.map(c =>
+              Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          meta.partitionBy.map(c =>
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+        override def toBatch: BatchWrite =
+          new IceLiteBatchWrite(warehouse, ns, table, info.schema())
+      }
   }
 }
 
-private[v2] case class IceLiteCommitMessage(stat: FileStat)
+private[v2] case class IceLiteCommitMessage(stats: Seq[FileStat])
     extends WriterCommitMessage
 
 private[v2] class IceLiteBatchWrite(
@@ -69,12 +96,14 @@ private[v2] class IceLiteBatchWrite(
     }
     require(typeDrift.isEmpty,
       s"type mismatch writing to $ns.$table (incoming vs table): ${typeDrift.mkString(", ")}")
-    require(meta.partitionBy.isEmpty,
-      s"icelite DSv2 write supports unpartitioned tables; " +
-        s"use IceTable.append for partitioned layouts")
+    meta.partitionBy.foreach { c =>
+      val dt = tableSchema(c).dataType
+      require(HivePath.renderable(dt),
+        s"icelite: unsupported partition column type $dt for $c")
+    }
     new IceLiteWriterFactory(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
-      new SerializableConfiguration(hadoopConf))
+      meta.partitionBy, new SerializableConfiguration(hadoopConf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -85,10 +114,13 @@ private[v2] class IceLiteBatchWrite(
     if (!fs.exists(staging)) fs.mkdirs(staging) // zero-partition write
     require(fs.rename(staging, dataDir),
       s"failed to publish staging dir for $ns.$table snapshot $snapId")
+    // store filesystem-qualified paths in the manifest (task-side paths are
+    // scheme-less): scans group files under their snapshot dir by prefix,
+    // and a scheme mismatch would silently break that
     val added = messages.collect { case msg: IceLiteCommitMessage =>
-      msg.stat.copy(path =
-        msg.stat.path.replace(s"data/$stagingName", f"data/snap-$snapId%05d"))
-    }.toSeq.sortBy(_.path)
+      msg.stats.map(st => st.copy(path = fs.makeQualified(new Path(
+        st.path.replace(s"data/$stagingName", f"data/snap-$snapId%05d"))).toString))
+    }.toSeq.flatten.sortBy(_.path)
     val rows = added.map(_.rows).sum
     val prev = m.currentSnapshot
     val carried: Seq[FileStat] = prev.map { p =>
@@ -124,28 +156,42 @@ private[v2] class IceLiteBatchWrite(
 }
 
 private[v2] class IceLiteWriterFactory(
-    stagingDir: String, schemaDdl: String, conf: SerializableConfiguration)
+    stagingDir: String, schemaDdl: String, partitionBy: Seq[String],
+    conf: SerializableConfiguration)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IceLiteDataWriter(stagingDir, StructType.fromDDL(schemaDdl),
-      partitionId, taskId, conf)
+      partitionBy, partitionId, taskId, conf)
 }
 
-/** Writes one parquet file per task via the public parquet-mr Group API —
-  * the symmetric inverse of the scan's type surface. Uses the driver's
-  * Hadoop configuration (serialized into the factory), so `spark.hadoop.*`
+/** Writes parquet files via the public parquet-mr Group API — the symmetric
+  * inverse of the scan's type surface. Uses the driver's Hadoop
+  * configuration (serialized into the factory), so `spark.hadoop.*`
   * settings — object-store credentials, endpoints — reach parquet-mr.
+  *
+  * Unpartitioned tables: one file per task. Hive-partitioned tables: rows
+  * arrive clustered AND sorted by the partition columns (the Write declares
+  * RequiresDistributionAndOrdering), so the writer streams through
+  * partitions holding a single open file at a time, rolling to
+  * `<col>=<val>/part-…` subdirectories as the partition key changes.
   */
 private[v2] class IceLiteDataWriter(
-    stagingDir: String, schema: StructType, partitionId: Int, taskId: Long,
-    conf: SerializableConfiguration)
+    stagingDir: String, schema: StructType, partitionBy: Seq[String],
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
-  private val file = f"$stagingDir/part-$partitionId%05d-$taskId.parquet"
+  // partition columns live in the directory name, never in the file
+  private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val dataSchema = StructType(
+    schema.fields.zipWithIndex.filterNot { case (_, i) => partIdx.contains(i) }
+      .map(_._1))
+  private val dataIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains(_)).toArray
+
   private val messageType: MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
+    dataSchema.fields.foreach { f =>
       val t: Type = f.dataType match {
         case LongType => Types.optional(PrimitiveType.PrimitiveTypeName.INT64).named(f.name)
         case IntegerType => Types.optional(PrimitiveType.PrimitiveTypeName.INT32).named(f.name)
@@ -169,51 +215,129 @@ private[v2] class IceLiteDataWriter(
     }
     b.named("icelite")
   }
-
-  private val writer = ExampleParquetWriter.builder(new Path(file))
-    .withConf(conf.value)
-    .withType(messageType)
-    .build()
   private val factory = new SimpleGroupFactory(messageType)
+
+  private var current: org.apache.parquet.hadoop.ParquetWriter[Group] = _
+  private var currentKey: String = null // relative partition dir ("" = unpartitioned)
+  private var currentFile: String = _
   private var rows = 0L
+  private var fileSeq = 0
+  private var done = Seq.empty[String]
+  private var stats = Seq.empty[FileStat]
+
+  private def open(key: String): Unit = {
+    val dir = if (key.isEmpty) stagingDir else s"$stagingDir/$key"
+    currentFile = f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.parquet"
+    fileSeq += 1
+    current = ExampleParquetWriter.builder(new Path(currentFile))
+      .withConf(conf.value)
+      .withType(messageType)
+      .build()
+    currentKey = key
+    rows = 0L
+  }
+
+  private def roll(): Unit = if (current != null) {
+    current.close()
+    // stats from this task's own freshly-written footer, executor-side —
+    // the driver never re-opens data files
+    stats :+= FileStats.fromFooter(conf.value, currentFile)
+    done :+= currentFile
+    current = null
+  }
 
   override def write(row: InternalRow): Unit = {
+    val key =
+      if (partIdx.isEmpty) ""
+      else partitionBy.zip(partIdx).map { case (c, i) =>
+        val raw =
+          if (row.isNullAt(i)) null
+          else HivePath.render(schema.fields(i).dataType, row, i)
+        s"$c=${HivePath.escape(raw)}"
+      }.mkString("/")
+    if (current == null || key != currentKey) { roll(); open(key) }
     val g: Group = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
+    var o = 0
+    while (o < dataIdx.length) {
+      val i = dataIdx(o)
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType => g.add(i, row.getLong(i))
-        case IntegerType | DateType => g.add(i, row.getInt(i))
-        case DoubleType => g.add(i, row.getDouble(i))
-        case FloatType => g.add(i, row.getFloat(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType => g.add(i, row.getUTF8String(i).toString)
-        case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
+        case LongType => g.add(o, row.getLong(i))
+        case IntegerType | DateType => g.add(o, row.getInt(i))
+        case DoubleType => g.add(o, row.getDouble(i))
+        case FloatType => g.add(o, row.getFloat(i))
+        case BooleanType => g.add(o, row.getBoolean(i))
+        case StringType => g.add(o, row.getUTF8String(i).toString)
+        case TimestampType | TimestampNTZType => g.add(o, row.getLong(i))
         case dt => throw new IllegalStateException(s"unreachable: $dt")
       }
-      i += 1
+      o += 1
     }
-    writer.write(g)
+    current.write(g)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    // stats from this task's own freshly-written footer, executor-side —
-    // the driver never re-opens data files
-    IceLiteCommitMessage(FileStats.fromFooter(conf.value, file))
+    roll()
+    IceLiteCommitMessage(stats)
   }
 
   /** A failed/retried/speculative task must leave nothing behind: close the
-    * writer (its footer would otherwise be readable) and delete the file.
+    * open writer (its footer would otherwise be readable) and delete every
+    * file this task created.
     */
   override def abort(): Unit = {
-    try writer.close() catch { case _: Exception => () }
-    val p = new Path(file)
-    val pfs = p.getFileSystem(conf.value)
-    if (pfs.exists(p)) pfs.delete(p, false)
-    ()
+    try if (current != null) current.close() catch { case _: Exception => () }
+    val toDelete = if (currentFile == null) done else done :+ currentFile
+    toDelete.foreach { f =>
+      try {
+        val p = new Path(f)
+        val pfs = p.getFileSystem(conf.value)
+        if (pfs.exists(p)) pfs.delete(p, false)
+      } catch { case _: Exception => () }
+    }
   }
 
   override def close(): Unit = ()
 }
+
+/** Hive-style partition path rendering, matching what Spark's own
+  * partitioned writer produces (and what [[PartValues]] parses back):
+  * `%XX` escapes for path-hostile bytes, `__HIVE_DEFAULT_PARTITION__` for
+  * null.
+  */
+private[v2] object HivePath {
+
+  def renderable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** External string form of a partition value (row slot `i`, non-null). */
+  def render(dt: DataType, row: InternalRow, i: Int): String = dt match {
+    case StringType => row.getUTF8String(i).toString
+    case IntegerType => row.getInt(i).toString
+    case LongType => row.getLong(i).toString
+    case ShortType => row.getShort(i).toString
+    case ByteType => row.getByte(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+    case other => throw new UnsupportedOperationException(
+      s"icelite: unsupported partition column type $other")
+  }
+
+  private def needsEscape(c: Char): Boolean =
+    c < 0x20 || c == 0x7f || "\"#%'*/:=?\\{[]^".indexOf(c) >= 0
+
+  def escape(raw: String): String = {
+    if (raw == null) return "__HIVE_DEFAULT_PARTITION__"
+    val sb = new StringBuilder
+    raw.foreach { c =>
+      if (needsEscape(c)) c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X")) // percent + 2 hex
+      else sb.append(c)
+    }
+    sb.toString
+  }
+}
+
