@@ -280,6 +280,31 @@ object IceliteOps {
           .orderBy("l_orderkey", "l_linenumber")
       }),
 
+    // S4b: aggregate pushdown — COUNT(*) / COUNT(col) / MIN / MAX with no
+    // GROUP BY are answered from the snapshot manifest (per-file row/null
+    // counts, min/max stats) at plan time: zero parquet IO, zero read
+    // tasks. At 100 TB this turns full-table COUNT/MIN/MAX — the most
+    // common sanity queries over a lake table — into metadata lookups.
+    // DsV2Spec asserts the plan contains the manifest-only scan.
+    QDef(
+      "s4_agg_pushdown",
+      Some("""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s4", dir) { wh =>
+          val o = t(s, dir, "orders")
+          new IceCatalog(s, wh).createTable("lake", "orders_t", o.schema).append(o)
+        }
+        s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.orders_t").load()
+          .agg(
+            count(lit(1)).as("n_rows"), count(col("o_custkey")).as("n_cust"),
+            min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+            min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
+      }),
+
     // The SQL-catalog surface (graft.sources.v2.IceLiteCatalog): address
     // IceLite tables as <catalog>.<ns>.<table> in plain SQL; reads flow
     // through the same pushdown-capable DSv2 scan as format("icelite").

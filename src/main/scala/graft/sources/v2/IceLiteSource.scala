@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -156,11 +157,30 @@ private[v2] class IceLiteScanBuilder(
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggResult: Option[(StructType, InternalRow)] = None
+
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) with no GROUP BY answer
+    * straight from the manifest: sums of per-file row/null counts and
+    * fold of per-file min/max. A 100 TB COUNT(*) becomes a metadata-only
+    * query — zero file IO, zero tasks reading parquet. Refused (and left
+    * to the normal scan) whenever any pushed filter exists, any file lacks
+    * the needed stats, or a column is hive-partitioned (its values live in
+    * paths, not file stats).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val r = ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed)
+    aggResult = r
+    r.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve table-declared field order for a stable reader projection
@@ -181,9 +201,168 @@ private[v2] class IceLiteScanBuilder(
 
   override def pushLimit(n: Int): Boolean = { limit = n; false /* partial: per-partition */ }
 
-  override def build(): Scan =
-    new IceLiteScan(tableName, tableSchema, partitionBy, required, files, pushed, limit)
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new IceLiteAggScan(tableName, schema, row)
+    case None =>
+      new IceLiteScan(tableName, tableSchema, partitionBy, required, files, pushed, limit)
+  }
 }
+
+/** Evaluates a pushed aggregation against the snapshot manifest. */
+private[v2] object ManifestAgg {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  /** The aggregated (schema, row), or None when the manifest cannot answer
+    * exactly.
+    */
+  def evaluate(agg: Aggregation, tableSchema: StructType, partitionBy: Seq[String],
+      files: Seq[FileStat], pushedFilters: Array[Filter])
+      : Option[(StructType, InternalRow)] = {
+    // any residual filter means the manifest totals are over the wrong row
+    // set; grouped aggregation needs per-group stats the manifest lacks
+    if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (files.exists(_.rows < 0)) return None // legacy manifest: unknown rows
+
+    val out = StructType(Nil)
+    val values = Vector.newBuilder[Any]
+    var schema = out
+    val ok = agg.aggregateExpressions().zipWithIndex.forall {
+      case (_: CountStar, i) =>
+        schema = schema.add(s"count_star_$i", LongType, nullable = false)
+        values += files.map(_.rows).sum
+        true
+      case (c: Count, i) if !c.isDistinct =>
+        colOf(c.column).filterNot(partitionBy.contains) match {
+          case Some(col) if files.forall(_.nullCount(col).isDefined) =>
+            schema = schema.add(s"count_$i", LongType, nullable = false)
+            values += files.map(f => f.rows - f.nullCount(col).get).sum
+            true
+          case _ => false
+        }
+      case (m: Min, i) => minMax(m.column, files, tableSchema, partitionBy,
+        isMin = true).exists { case (dt, v) =>
+          schema = schema.add(s"min_$i", dt, nullable = true)
+          values += v
+          true
+        }
+      case (m: Max, i) => minMax(m.column, files, tableSchema, partitionBy,
+        isMin = false).exists { case (dt, v) =>
+          schema = schema.add(s"max_$i", dt, nullable = true)
+          values += v
+          true
+        }
+      case _ => false
+    }
+    if (!ok) None
+    else Some((schema, new GenericInternalRow(values.result().toArray)))
+  }
+
+  /** Fold per-file min/max stats for `col` into one catalyst value, or None
+    * when any file (with rows) lacks usable stats. All-null columns yield a
+    * NULL aggregate, matching SQL MIN/MAX.
+    */
+  private def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
+      files: Seq[FileStat], tableSchema: StructType, partitionBy: Seq[String],
+      isMin: Boolean): Option[(DataType, Any)] =
+    colOf(e).filterNot(partitionBy.contains).flatMap { col =>
+      if (!tableSchema.fieldNames.contains(col)) return None
+      val dt = tableSchema(col).dataType
+      // files that contain at least one non-null value must carry stats;
+      // all-null or empty files legitimately have none
+      val contributing = files.filter(f =>
+        f.rows > 0 && !f.nullCount(col).contains(f.rows))
+      if (!contributing.forall(f => f.min.contains(col) && f.max.contains(col)))
+        return None
+      // a file with unknown null count but absent stats is indistinguishable
+      // from missing stats — the forall above already refused that case
+      val raws = contributing.map(f => if (isMin) f.min(col) else f.max(col))
+      val parsed = raws.map(r => parseTyped(dt, r))
+      if (parsed.contains(None)) return None
+      val vals = parsed.flatten
+      if (vals.isEmpty) Some((dt, null)) // MIN/MAX over no non-null rows
+      else Some((dt, vals.reduce((a, b) =>
+        if (cmpCatalyst(dt, a, b) <= 0 == isMin) a else b)))
+    }
+
+  /** Parse a manifest stat string into the catalyst-internal value. */
+  private def parseTyped(dt: DataType, s: String): Option[Any] = dt match {
+    case LongType => s.toLongOption
+    case IntegerType | DateType => s.toIntOption
+    case ShortType => s.toShortOption
+    case ByteType => s.toByteOption
+    case DoubleType => s.toDoubleOption.filterNot(_.isNaN)
+    // float stats are stored exactly widened to double; narrow back
+    case FloatType => s.toDoubleOption.filterNot(_.isNaN).map(_.toFloat)
+    case TimestampType | TimestampNTZType => s.toLongOption
+    case StringType => Some(UTF8String.fromString(s))
+    case BooleanType => s.toBooleanOption
+    case _ => None
+  }
+
+  private def cmpCatalyst(dt: DataType, a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+    case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.binaryCompare(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalStateException(s"incomparable $a / $b")
+  }
+}
+
+/** A scan whose entire result was computed from the manifest at plan time:
+  * one partition, one row, zero parquet IO.
+  */
+private[v2] class IceLiteAggScan(
+    tableName: String, aggSchema: StructType, row: InternalRow)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"icelite $tableName aggPushed=[${aggSchema.fieldNames.mkString(",")}] (manifest-only)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IceLiteAggPartition(aggSchema.json,
+      aggSchema.fields.indices.map(i =>
+        if (row.isNullAt(i)) null
+        else row.get(i, aggSchema.fields(i).dataType) match {
+          case u: UTF8String => u.toString // serializable surrogate
+          case v => v
+        }).toArray))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ap = p.asInstanceOf[IceLiteAggPartition]
+        val schema = DataType.fromJson(ap.schemaJson).asInstanceOf[StructType]
+        val values = ap.values.zipWithIndex.map {
+          case (s: String, i) if schema.fields(i).dataType == StringType =>
+            UTF8String.fromString(s)
+          case (v, _) => v
+        }
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any])
+    extends InputPartition
 
 private[v2] class IceLiteScan(
     tableName: String, tableSchema: StructType, partitionBy: Seq[String],

@@ -148,6 +148,32 @@ class DsV2Spec extends SparkSpec {
     assert(plannedOf(scanDescOf(all))._2 == 4)
   }
 
+  test("COUNT/MIN/MAX push down to the manifest: no parquet read at all") {
+    val (wh, df) = mkTable("aggpush")
+    val load = () => spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_t").load()
+    val q = load().agg(
+      count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
+      max(col("o_orderkey")).as("hi"), count(col("o_custkey")).as("nc"))
+    val desc = scanDescOf(q)
+    assert(desc.contains("aggPushed=") && desc.contains("manifest-only"),
+      s"aggregation not answered from manifest: $desc")
+    val r = q.collect()(0)
+    val expect = df.agg(count(lit(1)), min(col("o_orderkey")),
+      max(col("o_orderkey")), count(col("o_custkey"))).collect()(0)
+    assert(r == expect, s"$r != $expect")
+    // a WHERE clause makes manifest totals wrong — must fall back to a scan
+    val filtered = load().filter(col("o_orderkey") > 100).agg(count(lit(1)).as("n"))
+    assert(!scanDescOf(filtered).contains("aggPushed"),
+      s"filtered aggregate must not push: ${scanDescOf(filtered)}")
+    assert(filtered.collect()(0).getLong(0) ==
+      df.filter(col("o_orderkey") > 100).count())
+    // unsupported aggregates (SUM) also fall back, still correct
+    val summed = load().agg(sum(col("o_orderkey")).as("s"))
+    assert(!scanDescOf(summed).contains("aggPushed"))
+    assert(summed.collect()(0) == df.agg(sum(col("o_orderkey"))).collect()(0))
+  }
+
   test("partitioned tables read through DSv2/SQL catalog with partition pruning") {
     val wh = warehouse("part")
     val cat = new IceCatalog(spark, wh)
