@@ -415,6 +415,12 @@ private[v2] class IceLiteScan(
     val spark = SparkSession.active
     val c = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
+    // row-group skipping: hand the data-column subset of the pushed filters
+    // to parquet-mr as a FilterPredicate — the vectorized reader then drops
+    // whole row groups from footer stats before any page IO. Filters stay
+    // residual in the Spark plan regardless, so this is IO pruning only.
+    RowGroupFilter.build(filters, dataSchema)
+      .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, p))
     // the vectorized reader's schema converter and read support expect these
     // session-level SQL confs to be present in the task-side Hadoop conf
     // (Spark's native scan injects them the same way; they carry no
@@ -504,6 +510,167 @@ private[v2] class IceLiteColumnarReader(
 
   override def get(): ColumnarBatch = batch
   override def close(): Unit = reader.close()
+}
+
+/** Maps the sound subset of Spark source filters onto parquet-mr's
+  * `FilterApi` so row groups whose footer statistics cannot match are
+  * skipped before any page IO. Only shapes with conservative parquet
+  * statistics semantics are translated (no Not — its stats inversion is
+  * easy to get subtly wrong); everything else simply contributes no
+  * predicate. All filters remain residual in the Spark plan, so this can
+  * only skip IO, never change results.
+  */
+private[v2] object RowGroupFilter {
+
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+  import org.apache.spark.sql.sources._
+
+  def build(filters: Array[Filter], dataSchema: StructType): Option[FilterPredicate] = {
+    val preds = filters.flatMap(f => translate(f, dataSchema))
+    preds.reduceOption(FilterApi.and)
+  }
+
+  private def dt(c: String, schema: StructType): Option[DataType] =
+    schema.fields.find(_.name == c).map(_.dataType)
+
+  // one comparison kind across the typed FilterApi overloads
+  private sealed trait Op
+  private case object EqOp extends Op
+  private case object LtOp extends Op
+  private case object LtEqOp extends Op
+  private case object GtOp extends Op
+  private case object GtEqOp extends Op
+
+  private def cmp(c: String, v: Any, schema: StructType, op: Op): Option[FilterPredicate] =
+    dt(c, schema).flatMap {
+      case IntegerType => intPred(c, Option(v).map {
+        case n: Number => Int.box(n.intValue); case _ => return None
+      }, op)
+      case DateType => intPred(c, Option(v).map {
+        case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+        case _ => return None
+      }, op)
+      case LongType => longPred(c, Option(v).map {
+        case n: Number => Long.box(n.longValue); case _ => return None
+      }, op)
+      case TimestampType | TimestampNTZType => longPred(c, Option(v).map {
+        case t: java.sql.Timestamp =>
+          Long.box(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        case i: java.time.Instant =>
+          Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case l: java.time.LocalDateTime =>
+          val i = l.toInstant(java.time.ZoneOffset.UTC)
+          Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case _ => return None
+      }, op)
+      case DoubleType => doublePred(c, Option(v).map {
+        case n: Number => Double.box(n.doubleValue); case _ => return None
+      }, op)
+      case FloatType => floatPred(c, Option(v).map {
+        case n: java.lang.Float => n
+        case _ => return None
+      }, op)
+      case StringType => binPred(c, Option(v).map {
+        case s: String => Binary.fromString(s)
+        case u: UTF8String => Binary.fromString(u.toString)
+        case _ => return None
+      }, op)
+      case BooleanType => op match {
+        // only eq is defined for booleans in FilterApi
+        case EqOp => Option(v).collect {
+          case b: java.lang.Boolean => FilterApi.eq(FilterApi.booleanColumn(c), b)
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def intPred(c: String, v: Option[Integer], op: Op) = {
+    val col = FilterApi.intColumn(c)
+    op match {
+      case EqOp => Some(FilterApi.eq(col, v.orNull))
+      case LtOp => v.map(FilterApi.lt(col, _))
+      case LtEqOp => v.map(FilterApi.ltEq(col, _))
+      case GtOp => v.map(FilterApi.gt(col, _))
+      case GtEqOp => v.map(FilterApi.gtEq(col, _))
+    }
+  }
+  private def longPred(c: String, v: Option[java.lang.Long], op: Op) = {
+    val col = FilterApi.longColumn(c)
+    op match {
+      case EqOp => Some(FilterApi.eq(col, v.orNull))
+      case LtOp => v.map(FilterApi.lt(col, _))
+      case LtEqOp => v.map(FilterApi.ltEq(col, _))
+      case GtOp => v.map(FilterApi.gt(col, _))
+      case GtEqOp => v.map(FilterApi.gtEq(col, _))
+    }
+  }
+  private def doublePred(c: String, v: Option[java.lang.Double], op: Op) = {
+    val col = FilterApi.doubleColumn(c)
+    op match {
+      case EqOp => Some(FilterApi.eq(col, v.orNull))
+      case LtOp => v.map(FilterApi.lt(col, _))
+      case LtEqOp => v.map(FilterApi.ltEq(col, _))
+      case GtOp => v.map(FilterApi.gt(col, _))
+      case GtEqOp => v.map(FilterApi.gtEq(col, _))
+    }
+  }
+  private def floatPred(c: String, v: Option[java.lang.Float], op: Op) = {
+    val col = FilterApi.floatColumn(c)
+    op match {
+      case EqOp => Some(FilterApi.eq(col, v.orNull))
+      case LtOp => v.map(FilterApi.lt(col, _))
+      case LtEqOp => v.map(FilterApi.ltEq(col, _))
+      case GtOp => v.map(FilterApi.gt(col, _))
+      case GtEqOp => v.map(FilterApi.gtEq(col, _))
+    }
+  }
+  private def binPred(c: String, v: Option[Binary], op: Op) = {
+    val col = FilterApi.binaryColumn(c)
+    op match {
+      case EqOp => Some(FilterApi.eq(col, v.orNull))
+      case LtOp => v.map(FilterApi.lt(col, _))
+      case LtEqOp => v.map(FilterApi.ltEq(col, _))
+      case GtOp => v.map(FilterApi.gt(col, _))
+      case GtEqOp => v.map(FilterApi.gtEq(col, _))
+    }
+  }
+
+  /** Sound translation or None (conjuncts translate independently). */
+  private def translate(f: Filter, schema: StructType): Option[FilterPredicate] = f match {
+    case EqualTo(c, v) if v != null => cmp(c, v, schema, EqOp)
+    case GreaterThan(c, v) if v != null => cmp(c, v, schema, GtOp)
+    case GreaterThanOrEqual(c, v) if v != null => cmp(c, v, schema, GtEqOp)
+    case LessThan(c, v) if v != null => cmp(c, v, schema, LtOp)
+    case LessThanOrEqual(c, v) if v != null => cmp(c, v, schema, LtEqOp)
+    case In(c, vs) if vs != null && vs.nonEmpty && vs.length <= 20 =>
+      val eqs = vs.toSeq.map(v =>
+        if (v == null) None else cmp(c, v, schema, EqOp))
+      if (eqs.contains(None)) None else eqs.flatten.reduceOption(FilterApi.or)
+    case IsNull(c) => cmp(c, null, schema, EqOp)
+    case IsNotNull(c) => dt(c, schema).flatMap {
+      case IntegerType | DateType => Some(FilterApi.notEq(FilterApi.intColumn(c), null: Integer))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(FilterApi.notEq(FilterApi.longColumn(c), null: java.lang.Long))
+      case DoubleType => Some(FilterApi.notEq(FilterApi.doubleColumn(c), null: java.lang.Double))
+      case FloatType => Some(FilterApi.notEq(FilterApi.floatColumn(c), null: java.lang.Float))
+      case StringType => Some(FilterApi.notEq(FilterApi.binaryColumn(c),
+        null: org.apache.parquet.io.api.Binary))
+      case BooleanType => Some(FilterApi.notEq(FilterApi.booleanColumn(c), null: java.lang.Boolean))
+      case _ => None
+    }
+    case And(l, r) =>
+      (translate(l, schema), translate(r, schema)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b) // partial conjunction is still sound
+      }
+    case Or(l, r) =>
+      for { a <- translate(l, schema); b <- translate(r, schema) }
+        yield FilterApi.or(a, b)
+    case _ => None
+  }
 }
 
 /** Hive-style partition-value plumbing: parse `col=value` path segments,
