@@ -106,6 +106,41 @@ class IceTable(
 
   def toDF: DataFrame = scan()
 
+  /** Incremental append scan (the Iceberg `incremental read` analog, and
+    * the batch form of CDC tailing): rows added by snapshots AFTER
+    * `fromSnapshotId` (exclusive) up to `toSnapshotId` (inclusive, default
+    * current). Planning is pure metadata — the union of the qualifying
+    * snapshots' `addedFiles` manifests; cost tracks the CHANGE volume, not
+    * table size, which is the whole point at 100 TB. Fails loudly when the
+    * range contains a non-append snapshot (replace/upsert/compact rewrite
+    * history; their added files are not pure inserts), matching Iceberg's
+    * incremental-append-scan contract.
+    */
+  def changesSince(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = meta
+    val to = toSnapshotId.getOrElse(m.currentSnapshotId)
+    require(fromSnapshotId == 0L || m.snapshot(fromSnapshotId).isDefined,
+      s"no snapshot $fromSnapshotId in $namespace.$name")
+    require(m.snapshot(to).isDefined, s"no snapshot $to in $namespace.$name")
+    val range = m.snapshots.filter(s =>
+      s.snapshotId > fromSnapshotId && s.snapshotId <= to)
+    val nonAppend = range.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"incremental scan over $namespace.$name hit non-append snapshots " +
+        s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}; " +
+        "read the full snapshot instead")
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val files = range.flatMap(s =>
+      if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
+      else s.addedFiles.map(p => FileStat(p, -1L, 0L)))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+    else if (m.partitionBy.nonEmpty)
+      scanFilesPartitioned(m.snapshot(to).map(_.dataDirs).getOrElse(Nil),
+        tableSchema, files)
+    else spark.read.schema(tableSchema).parquet(files.map(_.path): _*)
+  }
+
   // -- write path -------------------------------------------------------------
 
   /** Align an incoming DataFrame to the table schema: same column set
@@ -252,7 +287,9 @@ class IceTable(
     val tgt =
       if (candidates.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-      else if (m.partitionBy.nonEmpty) scanFilesPartitioned(m, tableSchema, candidates)
+      else if (m.partitionBy.nonEmpty)
+        scanFilesPartitioned(current.map(_.dataDirs).getOrElse(Nil),
+          tableSchema, candidates)
       else spark.read.schema(tableSchema).parquet(candidates.map(_.path): _*)
     val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val merged = tgt.join(src, cond, "left_anti").unionByName(src)
@@ -267,9 +304,9 @@ class IceTable(
     * partition values from directory names with declared (not inferred)
     * types.
     */
-  private def scanFilesPartitioned(m: TableMeta, tableSchema: StructType,
+  private def scanFilesPartitioned(snapDirs: Seq[String], tableSchema: StructType,
       files: Seq[FileStat]): DataFrame = {
-    val dirs = m.currentSnapshot.map(_.dataDirs).getOrElse(Nil).map(qualify)
+    val dirs = snapDirs.map(qualify)
     files.groupBy(f => dirs.find(d => qualify(f.path).startsWith(d + "/"))
         .getOrElse(new Path(f.path).getParent.toString))
       .toSeq.sortBy(_._1)

@@ -124,6 +124,31 @@ object IceliteOps {
         tbl.scan(snapshotId = Some(firstSnap)).orderBy("event_id")
       }),
 
+    // R8b: incremental append scan (the Iceberg incremental-read analog,
+    // batch CDC): rows added strictly after a pinned snapshot. Planning is
+    // metadata-only over the addedFiles manifests of the (from, to] range,
+    // so cost tracks change volume, not table size — the read pattern that
+    // makes daily-delta pipelines viable on a 100 TB table. Exercised
+    // through the DSv2 option (`fromSnapshotId`); IceliteSpec covers the
+    // DataFrame API and the loud failure on non-append history.
+    QDef(
+      "r8b_incremental_scan",
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM events
+             |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "r8b")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events")
+        val tbl = cat.createTable("lake", "events_i", ev.schema)
+        (0 until 3).foreach(i => tbl.append(ev.filter(col("event_id") % 3 === i)))
+        val first = tbl.snapshots.head.snapshotId
+        s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_i")
+          .option("fromSnapshotId", first.toString)
+          .load()
+          .orderBy("event_id")
+      }),
+
     // D1-D9: catalog DDL + sync-action listings (namespaces, tables,
     // snapshots, columns) rendered as rows; ids are deterministic because
     // snapshot ids are sequential per table.

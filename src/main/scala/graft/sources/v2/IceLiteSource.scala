@@ -72,7 +72,8 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     val (meta, fs) = loadMeta(options)
     val warehouse = Option(options.get("warehouse")).get
     IceLiteV2.buildTable(warehouse, meta, fs,
-      Option(options.get("snapshotId")), Some(schema))
+      Option(options.get("snapshotId")), Some(schema),
+      Option(options.get("fromSnapshotId")))
   }
 }
 
@@ -111,23 +112,42 @@ private[v2] object IceLiteV2 {
 
   def buildTable(warehouse: String, meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem,
-      snapshotId: Option[String], schema: Option[StructType] = None): IceLiteTable = {
+      snapshotId: Option[String], schema: Option[StructType] = None,
+      fromSnapshotId: Option[String] = None): IceLiteTable = {
     val snap = pinnedSnapshot(meta, snapshotId)
     // plan strictly from the committed manifest — never from directory
     // listings, which could surface uncommitted output of failed or
     // speculative write tasks. Legacy snapshots (no inline manifest) fall
     // back to a listing with unknown stats.
-    val files: Seq[FileStat] =
-      if (snap == null) Nil
-      else if (snap.files.nonEmpty) snap.files
-      else snap.dataDirs.flatMap { d =>
-        val it = fs.listFiles(new Path(d), true)
-        Iterator.continually(it).takeWhile(_.hasNext)
-          .map(_.next())
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
-          .toSeq
-      }.sortBy(_.path)
+    val files: Seq[FileStat] = fromSnapshotId match {
+      case Some(fromS) if snap != null =>
+        // incremental append scan: only the files ADDED by snapshots in
+        // (from, pinned]; planning cost tracks change volume, not table size
+        val from = fromS.toLong
+        require(from == 0L || meta.snapshot(from).isDefined,
+          s"no snapshot $from in ${meta.namespace}.${meta.name}")
+        val range = meta.snapshots.filter(s =>
+          s.snapshotId > from && s.snapshotId <= snap.snapshotId)
+        val nonAppend = range.filterNot(_.operation == "append")
+        require(nonAppend.isEmpty,
+          s"incremental scan hit non-append snapshots " +
+            s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
+        range.flatMap(s =>
+          if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
+          else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L)))
+          .sortBy(_.path)
+      case _ =>
+        if (snap == null) Nil
+        else if (snap.files.nonEmpty) snap.files
+        else snap.dataDirs.flatMap { d =>
+          val it = fs.listFiles(new Path(d), true)
+          Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next())
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
+            .toSeq
+        }.sortBy(_.path)
+    }
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files)
   }

@@ -240,6 +240,36 @@ class IceliteSpec extends SparkSpec {
     }
   }
 
+  test("changesSince reads only rows added after the pinned snapshot") {
+    val cat = new IceCatalog(spark, scratch("incr"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))
+    tbl.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+    tbl.append(nation.filter(col("n_nationkey") >= 20))
+    val snaps = tbl.snapshots.map(_.snapshotId)
+    // after first snapshot: the later two appends
+    assert(tbl.changesSince(snaps.head).count() == 15)
+    // bounded range: only the middle append
+    assert(tbl.changesSince(snaps.head, Some(snaps(1)))
+      .agg(min("n_nationkey"), max("n_nationkey")).collect()(0)
+      .toSeq == Seq(10, 19))
+    // from zero = everything; from current = nothing
+    assert(tbl.changesSince(0L).count() == 25)
+    assert(tbl.changesSince(snaps.last).count() == 0)
+    // a rewrite in range fails loudly instead of fabricating deltas
+    tbl.compact(targetFiles = 1)
+    intercept[IllegalArgumentException](tbl.changesSince(snaps.head))
+    // partitioned layout works too (values recovered per file)
+    val p = cat.createTable("ns", "p", nation.schema, partitionBy = Seq("n_regionkey"))
+    p.append(nation.filter(col("n_nationkey") < 10))
+    p.append(nation.filter(col("n_nationkey") >= 10))
+    val delta = p.changesSince(p.snapshots.head.snapshotId)
+    assert(delta.count() == 15)
+    assert(delta.select("n_regionkey").distinct().count() ==
+      nation.filter(col("n_nationkey") >= 10)
+        .select("n_regionkey").distinct().count())
+  }
+
   test("compact reads at full parallelism and funnels into targetFiles") {
     val cat = new IceCatalog(spark, scratch("compactpar"))
     val tbl = cat.createTable("ns", "t", nation.schema)
