@@ -151,6 +151,40 @@ private[v2] object IceLiteV2 {
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files)
   }
+
+  /** Build the columnar reader factory: serialized driver Hadoop conf with
+    * the session SQL confs the vectorized reader expects, plus (when
+    * filters are given) a parquet FilterPredicate for row-group skipping.
+    * Shared by the batch scan and the micro-batch stream.
+    */
+  def readerFactory(dataSchema: StructType, partSchema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter], limit: Int)
+      : PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val c = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    // row-group skipping: hand the data-column subset of the pushed filters
+    // to parquet-mr as a FilterPredicate — the vectorized reader then drops
+    // whole row groups from footer stats before any page IO. Filters stay
+    // residual in the Spark plan regardless, so this is IO pruning only.
+    RowGroupFilter.build(filters, dataSchema)
+      .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, p))
+    // the vectorized reader's schema converter and read support expect these
+    // session-level SQL confs to be present in the task-side Hadoop conf
+    // (Spark's native scan injects them the same way; they carry no
+    // defaults at that layer)
+    Seq(
+      "spark.sql.parquet.binaryAsString" -> "false",
+      "spark.sql.parquet.int96AsTimestamp" -> "true",
+      "spark.sql.caseSensitive" -> "false",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false",
+      "spark.sql.parquet.fieldId.read.enabled" -> "false",
+      "spark.sql.session.timeZone" -> java.util.TimeZone.getDefault.getID
+    ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
+    new IceLiteReaderFactory(
+      new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit)
+  }
 }
 
 private[v2] class IceLiteTable(
@@ -161,10 +195,11 @@ private[v2] class IceLiteTable(
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IceLiteScanBuilder(name(), tableSchema, partitionBy, files)
+    new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -172,7 +207,8 @@ private[v2] class IceLiteTable(
 }
 
 private[v2] class IceLiteScanBuilder(
-    tableName: String, tableSchema: StructType, partitionBy: Seq[String],
+    warehouse: String, ns: String, tbl: String,
+    tableSchema: StructType, partitionBy: Seq[String],
     files: Seq[FileStat])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
@@ -222,9 +258,10 @@ private[v2] class IceLiteScanBuilder(
   override def pushLimit(n: Int): Boolean = { limit = n; false /* partial: per-partition */ }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) => new IceLiteAggScan(tableName, schema, row)
+    case Some((schema, row)) => new IceLiteAggScan(s"$ns.$tbl", schema, row)
     case None =>
-      new IceLiteScan(tableName, tableSchema, partitionBy, required, files, pushed, limit)
+      new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
+        files, pushed, limit)
   }
 }
 
@@ -385,9 +422,12 @@ private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any
     extends InputPartition
 
 private[v2] class IceLiteScan(
-    tableName: String, tableSchema: StructType, partitionBy: Seq[String],
+    warehouse: String, ns: String, tbl: String,
+    tableSchema: StructType, partitionBy: Seq[String],
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
     limit: Int) extends Scan with Batch with SupportsReportStatistics {
+
+  private def tableName: String = s"$ns.$tbl"
 
   // the columnar batch is laid out data-columns-then-partition-columns
   // (initBatch appends partition vectors at the end), so readSchema must
@@ -431,31 +471,73 @@ private[v2] class IceLiteScan(
       else OptionalLong.of(planned.map(_._1.rows).sum)
   }
 
+  override def createReaderFactory(): PartitionReaderFactory =
+    IceLiteV2.readerFactory(dataSchema, partSchema, filters, limit)
+
+  /** The micro-batch face of the same table: offsets are snapshot ids and
+    * each batch reads exactly the files ADDED by its snapshot range —
+    * streaming-tailing the append log (the read twin of the foreachBatch
+    * snapshot sink, st4). Spark's streaming planner doesn't run DSv2
+    * pushdown, so the stream serves the full declared schema.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy)
+}
+
+/** Snapshot-id offsets for the streaming read. */
+private[v2] case class IceOffset(snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** Micro-batch tail of an IceLite table's append log. Each trigger advances
+  * the offset to the current snapshot id and reads the addedFiles manifests
+  * of the in-range snapshots — planning cost tracks change volume, never
+  * table size, and a non-append snapshot in range fails loudly (same
+  * contract as the batch incremental scan). Exactly-once delivery comes
+  * from Spark's offset log: a batch replays identically because snapshot
+  * ranges are immutable.
+  */
+private[v2] class IceLiteMicroBatchStream(
+    warehouse: String, ns: String, tbl: String,
+    tableSchema: StructType, partitionBy: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentMeta = IceLiteV2.loadMeta(warehouse, ns, tbl)._1
+
+  override def initialOffset(): Offset = IceOffset(0L)
+  override def latestOffset(): Offset = IceOffset(currentMeta.currentSnapshotId)
+  override def deserializeOffset(json: String): Offset = IceOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[IceOffset].snapshotId
+    val to = end.asInstanceOf[IceOffset].snapshotId
+    val m = currentMeta
+    val range = m.snapshots.filter(s => s.snapshotId > from && s.snapshotId <= to)
+    val nonAppend = range.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"streaming read of $ns.$tbl hit non-append snapshots " +
+        s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
+    range.flatMap(s =>
+      if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
+      else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L)))
+      .sortBy(_.path)
+      .map(f => IceLiteInputPartition(f.path, f.bytes,
+        PartValues.parse(f.path, partitionBy)): InputPartition)
+      .toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    val c = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    // row-group skipping: hand the data-column subset of the pushed filters
-    // to parquet-mr as a FilterPredicate — the vectorized reader then drops
-    // whole row groups from footer stats before any page IO. Filters stay
-    // residual in the Spark plan regardless, so this is IO pruning only.
-    RowGroupFilter.build(filters, dataSchema)
-      .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, p))
-    // the vectorized reader's schema converter and read support expect these
-    // session-level SQL confs to be present in the task-side Hadoop conf
-    // (Spark's native scan injects them the same way; they carry no
-    // defaults at that layer)
-    Seq(
-      "spark.sql.parquet.binaryAsString" -> "false",
-      "spark.sql.parquet.int96AsTimestamp" -> "true",
-      "spark.sql.caseSensitive" -> "false",
-      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
-      "spark.sql.legacy.parquet.nanosAsLong" -> "false",
-      "spark.sql.parquet.fieldId.read.enabled" -> "false",
-      "spark.sql.session.timeZone" -> java.util.TimeZone.getDefault.getID
-    ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
-    new IceLiteReaderFactory(
-      new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit)
+    val dataSchema = StructType(
+      tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+    val partSchema = StructType(
+      tableSchema.fields.filter(f => partitionBy.contains(f.name)))
+    IceLiteV2.readerFactory(dataSchema, partSchema, Array.empty, -1)
   }
 }
 
@@ -506,9 +588,12 @@ private[v2] class IceLiteColumnarReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, /* capacity = */ 4096)
     // Spark's reader base downcasts to the mapred flavor of FileSplit (which
-    // extends the mapreduce one), so that is the class to hand it
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(file), 0, length, Array.empty[String])
+    // extends the mapreduce one), so that is the class to hand it.
+    // A zero/unknown length (legacy manifest entries) must not become an
+    // empty split — stat the file instead.
+    val p = new Path(file)
+    val len = if (length > 0) length else p.getFileSystem(c).getFileStatus(p).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
     r.initialize(split, new TaskAttemptContextImpl(c, new TaskAttemptID()))
     r.initBatch(partSchema, PartValues.internalRow(partSchema, rawPartValues))
     r.enableReturningBatches()

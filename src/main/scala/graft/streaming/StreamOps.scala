@@ -189,6 +189,32 @@ object StreamOps {
         cat.loadTable("lake", "events_s").toDF.orderBy("event_id")
       }),
 
+    // Streaming SOURCE over the IceLite table layer: readStream tails the
+    // append-snapshot log (offsets = snapshot ids, each micro-batch reads
+    // exactly the files added by its snapshot range — change-volume cost,
+    // never table-size cost). The read twin of st4's snapshot sink:
+    // together they form an end-to-end incremental pipeline over ACID
+    // table commits. Exactly-once replay holds because snapshot ranges are
+    // immutable.
+    QDef(
+      "st5_stream_icelite_source",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.freshWarehouse(s, "st5")
+        val cat = new graft.icelite.IceCatalog(s, wh)
+        val ev = QUtil.t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_src", ev.schema)
+        // three append snapshots = three planned micro-batch ranges
+        (0 until 3).foreach(i => tbl.append(ev.filter(col("event_id") % 3 === i)))
+        val stream = s.readStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_src")
+          .load()
+        runToTable(stream, OutputMode.Append(), s"st5_sink_${System.nanoTime()}")
+          .orderBy("event_id")
+      }),
+
     // Stateful sessionization: 1-hour-gap sessions per user via
     // flatMapGroupsWithState (custom state machine, not a window rewrite).
     QDef(
