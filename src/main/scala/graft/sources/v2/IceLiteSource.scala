@@ -425,9 +425,25 @@ private[v2] class IceLiteScan(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
-    limit: Int) extends Scan with Batch with SupportsReportStatistics {
+    limit: Int) extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private def tableName: String = s"$ns.$tbl"
+
+  /** Dynamic partition pruning: joins on a partition column hand the
+    * joined key set to the scan at execution time as an In filter, and
+    * whole partitions drop out of `planInputPartitions` before any IO —
+    * the v2 equivalent of DPP on a hive layout, which is what makes
+    * fact-times-dim joins affordable when the fact is 100 TB and the dim
+    * filter keeps three partitions.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionBy.filter(tableSchema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   // the columnar batch is laid out data-columns-then-partition-columns
   // (initBatch appends partition vectors at the end), so readSchema must
@@ -441,27 +457,37 @@ private[v2] class IceLiteScan(
   override def readSchema(): StructType = StructType(dataSchema ++ partSchema)
   override def toBatch: Batch = this
 
-  /** Files that survive manifest-stat + partition-value pruning, with the
-    * raw partition values parsed from their paths.
+  /** Files that survive manifest-stat + partition-value pruning under the
+    * given filter set, with the raw partition values parsed from their
+    * paths.
     */
-  private lazy val planned: Seq[(FileStat, Map[String, Option[String]])] =
+  private def prune(fs: Seq[Filter]): Seq[(FileStat, Map[String, Option[String]])] =
     files.flatMap { f =>
       val raw = PartValues.parse(f.path, partitionBy)
       val pv = PartValues.decodeExternal(tableSchema, partitionBy, raw)
-      if (filters.forall(FilePrune.canMatch(_, tableSchema, f, pv)))
+      if (fs.forall(FilePrune.canMatch(_, tableSchema, f, pv)))
         Some((f, raw))
       else None
     }
+
+  // static pruning only — description/statistics are plan-time artifacts;
+  // runtime filters re-prune in planInputPartitions
+  private lazy val planned: Seq[(FileStat, Map[String, Option[String]])] =
+    prune(filters.toSeq)
 
   override def description(): String =
     s"icelite $tableName files=${files.size} planned=${planned.size} " +
       s"readSchema=${readSchema().fieldNames.mkString(",")} " +
       s"pushedFilters=[${filters.mkString(", ")}] limit=$limit"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    planned.map { case (f, raw) =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val effective =
+      if (runtimeFilters.isEmpty) planned
+      else prune((filters ++ runtimeFilters).toSeq)
+    effective.map { case (f, raw) =>
       IceLiteInputPartition(f.path, f.bytes, raw): InputPartition
     }.toArray
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =

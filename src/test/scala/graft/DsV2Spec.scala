@@ -112,6 +112,39 @@ class DsV2Spec extends SparkSpec {
     assert(current.count() == df.count())
   }
 
+  test("join on a partition column runtime-prunes scan partitions (DPP)") {
+    val wh = warehouse("dpp")
+    val cat = new IceCatalog(spark, wh)
+    val ev = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    cat.createTable("lake", "fact", ev.schema, partitionBy = Seq("event_type"))
+      .append(ev)
+    spark.conf.set("spark.sql.catalog.ice_dpp", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_dpp.warehouse", wh)
+    import spark.implicits._
+    // dim must be file-backed: a LocalRelation dim gets its filter folded
+    // away by ConvertToLocalRelation before PartitionPruning can see a
+    // selective predicate. The predicate keeps two of five keys — DPP
+    // hands exactly those to the fact scan at runtime.
+    val dimPath = scratch("dpp-dim")
+    Seq(("click", 1.0), ("purchase", 2.0), ("view", 99.0),
+      ("error", 99.0), ("signup", 99.0))
+      .toDF("etype", "weight").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dim")
+    val q = spark.sql(
+      """SELECT f.event_id, f.event_type, d.weight
+        |FROM ice_dpp.lake.fact f JOIN dim d ON f.event_type = d.etype
+        |WHERE d.weight < 10.0""".stripMargin)
+    val expect = ev.filter(col("event_type").isin("click", "purchase")).count()
+    assert(q.collect().length == expect)
+    // AQE injects the v2 runtime filter during execution — inspect the
+    // final plan of THIS QueryExecution only after collect() ran it
+    // (count() would execute a different QueryExecution)
+    val runtime = q.queryExecution.executedPlan.toString
+    assert(runtime.contains("dynamicpruningexpression"),
+      s"no runtime filter injected into the scan: $runtime")
+  }
+
   test("streaming source tails append snapshots and resumes from checkpoint") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("stream")
