@@ -189,23 +189,28 @@ object ComponentMain {
       cfg: ComponentConfig, dst: WrDestination, dataDir: String): Unit = {
     val p = cfg.parameters
     val inTables = Paths.get(dataDir, "in", "tables")
-    val csvs =
+    // a platform table is a single CSV file; a directory of part files
+    // (Spark's own sink layout) is accepted identically — spark.read.csv
+    // handles both. Parquet inputs are accepted too — the reference stubs
+    // this path out (`wr/src/component.py:78-81`, commented out); here it
+    // is just a different reader in front of the same table flow.
+    val inputs =
       if (!Files.exists(inTables)) Nil
-      // a platform table is a single CSV file; a directory of part files
-      // (Spark's own sink layout) is accepted identically — spark.read.csv
-      // handles both
       else Files.list(inTables).iterator().asScala
-        .filter(_.toString.endsWith(".csv")).toSeq
+        .filter(f => f.toString.endsWith(".csv") || f.toString.endsWith(".parquet"))
+        .toSeq
     // C2 input-shape validation (`wr:42-46`)
-    if (csvs.size != 1)
-      throw new UserException(s"expected exactly one input table, found ${csvs.size}")
-    val csv = csvs.head
-    val manifestPath = Paths.get(csv.toString + ".manifest")
+    if (inputs.size != 1)
+      throw new UserException(s"expected exactly one input table, found ${inputs.size}")
+    val input = inputs.head
+    val manifestPath = Paths.get(input.toString + ".manifest")
     val manifest =
       if (Files.exists(manifestPath))
         KeboolaManifest.fromJson(Files.readString(manifestPath))
       else KeboolaManifest()
-    val df = KeboolaCsv.read(spark, csv.toString, manifest, allVarchar = p.allVarchar)
+    val df =
+      if (input.toString.endsWith(".parquet")) spark.read.parquet(input.toString)
+      else KeboolaCsv.read(spark, input.toString, manifest, allVarchar = p.allVarchar)
 
     val exists = cat.tableExists(dst.namespace, dst.tableName)
     dst.mode match {

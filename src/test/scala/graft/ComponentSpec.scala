@@ -96,6 +96,22 @@ class ComponentSpec extends SparkSpec {
     assert(out.contains("\"label\": \"n_name (STRING)\""), out)
   }
 
+  test("writer accepts a parquet input table") {
+    val d = dataDir("wrpq")
+    val wh = scratch("component-wrpq-wh")
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    n.coalesce(1).write.parquet(Paths.get(d, "in", "tables", "nation.parquet").toString)
+    writeConfig(d,
+      s"""{"action": "run", "parameters": {
+         |  "catalog": {"warehouse": "$wh"},
+         |  "wr_destination": {"namespace": "lake", "table_name": "nation_w",
+         |                     "mode": "append"}}}""".stripMargin)
+    assert(ComponentMain.execute(spark, d) == 0)
+    val back = new IceCatalog(spark, wh).loadTable("lake", "nation_w").toDF
+    assert(back.count() == n.count())
+    assert(back.schema == n.schema)
+  }
+
   test("error taxonomy: user error 1, missing config 1, bad mode 1") {
     val d = dataDir("err")
     writeConfig(d, """{"action": "run", "parameters": {"catalog": {"warehouse": ""}}}""")
