@@ -318,6 +318,45 @@ class IceTable(
       .reduce(_ unionByName _)
   }
 
+  /** Row-level DELETE (the engine behind SQL `DELETE FROM … WHERE …` on the
+    * icelite catalog): file-granular copy-on-write, like upsert. Manifest
+    * stats and exact hive-partition values prove which files cannot contain
+    * a matching row — those carry forward untouched; partition-only deletes
+    * are metadata-plus-rewrite-of-nothing when stats prove entire files
+    * match nothing. Candidate files are rewritten keeping the rows where
+    * the condition is NOT TRUE (false or NULL — SQL DELETE semantics).
+    */
+  def deleteWhere(filters: Seq[org.apache.spark.sql.sources.Filter]): IceTable = {
+    val m = meta
+    val current = m.currentSnapshot.getOrElse(return this)
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val cond = filters.flatMap(FilterCol.toColumn) match {
+      case cols if cols.length == filters.length && cols.nonEmpty =>
+        cols.reduce(_ && _)
+      case _ => throw new IllegalArgumentException(
+        s"delete condition not translatable: ${filters.mkString(", ")}")
+    }
+    val files = visibleFiles(current)
+    val (candidates, untouched) = files.partition { f =>
+      val raw = PartValues.parse(f.path, m.partitionBy)
+      val pv = PartValues.decodeExternal(tableSchema, m.partitionBy, raw)
+      filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
+    }
+    if (candidates.isEmpty) return this // nothing can match: no-op
+    val src =
+      if (m.partitionBy.nonEmpty)
+        scanFilesPartitioned(current.dataDirs, tableSchema, candidates)
+      else spark.read.schema(tableSchema).parquet(candidates.map(_.path): _*)
+    // keep rows where the condition is false or NULL
+    val kept = src.filter(!org.apache.spark.sql.functions.coalesce(
+      cond, org.apache.spark.sql.functions.lit(false)))
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val (dir, added) = writeData(kept, snapId, m.partitionBy)
+    val untouchedDirs = current.dataDirs
+      .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
+    commitSnapshot("delete", untouchedDirs :+ dir, added, carried = untouched)
+  }
+
   /** Snapshot expiry (the Iceberg `expire_snapshots` maintenance op): keep
     * the most recent `keepLast` snapshots, drop the rest from the metadata
     * log, and physically delete data directories referenced only by dropped

@@ -279,6 +279,34 @@ object IceliteOps {
         tbl.toDF.orderBy("event_id")
       }),
 
+    // K10: SQL row-level DELETE through the catalog. Same file-granular
+    // copy-on-write machinery as k5b: the range layout lets manifest stats
+    // prove three of four files contain no matching key, so a selective
+    // DELETE rewrites one file on a 100 TB table. NULL-condition rows
+    // survive (SQL DELETE removes only WHERE-is-TRUE rows).
+    QDef(
+      "k10_delete_where",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |WHERE NOT (o_orderkey <= 1000 AND o_orderstatus = 'F')
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k10")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_d", o.schema)
+        tbl.append(o.repartitionByRange(4, col("o_orderkey")))
+        s.conf.set("spark.sql.catalog.icelite_d", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d.warehouse", wh)
+        s.sql("""DELETE FROM icelite_d.lake.orders_d
+                |WHERE o_orderkey <= 1000 AND o_orderstatus = 'F'""".stripMargin)
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "delete" &&
+          snap.files.length > snap.addedFiles.length,
+          s"delete must be copy-on-write: ${snap.files.length} files, " +
+            s"${snap.addedFiles.length} rewritten")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // S1 via DataSource V2: spark.read.format("icelite") with projection +
     // filter pushdown reaching the source (SupportsPushDownRequiredColumns /
     // Filters — see graft.sources.v2.IceLiteSource) and snapshot pinning as

@@ -21,7 +21,7 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.icelite.{FilePrune, FileStat, MetaIo}
+import graft.icelite.{FilePrune, FileStat, MetaIo, PartValues}
 
 /** DataSource V2 surface for IceLite tables: `spark.read.format("icelite")
   * .option("warehouse", wh).option("table", "ns.tbl").load()`, with optional
@@ -190,13 +190,28 @@ private[v2] object IceLiteV2 {
 private[v2] class IceLiteTable(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
+
+  /** SQL `DELETE FROM <catalog>.<ns>.<tbl> WHERE …`: copy-on-write at file
+    * granularity via the table layer (see IceTable.deleteWhere). Claim only
+    * conditions we can replay exactly as Columns — Spark surfaces the rest
+    * as untranslatable instead of this source guessing.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(graft.icelite.FilterCol.supported)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    new graft.icelite.IceCatalog(SparkSession.active, warehouse)
+      .loadTable(ns, tbl).deleteWhere(filters.toSeq)
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files)
@@ -804,95 +819,3 @@ private[v2] object RowGroupFilter {
   }
 }
 
-/** Hive-style partition-value plumbing: parse `col=value` path segments,
-  * unescape, and decode to typed values (catalyst-internal for the batch
-  * vectors; the same representations — boxed numbers / strings — serve
-  * [[FilePrune]]'s external comparisons).
-  */
-private[v2] object PartValues {
-
-  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
-
-  /** Raw (still-string) partition values keyed by column name; None encodes
-    * the hive null partition. Data-file paths never contain '=' outside
-    * partition segments (snapshot dirs are `snap-NNNNN`, files `part-*`).
-    */
-  def parse(path: String, partitionBy: Seq[String]): Map[String, Option[String]] = {
-    if (partitionBy.isEmpty) return Map.empty
-    val byName = path.split('/').iterator.flatMap { seg =>
-      val i = seg.indexOf('=')
-      if (i <= 0) None
-      else Some(seg.substring(0, i) -> unescape(seg.substring(i + 1)))
-    }.toMap
-    partitionBy.flatMap(c => byName.get(c)
-      .map(v => c -> (if (v == HiveDefaultPartition) None else Some(v)))).toMap
-  }
-
-  /** Spark escapes special chars in partition dirs as %xx (one escape per
-    * byte of the UTF-8 encoding).
-    */
-  private def unescape(s: String): String = {
-    if (!s.contains('%')) return s
-    val out = new java.io.ByteArrayOutputStream()
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      val hex = if (ch == '%' && i + 2 < s.length) {
-        try Integer.parseInt(s.substring(i + 1, i + 3), 16)
-        catch { case _: NumberFormatException => -1 }
-      } else -1
-      if (hex >= 0) { out.write(hex); i += 3 }
-      else {
-        val bytes = ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out.write(bytes, 0, bytes.length)
-        i += 1
-      }
-    }
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-  }
-
-  /** Catalyst-internal value of one partition column. */
-  private def internalValue(dt: DataType, raw: String): Any = dt match {
-    case StringType => UTF8String.fromString(raw)
-    case IntegerType => raw.toInt
-    case LongType => raw.toLong
-    case ShortType => raw.toShort
-    case ByteType => raw.toByte
-    case DoubleType => raw.toDouble
-    case FloatType => raw.toFloat
-    case BooleanType => raw.toBoolean
-    case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
-    case TimestampType | TimestampNTZType =>
-      val i = java.time.Instant.parse(raw)
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    case other => throw new UnsupportedOperationException(
-      s"icelite: unsupported partition column type $other")
-  }
-
-  /** InternalRow of partition values matching `partSchema` field order. */
-  def internalRow(partSchema: StructType, raw: Map[String, Option[String]]): InternalRow = {
-    val row = new GenericInternalRow(partSchema.length)
-    partSchema.fields.zipWithIndex.foreach { case (f, i) =>
-      raw.getOrElse(f.name, None) match {
-        case Some(v) => row.update(i, internalValue(f.dataType, v))
-        case None => row.setNullAt(i)
-      }
-    }
-    row
-  }
-
-  /** Typed values for [[FilePrune]] (name -> value or null). Columns whose
-    * raw value fails to decode are omitted — absent means unprunable.
-    */
-  def decodeExternal(tableSchema: StructType, partitionBy: Seq[String],
-      raw: Map[String, Option[String]]): Map[String, Any] =
-    raw.flatMap { case (c, r) =>
-      if (!tableSchema.fieldNames.contains(c)) None
-      else r match {
-        case None => Some(c -> null)
-        case Some(s) =>
-          try Some(c -> internalValue(tableSchema(c).dataType, s))
-          catch { case _: Exception => None }
-      }
-    }
-}

@@ -131,6 +131,33 @@ class CatalogSpec extends SparkSpec {
     assert(pruned.count() == ev.filter(col("event_type") === "click").count())
   }
 
+  test("DELETE FROM: copy-on-write, SQL null semantics, truncate") {
+    val wh = configure("del")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "d"))
+      .toDF("id", "tag")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.repartitionByRange(2, col("id")))
+    // rows where the condition is NULL survive (tag = 'x' is NULL for id 3)
+    spark.sql("DELETE FROM icecat_del.lake.t WHERE tag = 'b'")
+    assert(tbl.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 4L))
+    val snap = tbl.meta.currentSnapshot.get
+    assert(snap.operation == "delete")
+    assert(snap.files.length > snap.addedFiles.length,
+      s"expected untouched files carried: $snap")
+    // key-range delete proves files irrelevant from manifest stats
+    spark.sql("DELETE FROM icecat_del.lake.t WHERE id >= 4")
+    assert(tbl.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+    // unconditional DELETE = truncate
+    spark.sql("DELETE FROM icecat_del.lake.t")
+    assert(tbl.toDF.count() == 0)
+    // history intact: time travel still reaches the pre-delete snapshots
+    assert(tbl.scan(snapshotId = Some(1L)).count() == 4)
+  }
+
   test("partition values with path-hostile characters round-trip") {
     val wh = configure("partesc")
     val cat = new IceCatalog(spark, wh)
