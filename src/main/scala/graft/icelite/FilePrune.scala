@@ -170,7 +170,11 @@ object FilePrune {
   private def parseStat(dt: DataType, s: String): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType => s.toLongOption
-    case FloatType | DoubleType => s.toDoubleOption.filterNot(_.isNaN)
+    // normalize -0.0 to 0.0: SQL equality (and Spark's join key
+    // normalization) treats them as equal, but IEEE compare orders them —
+    // an un-normalized -0.0 bound could wrongly prune a matching file
+    case FloatType | DoubleType =>
+      s.toDoubleOption.filterNot(_.isNaN).map(d => if (d == 0.0) 0.0 else d)
     case StringType => Some(s)
     case BooleanType => s.toBooleanOption
     case _ => None
@@ -199,6 +203,7 @@ object FilePrune {
       }
       case FloatType | DoubleType => x match {
         case n: Number => Some(n.doubleValue).filterNot(_.isNaN)
+          .map(d => if (d == 0.0) 0.0 else d) // -0.0 == 0.0 in SQL
         case _ => None
       }
       case StringType => Some(x.toString)

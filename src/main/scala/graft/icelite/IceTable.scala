@@ -119,8 +119,13 @@ class IceTable(
   def changesSince(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
     val m = meta
     val to = toSnapshotId.getOrElse(m.currentSnapshotId)
-    require(fromSnapshotId == 0L || m.snapshot(fromSnapshotId).isDefined,
-      s"no snapshot $fromSnapshotId in $namespace.$name")
+    // a `from` no longer in the log (or an expired prefix when from = 0)
+    // means part of the requested history is gone: fail, never under-read
+    require(
+      if (fromSnapshotId == 0L)
+        m.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
+      else m.snapshot(fromSnapshotId).isDefined,
+      s"snapshot history from $fromSnapshotId has been expired in $namespace.$name")
     require(m.snapshot(to).isDefined, s"no snapshot $to in $namespace.$name")
     val range = m.snapshots.filter(s =>
       s.snapshotId > fromSnapshotId && s.snapshotId <= to)
@@ -129,7 +134,10 @@ class IceTable(
       s"incremental scan over $namespace.$name hit non-append snapshots " +
         s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}; " +
         "read the full snapshot instead")
-    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    // read with the schema as of `to` — a later replace() may have changed
+    // the table schema, but the range's files carry the schema of their era
+    val tableSchema = StructType.fromDDL(
+      m.snapshot(to).map(_.schemaDdl).filter(_.nonEmpty).getOrElse(m.schemaDdl))
     val files = range.flatMap(s =>
       if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
       else s.addedFiles.map(p => FileStat(p, -1L, 0L)))
@@ -179,11 +187,17 @@ class IceTable(
     val m = meta
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val addedRows = added.map(_.rows).sum
+    // legacy (pre-manifest) carried entries have unknown rows (-1); they
+    // only ever arise when the FULL previous file set is carried (append),
+    // so the previous snapshot's total is the correct carried count
+    val carriedRows =
+      if (carried.forall(_.rows >= 0)) carried.map(_.rows).sum
+      else m.currentSnapshot.map(_.totalRows).getOrElse(0L)
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = operation, dataDirs = dataDirs,
       addedFiles = added.map(_.path), addedRows = addedRows,
-      totalRows = carried.map(_.rows).sum + addedRows,
+      totalRows = carriedRows + addedRows,
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       files = (carried ++ added).sortBy(_.path))
     MetaIo.commit(fs, tableDir, m.copy(
@@ -282,7 +296,13 @@ class IceTable(
 
     val (candidates, untouched) =
       if (legacy || files.isEmpty) (files, Nil)
-      else files.partition(f => FilePrune.canMatch(keyBounds, tableSchema, f))
+      else files.partition { f =>
+        // partition values make pruning work when the key IS (or includes)
+        // a partition column — those carry no file stats
+        val raw = PartValues.parse(f.path, m.partitionBy)
+        val pv = PartValues.decodeExternal(tableSchema, m.partitionBy, raw)
+        FilePrune.canMatch(keyBounds, tableSchema, f, pv)
+      }
 
     val tgt =
       if (candidates.isEmpty)
@@ -375,11 +395,14 @@ class IceTable(
         s"expiry would drop the current snapshot of $namespace.$name")
     val dropped = sorted.dropRight(keepLast)
     if (dropped.isEmpty) return this
+    // commit the trimmed metadata FIRST, delete after: a crash between the
+    // two leaves only harmless orphan directories, never committed metadata
+    // pointing at deleted paths (Iceberg's ordering)
+    MetaIo.commit(fs, tableDir, m.copy(
+      snapshots = keep, version = m.version + 1))
     val keepDirs = keep.flatMap(_.dataDirs).toSet
     (dropped.flatMap(_.dataDirs).toSet -- keepDirs).toSeq.sorted
       .foreach(d => fs.delete(new Path(d), true))
-    MetaIo.commit(fs, tableDir, m.copy(
-      snapshots = keep, version = m.version + 1))
     this
   }
 }

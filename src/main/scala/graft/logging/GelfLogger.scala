@@ -132,15 +132,17 @@ object GelfLogger {
     case _ => 3
   }
 
-  /** Build from the platform-injected environment (`KBC_LOGGER_ADDR` /
-    * `KBC_LOGGER_PORT`), honoring `gelf_server_type` when provided. Returns
-    * None when the platform did not request GELF — callers fall back to
-    * plain stderr logging.
+  /** Build from the platform-injected environment: `KBC_LOGGER_ADDR` /
+    * `KBC_LOGGER_PORT` select the endpoint, `KBC_LOGGER_TYPE` (when set to
+    * `udp`) selects the transport — the env-side surface of the
+    * `gelf_server_type` logger configuration. Returns None when the
+    * platform did not request GELF — callers fall back to plain stderr
+    * logging.
     */
-  def fromEnv(env: Map[String, String],
-      serverType: String = "tcp"): Option[GelfLogger] =
+  def fromEnv(env: Map[String, String]): Option[GelfLogger] =
     for {
       addr <- env.get("KBC_LOGGER_ADDR")
       port <- env.get("KBC_LOGGER_PORT").flatMap(_.toIntOption)
-    } yield new GelfLogger(addr, port, serverType)
+    } yield new GelfLogger(addr, port,
+      env.get("KBC_LOGGER_TYPE").map(_.toLowerCase).getOrElse("tcp"))
 }

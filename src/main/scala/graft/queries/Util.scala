@@ -38,8 +38,9 @@ object QUtil {
     wh
   }
 
+  // tag -> (sfDir it was built from, warehouse path)
   private val builtFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Memoized fixture setup: builds once per (tag, sfDir) per JVM and reuses
     * after. For queries whose operator-under-test is a *read* (scan / join),
@@ -48,14 +49,21 @@ object QUtil {
     * operator against an already-built fixture, exactly like a real
     * deployment reading an existing table. Verify/tests call queries once;
     * they see identical content either way.
+    *
+    * The on-disk location depends only on `tag`, so a request for the same
+    * tag at a DIFFERENT scale factor must rebuild (not just miss the memo) —
+    * otherwise the stale cache entry would keep pointing at data from the
+    * other scale and silently corrupt results.
     */
   def cachedFixture(s: SparkSession, tag: String, sfDir: String)
       (build: String => Unit): String =
-    builtFixtures.computeIfAbsent(s"$tag|$sfDir", { _ =>
-      val wh = freshWarehouse(s, tag)
-      build(wh)
-      wh
-    })
+    builtFixtures.compute(tag, (_, prev) =>
+      if (prev != null && prev._1 == sfDir) prev
+      else {
+        val wh = freshWarehouse(s, tag)
+        build(wh)
+        (sfDir, wh)
+      })._2
 
   /** Exact (order-insensitive) sum of a double expression, returned as double.
     *

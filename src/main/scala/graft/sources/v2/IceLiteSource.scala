@@ -124,8 +124,10 @@ private[v2] object IceLiteV2 {
         // incremental append scan: only the files ADDED by snapshots in
         // (from, pinned]; planning cost tracks change volume, not table size
         val from = fromS.toLong
-        require(from == 0L || meta.snapshot(from).isDefined,
-          s"no snapshot $from in ${meta.namespace}.${meta.name}")
+        require(
+          if (from == 0L) meta.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
+          else meta.snapshot(from).isDefined,
+          s"snapshot history from $from has been expired in ${meta.namespace}.${meta.name}")
         val range = meta.snapshots.filter(s =>
           s.snapshotId > from && s.snapshotId <= snap.snapshotId)
         val nonAppend = range.filterNot(_.operation == "append")
@@ -559,6 +561,13 @@ private[v2] class IceLiteMicroBatchStream(
     val from = start.asInstanceOf[IceOffset].snapshotId
     val to = end.asInstanceOf[IceOffset].snapshotId
     val m = currentMeta
+    // if expireSnapshots removed part of (from, to] while the stream was
+    // down, rows would silently vanish from the 'exactly-once' stream —
+    // fail loudly instead (the operator must reset the checkpoint)
+    require(
+      if (from == 0L) m.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
+      else m.snapshot(from).isDefined,
+      s"streaming offset $from of $ns.$tbl has been expired; reset the checkpoint")
     val range = m.snapshots.filter(s => s.snapshotId > from && s.snapshotId <= to)
     val nonAppend = range.filterNot(_.operation == "append")
     require(nonAppend.isEmpty,
@@ -701,16 +710,13 @@ private[v2] object RowGroupFilter {
       case LongType => longPred(c, Option(v).map {
         case n: Number => Long.box(n.longValue); case _ => return None
       }, op)
-      case TimestampType | TimestampNTZType => longPred(c, Option(v).map {
-        case t: java.sql.Timestamp =>
-          Long.box(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
-        case i: java.time.Instant =>
-          Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-        case l: java.time.LocalDateTime =>
-          val i = l.toInstant(java.time.ZoneOffset.UTC)
-          Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-        case _ => return None
-      }, op)
+      // timestamps are deliberately NOT translated: the predicate would be
+      // typed INT64-micros, but files may physically carry INT96 (Spark's
+      // default outputTimestampType) or millis — a type mismatch makes
+      // parquet-mr's SchemaCompatibilityValidator fail the whole read, and
+      // a unit mismatch would silently skip matching row groups. File-level
+      // manifest pruning still covers timestamp predicates.
+      case TimestampType | TimestampNTZType => None
       case DoubleType => doublePred(c, Option(v).map {
         case n: Number => Double.box(n.doubleValue); case _ => return None
       }, op)

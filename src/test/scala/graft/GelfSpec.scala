@@ -80,7 +80,11 @@ class GelfSpec extends SparkSpec {
   test("udp datagrams carry the same payload") {
     val sock = new DatagramSocket()
     val port = sock.getLocalPort
-    val log = new GelfLogger("127.0.0.1", port, "udp")
+    // construct through the env surface: KBC_LOGGER_TYPE selects transport
+    val log = GelfLogger.fromEnv(Map(
+      "KBC_LOGGER_ADDR" -> "127.0.0.1",
+      "KBC_LOGGER_PORT" -> port.toString,
+      "KBC_LOGGER_TYPE" -> "udp")).get
     try {
       log.info("over udp")
       val pkt = new DatagramPacket(new Array[Byte](8192), 8192)
