@@ -28,6 +28,53 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
   */
 object FileStats {
 
+  /** The complete data-file manifest of a snapshot. Pre-upgrade metadata
+    * (no inline manifest) degrades to a recursive directory listing with
+    * unknown stats (`rows = -1`), which every planner must treat as
+    * unprunable. The single shared implementation behind IceTable scans,
+    * DSv2 table construction, and DSv2 write commits.
+    */
+  def visible(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[FileStat] =
+    if (snap.files.nonEmpty || snap.dataDirs.isEmpty) snap.files
+    else snap.dataDirs.flatMap { d =>
+      val it = fs.listFiles(new Path(d), true)
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next())
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
+        .toSeq
+    }.sortBy(_.path)
+
+  /** Files ADDED by the append snapshots in `(from, to]` — the shared
+    * range extraction behind the batch incremental scan, the DSv2
+    * `fromSnapshotId` option, and the streaming source. Callers are
+    * responsible for the expired-history check; this refuses non-append
+    * snapshots (their added files are not pure inserts).
+    */
+  def addedInRange(meta: TableMeta, from: Long, to: Long,
+      context: String): Seq[FileStat] = {
+    val range = meta.snapshots.filter(s => s.snapshotId > from && s.snapshotId <= to)
+    val nonAppend = range.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"$context hit non-append snapshots " +
+        s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
+    range.flatMap(s =>
+      if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
+      else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L)))
+      .sortBy(_.path)
+  }
+
+  /** Expired-history guard for incremental reads: reading from `from`
+    * requires `from` (or, when reading from 0, the whole prefix) to still
+    * be in the snapshot log — otherwise rows would silently vanish.
+    */
+  def requireHistory(meta: TableMeta, from: Long, context: String): Unit =
+    require(
+      if (from == 0L) meta.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
+      else meta.snapshot(from).isDefined,
+      s"$context: snapshot history from $from has been expired in " +
+        s"${meta.namespace}.${meta.name}")
+
   /** Min/max/null stats for one file, aggregated across its row groups. */
   def fromFooter(footer: ParquetMetadata, path: String, bytes: Long): FileStat = {
     val blocks = footer.getBlocks.asScala.toSeq

@@ -46,20 +46,8 @@ class IceTable(
   private def qualify(p: String): String =
     fs.makeQualified(new Path(p)).toString
 
-  /** The complete data-file manifest of a snapshot. Pre-upgrade metadata
-    * (no inline manifest) degrades to a directory listing with unknown
-    * stats (`rows = -1`), which downstream planners treat as unprunable.
-    */
   private[icelite] def visibleFiles(snap: SnapshotMeta): Seq[FileStat] =
-    if (snap.files.nonEmpty || snap.dataDirs.isEmpty) snap.files
-    else snap.dataDirs.flatMap { d =>
-      val it = fs.listFiles(new Path(d), true)
-      Iterator.continually(it).takeWhile(_.hasNext)
-        .map(_.next())
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
-        .toSeq
-    }.sortBy(_.path)
+    FileStats.visible(fs, snap)
 
   // -- read path --------------------------------------------------------------
 
@@ -119,28 +107,14 @@ class IceTable(
   def changesSince(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
     val m = meta
     val to = toSnapshotId.getOrElse(m.currentSnapshotId)
-    // a `from` no longer in the log (or an expired prefix when from = 0)
-    // means part of the requested history is gone: fail, never under-read
-    require(
-      if (fromSnapshotId == 0L)
-        m.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
-      else m.snapshot(fromSnapshotId).isDefined,
-      s"snapshot history from $fromSnapshotId has been expired in $namespace.$name")
+    FileStats.requireHistory(m, fromSnapshotId, "incremental scan")
     require(m.snapshot(to).isDefined, s"no snapshot $to in $namespace.$name")
-    val range = m.snapshots.filter(s =>
-      s.snapshotId > fromSnapshotId && s.snapshotId <= to)
-    val nonAppend = range.filterNot(_.operation == "append")
-    require(nonAppend.isEmpty,
-      s"incremental scan over $namespace.$name hit non-append snapshots " +
-        s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}; " +
-        "read the full snapshot instead")
     // read with the schema as of `to` — a later replace() may have changed
     // the table schema, but the range's files carry the schema of their era
     val tableSchema = StructType.fromDDL(
       m.snapshot(to).map(_.schemaDdl).filter(_.nonEmpty).getOrElse(m.schemaDdl))
-    val files = range.flatMap(s =>
-      if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
-      else s.addedFiles.map(p => FileStat(p, -1L, 0L)))
+    val files = FileStats.addedInRange(m, fromSnapshotId, to,
+      s"incremental scan over $namespace.$name")
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
     else if (m.partitionBy.nonEmpty)

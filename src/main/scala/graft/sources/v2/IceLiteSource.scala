@@ -124,31 +124,12 @@ private[v2] object IceLiteV2 {
         // incremental append scan: only the files ADDED by snapshots in
         // (from, pinned]; planning cost tracks change volume, not table size
         val from = fromS.toLong
-        require(
-          if (from == 0L) meta.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
-          else meta.snapshot(from).isDefined,
-          s"snapshot history from $from has been expired in ${meta.namespace}.${meta.name}")
-        val range = meta.snapshots.filter(s =>
-          s.snapshotId > from && s.snapshotId <= snap.snapshotId)
-        val nonAppend = range.filterNot(_.operation == "append")
-        require(nonAppend.isEmpty,
-          s"incremental scan hit non-append snapshots " +
-            s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
-        range.flatMap(s =>
-          if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
-          else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L)))
-          .sortBy(_.path)
+        graft.icelite.FileStats.requireHistory(meta, from, "incremental scan")
+        graft.icelite.FileStats.addedInRange(meta, from, snap.snapshotId,
+          "incremental scan")
       case _ =>
         if (snap == null) Nil
-        else if (snap.files.nonEmpty) snap.files
-        else snap.dataDirs.flatMap { d =>
-          val it = fs.listFiles(new Path(d), true)
-          Iterator.continually(it).takeWhile(_.hasNext)
-            .map(_.next())
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
-            .toSeq
-        }.sortBy(_.path)
+        else graft.icelite.FileStats.visible(fs, snap)
     }
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files)
@@ -564,19 +545,9 @@ private[v2] class IceLiteMicroBatchStream(
     // if expireSnapshots removed part of (from, to] while the stream was
     // down, rows would silently vanish from the 'exactly-once' stream —
     // fail loudly instead (the operator must reset the checkpoint)
-    require(
-      if (from == 0L) m.snapshots.map(_.snapshotId).minOption.forall(_ == 1L)
-      else m.snapshot(from).isDefined,
-      s"streaming offset $from of $ns.$tbl has been expired; reset the checkpoint")
-    val range = m.snapshots.filter(s => s.snapshotId > from && s.snapshotId <= to)
-    val nonAppend = range.filterNot(_.operation == "append")
-    require(nonAppend.isEmpty,
-      s"streaming read of $ns.$tbl hit non-append snapshots " +
-        s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
-    range.flatMap(s =>
-      if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
-      else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L)))
-      .sortBy(_.path)
+    graft.icelite.FileStats.requireHistory(m, from,
+      s"streaming read of $ns.$tbl (reset the checkpoint)")
+    graft.icelite.FileStats.addedInRange(m, from, to, s"streaming read of $ns.$tbl")
       .map(f => IceLiteInputPartition(f.path, f.bytes,
         PartValues.parse(f.path, partitionBy)): InputPartition)
       .toArray

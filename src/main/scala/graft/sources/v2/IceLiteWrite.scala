@@ -123,17 +123,8 @@ private[v2] class IceLiteBatchWrite(
     }.toSeq.flatten.sortBy(_.path)
     val rows = added.map(_.rows).sum
     val prev = m.currentSnapshot
-    val carried: Seq[FileStat] = prev.map { p =>
-      if (p.files.nonEmpty || p.dataDirs.isEmpty) p.files
-      else p.dataDirs.flatMap { d => // legacy snapshot: degrade to listing
-        val it = fs.listFiles(new Path(d), true)
-        Iterator.continually(it).takeWhile(_.hasNext)
-          .map(_.next())
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => FileStat(st.getPath.toString, rows = -1L, bytes = st.getLen))
-          .toSeq
-      }
-    }.getOrElse(Nil)
+    val carried: Seq[FileStat] =
+      prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = "append",
