@@ -307,6 +307,68 @@ object IceliteOps {
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
+    // K11: SQL UPDATE — group-based copy-on-write row-level operation
+    // (SupportsRowLevelOperations): the operation's scan selects candidate
+    // files by manifest stats, the rewrite recomputes only those files'
+    // content, and commit replaces exactly them. One file of four is
+    // rewritten here (asserted in-query), the TPC-H answer is relational.
+    QDef(
+      "k11_sql_update",
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+              |  CASE WHEN o_orderkey <= 1000 THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority
+              |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k11")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_u", o.schema)
+        tbl.append(o.repartitionByRange(4, col("o_orderkey")))
+        s.conf.set("spark.sql.catalog.icelite_u", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_u.warehouse", wh)
+        s.sql("""UPDATE icelite_u.lake.orders_u SET o_orderpriority = 'RUSH'
+                |WHERE o_orderkey <= 1000""".stripMargin)
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "update" &&
+          snap.files.length > snap.addedFiles.length,
+          s"update must be copy-on-write: ${snap.files.length} files, " +
+            s"${snap.addedFiles.length} rewritten")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
+    // K12: SQL MERGE INTO — the declarative face of the K5 upsert, run
+    // through the same group-based copy-on-write machinery. Same oracle as
+    // k5 (matched rows take source values, unmatched source rows insert,
+    // unmatched target rows survive), so the DataFrame upsert and SQL MERGE
+    // cross-check each other.
+    QDef(
+      "k12_sql_merge",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+              |UNION ALL
+              |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+              |       o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey % 2 = 0
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k12")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_m", o.schema)
+        tbl.append(o.filter(col("o_orderkey") % 3 === 0))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+          .createOrReplaceTempView("k12_source")
+        s.conf.set("spark.sql.catalog.icelite_m", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_m.warehouse", wh)
+        s.sql("""MERGE INTO icelite_m.lake.orders_m t
+                |USING k12_source s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        require(tbl.meta.currentSnapshot.get.operation == "merge")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // S1 via DataSource V2: spark.read.format("icelite") with projection +
     // filter pushdown reaching the source (SupportsPushDownRequiredColumns /
     // Filters — see graft.sources.v2.IceLiteSource) and snapshot pinning as

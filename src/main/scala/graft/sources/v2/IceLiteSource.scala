@@ -174,7 +174,19 @@ private[v2] class IceLiteTable(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO (and the rewrite form of DELETE): group-based
+    * copy-on-write — see [[IceLiteRowLevelOperation]]. Metadata-only
+    * deletes still short-circuit through SupportsDelete when the condition
+    * is translatable.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new IceLiteRowLevelOperation(
+      warehouse, ns, tbl, tableSchema, partitionBy, files, info.command())
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
@@ -207,7 +219,11 @@ private[v2] class IceLiteTable(
 private[v2] class IceLiteScanBuilder(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
-    files: Seq[FileStat])
+    files: Seq[FileStat],
+    // Some(op) = this scan selects the GROUPS of a row-level operation: it
+    // must never drop rows inside a planned file, and it reports what it
+    // planned so the paired write replaces exactly those files
+    rowLevel: Option[IceLiteRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -256,10 +272,11 @@ private[v2] class IceLiteScanBuilder(
   override def pushLimit(n: Int): Boolean = { limit = n; false /* partial: per-partition */ }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) => new IceLiteAggScan(s"$ns.$tbl", schema, row)
-    case None =>
+    case Some((schema, row)) if rowLevel.isEmpty =>
+      new IceLiteAggScan(s"$ns.$tbl", schema, row)
+    case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
-        files, pushed, limit)
+        files, pushed, limit, rowLevel)
   }
 }
 
@@ -423,7 +440,8 @@ private[v2] class IceLiteScan(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
-    limit: Int) extends Scan with Batch with SupportsReportStatistics
+    limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None)
+    extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
   private def tableName: String = s"$ns.$tbl"
@@ -438,7 +456,11 @@ private[v2] class IceLiteScan(
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionBy.filter(tableSchema.fieldNames.contains)
+    // row-level scans must plan a DETERMINISTIC file set: a runtime filter
+    // could prune a file after it was recorded for replacement, and its
+    // unread rows would vanish from the rewrite
+    if (rowLevel.isDefined) Array.empty
+    else partitionBy.filter(tableSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
@@ -482,6 +504,8 @@ private[v2] class IceLiteScan(
     val effective =
       if (runtimeFilters.isEmpty) planned
       else prune((filters ++ runtimeFilters).toSeq)
+    // a row-level operation replaces exactly the files its scan planned
+    rowLevel.foreach(_.recordPlanned(effective.map(_._1)))
     effective.map { case (f, raw) =>
       IceLiteInputPartition(f.path, f.bytes, raw): InputPartition
     }.toArray
@@ -496,7 +520,11 @@ private[v2] class IceLiteScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    IceLiteV2.readerFactory(dataSchema, partSchema, filters, limit)
+    // row-level scans must return every row of the files they plan: a
+    // parquet row-group predicate would silently drop rows from the
+    // rewrite, so filters reach parquet only on plain reads
+    IceLiteV2.readerFactory(dataSchema, partSchema,
+      if (rowLevel.isDefined) Array.empty else filters, limit)
 
   /** The micro-batch face of the same table: offsets are snapshot ids and
     * each batch reads exactly the files ADDED by its snapshot range —

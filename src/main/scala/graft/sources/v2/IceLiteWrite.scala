@@ -237,13 +237,26 @@ private[v2] class IceLiteDataWriter(
     current = null
   }
 
+  // Row-level rewrites (ReplaceData) prepend bookkeeping columns (e.g.
+  // __row_operation) that Spark only strips when a metadata projection is
+  // in play (ReplaceDataExec.writingTask falls back to the plain writing
+  // task otherwise); the data columns are always the trailing fields in
+  // table order, so map schema ordinals onto the row's suffix. Plain
+  // appends have no extra fields and get offset 0.
+  private var lead = -1
+
   override def write(row: InternalRow): Unit = {
+    if (lead < 0) {
+      lead = row.numFields - schema.length
+      require(lead >= 0,
+        s"writer got ${row.numFields}-field rows for a ${schema.length}-column schema")
+    }
     val key =
       if (partIdx.isEmpty) ""
       else partitionBy.zip(partIdx).map { case (c, i) =>
         val raw =
-          if (row.isNullAt(i)) null
-          else HivePath.render(schema.fields(i).dataType, row, i)
+          if (row.isNullAt(lead + i)) null
+          else HivePath.render(schema.fields(i).dataType, row, lead + i)
         s"$c=${HivePath.escape(raw)}"
       }.mkString("/")
     if (current == null || key != currentKey) { roll(); open(key) }
@@ -251,14 +264,15 @@ private[v2] class IceLiteDataWriter(
     var o = 0
     while (o < dataIdx.length) {
       val i = dataIdx(o)
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType => g.add(o, row.getLong(i))
-        case IntegerType | DateType => g.add(o, row.getInt(i))
-        case DoubleType => g.add(o, row.getDouble(i))
-        case FloatType => g.add(o, row.getFloat(i))
-        case BooleanType => g.add(o, row.getBoolean(i))
-        case StringType => g.add(o, row.getUTF8String(i).toString)
-        case TimestampType | TimestampNTZType => g.add(o, row.getLong(i))
+      val ri = lead + i
+      if (!row.isNullAt(ri)) schema.fields(i).dataType match {
+        case LongType => g.add(o, row.getLong(ri))
+        case IntegerType | DateType => g.add(o, row.getInt(ri))
+        case DoubleType => g.add(o, row.getDouble(ri))
+        case FloatType => g.add(o, row.getFloat(ri))
+        case BooleanType => g.add(o, row.getBoolean(ri))
+        case StringType => g.add(o, row.getUTF8String(ri).toString)
+        case TimestampType | TimestampNTZType => g.add(o, row.getLong(ri))
         case dt => throw new IllegalStateException(s"unreachable: $dt")
       }
       o += 1

@@ -158,6 +158,39 @@ class CatalogSpec extends SparkSpec {
     assert(tbl.scan(snapshotId = Some(1L)).count() == 4)
   }
 
+  test("UPDATE and MERGE on a partitioned table route rows correctly") {
+    val wh = configure("rlopart")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+      .toDF("id", "part", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("part"))
+    df.writeTo("icecat_rlopart.lake.t").append()
+    spark.sql("UPDATE icecat_rlopart.lake.t SET v = v * 10 WHERE id = 1")
+    val afterU = spark.sql("SELECT id, part, v FROM icecat_rlopart.lake.t")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(afterU.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0)))
+    // partition 'b' was provably unaffected and carried untouched
+    val snapU = tbl.meta.currentSnapshot.get
+    assert(snapU.operation == "update")
+    assert(snapU.files.exists(f => f.path.contains("part=b") &&
+      !snapU.addedFiles.contains(f.path)),
+      s"partition b should be carried, not rewritten: $snapU")
+    // MERGE with a moved-partition update and an insert into a new partition
+    Seq((2L, "c", 20.0), (9L, "d", 9.0)).toDF("id", "part", "v")
+      .createOrReplaceTempView("rlo_src")
+    spark.sql("""MERGE INTO icecat_rlopart.lake.t t USING rlo_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterM = spark.sql("SELECT id, part, v FROM icecat_rlopart.lake.t")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(afterM.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "c", 20.0), (3L, "b", 3.0), (4L, "b", 4.0), (9L, "d", 9.0)))
+    // hive layout holds for rewritten rows too (row moved into part=c)
+    assert(tbl.meta.currentSnapshot.get.files.exists(_.path.contains("part=c")))
+  }
+
   test("partition values with path-hostile characters round-trip") {
     val wh = configure("partesc")
     val cat = new IceCatalog(spark, wh)
