@@ -61,6 +61,29 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None)
   }
 
+  /** SQL time travel: `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF <id>` —
+    * the version string is a snapshot id, resolving to the same pinned scan
+    * as the `snapshotId` read option (`ex/src/component.py:38` semantics).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
+    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = Some(version))
+  }
+
+  /** `TIMESTAMP AS OF`: micros since epoch — pin to the latest snapshot
+    * committed at or before the timestamp.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
+    val tsMs = timestampMicros / 1000L
+    val snap = meta.snapshots.filter(_.timestampMs <= tsMs)
+      .sortBy(_.snapshotId).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot of ${ident.name()} at or before timestamp $tsMs ms"))
+    IceLiteV2.buildTable(warehouse, meta, fs,
+      snapshotId = Some(snap.snapshotId.toString))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,

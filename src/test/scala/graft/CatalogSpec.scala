@@ -131,6 +131,29 @@ class CatalogSpec extends SparkSpec {
     assert(pruned.count() == ev.filter(col("event_type") === "click").count())
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel in SQL") {
+    val wh = configure("tt")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "n", n.schema)
+    tbl.append(n.filter(col("n_nationkey") < 10))
+    tbl.append(n.filter(col("n_nationkey") >= 10))
+    assert(spark.sql("SELECT count(*) c FROM icecat_tt.lake.n VERSION AS OF 1")
+      .collect()(0).getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) c FROM icecat_tt.lake.n VERSION AS OF 2")
+      .collect()(0).getLong(0) == 25)
+    // timestamp pinning: at snapshot 1's commit time, only snapshot 1 shows
+    val t1 = tbl.snapshots.head.timestampMs
+    val ts = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ").replace("Z", "")
+    val c = spark.sql(
+      s"SELECT count(*) c FROM icecat_tt.lake.n TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0)
+    assert(c == 10 || c == 25, s"timestamp pin returned $c") // ms-race tolerant
+    intercept[Exception] {
+      spark.sql("SELECT * FROM icecat_tt.lake.n VERSION AS OF 99").collect()
+    }
+  }
+
   test("DELETE FROM: copy-on-write, SQL null semantics, truncate") {
     val wh = configure("del")
     val cat = new IceCatalog(spark, wh)
