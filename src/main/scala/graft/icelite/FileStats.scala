@@ -58,11 +58,20 @@ object FileStats {
     require(nonAppend.isEmpty,
       s"$context hit non-append snapshots " +
         s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
-    range.flatMap(s =>
-      if (s.files.nonEmpty) s.files.filter(f => s.addedFiles.contains(f.path))
-      else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L)))
-      .sortBy(_.path)
+    range.flatMap { s =>
+      val added = s.addedFiles.toSet // Seq.contains would be O(files x added)
+      if (s.files.nonEmpty) s.files.filter(f => added.contains(f.path))
+      else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L))
+    }.sortBy(_.path)
   }
+
+  /** Replace unknown-row (-1, legacy) entries with real footer-derived
+    * stats — a one-time driver-side footer read per legacy file that also
+    * permanently heals the manifest on the next commit.
+    */
+  def ensureRows(conf: Configuration, files: Seq[FileStat]): Seq[FileStat] =
+    if (files.forall(_.rows >= 0)) files
+    else files.map(f => if (f.rows >= 0) f else fromFooter(conf, f.path))
 
   /** Expired-history guard for incremental reads: reading from `from`
     * requires `from` (or, when reading from 0, the whole prefix) to still

@@ -66,6 +66,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     * as the `snapshotId` read option (`ex/src/component.py:38` semantics).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.toLongOption.isDefined,
+      s"icelite versions are snapshot ids; got '$version' for ${ident.name()} " +
+        "(use `list_snapshots` to enumerate them)")
     val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
     IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = Some(version))
   }

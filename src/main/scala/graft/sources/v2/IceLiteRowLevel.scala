@@ -72,68 +72,59 @@ private[v2] class IceLiteReplaceGroupsWriteBuilder(
     extends WriteBuilder {
 
   override def build(): Write =
-    if (partitionBy.isEmpty)
-      new Write {
-        override def toBatch: BatchWrite =
-          new IceLiteReplaceGroupsBatchWrite(warehouse, ns, tbl, schema, op)
-      }
-    else
-      new Write with RequiresDistributionAndOrdering {
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-        override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partitionBy.map(c =>
-              Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
-        override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          partitionBy.map(c =>
-            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-        override def toBatch: BatchWrite =
-          new IceLiteReplaceGroupsBatchWrite(warehouse, ns, tbl, schema, op)
-      }
+    IceLiteWriteShape.of(partitionBy,
+      new IceLiteReplaceGroupsBatchWrite(warehouse, ns, tbl, partitionBy, schema, op))
 }
 
 private[v2] class IceLiteReplaceGroupsBatchWrite(
-    warehouse: String, ns: String, tbl: String, schema: StructType,
-    op: IceLiteRowLevelOperation) extends BatchWrite {
+    warehouse: String, ns: String, tbl: String, partitionBy: Seq[String],
+    schema: StructType, op: IceLiteRowLevelOperation) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID()}"
   private def tableDir = new Path(new Path(warehouse, ns), tbl)
   private def hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
   private def fs = tableDir.getFileSystem(hadoopConf)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val meta = MetaIo.read(fs, tableDir)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new IceLiteWriterFactory(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
-      meta.partitionBy,
+      partitionBy,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf))
-  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val m = MetaIo.read(fs, tableDir)
+    val added0 = messages.collect { case msg: IceLiteCommitMessage => msg.stats }
+      .toSeq.flatten
+    // a no-op operation (nothing scanned, nothing written) must not commit
+    // a snapshot: a spurious non-append entry would break incremental and
+    // streaming readers for no change at all
+    if (op.scannedPaths.isEmpty && added0.isEmpty) {
+      abort(messages)
+      return
+    }
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
     val staging = new Path(tableDir, s"data/$stagingName")
     if (!fs.exists(staging)) fs.mkdirs(staging) // zero-partition rewrite
     require(fs.rename(staging, dataDir),
       s"failed to publish staging dir for $ns.$tbl snapshot $snapId")
-    val added = messages.collect { case msg: IceLiteCommitMessage =>
-      msg.stats.map(st => st.copy(path = fs.makeQualified(new Path(
+    val added = added0
+      .map(st => st.copy(path = fs.makeQualified(new Path(
         st.path.replace(s"data/$stagingName", f"data/snap-$snapId%05d"))).toString))
-    }.toSeq.flatten.sortBy(_.path)
+      .sortBy(_.path)
     val prev = m.currentSnapshot
     val visible = prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
     val replaced = op.scannedPaths
-    val carried = visible.filterNot(f => replaced.contains(f.path))
+    // legacy carried entries (unknown rows) cannot fall back to the
+    // previous total here — the carried set EXCLUDES the replaced files,
+    // so derive real counts from footers (also heals the manifest)
+    val carried = FileStats.ensureRows(hadoopConf,
+      visible.filterNot(f => replaced.contains(f.path)))
     val carriedDirs = prev.map(_.dataDirs).getOrElse(Nil).filter(d =>
       carried.exists(f => fs.makeQualified(new Path(f.path)).toString
         .startsWith(fs.makeQualified(new Path(d)).toString + "/")))
     val addedRows = added.map(_.rows).sum
-    val carriedRows =
-      if (carried.forall(_.rows >= 0)) carried.map(_.rows).sum
-      else prev.map(_.totalRows).getOrElse(0L)
+    val carriedRows = carried.map(_.rows).sum
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = op.command().toString.toLowerCase,

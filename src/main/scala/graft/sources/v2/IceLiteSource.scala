@@ -244,9 +244,13 @@ private[v2] class IceLiteScanBuilder(
     * paths, not file stats).
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed).isDefined
+    rowLevel.isEmpty &&
+      ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // a row-level operation's scan must yield full rows of the affected
+    // files — never an aggregated answer
+    if (rowLevel.isDefined) return false
     val r = ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed)
     aggResult = r
     r.isDefined

@@ -38,33 +38,38 @@ private[v2] class IceLiteWriteBuilder(
     val dir = new Path(new Path(warehouse, ns), table)
     val meta = MetaIo.read(fs = dir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration), tableDir = dir)
-    if (meta.partitionBy.isEmpty)
-      new Write {
-        override def toBatch: BatchWrite =
-          new IceLiteBatchWrite(warehouse, ns, table, info.schema())
-      }
+    IceLiteWriteShape.of(meta.partitionBy,
+      new IceLiteBatchWrite(warehouse, ns, table, info.schema()))
+  }
+}
+
+/** The one valid dynamic-partition write shape, shared by appends and
+  * row-level rewrites: hive-partitioned layouts require Spark to cluster +
+  * sort incoming rows by the partition columns, so each write task sees its
+  * partitions contiguously and holds ONE open file at a time — the only
+  * shape that survives wide tables at 100 TB (an unsorted writer would hold
+  * a file handle per live partition per task). Unpartitioned tables get a
+  * plain Write.
+  */
+private[v2] object IceLiteWriteShape {
+
+  def of(partitionBy: Seq[String], batch: => BatchWrite): Write =
+    if (partitionBy.isEmpty)
+      new Write { override def toBatch: BatchWrite = batch }
     else
-      // hive-partitioned layout: require Spark to cluster + sort incoming
-      // rows by the partition columns, so each write task sees its
-      // partitions contiguously and holds ONE open file at a time — the
-      // only dynamic-partition write shape that survives wide tables at
-      // 100 TB (an unsorted writer would hold a file handle per live
-      // partition per task)
-      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            meta.partitionBy.map(c =>
+            partitionBy.map(c =>
               Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          meta.partitionBy.map(c =>
+          partitionBy.map(c =>
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-        override def toBatch: BatchWrite =
-          new IceLiteBatchWrite(warehouse, ns, table, info.schema())
+        override def toBatch: BatchWrite = batch
       }
-  }
 }
 
 private[v2] case class IceLiteCommitMessage(stats: Seq[FileStat])
