@@ -131,6 +131,23 @@ class CatalogSpec extends SparkSpec {
     assert(pruned.count() == ev.filter(col("event_type") === "click").count())
   }
 
+  test("no-op UPDATE commits nothing; incremental readers stay usable") {
+    val wh = configure("noop")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    df.writeTo("icecat_noop.lake.t").append()
+    // manifest stats prove no file can contain id = 999: nothing scanned,
+    // nothing written, and crucially NOTHING committed
+    spark.sql("UPDATE icecat_noop.lake.t SET tag = 'x' WHERE id = 999")
+    assert(tbl.snapshots.map(_.operation) == Seq("append"),
+      s"no-op update must not commit: ${tbl.snapshots.map(_.operation)}")
+    // an incremental scan across the 'gap' still works (no non-append
+    // snapshot was fabricated)
+    assert(tbl.changesSince(0L).count() == 2)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF time travel in SQL") {
     val wh = configure("tt")
     val cat = new IceCatalog(spark, wh)
