@@ -175,7 +175,22 @@ private[v2] class IceLiteTable(
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` metadata column: the data file each row came from, served as a
+    * constant vector per input partition (same mechanics as hive-partition
+    * values) — the audit/debug column every lake table format exposes, and
+    * the grouping key a future delta-based row-level path would need.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = IceLiteScan.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
 
   /** SQL UPDATE / MERGE INTO (and the rewrite form of DELETE): group-based
     * copy-on-write — see [[IceLiteRowLevelOperation]]. Metadata-only
@@ -231,6 +246,7 @@ private[v2] class IceLiteScanBuilder(
     with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
+  private var wantsFileCol = false
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggResult: Option[(StructType, InternalRow)] = None
@@ -256,10 +272,12 @@ private[v2] class IceLiteScanBuilder(
     r.isDefined
   }
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table-declared field order for a stable reader projection
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
+    wantsFileCol = requiredSchema.fieldNames.contains(IceLiteScan.FileMetaCol)
+  }
 
   /** Every filter stays residual: Spark re-evaluates above the scan with
     * full three-valued NULL semantics, so no filter shape can ever change
@@ -280,7 +298,7 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteAggScan(s"$ns.$tbl", schema, row)
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
-        files, pushed, limit, rowLevel)
+        files, pushed, limit, rowLevel, wantsFileCol)
   }
 }
 
@@ -440,11 +458,17 @@ private[v2] class IceLiteAggScan(
 private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any])
     extends InputPartition
 
+private[v2] object IceLiteScan {
+  /** Name of the data-file metadata column (SupportsMetadataColumns). */
+  val FileMetaCol = "_file"
+}
+
 private[v2] class IceLiteScan(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
-    limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None)
+    limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None,
+    wantsFileCol: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -469,12 +493,16 @@ private[v2] class IceLiteScan(
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
-  // the columnar batch is laid out data-columns-then-partition-columns
-  // (initBatch appends partition vectors at the end), so readSchema must
-  // present the same order
+  // the columnar batch is laid out data-columns-then-constant-columns
+  // (initBatch appends the constant vectors at the end: hive-partition
+  // values, then the _file metadata column when requested), so readSchema
+  // must present the same order
   private val partSchema = StructType(
     tableSchema.fields.filter(f =>
-      partitionBy.contains(f.name) && required.fieldNames.contains(f.name)))
+      partitionBy.contains(f.name) && required.fieldNames.contains(f.name)) ++
+      (if (wantsFileCol)
+        Seq(StructField(IceLiteScan.FileMetaCol, StringType, nullable = false))
+      else Nil))
   private val dataSchema = StructType(
     required.fields.filterNot(f => partitionBy.contains(f.name)))
 
@@ -511,7 +539,10 @@ private[v2] class IceLiteScan(
     // a row-level operation replaces exactly the files its scan planned
     rowLevel.foreach(_.recordPlanned(effective.map(_._1)))
     effective.map { case (f, raw) =>
-      IceLiteInputPartition(f.path, f.bytes, raw): InputPartition
+      val constants =
+        if (wantsFileCol) raw + (IceLiteScan.FileMetaCol -> Some(f.path))
+        else raw
+      IceLiteInputPartition(f.path, f.bytes, constants): InputPartition
     }.toArray
   }
 

@@ -112,6 +112,27 @@ class DsV2Spec extends SparkSpec {
     assert(current.count() == df.count())
   }
 
+  test("_file metadata column names the data file of each row") {
+    val (wh, _) = mkTable("filecol")
+    spark.conf.set("spark.sql.catalog.ice_fc", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_fc.warehouse", wh)
+    val rows = spark.sql(
+      "SELECT o_orderkey, _file FROM ice_fc.lake.orders_t").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    // file paths are real manifest entries
+    val manifest = new IceCatalog(spark, wh).loadTable("lake", "orders_t")
+      .meta.currentSnapshot.get.files.map(_.path).toSet
+    assert(rows.map(_.getString(1)).toSet.subsetOf(manifest))
+    // grouping by _file reproduces per-file row counts from the manifest
+    val perFile = spark.sql(
+      "SELECT _file, count(*) c FROM ice_fc.lake.orders_t GROUP BY _file")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = new IceCatalog(spark, wh).loadTable("lake", "orders_t")
+      .meta.currentSnapshot.get.files.map(f => f.path -> f.rows).toMap
+    assert(perFile == expected)
+  }
+
   test("join on a partition column runtime-prunes scan partitions (DPP)") {
     val wh = warehouse("dpp")
     val cat = new IceCatalog(spark, wh)
