@@ -95,9 +95,42 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "icelite tables evolve by replace() only (reference semantics)")
+  /** Schema evolution: `ALTER TABLE … ADD COLUMN` is a metadata-only commit
+    * (no data movement — Iceberg semantics). The table schema and the
+    * CURRENT snapshot's schema gain the nullable column; files written
+    * before the change simply lack it and both read paths fill NULLs via
+    * requested-schema clipping. Older snapshots keep their pinned schemas,
+    * so time travel still sees the world as it was. Everything else
+    * (renames, drops, type changes) stays a replace()-level operation.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val unsupported = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"icelite supports ALTER TABLE ADD COLUMN only; " +
+          s"got ${unsupported.mkString(", ")} — evolve via replace()")
+    val (ns, tbl) = (nsOf(ident), ident.name())
+    val dir = cat.tablePath(ns, tbl)
+    val fs = dir.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val meta = graft.icelite.MetaIo.read(fs, dir)
+    var schema = StructType.fromDDL(meta.schemaDdl)
+    changes.collect { case add: TableChange.AddColumn =>
+      require(add.fieldNames().length == 1,
+        s"icelite columns are top-level; cannot add nested ${add.fieldNames().mkString(".")}")
+      val name = add.fieldNames()(0)
+      require(!schema.fieldNames.contains(name), s"column $name already exists in $ns.$tbl")
+      schema = schema.add(name, add.dataType(), nullable = true)
+    }
+    val ddl = schema.toDDL
+    graft.icelite.MetaIo.commit(fs, dir, meta.copy(
+      schemaDdl = ddl,
+      // the current snapshot's view evolves with the table; history stays
+      snapshots = meta.snapshots.map(s =>
+        if (s.snapshotId == meta.currentSnapshotId) s.copy(schemaDdl = ddl) else s),
+      version = meta.version + 1))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     cat.tableExists(nsOf(ident), ident.name()) &&

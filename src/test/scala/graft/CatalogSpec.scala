@@ -131,6 +131,39 @@ class CatalogSpec extends SparkSpec {
     assert(pruned.count() == ev.filter(col("event_type") === "click").count())
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old files read NULL") {
+    val wh = configure("evolve")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val tbl = cat.createTable("lake", "t",
+      Seq((1L, "a")).toDF("id", "tag").schema)
+    Seq((1L, "a")).toDF("id", "tag").writeTo("icecat_evolve.lake.t").append()
+    Seq((2L, "b")).toDF("id", "tag").writeTo("icecat_evolve.lake.t").append()
+    spark.sql("ALTER TABLE icecat_evolve.lake.t ADD COLUMN score DOUBLE")
+    // old files serve NULL for the new column on both read paths
+    val viaSql = spark.sql("SELECT id, tag, score FROM icecat_evolve.lake.t")
+      .orderBy("id").collect()
+    assert(viaSql.map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+      Seq((1L, true), (2L, true)))
+    assert(tbl.toDF.columns.toSeq == Seq("id", "tag", "score"))
+    assert(tbl.toDF.filter(col("score").isNull).count() == 2)
+    // new-shape appends mix with old files
+    Seq((3L, "c", 0.5)).toDF("id", "tag", "score")
+      .writeTo("icecat_evolve.lake.t").append()
+    val mixed = spark.sql(
+      "SELECT id, score FROM icecat_evolve.lake.t ORDER BY id").collect()
+    assert(mixed.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some(0.5))))
+    // time travel to the pre-evolution snapshot keeps the old schema
+    assert(spark.sql("SELECT * FROM icecat_evolve.lake.t VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "tag"))
+    // anything but ADD COLUMN is refused
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE icecat_evolve.lake.t RENAME COLUMN tag TO label")
+    }
+  }
+
   test("no-op UPDATE commits nothing; incremental readers stay usable") {
     val wh = configure("noop")
     val cat = new IceCatalog(spark, wh)
