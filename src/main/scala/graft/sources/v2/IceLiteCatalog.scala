@@ -89,9 +89,15 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "icelite SQL catalog creates unpartitioned tables; use IceCatalog.createTable for partitionBy")
-    cat.createTable(nsOf(ident), ident.name(), schema)
+    // `PARTITIONED BY (col, …)` — identity transforms become the hive
+    // layout; bucket/temporal transforms have no icelite layout equivalent
+    val partitionBy = partitions.toSeq.map { t =>
+      require(t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"icelite supports PARTITIONED BY (column) only; got $t")
+      t.references()(0).fieldNames()(0)
+    }
+    cat.createTable(nsOf(ident), ident.name(), schema, partitionBy)
     loadTable(ident)
   }
 

@@ -131,6 +131,25 @@ class CatalogSpec extends SparkSpec {
     assert(pruned.count() == ev.filter(col("event_type") === "click").count())
   }
 
+  test("CREATE TABLE ... PARTITIONED BY lays out hive dirs end to end") {
+    val wh = configure("ctaspart")
+    spark.sql(
+      "CREATE TABLE icecat_ctaspart.lake.t (id BIGINT, region STRING) " +
+        "PARTITIONED BY (region)")
+    val cat = new IceCatalog(spark, wh)
+    assert(cat.loadTable("lake", "t").meta.partitionBy == Seq("region"))
+    spark.sql("INSERT INTO icecat_ctaspart.lake.t VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    val snap = cat.loadTable("lake", "t").meta.currentSnapshot.get
+    assert(snap.files.forall(_.path.contains("region=")), snap.files.map(_.path))
+    val pruned = spark.sql(
+      "SELECT id FROM icecat_ctaspart.lake.t WHERE region = 'eu'")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    intercept[Exception] {
+      spark.sql("CREATE TABLE icecat_ctaspart.lake.b (id BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only evolution, old files read NULL") {
     val wh = configure("evolve")
     val cat = new IceCatalog(spark, wh)
