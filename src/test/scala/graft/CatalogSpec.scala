@@ -150,6 +150,23 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE AS SELECT works, plain and partitioned") {
+    val wh = configure("ctas")
+    spark.sql("CREATE TABLE icecat_ctas.lake.src (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO icecat_ctas.lake.src VALUES (1, 1.5), (2, 2.5)")
+    spark.sql(
+      "CREATE TABLE icecat_ctas.lake.dst AS SELECT id, v * 2 AS v2 FROM icecat_ctas.lake.src")
+    assert(spark.sql("SELECT * FROM icecat_ctas.lake.dst ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 3.0), (2L, 5.0)))
+    spark.sql("CREATE TABLE icecat_ctas.lake.dstp PARTITIONED BY (id) " +
+      "AS SELECT id, v FROM icecat_ctas.lake.src")
+    val cat = new IceCatalog(spark, wh)
+    val snap = cat.loadTable("lake", "dstp").meta.currentSnapshot.get
+    assert(snap.files.forall(_.path.contains("id=")), snap.files.map(_.path))
+    assert(spark.sql("SELECT * FROM icecat_ctas.lake.dstp").count() == 2)
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only evolution, old files read NULL") {
     val wh = configure("evolve")
     val cat = new IceCatalog(spark, wh)
