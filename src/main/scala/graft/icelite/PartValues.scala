@@ -52,6 +52,18 @@ object PartValues {
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Partition-column types with an unambiguous external string form.
+    * Timestamps are deliberately excluded: their directory rendering depends
+    * on the writing session's timezone, so round-tripping them through path
+    * segments is a silent-corruption trap. Both write paths (DSv2's HivePath
+    * and the catalog's createTable) enforce this.
+    */
+  def renderable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
   /** Catalyst-internal value of one partition column. */
   private def internalValue(dt: DataType, raw: String): Any = dt match {
     case StringType => UTF8String.fromString(raw)
@@ -63,8 +75,21 @@ object PartValues {
     case FloatType => raw.toFloat
     case BooleanType => raw.toBoolean
     case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+    // Kept for reading tables that predate the renderable() validation:
+    // Spark's partitioned writer renders timestamps as a session-timezone
+    // local datetime ("yyyy-MM-dd HH:mm:ss[.S]"); graft sessions pin UTC.
+    // ISO instants ("...T...Z") are accepted as a fallback.
     case TimestampType | TimestampNTZType =>
-      val i = java.time.Instant.parse(raw)
+      val i =
+        if (raw.contains(' ')) {
+          val fmt = java.time.format.DateTimeFormatter.ofPattern(
+            "yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS][.S]")
+          java.time.LocalDateTime.parse(raw, fmt).toInstant(java.time.ZoneOffset.UTC)
+        } else
+          try java.time.Instant.parse(raw)
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(raw).toInstant(java.time.ZoneOffset.UTC)
+          }
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     case other => throw new UnsupportedOperationException(
       s"icelite: unsupported partition column type $other")

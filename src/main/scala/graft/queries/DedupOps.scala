@@ -17,7 +17,14 @@ import QUtil._
   */
 object DedupOps {
 
-  /** Distinct word 3-gram shingles per document (docs with >= 3 tokens).
+  // The one live shingle-array cache per session: each new build unpersists
+  // the previous one, so repeated dedup queries cannot accumulate cached
+  // DataFrames across a long session (each query's own execution happens
+  // before the next query is constructed).
+  private val liveArrays =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** Cached per-document shingle arrays; see [[shingles]].
     *
     * The fixture is a single parquet file (one input split), so the
     * tokenize+explode map side would otherwise run on one task; repartition
@@ -25,7 +32,12 @@ object DedupOps {
     * corpus the scan already has thousands of splits and Catalyst drops the
     * extra exchange into the shuffle `distinct` needs anyway.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
+    // Release BEFORE persisting the replacement: a rebuild over the same dir
+    // has the same canonicalized plan, so persist() would alias the existing
+    // cache entry and unpersisting the old handle afterwards would silently
+    // drop the new cache with it.
+    releaseArrays(s)
     // All shingles of a document live in one row, so per-doc dedup is
     // array_distinct inside the row (no shuffle), and the per-doc count n
     // rides along row-locally so Jaccard needs no per-doc-count join.
@@ -45,8 +57,20 @@ object DedupOps {
       .select(col("doc_id"), array_distinct(
         expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("arr"))
       .persist()
-    arrays.select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
+    liveArrays.put(s, arrays)
+    arrays
   }
+
+  /** Release the session's live shingle cache (for queries that finish all
+    * their shingle-reading jobs during construction).
+    */
+  private def releaseArrays(s: SparkSession): Unit =
+    Option(liveArrays.remove(s)).foreach(_.unpersist(false))
+
+  /** Distinct word 3-gram shingles per document (docs with >= 3 tokens). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir)
+      .select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
 
   /** DuckDB-side spelling of [[shingles]]. */
   private val shinglesSql: String =
@@ -232,35 +256,40 @@ object DedupOps {
               |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val sh = shingles(s, dir)
+        // Materialize the edge list ONCE and cut its lineage: every loop
+        // round (and the final result) re-references the edges, and without
+        // the checkpoint each reference re-plans the whole shingle/Jaccard
+        // pipeline — the per-round plans grow with the loop and re-walking
+        // them is what a long, cache-churned session amplifies. The edge
+        // list itself is tiny at any scale (near-dup pairs), so this
+        // truncation is cheap and the loop afterwards touches only it.
         val edges = pairJaccard(sh, sh)
           .filter(col("jaccard") >= 0.8)
           .select(col("d1"), col("d2"))
-          .persist()
+          .localCheckpoint() // eager: runs the Jaccard pipeline here
+        // ... which also means the shingle cache is no longer needed
+        releaseArrays(s)
         val bidir = edges.unionByName(
-            edges.select(col("d2").as("d1"), col("d1").as("d2")))
-          .persist()
+          edges.select(col("d2").as("d1"), col("d1").as("d2")))
         var labels = bidir.select(col("d1").as("doc")).distinct()
           .withColumn("label", col("doc"))
-          .persist()
+          .localCheckpoint()
         var changed = 1L
         while (changed > 0) {
-          // adopt the min label among self and neighbors
+          // adopt the min label among self and neighbors; carrying the old
+          // label through lets the convergence check run on the checkpointed
+          // result instead of re-joining the previous round
           val next = bidir
             .join(labels.withColumnRenamed("doc", "d1"), Seq("d1"))
             .groupBy(col("d2").as("doc"))
             .agg(min(col("label")).as("nlabel"))
             .join(labels, Seq("doc"))
-            .select(col("doc"), least(col("label"), col("nlabel")).as("label"))
-            .persist()
-          changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc"))
-            .filter(col("label") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
+            .select(col("doc"), least(col("label"), col("nlabel")).as("label"),
+              col("label").as("old"))
+            .localCheckpoint() // eager: one job per round, lineage stays flat
+          changed = next.filter(col("label") =!= col("old")).count()
+          labels = next.select("doc", "label")
         }
-        // the fixpoint labels are materialized (counted) — the join inputs
-        // can release their cached partitions now
-        edges.unpersist()
-        bidir.unpersist()
         labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")
       })

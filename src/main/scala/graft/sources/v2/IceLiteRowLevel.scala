@@ -49,6 +49,19 @@ private[v2] class IceLiteRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** Requesting `_file` does two jobs: it is the natural bookkeeping column
+    * of a group-based operation (which file each row came from), and its
+    * presence makes Spark build a metadata projection for the rewrite —
+    * ReplaceDataExec applies the paired DATA projection only then, so the
+    * writer receives exactly table-shaped rows instead of raw query rows
+    * with bookkeeping columns prepended (whose layout is an implementation
+    * detail of the rewrite plan and not stable across Spark versions).
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      IceLiteScan.FileMetaCol))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       rowLevel = Some(this))

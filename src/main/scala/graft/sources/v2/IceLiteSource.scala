@@ -838,7 +838,12 @@ private[v2] object RowGroupFilter {
     case IsNull(c) => cmp(c, null, schema, EqOp)
     case IsNotNull(c) => dt(c, schema).flatMap {
       case IntegerType | DateType => Some(FilterApi.notEq(FilterApi.intColumn(c), null: Integer))
-      case LongType | TimestampType | TimestampNTZType =>
+      // timestamps excluded for the same reason as in cmp(): the column may be
+      // physically INT96, and a long-typed predicate makes parquet-mr's
+      // SchemaCompatibilityValidator fail the whole read. Catalyst infers
+      // IsNotNull for every timestamp comparison, so translating it would
+      // break every timestamp-filtered query on INT96 files.
+      case LongType =>
         Some(FilterApi.notEq(FilterApi.longColumn(c), null: java.lang.Long))
       case DoubleType => Some(FilterApi.notEq(FilterApi.doubleColumn(c), null: java.lang.Double))
       case FloatType => Some(FilterApi.notEq(FilterApi.floatColumn(c), null: java.lang.Float))

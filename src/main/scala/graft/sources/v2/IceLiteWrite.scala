@@ -243,11 +243,12 @@ private[v2] class IceLiteDataWriter(
   }
 
   // Row-level rewrites (ReplaceData) prepend bookkeeping columns (e.g.
-  // __row_operation) that Spark only strips when a metadata projection is
-  // in play (ReplaceDataExec.writingTask falls back to the plain writing
-  // task otherwise); the data columns are always the trailing fields in
-  // table order, so map schema ordinals onto the row's suffix. Plain
-  // appends have no extra fields and get offset 0.
+  // __row_operation) to raw query rows, and Spark strips them only when a
+  // metadata projection is in play. IceLiteRowLevelOperation requests the
+  // `_file` metadata attribute precisely so that projection exists — rows
+  // then arrive exactly table-shaped (verified: lead == 0 on SQL UPDATE).
+  // The suffix mapping below is a guarded fallback should a Spark version
+  // ever hand this writer unprojected rows again; appends always get 0.
   private var lead = -1
 
   override def write(row: InternalRow): Unit = {
@@ -317,11 +318,7 @@ private[v2] class IceLiteDataWriter(
   */
 private[v2] object HivePath {
 
-  def renderable(dt: DataType): Boolean = dt match {
-    case StringType | IntegerType | LongType | ShortType | ByteType |
-         BooleanType | DateType => true
-    case _ => false
-  }
+  def renderable(dt: DataType): Boolean = graft.icelite.PartValues.renderable(dt)
 
   /** External string form of a partition value (row slot `i`, non-null). */
   def render(dt: DataType, row: InternalRow, i: Int): String = dt match {

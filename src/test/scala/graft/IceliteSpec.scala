@@ -123,6 +123,32 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.toDF.count() == 30)
   }
 
+  test("timestamp partition columns are rejected at createTable") {
+    val cat = new IceCatalog(spark, scratch("part-ts"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, ts TIMESTAMP")
+    // directory rendering of a timestamp depends on the writer's session
+    // timezone — both write paths refuse, so reject at DDL time
+    val e = intercept[IllegalArgumentException] {
+      cat.createTable("ns", "bad", schema, partitionBy = Seq("ts"))
+    }
+    assert(e.getMessage.contains("timestamp"))
+    intercept[IllegalArgumentException] {
+      cat.createTable("ns", "bad2", schema, partitionBy = Seq("nope"))
+    }
+  }
+
+  test("partition values in Spark's space-separated external form decode") {
+    // tables written before the DDL-time validation (DataFrame-path
+    // partitioned writer) render timestamps as session-local datetimes
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP")
+    val raw = graft.icelite.PartValues.parse(
+      "/wh/ns/t/snap-1/ts=2020-09-13 12%3A26%3A40/part-0.parquet", Seq("ts"))
+    assert(raw == Map("ts" -> Some("2020-09-13 12:26:40")))
+    val decoded = graft.icelite.PartValues.decodeExternal(schema, Seq("ts"), raw)
+    assert(decoded("ts") == 1600000000000000L)
+  }
+
   test("concurrent commit on the same version is rejected") {
     val wh = scratch("race")
     val cat = new IceCatalog(spark, wh)

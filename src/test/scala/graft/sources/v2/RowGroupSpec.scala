@@ -75,4 +75,37 @@ class RowGroupSpec extends SparkSpec {
       .filter(col("id") > 1000 && col("id") < 3000)
     assert(q.count() == 1999)
   }
+
+  test("timestamp filters never become row-group predicates (INT96 files)") {
+    // Spark's parquet writer defaults to INT96 timestamps; force it so the
+    // fixture stays a repro even if the session default changes. A long-typed
+    // parquet predicate on such a column (including the IsNotNull Catalyst
+    // infers for ANY timestamp comparison) makes parquet-mr's
+    // SchemaCompatibilityValidator fail the whole read.
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val wh = scratch("rowgroups-ts-wh")
+      val cat = new graft.icelite.IceCatalog(spark, wh)
+      val df = spark.range(1000).select(col("id"),
+        timestamp_micros(col("id") * 1000000L + 1600000000000000L).as("ts"))
+      cat.createTable("lake", "ts_t", df.schema).append(df)
+      val q = spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "lake.ts_t").load()
+        .filter(col("ts") > lit("2020-09-13 12:30:00").cast("timestamp"))
+      // would throw "declared type java.lang.Long does not match" if any
+      // timestamp predicate (incl. inferred IsNotNull) reached parquet-mr
+      assert(q.count() ==
+        df.filter(col("ts") > lit("2020-09-13 12:30:00").cast("timestamp")).count())
+      // the translator itself must refuse timestamp IsNotNull
+      val tsSchema = StructType.fromDDL("ts TIMESTAMP")
+      assert(RowGroupFilter.build(
+        Array(org.apache.spark.sql.sources.IsNotNull("ts")), tsSchema).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
 }
