@@ -106,6 +106,31 @@ object ComponentMain {
             throw new UserException("KBC_TOKEN is not set"))
           val client = new graft.sources.StorageApiClient(url, token)
           emit(client.getTableColumns(tables.head.source).map(c => c -> c))
+        case "query_preview" =>
+          // the one reference-advertised action with no execution path
+          // anywhere (`ex/component_config/configRowSchema.json:94-107`
+          // wires a UI button to it; no component code handles it). Here:
+          // run the custom query over the source table, return a row-capped
+          // JSON preview on stdout (C7 discipline).
+          val s = sourceOf(cfg)
+          if (!cat.tableExists(s.namespace, s.tableName))
+            throw new UserException(
+              s"table ${s.namespace}.${s.tableName} does not exist")
+          cat.loadTable(s.namespace, s.tableName).toDF
+            .createOrReplaceTempView(s.tableName)
+          val sql = cfg.parameters.dataSelection.query.trim match {
+            case "" => s"SELECT * FROM ${s.tableName}"
+            case q => q
+          }
+          // preview surface runs queries, not statements
+          if (!sql.toLowerCase.matches("(?s)\\s*(select|with)\\b.*"))
+            throw new UserException("query_preview accepts SELECT queries only")
+          val preview =
+            try spark.sql(sql).limit(PreviewRows).toJSON.collect()
+            catch { case NonFatal(e) =>
+              throw new UserException(s"query failed: ${e.getMessage}")
+            }
+          println(preview.mkString("[", ", ", "]"))
         case other =>
           throw new UserException(s"unknown action '$other'")
       }
@@ -121,6 +146,11 @@ object ComponentMain {
         System.err.println(s"UNEXPECTED: $e")
         2
     }
+
+  /** Row cap for the `query_preview` sync action — a UI affordance, so it
+    * stays small and collect-safe regardless of the query.
+    */
+  private val PreviewRows = 100
 
   private def warehouseOf(cfg: ComponentConfig): String = {
     val wh = cfg.parameters.catalog.warehouse

@@ -28,14 +28,17 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
   */
 object FileStats {
 
-  /** The complete data-file manifest of a snapshot. Pre-upgrade metadata
-    * (no inline manifest) degrades to a recursive directory listing with
-    * unknown stats (`rows = -1`), which every planner must treat as
-    * unprunable. The single shared implementation behind IceTable scans,
-    * DSv2 table construction, and DSv2 write commits.
+  /** The complete data-file manifest of a snapshot: loaded from the
+    * snapshot's external manifest file (one small immutable JSON, memoized),
+    * or the inline `files` list of in-memory / pre-externalization metadata.
+    * Pre-upgrade metadata with neither degrades to a recursive directory
+    * listing with unknown stats (`rows = -1`), which every planner must
+    * treat as unprunable. The single shared implementation behind IceTable
+    * scans, DSv2 table construction, and DSv2 write commits.
     */
   def visible(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[FileStat] =
-    if (snap.files.nonEmpty || snap.dataDirs.isEmpty) snap.files
+    if (snap.manifestFile.nonEmpty) MetaIo.readManifest(fs, snap.manifestFile)
+    else if (snap.files.nonEmpty || snap.dataDirs.isEmpty) snap.files
     else snap.dataDirs.flatMap { d =>
       val it = fs.listFiles(new Path(d), true)
       Iterator.continually(it).takeWhile(_.hasNext)
@@ -49,10 +52,11 @@ object FileStats {
     * range extraction behind the batch incremental scan, the DSv2
     * `fromSnapshotId` option, and the streaming source. Callers are
     * responsible for the expired-history check; this refuses non-append
-    * snapshots (their added files are not pure inserts).
+    * snapshots (their added files are not pure inserts). Manifest cost
+    * tracks the snapshots in the RANGE, not table history.
     */
-  def addedInRange(meta: TableMeta, from: Long, to: Long,
-      context: String): Seq[FileStat] = {
+  def addedInRange(fs: org.apache.hadoop.fs.FileSystem, meta: TableMeta,
+      from: Long, to: Long, context: String): Seq[FileStat] = {
     val range = meta.snapshots.filter(s => s.snapshotId > from && s.snapshotId <= to)
     val nonAppend = range.filterNot(_.operation == "append")
     require(nonAppend.isEmpty,
@@ -60,7 +64,8 @@ object FileStats {
         s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
     range.flatMap { s =>
       val added = s.addedFiles.toSet // Seq.contains would be O(files x added)
-      if (s.files.nonEmpty) s.files.filter(f => added.contains(f.path))
+      val manifest = if (s.manifestFile.nonEmpty || s.files.nonEmpty) visible(fs, s) else Nil
+      if (manifest.nonEmpty) manifest.filter(f => added.contains(f.path))
       else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L))
     }.sortBy(_.path)
   }

@@ -46,7 +46,12 @@ class IceTable(
   private def qualify(p: String): String =
     fs.makeQualified(new Path(p)).toString
 
-  private[icelite] def visibleFiles(snap: SnapshotMeta): Seq[FileStat] =
+  /** A snapshot's complete data-file manifest (external manifest file,
+    * inline pre-commit list, or legacy listing — see [[FileStats.visible]]).
+    * The public accessor: `SnapshotMeta.files` is empty on committed
+    * metadata now that manifests live outside the version log.
+    */
+  def visibleFiles(snap: SnapshotMeta): Seq[FileStat] =
     FileStats.visible(fs, snap)
 
   // -- read path --------------------------------------------------------------
@@ -65,27 +70,8 @@ class IceTable(
     val tableSchema = StructType.fromDDL(
       if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else m.schemaDdl)
     val files = if (snap == null) Nil else visibleFiles(snap)
-    val base =
-      if (files.isEmpty) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-      } else if (m.partitionBy.nonEmpty) {
-        // partitioned layout: partition values live in directory names.
-        // Read per snapshot-dir with basePath and the full *declared*
-        // schema, so partition values are cast to their declared types
-        // (never inferred — inference could drift per directory).
-        files.groupBy(f => snap.dataDirs.map(qualify)
-            .find(d => qualify(f.path).startsWith(d + "/"))
-            .getOrElse(new Path(f.path).getParent.toString))
-          .toSeq.sortBy(_._1)
-          .map { case (dir, fsInDir) =>
-            spark.read.schema(tableSchema).option("basePath", dir)
-              .parquet(fsInDir.map(_.path): _*)
-              .select(tableSchema.fieldNames.map(col): _*)
-          }
-          .reduce(_ unionByName _)
-      } else {
-        spark.read.schema(tableSchema).parquet(files.map(_.path): _*)
-      }
+    val base = readFiles(m, tableSchema, files,
+      if (snap == null) Nil else snap.dataDirs)
     val projected = if (columns.nonEmpty) base.select(columns.map(col): _*) else base
     // a limit beyond Int.MaxValue cannot wrap negative — it is simply no cap
     limit.filter(_ <= Int.MaxValue).map(n => projected.limit(n.toInt))
@@ -113,14 +99,9 @@ class IceTable(
     // the table schema, but the range's files carry the schema of their era
     val tableSchema = StructType.fromDDL(
       m.snapshot(to).map(_.schemaDdl).filter(_.nonEmpty).getOrElse(m.schemaDdl))
-    val files = FileStats.addedInRange(m, fromSnapshotId, to,
+    val files = FileStats.addedInRange(fs, m, fromSnapshotId, to,
       s"incremental scan over $namespace.$name")
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-    else if (m.partitionBy.nonEmpty)
-      scanFilesPartitioned(m.snapshot(to).map(_.dataDirs).getOrElse(Nil),
-        tableSchema, files)
-    else spark.read.schema(tableSchema).parquet(files.map(_.path): _*)
+    readFiles(m, tableSchema, files, m.snapshot(to).map(_.dataDirs).getOrElse(Nil))
   }
 
   // -- write path -------------------------------------------------------------
@@ -144,7 +125,17 @@ class IceTable(
   private def writeData(df: DataFrame, snapId: Long, partitionBy: Seq[String])
       : (String, Seq[FileStat]) = {
     val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
-    val writer = df.write.mode("errorifexists")
+    // Cluster rows by partition before a partitioned write (same shape the
+    // DSv2 writer enforces): without it every task holds one open writer
+    // PER partition value it sees — O(tasks x partitions) small files and
+    // as many concurrent column writers, the classic partitioned-write
+    // failure mode at scale. Repartition + sort keeps one open file per
+    // task and file count at O(partitions).
+    val clustered =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(col): _*)
+        .sortWithinPartitions(partitionBy.map(col): _*)
+    val writer = clustered.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir.toString)
     val it = fs.listFiles(dataDir, true)
@@ -278,13 +269,8 @@ class IceTable(
         FilePrune.canMatch(keyBounds, tableSchema, f, pv)
       }
 
-    val tgt =
-      if (candidates.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-      else if (m.partitionBy.nonEmpty)
-        scanFilesPartitioned(current.map(_.dataDirs).getOrElse(Nil),
-          tableSchema, candidates)
-      else spark.read.schema(tableSchema).parquet(candidates.map(_.path): _*)
+    val tgt = readFiles(m, tableSchema, candidates,
+      current.map(_.dataDirs).getOrElse(Nil))
     val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val merged = tgt.join(src, cond, "left_anti").unionByName(src)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
@@ -294,20 +280,49 @@ class IceTable(
     commitSnapshot("upsert", untouchedDirs :+ dir, added, carried = untouched)
   }
 
-  /** Read an explicit file subset of a hive-partitioned layout, recovering
-    * partition values from directory names with declared (not inferred)
-    * types.
+  /** Read an explicit file subset with the declared schema. Two mappings
+    * happen per file group:
+    *  - hive-partitioned layouts read per snapshot-dir with `basePath`, so
+    *    partition values come from directory names cast to their DECLARED
+    *    types (never inferred — inference could drift per directory);
+    *  - metadata-only renames resolve by file era: a file written before a
+    *    rename physically carries the old name, so its group is read with
+    *    the era's physical schema and the columns are re-labelled
+    *    positionally to the logical names (the name-based analog of
+    *    Iceberg's field-id resolution; partition columns never rename).
     */
-  private def scanFilesPartitioned(snapDirs: Seq[String], tableSchema: StructType,
-      files: Seq[FileStat]): DataFrame = {
+  private def readFiles(m: TableMeta, tableSchema: StructType,
+      files: Seq[FileStat], snapDirs: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
     val dirs = snapDirs.map(qualify)
-    files.groupBy(f => dirs.find(d => qualify(f.path).startsWith(d + "/"))
-        .getOrElse(new Path(f.path).getParent.toString))
-      .toSeq.sortBy(_._1)
-      .map { case (dir, fsInDir) =>
-        spark.read.schema(tableSchema).option("basePath", dir)
-          .parquet(fsInDir.map(_.path): _*)
-          .select(tableSchema.fieldNames.map(col): _*)
+    def baseOf(f: FileStat): String =
+      if (m.partitionBy.isEmpty) ""
+      else dirs.find(d => qualify(f.path).startsWith(d + "/"))
+        .getOrElse(new Path(f.path).getParent.toString)
+    def physOf(f: FileStat): Seq[String] =
+      Renames.physicalNames(m.renames, tableSchema, Renames.eraOf(f.path))
+        .getOrElse(tableSchema.fieldNames.toSeq)
+    files.groupBy(f => (baseOf(f), physOf(f)))
+      .toSeq.sortBy { case ((dir, phys), _) => (dir, phys.mkString(",")) }
+      .map { case ((dir, phys), fsInGroup) =>
+        val physSchema = StructType(tableSchema.fields.zip(phys).map {
+          // partition columns cannot be renamed; keep their logical name so
+          // directory-derived values bind
+          case (f, p) => if (m.partitionBy.contains(f.name)) f else f.copy(name = p)
+        })
+        val rd = spark.read.schema(physSchema)
+        // select by PHYSICAL name and alias to the logical one: partitioned
+        // reads reorder columns (partition cols last), so a positional
+        // rename would mislabel — names are the only stable handle here.
+        // Physical names never collide with other logical names (rename
+        // targets and re-adds of retired names are refused at DDL time).
+        val cols = physSchema.fields.zip(tableSchema.fields).map {
+          case (p, f) => col(p.name).as(f.name)
+        }
+        (if (dir.isEmpty) rd else rd.option("basePath", dir))
+          .parquet(fsInGroup.map(_.path): _*)
+          .select(cols.toIndexedSeq: _*)
       }
       .reduce(_ unionByName _)
   }
@@ -337,10 +352,7 @@ class IceTable(
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
     }
     if (candidates.isEmpty) return this // nothing can match: no-op
-    val src =
-      if (m.partitionBy.nonEmpty)
-        scanFilesPartitioned(current.dataDirs, tableSchema, candidates)
-      else spark.read.schema(tableSchema).parquet(candidates.map(_.path): _*)
+    val src = readFiles(m, tableSchema, candidates, current.dataDirs)
     // keep rows where the condition is false or NULL
     val kept = src.filter(!org.apache.spark.sql.functions.coalesce(
       cond, org.apache.spark.sql.functions.lit(false)))
@@ -377,6 +389,10 @@ class IceTable(
     val keepDirs = keep.flatMap(_.dataDirs).toSet
     (dropped.flatMap(_.dataDirs).toSet -- keepDirs).toSeq.sorted
       .foreach(d => fs.delete(new Path(d), true))
+    // a dropped snapshot's external manifest is referenced by nothing else
+    // (one manifest file per snapshot, written once at its commit)
+    dropped.filter(_.manifestFile.nonEmpty)
+      .foreach(s => fs.delete(new Path(s.manifestFile), false))
     this
   }
 }

@@ -61,9 +61,67 @@ final case class SnapshotMeta(
     // complete manifest of data files visible at this snapshot (not just the
     // added ones) with their column stats. Scans plan from this list — never
     // from directory listings — so a failed/speculative task's orphaned
-    // output in a data dir is invisible by construction. Empty only on
-    // pre-upgrade metadata: readers then fall back to listing dataDirs.
-    files: Seq[FileStat] = Nil)
+    // output in a data dir is invisible by construction. TRANSIENT in new
+    // metadata: MetaIo.commit moves it to an external manifest file and
+    // leaves `manifestFile` pointing at it, so the version log stays
+    // O(snapshots), not O(snapshots x files). Non-empty only in memory
+    // (pre-commit) or on pre-upgrade metadata.
+    files: Seq[FileStat] = Nil,
+    // absolute path of the external manifest file holding this snapshot's
+    // complete FileStat list; written once at commit and immutable after
+    // (snapshots never change). "" on pre-upgrade metadata — readers then
+    // use the inline `files` or degrade to listing `dataDirs`.
+    manifestFile: String = "")
+
+/** One metadata-only column rename: files added by snapshots with id
+  * `<= cutoffSnapshotId` physically carry `from` where the logical schema
+  * (as of after the rename) says `to`. The event log is ordered oldest
+  * first; [[Renames.physicalName]] walks it newest-first to map a logical
+  * column to the name to request from a file of a given era — the
+  * name-based analog of Iceberg's field-id indirection.
+  */
+final case class ColumnRename(cutoffSnapshotId: Long, from: String, to: String)
+
+object Renames {
+
+  private val SnapDir = """data/snap-(\d+)/""".r.unanchored
+
+  /** The snapshot era a data file was written in (parsed from its
+    * `data/snap-N/` directory). Unknown layouts map to Long.MaxValue =
+    * "newest" (no renames applied), which is only reachable for legacy
+    * paths that predate every rename anyway.
+    */
+  def eraOf(path: String): Long = path match {
+    case SnapDir(n) => n.toLong
+    case _ => Long.MaxValue
+  }
+
+  /** Physical column name to request from a file of `era` for a logical
+    * column named as of the CURRENT schema (or any pinned-era schema:
+    * events newer than the pinned era never match its names).
+    */
+  def physicalName(renames: Seq[ColumnRename], logical: String, era: Long): String =
+    renames.reverseIterator.foldLeft(logical) { (name, r) =>
+      if (r.cutoffSnapshotId >= era && name == r.to) r.from else name
+    }
+
+  /** Physical names for every field of `schema`, or None when the era needs
+    * no mapping (the overwhelmingly common case — avoids per-file overhead).
+    */
+  def physicalNames(renames: Seq[ColumnRename],
+      schema: org.apache.spark.sql.types.StructType, era: Long): Option[Seq[String]] = {
+    if (renames.isEmpty) return None
+    val mapped = schema.fieldNames.toSeq.map(physicalName(renames, _, era))
+    if (mapped == schema.fieldNames.toSeq) None else Some(mapped)
+  }
+
+  /** Every column name touched by any rename event — filters on these must
+    * not become parquet row-group predicates (old files carry the other
+    * name, and parquet-mr fails reads over predicates on missing columns).
+    */
+  def touchedNames(renames: Seq[ColumnRename]): Set[String] =
+    renames.flatMap(r => Seq(r.from, r.to)).toSet
+}
 
 /** Table metadata document, stored as `metadata/v{version}.json`.
   *
@@ -80,7 +138,14 @@ final case class TableMeta(
     partitionBy: Seq[String],
     currentSnapshotId: Long, // 0 = empty table, no snapshot yet
     snapshots: Seq[SnapshotMeta],
-    version: Int) {
+    version: Int,
+    // metadata-only schema evolution ledgers (empty on pre-evolution tables):
+    // ordered column-rename events, and names that once existed and were
+    // dropped or renamed away — re-adding those is refused, because old
+    // files still physically carry data under them and a name-based read
+    // would resurrect the wrong column.
+    renames: Seq[ColumnRename] = Nil,
+    retiredColumns: Seq[String] = Nil) {
 
   def currentSnapshot: Option[SnapshotMeta] =
     snapshots.find(_.snapshotId == currentSnapshotId)
@@ -127,9 +192,51 @@ object MetaIo {
     mapper.readValue(json, classOf[TableMeta])
   }
 
-  def commit(fs: FileSystem, tableDir: Path, meta: TableMeta): Unit = {
+  // Manifest files are immutable once written (snapshots never change), so
+  // parsed manifests memoize safely; bounded so a long session over many
+  // tables cannot grow without limit.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStat]]()
+
+  /** The FileStat list held by one external manifest file. */
+  def readManifest(fs: FileSystem, path: String): Seq[FileStat] = {
+    val cached = manifestCache.get(path)
+    if (cached != null) return cached
+    val parsed: Seq[FileStat] = mapper.readValue(
+      readFile(fs, new Path(path)),
+      new com.fasterxml.jackson.core.`type`.TypeReference[Seq[FileStat]] {})
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(path, parsed)
+    parsed
+  }
+
+  /** Move any inline per-snapshot file manifest into its own metadata file
+    * (named with a UUID so a losing concurrent committer can never clobber
+    * the winner's manifest) and leave a pointer. Called on every commit:
+    * previously committed snapshots already carry pointers, so the
+    * incremental work is one manifest write for the new snapshot — the
+    * version log itself stays O(snapshots).
+    */
+  private def externalize(fs: FileSystem, tableDir: Path, meta: TableMeta)
+      : (TableMeta, Seq[Path]) = {
+    var written = Seq.empty[Path]
+    val slim = meta.copy(snapshots = meta.snapshots.map { s =>
+      if (s.files.isEmpty || s.manifestFile.nonEmpty) s
+      else {
+        val mf = fs.makeQualified(new Path(metadataDir(tableDir),
+          f"manifest-${s.snapshotId}%05d-${java.util.UUID.randomUUID()}.json"))
+        writeFile(fs, mf, mapper.writeValueAsString(s.files))
+        written :+= mf
+        s.copy(files = Nil, manifestFile = mf.toString)
+      }
+    })
+    (slim, written)
+  }
+
+  def commit(fs: FileSystem, tableDir: Path, meta0: TableMeta): Unit = {
     val dir = metadataDir(tableDir)
     fs.mkdirs(dir)
+    val (meta, newManifests) = externalize(fs, tableDir, meta0)
     val vFile = new Path(dir, s"v${meta.version}.json")
     val tmp = new Path(dir, s".v${meta.version}.json.${java.util.UUID.randomUUID()}.tmp")
     writeFile(fs, tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
@@ -137,6 +244,8 @@ object MetaIo {
     // best-effort on local/object stores — documented single-writer)
     if (fs.exists(vFile) || !fs.rename(tmp, vFile)) {
       fs.delete(tmp, false)
+      // this attempt lost the race — its manifest files are unreferenced
+      newManifests.foreach(m => fs.delete(m, false))
       throw new IllegalStateException(
         s"concurrent commit detected for ${meta.namespace}.${meta.name} v${meta.version}")
     }

@@ -22,10 +22,15 @@ final case class SourceConf(
     namespace: String = "",
     @JsonProperty("table_name") tableName: String = "")
 
-/** Extractor column selection (`ex/src/configuration.py:18-20,34-36`). */
+/** Extractor column selection (`ex/src/configuration.py:18-20,34-36`).
+  * `query` backs the UI's `custom_query` mode and its `query_preview`
+  * sync action (`ex/component_config/configRowSchema.json:94-107` — the
+  * reference advertises the button but ships no executing code for it).
+  */
 final case class DataSelection(
-    mode: String = "all_data", // all_data | selected_columns
+    mode: String = "all_data", // all_data | selected_columns | custom_query
     columns: Seq[String] = Nil,
+    query: String = "",
     @JsonProperty("snapshot_id") snapshotId: Option[Long] = None)
 
 /** Extractor output config (`ex/src/configuration.py:23-25,44-50`). */

@@ -103,8 +103,9 @@ object IceliteOps {
           .withColumn("o_totalprice", col("o_totalprice") * 1.1)
         tbl.upsert(source, keys = Seq("o_orderkey"))
         val snap = tbl.meta.currentSnapshot.get
-        require(snap.files.length > snap.addedFiles.length,
-          s"copy-on-write expected carried files: all ${snap.files.length} rewritten")
+        val snapFiles = tbl.visibleFiles(snap)
+        require(snapFiles.length > snap.addedFiles.length,
+          s"copy-on-write expected carried files: all ${snapFiles.length} rewritten")
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
@@ -300,9 +301,10 @@ object IceliteOps {
         s.sql("""DELETE FROM icelite_d.lake.orders_d
                 |WHERE o_orderkey <= 1000 AND o_orderstatus = 'F'""".stripMargin)
         val snap = tbl.meta.currentSnapshot.get
+        val snapFiles = tbl.visibleFiles(snap)
         require(snap.operation == "delete" &&
-          snap.files.length > snap.addedFiles.length,
-          s"delete must be copy-on-write: ${snap.files.length} files, " +
+          snapFiles.length > snap.addedFiles.length,
+          s"delete must be copy-on-write: ${snapFiles.length} files, " +
             s"${snap.addedFiles.length} rewritten")
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
@@ -328,9 +330,10 @@ object IceliteOps {
         s.sql("""UPDATE icelite_u.lake.orders_u SET o_orderpriority = 'RUSH'
                 |WHERE o_orderkey <= 1000""".stripMargin)
         val snap = tbl.meta.currentSnapshot.get
+        val snapFiles = tbl.visibleFiles(snap)
         require(snap.operation == "update" &&
-          snap.files.length > snap.addedFiles.length,
-          s"update must be copy-on-write: ${snap.files.length} files, " +
+          snapFiles.length > snap.addedFiles.length,
+          s"update must be copy-on-write: ${snapFiles.length} files, " +
             s"${snap.addedFiles.length} rewritten")
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),

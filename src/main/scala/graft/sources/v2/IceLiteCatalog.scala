@@ -110,10 +110,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     * (renames, drops, type changes) stays a replace()-level operation.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val unsupported = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"icelite supports ALTER TABLE ADD COLUMN only; " +
+        s"icelite supports ALTER TABLE ADD/RENAME/DROP COLUMN only; " +
           s"got ${unsupported.mkString(", ")} — evolve via replace()")
     val (ns, tbl) = (nsOf(ident), ident.name())
     val dir = cat.tablePath(ns, tbl)
@@ -121,12 +124,48 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     val meta = graft.icelite.MetaIo.read(fs, dir)
     var schema = StructType.fromDDL(meta.schemaDdl)
-    changes.collect { case add: TableChange.AddColumn =>
-      require(add.fieldNames().length == 1,
-        s"icelite columns are top-level; cannot add nested ${add.fieldNames().mkString(".")}")
-      val name = add.fieldNames()(0)
-      require(!schema.fieldNames.contains(name), s"column $name already exists in $ns.$tbl")
-      schema = schema.add(name, add.dataType(), nullable = true)
+    var renames = meta.renames
+    var retired = meta.retiredColumns
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"icelite columns are top-level; cannot $what nested ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = topLevel(add.fieldNames(), "add")
+        require(!schema.fieldNames.contains(name),
+          s"column $name already exists in $ns.$tbl")
+        // a name that was dropped or renamed away still exists PHYSICALLY in
+        // old files; a name-based re-add would resurrect that data
+        require(!retired.contains(name),
+          s"column name $name was previously dropped/renamed in $ns.$tbl and " +
+            "cannot be re-added (old data files still carry it); use a new name")
+        schema = schema.add(name, add.dataType(), nullable = true)
+      case ren: TableChange.RenameColumn =>
+        val from = topLevel(ren.fieldNames(), "rename")
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from), s"no column $from in $ns.$tbl")
+        require(!schema.fieldNames.contains(to),
+          s"column $to already exists in $ns.$tbl")
+        require(!retired.contains(to),
+          s"column name $to was previously dropped/renamed in $ns.$tbl and " +
+            "cannot be reused (old data files still carry it); use a new name")
+        require(!meta.partitionBy.contains(from),
+          s"cannot rename partition column $from: partition values are " +
+            "directory names and directories are immutable")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        renames :+= graft.icelite.ColumnRename(meta.currentSnapshotId, from, to)
+        retired :+= from
+      case del: TableChange.DeleteColumn =>
+        val name = topLevel(del.fieldNames(), "drop")
+        require(schema.fieldNames.contains(name), s"no column $name in $ns.$tbl")
+        require(!meta.partitionBy.contains(name),
+          s"cannot drop partition column $name")
+        require(schema.length > 1, s"cannot drop the last column of $ns.$tbl")
+        schema = StructType(schema.fields.filterNot(_.name == name))
+        retired :+= name
     }
     val ddl = schema.toDDL
     graft.icelite.MetaIo.commit(fs, dir, meta.copy(
@@ -134,7 +173,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
       // the current snapshot's view evolves with the table; history stays
       snapshots = meta.snapshots.map(s =>
         if (s.snapshotId == meta.currentSnapshotId) s.copy(schemaDdl = ddl) else s),
-      version = meta.version + 1))
+      version = meta.version + 1,
+      renames = renames,
+      retiredColumns = retired))
     loadTable(ident)
   }
 

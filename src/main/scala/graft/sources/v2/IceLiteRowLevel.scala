@@ -34,7 +34,8 @@ import graft.icelite.{FileStat, FileStats, MetaIo, SnapshotMeta}
 private[v2] class IceLiteRowLevelOperation(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    renames: Seq[graft.icelite.ColumnRename] = Nil) extends RowLevelOperation {
 
   private val scanned =
     new java.util.concurrent.ConcurrentHashMap[String, FileStat]()
@@ -64,7 +65,7 @@ private[v2] class IceLiteRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
-      rowLevel = Some(this))
+      rowLevel = Some(this), renames = renames)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new IceLiteReplaceGroupsWriteBuilder(warehouse, ns, tbl, partitionBy,

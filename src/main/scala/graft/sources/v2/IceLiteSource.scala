@@ -125,14 +125,15 @@ private[v2] object IceLiteV2 {
         // (from, pinned]; planning cost tracks change volume, not table size
         val from = fromS.toLong
         graft.icelite.FileStats.requireHistory(meta, from, "incremental scan")
-        graft.icelite.FileStats.addedInRange(meta, from, snap.snapshotId,
+        graft.icelite.FileStats.addedInRange(fs, meta, from, snap.snapshotId,
           "incremental scan")
       case _ =>
         if (snap == null) Nil
         else graft.icelite.FileStats.visible(fs, snap)
     }
     new IceLiteTable(warehouse, meta.namespace, meta.name,
-      schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files)
+      schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
+      meta.renames)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -172,7 +173,8 @@ private[v2] object IceLiteV2 {
 
 private[v2] class IceLiteTable(
     warehouse: String, ns: String, tbl: String,
-    tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat])
+    tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat],
+    renames: Seq[graft.icelite.ColumnRename] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -201,7 +203,8 @@ private[v2] class IceLiteTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new IceLiteRowLevelOperation(
-      warehouse, ns, tbl, tableSchema, partitionBy, files, info.command())
+      warehouse, ns, tbl, tableSchema, partitionBy, files, info.command(),
+      renames)
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
@@ -224,7 +227,9 @@ private[v2] class IceLiteTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files)
+    new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
+      streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      renames = renames)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -238,7 +243,11 @@ private[v2] class IceLiteScanBuilder(
     // Some(op) = this scan selects the GROUPS of a row-level operation: it
     // must never drop rows inside a planned file, and it reports what it
     // planned so the paired write replaces exactly those files
-    rowLevel: Option[IceLiteRowLevelOperation] = None)
+    rowLevel: Option[IceLiteRowLevelOperation] = None,
+    // streaming admission control: cap on data files per micro-batch
+    streamMaxFiles: Option[Int] = None,
+    // metadata-only rename events: map logical -> per-file-era physical names
+    renames: Seq[graft.icelite.ColumnRename] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -298,7 +307,7 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteAggScan(s"$ns.$tbl", schema, row)
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
-        files, pushed, limit, rowLevel, wantsFileCol)
+        files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames)
   }
 }
 
@@ -468,7 +477,8 @@ private[v2] class IceLiteScan(
     tableSchema: StructType, partitionBy: Seq[String],
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
     limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None,
-    wantsFileCol: Boolean = false)
+    wantsFileCol: Boolean = false, streamMaxFiles: Option[Int] = None,
+    renames: Seq[graft.icelite.ColumnRename] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -542,7 +552,12 @@ private[v2] class IceLiteScan(
       val constants =
         if (wantsFileCol) raw + (IceLiteScan.FileMetaCol -> Some(f.path))
         else raw
-      IceLiteInputPartition(f.path, f.bytes, constants): InputPartition
+      // files written before a rename carry the old column name; each task
+      // requests its file's era-physical names (positions stay logical)
+      val phys = graft.icelite.Renames.physicalNames(
+        renames, dataSchema, graft.icelite.Renames.eraOf(f.path))
+      IceLiteInputPartition(f.path, f.bytes, constants,
+        phys.getOrElse(Nil)): InputPartition
     }.toArray
   }
 
@@ -554,12 +569,19 @@ private[v2] class IceLiteScan(
       else OptionalLong.of(planned.map(_._1.rows).sum)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // row-level scans must return every row of the files they plan: a
     // parquet row-group predicate would silently drop rows from the
-    // rewrite, so filters reach parquet only on plain reads
-    IceLiteV2.readerFactory(dataSchema, partSchema,
-      if (rowLevel.isDefined) Array.empty else filters, limit)
+    // rewrite, so filters reach parquet only on plain reads. Columns ever
+    // touched by a rename are excluded too: old files carry the other
+    // name, and parquet-mr fails the whole read over a predicate on a
+    // column missing from the file schema.
+    val touched = graft.icelite.Renames.touchedNames(renames)
+    val rgFilters =
+      if (rowLevel.isDefined) Array.empty[Filter]
+      else filters.filter(_.references.forall(r => !touched.contains(r)))
+    IceLiteV2.readerFactory(dataSchema, partSchema, rgFilters, limit)
+  }
 
   /** The micro-batch face of the same table: offsets are snapshot ids and
     * each batch reads exactly the files ADDED by its snapshot range —
@@ -569,7 +591,8 @@ private[v2] class IceLiteScan(
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy)
+    new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
+      streamMaxFiles)
 }
 
 /** Snapshot-id offsets for the streaming read. */
@@ -588,12 +611,24 @@ private[v2] case class IceOffset(snapshotId: Long)
   */
 private[v2] class IceLiteMicroBatchStream(
     warehouse: String, ns: String, tbl: String,
-    tableSchema: StructType, partitionBy: Seq[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    tableSchema: StructType, partitionBy: Seq[String],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private def currentMeta = IceLiteV2.loadMeta(warehouse, ns, tbl)._1
+
+  // Trigger.AvailableNow: Spark's fallback wrapper for sources without
+  // native support IGNORES ReadLimit (it jumps straight to the offset
+  // captured up front), which would defeat admission control exactly when
+  // it matters most — draining a populated table. Implementing the
+  // interface ourselves keeps per-batch caps in force: capture the end
+  // here, then latestOffset() walks toward it in capped steps.
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentMeta.currentSnapshotId)
 
   override def initialOffset(): Offset = IceOffset(0L)
   override def latestOffset(): Offset = IceOffset(currentMeta.currentSnapshotId)
@@ -601,18 +636,64 @@ private[v2] class IceLiteMicroBatchStream(
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Admission control: without it, a stream started against a populated
+    * table would plan the ENTIRE history as one first micro-batch — the
+    * `maxFilesPerTrigger` option caps each batch's data-file count instead,
+    * so history drains in bounded batches (offsets are snapshot ids, so the
+    * cap rounds to whole snapshots and always admits at least one so the
+    * stream progresses).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IceOffset].snapshotId
+    val m = currentMeta
+    val head = availableNowEnd.getOrElse(m.currentSnapshotId)
+    limit match {
+      case mf: ReadMaxFiles =>
+        val pending = m.snapshots
+          .filter(s => s.snapshotId > from && s.snapshotId <= head)
+          .sortBy(_.snapshotId)
+        var to = from
+        var used = 0
+        var admitted = 0
+        val it = pending.iterator
+        var open = true
+        while (open && it.hasNext) {
+          val s = it.next()
+          val n = s.addedFiles.length
+          if (admitted == 0 || used + n <= mf.maxFiles()) {
+            to = s.snapshotId; used += n; admitted += 1
+          } else open = false // offsets must stay a contiguous snapshot range
+        }
+        IceOffset(to)
+      case _ => IceOffset(head)
+    }
+  }
+
+  /** True head of the table, independent of the admitted cap — keeps
+    * streaming progress metrics honest about backlog.
+    */
+  override def reportLatestOffset(): Offset = IceOffset(currentMeta.currentSnapshotId)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IceOffset].snapshotId
     val to = end.asInstanceOf[IceOffset].snapshotId
-    val m = currentMeta
+    val (m, fs) = IceLiteV2.loadMeta(warehouse, ns, tbl)
     // if expireSnapshots removed part of (from, to] while the stream was
     // down, rows would silently vanish from the 'exactly-once' stream —
     // fail loudly instead (the operator must reset the checkpoint)
     graft.icelite.FileStats.requireHistory(m, from,
       s"streaming read of $ns.$tbl (reset the checkpoint)")
-    graft.icelite.FileStats.addedInRange(m, from, to, s"streaming read of $ns.$tbl")
+    val dataSchema = StructType(
+      tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+    graft.icelite.FileStats.addedInRange(fs, m, from, to, s"streaming read of $ns.$tbl")
       .map(f => IceLiteInputPartition(f.path, f.bytes,
-        PartValues.parse(f.path, partitionBy)): InputPartition)
+        PartValues.parse(f.path, partitionBy),
+        graft.icelite.Renames.physicalNames(m.renames, dataSchema,
+          graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil)): InputPartition)
       .toArray
   }
 
@@ -626,7 +707,9 @@ private[v2] class IceLiteMicroBatchStream(
 }
 
 private[v2] case class IceLiteInputPartition(
-    file: String, length: Long, partValues: Map[String, Option[String]])
+    file: String, length: Long, partValues: Map[String, Option[String]],
+    // physical (file-era) name per data-schema field; empty = identity
+    physicalDataNames: Seq[String] = Nil)
     extends InputPartition
 
 private[v2] class IceLiteReaderFactory(
@@ -643,9 +726,15 @@ private[v2] class IceLiteReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[IceLiteInputPartition]
+    val logical = DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
+    // request the file-era physical names; batch columns are positional, so
+    // the logical readSchema applies unchanged on top
+    val requested =
+      if (p.physicalDataNames.isEmpty) logical
+      else StructType(logical.fields.zip(p.physicalDataNames)
+        .map { case (f, n) => f.copy(name = n) })
     new IceLiteColumnarReader(
-      p.file, p.length, p.partValues, conf,
-      DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
+      p.file, p.length, p.partValues, conf, requested,
       DataType.fromJson(partSchemaJson).asInstanceOf[StructType], limit)
   }
 }

@@ -105,15 +105,16 @@ class CatalogSpec extends SparkSpec {
         "SELECT event_id, user_id, event_type, value FROM ev_src")
     // one snapshot, hive-style subdirs, stats-bearing manifest
     val snap = tbl.meta.currentSnapshot.get
+    val snapFiles = tbl.visibleFiles(snap)
     assert(snap.operation == "append" && snap.addedRows == ev.count())
-    assert(snap.files.nonEmpty)
-    assert(snap.files.forall(_.path.contains("event_type=")),
-      s"expected hive layout, got:\n${snap.files.map(_.path).mkString("\n")}")
+    assert(snapFiles.nonEmpty)
+    assert(snapFiles.forall(_.path.contains("event_type=")),
+      s"expected hive layout, got:\n${snapFiles.map(_.path).mkString("\n")}")
     // write clustered by partition: one file per (task-visited) partition,
     // so file count stays at O(partitions), not O(tasks x partitions)
     val types = ev.select("event_type").distinct().count()
-    assert(snap.files.length <= types,
-      s"${snap.files.length} files for $types partitions — writer not clustered")
+    assert(snapFiles.length <= types,
+      s"${snapFiles.length} files for $types partitions — writer not clustered")
     // both read paths agree with the source, including partition values
     val viaSql = spark.sql(
       "SELECT event_id, user_id, event_type, value FROM icecat_partins.lake.events_w")
@@ -139,8 +140,9 @@ class CatalogSpec extends SparkSpec {
     val cat = new IceCatalog(spark, wh)
     assert(cat.loadTable("lake", "t").meta.partitionBy == Seq("region"))
     spark.sql("INSERT INTO icecat_ctaspart.lake.t VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
-    val snap = cat.loadTable("lake", "t").meta.currentSnapshot.get
-    assert(snap.files.forall(_.path.contains("region=")), snap.files.map(_.path))
+    val ptbl = cat.loadTable("lake", "t")
+    val pfiles = ptbl.visibleFiles(ptbl.meta.currentSnapshot.get)
+    assert(pfiles.forall(_.path.contains("region=")), pfiles.map(_.path))
     val pruned = spark.sql(
       "SELECT id FROM icecat_ctaspart.lake.t WHERE region = 'eu'")
     assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
@@ -162,8 +164,9 @@ class CatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE icecat_ctas.lake.dstp PARTITIONED BY (id) " +
       "AS SELECT id, v FROM icecat_ctas.lake.src")
     val cat = new IceCatalog(spark, wh)
-    val snap = cat.loadTable("lake", "dstp").meta.currentSnapshot.get
-    assert(snap.files.forall(_.path.contains("id=")), snap.files.map(_.path))
+    val dtbl = cat.loadTable("lake", "dstp")
+    val dfiles = dtbl.visibleFiles(dtbl.meta.currentSnapshot.get)
+    assert(dfiles.forall(_.path.contains("id=")), dfiles.map(_.path))
     assert(spark.sql("SELECT * FROM icecat_ctas.lake.dstp").count() == 2)
   }
 
@@ -194,10 +197,59 @@ class CatalogSpec extends SparkSpec {
     // time travel to the pre-evolution snapshot keeps the old schema
     assert(spark.sql("SELECT * FROM icecat_evolve.lake.t VERSION AS OF 1")
       .columns.toSeq == Seq("id", "tag"))
-    // anything but ADD COLUMN is refused
+    // type changes stay replace()-level operations
     intercept[UnsupportedOperationException] {
-      spark.sql("ALTER TABLE icecat_evolve.lake.t RENAME COLUMN tag TO label")
+      spark.sql("ALTER TABLE icecat_evolve.lake.t ALTER COLUMN score TYPE STRING")
     }
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN: era-aware reads over old files") {
+    val wh = configure("rencol")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    spark.sql("CREATE TABLE icecat_rencol.lake.t (id BIGINT, tag STRING, score DOUBLE)")
+    Seq((1L, "a", 1.5)).toDF("id", "tag", "score")
+      .writeTo("icecat_rencol.lake.t").append()
+    Seq((2L, "b", 2.5)).toDF("id", "tag", "score")
+      .writeTo("icecat_rencol.lake.t").append()
+    spark.sql("ALTER TABLE icecat_rencol.lake.t RENAME COLUMN tag TO label")
+    // old files serve their data under the NEW name on both read paths,
+    // including filters on the renamed column (which must not reach parquet
+    // as row-group predicates — old files don't carry the new name)
+    assert(spark.sql("SELECT label FROM icecat_rencol.lake.t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(spark.sql("SELECT id FROM icecat_rencol.lake.t WHERE label = 'b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val tbl = cat.loadTable("lake", "t")
+    assert(tbl.toDF.columns.toSeq == Seq("id", "label", "score"))
+    assert(tbl.toDF.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // new-era appends under the new name mix with old-era files, and
+    // aggregates stay correct (manifest pushdown must REFUSE old-name
+    // stats rather than mis-answer)
+    Seq((3L, "c", 3.5)).toDF("id", "label", "score")
+      .writeTo("icecat_rencol.lake.t").append()
+    assert(spark.sql(
+      "SELECT min(label) AS lo, max(label) AS hi FROM icecat_rencol.lake.t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "c")))
+    // time travel to a pre-rename snapshot keeps its pinned schema AND data
+    val v1 = spark.sql("SELECT * FROM icecat_rencol.lake.t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("id", "tag", "score"))
+    assert(v1.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a"))
+    // DROP COLUMN is metadata-only; remaining columns read through
+    spark.sql("ALTER TABLE icecat_rencol.lake.t DROP COLUMN score")
+    assert(spark.table("icecat_rencol.lake.t").columns.toSeq == Seq("id", "label"))
+    assert(spark.sql("SELECT * FROM icecat_rencol.lake.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // retired names cannot come back: old files still physically carry them
+    intercept[Exception] {
+      spark.sql("ALTER TABLE icecat_rencol.lake.t ADD COLUMNS (tag STRING)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE icecat_rencol.lake.t ADD COLUMNS (score DOUBLE)") }
+    // row-level ops rewrite old-era files into the current shape
+    spark.sql("UPDATE icecat_rencol.lake.t SET label = 'z' WHERE id = 1")
+    assert(spark.sql("SELECT label FROM icecat_rencol.lake.t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("z", "b", "c"))
   }
 
   test("no-op UPDATE commits nothing; incremental readers stay usable") {
@@ -254,7 +306,7 @@ class CatalogSpec extends SparkSpec {
       Seq(1L, 3L, 4L))
     val snap = tbl.meta.currentSnapshot.get
     assert(snap.operation == "delete")
-    assert(snap.files.length > snap.addedFiles.length,
+    assert(tbl.visibleFiles(snap).length > snap.addedFiles.length,
       s"expected untouched files carried: $snap")
     // key-range delete proves files irrelevant from manifest stats
     spark.sql("DELETE FROM icecat_del.lake.t WHERE id >= 4")
@@ -283,7 +335,7 @@ class CatalogSpec extends SparkSpec {
     // partition 'b' was provably unaffected and carried untouched
     val snapU = tbl.meta.currentSnapshot.get
     assert(snapU.operation == "update")
-    assert(snapU.files.exists(f => f.path.contains("part=b") &&
+    assert(tbl.visibleFiles(snapU).exists(f => f.path.contains("part=b") &&
       !snapU.addedFiles.contains(f.path)),
       s"partition b should be carried, not rewritten: $snapU")
     // MERGE with a moved-partition update and an insert into a new partition
@@ -297,7 +349,8 @@ class CatalogSpec extends SparkSpec {
     assert(afterM.toSeq ==
       Seq((1L, "a", 10.0), (2L, "c", 20.0), (3L, "b", 3.0), (4L, "b", 4.0), (9L, "d", 9.0)))
     // hive layout holds for rewritten rows too (row moved into part=c)
-    assert(tbl.meta.currentSnapshot.get.files.exists(_.path.contains("part=c")))
+    assert(tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+      .exists(_.path.contains("part=c")))
   }
 
   test("partition values with path-hostile characters round-trip") {

@@ -96,6 +96,47 @@ class ComponentSpec extends SparkSpec {
     assert(out.contains("\"label\": \"n_name (STRING)\""), out)
   }
 
+  test("query_preview sync action: custom SQL -> row-capped JSON preview") {
+    val d = dataDir("preview")
+    val wh = scratch("component-preview-wh")
+    seedTable(wh)
+    writeConfig(d,
+      s"""{"action": "query_preview", "parameters": {
+         |  "catalog": {"warehouse": "$wh"},
+         |  "source": {"namespace": "lake", "table_name": "nation_t"},
+         |  "data_selection": {"mode": "custom_query",
+         |    "query": "SELECT n_name, n_regionkey FROM nation_t WHERE n_regionkey = 1 ORDER BY n_name"}
+         |}}""".stripMargin)
+    val buf = new ByteArrayOutputStream()
+    val code = Console.withOut(new PrintStream(buf)) {
+      ComponentMain.execute(spark, d)
+    }
+    assert(code == 0)
+    val out = buf.toString.trim
+    assert(out.startsWith("[") && out.endsWith("]"), s"not a JSON array: $out")
+    assert(out.contains("\"n_regionkey\":1"), out)
+    assert(!out.contains("\"n_regionkey\":2"), "WHERE clause ignored")
+
+    // empty query previews the table, capped at 100 rows
+    writeConfig(d,
+      s"""{"action": "query_preview", "parameters": {
+         |  "catalog": {"warehouse": "$wh"},
+         |  "source": {"namespace": "lake", "table_name": "nation_t"}}}""".stripMargin)
+    val buf2 = new ByteArrayOutputStream()
+    assert(Console.withOut(new PrintStream(buf2)) {
+      ComponentMain.execute(spark, d)
+    } == 0)
+    assert(buf2.toString.trim.split("\\},\\s*\\{").length == 25)
+
+    // statements are refused as a user error, not executed
+    writeConfig(d,
+      s"""{"action": "query_preview", "parameters": {
+         |  "catalog": {"warehouse": "$wh"},
+         |  "source": {"namespace": "lake", "table_name": "nation_t"},
+         |  "data_selection": {"query": "DROP TABLE nation_t"}}}""".stripMargin)
+    assert(ComponentMain.execute(spark, d) == 1)
+  }
+
   test("writer accepts a parquet input table") {
     val d = dataDir("wrpq")
     val wh = scratch("component-wrpq-wh")

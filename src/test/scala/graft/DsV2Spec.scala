@@ -121,15 +121,15 @@ class DsV2Spec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getString(1).endsWith(".parquet")))
     // file paths are real manifest entries
-    val manifest = new IceCatalog(spark, wh).loadTable("lake", "orders_t")
-      .meta.currentSnapshot.get.files.map(_.path).toSet
+    val mtbl = new IceCatalog(spark, wh).loadTable("lake", "orders_t")
+    val manifest = mtbl.visibleFiles(mtbl.meta.currentSnapshot.get).map(_.path).toSet
     assert(rows.map(_.getString(1)).toSet.subsetOf(manifest))
     // grouping by _file reproduces per-file row counts from the manifest
     val perFile = spark.sql(
       "SELECT _file, count(*) c FROM ice_fc.lake.orders_t GROUP BY _file")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val expected = new IceCatalog(spark, wh).loadTable("lake", "orders_t")
-      .meta.currentSnapshot.get.files.map(f => f.path -> f.rows).toMap
+    val expected = mtbl.visibleFiles(mtbl.meta.currentSnapshot.get)
+      .map(f => f.path -> f.rows).toMap
     assert(perFile == expected)
   }
 
@@ -200,6 +200,41 @@ class DsV2Spec extends SparkSpec {
     drain()
     assert(seen.size == 3 && Seq(100L, 101L, 102L).forall(seen.contains),
       s"resume must deliver exactly the new snapshot, saw $seen")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
+  test("maxFilesPerTrigger splits a populated table into bounded batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val wh = warehouse("stream-admission")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "n", df.schema)
+    // 4 snapshots of history BEFORE the stream starts — without admission
+    // control the first trigger would plan all of them as one batch
+    (0 until 4).foreach(i => tbl.append(df.filter(col("n_nationkey") % 4 === i)))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.n")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-admission").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("n_nationkey").collect()
+        if (rows.nonEmpty) batches.incrementAndGet()
+        rows.foreach(r => seen.add(r.getInt(0).toLong))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // same rows as an uncapped drain, delivered in >1 bounded batches
+    assert(seen.size == 25, s"capped drain lost rows: ${seen.size}")
+    assert(batches.get() == 4,
+      s"expected one batch per snapshot at cap=1 file, got ${batches.get()}")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 

@@ -118,6 +118,11 @@ class IceliteSpec extends SparkSpec {
     assert(df.count() == 25)
     assert(df.schema.fieldNames.sorted.toSeq == nation.schema.fieldNames.sorted.toSeq)
     assert(df.groupBy("n_regionkey").count().count() == 5)
+    // write is clustered by partition column: one open file per task, file
+    // count O(partitions) not O(tasks x partitions) — same shape as DSv2
+    val files = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    assert(files.length <= 5,
+      s"partitioned write not clustered: ${files.length} files for 5 partitions")
     // second append keeps both snapshots readable
     tbl.append(nation.filter(col("n_regionkey") === 0))
     assert(tbl.toDF.count() == 30)
@@ -147,6 +152,44 @@ class IceliteSpec extends SparkSpec {
     assert(raw == Map("ts" -> Some("2020-09-13 12:26:40")))
     val decoded = graft.icelite.PartValues.decodeExternal(schema, Seq("ts"), raw)
     assert(decoded("ts") == 1600000000000000L)
+  }
+
+  test("file manifests live outside the version log; append growth is O(1)") {
+    val wh = scratch("slimmeta")
+    val cat = new IceCatalog(spark, wh)
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    (1 to 8).foreach(_ => tbl.append(nation))
+    assert(tbl.toDF.count() == 8 * 25)
+    // time travel still resolves every snapshot's manifest
+    assert(tbl.scan(snapshotId = Some(3L)).count() == 3 * 25)
+
+    val metaDir = new org.apache.hadoop.fs.Path(s"$wh/ns/t/metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slurp(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p); try new String(in.readAllBytes()) finally in.close()
+    }
+    // the version log carries pointers, never FileStat blobs
+    val log = slurp(new org.apache.hadoop.fs.Path(metaDir, "v9.json"))
+    assert(!log.contains("\"bytes\""), "inline FileStat leaked into the version log")
+    assert(log.contains("manifest-"), "snapshots must point at external manifests")
+    // one immutable manifest file per snapshot
+    val manifests = fs.listStatus(metaDir)
+      .map(_.getPath.getName).filter(_.startsWith("manifest-"))
+    assert(manifests.length == 8, s"expected 8 manifest files, got ${manifests.toSeq}")
+    // growth of the version log is O(1)-ish per append (a pointer + a dir +
+    // added-file names), NOT O(files in table): the v9/v8 delta must stay
+    // far below one per-file stats blob per carried file
+    val d98 = slurp(new org.apache.hadoop.fs.Path(metaDir, "v9.json")).length -
+      slurp(new org.apache.hadoop.fs.Path(metaDir, "v8.json")).length
+    val d54 = slurp(new org.apache.hadoop.fs.Path(metaDir, "v5.json")).length -
+      slurp(new org.apache.hadoop.fs.Path(metaDir, "v4.json")).length
+    assert(d98 < d54 + 2048, s"version-log growth accelerating: v8->v9 $d98 vs v4->v5 $d54")
+    // expiry drops the orphaned manifests with the snapshots
+    tbl.expireSnapshots(keepLast = 2)
+    val after = fs.listStatus(metaDir)
+      .map(_.getPath.getName).filter(_.startsWith("manifest-"))
+    assert(after.length == 2, s"expected 2 manifest files after expiry, got ${after.toSeq}")
+    assert(tbl.toDF.count() == 8 * 25)
   }
 
   test("concurrent commit on the same version is rejected") {
@@ -214,19 +257,21 @@ class IceliteSpec extends SparkSpec {
     // range layout: each of the 4 files owns a disjoint o_orderkey range
     tbl.append(o.repartitionByRange(4, col("o_orderkey")))
     val before = tbl.meta.currentSnapshot.get
-    assert(before.files.length == 4)
+    val beforeFiles = tbl.visibleFiles(before)
+    assert(beforeFiles.length == 4)
     val maxKey = o.agg(max("o_orderkey")).collect()(0)
       .getAs[Number](0).longValue
     val src = o.filter(col("o_orderkey") <= maxKey / 8)
       .withColumn("o_orderstatus", lit("U"))
     tbl.upsert(src, keys = Seq("o_orderkey"))
     val after = tbl.meta.currentSnapshot.get
+    val afterFiles = tbl.visibleFiles(after)
     // stats proved most files could not contain a matching key
     assert(after.addedFiles.nonEmpty)
-    assert(after.files.length > after.addedFiles.length,
-      s"no files carried: ${after.files.length} total, ${after.addedFiles.length} added")
-    val carried = after.files.map(_.path).toSet -- after.addedFiles.toSet
-    assert(carried.subsetOf(before.files.map(_.path).toSet),
+    assert(afterFiles.length > after.addedFiles.length,
+      s"no files carried: ${afterFiles.length} total, ${after.addedFiles.length} added")
+    val carried = afterFiles.map(_.path).toSet -- after.addedFiles.toSet
+    assert(carried.subsetOf(beforeFiles.map(_.path).toSet),
       "carried entries must be the previous snapshot's files, byte-identical")
     // merged content is exactly upsert semantics
     val expect = o.filter(col("o_orderkey") > maxKey / 8)
@@ -300,7 +345,7 @@ class IceliteSpec extends SparkSpec {
     val cat = new IceCatalog(spark, scratch("compactpar"))
     val tbl = cat.createTable("ns", "t", nation.schema)
     (0 until 6).foreach(i => tbl.append(nation.filter(col("n_nationkey") % 6 === i)))
-    assert(tbl.meta.currentSnapshot.get.files.length >= 6)
+    assert(tbl.visibleFiles(tbl.meta.currentSnapshot.get).length >= 6)
     // make every small file its own input split so read parallelism is
     // observable at fixture scale (production files are split-sized anyway)
     val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
