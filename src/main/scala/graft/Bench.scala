@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // --rounds N: timed runs per query (min reported). Default 2; raise for
+    // a confirmation pass when a number looks pathological.
+    val rounds = args.sliding(2).collectFirst {
+      case Array("--rounds", n) => n.toInt }.getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +27,7 @@ object Bench {
     // per-plan codegen + JIT compilation, which measures the JVM, not the
     // plan. Cache is cleared between runs so data always comes from disk.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
