@@ -122,9 +122,25 @@ object ComponentMain {
             case "" => s"SELECT * FROM ${s.tableName}"
             case q => q
           }
-          // preview surface runs queries, not statements
-          if (!sql.toLowerCase.matches("(?s)\\s*(select|with)\\b.*"))
-            throw new UserException("query_preview accepts SELECT queries only")
+          // Preview surface runs queries, not statements. A string-prefix
+          // check cannot police a grammar (`WITH x AS (...) INSERT INTO t
+          // SELECT ...` starts with "with" yet mutates the table), so parse
+          // the plan and reject any statement node anywhere in the tree.
+          val parsed =
+            try spark.sessionState.sqlParser.parsePlan(sql)
+            catch { case NonFatal(e) =>
+              throw new UserException(s"query failed: ${e.getMessage}")
+            }
+          import org.apache.spark.sql.catalyst.plans.logical.{Command, ParsedStatement}
+          // Command covers v2 DDL/DML plan nodes; ParsedStatement covers
+          // v1-style parsed statements (InsertIntoStatement among them).
+          parsed.collectFirst {
+            case c: Command => c
+            case s: ParsedStatement => s
+          }.foreach { n =>
+            throw new UserException(
+              s"query_preview accepts read-only SELECT queries only (got ${n.nodeName})")
+          }
           val preview =
             try spark.sql(sql).limit(PreviewRows).toJSON.collect()
             catch { case NonFatal(e) =>

@@ -193,22 +193,36 @@ object MetaIo {
   }
 
   // Manifest files are immutable once written (snapshots never change), so
-  // parsed manifests memoize safely; bounded so a long session over many
-  // tables cannot grow without limit.
+  // parsed manifests memoize safely; bounded LRU so a long session over many
+  // tables cannot grow without limit yet keeps hot tables' manifests parsed
+  // (a clear-all at capacity would re-parse-storm every live table).
+  private[graft] val ManifestCacheCap = 256
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStat]]()
+    new java.util.LinkedHashMap[String, Seq[FileStat]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileStat]]): Boolean =
+        size > ManifestCacheCap
+    }
 
   /** The FileStat list held by one external manifest file. */
   def readManifest(fs: FileSystem, path: String): Seq[FileStat] = {
-    val cached = manifestCache.get(path)
-    if (cached != null) return cached
+    manifestCache.synchronized {
+      val cached = manifestCache.get(path)
+      if (cached != null) return cached
+    }
     val parsed: Seq[FileStat] = mapper.readValue(
       readFile(fs, new Path(path)),
       new com.fasterxml.jackson.core.`type`.TypeReference[Seq[FileStat]] {})
-    if (manifestCache.size > 256) manifestCache.clear()
-    manifestCache.put(path, parsed)
+    manifestCache.synchronized { manifestCache.put(path, parsed) }
     parsed
   }
+
+  /** Test hook: current cache keys in eviction order (eldest first). */
+  private[graft] def manifestCacheKeys: Seq[String] =
+    manifestCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      manifestCache.keySet().asScala.toSeq
+    }
 
   /** Move any inline per-snapshot file manifest into its own metadata file
     * (named with a UUID so a losing concurrent committer can never clobber

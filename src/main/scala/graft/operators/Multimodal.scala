@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * the compute stages (decode → feature-extract / resize / frame-sample) run
   * as partition-local batch transforms.
   *
-  * The actual media codecs are NOT in this environment, so `decodeStub`
-  * below is a clearly-marked deterministic stand-in — but every Spark-side
-  * decision is the real one a production pipeline needs:
+  * The header decode is real ([[Multimodal.sniffImage]] parses PNG/JPEG/GIF
+  * container headers from magic bytes, pure JVM); only the learned-embedding
+  * featurizer (`decodeStub`) is a clearly-marked deterministic stand-in —
+  * and every Spark-side decision is the real one a production pipeline
+  * needs:
   *
   *  - schema: `payload: binary` + `media: struct<...>` keeps the blob
   *    column-pruned away unless a stage actually needs bytes;
@@ -31,6 +33,72 @@ object Multimodal {
       width: Int, height: Int, channels: Int,
       sampleRateHz: Int, nFrames: Int)
 
+  /** Sniffed image container info, parsed from real magic bytes. */
+  case class ImageInfo(format: String, width: Int, height: Int, channels: Int)
+
+  /** Pure-JVM image header parsing from the payload's leading bytes — no
+    * codec libraries involved, just the public container formats:
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first) carries
+    *    width/height as big-endian ints and a color type that fixes the
+    *    channel count (PNG spec, RFC 2083 §4.1.1);
+    *  - JPEG: FF D8 SOI, then marker segments; any SOFn frame header
+    *    (C0–CF minus C4/C8/CC) carries height, width, component count
+    *    (ITU T.81 §B.2.2);
+    *  - GIF: "GIF87a"/"GIF89a", then little-endian logical screen size.
+    * Returns None for anything unrecognized or truncated — callers keep
+    * their declared metadata in that case.
+    */
+  def sniffImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null || bytes.length < 10) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    // PNG
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR") {
+      val channels = u8(25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      return Some(ImageInfo("png", be32(16), be32(20), channels))
+    }
+    // JPEG
+    if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return None // desynced marker stream
+        var m = u8(i + 1)
+        while (m == 0xff && i + 2 < bytes.length) { i += 1; m = u8(i + 1) } // fill bytes
+        m match {
+          case 0xd8 | 0x01 => i += 2 // SOI / TEM: standalone
+          case r if r >= 0xd0 && r <= 0xd7 => i += 2 // RSTn: standalone
+          case 0xd9 => return None // EOI before any frame header
+          case sof if sof >= 0xc0 && sof <= 0xcf &&
+              sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+            if (i + 9 >= bytes.length) return None
+            return Some(ImageInfo("jpeg", be16(i + 7), be16(i + 5), u8(i + 9)))
+          case _ =>
+            if (i + 3 >= bytes.length) return None
+            i += 2 + be16(i + 2) // length field includes itself
+        }
+      }
+      return None
+    }
+    // GIF
+    if (bytes.length >= 10 &&
+        new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+          .matches("GIF8[79]a"))
+      return Some(ImageInfo("gif", le16(6), le16(8), 3))
+    None
+  }
+
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media: MediaMeta)
 
   case class DecodedRecord(
@@ -48,15 +116,16 @@ object Multimodal {
       StructField("sampleRateHz", IntegerType),
       StructField("nFrames", IntegerType))), nullable = true)))
 
-  /** STUB — deterministic stand-in for a real media decode + feature
-    * extraction (the container has no image/audio codecs). A production
-    * implementation swaps only this function: same signature, same
-    * batch/partition shape. The fake "features" are moments of the byte
-    * distribution, so they are stable across runs, partitionings, and
+  /** Feature extraction: deterministic stand-in for a learned embedding
+    * model (the container has no inference runtime). The header DECODE step
+    * above ([[sniffImage]]) is real; only this featurizer is a placeholder a
+    * production pipeline swaps for its CNN/audio encoder — same signature,
+    * same batch/partition shape. The stand-in "features" are moments of the
+    * byte distribution, so they are stable across runs, partitionings, and
     * engines.
     */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here (e.g. JPEG -> RGB -> CNN embedding)
+    // a real model (e.g. JPEG -> RGB -> CNN embedding) replaces this body
     val out = new Array[Float](dim)
     if (payload == null || payload.isEmpty) return out
     var i = 0
@@ -84,7 +153,16 @@ object Multimodal {
           val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
           digest.reset()
           val id = digest.digest(bytes).map("%02x".format(_)).mkString
-          DecodedRecord(r.doc_id, r.media, bytes.length.toLong, id,
+          // trust the bytes over the declared metadata: a recognizable
+          // image header overrides modality/dims/channels (bad upstream
+          // metadata is the norm in scraped corpora)
+          val media = sniffImage(bytes) match {
+            case Some(info) => r.media.copy(modality = "image",
+              width = info.width, height = info.height,
+              channels = info.channels)
+            case None => r.media
+          }
+          DecodedRecord(r.doc_id, media, bytes.length.toLong, id,
             decodeStub(bytes, dim))
         }
       }

@@ -103,7 +103,8 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
     new IceLiteWriterFactory(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
       partitionBy,
-      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+      rowLevel = true)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val m = MetaIo.read(fs, tableDir)

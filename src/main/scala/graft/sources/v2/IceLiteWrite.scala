@@ -153,12 +153,12 @@ private[v2] class IceLiteBatchWrite(
 
 private[v2] class IceLiteWriterFactory(
     stagingDir: String, schemaDdl: String, partitionBy: Seq[String],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, rowLevel: Boolean = false)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IceLiteDataWriter(stagingDir, StructType.fromDDL(schemaDdl),
-      partitionBy, partitionId, taskId, conf)
+      partitionBy, partitionId, taskId, conf, rowLevel)
 }
 
 /** Writes parquet files via the public parquet-mr Group API — the symmetric
@@ -174,7 +174,8 @@ private[v2] class IceLiteWriterFactory(
   */
 private[v2] class IceLiteDataWriter(
     stagingDir: String, schema: StructType, partitionBy: Seq[String],
-    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration,
+    rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // partition columns live in the directory name, never in the file
@@ -248,7 +249,13 @@ private[v2] class IceLiteDataWriter(
   // `_file` metadata attribute precisely so that projection exists — rows
   // then arrive exactly table-shaped (verified: lead == 0 on SQL UPDATE).
   // The suffix mapping below is a guarded fallback should a Spark version
-  // ever hand this writer unprojected rows again; appends always get 0.
+  // ever hand a ROW-LEVEL writer unprojected rows again. Appends must be
+  // exactly table-shaped: an extra-column append row means the plan and the
+  // table disagree, and remapping it silently could write data from the
+  // wrong slots — fail loudly instead. The row-level fallback is bounded
+  // (ReplaceData-family plans prepend at most the operation + row-id
+  // bookkeeping) so an appended-suffix layout change trips the bound
+  // rather than silently shifting data columns.
   private var lead = -1
 
   override def write(row: InternalRow): Unit = {
@@ -256,6 +263,12 @@ private[v2] class IceLiteDataWriter(
       lead = row.numFields - schema.length
       require(lead >= 0,
         s"writer got ${row.numFields}-field rows for a ${schema.length}-column schema")
+      require(lead == 0 || rowLevel,
+        s"append writer got ${row.numFields}-field rows for a " +
+          s"${schema.length}-column schema — refusing to guess a column mapping")
+      require(lead <= 2,
+        s"row-level writer got $lead extra leading fields (expected <= 2, " +
+          "the ReplaceData bookkeeping prefix) — writer/plan layout drift")
     }
     val key =
       if (partIdx.isEmpty) ""

@@ -135,6 +135,21 @@ class ComponentSpec extends SparkSpec {
          |  "source": {"namespace": "lake", "table_name": "nation_t"},
          |  "data_selection": {"query": "DROP TABLE nation_t"}}}""".stripMargin)
     assert(ComponentMain.execute(spark, d) == 1)
+
+    // a CTE-prefixed INSERT starts with WITH yet is DML: it must be refused
+    // by the plan-level guard AND must not mutate the table
+    val rowsBefore = spark.sql("SELECT count(*) FROM nation_t").head.getLong(0)
+    writeConfig(d,
+      s"""{"action": "query_preview", "parameters": {
+         |  "catalog": {"warehouse": "$wh"},
+         |  "source": {"namespace": "lake", "table_name": "nation_t"},
+         |  "data_selection": {"query":
+         |    "WITH x AS (SELECT * FROM nation_t) INSERT INTO nation_t SELECT * FROM x"}
+         |}}""".stripMargin)
+    assert(ComponentMain.execute(spark, d) == 1,
+      "CTE-prefixed INSERT must be refused as a user error")
+    assert(spark.sql("SELECT count(*) FROM nation_t").head.getLong(0) == rowsBefore,
+      "refused preview DML must not mutate the table")
   }
 
   test("writer accepts a parquet input table") {

@@ -372,4 +372,51 @@ class IceliteSpec extends SparkSpec {
       spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
     }
   }
+
+  test("distributed footer stats == driver-pool footer stats") {
+    import graft.icelite.FileStats
+    val dir = scratch("diststats")
+    graft.queries.QUtil.t(spark, sfDir, "orders").repartition(6)
+      .write.parquet(dir)
+    val paths = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    assert(paths.length == 6)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val driverSide = paths.map(FileStats.fromFooter(conf, _))
+    val distributed = FileStats.collectDistributed(spark, conf, paths)
+    assert(distributed == driverSide,
+      "executor-side footer stats must be bit-identical to the driver pool's")
+  }
+
+  test("manifest cache evicts LRU, not clear-all, at capacity") {
+    import graft.icelite.MetaIo
+    val dir = new java.io.File(scratch("mcache"))
+    dir.mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cap = MetaIo.ManifestCacheCap
+    def mk(i: Int): String = {
+      val f = new java.io.File(dir, s"manifest-lru-$i.json")
+      java.nio.file.Files.writeString(f.toPath,
+        s"""[{"path":"f$i.parquet","rows":$i,"bytes":1}]""")
+      f.toString
+    }
+    // flood with cap+5 fresh manifests: the 5 eldest (plus anything other
+    // tests left behind) are evicted one at a time, never the whole cache
+    val paths = (0 until cap + 5).map(mk)
+    paths.foreach(p => MetaIo.readManifest(fs, p))
+    val keys = MetaIo.manifestCacheKeys
+    assert(keys.size == cap, s"cache holds ${keys.size}, expected cap $cap")
+    assert(!keys.contains(paths(0)) && !keys.contains(paths(4)),
+      "eldest entries must be evicted first")
+    assert(keys.contains(paths(5)) && keys.contains(paths.last),
+      "younger entries must survive eviction")
+    // access-order: touching the current eldest survivor refreshes it, so
+    // the NEXT insert evicts its neighbor instead
+    MetaIo.readManifest(fs, paths(5))
+    MetaIo.readManifest(fs, mk(cap + 5))
+    val keys2 = MetaIo.manifestCacheKeys
+    assert(keys2.contains(paths(5)), "recently-read entry must not be evicted")
+    assert(!keys2.contains(paths(6)), "untouched eldest entry must be evicted")
+  }
 }

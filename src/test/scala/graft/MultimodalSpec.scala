@@ -34,6 +34,55 @@ class MultimodalSpec extends SparkSpec {
       "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
   }
 
+  // real container bytes, produced by the JDK's own encoders — the sniffing
+  // under test then has to agree with a second, independent implementation
+  private def encode(fmt: String, w: Int, h: Int,
+      imgType: Int = java.awt.image.BufferedImage.TYPE_INT_RGB): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    img.setRGB(0, 0, 0xff8800) // non-trivial pixel so encoders emit real data
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  test("sniffImage parses real PNG/JPEG/GIF headers, rejects junk") {
+    import Multimodal.{sniffImage, ImageInfo}
+    assert(sniffImage(encode("png", 640, 360)) ==
+      Some(ImageInfo("png", 640, 360, 3)))
+    assert(sniffImage(encode("png", 12, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)) ==
+      Some(ImageInfo("png", 12, 7, 1)))
+    assert(sniffImage(encode("png", 3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)) ==
+      Some(ImageInfo("png", 3, 3, 4)))
+    assert(sniffImage(encode("jpg", 320, 200)) ==
+      Some(ImageInfo("jpeg", 320, 200, 3)))
+    assert(sniffImage(encode("gif", 48, 32)) ==
+      Some(ImageInfo("gif", 48, 32, 3)))
+    assert(sniffImage("not an image at all, just text".getBytes("UTF-8")).isEmpty)
+    assert(sniffImage(Array.emptyByteArray).isEmpty)
+    assert(sniffImage(null).isEmpty)
+    // truncated PNG: signature only, no IHDR
+    assert(sniffImage(encode("png", 10, 10).take(12)).isEmpty)
+    // truncated JPEG: SOI + APP0 but cut before any SOF marker
+    assert(sniffImage(encode("jpg", 10, 10).take(8)).isEmpty)
+  }
+
+  test("decodeAndFeaturize trusts sniffed headers over declared metadata") {
+    import spark.implicits._
+    val png = encode("png", 100, 50)
+    val ds = Seq(
+      // lying metadata: declared 1x1 audio, payload is a real 100x50 PNG
+      MediaRecord(10L, png, MediaMeta("audio", 1, 1, 1, 44100, 0)),
+      // unrecognizable payload: declared metadata carries through untouched
+      MediaRecord(11L, "opaque-bytes".getBytes("UTF-8"),
+        MediaMeta("audio", 0, 0, 1, 16000, 0))).toDS()
+    val out = Multimodal.decodeAndFeaturize(ds, dim = 4)
+      .collect().map(r => r.doc_id -> r.media).toMap
+    assert(out(10L) == MediaMeta("image", 100, 50, 3, 44100, 0))
+    assert(out(11L) == MediaMeta("audio", 0, 0, 1, 16000, 0))
+  }
+
   test("resizePlan computes aspect-correct bounded dims") {
     val out = Multimodal.resizePlan(records.toDF(), maxSide = 960)
       .select("doc_id", "target_width", "target_height")
