@@ -5,14 +5,19 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import graft.functions.GraftFunctions
 
-/** Spark extensions entry point: registers graft's native expressions at
-  * session build time. Production wiring is
-  * `spark.sql.extensions=graft.GraftExtensions`; tests and the driver
-  * contract use [[GraftFunctions.register]] on an existing session instead.
+/** Spark extensions entry point: registers graft's native expressions and
+  * plan rules at session build time. Production wiring is
+  * `spark.sql.extensions=graft.GraftExtensions` (Verify/Bench/spec sessions
+  * set it); [[GraftFunctions.register]] still covers function registration
+  * on an already-built session, but plan rules need the extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // streaming column pruning — Spark's streaming planner never calls
+    // DSv2 pruneColumns, so the source handles it at analysis time
+    ext.injectResolutionRule(graft.sources.v2.StreamScanPruning.apply)
+  }
 }

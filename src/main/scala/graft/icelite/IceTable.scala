@@ -56,22 +56,27 @@ class IceTable(
 
   // -- read path --------------------------------------------------------------
 
-  /** Snapshot-pinned scan with optional projection and limit (S1/R1-R3). */
+  /** Snapshot-pinned scan with optional projection and limit (S1/R1-R3).
+    *
+    * Planned through the DSv2 source — the same single-relation plan the
+    * SQL-catalog path gets — so the DataFrame API inherits manifest-stat
+    * file skipping, parquet row-group skipping, DPP, and columnar reads,
+    * and the logical plan stays O(1) in snapshot-dir and rename-era count
+    * (the old per-(dir × era) union grew with table history). Snapshot
+    * pinning rides the `snapshotId` option; era renames resolve per file
+    * inside the scan.
+    */
   def scan(columns: Seq[String] = Nil, limit: Option[Long] = None,
       snapshotId: Option[Long] = None): DataFrame = {
     val m = meta
-    val snap = snapshotId match {
-      case Some(id) => m.snapshot(id).getOrElse(
-        throw new IllegalArgumentException(s"no snapshot $id in $namespace.$name"))
-      case None => m.currentSnapshot.orNull
-    }
-    // read pinned snapshots with their own schema: replace() may have
-    // changed the table schema since, and old files carry the old one
-    val tableSchema = StructType.fromDDL(
-      if (snap != null && snap.schemaDdl.nonEmpty) snap.schemaDdl else m.schemaDdl)
-    val files = if (snap == null) Nil else visibleFiles(snap)
-    val base = readFiles(m, tableSchema, files,
-      if (snap == null) Nil else snap.dataDirs)
+    // validate eagerly: the DSv2 option path would fail at analysis anyway,
+    // but with a less pointed error
+    snapshotId.foreach(id => require(m.snapshot(id).isDefined,
+      s"no snapshot $id in $namespace.$name"))
+    val rd = spark.read.format("icelite")
+      .option("warehouse", catalog.warehouse)
+      .option("table", s"$namespace.$name")
+    val base = snapshotId.fold(rd)(id => rd.option("snapshotId", id.toString)).load()
     val projected = if (columns.nonEmpty) base.select(columns.map(col): _*) else base
     // a limit beyond Int.MaxValue cannot wrap negative — it is simply no cap
     limit.filter(_ <= Int.MaxValue).map(n => projected.limit(n.toInt))
@@ -95,13 +100,15 @@ class IceTable(
     val to = toSnapshotId.getOrElse(m.currentSnapshotId)
     FileStats.requireHistory(m, fromSnapshotId, "incremental scan")
     require(m.snapshot(to).isDefined, s"no snapshot $to in $namespace.$name")
-    // read with the schema as of `to` — a later replace() may have changed
-    // the table schema, but the range's files carry the schema of their era
-    val tableSchema = StructType.fromDDL(
-      m.snapshot(to).map(_.schemaDdl).filter(_.nonEmpty).getOrElse(m.schemaDdl))
-    val files = FileStats.addedInRange(fs, m, fromSnapshotId, to,
-      s"incremental scan over $namespace.$name")
-    readFiles(m, tableSchema, files, m.snapshot(to).map(_.dataDirs).getOrElse(Nil))
+    // same DSv2 single-relation plan as scan(): `fromSnapshotId` selects
+    // only the files ADDED by snapshots in (from, to], `snapshotId` pins
+    // the range head (and the schema era the range is read with)
+    spark.read.format("icelite")
+      .option("warehouse", catalog.warehouse)
+      .option("table", s"$namespace.$name")
+      .option("fromSnapshotId", fromSnapshotId.toString)
+      .option("snapshotId", to.toString)
+      .load()
   }
 
   // -- write path -------------------------------------------------------------

@@ -145,7 +145,14 @@ final case class TableMeta(
     // files still physically carry data under them and a name-based read
     // would resurrect the wrong column.
     renames: Seq[ColumnRename] = Nil,
-    retiredColumns: Seq[String] = Nil) {
+    retiredColumns: Seq[String] = Nil,
+    // columns whose declared type was ever WIDENED (int->long, float->double
+    // ...): files written before the change physically carry the narrower
+    // type. The vectorized parquet reader upcasts transparently, but typed
+    // parquet row-group predicates on these columns would be rejected by
+    // parquet-mr's schema validator against old files — scans must keep
+    // such filters file-level only (same hazard class as INT96 timestamps).
+    widenedColumns: Seq[String] = Nil) {
 
   def currentSnapshot: Option[SnapshotMeta] =
     snapshots.find(_.snapshotId == currentSnapshotId)

@@ -101,23 +101,25 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** Schema evolution: `ALTER TABLE … ADD COLUMN` is a metadata-only commit
-    * (no data movement — Iceberg semantics). The table schema and the
-    * CURRENT snapshot's schema gain the nullable column; files written
-    * before the change simply lack it and both read paths fill NULLs via
-    * requested-schema clipping. Older snapshots keep their pinned schemas,
-    * so time travel still sees the world as it was. Everything else
-    * (renames, drops, type changes) stays a replace()-level operation.
+  /** Schema evolution: ADD / RENAME / DROP COLUMN and lossless type
+    * WIDENING are metadata-only commits (no data movement — Iceberg
+    * semantics). The table schema and the CURRENT snapshot's schema evolve;
+    * files written before the change simply lack the column (read as NULL),
+    * carry the old name (resolved per file era), or carry the narrower
+    * physical type (upcast by the vectorized reader). Older snapshots keep
+    * their pinned schemas, so time travel still sees the world as it was.
+    * Anything lossy stays a replace()-level operation.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"icelite supports ALTER TABLE ADD/RENAME/DROP COLUMN only; " +
-          s"got ${unsupported.mkString(", ")} — evolve via replace()")
+        s"icelite supports ALTER TABLE ADD/RENAME/DROP COLUMN and type " +
+          s"WIDENING only; got ${unsupported.mkString(", ")} — evolve via replace()")
     val (ns, tbl) = (nsOf(ident), ident.name())
     val dir = cat.tablePath(ns, tbl)
     val fs = dir.getFileSystem(
@@ -126,6 +128,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     var schema = StructType.fromDDL(meta.schemaDdl)
     var renames = meta.renames
     var retired = meta.retiredColumns
+    var widened = meta.widenedColumns
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"icelite columns are top-level; cannot $what nested ${fieldNames.mkString(".")}")
@@ -166,6 +169,22 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
         require(schema.length > 1, s"cannot drop the last column of $ns.$tbl")
         schema = StructType(schema.fields.filterNot(_.name == name))
         retired :+= name
+      case upd: TableChange.UpdateColumnType =>
+        // metadata-only type WIDENING (Iceberg's promotion rules): old files
+        // keep the narrower physical type and the vectorized reader upcasts
+        // at scan time; anything lossy stays a replace()-level operation.
+        val name = topLevel(upd.fieldNames(), "retype")
+        val field = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column $name in $ns.$tbl"))
+        val to = upd.newDataType()
+        require(IceLiteCatalog.widens(field.dataType, to),
+          s"cannot change $name from ${field.dataType.simpleString} to " +
+            s"${to.simpleString}: only lossless widenings " +
+            "(byte/short/int -> wider integral, float -> double) are " +
+            "metadata-only; anything else needs a rewrite via replace()")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
+        widened :+= name
     }
     val ddl = schema.toDDL
     graft.icelite.MetaIo.commit(fs, dir, meta.copy(
@@ -175,7 +194,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
         if (s.snapshotId == meta.currentSnapshotId) s.copy(schemaDdl = ddl) else s),
       version = meta.version + 1,
       renames = renames,
-      retiredColumns = retired))
+      retiredColumns = retired,
+      widenedColumns = widened))
     loadTable(ident)
   }
 
@@ -225,6 +245,27 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
       val p = new org.apache.hadoop.fs.Path(warehouse, namespace(0))
       p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
         .delete(p, true)
+    }
+  }
+}
+
+object IceLiteCatalog {
+
+  /** Lossless metadata-only type promotions (Iceberg's widening rules for
+    * the primitive types this engine serves): every value representable in
+    * the narrow type is exactly representable in the wide one, and the
+    * vectorized parquet reader upcasts the narrow PHYSICAL encoding to the
+    * wide logical type natively — so no file rewrite is ever needed.
+    */
+  def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
     }
   }
 }

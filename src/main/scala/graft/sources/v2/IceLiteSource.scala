@@ -133,7 +133,7 @@ private[v2] object IceLiteV2 {
     }
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
-      meta.renames)
+      meta.renames, meta.widenedColumns)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -142,7 +142,14 @@ private[v2] object IceLiteV2 {
     * Shared by the batch scan and the micro-batch stream.
     */
   def readerFactory(dataSchema: StructType, partSchema: StructType,
-      filters: Array[org.apache.spark.sql.sources.Filter], limit: Int)
+      filters: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+      // serving order as indices into dataSchema++partSchema; empty =
+      // physical order (data columns then constant partition vectors).
+      // The STREAMING path must serve the relation's declared column order
+      // (Spark binds stream output to the relation attributes positionally,
+      // unlike batch, which re-derives output from readSchema) — a
+      // partition column anywhere but last would otherwise misbind.
+      outputPermutation: Seq[Int] = Nil)
       : PartitionReaderFactory = {
     val spark = SparkSession.active
     val c = new org.apache.hadoop.conf.Configuration(
@@ -167,14 +174,17 @@ private[v2] object IceLiteV2 {
       "spark.sql.session.timeZone" -> java.util.TimeZone.getDefault.getID
     ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
     new IceLiteReaderFactory(
-      new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit)
+      new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit,
+      outputPermutation)
   }
 }
 
 private[v2] class IceLiteTable(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat],
-    renames: Seq[graft.icelite.ColumnRename] = Nil)
+    renames: Seq[graft.icelite.ColumnRename] = Nil,
+    // columns ever type-widened: old files carry the narrower physical type
+    widened: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -229,11 +239,22 @@ private[v2] class IceLiteTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      renames = renames)
+      renames = renames, widened = widened)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new IceLiteWriteBuilder(warehouse, ns, tbl, info)
+
+  /** A read-only view of this table narrowed to `names` (table order
+    * preserved) — the vehicle for streaming column pruning, where Spark
+    * never calls `pruneColumns` (see [[graft.sources.v2.StreamScanPruning]]):
+    * the narrowed schema flows through `newScanBuilder` into the micro-batch
+    * stream, so the reader requests only these columns from parquet.
+    */
+  private[graft] def narrowTo(names: Seq[String]): IceLiteTable =
+    new IceLiteTable(warehouse, ns, tbl,
+      StructType(tableSchema.fields.filter(f => names.contains(f.name))),
+      partitionBy.filter(names.contains), files, renames, widened)
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -247,7 +268,9 @@ private[v2] class IceLiteScanBuilder(
     // streaming admission control: cap on data files per micro-batch
     streamMaxFiles: Option[Int] = None,
     // metadata-only rename events: map logical -> per-file-era physical names
-    renames: Seq[graft.icelite.ColumnRename] = Nil)
+    renames: Seq[graft.icelite.ColumnRename] = Nil,
+    // columns ever type-widened (no row-group predicates on them)
+    widened: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -307,7 +330,8 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteAggScan(s"$ns.$tbl", schema, row)
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
-        files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames)
+        files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames,
+        widened)
   }
 }
 
@@ -478,7 +502,8 @@ private[v2] class IceLiteScan(
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
     limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None,
     wantsFileCol: Boolean = false, streamMaxFiles: Option[Int] = None,
-    renames: Seq[graft.icelite.ColumnRename] = Nil)
+    renames: Seq[graft.icelite.ColumnRename] = Nil,
+    widened: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -576,7 +601,11 @@ private[v2] class IceLiteScan(
     // touched by a rename are excluded too: old files carry the other
     // name, and parquet-mr fails the whole read over a predicate on a
     // column missing from the file schema.
-    val touched = graft.icelite.Renames.touchedNames(renames)
+    // ... and columns ever type-WIDENED are excluded for the same reason a
+    // predicate typed at the widened type (e.g. INT64) is rejected by
+    // parquet-mr's schema validator against files that physically carry the
+    // narrower type (e.g. INT32) written before the ALTER.
+    val touched = graft.icelite.Renames.touchedNames(renames) ++ widened
     val rgFilters =
       if (rowLevel.isDefined) Array.empty[Filter]
       else filters.filter(_.references.forall(r => !touched.contains(r)))
@@ -587,7 +616,9 @@ private[v2] class IceLiteScan(
     * each batch reads exactly the files ADDED by its snapshot range —
     * streaming-tailing the append log (the read twin of the foreachBatch
     * snapshot sink, st4). Spark's streaming planner doesn't run DSv2
-    * pushdown, so the stream serves the full declared schema.
+    * pushdown, so `tableSchema` here is the full declared schema UNLESS
+    * [[StreamScanPruning]] narrowed the table at analysis time — column
+    * pruning for streams happens there, not via `pruneColumns`.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -702,7 +733,14 @@ private[v2] class IceLiteMicroBatchStream(
       tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
     val partSchema = StructType(
       tableSchema.fields.filter(f => partitionBy.contains(f.name)))
-    IceLiteV2.readerFactory(dataSchema, partSchema, Array.empty, -1)
+    // Streaming output binds POSITIONALLY to the relation's declared
+    // columns (tableSchema order), but the columnar reader emits data
+    // columns first and constant partition vectors last — permute back to
+    // declared order, or a partition column anywhere but last misbinds.
+    val physical = (dataSchema.fields ++ partSchema.fields).map(_.name)
+    val perm = tableSchema.fieldNames.map(physical.indexOf(_)).toSeq
+    IceLiteV2.readerFactory(dataSchema, partSchema, Array.empty, -1,
+      if (perm == perm.indices) Nil else perm)
   }
 }
 
@@ -714,7 +752,8 @@ private[v2] case class IceLiteInputPartition(
 
 private[v2] class IceLiteReaderFactory(
     conf: SerializableConfiguration, dataSchemaJson: String,
-    partSchemaJson: String, limit: Int)
+    partSchemaJson: String, limit: Int,
+    outputPermutation: Seq[Int] = Nil)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -735,7 +774,8 @@ private[v2] class IceLiteReaderFactory(
         .map { case (f, n) => f.copy(name = n) })
     new IceLiteColumnarReader(
       p.file, p.length, p.partValues, conf, requested,
-      DataType.fromJson(partSchemaJson).asInstanceOf[StructType], limit)
+      DataType.fromJson(partSchemaJson).asInstanceOf[StructType], limit,
+      outputPermutation.toArray)
   }
 }
 
@@ -749,7 +789,8 @@ private[v2] class IceLiteReaderFactory(
 private[v2] class IceLiteColumnarReader(
     file: String, length: Long, rawPartValues: Map[String, Option[String]],
     conf: SerializableConfiguration, dataSchema: StructType,
-    partSchema: StructType, limit: Int)
+    partSchema: StructType, limit: Int,
+    outputPermutation: Array[Int] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val reader: VectorizedParquetRecordReader = {
@@ -786,7 +827,16 @@ private[v2] class IceLiteColumnarReader(
     true
   }
 
-  override def get(): ColumnarBatch = batch
+  override def get(): ColumnarBatch =
+    if (outputPermutation.isEmpty) batch
+    else {
+      // zero-copy column reorder: same vectors, presented in the serving
+      // order the consumer's attributes are bound to
+      val cols = outputPermutation.map(batch.column)
+      new ColumnarBatch(
+        cols.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+        batch.numRows())
+    }
   override def close(): Unit = reader.close()
 }
 

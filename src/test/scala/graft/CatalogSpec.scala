@@ -197,10 +197,59 @@ class CatalogSpec extends SparkSpec {
     // time travel to the pre-evolution snapshot keeps the old schema
     assert(spark.sql("SELECT * FROM icecat_evolve.lake.t VERSION AS OF 1")
       .columns.toSeq == Seq("id", "tag"))
-    // type changes stay replace()-level operations
-    intercept[UnsupportedOperationException] {
+    // lossy type changes stay replace()-level operations
+    intercept[Exception] {
       spark.sql("ALTER TABLE icecat_evolve.lake.t ALTER COLUMN score TYPE STRING")
     }
+  }
+
+  test("ALTER COLUMN TYPE widening: metadata-only, era-aware reads and time travel") {
+    val wh = configure("widen")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    spark.sql("CREATE TABLE icecat_widen.lake.t (id BIGINT, n INT, x FLOAT)")
+    Seq((1L, 10, 1.5f)).toDF("id", "n", "x")
+      .writeTo("icecat_widen.lake.t").append()
+    // snapshot 2 becomes current; snapshot 1 stays pinned pre-widening
+    Seq((2L, 20, 2.5f)).toDF("id", "n", "x")
+      .writeTo("icecat_widen.lake.t").append()
+    spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN x TYPE DOUBLE")
+    // pre-widening files physically carry INT32/FLOAT; reads upcast
+    val widenedRows = spark.sql(
+      "SELECT id, n, x FROM icecat_widen.lake.t ORDER BY id").collect()
+    assert(widenedRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 10L, 1.5), (2L, 20L, 2.5)))
+    assert(spark.table("icecat_widen.lake.t").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // post-widening appends (wide physical type) mix with old files, and
+    // values beyond the narrow range are now legal
+    Seq((3L, 5000000000L, 3.5)).toDF("id", "n", "x")
+      .writeTo("icecat_widen.lake.t").append()
+    assert(spark.sql("SELECT sum(n) AS s FROM icecat_widen.lake.t")
+      .head.getLong(0) == 5000000030L)
+    // filters on a widened column must not crash on narrow-typed old files
+    // (a widened-typed row-group predicate would be rejected by parquet-mr)
+    assert(spark.sql(
+      "SELECT id FROM icecat_widen.lake.t WHERE n = 20 AND x < 3.0")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // DataFrame path agrees
+    val tbl = cat.loadTable("lake", "t")
+    assert(tbl.toDF.orderBy("id").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L, 5000000000L))
+    // time travel to a pre-widening snapshot reads with ITS narrow schema
+    // (snapshot 2 was current at ALTER time, so its view widened with the
+    // table — same current-snapshot semantics as ADD COLUMN)
+    val v1 = spark.sql("SELECT * FROM icecat_widen.lake.t VERSION AS OF 1")
+    assert(v1.schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(v1.schema("x").dataType == org.apache.spark.sql.types.FloatType)
+    assert(v1.orderBy("id").collect().map(r => (r.getInt(1), r.getFloat(2))).toSeq ==
+      Seq((10, 1.5f)))
+    // narrowing is refused — only lossless widenings are metadata-only
+    intercept[Exception] {
+      spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN n TYPE INT") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN x TYPE FLOAT") }
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN: era-aware reads over old files") {

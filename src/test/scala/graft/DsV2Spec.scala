@@ -203,6 +203,75 @@ class DsV2Spec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("streaming select(one col) plans a one-column reader schema") {
+    val wh = warehouse("stream-prune")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "nation")
+    cat.createTable("lake", "n", df.schema).append(df)
+    val sdf = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.n").load()
+      .select("n_name")
+    // Spark never calls pruneColumns for streams; the StreamScanPruning
+    // analyzer rule must have narrowed the relation's table instead
+    val rels = sdf.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 => r
+    }
+    assert(rels.length == 1)
+    assert(rels.head.table.schema().fieldNames.toSeq == Seq("n_name"),
+      s"stream table not narrowed: ${rels.head.table.schema().fieldNames.toSeq}")
+    assert(rels.head.output.map(_.name) == Seq("n_name"))
+    // and the narrowed stream still delivers correct data end-to-end
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q = sdf.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-prune").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.schema.fieldNames.toSeq == Seq("n_name"))
+        b.collect().foreach(r => seen.add(r.getString(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.size == 25 && seen.contains("NATION_0"), s"pruned stream lost rows: $seen")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
+  test("streaming a partitioned table binds columns in declared order") {
+    // regression: the reader emits partition vectors LAST, but streaming
+    // output binds positionally to the declared schema — a partition column
+    // declared first used to misbind (NPE / silently swapped values)
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val wh = warehouse("stream-part-order")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "nation")
+      .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
+    cat.createTable("lake", "n", df.schema, partitionBy = Seq("n_regionkey"))
+      .append(df)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int, String)]()
+    val q = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.n").load()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-part-order").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add((r.getInt(0), r.getInt(1), r.getString(2))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val expected = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(seen.size == 25)
+    assert(expected.forall(seen.contains),
+      "partitioned stream misbound columns")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("maxFilesPerTrigger splits a populated table into bounded batches") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("stream-admission")

@@ -59,10 +59,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("k8: partitioned table scan prunes by partition filter") {
+    // IceTable.scan plans through the DSv2 source now: partition pruning
+    // shows as planned < files in the icelite scan description, and the
+    // whole read must be ONE scan node (the old path unioned one relation
+    // per snapshot-dir, a plan that grew with table history)
     val s = finalPlan(SparkEntry.queries("k8_ice_partitioned")(spark, sfDir))
-    assert(s.contains("PartitionFilters: [event_type") &&
-      s.contains("IN (click,purchase)"),
-      s"expected partition pruning on event_type:\n$s")
+    val m = """files=(\d+) planned=(\d+)""".r.findFirstMatchIn(s).getOrElse(
+      fail(s"expected an icelite DSv2 scan in:\n$s"))
+    assert(m.group(2).toInt < m.group(1).toInt,
+      s"partition filter did not prune files: $s")
+    assert(s.contains("BatchScan lake.events_p") && !s.contains("Union"),
+      s"partitioned scan must plan one relation, not a per-dir union:\n$s")
+    assert(s.contains("In(event_type"), s"filter not pushed to the scan:\n$s")
   }
 
   test("b1: bucketed join runs with zero shuffle exchanges before the join") {
