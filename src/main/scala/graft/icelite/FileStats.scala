@@ -76,7 +76,15 @@ object FileStats {
     */
   def ensureRows(conf: Configuration, files: Seq[FileStat]): Seq[FileStat] =
     if (files.forall(_.rows >= 0)) files
-    else files.map(f => if (f.rows >= 0) f else fromFooter(conf, f.path))
+    else {
+      // heal all unknown-row (legacy) entries in one batch: collect()
+      // parallelizes — and distributes past the threshold — instead of
+      // footer-reading serially per file
+      val healed = collect(conf,
+        files.collect { case f if f.rows < 0 => f.path })
+        .map(st => st.path -> st).toMap
+      files.map(f => if (f.rows >= 0) f else healed(f.path))
+    }
 
   /** Expired-history guard for incremental reads: reading from `from`
     * requires `from` (or, when reading from 0, the whole prefix) to still

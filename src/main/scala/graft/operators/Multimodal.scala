@@ -99,6 +99,35 @@ object Multimodal {
     None
   }
 
+  /** Sniffed audio container info, parsed from real magic bytes. */
+  case class AudioInfo(format: String, channels: Int, sampleRateHz: Int)
+
+  /** WAV (RIFF/WAVE) header parsing: "RIFF" + chunk size + "WAVE", then a
+    * chunk walk to "fmt " whose body carries channels and sample rate as
+    * little-endian fields (the public RIFF spec). Returns None for
+    * anything unrecognized or truncated.
+    */
+  def sniffAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    if (bytes == null || bytes.length < 28) return None
+    def ascii(i: Int, n: Int) =
+      new String(bytes, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = (le16(i).toLong) | (le16(i + 2).toLong << 16)
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = ascii(i, 4)
+      val size = le32(i + 4)
+      if (id == "fmt ") {
+        if (i + 16 > bytes.length) return None
+        return Some(AudioInfo("wav", le16(i + 10), le32(i + 12).toInt))
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (size < 0 || size > Int.MaxValue - 8) return None
+    }
+    None
+  }
+
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media: MediaMeta)
 
   case class DecodedRecord(
@@ -154,13 +183,18 @@ object Multimodal {
           digest.reset()
           val id = digest.digest(bytes).map("%02x".format(_)).mkString
           // trust the bytes over the declared metadata: a recognizable
-          // image header overrides modality/dims/channels (bad upstream
-          // metadata is the norm in scraped corpora)
+          // image/audio header overrides modality/dims/channels (bad
+          // upstream metadata is the norm in scraped corpora)
           val media = sniffImage(bytes) match {
             case Some(info) => r.media.copy(modality = "image",
               width = info.width, height = info.height,
               channels = info.channels)
-            case None => r.media
+            case None => sniffAudio(bytes) match {
+              case Some(a) => r.media.copy(modality = "audio",
+                width = 0, height = 0, channels = a.channels,
+                sampleRateHz = a.sampleRateHz)
+              case None => r.media
+            }
           }
           DecodedRecord(r.doc_id, media, bytes.length.toLong, id,
             decodeStub(bytes, dim))

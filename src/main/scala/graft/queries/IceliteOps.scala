@@ -455,6 +455,53 @@ object IceliteOps {
         KeboolaCsv.read(s, out, manifest).orderBy("p_partkey")
       }),
 
+    // K13: metadata-only type widening. The table starts NARROW (line INT,
+    // qty FLOAT), half the rows land as int32/float parquet, then
+    // ALTER COLUMN TYPE widens both columns and the other half lands wide.
+    // The scan upcasts the old files at read time (no rewrite happened —
+    // asserted via snapshot count), and the oracle recomputes the same
+    // narrowing-then-widening in DuckDB (REAL round-trip), so the per-era
+    // physical types are verified by value, not just by schema.
+    QDef(
+      "k13_ice_widen",
+      Some("""SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line,
+             |  CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty
+             |FROM lineitem WHERE l_orderkey < 1000 AND l_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line,
+             |  l_quantity AS qty
+             |FROM lineitem WHERE l_orderkey < 1000 AND l_orderkey % 2 = 1
+             |ORDER BY okey, line, qty""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "k13", dir) { wh =>
+          val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+            .select(col("l_orderkey").as("okey"),
+              col("l_linenumber").as("line"),
+              col("l_quantity").cast("float").as("qty"))
+          val cat = new IceCatalog(s, wh)
+          val tbl = cat.createTable("lake", "li_w", li.schema)
+          tbl.append(li.filter(col("okey") % 2 === 0))
+          s.conf.set("spark.sql.catalog.icelite_w", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_w.warehouse", wh)
+          s.sql("ALTER TABLE icelite_w.lake.li_w ALTER COLUMN line TYPE BIGINT")
+          s.sql("ALTER TABLE icelite_w.lake.li_w ALTER COLUMN qty TYPE DOUBLE")
+          // post-widening rows arrive at FULL precision (bigint/double) —
+          // proving the widened column really holds wide values, not
+          // float-rounded ones
+          tbl.append(t(s, dir, "lineitem")
+            .filter(col("l_orderkey") < 1000 && col("l_orderkey") % 2 === 1)
+            .select(col("l_orderkey").as("okey"),
+              col("l_linenumber").cast("bigint").as("line"),
+              col("l_quantity").as("qty")))
+          require(cat.loadTable("lake", "li_w").snapshots.length == 2,
+            "widening must be metadata-only: no rewrite snapshot")
+        }
+        s.conf.set("spark.sql.catalog.icelite_w", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_w.warehouse", wh)
+        s.sql("""SELECT okey, line, qty FROM icelite_w.lake.li_w
+                |ORDER BY okey, line, qty""".stripMargin)
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",

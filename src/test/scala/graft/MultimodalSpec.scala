@@ -68,6 +68,31 @@ class MultimodalSpec extends SparkSpec {
     assert(sniffImage(encode("jpg", 10, 10).take(8)).isEmpty)
   }
 
+  test("sniffAudio parses real WAV headers from the JDK encoder") {
+    import Multimodal.{sniffAudio, AudioInfo}
+    import javax.sound.sampled._
+    def wav(rateHz: Float, channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = new Array[Byte](fmt.getFrameSize * 100)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 100)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(sniffAudio(wav(16000f, 1)) == Some(AudioInfo("wav", 1, 16000)))
+    assert(sniffAudio(wav(44100f, 2)) == Some(AudioInfo("wav", 2, 44100)))
+    assert(sniffAudio("RIFFxxxxNOPE".getBytes("UTF-8")).isEmpty)
+    assert(sniffAudio(wav(16000f, 1).take(20)).isEmpty) // truncated
+    assert(sniffAudio(null).isEmpty)
+    // a WAV payload re-types a mislabeled record as audio with real rate
+    import spark.implicits._
+    val ds = Seq(MediaRecord(20L, wav(22050f, 2),
+      MediaMeta("video", 640, 480, 3, 0, 10))).toDS()
+    val out = Multimodal.decodeAndFeaturize(ds, dim = 4).collect().head
+    assert(out.media == MediaMeta("audio", 0, 0, 2, 22050, 10))
+  }
+
   test("decodeAndFeaturize trusts sniffed headers over declared metadata") {
     import spark.implicits._
     val png = encode("png", 100, 50)
