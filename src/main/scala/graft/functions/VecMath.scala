@@ -109,6 +109,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "quantized_cosine(a, b) takes two array<float> args")
         QuantizedCosine(args.head, args(1))
+      }),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(s) takes one string arg")
+        NfcNormalize(args.head)
       }))
 
   /** Imperative registration into an existing session (idempotent). */

@@ -129,19 +129,21 @@ class IceTable(
     * The footer scan that builds the manifest is one read per written file,
     * at commit time — the same economics as an Iceberg manifest write.
     */
-  private def writeData(df: DataFrame, snapId: Long, partitionBy: Seq[String])
-      : (String, Seq[FileStat]) = {
+  private def writeData(df: DataFrame, snapId: Long, partitionBy: Seq[String],
+      sortWithin: Seq[String] = Nil): (String, Seq[FileStat]) = {
     val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
     // Cluster rows by partition before a partitioned write (same shape the
     // DSv2 writer enforces): without it every task holds one open writer
     // PER partition value it sees — O(tasks x partitions) small files and
     // as many concurrent column writers, the classic partitioned-write
     // failure mode at scale. Repartition + sort keeps one open file per
-    // task and file count at O(partitions).
+    // task and file count at O(partitions). `sortWithin` (sorted compaction)
+    // extends the in-task order beyond the partition columns so rows stay
+    // clustered on the sort key inside each hive partition.
     val clustered =
       if (partitionBy.isEmpty) df
       else df.repartition(partitionBy.map(col): _*)
-        .sortWithinPartitions(partitionBy.map(col): _*)
+        .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
     val writer = clustered.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir.toString)
@@ -208,24 +210,66 @@ class IceTable(
     * snapshots keep pointing at the original immutable directories, so time
     * travel is unaffected.
     *
+    * With `sortBy`, the rewrite additionally CLUSTERS the data (the
+    * `rewrite_data_files(strategy => 'sort')` maintenance op of an
+    * Iceberg-style lifecycle): rows are range-partitioned on the sort
+    * columns, so each output file covers a disjoint key range and the
+    * manifest min/max stats become maximally selective — a point or range
+    * predicate on the sort key then prunes to O(1) files at plan time
+    * instead of scanning every file that a round-robin layout would leave
+    * overlapping. On a 100 TB table this is the difference between a
+    * key-range query planning 1 file and planning all of them.
+    *
     * The read stage runs at full parallelism (one task per input split) and
-    * a round-robin shuffle funnels into exactly `targetFiles` write tasks —
-    * unlike a `coalesce`, which would propagate down and collapse the read
-    * stage itself to `targetFiles` tasks. The extra exchange is one pass
-    * over data that is being fully rewritten anyway; at cluster scale this
-    * runs per table-partition so the shuffle stays partition-local.
+    * the shuffle (round-robin, or range on `sortBy`) funnels into exactly
+    * `targetFiles` write tasks — unlike a `coalesce`, which would propagate
+    * down and collapse the read stage itself to `targetFiles` tasks. The
+    * extra exchange is one pass over data that is being fully rewritten
+    * anyway; at cluster scale this runs per table-partition so the shuffle
+    * stays partition-local.
     */
-  def compact(targetFiles: Int = 1): IceTable = {
+  def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil): IceTable = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val m = meta
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    sortBy.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"sort column $c not in $namespace.$name schema"))
     val current = m.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"nothing to compact in $namespace.$name"))
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val df = toDF.repartition(targetFiles)
-    val (dir, added) = writeData(df, snapId, m.partitionBy)
+    val df =
+      if (sortBy.isEmpty) toDF.repartition(targetFiles)
+      // range partition + in-file sort: disjoint per-file key ranges AND
+      // sorted row groups, so both file-level (manifest) and row-group
+      // (footer) skipping get tight bounds
+      else toDF.repartitionByRange(targetFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    val (dir, added) = writeData(df, snapId, m.partitionBy, sortBy)
     require(added.map(_.rows).sum == current.totalRows,
       s"compaction row-count drift: ${added.map(_.rows).sum} != ${current.totalRows}")
     commitSnapshot("compact", Seq(dir), added, carried = Nil)
+  }
+
+  /** Roll the table back to an earlier snapshot (the `rollback_to_snapshot`
+    * maintenance op): a pure metadata commit that moves the current-snapshot
+    * pointer — no data is read, written, or deleted, so it is O(1) at any
+    * table size. The abandoned "future" snapshots stay in the log and remain
+    * time-travelable until expiry (Iceberg's semantics); subsequent writes
+    * branch from the restored state under fresh snapshot ids. The table-level
+    * schema is restored to the target snapshot's pinned schema so reads and
+    * writes immediately see the rolled-back shape.
+    */
+  def rollbackTo(snapshotId: Long): IceTable = {
+    val m = meta
+    val target = m.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $snapshotId in $namespace.$name"))
+    if (m.currentSnapshotId == snapshotId) return this
+    MetaIo.commit(fs, tableDir, m.copy(
+      schemaDdl = target.schemaDdl,
+      currentSnapshotId = snapshotId,
+      version = m.version + 1))
+    this
   }
 
   /** Primary-key upsert (K5, `wr:107-108`): matched target rows take the

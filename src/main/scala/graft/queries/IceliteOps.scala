@@ -502,6 +502,66 @@ object IceliteOps {
                 |ORDER BY okey, line, qty""".stripMargin)
       }),
 
+    // K14: snapshot rollback (`rollback_to_snapshot`). Two appends, then a
+    // rollback to the first snapshot: a pure metadata commit (asserted — no
+    // new snapshot id, no data movement), after which the table serves the
+    // first append only. The abandoned second snapshot stays time-travelable
+    // (asserted via a pinned scan) until expiry, matching Iceberg semantics.
+    QDef(
+      "k14_ice_rollback",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_id % 2 = 0 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k14"))
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_rb", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        val Seq(first, second) = tbl.snapshots.map(_.snapshotId)
+        tbl.rollbackTo(first)
+        require(tbl.meta.currentSnapshotId == first &&
+          tbl.snapshots.map(_.snapshotId) == Seq(first, second),
+          "rollback must move the pointer without adding or dropping snapshots")
+        // the rolled-past snapshot remains pinned-readable (full row count)
+        require(tbl.scan(snapshotId = Some(second)).count() == ev.count(),
+          "future snapshot must stay time-travelable after rollback")
+        tbl.toDF.orderBy("event_id")
+      }),
+
+    // K15: sorted compaction (`rewrite_data_files(strategy => 'sort')`).
+    // Three overlapping-range appends leave every file spanning the full key
+    // range; compact(4, sortBy=okey) range-partitions the rewrite so each
+    // output file covers a DISJOINT okey range (asserted from the committed
+    // manifest stats — the property that makes min/max pruning selective at
+    // 100 TB). Content equality is the oracle's half; DsV2Spec asserts the
+    // planner actually skips the out-of-range files.
+    QDef(
+      "k15_ice_sorted_compact",
+      Some("""SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price
+             |FROM orders WHERE o_orderkey <= 6000 AND o_orderkey % 500 <> 0
+             |ORDER BY okey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k15"))
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 6000)
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+            col("o_totalprice").as("price"))
+        val tbl = cat.createTable("lake", "orders_sc", o.schema)
+        // each append covers the whole key range -> every file overlaps
+        (1 to 3).foreach(i =>
+          tbl.append(o.filter(col("okey") % 500 =!= 0 && col("okey") % 3 === i % 3)))
+        tbl.compact(targetFiles = 4, sortBy = Seq("okey"))
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "compact", s"expected compact, got ${snap.operation}")
+        val ranges = tbl.visibleFiles(snap)
+          .map(f => (f.min("okey").toLong, f.max("okey").toLong)).sorted
+        require(ranges.length == 4, s"expected 4 files, got ${ranges.length}")
+        ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+          require(hi < lo, s"sorted compaction left overlapping file ranges: $ranges")
+        }
+        tbl.toDF.orderBy("okey")
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",

@@ -234,6 +234,133 @@ object TextOps {
           .orderBy("doc_id", "token")
       }),
 
+    // PII redaction: the scrub step every training pipeline runs before
+    // anything else sees the text. The document text is first salted with
+    // deterministic synthetic PII (email, IPv4, phone — built from doc_id /
+    // source, so both engines construct the identical input), then masked by
+    // three chained regexp_replace passes. Pure row-local codegen'd regex —
+    // no UDFs, no shuffle; per-pattern match counts are emitted so the
+    // redaction volume is auditable.
+    QDef(
+      "x20_pii_redact",
+      Some("""WITH salted AS (
+             |  SELECT doc_id,
+             |    'contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.com ip 10.'
+             |      || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+             |      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      || ' ' || substring(text, 1, 40) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+             |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             |  len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS n_phone
+             |FROM salted ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+        val raw = concat(
+          lit("contact user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".com ip 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"), lit(" tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" "), substring(col("text"), 1, 40))
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(
+            col("doc_id"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              lit(emailRe), lit("<EMAIL>")),
+              lit(ipRe), lit("<IP>")),
+              lit(phoneRe), lit("<PHONE>")).as("redacted"),
+            regexp_count(col("raw"), lit(emailRe)).as("n_email"),
+            regexp_count(col("raw"), lit(ipRe)).as("n_ip"),
+            regexp_count(col("raw"), lit(phoneRe)).as("n_phone"))
+          .orderBy("doc_id")
+      }),
+
+    // Repetition signals (the Gopher-style quality rules): distinct-token
+    // ratio, most-frequent-token fraction, and most-frequent-bigram fraction,
+    // all computed ROW-LOCALLY with higher-order array functions — no
+    // explode, no shuffle; cost is O(tokens x per-doc vocab) per row, bounded
+    // by document length, so the operator stays narrow at any corpus size.
+    // Ratios are double divisions of exact integer counts (bit-identical
+    // across engines).
+    QDef(
+      "x21_repetition_signals",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT doc_id, tk,
+             |    list_transform(range(1, len(tk)),
+             |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1]) AS bg
+             |  FROM tk)
+             |SELECT doc_id, len(tk) AS n_tokens,
+             |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
+             |  CAST(list_max(list_transform(list_distinct(tk),
+             |    x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE) / len(tk) AS top_token_frac,
+             |  CAST(list_max(list_transform(list_distinct(bg),
+             |    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS top_bigram_frac
+             |FROM bg ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .withColumn("bg",
+            expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+          .select(
+            col("doc_id"),
+            size(col("tk")).as("n_tokens"),
+            (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+              .as("distinct_ratio"),
+            (expr("array_max(transform(array_distinct(tk), x -> size(filter(tk, y -> y = x))))")
+              .cast("double") / size(col("tk"))).as("top_token_frac"),
+            (expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+              .cast("double") / size(col("bg"))).as("top_bigram_frac"))
+          .orderBy("doc_id")),
+
+    // Unicode canonicalization: NFC-normalize + control-character strip, the
+    // first cleaning pass of a text pipeline (mixed composed/decomposed
+    // spellings hash differently and break dedup). NFC has no Spark builtin,
+    // so it runs as graft's native codegen'd expression `nfc_normalize`
+    // (graft.functions.NfcNormalize — the custom-Expression extension point,
+    // matching DuckDB's nfc_normalize bit-for-bit). The input is salted with
+    // a decomposed "cafe" + combining-acute and a BEL control char so the
+    // normalization is exercised on every row; character counts before/after
+    // prove the composition happened (both engines count codepoints).
+    QDef(
+      "x22_unicode_clean",
+      Some("""WITH salted AS (
+             |  SELECT doc_id,
+             |    substring(text, 1, 24) || ' cafe' || chr(769) || ' ' || lang || chr(7) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(nfc_normalize(raw), '[\x00-\x1F\x7F]', '', 'g') AS cleaned,
+             |  length(raw) AS n_before,
+             |  length(regexp_replace(nfc_normalize(raw), '[\x00-\x1F\x7F]', '', 'g')) AS n_after
+             |FROM salted ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val raw = concat(substring(col("text"), 1, 24),
+          lit(" café "), col("lang"), lit(""))
+        val cleaned = regexp_replace(
+          call_function("nfc_normalize", col("raw")), "[\\x00-\\x1F\\x7F]", "")
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(
+            col("doc_id"),
+            cleaned.as("cleaned"),
+            length(col("raw")).as("n_before"),
+            length(cleaned).as("n_after"))
+          .orderBy("doc_id")
+      }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The text
     // column stands in for an image/audio blob; the operator extracts byte
     // length and a sha-256 content id — the same shape a real decode/feature

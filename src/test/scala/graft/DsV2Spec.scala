@@ -316,6 +316,36 @@ class DsV2Spec extends SparkSpec {
     (m.group(1).toInt, m.group(2).toInt)
   }
 
+  test("sorted compaction clusters files so a key predicate plans O(1) files") {
+    val wh = warehouse("sortcomp")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders")
+    val tbl = cat.createTable("lake", "orders_sc", df.schema)
+    // three appends, round-robin split so EVERY file spans the full key
+    // range: a key predicate can prove nothing from min/max stats
+    (0 until 3).foreach(i =>
+      tbl.append(df.filter(col("o_orderkey") % 3 === i).repartition(2)))
+    val maxKey = df.agg(max("o_orderkey")).collect()(0).getAs[Number](0).longValue
+    def planned(): (Int, Int) = plannedOf(scanDescOf(
+      spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "lake.orders_sc").load()
+        .filter(col("o_orderkey") <= maxKey / 8)))
+    val (filesBefore, plannedBefore) = planned()
+    assert(plannedBefore == filesBefore,
+      s"overlapping layout should plan everything: $plannedBefore of $filesBefore")
+    tbl.compact(targetFiles = 4, sortBy = Seq("o_orderkey"))
+    val (files, plannedAfter) = planned()
+    assert(files == 4, s"expected 4 compacted files, saw $files")
+    assert(plannedAfter == 1,
+      s"disjoint ranges should prune to exactly 1 file, planned $plannedAfter")
+    // and the clustered table still answers exactly right
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_sc").load()
+      .filter(col("o_orderkey") <= maxKey / 8)
+    val expect = df.filter(col("o_orderkey") <= maxKey / 8)
+    assert(q.count() == expect.count())
+  }
+
   test("manifest stats skip files that cannot match pushed filters") {
     val wh = warehouse("skip")
     val cat = new IceCatalog(spark, wh)

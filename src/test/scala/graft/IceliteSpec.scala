@@ -373,6 +373,46 @@ class IceliteSpec extends SparkSpec {
     }
   }
 
+  test("rollback moves the pointer; writes after it branch under fresh ids") {
+    val cat = new IceCatalog(spark, scratch("rollback"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))
+    tbl.append(nation.filter(col("n_nationkey") >= 10))
+    val versionBefore = tbl.meta.version
+    tbl.rollbackTo(1L)
+    // pure metadata: one version bump, same snapshot log, pointer moved
+    assert(tbl.meta.version == versionBefore + 1)
+    assert(tbl.meta.currentSnapshotId == 1L)
+    assert(tbl.snapshots.map(_.snapshotId) == Seq(1L, 2L))
+    assert(tbl.toDF.count() == 10)
+    // the abandoned snapshot stays time-travelable
+    assert(tbl.scan(snapshotId = Some(2L)).count() == 25)
+    // a write after rollback branches from the restored state: it carries
+    // snapshot 1's rows (not snapshot 2's) under a fresh id
+    tbl.append(nation.filter(col("n_nationkey") >= 20))
+    assert(tbl.meta.currentSnapshotId == 3L)
+    assert(tbl.toDF.count() == 15)
+    assert(tbl.snapshots.last.totalRows == 15)
+    // rollback to an unknown snapshot fails loudly; to current is a no-op
+    intercept[IllegalArgumentException](tbl.rollbackTo(99L))
+    val v = tbl.meta.version
+    tbl.rollbackTo(3L)
+    assert(tbl.meta.version == v, "rollback to current must not commit")
+  }
+
+  test("rollback restores the target snapshot's schema") {
+    val cat = new IceCatalog(spark, scratch("rollback_schema"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation)
+    val narrow = nation.select("n_nationkey", "n_name")
+    tbl.replace(narrow) // snapshot 2 changes the schema
+    assert(tbl.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+    tbl.rollbackTo(1L)
+    assert(tbl.schema == nation.schema,
+      "rollback must restore the pinned pre-replace schema")
+    assert(tbl.toDF.columns.toSeq == nation.schema.fieldNames.toSeq)
+  }
+
   test("distributed footer stats == driver-pool footer stats") {
     import graft.icelite.FileStats
     val dir = scratch("diststats")

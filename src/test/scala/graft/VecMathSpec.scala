@@ -45,6 +45,36 @@ class VecMathSpec extends SparkSpec {
   }
 
   test("registered via SparkSessionExtensions wiring list") {
-    assert(GraftFunctions.all.map(_._1) == Seq("quantized_cosine"))
+    assert(GraftFunctions.all.map(_._1) ==
+      Seq("quantized_cosine", "nfc_normalize"))
+  }
+
+  test("nfc_normalize composes decomposed sequences (codegen path)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "cafe\u0301"        // e + combining acute
+    val composed = "caf\u00e9"
+    val rows = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "A\u030aB\u0301c"), // A+ring composes; B+acute has no precomposed form
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .select(col("id"), call_function("nfc_normalize", col("s")).as("n"),
+        length(call_function("nfc_normalize", col("s"))).as("len"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == composed && rows(0).getInt(2) == 4)
+    assert(rows(1).getString(1) == composed)
+    assert(rows(2).getString(1) == "\u00c5B\u0301c",
+      "ring composes to \u00c5; B+acute has no precomposed form and must survive")
+    assert(rows(3).getString(1) == "plain ascii")
+    assert(rows(4).isNullAt(1), "NULL input must stay NULL")
+  }
+
+  test("nfc_normalize interpreted eval agrees with codegen") {
+    val e = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal("cafe\u0301 A\u030a"))
+    assert(e.eval(null).toString == "caf\u00e9 \u00c5")
   }
 }
