@@ -115,6 +115,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize(s) takes one string arg")
         NfcNormalize(args.head)
+      }),
+    ("zorder_key",
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 6,
+          "zorder_key takes 1-6 normalized long coordinates")
+        ZOrderKey(args, 63 / args.length)
       }))
 
   /** Imperative registration into an existing session (idempotent). */

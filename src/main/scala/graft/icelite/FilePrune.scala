@@ -167,6 +167,20 @@ object FilePrune {
       hi <- parseStat(schema(c).dataType, hiS)
     } yield (lo, hi)
 
+  /** Types the z-order clusterer can normalize into a bit budget. */
+  def zorderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** A manifest stat as a double coordinate for z-order normalization. */
+  def statDouble(dt: DataType, s: String): Option[Double] =
+    parseStat(dt, s).collect {
+      case l: Long => l.toDouble
+      case d: Double => d
+    }
+
   private def parseStat(dt: DataType, s: String): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType => s.toLongOption

@@ -67,15 +67,20 @@ class IceTable(
     * inside the scan.
     */
   def scan(columns: Seq[String] = Nil, limit: Option[Long] = None,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None, ref: Option[String] = None): DataFrame = {
     val m = meta
     // validate eagerly: the DSv2 option path would fail at analysis anyway,
     // but with a less pointed error
     snapshotId.foreach(id => require(m.snapshot(id).isDefined,
       s"no snapshot $id in $namespace.$name"))
-    val rd = spark.read.format("icelite")
+    ref.foreach(r => require(m.refs.contains(r),
+      s"no tag '$r' on $namespace.$name"))
+    require(snapshotId.isEmpty || ref.isEmpty,
+      "pass either snapshotId or ref, not both")
+    val rd0 = spark.read.format("icelite")
       .option("warehouse", catalog.warehouse)
       .option("table", s"$namespace.$name")
+    val rd = ref.fold(rd0)(r => rd0.option("ref", r))
     val base = snapshotId.fold(rd)(id => rd.option("snapshotId", id.toString)).load()
     val projected = if (columns.nonEmpty) base.select(columns.map(col): _*) else base
     // a limit beyond Int.MaxValue cannot wrap negative — it is simply no cap
@@ -130,8 +135,18 @@ class IceTable(
     * at commit time — the same economics as an Iceberg manifest write.
     */
   private def writeData(df: DataFrame, snapId: Long, partitionBy: Seq[String],
-      sortWithin: Seq[String] = Nil): (String, Seq[FileStat]) = {
-    val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
+      sortWithin: Seq[String] = Nil, uniqueDir: Boolean = false)
+      : (String, Seq[FileStat]) = {
+    // `uniqueDir` (appends): a random suffix keeps concurrent writers out of
+    // each other's directories, so losing a metadata commit race is
+    // retryable without touching data. The snap id in the name is the
+    // WRITE-TIME candidate — a retried commit may land under a higher id —
+    // and only labels the file's schema ERA (Renames.eraOf): always <= the
+    // committed id, therefore always before any later rename/DDL, which is
+    // exactly the ordering era resolution needs.
+    val suffix = if (uniqueDir)
+      "-" + java.util.UUID.randomUUID().toString.take(8) else ""
+    val dataDir = new Path(tableDir, f"data/snap-$snapId%05d$suffix")
     // Cluster rows by partition before a partitioned write (same shape the
     // DSv2 writer enforces): without it every task holds one open writer
     // PER partition value it sees — O(tasks x partitions) small files and
@@ -155,10 +170,16 @@ class IceTable(
     (dataDir.toString, stats.sortBy(_.path))
   }
 
-  private def commitSnapshot(operation: String, dataDirs: Seq[String],
-      added: Seq[FileStat], carried: Seq[FileStat],
+  /** Commit one snapshot against `base` — the metadata the caller PLANNED
+    * the operation on. Using the planning-time version for the CAS (not a
+    * fresh read) is what makes races detectable: if anything committed in
+    * between, this attempt's version is taken and the claim fails, instead
+    * of silently winning with a stale carried-file set.
+    */
+  private def commitSnapshot(base: TableMeta, operation: String,
+      dataDirs: Seq[String], added: Seq[FileStat], carried: Seq[FileStat],
       newSchemaDdl: Option[String] = None): IceTable = {
-    val m = meta
+    val m = base
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val addedRows = added.map(_.rows).sum
     // legacy (pre-manifest) carried entries have unknown rows (-1); they
@@ -182,16 +203,41 @@ class IceTable(
     this
   }
 
-  /** Bag-union append — one snapshot per call (K4, `wr:110`). */
+  /** Bag-union append — one snapshot per call (K4, `wr:110`).
+    *
+    * Concurrent-writer safe via optimistic retry (Iceberg's commit model):
+    * the data write lands in a writer-unique directory, so when the
+    * metadata commit loses a version race the files are simply re-attached
+    * to a recomputed snapshot — data is written once, only the O(metadata)
+    * commit step repeats. Retry is sound precisely because append is a bag
+    * union: the new files are valid against ANY newer current snapshot,
+    * provided the table's schema/evolution state did not change underneath
+    * (checked per attempt; a concurrent DDL aborts loudly instead).
+    */
   def append(df: DataFrame): IceTable = {
-    val m = meta
-    val conformed = conform(df, StructType.fromDDL(m.schemaDdl))
-    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val (dir, added) = writeData(conformed, snapId, m.partitionBy)
-    val prev = m.currentSnapshot
-    commitSnapshot("append",
-      prev.map(_.dataDirs).getOrElse(Nil) :+ dir, added,
-      carried = prev.map(visibleFiles).getOrElse(Nil))
+    val m0 = meta
+    val conformed = conform(df, StructType.fromDDL(m0.schemaDdl))
+    val snapId = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val (dir, added) =
+      writeData(conformed, snapId, m0.partitionBy, uniqueDir = true)
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns,
+        s"append to $namespace.$name raced a concurrent schema change — aborting")
+      val prev = m.currentSnapshot
+      try return commitSnapshot(m, "append",
+        prev.map(_.dataDirs).getOrElse(Nil) :+ dir, added,
+        carried = prev.map(visibleFiles).getOrElse(Nil))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
   }
 
   /** Full rewrite with the incoming schema (K6 CTAS semantics, `wr:115-124`). */
@@ -199,7 +245,7 @@ class IceTable(
     val m = meta
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) = writeData(df, snapId, m.partitionBy)
-    commitSnapshot("replace", Seq(dir), added, carried = Nil,
+    commitSnapshot(m, "replace", Seq(dir), added, carried = Nil,
       newSchemaDdl = Some(df.schema.toDDL))
   }
 
@@ -220,25 +266,44 @@ class IceTable(
     * overlapping. On a 100 TB table this is the difference between a
     * key-range query planning 1 file and planning all of them.
     *
+    * With `zorderBy` (2+ columns), the rewrite clusters on a bit-interleaved
+    * z-order key instead (`rewrite_data_files(strategy => 'zorder')`): each
+    * column is rescaled by its GLOBAL min/max — read from the committed
+    * manifest stats, zero extra data passes — and the interleaved key keeps
+    * rows close in EVERY dimension, so predicates on ANY z-ordered column
+    * prune files, not just the leading sort key. The key itself is a native
+    * codegen'd expression ([[graft.functions.ZOrderKey]]).
+    *
     * The read stage runs at full parallelism (one task per input split) and
-    * the shuffle (round-robin, or range on `sortBy`) funnels into exactly
-    * `targetFiles` write tasks — unlike a `coalesce`, which would propagate
-    * down and collapse the read stage itself to `targetFiles` tasks. The
-    * extra exchange is one pass over data that is being fully rewritten
-    * anyway; at cluster scale this runs per table-partition so the shuffle
-    * stays partition-local.
+    * the shuffle (round-robin, or range on the cluster key) funnels into
+    * exactly `targetFiles` write tasks — unlike a `coalesce`, which would
+    * propagate down and collapse the read stage itself to `targetFiles`
+    * tasks. The extra exchange is one pass over data that is being fully
+    * rewritten anyway; at cluster scale this runs per table-partition so the
+    * shuffle stays partition-local.
     */
-  def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil): IceTable = {
+  def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): IceTable = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "pass either sortBy or zorderBy, not both")
     val m = meta
     val tableSchema = StructType.fromDDL(m.schemaDdl)
-    sortBy.foreach(c => require(tableSchema.fieldNames.contains(c),
-      s"sort column $c not in $namespace.$name schema"))
+    (sortBy ++ zorderBy).foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"cluster column $c not in $namespace.$name schema"))
     val current = m.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"nothing to compact in $namespace.$name"))
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val df =
-      if (sortBy.isEmpty) toDF.repartition(targetFiles)
+      if (zorderBy.nonEmpty) {
+        require(zorderBy.size >= 2, "zorderBy needs 2+ columns (1 column = sortBy)")
+        val key = zorderKey(m, tableSchema, current, zorderBy)
+        toDF.withColumn("__zkey", key)
+          .repartitionByRange(targetFiles, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      }
+      else if (sortBy.isEmpty) toDF.repartition(targetFiles)
       // range partition + in-file sort: disjoint per-file key ranges AND
       // sorted row groups, so both file-level (manifest) and row-group
       // (footer) skipping get tight bounds
@@ -247,8 +312,85 @@ class IceTable(
     val (dir, added) = writeData(df, snapId, m.partitionBy, sortBy)
     require(added.map(_.rows).sum == current.totalRows,
       s"compaction row-count drift: ${added.map(_.rows).sum} != ${current.totalRows}")
-    commitSnapshot("compact", Seq(dir), added, carried = Nil)
+    commitSnapshot(m, "compact", Seq(dir), added, carried = Nil)
   }
+
+  /** The z-order cluster key for `cols`: each column normalized to
+    * `[0, 2^bits)` by its global min/max, then bit-interleaved. Bounds come
+    * from the committed manifest when every file carries them (the normal
+    * case — zero data passes) and fall back to one tiny min/max aggregate
+    * otherwise. Normalization runs in doubles: 2^53 significand dwarfs the
+    * per-dimension bit budget, so the mapping is order-preserving at any
+    * supported domain.
+    */
+  private def zorderKey(m: TableMeta, tableSchema: StructType,
+      current: SnapshotMeta, cols: Seq[String])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{call_function, greatest, least, lit}
+    cols.foreach { c =>
+      val dt = tableSchema(c).dataType
+      require(FilePrune.zorderable(dt),
+        s"zorder column $c has unsupported type $dt (numeric/date/timestamp only)")
+    }
+    val files = visibleFiles(current)
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    val bits = 63 / cols.size
+    val maxV = (1L << bits) - 1
+    def statBounds(c: String): Option[(Double, Double)] = {
+      val dt = tableSchema(c).dataType
+      val los = files.map(f => f.min.get(c).flatMap(FilePrune.statDouble(dt, _)))
+      val his = files.map(f => f.max.get(c).flatMap(FilePrune.statDouble(dt, _)))
+      if (files.nonEmpty && los.forall(_.isDefined) && his.forall(_.isDefined))
+        Some((los.flatten.min, his.flatten.max))
+      else None
+    }
+    lazy val aggBounds: Map[String, (Double, Double)] = {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c")))
+      val r = toDF.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.map(c => c -> (
+        Option(r.getAs[java.lang.Double](s"__lo_$c")).map(_.doubleValue).getOrElse(0.0),
+        Option(r.getAs[java.lang.Double](s"__hi_$c")).map(_.doubleValue).getOrElse(0.0)
+      )).toMap
+    }
+    val norm = cols.map { c =>
+      val (lo, hi) = statBounds(c).getOrElse(aggBounds(c))
+      val span = math.max(hi - lo, 1e-12)
+      least(lit(maxV), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxV.toDouble))
+          .cast("long")))
+    }
+    call_function("zorder_key", norm: _*)
+  }
+
+  /** Create (or move) a named tag pinning a snapshot — the Iceberg tag ref.
+    * A pure metadata commit; a tagged snapshot survives [[expireSnapshots]],
+    * which is what makes "the exact corpus we trained v1 on" reproducible
+    * months of churn later. Resolvable via [[refSnapshotId]], the `ref` read
+    * option, and SQL `VERSION AS OF '<name>'`.
+    */
+  def tag(tagName: String, snapshotId: Long): IceTable = {
+    require(tagName.nonEmpty && !tagName.forall(_.isDigit),
+      s"tag name '$tagName' must contain a non-digit (numeric versions are snapshot ids)")
+    val m = meta
+    require(m.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in $namespace.$name")
+    MetaIo.commit(fs, tableDir, m.copy(
+      refs = m.refs + (tagName -> snapshotId), version = m.version + 1))
+    this
+  }
+
+  def dropTag(tagName: String): IceTable = {
+    val m = meta
+    require(m.refs.contains(tagName), s"no tag '$tagName' on $namespace.$name")
+    MetaIo.commit(fs, tableDir, m.copy(
+      refs = m.refs - tagName, version = m.version + 1))
+    this
+  }
+
+  /** The snapshot a tag pins, if the tag exists. */
+  def refSnapshotId(tagName: String): Option[Long] = meta.refSnapshot(tagName)
 
   /** Roll the table back to an earlier snapshot (the `rollback_to_snapshot`
     * maintenance op): a pure metadata commit that moves the current-snapshot
@@ -328,7 +470,7 @@ class IceTable(
     val (dir, added) = writeData(merged, snapId, m.partitionBy)
     val untouchedDirs = current.map(_.dataDirs).getOrElse(Nil)
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
-    commitSnapshot("upsert", untouchedDirs :+ dir, added, carried = untouched)
+    commitSnapshot(m, "upsert", untouchedDirs :+ dir, added, carried = untouched)
   }
 
   /** Read an explicit file subset with the declared schema. Two mappings
@@ -411,7 +553,7 @@ class IceTable(
     val (dir, added) = writeData(kept, snapId, m.partitionBy)
     val untouchedDirs = current.dataDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
-    commitSnapshot("delete", untouchedDirs :+ dir, added, carried = untouched)
+    commitSnapshot(m, "delete", untouchedDirs :+ dir, added, carried = untouched)
   }
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` maintenance op): keep
@@ -426,11 +568,16 @@ class IceTable(
     require(keepLast >= 1, "keepLast must be >= 1")
     val m = meta
     val sorted = m.snapshots.sortBy(_.snapshotId)
-    val keep = sorted.takeRight(keepLast)
+    // tagged snapshots are immune: a ref means "someone depends on exactly
+    // this version" (Iceberg's retain-refs semantics), and the CURRENT
+    // snapshot after a rollback may be older than the keepLast window
+    val pinned = m.refIds + m.currentSnapshotId
+    val tail = sorted.takeRight(keepLast).map(_.snapshotId).toSet
+    val keep = sorted.filter(s => tail(s.snapshotId) || pinned(s.snapshotId))
     if (m.currentSnapshotId != 0L)
       require(keep.exists(_.snapshotId == m.currentSnapshotId),
         s"expiry would drop the current snapshot of $namespace.$name")
-    val dropped = sorted.dropRight(keepLast)
+    val dropped = sorted.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
     if (dropped.isEmpty) return this
     // commit the trimmed metadata FIRST, delete after: a crash between the
     // two leaves only harmless orphan directories, never committed metadata

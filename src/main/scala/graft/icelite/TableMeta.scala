@@ -84,10 +84,11 @@ final case class ColumnRename(cutoffSnapshotId: Long, from: String, to: String)
 
 object Renames {
 
-  private val SnapDir = """data/snap-(\d+)/""".r.unanchored
+  private val SnapDir = """data/snap-(\d+)(?:-[0-9a-f]+)?/""".r.unanchored
 
   /** The snapshot era a data file was written in (parsed from its
-    * `data/snap-N/` directory). Unknown layouts map to Long.MaxValue =
+    * `data/snap-N/` directory; appends add a writer-unique `-hex` suffix for
+    * optimistic commit retry). Unknown layouts map to Long.MaxValue =
     * "newest" (no renames applied), which is only reachable for legacy
     * paths that predate every rename anyway.
     */
@@ -152,7 +153,26 @@ final case class TableMeta(
     // parquet row-group predicates on these columns would be rejected by
     // parquet-mr's schema validator against old files — scans must keep
     // such filters file-level only (same hazard class as INT96 timestamps).
-    widenedColumns: Seq[String] = Nil) {
+    widenedColumns: Seq[String] = Nil,
+    // named refs (Iceberg tags): name -> pinned snapshot id. A tagged
+    // snapshot is immune to expiry, so "the v1 training set" stays
+    // reproducible however much history churns after it. Names must contain
+    // a non-digit so `VERSION AS OF` can route numerics to ids and
+    // everything else to refs.
+    refs: Map[String, Long] = Map.empty) {
+
+  /** Ref target as a real Long. Jackson round-trips `Map[String, Long]`
+    * values as Integer when they fit (the FileStat trap), so direct
+    * `refs(name)` unboxing would ClassCastException on metadata read from
+    * JSON — always go through these accessors.
+    */
+  def refSnapshot(name: String): Option[Long] =
+    refs.asInstanceOf[Map[String, Any]].get(name)
+      .map(_.asInstanceOf[Number].longValue)
+
+  def refIds: Set[Long] =
+    refs.asInstanceOf[Map[String, Any]].values
+      .map(_.asInstanceOf[Number].longValue).toSet
 
   def currentSnapshot: Option[SnapshotMeta] =
     snapshots.find(_.snapshotId == currentSnapshotId)
@@ -163,12 +183,16 @@ final case class TableMeta(
 
 /** Metadata persistence + commit protocol.
   *
-  * Commit = write a fresh `v{N}.json` via create-no-overwrite (optimistic:
-  * two concurrent writers race on the same version and one loses), then swap
-  * the `version-hint.text` pointer. Equivalent in spirit to the REST
-  * catalog's compare-and-swap the reference relies on, degraded to
-  * single-writer guarantees on plain filesystems — the component's one-run
-  * execution model (SURVEY §7 "Atomicity without a catalog service").
+  * Commit = exclusively create a `.v{N}.json.claim` marker (the version CAS
+  * — two writers racing on the same version: exactly one claims, the other
+  * gets "concurrent commit" and may retry at N+1), then write `v{N}.json`
+  * via tmp+rename (readers never observe a partial file), then swap the
+  * `version-hint.text` pointer. Same-JVM committers additionally serialize
+  * on a per-table lock, making the CAS exact under local[N] concurrency;
+  * cross-process exclusion is exact on HDFS (atomic exclusive create) and
+  * best-effort on plain local/object stores. Equivalent in spirit to the
+  * REST catalog's compare-and-swap the reference relies on (SURVEY §7
+  * "Atomicity without a catalog service").
   */
 object MetaIo {
 
@@ -194,9 +218,24 @@ object MetaIo {
   def exists(fs: FileSystem, tableDir: Path): Boolean = fs.exists(hintFile(tableDir))
 
   def read(fs: FileSystem, tableDir: Path): TableMeta = {
-    val v = readFile(fs, hintFile(tableDir)).trim.toInt
-    val json = readFile(fs, new Path(metadataDir(tableDir), s"v$v.json"))
-    mapper.readValue(json, classOf[TableMeta])
+    // the hint is swapped via rename (atomic on POSIX/HDFS), so a reader
+    // sees the old or the new pointer, never a partial one; the retry below
+    // only defends against non-atomic filesystems truncating in place
+    var attempt = 0
+    while (true) {
+      val raw =
+        try Some(readFile(fs, hintFile(tableDir)).trim)
+        catch { case _: java.io.FileNotFoundException => None } // mid-swap
+      raw.flatMap(_.toIntOption) match {
+        case Some(v) =>
+          val json = readFile(fs, new Path(metadataDir(tableDir), s"v$v.json"))
+          return mapper.readValue(json, classOf[TableMeta])
+        case None if attempt < 20 => attempt += 1; Thread.sleep(5)
+        case None => throw new IllegalStateException(
+          s"unreadable version hint for $tableDir: '${raw.getOrElse("<absent>")}'")
+      }
+    }
+    null // unreachable
   }
 
   // Manifest files are immutable once written (snapshots never change), so
@@ -254,22 +293,59 @@ object MetaIo {
     (slim, written)
   }
 
+  // One lock object per table path: same-JVM committers (local[N] executors,
+  // concurrent test threads, parallel component runs in one driver) serialize
+  // here, making the version CAS exact in-process. Cross-process exclusion
+  // still comes from the claim file below.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def commit(fs: FileSystem, tableDir: Path, meta0: TableMeta): Unit = {
-    val dir = metadataDir(tableDir)
-    fs.mkdirs(dir)
-    val (meta, newManifests) = externalize(fs, tableDir, meta0)
-    val vFile = new Path(dir, s"v${meta.version}.json")
-    val tmp = new Path(dir, s".v${meta.version}.json.${java.util.UUID.randomUUID()}.tmp")
-    writeFile(fs, tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    // rename-if-absent is the atomicity primitive (true atomic on HDFS;
-    // best-effort on local/object stores — documented single-writer)
-    if (fs.exists(vFile) || !fs.rename(tmp, vFile)) {
-      fs.delete(tmp, false)
-      // this attempt lost the race — its manifest files are unreferenced
-      newManifests.foreach(m => fs.delete(m, false))
-      throw new IllegalStateException(
-        s"concurrent commit detected for ${meta.namespace}.${meta.name} v${meta.version}")
+    val lock = commitLocks.computeIfAbsent(tableDir.toString, _ => new Object)
+    lock.synchronized {
+      val dir = metadataDir(tableDir)
+      fs.mkdirs(dir)
+      val (meta, newManifests) = externalize(fs, tableDir, meta0)
+      val vFile = new Path(dir, s"v${meta.version}.json")
+      // Claim the version with create-no-overwrite BEFORE writing anything:
+      // local-FS rename() silently REPLACES an existing destination, so
+      // rename-if-absent alone cannot detect a same-version race there.
+      // The zero-byte claim is the CAS (exclusive create on HDFS/local);
+      // it is never deleted, so a stale straggler can never re-claim a
+      // version and clobber committed metadata.
+      val claim = new Path(dir, s".v${meta.version}.json.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!claimed) {
+        // this attempt lost the race — its manifest files are unreferenced
+        newManifests.foreach(m => fs.delete(m, false))
+        throw new IllegalStateException(
+          s"concurrent commit detected for ${meta.namespace}.${meta.name} v${meta.version}")
+      }
+      // tmp + rename keeps READERS atomic (they never see a partial v-file);
+      // committer exclusion already happened above
+      val tmp = new Path(dir, s".v${meta.version}.json.${java.util.UUID.randomUUID()}.tmp")
+      writeFile(fs, tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+      if (!fs.rename(tmp, vFile)) {
+        fs.delete(tmp, false)
+        newManifests.foreach(m => fs.delete(m, false))
+        throw new IllegalStateException(
+          s"commit rename failed for ${meta.namespace}.${meta.name} v${meta.version}")
+      }
+      // hint swap must be ATOMIC for readers (create(overwrite) truncates
+      // first — a concurrent read would see an empty file): write aside,
+      // rename over. Rename replaces the destination atomically on
+      // POSIX/HDFS, which is exactly the visibility readers need.
+      val hintTmp = new Path(dir,
+        s".version-hint.${java.util.UUID.randomUUID()}.tmp")
+      writeFile(fs, hintTmp, meta.version.toString)
+      if (!fs.rename(hintTmp, hintFile(tableDir))) {
+        // local FS may refuse rename-over-existing; fall back to delete+rename
+        fs.delete(hintFile(tableDir), false)
+        require(fs.rename(hintTmp, hintFile(tableDir)),
+          s"hint swap failed for ${meta.namespace}.${meta.name}")
+      }
     }
-    writeFile(fs, hintFile(tableDir), meta.version.toString)
   }
 }

@@ -562,6 +562,71 @@ object IceliteOps {
         tbl.toDF.orderBy("okey")
       }),
 
+    // K16: named tags (Iceberg refs). Snapshot 1 is tagged 'v1_corpus',
+    // history then churns (append + delete-shaped replace) and old history
+    // expires — but the tagged snapshot survives expiry (asserted) and
+    // SQL `VERSION AS OF 'v1_corpus'` still reads the exact tagged version.
+    // That is the reproducibility contract a training pipeline needs from
+    // "the corpus we shipped": refs pin data, not just ids.
+    QDef(
+      "k16_ice_tag",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_id % 2 = 0 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k16")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_tag", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        tbl.tag("v1_corpus", 1L)
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        tbl.replace(ev.filter(col("event_id") % 5 === 0))
+        tbl.expireSnapshots(keepLast = 1)
+        require(tbl.snapshots.map(_.snapshotId) == Seq(1L, 3L),
+          s"tagged snapshot must survive expiry: ${tbl.snapshots.map(_.snapshotId)}")
+        s.conf.set("spark.sql.catalog.icelite_tag", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_tag.warehouse", wh)
+        s.sql("""SELECT event_id, user_id, event_type, value
+                |FROM icelite_tag.lake.events_tag VERSION AS OF 'v1_corpus'
+                |ORDER BY event_id""".stripMargin)
+      }),
+
+    // K17: z-order compaction. Shuffled appends leave every file spanning
+    // both key domains; compact(zorderBy = okey, cust) rewrites on the
+    // bit-interleaved curve, after which a typical file covers a small tile
+    // of BOTH dimensions (asserted from committed manifest stats: AVERAGE
+    // per-file span well under the global span in each dim — a single-column
+    // sort leaves the second dimension's average at ~100%. The average, not
+    // the max: equal-mass curve segments must straddle the curve's major
+    // crossings somewhere, so a FEW wide files are inherent to z-ordering).
+    // Content equality is the oracle's half; DsV2Spec asserts both
+    // dimensions actually prune at plan time.
+    QDef(
+      "k17_ice_zorder",
+      Some("""SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS price
+             |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY okey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k17"))
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+            col("o_totalprice").as("price"))
+        val tbl = cat.createTable("lake", "orders_z", o.schema)
+        tbl.append(o.repartition(3))
+        tbl.compact(targetFiles = 16, zorderBy = Seq("okey", "cust"))
+        val snap = tbl.meta.currentSnapshot.get
+        val files = tbl.visibleFiles(snap)
+        require(files.length == 16, s"expected 16 files, got ${files.length}")
+        Seq("okey", "cust").foreach { c =>
+          val spans = files.map(f => f.max(c).toLong - f.min(c).toLong)
+          val global = files.map(_.max(c).toLong).max - files.map(_.min(c).toLong).min
+          val avg = spans.sum.toDouble / spans.length / math.max(global, 1L)
+          require(avg < 0.5,
+            f"z-order left $c unclustered: average file spans $avg%.2f of the domain")
+        }
+        tbl.toDF.orderBy("okey")
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",

@@ -61,16 +61,20 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None)
   }
 
-  /** SQL time travel: `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF <id>` —
-    * the version string is a snapshot id, resolving to the same pinned scan
-    * as the `snapshotId` read option (`ex/src/component.py:38` semantics).
+  /** SQL time travel: `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF <v>` —
+    * a numeric version is a snapshot id; anything else resolves as a tag
+    * name (named ref pinning a snapshot), so `VERSION AS OF 'v1_corpus'`
+    * reads the exact tagged version. Both land on the same pinned scan as
+    * the `snapshotId` read option (`ex/src/component.py:38` semantics).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.toLongOption.isDefined,
-      s"icelite versions are snapshot ids; got '$version' for ${ident.name()} " +
-        "(use `list_snapshots` to enumerate them)")
     val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
-    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = Some(version))
+    val snapId = version.toLongOption.orElse(meta.refSnapshot(version)).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$version' is neither a snapshot id nor a tag of ${ident.name()} " +
+          s"(tags: ${meta.refs.keys.toSeq.sorted.mkString(", ")}; " +
+          "use `list_snapshots` for ids)"))
+    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = Some(snapId.toString))
   }
 
   /** `TIMESTAMP AS OF`: micros since epoch — pin to the latest snapshot

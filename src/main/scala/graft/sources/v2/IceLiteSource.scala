@@ -61,9 +61,20 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     IceLiteV2.loadMeta(warehouse, ns, tbl)
   }
 
+  /** The pinned-snapshot option: `snapshotId` (numeric), or `ref` — a tag
+    * name resolved against the table's named refs at plan time.
+    */
+  private def pin(meta: graft.icelite.TableMeta,
+      options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("snapshotId")).orElse(
+      Option(options.get("ref")).map(r => meta.refSnapshot(r).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tag '$r' on ${meta.namespace}.${meta.name} " +
+            s"(tags: ${meta.refs.keys.toSeq.sorted.mkString(", ")})")).toString))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val meta = loadMeta(options)._1
-    IceLiteV2.schemaAt(meta, IceLiteV2.pinnedSnapshot(meta, Option(options.get("snapshotId"))))
+    IceLiteV2.schemaAt(meta, IceLiteV2.pinnedSnapshot(meta, pin(meta, options)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -72,7 +83,7 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     val (meta, fs) = loadMeta(options)
     val warehouse = Option(options.get("warehouse")).get
     IceLiteV2.buildTable(warehouse, meta, fs,
-      Option(options.get("snapshotId")), Some(schema),
+      pin(meta, options), Some(schema),
       Option(options.get("fromSnapshotId")))
   }
 }

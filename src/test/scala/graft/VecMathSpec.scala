@@ -46,7 +46,7 @@ class VecMathSpec extends SparkSpec {
 
   test("registered via SparkSessionExtensions wiring list") {
     assert(GraftFunctions.all.map(_._1) ==
-      Seq("quantized_cosine", "nfc_normalize"))
+      Seq("quantized_cosine", "nfc_normalize", "zorder_key"))
   }
 
   test("nfc_normalize composes decomposed sequences (codegen path)") {
@@ -70,6 +70,39 @@ class VecMathSpec extends SparkSpec {
       "ring composes to \u00c5; B+acute has no precomposed form and must survive")
     assert(rows(3).getString(1) == "plain ascii")
     assert(rows(4).isNullAt(1), "NULL input must stay NULL")
+  }
+
+  test("zorder_key interleaves bits MSB-first; codegen agrees with eval") {
+    import graft.functions.ZOrder
+    // 2 dims, 2 bits: (x1 y1 x0 y0) — the 2x2-within-2x2 z curve
+    assert(ZOrder.interleave(Array(0L, 0L), 2) == 0L)
+    assert(ZOrder.interleave(Array(1L, 0L), 2) == 2L)  // x0=1 -> bit1
+    assert(ZOrder.interleave(Array(0L, 1L), 2) == 1L)  // y0=1 -> bit0
+    assert(ZOrder.interleave(Array(3L, 0L), 2) == 10L) // x=11 -> 1010
+    assert(ZOrder.interleave(Array(3L, 3L), 2) == 15L)
+    // curve locality: consecutive keys differ by small steps within a tile
+    val keys = for (x <- 0L to 3L; y <- 0L to 3L)
+      yield ((x, y), ZOrder.interleave(Array(x, y), 2))
+    assert(keys.map(_._2).sorted == (0L to 15L), "16 cells must map to 16 distinct keys")
+
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val viaPlan = Seq((3L, 0L), (1L, 2L), (0L, 3L))
+      .toDF("x", "y")
+      .select(call_function("zorder_key", col("x"), col("y")).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    // registered builder uses bits = 63/2 = 31: values stay in the low bits,
+    // so small coords interleave identically to the 2-bit hand calc scaled up
+    assert(viaPlan == Seq(
+      ZOrder.interleave(Array(3L, 0L), 31),
+      ZOrder.interleave(Array(1L, 2L), 31),
+      ZOrder.interleave(Array(0L, 3L), 31)))
+    // NULL coordinate clusters at 0
+    val withNull = Seq((Some(1L), Option.empty[Long]))
+      .toDF("x", "y")
+      .select(call_function("zorder_key", col("x"), col("y")).as("k"))
+      .collect()(0).getLong(0)
+    assert(withNull == 0L)
   }
 
   test("nfc_normalize interpreted eval agrees with codegen") {
