@@ -159,8 +159,19 @@ class IceTable(
       if (partitionBy.isEmpty) df
       else df.repartition(partitionBy.map(col): _*)
         .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
-    val writer = clustered.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    // Partition columns stay IN the data file (Iceberg stores identity
+    // source columns in data too; dropping them is a Spark-writer artifact):
+    // files must be self-contained so a later partition-spec change can
+    // still read an old spec's column from data. Spark's writer always
+    // strips the `partitionBy` column, so the directory layout rides a
+    // `__p_`-aliased duplicate; readers resolve either spelling
+    // (PartValues.DirAliasPrefix) and the alias never reaches any schema.
+    val aliased = partitionBy.foldLeft(clustered)((d, c) =>
+      d.withColumn(PartValues.DirAliasPrefix + c, col(c)))
+    val writer = aliased.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty)
+      writer.partitionBy(partitionBy.map(PartValues.DirAliasPrefix + _): _*)
+    else writer)
       .parquet(dataDir.toString)
     val it = fs.listFiles(dataDir, true)
     val paths = Iterator.continually(it).takeWhile(_.hasNext)
@@ -224,7 +235,8 @@ class IceTable(
     while (true) {
       val m = meta
       require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
-        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns,
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
         s"append to $namespace.$name raced a concurrent schema change — aborting")
       val prev = m.currentSnapshot
       try return commitSnapshot(m, "append",
@@ -364,6 +376,42 @@ class IceTable(
     call_function("zorder_key", norm: _*)
   }
 
+  /** Change the table's partition layout for FUTURE writes (Iceberg's
+    * partition evolution): a pure metadata commit — no data moves. Files
+    * already written keep their era's layout and stay fully readable: the
+    * spec ledger resolves each file era's directory columns, and because
+    * every writer stores partition columns IN the data files too, a column
+    * that stops being a partition column is simply read from data for new
+    * files (and from its directory constant for old ones). Scans prune old
+    * files by their own spec's directories or their footer stats, new files
+    * by the new spec — the table needs no rewrite at any size.
+    */
+  def setPartitionSpec(cols: Seq[String]): IceTable = {
+    val m = meta
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    cols.foreach { c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"partition column $c not in $namespace.$name schema")
+      require(PartValues.renderable(tableSchema(c).dataType),
+        s"icelite: unsupported partition column type ${tableSchema(c).dataType} for $c")
+      require(!Renames.touchedNames(m.renames).contains(c),
+        s"column $c was renamed; partition columns must not be rename-entangled")
+    }
+    if (cols == m.partitionBy) return this
+    // pre-evolution files (written before columns were stored in data) can
+    // only serve OLD partition columns from their directories — that stays
+    // true under the ledger, so no validation is needed for them; the
+    // cutoff is the newest existing snapshot: eras beyond it use `cols`
+    val cutoff = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L)
+    MetaIo.commit(fs, tableDir, m.copy(
+      partitionBy = cols,
+      partitionSpecs =
+        if (cutoff == 0L) m.partitionSpecs // nothing written: no old era
+        else m.partitionSpecs :+ PartSpecChange(cutoff, m.partitionBy),
+      version = m.version + 1))
+    this
+  }
+
   /** Create (or move) a named tag pinning a snapshot — the Iceberg tag ref.
     * A pure metadata commit; a tagged snapshot survives [[expireSnapshots]],
     * which is what makes "the exact corpus we trained v1 on" reproducible
@@ -456,9 +504,11 @@ class IceTable(
       if (legacy || files.isEmpty) (files, Nil)
       else files.partition { f =>
         // partition values make pruning work when the key IS (or includes)
-        // a partition column — those carry no file stats
-        val raw = PartValues.parse(f.path, m.partitionBy)
-        val pv = PartValues.decodeExternal(tableSchema, m.partitionBy, raw)
+        // a partition column — those carry no file stats. Directory values
+        // follow each file's OWN era spec (partition evolution).
+        val spec = m.specFor(Renames.eraOf(f.path))
+        val raw = PartValues.parse(f.path, spec)
+        val pv = PartValues.decodeExternal(tableSchema, spec, raw)
         FilePrune.canMatch(keyBounds, tableSchema, f, pv)
       }
 
@@ -489,20 +539,25 @@ class IceTable(
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
     val dirs = snapDirs.map(qualify)
+    // each file group's layout follows ITS era's partition spec (partition
+    // evolution): basePath + dir-derived values only where that era was
+    // partitioned; an era's ex-partition columns read from data (writers
+    // store partition columns in data since evolution support)
+    def specOf(f: FileStat): Seq[String] = m.specFor(Renames.eraOf(f.path))
     def baseOf(f: FileStat): String =
-      if (m.partitionBy.isEmpty) ""
+      if (specOf(f).isEmpty) ""
       else dirs.find(d => qualify(f.path).startsWith(d + "/"))
         .getOrElse(new Path(f.path).getParent.toString)
     def physOf(f: FileStat): Seq[String] =
       Renames.physicalNames(m.renames, tableSchema, Renames.eraOf(f.path))
         .getOrElse(tableSchema.fieldNames.toSeq)
-    files.groupBy(f => (baseOf(f), physOf(f)))
-      .toSeq.sortBy { case ((dir, phys), _) => (dir, phys.mkString(",")) }
-      .map { case ((dir, phys), fsInGroup) =>
+    files.groupBy(f => (baseOf(f), physOf(f), specOf(f)))
+      .toSeq.sortBy { case ((dir, phys, _), _) => (dir, phys.mkString(",")) }
+      .map { case ((dir, phys, spec), fsInGroup) =>
         val physSchema = StructType(tableSchema.fields.zip(phys).map {
           // partition columns cannot be renamed; keep their logical name so
           // directory-derived values bind
-          case (f, p) => if (m.partitionBy.contains(f.name)) f else f.copy(name = p)
+          case (f, p) => if (spec.contains(f.name)) f else f.copy(name = p)
         })
         val rd = spark.read.schema(physSchema)
         // select by PHYSICAL name and alias to the logical one: partitioned
@@ -540,8 +595,9 @@ class IceTable(
     }
     val files = visibleFiles(current)
     val (candidates, untouched) = files.partition { f =>
-      val raw = PartValues.parse(f.path, m.partitionBy)
-      val pv = PartValues.decodeExternal(tableSchema, m.partitionBy, raw)
+      val spec = m.specFor(Renames.eraOf(f.path))
+      val raw = PartValues.parse(f.path, spec)
+      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
     }
     if (candidates.isEmpty) return this // nothing can match: no-op

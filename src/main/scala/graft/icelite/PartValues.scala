@@ -14,16 +14,31 @@ object PartValues {
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Directory-column alias used when the DataFrame write path must keep the
+    * partition column IN the data file too (partition evolution: files must
+    * be self-contained so later specs can read old columns from data).
+    * Spark's writer always strips the `partitionBy` column from data, so the
+    * write duplicates it under this prefix for layout only.
+    */
+  val DirAliasPrefix = "__p_"
+
   /** Raw (still-string) partition values keyed by column name; None encodes
     * the hive null partition. Data-file paths never contain '=' outside
     * partition segments (snapshot dirs are `snap-NNNNN`, files `part-*`).
+    * Accepts both `col=v` and the aliased `__p_col=v` directory spellings.
     */
   def parse(path: String, partitionBy: Seq[String]): Map[String, Option[String]] = {
     if (partitionBy.isEmpty) return Map.empty
     val byName = path.split('/').iterator.flatMap { seg =>
       val i = seg.indexOf('=')
       if (i <= 0) None
-      else Some(seg.substring(0, i) -> unescape(seg.substring(i + 1)))
+      else {
+        val name = seg.substring(0, i)
+        val logical =
+          if (name.startsWith(DirAliasPrefix)) name.substring(DirAliasPrefix.length)
+          else name
+        Some(logical -> unescape(seg.substring(i + 1)))
+      }
     }.toMap
     partitionBy.flatMap(c => byName.get(c)
       .map(v => c -> (if (v == HiveDefaultPartition) None else Some(v)))).toMap

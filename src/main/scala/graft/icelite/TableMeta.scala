@@ -82,6 +82,14 @@ final case class SnapshotMeta(
   */
 final case class ColumnRename(cutoffSnapshotId: Long, from: String, to: String)
 
+/** One partition-spec evolution event: files written in eras at or before
+  * `cutoffSnapshotId` were laid out with `cols` as their hive partition
+  * columns. The CURRENT spec lives in [[TableMeta.partitionBy]]; this ledger
+  * only records what older file eras look like — the per-file-era resolution
+  * (Iceberg's spec-id indirection, keyed by directory era instead).
+  */
+final case class PartSpecChange(cutoffSnapshotId: Long, cols: Seq[String])
+
 object Renames {
 
   private val SnapDir = """data/snap-(\d+)(?:-[0-9a-f]+)?/""".r.unanchored
@@ -159,7 +167,23 @@ final case class TableMeta(
     // reproducible however much history churns after it. Names must contain
     // a non-digit so `VERSION AS OF` can route numerics to ids and
     // everything else to refs.
-    refs: Map[String, Long] = Map.empty) {
+    refs: Map[String, Long] = Map.empty,
+    // partition evolution ledger (ordered by cutoff): which hive layout each
+    // FILE ERA was written with. Empty = the table always had `partitionBy`.
+    partitionSpecs: Seq[PartSpecChange] = Nil) {
+
+  /** The partition spec files of `era` were written with. */
+  def specFor(era: Long): Seq[String] =
+    partitionSpecs.find(_.cutoffSnapshotId >= era).map(_.cols)
+      .getOrElse(partitionBy)
+
+  /** Every column that served as a partition column in ANY era. Reads must
+    * treat these conservatively (e.g. no parquet row-group predicates:
+    * files from eras where the column lived in directory names do not
+    * store it, and a predicate on a missing column fails the whole read).
+    */
+  def everPartitionCols: Set[String] =
+    partitionBy.toSet ++ partitionSpecs.flatMap(_.cols)
 
   /** Ref target as a real Long. Jackson round-trips `Map[String, Long]`
     * values as Integer when they fit (the FileStat trap), so direct

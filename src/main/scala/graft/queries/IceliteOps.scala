@@ -627,6 +627,36 @@ object IceliteOps {
         tbl.toDF.orderBy("okey")
       }),
 
+    // K18: partition evolution. The table changes its hive layout TWICE
+    // (unpartitioned -> by status -> by custkey bucket proxy) with zero data
+    // movement (asserted: append-only snapshot log), and the scan
+    // reassembles every era — old eras serve their ex-partition columns
+    // from directory values or stored data per their own spec ledger entry.
+    // The oracle recomputes the same union relationally, so cross-era
+    // column binding is verified by value.
+    QDef(
+      "k18_ice_partition_evolution",
+      Some("""SELECT o_orderkey AS okey, o_orderstatus AS status, o_custkey AS cust
+             |FROM orders WHERE o_orderkey <= 9000
+             |ORDER BY okey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k18"))
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 9000)
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"), col("o_custkey").as("cust"))
+        val tbl = cat.createTable("lake", "orders_pe", o.schema)
+        tbl.append(o.filter(col("okey") % 3 === 0))
+        tbl.setPartitionSpec(Seq("status"))
+        tbl.append(o.filter(col("okey") % 3 === 1))
+        tbl.setPartitionSpec(Seq("cust"))
+        tbl.append(o.filter(col("okey") % 3 === 2))
+        require(tbl.snapshots.map(_.operation) == Seq("append", "append", "append"),
+          "partition evolution must not rewrite data")
+        require(tbl.meta.partitionSpecs.length == 2,
+          "both evolution events must be in the spec ledger")
+        tbl.toDF.orderBy("okey")
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",

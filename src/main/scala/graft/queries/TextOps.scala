@@ -361,6 +361,37 @@ object TextOps {
           .orderBy("doc_id")
       }),
 
+    // Document chunking: split each document into fixed-token windows with
+    // overlap (stride = window − overlap) — how corpora are shaped into
+    // training sequences. Chunk starts are generated ROW-LOCALLY
+    // (sequence/transform over the token array, no self-join); one explode
+    // turns docs into chunks, so the operator is a narrow map + explode that
+    // scales linearly. Chunk ids are deterministic (doc_id, start).
+    QDef(
+      "x23_doc_chunks",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents),
+             |starts AS (
+             |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 24, 1), 40)) AS start
+             |  FROM tk)
+             |SELECT doc_id, CAST(start AS INT) AS start,
+             |  len(list_slice(tk, CAST(start AS INT) + 1, CAST(start AS INT) + 64)) AS n_tokens,
+             |  array_to_string(list_slice(tk, CAST(start AS INT) + 1, CAST(start AS INT) + 64), ' ') AS chunk
+             |FROM starts ORDER BY doc_id, start""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("tk"))
+          // window 64 tokens, stride 40 (overlap 24); last partial window
+          // kept — same arithmetic spelled in both engines
+          .withColumn("start",
+            explode(expr("sequence(0, greatest(size(tk) - 24 - 1, 0), 40)")))
+          .select(
+            col("doc_id"), col("start").cast("int").as("start"),
+            expr("size(slice(tk, start + 1, 64))").as("n_tokens"),
+            expr("array_join(slice(tk, start + 1, 64), ' ')").as("chunk"))
+          .orderBy("doc_id", "start")),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The text
     // column stands in for an image/audio blob; the operator extracts byte
     // length and a sha-256 content id — the same shape a real decode/feature

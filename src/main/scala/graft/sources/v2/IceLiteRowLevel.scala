@@ -35,7 +35,8 @@ private[v2] class IceLiteRowLevelOperation(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat],
     cmd: RowLevelOperation.Command,
-    renames: Seq[graft.icelite.ColumnRename] = Nil) extends RowLevelOperation {
+    renames: Seq[graft.icelite.ColumnRename] = Nil,
+    specs: Seq[graft.icelite.PartSpecChange] = Nil) extends RowLevelOperation {
 
   private val scanned =
     new java.util.concurrent.ConcurrentHashMap[String, FileStat]()
@@ -65,7 +66,7 @@ private[v2] class IceLiteRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
-      rowLevel = Some(this), renames = renames)
+      rowLevel = Some(this), renames = renames, specs = specs)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new IceLiteReplaceGroupsWriteBuilder(warehouse, ns, tbl, partitionBy,

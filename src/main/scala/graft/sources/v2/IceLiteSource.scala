@@ -144,7 +144,7 @@ private[v2] object IceLiteV2 {
     }
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
-      meta.renames, meta.widenedColumns)
+      meta.renames, meta.widenedColumns, meta.partitionSpecs)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -195,7 +195,9 @@ private[v2] class IceLiteTable(
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat],
     renames: Seq[graft.icelite.ColumnRename] = Nil,
     // columns ever type-widened: old files carry the narrower physical type
-    widened: Seq[String] = Nil)
+    widened: Seq[String] = Nil,
+    // partition-evolution ledger (spec per file era)
+    specs: Seq[graft.icelite.PartSpecChange] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -225,7 +227,7 @@ private[v2] class IceLiteTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new IceLiteRowLevelOperation(
       warehouse, ns, tbl, tableSchema, partitionBy, files, info.command(),
-      renames)
+      renames, specs)
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
@@ -250,7 +252,7 @@ private[v2] class IceLiteTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      renames = renames, widened = widened)
+      renames = renames, widened = widened, specs = specs)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -265,7 +267,8 @@ private[v2] class IceLiteTable(
   private[graft] def narrowTo(names: Seq[String]): IceLiteTable =
     new IceLiteTable(warehouse, ns, tbl,
       StructType(tableSchema.fields.filter(f => names.contains(f.name))),
-      partitionBy.filter(names.contains), files, renames, widened)
+      partitionBy.filter(names.contains), files, renames, widened,
+      specs.map(sp => sp.copy(cols = sp.cols.filter(names.contains))))
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -281,7 +284,9 @@ private[v2] class IceLiteScanBuilder(
     // metadata-only rename events: map logical -> per-file-era physical names
     renames: Seq[graft.icelite.ColumnRename] = Nil,
     // columns ever type-widened (no row-group predicates on them)
-    widened: Seq[String] = Nil)
+    widened: Seq[String] = Nil,
+    // partition-evolution ledger (spec per file era)
+    specs: Seq[graft.icelite.PartSpecChange] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -304,13 +309,13 @@ private[v2] class IceLiteScanBuilder(
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     rowLevel.isEmpty &&
-      ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed).isDefined
+      ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed, specs).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     // a row-level operation's scan must yield full rows of the affected
     // files — never an aggregated answer
     if (rowLevel.isDefined) return false
-    val r = ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed)
+    val r = ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed, specs)
     aggResult = r
     r.isDefined
   }
@@ -342,7 +347,7 @@ private[v2] class IceLiteScanBuilder(
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames,
-        widened)
+        widened, specs)
   }
 }
 
@@ -361,9 +366,13 @@ private[v2] object ManifestAgg {
   /** The aggregated (schema, row), or None when the manifest cannot answer
     * exactly.
     */
-  def evaluate(agg: Aggregation, tableSchema: StructType, partitionBy: Seq[String],
-      files: Seq[FileStat], pushedFilters: Array[Filter])
+  def evaluate(agg: Aggregation, tableSchema: StructType, partitionBy0: Seq[String],
+      files: Seq[FileStat], pushedFilters: Array[Filter],
+      specs: Seq[graft.icelite.PartSpecChange] = Nil)
       : Option[(StructType, InternalRow)] = {
+    // treat a column hive-partitioned in ANY era as partition-valued: files
+    // from those eras carry no stats for it
+    val partitionBy = (partitionBy0 ++ specs.flatMap(_.cols)).distinct
     // any residual filter means the manifest totals are over the wrong row
     // set; grouped aggregation needs per-group stats the manifest lacks
     if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
@@ -514,11 +523,21 @@ private[v2] class IceLiteScan(
     limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None,
     wantsFileCol: Boolean = false, streamMaxFiles: Option[Int] = None,
     renames: Seq[graft.icelite.ColumnRename] = Nil,
-    widened: Seq[String] = Nil)
+    widened: Seq[String] = Nil,
+    // partition-evolution ledger: which hive layout each file ERA used
+    specs: Seq[graft.icelite.PartSpecChange] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
   private def tableName: String = s"$ns.$tbl"
+
+  /** The partition spec the file at `path` was written under. */
+  private def specOf(path: String): Seq[String] =
+    if (specs.isEmpty) partitionBy
+    else {
+      val era = graft.icelite.Renames.eraOf(path)
+      specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
+    }
 
   /** Dynamic partition pruning: joins on a partition column hand the
     * joined key set to the scan at execution time as an In filter, and
@@ -561,8 +580,13 @@ private[v2] class IceLiteScan(
     */
   private def prune(fs: Seq[Filter]): Seq[(FileStat, Map[String, Option[String]])] =
     files.flatMap { f =>
-      val raw = PartValues.parse(f.path, partitionBy)
-      val pv = PartValues.decodeExternal(tableSchema, partitionBy, raw)
+      // each file's directory values follow ITS OWN era's spec; a column
+      // that was not a partition column in that era prunes via the file's
+      // footer stats instead (post-evolution writers store partition
+      // columns in data, so the stats exist)
+      val spec = specOf(f.path)
+      val raw = PartValues.parse(f.path, spec)
+      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       if (fs.forall(FilePrune.canMatch(_, tableSchema, f, pv)))
         Some((f, raw))
       else None
@@ -588,12 +612,42 @@ private[v2] class IceLiteScan(
       val constants =
         if (wantsFileCol) raw + (IceLiteScan.FileMetaCol -> Some(f.path))
         else raw
-      // files written before a rename carry the old column name; each task
-      // requests its file's era-physical names (positions stay logical)
-      val phys = graft.icelite.Renames.physicalNames(
-        renames, dataSchema, graft.icelite.Renames.eraOf(f.path))
-      IceLiteInputPartition(f.path, f.bytes, constants,
-        phys.getOrElse(Nil)): InputPartition
+      val spec = specOf(f.path)
+      if (spec == partitionBy) {
+        // common case: file written under the current spec — factory globals
+        // files written before a rename carry the old column name; each task
+        // requests its file's era-physical names (positions stay logical)
+        val phys = graft.icelite.Renames.physicalNames(
+          renames, dataSchema, graft.icelite.Renames.eraOf(f.path))
+        IceLiteInputPartition(f.path, f.bytes, constants,
+          phys.getOrElse(Nil)): InputPartition
+      } else {
+        // partition evolution: this file's OWN spec decides which required
+        // columns are directory constants and which are read from data; a
+        // permutation maps its local (data ++ constants) layout onto the
+        // scan's global serving order (global readSchema order)
+        val filePart = StructType(
+          tableSchema.fields.filter(fd =>
+            spec.contains(fd.name) && required.fieldNames.contains(fd.name)) ++
+            (if (wantsFileCol)
+              Seq(StructField(IceLiteScan.FileMetaCol, StringType, nullable = false))
+            else Nil))
+        val fileData = StructType(
+          required.fields.filterNot(fd => spec.contains(fd.name)))
+        val localNames = fileData.fieldNames ++ filePart.fieldNames
+        val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
+        val perm = globalNames.map(n => localNames.indexOf(n)).toSeq
+        require(perm.forall(_ >= 0),
+          s"partition-evolution layout mismatch for ${f.path}: " +
+            s"global [${globalNames.mkString(",")}] vs local [${localNames.mkString(",")}]")
+        val phys = graft.icelite.Renames.physicalNames(
+          renames, fileData, graft.icelite.Renames.eraOf(f.path))
+        IceLiteInputPartition(f.path, f.bytes, constants,
+          phys.getOrElse(Nil),
+          fileDataSchemaJson = fileData.json,
+          filePartSchemaJson = filePart.json,
+          filePerm = perm): InputPartition
+      }
     }.toArray
   }
 
@@ -616,7 +670,11 @@ private[v2] class IceLiteScan(
     // predicate typed at the widened type (e.g. INT64) is rejected by
     // parquet-mr's schema validator against files that physically carry the
     // narrower type (e.g. INT32) written before the ALTER.
-    val touched = graft.icelite.Renames.touchedNames(renames) ++ widened
+    // ... and any column that was a partition column in ANY era: files from
+    // those eras keep it in directory names only, and a parquet predicate
+    // on a column absent from the file schema fails the whole read.
+    val touched = graft.icelite.Renames.touchedNames(renames) ++ widened ++
+      (if (specs.isEmpty) Nil else partitionBy ++ specs.flatMap(_.cols))
     val rgFilters =
       if (rowLevel.isDefined) Array.empty[Filter]
       else filters.filter(_.references.forall(r => !touched.contains(r)))
@@ -634,7 +692,7 @@ private[v2] class IceLiteScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
-      streamMaxFiles)
+      streamMaxFiles, specs)
 }
 
 /** Snapshot-id offsets for the streaming read. */
@@ -654,7 +712,8 @@ private[v2] case class IceOffset(snapshotId: Long)
 private[v2] class IceLiteMicroBatchStream(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    specs: Seq[graft.icelite.PartSpecChange] = Nil)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -731,11 +790,48 @@ private[v2] class IceLiteMicroBatchStream(
       s"streaming read of $ns.$tbl (reset the checkpoint)")
     val dataSchema = StructType(
       tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+    val partSchema = StructType(
+      tableSchema.fields.filter(f => partitionBy.contains(f.name)))
+    def specOf(path: String): Seq[String] =
+      if (specs.isEmpty) partitionBy
+      else {
+        val era = graft.icelite.Renames.eraOf(path)
+        specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
+      }
     graft.icelite.FileStats.addedInRange(fs, m, from, to, s"streaming read of $ns.$tbl")
-      .map(f => IceLiteInputPartition(f.path, f.bytes,
-        PartValues.parse(f.path, partitionBy),
-        graft.icelite.Renames.physicalNames(m.renames, dataSchema,
-          graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil)): InputPartition)
+      .map { f =>
+        val spec = specOf(f.path)
+        if (spec == partitionBy)
+          IceLiteInputPartition(f.path, f.bytes,
+            PartValues.parse(f.path, partitionBy),
+            graft.icelite.Renames.physicalNames(m.renames, dataSchema,
+              graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil)): InputPartition
+        else {
+          // partition evolution mid-stream: same per-file split as the
+          // batch scan — this file's spec decides dirs-vs-data, and the
+          // permutation restores the GLOBAL (data ++ part) layout the
+          // factory's declared-order permutation then maps to table order
+          val filePart = StructType(
+            tableSchema.fields.filter(fd => spec.contains(fd.name)))
+          val fileData = StructType(
+            tableSchema.fields.filterNot(fd => spec.contains(fd.name)))
+          val localNames = fileData.fieldNames ++ filePart.fieldNames
+          val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
+          // compose: local -> global physical -> declared is handled by
+          // giving the per-file perm DIRECTLY in declared (tableSchema)
+          // order, overriding the factory's global permutation
+          val perm = tableSchema.fieldNames.map(n => localNames.indexOf(n)).toSeq
+          require(perm.forall(_ >= 0),
+            s"partition-evolution layout mismatch for ${f.path}")
+          IceLiteInputPartition(f.path, f.bytes,
+            PartValues.parse(f.path, spec),
+            graft.icelite.Renames.physicalNames(m.renames, fileData,
+              graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil),
+            fileDataSchemaJson = fileData.json,
+            filePartSchemaJson = filePart.json,
+            filePerm = perm): InputPartition
+        }
+      }
       .toArray
   }
 
@@ -758,7 +854,14 @@ private[v2] class IceLiteMicroBatchStream(
 private[v2] case class IceLiteInputPartition(
     file: String, length: Long, partValues: Map[String, Option[String]],
     // physical (file-era) name per data-schema field; empty = identity
-    physicalDataNames: Seq[String] = Nil)
+    physicalDataNames: Seq[String] = Nil,
+    // partition-evolution override (file written under a DIFFERENT spec
+    // than the current one): this file's own data/constant column split and
+    // the permutation from its local (data ++ constants) layout to the
+    // scan's global serving order. Empty = use the factory's globals.
+    fileDataSchemaJson: String = "",
+    filePartSchemaJson: String = "",
+    filePerm: Seq[Int] = Nil)
     extends InputPartition
 
 private[v2] class IceLiteReaderFactory(
@@ -776,7 +879,12 @@ private[v2] class IceLiteReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[IceLiteInputPartition]
-    val logical = DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
+    // a partition-evolution file carries its own schema split + permutation
+    val (dataJson, partJson, perm) =
+      if (p.fileDataSchemaJson.nonEmpty)
+        (p.fileDataSchemaJson, p.filePartSchemaJson, p.filePerm)
+      else (dataSchemaJson, partSchemaJson, outputPermutation)
+    val logical = DataType.fromJson(dataJson).asInstanceOf[StructType]
     // request the file-era physical names; batch columns are positional, so
     // the logical readSchema applies unchanged on top
     val requested =
@@ -785,8 +893,8 @@ private[v2] class IceLiteReaderFactory(
         .map { case (f, n) => f.copy(name = n) })
     new IceLiteColumnarReader(
       p.file, p.length, p.partValues, conf, requested,
-      DataType.fromJson(partSchemaJson).asInstanceOf[StructType], limit,
-      outputPermutation.toArray)
+      DataType.fromJson(partJson).asInstanceOf[StructType], limit,
+      perm.toArray)
   }
 }
 

@@ -140,7 +140,8 @@ private[v2] class IceLiteBatchWrite(
     while (true) {
       val m = MetaIo.read(fs, tableDir)
       require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
-        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns,
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
         s"INSERT into $ns.$table raced a concurrent schema change — aborting")
       val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val prev = m.currentSnapshot
@@ -203,13 +204,15 @@ private[v2] class IceLiteDataWriter(
     rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
 
-  // partition columns live in the directory name, never in the file
+  // partition columns are rendered into the directory name AND stored in
+  // the data file (Iceberg keeps identity source columns in data — hive's
+  // column-stripping is a writer artifact): self-contained files are what
+  // make partition-spec evolution readable, and identity columns get real
+  // footer stats for free. Readers under the writing spec serve the column
+  // from the directory constant and simply never request the stored copy.
   private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
-  private val dataSchema = StructType(
-    schema.fields.zipWithIndex.filterNot { case (_, i) => partIdx.contains(i) }
-      .map(_._1))
-  private val dataIdx: Array[Int] =
-    schema.fields.indices.filterNot(partIdx.contains(_)).toArray
+  private val dataSchema = schema
+  private val dataIdx: Array[Int] = schema.fields.indices.toArray
 
   private val messageType: MessageType = {
     val b = Types.buildMessage()

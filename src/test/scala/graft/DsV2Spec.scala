@@ -346,6 +346,32 @@ class DsV2Spec extends SparkSpec {
     assert(q.count() == expect.count())
   }
 
+  test("partition evolution prunes each era by its own layout") {
+    val wh = warehouse("pevo")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "n", df.schema)
+    tbl.append(df.filter(col("n_nationkey") < 10))      // era 1: unpartitioned
+    tbl.setPartitionSpec(Seq("n_regionkey"))
+    tbl.append(df.filter(col("n_nationkey") >= 10))     // era 2: hive by region
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.n").load()
+      .filter(col("n_regionkey") === 2)
+    val (files, planned) = plannedOf(scanDescOf(q))
+    // era-2 files prune by their directories; the era-1 file prunes (or
+    // not) by its region footer stats — either way results stay exact
+    assert(planned < files,
+      s"evolved layout should prune some files: planned=$planned of $files")
+    assert(q.count() == df.filter(col("n_regionkey") === 2).count())
+    assert(q.orderBy("n_nationkey").collect().toSeq ==
+      df.filter(col("n_regionkey") === 2).orderBy("n_nationkey").collect().toSeq)
+    // SQL path reads the same evolved table
+    spark.conf.set("spark.sql.catalog.icecat_pevo", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.icecat_pevo.warehouse", wh)
+    assert(spark.sql("SELECT count(*) FROM icecat_pevo.lake.n WHERE n_regionkey = 2")
+      .collect()(0).getLong(0) == df.filter(col("n_regionkey") === 2).count())
+  }
+
   test("zorder compaction prunes on EVERY clustered dimension") {
     val wh = warehouse("zorder")
     val cat = new IceCatalog(spark, wh)

@@ -436,6 +436,68 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.toDF.columns.toSeq == nation.schema.fieldNames.toSeq)
   }
 
+  test("partition evolution: unpartitioned -> partitioned -> repartitioned") {
+    val cat = new IceCatalog(spark, scratch("pevo"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))        // era 1: unpartitioned
+    tbl.setPartitionSpec(Seq("n_regionkey"))
+    tbl.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)) // era 2: by region
+    tbl.setPartitionSpec(Seq("n_nationkey"))
+    tbl.append(nation.filter(col("n_nationkey") >= 20))       // era 3: by nationkey
+    // pure metadata: three appends only, no rewrite snapshots
+    assert(tbl.snapshots.map(_.operation) == Seq("append", "append", "append"))
+    // the full scan reassembles every era, all columns correct
+    val df = tbl.toDF
+    assert(df.count() == 25)
+    assert(df.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // filters on both ever-partition columns stay exactly right across eras
+    assert(tbl.toDF.filter(col("n_regionkey") === 2).count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+    assert(tbl.toDF.filter(col("n_nationkey") === 21).count() == 1)
+    // era specs recorded: old eras resolve their own layout
+    val m = tbl.meta
+    assert(m.partitionBy == Seq("n_nationkey"))
+    assert(m.specFor(1L) == Nil)
+    assert(m.specFor(2L) == Seq("n_regionkey"))
+    assert(m.specFor(3L) == Seq("n_nationkey"))
+    assert(m.specFor(99L) == Seq("n_nationkey"))
+  }
+
+  test("partition evolution: upsert and delete cross era boundaries") {
+    val cat = new IceCatalog(spark, scratch("pevo2"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 15))
+    tbl.setPartitionSpec(Seq("n_regionkey"))
+    tbl.append(nation.filter(col("n_nationkey") >= 15))
+    // upsert touches keys in BOTH eras — readFiles must reassemble each
+    // era's layout (old: all columns in data; new: region from dirs)
+    val src = nation.filter(col("n_nationkey").isin(3, 20))
+      .withColumn("n_name", lit("UPDATED"))
+    tbl.upsert(src, keys = Seq("n_nationkey"))
+    assert(tbl.toDF.count() == 25)
+    assert(tbl.toDF.filter(col("n_name") === "UPDATED").count() == 2)
+    // delete across eras
+    tbl.deleteWhere(Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("n_nationkey", 23)))
+    assert(tbl.toDF.count() == 23)
+    assert(tbl.toDF.agg(org.apache.spark.sql.functions.sum(
+      when(col("n_name") === "UPDATED", 1).otherwise(0))).collect()(0).getLong(0) == 2)
+  }
+
+  test("partition evolution to unpartitioned keeps old dirs readable") {
+    val cat = new IceCatalog(spark, scratch("pevo3"))
+    val tbl = cat.createTable("ns", "t", nation.schema, partitionBy = Seq("n_regionkey"))
+    tbl.append(nation.filter(col("n_nationkey") < 12))
+    tbl.setPartitionSpec(Nil)
+    tbl.append(nation.filter(col("n_nationkey") >= 12))
+    assert(tbl.toDF.count() == 25)
+    assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // old partitioned files still serve n_regionkey (from their dirs)
+    assert(tbl.toDF.filter(col("n_regionkey") === 1).count() ==
+      nation.filter(col("n_regionkey") === 1).count())
+  }
+
   test("tags pin snapshots: ref scans resolve, expiry spares them") {
     val cat = new IceCatalog(spark, scratch("tags"))
     val tbl = cat.createTable("ns", "t", nation.schema)
