@@ -90,6 +90,34 @@ class IceTable(
 
   def toDF: DataFrame = scan()
 
+  /** The snapshot log as a DataFrame (the `.snapshots` metadata table —
+    * also addressable in SQL as `<cat>.<ns>.<tbl>.snapshots`). Metadata
+    * only: O(snapshots) rows built from the version log, zero file IO.
+    */
+  def snapshotsDF: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    m.snapshots.map(s => (s.snapshotId, s.timestampMs, s.operation,
+      s.addedFiles.length.toLong, s.addedRows, s.totalRows,
+      s.snapshotId == m.currentSnapshotId))
+      .toDF("snapshot_id", "timestamp_ms", "operation", "added_files",
+        "added_rows", "total_rows", "is_current")
+  }
+
+  /** The current snapshot's data-file manifest as a DataFrame (the
+    * `.files` metadata table / SQL `<tbl>.files`): per-file row counts and
+    * sizes straight from the committed manifest — the operational view a
+    * compaction policy reads ("how many small files?") without touching
+    * data. O(files) rows; at extreme file counts parallelize from the
+    * external manifests instead of the driver list.
+    */
+  def filesDF: DataFrame = {
+    import spark.implicits._
+    meta.currentSnapshot.map(visibleFiles).getOrElse(Nil)
+      .map(f => (f.path, f.rows, f.bytes))
+      .toDF("path", "rows", "bytes")
+  }
+
   /** Incremental append scan (the Iceberg `incremental read` analog, and
     * the batch form of CDC tailing): rows added by snapshots AFTER
     * `fromSnapshotId` (exclusive) up to `toSnapshotId` (inclusive, default

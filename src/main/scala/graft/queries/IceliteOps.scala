@@ -636,25 +636,64 @@ object IceliteOps {
     // column binding is verified by value.
     QDef(
       "k18_ice_partition_evolution",
-      Some("""SELECT o_orderkey AS okey, o_orderstatus AS status, o_custkey AS cust
+      Some("""SELECT o_orderkey AS okey, o_orderstatus AS status,
+             |  o_custkey % 8 AS bucket, o_custkey AS cust
              |FROM orders WHERE o_orderkey <= 9000
              |ORDER BY okey""".stripMargin),
       (s, dir) => {
         val cat = new IceCatalog(s, freshWarehouse(s, "k18"))
+        // partition columns stay LOW-cardinality at every spec (status: 3
+        // values, bucket: 8) — identity-partitioning a raw key column would
+        // be the classic million-tiny-files anti-pattern at scale, so the
+        // bucket lives as a real column (Iceberg's bucket transform analog)
         val o = t(s, dir, "orders").filter(col("o_orderkey") <= 9000)
           .select(col("o_orderkey").as("okey"),
-            col("o_orderstatus").as("status"), col("o_custkey").as("cust"))
+            col("o_orderstatus").as("status"),
+            (col("o_custkey") % 8).as("bucket"), col("o_custkey").as("cust"))
         val tbl = cat.createTable("lake", "orders_pe", o.schema)
         tbl.append(o.filter(col("okey") % 3 === 0))
         tbl.setPartitionSpec(Seq("status"))
         tbl.append(o.filter(col("okey") % 3 === 1))
-        tbl.setPartitionSpec(Seq("cust"))
+        tbl.setPartitionSpec(Seq("bucket"))
         tbl.append(o.filter(col("okey") % 3 === 2))
         require(tbl.snapshots.map(_.operation) == Seq("append", "append", "append"),
           "partition evolution must not rewrite data")
         require(tbl.meta.partitionSpecs.length == 2,
           "both evolution events must be in the spec ledger")
         tbl.toDF.orderBy("okey")
+      }),
+
+    // D12: metadata tables (`.snapshots` / `.files`, Iceberg's operational
+    // views). The snapshot log is queried through SQL's 4-part identifier
+    // and verified against the exactly-known history (deterministic ids,
+    // operations, file and row counts — timestamps excluded); the `.files`
+    // view is asserted in-query (file count + row sum after compaction).
+    QDef(
+      "d2_meta_tables",
+      Some("""SELECT * FROM (VALUES
+             |  (1, 'append', 2, 5000, 5000, false),
+             |  (2, 'append', 2, 5000, 10000, false),
+             |  (3, 'compact', 2, 10000, 10000, true))
+             |  AS v(snapshot_id, operation, added_files, added_rows, total_rows, is_current)
+             |ORDER BY snapshot_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "d2")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+        val tbl = cat.createTable("lake", "ev_meta", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0).repartition(2))
+        tbl.compact(targetFiles = 2)
+        // .files view: exactly the compacted manifest
+        val files = tbl.filesDF
+        require(files.count() == 2, "files view must list the 2 compacted files")
+        require(files.agg(sum(col("rows"))).collect()(0).getLong(0) == 10000L,
+          "files view row counts must sum to the table total")
+        s.conf.set("spark.sql.catalog.icelite_d2", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d2.warehouse", wh)
+        s.sql("""SELECT snapshot_id, operation, added_files, added_rows,
+                |  total_rows, is_current
+                |FROM icelite_d2.lake.ev_meta.snapshots ORDER BY snapshot_id""".stripMargin)
       }),
 
     // K2: parquet sink round trip (ex:50-55).

@@ -392,6 +392,46 @@ object TextOps {
             expr("array_join(slice(tk, start + 1, 64), ' ')").as("chunk"))
           .orderBy("doc_id", "start")),
 
+    // Benchmark decontamination: flag training documents sharing verbatim
+    // n-grams with a held-out eval set (doc_id % 97 — stand-in for a
+    // benchmark), the standard train/test-overlap check run before every
+    // training run. Shape: row-local shingling -> explode -> distinct ->
+    // BROADCAST the (small) eval-gram set -> semi-join-style count per
+    // train doc. At 100 TB the eval side stays benchmark-sized, so the join
+    // never shuffles the corpus. n=3 here because the synthetic corpus
+    // draws from a ~30-word vocabulary (real pipelines use 8-13 grams —
+    // the arithmetic is identical, only the constant changes).
+    QDef(
+      "x24_decontaminate",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_slice(tk, CAST(i AS INT)+1, CAST(i AS INT)+3), ' ') AS g
+             |  FROM tk, unnest(range(0, greatest(len(tk)-2, 0))) t(i)),
+             |eval AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+             |hits AS (
+             |  SELECT DISTINCT gr.doc_id, gr.g FROM grams gr JOIN eval USING (g)
+             |  WHERE gr.doc_id % 97 <> 0)
+             |SELECT doc_id, count(*) AS n_shared FROM hits
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val n = 3
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("tk"))
+          .filter(size(col("tk")) >= n) // sequence() reverses on start>stop
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(tk) - $n), " +
+              s"i -> array_join(slice(tk, i + 1, $n), ' '))")).as("g"))
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("g").distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalGrams), Seq("g"))
+          .select("doc_id", "g").distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The text
     // column stands in for an image/audio blob; the operator extracts byte
     // length and a sha-256 content id — the same shape a real decode/feature

@@ -57,6 +57,14 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `<cat>.<ns>.<tbl>.snapshots` / `.files` — Iceberg-style metadata
+    // tables: the 4-part identifier arrives as namespace [ns, tbl] + a
+    // reserved metadata name
+    if (ident.namespace().length == 2 && IceLiteMeta.names.contains(ident.name())) {
+      val Array(ns, tbl) = ident.namespace()
+      val (meta, fs) = IceLiteV2.loadMeta(warehouse, ns, tbl)
+      return IceLiteMeta.table(meta, fs, ident.name())
+    }
     val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
     IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None)
   }

@@ -511,6 +511,84 @@ private[v2] class IceLiteAggScan(
 private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any])
     extends InputPartition
 
+/** Read-only in-memory DSv2 table serving a metadata listing — the engine
+  * behind SQL `<cat>.<ns>.<tbl>.snapshots` / `.files` (Iceberg's metadata
+  * tables). Rows are built driver-side from the version log / manifest
+  * (metadata-sized by construction) and shipped as one input partition.
+  */
+private[v2] object IceLiteMeta {
+
+  val names: Set[String] = Set("snapshots", "files")
+
+  def table(meta: graft.icelite.TableMeta,
+      fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
+    case "snapshots" =>
+      val schema = StructType.fromDDL(
+        "snapshot_id BIGINT, timestamp_ms BIGINT, operation STRING, " +
+          "added_files BIGINT, added_rows BIGINT, total_rows BIGINT, " +
+          "is_current BOOLEAN")
+      val rows = meta.snapshots.map(s => Array[Any](
+        s.snapshotId, s.timestampMs, s.operation, s.addedFiles.length.toLong,
+        s.addedRows, s.totalRows, s.snapshotId == meta.currentSnapshotId))
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.snapshots", schema, rows)
+    case "files" =>
+      val schema = StructType.fromDDL("path STRING, rows BIGINT, bytes BIGINT")
+      val rows = meta.currentSnapshot
+        .map(s => graft.icelite.FileStats.visible(fs, s)).getOrElse(Nil)
+        .map(f => Array[Any](f.path, f.rows, f.bytes))
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.files", schema, rows)
+    case other => throw new IllegalArgumentException(
+      s"unknown icelite metadata table '$other' (have: ${names.mkString(", ")})")
+  }
+}
+
+private[v2] case class IceLiteMetaPartition(
+    schemaJson: String, rows: Seq[Array[Any]]) extends InputPartition
+
+private[v2] class IceLiteMetaTable(
+    tblName: String, schema0: StructType, rows: Seq[Array[Any]])
+    extends Table with SupportsRead {
+
+  override def name(): String = tblName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String = s"icelite metadata $tblName"
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(IceLiteMetaPartition(schema0.json, rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val mp = p.asInstanceOf[IceLiteMetaPartition]
+            val schema = DataType.fromJson(mp.schemaJson).asInstanceOf[StructType]
+            val it = mp.rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean =
+                if (!it.hasNext) false
+                else {
+                  val vals: Array[Any] = it.next().zipWithIndex.map {
+                    case (s: String, i)
+                        if schema.fields(i).dataType == StringType =>
+                      UTF8String.fromString(s)
+                    case (v, _) => v
+                  }
+                  cur = new GenericInternalRow(vals)
+                  true
+                }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
 private[v2] object IceLiteScan {
   /** Name of the data-file metadata column (SupportsMetadataColumns). */
   val FileMetaCol = "_file"
