@@ -457,6 +457,55 @@ class IceTable(
     this
   }
 
+  /** Append onto a named ref WITHOUT moving the main table pointer — the
+    * branch-write half of write-audit-publish (WAP): stage data on a
+    * branch, audit it with `scan(ref = ...)`, publish with [[fastForward]].
+    * The branch snapshot enters the ordinary log (so it is time-travelable
+    * and its data dirs are expiry-protected via the ref pin) but
+    * `currentSnapshotId` — what every plain read serves — is untouched
+    * until publish. Parentage follows the REF head, not the table head, so
+    * a branch accumulates its own chain of appends.
+    */
+  def appendToRef(refName: String, df: DataFrame): IceTable = {
+    val m = meta
+    val parentId = m.refSnapshot(refName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref '$refName' on $namespace.$name — tag a snapshot first"))
+    val parent = m.snapshot(parentId).getOrElse(
+      throw new IllegalStateException(s"ref '$refName' points at expired snapshot $parentId"))
+    val schemaAtRef = StructType.fromDDL(
+      if (parent.schemaDdl.nonEmpty) parent.schemaDdl else m.schemaDdl)
+    val conformed = conform(df, schemaAtRef)
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val (dir, added) =
+      writeData(conformed, snapId, m.partitionBy, uniqueDir = true)
+    val carried = visibleFiles(parent)
+    val addedRows = added.map(_.rows).sum
+    val snap = SnapshotMeta(
+      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+      operation = "append", dataDirs = parent.dataDirs :+ dir,
+      addedFiles = added.map(_.path), addedRows = addedRows,
+      totalRows = parent.totalRows + addedRows,
+      schemaDdl = schemaAtRef.toDDL,
+      files = (carried ++ added).sortBy(_.path))
+    MetaIo.commit(fs, tableDir, m.copy(
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + (refName -> snapId),
+      version = m.version + 1))
+    this
+  }
+
+  /** Publish a branch: point the main table at the ref's head (the
+    * write-audit-publish "publish" step). O(1) metadata, same mechanics as
+    * [[rollbackTo]] — audited data becomes visible atomically.
+    */
+  def fastForward(refName: String): IceTable = {
+    val m = meta
+    val head = m.refSnapshot(refName).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$refName' on $namespace.$name"))
+    rollbackTo(head)
+  }
+
   def dropTag(tagName: String): IceTable = {
     val m = meta
     require(m.refs.contains(tagName), s"no tag '$tagName' on $namespace.$name")

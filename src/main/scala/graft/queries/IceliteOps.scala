@@ -670,16 +670,25 @@ object IceliteOps {
     // view is asserted in-query (file count + row sum after compaction).
     QDef(
       "d2_meta_tables",
-      Some("""SELECT * FROM (VALUES
-             |  (1, 'append', 2, 5000, 5000, false),
-             |  (2, 'append', 2, 5000, 10000, false),
-             |  (3, 'compact', 2, 10000, 10000, true))
-             |  AS v(snapshot_id, operation, added_files, added_rows, total_rows, is_current)
+      // expected counts derived from the table, not literals — the query
+      // runs at every scale factor
+      Some("""SELECT 1 AS snapshot_id, 'append' AS operation, 2 AS added_files,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS added_rows,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS total_rows,
+             |  false AS is_current
+             |UNION ALL
+             |SELECT 2, 'append', 2,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0),
+             |  (SELECT count(*) FROM events), false
+             |UNION ALL
+             |SELECT 3, 'compact', 2,
+             |  (SELECT count(*) FROM events), (SELECT count(*) FROM events), true
              |ORDER BY snapshot_id""".stripMargin),
       (s, dir) => {
         val wh = freshWarehouse(s, "d2")
         val cat = new IceCatalog(s, wh)
         val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+        val total = ev.count()
         val tbl = cat.createTable("lake", "ev_meta", ev.schema)
         tbl.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
         tbl.append(ev.filter(col("event_id") % 2 =!= 0).repartition(2))
@@ -687,13 +696,43 @@ object IceliteOps {
         // .files view: exactly the compacted manifest
         val files = tbl.filesDF
         require(files.count() == 2, "files view must list the 2 compacted files")
-        require(files.agg(sum(col("rows"))).collect()(0).getLong(0) == 10000L,
+        require(files.agg(sum(col("rows"))).collect()(0).getLong(0) == total,
           "files view row counts must sum to the table total")
         s.conf.set("spark.sql.catalog.icelite_d2", "graft.sources.v2.IceLiteCatalog")
         s.conf.set("spark.sql.catalog.icelite_d2.warehouse", wh)
         s.sql("""SELECT snapshot_id, operation, added_files, added_rows,
                 |  total_rows, is_current
                 |FROM icelite_d2.lake.ev_meta.snapshots ORDER BY snapshot_id""".stripMargin)
+      }),
+
+    // K19: write-audit-publish (WAP). New data is staged on an 'audit'
+    // branch ref — plain reads stay pinned to the pre-stage snapshot
+    // (asserted) while the branch is validated through its ref scan — then
+    // fastForward publishes the audited head atomically. The oracle states
+    // the published result; the in-query requires prove the staging
+    // invisibility that makes the pattern safe on a live 100 TB table.
+    QDef(
+      "k19_ice_wap",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_id % 4 <> 3 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k19"))
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "ev_wap", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 4 === 0))
+        val base = tbl.toDF.count()
+        tbl.tag("audit", 1L)
+        tbl.appendToRef("audit", ev.filter(col("event_id") % 4 === 1))
+        tbl.appendToRef("audit", ev.filter(col("event_id") % 4 === 2))
+        require(tbl.toDF.count() == base,
+          "staged branch data must be invisible to plain reads")
+        // audit step: validate the branch before publishing
+        require(tbl.scan(ref = Some("audit")).count() ==
+          ev.filter(col("event_id") % 4 =!= 3).count(),
+          "branch scan must see the full staged chain")
+        tbl.fastForward("audit")
+        tbl.toDF.orderBy("event_id")
       }),
 
     // K2: parquet sink round trip (ex:50-55).

@@ -518,10 +518,15 @@ private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any
   */
 private[v2] object IceLiteMeta {
 
-  val names: Set[String] = Set("snapshots", "files")
+  val names: Set[String] = Set("snapshots", "files", "refs")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
+    case "refs" =>
+      val schema = StructType.fromDDL("name STRING, snapshot_id BIGINT")
+      val rows = meta.refs.keys.toSeq.sorted
+        .map(n => Array[Any](n, meta.refSnapshot(n).get))
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.refs", schema, rows)
     case "snapshots" =>
       val schema = StructType.fromDDL(
         "snapshot_id BIGINT, timestamp_ms BIGINT, operation STRING, " +

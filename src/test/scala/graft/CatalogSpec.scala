@@ -104,6 +104,16 @@ class CatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM icecat_tags.lake.n VERSION AS OF 'nope'").collect())
     assert(e.getMessage.contains("first_five"))
+    // the `.refs` metadata table lists the pin
+    assert(spark.sql("SELECT name, snapshot_id FROM icecat_tags.lake.n.refs")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("first_five", 1L)))
+    // ... and `.snapshots` / `.files` serve the operational views in SQL
+    assert(spark.sql(
+      "SELECT count(*) FROM icecat_tags.lake.n.snapshots WHERE is_current")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT sum(rows) FROM icecat_tags.lake.n.files")
+      .collect()(0).getLong(0) == 25L)
   }
 
   test("write with mismatched schema fails cleanly, leaving no snapshot") {

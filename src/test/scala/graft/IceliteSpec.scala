@@ -534,6 +534,29 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.toDF.count() == nation.filter(col("n_nationkey") % 3 === 0).count())
   }
 
+  test("branch writes stage invisibly; fast-forward publishes atomically") {
+    val cat = new IceCatalog(spark, scratch("wap"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))  // snap 1 (main)
+    tbl.tag("audit", 1L)                                // branch from main
+    tbl.appendToRef("audit", nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+    tbl.appendToRef("audit", nation.filter(col("n_nationkey") >= 20))
+    // main is untouched while the branch accumulates
+    assert(tbl.toDF.count() == 10, "plain reads must not see staged branch data")
+    assert(tbl.meta.currentSnapshotId == 1L)
+    // the branch chain is auditable through the ref
+    assert(tbl.scan(ref = Some("audit")).count() == 25)
+    assert(tbl.refSnapshotId("audit").contains(3L))
+    // publish: main jumps to the audited head, atomically
+    tbl.fastForward("audit")
+    assert(tbl.toDF.count() == 25)
+    assert(tbl.meta.currentSnapshotId == 3L)
+    assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // unknown ref fails loudly
+    intercept[IllegalArgumentException](tbl.appendToRef("nope", nation))
+  }
+
   test("distributed footer stats == driver-pool footer stats") {
     import graft.icelite.FileStats
     val dir = scratch("diststats")
