@@ -735,6 +735,20 @@ object IceliteOps {
         tbl.toDF.orderBy("event_id")
       }),
 
+    // S7: JSONL source/sink round trip — the third interchange format next
+    // to CSV (S2) and parquet (S3/K2), and the lingua franca of LLM corpus
+    // distribution. Declared-schema read (no inference drift); content
+    // equality against the origin table proves the round trip losslessly.
+    QDef(
+      "s7_jsonl_roundtrip",
+      Some("SELECT * FROM documents ORDER BY doc_id"),
+      (s, dir) => {
+        val out = freshWarehouse(s, "s7") + "/docs_jsonl"
+        val d = t(s, dir, "documents")
+        d.write.mode("overwrite").json(out)
+        s.read.schema(d.schema).json(out).orderBy("doc_id")
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",
