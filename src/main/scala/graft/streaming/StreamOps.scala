@@ -159,6 +159,28 @@ object StreamOps {
           .orderBy("user_id", "start_us")
       }),
 
+    // Streaming deduplication: the continuous form of exact dedup (x1) —
+    // an at-least-once upstream (modeled by unioning the source with
+    // itself, so EVERY row arrives twice) deduplicates on (event_id, ts)
+    // behind a watermark. Including the event-time column in the dedup key
+    // is what lets Spark EVICT state as the watermark passes: without it,
+    // the key set grows forever — the difference between a stream that runs
+    // for months and one that OOMs. Oracle: dedup of the doubled input must
+    // equal the original table exactly (a broken dedup doubles the counts
+    // and hash-mismatches).
+    QDef(
+      "st6_stream_dedup",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val doubled = eventStream(s, dir).union(eventStream(s, dir))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id", "ts")
+          .select("event_id", "user_id", "event_type", "value")
+        runToTable(doubled, OutputMode.Append(), s"st6_sink_${System.nanoTime()}")
+          .orderBy("event_id")
+      }),
+
     // Streaming ingestion into the IceLite table layer via foreachBatch:
     // one append snapshot per micro-batch — exactly the reference writer's
     // batch-loop semantics (C6, one snapshot per Arrow batch, wr:101-110),
