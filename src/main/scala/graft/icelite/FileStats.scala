@@ -48,6 +48,30 @@ object FileStats {
         .toSeq
     }.sortBy(_.path)
 
+  /** The data directories visible at a snapshot. Inline on in-memory /
+    * pre-upgrade metadata; in the external manifest document otherwise
+    * (the cumulative dir list grows with append history, so it cannot live
+    * in the version log — see SnapshotMeta.dataDirs).
+    */
+  def dataDirsOf(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[String] =
+    if (snap.dataDirs.nonEmpty || snap.manifestFile.isEmpty) snap.dataDirs
+    else MetaIo.readManifestDoc(fs, snap.manifestFile).dataDirs
+
+  /** Paths of the files ADDED by a snapshot (inline or from the manifest
+    * document — same externalization story as [[dataDirsOf]]).
+    */
+  def addedPathsOf(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[String] =
+    if (snap.addedFiles.nonEmpty || snap.manifestFile.isEmpty) snap.addedFiles
+    else MetaIo.readManifestDoc(fs, snap.manifestFile).addedPaths
+
+  /** Count of files added by a snapshot WITHOUT touching any manifest:
+    * the inline O(1) count on current metadata, the inline path list on
+    * pre-upgrade metadata. Keeps the `.snapshots` view and streaming
+    * admission control metadata-only at any file count.
+    */
+  def addedCount(snap: SnapshotMeta): Long =
+    if (snap.addedFileCount >= 0) snap.addedFileCount else snap.addedFiles.length.toLong
+
   /** Files ADDED by the append snapshots in `(from, to]` — the shared
     * range extraction behind the batch incremental scan, the DSv2
     * `fromSnapshotId` option, and the streaming source. Callers are
@@ -63,10 +87,11 @@ object FileStats {
       s"$context hit non-append snapshots " +
         s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
     range.flatMap { s =>
-      val added = s.addedFiles.toSet // Seq.contains would be O(files x added)
+      val addedPaths = addedPathsOf(fs, s)
+      val added = addedPaths.toSet // Seq.contains would be O(files x added)
       val manifest = if (s.manifestFile.nonEmpty || s.files.nonEmpty) visible(fs, s) else Nil
       if (manifest.nonEmpty) manifest.filter(f => added.contains(f.path))
-      else s.addedFiles.map(p => FileStat(p, rows = -1L, bytes = 0L))
+      else addedPaths.map(p => FileStat(p, rows = -1L, bytes = 0L))
     }.sortBy(_.path)
   }
 

@@ -54,6 +54,13 @@ class IceTable(
   def visibleFiles(snap: SnapshotMeta): Seq[FileStat] =
     FileStats.visible(fs, snap)
 
+  /** A snapshot's visible data directories / added-file paths (resolved
+    * from the external manifest document on committed metadata — these
+    * lists grow with history and no longer live in the version log).
+    */
+  def dataDirsOf(snap: SnapshotMeta): Seq[String] = FileStats.dataDirsOf(fs, snap)
+  def addedFilesOf(snap: SnapshotMeta): Seq[String] = FileStats.addedPathsOf(fs, snap)
+
   // -- read path --------------------------------------------------------------
 
   /** Snapshot-pinned scan with optional projection and limit (S1/R1-R3).
@@ -98,7 +105,7 @@ class IceTable(
     import spark.implicits._
     val m = meta
     m.snapshots.map(s => (s.snapshotId, s.timestampMs, s.operation,
-      s.addedFiles.length.toLong, s.addedRows, s.totalRows,
+      FileStats.addedCount(s), s.addedRows, s.totalRows,
       s.snapshotId == m.currentSnapshotId))
       .toDF("snapshot_id", "timestamp_ms", "operation", "added_files",
         "added_rows", "total_rows", "is_current")
@@ -232,6 +239,7 @@ class IceTable(
       operation = operation, dataDirs = dataDirs,
       addedFiles = added.map(_.path), addedRows = addedRows,
       totalRows = carriedRows + addedRows,
+      addedFileCount = added.length.toLong,
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       files = (carried ++ added).sortBy(_.path))
     MetaIo.commit(fs, tableDir, m.copy(
@@ -268,7 +276,7 @@ class IceTable(
         s"append to $namespace.$name raced a concurrent schema change — aborting")
       val prev = m.currentSnapshot
       try return commitSnapshot(m, "append",
-        prev.map(_.dataDirs).getOrElse(Nil) :+ dir, added,
+        prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) :+ dir, added,
         carried = prev.map(visibleFiles).getOrElse(Nil))
       catch {
         case e: IllegalStateException
@@ -366,7 +374,7 @@ class IceTable(
   private def zorderKey(m: TableMeta, tableSchema: StructType,
       current: SnapshotMeta, cols: Seq[String])
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{call_function, greatest, least, lit}
+    import org.apache.spark.sql.functions.{call_function, datediff, greatest, least, lit, to_date, unix_micros}
     cols.foreach { c =>
       val dt = tableSchema(c).dataType
       require(FilePrune.zorderable(dt),
@@ -376,6 +384,20 @@ class IceTable(
     graft.functions.GraftFunctions.register(spark) // idempotent
     val bits = 63 / cols.size
     val maxV = (1L << bits) - 1
+    // coordinate in the SAME domain the manifest stats are encoded in
+    // (FileStats: timestamps as epoch micros, dates as epoch days) — a
+    // cast('double') on a timestamp would yield SECONDS and clamp every
+    // value against micro-encoded bounds (and DateType cannot cast to
+    // double at all)
+    def coord(c: String): org.apache.spark.sql.Column =
+      tableSchema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(c).cast("timestamp")).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), to_date(lit("1970-01-01"))).cast("double")
+        case _ => col(c).cast("double")
+      }
     def statBounds(c: String): Option[(Double, Double)] = {
       val dt = tableSchema(c).dataType
       val los = files.map(f => f.min.get(c).flatMap(FilePrune.statDouble(dt, _)))
@@ -385,9 +407,9 @@ class IceTable(
       else None
     }
     lazy val aggBounds: Map[String, (Double, Double)] = {
+      // fallback bounds computed in the same stat domain as coord()
       val aggs = cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c")))
+        min(coord(c)).as(s"__lo_$c"), max(coord(c)).as(s"__hi_$c")))
       val r = toDF.agg(aggs.head, aggs.tail: _*).collect()(0)
       cols.map(c => c -> (
         Option(r.getAs[java.lang.Double](s"__lo_$c")).map(_.doubleValue).getOrElse(0.0),
@@ -398,7 +420,7 @@ class IceTable(
       val (lo, hi) = statBounds(c).getOrElse(aggBounds(c))
       val span = math.max(hi - lo, 1e-12)
       least(lit(maxV), greatest(lit(0L),
-        ((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxV.toDouble))
+        ((coord(c) - lit(lo)) / lit(span) * lit(maxV.toDouble))
           .cast("long")))
     }
     call_function("zorder_key", norm: _*)
@@ -467,32 +489,68 @@ class IceTable(
     * a branch accumulates its own chain of appends.
     */
   def appendToRef(refName: String, df: DataFrame): IceTable = {
-    val m = meta
-    val parentId = m.refSnapshot(refName).getOrElse(
+    val m0 = meta
+    val parentId0 = m0.refSnapshot(refName).getOrElse(
       throw new IllegalArgumentException(
         s"no ref '$refName' on $namespace.$name — tag a snapshot first"))
-    val parent = m.snapshot(parentId).getOrElse(
-      throw new IllegalStateException(s"ref '$refName' points at expired snapshot $parentId"))
-    val schemaAtRef = StructType.fromDDL(
-      if (parent.schemaDdl.nonEmpty) parent.schemaDdl else m.schemaDdl)
+    val parent0 = m0.snapshot(parentId0).getOrElse(
+      throw new IllegalStateException(s"ref '$refName' points at expired snapshot $parentId0"))
+    def schemaAtRefOf(m: TableMeta, parent: SnapshotMeta): StructType =
+      StructType.fromDDL(
+        if (parent.schemaDdl.nonEmpty) parent.schemaDdl else m.schemaDdl)
+    val schemaAtRef = schemaAtRefOf(m0, parent0)
     val conformed = conform(df, schemaAtRef)
-    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) =
-      writeData(conformed, snapId, m.partitionBy, uniqueDir = true)
-    val carried = visibleFiles(parent)
-    val addedRows = added.map(_.rows).sum
-    val snap = SnapshotMeta(
-      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-      operation = "append", dataDirs = parent.dataDirs :+ dir,
-      addedFiles = added.map(_.path), addedRows = addedRows,
-      totalRows = parent.totalRows + addedRows,
-      schemaDdl = schemaAtRef.toDDL,
-      files = (carried ++ added).sortBy(_.path))
-    MetaIo.commit(fs, tableDir, m.copy(
-      snapshots = m.snapshots :+ snap,
-      refs = m.refs + (refName -> snapId),
-      version = m.version + 1))
-    this
+      writeData(conformed, snapId0, m0.partitionBy, uniqueDir = true)
+    // Optimistic commit retry, same protocol as append: WAP staging is
+    // exactly the multi-writer scenario, so a lost version race re-resolves
+    // the ref head (the branch may have grown under us) and re-attaches the
+    // already-written files instead of orphaning them. A concurrent schema /
+    // spec change — or a ref whose era schema no longer matches what the
+    // data was conformed to — aborts loudly.
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.partitionBy == m0.partitionBy && m.renames == m0.renames &&
+        m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
+        s"appendToRef('$refName') on $namespace.$name raced a concurrent " +
+          "schema change — aborting")
+      val parentId = m.refSnapshot(refName).getOrElse(
+        throw new IllegalStateException(
+          s"ref '$refName' on $namespace.$name vanished mid-append"))
+      val parent = m.snapshot(parentId).getOrElse(
+        throw new IllegalStateException(
+          s"ref '$refName' points at expired snapshot $parentId"))
+      require(schemaAtRefOf(m, parent).toDDL == schemaAtRef.toDDL,
+        s"appendToRef('$refName'): branch schema changed under the staged write — aborting")
+      val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val carried = visibleFiles(parent)
+      val addedRows = added.map(_.rows).sum
+      val snap = SnapshotMeta(
+        snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+        operation = "append",
+        dataDirs = FileStats.dataDirsOf(fs, parent) :+ dir,
+        addedFiles = added.map(_.path), addedRows = addedRows,
+        totalRows = parent.totalRows + addedRows,
+        addedFileCount = added.length.toLong,
+        schemaDdl = schemaAtRef.toDDL,
+        files = (carried ++ added).sortBy(_.path))
+      try {
+        MetaIo.commit(fs, tableDir, m.copy(
+          snapshots = m.snapshots :+ snap,
+          refs = m.refs + (refName -> snapId),
+          version = m.version + 1))
+        return this
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
   }
 
   /** Publish a branch: point the main table at the ref's head (the
@@ -533,7 +591,9 @@ class IceTable(
         s"no snapshot $snapshotId in $namespace.$name"))
     if (m.currentSnapshotId == snapshotId) return this
     MetaIo.commit(fs, tableDir, m.copy(
-      schemaDdl = target.schemaDdl,
+      // pre-upgrade snapshots carry no pinned schema ("readers fall back to
+      // the table schema") — restoring an empty DDL would blank the table
+      schemaDdl = if (target.schemaDdl.nonEmpty) target.schemaDdl else m.schemaDdl,
       currentSnapshotId = snapshotId,
       version = m.version + 1))
     this
@@ -589,13 +649,13 @@ class IceTable(
         FilePrune.canMatch(keyBounds, tableSchema, f, pv)
       }
 
-    val tgt = readFiles(m, tableSchema, candidates,
-      current.map(_.dataDirs).getOrElse(Nil))
+    val currentDirs = current.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
+    val tgt = readFiles(m, tableSchema, candidates, currentDirs)
     val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val merged = tgt.join(src, cond, "left_anti").unionByName(src)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) = writeData(merged, snapId, m.partitionBy)
-    val untouchedDirs = current.map(_.dataDirs).getOrElse(Nil)
+    val untouchedDirs = currentDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
     commitSnapshot(m, "upsert", untouchedDirs :+ dir, added, carried = untouched)
   }
@@ -678,13 +738,14 @@ class IceTable(
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
     }
     if (candidates.isEmpty) return this // nothing can match: no-op
-    val src = readFiles(m, tableSchema, candidates, current.dataDirs)
+    val currentDirs = FileStats.dataDirsOf(fs, current)
+    val src = readFiles(m, tableSchema, candidates, currentDirs)
     // keep rows where the condition is false or NULL
     val kept = src.filter(!org.apache.spark.sql.functions.coalesce(
       cond, org.apache.spark.sql.functions.lit(false)))
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) = writeData(kept, snapId, m.partitionBy)
-    val untouchedDirs = current.dataDirs
+    val untouchedDirs = currentDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
     commitSnapshot(m, "delete", untouchedDirs :+ dir, added, carried = untouched)
   }
@@ -712,13 +773,16 @@ class IceTable(
         s"expiry would drop the current snapshot of $namespace.$name")
     val dropped = sorted.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
     if (dropped.isEmpty) return this
+    // resolve directory sets BEFORE committing the trim (dropped snapshots'
+    // manifest documents hold their dir lists and are deleted below)
+    val keepDirs = keep.flatMap(s => FileStats.dataDirsOf(fs, s)).toSet
+    val droppedDirs = dropped.flatMap(s => FileStats.dataDirsOf(fs, s)).toSet
     // commit the trimmed metadata FIRST, delete after: a crash between the
     // two leaves only harmless orphan directories, never committed metadata
     // pointing at deleted paths (Iceberg's ordering)
     MetaIo.commit(fs, tableDir, m.copy(
       snapshots = keep, version = m.version + 1))
-    val keepDirs = keep.flatMap(_.dataDirs).toSet
-    (dropped.flatMap(_.dataDirs).toSet -- keepDirs).toSeq.sorted
+    (droppedDirs -- keepDirs).toSeq.sorted
       .foreach(d => fs.delete(new Path(d), true))
     // a dropped snapshot's external manifest is referenced by nothing else
     // (one manifest file per snapshot, written once at its commit)

@@ -50,10 +50,21 @@ final case class SnapshotMeta(
     snapshotId: Long,
     timestampMs: Long,
     operation: String, // append | replace | upsert | compact
+    // data directories / added-file paths visible at this snapshot. Like
+    // `files`, TRANSIENT in new metadata: both lists grow with table history
+    // (dataDirs is cumulative across appends, addedFiles is O(files added)),
+    // so MetaIo.commit moves them into the external manifest document and
+    // blanks them here — the version log's per-snapshot entry stays O(1).
+    // Non-empty only in memory (pre-commit) or on pre-upgrade metadata;
+    // read through FileStats.dataDirsOf / FileStats.addedPathsOf.
     dataDirs: Seq[String],
     addedFiles: Seq[String],
     addedRows: Long,
     totalRows: Long,
+    // O(1) inline count of files added by this snapshot (the `.snapshots`
+    // view and streaming admission control need the COUNT without touching
+    // manifests); -1 on pre-upgrade metadata — fall back to addedFiles.
+    addedFileCount: Long = -1L,
     // schema as of this snapshot — replace() may change it, and a
     // time-traveling scan must read old files with their own schema.
     // Empty on pre-upgrade metadata: readers fall back to the table schema.
@@ -72,6 +83,19 @@ final case class SnapshotMeta(
     // (snapshots never change). "" on pre-upgrade metadata — readers then
     // use the inline `files` or degrade to listing `dataDirs`.
     manifestFile: String = "")
+
+/** The external per-snapshot manifest document: the snapshot's complete
+  * [[FileStat]] list plus the two other O(table-history) facts that used to
+  * live inline in the version log — the paths ADDED by this snapshot and the
+  * data directories visible at it. One immutable file per snapshot, written
+  * at commit; the version log itself stays O(snapshots). Pre-upgrade
+  * manifests are a bare JSON array of FileStat (files only, added/dirs still
+  * inline in the snapshot) — [[MetaIo.readManifestDoc]] sniffs the format.
+  */
+final case class ManifestDoc(
+    files: Seq[FileStat],
+    addedPaths: Seq[String] = Nil,
+    dataDirs: Seq[String] = Nil)
 
 /** One metadata-only column rename: files added by snapshots with id
   * `<= cutoffSnapshotId` physically carry `from` where the logical schema
@@ -268,24 +292,35 @@ object MetaIo {
   // (a clear-all at capacity would re-parse-storm every live table).
   private[graft] val ManifestCacheCap = 256
   private val manifestCache =
-    new java.util.LinkedHashMap[String, Seq[FileStat]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, ManifestDoc](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[FileStat]]): Boolean =
+          e: java.util.Map.Entry[String, ManifestDoc]): Boolean =
         size > ManifestCacheCap
     }
 
-  /** The FileStat list held by one external manifest file. */
-  def readManifest(fs: FileSystem, path: String): Seq[FileStat] = {
+  /** The manifest document held by one external manifest file. Current
+    * format is a [[ManifestDoc]] object; pre-upgrade manifests are a bare
+    * FileStat array (added/dirs were inline in the snapshot then) — the
+    * first non-whitespace byte disambiguates.
+    */
+  def readManifestDoc(fs: FileSystem, path: String): ManifestDoc = {
     manifestCache.synchronized {
       val cached = manifestCache.get(path)
       if (cached != null) return cached
     }
-    val parsed: Seq[FileStat] = mapper.readValue(
-      readFile(fs, new Path(path)),
-      new com.fasterxml.jackson.core.`type`.TypeReference[Seq[FileStat]] {})
+    val json = readFile(fs, new Path(path))
+    val legacy = json.iterator.dropWhile(_.isWhitespace).nextOption().contains('[')
+    val parsed: ManifestDoc =
+      if (legacy) ManifestDoc(mapper.readValue(
+        json, new com.fasterxml.jackson.core.`type`.TypeReference[Seq[FileStat]] {}))
+      else mapper.readValue(json, classOf[ManifestDoc])
     manifestCache.synchronized { manifestCache.put(path, parsed) }
     parsed
   }
+
+  /** The FileStat list held by one external manifest file. */
+  def readManifest(fs: FileSystem, path: String): Seq[FileStat] =
+    readManifestDoc(fs, path).files
 
   /** Test hook: current cache keys in eviction order (eldest first). */
   private[graft] def manifestCacheKeys: Seq[String] =
@@ -294,12 +329,15 @@ object MetaIo {
       manifestCache.keySet().asScala.toSeq
     }
 
-  /** Move any inline per-snapshot file manifest into its own metadata file
-    * (named with a UUID so a losing concurrent committer can never clobber
-    * the winner's manifest) and leave a pointer. Called on every commit:
+  /** Move any inline per-snapshot O(files)/O(history) state — the file
+    * manifest, the added-path list, and the cumulative data-dir list — into
+    * one external manifest document per snapshot (named with a UUID so a
+    * losing concurrent committer can never clobber the winner's manifest)
+    * and leave a pointer plus O(1) counts. Called on every commit:
     * previously committed snapshots already carry pointers, so the
-    * incremental work is one manifest write for the new snapshot — the
-    * version log itself stays O(snapshots).
+    * incremental work is one manifest write for the new snapshot, and the
+    * version log's per-snapshot entry is CONSTANT-size — O(snapshots)
+    * total, not O(snapshots × files) and not O(appends²) via dataDirs.
     */
   private def externalize(fs: FileSystem, tableDir: Path, meta: TableMeta)
       : (TableMeta, Seq[Path]) = {
@@ -309,9 +347,13 @@ object MetaIo {
       else {
         val mf = fs.makeQualified(new Path(metadataDir(tableDir),
           f"manifest-${s.snapshotId}%05d-${java.util.UUID.randomUUID()}.json"))
-        writeFile(fs, mf, mapper.writeValueAsString(s.files))
+        writeFile(fs, mf, mapper.writeValueAsString(
+          ManifestDoc(s.files, s.addedFiles, s.dataDirs)))
         written :+= mf
-        s.copy(files = Nil, manifestFile = mf.toString)
+        s.copy(files = Nil, addedFiles = Nil, dataDirs = Nil,
+          addedFileCount =
+            if (s.addedFileCount >= 0) s.addedFileCount else s.addedFiles.length.toLong,
+          manifestFile = mf.toString)
       }
     })
     (slim, written)

@@ -104,7 +104,7 @@ object IceliteOps {
         tbl.upsert(source, keys = Seq("o_orderkey"))
         val snap = tbl.meta.currentSnapshot.get
         val snapFiles = tbl.visibleFiles(snap)
-        require(snapFiles.length > snap.addedFiles.length,
+        require(snapFiles.length > graft.icelite.FileStats.addedCount(snap),
           s"copy-on-write expected carried files: all ${snapFiles.length} rewritten")
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
@@ -303,9 +303,9 @@ object IceliteOps {
         val snap = tbl.meta.currentSnapshot.get
         val snapFiles = tbl.visibleFiles(snap)
         require(snap.operation == "delete" &&
-          snapFiles.length > snap.addedFiles.length,
+          snapFiles.length > graft.icelite.FileStats.addedCount(snap),
           s"delete must be copy-on-write: ${snapFiles.length} files, " +
-            s"${snap.addedFiles.length} rewritten")
+            s"${graft.icelite.FileStats.addedCount(snap)} rewritten")
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
@@ -332,9 +332,9 @@ object IceliteOps {
         val snap = tbl.meta.currentSnapshot.get
         val snapFiles = tbl.visibleFiles(snap)
         require(snap.operation == "update" &&
-          snapFiles.length > snap.addedFiles.length,
+          snapFiles.length > graft.icelite.FileStats.addedCount(snap),
           s"update must be copy-on-write: ${snapFiles.length} files, " +
-            s"${snap.addedFiles.length} rewritten")
+            s"${graft.icelite.FileStats.addedCount(snap)} rewritten")
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 

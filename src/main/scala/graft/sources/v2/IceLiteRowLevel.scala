@@ -136,9 +136,10 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
     // so derive real counts from footers (also heals the manifest)
     val carried = FileStats.ensureRows(hadoopConf,
       visible.filterNot(f => replaced.contains(f.path)))
-    val carriedDirs = prev.map(_.dataDirs).getOrElse(Nil).filter(d =>
-      carried.exists(f => fs.makeQualified(new Path(f.path)).toString
-        .startsWith(fs.makeQualified(new Path(d)).toString + "/")))
+    val carriedDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
+      .filter(d =>
+        carried.exists(f => fs.makeQualified(new Path(f.path)).toString
+          .startsWith(fs.makeQualified(new Path(d)).toString + "/")))
     val addedRows = added.map(_.rows).sum
     val carriedRows = carried.map(_.rows).sum
     val snap = SnapshotMeta(
@@ -147,6 +148,7 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
       dataDirs = carriedDirs :+ dataDir.toString,
       addedFiles = added.map(_.path), addedRows = addedRows,
       totalRows = carriedRows + addedRows,
+      addedFileCount = added.length.toLong,
       schemaDdl = m.schemaDdl,
       files = (carried ++ added).sortBy(_.path))
     MetaIo.commit(fs, tableDir, m.copy(

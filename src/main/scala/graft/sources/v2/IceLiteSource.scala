@@ -533,7 +533,8 @@ private[v2] object IceLiteMeta {
           "added_files BIGINT, added_rows BIGINT, total_rows BIGINT, " +
           "is_current BOOLEAN")
       val rows = meta.snapshots.map(s => Array[Any](
-        s.snapshotId, s.timestampMs, s.operation, s.addedFiles.length.toLong,
+        s.snapshotId, s.timestampMs, s.operation,
+        graft.icelite.FileStats.addedCount(s),
         s.addedRows, s.totalRows, s.snapshotId == meta.currentSnapshotId))
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.snapshots", schema, rows)
     case "files" =>
@@ -847,7 +848,7 @@ private[v2] class IceLiteMicroBatchStream(
         var open = true
         while (open && it.hasNext) {
           val s = it.next()
-          val n = s.addedFiles.length
+          val n = graft.icelite.FileStats.addedCount(s).toInt
           if (admitted == 0 || used + n <= mf.maxFiles()) {
             to = s.snapshotId; used += n; admitted += 1
           } else open = false // offsets must stay a contiguous snapshot range

@@ -38,8 +38,12 @@ private[v2] class IceLiteWriteBuilder(
     val dir = new Path(new Path(warehouse, ns), table)
     val meta = MetaIo.read(fs = dir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration), tableDir = dir)
+    // the schema-race baseline is captured HERE, at write-build time: tasks
+    // write data against this metadata's shape, so a DDL landing anywhere
+    // between planning and commit must fail the commit — a commit-time
+    // baseline would wave through exactly that window
     IceLiteWriteShape.of(meta.partitionBy,
-      new IceLiteBatchWrite(warehouse, ns, table, info.schema()))
+      new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta))
   }
 }
 
@@ -76,7 +80,10 @@ private[v2] case class IceLiteCommitMessage(stats: Seq[FileStat])
     extends WriterCommitMessage
 
 private[v2] class IceLiteBatchWrite(
-    warehouse: String, ns: String, table: String, schema: StructType)
+    warehouse: String, ns: String, table: String, schema: StructType,
+    // metadata as of write BUILD time — the baseline the commit-time
+    // schema-race guard validates against (tasks write with this shape)
+    m0: graft.icelite.TableMeta)
     extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID()}"
@@ -90,7 +97,7 @@ private[v2] class IceLiteBatchWrite(
     // same column set AND same types (a name-only check would let an
     // int-vs-bigint drift write files that disagree with the table schema
     // and only fail at scan time)
-    val meta = MetaIo.read(fs, tableDir)
+    val meta = m0
     val tableSchema = StructType.fromDDL(meta.schemaDdl)
     require(tableSchema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
       s"schema mismatch writing to $ns.$table: " +
@@ -112,7 +119,6 @@ private[v2] class IceLiteBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val m0 = MetaIo.read(fs, tableDir)
     val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     // publish under a writer-unique name (the staging id doubles as the
     // suffix): concurrent INSERTs never collide on the directory, so a lost
@@ -150,9 +156,11 @@ private[v2] class IceLiteBatchWrite(
       val snap = SnapshotMeta(
         snapshotId = snapId, timestampMs = System.currentTimeMillis(),
         operation = "append",
-        dataDirs = prev.map(_.dataDirs).getOrElse(Nil) :+ dataDir.toString,
+        dataDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
+          :+ dataDir.toString,
         addedFiles = added.map(_.path), addedRows = rows,
         totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
+        addedFileCount = added.length.toLong,
         schemaDdl = m.schemaDdl,
         files = (carried ++ added).sortBy(_.path))
       try {

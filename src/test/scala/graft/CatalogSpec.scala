@@ -64,7 +64,7 @@ class CatalogSpec extends SparkSpec {
       .repartition(8).writeTo("icecat_write.lake.t").append()
     val after = cat.loadTable("lake", "t")
     assert(after.snapshots.size == 3)
-    assert(after.snapshots.last.addedFiles.size == 8)
+    assert(after.addedFilesOf(after.snapshots.last).size == 8)
     assert(spark.table("icecat_write.lake.t").count() == 103)
   }
 
@@ -403,7 +403,7 @@ class CatalogSpec extends SparkSpec {
       Seq(1L, 3L, 4L))
     val snap = tbl.meta.currentSnapshot.get
     assert(snap.operation == "delete")
-    assert(tbl.visibleFiles(snap).length > snap.addedFiles.length,
+    assert(tbl.visibleFiles(snap).length > tbl.addedFilesOf(snap).length,
       s"expected untouched files carried: $snap")
     // key-range delete proves files irrelevant from manifest stats
     spark.sql("DELETE FROM icecat_del.lake.t WHERE id >= 4")
@@ -433,7 +433,7 @@ class CatalogSpec extends SparkSpec {
     val snapU = tbl.meta.currentSnapshot.get
     assert(snapU.operation == "update")
     assert(tbl.visibleFiles(snapU).exists(f => f.path.contains("part=b") &&
-      !snapU.addedFiles.contains(f.path)),
+      !tbl.addedFilesOf(snapU).contains(f.path)),
       s"partition b should be carried, not rewritten: $snapU")
     // MERGE with a moved-partition update and an insert into a new partition
     Seq((2L, "c", 20.0), (9L, "d", 9.0)).toDF("id", "part", "v")

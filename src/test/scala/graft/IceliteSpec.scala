@@ -154,42 +154,53 @@ class IceliteSpec extends SparkSpec {
     assert(decoded("ts") == 1600000000000000L)
   }
 
-  test("file manifests live outside the version log; append growth is O(1)") {
+  test("version log is O(snapshots): per-append growth is CONSTANT") {
     val wh = scratch("slimmeta")
     val cat = new IceCatalog(spark, wh)
-    val tbl = cat.createTable("ns", "t", nation.schema)
-    (1 to 8).foreach(_ => tbl.append(nation))
-    assert(tbl.toDF.count() == 8 * 25)
+    import spark.implicits._
+    val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    val tbl = cat.createTable("ns", "t", one.schema)
+    val appends = 50
+    (1 to appends).foreach(_ => tbl.append(one))
+    assert(tbl.toDF.count() == appends.toLong)
     // time travel still resolves every snapshot's manifest
-    assert(tbl.scan(snapshotId = Some(3L)).count() == 3 * 25)
+    assert(tbl.scan(snapshotId = Some(3L)).count() == 3L)
 
     val metaDir = new org.apache.hadoop.fs.Path(s"$wh/ns/t/metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def slurp(p: org.apache.hadoop.fs.Path): String = {
       val in = fs.open(p); try new String(in.readAllBytes()) finally in.close()
     }
-    // the version log carries pointers, never FileStat blobs
-    val log = slurp(new org.apache.hadoop.fs.Path(metaDir, "v9.json"))
+    def vLen(v: Int): Int =
+      slurp(new org.apache.hadoop.fs.Path(metaDir, s"v$v.json")).length
+    // the version log carries pointers + O(1) counts, never FileStat blobs,
+    // file-path lists, or the cumulative data-dir list
+    val log = slurp(new org.apache.hadoop.fs.Path(metaDir, s"v${appends + 1}.json"))
     assert(!log.contains("\"bytes\""), "inline FileStat leaked into the version log")
     assert(log.contains("manifest-"), "snapshots must point at external manifests")
+    assert(!log.contains("part-"), "file paths leaked into the version log")
+    assert(!log.contains("\"data/snap") && !log.contains("/data/snap"),
+      "data-dir lists leaked into the version log")
     // one immutable manifest file per snapshot
     val manifests = fs.listStatus(metaDir)
       .map(_.getPath.getName).filter(_.startsWith("manifest-"))
-    assert(manifests.length == 8, s"expected 8 manifest files, got ${manifests.toSeq}")
-    // growth of the version log is O(1)-ish per append (a pointer + a dir +
-    // added-file names), NOT O(files in table): the v9/v8 delta must stay
-    // far below one per-file stats blob per carried file
-    val d98 = slurp(new org.apache.hadoop.fs.Path(metaDir, "v9.json")).length -
-      slurp(new org.apache.hadoop.fs.Path(metaDir, "v8.json")).length
-    val d54 = slurp(new org.apache.hadoop.fs.Path(metaDir, "v5.json")).length -
-      slurp(new org.apache.hadoop.fs.Path(metaDir, "v4.json")).length
-    assert(d98 < d54 + 2048, s"version-log growth accelerating: v8->v9 $d98 vs v4->v5 $d54")
+    assert(manifests.length == appends, s"expected $appends manifests, got ${manifests.length}")
+    // per-append growth of the version log is CONSTANT, not O(appends):
+    // the late delta equals the early delta up to digit-width jitter. With
+    // the old inline cumulative dataDirs (+ addedFiles) the late delta
+    // would exceed the early one by hundreds of bytes (one more dir string
+    // per snapshot in history).
+    val early = vLen(10) - vLen(9)
+    val late = vLen(appends) - vLen(appends - 1)
+    assert(math.abs(late - early) <= 24,
+      s"version-log growth not constant per append: v9->v10 = $early bytes, " +
+        s"v${appends - 1}->v$appends = $late bytes")
     // expiry drops the orphaned manifests with the snapshots
     tbl.expireSnapshots(keepLast = 2)
     val after = fs.listStatus(metaDir)
       .map(_.getPath.getName).filter(_.startsWith("manifest-"))
     assert(after.length == 2, s"expected 2 manifest files after expiry, got ${after.toSeq}")
-    assert(tbl.toDF.count() == 8 * 25)
+    assert(tbl.toDF.count() == appends.toLong)
   }
 
   test("concurrent commit on the same version is rejected") {
@@ -234,12 +245,13 @@ class IceliteSpec extends SparkSpec {
     // several small appends -> several data dirs, many small files
     (0 until 4).foreach(i => tbl.append(nation.filter(col("n_nationkey") % 4 === i)))
     val before = tbl.meta.currentSnapshot.get
-    assert(before.dataDirs.size == 4)
+    assert(tbl.dataDirsOf(before).size == 4)
     tbl.compact(targetFiles = 1)
     val after = tbl.meta.currentSnapshot.get
     assert(after.operation == "compact")
-    assert(after.dataDirs.size == 1)
-    assert(after.addedFiles.size == 1, s"expected 1 file, got ${after.addedFiles}")
+    assert(tbl.dataDirsOf(after).size == 1)
+    assert(tbl.addedFilesOf(after).size == 1,
+      s"expected 1 file, got ${tbl.addedFilesOf(after)}")
     assert(after.totalRows == before.totalRows)
     assert(tbl.toDF.count() == nation.count())
     // pre-compaction snapshot still time-travels to the same rows
@@ -290,10 +302,11 @@ class IceliteSpec extends SparkSpec {
     val after = tbl.meta.currentSnapshot.get
     val afterFiles = tbl.visibleFiles(after)
     // stats proved most files could not contain a matching key
-    assert(after.addedFiles.nonEmpty)
-    assert(afterFiles.length > after.addedFiles.length,
-      s"no files carried: ${afterFiles.length} total, ${after.addedFiles.length} added")
-    val carried = afterFiles.map(_.path).toSet -- after.addedFiles.toSet
+    val afterAdded = tbl.addedFilesOf(after)
+    assert(afterAdded.nonEmpty)
+    assert(afterFiles.length > afterAdded.length,
+      s"no files carried: ${afterFiles.length} total, ${afterAdded.length} added")
+    val carried = afterFiles.map(_.path).toSet -- afterAdded.toSet
     assert(carried.subsetOf(beforeFiles.map(_.path).toSet),
       "carried entries must be the previous snapshot's files, byte-identical")
     // merged content is exactly upsert semantics
@@ -310,7 +323,7 @@ class IceliteSpec extends SparkSpec {
     tbl.append(nation.filter(col("n_nationkey") < 10))
     tbl.append(nation.filter(col("n_nationkey") >= 10))
     tbl.compact(targetFiles = 1)
-    val dirsBefore = tbl.snapshots.flatMap(_.dataDirs).distinct
+    val dirsBefore = tbl.snapshots.flatMap(tbl.dataDirsOf).distinct
     assert(tbl.snapshots.length == 3)
     tbl.expireSnapshots(keepLast = 1)
     assert(tbl.snapshots.map(_.operation) == Seq("compact"))
@@ -320,7 +333,7 @@ class IceliteSpec extends SparkSpec {
     // dropped snapshots' directories are physically gone, kept ones remain
     val fs = new org.apache.hadoop.fs.Path(dirsBefore.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keptDirs = tbl.snapshots.flatMap(_.dataDirs).toSet
+    val keptDirs = tbl.snapshots.flatMap(tbl.dataDirsOf).toSet
     dirsBefore.foreach { d =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(d)) == keptDirs.contains(d),
         s"dir $d should exist iff referenced by a kept snapshot")
@@ -388,7 +401,7 @@ class IceliteSpec extends SparkSpec {
       assert(stageTasks.nonEmpty && stageTasks.max > 2,
         s"read stage collapsed: stage task counts = ${stageTasks.mkString(",")}")
       val snap = tbl.meta.currentSnapshot.get
-      assert(snap.operation == "compact" && snap.addedFiles.length == 2)
+      assert(snap.operation == "compact" && tbl.addedFilesOf(snap).length == 2)
       assert(tbl.toDF.count() == 25)
     } finally {
       spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
@@ -555,6 +568,86 @@ class IceliteSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
     // unknown ref fails loudly
     intercept[IllegalArgumentException](tbl.appendToRef("nope", nation))
+  }
+
+  test("concurrent branch appends both land on the branch chain via retry") {
+    val cat = new IceCatalog(spark, scratch("wap-race"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 5)) // snap 1 (main)
+    tbl.tag("audit", 1L)
+    // two writers race onto the SAME branch: the loser's version commit is
+    // retried with a re-resolved ref head, so its files chain onto the
+    // winner's branch snapshot instead of throwing or orphaning data
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slices = Seq(
+      nation.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 15),
+      nation.filter(col("n_nationkey") >= 15))
+    Await.result(
+      Future.sequence(slices.map(s => Future(tbl.appendToRef("audit", s)))),
+      120.seconds)
+    // main untouched; branch holds snap1 + both staged appends
+    assert(tbl.toDF.count() == 5, "staged branch data leaked into main")
+    assert(tbl.scan(ref = Some("audit")).count() == 25,
+      "both racing branch appends must land on the branch chain")
+    tbl.fastForward("audit")
+    assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("zorder clusters timestamp and date dimensions in the stats' domain") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("zts"))
+    val n = 2000
+    val df = (0 until n).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i.toLong * 3600)),
+        (i * 37 % n).toLong)
+    }.toDF("ts", "v")
+    val tbl = cat.createTable("ns", "t", df.schema)
+    // INT96 (Spark's default parquet timestamp encoding) carries no usable
+    // stats; micros-encoded INT64 timestamps get real manifest bounds
+    val oldTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      tbl.append(df.repartition(3))
+      tbl.compact(targetFiles = 16, zorderBy = Seq("ts", "v"))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", oldTs)
+    val files = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    assert(files.length == 16)
+    // both dimensions' average file span must sit well under the domain.
+    // Stats store timestamps as epoch MICROS; normalizing via a seconds-
+    // valued cast('double') would clamp every ts coordinate to 0 and leave
+    // the ts dimension ~100% span.
+    def avgSpan(c: String): Double = {
+      val los = files.map(_.min(c).toLong)
+      val his = files.map(_.max(c).toLong)
+      val global = math.max(his.max - los.min, 1L).toDouble
+      files.map(f => (f.max(c).toLong - f.min(c).toLong).toDouble)
+        .sum / files.length / global
+    }
+    assert(avgSpan("ts") < 0.5, f"ts dimension unclustered: ${avgSpan("ts")}%.2f")
+    assert(avgSpan("v") < 0.5, f"v dimension unclustered: ${avgSpan("v")}%.2f")
+    // date columns normalize too (DateType cannot cast to double — the old
+    // normalization threw AnalysisException despite zorderable() saying yes)
+    val df2 = (0 until 200).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong)),
+        (i * 7 % 200).toLong)
+    }.toDF("d", "v")
+    val t2 = cat.createTable("ns", "t2", df2.schema)
+    t2.append(df2.repartition(2))
+    t2.compact(targetFiles = 4, zorderBy = Seq("d", "v"))
+    assert(t2.toDF.count() == 200)
+    assert(avgSpanOf(t2, "d") < 0.6, "date dimension unclustered")
+  }
+
+  private def avgSpanOf(t: graft.icelite.IceTable, c: String): Double = {
+    val files = t.visibleFiles(t.meta.currentSnapshot.get)
+    val los = files.map(_.min(c).toLong)
+    val his = files.map(_.max(c).toLong)
+    val global = math.max(his.max - los.min, 1L).toDouble
+    files.map(f => (f.max(c).toLong - f.min(c).toLong).toDouble)
+      .sum / files.length / global
   }
 
   test("distributed footer stats == driver-pool footer stats") {
