@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.StructType
   * the reference parses but never uses, `wr/src/configuration.py:31`) lays
   * data out hive-style for partition pruning.
   */
+object IceTable {
+  /** Default orphan-file grace period: files younger than this are presumed
+    * to belong to an in-flight (not yet committed) write and are never
+    * swept (Iceberg's `remove_orphan_files` default).
+    */
+  val DefaultOrphanGraceMs: Long = 3L * 24 * 3600 * 1000
+}
+
 class IceTable(
     spark: SparkSession,
     catalog: IceCatalog,
@@ -115,14 +123,29 @@ class IceTable(
     * `.files` metadata table / SQL `<tbl>.files`): per-file row counts and
     * sizes straight from the committed manifest — the operational view a
     * compaction policy reads ("how many small files?") without touching
-    * data. O(files) rows; at extreme file counts parallelize from the
-    * external manifests instead of the driver list.
+    * data. The driver ships only the manifest PATH; each task parses its
+    * manifest document executor-side, so the view stays O(1) driver memory
+    * at any file count. In-memory / pre-upgrade snapshots (no external
+    * manifest) fall back to inline rows.
     */
   def filesDF: DataFrame = {
     import spark.implicits._
-    meta.currentSnapshot.map(visibleFiles).getOrElse(Nil)
-      .map(f => (f.path, f.rows, f.bytes))
-      .toDF("path", "rows", "bytes")
+    meta.currentSnapshot match {
+      case Some(s) if s.manifestFile.nonEmpty =>
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.createDataset(Seq(s.manifestFile)).mapPartitions { it =>
+          it.flatMap { p =>
+            val hp = new Path(p)
+            MetaIo.readManifestDoc(hp.getFileSystem(conf.value), p)
+              .files.iterator.map(f => (f.path, f.rows, f.bytes))
+          }
+        }.toDF("path", "rows", "bytes")
+      case other =>
+        other.map(visibleFiles).getOrElse(Nil)
+          .map(f => (f.path, f.rows, f.bytes))
+          .toDF("path", "rows", "bytes")
+    }
   }
 
   /** Incremental append scan (the Iceberg `incremental read` analog, and
@@ -748,6 +771,53 @@ class IceTable(
     val untouchedDirs = currentDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
     commitSnapshot(m, "delete", untouchedDirs :+ dir, added, carried = untouched)
+  }
+
+  /** Orphan-file GC (the `remove_orphan_files` maintenance op): delete
+    * files under the table's `data/` tree that belong to NO snapshot's
+    * manifest and are older than the grace period. Orphans arise from an
+    * append that permanently lost its commit race (its writer-unique dir is
+    * never re-attached), from aborted DSv2 staging dirs whose driver died
+    * before `abort()`, and from stray task artifacts (`_SUCCESS`). The age
+    * gate is what makes the sweep safe against IN-FLIGHT writes: a file
+    * younger than the grace period may belong to a commit that has not
+    * happened yet, so it is never touched (Iceberg's contract; its default
+    * grace is 3 days). Scans plan strictly from committed manifests, so an
+    * orphan is invisible to every reader by construction — this op reclaims
+    * the storage, it never changes any result.
+    *
+    * The sweep is one recursive listing of `data/` plus an O(live files)
+    * membership set — the same driver-memory envelope as the manifests
+    * themselves. Returns the deleted paths.
+    */
+  def removeOrphanFiles(graceMs: Long = IceTable.DefaultOrphanGraceMs): Seq[String] = {
+    val m = meta
+    val referenced: Set[String] =
+      m.snapshots.flatMap(s => visibleFiles(s).map(f => qualify(f.path))).toSet
+    val dataRoot = new Path(tableDir, "data")
+    if (!fs.exists(dataRoot)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    val deleted = Seq.newBuilder[String]
+    val it = fs.listFiles(dataRoot, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = qualify(st.getPath.toString)
+      if (st.isFile && !referenced.contains(p) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        deleted += p
+      }
+    }
+    // drop directories the sweep emptied (lost-race dirs, dead staging
+    // dirs) — but never a dir some snapshot still REFERENCES (an empty
+    // append's dir is legitimately file-less)
+    val referencedDirs =
+      m.snapshots.flatMap(s => FileStats.dataDirsOf(fs, s).map(qualify)).toSet
+    fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      val dp = qualify(d.getPath.toString)
+      if (!referencedDirs.contains(dp) && !fs.listFiles(d.getPath, true).hasNext)
+        fs.delete(d.getPath, true)
+    }
+    deleted.result()
   }
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` maintenance op): keep

@@ -277,6 +277,13 @@ object IceLiteCatalog {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // decimal(p, s) -> decimal(p + k, s): same scale, more precision —
+      // every narrow value is exactly representable wide, and the
+      // vectorized parquet reader promotes the narrow physical encoding
+      // when decoding against the wider requested type. A scale change is
+      // NOT metadata-only (values would need rescaling) and stays refused.
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
       case _ => false
     }
   }

@@ -539,12 +539,76 @@ private[v2] object IceLiteMeta {
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.snapshots", schema, rows)
     case "files" =>
       val schema = StructType.fromDDL("path STRING, rows BIGINT, bytes BIGINT")
-      val rows = meta.currentSnapshot
-        .map(s => graft.icelite.FileStats.visible(fs, s)).getOrElse(Nil)
-        .map(f => Array[Any](f.path, f.rows, f.bytes))
-      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.files", schema, rows)
+      meta.currentSnapshot match {
+        // committed snapshots: ship only the manifest PATH to the executor
+        // and parse there — the driver never materializes O(files) rows
+        // (both manifest formats parse executor-side)
+        case Some(s) if s.manifestFile.nonEmpty =>
+          new IceLiteManifestFilesTable(
+            s"${meta.namespace}.${meta.name}.files", schema, Seq(s.manifestFile))
+        // in-memory / pre-upgrade metadata: inline rows (metadata-sized)
+        case other =>
+          val rows = other.map(s => graft.icelite.FileStats.visible(fs, s))
+            .getOrElse(Nil).map(f => Array[Any](f.path, f.rows, f.bytes))
+          new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.files", schema, rows)
+      }
     case other => throw new IllegalArgumentException(
       s"unknown icelite metadata table '$other' (have: ${names.mkString(", ")})")
+  }
+}
+
+/** The `.files` metadata table served FROM the external manifest documents:
+  * input partitions carry manifest paths only, and each reader parses its
+  * manifest on the executor — planning stays O(1) driver-side however many
+  * files the snapshot holds (the round-4 shape shipped O(files) driver rows
+  * as one partition).
+  */
+private[v2] case class IceLiteManifestPartition(manifestPath: String)
+    extends InputPartition
+
+private[v2] class IceLiteManifestFilesTable(
+    tblName: String, schema0: StructType, manifestPaths: Seq[String])
+    extends Table with SupportsRead {
+
+  override def name(): String = tblName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"icelite metadata $tblName (manifest-parallel)"
+      override def planInputPartitions(): Array[InputPartition] =
+        manifestPaths.map(IceLiteManifestPartition(_): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new IceLiteManifestReaderFactory(new SerializableConfiguration(
+          SparkSession.active.sparkContext.hadoopConfiguration))
+    }
+}
+
+private[v2] class IceLiteManifestReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[IceLiteManifestPartition]
+    val path = new Path(mp.manifestPath)
+    val pfs = path.getFileSystem(conf.value)
+    val it = MetaIo.readManifestDoc(pfs, mp.manifestPath).files.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        it.hasNext && {
+          val f = it.next()
+          cur = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(f.path), f.rows, f.bytes))
+          true
+        }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -300,6 +300,39 @@ class CatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN x TYPE FLOAT") }
   }
 
+  test("ALTER COLUMN TYPE widens decimal precision at fixed scale") {
+    val wh = configure("decw")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq(BigDecimal("12.34"), BigDecimal("99999999.99")).map(Tuple1(_))
+      .toDF("amt").select(col("amt").cast("decimal(10,2)").as("amt"))
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df) // snapshot 1: stays pinned pre-widening
+    tbl.append(df.filter(col("amt") < 100)) // snapshot 2: current at ALTER time
+    // metadata-only: no rewrite snapshot appears
+    spark.sql("ALTER TABLE icecat_decw.lake.t ALTER COLUMN amt TYPE DECIMAL(14,2)")
+    assert(tbl.snapshots.length == 2, "decimal widening must not rewrite data")
+    assert(spark.table("icecat_decw.lake.t").schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 2))
+    // values beyond decimal(10,2)'s range are now legal; pre-widening files
+    // (physically narrow) upcast at read and aggregate with the wide rows
+    tbl.append(Seq(BigDecimal("123456789012.34")).map(Tuple1(_)).toDF("amt")
+      .select(col("amt").cast("decimal(14,2)").as("amt")))
+    val total = spark.sql("SELECT sum(amt) AS s FROM icecat_decw.lake.t")
+      .head.getDecimal(0)
+    assert(total == new java.math.BigDecimal("123556789037.01"), s"got $total")
+    // time travel to the pre-widening snapshot reads with ITS narrow schema
+    val v1 = tbl.scan(snapshotId = Some(1L))
+    assert(v1.schema("amt").dataType == org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(v1.count() == 2)
+    // a scale change needs value rescaling — never metadata-only
+    intercept[Exception] {
+      spark.sql("ALTER TABLE icecat_decw.lake.t ALTER COLUMN amt TYPE DECIMAL(14,3)") }
+    // precision narrowing is refused too
+    intercept[Exception] {
+      spark.sql("ALTER TABLE icecat_decw.lake.t ALTER COLUMN amt TYPE DECIMAL(10,2)") }
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN: era-aware reads over old files") {
     val wh = configure("rencol")
     val cat = new IceCatalog(spark, wh)

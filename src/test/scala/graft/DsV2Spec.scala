@@ -479,4 +479,30 @@ class DsV2Spec extends SparkSpec {
     assert(full.select("event_type").distinct().count() ==
       ev.select("event_type").distinct().count())
   }
+
+  test(".files serves a many-file table from the manifest, not driver rows") {
+    val wh = warehouse("manyfiles")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "n", n.schema)
+    tbl.append(n.repartition(70)) // one tiny file per non-empty partition
+    val expectFiles = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    assert(expectFiles.length >= 20, s"want many files, got ${expectFiles.length}")
+    spark.conf.set("spark.sql.catalog.ice_mf", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_mf.warehouse", wh)
+    // the scan plans from the manifest PATH (executor-side parse) — its
+    // description says so, and no per-file row payload rides the plan
+    val filesDF = spark.sql("SELECT path, rows, bytes FROM ice_mf.lake.n.files")
+    assert(filesDF.queryExecution.executedPlan.toString.contains("manifest-parallel"),
+      "files view should plan from the manifest document, not inline rows")
+    val got = filesDF.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == expectFiles.map(f => (f.path, f.rows, f.bytes)).sortBy(_._1),
+      "files view must match the committed manifest exactly")
+    assert(filesDF.agg(org.apache.spark.sql.functions.sum("rows")).head.getLong(0) == 25L)
+    // the DataFrame-path view takes the same manifest-parallel route
+    assert(tbl.filesDF.count() == expectFiles.length.toLong)
+    assert(tbl.filesDF.agg(org.apache.spark.sql.functions.sum("rows"))
+      .head.getLong(0) == 25L)
+  }
 }

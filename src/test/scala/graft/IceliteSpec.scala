@@ -596,6 +596,37 @@ class IceliteSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("removeOrphanFiles sweeps aged unreferenced files, spares live data") {
+    val cat = new IceCatalog(spark, scratch("orphan"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))
+    tbl.append(nation.filter(col("n_nationkey") >= 10))
+    val tableDir = cat.tablePath("ns", "t")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an append that permanently lost its commit race: a
+    // writer-unique dir full of data that no snapshot references
+    val orphanDir = new org.apache.hadoop.fs.Path(tableDir, "data/snap-00099-deadbeef")
+    fs.mkdirs(orphanDir)
+    val orphanFile = new org.apache.hadoop.fs.Path(orphanDir, "part-00000-lost.parquet")
+    val out = fs.create(orphanFile)
+    out.write("not really parquet".getBytes); out.close()
+    // inside the grace window nothing is touched (could be an in-flight write)
+    assert(tbl.removeOrphanFiles().isEmpty)
+    assert(fs.exists(orphanFile))
+    // aged past the grace period the orphan goes, and its emptied dir with it
+    val deleted = tbl.removeOrphanFiles(graceMs = -1000L)
+    assert(deleted.exists(_.contains("snap-00099-deadbeef")),
+      s"orphan not swept: $deleted")
+    assert(!fs.exists(orphanDir), "emptied orphan dir should be removed")
+    // every committed file of every snapshot survives: current reads and
+    // time travel are untouched
+    assert(tbl.toDF.count() == 25)
+    assert(tbl.scan(snapshotId = Some(1L)).count() == 10)
+    tbl.snapshots.foreach(s => tbl.visibleFiles(s).foreach(f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f.path)),
+        s"live file swept: ${f.path}")))
+  }
+
   test("zorder clusters timestamp and date dimensions in the stats' domain") {
     import spark.implicits._
     val cat = new IceCatalog(spark, scratch("zts"))
