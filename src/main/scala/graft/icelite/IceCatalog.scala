@@ -49,16 +49,9 @@ class IceCatalog(spark: SparkSession, val warehouse: String) {
   def createTable(ns: String, table: String, schema: StructType,
       partitionBy: Seq[String] = Nil): IceTable = {
     require(!tableExists(ns, table), s"table $ns.$table already exists")
-    partitionBy.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"icelite: partition column $c is not in the table schema"))
-      require(PartValues.renderable(f.dataType),
-        s"icelite: partition column $c has type ${f.dataType.simpleString}, " +
-          "which has no unambiguous directory rendering (timestamps depend " +
-          "on the writer's session timezone); partition by a date/string/" +
-          "integral derivation instead")
-    }
+    // identity columns or hidden-partitioning transforms —
+    // bucket(N, col) / days(col) / truncate(W, col)
+    partitionBy.foreach(entry => Transforms.validate(schema, entry))
     createNamespace(ns)
     val meta = TableMeta(
       formatVersion = 1, namespace = ns, name = table,

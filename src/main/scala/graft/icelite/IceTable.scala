@@ -213,23 +213,26 @@ class IceTable(
     // task and file count at O(partitions). `sortWithin` (sorted compaction)
     // extends the in-task order beyond the partition columns so rows stay
     // clustered on the sort key inside each hive partition.
-    val clustered =
-      if (partitionBy.isEmpty) df
-      else df.repartition(partitionBy.map(col): _*)
-        .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
-    // Partition columns stay IN the data file (Iceberg stores identity
-    // source columns in data too; dropping them is a Spark-writer artifact):
-    // files must be self-contained so a later partition-spec change can
-    // still read an old spec's column from data. Spark's writer always
-    // strips the `partitionBy` column, so the directory layout rides a
-    // `__p_`-aliased duplicate; readers resolve either spelling
+    //
+    // Source columns stay IN the data file (Iceberg stores them in data
+    // too; dropping them is a Spark-writer artifact): files must be
+    // self-contained so a later partition-spec change can still read an
+    // old spec's column from data. The directory layout rides `__p_`-
+    // aliased columns holding each spec FIELD's value — the source itself
+    // for identity entries, the computed transform (bucket/days/truncate)
+    // for hidden-partitioning entries; readers resolve either spelling
     // (PartValues.DirAliasPrefix) and the alias never reaches any schema.
-    val aliased = partitionBy.foldLeft(clustered)((d, c) =>
-      d.withColumn(PartValues.DirAliasPrefix + c, col(c)))
-    val writer = aliased.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty)
-      writer.partitionBy(partitionBy.map(PartValues.DirAliasPrefix + _): _*)
-    else writer)
+    val fields = PartField.parseSpec(partitionBy)
+    val dirCols = fields.map(f => PartValues.DirAliasPrefix + f.fieldName)
+    val withDirs = fields.foldLeft(df)((d, f) =>
+      d.withColumn(PartValues.DirAliasPrefix + f.fieldName,
+        Transforms.columnExpr(f, df.schema(f.source).dataType)))
+    val clustered =
+      if (fields.isEmpty) df
+      else withDirs.repartition(dirCols.map(col): _*)
+        .sortWithinPartitions((dirCols ++ sortWithin).map(col): _*)
+    val writer = clustered.write.mode("errorifexists")
+    (if (fields.nonEmpty) writer.partitionBy(dirCols: _*) else writer)
       .parquet(dataDir.toString)
     val it = fs.listFiles(dataDir, true)
     val paths = Iterator.continually(it).takeWhile(_.hasNext)
@@ -462,13 +465,12 @@ class IceTable(
   def setPartitionSpec(cols: Seq[String]): IceTable = {
     val m = meta
     val tableSchema = StructType.fromDDL(m.schemaDdl)
-    cols.foreach { c =>
-      require(tableSchema.fieldNames.contains(c),
-        s"partition column $c not in $namespace.$name schema")
-      require(PartValues.renderable(tableSchema(c).dataType),
-        s"icelite: unsupported partition column type ${tableSchema(c).dataType} for $c")
-      require(!Renames.touchedNames(m.renames).contains(c),
-        s"column $c was renamed; partition columns must not be rename-entangled")
+    cols.foreach { entry =>
+      // identity column, or a hidden-partitioning transform —
+      // bucket(N, col) / days(col) / truncate(W, col)
+      val f = Transforms.validate(tableSchema, entry)
+      require(!Renames.touchedNames(m.renames).contains(f.source),
+        s"column ${f.source} was renamed; partition sources must not be rename-entangled")
     }
     if (cols == m.partitionBy) return this
     // pre-evolution files (written before columns were stored in data) can
@@ -664,9 +666,10 @@ class IceTable(
       if (legacy || files.isEmpty) (files, Nil)
       else files.partition { f =>
         // partition values make pruning work when the key IS (or includes)
-        // a partition column — those carry no file stats. Directory values
-        // follow each file's OWN era spec (partition evolution).
-        val spec = m.specFor(Renames.eraOf(f.path))
+        // an identity partition column — those carry no file stats.
+        // Directory values follow each file's OWN era spec (partition
+        // evolution); transform sources live in data and prune via stats.
+        val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
         val raw = PartValues.parse(f.path, spec)
         val pv = PartValues.decodeExternal(tableSchema, spec, raw)
         FilePrune.canMatch(keyBounds, tableSchema, f, pv)
@@ -700,10 +703,12 @@ class IceTable(
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
     val dirs = snapDirs.map(qualify)
     // each file group's layout follows ITS era's partition spec (partition
-    // evolution): basePath + dir-derived values only where that era was
-    // partitioned; an era's ex-partition columns read from data (writers
-    // store partition columns in data since evolution support)
-    def specOf(f: FileStat): Seq[String] = m.specFor(Renames.eraOf(f.path))
+    // evolution): basePath + dir-derived values only where that era had
+    // IDENTITY partition columns; an era's ex-partition columns — and every
+    // transform source — read from data (writers store source columns in
+    // data since evolution support; transform dir values are layout-only)
+    def specOf(f: FileStat): Seq[String] =
+      PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
     def baseOf(f: FileStat): String =
       if (specOf(f).isEmpty) ""
       else dirs.find(d => qualify(f.path).startsWith(d + "/"))
@@ -755,7 +760,7 @@ class IceTable(
     }
     val files = visibleFiles(current)
     val (candidates, untouched) = files.partition { f =>
-      val spec = m.specFor(Renames.eraOf(f.path))
+      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
       val raw = PartValues.parse(f.path, spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))

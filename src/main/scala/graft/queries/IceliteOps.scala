@@ -663,6 +663,50 @@ object IceliteOps {
         tbl.toDF.orderBy("okey")
       }),
 
+    // K20: hidden-partitioning transforms — the table's layout is
+    // bucket(8, o_custkey) x days(o_orderdate), both COMPUTED at write and
+    // never user-visible: the query filters on the SOURCE columns and the
+    // scan maps the predicates through the transforms onto directory
+    // values (bucket equality, day ranges) before any IO. This is the
+    // Iceberg capability that keeps a timestamp/high-cardinality-key
+    // layout at sane dir counts on 100 TB (identity would make one dir per
+    // microsecond / per key). The oracle knows nothing about the layout —
+    // it states the plain relational answer; DsV2Spec asserts the pruning.
+    QDef(
+      "k20_ice_hidden_partitioning",
+      Some("""SELECT o_orderkey AS okey, o_custkey AS cust, o_orderdate AS odate,
+             |  o_totalprice AS price
+             |FROM orders
+             |WHERE o_orderdate < TIMESTAMP '1995-02-15 00:00:00'
+             |  AND (o_custkey IN (42, 77, 1001)
+             |       OR o_orderdate >= TIMESTAMP '1995-02-01 00:00:00')
+             |ORDER BY okey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k20"))
+        // a 45-day slice keeps the days() dir count test-sized; the
+        // transform semantics are identical at any span
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1995-02-15").cast("timestamp"))
+        val tbl = cat.createTable("lake", "orders_hp", o.schema,
+          partitionBy = Seq("bucket(8,o_custkey)", "days(o_orderdate)"))
+        tbl.append(o)
+        require(tbl.meta.partitionBy ==
+          Seq("bucket(8,o_custkey)", "days(o_orderdate)"),
+          "spec must store the canonical transform entries")
+        require(tbl.snapshots.map(_.operation) == Seq("append"),
+          "hidden partitioning must not rewrite anything")
+        val paths = tbl.visibleFiles(tbl.meta.currentSnapshot.get).map(_.path)
+        require(paths.forall(p =>
+          p.contains("o_custkey_bucket=") && p.contains("o_orderdate_day=")),
+          s"files must lay out under both transform dirs: ${paths.headOption}")
+        tbl.toDF
+          .filter(col("o_custkey").isin(42, 77, 1001) ||
+            col("o_orderdate") >= lit("1995-02-01").cast("timestamp"))
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+            col("o_orderdate").as("odate"), col("o_totalprice").as("price"))
+          .orderBy("okey")
+      }),
+
     // D12: metadata tables (`.snapshots` / `.files`, Iceberg's operational
     // views). The snapshot log is queried through SQL's 4-part identifier
     // and verified against the exactly-known history (deterministic ids,

@@ -101,13 +101,30 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // `PARTITIONED BY (col, …)` — identity transforms become the hive
-    // layout; bucket/temporal transforms have no icelite layout equivalent
+    // `PARTITIONED BY (col, bucket(N, col), days(ts), truncate(W, col))` —
+    // identity entries become the hive layout; bucket/days/truncate become
+    // hidden-partitioning specs (value computed at write, pruned at plan,
+    // never user-visible — see graft.icelite.Transforms)
     val partitionBy = partitions.toSeq.map { t =>
-      require(t.name() == "identity" && t.references().length == 1 &&
-        t.references()(0).fieldNames().length == 1,
-        s"icelite supports PARTITIONED BY (column) only; got $t")
-      t.references()(0).fieldNames()(0)
+      def ref: String = {
+        require(t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+          s"icelite partition transforms take one top-level column; got $t")
+        t.references()(0).fieldNames()(0)
+      }
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(
+        s"icelite: transform $t needs an integer argument"))
+      t.name() match {
+        case "identity" => ref
+        case "bucket" => s"bucket($intArg,$ref)"
+        case "days" | "day" => s"days($ref)"
+        case "truncate" => s"truncate($intArg,$ref)"
+        case other => throw new UnsupportedOperationException(
+          s"icelite supports identity/bucket/days/truncate partitioning; got $other")
+      }
     }
     cat.createTable(nsOf(ident), ident.name(), schema, partitionBy)
     loadTable(ident)

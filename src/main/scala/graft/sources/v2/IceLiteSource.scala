@@ -267,8 +267,13 @@ private[v2] class IceLiteTable(
   private[graft] def narrowTo(names: Seq[String]): IceLiteTable =
     new IceLiteTable(warehouse, ns, tbl,
       StructType(tableSchema.fields.filter(f => names.contains(f.name))),
-      partitionBy.filter(names.contains), files, renames, widened,
-      specs.map(sp => sp.copy(cols = sp.cols.filter(names.contains))))
+      // keep a spec entry iff its SOURCE survives the projection (transform
+      // entries name derived fields, not columns)
+      partitionBy.filter(e =>
+        names.contains(graft.icelite.PartField.parse(e).source)),
+      files, renames, widened,
+      specs.map(sp => sp.copy(cols = sp.cols.filter(e =>
+        names.contains(graft.icelite.PartField.parse(e).source)))))
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -370,9 +375,11 @@ private[v2] object ManifestAgg {
       files: Seq[FileStat], pushedFilters: Array[Filter],
       specs: Seq[graft.icelite.PartSpecChange] = Nil)
       : Option[(StructType, InternalRow)] = {
-    // treat a column hive-partitioned in ANY era as partition-valued: files
-    // from those eras carry no stats for it
-    val partitionBy = (partitionBy0 ++ specs.flatMap(_.cols)).distinct
+    // treat a column IDENTITY-partitioned in ANY era as partition-valued:
+    // files from those eras carry no stats for it. Transform sources are
+    // ordinary data columns with stats in their eras.
+    val partitionBy = (graft.icelite.PartField.identityCols(partitionBy0) ++
+      specs.flatMap(s => graft.icelite.PartField.identityCols(s.cols))).distinct
     // any residual filter means the manifest totals are over the wrong row
     // set; grouped aggregation needs per-group stats the manifest lacks
     if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
@@ -677,7 +684,14 @@ private[v2] class IceLiteScan(
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
+  import graft.icelite.PartField
+
   private def tableName: String = s"$ns.$tbl"
+
+  // only IDENTITY spec entries bind column values from directories;
+  // transform entries (bucket/days/truncate) are layout + pruning only —
+  // their SOURCE columns are ordinary data columns in every file
+  private val identityBy = PartField.identityCols(partitionBy)
 
   /** The partition spec the file at `path` was written under. */
   private def specOf(path: String): Seq[String] =
@@ -699,9 +713,12 @@ private[v2] class IceLiteScan(
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // row-level scans must plan a DETERMINISTIC file set: a runtime filter
     // could prune a file after it was recorded for replacement, and its
-    // unread rows would vanish from the rewrite
+    // unread rows would vanish from the rewrite. SOURCE columns of
+    // transform entries participate too: a runtime In(src, keys) prunes
+    // through bucket/days/truncate via TransformPrune.
     if (rowLevel.isDefined) Array.empty
-    else partitionBy.filter(tableSchema.fieldNames.contains)
+    else PartField.sources(partitionBy).distinct
+      .filter(tableSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
@@ -712,12 +729,12 @@ private[v2] class IceLiteScan(
   // must present the same order
   private val partSchema = StructType(
     tableSchema.fields.filter(f =>
-      partitionBy.contains(f.name) && required.fieldNames.contains(f.name)) ++
+      identityBy.contains(f.name) && required.fieldNames.contains(f.name)) ++
       (if (wantsFileCol)
         Seq(StructField(IceLiteScan.FileMetaCol, StringType, nullable = false))
       else Nil))
   private val dataSchema = StructType(
-    required.fields.filterNot(f => partitionBy.contains(f.name)))
+    required.fields.filterNot(f => identityBy.contains(f.name)))
 
   override def readSchema(): StructType = StructType(dataSchema ++ partSchema)
   override def toBatch: Batch = this
@@ -733,9 +750,19 @@ private[v2] class IceLiteScan(
       // footer stats instead (post-evolution writers store partition
       // columns in data, so the stats exist)
       val spec = specOf(f.path)
-      val raw = PartValues.parse(f.path, spec)
-      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
-      if (fs.forall(FilePrune.canMatch(_, tableSchema, f, pv)))
+      val idCols = PartField.identityCols(spec)
+      val raw = PartValues.parse(f.path, idCols)
+      val pv = PartValues.decodeExternal(tableSchema, idCols, raw)
+      // hidden-partitioning: predicates on a transform's SOURCE column map
+      // through the transform onto the file's dir value — bucket equality,
+      // days/truncate ranges — before any IO
+      val tFields = PartField.parseSpec(spec).filterNot(_.isIdentity)
+      val tRaw =
+        if (tFields.isEmpty) Map.empty[String, Option[String]]
+        else PartValues.parse(f.path, tFields.map(_.fieldName))
+      if (fs.forall(fl => FilePrune.canMatch(fl, tableSchema, f, pv) &&
+          (tFields.isEmpty ||
+            graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw))))
         Some((f, raw))
       else None
     }
@@ -774,14 +801,15 @@ private[v2] class IceLiteScan(
         // columns are directory constants and which are read from data; a
         // permutation maps its local (data ++ constants) layout onto the
         // scan's global serving order (global readSchema order)
+        val idOfSpec = PartField.identityCols(spec)
         val filePart = StructType(
           tableSchema.fields.filter(fd =>
-            spec.contains(fd.name) && required.fieldNames.contains(fd.name)) ++
+            idOfSpec.contains(fd.name) && required.fieldNames.contains(fd.name)) ++
             (if (wantsFileCol)
               Seq(StructField(IceLiteScan.FileMetaCol, StringType, nullable = false))
             else Nil))
         val fileData = StructType(
-          required.fields.filterNot(fd => spec.contains(fd.name)))
+          required.fields.filterNot(fd => idOfSpec.contains(fd.name)))
         val localNames = fileData.fieldNames ++ filePart.fieldNames
         val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
         val perm = globalNames.map(n => localNames.indexOf(n)).toSeq
@@ -818,11 +846,14 @@ private[v2] class IceLiteScan(
     // predicate typed at the widened type (e.g. INT64) is rejected by
     // parquet-mr's schema validator against files that physically carry the
     // narrower type (e.g. INT32) written before the ALTER.
-    // ... and any column that was a partition column in ANY era: files from
-    // those eras keep it in directory names only, and a parquet predicate
-    // on a column absent from the file schema fails the whole read.
+    // ... and any column that was an IDENTITY partition column in ANY era:
+    // files from those eras keep it in directory names only, and a parquet
+    // predicate on a column absent from the file schema fails the whole
+    // read. Transform SOURCES are exempt — they are stored in data in
+    // every era that used the transform.
     val touched = graft.icelite.Renames.touchedNames(renames) ++ widened ++
-      (if (specs.isEmpty) Nil else partitionBy ++ specs.flatMap(_.cols))
+      (if (specs.isEmpty) Nil
+      else identityBy ++ specs.flatMap(s => PartField.identityCols(s.cols)))
     val rgFilters =
       if (rowLevel.isDefined) Array.empty[Filter]
       else filters.filter(_.references.forall(r => !touched.contains(r)))
@@ -936,10 +967,11 @@ private[v2] class IceLiteMicroBatchStream(
     // fail loudly instead (the operator must reset the checkpoint)
     graft.icelite.FileStats.requireHistory(m, from,
       s"streaming read of $ns.$tbl (reset the checkpoint)")
+    val identityBy = graft.icelite.PartField.identityCols(partitionBy)
     val dataSchema = StructType(
-      tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+      tableSchema.fields.filterNot(f => identityBy.contains(f.name)))
     val partSchema = StructType(
-      tableSchema.fields.filter(f => partitionBy.contains(f.name)))
+      tableSchema.fields.filter(f => identityBy.contains(f.name)))
     def specOf(path: String): Seq[String] =
       if (specs.isEmpty) partitionBy
       else {
@@ -951,7 +983,7 @@ private[v2] class IceLiteMicroBatchStream(
         val spec = specOf(f.path)
         if (spec == partitionBy)
           IceLiteInputPartition(f.path, f.bytes,
-            PartValues.parse(f.path, partitionBy),
+            PartValues.parse(f.path, identityBy),
             graft.icelite.Renames.physicalNames(m.renames, dataSchema,
               graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil)): InputPartition
         else {
@@ -959,10 +991,11 @@ private[v2] class IceLiteMicroBatchStream(
           // batch scan — this file's spec decides dirs-vs-data, and the
           // permutation restores the GLOBAL (data ++ part) layout the
           // factory's declared-order permutation then maps to table order
+          val idOfSpec = graft.icelite.PartField.identityCols(spec)
           val filePart = StructType(
-            tableSchema.fields.filter(fd => spec.contains(fd.name)))
+            tableSchema.fields.filter(fd => idOfSpec.contains(fd.name)))
           val fileData = StructType(
-            tableSchema.fields.filterNot(fd => spec.contains(fd.name)))
+            tableSchema.fields.filterNot(fd => idOfSpec.contains(fd.name)))
           val localNames = fileData.fieldNames ++ filePart.fieldNames
           val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
           // compose: local -> global physical -> declared is handled by
@@ -972,7 +1005,7 @@ private[v2] class IceLiteMicroBatchStream(
           require(perm.forall(_ >= 0),
             s"partition-evolution layout mismatch for ${f.path}")
           IceLiteInputPartition(f.path, f.bytes,
-            PartValues.parse(f.path, spec),
+            PartValues.parse(f.path, idOfSpec),
             graft.icelite.Renames.physicalNames(m.renames, fileData,
               graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil),
             fileDataSchemaJson = fileData.json,
@@ -984,10 +1017,11 @@ private[v2] class IceLiteMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val identityBy = graft.icelite.PartField.identityCols(partitionBy)
     val dataSchema = StructType(
-      tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+      tableSchema.fields.filterNot(f => identityBy.contains(f.name)))
     val partSchema = StructType(
-      tableSchema.fields.filter(f => partitionBy.contains(f.name)))
+      tableSchema.fields.filter(f => identityBy.contains(f.name)))
     // Streaming output binds POSITIONALLY to the relation's declared
     // columns (tableSchema order), but the columnar reader emits data
     // columns first and constant partition vectors last — permute back to

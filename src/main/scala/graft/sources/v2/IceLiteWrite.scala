@@ -49,16 +49,21 @@ private[v2] class IceLiteWriteBuilder(
 
 /** The one valid dynamic-partition write shape, shared by appends and
   * row-level rewrites: hive-partitioned layouts require Spark to cluster +
-  * sort incoming rows by the partition columns, so each write task sees its
-  * partitions contiguously and holds ONE open file at a time — the only
-  * shape that survives wide tables at 100 TB (an unsorted writer would hold
-  * a file handle per live partition per task). Unpartitioned tables get a
-  * plain Write.
+  * sort incoming rows by the partition SOURCE columns, so each write task
+  * sees its partitions contiguously and holds ONE open file at a time — the
+  * only shape that survives wide tables at 100 TB (an unsorted writer would
+  * hold a file handle per live partition per task). For hidden-partitioning
+  * transforms the distribution still clusters by the source columns (equal
+  * sources always land in one task's partition value), and the writer runs
+  * in bounded-fanout mode for the residual scatter (bucket values of
+  * different sources interleave under a source sort). Unpartitioned tables
+  * get a plain Write.
   */
 private[v2] object IceLiteWriteShape {
 
-  def of(partitionBy: Seq[String], batch: => BatchWrite): Write =
-    if (partitionBy.isEmpty)
+  def of(partitionBy: Seq[String], batch: => BatchWrite): Write = {
+    val sources = graft.icelite.PartField.sources(partitionBy).distinct
+    if (sources.isEmpty)
       new Write { override def toBatch: BatchWrite = batch }
     else
       new Write with RequiresDistributionAndOrdering {
@@ -66,14 +71,15 @@ private[v2] object IceLiteWriteShape {
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partitionBy.map(c =>
+            sources.map(c =>
               Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          partitionBy.map(c =>
+          sources.map(c =>
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = batch
       }
+  }
 }
 
 private[v2] case class IceLiteCommitMessage(stats: Seq[FileStat])
@@ -108,11 +114,8 @@ private[v2] class IceLiteBatchWrite(
     }
     require(typeDrift.isEmpty,
       s"type mismatch writing to $ns.$table (incoming vs table): ${typeDrift.mkString(", ")}")
-    meta.partitionBy.foreach { c =>
-      val dt = tableSchema(c).dataType
-      require(HivePath.renderable(dt),
-        s"icelite: unsupported partition column type $dt for $c")
-    }
+    meta.partitionBy.foreach(entry =>
+      graft.icelite.Transforms.validate(tableSchema, entry))
     new IceLiteWriterFactory(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
       meta.partitionBy, new SerializableConfiguration(hadoopConf))
@@ -212,13 +215,21 @@ private[v2] class IceLiteDataWriter(
     rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
 
-  // partition columns are rendered into the directory name AND stored in
-  // the data file (Iceberg keeps identity source columns in data — hive's
-  // column-stripping is a writer artifact): self-contained files are what
-  // make partition-spec evolution readable, and identity columns get real
-  // footer stats for free. Readers under the writing spec serve the column
-  // from the directory constant and simply never request the stored copy.
-  private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  // partition SOURCE columns are rendered into the directory name (the
+  // source value for identity entries, the computed bucket/days/truncate
+  // value for hidden-partitioning entries) AND stored in the data file
+  // (Iceberg keeps source columns in data — hive's column-stripping is a
+  // writer artifact): self-contained files are what make partition-spec
+  // evolution readable, and source columns get real footer stats for free.
+  // Readers under an identity spec serve the column from the directory
+  // constant; transform dir values exist for layout and pruning only.
+  private val fields: Seq[graft.icelite.PartField] =
+    partitionBy.map(graft.icelite.PartField.parse)
+  private val srcIdx: Array[Int] = fields.map(f => schema.fieldIndex(f.source)).toArray
+  // transform values of different sources interleave under the source
+  // sort, so transform specs write in bounded-fanout mode (several files
+  // open per task); identity specs keep the strict one-open-file shape
+  private val fanout = fields.exists(!_.isIdentity)
   private val dataSchema = schema
   private val dataIdx: Array[Int] = schema.fields.indices.toArray
 
@@ -250,34 +261,52 @@ private[v2] class IceLiteDataWriter(
   }
   private val factory = new SimpleGroupFactory(messageType)
 
-  private var current: org.apache.parquet.hadoop.ParquetWriter[Group] = _
-  private var currentKey: String = null // relative partition dir ("" = unpartitioned)
-  private var currentFile: String = _
-  private var rows = 0L
+  // open writers keyed by relative partition dir ("" = unpartitioned).
+  // Identity specs hold at most ONE entry (rows arrive sorted by the
+  // partition columns; a key change closes the previous file). Transform
+  // specs fan out, bounded: bucket cardinality is N by construction and
+  // days/truncate are low-cardinality per batch by design — the cap turns
+  // an accidental high-cardinality layout into a loud error instead of an
+  // executor OOM from thousands of open column writers.
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (org.apache.parquet.hadoop.ParquetWriter[Group], String)]
   private var fileSeq = 0
   private var done = Seq.empty[String]
   private var stats = Seq.empty[FileStat]
 
-  private def open(key: String): Unit = {
+  private def openWriter(key: String): org.apache.parquet.hadoop.ParquetWriter[Group] = {
     val dir = if (key.isEmpty) stagingDir else s"$stagingDir/$key"
-    currentFile = f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.parquet"
+    val file = f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.parquet"
     fileSeq += 1
-    current = ExampleParquetWriter.builder(new Path(currentFile))
+    val w = ExampleParquetWriter.builder(new Path(file))
       .withConf(conf.value)
       .withType(messageType)
       .build()
-    currentKey = key
-    rows = 0L
+    open(key) = (w, file)
+    w
   }
 
-  private def roll(): Unit = if (current != null) {
-    current.close()
-    // stats from this task's own freshly-written footer, executor-side —
-    // the driver never re-opens data files
-    stats :+= FileStats.fromFooter(conf.value, currentFile)
-    done :+= currentFile
-    current = null
-  }
+  private def closeWriter(key: String): Unit =
+    open.remove(key).foreach { case (w, file) =>
+      w.close()
+      // stats from this task's own freshly-written footer, executor-side —
+      // the driver never re-opens data files
+      stats :+= FileStats.fromFooter(conf.value, file)
+      done :+= file
+    }
+
+  private def writerFor(key: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+    open.get(key) match {
+      case Some((w, _)) => w
+      case None =>
+        if (!fanout) open.keys.toSeq.foreach(closeWriter) // sorted input: previous key is done
+        require(open.size < IceLiteDataWriter.MaxOpenWriters,
+          s"icelite fanout write exceeded ${IceLiteDataWriter.MaxOpenWriters} open " +
+            "partitions in one task — the partition spec is too fine-grained " +
+            "for this batch; coarsen the transform (fewer buckets / wider " +
+            "truncation) or pre-sort the input by the partition sources")
+        openWriter(key)
+    }
 
   // Row-level rewrites (ReplaceData) prepend bookkeeping columns (e.g.
   // __row_operation) to raw query rows, and Spark strips them only when a
@@ -307,14 +336,29 @@ private[v2] class IceLiteDataWriter(
           "the ReplaceData bookkeeping prefix) — writer/plan layout drift")
     }
     val key =
-      if (partIdx.isEmpty) ""
-      else partitionBy.zip(partIdx).map { case (c, i) =>
+      if (fields.isEmpty) ""
+      else fields.zip(srcIdx).map { case (f, i) =>
+        val dt = schema.fields(i).dataType
         val raw =
           if (row.isNullAt(lead + i)) null
-          else HivePath.render(schema.fields(i).dataType, row, lead + i)
-        s"$c=${HivePath.escape(raw)}"
+          else if (f.isIdentity) HivePath.render(dt, row, lead + i)
+          else {
+            // transform value from the source slot, via the SAME
+            // implementation the prune path evaluates filter literals with
+            val cv: Any = dt match {
+              case StringType => row.getUTF8String(lead + i)
+              case LongType | TimestampType | TimestampNTZType => row.getLong(lead + i)
+              case IntegerType | DateType => row.getInt(lead + i)
+              case ShortType => row.getShort(lead + i)
+              case ByteType => row.getByte(lead + i)
+              case other => throw new IllegalStateException(
+                s"unreachable transform source type $other")
+            }
+            String.valueOf(graft.icelite.Transforms.applyCatalyst(f, dt, cv))
+          }
+        s"${f.fieldName}=${HivePath.escape(raw)}"
       }.mkString("/")
-    if (current == null || key != currentKey) { roll(); open(key) }
+    val current = writerFor(key)
     val g: Group = factory.newGroup()
     var o = 0
     while (o < dataIdx.length) {
@@ -333,22 +377,24 @@ private[v2] class IceLiteDataWriter(
       o += 1
     }
     current.write(g)
-    rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    roll()
+    open.keys.toSeq.foreach(closeWriter)
     IceLiteCommitMessage(stats)
   }
 
-  /** A failed/retried/speculative task must leave nothing behind: close the
-    * open writer (its footer would otherwise be readable) and delete every
-    * file this task created.
+  /** A failed/retried/speculative task must leave nothing behind: close
+    * every open writer (their footers would otherwise be readable) and
+    * delete every file this task created.
     */
   override def abort(): Unit = {
-    try if (current != null) current.close() catch { case _: Exception => () }
-    val toDelete = if (currentFile == null) done else done :+ currentFile
-    toDelete.foreach { f =>
+    val openFiles = open.values.map(_._2).toSeq
+    open.values.foreach { case (w, _) =>
+      try w.close() catch { case _: Exception => () }
+    }
+    open.clear()
+    (done ++ openFiles).foreach { f =>
       try {
         val p = new Path(f)
         val pfs = p.getFileSystem(conf.value)
@@ -358,6 +404,13 @@ private[v2] class IceLiteDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+private[v2] object IceLiteDataWriter {
+  /** Cap on concurrently open files per fanout task (each parquet writer
+    * buffers a row group per column — unbounded fanout is an executor OOM).
+    */
+  val MaxOpenWriters = 256
 }
 
 /** Hive-style partition path rendering, matching what Spark's own

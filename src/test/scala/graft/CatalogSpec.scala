@@ -194,9 +194,14 @@ class CatalogSpec extends SparkSpec {
     val pruned = spark.sql(
       "SELECT id FROM icecat_ctaspart.lake.t WHERE region = 'eu'")
     assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // bucket transforms are hidden-partitioning specs now, not rejections
+    spark.sql("CREATE TABLE icecat_ctaspart.lake.b (id BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    assert(cat.loadTable("lake", "b").meta.partitionBy == Seq("bucket(4,id)"))
+    // unsupported temporal granularity still fails loudly
     intercept[Exception] {
-      spark.sql("CREATE TABLE icecat_ctaspart.lake.b (id BIGINT) " +
-        "PARTITIONED BY (bucket(4, id))")
+      spark.sql("CREATE TABLE icecat_ctaspart.lake.c (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (hours(ts))")
     }
   }
 
@@ -298,6 +303,27 @@ class CatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN n TYPE INT") }
     intercept[Exception] {
       spark.sql("ALTER TABLE icecat_widen.lake.t ALTER COLUMN x TYPE FLOAT") }
+  }
+
+  test("INSERT INTO a hidden-partitioned table fans out and prunes in SQL") {
+    val wh = configure("hp")
+    val cat = new IceCatalog(spark, wh)
+    spark.sql("CREATE TABLE icecat_hp.lake.t (id BIGINT, k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    assert(cat.loadTable("lake", "t").meta.partitionBy == Seq("bucket(4,k)"))
+    // unsorted-by-bucket input: the writer fans out across bucket dirs
+    spark.sql("INSERT INTO icecat_hp.lake.t " +
+      "SELECT id, id AS k, concat('v', id) AS v FROM range(0, 200)")
+    val tbl = cat.loadTable("lake", "t")
+    val files = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    val bucketDirs = files.flatMap(_.path.split('/').find(_.startsWith("k_bucket="))).toSet
+    assert(bucketDirs.size == 4, s"expected 4 bucket dirs, got $bucketDirs")
+    // reads filter on the SOURCE column; the layout stays invisible
+    assert(spark.sql("SELECT v FROM icecat_hp.lake.t WHERE k = 42").collect()
+      .map(_.getString(0)).toSeq == Seq("v42"))
+    assert(spark.sql("SELECT count(*) FROM icecat_hp.lake.t").head.getLong(0) == 200L)
+    // and the DataFrame scan agrees
+    assert(tbl.toDF.count() == 200)
   }
 
   test("ALTER COLUMN TYPE widens decimal precision at fixed scale") {

@@ -480,6 +480,46 @@ class DsV2Spec extends SparkSpec {
       ev.select("event_type").distinct().count())
   }
 
+  test("hidden partitioning: source predicates prune through bucket and days") {
+    val wh = warehouse("hiddenpart")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+    val tbl = cat.createTable("lake", "o_hp", df.schema,
+      partitionBy = Seq("bucket(8,o_custkey)", "days(o_orderdate)"))
+    tbl.append(df)
+    def read = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.o_hp").load()
+    val total = tbl.visibleFiles(tbl.meta.currentSnapshot.get).length
+    assert(total > 8, s"want a multi-dir layout, got $total files")
+
+    // equality on the BUCKET SOURCE prunes to that key's bucket dirs only
+    val q1 = read.filter(col("o_custkey") === 42)
+    val (f1, p1) = plannedOf(scanDescOf(q1))
+    assert(f1 == total && p1 < total / 2,
+      s"bucket source equality should prune: planned $p1 of $f1")
+    assert(q1.collect().toSeq.sortBy(_.getLong(0)) ==
+      df.filter(col("o_custkey") === 42).collect().toSeq.sortBy(_.getLong(0)))
+
+    // a range on the DAYS SOURCE prunes to the matching day dirs
+    val cut = lit("1995-02-20").cast("timestamp")
+    val q2 = read.filter(col("o_orderdate") >= cut)
+    val (f2, p2) = plannedOf(scanDescOf(q2))
+    assert(f2 == total && p2 < total / 2,
+      s"days source range should prune: planned $p2 of $f2")
+    assert(q2.count() == df.filter(col("o_orderdate") >= cut).count())
+
+    // IN on the bucket source prunes too (each key maps to its bucket)
+    val q3 = read.filter(col("o_custkey").isin(42, 77))
+    val (_, p3) = plannedOf(scanDescOf(q3))
+    assert(p3 < total, s"IN through bucket should prune: planned $p3 of $total")
+
+    // unfiltered scans read everything, exactly
+    assert(read.count() == df.count())
+    assert(read.orderBy("o_orderkey").collect().toSeq ==
+      df.orderBy("o_orderkey").collect().toSeq)
+  }
+
   test(".files serves a many-file table from the manifest, not driver rows") {
     val wh = warehouse("manyfiles")
     val cat = new IceCatalog(spark, wh)

@@ -596,6 +596,42 @@ class IceliteSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("hidden partitioning composes with partition evolution across eras") {
+    val cat = new IceCatalog(spark, scratch("hpevo"))
+    val tbl = cat.createTable("ns", "t", nation.schema,
+      partitionBy = Seq("n_regionkey")) // era 1: identity
+    tbl.append(nation.filter(col("n_nationkey") < 10))
+    tbl.setPartitionSpec(Seq("bucket(4,n_nationkey)")) // era 2: hidden
+    tbl.append(nation.filter(col("n_nationkey") >= 10))
+    // pure metadata evolution: two appends, one ledger entry
+    assert(tbl.snapshots.map(_.operation) == Seq("append", "append"))
+    assert(tbl.meta.partitionSpecs.map(_.cols) == Seq(Seq("n_regionkey")))
+    // era-2 files lay out under the bucket transform dirs
+    val era2 = tbl.addedFilesOf(tbl.snapshots.last)
+    assert(era2.nonEmpty && era2.forall(_.contains("n_nationkey_bucket=")),
+      s"expected bucket dirs, got ${era2.headOption}")
+    // the scan reassembles both eras exactly — identity columns bind from
+    // dirs (era 1) and data (era 2), the bucket source always from data
+    assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // timestamps are identity-rejected but days() makes them layoutable
+    import spark.implicits._
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      cat.createTable("ns", "bad_ts", ts.schema, partitionBy = Seq("ts"))
+    }
+    val t2 = cat.createTable("ns", "ts_ok", ts.schema,
+      partitionBy = Seq("days(ts)"))
+    t2.append(ts)
+    assert(t2.toDF.count() == 2)
+    val dayDirs = t2.visibleFiles(t2.meta.currentSnapshot.get)
+      .flatMap(_.path.split('/').find(_.startsWith("__p_ts_day="))).toSet
+    // 2024-01-01 / 2024-01-02 = epoch days 19723 / 19724
+    assert(dayDirs == Set("__p_ts_day=19723", "__p_ts_day=19724"),
+      s"days(ts) must render epoch-day dirs, got $dayDirs")
+  }
+
   test("removeOrphanFiles sweeps aged unreferenced files, spares live data") {
     val cat = new IceCatalog(spark, scratch("orphan"))
     val tbl = cat.createTable("ns", "t", nation.schema)
