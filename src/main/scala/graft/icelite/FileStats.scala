@@ -64,6 +64,24 @@ object FileStats {
     if (snap.addedFiles.nonEmpty || snap.manifestFile.isEmpty) snap.addedFiles
     else MetaIo.readManifestDoc(fs, snap.manifestFile).addedPaths
 
+  /** Outstanding position-delete files of a snapshot (merge-on-read).
+    * Inline on in-memory metadata, in the manifest document on committed.
+    */
+  def deletesOf(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[DeleteStat] =
+    if (snap.deletes.nonEmpty || snap.manifestFile.isEmpty) snap.deletes
+    else MetaIo.readManifestDoc(fs, snap.manifestFile).deletes
+
+  /** Carry position deletes forward across a copy-on-write rewrite,
+    * restricted to data files that survive untouched (the rewrite already
+    * applied the deletes of the files it replaced). Per-file counts keep
+    * row accounting exact after the trim.
+    */
+  def trimDeletes(ds: Seq[DeleteStat], keep: Set[String]): Seq[DeleteStat] =
+    ds.flatMap { d =>
+      val kept = d.appliesTo.filter(e => keep(e.path))
+      if (kept.isEmpty) None else Some(d.copy(appliesTo = kept))
+    }
+
   /** Count of files added by a snapshot WITHOUT touching any manifest:
     * the inline O(1) count on current metadata, the inline path list on
     * pre-upgrade metadata. Keeps the `.snapshots` view and streaming

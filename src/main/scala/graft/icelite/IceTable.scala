@@ -69,6 +69,9 @@ class IceTable(
   def dataDirsOf(snap: SnapshotMeta): Seq[String] = FileStats.dataDirsOf(fs, snap)
   def addedFilesOf(snap: SnapshotMeta): Seq[String] = FileStats.addedPathsOf(fs, snap)
 
+  /** Outstanding position-delete files of a snapshot (merge-on-read). */
+  def deletesOf(snap: SnapshotMeta): Seq[DeleteStat] = FileStats.deletesOf(fs, snap)
+
   // -- read path --------------------------------------------------------------
 
   /** Snapshot-pinned scan with optional projection and limit (S1/R1-R3).
@@ -250,7 +253,8 @@ class IceTable(
     */
   private def commitSnapshot(base: TableMeta, operation: String,
       dataDirs: Seq[String], added: Seq[FileStat], carried: Seq[FileStat],
-      newSchemaDdl: Option[String] = None): IceTable = {
+      newSchemaDdl: Option[String] = None,
+      carriedDeletes: Seq[DeleteStat] = Nil): IceTable = {
     val m = base
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val addedRows = added.map(_.rows).sum
@@ -260,14 +264,17 @@ class IceTable(
     val carriedRows =
       if (carried.forall(_.rows >= 0)) carried.map(_.rows).sum
       else m.currentSnapshot.map(_.totalRows).getOrElse(0L)
+    // carried deletes subtract from the carried files' physical row sum
+    val carriedDeleteRows = carriedDeletes.map(_.rows).sum
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = operation, dataDirs = dataDirs,
       addedFiles = added.map(_.path), addedRows = addedRows,
-      totalRows = carriedRows + addedRows,
+      totalRows = carriedRows + addedRows - carriedDeleteRows,
       addedFileCount = added.length.toLong,
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
-      files = (carried ++ added).sortBy(_.path))
+      files = (carried ++ added).sortBy(_.path),
+      deletes = carriedDeletes)
     MetaIo.commit(fs, tableDir, m.copy(
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       currentSnapshotId = snapId,
@@ -303,7 +310,8 @@ class IceTable(
       val prev = m.currentSnapshot
       try return commitSnapshot(m, "append",
         prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) :+ dir, added,
-        carried = prev.map(visibleFiles).getOrElse(Nil))
+        carried = prev.map(visibleFiles).getOrElse(Nil),
+        carriedDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil))
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
@@ -561,7 +569,8 @@ class IceTable(
         totalRows = parent.totalRows + addedRows,
         addedFileCount = added.length.toLong,
         schemaDdl = schemaAtRef.toDDL,
-        files = (carried ++ added).sortBy(_.path))
+        files = (carried ++ added).sortBy(_.path),
+        deletes = FileStats.deletesOf(fs, parent))
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           snapshots = m.snapshots :+ snap,
@@ -676,15 +685,111 @@ class IceTable(
       }
 
     val currentDirs = current.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
-    val tgt = readFiles(m, tableSchema, candidates, currentDirs)
+    val curDeletes = current.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
+    val tgt = readFiles(m, tableSchema, candidates, currentDirs, curDeletes)
     val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val merged = tgt.join(src, cond, "left_anti").unionByName(src)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) = writeData(merged, snapId, m.partitionBy)
     val untouchedDirs = currentDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
-    commitSnapshot(m, "upsert", untouchedDirs :+ dir, added, carried = untouched)
+    // rewritten candidates had their deletes applied; untouched files keep
+    // theirs. The delete dirs of surviving entries must stay referenced.
+    val carriedDeletes = trimDeletes(curDeletes,
+      untouched.map(f => qualify(f.path)).toSet)
+    val delDirs = carriedDeletes.map(d => new Path(d.path).getParent.toString).distinct
+    commitSnapshot(m, "upsert", untouchedDirs ++ delDirs :+ dir, added,
+      carried = untouched, carriedDeletes = carriedDeletes)
   }
+
+  /** Merge-on-read row-level DELETE (Iceberg v2 position deletes): instead
+    * of rewriting every candidate file (copy-on-write, [[deleteWhere]]),
+    * write one small parquet file of `(file_path, pos)` rows naming the
+    * deleted positions and commit a metadata-only snapshot whose data-file
+    * set is UNCHANGED. Scans subtract the positions at read time;
+    * [[compact]] / [[replace]] fold the deletes away. This is the shape
+    * frequent small deletes need at 100 TB — a 1-row delete against a
+    * million-file table writes one tiny delete file instead of rewriting a
+    * data file, at the cost of a per-read filter until the next compaction.
+    *
+    * Falls back to copy-on-write when the table has rename history (the
+    * position scan reads files by the current schema) or a legacy manifest.
+    */
+  def deleteWhereMor(filters: Seq[org.apache.spark.sql.sources.Filter]): IceTable = {
+    import org.apache.spark.sql.functions.{coalesce => fCoalesce, lit => fLit}
+    val m = meta
+    val current = m.currentSnapshot.getOrElse(return this)
+    val files = visibleFiles(current)
+    if (m.renames.nonEmpty || files.exists(_.rows < 0))
+      return deleteWhere(filters)
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val cond = filters.flatMap(FilterCol.toColumn) match {
+      case cols if cols.length == filters.length && cols.nonEmpty =>
+        cols.reduce(_ && _)
+      case _ => throw new IllegalArgumentException(
+        s"delete condition not translatable: ${filters.mkString(", ")}")
+    }
+    val (candidates, _) = files.partition { f =>
+      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val raw = PartValues.parse(f.path, spec)
+      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
+      filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
+    }
+    if (candidates.isEmpty) return this
+    // matching positions, ABSOLUTE per file: the native reader's
+    // _metadata.row_index stays absolute under row-group skipping
+    val matches0 = spark.read.schema(tableSchema)
+      .parquet(candidates.map(_.path): _*)
+      .filter(fCoalesce(cond, fLit(false)))
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    // rows already position-deleted must not be deleted (and counted) twice
+    val prior = FileStats.deletesOf(fs, current)
+    val candSet = candidates.map(f => qualify(f.path)).toSet
+    val priorApplicable = prior.filter(_.dataFiles.exists(candSet))
+    val matches =
+      if (priorApplicable.isEmpty) matches0
+      else matches0.join(
+        spark.read.parquet(priorApplicable.map(_.path): _*)
+          .select(col("file_path"), col("pos")),
+        Seq("file_path", "pos"), "left_anti")
+    val perFile = matches.groupBy("file_path").agg(count(lit(1)).as("n"))
+      .collect().map(r => (qualify(r.getString(0)), r.getLong(1))).sortBy(_._1)
+    if (perFile.isEmpty) return this // condition matched nothing: no-op
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val delDir = new Path(tableDir,
+      f"data/deletes-snap-$snapId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+    // one sorted delete file: MOR is for SELECTIVE deletes by design, and
+    // sorted (file_path, pos) keeps the reader's position probe sequential
+    matches.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("errorifexists").parquet(delDir.toString)
+    val it = fs.listFiles(delDir, true)
+    val delFiles = Iterator.continually(it).takeWhile(_.hasNext)
+      .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    require(delFiles.nonEmpty, "position-delete write produced no file")
+    val stat = DeleteStat(delFiles.head,
+      perFile.map { case (p, n) => DeleteFileEntry(p, n) }.toSeq)
+    val deletedRows = stat.rows
+    val snap = SnapshotMeta(
+      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+      operation = "delete",
+      dataDirs = FileStats.dataDirsOf(fs, current) :+ delDir.toString,
+      addedFiles = Nil, addedRows = 0L,
+      totalRows = current.totalRows - deletedRows,
+      addedFileCount = 0L,
+      schemaDdl = m.schemaDdl,
+      files = files,
+      deletes = prior :+ stat)
+    MetaIo.commit(fs, tableDir, m.copy(
+      currentSnapshotId = snapId,
+      snapshots = m.snapshots :+ snap,
+      version = m.version + 1))
+    this
+  }
+
+  private def trimDeletes(ds: Seq[DeleteStat], keep: Set[String]): Seq[DeleteStat] =
+    FileStats.trimDeletes(ds, keep)
 
   /** Read an explicit file subset with the declared schema. Two mappings
     * happen per file group:
@@ -698,9 +803,15 @@ class IceTable(
     *    Iceberg's field-id resolution; partition columns never rename).
     */
   private def readFiles(m: TableMeta, tableSchema: StructType,
-      files: Seq[FileStat], snapDirs: Seq[String]): DataFrame = {
+      files: Seq[FileStat], snapDirs: Seq[String],
+      deletes: Seq[DeleteStat] = Nil): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+    // outstanding position deletes that touch this file subset: read the
+    // subset with row positions and anti-join the delete rows away (the
+    // delete set is small by MOR design — AQE broadcasts it)
+    val fileSet = files.map(f => qualify(f.path)).toSet
+    val applicable = deletes.filter(_.dataFiles.exists(fileSet))
     val dirs = snapDirs.map(qualify)
     // each file group's layout follows ITS era's partition spec (partition
     // evolution): basePath + dir-derived values only where that era had
@@ -733,11 +844,22 @@ class IceTable(
         val cols = physSchema.fields.zip(tableSchema.fields).map {
           case (p, f) => col(p.name).as(f.name)
         }
+        val withPos =
+          if (applicable.isEmpty) cols.toIndexedSeq
+          else cols.toIndexedSeq :+
+            col("_metadata.file_path").as("__fp") :+
+            col("_metadata.row_index").as("__pos")
         (if (dir.isEmpty) rd else rd.option("basePath", dir))
           .parquet(fsInGroup.map(_.path): _*)
-          .select(cols.toIndexedSeq: _*)
+          .select(withPos: _*)
       }
-      .reduce(_ unionByName _)
+      .reduce(_ unionByName _) match {
+      case base if applicable.isEmpty => base
+      case base =>
+        val dels = spark.read.parquet(applicable.map(_.path): _*)
+          .select(col("file_path").as("__fp"), col("pos").as("__pos"))
+        base.join(dels, Seq("__fp", "__pos"), "left_anti").drop("__fp", "__pos")
+    }
   }
 
   /** Row-level DELETE (the engine behind SQL `DELETE FROM … WHERE …` on the
@@ -767,7 +889,8 @@ class IceTable(
     }
     if (candidates.isEmpty) return this // nothing can match: no-op
     val currentDirs = FileStats.dataDirsOf(fs, current)
-    val src = readFiles(m, tableSchema, candidates, currentDirs)
+    val curDeletes = FileStats.deletesOf(fs, current)
+    val src = readFiles(m, tableSchema, candidates, currentDirs, curDeletes)
     // keep rows where the condition is false or NULL
     val kept = src.filter(!org.apache.spark.sql.functions.coalesce(
       cond, org.apache.spark.sql.functions.lit(false)))
@@ -775,7 +898,11 @@ class IceTable(
     val (dir, added) = writeData(kept, snapId, m.partitionBy)
     val untouchedDirs = currentDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
-    commitSnapshot(m, "delete", untouchedDirs :+ dir, added, carried = untouched)
+    val carriedDeletes = trimDeletes(curDeletes,
+      untouched.map(f => qualify(f.path)).toSet)
+    val delDirs = carriedDeletes.map(d => new Path(d.path).getParent.toString).distinct
+    commitSnapshot(m, "delete", untouchedDirs ++ delDirs :+ dir, added,
+      carried = untouched, carriedDeletes = carriedDeletes)
   }
 
   /** Orphan-file GC (the `remove_orphan_files` maintenance op): delete

@@ -82,20 +82,50 @@ final case class SnapshotMeta(
     // complete FileStat list; written once at commit and immutable after
     // (snapshots never change). "" on pre-upgrade metadata — readers then
     // use the inline `files` or degrade to listing `dataDirs`.
-    manifestFile: String = "")
+    manifestFile: String = "",
+    // outstanding position-delete files visible at this snapshot
+    // (merge-on-read row-level deletes). TRANSIENT like `files`:
+    // externalized into the manifest document at commit.
+    deletes: Seq[DeleteStat] = Nil)
+
+/** Per-data-file slice of one position-delete file: `rows` positions of
+  * `path` are deleted. Keeping counts PER data file lets a copy-on-write
+  * rewrite drop exactly the entries of the files it replaced while row
+  * accounting stays exact for the carried rest.
+  */
+final case class DeleteFileEntry(path: String, rows: Long)
+
+/** One position-delete file (Iceberg v2's merge-on-read row-level delete):
+  * a parquet file of `(file_path STRING, pos BIGINT)` rows marking which
+  * absolute row positions of which data files are deleted as of a
+  * snapshot. Scans apply them at read; `compact`/`replace` fold them away.
+  * `appliesTo` lists the affected data files (manifest-normalized paths)
+  * with per-file position counts, so planning attaches each delete file
+  * only to the partitions it names.
+  */
+final case class DeleteStat(
+    path: String,
+    appliesTo: Seq[DeleteFileEntry]) {
+
+  def rows: Long = appliesTo.map(_.rows).sum
+  def dataFiles: Seq[String] = appliesTo.map(_.path)
+}
 
 /** The external per-snapshot manifest document: the snapshot's complete
-  * [[FileStat]] list plus the two other O(table-history) facts that used to
-  * live inline in the version log — the paths ADDED by this snapshot and the
-  * data directories visible at it. One immutable file per snapshot, written
-  * at commit; the version log itself stays O(snapshots). Pre-upgrade
-  * manifests are a bare JSON array of FileStat (files only, added/dirs still
-  * inline in the snapshot) — [[MetaIo.readManifestDoc]] sniffs the format.
+  * [[FileStat]] list plus the other O(table-history) facts that used to
+  * live inline in the version log — the paths ADDED by this snapshot, the
+  * data directories visible at it, and the snapshot's outstanding
+  * position-delete files. One immutable file per snapshot, written at
+  * commit; the version log itself stays O(snapshots). Pre-upgrade
+  * manifests are a bare JSON array of FileStat (files only, added/dirs
+  * still inline in the snapshot) — [[MetaIo.readManifestDoc]] sniffs the
+  * format.
   */
 final case class ManifestDoc(
     files: Seq[FileStat],
     addedPaths: Seq[String] = Nil,
-    dataDirs: Seq[String] = Nil)
+    dataDirs: Seq[String] = Nil,
+    deletes: Seq[DeleteStat] = Nil)
 
 /** One metadata-only column rename: files added by snapshots with id
   * `<= cutoffSnapshotId` physically carry `from` where the logical schema
@@ -348,9 +378,9 @@ object MetaIo {
         val mf = fs.makeQualified(new Path(metadataDir(tableDir),
           f"manifest-${s.snapshotId}%05d-${java.util.UUID.randomUUID()}.json"))
         writeFile(fs, mf, mapper.writeValueAsString(
-          ManifestDoc(s.files, s.addedFiles, s.dataDirs)))
+          ManifestDoc(s.files, s.addedFiles, s.dataDirs, s.deletes)))
         written :+= mf
-        s.copy(files = Nil, addedFiles = Nil, dataDirs = Nil,
+        s.copy(files = Nil, addedFiles = Nil, dataDirs = Nil, deletes = Nil,
           addedFileCount =
             if (s.addedFileCount >= 0) s.addedFileCount else s.addedFiles.length.toLong,
           manifestFile = mf.toString)

@@ -663,6 +663,49 @@ object IceliteOps {
         tbl.toDF.orderBy("okey")
       }),
 
+    // K21: merge-on-read row-level delete (Iceberg v2 position deletes).
+    // A 1-row delete against a 4-file table writes one tiny position-
+    // delete file and commits a metadata-only snapshot — ZERO data files
+    // rewritten (asserted byte-for-byte on the manifest), which is the
+    // shape frequent small deletes need at 100 TB where copy-on-write
+    // would rewrite whole files per delete. Scans subtract the positions
+    // at read; the pre-delete snapshot stays time-travelable with the
+    // deleted row intact (asserted).
+    QDef(
+      "k21_ice_mor_delete",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |WHERE o_orderkey <> (SELECT min(o_orderkey) FROM orders)
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k21"))
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_mor", o.schema)
+        tbl.append(o.repartitionByRange(4, col("o_orderkey")))
+        val before = tbl.meta.currentSnapshot.get
+        val beforePaths = tbl.visibleFiles(before).map(_.path)
+        val minKey = o.agg(min("o_orderkey")).collect()(0)
+          .getAs[Number](0).longValue
+        tbl.deleteWhereMor(Seq(
+          org.apache.spark.sql.sources.EqualTo("o_orderkey", minKey)))
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "delete" &&
+          graft.icelite.FileStats.addedCount(snap) == 0,
+          "MOR delete must add no data files")
+        require(tbl.visibleFiles(snap).map(_.path) == beforePaths,
+          "MOR delete must not rewrite any data file")
+        val ds = tbl.deletesOf(snap)
+        require(ds.nonEmpty && ds.map(_.rows).sum == 1,
+          s"expected one position-delete row, got $ds")
+        require(snap.totalRows == before.totalRows - 1,
+          "row accounting must reflect the positional delete")
+        // time travel ACROSS the MOR snapshot: the deleted row is still
+        // served by the pre-delete snapshot
+        require(tbl.scan(snapshotId = Some(before.snapshotId))
+          .filter(col("o_orderkey") === minKey).count() == 1,
+          "pre-delete snapshot must still serve the deleted row")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // K20: hidden-partitioning transforms — the table's layout is
     // bucket(8, o_custkey) x days(o_orderdate), both COMPUTED at write and
     // never user-visible: the query filters on the SOURCE columns and the

@@ -36,7 +36,11 @@ private[v2] class IceLiteRowLevelOperation(
     tableSchema: StructType, partitionBy: Seq[String], files: Seq[FileStat],
     cmd: RowLevelOperation.Command,
     renames: Seq[graft.icelite.ColumnRename] = Nil,
-    specs: Seq[graft.icelite.PartSpecChange] = Nil) extends RowLevelOperation {
+    specs: Seq[graft.icelite.PartSpecChange] = Nil,
+    // outstanding position deletes: the operation's scan must apply them
+    // (rewritten files are rebuilt from POST-delete content) and its
+    // commit carries the survivors' entries forward
+    deletes: Seq[graft.icelite.DeleteStat] = Nil) extends RowLevelOperation {
 
   private val scanned =
     new java.util.concurrent.ConcurrentHashMap[String, FileStat]()
@@ -66,7 +70,7 @@ private[v2] class IceLiteRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
-      rowLevel = Some(this), renames = renames, specs = specs)
+      rowLevel = Some(this), renames = renames, specs = specs, deletes = deletes)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new IceLiteReplaceGroupsWriteBuilder(warehouse, ns, tbl, partitionBy,
@@ -142,15 +146,24 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
           .startsWith(fs.makeQualified(new Path(d)).toString + "/")))
     val addedRows = added.map(_.rows).sum
     val carriedRows = carried.map(_.rows).sum
+    // replaced files were rebuilt from POST-delete content; carried files
+    // keep their position-delete entries (and the delete dirs stay
+    // referenced so expiry cannot reclaim them early)
+    val carriedDeletes = FileStats.trimDeletes(
+      prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil),
+      carried.map(f => fs.makeQualified(new Path(f.path)).toString).toSet)
+    val delDirs = carriedDeletes
+      .map(d => new Path(d.path).getParent.toString).distinct
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
       operation = op.command().toString.toLowerCase,
-      dataDirs = carriedDirs :+ dataDir.toString,
+      dataDirs = carriedDirs ++ delDirs :+ dataDir.toString,
       addedFiles = added.map(_.path), addedRows = addedRows,
-      totalRows = carriedRows + addedRows,
+      totalRows = carriedRows + addedRows - carriedDeletes.map(_.rows).sum,
       addedFileCount = added.length.toLong,
       schemaDdl = m.schemaDdl,
-      files = (carried ++ added).sortBy(_.path))
+      files = (carried ++ added).sortBy(_.path),
+      deletes = carriedDeletes)
     MetaIo.commit(fs, tableDir, m.copy(
       currentSnapshotId = snapId,
       snapshots = m.snapshots :+ snap,

@@ -142,9 +142,14 @@ private[v2] object IceLiteV2 {
         if (snap == null) Nil
         else graft.icelite.FileStats.visible(fs, snap)
     }
+    // outstanding position deletes of the pinned snapshot (merge-on-read);
+    // incremental ranges are append-only by contract, so none apply there
+    val deletes: Seq[graft.icelite.DeleteStat] =
+      if (snap == null || fromSnapshotId.isDefined) Nil
+      else graft.icelite.FileStats.deletesOf(fs, snap)
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
-      meta.renames, meta.widenedColumns, meta.partitionSpecs)
+      meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -160,7 +165,10 @@ private[v2] object IceLiteV2 {
       // (Spark binds stream output to the relation attributes positionally,
       // unlike batch, which re-derives output from readSchema) — a
       // partition column anywhere but last would otherwise misbind.
-      outputPermutation: Seq[Int] = Nil)
+      outputPermutation: Seq[Int] = Nil,
+      // true = serve InternalRows instead of ColumnarBatches (required when
+      // any partition applies position deletes: Spark refuses mixed modes)
+      rowMode: Boolean = false)
       : PartitionReaderFactory = {
     val spark = SparkSession.active
     val c = new org.apache.hadoop.conf.Configuration(
@@ -186,7 +194,7 @@ private[v2] object IceLiteV2 {
     ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
     new IceLiteReaderFactory(
       new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit,
-      outputPermutation)
+      outputPermutation, rowMode)
   }
 }
 
@@ -197,7 +205,9 @@ private[v2] class IceLiteTable(
     // columns ever type-widened: old files carry the narrower physical type
     widened: Seq[String] = Nil,
     // partition-evolution ledger (spec per file era)
-    specs: Seq[graft.icelite.PartSpecChange] = Nil)
+    specs: Seq[graft.icelite.PartSpecChange] = Nil,
+    // outstanding position-delete files (merge-on-read)
+    deletes: Seq[graft.icelite.DeleteStat] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -227,7 +237,7 @@ private[v2] class IceLiteTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new IceLiteRowLevelOperation(
       warehouse, ns, tbl, tableSchema, partitionBy, files, info.command(),
-      renames, specs)
+      renames, specs, deletes)
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
@@ -252,7 +262,7 @@ private[v2] class IceLiteTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      renames = renames, widened = widened, specs = specs)
+      renames = renames, widened = widened, specs = specs, deletes = deletes)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -291,7 +301,9 @@ private[v2] class IceLiteScanBuilder(
     // columns ever type-widened (no row-group predicates on them)
     widened: Seq[String] = Nil,
     // partition-evolution ledger (spec per file era)
-    specs: Seq[graft.icelite.PartSpecChange] = Nil)
+    specs: Seq[graft.icelite.PartSpecChange] = Nil,
+    // outstanding position-delete files (merge-on-read)
+    deletes: Seq[graft.icelite.DeleteStat] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -313,13 +325,14 @@ private[v2] class IceLiteScanBuilder(
     * paths, not file stats).
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    rowLevel.isEmpty &&
+    rowLevel.isEmpty && deletes.isEmpty &&
       ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed, specs).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     // a row-level operation's scan must yield full rows of the affected
-    // files — never an aggregated answer
-    if (rowLevel.isDefined) return false
+    // files — never an aggregated answer. Outstanding position deletes
+    // make the manifest totals wrong too (they count deleted rows).
+    if (rowLevel.isDefined || deletes.nonEmpty) return false
     val r = ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed, specs)
     aggResult = r
     r.isDefined
@@ -352,7 +365,7 @@ private[v2] class IceLiteScanBuilder(
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames,
-        widened, specs)
+        widened, specs, deletes)
   }
 }
 
@@ -680,7 +693,10 @@ private[v2] class IceLiteScan(
     renames: Seq[graft.icelite.ColumnRename] = Nil,
     widened: Seq[String] = Nil,
     // partition-evolution ledger: which hive layout each file ERA used
-    specs: Seq[graft.icelite.PartSpecChange] = Nil)
+    specs: Seq[graft.icelite.PartSpecChange] = Nil,
+    // outstanding position-delete files (merge-on-read): attached per
+    // affected input partition; their rows are subtracted at read
+    deletes: Seq[graft.icelite.DeleteStat] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -787,6 +803,11 @@ private[v2] class IceLiteScan(
       val constants =
         if (wantsFileCol) raw + (IceLiteScan.FileMetaCol -> Some(f.path))
         else raw
+      // position-delete files naming this data file (manifest paths match
+      // by construction: both sides are fs-qualified)
+      val delFor =
+        if (deletes.isEmpty) Nil
+        else deletes.filter(_.dataFiles.contains(f.path)).map(_.path)
       val spec = specOf(f.path)
       if (spec == partitionBy) {
         // common case: file written under the current spec — factory globals
@@ -795,7 +816,7 @@ private[v2] class IceLiteScan(
         val phys = graft.icelite.Renames.physicalNames(
           renames, dataSchema, graft.icelite.Renames.eraOf(f.path))
         IceLiteInputPartition(f.path, f.bytes, constants,
-          phys.getOrElse(Nil)): InputPartition
+          phys.getOrElse(Nil), deleteFiles = delFor): InputPartition
       } else {
         // partition evolution: this file's OWN spec decides which required
         // columns are directory constants and which are read from data; a
@@ -822,7 +843,7 @@ private[v2] class IceLiteScan(
           phys.getOrElse(Nil),
           fileDataSchemaJson = fileData.json,
           filePartSchemaJson = filePart.json,
-          filePerm = perm): InputPartition
+          filePerm = perm, deleteFiles = delFor): InputPartition
       }
     }.toArray
   }
@@ -857,7 +878,11 @@ private[v2] class IceLiteScan(
     val rgFilters =
       if (rowLevel.isDefined) Array.empty[Filter]
       else filters.filter(_.references.forall(r => !touched.contains(r)))
-    IceLiteV2.readerFactory(dataSchema, partSchema, rgFilters, limit)
+    // any outstanding delete flips the WHOLE scan to row-based reads
+    // (Spark refuses mixed row/columnar partitions within one scan);
+    // compact() folds deletes away and restores columnar decode
+    IceLiteV2.readerFactory(dataSchema, partSchema, rgFilters, limit,
+      rowMode = deletes.nonEmpty)
   }
 
   /** The micro-batch face of the same table: offsets are snapshot ids and
@@ -1043,24 +1068,22 @@ private[v2] case class IceLiteInputPartition(
     // scan's global serving order. Empty = use the factory's globals.
     fileDataSchemaJson: String = "",
     filePartSchemaJson: String = "",
-    filePerm: Seq[Int] = Nil)
+    filePerm: Seq[Int] = Nil,
+    // position-delete files naming this data file (merge-on-read)
+    deleteFiles: Seq[String] = Nil)
     extends InputPartition
 
 private[v2] class IceLiteReaderFactory(
     conf: SerializableConfiguration, dataSchemaJson: String,
     partSchemaJson: String, limit: Int,
-    outputPermutation: Seq[Int] = Nil)
+    outputPermutation: Seq[Int] = Nil,
+    rowMode: Boolean = false)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean = !rowMode
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    throw new UnsupportedOperationException(
-      "icelite scan is columnar; Spark must call createColumnarReader")
-
-  override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[IceLiteInputPartition]
+  private def resolve(p: IceLiteInputPartition)
+      : (StructType, StructType, Seq[Int]) = {
     // a partition-evolution file carries its own schema split + permutation
     val (dataJson, partJson, perm) =
       if (p.fileDataSchemaJson.nonEmpty)
@@ -1073,9 +1096,24 @@ private[v2] class IceLiteReaderFactory(
       if (p.physicalDataNames.isEmpty) logical
       else StructType(logical.fields.zip(p.physicalDataNames)
         .map { case (f, n) => f.copy(name = n) })
+    (requested, DataType.fromJson(partJson).asInstanceOf[StructType], perm)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IceLiteInputPartition]
+    val (requested, partSchema, perm) = resolve(p)
+    new IceLiteRowReader(p.file, p.length, p.partValues, conf, requested,
+      partSchema, limit, p.deleteFiles, perm.toArray)
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[IceLiteInputPartition]
+    require(p.deleteFiles.isEmpty,
+      "partitions with position deletes must be read row-based")
+    val (requested, partSchema, perm) = resolve(p)
     new IceLiteColumnarReader(
-      p.file, p.length, p.partValues, conf, requested,
-      DataType.fromJson(partJson).asInstanceOf[StructType], limit,
+      p.file, p.length, p.partValues, conf, requested, partSchema, limit,
       perm.toArray)
   }
 }
@@ -1138,6 +1176,103 @@ private[v2] class IceLiteColumnarReader(
         cols.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
         batch.numRows())
     }
+  override def close(): Unit = reader.close()
+}
+
+/** Row-serving reader for one parquet data file, used whenever the scan
+  * cannot be columnar — i.e. when position-delete files apply (merge-on-
+  * read). Decode still runs through the vectorized reader (row views over
+  * its batches); this wrapper counts ABSOLUTE row positions and skips the
+  * deleted ones. Row-group skipping via parquet predicates is disabled for
+  * the file (positions are absolute within the file, and this reader
+  * derives them by counting), which is the standard MOR read tax until
+  * compaction folds the deletes away.
+  */
+private[v2] class IceLiteRowReader(
+    file: String, length: Long, rawPartValues: Map[String, Option[String]],
+    conf: SerializableConfiguration, dataSchema: StructType,
+    partSchema: StructType, limit: Int, deleteFiles: Seq[String],
+    outputPermutation: Array[Int] = Array.empty)
+    extends PartitionReader[InternalRow] {
+
+  /** Deleted absolute positions of THIS file, from its delete files. */
+  private val deleted: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val myNorm = new Path(file).toString
+    // the factory conf may carry the scan's pushed parquet FilterPredicate
+    // (on DATA columns) — evaluating it against the delete file, which has
+    // none of those columns, drops every row; read deletes with it stripped
+    val cleanConf = new org.apache.hadoop.conf.Configuration(conf.value)
+    cleanConf.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
+    deleteFiles.foreach { df =>
+      val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(), new Path(df))
+        .withConf(cleanConf).build()
+      try {
+        var g = rd.read()
+        while (g != null) {
+          val fp = g.getBinary("file_path", 0).toStringUsingUTF8
+          if (new Path(fp).toString == myNorm)
+            set.add(g.getLong("pos", 0))
+          g = rd.read()
+        }
+      } finally rd.close()
+    }
+    set
+  }
+
+  private val reader: VectorizedParquetRecordReader = {
+    val c = new org.apache.hadoop.conf.Configuration(conf.value)
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", dataSchema.json)
+    // this reader derives positions by COUNTING served rows — a skipped
+    // row group would silently shift every later position
+    if (deleteFiles.nonEmpty)
+      c.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    val p = new Path(file)
+    val len = if (length > 0) length else p.getFileSystem(c).getFileStatus(p).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    r.initialize(split, new TaskAttemptContextImpl(c, new TaskAttemptID()))
+    r.initBatch(partSchema, PartValues.internalRow(partSchema, rawPartValues))
+    r // row mode: no enableReturningBatches
+  }
+
+  private val outTypes: Array[DataType] =
+    (dataSchema.fields ++ partSchema.fields).map(_.dataType)
+
+  private var pos = -1L
+  private var served = 0L
+
+  override def next(): Boolean = {
+    while (limit < 0 || served < limit) {
+      if (!reader.nextKeyValue()) return false
+      pos += 1
+      if (!deleted.contains(pos)) { served += 1; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val row = reader.getCurrentValue.asInstanceOf[InternalRow]
+    if (outputPermutation.isEmpty) row
+    else {
+      // boxed copy in permuted order (evolution-era files only — their
+      // local layout differs from the scan's global serving order)
+      val vals = new Array[Any](outputPermutation.length)
+      var i = 0
+      while (i < outputPermutation.length) {
+        val src = outputPermutation(i)
+        vals(i) = if (row.isNullAt(src)) null else row.get(src, outTypes(src))
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
+  }
+
   override def close(): Unit = reader.close()
 }
 

@@ -165,7 +165,10 @@ private[v2] class IceLiteBatchWrite(
         totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
         addedFileCount = added.length.toLong,
         schemaDdl = m.schemaDdl,
-        files = (carried ++ added).sortBy(_.path))
+        files = (carried ++ added).sortBy(_.path),
+        // appends never touch existing files: outstanding position
+        // deletes carry forward unchanged
+        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil))
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           currentSnapshotId = snapId,

@@ -632,6 +632,55 @@ class IceliteSpec extends SparkSpec {
       s"days(ts) must render epoch-day dirs, got $dayDirs")
   }
 
+  test("merge-on-read deletes: position files, carried by writes, folded by compact") {
+    import org.apache.spark.sql.sources.{EqualTo, LessThanOrEqual}
+    val cat = new IceCatalog(spark, scratch("mor"))
+    val o = graft.queries.QUtil.t(spark, sfDir, "orders")
+    val total = o.count()
+    val tbl = cat.createTable("ns", "t", o.schema)
+    tbl.append(o.repartitionByRange(4, col("o_orderkey")))
+    val maxKey = o.agg(max("o_orderkey")).collect()(0).getAs[Number](0).longValue
+    val cut = maxKey / 8
+    val nCut = o.filter(col("o_orderkey") <= cut).count()
+
+    // a selective range delete: manifest stats prove 3 of 4 files hold no
+    // matching key, so the delete file applies to ONE data file only
+    tbl.deleteWhereMor(Seq(LessThanOrEqual("o_orderkey", cut)))
+    val snap1 = tbl.meta.currentSnapshot.get
+    assert(snap1.operation == "delete")
+    assert(tbl.visibleFiles(snap1).length == 4, "no data file may be rewritten")
+    val ds1 = tbl.deletesOf(snap1)
+    assert(ds1.length == 1 && ds1.head.appliesTo.length == 1,
+      s"delete should target exactly the one candidate file: $ds1")
+    assert(ds1.head.rows == nCut)
+    assert(snap1.totalRows == total - nCut)
+    // reads subtract positions — DataFrame, SQL aggregate, and filters
+    assert(tbl.toDF.count() == total - nCut)
+    assert(tbl.toDF.filter(col("o_orderkey") <= cut).count() == 0)
+    // a second MOR delete accumulates without re-deleting the same rows
+    val minLeft = tbl.toDF.agg(min("o_orderkey")).collect()(0)
+      .getAs[Number](0).longValue
+    tbl.deleteWhereMor(Seq(EqualTo("o_orderkey", minLeft)))
+    assert(tbl.toDF.count() == total - nCut - 1)
+    assert(tbl.meta.currentSnapshot.get.totalRows == total - nCut - 1)
+
+    // appends carry the outstanding deletes; upsert applies them to the
+    // files it rewrites and keeps the rest
+    tbl.append(o.filter(col("o_orderkey") === minLeft)) // resurrect one row
+    assert(tbl.toDF.count() == total - nCut)
+    assert(tbl.toDF.filter(col("o_orderkey") === minLeft).count() == 1)
+
+    // compact folds every delete away: clean files, columnar reads again
+    tbl.compact(targetFiles = 2)
+    val folded = tbl.meta.currentSnapshot.get
+    assert(tbl.deletesOf(folded).isEmpty, "compact must fold deletes away")
+    assert(folded.totalRows == total - nCut)
+    assert(tbl.toDF.count() == total - nCut)
+    // time travel across the whole MOR history stays exact
+    assert(tbl.scan(snapshotId = Some(1L)).count() == total)
+    assert(tbl.scan(snapshotId = Some(snap1.snapshotId)).count() == total - nCut)
+  }
+
   test("removeOrphanFiles sweeps aged unreferenced files, spares live data") {
     val cat = new IceCatalog(spark, scratch("orphan"))
     val tbl = cat.createTable("ns", "t", nation.schema)
