@@ -663,6 +663,43 @@ object IceliteOps {
         tbl.toDF.orderBy("okey")
       }),
 
+    // K22: the SQL maintenance surface — CALL procedures drive the same
+    // lifecycle the API exposes (Iceberg's `CALL system.rewrite_data_files`
+    // family), so schedulers and SQL-only users can run compaction and
+    // expiry without the library. The query compacts a 3-append table into
+    // 2 SORTED files via CALL, expires history via CALL, and the oracle
+    // verifies the surviving content relationally; the sorted layout is
+    // asserted from the committed manifest (disjoint per-file key ranges).
+    QDef(
+      "k22_ice_sql_maintenance",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k22")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "ev_sql", ev.schema)
+        (0 until 3).foreach(i => tbl.append(ev.filter(col("event_id") % 3 === i)))
+        s.conf.set("spark.sql.catalog.icelite_k22", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k22.warehouse", wh)
+        val r = s.sql("""CALL icelite_k22.system.rewrite_data_files(
+                        |  table => 'lake.ev_sql', target_files => 2,
+                        |  sort_by => 'event_id')""".stripMargin).collect()(0)
+        require(r.getInt(2) == 2, s"CALL must report 2 output files: $r")
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "compact", "CALL must have compacted")
+        val ranges = tbl.visibleFiles(snap)
+          .map(f => (f.min("event_id").toLong, f.max("event_id").toLong)).sorted
+        require(ranges.length == 2 && ranges(0)._2 < ranges(1)._1,
+          s"sorted rewrite left overlapping file ranges: $ranges")
+        s.sql("CALL icelite_k22.system.expire_snapshots('lake.ev_sql', 1)")
+        require(tbl.snapshots.map(_.operation) == Seq("compact"),
+          "expiry must keep only the compacted snapshot")
+        s.sql("""SELECT event_id, user_id, event_type, value
+                |FROM icelite_k22.lake.ev_sql ORDER BY event_id""".stripMargin)
+      }),
+
     // K21: merge-on-read row-level delete (Iceberg v2 position deletes).
     // A 1-row delete against a 4-file table writes one tiny position-
     // delete file and commits a metadata-only snapshot — ZERO data files

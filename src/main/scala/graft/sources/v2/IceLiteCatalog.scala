@@ -26,7 +26,8 @@ import graft.icelite.IceCatalog
   * catalog surface (D1-D7). Upsert/replace stay on the table API — the
   * component's write modes.
   */
-class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
+class IceLiteCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -237,6 +238,22 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 && cat.tableExists(nsOf(ident), ident.name())
+
+  // -- procedures (CALL <cat>.system.<proc>) ----------------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(IceLiteProcedures.Namespace),
+      s"icelite procedures live in the 'system' namespace; got " +
+        s"${ident.namespace().mkString(".")}.${ident.name()}")
+    IceLiteProcedures.load(warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(IceLiteProcedures.Namespace))
+      IceLiteProcedures.names
+        .map(n => Identifier.of(IceLiteProcedures.Namespace, n)).toArray
+    else Array.empty
 
   // -- namespaces -------------------------------------------------------------
 

@@ -1,0 +1,138 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.icelite.{IceCatalog, IceTable}
+
+/** SQL maintenance surface: `CALL <catalog>.system.<proc>(...)` for the
+  * table-lifecycle operations that were API-only — the icelite analog of
+  * Iceberg's stored procedures (`CALL system.rewrite_data_files(...)`,
+  * `expire_snapshots`, `rollback_to_snapshot`, ...). SQL-only users — BI
+  * tools, schedulers, notebooks without library access — get the full
+  * maintenance lifecycle: compaction (bin-pack / sort / z-order), snapshot
+  * expiry, rollback, tags, branch publish, and orphan-file GC. Each call
+  * returns a one-row summary relation.
+  */
+object IceLiteProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def pd(name: String, dt: DataType, dflt: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private def s(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
+  private def out(vals: Any*): Seq[Any] = vals.map {
+    case str: String => UTF8String.fromString(str)
+    case v => v
+  }
+
+  def names: Seq[String] = defs.keys.toSeq.sorted
+
+  def load(warehouse: String, name: String): UnboundProcedure =
+    defs.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown icelite procedure '$name' (have: ${names.mkString(", ")})"))
+      .apply(warehouse)
+
+  private def cols(csv: String): Seq[String] =
+    csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private val defs: Map[String, String => UnboundProcedure] = Map(
+    // rewrite_data_files: bin-pack by default; sort_by / zorder_by select
+    // the clustered rewrite strategies (comma-separated column lists)
+    "rewrite_data_files" -> (wh => new IceProc(wh, "rewrite_data_files",
+      Seq(p("table", StringType), pd("target_files", IntegerType, "1"),
+        pd("sort_by", StringType, "''"), pd("zorder_by", StringType, "''")),
+      StructType.fromDDL("table STRING, files_before INT, files_after INT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val before = tbl.meta.currentSnapshot.map(sn => tbl.visibleFiles(sn).length).getOrElse(0)
+        tbl.compact(in.getInt(1), cols(s(in, 2)), cols(s(in, 3)))
+        val after = tbl.visibleFiles(tbl.meta.currentSnapshot.get).length
+        out(s(in, 0), before, after)
+      })),
+    "expire_snapshots" -> (wh => new IceProc(wh, "expire_snapshots",
+      Seq(p("table", StringType), p("keep_last", IntegerType)),
+      StructType.fromDDL("table STRING, expired INT, kept INT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val before = tbl.snapshots.length
+        tbl.expireSnapshots(in.getInt(1))
+        val after = tbl.snapshots.length
+        out(s(in, 0), before - after, after)
+      })),
+    "rollback_to_snapshot" -> (wh => new IceProc(wh, "rollback_to_snapshot",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      StructType.fromDDL("table STRING, current_snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0)).rollbackTo(in.getLong(1))
+        out(s(in, 0), tbl.meta.currentSnapshotId)
+      })),
+    "create_tag" -> (wh => new IceProc(wh, "create_tag",
+      Seq(p("table", StringType), p("tag", StringType), p("snapshot_id", LongType)),
+      StructType.fromDDL("table STRING, tag STRING, snapshot_id BIGINT"),
+      (cat, in) => {
+        loadTable(cat, s(in, 0)).tag(s(in, 1), in.getLong(2))
+        out(s(in, 0), s(in, 1), in.getLong(2))
+      })),
+    "fast_forward" -> (wh => new IceProc(wh, "fast_forward",
+      Seq(p("table", StringType), p("ref", StringType)),
+      StructType.fromDDL("table STRING, current_snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0)).fastForward(s(in, 1))
+        out(s(in, 0), tbl.meta.currentSnapshotId)
+      })),
+    "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
+      Seq(p("table", StringType),
+        pd("older_than_ms", LongType, IceTable.DefaultOrphanGraceMs.toString)),
+      StructType.fromDDL("table STRING, deleted_files BIGINT"),
+      (cat, in) => {
+        val deleted = loadTable(cat, s(in, 0)).removeOrphanFiles(in.getLong(1))
+        out(s(in, 0), deleted.length.toLong)
+      })))
+
+  private def loadTable(cat: IceCatalog, ident: String): IceTable = {
+    val parts = ident.split("\\.", 2)
+    require(parts.length == 2,
+      s"procedure table argument must be '<namespace>.<table>', got '$ident'")
+    cat.loadTable(parts(0), parts(1))
+  }
+}
+
+/** One icelite procedure: self-binding (parameter types are static) and
+  * side-effecting; `call` runs the table operation and yields a one-row
+  * summary as a LocalScan.
+  */
+private[v2] class IceProc(
+    warehouse: String, procName: String,
+    params: Seq[ProcedureParameter], outSchema: StructType,
+    body: (IceCatalog, InternalRow) => Seq[Any])
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"icelite maintenance procedure $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val cat = new IceCatalog(SparkSession.active, warehouse)
+    val row = body(cat, input)
+    util.List.of[Scan](new IceProcResult(outSchema, row)).iterator()
+  }
+}
+
+private[v2] class IceProcResult(schema: StructType, row: Seq[Any]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(row.toArray))
+}

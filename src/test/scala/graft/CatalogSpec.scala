@@ -326,6 +326,46 @@ class CatalogSpec extends SparkSpec {
     assert(tbl.toDF.count() == 200)
   }
 
+  test("CALL system.<proc> drives the maintenance lifecycle from SQL") {
+    val wh = configure("call")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "n", n.schema)
+    (0 until 3).foreach(i => tbl.append(n.filter(col("n_nationkey") % 3 === i)))
+    assert(tbl.visibleFiles(tbl.meta.currentSnapshot.get).length >= 3)
+
+    // compaction from SQL: bin-pack into one file, summary row returned
+    val r1 = spark.sql(
+      "CALL icecat_call.system.rewrite_data_files(table => 'lake.n', target_files => 1)")
+      .collect()(0)
+    assert(r1.getString(0) == "lake.n" && r1.getInt(2) == 1, s"got $r1")
+    assert(tbl.meta.currentSnapshot.get.operation == "compact")
+    assert(tbl.toDF.count() == 25)
+
+    // tag + rollback + fast-forward round trip, all SQL
+    spark.sql("CALL icecat_call.system.create_tag('lake.n', 'v1', 4)")
+    assert(tbl.refSnapshotId("v1").contains(4L))
+    val rb = spark.sql(
+      "CALL icecat_call.system.rollback_to_snapshot('lake.n', 1)").collect()(0)
+    assert(rb.getLong(1) == 1L && tbl.meta.currentSnapshotId == 1L)
+    val ff = spark.sql(
+      "CALL icecat_call.system.fast_forward('lake.n', 'v1')").collect()(0)
+    assert(ff.getLong(1) == 4L && tbl.toDF.count() == 25)
+
+    // expiry from SQL: everything but the tagged/current compact snapshot
+    val ex = spark.sql(
+      "CALL icecat_call.system.expire_snapshots('lake.n', 1)").collect()(0)
+    assert(ex.getInt(1) == 3 && ex.getInt(2) == 1, s"got $ex")
+    assert(tbl.snapshots.map(_.snapshotId) == Seq(4L))
+
+    // orphan GC from SQL (nothing orphaned, age gate default)
+    val og = spark.sql(
+      "CALL icecat_call.system.remove_orphan_files('lake.n')").collect()(0)
+    assert(og.getLong(1) == 0L)
+    // unknown procedure fails loudly
+    intercept[Exception](spark.sql("CALL icecat_call.system.nope('lake.n')"))
+  }
+
   test("ALTER COLUMN TYPE widens decimal precision at fixed scale") {
     val wh = configure("decw")
     val cat = new IceCatalog(spark, wh)
