@@ -791,6 +791,118 @@ class IceTable(
   private def trimDeletes(ds: Seq[DeleteStat], keep: Set[String]): Seq[DeleteStat] =
     FileStats.trimDeletes(ds, keep)
 
+  /** Merge-on-read primary-key upsert: same semantics as [[upsert]]
+    * (matched target rows take the source's values, unmatched source rows
+    * insert, unmatched target rows survive; null-safe key equality) but
+    * instead of REWRITING candidate files it position-deletes the matched
+    * target rows and appends the source — ONE atomic snapshot holding both
+    * the new delete file and the new data files. A 100-row upsert against
+    * a million-file table writes ~1 data file + 1 tiny delete file where
+    * copy-on-write rewrites every intersecting file; the read tax is the
+    * MOR position filter until [[compact]] folds it away. Falls back to
+    * copy-on-write on rename history / legacy manifests.
+    */
+  def upsertMor(df: DataFrame, keys: Seq[String]): IceTable = {
+    require(keys.nonEmpty,
+      s"upsert into $namespace.$name requires a primary key (config or manifest)")
+    val m = meta
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val src = conform(df, tableSchema)
+    val current = m.currentSnapshot match {
+      case Some(c) => c
+      case None => return append(src) // empty table: plain insert
+    }
+    val files = visibleFiles(current)
+    if (m.renames.nonEmpty || files.exists(_.rows < 0))
+      return upsert(df, keys)
+
+    // candidate files by source key bounds — same manifest-stat pruning as
+    // the COW upsert (one tiny aggregate over the source)
+    val keyBounds: SFilter = {
+      val aggs = keys.flatMap(k => Seq(
+        min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
+        count(when(col(k).isNull, lit(1))).as(s"__nulls_$k")))
+      val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keys.map { k =>
+        val lo = r.getAs[Any](s"__min_$k")
+        val hi = r.getAs[Any](s"__max_$k")
+        val hasNull = r.getAs[Long](s"__nulls_$k") > 0
+        val range: SFilter =
+          if (lo == null) SIsNull(k)
+          else SAnd(SGte(k, lo), SLte(k, hi))
+        if (hasNull && lo != null) SOr(range, SIsNull(k)) else range
+      }.reduce(SAnd(_, _): SFilter)
+    }
+    val (candidates, _) = files.partition { f =>
+      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val raw = PartValues.parse(f.path, spec)
+      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
+      FilePrune.canMatch(keyBounds, tableSchema, f, pv)
+    }
+
+    // positions of matched target rows: semi-join candidate rows (read with
+    // absolute row positions) against the distinct source keys (broadcast —
+    // upsert sources are small relative to the table by definition)
+    val prior = FileStats.deletesOf(fs, current)
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val (perFile, delDirOpt): (Array[(String, Long)], Option[String]) =
+      if (candidates.isEmpty) (Array.empty, None)
+      else {
+        val sk = src.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        val matches0 = spark.read.schema(tableSchema)
+          .parquet(candidates.map(_.path): _*)
+          .join(org.apache.spark.sql.functions.broadcast(sk), cond, "left_semi")
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"))
+        val candSet = candidates.map(f => qualify(f.path)).toSet
+        val priorApplicable = prior.filter(_.dataFiles.exists(candSet))
+        val matches =
+          if (priorApplicable.isEmpty) matches0
+          else matches0.join(
+            spark.read.parquet(priorApplicable.map(_.path): _*)
+              .select(col("file_path"), col("pos")),
+            Seq("file_path", "pos"), "left_anti")
+        val collected = matches.groupBy("file_path").agg(count(lit(1)).as("n"))
+          .collect().map(r => (qualify(r.getString(0)), r.getLong(1))).sortBy(_._1)
+        if (collected.isEmpty) (collected, None)
+        else {
+          val delDir = new Path(tableDir,
+            f"data/deletes-snap-$snapId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+          matches.repartition(1).sortWithinPartitions("file_path", "pos")
+            .write.mode("errorifexists").parquet(delDir.toString)
+          (collected, Some(delDir.toString))
+        }
+      }
+
+    val (dir, added) = writeData(src, snapId, m.partitionBy)
+    val newStat: Option[DeleteStat] = delDirOpt.map { dd =>
+      val it = fs.listFiles(new Path(dd), true)
+      val delFiles = Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      DeleteStat(delFiles.head,
+        perFile.map { case (p, n) => DeleteFileEntry(p, n) }.toSeq)
+    }
+    val matched = newStat.map(_.rows).sum
+    val addedRows = added.map(_.rows).sum
+    val snap = SnapshotMeta(
+      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+      operation = "upsert",
+      dataDirs = FileStats.dataDirsOf(fs, current) ++ delDirOpt.toSeq :+ dir,
+      addedFiles = added.map(_.path), addedRows = addedRows,
+      totalRows = current.totalRows - matched + addedRows,
+      addedFileCount = added.length.toLong,
+      schemaDdl = m.schemaDdl,
+      files = (files ++ added).sortBy(_.path),
+      deletes = prior ++ newStat.toSeq)
+    MetaIo.commit(fs, tableDir, m.copy(
+      currentSnapshotId = snapId,
+      snapshots = m.snapshots :+ snap,
+      version = m.version + 1))
+    this
+  }
+
   /** Read an explicit file subset with the declared schema. Two mappings
     * happen per file group:
     *  - hive-partitioned layouts read per snapshot-dir with `basePath`, so

@@ -663,6 +663,57 @@ object IceliteOps {
         tbl.toDF.orderBy("okey")
       }),
 
+    // K23: merge-on-read upsert — identical semantics to the K5 COW upsert
+    // (same oracle: matched rows take source values, unmatched source rows
+    // insert, unmatched target rows survive) but physically ONE atomic
+    // snapshot holding a position-delete file for the matched target rows
+    // plus the appended source files; no pre-existing data file is
+    // rewritten (asserted). The `.deletes` metadata table reports the
+    // outstanding MOR debt a compaction policy would read.
+    QDef(
+      "k23_ice_mor_upsert",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+              |UNION ALL
+              |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+              |       o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey % 2 = 0
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k23")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_mu", o.schema)
+        tbl.append(o.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+        val before = tbl.meta.currentSnapshot.get
+        val beforePaths = tbl.visibleFiles(before).map(_.path).toSet
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        tbl.upsertMor(source, keys = Seq("o_orderkey"))
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "upsert", s"got ${snap.operation}")
+        // every pre-existing data file survives byte-identical
+        require(beforePaths.subsetOf(tbl.visibleFiles(snap).map(_.path).toSet),
+          "MOR upsert must not rewrite any existing data file")
+        val ds = tbl.deletesOf(snap)
+        require(ds.nonEmpty, "matched rows must be position-deleted")
+        // matched = target keys (%3==0) that are also even
+        val expectMatched = o.filter(
+          col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0).count()
+        require(ds.map(_.rows).sum == expectMatched,
+          s"expected $expectMatched deleted positions, got ${ds.map(_.rows).sum}")
+        // the .deletes metadata view reports the same debt
+        s.conf.set("spark.sql.catalog.icelite_k23", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k23.warehouse", wh)
+        val debt = s.sql(
+          "SELECT sum(rows) FROM icelite_k23.lake.orders_mu.deletes")
+          .collect()(0).getLong(0)
+        require(debt == expectMatched, s".deletes view reports $debt")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // K22: the SQL maintenance surface — CALL procedures drive the same
     // lifecycle the API exposes (Iceberg's `CALL system.rewrite_data_files`
     // family), so schedulers and SQL-only users can run compaction and

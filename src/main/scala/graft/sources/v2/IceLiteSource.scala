@@ -538,7 +538,7 @@ private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any
   */
 private[v2] object IceLiteMeta {
 
-  val names: Set[String] = Set("snapshots", "files", "refs")
+  val names: Set[String] = Set("snapshots", "files", "refs", "deletes")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
@@ -547,6 +547,17 @@ private[v2] object IceLiteMeta {
       val rows = meta.refs.keys.toSeq.sorted
         .map(n => Array[Any](n, meta.refSnapshot(n).get))
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.refs", schema, rows)
+    case "deletes" =>
+      // outstanding position-delete files of the CURRENT snapshot (MOR):
+      // the operational view a compaction policy reads ("how much delete
+      // debt?"). One row per (delete file, data file) slice; metadata-sized
+      // by MOR design (selective deletes only).
+      val schema = StructType.fromDDL(
+        "delete_file STRING, data_file STRING, rows BIGINT")
+      val rows = meta.currentSnapshot
+        .map(s => graft.icelite.FileStats.deletesOf(fs, s)).getOrElse(Nil)
+        .flatMap(d => d.appliesTo.map(e => Array[Any](d.path, e.path, e.rows)))
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.deletes", schema, rows)
     case "snapshots" =>
       val schema = StructType.fromDDL(
         "snapshot_id BIGINT, timestamp_ms BIGINT, operation STRING, " +

@@ -681,6 +681,40 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.scan(snapshotId = Some(snap1.snapshotId)).count() == total - nCut)
   }
 
+  test("upsertMor stacks on prior deletes and matches COW upsert semantics") {
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("morup"))
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val tbl = cat.createTable("ns", "t", df.schema)
+    tbl.append(df.repartitionByRange(4, col("k")))
+    // prior MOR delete of k <= 10
+    tbl.deleteWhereMor(Seq(LessThanOrEqual("k", 10L)))
+    assert(tbl.toDF.count() == 90)
+    // MOR upsert: update k in 20..30 (11 live matches), insert k in 101..105
+    val src = ((20L to 30L) ++ (101L to 105L)).map(i => (i, s"NEW$i")).toDF("k", "v")
+    tbl.upsertMor(src, Seq("k"))
+    val snap = tbl.meta.currentSnapshot.get
+    assert(snap.operation == "upsert")
+    assert(snap.totalRows == 90 - 11 + 16, s"got ${snap.totalRows}")
+    assert(tbl.toDF.count() == 95)
+    // matched rows take source values; a row deleted EARLIER is not
+    // double-counted by the upsert's position scan
+    val got = tbl.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2.startsWith("NEW")) == 16)
+    assert(got.map(_._1).toSeq == ((11L to 105L): Seq[Long]))
+    // null-safe keys: a null-key source row matches a null-key target row
+    val nt = cat.createTable("ns", "nulls",
+      Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("k", "v").schema)
+    nt.append(Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("k", "v"))
+    nt.upsertMor(Seq((Option.empty[Long], "B")).toDF("k", "v"), Seq("k"))
+    assert(nt.toDF.orderBy("v").collect().map(_.getString(1)).toSeq == Seq("B", "a"))
+    // compact folds the stacked delete debt
+    tbl.compact(targetFiles = 2)
+    assert(tbl.deletesOf(tbl.meta.currentSnapshot.get).isEmpty)
+    assert(tbl.toDF.count() == 95)
+  }
+
   test("removeOrphanFiles sweeps aged unreferenced files, spares live data") {
     val cat = new IceCatalog(spark, scratch("orphan"))
     val tbl = cat.createTable("ns", "t", nation.schema)
