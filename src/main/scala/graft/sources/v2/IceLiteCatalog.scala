@@ -27,7 +27,7 @@ import graft.icelite.IceCatalog
   * component's write modes.
   */
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -238,6 +238,25 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 && cat.tableExists(nsOf(ident), ident.name())
+
+  // -- functions (SELECT <cat>.system.<fn>(...)) ------------------------------
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (!ident.namespace().sameElements(IceLiteProcedures.Namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    IceLiteFunctions.load(ident.name())
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(IceLiteProcedures.Namespace))
+      IceLiteFunctions.names
+        .map(n => Identifier.of(IceLiteProcedures.Namespace, n)).toArray
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().sameElements(IceLiteProcedures.Namespace) &&
+      IceLiteFunctions.names.contains(ident.name())
 
   // -- procedures (CALL <cat>.system.<proc>) ----------------------------------
 

@@ -1,0 +1,98 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+import graft.icelite.{BucketField, DaysField, PartField, Transforms, TruncateField}
+
+/** SQL faces of the hidden-partitioning transforms (`FunctionCatalog`):
+  * `SELECT <cat>.system.bucket(4, k)`, `system.days(ts)`,
+  * `system.truncate(8, s)` — the same implementation the writers and the
+  * plan-time pruner run ([[graft.icelite.Transforms.applyCatalyst]]), so a
+  * SQL user can compute exactly which partition a value lands in (the
+  * Iceberg `FunctionCatalog` parity surface). Null in, null out.
+  */
+object IceLiteFunctions {
+
+  def names: Seq[String] = Seq("bucket", "days", "truncate")
+
+  def load(name: String): UnboundFunction = name match {
+    case "bucket" => Bucket
+    case "days" => Days
+    case "truncate" => Truncate
+    case other => throw new IllegalArgumentException(
+      s"unknown icelite function '$other' (have: ${names.mkString(", ")})")
+  }
+
+  private def scalar(fname: String, field: DataType => PartField,
+      inTypes: Array[DataType], srcType: DataType, out: DataType)
+      : BoundFunction = new ScalarFunction[Any] {
+    private val f = field(srcType)
+    override def inputTypes(): Array[DataType] = inTypes
+    override def resultType(): DataType = out
+    override def name(): String = fname
+    override def canonicalName(): String = s"icelite.$fname(${srcType.simpleString})"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any = {
+      val srcIdx = inTypes.length - 1
+      if (input.isNullAt(srcIdx)) null
+      else Transforms.applyCatalyst(f, srcType, input.get(srcIdx, srcType))
+    }
+  }
+
+  private object Bucket extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): the hidden-partitioning bucket (Murmur3 mod n) col lands in"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2, "bucket takes (n INT, col)")
+      val dt = inputType(1).dataType
+      // n is fixed per spec entry; SQL binding reads it per-row, so the
+      // produceResult path re-derives the field from the row's own n
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = s"icelite.bucket(${dt.simpleString})"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Any =
+          if (input.isNullAt(0) || input.isNullAt(1)) null
+          else Transforms.applyCatalyst(
+            BucketField(input.getInt(0), "c"), dt, input.get(1, dt))
+      }
+    }
+  }
+
+  private object Days extends UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "days(ts): epoch day of a timestamp/date (the hidden days() partition value)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1, "days takes (ts TIMESTAMP | DATE)")
+      val dt = inputType(0).dataType
+      scalar("days", _ => DaysField("c"), Array(dt), dt, IntegerType)
+    }
+  }
+
+  private object Truncate extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, col): width-floored integral / w-prefix string partition value"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2, "truncate takes (w INT, col)")
+      val dt = inputType(1).dataType
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+        override def resultType(): DataType = dt
+        override def name(): String = "truncate"
+        override def canonicalName(): String = s"icelite.truncate(${dt.simpleString})"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Any =
+          if (input.isNullAt(0) || input.isNullAt(1)) null
+          else Transforms.applyCatalyst(
+            TruncateField(input.getInt(0), "c"), dt, input.get(1, dt))
+      }
+    }
+  }
+}

@@ -326,6 +326,49 @@ class CatalogSpec extends SparkSpec {
     assert(tbl.toDF.count() == 200)
   }
 
+  test("system.bucket/days/truncate SQL functions agree with the layout") {
+    val wh = configure("fn")
+    val cat = new IceCatalog(spark, wh)
+    // bucket() in SQL == Spark's hash() mod n == what the writers computed
+    val viaSql = spark.sql(
+      "SELECT id, icecat_fn.system.bucket(4, id) FROM range(0, 50)")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val viaExpr = spark.sql(
+      "SELECT id, pmod(hash(id), 4) FROM range(0, 50)")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(viaSql == viaExpr, "SQL bucket() must match the write-path hash")
+    // ... and matches the DIRECTORY each row actually landed in
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, Seq("bucket(4,k)"))
+    tbl.append(df)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS icecat_fn.lake")
+    val dirOf: Map[Long, Int] = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+      .flatMap { f =>
+        val b = f.path.split('/').find(_.startsWith("__p_k_bucket="))
+          .map(_.stripPrefix("__p_k_bucket=").toInt).getOrElse(
+            fail(s"no bucket dir in ${f.path}"))
+        spark.read.parquet(f.path).select("k").collect()
+          .map(_.getLong(0) -> b)
+      }.toMap
+    assert(dirOf == viaSql,
+      "SQL bucket() must match the directory every row actually landed in")
+    // days() and truncate() compute the documented partition values
+    val dd = spark.sql(
+      "SELECT icecat_fn.system.days(TIMESTAMP '2024-01-01 10:00:00'), " +
+        "icecat_fn.system.days(DATE '1970-01-02'), " +
+        "icecat_fn.system.truncate(10, 137), " +
+        "icecat_fn.system.truncate(3, 'abcdef'), " +
+        "icecat_fn.system.truncate(3, CAST(NULL AS STRING))").collect()(0)
+    assert(dd.getInt(0) == 19723 && dd.getInt(1) == 1)
+    assert(dd.getInt(2) == 130 && dd.getString(3) == "abc" && dd.isNullAt(4))
+    // SHOW FUNCTIONS surfaces the catalog functions
+    val shown = spark.sql("SHOW FUNCTIONS IN icecat_fn.system")
+      .collect().map(_.getString(0)).toSet
+    assert(Seq("bucket", "days", "truncate").forall(f => shown.exists(_.contains(f))),
+      s"got $shown")
+  }
+
   test("CALL system.<proc> drives the maintenance lifecycle from SQL") {
     val wh = configure("call")
     val cat = new IceCatalog(spark, wh)
