@@ -722,6 +722,14 @@ class IceTable(
     val files = visibleFiles(current)
     if (m.renames.nonEmpty || files.exists(_.rows < 0))
       return deleteWhere(filters)
+    // the position scan reads candidate files WITHOUT directory binding;
+    // identity partition columns are stored in data by every current
+    // writer, but a condition on one stays conservative: copy-on-write
+    // reads them era-correctly via readFiles
+    val idCols = (PartField.identityCols(m.partitionBy) ++
+      m.partitionSpecs.flatMap(sp => PartField.identityCols(sp.cols))).toSet
+    if (filters.exists(_.references.exists(idCols.contains)))
+      return deleteWhere(filters)
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     val cond = filters.flatMap(FilterCol.toColumn) match {
       case cols if cols.length == filters.length && cols.nonEmpty =>
@@ -814,6 +822,12 @@ class IceTable(
     }
     val files = visibleFiles(current)
     if (m.renames.nonEmpty || files.exists(_.rows < 0))
+      return upsert(df, keys)
+    // keys on identity partition columns: same conservative fallback as
+    // deleteWhereMor (the position scan has no directory binding)
+    val idCols = (PartField.identityCols(m.partitionBy) ++
+      m.partitionSpecs.flatMap(sp => PartField.identityCols(sp.cols))).toSet
+    if (keys.exists(idCols.contains))
       return upsert(df, keys)
 
     // candidate files by source key bounds — same manifest-stat pruning as
@@ -1036,8 +1050,12 @@ class IceTable(
     */
   def removeOrphanFiles(graceMs: Long = IceTable.DefaultOrphanGraceMs): Seq[String] = {
     val m = meta
+    // a snapshot references its data files AND its position-delete files —
+    // sweeping a live delete file would silently resurrect deleted rows
     val referenced: Set[String] =
-      m.snapshots.flatMap(s => visibleFiles(s).map(f => qualify(f.path))).toSet
+      m.snapshots.flatMap(s =>
+        visibleFiles(s).map(f => qualify(f.path)) ++
+          FileStats.deletesOf(fs, s).map(d => qualify(d.path))).toSet
     val dataRoot = new Path(tableDir, "data")
     if (!fs.exists(dataRoot)) return Nil
     val cutoff = System.currentTimeMillis() - graceMs

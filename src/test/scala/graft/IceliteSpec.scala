@@ -744,6 +744,16 @@ class IceliteSpec extends SparkSpec {
     tbl.snapshots.foreach(s => tbl.visibleFiles(s).foreach(f =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(f.path)),
         s"live file swept: ${f.path}")))
+    // a LIVE position-delete file is referenced metadata, never an orphan —
+    // sweeping it would silently resurrect the deleted rows
+    tbl.deleteWhereMor(Seq(
+      org.apache.spark.sql.sources.EqualTo("n_nationkey", 0)))
+    assert(tbl.toDF.count() == 24)
+    val swept = tbl.removeOrphanFiles(graceMs = -1000L)
+    // stray _SUCCESS markers are legitimately swept; the delete PARQUET is not
+    assert(!swept.exists(p => p.contains("deletes-snap") && p.endsWith(".parquet")),
+      s"live delete file swept: $swept")
+    assert(tbl.toDF.count() == 24, "MOR delete must survive the GC sweep")
   }
 
   test("zorder clusters timestamp and date dimensions in the stats' domain") {
