@@ -86,7 +86,11 @@ final case class SnapshotMeta(
     // outstanding position-delete files visible at this snapshot
     // (merge-on-read row-level deletes). TRANSIENT like `files`:
     // externalized into the manifest document at commit.
-    deletes: Seq[DeleteStat] = Nil)
+    deletes: Seq[DeleteStat] = Nil,
+    // "<queryId>/<epochId>" for snapshots committed by the native streaming
+    // sink — the idempotency marker that makes epoch replays after driver
+    // recovery no-ops instead of duplicate appends. "" for batch commits.
+    streamCommit: String = "")
 
 /** Per-data-file slice of one position-delete file: `rows` positions of
   * `path` are deleted. Keeping counts PER data file lets a copy-on-write

@@ -243,7 +243,7 @@ private[v2] class IceLiteTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** SQL `DELETE FROM <catalog>.<ns>.<tbl> WHERE …`: copy-on-write at file
     * granularity via the table layer (see IceTable.deleteWhere). Claim only

@@ -43,7 +43,9 @@ private[v2] class IceLiteWriteBuilder(
     // between planning and commit must fail the commit — a commit-time
     // baseline would wave through exactly that window
     IceLiteWriteShape.of(meta.partitionBy,
-      new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta))
+      new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta),
+      new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
+        info.queryId()))
   }
 }
 
@@ -61,10 +63,17 @@ private[v2] class IceLiteWriteBuilder(
   */
 private[v2] object IceLiteWriteShape {
 
-  def of(partitionBy: Seq[String], batch: => BatchWrite): Write = {
+  import org.apache.spark.sql.connector.write.streaming.StreamingWrite
+
+  def of(partitionBy: Seq[String], batch: => BatchWrite,
+      streaming: => StreamingWrite = null): Write = {
     val sources = graft.icelite.PartField.sources(partitionBy).distinct
     if (sources.isEmpty)
-      new Write { override def toBatch: BatchWrite = batch }
+      new Write {
+        override def toBatch: BatchWrite = batch
+        override def toStreaming: StreamingWrite =
+          Option(streaming).getOrElse(super.toStreaming)
+      }
     else
       new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
@@ -78,6 +87,8 @@ private[v2] object IceLiteWriteShape {
           sources.map(c =>
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = batch
+        override def toStreaming: StreamingWrite =
+          Option(streaming).getOrElse(super.toStreaming)
       }
   }
 }
@@ -186,6 +197,111 @@ private[v2] class IceLiteBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val staging = new Path(tableDir, s"data/$stagingName")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    ()
+  }
+}
+
+/** Native streaming sink: `df.writeStream.format("icelite")...start()` —
+  * one snapshot per micro-batch epoch (the same snapshot-per-batch shape as
+  * the foreachBatch pattern, without the boilerplate). Task mechanics are
+  * identical to the batch append (per-epoch staging dir, executor-side
+  * footer stats, abort cleanup); `commit(epoch)` publishes the staging dir
+  * and appends a snapshot stamped `<queryId>/<epochId>`, which makes the
+  * epoch replay after a driver recovery a NO-OP instead of a duplicate
+  * append — exactly-once into the table on top of Spark's offset log.
+  */
+private[v2] class IceLiteStreamingWrite(
+    warehouse: String, ns: String, table: String, schema: StructType,
+    m0: graft.icelite.TableMeta, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingBase = s".streaming-${UUID.randomUUID()}"
+
+  private def tableDir = new Path(new Path(warehouse, ns), table)
+  private def hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs = tableDir.getFileSystem(hadoopConf)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val tableSchema = StructType.fromDDL(m0.schemaDdl)
+    require(tableSchema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+      s"schema mismatch streaming into $ns.$table: " +
+        s"incoming ${schema.fieldNames.toSeq.sorted} vs table ${tableSchema.fieldNames.toSeq.sorted}")
+    m0.partitionBy.foreach(entry =>
+      graft.icelite.Transforms.validate(tableSchema, entry))
+    val base = new Path(tableDir, s"data/$stagingBase").toString
+    val ddl = schema.toDDL
+    val partBy = m0.partitionBy
+    val conf = new SerializableConfiguration(hadoopConf)
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      new IceLiteDataWriter(s"$base-e$epochId", StructType.fromDDL(ddl),
+        partBy, partitionId, taskId, conf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val sc = s"$queryId/$epochId"
+    val staging = new Path(tableDir, s"data/$stagingBase-e$epochId")
+    // epoch replay after recovery: the snapshot is already committed —
+    // drop the replayed output instead of appending it twice
+    if (MetaIo.read(fs, tableDir).snapshots.exists(_.streamCommit == sc)) {
+      if (fs.exists(staging)) fs.delete(staging, true)
+      return
+    }
+    val snapId0 = MetaIo.read(fs, tableDir)
+      .snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val pubName =
+      f"snap-$snapId0%05d-${stagingBase.stripPrefix(".streaming-").take(8)}-e$epochId"
+    val dataDir = new Path(tableDir, s"data/$pubName")
+    if (!fs.exists(staging)) fs.mkdirs(staging) // empty epoch
+    require(fs.rename(staging, dataDir),
+      s"failed to publish streaming epoch $epochId for $ns.$table")
+    val added = messages.collect { case msg: IceLiteCommitMessage =>
+      msg.stats.map(st => st.copy(path = fs.makeQualified(new Path(
+        st.path.replace(s"data/$stagingBase-e$epochId", s"data/$pubName"))).toString))
+    }.toSeq.flatten.sortBy(_.path)
+    val rows = added.map(_.rows).sum
+    var attempts = 0
+    while (true) {
+      val m = MetaIo.read(fs, tableDir)
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
+        s"streaming write into $ns.$table raced a concurrent schema change — aborting")
+      val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val prev = m.currentSnapshot
+      val carried: Seq[FileStat] =
+        prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
+      val snap = SnapshotMeta(
+        snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+        operation = "append",
+        dataDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
+          :+ dataDir.toString,
+        addedFiles = added.map(_.path), addedRows = rows,
+        totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
+        addedFileCount = added.length.toLong,
+        schemaDdl = m.schemaDdl,
+        files = (carried ++ added).sortBy(_.path),
+        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil),
+        streamCommit = sc)
+      try {
+        MetaIo.commit(fs, tableDir, m.copy(
+          currentSnapshotId = snapId,
+          snapshots = m.snapshots :+ snap,
+          version = m.version + 1))
+        return
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(tableDir, s"data/$stagingBase-e$epochId")
     if (fs.exists(staging)) fs.delete(staging, true)
     ()
   }

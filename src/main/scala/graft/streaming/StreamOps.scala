@@ -211,6 +211,38 @@ object StreamOps {
         cat.loadTable("lake", "events_s").toDF.orderBy("event_id")
       }),
 
+    // The NATIVE streaming sink (round 5): the same snapshot-per-epoch
+    // ingestion as st4 without foreachBatch boilerplate —
+    // `writeStream.format("icelite")` commits one append snapshot per
+    // micro-batch, stamped "<queryId>/<epochId>" so an epoch replayed
+    // after driver recovery is a no-op instead of a duplicate append:
+    // exactly-once into the table on top of Spark's offset log (DsV2Spec
+    // proves the restart path).
+    QDef(
+      "st7_stream_native_sink",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.freshWarehouse(s, "st7")
+        val cat = new graft.icelite.IceCatalog(s, wh)
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val schema = QUtil.t(s, dir, "events").selectExpr(cols: _*).schema
+        val tbl = cat.createTable("lake", "events_ns", schema)
+        val ckpt = Files.createTempDirectory("graft-stream-st7").toString
+        val q = eventStream(s, dir)
+          .selectExpr(cols: _*)
+          .writeStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_ns")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(tbl.snapshots.nonEmpty &&
+          tbl.snapshots.forall(sn => sn.operation == "append" && sn.streamCommit.nonEmpty),
+          "native sink must stamp append snapshots with the epoch marker")
+        tbl.toDF.orderBy("event_id")
+      }),
+
     // Streaming SOURCE over the IceLite table layer: readStream tails the
     // append-snapshot log (offsets = snapshot ids, each micro-batch reads
     // exactly the files added by its snapshot range — change-volume cost,
