@@ -460,6 +460,34 @@ class IceTable(
     call_function("zorder_key", norm: _*)
   }
 
+  /** Fold outstanding position deletes by rewriting ONLY the data files
+    * they touch (the `rewrite_position_delete_files` maintenance analog):
+    * affected files are re-read with their deletes applied and rewritten;
+    * every clean file carries forward untouched. On a 100 TB table with
+    * 0.1% delete debt this rewrites ~0.1% of the data where a full
+    * [[compact]] would rewrite everything — and it restores columnar
+    * decode for the whole table (scans drop to row-based reads while any
+    * delete is outstanding). No-op when no deletes exist.
+    */
+  def rewriteDeletes(): IceTable = {
+    val m = meta
+    val current = m.currentSnapshot.getOrElse(return this)
+    val dels = FileStats.deletesOf(fs, current)
+    if (dels.isEmpty) return this
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val files = visibleFiles(current)
+    val affected = dels.flatMap(_.dataFiles).toSet
+    val (cands, untouched) = files.partition(f => affected(qualify(f.path)))
+    val currentDirs = FileStats.dataDirsOf(fs, current)
+    val src = readFiles(m, tableSchema, cands, currentDirs, dels)
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val (dir, added) = writeData(src, snapId, m.partitionBy)
+    val untouchedDirs = currentDirs
+      .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
+    commitSnapshot(m, "compact", untouchedDirs :+ dir, added,
+      carried = untouched) // deletes folded: none carried
+  }
+
   /** Change the table's partition layout for FUTURE writes (Iceberg's
     * partition evolution): a pure metadata commit — no data moves. Files
     * already written keep their era's layout and stay fully readable: the

@@ -91,6 +91,18 @@ object IceLiteProcedures {
         val tbl = loadTable(cat, s(in, 0)).fastForward(s(in, 1))
         out(s(in, 0), tbl.meta.currentSnapshotId)
       })),
+    // fold MOR delete debt by rewriting ONLY the affected data files
+    "rewrite_position_deletes" -> (wh => new IceProc(wh, "rewrite_position_deletes",
+      Seq(p("table", StringType)),
+      StructType.fromDDL("table STRING, rewritten_files INT, folded_rows BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val before = tbl.meta.currentSnapshot
+          .map(sn => tbl.deletesOf(sn)).getOrElse(Nil)
+        val affected = before.flatMap(_.dataFiles).distinct.length
+        tbl.rewriteDeletes()
+        out(s(in, 0), affected, before.map(_.rows).sum)
+      })),
     "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
       Seq(p("table", StringType),
         pd("older_than_ms", LongType, IceTable.DefaultOrphanGraceMs.toString)),

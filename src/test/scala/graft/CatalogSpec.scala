@@ -405,6 +405,14 @@ class CatalogSpec extends SparkSpec {
     val og = spark.sql(
       "CALL icecat_call.system.remove_orphan_files('lake.n')").collect()(0)
     assert(og.getLong(1) == 0L)
+    // MOR delete + targeted fold, both from SQL
+    tbl.deleteWhereMor(Seq(
+      org.apache.spark.sql.sources.EqualTo("n_nationkey", 0)))
+    val rp = spark.sql(
+      "CALL icecat_call.system.rewrite_position_deletes('lake.n')").collect()(0)
+    assert(rp.getInt(1) == 1 && rp.getLong(2) == 1L, s"got $rp")
+    assert(tbl.deletesOf(tbl.meta.currentSnapshot.get).isEmpty)
+    assert(tbl.toDF.count() == 24)
     // unknown procedure fails loudly
     intercept[Exception](spark.sql("CALL icecat_call.system.nope('lake.n')"))
   }

@@ -670,11 +670,22 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.toDF.count() == total - nCut)
     assert(tbl.toDF.filter(col("o_orderkey") === minLeft).count() == 1)
 
-    // compact folds every delete away: clean files, columnar reads again
-    tbl.compact(targetFiles = 2)
+    // rewriteDeletes folds the debt by rewriting ONLY the affected files:
+    // clean files carry forward byte-identical, deletes vanish, and the
+    // whole table is columnar again — without a full compaction
+    val beforeFold = tbl.meta.currentSnapshot.get
+    val cleanBefore = tbl.visibleFiles(beforeFold).map(_.path).toSet --
+      tbl.deletesOf(beforeFold).flatMap(_.dataFiles)
+    tbl.rewriteDeletes()
     val folded = tbl.meta.currentSnapshot.get
-    assert(tbl.deletesOf(folded).isEmpty, "compact must fold deletes away")
+    assert(tbl.deletesOf(folded).isEmpty, "rewriteDeletes must fold all deletes")
+    assert(cleanBefore.subsetOf(tbl.visibleFiles(folded).map(_.path).toSet),
+      "clean files must carry forward untouched")
     assert(folded.totalRows == total - nCut)
+    assert(tbl.toDF.count() == total - nCut)
+    assert(tbl.rewriteDeletes() eq tbl, "no deletes -> no-op")
+    // a later full compact still works and preserves content
+    tbl.compact(targetFiles = 2)
     assert(tbl.toDF.count() == total - nCut)
     // time travel across the whole MOR history stays exact
     assert(tbl.scan(snapshotId = Some(1L)).count() == total)
