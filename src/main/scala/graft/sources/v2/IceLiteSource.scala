@@ -889,11 +889,15 @@ private[v2] class IceLiteScan(
     val rgFilters =
       if (rowLevel.isDefined) Array.empty[Filter]
       else filters.filter(_.references.forall(r => !touched.contains(r)))
-    // any outstanding delete flips the WHOLE scan to row-based reads
-    // (Spark refuses mixed row/columnar partitions within one scan);
-    // compact() folds deletes away and restores columnar decode
+    // a delete touching any STATICALLY planned file flips the WHOLE scan
+    // to row-based reads (Spark refuses mixed row/columnar partitions
+    // within one scan); runtime filters only shrink the planned set, so
+    // the decision is stable. A scan that prunes every affected file away
+    // — and any scan after compact()/rewriteDeletes() — stays columnar.
+    val rowMode = deletes.nonEmpty &&
+      planned.exists { case (f, _) => deletes.exists(_.dataFiles.contains(f.path)) }
     IceLiteV2.readerFactory(dataSchema, partSchema, rgFilters, limit,
-      rowMode = deletes.nonEmpty)
+      rowMode = rowMode)
   }
 
   /** The micro-batch face of the same table: offsets are snapshot ids and
