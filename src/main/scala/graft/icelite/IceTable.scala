@@ -806,22 +806,66 @@ class IceTable(
     require(delFiles.nonEmpty, "position-delete write produced no file")
     val stat = DeleteStat(delFiles.head,
       perFile.map { case (p, n) => DeleteFileEntry(p, n) }.toSeq)
-    val deletedRows = stat.rows
-    val snap = SnapshotMeta(
-      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-      operation = "delete",
-      dataDirs = FileStats.dataDirsOf(fs, current) :+ delDir.toString,
-      addedFiles = Nil, addedRows = 0L,
-      totalRows = current.totalRows - deletedRows,
-      addedFileCount = 0L,
-      schemaDdl = m.schemaDdl,
-      files = files,
-      deletes = prior :+ stat)
-    MetaIo.commit(fs, tableDir, m.copy(
-      currentSnapshotId = snapId,
-      snapshots = m.snapshots :+ snap,
-      version = m.version + 1))
-    this
+    commitMorDelta(m, stat, added = Nil, newDataDir = None,
+      delDir = Some(delDir.toString), operation = "delete")
+  }
+
+  /** Commit a merge-on-read delta (a new position-delete file and/or newly
+    * appended data files) with optimistic retry: the positions were
+    * computed against immutable files, so they stay valid against any
+    * newer snapshot that (a) still carries every affected file, (b) has
+    * the same outstanding delete set the positions were diffed against,
+    * and (c) saw no schema/spec change. A concurrent APPEND satisfies all
+    * three and the commit re-attaches; anything else aborts loudly.
+    */
+  private def commitMorDelta(m0: TableMeta, stat: DeleteStat,
+      added: Seq[FileStat], newDataDir: Option[String],
+      delDir: Option[String], operation: String): IceTable = {
+    val prior0 = m0.currentSnapshot.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
+    val addedRows = added.map(_.rows).sum
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
+        s"$operation on $namespace.$name raced a concurrent schema change — aborting")
+      val current = m.currentSnapshot.getOrElse(
+        throw new IllegalStateException(
+          s"$operation on $namespace.$name: table became empty mid-commit"))
+      val files = visibleFiles(current)
+      val prior = FileStats.deletesOf(fs, current)
+      val paths = files.map(f => qualify(f.path)).toSet
+      require(stat.appliesTo.forall(e => paths(e.path)),
+        s"$operation on $namespace.$name raced a rewrite of an affected file — aborting")
+      require(prior == prior0,
+        s"$operation on $namespace.$name raced a concurrent row-level delete — aborting")
+      val deletedRows = stat.rows
+      val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val snap = SnapshotMeta(
+        snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+        operation = operation,
+        dataDirs = FileStats.dataDirsOf(fs, current) ++ delDir.toSeq ++ newDataDir.toSeq,
+        addedFiles = added.map(_.path), addedRows = addedRows,
+        totalRows = current.totalRows - deletedRows + addedRows,
+        addedFileCount = added.length.toLong,
+        schemaDdl = m.schemaDdl,
+        files = (files ++ added).sortBy(_.path),
+        deletes = if (stat.appliesTo.isEmpty) prior else prior :+ stat)
+      try {
+        MetaIo.commit(fs, tableDir, m.copy(
+          currentSnapshotId = snapId,
+          snapshots = m.snapshots :+ snap,
+          version = m.version + 1))
+        return this
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
   }
 
   private def trimDeletes(ds: Seq[DeleteStat], keep: Set[String]): Seq[DeleteStat] =
@@ -917,32 +961,18 @@ class IceTable(
         }
       }
 
-    val (dir, added) = writeData(src, snapId, m.partitionBy)
-    val newStat: Option[DeleteStat] = delDirOpt.map { dd =>
+    // write the source into a writer-unique dir (like append): a lost
+    // commit race re-attaches the same files on retry
+    val (dir, added) = writeData(src, snapId, m.partitionBy, uniqueDir = true)
+    val newStat: DeleteStat = delDirOpt.map { dd =>
       val it = fs.listFiles(new Path(dd), true)
       val delFiles = Iterator.continually(it).takeWhile(_.hasNext)
         .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
         .map(_.toString).toSeq.sorted
       DeleteStat(delFiles.head,
         perFile.map { case (p, n) => DeleteFileEntry(p, n) }.toSeq)
-    }
-    val matched = newStat.map(_.rows).sum
-    val addedRows = added.map(_.rows).sum
-    val snap = SnapshotMeta(
-      snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-      operation = "upsert",
-      dataDirs = FileStats.dataDirsOf(fs, current) ++ delDirOpt.toSeq :+ dir,
-      addedFiles = added.map(_.path), addedRows = addedRows,
-      totalRows = current.totalRows - matched + addedRows,
-      addedFileCount = added.length.toLong,
-      schemaDdl = m.schemaDdl,
-      files = (files ++ added).sortBy(_.path),
-      deletes = prior ++ newStat.toSeq)
-    MetaIo.commit(fs, tableDir, m.copy(
-      currentSnapshotId = snapId,
-      snapshots = m.snapshots :+ snap,
-      version = m.version + 1))
-    this
+    }.getOrElse(DeleteStat("", Nil))
+    commitMorDelta(m, newStat, added, Some(dir), delDirOpt, "upsert")
   }
 
   /** Read an explicit file subset with the declared schema. Two mappings

@@ -692,6 +692,31 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.scan(snapshotId = Some(snap1.snapshotId)).count() == total - nCut)
   }
 
+  test("a MOR delete racing a concurrent append retries and both land") {
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("morrace"))
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val extra = (101L to 120L).map(i => (i, s"v$i")).toDF("k", "v")
+    val tbl = cat.createTable("ns", "t", df.schema)
+    tbl.append(df.repartitionByRange(4, col("k")))
+    // an append and a position-delete race: the delete's positions target
+    // immutable files the append carries unchanged, so the loser's commit
+    // re-attaches instead of throwing
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(tbl.append(extra)),
+      Future(tbl.deleteWhereMor(Seq(LessThanOrEqual("k", 10L)))))), 120.seconds)
+    assert(tbl.snapshots.length == 3, s"both commits must land: ${tbl.snapshots}")
+    // deleted rows gone, appended rows present, regardless of commit order
+    assert(tbl.toDF.count() == 110, s"got ${tbl.toDF.count()}")
+    assert(tbl.toDF.filter(col("k") <= 10).count() == 0)
+    assert(tbl.toDF.filter(col("k") > 100).count() == 20)
+    assert(tbl.meta.currentSnapshot.get.totalRows == 110)
+  }
+
   test("upsertMor stacks on prior deletes and matches COW upsert semantics") {
     import org.apache.spark.sql.sources.LessThanOrEqual
     import spark.implicits._
