@@ -55,6 +55,21 @@ final case class DaysField(source: String) extends PartField {
   def spec: String = s"days($source)"
 }
 
+final case class MonthsField(source: String) extends PartField {
+  def fieldName: String = s"${source}_month"
+  def spec: String = s"months($source)"
+}
+
+final case class YearsField(source: String) extends PartField {
+  def fieldName: String = s"${source}_year"
+  def spec: String = s"years($source)"
+}
+
+final case class HoursField(source: String) extends PartField {
+  def fieldName: String = s"${source}_hour"
+  def spec: String = s"hours($source)"
+}
+
 final case class TruncateField(w: Int, source: String) extends PartField {
   def fieldName: String = s"${source}_trunc"
   def spec: String = s"truncate($w,$source)"
@@ -64,11 +79,17 @@ object PartField {
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
   private val DaysRe = """days?\(\s*([^)\s]+)\s*\)""".r
+  private val MonthsRe = """months?\(\s*([^)\s]+)\s*\)""".r
+  private val YearsRe = """years?\(\s*([^)\s]+)\s*\)""".r
+  private val HoursRe = """hours?\(\s*([^)\s]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
 
   def parse(entry: String): PartField = entry.trim match {
     case BucketRe(n, c) => BucketField(n.toInt, c)
     case DaysRe(c) => DaysField(c)
+    case MonthsRe(c) => MonthsField(c)
+    case YearsRe(c) => YearsField(c)
+    case HoursRe(c) => HoursField(c)
     case TruncRe(w, c) => TruncateField(w.toInt, c)
     case c => IdentityField(c)
   }
@@ -121,6 +142,15 @@ object Transforms {
       case DaysField(c) =>
         require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
           s"icelite: days source $c must be a date or timestamp, got ${dt.simpleString}")
+      case MonthsField(c) =>
+        require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+          s"icelite: months source $c must be a date or timestamp, got ${dt.simpleString}")
+      case YearsField(c) =>
+        require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+          s"icelite: years source $c must be a date or timestamp, got ${dt.simpleString}")
+      case HoursField(c) =>
+        require(dt == TimestampType || dt == TimestampNTZType,
+          s"icelite: hours source $c must be a timestamp, got ${dt.simpleString}")
       case TruncateField(w, c) =>
         require(w >= 1, s"icelite: truncate($w, $c) needs W >= 1")
         require(dt match {
@@ -147,6 +177,16 @@ object Transforms {
         floor(unix_micros(col(c).cast("timestamp")) / lit(MicrosPerDay.toDouble))
           .cast("int")
     }
+    // months/years ride Spark's calendar functions; graft sessions pin UTC,
+    // and applyCatalyst mirrors with java.time UTC math
+    case MonthsField(c) =>
+      ((org.apache.spark.sql.functions.year(col(c)) - lit(1970)) * lit(12) +
+        org.apache.spark.sql.functions.month(col(c)) - lit(1)).cast("int")
+    case YearsField(c) =>
+      (org.apache.spark.sql.functions.year(col(c)) - lit(1970)).cast("int")
+    case HoursField(c) =>
+      floor(unix_micros(col(c).cast("timestamp")) / lit(3600000000L.toDouble))
+        .cast("int")
     case TruncateField(w, c) => dt match {
       case StringType => substring(col(c), 1, w)
       // width-floor that is exact for negatives too (pmod >= 0)
@@ -171,6 +211,12 @@ object Transforms {
         case DateType => v.asInstanceOf[Number].intValue
         case _ => Math.floorDiv(v.asInstanceOf[Number].longValue, MicrosPerDay).toInt
       }
+      case MonthsField(_) =>
+        val d = localDateOf(dt, v)
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      case YearsField(_) => localDateOf(dt, v).getYear - 1970
+      case HoursField(_) =>
+        Math.floorDiv(v.asInstanceOf[Number].longValue, 3600000000L).toInt
       case TruncateField(w, _) => dt match {
         case StringType =>
           val s = v.toString
@@ -184,6 +230,15 @@ object Transforms {
           }
       }
     }
+  }
+
+  /** UTC calendar date of a catalyst date (epoch-day Int) or timestamp
+    * (epoch-micros Long) value — the shared month/year math.
+    */
+  private def localDateOf(dt: DataType, v: Any): java.time.LocalDate = dt match {
+    case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue)
+    case _ => java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(v.asInstanceOf[Number].longValue, MicrosPerDay))
   }
 
   /** External filter value -> catalyst value of the source type, for
@@ -294,11 +349,11 @@ object TransformPrune {
       }
     }
 
-  /** Range predicate vs a MONOTONIC transform (days, integer truncate):
-    * `lower = true` for `source > / >= v`. Rows of the file live in
-    * `[dirVal, dirVal + width)` of the transform's domain; v maps to
-    * `t0 = transform(v)` — overlap exists iff dirVal >= t0 (lower bound)
-    * / dirVal <= t0 (upper bound). Bucket and string-truncate are
+  /** Range predicate vs a MONOTONIC transform (days/months/years/hours,
+    * integer truncate): `lower = true` for `source > / >= v`. Rows of the
+    * file live in `[dirVal, dirVal + width)` of the transform's domain; v
+    * maps to `t0 = transform(v)` — overlap exists iff dirVal >= t0 (lower
+    * bound) / dirVal <= t0 (upper bound). Bucket and string-truncate are
     * non-monotonic here and never prune ranges.
     */
   private def rangePossible(c: String, v: Any, ts: Seq[PartField],
@@ -308,7 +363,8 @@ object TransformPrune {
       Transforms.toCatalyst(dt, v) match {
         case None => true
         case Some(cv) => ts.forall {
-          case t @ (DaysField(_) | TruncateField(_, _))
+          case t @ (DaysField(_) | MonthsField(_) | YearsField(_) |
+                    HoursField(_) | TruncateField(_, _))
               if !(t.isInstanceOf[TruncateField] && dt == StringType) =>
             raw(t.fieldName) match {
               case None => false // all-null source never satisfies a comparison

@@ -122,9 +122,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         case "identity" => ref
         case "bucket" => s"bucket($intArg,$ref)"
         case "days" | "day" => s"days($ref)"
+        case "months" | "month" => s"months($ref)"
+        case "years" | "year" => s"years($ref)"
+        case "hours" | "hour" => s"hours($ref)"
         case "truncate" => s"truncate($intArg,$ref)"
         case other => throw new UnsupportedOperationException(
-          s"icelite supports identity/bucket/days/truncate partitioning; got $other")
+          s"icelite supports identity/bucket/days/months/years/hours/" +
+            s"truncate partitioning; got $other")
       }
     }
     cat.createTable(nsOf(ident), ident.name(), schema, partitionBy)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 
-import graft.icelite.{BucketField, DaysField, PartField, Transforms, TruncateField}
+import graft.icelite.{BucketField, DaysField, HoursField, MonthsField, PartField, Transforms, TruncateField, YearsField}
 
 /** SQL faces of the hidden-partitioning transforms (`FunctionCatalog`):
   * `SELECT <cat>.system.bucket(4, k)`, `system.days(ts)`,
@@ -15,15 +15,31 @@ import graft.icelite.{BucketField, DaysField, PartField, Transforms, TruncateFie
   */
 object IceLiteFunctions {
 
-  def names: Seq[String] = Seq("bucket", "days", "truncate")
+  def names: Seq[String] = Seq("bucket", "days", "months", "years", "hours", "truncate")
 
   def load(name: String): UnboundFunction = name match {
     case "bucket" => Bucket
     case "days" => Days
+    case "months" => temporal("months", MonthsField("c"))
+    case "years" => temporal("years", YearsField("c"))
+    case "hours" => temporal("hours", HoursField("c"))
     case "truncate" => Truncate
     case other => throw new IllegalArgumentException(
       s"unknown icelite function '$other' (have: ${names.mkString(", ")})")
   }
+
+  /** One-argument temporal transform function (months/years/hours). */
+  private def temporal(fname: String, field: PartField): UnboundFunction =
+    new UnboundFunction {
+      override def name(): String = fname
+      override def description(): String =
+        s"$fname(ts): the hidden $fname() partition value of a timestamp/date"
+      override def bind(inputType: StructType): BoundFunction = {
+        require(inputType.length == 1, s"$fname takes one timestamp/date argument")
+        val dt = inputType(0).dataType
+        scalar(fname, _ => field, Array(dt), dt, IntegerType)
+      }
+    }
 
   private def scalar(fname: String, field: DataType => PartField,
       inTypes: Array[DataType], srcType: DataType, out: DataType)

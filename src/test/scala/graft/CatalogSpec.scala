@@ -198,10 +198,14 @@ class CatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE icecat_ctaspart.lake.b (id BIGINT) " +
       "PARTITIONED BY (bucket(4, id))")
     assert(cat.loadTable("lake", "b").meta.partitionBy == Seq("bucket(4,id)"))
-    // unsupported temporal granularity still fails loudly
+    // the full temporal family parses into canonical specs
+    spark.sql("CREATE TABLE icecat_ctaspart.lake.c (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    assert(cat.loadTable("lake", "c").meta.partitionBy == Seq("months(ts)"))
+    // an unknown transform still fails loudly
     intercept[Exception] {
-      spark.sql("CREATE TABLE icecat_ctaspart.lake.c (id BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (hours(ts))")
+      spark.sql("CREATE TABLE icecat_ctaspart.lake.d (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (fortnights(ts))")
     }
   }
 
@@ -359,9 +363,13 @@ class CatalogSpec extends SparkSpec {
         "icecat_fn.system.days(DATE '1970-01-02'), " +
         "icecat_fn.system.truncate(10, 137), " +
         "icecat_fn.system.truncate(3, 'abcdef'), " +
-        "icecat_fn.system.truncate(3, CAST(NULL AS STRING))").collect()(0)
+        "icecat_fn.system.truncate(3, CAST(NULL AS STRING)), " +
+        "icecat_fn.system.months(DATE '2024-03-15'), " +
+        "icecat_fn.system.years(TIMESTAMP '2024-03-15 08:00:00'), " +
+        "icecat_fn.system.hours(TIMESTAMP '1970-01-02 01:30:00')").collect()(0)
     assert(dd.getInt(0) == 19723 && dd.getInt(1) == 1)
     assert(dd.getInt(2) == 130 && dd.getString(3) == "abc" && dd.isNullAt(4))
+    assert(dd.getInt(5) == 650 && dd.getInt(6) == 54 && dd.getInt(7) == 25)
     // SHOW FUNCTIONS surfaces the catalog functions
     val shown = spark.sql("SHOW FUNCTIONS IN icecat_fn.system")
       .collect().map(_.getString(0)).toSet

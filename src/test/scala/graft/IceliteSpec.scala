@@ -630,6 +630,18 @@ class IceliteSpec extends SparkSpec {
     // 2024-01-01 / 2024-01-02 = epoch days 19723 / 19724
     assert(dayDirs == Set("__p_ts_day=19723", "__p_ts_day=19724"),
       s"days(ts) must render epoch-day dirs, got $dayDirs")
+    // the coarser temporal grains lay out and render their documented values
+    val t3 = cat.createTable("ns", "ts_m", ts.schema,
+      partitionBy = Seq("months(ts)"))
+    t3.append(ts.withColumn("ts",
+      org.apache.spark.sql.functions.add_months(col("ts"), col("id").cast("int") * 2)
+        .cast("timestamp")))
+    val monthDirs = t3.visibleFiles(t3.meta.currentSnapshot.get)
+      .flatMap(_.path.split('/').find(_.startsWith("__p_ts_month="))).toSet
+    // 2024-03 = (2024-1970)*12 + 2 = 650; 2024-05 = 652
+    assert(monthDirs == Set("__p_ts_month=650", "__p_ts_month=652"),
+      s"months(ts) must render months-since-epoch dirs, got $monthDirs")
+    assert(t3.toDF.count() == 2)
   }
 
   test("merge-on-read deletes: position files, carried by writes, folded by compact") {
