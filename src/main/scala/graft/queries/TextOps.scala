@@ -450,6 +450,59 @@ object TextOps {
             octet_length(col("text")).as("n_bytes"),
             sha2(col("text"), 256).as("content_id"),
             substring(md5(col("text")), 1, 16).as("short_id"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Token-budgeted data MIXING (round 5) — the mixture-rebalancing pass a
+    // training pipeline runs after filtering: each language gets a token
+    // budget (60% of the uniform per-language share here; any policy works)
+    // and is deterministically DOWNSAMPLED to it. Selection is a pure
+    // function of doc_id — keep iff the first 8 md5 hex digits sort below
+    // the language's fraction threshold — so the sample is reproducible,
+    // shuffle-free (one broadcast of per-language thresholds; the corpus is
+    // touched once), and any engine recomputes the identical subset. Over-
+    // budget languages shrink toward the target; under-budget ones pass
+    // through whole (f clamps at 1).
+    QDef(
+      "x26_token_budget_mix",
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    len(string_split_regex(trim(text), '\s+')) AS tokens
+             |  FROM documents),
+             |pl AS (SELECT lang, SUM(tokens) AS lang_tokens FROM d GROUP BY lang),
+             |st AS (SELECT SUM(lang_tokens) AS all_tokens, COUNT(*) AS n_langs FROM pl),
+             |fr AS (SELECT lang,
+             |         LEAST(1.0, (0.6 * (CAST(all_tokens AS DOUBLE) / n_langs))
+             |                    / CAST(lang_tokens AS DOUBLE)) AS f
+             |       FROM pl, st),
+             |th AS (SELECT lang, CASE WHEN f >= 1.0 THEN 'g'
+             |         ELSE printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)) END AS thr
+             |       FROM fr)
+             |SELECT d.doc_id, d.lang, d.tokens
+             |FROM d JOIN th ON d.lang = th.lang
+             |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).as("tokens"))
+        val perLang = d.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
+        val stats = perLang.agg(
+          sum("lang_tokens").as("all_tokens"), count(lit(1)).as("n_langs"))
+        // per-language keep fraction -> an 8-hex-digit md5 threshold. The
+        // arithmetic shapes mirror the oracle exactly (same IEEE op order),
+        // so the thresholds — and therefore the sample — are bit-identical.
+        val thr = perLang.crossJoin(broadcast(stats))
+          .withColumn("f", least(lit(1.0),
+            (lit(0.6) * (col("all_tokens").cast("double") / col("n_langs")))
+              / col("lang_tokens").cast("double")))
+          .withColumn("thr", when(col("f") >= 1.0, lit("g"))
+            .otherwise(format_string("%08x",
+              floor(col("f") * lit(4294967296.0)).cast("long"))))
+          .select("lang", "thr")
+        d.join(broadcast(thr), "lang")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+          .select(col("doc_id"), col("lang"), col("tokens"))
+          .orderBy("doc_id")
+      })
   )
 }
