@@ -468,18 +468,27 @@ object RelationalExt {
 
     // HLL sketch cardinality (approx_count_distinct): the constant-memory
     // alternative to a2 at 100 TB. Sketches merge associatively, so the agg
-    // is map-side combinable with no distinct shuffle. No cross-engine
-    // oracle (sketch internals differ) -> driver's rows-only check; the
-    // companion spec asserts the estimate lands within HLL error of exact.
+    // is map-side combinable with no distinct shuffle. Sketch ESTIMATES
+    // differ across engines, so the oracle gates the error BOUND instead:
+    // the query emits exact counts plus a within-tolerance flag (HLL at
+    // rsd=0.02 against a 5x slack), and DuckDB states exact + literal true
+    // — an estimate drifting out of tolerance flips the flag and fails the
+    // hash compare. The approximate op is thereby oracle-gated without
+    // pretending sketch internals are portable.
     QDef(
       "a3_hll_approx",
-      None,
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             |  true AS approx_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) =>
         t(s, dir, "events")
           .groupBy("event_type")
           .agg(
             approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
             countDistinct("user_id").as("exact_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users"))
+              .cast("double") / col("exact_users") <= 0.10).as("approx_ok"))
           .orderBy("event_type"))
   )
 }
