@@ -167,6 +167,25 @@ object FilePrune {
       hi <- parseStat(schema(c).dataType, hiS)
     } yield (lo, hi)
 
+  /** Conservative overlap test between two FileStats-encoded stat ranges of
+    * column `c` — the equality-delete planning primitive: a data file whose
+    * range for every key column provably misses the delete file's key range
+    * cannot contain a deleted row. Missing or unparseable stats on either
+    * side (or an unknown column) mean "cannot prove disjoint" = true.
+    */
+  def statRangesOverlap(schema: StructType, c: String,
+      aMin: Option[String], aMax: Option[String],
+      bMin: Option[String], bMax: Option[String]): Boolean = {
+    if (!schema.fieldNames.contains(c)) return true
+    val dt = schema(c).dataType
+    val proof = for {
+      alS <- aMin; ahS <- aMax; blS <- bMin; bhS <- bMax
+      al <- parseStat(dt, alS); ah <- parseStat(dt, ahS)
+      bl <- parseStat(dt, blS); bh <- parseStat(dt, bhS)
+    } yield cmpDom(al, bh) <= 0 && cmpDom(bl, ah) <= 0
+    proof.getOrElse(true)
+  }
+
   /** Types the z-order clusterer can normalize into a bit budget. */
   def zorderable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |

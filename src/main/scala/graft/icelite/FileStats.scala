@@ -71,16 +71,36 @@ object FileStats {
     if (snap.deletes.nonEmpty || snap.manifestFile.isEmpty) snap.deletes
     else MetaIo.readManifestDoc(fs, snap.manifestFile).deletes
 
-  /** Carry position deletes forward across a copy-on-write rewrite,
-    * restricted to data files that survive untouched (the rewrite already
-    * applied the deletes of the files it replaced). Per-file counts keep
-    * row accounting exact after the trim.
+  /** Carry deletes forward across a copy-on-write rewrite of some files.
+    * Position entries are trimmed to data files that survive untouched (the
+    * rewrite already applied the deletes of the files it replaced).
+    * Equality deletes carry WHOLE: untouched old-era files still need them,
+    * and the rewritten files escape by construction (their new era is past
+    * the delete's `seqId`), so no trim is needed or possible.
     */
   def trimDeletes(ds: Seq[DeleteStat], keep: Set[String]): Seq[DeleteStat] =
     ds.flatMap { d =>
-      val kept = d.appliesTo.filter(e => keep(e.path))
-      if (kept.isEmpty) None else Some(d.copy(appliesTo = kept))
+      if (d.isEquality) Some(d)
+      else {
+        val kept = d.appliesTo.filter(e => keep(e.path))
+        if (kept.isEmpty) None else Some(d.copy(appliesTo = kept))
+      }
     }
+
+  /** Could the equality delete `d` affect any row of data file `f`? True
+    * iff the file's era strictly precedes the delete's sequence, the file
+    * is not the delete's own same-snapshot data directory, and every key
+    * column's stat range overlaps the delete's key bounds (missing stats on
+    * either side stay conservative). Position deletes always answer false —
+    * they attach by explicit file path instead.
+    */
+  def eqAppliesTo(d: DeleteStat, f: FileStat,
+      schema: org.apache.spark.sql.types.StructType): Boolean =
+    d.isEquality &&
+      Renames.eraOf(f.path) < d.seqId &&
+      !d.eqExemptDirs.exists(dir => f.path.startsWith(dir + "/")) &&
+      d.eqCols.forall(c => FilePrune.statRangesOverlap(schema, c,
+        f.min.get(c), f.max.get(c), d.eqMin.get(c), d.eqMax.get(c)))
 
   /** Count of files added by a snapshot WITHOUT touching any manifest:
     * the inline O(1) count on current metadata, the inline path list on

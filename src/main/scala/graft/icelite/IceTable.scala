@@ -392,8 +392,17 @@ class IceTable(
       else toDF.repartitionByRange(targetFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     val (dir, added) = writeData(df, snapId, m.partitionBy, sortBy)
-    require(added.map(_.rows).sum == current.totalRows,
-      s"compaction row-count drift: ${added.map(_.rows).sum} != ${current.totalRows}")
+    // with outstanding EQUALITY deletes the pre-compact total is an upper
+    // bound (matched-row counts are unknown until this very read applies
+    // them), so exact drift is only checkable without eq debt — after this
+    // commit totals are exact again either way
+    val hasEqDebt = FileStats.deletesOf(fs, current).exists(_.isEquality)
+    if (hasEqDebt)
+      require(added.map(_.rows).sum <= current.totalRows,
+        s"compaction row-count drift: ${added.map(_.rows).sum} > ${current.totalRows}")
+    else
+      require(added.map(_.rows).sum == current.totalRows,
+        s"compaction row-count drift: ${added.map(_.rows).sum} != ${current.totalRows}")
     commitSnapshot(m, "compact", Seq(dir), added, carried = Nil)
   }
 
@@ -476,8 +485,14 @@ class IceTable(
     if (dels.isEmpty) return this
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     val files = visibleFiles(current)
+    // position deletes name their files; equality deletes affect every
+    // era-eligible file whose key bounds overlap (the same planning test
+    // the scan uses, so exactly the files paying the row-based read tax
+    // get rewritten)
     val affected = dels.flatMap(_.dataFiles).toSet
-    val (cands, untouched) = files.partition(f => affected(qualify(f.path)))
+    val (cands, untouched) = files.partition(f =>
+      affected(qualify(f.path)) ||
+        dels.exists(d => FileStats.eqAppliesTo(d, f, tableSchema)))
     val currentDirs = FileStats.dataDirsOf(fs, current)
     val src = readFiles(m, tableSchema, cands, currentDirs, dels)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
@@ -773,14 +788,18 @@ class IceTable(
     }
     if (candidates.isEmpty) return this
     // matching positions, ABSOLUTE per file: the native reader's
-    // _metadata.row_index stays absolute under row-group skipping
-    val matches0 = spark.read.schema(tableSchema)
-      .parquet(candidates.map(_.path): _*)
-      .filter(fCoalesce(cond, fLit(false)))
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"))
-    // rows already position-deleted must not be deleted (and counted) twice
+    // _metadata.row_index stays absolute under row-group skipping.
+    // Rows already claimed by an outstanding EQUALITY delete are excluded
+    // first, so stacked deletes never double-count.
     val prior = FileStats.deletesOf(fs, current)
+    val matches0 = minusEqDeleted(
+      spark.read.schema(tableSchema)
+        .parquet(candidates.map(_.path): _*)
+        .filter(fCoalesce(cond, fLit(false)))
+        .withColumn("__mfp", col("_metadata.file_path"))
+        .withColumn("__mpos", col("_metadata.row_index")), prior)
+      .select(col("__mfp").as("file_path"), col("__mpos").as("pos"))
+    // rows already position-deleted must not be deleted (and counted) twice
     val candSet = candidates.map(f => qualify(f.path)).toSet
     val priorApplicable = prior.filter(_.dataFiles.exists(candSet))
     val matches =
@@ -808,6 +827,33 @@ class IceTable(
       perFile.map { case (p, n) => DeleteFileEntry(p, n) }.toSeq)
     commitMorDelta(m, stat, added = Nil, newDataDir = None,
       delDir = Some(delDir.toString), operation = "delete")
+  }
+
+  /** Filter out rows already claimed by outstanding EQUALITY deletes from
+    * a candidate-file frame that still exposes `_metadata` — used by the
+    * position-delete paths so stacked deletes never double-count a row in
+    * the totals. Era scope, key null-safety, and own-dir exemption mirror
+    * the scan's application exactly.
+    */
+  private def minusEqDeleted(df: DataFrame, deletes: Seq[DeleteStat]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+    val eqs = deletes.filter(_.isEquality)
+    if (eqs.isEmpty) return df
+    // the delete-key frames are parquet reads too, so referencing
+    // `_metadata` inside the join condition would be ambiguous — callers
+    // materialize it as __mfp first
+    val fp = col("__mfp")
+    val rowEra = regexp_extract(fp, "snap-(\\d+)", 1).cast("long")
+    eqs.foldLeft(df) { (acc, d) =>
+      val keys = spark.read.parquet(d.path)
+        .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
+      val exempt = d.eqExemptDirs
+        .map(dir => !fp.contains(s"/${new Path(dir).getName}/"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val cond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
+        rowEra < lit(d.seqId) && exempt
+      acc.join(broadcast(keys), cond, "left_anti")
+    }
   }
 
   /** Commit a merge-on-read delta (a new position-delete file and/or newly
@@ -936,11 +982,14 @@ class IceTable(
       else {
         val sk = src.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        val matches0 = spark.read.schema(tableSchema)
-          .parquet(candidates.map(_.path): _*)
-          .join(org.apache.spark.sql.functions.broadcast(sk), cond, "left_semi")
-          .select(col("_metadata.file_path").as("file_path"),
-            col("_metadata.row_index").as("pos"))
+        val matches0 = minusEqDeleted(
+          spark.read.schema(tableSchema)
+            .parquet(candidates.map(_.path): _*)
+            .join(org.apache.spark.sql.functions.broadcast(sk), cond, "left_semi")
+            .withColumn("__mfp", col("_metadata.file_path"))
+            .withColumn("__mpos", col("_metadata.row_index")),
+          prior)
+          .select(col("__mfp").as("file_path"), col("__mpos").as("pos"))
         val candSet = candidates.map(f => qualify(f.path)).toSet
         val priorApplicable = prior.filter(_.dataFiles.exists(candSet))
         val matches =
@@ -975,6 +1024,183 @@ class IceTable(
     commitMorDelta(m, newStat, added, Some(dir), delDirOpt, "upsert")
   }
 
+  /** Key column types the equality-delete probe can hash and compare by
+    * value on both the write (delete file) and read (scan filter) side.
+    * Binary keys are excluded (array equality is referential in the probe's
+    * domain); nested types have no stat encoding.
+    */
+  private def eqKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Merge-on-read upsert by EQUALITY DELETE (Iceberg v2's second delete
+    * kind): commits ONE snapshot holding (a) the appended source rows and
+    * (b) one tiny parquet file of the source's distinct key tuples, and
+    * reads NOTHING of the target — no candidate scan, no position probe.
+    * This is the write shape streaming CDC needs: cost is O(source),
+    * whatever the table size, where even the position-delete upsert
+    * ([[upsertMor]]) pays a semi-join over the key-range candidate files.
+    * Scans subtract matching rows from every data file of an era before the
+    * delete's sequence (key-bound pruning keeps unaffected files columnar);
+    * [[compact]]/[[rewriteDeletes]] fold the debt away. Key equality is
+    * null-safe (null keys match null keys), matching [[upsert]]'s `<=>`
+    * semantics. Because the delete's content never depends on table state,
+    * a lost commit race retries against ANY concurrent append, upsert, or
+    * rewrite — only a schema/spec change aborts.
+    *
+    * Falls back to [[upsertMor]] on rename history, legacy manifests,
+    * identity-partition keys (old eras store those in directory names
+    * only), or non-atomic key types.
+    */
+  def upsertMorEq(df: DataFrame, keys: Seq[String]): IceTable = {
+    require(keys.nonEmpty,
+      s"upsert into $namespace.$name requires a primary key (config or manifest)")
+    val m0 = meta
+    val tableSchema = StructType.fromDDL(m0.schemaDdl)
+    keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"upsert key $k not in $namespace.$name schema"))
+    val src = conform(df, tableSchema)
+    val current = m0.currentSnapshot match {
+      case Some(c) => c
+      case None => return append(src) // empty table: plain insert
+    }
+    val files = visibleFiles(current)
+    val idCols = (PartField.identityCols(m0.partitionBy) ++
+      m0.partitionSpecs.flatMap(sp => PartField.identityCols(sp.cols))).toSet
+    if (m0.renames.nonEmpty || files.exists(_.rows < 0) ||
+        keys.exists(idCols.contains) ||
+        !keys.forall(k => eqKeyType(tableSchema(k).dataType)))
+      return upsertMor(df, keys)
+    writeEqDelta(m0, src, keys, appendData = true, operation = "upsert")
+  }
+
+  /** Merge-on-read DELETE by key set: every table row whose key tuple
+    * appears in `keysDf` is deleted, via one equality-delete file and zero
+    * target reads — the CDC tombstone shape. Same scope/fold semantics as
+    * [[upsertMorEq]]. Requires eq-compatible keys (no fallback exists for
+    * a keys-only delete: the copy-on-write analog would need the key set
+    * joined against every candidate file, which is [[upsertMor]] without
+    * the payload — use that if this refuses).
+    */
+  def deleteKeysEq(keysDf: DataFrame, keys: Seq[String]): IceTable = {
+    require(keys.nonEmpty, s"deleteKeysEq on $namespace.$name requires key columns")
+    val m0 = meta
+    val tableSchema = StructType.fromDDL(m0.schemaDdl)
+    keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"delete key $k not in $namespace.$name schema"))
+    val missing = keys.filterNot(keysDf.columns.contains)
+    require(missing.isEmpty,
+      s"deleteKeysEq input lacks key columns ${missing.mkString(", ")}")
+    val current = m0.currentSnapshot.getOrElse(return this)
+    val files = visibleFiles(current)
+    val idCols = (PartField.identityCols(m0.partitionBy) ++
+      m0.partitionSpecs.flatMap(sp => PartField.identityCols(sp.cols))).toSet
+    require(m0.renames.isEmpty && !files.exists(_.rows < 0) &&
+      !keys.exists(idCols.contains) &&
+      keys.forall(k => eqKeyType(tableSchema(k).dataType)),
+      s"deleteKeysEq on $namespace.$name needs eq-compatible keys " +
+        "(no rename history / legacy manifest / identity-partition or " +
+        "non-atomic key) — use upsertMor or deleteWhere instead")
+    val keyed = keysDf.select(
+      keys.map(k => col(k).cast(tableSchema(k).dataType).as(k)): _*)
+    writeEqDelta(m0, keyed, keys, appendData = false, operation = "delete")
+  }
+
+  /** Shared equality-delete commit: write the distinct key tuples as one
+    * sorted delete file (its own parquet footer supplies the key bounds —
+    * the exact stat encoding FilePrune compares against), optionally append
+    * the source, and commit with optimistic retry. The delete's sequence id
+    * is re-pinned to the COMMIT snapshot on every attempt (its value
+    * content is state-independent, so it stays correct against anything
+    * that landed in between); the snapshot's own data directory is listed
+    * as exempt so a raised sequence can never turn the delete on the rows
+    * it arrived with. Only a concurrent schema/spec change aborts.
+    */
+  private def writeEqDelta(m0: TableMeta, src: DataFrame, keys: Seq[String],
+      appendData: Boolean, operation: String): IceTable = {
+    val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val delDir = new Path(tableDir,
+      f"data/eqdeletes-snap-$snapId0%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+    src.select(keys.map(col): _*).distinct()
+      .repartition(1).sortWithinPartitions(keys.map(col): _*)
+      .write.mode("errorifexists").parquet(delDir.toString)
+    val it = fs.listFiles(delDir, true)
+    val delFiles = Iterator.continually(it).takeWhile(_.hasNext)
+      .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    require(delFiles.length == 1,
+      s"equality-delete write produced ${delFiles.length} files, expected 1")
+    val delStat = FileStats.collect(
+      spark.sparkContext.hadoopConfiguration, delFiles).head
+    if (delStat.rows == 0) { // empty source: nothing to delete or insert
+      fs.delete(delDir, true)
+      return this
+    }
+    // a key column holding NULLs (or with unusable footer stats) gets no
+    // bounds: bounds prune by VALUE range, and a null key matches outside
+    // any range — absent bounds keep eqAppliesTo conservative for it
+    val boundedCols = keys.filter(c => delStat.nullCount(c).contains(0L)).toSet
+    val eqMin = delStat.min.view.filterKeys(boundedCols).toMap
+    val eqMax = delStat.max.view.filterKeys(boundedCols).toMap
+    val (dataDir, added): (Option[String], Seq[FileStat]) =
+      if (!appendData) (None, Nil)
+      else {
+        val (d, a) = writeData(src, snapId0, m0.partitionBy, uniqueDir = true)
+        (Some(d), a)
+      }
+    val addedRows = added.map(_.rows).sum
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
+        s"$operation on $namespace.$name raced a concurrent schema change — aborting")
+      val current = m.currentSnapshot
+      val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val stat = DeleteStat(
+        path = qualify(delFiles.head), appliesTo = Nil,
+        eqCols = keys, eqRows = delStat.rows, seqId = snapId,
+        eqExemptDirs = dataDir.map(qualify).toSeq,
+        eqMin = eqMin, eqMax = eqMax)
+      val prior = current.map(c => FileStats.deletesOf(fs, c)).getOrElse(Nil)
+      val carried = current.map(visibleFiles).getOrElse(Nil)
+      val snap = SnapshotMeta(
+        snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+        operation = operation,
+        dataDirs = current.map(c => FileStats.dataDirsOf(fs, c)).getOrElse(Nil) ++
+          Seq(delDir.toString) ++ dataDir.toSeq,
+        addedFiles = added.map(_.path), addedRows = addedRows,
+        // exact matched-row count would need the read this op exists to
+        // avoid: totals are an upper bound while equality debt is
+        // outstanding (`.deletes` shows the debt; a fold restores exact)
+        totalRows = current.map(_.totalRows).getOrElse(0L) + addedRows,
+        addedFileCount = added.length.toLong,
+        schemaDdl = m.schemaDdl,
+        files = (carried ++ added).sortBy(_.path),
+        deletes = prior :+ stat)
+      try {
+        MetaIo.commit(fs, tableDir, m.copy(
+          currentSnapshotId = snapId,
+          snapshots = m.snapshots :+ snap,
+          version = m.version + 1))
+        return this
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
+  }
+
   /** Read an explicit file subset with the declared schema. Two mappings
     * happen per file group:
     *  - hive-partitioned layouts read per snapshot-dir with `basePath`, so
@@ -996,6 +1222,12 @@ class IceTable(
     // delete set is small by MOR design — AQE broadcasts it)
     val fileSet = files.map(f => qualify(f.path)).toSet
     val applicable = deletes.filter(_.dataFiles.exists(fileSet))
+    // outstanding EQUALITY deletes that could touch any file of the subset:
+    // anti-join by key value, scoped to rows whose file era precedes the
+    // delete's sequence (newer files escape by construction)
+    val eqApplicable = deletes.filter(d =>
+      d.isEquality && files.exists(f => FileStats.eqAppliesTo(d, f, tableSchema)))
+    val anyDeletes = applicable.nonEmpty || eqApplicable.nonEmpty
     val dirs = snapDirs.map(qualify)
     // each file group's layout follows ITS era's partition spec (partition
     // evolution): basePath + dir-derived values only where that era had
@@ -1029,7 +1261,7 @@ class IceTable(
           case (p, f) => col(p.name).as(f.name)
         }
         val withPos =
-          if (applicable.isEmpty) cols.toIndexedSeq
+          if (!anyDeletes) cols.toIndexedSeq
           else cols.toIndexedSeq :+
             col("_metadata.file_path").as("__fp") :+
             col("_metadata.row_index").as("__pos")
@@ -1038,11 +1270,31 @@ class IceTable(
           .select(withPos: _*)
       }
       .reduce(_ unionByName _) match {
-      case base if applicable.isEmpty => base
-      case base =>
-        val dels = spark.read.parquet(applicable.map(_.path): _*)
-          .select(col("file_path").as("__fp"), col("pos").as("__pos"))
-        base.join(dels, Seq("__fp", "__pos"), "left_anti").drop("__fp", "__pos")
+      case base if !anyDeletes => base
+      case base0 =>
+        import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+        val base =
+          if (applicable.isEmpty) base0
+          else {
+            val dels = spark.read.parquet(applicable.map(_.path): _*)
+              .select(col("file_path").as("__fp"), col("pos").as("__pos"))
+            base0.join(dels, Seq("__fp", "__pos"), "left_anti")
+          }
+        // one anti-join per equality delete (they can key on different
+        // column sets): null-safe key match, era-scoped, own-snapshot data
+        // dir exempt (dir basenames are writer-unique, so a name match is
+        // an identity match regardless of path qualification)
+        val rowEra = regexp_extract(col("__fp"), "snap-(\\d+)", 1).cast("long")
+        eqApplicable.foldLeft(base) { (acc, d) =>
+          val keys = spark.read.parquet(d.path)
+            .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
+          val exempt = d.eqExemptDirs
+            .map(dir => !col("__fp").contains(s"/${new Path(dir).getName}/"))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val cond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
+            rowEra < lit(d.seqId) && exempt
+          acc.join(broadcast(keys), cond, "left_anti")
+        }.drop("__fp", "__pos")
     }
   }
 

@@ -99,18 +99,47 @@ final case class SnapshotMeta(
   */
 final case class DeleteFileEntry(path: String, rows: Long)
 
-/** One position-delete file (Iceberg v2's merge-on-read row-level delete):
-  * a parquet file of `(file_path STRING, pos BIGINT)` rows marking which
-  * absolute row positions of which data files are deleted as of a
-  * snapshot. Scans apply them at read; `compact`/`replace` fold them away.
-  * `appliesTo` lists the affected data files (manifest-normalized paths)
-  * with per-file position counts, so planning attaches each delete file
-  * only to the partitions it names.
+/** One merge-on-read delete file — either of Iceberg v2's two kinds.
+  *
+  * POSITION delete (`eqCols` empty): a parquet file of
+  * `(file_path STRING, pos BIGINT)` rows marking which absolute row
+  * positions of which data files are deleted. `appliesTo` lists the
+  * affected data files (manifest-normalized paths) with per-file position
+  * counts, so planning attaches the file only to the partitions it names.
+  *
+  * EQUALITY delete (`eqCols` non-empty): a parquet file of key VALUES over
+  * `eqCols`; a row of any data file is deleted when its key tuple appears
+  * in the file. Equality deletes are what make write-without-read row-level
+  * ops possible (streaming CDC upsert): the writer never touches the
+  * target. Scope follows Iceberg's sequence-number rule re-expressed over
+  * file eras: the delete applies to data files whose era
+  * ([[Renames.eraOf]]) is strictly BEFORE `seqId` — rows committed in the
+  * same snapshot or later are never affected — except files under
+  * `eqExemptDirs` (the data directory committed alongside the delete in
+  * its own snapshot: a commit retry may raise `seqId` past the write-time
+  * era of its own data). `eqMin`/`eqMax` carry the delete file's own key
+  * bounds (FileStats string encoding), so planning skips data files whose
+  * stat ranges provably miss every deleted key.
+  *
+  * Scans apply both kinds at read; `compact`/`replace` fold them away.
   */
 final case class DeleteStat(
     path: String,
-    appliesTo: Seq[DeleteFileEntry]) {
+    appliesTo: Seq[DeleteFileEntry],
+    eqCols: Seq[String] = Nil,
+    eqRows: Long = 0L,
+    seqId: Long = 0L,
+    eqExemptDirs: Seq[String] = Nil,
+    eqMin: Map[String, String] = Map.empty,
+    eqMax: Map[String, String] = Map.empty) {
 
+  def isEquality: Boolean = eqCols.nonEmpty
+  /** Exactly-counted deleted rows: position entries only — equality
+    * deletes' matched-row count is unknown until read (their `eqRows` is
+    * the count of DELETE KEYS, not of matched rows), so they deliberately
+    * contribute 0 here and row accounting treats totals as an upper bound
+    * until a rewrite folds them (Iceberg's total-records semantics).
+    */
   def rows: Long = appliesTo.map(_.rows).sum
   def dataFiles: Seq[String] = appliesTo.map(_.path)
 }

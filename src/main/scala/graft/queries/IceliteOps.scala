@@ -714,6 +714,80 @@ object IceliteOps {
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
+    // K24: merge-on-read upsert by EQUALITY DELETE — same merge semantics
+    // as K5/K23, but the write reads NOTHING of the target: one snapshot
+    // holds the appended source plus a tiny parquet file of the source's
+    // key tuples, and scans subtract matching rows from every older-era
+    // file (key-bound pruning keeps clean files columnar). This is the
+    // write shape streaming CDC needs — commit cost is O(source) whatever
+    // the table size, where even the position-delete upsert pays a
+    // semi-join over candidate files. A keys-only tombstone delete
+    // (deleteKeysEq) stacks on top, and compact() folds all debt away,
+    // restoring exact totals (asserted).
+    QDef(
+      "k24_ice_mor_eq_upsert",
+      Some(s"""WITH merged AS (
+              |  SELECT ${orderCols.mkString(", ")} FROM orders
+              |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+              |  UNION ALL
+              |  SELECT o_orderkey, o_custkey, 'E' AS o_orderstatus,
+              |         o_totalprice * 1.2 AS o_totalprice, o_orderdate, o_orderpriority
+              |  FROM orders WHERE o_orderkey % 2 = 0
+              |)
+              |SELECT * FROM merged WHERE o_orderkey % 7 <> 0
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k24")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_eq", o.schema)
+        tbl.append(o.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+        val before = tbl.meta.currentSnapshot.get
+        val beforePaths = tbl.visibleFiles(before).map(_.path).toSet
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("E"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+        tbl.upsertMorEq(source, keys = Seq("o_orderkey"))
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "upsert", s"got ${snap.operation}")
+        require(beforePaths.subsetOf(tbl.visibleFiles(snap).map(_.path).toSet),
+          "equality upsert must not rewrite any existing data file")
+        val eq = tbl.deletesOf(snap).find(_.isEquality).getOrElse(
+          sys.error("upsertMorEq must commit an equality delete"))
+        require(eq.appliesTo.isEmpty && eq.eqCols == Seq("o_orderkey"),
+          s"unexpected delete shape: $eq")
+        require(eq.eqRows == source.select("o_orderkey").distinct().count(),
+          "the delete must hold exactly the source's distinct keys")
+        // the .deletes view reports the equality debt with its key columns
+        s.conf.set("spark.sql.catalog.icelite_k24", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k24.warehouse", wh)
+        val debt = s.sql(
+          """SELECT kind, rows, key_columns FROM icelite_k24.lake.orders_eq.deletes
+            |WHERE kind = 'equality'""".stripMargin).collect()
+        require(debt.length == 1 && debt(0).getLong(1) == eq.eqRows &&
+          debt(0).getString(2) == "o_orderkey", s".deletes reports ${debt.toSeq}")
+        // the pre-upsert snapshot still serves every original row
+        require(tbl.scan(snapshotId = Some(before.snapshotId)).count()
+          == before.totalRows,
+          "pre-upsert snapshot must be unaffected by the equality delete")
+        // keys-only CDC tombstones stack on the same machinery
+        tbl.deleteKeysEq(
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+          keys = Seq("o_orderkey"))
+        val delSnap = tbl.meta.currentSnapshot.get
+        require(delSnap.operation == "delete" &&
+          graft.icelite.FileStats.addedCount(delSnap) == 0,
+          "deleteKeysEq must add no data files")
+        // compaction folds ALL equality debt and restores exact totals
+        tbl.compact(targetFiles = 2)
+        val folded = tbl.meta.currentSnapshot.get
+        require(tbl.deletesOf(folded).isEmpty, "compact must fold eq deletes")
+        require(folded.totalRows == tbl.toDF.count(),
+          "post-fold totals must be exact again")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // K22: the SQL maintenance surface — CALL procedures drive the same
     // lifecycle the API exposes (Iceberg's `CALL system.rewrite_data_files`
     // family), so schedulers and SQL-only users can run compaction and

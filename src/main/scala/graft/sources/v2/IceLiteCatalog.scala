@@ -168,6 +168,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         s"icelite columns are top-level; cannot $what nested ${fieldNames.mkString(".")}")
       fieldNames(0)
     }
+    // outstanding equality-delete files store key VALUES under the current
+    // column names; renaming or dropping a key column would orphan the
+    // probe. Position deletes are name-free and unaffected.
+    lazy val eqDebtCols: Set[String] = meta.currentSnapshot
+      .map(s => graft.icelite.FileStats.deletesOf(fs, s)).getOrElse(Nil)
+      .filter(_.isEquality).flatMap(_.eqCols).toSet
     changes.foreach {
       case add: TableChange.AddColumn =>
         val name = topLevel(add.fieldNames(), "add")
@@ -191,6 +197,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         require(!meta.partitionBy.contains(from),
           s"cannot rename partition column $from: partition values are " +
             "directory names and directories are immutable")
+        require(!eqDebtCols.contains(from),
+          s"cannot rename $from: outstanding equality deletes key on it — " +
+            "fold them first (compact / CALL rewrite_data_files)")
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
         renames :+= graft.icelite.ColumnRename(meta.currentSnapshotId, from, to)
@@ -200,6 +209,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         require(schema.fieldNames.contains(name), s"no column $name in $ns.$tbl")
         require(!meta.partitionBy.contains(name),
           s"cannot drop partition column $name")
+        require(!eqDebtCols.contains(name),
+          s"cannot drop $name: outstanding equality deletes key on it — " +
+            "fold them first (compact / CALL rewrite_data_files)")
         require(schema.length > 1, s"cannot drop the last column of $ns.$tbl")
         schema = StructType(schema.fields.filterNot(_.name == name))
         retired :+= name

@@ -548,15 +548,25 @@ private[v2] object IceLiteMeta {
         .map(n => Array[Any](n, meta.refSnapshot(n).get))
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.refs", schema, rows)
     case "deletes" =>
-      // outstanding position-delete files of the CURRENT snapshot (MOR):
+      // outstanding merge-on-read delete files of the CURRENT snapshot:
       // the operational view a compaction policy reads ("how much delete
-      // debt?"). One row per (delete file, data file) slice; metadata-sized
-      // by MOR design (selective deletes only).
+      // debt?"). Position deletes: one row per (delete file, data file)
+      // slice with the exact position count. Equality deletes: one row per
+      // delete file — data_file is NULL (scope is era+bounds, not a file
+      // list), kind = 'equality', rows = the DELETE KEY count (matched rows
+      // are unknown until read). Metadata-sized by MOR design.
       val schema = StructType.fromDDL(
-        "delete_file STRING, data_file STRING, rows BIGINT")
+        "delete_file STRING, kind STRING, data_file STRING, rows BIGINT, " +
+          "key_columns STRING")
       val rows = meta.currentSnapshot
         .map(s => graft.icelite.FileStats.deletesOf(fs, s)).getOrElse(Nil)
-        .flatMap(d => d.appliesTo.map(e => Array[Any](d.path, e.path, e.rows)))
+        .flatMap { d =>
+          if (d.isEquality)
+            Seq(Array[Any](d.path, "equality", null, d.eqRows,
+              d.eqCols.mkString(",")))
+          else d.appliesTo.map(e =>
+            Array[Any](d.path, "position", e.path, e.rows, null))
+        }
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.deletes", schema, rows)
     case "snapshots" =>
       val schema = StructType.fromDDL(
@@ -815,46 +825,70 @@ private[v2] class IceLiteScan(
         if (wantsFileCol) raw + (IceLiteScan.FileMetaCol -> Some(f.path))
         else raw
       // position-delete files naming this data file (manifest paths match
-      // by construction: both sides are fs-qualified)
+      // by construction: both sides are fs-qualified), and equality deletes
+      // whose era scope + key bounds reach it
       val delFor =
         if (deletes.isEmpty) Nil
         else deletes.filter(_.dataFiles.contains(f.path)).map(_.path)
+      val eqFor =
+        if (deletes.isEmpty) Nil
+        else deletes.filter(d =>
+          graft.icelite.FileStats.eqAppliesTo(d, f, tableSchema))
       val spec = specOf(f.path)
-      if (spec == partitionBy) {
-        // common case: file written under the current spec — factory globals
-        // files written before a rename carry the old column name; each task
-        // requests its file's era-physical names (positions stay logical)
-        val phys = graft.icelite.Renames.physicalNames(
-          renames, dataSchema, graft.icelite.Renames.eraOf(f.path))
+      // the file's OWN data/constant column split: the current spec's
+      // global split in the common case, its own era's under partition
+      // evolution (a permutation then maps the local layout onto the
+      // scan's global serving order)
+      val (fileData0, filePart, evolved) =
+        if (spec == partitionBy) (dataSchema, partSchema, false)
+        else {
+          val idOfSpec = PartField.identityCols(spec)
+          val fp = StructType(
+            tableSchema.fields.filter(fd =>
+              idOfSpec.contains(fd.name) && required.fieldNames.contains(fd.name)) ++
+              (if (wantsFileCol)
+                Seq(StructField(IceLiteScan.FileMetaCol, StringType, nullable = false))
+              else Nil))
+          val fd = StructType(
+            required.fields.filterNot(fd => idOfSpec.contains(fd.name)))
+          (fd, fp, true)
+        }
+      // equality deletes probe by key VALUE, so key columns the projection
+      // pruned away are re-added to the file's local read schema; the
+      // permutation below keeps them out of the served row
+      val missingKeys = eqFor.flatMap(_.eqCols).distinct
+        .filterNot(fileData0.fieldNames.contains)
+        .filterNot(filePart.fieldNames.contains)
+      val fileData =
+        if (missingKeys.isEmpty) fileData0
+        else StructType(fileData0.fields ++ missingKeys.map(tableSchema(_)))
+      val eqTasks = eqFor.map { d =>
+        val keyIdx = d.eqCols.map(c => fileData.fieldNames.indexOf(c))
+        require(keyIdx.forall(_ >= 0),
+          s"equality-delete key columns ${d.eqCols.mkString(",")} missing " +
+            s"from the local read schema of ${f.path}")
+        EqDeleteTask(d.path,
+          StructType(d.eqCols.map(c => tableSchema(c))).json, keyIdx)
+      }
+      val phys = graft.icelite.Renames.physicalNames(
+        renames, fileData, graft.icelite.Renames.eraOf(f.path))
+      if (!evolved && missingKeys.isEmpty)
         IceLiteInputPartition(f.path, f.bytes, constants,
-          phys.getOrElse(Nil), deleteFiles = delFor): InputPartition
-      } else {
-        // partition evolution: this file's OWN spec decides which required
-        // columns are directory constants and which are read from data; a
-        // permutation maps its local (data ++ constants) layout onto the
-        // scan's global serving order (global readSchema order)
-        val idOfSpec = PartField.identityCols(spec)
-        val filePart = StructType(
-          tableSchema.fields.filter(fd =>
-            idOfSpec.contains(fd.name) && required.fieldNames.contains(fd.name)) ++
-            (if (wantsFileCol)
-              Seq(StructField(IceLiteScan.FileMetaCol, StringType, nullable = false))
-            else Nil))
-        val fileData = StructType(
-          required.fields.filterNot(fd => idOfSpec.contains(fd.name)))
+          phys.getOrElse(Nil), deleteFiles = delFor,
+          eqDeletes = eqTasks): InputPartition
+      else {
         val localNames = fileData.fieldNames ++ filePart.fieldNames
         val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
         val perm = globalNames.map(n => localNames.indexOf(n)).toSeq
         require(perm.forall(_ >= 0),
           s"partition-evolution layout mismatch for ${f.path}: " +
             s"global [${globalNames.mkString(",")}] vs local [${localNames.mkString(",")}]")
-        val phys = graft.icelite.Renames.physicalNames(
-          renames, fileData, graft.icelite.Renames.eraOf(f.path))
         IceLiteInputPartition(f.path, f.bytes, constants,
           phys.getOrElse(Nil),
           fileDataSchemaJson = fileData.json,
           filePartSchemaJson = filePart.json,
-          filePerm = perm, deleteFiles = delFor): InputPartition
+          filePerm = perm, deleteFiles = delFor,
+          eqDeletes = eqTasks): InputPartition
       }
     }.toArray
   }
@@ -894,8 +928,12 @@ private[v2] class IceLiteScan(
     // within one scan); runtime filters only shrink the planned set, so
     // the decision is stable. A scan that prunes every affected file away
     // — and any scan after compact()/rewriteDeletes() — stays columnar.
+    // Equality deletes count too: a file is affected when its era precedes
+    // the delete's sequence and its key-bound stats overlap.
     val rowMode = deletes.nonEmpty &&
-      planned.exists { case (f, _) => deletes.exists(_.dataFiles.contains(f.path)) }
+      planned.exists { case (f, _) => deletes.exists(d =>
+        d.dataFiles.contains(f.path) ||
+          graft.icelite.FileStats.eqAppliesTo(d, f, tableSchema)) }
     IceLiteV2.readerFactory(dataSchema, partSchema, rgFilters, limit,
       rowMode = rowMode)
   }
@@ -1085,8 +1123,18 @@ private[v2] case class IceLiteInputPartition(
     filePartSchemaJson: String = "",
     filePerm: Seq[Int] = Nil,
     // position-delete files naming this data file (merge-on-read)
-    deleteFiles: Seq[String] = Nil)
+    deleteFiles: Seq[String] = Nil,
+    // equality deletes reaching this file (merge-on-read): the reader
+    // drops rows whose key tuple appears in the delete file
+    eqDeletes: Seq[EqDeleteTask] = Nil)
     extends InputPartition
+
+/** One equality-delete application unit shipped to a task: the delete
+  * file, its key schema (logical names/types as of the scan), and the key
+  * columns' indices within the partition's LOCAL data read schema.
+  */
+private[v2] case class EqDeleteTask(
+    path: String, keySchemaJson: String, keyIdx: Seq[Int])
 
 private[v2] class IceLiteReaderFactory(
     conf: SerializableConfiguration, dataSchemaJson: String,
@@ -1118,14 +1166,14 @@ private[v2] class IceLiteReaderFactory(
     val p = partition.asInstanceOf[IceLiteInputPartition]
     val (requested, partSchema, perm) = resolve(p)
     new IceLiteRowReader(p.file, p.length, p.partValues, conf, requested,
-      partSchema, limit, p.deleteFiles, perm.toArray)
+      partSchema, limit, p.deleteFiles, perm.toArray, p.eqDeletes)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[IceLiteInputPartition]
-    require(p.deleteFiles.isEmpty,
-      "partitions with position deletes must be read row-based")
+    require(p.deleteFiles.isEmpty && p.eqDeletes.isEmpty,
+      "partitions with merge-on-read deletes must be read row-based")
     val (requested, partSchema, perm) = resolve(p)
     new IceLiteColumnarReader(
       p.file, p.length, p.partValues, conf, requested, partSchema, limit,
@@ -1207,8 +1255,41 @@ private[v2] class IceLiteRowReader(
     file: String, length: Long, rawPartValues: Map[String, Option[String]],
     conf: SerializableConfiguration, dataSchema: StructType,
     partSchema: StructType, limit: Int, deleteFiles: Seq[String],
-    outputPermutation: Array[Int] = Array.empty)
+    outputPermutation: Array[Int] = Array.empty,
+    eqDeletes: Seq[EqDeleteTask] = Nil)
     extends PartitionReader[InternalRow] {
+
+  /** Equality-delete probes: (key indices into the local data row, key
+    * types, key-tuple set). Key sets are loaded once per executor per
+    * delete file ([[EqDeleteKeys]] cache), not once per partition.
+    */
+  private val eqProbes: Array[(Array[Int], Array[DataType], java.util.HashSet[List[Any]])] =
+    eqDeletes.map { t =>
+      val ks = DataType.fromJson(t.keySchemaJson).asInstanceOf[StructType]
+      (t.keyIdx.toArray, ks.fields.map(_.dataType),
+        EqDeleteKeys.load(conf.value, t.path, ks))
+    }.toArray
+
+  /** Is the CURRENT row's key tuple in any applicable equality delete?
+    * Null-safe (a null key matches a null delete key, mirroring upsert's
+    * `<=>`); -0.0/NaN normalize to Spark's SQL equality.
+    */
+  private def eqDeleted(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < eqProbes.length) {
+      val (idx, dts, set) = eqProbes(i)
+      val b = List.newBuilder[Any]
+      var j = 0
+      while (j < idx.length) {
+        b += (if (row.isNullAt(idx(j))) null
+        else EqDeleteKeys.normalize(row.get(idx(j), dts(j)), copyStrings = false))
+        j += 1
+      }
+      if (set.contains(b.result())) return true
+      i += 1
+    }
+    false
+  }
 
   /** Deleted absolute positions of THIS file, from its delete files. */
   private val deleted: java.util.HashSet[java.lang.Long] = {
@@ -1266,7 +1347,11 @@ private[v2] class IceLiteRowReader(
     while (limit < 0 || served < limit) {
       if (!reader.nextKeyValue()) return false
       pos += 1
-      if (!deleted.contains(pos)) { served += 1; return true }
+      if (!deleted.contains(pos) &&
+          (eqProbes.isEmpty ||
+            !eqDeleted(reader.getCurrentValue.asInstanceOf[InternalRow]))) {
+        served += 1; return true
+      }
     }
     false
   }
@@ -1289,6 +1374,76 @@ private[v2] class IceLiteRowReader(
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Loads an equality-delete file's key tuples into a probe set, cached
+  * per executor JVM: delete files are immutable once committed, and one
+  * delete typically reaches MANY data-file partitions in a scan — without
+  * the cache every task would re-read it. Values are normalized into
+  * Spark SQL's equality domain (-0.0 folded to 0.0, NaN self-equal via
+  * boxed equals) and strings copied out of the reader's reused buffers.
+  */
+private[v2] object EqDeleteKeys {
+
+  private val Cap = 64
+  private val cache =
+    new java.util.LinkedHashMap[String, java.util.HashSet[List[Any]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.HashSet[List[Any]]]): Boolean =
+        size > Cap
+    }
+
+  def normalize(v: Any, copyStrings: Boolean): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      if (copyStrings) u.clone() else u
+    case d: java.lang.Double =>
+      if (d.doubleValue == 0.0) java.lang.Double.valueOf(0.0) else d
+    case f: java.lang.Float =>
+      if (f.floatValue == 0.0f) java.lang.Float.valueOf(0.0f) else f
+    case x => x
+  }
+
+  def load(conf: org.apache.hadoop.conf.Configuration, path: String,
+      keySchema: StructType): java.util.HashSet[List[Any]] = {
+    val ck = path + "|" + keySchema.json
+    cache.synchronized {
+      val hit = cache.get(ck)
+      if (hit != null) return hit
+    }
+    // the scan's pushed parquet FilterPredicate is typed against DATA
+    // columns; evaluated against the delete file (which has only key
+    // columns) it would drop every row — strip it before reading
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    c.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", keySchema.json)
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    val p = new Path(path)
+    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    r.initialize(split, new TaskAttemptContextImpl(c, new TaskAttemptID()))
+    r.initBatch(new StructType(), PartValues.internalRow(new StructType(), Map.empty))
+    val set = new java.util.HashSet[List[Any]]()
+    try {
+      val dts = keySchema.fields.map(_.dataType)
+      while (r.nextKeyValue()) {
+        val row = r.getCurrentValue.asInstanceOf[InternalRow]
+        val b = List.newBuilder[Any]
+        var i = 0
+        while (i < dts.length) {
+          b += (if (row.isNullAt(i)) null
+          else normalize(row.get(i, dts(i)), copyStrings = true))
+          i += 1
+        }
+        set.add(b.result())
+      }
+    } finally r.close()
+    cache.synchronized { cache.put(ck, set) }
+    set
+  }
 }
 
 /** Maps the sound subset of Spark source filters onto parquet-mr's

@@ -628,4 +628,31 @@ class DsV2Spec extends SparkSpec {
     assert(tbl.filesDF.agg(org.apache.spark.sql.functions.sum("rows"))
       .head.getLong(0) == 25L)
   }
+
+  test("equality deletes: key-bound pruning keeps clean scans columnar") {
+    import spark.implicits._
+    val wh = warehouse("eqprune")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", base.schema)
+    tbl.append(base.repartitionByRange(2, col("id"))) // ~[1,100] / ~[101,200]
+    tbl.upsertMorEq((50L to 60L).map(i => (i, "NEW")).toDF("id", "v"), Seq("id"))
+    // a scan touching the affected file pays the row-based MOR tax...
+    val full = tbl.toDF
+    full.collect()
+    assert(!full.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "scan over the eq-affected file must be row-based")
+    // ...but a predicate that prunes every era+bounds-affected file away
+    // stays columnar: the delete's [50,60] key bounds provably miss the
+    // high file, and the upsert's own appended file is era-exempt
+    val clean = tbl.toDF.filter(col("id") > 150)
+    assert(clean.count() == 50)
+    assert(clean.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "bounds-disjoint files must keep columnar decode despite eq debt")
+    // projection that drops the key column: the reader re-adds it for the
+    // probe and serves the pruned projection correctly
+    val proj = tbl.toDF.select("v")
+    assert(proj.filter(col("v") === "NEW").count() == 11)
+    assert(proj.count() == 200)
+  }
 }

@@ -704,6 +704,112 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.scan(snapshotId = Some(snap1.snapshotId)).count() == total - nCut)
   }
 
+  test("equality deletes: zero-read upsert, stacking, null keys, fold") {
+    import org.apache.spark.sql.sources.EqualTo
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("eqmor"))
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base.repartitionByRange(2, col("id"))) // ~[1,100] / ~[101,200]
+    val beforePaths = tbl.visibleFiles(tbl.meta.currentSnapshot.get).map(_.path)
+
+    // zero-read upsert: ONE snapshot = appended source + equality delete
+    val src = (50L to 60L).map(i => (i, "NEW")).toDF("id", "v")
+    tbl.upsertMorEq(src, Seq("id"))
+    val snap = tbl.meta.currentSnapshot.get
+    assert(snap.operation == "upsert")
+    assert(beforePaths.forall(tbl.visibleFiles(snap).map(_.path).contains),
+      "no pre-existing file may be rewritten")
+    val eq = tbl.deletesOf(snap).find(_.isEquality).get
+    assert(eq.eqRows == 11 && eq.eqCols == Seq("id") && eq.appliesTo.isEmpty)
+    assert(eq.eqMin.get("id").contains("50") && eq.eqMax.get("id").contains("60"),
+      s"delete key bounds must come from the delete file footer: $eq")
+    assert(tbl.toDF.count() == 200)
+    assert(tbl.toDF.filter(col("v") === "NEW").count() == 11)
+    assert(tbl.toDF.filter(col("id") === 55).select("v")
+      .collect()(0).getString(0) == "NEW")
+    // projection that prunes the key column still applies the delete
+    assert(tbl.scan(columns = Seq("v")).filter(col("v") === "NEW").count() == 11)
+    assert(tbl.scan(columns = Seq("v")).count() == 200)
+    // time travel: pre-upsert snapshot untouched
+    assert(tbl.scan(snapshotId = Some(1L)).filter(col("v") === "NEW").count() == 0)
+
+    // a position delete stacks on the eq debt without double-counting:
+    // id=55 matches one live row (the NEW one); the eq-deleted original
+    // must not be position-deleted again
+    tbl.deleteWhereMor(Seq(EqualTo("id", 55L)))
+    val ds2 = tbl.deletesOf(tbl.meta.currentSnapshot.get)
+    assert(ds2.filterNot(_.isEquality).map(_.rows).sum == 1,
+      s"exactly the live row may be position-deleted: $ds2")
+    assert(tbl.toDF.count() == 199)
+
+    // keys-only tombstones; unknown keys are a no-op
+    tbl.deleteKeysEq(Seq(190L, 9999L).toDF("id"), Seq("id"))
+    assert(tbl.toDF.count() == 198)
+    assert(tbl.toDF.filter(col("id") === 190).count() == 0)
+
+    // rewriteDeletes folds ALL debt (eq included) and restores exact totals
+    tbl.rewriteDeletes()
+    val folded = tbl.meta.currentSnapshot.get
+    assert(tbl.deletesOf(folded).isEmpty)
+    assert(folded.totalRows == 198 && tbl.toDF.count() == 198)
+  }
+
+  test("equality deletes: null keys match null-safely; fallbacks engage") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("eqnull"))
+    val base = Seq((Option(1L), "a"), (Option.empty[Long], "x")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base)
+    tbl.upsertMorEq(Seq((Option.empty[Long], "y")).toDF("id", "v"), Seq("id"))
+    val eq = tbl.deletesOf(tbl.meta.currentSnapshot.get).find(_.isEquality).get
+    assert(!eq.eqMin.contains("id"),
+      s"a null-bearing key column must carry no bounds (pruning unsound): $eq")
+    val got = tbl.toDF.orderBy("v").collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (-1L, "y")),
+      s"null key must upsert the null-key row (<=> semantics): $got")
+
+    // identity-partition keys fall back to the position-delete upsert
+    val pbase = (1L to 20L).map(i => (i, i % 2, s"v$i")).toDF("id", "p", "v")
+    val pt = cat.createTable("ns", "pt", pbase.schema, partitionBy = Seq("p"))
+    pt.append(pbase)
+    pt.upsertMorEq((1L to 3L).map(i => (i, i % 2, "U")).toDF("id", "p", "v"),
+      Seq("id", "p"))
+    val pds = pt.deletesOf(pt.meta.currentSnapshot.get)
+    assert(pds.forall(!_.isEquality),
+      s"identity-partition key must not commit an equality delete: $pds")
+    assert(pt.meta.currentSnapshot.get.operation == "upsert")
+    assert(pt.toDF.filter(col("v") === "U").count() == 3)
+    intercept[IllegalArgumentException] {
+      pt.deleteKeysEq(Seq((1L, 1L)).toDF("id", "p"), Seq("id", "p"))
+    }
+  }
+
+  test("an equality upsert racing a concurrent append retries and both land") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("eqrace"))
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val extra = (101L to 120L).map(i => (i, s"v$i")).toDF("k", "v")
+    val tbl = cat.createTable("ns", "t", df.schema)
+    tbl.append(df.repartitionByRange(4, col("k")))
+    // equality deletes are state-independent, so the loser re-pins its
+    // sequence to the new head and re-attaches — both commits land
+    // whichever wins the race, and the final content is a serializable
+    // outcome of {append, upsert} in either order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val up = (1L to 10L).map(i => (i, "UP")).toDF("k", "v")
+    Await.result(Future.sequence(Seq(
+      Future(tbl.append(extra)),
+      Future(tbl.upsertMorEq(up, Seq("k"))))), 120.seconds)
+    assert(tbl.snapshots.length == 3, s"both commits must land: ${tbl.snapshots}")
+    assert(tbl.toDF.count() == 120, s"got ${tbl.toDF.count()}")
+    assert(tbl.toDF.filter(col("v") === "UP").count() == 10)
+    assert(tbl.toDF.filter(col("k") > 100).count() == 20)
+  }
+
   test("a MOR delete racing a concurrent append retries and both land") {
     import org.apache.spark.sql.sources.LessThanOrEqual
     import spark.implicits._
