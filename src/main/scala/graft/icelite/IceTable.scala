@@ -1024,20 +1024,9 @@ class IceTable(
     commitMorDelta(m, newStat, added, Some(dir), delDirOpt, "upsert")
   }
 
-  /** Key column types the equality-delete probe can hash and compare by
-    * value on both the write (delete file) and read (scan filter) side.
-    * Binary keys are excluded (array equality is referential in the probe's
-    * domain); nested types have no stat encoding.
-    */
-  private def eqKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType | StringType |
-           BooleanType | DateType | TimestampType | TimestampNTZType |
-           FloatType | DoubleType | _: DecimalType => true
-      case _ => false
-    }
-  }
+  /** Key type gate for the equality-delete ops (see [[EqDeleteIo.keyType]]). */
+  private def eqKeyType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    EqDeleteIo.keyType(dt)
 
   /** Merge-on-read upsert by EQUALITY DELETE (Iceberg v2's second delete
     * kind): commits ONE snapshot holding (a) the appended source rows and
@@ -1125,29 +1114,12 @@ class IceTable(
   private def writeEqDelta(m0: TableMeta, src: DataFrame, keys: Seq[String],
       appendData: Boolean, operation: String): IceTable = {
     val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val delDir = new Path(tableDir,
-      f"data/eqdeletes-snap-$snapId0%05d-${java.util.UUID.randomUUID().toString.take(8)}")
-    src.select(keys.map(col): _*).distinct()
-      .repartition(1).sortWithinPartitions(keys.map(col): _*)
-      .write.mode("errorifexists").parquet(delDir.toString)
-    val it = fs.listFiles(delDir, true)
-    val delFiles = Iterator.continually(it).takeWhile(_.hasNext)
-      .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
-    require(delFiles.length == 1,
-      s"equality-delete write produced ${delFiles.length} files, expected 1")
-    val delStat = FileStats.collect(
-      spark.sparkContext.hadoopConfiguration, delFiles).head
-    if (delStat.rows == 0) { // empty source: nothing to delete or insert
-      fs.delete(delDir, true)
-      return this
+    val written = EqDeleteIo.writeKeyFile(
+      spark, fs, tableDir, snapId0, src.select(keys.map(col): _*), keys)
+    val (delDir, delFile, keyRows, eqMin, eqMax) = written match {
+      case Some(w) => w
+      case None => return this // empty source: nothing to delete or insert
     }
-    // a key column holding NULLs (or with unusable footer stats) gets no
-    // bounds: bounds prune by VALUE range, and a null key matches outside
-    // any range — absent bounds keep eqAppliesTo conservative for it
-    val boundedCols = keys.filter(c => delStat.nullCount(c).contains(0L)).toSet
-    val eqMin = delStat.min.view.filterKeys(boundedCols).toMap
-    val eqMax = delStat.max.view.filterKeys(boundedCols).toMap
     val (dataDir, added): (Option[String], Seq[FileStat]) =
       if (!appendData) (None, Nil)
       else {
@@ -1165,8 +1137,8 @@ class IceTable(
       val current = m.currentSnapshot
       val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val stat = DeleteStat(
-        path = qualify(delFiles.head), appliesTo = Nil,
-        eqCols = keys, eqRows = delStat.rows, seqId = snapId,
+        path = qualify(delFile), appliesTo = Nil,
+        eqCols = keys, eqRows = keyRows, seqId = snapId,
         eqExemptDirs = dataDir.map(qualify).toSeq,
         eqMin = eqMin, eqMax = eqMax)
       val prior = current.map(c => FileStats.deletesOf(fs, c)).getOrElse(Nil)

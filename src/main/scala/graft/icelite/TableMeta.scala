@@ -179,13 +179,14 @@ final case class PartSpecChange(cutoffSnapshotId: Long, cols: Seq[String])
 
 object Renames {
 
-  private val SnapDir = """data/snap-(\d+)(?:-[0-9a-f]+)?/""".r.unanchored
+  private val SnapDir = """data/snap-(\d+)(?:-[0-9a-f]+)?(?:-e\d+)?/""".r.unanchored
 
   /** The snapshot era a data file was written in (parsed from its
-    * `data/snap-N/` directory; appends add a writer-unique `-hex` suffix for
-    * optimistic commit retry). Unknown layouts map to Long.MaxValue =
-    * "newest" (no renames applied), which is only reachable for legacy
-    * paths that predate every rename anyway.
+    * `data/snap-N/` directory; appends add a writer-unique `-hex` suffix
+    * for optimistic commit retry, and the native streaming sink a further
+    * `-e<epoch>`). Unknown layouts map to Long.MaxValue = "newest" (no
+    * renames applied), which is only reachable for legacy paths that
+    * predate every rename anyway.
     */
   def eraOf(path: String): Long = path match {
     case SnapDir(n) => n.toLong

@@ -42,10 +42,31 @@ private[v2] class IceLiteWriteBuilder(
     // write data against this metadata's shape, so a DDL landing anywhere
     // between planning and commit must fail the commit — a commit-time
     // baseline would wave through exactly that window
+    // streaming CDC upsert mode: `.option("upsertKeys", "k1,k2")` makes
+    // every epoch an equality-delete upsert instead of a plain append
+    val upsertKeys = Option(info.options.get("upsertKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (upsertKeys.nonEmpty) {
+      val schema = StructType.fromDDL(meta.schemaDdl)
+      val idCols = (graft.icelite.PartField.identityCols(meta.partitionBy) ++
+        meta.partitionSpecs.flatMap(sp =>
+          graft.icelite.PartField.identityCols(sp.cols))).toSet
+      upsertKeys.foreach { k =>
+        require(schema.fieldNames.contains(k),
+          s"upsertKeys column $k not in $ns.$table schema")
+        require(graft.icelite.EqDeleteIo.keyType(schema(k).dataType),
+          s"upsertKeys column $k has non-atomic type ${schema(k).dataType}")
+        require(!idCols.contains(k),
+          s"upsertKeys column $k is an identity partition column " +
+            "(old eras store it in directory names only)")
+      }
+      require(meta.renames.isEmpty,
+        s"streaming upsert into $ns.$table needs a rename-free table")
+    }
     IceLiteWriteShape.of(meta.partitionBy,
       new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta),
       new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
-        info.queryId()))
+        info.queryId(), upsertKeys))
   }
 }
 
@@ -213,7 +234,12 @@ private[v2] class IceLiteBatchWrite(
   */
 private[v2] class IceLiteStreamingWrite(
     warehouse: String, ns: String, table: String, schema: StructType,
-    m0: graft.icelite.TableMeta, queryId: String)
+    m0: graft.icelite.TableMeta, queryId: String,
+    // non-empty = CDC upsert mode: each epoch commits its rows PLUS an
+    // equality delete over these key columns, so the latest version of
+    // every key wins — exactly-once streaming upsert with zero target
+    // reads (the write cost is O(epoch) whatever the table size)
+    upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingBase = s".streaming-${UUID.randomUUID()}"
@@ -262,6 +288,19 @@ private[v2] class IceLiteStreamingWrite(
         st.path.replace(s"data/$stagingBase-e$epochId", s"data/$pubName"))).toString))
     }.toSeq.flatten.sortBy(_.path)
     val rows = added.map(_.rows).sum
+    // CDC upsert mode: the epoch's distinct keys become one equality-delete
+    // file, read back from the just-published epoch files (epoch-sized —
+    // the only read this mode ever does; the target table is never
+    // scanned). Committed atomically with the data below, the delete
+    // makes the epoch's version of each key the only live one.
+    val eqWritten =
+      if (upsertKeys.isEmpty || added.isEmpty) None
+      else graft.icelite.EqDeleteIo.writeKeyFile(
+        SparkSession.active, fs, tableDir, snapId0,
+        SparkSession.active.read.schema(StructType.fromDDL(m0.schemaDdl))
+          .parquet(added.map(_.path): _*)
+          .select(upsertKeys.map(org.apache.spark.sql.functions.col): _*),
+        upsertKeys)
     var attempts = 0
     while (true) {
       val m = MetaIo.read(fs, tableDir)
@@ -273,17 +312,29 @@ private[v2] class IceLiteStreamingWrite(
       val prev = m.currentSnapshot
       val carried: Seq[FileStat] =
         prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
+      // the delete's sequence re-pins to the commit snapshot per attempt
+      // (state-independent content); the epoch's own data dir is exempt
+      val eqStat = eqWritten.map { case (_, delFile, keyRows, eqMin, eqMax) =>
+        graft.icelite.DeleteStat(
+          path = fs.makeQualified(new Path(delFile)).toString, appliesTo = Nil,
+          eqCols = upsertKeys, eqRows = keyRows, seqId = snapId,
+          eqExemptDirs = Seq(fs.makeQualified(dataDir).toString),
+          eqMin = eqMin, eqMax = eqMax)
+      }
       val snap = SnapshotMeta(
         snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-        operation = "append",
-        dataDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
-          :+ dataDir.toString,
+        operation = if (eqStat.isDefined) "upsert" else "append",
+        dataDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) ++
+          eqWritten.map(_._1).toSeq :+ dataDir.toString,
         addedFiles = added.map(_.path), addedRows = rows,
+        // upper bound while equality debt is outstanding (matched-row
+        // counts are unknown by design); a fold restores exact totals
         totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
         addedFileCount = added.length.toLong,
         schemaDdl = m.schemaDdl,
         files = (carried ++ added).sortBy(_.path),
-        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil),
+        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil) ++
+          eqStat.toSeq,
         streamCommit = sc)
       try {
         MetaIo.commit(fs, tableDir, m.copy(

@@ -243,6 +243,58 @@ object StreamOps {
         tbl.toDF.orderBy("event_id")
       }),
 
+    // Streaming CDC UPSERT through the native sink: `.option("upsertKeys",
+    // ...)` turns every epoch into an equality-delete upsert — the epoch's
+    // rows land atomically WITH an eq-delete that makes them the only live
+    // version of their keys, and the target table is never read (write
+    // cost tracks the epoch, never the table — the shape continuous CDC
+    // ingestion needs at 100 TB). A 3-epoch change log streams through
+    // per-snapshot micro-batches in commit order; the oracle states the
+    // last-writer-wins result relationally. Epoch replays after recovery
+    // are no-ops via the same streamCommit stamp as st7 (DsV2Spec proves
+    // the restart).
+    QDef(
+      "st8_stream_upsert",
+      Some("""SELECT event_id, user_id, event_type,
+             |  CASE WHEN event_id % 5 = 0 THEN value * 3
+             |       WHEN event_id % 3 = 0 THEN value * 2
+             |       ELSE value END AS value
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.freshWarehouse(s, "st8")
+        val cat = new graft.icelite.IceCatalog(s, wh)
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val ev = QUtil.t(s, dir, "events").selectExpr(cols: _*)
+        // the CDC feed: one append snapshot per change slice; repartition(1)
+        // + maxFilesPerTrigger=1 gives one micro-batch per snapshot, in
+        // commit order (upsert epochs are key-unique, the CDC contract)
+        val feed = cat.createTable("lake", "changes_st8", ev.schema)
+        feed.append(ev.repartition(1))
+        feed.append(ev.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") * 2).repartition(1))
+        feed.append(ev.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") * 3).repartition(1))
+        val tbl = cat.createTable("lake", "events_cdc", ev.schema)
+        val ckpt = Files.createTempDirectory("graft-stream-st8").toString
+        val q = s.readStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.changes_st8")
+          .option("maxFilesPerTrigger", "1").load()
+          .writeStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_cdc")
+          .option("upsertKeys", "event_id")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val snaps = tbl.snapshots
+        require(snaps.length == 3 && snaps.forall(sn =>
+          sn.operation == "upsert" && sn.streamCommit.nonEmpty),
+          s"one stamped upsert snapshot per epoch expected: $snaps")
+        val eqs = tbl.deletesOf(tbl.meta.currentSnapshot.get).filter(_.isEquality)
+        require(eqs.length == 3, s"each epoch must carry its equality delete: $eqs")
+        tbl.toDF.orderBy("event_id")
+      }),
+
     // Streaming SOURCE over the IceLite table layer: readStream tails the
     // append-snapshot log (offsets = snapshot ids, each micro-batch reads
     // exactly the files added by its snapshot range — change-volume cost,

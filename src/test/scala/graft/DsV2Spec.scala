@@ -355,6 +355,46 @@ class DsV2Spec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("streaming CDC upsert sink: last writer wins, exactly-once on restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = warehouse("stream-upsert")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val v1 = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    val v2 = (10L to 40L).map(i => (i, s"w$i")).toDF("id", "v")
+    val src = cat.createTable("lake", "src", v1.schema)
+    src.append(v1.repartition(1))
+    src.append(v2.repartition(1))
+    cat.createTable("lake", "dst", v1.schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("icelite-upsert").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("icelite")
+        .option("warehouse", wh).option("table", "lake.src")
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("icelite")
+        .option("warehouse", wh).option("table", "lake.dst")
+        .option("upsertKeys", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val dst = cat.loadTable("lake", "dst")
+    // keys 10-30 overwritten by epoch 2, 31-40 inserted, 1-9 survive
+    val expect = ((1L to 9L).map(i => (i, s"v$i")) ++
+      (10L to 40L).map(i => (i, s"w$i"))).sortBy(_._1)
+    assert(dst.toDF.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == expect)
+    assert(dst.snapshots.forall(s =>
+      s.operation == "upsert" && s.streamCommit.nonEmpty))
+    // restart on the same checkpoint: replayed epochs are no-ops
+    run()
+    assert(dst.toDF.count() == 40, "restart must not duplicate epochs")
+    assert(dst.snapshots.length == 2, "no new snapshots on replay")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("maxFilesPerTrigger splits a populated table into bounded batches") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("stream-admission")
