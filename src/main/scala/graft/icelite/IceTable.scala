@@ -177,6 +177,105 @@ class IceTable(
       .load()
   }
 
+  /** CDC changelog over `(from, to]`: every committed row change as a
+    * DataFrame of the table's columns plus `_change_type`
+    * ('insert' | 'delete'; an update is its delete+insert pair) and
+    * `_commit_snapshot_id`. The create_changelog_view analog, and the read
+    * shape incremental consumers (materialized views, downstream syncs)
+    * replay instead of diffing table states.
+    *
+    * Defined over append and MERGE-ON-READ history — the shapes whose
+    * changes are recorded explicitly: inserts are a snapshot's added
+    * files; deletes resolve each new delete file to the ROW VALUES it
+    * killed (positions join back to their files; equality keys semi-join
+    * the rows live at the parent snapshot). A snapshot that rewrites files
+    * (copy-on-write ops, compaction, replace) fails loudly: its row-level
+    * delta is not recorded, only derivable by a full diff. Cost tracks the
+    * CHANGES in the range — added files plus delete-affected files — never
+    * table size.
+    */
+  def changelog(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit => fLit}
+    val m = meta
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val to = toSnapshotId.getOrElse(m.currentSnapshotId)
+    FileStats.requireHistory(m, fromSnapshotId, s"changelog of $namespace.$name")
+    require(fromSnapshotId == 0L || m.snapshot(fromSnapshotId).isDefined,
+      s"no snapshot $fromSnapshotId in $namespace.$name")
+    val range = m.snapshots
+      .filter(s => s.snapshotId > fromSnapshotId && s.snapshotId <= to)
+      .sortBy(_.snapshotId)
+    def stamp(df: DataFrame, tpe: String, snapId: Long): DataFrame =
+      df.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", fLit(tpe))
+        .withColumn("_commit_snapshot_id", fLit(snapId))
+    val parts: Seq[DataFrame] = range.flatMap { s =>
+      val parent = m.snapshots.filter(_.snapshotId < s.snapshotId)
+        .maxByOption(_.snapshotId)
+      val pFiles = parent.map(visibleFiles).getOrElse(Nil)
+      val sPaths = visibleFiles(s).map(f => qualify(f.path)).toSet
+      require(pFiles.forall(f => sPaths(qualify(f.path))),
+        s"changelog of $namespace.$name hit rewriting snapshot " +
+          s"#${s.snapshotId} (${s.operation}) — changelogs are defined over " +
+          "append/merge-on-read history only")
+      val curDirs = FileStats.dataDirsOf(fs, s)
+      val addedPaths = addedFilesOf(s).toSet
+      val added = visibleFiles(s).filter(f => addedPaths(f.path))
+      // inserts: the snapshot's own added rows, as written (its own eq
+      // delete exempts them; MOR positions only ever target older files)
+      val inserts =
+        if (added.isEmpty) None
+        else Some(stamp(readFiles(m, tableSchema, added, curDirs),
+          "insert", s.snapshotId))
+      val pDeletes = parent.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
+      val newDeletes = FileStats.deletesOf(fs, s)
+        .filterNot(d => pDeletes.exists(_.path == d.path))
+      val deleteRows: Seq[DataFrame] = newDeletes.flatMap { d =>
+        if (!d.isEquality) {
+          // positions -> row values: the delete names its files; positions
+          // were live when committed (stacked deletes are excluded at
+          // write), so a raw positional semi-join is exact
+          val affected = pFiles.filter(f => d.dataFiles.contains(qualify(f.path)))
+          if (affected.isEmpty) None
+          else {
+            val positions = spark.read.parquet(d.path)
+              .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
+            val rows = spark.read.schema(tableSchema)
+              .parquet(affected.map(_.path): _*)
+              .withColumn("__mfp", col("_metadata.file_path"))
+              .withColumn("__mpos", col("_metadata.row_index"))
+              .join(broadcast(positions),
+                col("__mfp") === col("__dfp") && col("__mpos") === col("__dpos"),
+                "left_semi")
+            Some(stamp(rows, "delete", s.snapshotId))
+          }
+        } else {
+          // equality keys -> row values: the rows live at the PARENT
+          // snapshot (its deletes applied) in era+bounds-eligible files
+          // whose key tuples match
+          val eligible = pFiles.filter(f => FileStats.eqAppliesTo(d, f, tableSchema))
+          if (eligible.isEmpty) None
+          else {
+            val keys = spark.read.parquet(d.path)
+              .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
+            val live = readFiles(m, tableSchema, eligible,
+              parent.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil), pDeletes)
+            val cond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _)
+            Some(stamp(live.join(broadcast(keys), cond, "left_semi"),
+              "delete", s.snapshotId))
+          }
+        }
+      }
+      inserts.toSeq ++ deleteRows
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val schema = tableSchema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
   // -- write path -------------------------------------------------------------
 
   /** Align an incoming DataFrame to the table schema: same column set

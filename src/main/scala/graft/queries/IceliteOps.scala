@@ -788,6 +788,61 @@ object IceliteOps {
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
+    // K25: CDC changelog read — every row change in (0, current] as
+    // (_change_type, _commit_snapshot_id, row): inserts from added files,
+    // deletes RESOLVED TO ROW VALUES from the merge-on-read delete files
+    // (equality keys semi-join the rows live at the parent snapshot;
+    // positions join back to their files). An update is its delete+insert
+    // pair. This is the replay shape incremental consumers need — cost
+    // tracks the range's changes, never table size — and the oracle states
+    // the full expected change stream relationally.
+    QDef(
+      "k25_ice_changelog",
+      Some(s"""SELECT 'insert' AS _change_type, 1 AS _commit_snapshot_id,
+              |       ${orderCols.mkString(", ")}
+              |FROM orders WHERE o_orderkey % 3 = 0
+              |UNION ALL
+              |SELECT 'insert', 2, o_orderkey, o_custkey, 'E' AS o_orderstatus,
+              |       o_totalprice * 1.2, o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey % 2 = 0
+              |UNION ALL
+              |SELECT 'delete', 2, ${orderCols.mkString(", ")}
+              |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+              |UNION ALL
+              |SELECT 'delete', 3, ${orderCols.mkString(", ")}
+              |FROM orders
+              |WHERE o_orderkey <= 100 AND o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+              |UNION ALL
+              |SELECT 'delete', 3, o_orderkey, o_custkey, 'E' AS o_orderstatus,
+              |       o_totalprice * 1.2, o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0
+              |ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k25"))
+        val o = t(s, dir, "orders")
+        val tbl = cat.createTable("lake", "orders_cdc", o.schema)
+        tbl.append(o.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(2, col("o_orderkey")))
+        tbl.upsertMorEq(
+          o.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_orderstatus", lit("E"))
+            .withColumn("o_totalprice", col("o_totalprice") * 1.2),
+          keys = Seq("o_orderkey"))
+        tbl.deleteWhereMor(Seq(
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
+        val log = tbl.changelog(0L)
+        // the incremental contract: replaying the log reconstructs the
+        // table — inserts minus deletes equals the current live row count
+        val byType = log.groupBy("_change_type").count().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        require(byType.getOrElse("insert", 0L) - byType.getOrElse("delete", 0L)
+          == tbl.toDF.count(),
+          s"changelog must reconcile with the live table: $byType")
+        log.withColumn("_commit_snapshot_id",
+          col("_commit_snapshot_id").cast("int"))
+          .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
+      }),
+
     // K22: the SQL maintenance surface — CALL procedures drive the same
     // lifecycle the API exposes (Iceberg's `CALL system.rewrite_data_files`
     // family), so schedulers and SQL-only users can run compaction and

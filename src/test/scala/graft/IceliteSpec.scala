@@ -810,6 +810,34 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.toDF.filter(col("k") > 100).count() == 20)
   }
 
+  test("changelog resolves deletes to rows, refuses rewrites, bounds by range") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("cdclog"))
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base)
+    tbl.upsertMorEq((50L to 54L).map(i => (i, "NEW")).toDF("id", "v"), Seq("id"))
+    val log = tbl.changelog(0L)
+    val rows = log.collect().map(r =>
+      (r.getString(2), r.getLong(3), r.getLong(0), r.getString(1)))
+    assert(rows.count(_._1 == "insert") == 105)
+    // the eq delete resolves to the OLD row values it killed
+    val dels = rows.filter(_._1 == "delete").sortBy(_._3)
+    assert(dels.map(x => (x._2, x._3, x._4)).toSeq ==
+      (50L to 54L).map(i => (2L, i, s"v$i")),
+      s"deletes must carry the killed rows' values: ${dels.toSeq}")
+    // range bounds: from the upsert head, the log is empty
+    assert(tbl.changelog(2L).count() == 0)
+    // a rewriting snapshot (compaction) has no recorded row delta
+    tbl.compact()
+    intercept[IllegalArgumentException](tbl.changelog(0L).count())
+    // ... but ranges that start after it replay fine
+    tbl.append((200L to 201L).map(i => (i, "A")).toDF("id", "v"))
+    val after = tbl.changelog(3L)
+    assert(after.collect().map(r => (r.getString(2), r.getLong(0))).sorted.toSeq ==
+      Seq(("insert", 200L), ("insert", 201L)))
+  }
+
   test("a MOR delete racing a concurrent append retries and both land") {
     import org.apache.spark.sql.sources.LessThanOrEqual
     import spark.implicits._
