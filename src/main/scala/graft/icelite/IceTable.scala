@@ -373,7 +373,8 @@ class IceTable(
       addedFileCount = added.length.toLong,
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       files = (carried ++ added).sortBy(_.path),
-      deletes = carriedDeletes)
+      deletes = carriedDeletes,
+      parentId = m.currentSnapshotId)
     MetaIo.commit(fs, tableDir, m.copy(
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       currentSnapshotId = snapId,
@@ -712,7 +713,8 @@ class IceTable(
         addedFileCount = added.length.toLong,
         schemaDdl = schemaAtRef.toDDL,
         files = (carried ++ added).sortBy(_.path),
-        deletes = FileStats.deletesOf(fs, parent))
+        deletes = FileStats.deletesOf(fs, parent),
+        parentId = parent.snapshotId)
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           snapshots = m.snapshots :+ snap,
@@ -996,7 +998,8 @@ class IceTable(
         addedFileCount = added.length.toLong,
         schemaDdl = m.schemaDdl,
         files = (files ++ added).sortBy(_.path),
-        deletes = if (stat.appliesTo.isEmpty) prior else prior :+ stat)
+        deletes = if (stat.appliesTo.isEmpty) prior else prior :+ stat,
+        parentId = m.currentSnapshotId)
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           currentSnapshotId = snapId,
@@ -1255,7 +1258,8 @@ class IceTable(
         addedFileCount = added.length.toLong,
         schemaDdl = m.schemaDdl,
         files = (carried ++ added).sortBy(_.path),
-        deletes = prior :+ stat)
+        deletes = prior :+ stat,
+        parentId = m.currentSnapshotId)
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           currentSnapshotId = snapId,

@@ -90,7 +90,14 @@ final case class SnapshotMeta(
     // "<queryId>/<epochId>" for snapshots committed by the native streaming
     // sink — the idempotency marker that makes epoch replays after driver
     // recovery no-ops instead of duplicate appends. "" for batch commits.
-    streamCommit: String = "")
+    streamCommit: String = "",
+    // the snapshot this one committed AGAINST (the table's current — or,
+    // for branch appends, the ref head — at commit time). 0 = first
+    // snapshot; -1 = pre-upgrade metadata (readers fall back to
+    // previous-in-log). Rollbacks move the current POINTER without a new
+    // snapshot, so later writes branch: parentId is what makes the real
+    // lineage (`.history`'s is_current_ancestor) reconstructible.
+    parentId: Long = -1L)
 
 /** Per-data-file slice of one position-delete file: `rows` positions of
   * `path` are deleted. Keeping counts PER data file lets a copy-on-write

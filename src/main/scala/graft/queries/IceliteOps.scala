@@ -1015,6 +1015,53 @@ object IceliteOps {
                 |FROM icelite_d2.lake.ev_meta.snapshots ORDER BY snapshot_id""".stripMargin)
       }),
 
+    // D3: the operational metadata views layered on the snapshot log —
+    // `.history` (real lineage via recorded parent ids: a rollback moves
+    // the pointer, later writes branch, and abandoned snapshots show
+    // is_current_ancestor = false), `.manifests` (one external manifest
+    // document per snapshot), and `.partitions` (per-partition file/row
+    // totals served manifest-parallel — the layout-health view a
+    // maintenance policy reads). The oracle checks the partition totals
+    // relationally; lineage and manifest shape are asserted in-query.
+    QDef(
+      "d3_meta_lineage",
+      Some("""SELECT concat('event_type=', event_type) AS partition,
+             |  count(*) AS row_count
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "d3")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "ev_lineage", ev.schema,
+          partitionBy = Seq("event_type"))
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0)) // abandoned below
+        tbl.rollbackTo(1L)
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        s.conf.set("spark.sql.catalog.icelite_d3", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d3.warehouse", wh)
+        val hist = s.sql(
+          """SELECT snapshot_id, parent_id, is_current_ancestor
+            |FROM icelite_d3.lake.ev_lineage.history ORDER BY snapshot_id""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        require(hist.toSeq == Seq((1L, 0L, true), (2L, 1L, false), (3L, 1L, true)),
+          s"lineage must branch at the rollback: ${hist.toSeq}")
+        val mans = s.sql(
+          """SELECT snapshot_id, length_bytes, added_files
+            |FROM icelite_d3.lake.ev_lineage.manifests ORDER BY snapshot_id""".stripMargin)
+          .collect()
+        require(mans.length == 3 && mans.forall(_.getLong(1) > 0),
+          s"every snapshot must carry one external manifest: ${mans.toSeq}")
+        val parts = s.sql(
+          """SELECT partition, file_count, row_count
+            |FROM icelite_d3.lake.ev_lineage.partitions ORDER BY partition""".stripMargin)
+        require(parts.queryExecution.executedPlan.toString.contains("manifest-parallel"),
+          "partitions view must plan from the manifest document")
+        require(parts.collect().forall(_.getLong(1) >= 2),
+          "each partition holds files from both live appends")
+        parts.select(col("partition"), col("row_count")).orderBy("partition")
+      }),
+
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'
     // branch ref — plain reads stay pinned to the pre-stage snapshot
     // (asserted) while the branch is validated through its ref scan — then

@@ -163,7 +163,8 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
       addedFileCount = added.length.toLong,
       schemaDdl = m.schemaDdl,
       files = (carried ++ added).sortBy(_.path),
-      deletes = carriedDeletes)
+      deletes = carriedDeletes,
+      parentId = m.currentSnapshotId)
     MetaIo.commit(fs, tableDir, m.copy(
       currentSnapshotId = snapId,
       snapshots = m.snapshots :+ snap,

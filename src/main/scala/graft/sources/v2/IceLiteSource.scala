@@ -538,7 +538,8 @@ private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any
   */
 private[v2] object IceLiteMeta {
 
-  val names: Set[String] = Set("snapshots", "files", "refs", "deletes")
+  val names: Set[String] = Set(
+    "snapshots", "files", "refs", "deletes", "history", "manifests", "partitions")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
@@ -568,6 +569,61 @@ private[v2] object IceLiteMeta {
             Array[Any](d.path, "position", e.path, e.rows, null))
         }
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.deletes", schema, rows)
+    case "history" =>
+      // table lineage (Iceberg's .history): rollbackTo moves the current
+      // POINTER without a snapshot, so later writes branch — the recorded
+      // parentId reconstructs which log entries are ancestors of current
+      // and which are abandoned (still time-travelable until expiry)
+      val schema = StructType.fromDDL(
+        "made_current_at BIGINT, snapshot_id BIGINT, parent_id BIGINT, " +
+          "is_current_ancestor BOOLEAN")
+      val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+      val ids = meta.snapshots.map(_.snapshotId).sorted
+      def parentOf(s: graft.icelite.SnapshotMeta): Long =
+        if (s.parentId >= 0) s.parentId
+        else ids.takeWhile(_ < s.snapshotId).lastOption.getOrElse(0L)
+      val ancestors = {
+        val b = scala.collection.mutable.Set[Long]()
+        var cur = meta.currentSnapshotId
+        while (cur > 0 && byId.contains(cur) && !b(cur)) {
+          b += cur; cur = parentOf(byId(cur))
+        }
+        b.toSet
+      }
+      val rows = meta.snapshots.map(s => Array[Any](
+        s.timestampMs, s.snapshotId, parentOf(s), ancestors(s.snapshotId)))
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.history", schema, rows)
+    case "manifests" =>
+      // one external manifest document per snapshot (the O(snapshots)
+      // metadata the version log points at)
+      val schema = StructType.fromDDL(
+        "snapshot_id BIGINT, path STRING, length_bytes BIGINT, added_files BIGINT")
+      val rows = meta.snapshots.filter(_.manifestFile.nonEmpty).map { s =>
+        val len =
+          try fs.getFileStatus(new Path(s.manifestFile)).getLen
+          catch { case _: java.io.FileNotFoundException => -1L }
+        Array[Any](s.snapshotId, s.manifestFile, len,
+          graft.icelite.FileStats.addedCount(s))
+      }
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.manifests", schema, rows)
+    case "partitions" =>
+      // per-partition file/row/byte totals of the CURRENT snapshot — the
+      // layout-health view (skew, small-file pressure) a maintenance
+      // policy reads. Served manifest-parallel like `.files`: the task
+      // parses the manifest and aggregates; the driver ships one PATH.
+      val schema = StructType.fromDDL(
+        "partition STRING, file_count BIGINT, row_count BIGINT, bytes BIGINT")
+      meta.currentSnapshot match {
+        case Some(s) if s.manifestFile.nonEmpty =>
+          new IceLitePartitionsTable(
+            s"${meta.namespace}.${meta.name}.partitions", schema, Seq(s.manifestFile))
+        case Some(s) =>
+          new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.partitions",
+            schema, IceLitePartitions.rows(graft.icelite.FileStats.visible(fs, s)))
+        case None =>
+          new IceLiteMetaTable(
+            s"${meta.namespace}.${meta.name}.partitions", schema, Nil)
+      }
     case "snapshots" =>
       val schema = StructType.fromDDL(
         "snapshot_id BIGINT, timestamp_ms BIGINT, operation STRING, " +
@@ -627,6 +683,77 @@ private[v2] class IceLiteManifestFilesTable(
       override def createReaderFactory(): PartitionReaderFactory =
         new IceLiteManifestReaderFactory(new SerializableConfiguration(
           SparkSession.active.sparkContext.hadoopConfiguration))
+    }
+}
+
+/** Partition aggregation over a manifest's file list — pure path algebra:
+  * a file's partition is its `name=value` directory segments (hidden-
+  * partitioning's `__p_` alias stripped), so no schema or spec resolution
+  * is needed and mixed-era layouts each report their own era's rendering.
+  */
+private[v2] object IceLitePartitions {
+
+  def key(path: String): String =
+    path.split('/').dropRight(1).filter(_.contains('='))
+      .map(seg =>
+        if (seg.startsWith(PartValues.DirAliasPrefix))
+          seg.stripPrefix(PartValues.DirAliasPrefix)
+        else seg)
+      .mkString("/")
+
+  def rows(files: Seq[graft.icelite.FileStat]): Seq[Array[Any]] =
+    files.groupBy(f => key(f.path)).toSeq.sortBy(_._1).map { case (k, fs) =>
+      Array[Any](k, fs.length.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
+    }
+}
+
+/** `.partitions` over a committed snapshot: the driver ships the manifest
+  * PATH; the one task parses it and emits the aggregated per-partition
+  * rows (a snapshot has a single manifest document, so the task-local
+  * aggregation is exact).
+  */
+private[v2] class IceLitePartitionsTable(
+    tblName: String, schema0: StructType, manifestPaths: Seq[String])
+    extends Table with SupportsRead {
+
+  override def name(): String = tblName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"icelite metadata $tblName (manifest-parallel)"
+      override def planInputPartitions(): Array[InputPartition] =
+        manifestPaths.map(IceLiteManifestPartition(_): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          private val conf = new SerializableConfiguration(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val mp = p.asInstanceOf[IceLiteManifestPartition]
+            val path = new Path(mp.manifestPath)
+            val pfs = path.getFileSystem(conf.value)
+            val it = IceLitePartitions
+              .rows(MetaIo.readManifestDoc(pfs, mp.manifestPath).files).iterator
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean =
+                it.hasNext && {
+                  val r = it.next()
+                  cur = new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(r(0).asInstanceOf[String]),
+                    r(1), r(2), r(3)))
+                  true
+                }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
     }
 }
 

@@ -200,7 +200,8 @@ private[v2] class IceLiteBatchWrite(
         files = (carried ++ added).sortBy(_.path),
         // appends never touch existing files: outstanding position
         // deletes carry forward unchanged
-        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil))
+        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil),
+        parentId = m.currentSnapshotId)
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           currentSnapshotId = snapId,
@@ -335,7 +336,8 @@ private[v2] class IceLiteStreamingWrite(
         files = (carried ++ added).sortBy(_.path),
         deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil) ++
           eqStat.toSeq,
-        streamCommit = sc)
+        streamCommit = sc,
+        parentId = m.currentSnapshotId)
       try {
         MetaIo.commit(fs, tableDir, m.copy(
           currentSnapshotId = snapId,
