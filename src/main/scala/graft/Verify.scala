@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins: let co-bucketed icelite tables join
+      // shuffle-free (the scan reports a KeyGroupedPartitioning; b2_spj_join
+      // asserts the zero-exchange plan)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       // test fixtures carry nanosecond timestamps (events.ts); see QUtil.t
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -973,6 +973,56 @@ object IceliteOps {
           .orderBy("okey")
       }),
 
+    // B2: storage-partitioned join — both tables laid out bucket(8, key) by
+    // hidden partitioning, and the scans report the layout as a
+    // KeyGroupedPartitioning (DSv2 SPJ), so the equi-join plans with ZERO
+    // shuffle exchanges (asserted in-query): same-bucket files of the two
+    // tables land in one co-located task. At 100 TB this is THE fact-fact
+    // join plan — neither side is broadcastable and neither side moves; the
+    // layout investment is paid once at write. hint("merge") only defeats
+    // the fixture-scale broadcast pick, as in b1. The oracle states the
+    // plain relational answer over the raw tables.
+    QDef(
+      "b2_spj_join",
+      Some(s"""SELECT c_custkey, count(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS total
+              |FROM customer JOIN orders ON o_custkey = c_custkey
+              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        // co-bucketed table build is fixture (paid once per corpus, like
+        // b1/k20); the measured operator is the shuffle-free join itself
+        val wh = QUtil.cachedFixture(s, "b2", dir) { wh =>
+          val cat = new IceCatalog(s, wh)
+          val o = t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          val c = t(s, dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+          // cluster rows by their target bucket before the write (same
+          // Murmur3 the transform applies), so each table lands as exactly
+          // one file per bucket dir instead of tasks x dirs fan-out
+          cat.createTable("lake", "ord_b", o.schema,
+            partitionBy = Seq("bucket(8,o_custkey)"))
+            .append(o.repartition(8, pmod(hash(col("o_custkey")), lit(8))))
+          cat.createTable("lake", "cust_b", c.schema,
+            partitionBy = Seq("bucket(8,c_custkey)"))
+            .append(c.repartition(8, pmod(hash(col("c_custkey")), lit(8))))
+        }
+        s.conf.set("spark.sql.catalog.icelite_b2", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_b2.warehouse", wh)
+        val joined = s.sql(
+          """SELECT /*+ MERGE(o) */ c_custkey, o_totalprice
+            |FROM icelite_b2.lake.cust_b c JOIN icelite_b2.lake.ord_b o
+            |  ON o.o_custkey = c.c_custkey""".stripMargin)
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"co-bucketed tables must join with zero shuffles: $plan")
+        require(plan.contains("SortMergeJoin"),
+          s"expected a storage-partitioned sort-merge join: $plan")
+        joined.groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_custkey")
+      }),
+
     // D12: metadata tables (`.snapshots` / `.files`, Iceberg's operational
     // views). The snapshot log is queried through SQL's 4-part identifier
     // and verified against the exactly-known history (deterministic ids,

@@ -257,9 +257,15 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
 
   // -- functions (SELECT <cat>.system.<fn>(...)) ------------------------------
 
+  // the EMPTY namespace is accepted alongside `system` because Spark's
+  // storage-partitioned-join resolution (V2ExpressionUtils.loadV2FunctionOpt)
+  // looks a reported transform's function up at the catalog root — rejecting
+  // it would silently disable SPJ on every bucket/days/truncate layout
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
-    if (!ident.namespace().sameElements(IceLiteProcedures.Namespace))
+    val ns = ident.namespace()
+    if (!(ns.isEmpty || ns.sameElements(IceLiteProcedures.Namespace)) ||
+        !IceLiteFunctions.names.contains(ident.name()))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     IceLiteFunctions.load(ident.name())
   }
@@ -271,7 +277,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     else Array.empty
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.namespace().sameElements(IceLiteProcedures.Namespace) &&
+    (ident.namespace().isEmpty ||
+      ident.namespace().sameElements(IceLiteProcedures.Namespace)) &&
       IceLiteFunctions.names.contains(ident.name())
 
   // -- procedures (CALL <cat>.system.<proc>) ----------------------------------

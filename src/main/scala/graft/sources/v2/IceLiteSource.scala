@@ -241,6 +241,8 @@ private[v2] class IceLiteTable(
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partitionBy.map(IceLiteScan.v2Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
@@ -830,6 +832,27 @@ private[v2] class IceLiteMetaTable(
 private[v2] object IceLiteScan {
   /** Name of the data-file metadata column (SupportsMetadataColumns). */
   val FileMetaCol = "_file"
+
+  /** One partition-spec entry as a Spark connector `Transform` — the shape
+    * `Table.partitioning()` and the scan's `KeyGroupedPartitioning` report.
+    * Spark resolves the named transforms back through this catalog's own
+    * FunctionCatalog (bucket/days/... at the root namespace), so both sides
+    * of a join bind the SAME function identity — the precondition for
+    * storage-partitioned joins.
+    */
+  def v2Transform(entry: String): Transform = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    graft.icelite.PartField.parse(entry) match {
+      case graft.icelite.IdentityField(c) => E.identity(c)
+      case graft.icelite.BucketField(n, c) => E.bucket(n, c)
+      case graft.icelite.DaysField(c) => E.days(c)
+      case graft.icelite.MonthsField(c) => E.months(c)
+      case graft.icelite.YearsField(c) => E.years(c)
+      case graft.icelite.HoursField(c) => E.hours(c)
+      case graft.icelite.TruncateField(w, c) =>
+        E.apply("truncate", E.literal(w), E.column(c))
+    }
+  }
 }
 
 private[v2] class IceLiteScan(
@@ -846,7 +869,7 @@ private[v2] class IceLiteScan(
     // affected input partition; their rows are subtracted at read
     deletes: Seq[graft.icelite.DeleteStat] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   import graft.icelite.PartField
 
@@ -936,6 +959,75 @@ private[v2] class IceLiteScan(
   private lazy val planned: Seq[(FileStat, Map[String, Option[String]])] =
     prune(filters.toSeq)
 
+  // ---- storage-partitioned joins ------------------------------------------
+  // The layout IS a clustering: every file carries one partition-key tuple
+  // in its directory values, so the scan reports a KeyGroupedPartitioning
+  // over the spec's transforms and Spark (under
+  // spark.sql.sources.v2.bucketing.enabled) co-locates equi-joins of
+  // co-partitioned tables with ZERO shuffle — at 100 TB, two fact tables
+  // bucketed the same way join without moving either side. Reported only
+  // when every planned file was written under the CURRENT spec (mixed-era
+  // layouts have no single clustering) and every file's key decodes from
+  // its path; row-level scans opt out (their contract is a deterministic
+  // replace set, not a join layout).
+
+  private lazy val spjFields: Seq[PartField] =
+    if (partitionBy.isEmpty || rowLevel.isDefined) Nil
+    else {
+      val fs = PartField.parseSpec(partitionBy)
+      val uniform = specs.isEmpty ||
+        planned.forall { case (f, _) => specOf(f.path) == partitionBy }
+      if (uniform && fs.forall(f => tableSchema.fieldNames.contains(f.source))) fs
+      else Nil
+    }
+
+  /** Key-tuple schema: each entry's transform RESULT type — the type the
+    * bound V2 function declares, which is what catalyst's
+    * TransformExpression (and so the partition-value comparisons) carry.
+    */
+  private lazy val spjKeySchema: StructType = StructType(spjFields.map {
+    case f: graft.icelite.IdentityField =>
+      StructField(f.fieldName, tableSchema(f.source).dataType)
+    case f: graft.icelite.TruncateField =>
+      StructField(f.fieldName, tableSchema(f.source).dataType)
+    case f => StructField(f.fieldName, IntegerType) // bucket + temporal
+  })
+
+  private def spjKeyOf(path: String): Option[Seq[Any]] = {
+    val names = spjFields.map(_.fieldName)
+    val raw = PartValues.parse(path, names)
+    if (names.exists(n => !raw.contains(n))) None
+    else
+      try {
+        val row = PartValues.internalRow(spjKeySchema, raw)
+        Some(spjKeySchema.indices.map(i =>
+          if (row.isNullAt(i)) null else row.get(i, spjKeySchema(i).dataType)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // static key per planned file; None disables reporting entirely — the
+  // scan must not promise a clustering it cannot prove for every file
+  private lazy val spjKeys: Option[Map[String, Seq[Any]]] =
+    if (spjFields.isEmpty) None
+    else {
+      val ks = planned.map { case (f, _) => f.path -> spjKeyOf(f.path) }
+      if (ks.isEmpty || ks.exists(_._2.isEmpty)) None
+      else Some(ks.map { case (p, k) => p -> k.get }.toMap)
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some(ks) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partitionBy.map(IceLiteScan.v2Transform)
+            .toArray[org.apache.spark.sql.connector.expressions.Expression],
+          ks.values.toSeq.distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planned.size)
+    }
+
   override def description(): String =
     s"icelite $tableName files=${files.size} planned=${planned.size} " +
       s"readSchema=${readSchema().fieldNames.mkString(",")} " +
@@ -999,10 +1091,13 @@ private[v2] class IceLiteScan(
       }
       val phys = graft.icelite.Renames.physicalNames(
         renames, fileData, graft.icelite.Renames.eraOf(f.path))
+      // runtime filters only shrink the planned set, so every effective
+      // file has a precomputed key when reporting is on
+      val key = spjKeys.map(_(f.path)).getOrElse(Nil)
       if (!evolved && missingKeys.isEmpty)
         IceLiteInputPartition(f.path, f.bytes, constants,
           phys.getOrElse(Nil), deleteFiles = delFor,
-          eqDeletes = eqTasks): InputPartition
+          eqDeletes = eqTasks, partKey = key): InputPartition
       else {
         val localNames = fileData.fieldNames ++ filePart.fieldNames
         val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
@@ -1015,7 +1110,7 @@ private[v2] class IceLiteScan(
           fileDataSchemaJson = fileData.json,
           filePartSchemaJson = filePart.json,
           filePerm = perm, deleteFiles = delFor,
-          eqDeletes = eqTasks): InputPartition
+          eqDeletes = eqTasks, partKey = key): InputPartition
       }
     }.toArray
   }
@@ -1253,8 +1348,16 @@ private[v2] case class IceLiteInputPartition(
     deleteFiles: Seq[String] = Nil,
     // equality deletes reaching this file (merge-on-read): the reader
     // drops rows whose key tuple appears in the delete file
-    eqDeletes: Seq[EqDeleteTask] = Nil)
-    extends InputPartition
+    eqDeletes: Seq[EqDeleteTask] = Nil,
+    // catalyst values of the file's partition key, in spec order — set only
+    // when the scan reports a KeyGroupedPartitioning (storage-partitioned
+    // joins); Spark groups same-key partitions into one co-located task
+    partKey: Seq[Any] = Nil)
+    extends InputPartition with HasPartitionKey {
+
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(partKey.toArray)
+}
 
 /** One equality-delete application unit shipped to a task: the delete
   * file, its key schema (logical names/types as of the scan), and the key

@@ -695,4 +695,41 @@ class DsV2Spec extends SparkSpec {
     assert(proj.filter(col("v") === "NEW").count() == 11)
     assert(proj.count() == 200)
   }
+
+  test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
+    import spark.implicits._
+    val wh = warehouse("spj")
+    val cat = new IceCatalog(spark, wh)
+    val a = (1L to 400L).map(k => (k, k * 1.5)).toDF("k", "v")
+    val b = (201L to 600L).map(k => (k, k * 2.0)).toDF("k", "w")
+    val ta = cat.createTable("lake", "spj_a", a.schema,
+      partitionBy = Seq("bucket(4,k)"))
+    val tb = cat.createTable("lake", "spj_b", b.schema,
+      partitionBy = Seq("bucket(4,k)"))
+    // two appends per side: several files per bucket, so key-grouping has
+    // to merge same-key files into one co-located task
+    ta.append(a.filter($"k" % 2 === 0)); ta.append(a.filter($"k" % 2 =!= 0))
+    tb.append(b.filter($"k" % 2 === 0)); tb.append(b.filter($"k" % 2 =!= 0))
+    spark.conf.set("spark.sql.catalog.ice_spj", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_spj.warehouse", wh)
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      // fixture-sized sides would broadcast, hiding the property under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(
+        """SELECT a.k, a.v, b.w
+          |FROM ice_spj.lake.spj_a a JOIN ice_spj.lake.spj_b b ON a.k = b.k
+          |""".stripMargin)
+      val rows = q.collect()
+      assert(rows.length == 200)
+      assert(rows.forall(r => r.getDouble(1) == r.getLong(0) * 1.5 &&
+        r.getDouble(2) == r.getLong(0) * 2.0))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed icelite tables must join without any shuffle: $plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join: $plan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
