@@ -47,16 +47,26 @@ class IceCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   def createTable(ns: String, table: String, schema: StructType,
-      partitionBy: Seq[String] = Nil): IceTable = {
+      partitionBy: Seq[String] = Nil, sortedBy: Seq[String] = Nil): IceTable = {
     require(!tableExists(ns, table), s"table $ns.$table already exists")
     // identity columns or hidden-partitioning transforms —
     // bucket(N, col) / days(col) / truncate(W, col)
     partitionBy.foreach(entry => Transforms.validate(schema, entry))
+    // declared sort order: every write path will maintain it (files sorted
+    // on these columns within each partition dir), and scans report it
+    sortedBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(s"icelite: sort column $c not in schema"))
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType),
+        s"icelite: sort column $c has unorderable type ${f.dataType.simpleString}")
+    }
     createNamespace(ns)
     val meta = TableMeta(
       formatVersion = 1, namespace = ns, name = table,
       schemaDdl = schema.toDDL, partitionBy = partitionBy,
-      currentSnapshotId = 0L, snapshots = Nil, version = 1)
+      currentSnapshotId = 0L, snapshots = Nil, version = 1,
+      sortOrder = sortedBy)
     MetaIo.commit(fs, tablePath(ns, table), meta)
     new IceTable(spark, this, ns, table)
   }

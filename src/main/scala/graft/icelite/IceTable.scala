@@ -329,10 +329,22 @@ class IceTable(
     val withDirs = fields.foldLeft(df)((d, f) =>
       d.withColumn(PartValues.DirAliasPrefix + f.fieldName,
         Transforms.columnExpr(f, df.schema(f.source).dataType)))
+    // the table's DECLARED sort order is enforced on every write through
+    // this funnel — that total enforcement is what lets the scan REPORT
+    // the order (SupportsReportOrdering) and downstream joins skip sorts.
+    // A replace() whose new schema drops a sort column writes unsorted and
+    // clears the declaration in the same commit (see replace).
+    val declared = {
+      val so = meta.sortOrder
+      if (so.nonEmpty && so.forall(df.columns.contains)) so else Nil
+    }
+    val inFileOrder = (sortWithin ++ declared).distinct
     val clustered =
-      if (fields.isEmpty) df
+      if (fields.isEmpty)
+        if (inFileOrder.isEmpty) df
+        else df.sortWithinPartitions(inFileOrder.map(col): _*)
       else withDirs.repartition(dirCols.map(col): _*)
-        .sortWithinPartitions((dirCols ++ sortWithin).map(col): _*)
+        .sortWithinPartitions((dirCols ++ inFileOrder).map(col): _*)
     val writer = clustered.write.mode("errorifexists")
     (if (fields.nonEmpty) writer.partitionBy(dirCols: _*) else writer)
       .parquet(dataDir.toString)
@@ -427,7 +439,15 @@ class IceTable(
     val m = meta
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val (dir, added) = writeData(df, snapId, m.partitionBy)
-    commitSnapshot(m, "replace", Seq(dir), added, carried = Nil,
+    // a replace whose schema drops a sort column cannot maintain the
+    // declared order: writeData already wrote unsorted, so clear the
+    // declaration in the same commit (older sorted snapshots pin their own
+    // files and stay correctly reported via time travel)
+    val base =
+      if (m.sortOrder.nonEmpty && !m.sortOrder.forall(df.columns.contains))
+        m.copy(sortOrder = Nil)
+      else m
+    commitSnapshot(base, "replace", Seq(dir), added, carried = Nil,
       newSchemaDdl = Some(df.schema.toDDL))
   }
 
@@ -470,6 +490,14 @@ class IceTable(
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "pass either sortBy or zorderBy, not both")
     val m = meta
+    // a table with a DECLARED sort order compacts into that order by
+    // default (its maintenance should preserve the contract); a z-order
+    // layout would break it, so it is refused rather than silently
+    // un-sorting every file
+    require(zorderBy.isEmpty || m.sortOrder.isEmpty,
+      s"$namespace.$name declares sort order ${m.sortOrder.mkString(",")}; " +
+        "z-order compaction would break it")
+    val effSort = if (sortBy.nonEmpty || zorderBy.nonEmpty) sortBy else m.sortOrder
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     (sortBy ++ zorderBy).foreach(c => require(tableSchema.fieldNames.contains(c),
       s"cluster column $c not in $namespace.$name schema"))
@@ -485,13 +513,13 @@ class IceTable(
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
       }
-      else if (sortBy.isEmpty) toDF.repartition(targetFiles)
+      else if (effSort.isEmpty) toDF.repartition(targetFiles)
       // range partition + in-file sort: disjoint per-file key ranges AND
       // sorted row groups, so both file-level (manifest) and row-group
       // (footer) skipping get tight bounds
-      else toDF.repartitionByRange(targetFiles, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    val (dir, added) = writeData(df, snapId, m.partitionBy, sortBy)
+      else toDF.repartitionByRange(targetFiles, effSort.map(col): _*)
+        .sortWithinPartitions(effSort.map(col): _*)
+    val (dir, added) = writeData(df, snapId, m.partitionBy, effSort)
     // with outstanding EQUALITY deletes the pre-compact total is an upper
     // bound (matched-row counts are unknown until this very read applies
     // them), so exact drift is only checkable without eq debt — after this

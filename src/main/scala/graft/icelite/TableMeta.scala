@@ -265,7 +265,16 @@ final case class TableMeta(
     refs: Map[String, Long] = Map.empty,
     // partition evolution ledger (ordered by cutoff): which hive layout each
     // FILE ERA was written with. Empty = the table always had `partitionBy`.
-    partitionSpecs: Seq[PartSpecChange] = Nil) {
+    partitionSpecs: Seq[PartSpecChange] = Nil,
+    // declared table sort order (Iceberg's write sort order, made a hard
+    // contract): set at createTable only, ENFORCED by every data-writing
+    // path (API writes sort within tasks; DSv2 writes require the ordering
+    // from Spark), so the scan can REPORT it (SupportsReportOrdering) and
+    // downstream sort-merge joins / aggregations skip their sorts. Renames
+    // carry it along; dropping a sort column (or a replace() whose schema
+    // loses one) truncates/clears it — files from before the change are
+    // still sorted, so reads stay sound either way.
+    sortOrder: Seq[String] = Nil) {
 
   /** The partition spec files of `era` were written with. */
   def specFor(era: Long): Seq[String] =

@@ -1023,6 +1023,56 @@ object IceliteOps {
           .orderBy("c_custkey")
       }),
 
+    // B3: declared table sort order (Iceberg's write sort order made a hard
+    // contract — SURVEY §2 maintenance surface). `sortedBy` is ENFORCED on
+    // every write path and REPORTED by the scan (SupportsReportOrdering),
+    // so two co-bucketed co-sorted facts sort-merge join with ZERO shuffle
+    // exchanges AND ZERO sort nodes (asserted on the executed plan): at
+    // 100 TB the join moves no data and sorts no rows — the layout did the
+    // work once at write time, amortized over every subsequent join.
+    QDef(
+      "b3_sorted_spj_join",
+      Some(s"""SELECT c_custkey, count(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS total
+              |FROM customer JOIN orders ON o_custkey = c_custkey
+              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        // co-bucketed co-sorted build is fixture (paid once per corpus,
+        // like b1/b2); the measured operator is the sort-free join itself
+        val wh = QUtil.cachedFixture(s, "b3", dir) { wh =>
+          val cat = new IceCatalog(s, wh)
+          val o = t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          val c = t(s, dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+          cat.createTable("lake", "ord_s", o.schema,
+            partitionBy = Seq("bucket(8,o_custkey)"), sortedBy = Seq("o_custkey"))
+            .append(o.repartition(8, pmod(hash(col("o_custkey")), lit(8))))
+          cat.createTable("lake", "cust_s", c.schema,
+            partitionBy = Seq("bucket(8,c_custkey)"), sortedBy = Seq("c_custkey"))
+            .append(c.repartition(8, pmod(hash(col("c_custkey")), lit(8))))
+        }
+        s.conf.set("spark.sql.catalog.icelite_b3", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_b3.warehouse", wh)
+        val joined = s.sql(
+          """SELECT /*+ MERGE(o) */ c_custkey, o_totalprice
+            |FROM icelite_b3.lake.cust_s c JOIN icelite_b3.lake.ord_s o
+            |  ON o.o_custkey = c.c_custkey""".stripMargin)
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"expected a storage-partitioned sort-merge join: $plan")
+        require(!plan.contains("Exchange"),
+          s"co-bucketed tables must join with zero shuffles: $plan")
+        // SortExec prints "Sort [...": absent means the reported ordering
+        // satisfied the merge join's requirement ("SortMergeJoin [" does
+        // not match this pattern)
+        require(!plan.contains("Sort ["),
+          s"declared sort order must let the merge join skip its sorts: $plan")
+        joined.groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_custkey")
+      }),
+
     // D12: metadata tables (`.snapshots` / `.files`, Iceberg's operational
     // views). The snapshot log is queried through SQL's 4-part identifier
     // and verified against the exactly-known history (deterministic ids,

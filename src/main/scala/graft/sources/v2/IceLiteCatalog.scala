@@ -131,7 +131,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
             s"truncate partitioning; got $other")
       }
     }
-    cat.createTable(nsOf(ident), ident.name(), schema, partitionBy)
+    // `TBLPROPERTIES ('sorted_by' = 'col1,col2')` declares the table write
+    // sort order: every write sorts files on it, every scan reports it
+    // (SupportsReportOrdering), downstream sort-merge joins skip their sorts
+    val sortedBy = Option(properties.get("sorted_by")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    cat.createTable(nsOf(ident), ident.name(), schema, partitionBy, sortedBy)
     loadTable(ident)
   }
 
@@ -163,6 +168,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     var renames = meta.renames
     var retired = meta.retiredColumns
     var widened = meta.widenedColumns
+    var sortOrd = meta.sortOrder
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"icelite columns are top-level; cannot $what nested ${fieldNames.mkString(".")}")
@@ -204,6 +210,10 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
           if (f.name == from) f.copy(name = to) else f))
         renames :+= graft.icelite.ColumnRename(meta.currentSnapshotId, from, to)
         retired :+= from
+        // the declared sort order follows the rename: files stay physically
+        // sorted by the same column whatever its logical name, and reads
+        // already resolve per-era physical names
+        sortOrd = sortOrd.map(c => if (c == from) to else c)
       case del: TableChange.DeleteColumn =>
         val name = topLevel(del.fieldNames(), "drop")
         require(schema.fieldNames.contains(name), s"no column $name in $ns.$tbl")
@@ -215,6 +225,10 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         require(schema.length > 1, s"cannot drop the last column of $ns.$tbl")
         schema = StructType(schema.fields.filterNot(_.name == name))
         retired :+= name
+        // dropping a sort column truncates the declared order at that
+        // column: files sorted by (a, b) are still sorted by (a), but not
+        // by (b) alone
+        sortOrd = sortOrd.takeWhile(_ != name)
       case upd: TableChange.UpdateColumnType =>
         // metadata-only type WIDENING (Iceberg's promotion rules): old files
         // keep the narrower physical type and the vectorized reader upcasts
@@ -241,7 +255,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       version = meta.version + 1,
       renames = renames,
       retiredColumns = retired,
-      widenedColumns = widened))
+      widenedColumns = widened,
+      sortOrder = sortOrd))
     loadTable(ident)
   }
 

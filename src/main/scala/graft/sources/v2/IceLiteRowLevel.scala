@@ -90,9 +90,17 @@ private[v2] class IceLiteReplaceGroupsWriteBuilder(
     schema: StructType, op: IceLiteRowLevelOperation)
     extends WriteBuilder {
 
-  override def build(): Write =
+  override def build(): Write = {
+    // COW rewrites of a sorted table must re-sort what they rewrite, or a
+    // single UPDATE would silently break the reported ordering
+    val dir = new Path(new Path(warehouse, ns), tbl)
+    val sortOrder = MetaIo.read(
+      dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration),
+      dir).sortOrder
     IceLiteWriteShape.of(partitionBy,
-      new IceLiteReplaceGroupsBatchWrite(warehouse, ns, tbl, partitionBy, schema, op))
+      new IceLiteReplaceGroupsBatchWrite(warehouse, ns, tbl, partitionBy, schema, op),
+      sortOrder = sortOrder)
+  }
 }
 
 private[v2] class IceLiteReplaceGroupsBatchWrite(

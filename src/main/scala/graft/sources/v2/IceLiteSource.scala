@@ -149,7 +149,8 @@ private[v2] object IceLiteV2 {
       else graft.icelite.FileStats.deletesOf(fs, snap)
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
-      meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes)
+      meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes,
+      meta.sortOrder)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -207,7 +208,9 @@ private[v2] class IceLiteTable(
     // partition-evolution ledger (spec per file era)
     specs: Seq[graft.icelite.PartSpecChange] = Nil,
     // outstanding position-delete files (merge-on-read)
-    deletes: Seq[graft.icelite.DeleteStat] = Nil)
+    deletes: Seq[graft.icelite.DeleteStat] = Nil,
+    // declared (write-enforced) sort order — reported by the scan
+    sortOrder: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -264,7 +267,8 @@ private[v2] class IceLiteTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      renames = renames, widened = widened, specs = specs, deletes = deletes)
+      renames = renames, widened = widened, specs = specs, deletes = deletes,
+      sortOrder = sortOrder)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -285,7 +289,11 @@ private[v2] class IceLiteTable(
         names.contains(graft.icelite.PartField.parse(e).source)),
       files, renames, widened,
       specs.map(sp => sp.copy(cols = sp.cols.filter(e =>
-        names.contains(graft.icelite.PartField.parse(e).source)))))
+        names.contains(graft.icelite.PartField.parse(e).source)))),
+      deletes,
+      // a PREFIX of the sort order survives any projection: files sorted
+      // by (a, b) are sorted by (a)
+      sortOrder.takeWhile(names.contains))
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -305,7 +313,9 @@ private[v2] class IceLiteScanBuilder(
     // partition-evolution ledger (spec per file era)
     specs: Seq[graft.icelite.PartSpecChange] = Nil,
     // outstanding position-delete files (merge-on-read)
-    deletes: Seq[graft.icelite.DeleteStat] = Nil)
+    deletes: Seq[graft.icelite.DeleteStat] = Nil,
+    // declared (write-enforced) sort order — reported by the scan
+    sortOrder: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -367,7 +377,7 @@ private[v2] class IceLiteScanBuilder(
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames,
-        widened, specs, deletes)
+        widened, specs, deletes, sortOrder)
   }
 }
 
@@ -867,9 +877,12 @@ private[v2] class IceLiteScan(
     specs: Seq[graft.icelite.PartSpecChange] = Nil,
     // outstanding position-delete files (merge-on-read): attached per
     // affected input partition; their rows are subtracted at read
-    deletes: Seq[graft.icelite.DeleteStat] = Nil)
+    deletes: Seq[graft.icelite.DeleteStat] = Nil,
+    // declared (write-enforced) table sort order
+    sortOrder: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   import graft.icelite.PartField
 
@@ -1027,6 +1040,32 @@ private[v2] class IceLiteScan(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           planned.size)
     }
+
+  /** The declared sort order, reported as each split's row order so
+    * downstream sort-merge joins and sorted aggregations skip their sorts
+    * (with SPJ this completes the zero-shuffle zero-sort join). Sound
+    * because every write path ENFORCES the declaration (writeData /
+    * IceLiteWriteShape), MOR deletes only drop rows (order-preserving),
+    * renames carry the declaration with them, and a dropped sort column
+    * truncates it to the still-valid prefix. Reported as the
+    * longest prefix the projection retains; suppressed when key-grouping
+    * could CONCATENATE multiple files of one partition value into a
+    * single split, whose rows would then interleave sorted runs.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (sortOrder.isEmpty) return Array.empty
+    val usable = sortOrder.takeWhile(required.fieldNames.contains)
+    val groupingSafe = spjKeys match {
+      case Some(ks) => ks.groupBy(_._2).forall(_._2.size <= 1)
+      case None => true
+    }
+    if (usable.isEmpty || !groupingSafe) Array.empty
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+      usable.map(c => E.sort(E.column(c), SortDirection.ASCENDING)).toArray
+    }
+  }
 
   override def description(): String =
     s"icelite $tableName files=${files.size} planned=${planned.size} " +

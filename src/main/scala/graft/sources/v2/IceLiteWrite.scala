@@ -66,7 +66,8 @@ private[v2] class IceLiteWriteBuilder(
     IceLiteWriteShape.of(meta.partitionBy,
       new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta),
       new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
-        info.queryId(), upsertKeys))
+        info.queryId(), upsertKeys),
+      sortOrder = meta.sortOrder)
   }
 }
 
@@ -87,9 +88,16 @@ private[v2] object IceLiteWriteShape {
   import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 
   def of(partitionBy: Seq[String], batch: => BatchWrite,
-      streaming: => StreamingWrite = null): Write = {
+      streaming: => StreamingWrite = null,
+      sortOrder: Seq[String] = Nil): Write = {
     val sources = graft.icelite.PartField.sources(partitionBy).distinct
-    if (sources.isEmpty)
+    // a DECLARED table sort order extends the required in-task ordering
+    // beyond the partition sources, so every file this write produces is
+    // sorted on it — the write-side half of the SupportsReportOrdering
+    // contract (Spark plans the sort; applies to batch AND micro-batch
+    // epochs, so the native streaming sink maintains sorted tables too)
+    val orderCols = (sources ++ sortOrder).distinct
+    if (orderCols.isEmpty)
       new Write {
         override def toBatch: BatchWrite = batch
         override def toStreaming: StreamingWrite =
@@ -100,12 +108,15 @@ private[v2] object IceLiteWriteShape {
         import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            sources.map(c =>
-              Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+          if (sources.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              sources.map(c =>
+                Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          sources.map(c =>
+          orderCols.map(c =>
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = batch
         override def toStreaming: StreamingWrite =
