@@ -67,7 +67,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       return IceLiteMeta.table(meta, fs, ident.name())
     }
     val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
-    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None)
+    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None,
+      viaCatalog = true)
   }
 
   /** SQL time travel: `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF <v>` —
@@ -83,7 +84,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         s"'$version' is neither a snapshot id nor a tag of ${ident.name()} " +
           s"(tags: ${meta.refs.keys.toSeq.sorted.mkString(", ")}; " +
           "use `list_snapshots` for ids)"))
-    IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = Some(snapId.toString))
+    IceLiteV2.buildTable(warehouse, meta, fs,
+      snapshotId = Some(snapId.toString), viaCatalog = true)
   }
 
   /** `TIMESTAMP AS OF`: micros since epoch — pin to the latest snapshot
@@ -97,7 +99,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalArgumentException(
           s"no snapshot of ${ident.name()} at or before timestamp $tsMs ms"))
     IceLiteV2.buildTable(warehouse, meta, fs,
-      snapshotId = Some(snap.snapshotId.toString))
+      snapshotId = Some(snap.snapshotId.toString), viaCatalog = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -99,7 +99,10 @@ private[v2] class IceLiteReplaceGroupsWriteBuilder(
       dir).sortOrder
     IceLiteWriteShape.of(partitionBy,
       new IceLiteReplaceGroupsBatchWrite(warehouse, ns, tbl, partitionBy, schema, op),
-      sortOrder = sortOrder)
+      sortOrder = sortOrder,
+      // row-level SQL (DELETE/UPDATE/MERGE) only ever reaches a table
+      // through the catalog, so transforms are always resolvable here
+      transformsResolvable = true)
   }
 }
 

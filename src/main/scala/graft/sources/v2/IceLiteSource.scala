@@ -124,7 +124,8 @@ private[v2] object IceLiteV2 {
   def buildTable(warehouse: String, meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem,
       snapshotId: Option[String], schema: Option[StructType] = None,
-      fromSnapshotId: Option[String] = None): IceLiteTable = {
+      fromSnapshotId: Option[String] = None,
+      viaCatalog: Boolean = false): IceLiteTable = {
     val snap = pinnedSnapshot(meta, snapshotId)
     // plan strictly from the committed manifest — never from directory
     // listings, which could surface uncommitted output of failed or
@@ -150,7 +151,7 @@ private[v2] object IceLiteV2 {
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
       meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes,
-      meta.sortOrder)
+      meta.sortOrder, viaCatalog)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -210,7 +211,10 @@ private[v2] class IceLiteTable(
     // outstanding position-delete files (merge-on-read)
     deletes: Seq[graft.icelite.DeleteStat] = Nil,
     // declared (write-enforced) sort order — reported by the scan
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil,
+    // loaded through IceLiteCatalog (its FunctionCatalog can resolve
+    // hidden-partitioning transforms in write distribution/ordering)
+    viaCatalog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -272,7 +276,7 @@ private[v2] class IceLiteTable(
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new IceLiteWriteBuilder(warehouse, ns, tbl, info)
+    new IceLiteWriteBuilder(warehouse, ns, tbl, info, viaCatalog)
 
   /** A read-only view of this table narrowed to `names` (table order
     * preserved) — the vehicle for streaming column pruning, where Spark

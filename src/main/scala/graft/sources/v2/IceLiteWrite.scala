@@ -31,7 +31,11 @@ import graft.icelite.{FileStat, FileStats, MetaIo, SnapshotMeta}
   * file) per input partition.
   */
 private[v2] class IceLiteWriteBuilder(
-    warehouse: String, ns: String, table: String, info: LogicalWriteInfo)
+    warehouse: String, ns: String, table: String, info: LogicalWriteInfo,
+    // catalog-loaded tables can express hidden-partitioning transforms in
+    // the required distribution/ordering (Spark resolves them against the
+    // catalog's FunctionCatalog); the format("icelite") path cannot
+    viaCatalog: Boolean = false)
     extends WriteBuilder {
 
   override def build(): Write = {
@@ -67,21 +71,22 @@ private[v2] class IceLiteWriteBuilder(
       new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta),
       new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
         info.queryId(), upsertKeys),
-      sortOrder = meta.sortOrder)
+      sortOrder = meta.sortOrder,
+      transformsResolvable = viaCatalog)
   }
 }
 
 /** The one valid dynamic-partition write shape, shared by appends and
   * row-level rewrites: hive-partitioned layouts require Spark to cluster +
-  * sort incoming rows by the partition SOURCE columns, so each write task
-  * sees its partitions contiguously and holds ONE open file at a time — the
-  * only shape that survives wide tables at 100 TB (an unsorted writer would
-  * hold a file handle per live partition per task). For hidden-partitioning
-  * transforms the distribution still clusters by the source columns (equal
-  * sources always land in one task's partition value), and the writer runs
-  * in bounded-fanout mode for the residual scatter (bucket values of
-  * different sources interleave under a source sort). Unpartitioned tables
-  * get a plain Write.
+  * sort incoming rows by the partition values, so each write task sees its
+  * partitions contiguously and holds ONE open file at a time — the only
+  * shape that survives wide tables at 100 TB (an unsorted writer would
+  * hold a file handle per live partition per task). Hidden-partitioning
+  * transforms cluster by the transform VALUE when the write can resolve it
+  * (catalog path: commits produce O(dirs) files); the format() path falls
+  * back to the source columns with the bounded-fanout writer absorbing the
+  * residual scatter. Unpartitioned tables get a plain Write (or a pure
+  * ordering requirement when a sort order is declared).
   */
 private[v2] object IceLiteWriteShape {
 
@@ -89,15 +94,47 @@ private[v2] object IceLiteWriteShape {
 
   def of(partitionBy: Seq[String], batch: => BatchWrite,
       streaming: => StreamingWrite = null,
-      sortOrder: Seq[String] = Nil): Write = {
-    val sources = graft.icelite.PartField.sources(partitionBy).distinct
-    // a DECLARED table sort order extends the required in-task ordering
-    // beyond the partition sources, so every file this write produces is
-    // sorted on it — the write-side half of the SupportsReportOrdering
-    // contract (Spark plans the sort; applies to batch AND micro-batch
-    // epochs, so the native streaming sink maintains sorted tables too)
-    val orderCols = (sources ++ sortOrder).distinct
-    if (orderCols.isEmpty)
+      sortOrder: Seq[String] = Nil,
+      transformsResolvable: Boolean = false): Write = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    val fields = graft.icelite.PartField.parseSpec(partitionBy)
+    val sources = fields.map(_.source).distinct
+    val hasTransforms = fields.exists(!_.isIdentity)
+
+    // Grouping keys — one expression per partition field, so all rows of
+    // one target DIRECTORY land in one task and the commit produces O(dirs)
+    // files, not O(tasks x dirs). Hidden-partitioning transforms cluster by
+    // their transform VALUE (bucket/days/truncate of the source), which
+    // Spark resolves against the catalog's FunctionCatalog — available only
+    // on the catalog path; format("icelite") falls back to clustering by
+    // the source columns (a finer-grained superset: correct, just more
+    // writer fanout).
+    val groupExprs: Seq[Expression] =
+      if (hasTransforms && transformsResolvable)
+        partitionBy.map(e => IceLiteScan.v2Transform(e): Expression)
+      else sources.map(c => Expressions.column(c): Expression)
+
+    // In-task order: grouping keys first (each directory's rows arrive
+    // contiguously), then the DECLARED sort order so every file is sorted
+    // on it — the write-side half of the SupportsReportOrdering contract
+    // (applies to batch AND micro-batch epochs, so the native streaming
+    // sink maintains sorted tables too). With an unexpressible transform
+    // (format path) the source columns must NOT precede the declared sort —
+    // a directory holds MANY source values there, so (source, sort) order
+    // inside one file is not `sort` order. Order by the declaration alone:
+    // each per-directory subsequence of a sorted stream is still sorted,
+    // and the bounded-fanout writer handles the interleaved directories.
+    val orderExprs: Seq[Expression] =
+      if (!hasTransforms)
+        (sources ++ sortOrder).distinct.map(c => Expressions.column(c))
+      else if (transformsResolvable)
+        groupExprs ++ (if (sortOrder.nonEmpty) sortOrder
+          else fields.filterNot(_.isIdentity).map(_.source).distinct)
+          .map(c => Expressions.column(c): Expression)
+      else if (sortOrder.nonEmpty) sortOrder.map(c => Expressions.column(c))
+      else sources.map(c => Expressions.column(c))
+
+    if (orderExprs.isEmpty)
       new Write {
         override def toBatch: BatchWrite = batch
         override def toStreaming: StreamingWrite =
@@ -105,19 +142,18 @@ private[v2] object IceLiteWriteShape {
       }
     else
       new Write with RequiresDistributionAndOrdering {
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        import org.apache.spark.sql.connector.expressions.SortDirection
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          if (sources.isEmpty)
+          if (groupExprs.isEmpty)
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
           else
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              sources.map(c =>
-                Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+              groupExprs.toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          orderCols.map(c =>
-            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+          orderExprs.map(e =>
+            Expressions.sort(e, SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = batch
         override def toStreaming: StreamingWrite =
           Option(streaming).getOrElse(super.toStreaming)

@@ -148,6 +148,35 @@ class SortOrderSpec extends SparkSpec {
       expected.orderBy("c_custkey", "o_totalprice").collect().toSeq)
   }
 
+  test("catalog INSERT clusters by transform value: O(buckets) files, each sorted") {
+    val wh = scratch("sort-bucketins")
+    spark.conf.set("spark.sql.catalog.ice_so5", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_so5.warehouse", wh)
+    // sort column differs from the bucket source: within one bucket dir
+    // many k values interleave, so file order must be s alone — the exact
+    // case a (source, sort) write order would get wrong
+    spark.sql("""CREATE TABLE ice_so5.lake.t (k BIGINT, s BIGINT, v DOUBLE)
+                |  PARTITIONED BY (bucket(4, k))
+                |  TBLPROPERTIES ('sorted_by' = 's')""".stripMargin)
+    spark.range(2000).select(
+      col("id").as("k"),
+      pmod(col("id") * 131, lit(2000)).cast("long").as("s"),
+      rand(13).as("v"))
+      .repartition(8) // many tasks: the transform clustering must coalesce them
+      .createOrReplaceTempView("so5_src")
+    spark.sql("INSERT INTO ice_so5.lake.t SELECT * FROM so5_src")
+    val tbl = new IceCatalog(spark, wh).loadTable("lake", "t")
+    val files = dataFiles(tbl)
+    // transform-value clustering: one task per non-empty bucket, one file
+    // per (task, dir) => at most one file per bucket, not tasks x buckets
+    assert(files.size <= 4, s"expected <= 4 files (one per bucket), got ${files.size}")
+    assertFilesSorted(files, "s")
+    // and every row landed in the dir its bucket transform maps to
+    val total = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t").load().count()
+    assert(total == 2000)
+  }
+
   test("projection keeps only the surviving prefix of the reported order") {
     // files sorted by (a, b): a projection that drops `a` must not claim
     // rows are sorted by (b) — exercised through the table-level prune path
