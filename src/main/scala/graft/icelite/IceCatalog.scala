@@ -47,7 +47,8 @@ class IceCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   def createTable(ns: String, table: String, schema: StructType,
-      partitionBy: Seq[String] = Nil, sortedBy: Seq[String] = Nil): IceTable = {
+      partitionBy: Seq[String] = Nil, sortedBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): IceTable = {
     require(!tableExists(ns, table), s"table $ns.$table already exists")
     // identity columns or hidden-partitioning transforms —
     // bucket(N, col) / days(col) / truncate(W, col)
@@ -61,12 +62,13 @@ class IceCatalog(spark: SparkSession, val warehouse: String) {
           .isOrderable(f.dataType),
         s"icelite: sort column $c has unorderable type ${f.dataType.simpleString}")
     }
+    IceCatalog.validateProperties(properties)
     createNamespace(ns)
     val meta = TableMeta(
       formatVersion = 1, namespace = ns, name = table,
       schemaDdl = schema.toDDL, partitionBy = partitionBy,
       currentSnapshotId = 0L, snapshots = Nil, version = 1,
-      sortOrder = sortedBy)
+      sortOrder = sortedBy, properties = properties)
     MetaIo.commit(fs, tablePath(ns, table), meta)
     new IceTable(spark, this, ns, table)
   }
@@ -87,4 +89,23 @@ class IceCatalog(spark: SparkSession, val warehouse: String) {
     if (tableExists(ns, table)) dropTable(ns, table)
     createTable(ns, table, schema, partitionBy)
   }
+}
+
+object IceCatalog {
+
+  /** Property keys the engine interprets (everything else is pass-through). */
+  private val WriteModeKeys =
+    Set("write.delete.mode", "write.update.mode", "write.merge.mode")
+  private val WriteModes = Set("copy-on-write", "merge-on-read")
+
+  /** Reject malformed values of interpreted properties at the door — a typo
+    * in a write mode must fail the DDL, not silently fall back to
+    * copy-on-write on every later DML.
+    */
+  def validateProperties(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      if (WriteModeKeys.contains(k))
+        require(WriteModes.contains(v),
+          s"invalid $k '$v': expected one of ${WriteModes.toSeq.sorted.mkString(", ")}")
+    }
 }

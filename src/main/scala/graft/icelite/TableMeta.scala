@@ -274,7 +274,19 @@ final case class TableMeta(
     // carry it along; dropping a sort column (or a replace() whose schema
     // loses one) truncates/clears it — files from before the change are
     // still sorted, so reads stay sound either way.
-    sortOrder: Seq[String] = Nil) {
+    sortOrder: Seq[String] = Nil,
+    // free-form table properties (TBLPROPERTIES): the behavioral knobs a
+    // table carries with it. The engine interprets `write.delete.mode` /
+    // `write.update.mode` / `write.merge.mode` ('copy-on-write' default,
+    // 'merge-on-read' = Iceberg v2 position-delete DML); everything else is
+    // stored and served back verbatim.
+    properties: Map[String, String] = Map.empty) {
+
+  /** The row-level write mode for one DML command ("delete" | "update" |
+    * "merge"): Iceberg's per-command `write.<cmd>.mode` property.
+    */
+  def writeMode(cmd: String): String =
+    properties.getOrElse(s"write.$cmd.mode", "copy-on-write")
 
   /** The partition spec files of `era` were written with. */
   def specFor(era: Long): Seq[String] =

@@ -138,7 +138,16 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     // (SupportsReportOrdering), downstream sort-merge joins skip their sorts
     val sortedBy = Option(properties.get("sorted_by")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    cat.createTable(nsOf(ident), ident.name(), schema, partitionBy, sortedBy)
+    // remaining TBLPROPERTIES persist with the table; the engine interprets
+    // write.<delete|update|merge>.mode (validated in IceCatalog), Spark's
+    // own bookkeeping keys (provider/location/owner/...) stay out
+    val stored = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap --
+        IceLiteCatalog.ReservedProperties - "sorted_by"
+    }
+    cat.createTable(nsOf(ident), ident.name(), schema, partitionBy, sortedBy,
+      stored)
     loadTable(ident)
   }
 
@@ -156,11 +165,14 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.UpdateColumnType])
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"icelite supports ALTER TABLE ADD/RENAME/DROP COLUMN and type " +
-          s"WIDENING only; got ${unsupported.mkString(", ")} — evolve via replace()")
+        s"icelite supports ALTER TABLE ADD/RENAME/DROP COLUMN, type " +
+          s"WIDENING, and SET/UNSET TBLPROPERTIES only; " +
+          s"got ${unsupported.mkString(", ")} — evolve via replace()")
     val (ns, tbl) = (nsOf(ident), ident.name())
     val dir = cat.tablePath(ns, tbl)
     val fs = dir.getFileSystem(
@@ -171,6 +183,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     var retired = meta.retiredColumns
     var widened = meta.widenedColumns
     var sortOrd = meta.sortOrder
+    var props = meta.properties
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"icelite columns are top-level; cannot $what nested ${fieldNames.mkString(".")}")
@@ -247,7 +260,19 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         schema = StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f))
         widened :+= name
+      case set: TableChange.SetProperty =>
+        // `ALTER TABLE ... SET TBLPROPERTIES` — the sort order is a
+        // write-time CONTRACT over existing files, so it stays create-only;
+        // behavioral knobs like write.<cmd>.mode flip freely (they affect
+        // only FUTURE writes)
+        require(set.property() != "sorted_by",
+          "sorted_by is declared at CREATE TABLE; existing files would not " +
+            "match a changed order — rewrite via replace()/CTAS instead")
+        props += (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        props -= rm.property()
     }
+    graft.icelite.IceCatalog.validateProperties(props)
     val ddl = schema.toDDL
     graft.icelite.MetaIo.commit(fs, dir, meta.copy(
       schemaDdl = ddl,
@@ -258,7 +283,8 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       renames = renames,
       retiredColumns = retired,
       widenedColumns = widened,
-      sortOrder = sortOrd))
+      sortOrder = sortOrd,
+      properties = props))
     loadTable(ident)
   }
 
@@ -355,6 +381,13 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object IceLiteCatalog {
+
+  /** Keys Spark injects into createTable properties for its own bookkeeping
+    * — never persisted as table properties.
+    */
+  val ReservedProperties: Set[String] =
+    Set("provider", "location", "owner", "comment", "external",
+      "option.warehouse", "option.table")
 
   /** Lossless metadata-only type promotions (Iceberg's widening rules for
     * the primitive types this engine serves): every value representable in

@@ -151,7 +151,7 @@ private[v2] object IceLiteV2 {
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
       meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes,
-      meta.sortOrder, viaCatalog)
+      meta.sortOrder, viaCatalog, meta.properties)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -170,7 +170,10 @@ private[v2] object IceLiteV2 {
       outputPermutation: Seq[Int] = Nil,
       // true = serve InternalRows instead of ColumnarBatches (required when
       // any partition applies position deletes: Spark refuses mixed modes)
-      rowMode: Boolean = false)
+      rowMode: Boolean = false,
+      // true = append the absolute row position as a trailing `_pos` column
+      // (forces rowMode)
+      posCol: Boolean = false)
       : PartitionReaderFactory = {
     val spark = SparkSession.active
     val c = new org.apache.hadoop.conf.Configuration(
@@ -196,7 +199,7 @@ private[v2] object IceLiteV2 {
     ).foreach { case (k, dflt) => c.set(k, spark.conf.get(k, dflt)) }
     new IceLiteReaderFactory(
       new SerializableConfiguration(c), dataSchema.json, partSchema.json, limit,
-      outputPermutation, rowMode)
+      outputPermutation, rowMode, posCol)
   }
 }
 
@@ -214,37 +217,72 @@ private[v2] class IceLiteTable(
     sortOrder: Seq[String] = Nil,
     // loaded through IceLiteCatalog (its FunctionCatalog can resolve
     // hidden-partitioning transforms in write distribution/ordering)
-    viaCatalog: Boolean = false)
+    viaCatalog: Boolean = false,
+    // persisted TBLPROPERTIES — write.<cmd>.mode picks copy-on-write vs
+    // merge-on-read row-level SQL
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_file` metadata column: the data file each row came from, served as a
-    * constant vector per input partition (same mechanics as hive-partition
-    * values) — the audit/debug column every lake table format exposes, and
-    * the grouping key a future delta-based row-level path would need.
+  /** `_file` / `_pos` metadata columns: the data file each row came from and
+    * its absolute row position within that file — the audit columns every
+    * lake format exposes, and together the stable ROW ID the delta-based
+    * (merge-on-read) row-level path keys its position deletes on. `_file`
+    * is served as a constant vector per input partition (same mechanics as
+    * hive-partition values); `_pos` flips the scan to the position-counting
+    * row reader.
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = IceLiteScan.FileMetaCol
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "data file path of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = IceLiteScan.FileMetaCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = IceLiteScan.PosMetaCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "absolute row position in the data file"
+      })
+
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    tableProps.asJava
+  }
 
   /** SQL UPDATE / MERGE INTO (and the rewrite form of DELETE): group-based
-    * copy-on-write — see [[IceLiteRowLevelOperation]]. Metadata-only
-    * deletes still short-circuit through SupportsDelete when the condition
-    * is translatable.
+    * copy-on-write by default — see [[IceLiteRowLevelOperation]] — or, when
+    * the table declares `write.<command>.mode = 'merge-on-read'`, the
+    * delta-based operation ([[IceLiteDeltaOperation]]) that writes position
+    * deletes + new data files and never rewrites an existing file.
+    * Metadata-only deletes still short-circuit through SupportsDelete when
+    * the condition is translatable.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new IceLiteRowLevelOperation(
-      warehouse, ns, tbl, tableSchema, partitionBy, files, info.command(),
-      renames, specs, deletes)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val cmdName = info.command() match {
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE => "delete"
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE => "update"
+      case _ => "merge"
+    }
+    val mor =
+      tableProps.getOrElse(s"write.$cmdName.mode", "copy-on-write") == "merge-on-read"
+    () =>
+      if (mor)
+        new IceLiteDeltaOperation(
+          warehouse, ns, tbl, tableSchema, partitionBy, files, info.command(),
+          renames, widened, specs, deletes, sortOrder)
+      else
+        new IceLiteRowLevelOperation(
+          warehouse, ns, tbl, tableSchema, partitionBy, files, info.command(),
+          renames, specs, deletes)
+  }
 
   override def name(): String = s"$ns.$tbl"
   override def schema(): StructType = tableSchema
@@ -263,8 +301,14 @@ private[v2] class IceLiteTable(
     filters.forall(graft.icelite.FilterCol.supported)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    new graft.icelite.IceCatalog(SparkSession.active, warehouse)
-      .loadTable(ns, tbl).deleteWhere(filters.toSeq)
+    val t = new graft.icelite.IceCatalog(SparkSession.active, warehouse)
+      .loadTable(ns, tbl)
+    // honor the table's declared delete mode: merge-on-read writes one
+    // tiny position-delete file (deleteWhereMor falls back to copy-on-write
+    // itself where positions cannot be trusted)
+    if (tableProps.getOrElse("write.delete.mode", "copy-on-write") == "merge-on-read")
+      t.deleteWhereMor(filters.toSeq)
+    else t.deleteWhere(filters.toSeq)
     ()
   }
 
@@ -297,17 +341,18 @@ private[v2] class IceLiteTable(
       deletes,
       // a PREFIX of the sort order survives any projection: files sorted
       // by (a, b) are sorted by (a)
-      sortOrder.takeWhile(names.contains))
+      sortOrder.takeWhile(names.contains), viaCatalog, tableProps)
 }
 
 private[v2] class IceLiteScanBuilder(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
     files: Seq[FileStat],
-    // Some(op) = this scan selects the GROUPS of a row-level operation: it
-    // must never drop rows inside a planned file, and it reports what it
-    // planned so the paired write replaces exactly those files
-    rowLevel: Option[IceLiteRowLevelOperation] = None,
+    // Some(op) = this scan feeds a row-level operation: it must never drop
+    // rows inside a planned file, and it reports what it planned (group-
+    // based ops replace exactly those files; delta ops validate against
+    // them at commit)
+    rowLevel: Option[RowLevelPlanHook] = None,
     // streaming admission control: cap on data files per micro-batch
     streamMaxFiles: Option[Int] = None,
     // metadata-only rename events: map logical -> per-file-era physical names
@@ -328,6 +373,7 @@ private[v2] class IceLiteScanBuilder(
 
   private var required: StructType = tableSchema
   private var wantsFileCol = false
+  private var wantsPosCol = false
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggResult: Option[(StructType, InternalRow)] = None
@@ -359,6 +405,7 @@ private[v2] class IceLiteScanBuilder(
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
     wantsFileCol = requiredSchema.fieldNames.contains(IceLiteScan.FileMetaCol)
+    wantsPosCol = requiredSchema.fieldNames.contains(IceLiteScan.PosMetaCol)
   }
 
   /** Every filter stays residual: Spark re-evaluates above the scan with
@@ -380,8 +427,8 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteAggScan(s"$ns.$tbl", schema, row)
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
-        files, pushed, limit, rowLevel, wantsFileCol, streamMaxFiles, renames,
-        widened, specs, deletes, sortOrder)
+        files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
+        streamMaxFiles, renames, widened, specs, deletes, sortOrder)
   }
 }
 
@@ -847,6 +894,12 @@ private[v2] object IceLiteScan {
   /** Name of the data-file metadata column (SupportsMetadataColumns). */
   val FileMetaCol = "_file"
 
+  /** Name of the row-position metadata column: the row's absolute position
+    * within its data file — with `_file`, the stable row id position
+    * deletes key on (merge-on-read row-level SQL).
+    */
+  val PosMetaCol = "_pos"
+
   /** One partition-spec entry as a Spark connector `Transform` — the shape
     * `Table.partitioning()` and the scan's `KeyGroupedPartitioning` report.
     * Spark resolves the named transforms back through this catalog's own
@@ -873,8 +926,9 @@ private[v2] class IceLiteScan(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
     required: StructType, files: Seq[FileStat], filters: Array[Filter],
-    limit: Int, rowLevel: Option[IceLiteRowLevelOperation] = None,
-    wantsFileCol: Boolean = false, streamMaxFiles: Option[Int] = None,
+    limit: Int, rowLevel: Option[RowLevelPlanHook] = None,
+    wantsFileCol: Boolean = false, wantsPosCol: Boolean = false,
+    streamMaxFiles: Option[Int] = None,
     renames: Seq[graft.icelite.ColumnRename] = Nil,
     widened: Seq[String] = Nil,
     // partition-evolution ledger: which hive layout each file ERA used
@@ -940,7 +994,15 @@ private[v2] class IceLiteScan(
   private val dataSchema = StructType(
     required.fields.filterNot(f => identityBy.contains(f.name)))
 
-  override def readSchema(): StructType = StructType(dataSchema ++ partSchema)
+  // `_pos` (absolute row position) is appended LAST by the row reader —
+  // after data columns, constants, and any evolution-era permutation
+  private val posField: Seq[StructField] =
+    if (wantsPosCol)
+      Seq(StructField(IceLiteScan.PosMetaCol, LongType, nullable = false))
+    else Nil
+
+  override def readSchema(): StructType =
+    StructType(dataSchema ++ partSchema ++ posField)
   override def toBatch: Batch = this
 
   /** Files that survive manifest-stat + partition-value pruning under the
@@ -1195,12 +1257,12 @@ private[v2] class IceLiteScan(
     // — and any scan after compact()/rewriteDeletes() — stays columnar.
     // Equality deletes count too: a file is affected when its era precedes
     // the delete's sequence and its key-bound stats overlap.
-    val rowMode = deletes.nonEmpty &&
+    val rowMode = wantsPosCol || (deletes.nonEmpty &&
       planned.exists { case (f, _) => deletes.exists(d =>
         d.dataFiles.contains(f.path) ||
-          graft.icelite.FileStats.eqAppliesTo(d, f, tableSchema)) }
+          graft.icelite.FileStats.eqAppliesTo(d, f, tableSchema)) })
     IceLiteV2.readerFactory(dataSchema, partSchema, rgFilters, limit,
-      rowMode = rowMode)
+      rowMode = rowMode, posCol = wantsPosCol)
   }
 
   /** The micro-batch face of the same table: offsets are snapshot ids and
@@ -1413,7 +1475,8 @@ private[v2] class IceLiteReaderFactory(
     conf: SerializableConfiguration, dataSchemaJson: String,
     partSchemaJson: String, limit: Int,
     outputPermutation: Seq[Int] = Nil,
-    rowMode: Boolean = false)
+    rowMode: Boolean = false,
+    posCol: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = !rowMode
@@ -1439,7 +1502,7 @@ private[v2] class IceLiteReaderFactory(
     val p = partition.asInstanceOf[IceLiteInputPartition]
     val (requested, partSchema, perm) = resolve(p)
     new IceLiteRowReader(p.file, p.length, p.partValues, conf, requested,
-      partSchema, limit, p.deleteFiles, perm.toArray, p.eqDeletes)
+      partSchema, limit, p.deleteFiles, perm.toArray, p.eqDeletes, posCol)
   }
 
   override def createColumnarReader(partition: InputPartition)
@@ -1529,7 +1592,9 @@ private[v2] class IceLiteRowReader(
     conf: SerializableConfiguration, dataSchema: StructType,
     partSchema: StructType, limit: Int, deleteFiles: Seq[String],
     outputPermutation: Array[Int] = Array.empty,
-    eqDeletes: Seq[EqDeleteTask] = Nil)
+    eqDeletes: Seq[EqDeleteTask] = Nil,
+    // serve the absolute row position as a trailing `_pos` column
+    posCol: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   /** Equality-delete probes: (key indices into the local data row, key
@@ -1596,8 +1661,9 @@ private[v2] class IceLiteRowReader(
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     c.set("org.apache.spark.sql.parquet.row.requested_schema", dataSchema.json)
     // this reader derives positions by COUNTING served rows — a skipped
-    // row group would silently shift every later position
-    if (deleteFiles.nonEmpty)
+    // row group would silently shift every later position (serving `_pos`
+    // has the same absoluteness requirement as applying deletes)
+    if (deleteFiles.nonEmpty || posCol)
       c.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
@@ -1629,20 +1695,31 @@ private[v2] class IceLiteRowReader(
     false
   }
 
+  // `_pos` serving: one reused holder + JoinedRow — the position column is
+  // appended without copying the (reader-owned, consumed-immediately) row
+  private val posHolder = new GenericInternalRow(1)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+
   override def get(): InternalRow = {
     val row = reader.getCurrentValue.asInstanceOf[InternalRow]
-    if (outputPermutation.isEmpty) row
-    else {
-      // boxed copy in permuted order (evolution-era files only — their
-      // local layout differs from the scan's global serving order)
-      val vals = new Array[Any](outputPermutation.length)
-      var i = 0
-      while (i < outputPermutation.length) {
-        val src = outputPermutation(i)
-        vals(i) = if (row.isNullAt(src)) null else row.get(src, outTypes(src))
-        i += 1
+    val base =
+      if (outputPermutation.isEmpty) row
+      else {
+        // boxed copy in permuted order (evolution-era files only — their
+        // local layout differs from the scan's global serving order)
+        val vals = new Array[Any](outputPermutation.length)
+        var i = 0
+        while (i < outputPermutation.length) {
+          val src = outputPermutation(i)
+          vals(i) = if (row.isNullAt(src)) null else row.get(src, outTypes(src))
+          i += 1
+        }
+        new GenericInternalRow(vals)
       }
-      new GenericInternalRow(vals)
+    if (!posCol) base
+    else {
+      posHolder.update(0, pos)
+      joined(base, posHolder)
     }
   }
 
