@@ -162,31 +162,59 @@ object Transforms {
     f
   }
 
+  /** Epoch day of the source as a Column, SESSION-TIMEZONE-FREE for every
+    * temporal type: dates subtract directly, NTZ extracts its own wall-clock
+    * date (never passing through TIMESTAMP, whose NTZ cast applies the
+    * session zone), and zoned timestamps floor their true epoch micros
+    * (UTC day, matching [[applyCatalyst]]'s `java.time` UTC math).
+    */
+  private def epochDayCol(c: String, dt: DataType): Column = dt match {
+    case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+    case TimestampNTZType =>
+      datediff(col(c).cast(DateType), to_date(lit("1970-01-01")))
+    case _ =>
+      floor(unix_micros(col(c)) / lit(MicrosPerDay.toDouble)).cast("int")
+  }
+
+  /** The source as a calendar DATE Column, timezone-free (year()/month()
+    * over DATE never consult the session zone — the months/years path).
+    */
+  private def utcDateCol(c: String, dt: DataType): Column = dt match {
+    case DateType => col(c)
+    case TimestampNTZType => col(c).cast(DateType)
+    case _ => date_add(to_date(lit("1970-01-01")), epochDayCol(c, dt))
+  }
+
   /** The transform as a Column over the source — the WRITE-path value
-    * (codegen'd built-ins only). Must agree exactly with [[applyCatalyst]].
+    * (codegen'd built-ins only). Must agree exactly with [[applyCatalyst]]
+    * IN ANY SESSION TIMEZONE: graft sessions pin UTC, but the catalog can
+    * be mounted in arbitrary Spark apps, and a zone-dependent write value
+    * would land rows in directories the (zone-free) pruner never probes —
+    * silent missing rows. Hence no bare year()/month() over timestamps and
+    * no NTZ→TIMESTAMP casts anywhere below.
     */
   def columnExpr(f: PartField, dt: DataType): Column = f match {
     case IdentityField(c) => col(c)
     case BucketField(n, c) =>
       // hash() is Murmur3 seed 42 over the column's own type
       pmod(hash(col(c)), lit(n))
-    case DaysField(c) => dt match {
-      case DateType => datediff(col(c), to_date(lit("1970-01-01")))
-      case _ =>
-        // epoch day via floorDiv of epoch micros — session-timezone-free
-        floor(unix_micros(col(c).cast("timestamp")) / lit(MicrosPerDay.toDouble))
-          .cast("int")
-    }
-    // months/years ride Spark's calendar functions; graft sessions pin UTC,
-    // and applyCatalyst mirrors with java.time UTC math
+    case DaysField(c) => epochDayCol(c, dt)
     case MonthsField(c) =>
-      ((org.apache.spark.sql.functions.year(col(c)) - lit(1970)) * lit(12) +
-        org.apache.spark.sql.functions.month(col(c)) - lit(1)).cast("int")
+      val d = utcDateCol(c, dt)
+      ((org.apache.spark.sql.functions.year(d) - lit(1970)) * lit(12) +
+        org.apache.spark.sql.functions.month(d) - lit(1)).cast("int")
     case YearsField(c) =>
-      (org.apache.spark.sql.functions.year(col(c)) - lit(1970)).cast("int")
-    case HoursField(c) =>
-      floor(unix_micros(col(c).cast("timestamp")) / lit(3600000000L.toDouble))
+      (org.apache.spark.sql.functions.year(utcDateCol(c, dt)) - lit(1970))
         .cast("int")
+    case HoursField(c) => dt match {
+      case TimestampNTZType =>
+        // wall-clock hour of the NTZ value: epoch day × 24 + hour-of-day
+        // (hour() over NTZ is zone-free; unix_micros would need a zoned cast)
+        (epochDayCol(c, dt) * lit(24) +
+          org.apache.spark.sql.functions.hour(col(c))).cast("int")
+      case _ =>
+        floor(unix_micros(col(c)) / lit(3600000000L.toDouble)).cast("int")
+    }
     case TruncateField(w, c) => dt match {
       case StringType => substring(col(c), 1, w)
       // width-floor that is exact for negatives too (pmod >= 0)

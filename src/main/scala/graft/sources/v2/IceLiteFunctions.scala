@@ -28,6 +28,27 @@ object IceLiteFunctions {
       s"unknown icelite function '$other' (have: ${names.mkString(", ")})")
   }
 
+  /** Bind-time input-type gate, mirroring [[Transforms.validate]]'s
+    * per-transform rules — the SQL functions must accept exactly the types
+    * the partition specs accept, or `system.hours(DATE '…')` would treat an
+    * epoch-DAY int as epoch MICROS and silently return 0 instead of
+    * erroring. `UnsupportedOperationException` is the `bind` contract's
+    * cannot-bind signal (surfaced as an analysis error, not a runtime
+    * ClassCastException mid-query).
+    */
+  private def gate(fname: String, dt: DataType, ok: Boolean, expected: String): Unit =
+    if (!ok) throw new UnsupportedOperationException(
+      s"icelite $fname does not accept ${dt.simpleString} (expects $expected)")
+
+  private def temporalOk(fname: String, dt: DataType): Unit = fname match {
+    case "hours" =>
+      gate(fname, dt, dt == TimestampType || dt == TimestampNTZType, "timestamp")
+    case _ =>
+      gate(fname, dt,
+        dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+        "date or timestamp")
+  }
+
   /** One-argument temporal transform function (months/years/hours). */
   private def temporal(fname: String, field: PartField): UnboundFunction =
     new UnboundFunction {
@@ -37,6 +58,7 @@ object IceLiteFunctions {
       override def bind(inputType: StructType): BoundFunction = {
         require(inputType.length == 1, s"$fname takes one timestamp/date argument")
         val dt = inputType(0).dataType
+        temporalOk(fname, dt)
         scalar(fname, _ => field, Array(dt), dt, IntegerType)
       }
     }
@@ -63,7 +85,17 @@ object IceLiteFunctions {
       "bucket(n, col): the hidden-partitioning bucket (Murmur3 mod n) col lands in"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.length == 2, "bucket takes (n INT, col)")
+      gate("bucket", inputType(0).dataType,
+        inputType(0).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }, "an integral bucket count")
       val dt = inputType(1).dataType
+      gate("bucket", dt, dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType => true
+        case _ => false
+      }, "integral, string or date")
       // n is fixed per spec entry; SQL binding reads it per-row, so the
       // produceResult path re-derives the field from the row's own n
       new ScalarFunction[Any] {
@@ -87,6 +119,7 @@ object IceLiteFunctions {
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.length == 1, "days takes (ts TIMESTAMP | DATE)")
       val dt = inputType(0).dataType
+      temporalOk("days", dt)
       scalar("days", _ => DaysField("c"), Array(dt), dt, IntegerType)
     }
   }
@@ -97,7 +130,16 @@ object IceLiteFunctions {
       "truncate(w, col): width-floored integral / w-prefix string partition value"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.length == 2, "truncate takes (w INT, col)")
+      gate("truncate", inputType(0).dataType,
+        inputType(0).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }, "an integral width")
       val dt = inputType(1).dataType
+      gate("truncate", dt, dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      }, "integral or string")
       new ScalarFunction[Any] {
         override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
         override def resultType(): DataType = dt

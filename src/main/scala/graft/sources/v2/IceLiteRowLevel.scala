@@ -59,6 +59,13 @@ private[v2] class IceLiteRowLevelOperation(
   private[v2] def recordPlanned(fs: Seq[FileStat]): Unit =
     fs.foreach(f => scanned.put(f.path, f))
 
+  /** The delete set the operation's scan APPLIED (captured at table load):
+    * commit() must verify the table still carries exactly this set — a MOR
+    * delete committed since load would be silently dropped for replaced
+    * files (their rewrite predates it), resurrecting deleted rows.
+    */
+  private[v2] def plannedDeletes: Seq[graft.icelite.DeleteStat] = deletes
+
   private[v2] def scannedPaths: Set[String] = {
     import scala.jdk.CollectionConverters._
     scanned.keySet().asScala.toSet
@@ -125,6 +132,9 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
   private def tableDir = new Path(new Path(warehouse, ns), tbl)
   private def hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
   private def fs = tableDir.getFileSystem(hadoopConf)
+  // metadata baseline as of write build: the schema-race guard's anchor
+  // (same contract as IceLiteDeltaBatchWrite)
+  private val m0 = MetaIo.read(fs, tableDir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new IceLiteWriterFactory(
@@ -144,6 +154,19 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
       abort(messages)
       return
     }
+    val operation = op.command().toString.toLowerCase
+    // the rewrite was computed against load-time state — schema shape and
+    // the outstanding delete set both fed the scan. A concurrent schema
+    // change, or a MOR row-level delete committed since load, would be
+    // silently dropped for the replaced files (their rewrite predates it):
+    // abort loudly instead, mirroring IceLiteDeltaBatchWrite's guards.
+    require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+      m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+      m.partitionSpecs == m0.partitionSpecs,
+      s"$operation on $ns.$tbl raced a concurrent schema change — aborting")
+    require(m.currentSnapshot.map(s => FileStats.deletesOf(fs, s))
+        .getOrElse(Nil) == op.plannedDeletes,
+      s"$operation on $ns.$tbl raced a concurrent row-level delete — aborting")
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val dataDir = new Path(tableDir, f"data/snap-$snapId%05d")
     val staging = new Path(tableDir, s"data/$stagingName")
@@ -178,7 +201,7 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
       .map(d => new Path(d.path).getParent.toString).distinct
     val snap = SnapshotMeta(
       snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-      operation = op.command().toString.toLowerCase,
+      operation = operation,
       dataDirs = carriedDirs ++ delDirs :+ dataDir.toString,
       addedFiles = added.map(_.path), addedRows = addedRows,
       totalRows = carriedRows + addedRows - carriedDeletes.map(_.rows).sum,

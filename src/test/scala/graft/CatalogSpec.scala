@@ -370,6 +370,18 @@ class CatalogSpec extends SparkSpec {
     assert(dd.getInt(0) == 19723 && dd.getInt(1) == 1)
     assert(dd.getInt(2) == 130 && dd.getString(3) == "abc" && dd.isNullAt(4))
     assert(dd.getInt(5) == 650 && dd.getInt(6) == 54 && dd.getInt(7) == 25)
+    // bind-time type gates (round 6): hours(DATE) must fail analysis — an
+    // unguarded bind would treat the epoch-DAY int as epoch MICROS and
+    // silently return 0. Same for non-layoutable bucket/truncate sources.
+    val badHours = intercept[Exception](
+      spark.sql("SELECT icecat_fn.system.hours(DATE '2024-01-01')").collect())
+    assert(badHours.getMessage.contains("hours"), s"got: ${badHours.getMessage}")
+    val badBucket = intercept[Exception](
+      spark.sql("SELECT icecat_fn.system.bucket(4, CAST(1.5 AS DOUBLE))").collect())
+    assert(badBucket.getMessage.contains("bucket"), s"got: ${badBucket.getMessage}")
+    val badTrunc = intercept[Exception](
+      spark.sql("SELECT icecat_fn.system.truncate(3, DATE '2024-01-01')").collect())
+    assert(badTrunc.getMessage.contains("truncate"), s"got: ${badTrunc.getMessage}")
     // SHOW FUNCTIONS surfaces the catalog functions
     val shown = spark.sql("SHOW FUNCTIONS IN icecat_fn.system")
       .collect().map(_.getString(0)).toSet
