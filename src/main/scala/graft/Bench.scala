@@ -8,6 +8,10 @@ object Bench {
     // a confirmation pass when a number looks pathological.
     val rounds = args.sliding(2).collectFirst {
       case Array("--rounds", n) => n.toInt }.getOrElse(2)
+    // --only SUBSTR: bench just the matching queries (local profiling aid;
+    // per-round times print to stderr so regressions are attributable)
+    val only = args.sliding(2).collectFirst {
+      case Array("--only", s) => s }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +33,9 @@ object Bench {
     // Two timed runs per query, report the min: first execution pays
     // per-plan codegen + JIT compilation, which measures the JVM, not the
     // plan. Cache is cleared between runs so data always comes from disk.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.contains) }
+      .map { case (name, fn) =>
       val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -43,6 +49,8 @@ object Bench {
         System.gc()
         dt
       }
+      if (only.isDefined)
+        System.err.println(f"[bench] $name rounds: ${times.map(t => f"$t%.2f").mkString(", ")}")
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -336,13 +336,15 @@ object DedupOps {
         // transform explosion is the expensive map side — spread it across
         // the cluster instead of the scan's task count (same reasoning as
         // the full-corpus shingle builder above)
-        def shOf(df: DataFrame): DataFrame = df
+        def arrOf(df: DataFrame): DataFrame = df
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
           .filter(size(col("tk")) >= 3)
           .select(col("doc_id"), array_distinct(expr(
             "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("arr"))
+        def explodeSh(arr: DataFrame): DataFrame = arr
           .select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
+        def shOf(df: DataFrame): DataFrame = explodeSh(arrOf(df))
         def bkOf(sh: DataFrame): DataFrame = {
           val sigCols = (0 to 7).map(h =>
             min(md5(concat(lit(s"$h|"), col("s")))).as(s"sig$h"))
@@ -377,8 +379,14 @@ object DedupOps {
         val idxT = cat.loadTable("lake", "docs_lsh")
         val corpusSnap = 1L
 
-        // changesSince plans ONLY the delta's files
-        val deltaSh = shOf(tbl.changesSince(corpusSnap)).localCheckpoint()
+        // changesSince plans ONLY the delta's files. Checkpoint the shingle
+        // ARRAYS (one row per doc) rather than the exploded rows: the
+        // tokenize+shingle transform is the expensive part and runs once,
+        // while the explode is recomputed from the in-memory checkpoint by
+        // each consumer — materializing |shingles| exploded rows would cost
+        // more than recomputing the explode ever does.
+        val deltaArr = arrOf(tbl.changesSince(corpusSnap)).localCheckpoint()
+        val deltaSh = explodeSh(deltaArr)
         val deltaBk = bkOf(deltaSh).localCheckpoint() // small: 4 rows per new doc
         // bounded peek at the delta's bucket set (one job, <= 257 rows)
         val hotCap = 256
@@ -413,19 +421,24 @@ object DedupOps {
         // verification reads corpus text ONLY for candidate ids (manifest
         // range stats prune the corpus files the candidates don't touch)
         val candOld = cand.select("d_old").distinct().collect().map(_.getLong(0))
-        val oldSh = shOf(
+        // verification is ROW-LOCAL over the shingle arrays: each candidate
+        // pair carries both docs' arrays and computes the intersection with
+        // array_intersect in one pass — no shingle explosion, no equi-join
+        // on shingle values, no per-pair aggregation shuffle. The only
+        // shuffled payload is |pairs| + |candidate old docs| array rows.
+        val oldArr = arrOf(
           if (candOld.isEmpty) tbl.scan(snapshotId = Some(corpusSnap)).limit(0)
           else tbl.scan(snapshotId = Some(corpusSnap))
             .filter(col("doc_id").isin(candOld: _*)))
         broadcast(cand)
-          .join(deltaSh.as("sa"), col("d_new") === col("sa.doc_id"))
-          .join(oldSh.as("sb").hint("shuffle_hash"),
-            col("d_old") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-          .groupBy("d_new", "d_old")
-          .agg(count(lit(1)).as("o"),
-            first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
+          .join(deltaArr.as("sa"), col("d_new") === col("sa.doc_id"))
+          .join(oldArr.as("sb").hint("shuffle_hash"),
+            col("d_old") === col("sb.doc_id"))
           .select(col("d_new"), col("d_old"),
-            (col("o").cast("double") / (col("na") + col("nb") - col("o"))).as("jaccard"))
+            size(array_intersect(col("sa.arr"), col("sb.arr"))).cast("double").as("o"),
+            size(col("sa.arr")).as("na"), size(col("sb.arr")).as("nb"))
+          .select(col("d_new"), col("d_old"),
+            (col("o") / (col("na") + col("nb") - col("o"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("d_new", "d_old")
       })
