@@ -33,12 +33,21 @@ object Bench {
     // Two timed runs per query, report the min: first execution pays
     // per-plan codegen + JIT compilation, which measures the JVM, not the
     // plan. Cache is cleared between runs so data always comes from disk.
+    // A query that throws must never get a wall-time — the elapsed time of a
+    // failure reads as a phantom speedup. It reports -1 in the per-query map
+    // and lands in an "errors" list on the JSON line.
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
       val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += name
+          false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries may persist() intermediates; drop them so every run is
         // measured against a clean executor-memory state
@@ -47,17 +56,18 @@ object Bench {
         // it cleans via weak references, so without GC pressure a long
         // session accumulates registrations that slow later job scheduling
         System.gc()
-        dt
+        if (ok) dt else -1.0
       }
       if (only.isDefined)
         System.err.println(f"[bench] $name rounds: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Self-archive: stdout tail-capture can truncate the per-query map, so
     // also persist the full line where the driver (or a human) can read it.

@@ -17,16 +17,27 @@ object QUtil {
 
   /** Load one of the driver-generated test tables (TESTDATA.md).
     *
-    * `events.ts` is nanosecond-precision parquet, which Spark cannot read
-    * natively; with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
-    * a nanos LongType, which we truncate to microseconds (matching DuckDB's
-    * ns->us truncation) and restore to a timestamp.
+    * `events.ts` has drifted across fixture generations — nanosecond parquet
+    * (arriving as a nanos LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), then microsecond
+    * TIMESTAMP(isAdjustedToUTC=false) (arriving as TIMESTAMP_NTZ). Every
+    * query assumes a zoned TimestampType `ts` (needed by `unix_micros` and
+    * streaming watermarks), so normalize both shapes here, in one place:
+    *   - LongType nanos -> truncate to micros (matching DuckDB's ns->us
+    *     truncation) and restore to timestamp;
+    *   - TIMESTAMP_NTZ -> cast to TimestampType; the session is pinned UTC,
+    *     so the mapping is value-preserving and oracle-neutral.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Scratch warehouse for one query run (wiped first — reruns idempotent). */

@@ -35,8 +35,11 @@ case class SessionRow(
   */
 object StreamOps {
 
-  /** events as a bounded stream; ts normalized to epoch micros (the fixture
-    * carries nanosecond timestamps, read as longs — QUtil.t note).
+  /** events as a bounded stream; `ts` normalized to a zoned TimestampType —
+    * streaming watermarks require TIMESTAMP, and the fixture has shipped
+    * both nanosecond longs and microsecond TIMESTAMP_NTZ across generations
+    * (same drift QUtil.t absorbs for the batch side; session is pinned UTC
+    * so the NTZ cast is value-preserving).
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -44,9 +47,13 @@ object StreamOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (batchSchema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    batchSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a bounded streaming query to completion against an in-memory sink

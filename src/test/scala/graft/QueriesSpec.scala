@@ -25,6 +25,42 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Fixture-drift guard: the driver regenerates /root/testdata between
+  // rounds and has already flipped events.ts ns->us (round 6 broke six
+  // queries at analysis). Assert, in ONE named place, that every base table
+  // normalizes to the same schema at every scale factor and that `ts`
+  // arrives as a zoned TimestampType (what unix_micros and streaming
+  // watermarks require). If QUtil.t's normalization is removed or the
+  // fixtures drift a type again, this fails with the table + dir named
+  // instead of six scattered analysis errors.
+  test("base tables normalize to a stable schema across all sf dirs") {
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (tbl <- tables) {
+      val schemas = dirs.map(d => d -> graft.queries.QUtil.t(spark, d, tbl).schema)
+      val (d0, s0) = schemas.head
+      schemas.tail.foreach { case (d, s) =>
+        assert(s == s0, s"$tbl schema drifts between $d0 and $d:\n  $s0\n  $s")
+      }
+      if (tbl == "events")
+        assert(s0("ts").dataType == org.apache.spark.sql.types.TimestampType,
+          s"events.ts must normalize to TimestampType, got ${s0("ts").dataType} " +
+            "(QUtil.t normalization missing a fixture shape?)")
+    }
+  }
+
+  // The six queries round 6 broke (e1/j6 + the four streaming aggregations)
+  // must at least pass analysis on every sf dir — their fns are cheap to
+  // *construct* (the stream runs only on action), so this is a fast,
+  // per-scale-factor guard that the regenerated fixtures still analyze.
+  for (name <- Seq("e1_sessionize", "j6_range_join"); d <- Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    test(s"$name analyzes on $d") {
+      SparkEntry.queries(name)(spark, d).queryExecution.assertAnalyzed()
+    }
+
   // every query is oracle-gated — a3 carries its HLL error bound as a
   // column so even the sketch op hash-compares against DuckDB
   private val rowsOnly = Set.empty[String]
