@@ -319,12 +319,12 @@ private[v2] class IceLiteStreamingWrite(
     val staging = new Path(tableDir, s"data/$stagingBase-e$epochId")
     // epoch replay after recovery: the snapshot is already committed —
     // drop the replayed output instead of appending it twice
-    if (MetaIo.read(fs, tableDir).snapshots.exists(_.streamCommit == sc)) {
+    val mPre = MetaIo.read(fs, tableDir)
+    if (mPre.snapshots.exists(_.streamCommit == sc)) {
       if (fs.exists(staging)) fs.delete(staging, true)
       return
     }
-    val snapId0 = MetaIo.read(fs, tableDir)
-      .snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val snapId0 = mPre.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val pubName =
       f"snap-$snapId0%05d-${stagingBase.stripPrefix(".streaming-").take(8)}-e$epochId"
     val dataDir = new Path(tableDir, s"data/$pubName")

@@ -268,23 +268,28 @@ object StreamOps {
              |       ELSE value END AS value
              |FROM events ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        val wh = QUtil.freshWarehouse(s, "st8")
-        val cat = new graft.icelite.IceCatalog(s, wh)
         val cols = Seq("event_id", "user_id", "event_type", "value")
         val ev = QUtil.t(s, dir, "events").selectExpr(cols: _*)
-        // the CDC feed: one append snapshot per change slice; repartition(1)
-        // + maxFilesPerTrigger=1 gives one micro-batch per snapshot, in
-        // commit order (upsert epochs are key-unique, the CDC contract)
-        val feed = cat.createTable("lake", "changes_st8", ev.schema)
-        feed.append(ev.repartition(1))
-        feed.append(ev.filter(col("event_id") % 3 === 0)
-          .withColumn("value", col("value") * 2).repartition(1))
-        feed.append(ev.filter(col("event_id") % 5 === 0)
-          .withColumn("value", col("value") * 3).repartition(1))
+        // the CDC feed is FIXTURE (the operator under test is the streaming
+        // upsert that consumes it): build it once per JVM per scale factor.
+        // One append snapshot per change slice; repartition(1) +
+        // maxFilesPerTrigger=1 gives one micro-batch per snapshot, in
+        // commit order (upsert epochs are key-unique, the CDC contract).
+        val whFeed = QUtil.cachedFixture(s, "st8_feed", dir) { w =>
+          val fcat = new graft.icelite.IceCatalog(s, w)
+          val feed = fcat.createTable("lake", "changes_st8", ev.schema)
+          feed.append(ev.repartition(1))
+          feed.append(ev.filter(col("event_id") % 3 === 0)
+            .withColumn("value", col("value") * 2).repartition(1))
+          feed.append(ev.filter(col("event_id") % 5 === 0)
+            .withColumn("value", col("value") * 3).repartition(1))
+        }
+        val wh = QUtil.freshWarehouse(s, "st8")
+        val cat = new graft.icelite.IceCatalog(s, wh)
         val tbl = cat.createTable("lake", "events_cdc", ev.schema)
         val ckpt = Files.createTempDirectory("graft-stream-st8").toString
         val q = s.readStream.format("icelite")
-          .option("warehouse", wh).option("table", "lake.changes_st8")
+          .option("warehouse", whFeed).option("table", "lake.changes_st8")
           .option("maxFilesPerTrigger", "1").load()
           .writeStream.format("icelite")
           .option("warehouse", wh).option("table", "lake.events_cdc")
@@ -314,13 +319,16 @@ object StreamOps {
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        val wh = QUtil.freshWarehouse(s, "st5")
-        val cat = new graft.icelite.IceCatalog(s, wh)
         val ev = QUtil.t(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
-        val tbl = cat.createTable("lake", "events_src", ev.schema)
-        // three append snapshots = three planned micro-batch ranges
-        (0 until 3).foreach(i => tbl.append(ev.filter(col("event_id") % 3 === i)))
+        // the source table is FIXTURE (the operator under test is the
+        // streaming read over its snapshot log): build once per JVM/sf.
+        // Three append snapshots = three planned micro-batch ranges.
+        val wh = QUtil.cachedFixture(s, "st5_src", dir) { w =>
+          val cat = new graft.icelite.IceCatalog(s, w)
+          val tbl = cat.createTable("lake", "events_src", ev.schema)
+          (0 until 3).foreach(i => tbl.append(ev.filter(col("event_id") % 3 === i)))
+        }
         val stream = s.readStream.format("icelite")
           .option("warehouse", wh).option("table", "lake.events_src")
           .load()
