@@ -110,6 +110,20 @@ object FileStats {
   def addedCount(snap: SnapshotMeta): Long =
     if (snap.addedFileCount >= 0) snap.addedFileCount else snap.addedFiles.length.toLong
 
+  /** Count of files visible at a snapshot — inline O(1) on current
+    * metadata, manifest parse only on pre-upgrade snapshots.
+    */
+  def fileCount(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Long =
+    if (snap.totalFileCount >= 0) snap.totalFileCount
+    else visible(fs, snap).length.toLong
+
+  /** Count of outstanding delete files at a snapshot — same economics as
+    * [[fileCount]].
+    */
+  def deleteCount(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Long =
+    if (snap.deleteFileCount >= 0) snap.deleteFileCount
+    else deletesOf(fs, snap).length.toLong
+
   /** Files ADDED by the append snapshots in `(from, to]` — the shared
     * range extraction behind the batch incremental scan, the DSv2
     * `fromSnapshotId` option, and the streaming source. Callers are

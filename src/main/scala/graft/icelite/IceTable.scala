@@ -212,9 +212,27 @@ class IceTable(
     val parts: Seq[DataFrame] = range.flatMap { s =>
       val parent = m.snapshots.filter(_.snapshotId < s.snapshotId)
         .maxByOption(_.snapshotId)
-      val pFiles = parent.map(visibleFiles).getOrElse(Nil)
-      val sPaths = visibleFiles(s).map(f => qualify(f.path)).toSet
-      require(pFiles.forall(f => sPaths(qualify(f.path))),
+      // the parent's full manifest is materialized LAZILY: a bounded
+      // changelog over an append/streaming-CDC tail must plan from the
+      // WINDOW's manifests only, and most window snapshots never need the
+      // parent's file list (only equality-delete resolution and the
+      // pre-upgrade fallback below do)
+      lazy val pFiles = parent.map(visibleFiles).getOrElse(Nil)
+      // non-rewriting proof: carried files are always a subset of the
+      // parent's visible set, so counts match iff no parent file was
+      // dropped — O(1) on current metadata via the inline counts; the
+      // manifest subset proof only runs for pre-upgrade snapshots
+      val countsKnown = s.totalFileCount >= 0 && s.addedFileCount >= 0 &&
+        parent.forall(_.totalFileCount >= 0)
+      val nonRewriting =
+        if (countsKnown)
+          s.totalFileCount ==
+            parent.map(_.totalFileCount).getOrElse(0L) + s.addedFileCount
+        else {
+          val sPaths = visibleFiles(s).map(f => qualify(f.path)).toSet
+          pFiles.forall(f => sPaths(qualify(f.path)))
+        }
+      require(nonRewriting,
         s"changelog of $namespace.$name hit rewriting snapshot " +
           s"#${s.snapshotId} (${s.operation}) — changelogs are defined over " +
           "append/merge-on-read history only")
@@ -227,21 +245,32 @@ class IceTable(
         if (added.isEmpty) None
         else Some(stamp(readFiles(m, tableSchema, added, curDirs),
           "insert", s.snapshotId))
-      val pDeletes = parent.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
-      val newDeletes = FileStats.deletesOf(fs, s)
-        .filterNot(d => pDeletes.exists(_.path == d.path))
+      // new deletes committed BY this snapshot: once non-rewriting is
+      // established deletes only accumulate, so an unchanged inline count
+      // means none — the parent's manifest stays untouched on the
+      // append-only fast path
+      val noNewDeletes = s.deleteFileCount >= 0 &&
+        parent.forall(_.deleteFileCount >= 0) &&
+        s.deleteFileCount == parent.map(_.deleteFileCount).getOrElse(0L)
+      lazy val pDeletes = parent.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
+      val newDeletes =
+        if (noNewDeletes) Nil
+        else FileStats.deletesOf(fs, s)
+          .filterNot(d => pDeletes.exists(_.path == d.path))
       val deleteRows: Seq[DataFrame] = newDeletes.flatMap { d =>
         if (!d.isEquality) {
-          // positions -> row values: the delete names its files; positions
-          // were live when committed (stacked deletes are excluded at
-          // write), so a raw positional semi-join is exact
-          val affected = pFiles.filter(f => d.dataFiles.contains(qualify(f.path)))
+          // positions -> row values: the delete itself names its affected
+          // files (manifest-qualified at commit), so resolution needs no
+          // parent manifest; positions were live when committed (stacked
+          // deletes are excluded at write) — a raw positional semi-join
+          // is exact
+          val affected = d.dataFiles
           if (affected.isEmpty) None
           else {
             val positions = spark.read.parquet(d.path)
               .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))
             val rows = spark.read.schema(tableSchema)
-              .parquet(affected.map(_.path): _*)
+              .parquet(affected: _*)
               .withColumn("__mfp", col("_metadata.file_path"))
               .withColumn("__mpos", col("_metadata.row_index"))
               .join(broadcast(positions),

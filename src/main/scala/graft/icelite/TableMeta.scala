@@ -65,6 +65,16 @@ final case class SnapshotMeta(
     // view and streaming admission control need the COUNT without touching
     // manifests); -1 on pre-upgrade metadata — fall back to addedFiles.
     addedFileCount: Long = -1L,
+    // O(1) inline counts of the files / outstanding delete files VISIBLE at
+    // this snapshot. Together with addedFileCount they make the changelog's
+    // non-rewriting proof metadata-only: a snapshot kept every parent file
+    // iff totalFileCount == parent.totalFileCount + addedFileCount (carried
+    // is always a subset of the parent's visible set, so equal counts mean
+    // equal sets), and — once non-rewriting is established, deletes only
+    // ever accumulate — it committed NEW delete files iff deleteFileCount
+    // grew. -1 on pre-upgrade metadata: readers fall back to the manifest.
+    totalFileCount: Long = -1L,
+    deleteFileCount: Long = -1L,
     // schema as of this snapshot — replace() may change it, and a
     // time-traveling scan must read old files with their own schema.
     // Empty on pre-upgrade metadata: readers fall back to the table schema.
@@ -396,6 +406,7 @@ object MetaIo {
     * first non-whitespace byte disambiguates.
     */
   def readManifestDoc(fs: FileSystem, path: String): ManifestDoc = {
+    docAccesses.merge(path, 1L, (a, b) => a + b)
     manifestCache.synchronized {
       val cached = manifestCache.get(path)
       if (cached != null) return cached
@@ -421,6 +432,16 @@ object MetaIo {
       manifestCache.keySet().asScala.toSeq
     }
 
+  // Test hook: per-path manifest-document ACCESS counts (cache hits
+  // included) — lets a spec prove a bounded incremental read planned only
+  // its window's manifests, independent of what earlier ops left cached.
+  private val docAccesses =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def manifestAccessSnapshot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    docAccesses.asScala.map { case (k, v) => k -> v.longValue }.toMap
+  }
+
   /** Move any inline per-snapshot O(files)/O(history) state — the file
     * manifest, the added-path list, and the cumulative data-dir list — into
     * one external manifest document per snapshot (named with a UUID so a
@@ -445,6 +466,8 @@ object MetaIo {
         s.copy(files = Nil, addedFiles = Nil, dataDirs = Nil, deletes = Nil,
           addedFileCount =
             if (s.addedFileCount >= 0) s.addedFileCount else s.addedFiles.length.toLong,
+          totalFileCount = s.files.length.toLong,
+          deleteFileCount = s.deletes.length.toLong,
           manifestFile = mf.toString)
       }
     })

@@ -843,6 +843,61 @@ object IceliteOps {
           .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
+    // K26: TARGETED equality-delete folding through the SQL maintenance
+    // surface. A range-clustered table takes a zero-read CDC upsert whose
+    // keys live inside ONE file's key range; `CALL rewrite_position_deletes`
+    // then folds the debt by rewriting exactly the files whose MANIFEST KEY
+    // BOUNDS intersect the delete's bounds — every other file (including
+    // the upsert's own, era-exempt) carries forward byte-identical, and the
+    // table leaves MOR mode with zero outstanding deletes and exact totals.
+    // That bound-targeted shape is the 100 TB contract: fold cost tracks
+    // the delete debt's key locality, never table size.
+    QDef(
+      "k26_ice_eq_fold",
+      Some("""SELECT o_orderkey AS okey,
+             |  CASE WHEN o_orderkey BETWEEN 200 AND 300 THEN -1
+             |       ELSE o_custkey END AS cust,
+             |  CASE WHEN o_orderkey BETWEEN 200 AND 300 THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS price
+             |FROM orders ORDER BY okey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k26")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+            col("o_totalprice").as("price"))
+        val tbl = cat.createTable("lake", "orders_eqf", o.schema)
+        // range-clustered layout: 4 files with disjoint okey ranges
+        tbl.append(o.repartitionByRange(4, col("okey")))
+        val filesBefore = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+        // zero-read CDC upsert confined to one file's key range
+        tbl.upsertMorEq(
+          o.filter(col("okey").between(200, 300))
+            .withColumn("cust", lit(-1L))
+            .withColumn("price", col("price") * 2),
+          keys = Seq("okey"))
+        val upsertAdded = tbl.addedFilesOf(tbl.meta.currentSnapshot.get).toSet
+        s.conf.set("spark.sql.catalog.icelite_k26", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k26.warehouse", wh)
+        s.sql("CALL icelite_k26.system.rewrite_position_deletes('lake.orders_eqf')")
+        val folded = tbl.meta.currentSnapshot.get
+        require(tbl.deletesOf(folded).isEmpty, "fold must clear ALL delete debt")
+        val after = tbl.visibleFiles(folded).map(_.path).toSet
+        val (hit, clean) = filesBefore.partition(f =>
+          f.min("okey").toLong <= 300 && f.max("okey").toLong >= 200)
+        require(hit.nonEmpty && clean.nonEmpty,
+          s"fixture must split hit/clean files: ${filesBefore.map(_.path)}")
+        require(clean.forall(f => after(f.path)),
+          "files outside the delete's key bounds must carry forward untouched")
+        require(hit.forall(f => !after(f.path)),
+          "files inside the delete's key bounds must be rewritten")
+        require(upsertAdded.forall(after),
+          "the upsert's own era-exempt file must survive the fold")
+        require(folded.totalRows == tbl.toDF.count(),
+          "post-fold totals must be exact")
+        tbl.toDF.orderBy("okey")
+      }),
+
     // K22: the SQL maintenance surface — CALL procedures drive the same
     // lifecycle the API exposes (Iceberg's `CALL system.rewrite_data_files`
     // family), so schedulers and SQL-only users can run compaction and

@@ -838,6 +838,40 @@ class IceliteSpec extends SparkSpec {
       Seq(("insert", 200L), ("insert", 201L)))
   }
 
+  test("bounded changelog plans only the window's manifests and files") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("cdcwin"))
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    // pre-window history: two appends plus a MOR eq upsert, so the boundary
+    // snapshot carries an outstanding delete file (the delete-count fast
+    // path must still keep its manifest untouched)
+    tbl.append(base)                                              // snap 1
+    tbl.append((101L to 120L).map(i => (i, "B")).toDF("id", "v")) // snap 2
+    tbl.upsertMorEq((1L to 5L).map(i => (i, "UP")).toDF("id", "v"), Seq("id")) // snap 3
+    val from = tbl.meta.currentSnapshotId
+    tbl.append((200L to 209L).map(i => (i, "W1")).toDF("id", "v")) // snap 4
+    tbl.append((210L to 219L).map(i => (i, "W2")).toDF("id", "v")) // snap 5
+    val window = tbl.snapshots.filter(_.snapshotId > from)
+    val before = graft.icelite.MetaIo.manifestAccessSnapshot
+    val log = tbl.changelog(from)
+    assert(log.count() == 20)
+    val accessed = graft.icelite.MetaIo.manifestAccessSnapshot
+      .map { case (k, v) => k -> (v - before.getOrElse(k, 0L)) }
+      .filter(_._2 > 0).keySet
+    val windowManifests = window.map(_.manifestFile).toSet
+    assert(accessed.subsetOf(windowManifests),
+      s"bounded changelog touched manifests outside its window: " +
+        s"${accessed -- windowManifests}")
+    // and the scan itself reads only the window's added data files
+    // (compare bare paths: Hadoop spells file:/x where Spark says file:///x)
+    def bare(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val windowData = window.flatMap(tbl.addedFilesOf).map(bare).toSet
+    val scanned = log.inputFiles.map(bare).toSet
+    assert(scanned.subsetOf(windowData),
+      s"bounded changelog scanned non-window files: ${scanned -- windowData}")
+  }
+
   test("a MOR delete racing a concurrent append retries and both land") {
     import org.apache.spark.sql.sources.LessThanOrEqual
     import spark.implicits._
