@@ -259,6 +259,94 @@ object SimilarityOps {
           .orderBy("qid", "rn")
       }),
 
+    // IVF-style ANN (the inverted-file scale path next to x7's LSH): a
+    // coarse quantizer of C=8 centroid vectors partitions the corpus into
+    // cells (each vector is ASSIGNED to its nearest centroid by exact
+    // quantized cosine, tie-break on centroid id); a query probes its
+    // nprobe=2 nearest cells and scores exactly only the vectors filed
+    // there. Centroids here are the vectors with vec_id < 8 — a fixed,
+    // engine-independent stand-in for the k-means codebook an offline job
+    // would train at scale. 100 TB shape: assignment is ONE broadcast pass
+    // over the corpus (centroid table is tiny), the inverted lists are the
+    // corpus re-bucketed by cell id — written as a cell-partitioned icelite
+    // table they join storage-partitioned — and probe cost is
+    // nprobe x cell occupancy, never corpus size; recall/cost tunes with C
+    // (occupancy ~ N/C) and nprobe, orthogonal knobs LSH lacks.
+    QDef(
+      "x27_sim_ivf",
+      Some(s"""WITH $elementsSql,
+              |cel AS (SELECT vec_id cid, i, q FROM el WHERE vec_id < 8),
+              |adots AS (
+              |  SELECT a.vec_id vid, c.cid, CAST(SUM(a.q*c.q) AS BIGINT) dp
+              |  FROM el a JOIN cel c ON a.i = c.i GROUP BY 1, 2),
+              |ascore AS (
+              |  SELECT vid, cid,
+              |    CAST(dp AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) cs
+              |  FROM adots JOIN n2 nv ON nv.vec_id = vid JOIN n2 nc ON nc.vec_id = cid),
+              |assign AS (
+              |  SELECT vid, cid FROM (
+              |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
+              |    FROM ascore) WHERE rn = 1),
+              |probes AS (
+              |  SELECT vid qid, cid FROM (
+              |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
+              |    FROM ascore WHERE vid < 50) WHERE rn <= 2),
+              |cand AS (
+              |  SELECT p.qid, a.vid nid FROM probes p
+              |  JOIN assign a ON a.cid = p.cid AND a.vid <> p.qid),
+              |dots AS (
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM cand JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY qid, nid),
+              |scored AS (
+              |  SELECT qid, nid, $cosineSql AS cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |  FROM dots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 3
+              |ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val el = elements(s, dir)
+        val n2 = norms(el)
+        val cel = el.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("i"), col("q").as("cq"))
+        // assignment: one broadcast pass — N x C dot products, map-side
+        // combinable into N x C partial sums
+        val adots = el.join(broadcast(cel), "i")
+          .groupBy(col("vec_id").as("vid"), col("cid"))
+          .agg(sum(col("q") * col("cq")).as("dp"))
+        val ascore = adots
+          .join(broadcast(n2.as("nv")), col("vid") === col("nv.vec_id"))
+          .join(broadcast(n2.filter(col("vec_id") < 8).as("nc")),
+            col("cid") === col("nc.vec_id"))
+          .select(col("vid"), col("cid"),
+            cosine(col("dp"), col("nv.nn"), col("nc.nn")).as("cs"))
+        val wCell = org.apache.spark.sql.expressions.Window
+          .partitionBy("vid").orderBy(col("cs").desc, col("cid"))
+        val assign = ascore.withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") === 1).select(col("vid"), col("cid"))
+        val probes = ascore.filter(col("vid") < 50)
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") <= 2).select(col("vid").as("qid"), col("cid"))
+        val cand = broadcast(probes).join(assign, "cid")
+          .filter(col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid").as("nid"))
+        val dots = cand
+          .join(el.as("a"), col("a.vec_id") === col("qid"))
+          .join(el.as("b"), col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
+          .groupBy("qid", "nid")
+          .agg(sum(col("a.q") * col("b.q")).as("dp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        dots
+          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .select(col("qid"), col("nid"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("qid", "rn")
+      }),
+
     // Embedding-cosine near-dup pairs, blocked by label (block key stands in
     // for the coarse-quantizer cell an IVF index would assign at scale).
     QDef(

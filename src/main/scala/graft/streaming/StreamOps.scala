@@ -336,6 +336,58 @@ object StreamOps {
           .orderBy("event_id")
       }),
 
+    // STREAM-STREAM interval join: clicks joined to the views that follow
+    // them within 30 minutes for the same user — the attribution shape
+    // (impression->conversion) a continuous pipeline computes online. Both
+    // sides carry watermarks and the join condition carries the event-time
+    // interval, which is exactly what lets Spark BOUND the join state: a
+    // buffered click can be evicted once the view-side watermark passes
+    // click_ts + 30min (without the interval the state grows forever).
+    // State is hash-partitioned on the join key (user_id) — the same
+    // scale-out story as a shuffled batch join, amortized per micro-batch.
+    // Oracle: on the bounded fixture the append-mode result equals the
+    // batch interval join, stated relationally.
+    QDef(
+      "st9_stream_stream_join",
+      Some("""SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'click' AND b.event_type = 'view'
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+             |ORDER BY click_id, view_id""".stripMargin),
+      (s, dir) => {
+        // one file-source stream, self-joined: both sides share the source's
+        // file log and scan, halving per-batch source work vs two streams
+        val src = eventStream(s, dir)
+        val clicks = src
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = src
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("view_uid"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val joined = clicks.join(views,
+          col("user_id") === col("view_uid") &&
+            col("view_ts") >= col("click_ts") &&
+            col("view_ts") <= col("click_ts") + expr("interval 30 minutes"))
+          .select(col("click_id"), col("view_id"), col("user_id"))
+        // state-partition sizing: a stream-stream join runs FOUR state
+        // stores per shuffle partition, each committing a checkpoint delta
+        // per micro-batch — per-partition overhead that dwarfs the work
+        // when per-partition state is small. Size the query's state
+        // partitioning to its state volume (pinned at first start by
+        // shuffle.partitions; a real deployment sizes it to cluster cores
+        // x state-per-core), then restore the session default.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try runToTable(joined, OutputMode.Append(), s"st9_sink_${System.nanoTime()}")
+          .orderBy("click_id", "view_id")
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }),
+
     // Stateful sessionization: 1-hour-gap sessions per user via
     // flatMapGroupsWithState (custom state machine, not a window rewrite).
     QDef(
