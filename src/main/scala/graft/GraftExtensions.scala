@@ -19,5 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // streaming column pruning — Spark's streaming planner never calls
     // DSv2 pruneColumns, so the source handles it at analysis time
     ext.injectResolutionRule(graft.sources.v2.StreamScanPruning.apply)
+    // SQL CDC surface: `SELECT * FROM icelite_changes('<warehouse>',
+    // '<ns>.<tbl>', <fromSnapshotId>[, <toSnapshotId>])` — the table-valued
+    // form of IceTable.changelog, so SQL-only consumers replay a bounded
+    // change window without the library API (Iceberg's
+    // create_changelog_view analog)
+    ext.injectTableFunction((FunctionIdentifier("icelite_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "icelite_changes"),
+      graft.sources.v2.ChangesTvf.build))
   }
 }

@@ -818,7 +818,8 @@ object IceliteOps {
               |FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0
               |ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin),
       (s, dir) => {
-        val cat = new IceCatalog(s, freshWarehouse(s, "k25"))
+        val wh = freshWarehouse(s, "k25")
+        val cat = new IceCatalog(s, wh)
         val o = t(s, dir, "orders")
         val tbl = cat.createTable("lake", "orders_cdc", o.schema)
         tbl.append(o.filter(col("o_orderkey") % 3 === 0)
@@ -830,7 +831,17 @@ object IceliteOps {
           keys = Seq("o_orderkey"))
         tbl.deleteWhereMor(Seq(
           org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
-        val log = tbl.changelog(0L)
+        // the SQL CDC surface: the icelite_changes table function expands
+        // to the same bounded change-replay plan as the changelog API
+        val log = s.sql(
+          s"SELECT * FROM icelite_changes('$wh', 'lake.orders_cdc', 0)")
+        // a bounded window pays for ITS changes only: the (2, current]
+        // window replays exactly snapshot 3's deletes and nothing earlier
+        val windowed = s.sql(
+          s"SELECT * FROM icelite_changes('$wh', 'lake.orders_cdc', 2)")
+        require(windowed.count() == tbl.changelog(2L).count() &&
+          windowed.filter(col("_commit_snapshot_id") <= 2).count() == 0,
+          "bounded TVF window must match the API and contain only its window")
         // the incremental contract: replaying the log reconstructs the
         // table — inserts minus deletes equals the current live row count
         val byType = log.groupBy("_change_type").count().collect()

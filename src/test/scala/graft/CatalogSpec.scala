@@ -640,4 +640,31 @@ class CatalogSpec extends SparkSpec {
       (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("tag")))) ==
       Seq((1L, "a/b"), (2L, "x=y"), (3L, "plain"), (4L, null)))
   }
+
+  test("icelite_changes TVF: bounded SQL changelog, literal-arg validation") {
+    val wh = configure("tvf")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "cdc", df.schema)
+    tbl.append(df)                                               // snap 1
+    tbl.append((51L to 60L).map(i => (i, "B")).toDF("id", "v"))  // snap 2
+    tbl.deleteKeysEq(Seq(5L, 7L).toDF("id"), Seq("id"))          // snap 3
+    // full replay equals the API result
+    val full = spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdc', 0)")
+    assert(full.count() == 62) // 60 inserts + 2 resolved deletes
+    assert(full.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
+    // bounded forms: (from, to] windows
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdc', 2)").count() == 2)
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdc', 1, 2)").count() == 10)
+    // bad arity / non-literal args fail loudly at analysis
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdc')").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'nodots', 0)").collect())
+  }
 }
