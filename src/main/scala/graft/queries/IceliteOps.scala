@@ -854,6 +854,73 @@ object IceliteOps {
           .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
+    // K27: SQL row-level commands on a MERGE-ON-READ table — tables
+    // declaring `write.<command>.mode = 'merge-on-read'` route DELETE /
+    // UPDATE / MERGE INTO through the DELTA write path
+    // (IceLiteDeltaOperation): each command writes position-delete files
+    // plus insert files and NEVER rewrites a pre-existing data file
+    // (asserted after every statement) — the 1-row-DML-against-100 TB
+    // shape, now for SQL users, where the default copy-on-write
+    // (k10/k11/k12) rewrites affected files. The oracle composes the three
+    // statements' effects relationally.
+    QDef(
+      "k27_ice_mor_sql",
+      Some("""WITH u AS (
+             |  SELECT o_orderkey okey, o_custkey cust,
+             |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+             |         ELSE o_totalprice END price
+             |  FROM orders),
+             |d AS (SELECT * FROM u WHERE okey % 77 <> 0),
+             |m AS (
+             |  SELECT okey, CASE WHEN okey BETWEEN 500 AND 520 THEN -5
+             |                    ELSE cust END cust, price
+             |  FROM d
+             |  UNION ALL
+             |  SELECT CAST(t.okey AS BIGINT), CAST(-5 AS BIGINT), 0.0
+             |  FROM (VALUES (-3), (-2), (-1)) t(okey))
+             |SELECT okey, cust, price FROM m ORDER BY okey""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k27")
+        val cat = new IceCatalog(s, wh)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+            col("o_totalprice").as("price"))
+        val tbl = cat.createTable("lake", "orders_morsql", o.schema,
+          properties = Map(
+            "write.delete.mode" -> "merge-on-read",
+            "write.update.mode" -> "merge-on-read",
+            "write.merge.mode" -> "merge-on-read"))
+        tbl.append(o.repartitionByRange(4, col("okey")))
+        val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+          .map(_.path).toSet
+        def noRewrite(stmt: String): Unit = {
+          val now = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+            .map(_.path).toSet
+          require(before.subsetOf(now),
+            s"MOR $stmt must not rewrite any pre-existing data file: " +
+              s"missing ${before -- now}")
+        }
+        s.conf.set("spark.sql.catalog.icelite_k27", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k27.warehouse", wh)
+        val ident = "icelite_k27.lake.orders_morsql"
+        s.sql(s"UPDATE $ident SET price = price * 2 WHERE okey % 100 = 0")
+        noRewrite("UPDATE")
+        s.sql(s"DELETE FROM $ident WHERE okey % 77 = 0")
+        noRewrite("DELETE")
+        s.createDataFrame(
+          ((500L to 520L) ++ Seq(-3L, -2L, -1L)).map(k => (k, -5L, 0.0)))
+          .toDF("okey", "cust", "price")
+          .createOrReplaceTempView("k27_src")
+        s.sql(
+          s"""MERGE INTO $ident t USING k27_src s ON t.okey = s.okey
+             |WHEN MATCHED THEN UPDATE SET cust = s.cust
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        noRewrite("MERGE")
+        require(tbl.deletesOf(tbl.meta.currentSnapshot.get).nonEmpty,
+          "the DML debt must be outstanding merge-on-read deletes")
+        tbl.toDF.orderBy("okey")
+      }),
+
     // K26: TARGETED equality-delete folding through the SQL maintenance
     // surface. A range-clustered table takes a zero-read CDC upsert whose
     // keys live inside ONE file's key range; `CALL rewrite_position_deletes`
