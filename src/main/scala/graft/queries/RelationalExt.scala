@@ -403,6 +403,70 @@ object RelationalExt {
             regexp_count(col("o_orderpriority"), lit("[A-Z]")).cast("long").as("n_upper"))
           .orderBy("o_orderkey")),
 
+    // Datetime function bundle over the events timestamp (session pinned
+    // UTC, so wall-clock fields match the oracle's NTZ values exactly):
+    // field extraction, epoch micros, ISO truncation, and date arithmetic —
+    // all codegen'd built-ins.
+    QDef(
+      "f5_datetime_funcs",
+      Some("""SELECT event_id,
+             |  CAST(ts AS DATE) AS d,
+             |  EXTRACT(hour FROM ts) AS h,
+             |  EXTRACT(minute FROM ts) AS mi,
+             |  EXTRACT(second FROM ts) AS sec,
+             |  EXTRACT(quarter FROM ts) AS q,
+             |  dayofyear(ts) AS doy,
+             |  weekofyear(ts) AS woy,
+             |  epoch_us(ts) AS us,
+             |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+             |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+             |  CAST(ts AS DATE) + 7 AS next_week,
+             |  last_day(CAST(ts AS DATE)) AS month_end,
+             |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            col("ts").cast("date").as("d"),
+            hour(col("ts")).cast("long").as("h"),
+            minute(col("ts")).cast("long").as("mi"),
+            second(col("ts")).cast("long").as("sec"),
+            quarter(col("ts")).cast("long").as("q"),
+            dayofyear(col("ts")).cast("long").as("doy"),
+            weekofyear(col("ts")).cast("long").as("woy"),
+            unix_micros(col("ts")).as("us"),
+            date_trunc("day", col("ts")).as("day_start"),
+            date_trunc("week", col("ts")).as("week_start"),
+            date_add(col("ts").cast("date"), 7).as("next_week"),
+            last_day(col("ts").cast("date")).as("month_end"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long").as("days_since"))
+          .orderBy("event_id")),
+
+    // VARIANT (Spark 4's semi-structured type): props parsed once to a
+    // VARIANT value, fields then extracted TYPED via variant_get — the
+    // shred-at-read shape that replaces per-access JSON re-parsing; a
+    // missing path yields NULL (not an error). The oracle states the same
+    // values through DuckDB's JSON functions.
+    QDef(
+      "v3_variant",
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  coalesce(json_extract_string(props, '$.missing'), 'none') AS absent
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(
+            col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
+            expr("variant_get(v, '$.k', 'string')").as("k_str"),
+            coalesce(expr("variant_get(v, '$.missing', 'string')"), lit("none"))
+              .as("absent"))
+          .orderBy("event_id")),
+
     // Bucketed co-located join: both fact tables written bucketed+sorted on
     // the join key, so the join runs with ZERO shuffle exchanges (verified
     // in PlanSpec) — the layout investment that pays off when a key is
