@@ -553,6 +553,62 @@ object RelationalExt {
           .select(col("event_type"), col("exact_users"),
             (abs(col("approx_users") - col("exact_users"))
               .cast("double") / col("exact_users") <= 0.10).as("approx_ok"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // Approximate quantiles (the t-digest/KLL-family sketch op), gated the
+    // a3 way: approx_percentile guarantees RANK error <= 1/accuracy, so the
+    // query verifies that bound in-query — the fraction of rows at or below
+    // each approximate quantile must sit within epsilon of the target rank —
+    // and the oracle states the deterministic half (exact per-group rows)
+    // plus literal-true flags. One map-side-combinable pass at any scale;
+    // the sketch merges associatively across partitions.
+    QDef(
+      "a4_approx_quantiles",
+      Some("""SELECT event_type, COUNT(*) AS n, true AS p50_ok, true AS p95_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val approx = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("ap95"))
+        // verify the rank-error contract against the data itself: rank of
+        // the approximate quantile within its group vs the target rank
+        val ranked = ev.join(approx, "event_type")
+          .groupBy("event_type")
+          .agg(
+            first("n").as("n"),
+            (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L))
+              .cast("double") / first("n")).as("r50"),
+            (sum(when(col("value") <= col("ap95"), 1L).otherwise(0L))
+              .cast("double") / first("n")).as("r95"))
+        ranked.select(col("event_type"), col("n"),
+          (abs(col("r50") - 0.5) <= 0.05).as("p50_ok"),
+          (abs(col("r95") - 0.95) <= 0.05).as("p95_ok"))
+          .orderBy("event_type")
+      }),
+
+    // UNPIVOT (melt): wide per-order measures back to (key, measure, value)
+    // rows — the inverse of pv1's pivot, Spark's `unpivot`/`melt` API against
+    // SQL-standard UNPIVOT in the oracle. Row-local at any scale.
+    QDef(
+      "pv2_unpivot",
+      Some("""SELECT o_orderkey, measure, CAST(val AS DOUBLE) AS val
+             |FROM (
+             |  SELECT o_orderkey, o_totalprice AS price,
+             |    CAST(o_custkey AS DOUBLE) AS cust_d,
+             |    CAST(o_orderkey % 7 AS DOUBLE) AS key_mod
+             |  FROM orders)
+             |UNPIVOT (val FOR measure IN (price, cust_d, key_mod))
+             |ORDER BY o_orderkey, measure""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_custkey").cast("double").as("cust_d"),
+            (col("o_orderkey") % 7).cast("double").as("key_mod"))
+          .unpivot(Array(col("o_orderkey")),
+            Array(col("price"), col("cust_d"), col("key_mod")),
+            "measure", "val")
+          .orderBy("o_orderkey", "measure"))
   )
 }

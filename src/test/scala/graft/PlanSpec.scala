@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       s"query set must broadcast:\n$s")
   }
 
+  test("x27: IVF assignment broadcasts the centroid table, probes broadcast") {
+    val s = finalPlan(SparkEntry.queries("x27_sim_ivf")(spark, sfDir))
+    // the N x C assignment pass and the probe->assignment candidate join
+    // must both be broadcast-side-small (centroids / probed query cells);
+    // a shuffled corpus-vs-centroid join would defeat the one-pass design
+    assert(s.contains("BroadcastHashJoin"),
+      s"centroid/probe joins must broadcast:\n$s")
+  }
+
   test("k8: partitioned table scan prunes by partition filter") {
     // IceTable.scan plans through the DSv2 source now: partition pruning
     // shows as planned < files in the icelite scan description, and the
