@@ -58,18 +58,30 @@ object StreamOps {
 
   /** Run a bounded streaming query to completion against an in-memory sink
     * and return the sink table. Checkpoints go to a throwaway temp dir.
+    *
+    * State-partition sizing: every stateful operator commits one state-store
+    * checkpoint delta per partition per micro-batch — per-partition overhead
+    * that dwarfs the work when per-partition state is small, as on these
+    * bounded fixtures. The count is pinned at the query's FIRST start by
+    * `spark.sql.shuffle.partitions` (a real deployment sizes it to cluster
+    * cores x state-per-core), so set it for the stream and restore the
+    * session default after.
     */
   private def runToTable(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
     val spark = df.sparkSession
     val ckpt = Files.createTempDirectory(s"graft-stream-$name").toString
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // bounded run is done: unload state-store providers and stop their
     // maintenance threads, so later (batch) queries aren't taxed by them
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
@@ -374,18 +386,11 @@ object StreamOps {
             col("view_ts") >= col("click_ts") &&
             col("view_ts") <= col("click_ts") + expr("interval 30 minutes"))
           .select(col("click_id"), col("view_id"), col("user_id"))
-        // state-partition sizing: a stream-stream join runs FOUR state
-        // stores per shuffle partition, each committing a checkpoint delta
-        // per micro-batch — per-partition overhead that dwarfs the work
-        // when per-partition state is small. Size the query's state
-        // partitioning to its state volume (pinned at first start by
-        // shuffle.partitions; a real deployment sizes it to cluster cores
-        // x state-per-core), then restore the session default.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try runToTable(joined, OutputMode.Append(), s"st9_sink_${System.nanoTime()}")
+        // runToTable sizes the state partitioning (a stream-stream join
+        // runs FOUR state stores per shuffle partition, so the
+        // per-partition checkpoint overhead matters doubly here)
+        runToTable(joined, OutputMode.Append(), s"st9_sink_${System.nanoTime()}")
           .orderBy("click_id", "view_id")
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       }),
 
     // Stateful sessionization: 1-hour-gap sessions per user via
