@@ -124,6 +124,43 @@ object FileStats {
     if (snap.deleteFileCount >= 0) snap.deleteFileCount
     else deletesOf(fs, snap).length.toLong
 
+  /** Did snapshot `s` keep every file visible at `parent`? Carried files
+    * are always a subset of the parent's visible set, so equal counts mean
+    * equal sets — O(1) on current metadata via the inline counts; the
+    * manifest subset proof runs only for pre-upgrade snapshots. The
+    * foundation of the changelog contract (batch and streaming): a
+    * non-rewriting snapshot's row-level delta is exactly its added files
+    * plus its new delete files.
+    */
+  def isNonRewriting(fs: org.apache.hadoop.fs.FileSystem,
+      parent: Option[SnapshotMeta], s: SnapshotMeta): Boolean = {
+    val countsKnown = s.totalFileCount >= 0 && s.addedFileCount >= 0 &&
+      parent.forall(_.totalFileCount >= 0)
+    if (countsKnown)
+      s.totalFileCount == parent.map(_.totalFileCount).getOrElse(0L) + s.addedFileCount
+    else {
+      def q(p: String) = new Path(p).toString
+      val sPaths = visible(fs, s).map(f => q(f.path)).toSet
+      parent.map(visible(fs, _)).getOrElse(Nil).forall(f => sPaths(q(f.path)))
+    }
+  }
+
+  /** New delete files committed BY `s` (absent at `parent`). Once `s` is
+    * known non-rewriting, deletes only accumulate — an unchanged inline
+    * count means none, and the parent's manifest stays untouched on the
+    * append-only fast path.
+    */
+  def newDeletesOf(fs: org.apache.hadoop.fs.FileSystem,
+      parent: Option[SnapshotMeta], s: SnapshotMeta): Seq[DeleteStat] = {
+    val none = s.deleteFileCount >= 0 && parent.forall(_.deleteFileCount >= 0) &&
+      s.deleteFileCount == parent.map(_.deleteFileCount).getOrElse(0L)
+    if (none) Nil
+    else {
+      val pDeletes = parent.map(deletesOf(fs, _)).getOrElse(Nil)
+      deletesOf(fs, s).filterNot(d => pDeletes.exists(_.path == d.path))
+    }
+  }
+
   /** Files ADDED by the append snapshots in `(from, to]` — the shared
     * range extraction behind the batch incremental scan, the DSv2
     * `fromSnapshotId` option, and the streaming source. Callers are

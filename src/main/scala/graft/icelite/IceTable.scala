@@ -215,24 +215,11 @@ class IceTable(
       // the parent's full manifest is materialized LAZILY: a bounded
       // changelog over an append/streaming-CDC tail must plan from the
       // WINDOW's manifests only, and most window snapshots never need the
-      // parent's file list (only equality-delete resolution and the
-      // pre-upgrade fallback below do)
+      // parent's file list (only equality-delete resolution does —
+      // FileStats.isNonRewriting / newDeletesOf use the inline O(1) counts
+      // on current metadata)
       lazy val pFiles = parent.map(visibleFiles).getOrElse(Nil)
-      // non-rewriting proof: carried files are always a subset of the
-      // parent's visible set, so counts match iff no parent file was
-      // dropped — O(1) on current metadata via the inline counts; the
-      // manifest subset proof only runs for pre-upgrade snapshots
-      val countsKnown = s.totalFileCount >= 0 && s.addedFileCount >= 0 &&
-        parent.forall(_.totalFileCount >= 0)
-      val nonRewriting =
-        if (countsKnown)
-          s.totalFileCount ==
-            parent.map(_.totalFileCount).getOrElse(0L) + s.addedFileCount
-        else {
-          val sPaths = visibleFiles(s).map(f => qualify(f.path)).toSet
-          pFiles.forall(f => sPaths(qualify(f.path)))
-        }
-      require(nonRewriting,
+      require(FileStats.isNonRewriting(fs, parent, s),
         s"changelog of $namespace.$name hit rewriting snapshot " +
           s"#${s.snapshotId} (${s.operation}) — changelogs are defined over " +
           "append/merge-on-read history only")
@@ -245,18 +232,8 @@ class IceTable(
         if (added.isEmpty) None
         else Some(stamp(readFiles(m, tableSchema, added, curDirs),
           "insert", s.snapshotId))
-      // new deletes committed BY this snapshot: once non-rewriting is
-      // established deletes only accumulate, so an unchanged inline count
-      // means none — the parent's manifest stays untouched on the
-      // append-only fast path
-      val noNewDeletes = s.deleteFileCount >= 0 &&
-        parent.forall(_.deleteFileCount >= 0) &&
-        s.deleteFileCount == parent.map(_.deleteFileCount).getOrElse(0L)
       lazy val pDeletes = parent.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
-      val newDeletes =
-        if (noNewDeletes) Nil
-        else FileStats.deletesOf(fs, s)
-          .filterNot(d => pDeletes.exists(_.path == d.path))
+      val newDeletes = FileStats.newDeletesOf(fs, parent, s)
       val deleteRows: Seq[DataFrame] = newDeletes.flatMap { d =>
         if (!d.isEquality) {
           // positions -> row values: the delete itself names its affected

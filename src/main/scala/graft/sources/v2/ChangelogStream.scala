@@ -1,0 +1,161 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.Offset
+import org.apache.spark.sql.types.StructType
+
+import graft.icelite.{FileStats, PartField, PartValues}
+
+/** Streaming CDC changelog source: `readStream.format("icelite")
+  * .option("changelog", "true")` tails the snapshot log and emits every
+  * committed ROW CHANGE — the streaming twin of `IceTable.changelog` /
+  * the `icelite_changes` TVF, and the Delta `readChangeFeed` analog.
+  *
+  * Offsets, admission control, AvailableNow, and exactly-once replay are
+  * inherited from the plain append tail ([[IceLiteMicroBatchStream]]);
+  * only partition planning and the reader shape differ. Each snapshot in a
+  * batch's `(from, to]` range contributes:
+  *
+  *  - its ADDED files, served as 'insert' rows — plain file reads;
+  *  - each NEW position-delete file, resolved to the rows it killed: one
+  *    partition per affected data file whose reader serves ONLY the named
+  *    positions (`matchDeleteFiles` inversion) — no join, row-local;
+  *  - each NEW equality-delete file, resolved against the rows live at the
+  *    PARENT snapshot: one partition per era+bounds-eligible file that
+  *    first subtracts the parent's outstanding debt, then serves only
+  *    key-tuple matches (`matchEqDeletes` inversion).
+  *
+  * `_change_type` / `_commit_snapshot_id` ride the constant-column
+  * mechanism (same vectors as hive-partition values), so the reader needs
+  * no changelog-specific row assembly. Planning cost tracks the window's
+  * changes — added files plus delete-affected files — never table size,
+  * with the non-rewriting proof metadata-O(1) via the inline manifest
+  * counts. Rewriting snapshots (compaction, replace, copy-on-write ops)
+  * fail loudly, as do rename/widen/partition-evolution histories: their
+  * per-file-era serving is not wired into this mode (the batch changelog
+  * covers them).
+  */
+private[v2] class IceLiteChangelogStream(
+    warehouse: String, ns: String, tbl: String,
+    // the RELATION schema: table columns (possibly pruned) plus whichever
+    // of _change_type/_commit_snapshot_id survived pruning
+    tableSchema: StructType,
+    partitionBy: Seq[String],
+    maxFilesPerTrigger: Option[Int])
+    extends IceLiteMicroBatchStream(
+      warehouse, ns, tbl, tableSchema, partitionBy, maxFilesPerTrigger) {
+
+  private val identityBy = PartField.identityCols(partitionBy)
+  private val constNames: Seq[String] = identityBy ++
+    Seq(IceLiteScan.ChangeTypeCol, IceLiteScan.CommitSnapCol)
+      .filter(tableSchema.fieldNames.contains)
+  private val dataSchema = StructType(
+    tableSchema.fields.filterNot(f => constNames.contains(f.name)))
+  private val partSchema = StructType(
+    tableSchema.fields.filter(f => constNames.contains(f.name)))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[IceOffset].snapshotId
+    val to = end.asInstanceOf[IceOffset].snapshotId
+    val (m, fs) = IceLiteV2.loadMeta(warehouse, ns, tbl)
+    FileStats.requireHistory(m, from,
+      s"changelog stream of $ns.$tbl (reset the checkpoint)")
+    require(m.renames.isEmpty && m.widenedColumns.isEmpty && m.partitionSpecs.isEmpty,
+      s"changelog streaming of $ns.$tbl requires a rename/widen/" +
+        "partition-evolution-free history (use the batch changelog for those)")
+    val tableStruct = StructType.fromDDL(m.schemaDdl)
+    val range = m.snapshots
+      .filter(s => s.snapshotId > from && s.snapshotId <= to)
+      .sortBy(_.snapshotId)
+    val parts = Seq.newBuilder[InputPartition]
+    for (s <- range) {
+      val parent = m.snapshots.filter(_.snapshotId < s.snapshotId)
+        .maxByOption(_.snapshotId)
+      require(FileStats.isNonRewriting(fs, parent, s),
+        s"changelog stream of $ns.$tbl hit rewriting snapshot " +
+          s"#${s.snapshotId} (${s.operation}) — changelog streams are " +
+          "defined over append/merge-on-read history only (reset the " +
+          "checkpoint past it, or replay via a batch diff)")
+      def consts(tpe: String, path: String): Map[String, Option[String]] =
+        PartValues.parse(path, identityBy) ++
+          (if (tableSchema.fieldNames.contains(IceLiteScan.ChangeTypeCol))
+            Map(IceLiteScan.ChangeTypeCol -> Some(tpe)) else Map.empty) ++
+          (if (tableSchema.fieldNames.contains(IceLiteScan.CommitSnapCol))
+            Map(IceLiteScan.CommitSnapCol -> Some(s.snapshotId.toString))
+          else Map.empty)
+      // inserts: the snapshot's own added rows, as written (its own eq
+      // delete exempts them; MOR positions only ever target older files)
+      val addedPaths = FileStats.addedPathsOf(fs, s).toSet
+      FileStats.visible(fs, s).filter(f => addedPaths(f.path)).foreach { f =>
+        parts += IceLiteInputPartition(f.path, f.bytes, consts("insert", f.path))
+      }
+      // deletes committed BY this snapshot, resolved to the rows they
+      // killed; parent manifests materialize lazily (eq resolution only)
+      lazy val pFiles = parent.map(FileStats.visible(fs, _)).getOrElse(Nil)
+      lazy val pDeletes = parent.map(FileStats.deletesOf(fs, _)).getOrElse(Nil)
+      for (d <- FileStats.newDeletesOf(fs, parent, s)) {
+        if (!d.isEquality) {
+          // positions were live when committed (stacked deletes are
+          // excluded at write) — serve the named positions raw
+          d.appliesTo.foreach { e =>
+            parts += IceLiteInputPartition(e.path, 0L, consts("delete", e.path),
+              matchDeleteFiles = Seq(d.path))
+          }
+        } else {
+          // rows live at the PARENT snapshot (its debt applied) in
+          // era+bounds-eligible files whose key tuples match
+          val eligible = pFiles.filter(f =>
+            FileStats.eqAppliesTo(d, f, tableStruct))
+          eligible.foreach { f =>
+            val delFor = pDeletes
+              .filter(pd => !pd.isEquality && pd.dataFiles.contains(f.path))
+              .map(_.path)
+            val eqFor = pDeletes.filter(pd =>
+              pd.isEquality && FileStats.eqAppliesTo(pd, f, tableStruct))
+            // key columns the projection pruned away re-enter the local
+            // read schema; the file-level permutation keeps them out of
+            // the served row
+            val neededKeys = (eqFor :+ d).flatMap(_.eqCols).distinct
+              .filterNot(dataSchema.fieldNames.contains)
+            val fileData =
+              if (neededKeys.isEmpty) dataSchema
+              else StructType(dataSchema.fields ++ neededKeys.map(tableStruct(_)))
+            def task(ds: graft.icelite.DeleteStat): EqDeleteTask = {
+              val keyIdx = ds.eqCols.map(c => fileData.fieldNames.indexOf(c))
+              require(keyIdx.forall(_ >= 0),
+                s"changelog stream: eq-delete key columns " +
+                  s"${ds.eqCols.mkString(",")} missing from the read schema")
+              EqDeleteTask(ds.path,
+                StructType(ds.eqCols.map(c => tableStruct(c))).json, keyIdx)
+            }
+            val base = IceLiteInputPartition(f.path, f.bytes,
+              consts("delete", f.path),
+              deleteFiles = delFor, eqDeletes = eqFor.map(task),
+              matchEqDeletes = Seq(task(d)))
+            parts +=
+              (if (neededKeys.isEmpty) base
+              else {
+                val localNames = fileData.fieldNames ++ partSchema.fieldNames
+                val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
+                base.copy(
+                  fileDataSchemaJson = fileData.json,
+                  filePartSchemaJson = partSchema.json,
+                  filePerm = globalNames.map(localNames.indexOf(_)).toSeq)
+              })
+          }
+        }
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // declared-order binding, same as the parent stream — and row mode
+    // throughout: delete-resolution partitions must count absolute
+    // positions, and Spark refuses mixed row/columnar partitions
+    val physical = (dataSchema.fields ++ partSchema.fields).map(_.name)
+    val perm = tableSchema.fieldNames.map(physical.indexOf(_)).toSeq
+    IceLiteV2.readerFactory(dataSchema, partSchema, Array.empty, -1,
+      if (perm == perm.indices) Nil else perm, rowMode = true)
+  }
+}

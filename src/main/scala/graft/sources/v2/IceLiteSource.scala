@@ -72,9 +72,24 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
           s"no tag '$r' on ${meta.namespace}.${meta.name} " +
             s"(tags: ${meta.refs.keys.toSeq.sorted.mkString(", ")})")).toString))
 
+  private def changelogMode(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("changelog", false)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val meta = loadMeta(options)._1
-    IceLiteV2.schemaAt(meta, IceLiteV2.pinnedSnapshot(meta, pin(meta, options)))
+    val base = IceLiteV2.schemaAt(meta, IceLiteV2.pinnedSnapshot(meta, pin(meta, options)))
+    if (!changelogMode(options)) base
+    else {
+      // the streaming CDC shape: table columns + change metadata (same
+      // output as IceTable.changelog / the icelite_changes TVF)
+      require(!base.fieldNames.contains(IceLiteScan.ChangeTypeCol) &&
+        !base.fieldNames.contains(IceLiteScan.CommitSnapCol),
+        s"changelog read of ${meta.namespace}.${meta.name}: table already has " +
+          s"a ${IceLiteScan.ChangeTypeCol}/${IceLiteScan.CommitSnapCol} column")
+      base
+        .add(IceLiteScan.ChangeTypeCol, StringType, nullable = false)
+        .add(IceLiteScan.CommitSnapCol, LongType, nullable = false)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -84,7 +99,8 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     val warehouse = Option(options.get("warehouse")).get
     IceLiteV2.buildTable(warehouse, meta, fs,
       pin(meta, options), Some(schema),
-      Option(options.get("fromSnapshotId")))
+      Option(options.get("fromSnapshotId")),
+      changelogMode = changelogMode(options))
   }
 }
 
@@ -125,7 +141,8 @@ private[v2] object IceLiteV2 {
       fs: org.apache.hadoop.fs.FileSystem,
       snapshotId: Option[String], schema: Option[StructType] = None,
       fromSnapshotId: Option[String] = None,
-      viaCatalog: Boolean = false): IceLiteTable = {
+      viaCatalog: Boolean = false,
+      changelogMode: Boolean = false): IceLiteTable = {
     val snap = pinnedSnapshot(meta, snapshotId)
     // plan strictly from the committed manifest — never from directory
     // listings, which could surface uncommitted output of failed or
@@ -151,7 +168,7 @@ private[v2] object IceLiteV2 {
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
       meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes,
-      meta.sortOrder, viaCatalog, meta.properties)
+      meta.sortOrder, viaCatalog, meta.properties, changelogMode)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -220,7 +237,11 @@ private[v2] class IceLiteTable(
     viaCatalog: Boolean = false,
     // persisted TBLPROPERTIES — write.<cmd>.mode picks copy-on-write vs
     // merge-on-read row-level SQL
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    // streaming CDC changelog relation (`option("changelog", "true")`):
+    // tableSchema carries the change-metadata columns and the micro-batch
+    // stream resolves row-level changes instead of tailing appends
+    changelogMode: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -316,7 +337,7 @@ private[v2] class IceLiteTable(
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       renames = renames, widened = widened, specs = specs, deletes = deletes,
-      sortOrder = sortOrder)
+      sortOrder = sortOrder, changelogMode = changelogMode)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -341,7 +362,7 @@ private[v2] class IceLiteTable(
       deletes,
       // a PREFIX of the sort order survives any projection: files sorted
       // by (a, b) are sorted by (a)
-      sortOrder.takeWhile(names.contains), viaCatalog, tableProps)
+      sortOrder.takeWhile(names.contains), viaCatalog, tableProps, changelogMode)
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -364,7 +385,9 @@ private[v2] class IceLiteScanBuilder(
     // outstanding position-delete files (merge-on-read)
     deletes: Seq[graft.icelite.DeleteStat] = Nil,
     // declared (write-enforced) sort order — reported by the scan
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil,
+    // streaming CDC changelog relation — see IceLiteChangelogStream
+    changelogMode: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -428,7 +451,8 @@ private[v2] class IceLiteScanBuilder(
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
-        streamMaxFiles, renames, widened, specs, deletes, sortOrder)
+        streamMaxFiles, renames, widened, specs, deletes, sortOrder,
+        changelogMode)
   }
 }
 
@@ -900,6 +924,14 @@ private[v2] object IceLiteScan {
     */
   val PosMetaCol = "_pos"
 
+  /** Changelog output columns (`option("changelog", "true")` streaming
+    * source): the change kind ('insert' | 'delete') and the snapshot that
+    * committed it — same shape as `IceTable.changelog` / the
+    * `icelite_changes` TVF.
+    */
+  val ChangeTypeCol = "_change_type"
+  val CommitSnapCol = "_commit_snapshot_id"
+
   /** One partition-spec entry as a Spark connector `Transform` — the shape
     * `Table.partitioning()` and the scan's `KeyGroupedPartitioning` report.
     * Spark resolves the named transforms back through this catalog's own
@@ -937,7 +969,9 @@ private[v2] class IceLiteScan(
     // affected input partition; their rows are subtracted at read
     deletes: Seq[graft.icelite.DeleteStat] = Nil,
     // declared (write-enforced) table sort order
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil,
+    // streaming CDC changelog relation — micro-batch only
+    changelogMode: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -1139,6 +1173,9 @@ private[v2] class IceLiteScan(
       s"pushedFilters=[${filters.mkString(", ")}] limit=$limit"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(!changelogMode,
+      s"changelog reads of $tableName are streaming-only " +
+        "(readStream; batch consumers use the icelite_changes TVF)")
     val effective =
       if (runtimeFilters.isEmpty) planned
       else prune((filters ++ runtimeFilters).toSeq)
@@ -1275,8 +1312,12 @@ private[v2] class IceLiteScan(
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
-      streamMaxFiles, specs)
+    if (changelogMode)
+      new IceLiteChangelogStream(warehouse, ns, tbl, tableSchema, partitionBy,
+        streamMaxFiles)
+    else
+      new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
+        streamMaxFiles, specs)
 }
 
 /** Snapshot-id offsets for the streaming read. */
@@ -1454,6 +1495,14 @@ private[v2] case class IceLiteInputPartition(
     // equality deletes reaching this file (merge-on-read): the reader
     // drops rows whose key tuple appears in the delete file
     eqDeletes: Seq[EqDeleteTask] = Nil,
+    // CHANGELOG inversion (streaming CDC source): when either match list is
+    // non-empty the reader serves ONLY the rows these deletes kill —
+    // positions named by `matchDeleteFiles`, or key-tuple matches of
+    // `matchEqDeletes` — after first subtracting the ordinary
+    // deleteFiles/eqDeletes debt (the rows live at the PARENT snapshot),
+    // which is exactly the batch changelog's delete-resolution semantics.
+    matchDeleteFiles: Seq[String] = Nil,
+    matchEqDeletes: Seq[EqDeleteTask] = Nil,
     // catalyst values of the file's partition key, in spec order — set only
     // when the scan reports a KeyGroupedPartitioning (storage-partitioned
     // joins); Spark groups same-key partitions into one co-located task
@@ -1502,13 +1551,15 @@ private[v2] class IceLiteReaderFactory(
     val p = partition.asInstanceOf[IceLiteInputPartition]
     val (requested, partSchema, perm) = resolve(p)
     new IceLiteRowReader(p.file, p.length, p.partValues, conf, requested,
-      partSchema, limit, p.deleteFiles, perm.toArray, p.eqDeletes, posCol)
+      partSchema, limit, p.deleteFiles, perm.toArray, p.eqDeletes, posCol,
+      p.matchDeleteFiles, p.matchEqDeletes)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[IceLiteInputPartition]
-    require(p.deleteFiles.isEmpty && p.eqDeletes.isEmpty,
+    require(p.deleteFiles.isEmpty && p.eqDeletes.isEmpty &&
+      p.matchDeleteFiles.isEmpty && p.matchEqDeletes.isEmpty,
       "partitions with merge-on-read deletes must be read row-based")
     val (requested, partSchema, perm) = resolve(p)
     new IceLiteColumnarReader(
@@ -1594,28 +1645,39 @@ private[v2] class IceLiteRowReader(
     outputPermutation: Array[Int] = Array.empty,
     eqDeletes: Seq[EqDeleteTask] = Nil,
     // serve the absolute row position as a trailing `_pos` column
-    posCol: Boolean = false)
+    posCol: Boolean = false,
+    // changelog inversion: serve ONLY rows these deletes kill (after the
+    // ordinary subtract above) — see IceLiteInputPartition.matchDeleteFiles
+    matchDeleteFiles: Seq[String] = Nil,
+    matchEqDeletes: Seq[EqDeleteTask] = Nil)
     extends PartitionReader[InternalRow] {
 
   /** Equality-delete probes: (key indices into the local data row, key
     * types, key-tuple set). Key sets are loaded once per executor per
     * delete file ([[EqDeleteKeys]] cache), not once per partition.
     */
-  private val eqProbes: Array[(Array[Int], Array[DataType], java.util.HashSet[List[Any]])] =
-    eqDeletes.map { t =>
+  private def buildProbes(tasks: Seq[EqDeleteTask])
+      : Array[(Array[Int], Array[DataType], java.util.HashSet[List[Any]])] =
+    tasks.map { t =>
       val ks = DataType.fromJson(t.keySchemaJson).asInstanceOf[StructType]
       (t.keyIdx.toArray, ks.fields.map(_.dataType),
         EqDeleteKeys.load(conf.value, t.path, ks))
     }.toArray
 
-  /** Is the CURRENT row's key tuple in any applicable equality delete?
+  private val eqProbes = buildProbes(eqDeletes)
+  private val matchEqProbes = buildProbes(matchEqDeletes)
+  private val matchMode = matchDeleteFiles.nonEmpty || matchEqDeletes.nonEmpty
+
+  /** Is the CURRENT row's key tuple in any of the probes' key sets?
     * Null-safe (a null key matches a null delete key, mirroring upsert's
     * `<=>`); -0.0/NaN normalize to Spark's SQL equality.
     */
-  private def eqDeleted(row: InternalRow): Boolean = {
+  private def keyHit(
+      probes: Array[(Array[Int], Array[DataType], java.util.HashSet[List[Any]])],
+      row: InternalRow): Boolean = {
     var i = 0
-    while (i < eqProbes.length) {
-      val (idx, dts, set) = eqProbes(i)
+    while (i < probes.length) {
+      val (idx, dts, set) = probes(i)
       val b = List.newBuilder[Any]
       var j = 0
       while (j < idx.length) {
@@ -1629,16 +1691,17 @@ private[v2] class IceLiteRowReader(
     false
   }
 
-  /** Deleted absolute positions of THIS file, from its delete files. */
-  private val deleted: java.util.HashSet[java.lang.Long] = {
+  /** Absolute positions of THIS file named by `files` (position deletes). */
+  private def loadPositions(files: Seq[String]): java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
+    if (files.isEmpty) return set
     val myNorm = new Path(file).toString
     // the factory conf may carry the scan's pushed parquet FilterPredicate
     // (on DATA columns) — evaluating it against the delete file, which has
     // none of those columns, drops every row; read deletes with it stripped
     val cleanConf = new org.apache.hadoop.conf.Configuration(conf.value)
     cleanConf.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
-    deleteFiles.foreach { df =>
+    files.foreach { df =>
       val rd = org.apache.parquet.hadoop.ParquetReader.builder(
         new org.apache.parquet.hadoop.example.GroupReadSupport(), new Path(df))
         .withConf(cleanConf).build()
@@ -1655,6 +1718,10 @@ private[v2] class IceLiteRowReader(
     set
   }
 
+  /** Deleted absolute positions of THIS file, from its delete files. */
+  private val deleted = loadPositions(deleteFiles)
+  private val matchPositions = loadPositions(matchDeleteFiles)
+
   private val reader: VectorizedParquetRecordReader = {
     val c = new org.apache.hadoop.conf.Configuration(conf.value)
     c.set("parquet.read.support.class",
@@ -1663,7 +1730,7 @@ private[v2] class IceLiteRowReader(
     // this reader derives positions by COUNTING served rows — a skipped
     // row group would silently shift every later position (serving `_pos`
     // has the same absoluteness requirement as applying deletes)
-    if (deleteFiles.nonEmpty || posCol)
+    if (deleteFiles.nonEmpty || posCol || matchMode)
       c.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
@@ -1686,11 +1753,16 @@ private[v2] class IceLiteRowReader(
     while (limit < 0 || served < limit) {
       if (!reader.nextKeyValue()) return false
       pos += 1
-      if (!deleted.contains(pos) &&
-          (eqProbes.isEmpty ||
-            !eqDeleted(reader.getCurrentValue.asInstanceOf[InternalRow]))) {
-        served += 1; return true
-      }
+      def row = reader.getCurrentValue.asInstanceOf[InternalRow]
+      // rows live BEFORE this partition's match deletes apply
+      val live = !deleted.contains(pos) &&
+        (eqProbes.isEmpty || !keyHit(eqProbes, row))
+      val serve =
+        if (!matchMode) live
+        // changelog inversion: only the rows the match deletes kill
+        else live && (matchPositions.contains(pos) ||
+          (matchEqProbes.nonEmpty && keyHit(matchEqProbes, row)))
+      if (serve) { served += 1; return true }
     }
     false
   }

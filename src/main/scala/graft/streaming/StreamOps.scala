@@ -35,6 +35,9 @@ case class SessionRow(
   */
 object StreamOps {
 
+  private val OrderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   /** events as a bounded stream; `ts` normalized to a zoned TimestampType —
     * streaming watermarks require TIMESTAMP, and the fixture has shipped
     * both nanosecond longs and microsecond TIMESTAMP_NTZ across generations
@@ -346,6 +349,69 @@ object StreamOps {
           .load()
         runToTable(stream, OutputMode.Append(), s"st5_sink_${System.nanoTime()}")
           .orderBy("event_id")
+      }),
+
+    // STREAMING CDC CHANGELOG source: `option("changelog", "true")` tails
+    // the snapshot log and emits every committed ROW CHANGE — inserts from
+    // added files, deletes RESOLVED TO ROW VALUES (position and equality
+    // alike, row-locally inside each affected file's partition: no join) —
+    // the streaming twin of the batch changelog/TVF and the Delta
+    // readChangeFeed analog. maxFilesPerTrigger=1 forces the history to
+    // replay across many micro-batches, proving offsets compose; planning
+    // cost per batch tracks that batch's changes, never table size. The
+    // oracle states the full expected change stream relationally (same
+    // MOR history shape as k25).
+    QDef(
+      "st10_stream_changelog",
+      Some(s"""SELECT 'insert' AS _change_type, 1 AS _commit_snapshot_id,
+              |       ${OrderCols.mkString(", ")}
+              |FROM orders WHERE o_orderkey % 3 = 0
+              |UNION ALL
+              |SELECT 'insert', 2, o_orderkey, o_custkey, 'E' AS o_orderstatus,
+              |       o_totalprice * 1.2, o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey % 2 = 0
+              |UNION ALL
+              |SELECT 'delete', 2, ${OrderCols.mkString(", ")}
+              |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+              |UNION ALL
+              |SELECT 'delete', 3, ${OrderCols.mkString(", ")}
+              |FROM orders
+              |WHERE o_orderkey <= 100 AND o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+              |UNION ALL
+              |SELECT 'delete', 3, o_orderkey, o_custkey, 'E' AS o_orderstatus,
+              |       o_totalprice * 1.2, o_orderdate, o_orderpriority
+              |FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0
+              |ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val o = QUtil.t(s, dir, "orders")
+        // same MOR history as k25's fixture (append + eq upsert + position
+        // delete), built once per JVM per scale factor — the operator under
+        // test is the streaming changelog READ over it
+        val wh = QUtil.cachedFixture(s, "st10_cdc", dir) { w =>
+          val cat = new graft.icelite.IceCatalog(s, w)
+          val fixture = cat.createTable("lake", "orders_cdcs", o.schema)
+          fixture.append(o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(2, col("o_orderkey")))
+          fixture.upsertMorEq(
+            o.filter(col("o_orderkey") % 2 === 0)
+              .withColumn("o_orderstatus", lit("E"))
+              .withColumn("o_totalprice", col("o_totalprice") * 1.2),
+            keys = Seq("o_orderkey"))
+          fixture.deleteWhereMor(Seq(
+            org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
+        }
+        val stream = s.readStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.orders_cdcs")
+          .option("changelog", "true")
+          .option("maxFilesPerTrigger", "1")
+          .load()
+        runToTable(stream, OutputMode.Append(),
+          s"st10_sink_${System.nanoTime()}")
+          .withColumn("_commit_snapshot_id",
+            col("_commit_snapshot_id").cast("int"))
+          .select((Seq("_change_type", "_commit_snapshot_id") ++ OrderCols)
+            .map(col): _*)
+          .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
     // STREAM-STREAM interval join: clicks joined to the views that follow

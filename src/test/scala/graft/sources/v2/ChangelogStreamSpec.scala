@@ -1,0 +1,109 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.icelite.IceCatalog
+
+/** Streaming CDC changelog source (`option("changelog", "true")`): the
+  * stream must emit exactly the batch changelog's rows — inserts from
+  * added files, deletes RESOLVED TO ROW VALUES (positions and equality
+  * keys) — across micro-batches, with rewriting history refused.
+  */
+class ChangelogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(df: DataFrame, name: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-cdc-$name").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    spark.table(name)
+  }
+
+  test("changelog stream equals the batch changelog over MOR history") {
+    val wh = scratch("cdcstream")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base.repartitionByRange(2, col("id")))             // snap 1
+    tbl.upsertMorEq((50L to 54L).map(i => (i, "NEW")).toDF("id", "v"),
+      Seq("id"))                                                   // snap 2
+    tbl.deleteWhereMor(Seq(
+      org.apache.spark.sql.sources.LessThanOrEqual("id", 10L)))    // snap 3
+    val stream = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "ns.t")
+      .option("changelog", "true")
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .load()
+    val got = drain(stream, s"cdc_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._4, x._3, x._1)).toSeq
+    val want = tbl.changelog(0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._4, x._3, x._1)).toSeq
+    assert(got == want,
+      s"stream/batch changelog mismatch:\n got=${got.take(20)}\nwant=${want.take(20)}")
+    // shape checks: the eq delete resolved to OLD row values, the position
+    // delete to the rows live at its parent
+    assert(got.count(_._3 == "insert") == 105)
+    val eqDels = got.filter(x => x._3 == "delete" && x._4 == 2L)
+    assert(eqDels.map(x => (x._1, x._2)).sorted ==
+      (50L to 54L).map(i => (i, s"v$i")),
+      s"eq delete must carry the killed rows' values: $eqDels")
+    val posDels = got.filter(x => x._3 == "delete" && x._4 == 3L)
+    assert(posDels.map(_._1).sorted == (1L to 10L),
+      s"position delete must resolve ids 1-10: $posDels")
+  }
+
+  test("changelog stream: pruned projection still resolves eq-delete keys") {
+    val wh = scratch("cdcprune")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 40L).map(i => (i, s"v$i", i * 2.0)).toDF("id", "v", "x")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base)
+    tbl.upsertMorEq(Seq((7L, "UP", 0.0)).toDF("id", "v", "x"), Seq("id"))
+    val stream = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "ns.t")
+      .option("changelog", "true")
+      .load()
+      .select("v", "_change_type") // prunes the eq key column `id`
+    val got = drain(stream, s"cdcp_${System.nanoTime()}")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.count(_._2 == "insert") == 41)
+    assert(got.filter(_._2 == "delete") == Seq(("v7", "delete")),
+      s"pruned changelog must still resolve the eq-deleted row: $got")
+  }
+
+  test("changelog stream refuses rewriting history; batch read refused") {
+    val wh = scratch("cdcrw")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base)
+    tbl.compact(targetFiles = 1) // rewriting snapshot
+    val stream = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "ns.t")
+      .option("changelog", "true").load()
+    val ex = intercept[Exception](drain(stream, s"cdcrw_${System.nanoTime()}"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("rewriting snapshot"))), s"got: $ex")
+    // batch read with the changelog option fails loudly toward the TVF
+    val bex = intercept[Exception](
+      spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "ns.t")
+        .option("changelog", "true").load().collect())
+    assert(causes(bex).exists(c => Option(c.getMessage)
+      .exists(_.contains("streaming-only"))), s"got: $bex")
+  }
+}
