@@ -108,6 +108,93 @@ object RelationalExt {
           .orderBy("o_orderkey")
       }),
 
+    // Correlated EXISTS / NOT EXISTS subqueries: customers with at least
+    // one high-value order and none cancelled — Catalyst decorrelates both
+    // into semi/anti joins (one hash-partitioned pass each, no per-row
+    // re-execution), the rewrite that makes correlated SQL viable at scale.
+    QDef(
+      "sub2_exists_subquery",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+             |AND NOT EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+             |    AND o.o_totalprice < 1000)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("sub2_customer")
+        t(s, dir, "orders").createOrReplaceTempView("sub2_orders")
+        s.sql("""SELECT c_custkey, c_name FROM sub2_customer c
+                |WHERE EXISTS (
+                |  SELECT 1 FROM sub2_orders o
+                |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+                |AND NOT EXISTS (
+                |  SELECT 1 FROM sub2_orders o
+                |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                |    AND o.o_totalprice < 1000)
+                |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // SQL three-valued logic in one verifiable bundle: null-safe equality,
+    // NULL propagation through comparisons and IN, NULLIF/COALESCE, and
+    // explicit NULLS FIRST ordering — the semantics corner every engine
+    // must agree on exactly.
+    QDef(
+      "n1_null_semantics",
+      Some("""WITH j AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_nationkey END AS nk
+             |  FROM customer)
+             |SELECT c_custkey, nk,
+             |  (nk IS NOT DISTINCT FROM NULL) AS is_null_safe,
+             |  (nk = 7) AS eq7,
+             |  (nk IN (1, 2, 3)) AS in123,
+             |  coalesce(nk, -1) AS nk_filled,
+             |  nullif(nk, 7) AS no7
+             |FROM j ORDER BY nk NULLS FIRST, c_custkey""".stripMargin),
+      (s, dir) => {
+        val j = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 3 === 0, lit(null))
+              .otherwise(col("c_nationkey")).as("nk"))
+        j.select(col("c_custkey"), col("nk"),
+            (col("nk") <=> lit(null)).as("is_null_safe"),
+            (col("nk") === 7).as("eq7"),
+            col("nk").isin(1, 2, 3).as("in123"),
+            coalesce(col("nk"), lit(-1L)).as("nk_filled"),
+            nullif(col("nk"), lit(7L)).as("no7"))
+          .orderBy(col("nk").asc_nulls_first, col("c_custkey"))
+      }),
+
+    // LATERAL subquery: each nation's three priciest orders via a
+    // correlated lateral join — Catalyst decorrelates the per-row LIMIT
+    // into a ranked window over one shuffled pass (the plan shape w2 uses
+    // directly), so the SQL-standard LATERAL form costs the same as the
+    // hand-written window rewrite.
+    QDef(
+      "j7_lateral",
+      Some("""SELECT n.n_nationkey, t.o_orderkey, t.o_totalprice
+             |FROM nation n, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_nationkey = n.n_nationkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+             |ORDER BY n_nationkey, o_totalprice DESC, o_orderkey""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("j7_nation")
+        t(s, dir, "orders").createOrReplaceTempView("j7_orders")
+        t(s, dir, "customer").createOrReplaceTempView("j7_customer")
+        s.sql("""SELECT n.n_nationkey, t.o_orderkey, t.o_totalprice
+                |FROM j7_nation n, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM j7_orders
+                |  JOIN j7_customer ON o_custkey = c_custkey
+                |  WHERE c_nationkey = n.n_nationkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+                |ORDER BY n_nationkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      }),
+
     // PIVOT: order counts per nation x market segment. Explicit value list so
     // the output schema is static (required for both engines and for any
     // sane plan at scale — dynamic pivot means a driver-side distinct first).
