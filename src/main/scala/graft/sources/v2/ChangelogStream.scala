@@ -41,9 +41,11 @@ private[v2] class IceLiteChangelogStream(
     // of _change_type/_commit_snapshot_id survived pruning
     tableSchema: StructType,
     partitionBy: Seq[String],
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    startSnapshotId: Long = 0L)
     extends IceLiteMicroBatchStream(
-      warehouse, ns, tbl, tableSchema, partitionBy, maxFilesPerTrigger) {
+      warehouse, ns, tbl, tableSchema, partitionBy, maxFilesPerTrigger,
+      startSnapshotId = startSnapshotId) {
 
   private val identityBy = PartField.identityCols(partitionBy)
   private val constNames: Seq[String] = identityBy ++

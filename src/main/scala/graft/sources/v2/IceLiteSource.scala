@@ -149,7 +149,10 @@ private[v2] object IceLiteV2 {
     // speculative write tasks. Legacy snapshots (no inline manifest) fall
     // back to a listing with unknown stats.
     val files: Seq[FileStat] = fromSnapshotId match {
-      case Some(fromS) if snap != null =>
+      // in changelog mode `fromSnapshotId` is the STREAM's start offset,
+      // not a batch incremental scan (whose append-only contract a MOR
+      // history would fail) — the stream plans its own ranges
+      case Some(fromS) if snap != null && !changelogMode =>
         // incremental append scan: only the files ADDED by snapshots in
         // (from, pinned]; planning cost tracks change volume, not table size
         val from = fromS.toLong
@@ -168,7 +171,8 @@ private[v2] object IceLiteV2 {
     new IceLiteTable(warehouse, meta.namespace, meta.name,
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
       meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes,
-      meta.sortOrder, viaCatalog, meta.properties, changelogMode)
+      meta.sortOrder, viaCatalog, meta.properties, changelogMode,
+      streamFrom = fromSnapshotId.map(_.toLong))
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -241,7 +245,10 @@ private[v2] class IceLiteTable(
     // streaming CDC changelog relation (`option("changelog", "true")`):
     // tableSchema carries the change-metadata columns and the micro-batch
     // stream resolves row-level changes instead of tailing appends
-    changelogMode: Boolean = false)
+    changelogMode: Boolean = false,
+    // streaming start offset (`fromSnapshotId` on a readStream): a fresh
+    // checkpoint begins at this snapshot instead of replaying full history
+    streamFrom: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -337,7 +344,8 @@ private[v2] class IceLiteTable(
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       renames = renames, widened = widened, specs = specs, deletes = deletes,
-      sortOrder = sortOrder, changelogMode = changelogMode)
+      sortOrder = sortOrder, changelogMode = changelogMode,
+      streamFrom = streamFrom)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -362,7 +370,8 @@ private[v2] class IceLiteTable(
       deletes,
       // a PREFIX of the sort order survives any projection: files sorted
       // by (a, b) are sorted by (a)
-      sortOrder.takeWhile(names.contains), viaCatalog, tableProps, changelogMode)
+      sortOrder.takeWhile(names.contains), viaCatalog, tableProps, changelogMode,
+      streamFrom)
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -387,7 +396,9 @@ private[v2] class IceLiteScanBuilder(
     // declared (write-enforced) sort order — reported by the scan
     sortOrder: Seq[String] = Nil,
     // streaming CDC changelog relation — see IceLiteChangelogStream
-    changelogMode: Boolean = false)
+    changelogMode: Boolean = false,
+    // streaming start offset (fresh checkpoints begin here)
+    streamFrom: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -452,7 +463,7 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
         streamMaxFiles, renames, widened, specs, deletes, sortOrder,
-        changelogMode)
+        changelogMode, streamFrom)
   }
 }
 
@@ -971,7 +982,9 @@ private[v2] class IceLiteScan(
     // declared (write-enforced) table sort order
     sortOrder: Seq[String] = Nil,
     // streaming CDC changelog relation — micro-batch only
-    changelogMode: Boolean = false)
+    changelogMode: Boolean = false,
+    // streaming start offset (fresh checkpoints begin here)
+    streamFrom: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -1314,10 +1327,10 @@ private[v2] class IceLiteScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (changelogMode)
       new IceLiteChangelogStream(warehouse, ns, tbl, tableSchema, partitionBy,
-        streamMaxFiles)
+        streamMaxFiles, streamFrom.getOrElse(0L))
     else
       new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
-        streamMaxFiles, specs)
+        streamMaxFiles, specs, streamFrom.getOrElse(0L))
 }
 
 /** Snapshot-id offsets for the streaming read. */
@@ -1338,7 +1351,12 @@ private[v2] class IceLiteMicroBatchStream(
     warehouse: String, ns: String, tbl: String,
     tableSchema: StructType, partitionBy: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
-    specs: Seq[graft.icelite.PartSpecChange] = Nil)
+    specs: Seq[graft.icelite.PartSpecChange] = Nil,
+    // `fromSnapshotId` read option: a FRESH checkpoint starts the tail at
+    // this snapshot (exclusive) instead of replaying full history — the
+    // bound a CDC consumer uses on first attach. Restarted checkpoints
+    // resume from their own committed offsets regardless.
+    startSnapshotId: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1356,7 +1374,7 @@ private[v2] class IceLiteMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(currentMeta.currentSnapshotId)
 
-  override def initialOffset(): Offset = IceOffset(0L)
+  override def initialOffset(): Offset = IceOffset(startSnapshotId)
   override def latestOffset(): Offset = IceOffset(currentMeta.currentSnapshotId)
   override def deserializeOffset(json: String): Offset = IceOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

@@ -83,6 +83,50 @@ class ChangelogStreamSpec extends SparkSpec {
       s"pruned changelog must still resolve the eq-deleted row: $got")
   }
 
+  test("changelog stream: fromSnapshotId bounds a fresh checkpoint; restart resumes") {
+    val wh = scratch("cdcfrom")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", base.schema)
+    tbl.append(base)                                               // snap 1
+    tbl.deleteKeysEq(Seq(3L).toDF("id"), Seq("id"))                // snap 2
+    tbl.append((51L to 60L).map(i => (i, "B")).toDF("id", "v"))    // snap 3
+    // fresh checkpoint with fromSnapshotId=2: only snapshot 3's inserts
+    def stream = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "ns.t")
+      .option("changelog", "true").option("fromSnapshotId", "2")
+      .load()
+    // the memory sink cannot recover a checkpoint, so collect via
+    // foreachBatch (same pattern as the append-tail resume test)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-resume").toString
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, Long)]()
+    def drainWith(): Unit = {
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            seen.add((r.getLong(0), r.getString(2), r.getLong(3))))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drainWith()
+    import scala.jdk.CollectionConverters._
+    val first = seen.asScala.toSet
+    assert(first.size == 10 && first.forall(x => x._2 == "insert" && x._3 == 3L),
+      s"bounded fresh checkpoint must start past snapshot 2: $first")
+    // table advances while the stream is down; restart reads ONLY the delta
+    tbl.deleteKeysEq(Seq(51L, 52L).toDF("id"), Seq("id"))          // snap 4
+    drainWith()
+    val delta = seen.asScala.toSet -- first
+    assert(delta == Set((51L, "delete", 4L), (52L, "delete", 4L)),
+      s"restart must deliver exactly snapshot 4's resolved deletes: $delta")
+  }
+
   test("changelog stream refuses rewriting history; batch read refused") {
     val wh = scratch("cdcrw")
     val cat = new IceCatalog(spark, wh)
