@@ -108,6 +108,52 @@ object RelationalExt {
           .orderBy("o_orderkey")
       }),
 
+    // RANGE-interval window frame: per-event trailing 1-hour sum per user —
+    // the frame is defined by the ORDER-BY VALUE distance (all ties
+    // included), not a row count, which is what event-time analytics
+    // actually mean. Addends are fixed-point quantized so the frame sums
+    // are exact integers in both engines. One shuffle on user_id.
+    QDef(
+      "w5_range_frame",
+      Some("""SELECT event_id, user_id,
+             |  SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail_q
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            floor(col("value") * 1000000.0 + 0.5).cast("long").as("q"))
+          .withColumn("trail_q", sum(col("q")).over(w))
+          .select("event_id", "user_id", "trail_q")
+          .orderBy("event_id")
+      }),
+
+    // Collation-aware string semantics (Spark 4 collations): equality,
+    // prefix, and containment under UTF8_LCASE compare case-insensitively
+    // without materializing lowercased copies — the oracle states the
+    // lower()-normalized equivalent.
+    QDef(
+      "f6_collation",
+      Some("""SELECT c_custkey,
+             |  (lower(c_mktsegment) = 'automobile') AS is_auto_ci,
+             |  starts_with(lower(c_name), 'customer#') AS name_prefix_ci,
+             |  contains(lower(c_name), '00001') AS has_00001
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            (collate(col("c_mktsegment"), "UTF8_LCASE") === lit("automobile"))
+              .as("is_auto_ci"),
+            startswith(collate(col("c_name"), "UTF8_LCASE"), lit("CUSTOMER#"))
+              .as("name_prefix_ci"),
+            contains(collate(col("c_name"), "UTF8_LCASE"), lit("00001"))
+              .as("has_00001"))
+          .orderBy("c_custkey")),
+
     // Correlated EXISTS / NOT EXISTS subqueries: customers with at least
     // one high-value order and none cancelled — Catalyst decorrelates both
     // into semi/anti joins (one hash-partitioned pass each, no per-row

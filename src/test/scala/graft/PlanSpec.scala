@@ -67,6 +67,13 @@ class PlanSpec extends SparkSpec {
       s"centroid/probe joins must broadcast:\n$s")
   }
 
+  test("sub2: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val s = finalPlan(SparkEntry.queries("sub2_exists_subquery")(spark, sfDir))
+    // no per-row subquery re-execution: one semi and one anti hash join
+    assert(s.contains("LeftSemi"), s"EXISTS must become a semi join:\n$s")
+    assert(s.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$s")
+  }
+
   test("k8: partitioned table scan prunes by partition filter") {
     // IceTable.scan plans through the DSv2 source now: partition pruning
     // shows as planned < files in the icelite scan description, and the
