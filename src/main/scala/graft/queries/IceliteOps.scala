@@ -423,6 +423,36 @@ object IceliteOps {
             min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
       }),
 
+    // S5b: GROUPED aggregate pushdown — GROUP BY an identity partition
+    // column answers entirely from the manifest (per-directory row/null
+    // counts and stat ranges): "rows per partition" over a 100 TB table in
+    // milliseconds, zero file IO (the executedPlan is asserted to be the
+    // manifest-only scan). Extends s4's ungrouped pushdown.
+    QDef(
+      "s5_agg_pushdown_group",
+      Some("""SELECT event_type, COUNT(*) AS n, COUNT(value) AS n_val,
+             |  MIN(value) AS min_v, MAX(value) AS max_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s5", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh)
+            .createTable("lake", "events_p", ev.schema,
+              partitionBy = Seq("event_type"))
+            .append(ev)
+        }
+        val df = s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_p").load()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), count(col("value")).as("n_val"),
+            min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+          .orderBy("event_type")
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "grouped aggregate must push down to the manifest-only scan")
+        df
+      }),
+
     // The SQL-catalog surface (graft.sources.v2.IceLiteCatalog): address
     // IceLite tables as <catalog>.<ns>.<table> in plain SQL; reads flow
     // through the same pushdown-capable DSv2 scan as format("icelite").

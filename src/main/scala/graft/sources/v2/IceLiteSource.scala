@@ -410,7 +410,7 @@ private[v2] class IceLiteScanBuilder(
   private var wantsPosCol = false
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
   /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) with no GROUP BY answer
     * straight from the manifest: sums of per-file row/null counts and
@@ -457,8 +457,8 @@ private[v2] class IceLiteScanBuilder(
   override def pushLimit(n: Int): Boolean = { limit = n; false /* partial: per-partition */ }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) if rowLevel.isEmpty =>
-      new IceLiteAggScan(s"$ns.$tbl", schema, row)
+    case Some((schema, rows)) if rowLevel.isEmpty =>
+      new IceLiteAggScan(s"$ns.$tbl", schema, rows)
     case _ =>
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
@@ -479,26 +479,14 @@ private[v2] object ManifestAgg {
       case _ => None
     }
 
-  /** The aggregated (schema, row), or None when the manifest cannot answer
-    * exactly.
+  /** The per-group aggregate (schema, values) over one file subset, or None
+    * when the manifest cannot answer exactly.
     */
-  def evaluate(agg: Aggregation, tableSchema: StructType, partitionBy0: Seq[String],
-      files: Seq[FileStat], pushedFilters: Array[Filter],
-      specs: Seq[graft.icelite.PartSpecChange] = Nil)
-      : Option[(StructType, InternalRow)] = {
-    // treat a column IDENTITY-partitioned in ANY era as partition-valued:
-    // files from those eras carry no stats for it. Transform sources are
-    // ordinary data columns with stats in their eras.
-    val partitionBy = (graft.icelite.PartField.identityCols(partitionBy0) ++
-      specs.flatMap(s => graft.icelite.PartField.identityCols(s.cols))).distinct
-    // any residual filter means the manifest totals are over the wrong row
-    // set; grouped aggregation needs per-group stats the manifest lacks
-    if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
-    if (files.exists(_.rows < 0)) return None // legacy manifest: unknown rows
-
-    val out = StructType(Nil)
+  private def evalAggs(agg: Aggregation, tableSchema: StructType,
+      partitionBy: Seq[String], files: Seq[FileStat])
+      : Option[(StructType, Vector[Any])] = {
     val values = Vector.newBuilder[Any]
-    var schema = out
+    var schema = StructType(Nil)
     val ok = agg.aggregateExpressions().zipWithIndex.forall {
       case (_: CountStar, i) =>
         schema = schema.add(s"count_star_$i", LongType, nullable = false)
@@ -526,8 +514,63 @@ private[v2] object ManifestAgg {
         }
       case _ => false
     }
-    if (!ok) None
-    else Some((schema, new GenericInternalRow(values.result().toArray)))
+    if (!ok) None else Some((schema, values.result()))
+  }
+
+  /** The aggregated (schema, rows), or None when the manifest cannot answer
+    * exactly. Ungrouped aggregates produce one row; aggregates GROUPED BY
+    * identity partition columns produce one row per partition value — the
+    * per-partition operational counts ("rows per day") a 100 TB table
+    * answers from metadata in milliseconds instead of a full scan.
+    */
+  def evaluate(agg: Aggregation, tableSchema: StructType, partitionBy0: Seq[String],
+      files: Seq[FileStat], pushedFilters: Array[Filter],
+      specs: Seq[graft.icelite.PartSpecChange] = Nil)
+      : Option[(StructType, Seq[InternalRow])] = {
+    // treat a column IDENTITY-partitioned in ANY era as partition-valued:
+    // files from those eras carry no stats for it. Transform sources are
+    // ordinary data columns with stats in their eras.
+    val partitionBy = (graft.icelite.PartField.identityCols(partitionBy0) ++
+      specs.flatMap(s => graft.icelite.PartField.identityCols(s.cols))).distinct
+    // any residual filter means the manifest totals are over the wrong row set
+    if (pushedFilters.nonEmpty) return None
+    if (files.exists(_.rows < 0)) return None // legacy manifest: unknown rows
+
+    val grouping = agg.groupByExpressions().toSeq.map(colOf)
+    if (grouping.isEmpty)
+      return evalAggs(agg, tableSchema, partitionBy, files).map {
+        case (schema, vals) =>
+          (schema, Seq(new GenericInternalRow(vals.toArray)))
+      }
+    // grouped: supported exactly when every grouping key is an identity
+    // partition column of the one-and-only spec era — each file then
+    // belongs to exactly one group, read from its directory values
+    if (specs.nonEmpty || grouping.exists(_.isEmpty)) return None
+    val gcols = grouping.flatten
+    val identityNow = graft.icelite.PartField.identityCols(partitionBy0)
+    if (!gcols.forall(identityNow.contains)) return None
+    val groupSchema = StructType(gcols.map(c => tableSchema(c)))
+    val byGroup = files.groupBy(f =>
+      gcols.map(c => PartValues.parse(f.path, identityNow).getOrElse(c, None)))
+    val rows = Vector.newBuilder[InternalRow]
+    var aggSchema: Option[StructType] = None
+    val ok = byGroup.toSeq.sortBy(_._1.toString)
+      .forall { case (key, groupFiles) =>
+        evalAggs(agg, tableSchema, partitionBy, groupFiles) match {
+          case Some((schema, vals)) =>
+            aggSchema = Some(schema)
+            val keyRow = PartValues.internalRow(groupSchema,
+              gcols.zip(key).toMap)
+            rows += new GenericInternalRow(
+              (groupSchema.fields.indices.map(i =>
+                if (keyRow.isNullAt(i)) null
+                else keyRow.get(i, groupSchema.fields(i).dataType)) ++ vals).toArray)
+            true
+          case None => false
+        }
+      }
+    if (!ok || aggSchema.isEmpty) None
+    else Some((StructType(groupSchema.fields ++ aggSchema.get.fields), rows.result()))
   }
 
   /** Fold per-file min/max stats for `col` into one catalyst value, or None
@@ -589,7 +632,7 @@ private[v2] object ManifestAgg {
   * one partition, one row, zero parquet IO.
   */
 private[v2] class IceLiteAggScan(
-    tableName: String, aggSchema: StructType, row: InternalRow)
+    tableName: String, aggSchema: StructType, rows: Seq[InternalRow])
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -599,34 +642,35 @@ private[v2] class IceLiteAggScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(IceLiteAggPartition(aggSchema.json,
-      aggSchema.fields.indices.map(i =>
-        if (row.isNullAt(i)) null
-        else row.get(i, aggSchema.fields(i).dataType) match {
-          case u: UTF8String => u.toString // serializable surrogate
-          case v => v
-        }).toArray))
+      rows.map(row =>
+        aggSchema.fields.indices.map(i =>
+          if (row.isNullAt(i)) null
+          else row.get(i, aggSchema.fields(i).dataType) match {
+            case u: UTF8String => u.toString // serializable surrogate
+            case v => v
+          }).toArray).toArray))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val ap = p.asInstanceOf[IceLiteAggPartition]
         val schema = DataType.fromJson(ap.schemaJson).asInstanceOf[StructType]
-        val values = ap.values.zipWithIndex.map {
+        val decoded = ap.rows.map(_.zipWithIndex.map {
           case (s: String, i) if schema.fields(i).dataType == StringType =>
             UTF8String.fromString(s)
           case (v, _) => v
-        }
+        })
         new PartitionReader[InternalRow] {
-          private var served = false
-          override def next(): Boolean = { val r = !served; served = true; r }
-          override def get(): InternalRow = new GenericInternalRow(values)
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < decoded.length }
+          override def get(): InternalRow = new GenericInternalRow(decoded(i))
           override def close(): Unit = ()
         }
       }
     }
 }
 
-private[v2] case class IceLiteAggPartition(schemaJson: String, values: Array[Any])
+private[v2] case class IceLiteAggPartition(schemaJson: String, rows: Array[Array[Any]])
     extends InputPartition
 
 /** Read-only in-memory DSv2 table serving a metadata listing — the engine
