@@ -576,6 +576,40 @@ class DsV2Spec extends SparkSpec {
     assert(summed.collect()(0) == df.agg(sum(col("o_orderkey"))).collect()(0))
   }
 
+  test("grouped agg pushdown: partition-column groups push; evolution refuses") {
+    val wh = warehouse("aggpush-grp")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val tbl = cat.createTable("lake", "ev_g", df.schema,
+      partitionBy = Seq("event_type"))
+    tbl.append(df)
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.ev_g").load()
+    val q = load().groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"))
+    assert(scanDescOf(q).contains("manifest-only"),
+      s"grouped agg on a partition column must push: ${scanDescOf(q)}")
+    val got = q.orderBy("event_type").collect().toSeq
+    val expect = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"))
+      .orderBy("event_type").collect().toSeq
+    assert(got == expect, s"$got != $expect")
+    // grouping on a NON-partition column cannot answer from the manifest
+    val byData = load().groupBy("event_id").agg(count(lit(1)).as("n"))
+    assert(!scanDescOf(byData).contains("aggPushed"))
+    // partition evolution makes file->group membership era-dependent:
+    // grouped pushdown must refuse and the fallback stays correct
+    tbl.setPartitionSpec(Nil)
+    tbl.append(df.limit(0)) // new era exists (no rows added)
+    val evolved = load().groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(!scanDescOf(evolved).contains("aggPushed"),
+      s"evolved layout must refuse grouped pushdown: ${scanDescOf(evolved)}")
+    assert(evolved.orderBy("event_type").collect().toSeq ==
+      df.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect().toSeq)
+  }
+
   test("partitioned tables read through DSv2/SQL catalog with partition pruning") {
     val wh = warehouse("part")
     val cat = new IceCatalog(spark, wh)
