@@ -28,5 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftExtensions].getName, "icelite_changes"),
       graft.sources.v2.ChangesTvf.build))
+    // ... and the incremental APPEND scan (rows added in (from, to]):
+    // `SELECT * FROM icelite_appends('<warehouse>', '<ns>.<tbl>', <from>)`
+    ext.injectTableFunction((FunctionIdentifier("icelite_appends"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "icelite_appends"),
+      graft.sources.v2.ChangesTvf.buildAppends))
   }
 }

@@ -666,5 +666,11 @@ class CatalogSpec extends SparkSpec {
       s"SELECT * FROM icelite_changes('$wh', 'lake.cdc')").collect())
     intercept[Exception](spark.sql(
       s"SELECT * FROM icelite_changes('$wh', 'nodots', 0)").collect())
+    // the incremental APPEND scan TVF: plain rows of the (from, to] window
+    assert(spark.sql(
+      s"SELECT * FROM icelite_appends('$wh', 'lake.cdc', 1, 2)").count() == 10)
+    // ... and it refuses a range containing a non-append (MOR) snapshot
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM icelite_appends('$wh', 'lake.cdc', 1)").collect())
   }
 }
