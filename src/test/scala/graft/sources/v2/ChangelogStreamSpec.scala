@@ -127,6 +127,29 @@ class ChangelogStreamSpec extends SparkSpec {
       s"restart must deliver exactly snapshot 4's resolved deletes: $delta")
   }
 
+  test("changelog stream over an identity-partitioned table") {
+    val wh = scratch("cdcpart")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 30L).map(i => (i, s"g${i % 3}", s"v$i")).toDF("id", "grp", "v")
+    val tbl = cat.createTable("ns", "t", base.schema, partitionBy = Seq("grp"))
+    tbl.append(base)                                               // snap 1
+    tbl.deleteWhereMor(Seq(org.apache.spark.sql.sources.EqualTo("id", 7L))) // snap 2
+    val stream = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "ns.t")
+      .option("changelog", "true").load()
+    val got = drain(stream, s"cdcp2_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // identity partition values come from directory constants and must be
+    // served on BOTH insert and delete-resolution partitions
+    assert(got.count(_._4 == "insert") == 30)
+    assert(got.filter(x => x._4 == "insert" && x._1 % 3 == 1).forall(_._2 == "g1"))
+    assert(got.filter(_._4 == "delete") == Seq((7L, "g1", "v7", "delete", 2L)),
+      s"partitioned delete must resolve with its partition value: " +
+        s"${got.filter(_._4 == "delete")}")
+  }
+
   test("changelog stream refuses rewriting history; batch read refused") {
     val wh = scratch("cdcrw")
     val cat = new IceCatalog(spark, wh)
