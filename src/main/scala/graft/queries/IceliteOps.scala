@@ -1381,6 +1381,23 @@ object IceliteOps {
         s.read.schema(d.schema).json(out).orderBy("doc_id")
       }),
 
+    // S8: ORC source/sink round trip — Spark's second columnar lake format
+    // (vectorized reader, predicate pushdown, zlib/zstd), natively
+    // supported like parquet; the oracle states the origin table, so
+    // equality proves the format path lossless (timestamps included:
+    // session pinned UTC keeps ORC's zoned encoding value-stable).
+    QDef(
+      "s8_orc_roundtrip",
+      Some("""SELECT event_id, user_id, event_type, value, ts
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val out = freshWarehouse(s, "s8") + "/events_orc"
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value", "ts")
+        ev.write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("event_id")
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",
