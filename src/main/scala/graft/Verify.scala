@@ -31,9 +31,9 @@ object Verify {
     // absent: record every failure, write a _FAILED marker the driver (or a
     // human) can see next to the per-query outputs, and exit non-zero.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -64,7 +64,7 @@ object Verify {
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/_FAILED.json"), fjson)
       System.err.println(
-        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+        s"[verify] ${failures.size}/${selected.size} queries FAILED: " +
           failures.keys.mkString(", "))
     }
     spark.stop()

@@ -110,20 +110,6 @@ object FileStats {
   def addedCount(snap: SnapshotMeta): Long =
     if (snap.addedFileCount >= 0) snap.addedFileCount else snap.addedFiles.length.toLong
 
-  /** Count of files visible at a snapshot — inline O(1) on current
-    * metadata, manifest parse only on pre-upgrade snapshots.
-    */
-  def fileCount(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Long =
-    if (snap.totalFileCount >= 0) snap.totalFileCount
-    else visible(fs, snap).length.toLong
-
-  /** Count of outstanding delete files at a snapshot — same economics as
-    * [[fileCount]].
-    */
-  def deleteCount(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Long =
-    if (snap.deleteFileCount >= 0) snap.deleteFileCount
-    else deletesOf(fs, snap).length.toLong
-
   /** Did snapshot `s` keep every file visible at `parent`? Carried files
     * are always a subset of the parent's visible set, so equal counts mean
     * equal sets — O(1) on current metadata via the inline counts; the

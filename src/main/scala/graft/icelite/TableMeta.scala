@@ -406,7 +406,7 @@ object MetaIo {
     * first non-whitespace byte disambiguates.
     */
   def readManifestDoc(fs: FileSystem, path: String): ManifestDoc = {
-    docAccesses.merge(path, 1L, (a, b) => a + b)
+    recordAccess(path)
     manifestCache.synchronized {
       val cached = manifestCache.get(path)
       if (cached != null) return cached
@@ -435,12 +435,24 @@ object MetaIo {
   // Test hook: per-path manifest-document ACCESS counts (cache hits
   // included) — lets a spec prove a bounded incremental read planned only
   // its window's manifests, independent of what earlier ops left cached.
+  // LRU-bounded like the manifest cache itself, so a long-lived driver
+  // never accumulates one entry per manifest for the JVM lifetime.
   private val docAccesses =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[graft] def manifestAccessSnapshot: Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
-    docAccesses.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size > ManifestCacheCap
+    }
+  private def recordAccess(path: String): Unit = docAccesses.synchronized {
+    val prev = docAccesses.get(path)
+    docAccesses.put(path, if (prev == null) 1L else prev + 1L)
+    ()
   }
+  private[graft] def manifestAccessSnapshot: Map[String, Long] =
+    docAccesses.synchronized {
+      import scala.jdk.CollectionConverters._
+      docAccesses.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    }
 
   /** Move any inline per-snapshot O(files)/O(history) state — the file
     * manifest, the added-path list, and the cumulative data-dir list — into

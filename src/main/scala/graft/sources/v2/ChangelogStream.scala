@@ -56,6 +56,51 @@ private[v2] class IceLiteChangelogStream(
   private val partSchema = StructType(
     tableSchema.fields.filter(f => constNames.contains(f.name)))
 
+  /** Admission control, changelog-aware: the parent charges each snapshot
+    * its ADDED file count, but a delete-bearing snapshot additionally fans
+    * out one partition per affected parent file — a fanout the
+    * snapshot-granular offsets cannot split. Under a maxFilesPerTrigger
+    * cap, a snapshot with NEW delete files therefore CLOSES its batch: at
+    * most one delete-resolution per micro-batch, so the cap keeps meaning
+    * "bounded batches" while draining MOR history. Detection is O(1) via
+    * the inline delete-file counts (conservative when unknown).
+    */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val from = start.asInstanceOf[IceOffset].snapshotId
+    val m = currentMeta
+    val head = availableNowEnd.getOrElse(m.currentSnapshotId)
+    limit match {
+      case mf: ReadMaxFiles =>
+        val pending = m.snapshots
+          .filter(s => s.snapshotId > from && s.snapshotId <= head)
+          .sortBy(_.snapshotId)
+        var to = from
+        var used = 0
+        var admitted = 0
+        var prevDeleteCount =
+          m.snapshots.filter(_.snapshotId <= from)
+            .maxByOption(_.snapshotId).map(_.deleteFileCount).getOrElse(0L)
+        val it = pending.iterator
+        var open = true
+        while (open && it.hasNext) {
+          val s = it.next()
+          val n = FileStats.addedCount(s).toInt
+          if (admitted == 0 || used + n <= mf.maxFiles()) {
+            to = s.snapshotId; used += n; admitted += 1
+            val newDeletes = s.deleteFileCount < 0 || prevDeleteCount < 0 ||
+              s.deleteFileCount != prevDeleteCount
+            if (newDeletes) open = false
+            prevDeleteCount = s.deleteFileCount
+          } else open = false
+        }
+        IceOffset(to)
+      case _ => IceOffset(head)
+    }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IceOffset].snapshotId
     val to = end.asInstanceOf[IceOffset].snapshotId
@@ -137,12 +182,18 @@ private[v2] class IceLiteChangelogStream(
             parts +=
               (if (neededKeys.isEmpty) base
               else {
+                // a per-file permutation REPLACES the factory's declared-
+                // order one, so it must map local (fileData ++ constants)
+                // DIRECTLY onto the declared relation order — the same
+                // contract as the parent stream's evolution branch (a
+                // physical-order perm would transpose columns whenever an
+                // identity partition column precedes a data column)
                 val localNames = fileData.fieldNames ++ partSchema.fieldNames
-                val globalNames = dataSchema.fieldNames ++ partSchema.fieldNames
                 base.copy(
                   fileDataSchemaJson = fileData.json,
                   filePartSchemaJson = partSchema.json,
-                  filePerm = globalNames.map(localNames.indexOf(_)).toSeq)
+                  filePerm = tableSchema.fieldNames
+                    .map(localNames.indexOf(_)).toSeq)
               })
           }
         }

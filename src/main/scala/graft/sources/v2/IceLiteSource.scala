@@ -1406,7 +1406,7 @@ private[v2] class IceLiteMicroBatchStream(
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
-  private def currentMeta = IceLiteV2.loadMeta(warehouse, ns, tbl)._1
+  protected def currentMeta = IceLiteV2.loadMeta(warehouse, ns, tbl)._1
 
   // Trigger.AvailableNow: Spark's fallback wrapper for sources without
   // native support IGNORES ReadLimit (it jumps straight to the offset
@@ -1414,7 +1414,7 @@ private[v2] class IceLiteMicroBatchStream(
   // it matters most — draining a populated table. Implementing the
   // interface ourselves keeps per-batch caps in force: capture the end
   // here, then latestOffset() walks toward it in capped steps.
-  private var availableNowEnd: Option[Long] = None
+  protected var availableNowEnd: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(currentMeta.currentSnapshotId)
 

@@ -38,25 +38,17 @@ object StreamOps {
   private val OrderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
-  /** events as a bounded stream; `ts` normalized to a zoned TimestampType —
-    * streaming watermarks require TIMESTAMP, and the fixture has shipped
-    * both nanosecond longs and microsecond TIMESTAMP_NTZ across generations
-    * (same drift QUtil.t absorbs for the batch side; session is pinned UTC
-    * so the NTZ cast is value-preserving).
+  /** events as a bounded stream; `ts` normalized to a zoned TimestampType
+    * by the SAME shared helper the batch reader uses (streaming watermarks
+    * require TIMESTAMP, and the fixture has drifted its physical ts type
+    * across generations — QUtil.normalizeTs is the single fix point).
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream
+    QUtil.normalizeTs(s.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    batchSchema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+      .parquet(dir))
   }
 
   /** Run a bounded streaming query to completion against an in-memory sink

@@ -150,6 +150,29 @@ class ChangelogStreamSpec extends SparkSpec {
         s"${got.filter(_._4 == "delete")}")
   }
 
+  test("partitioned + eq-delete + pruned key: columns bind in declared order") {
+    // the transposition regression: an identity partition column PRECEDING
+    // a data column in the declared schema, with the eq key pruned from the
+    // projection — the per-file permutation must map onto declared order,
+    // not physical (data-then-constants) order
+    val wh = scratch("cdcperm")
+    val cat = new IceCatalog(spark, wh)
+    val base = (1L to 30L).map(i => (i, s"g${i % 3}", s"v$i")).toDF("id", "grp", "v")
+    val tbl = cat.createTable("ns", "t", base.schema, partitionBy = Seq("grp"))
+    tbl.append(base)
+    tbl.upsertMorEq(Seq((7L, "g1", "UP")).toDF("id", "grp", "v"), Seq("id"))
+    val stream = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "ns.t")
+      .option("changelog", "true").load()
+      .select("grp", "v", "_change_type") // prunes the eq key `id`
+    val got = drain(stream, s"cdcpm_${System.nanoTime()}")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.count(_._3 == "insert") == 31)
+    assert(got.filter(_._3 == "delete") == Seq(("g1", "v7", "delete")),
+      s"delete row must bind (grp, v) in declared order: " +
+        s"${got.filter(_._3 == "delete")}")
+  }
+
   test("changelog stream refuses rewriting history; batch read refused") {
     val wh = scratch("cdcrw")
     val cat = new IceCatalog(spark, wh)
