@@ -115,10 +115,13 @@ object RelationalExt {
     // are exact integers in both engines. One shuffle on user_id.
     QDef(
       "w5_range_frame",
+      // The outer CAST pins the top-level type: DuckDB's SUM(BIGINT) yields
+      // HUGEINT, which pandas materializes as float64 in the driver's hasher
+      // and hash-mismatches Spark's int64 even when every value is equal.
       Some("""SELECT event_id, user_id,
-             |  SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
+             |  CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
              |    PARTITION BY user_id ORDER BY epoch_us(ts)
-             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail_q
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_q
              |FROM events ORDER BY event_id""".stripMargin),
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("us"))
