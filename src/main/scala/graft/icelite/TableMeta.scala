@@ -448,6 +448,12 @@ object MetaIo {
     docAccesses.put(path, if (prev == null) 1L else prev + 1L)
     ()
   }
+  // Explicit reset for specs: the LRU bound means long histories can evict
+  // per-path counts mid-test, turning a before/after delta vacuous. A spec
+  // resets, acts, then reads absolute counts — nothing to evict between.
+  private[graft] def manifestAccessReset(): Unit =
+    docAccesses.synchronized { docAccesses.clear() }
+
   private[graft] def manifestAccessSnapshot: Map[String, Long] =
     docAccesses.synchronized {
       import scala.jdk.CollectionConverters._

@@ -419,17 +419,31 @@ object DedupOps {
           .distinct()
           .localCheckpoint() // tiny; referenced for ids + the verify join
         // verification reads corpus text ONLY for candidate ids (manifest
-        // range stats prune the corpus files the candidates don't touch)
-        val candOld = cand.select("d_old").distinct().collect().map(_.getLong(0))
+        // range stats prune the corpus files the candidates don't touch).
+        // The id peek is CAPPED like the bucket peek above: a large delta
+        // against a hot corpus could otherwise collect millions of ids onto
+        // the driver and build a giant In-list. Past the cap, stay
+        // distributed — a left-semi join against the checkpointed candidate
+        // set; AQE broadcasts the build side when it fits (and the scan's
+        // SupportsRuntimeFiltering then recovers the same file-level pruning
+        // the In-list buys on the small path) and shuffles otherwise, so no
+        // size class ever lands on the driver.
+        val candCap = s.conf.get("graft.x25.candCap", "4096").toInt
+        val candOld = cand.select("d_old").distinct().limit(candCap + 1)
+          .collect().map(_.getLong(0))
         // verification is ROW-LOCAL over the shingle arrays: each candidate
         // pair carries both docs' arrays and computes the intersection with
         // array_intersect in one pass — no shingle explosion, no equi-join
         // on shingle values, no per-pair aggregation shuffle. The only
         // shuffled payload is |pairs| + |candidate old docs| array rows.
+        val corpusScan = tbl.scan(snapshotId = Some(corpusSnap))
         val oldArr = arrOf(
-          if (candOld.isEmpty) tbl.scan(snapshotId = Some(corpusSnap)).limit(0)
-          else tbl.scan(snapshotId = Some(corpusSnap))
-            .filter(col("doc_id").isin(candOld: _*)))
+          if (candOld.isEmpty) corpusScan.limit(0)
+          else if (candOld.length <= candCap)
+            corpusScan.filter(col("doc_id").isin(candOld.toIndexedSeq: _*))
+          else corpusScan.join(
+            cand.select(col("d_old").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi"))
         broadcast(cand)
           .join(deltaArr.as("sa"), col("d_new") === col("sa.doc_id"))
           .join(oldArr.as("sb").hint("shuffle_hash"),

@@ -154,8 +154,15 @@ private[v2] class IceLiteChangelogStream(
           val eligible = pFiles.filter(f =>
             FileStats.eqAppliesTo(d, f, tableStruct))
           eligible.foreach { f =>
+            // manifests can mix 'file:/' and 'file:///' spellings depending
+            // on the writer; normalize both sides before the membership
+            // test (as FileStats.isNonRewriting's fallback does) — a raw
+            // string miss here would skip the parent's position debt and
+            // re-emit an already-deleted row as a second delete event
+            def norm(p: String) = new org.apache.hadoop.fs.Path(p).toString
+            val fNorm = norm(f.path)
             val delFor = pDeletes
-              .filter(pd => !pd.isEquality && pd.dataFiles.contains(f.path))
+              .filter(pd => !pd.isEquality && pd.dataFiles.exists(norm(_) == fNorm))
               .map(_.path)
             val eqFor = pDeletes.filter(pd =>
               pd.isEquality && FileStats.eqAppliesTo(pd, f, tableStruct))

@@ -853,11 +853,14 @@ class IceliteSpec extends SparkSpec {
     tbl.append((200L to 209L).map(i => (i, "W1")).toDF("id", "v")) // snap 4
     tbl.append((210L to 219L).map(i => (i, "W2")).toDF("id", "v")) // snap 5
     val window = tbl.snapshots.filter(_.snapshotId > from)
-    val before = graft.icelite.MetaIo.manifestAccessSnapshot
+    // reset rather than diff: the access log is LRU-bounded, so a
+    // before/after delta can silently lose counts to eviction and pass
+    // this subset assertion vacuously — absolute counts from a clean
+    // slate cannot
+    graft.icelite.MetaIo.manifestAccessReset()
     val log = tbl.changelog(from)
     assert(log.count() == 20)
     val accessed = graft.icelite.MetaIo.manifestAccessSnapshot
-      .map { case (k, v) => k -> (v - before.getOrElse(k, 0L)) }
       .filter(_._2 > 0).keySet
     val windowManifests = window.map(_.manifestFile).toSet
     assert(accessed.subsetOf(windowManifests),

@@ -33,9 +33,14 @@ class QueriesSpec extends SparkSpec {
   // watermarks require). If QUtil.t's normalization is removed or the
   // fixtures drift a type again, this fails with the table + dir named
   // instead of six scattered analysis errors.
+  // sf dirs follow the sfDir convention; a missing scale factor on some
+  // checkout skips its tests rather than erroring the whole suite
+  private val sfRoot = new java.io.File(sfDir).getParent
+  private val allSfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"$sfRoot/$s")
+
   test("base tables normalize to a stable schema across all sf dirs") {
-    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+    val dirs = allSfDirs.filter(new java.io.File(_).isDirectory)
+    assume(dirs.nonEmpty, s"no testdata sf dirs under $sfRoot")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     for (tbl <- tables) {
@@ -55,9 +60,9 @@ class QueriesSpec extends SparkSpec {
   // must at least pass analysis on every sf dir — their fns are cheap to
   // *construct* (the stream runs only on action), so this is a fast,
   // per-scale-factor guard that the regenerated fixtures still analyze.
-  for (name <- Seq("e1_sessionize", "j6_range_join"); d <- Seq(
-    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+  for (name <- Seq("e1_sessionize", "j6_range_join"); d <- allSfDirs)
     test(s"$name analyzes on $d") {
+      assume(new java.io.File(d).isDirectory, s"$d absent on this checkout")
       SparkEntry.queries(name)(spark, d).queryExecution.assertAnalyzed()
     }
 
@@ -68,6 +73,23 @@ class QueriesSpec extends SparkSpec {
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == rowsOnly, s"undocumented rows-only checks: ${noOracle -- rowsOnly}")
+  }
+
+  // The capped candidate peek in x25 must agree with its distributed
+  // fallback: candCap=0 forces every nonempty candidate set over the cap,
+  // so the corpus verification runs through the left-semi join instead of
+  // the driver In-list. Same rows either way.
+  test("x25 candidate-cap fallback (semi-join path) matches the In-list path") {
+    def run() = SparkEntry.queries("x25_dedup_incremental")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val inList = run()
+    spark.conf.set("graft.x25.candCap", "0")
+    try {
+      val semi = run()
+      assert(semi == inList,
+        s"fallback diverges: only-in-semi=${semi -- inList} only-in-inlist=${inList -- semi}")
+      assert(semi.nonEmpty, "fixture produced no incremental near-dup pairs")
+    } finally spark.conf.unset("graft.x25.candCap")
   }
 
   test("a3_hll_approx estimates within configured rsd of exact") {
