@@ -453,6 +453,39 @@ object IceliteOps {
         df
       }),
 
+    // S6b: grouped aggregate pushdown over a TRANSFORM partition — GROUP BY
+    // system.days(ts) on a days(ts)-partitioned table is "rows per day",
+    // THE operational query on a time-partitioned 100 TB table, answered
+    // from manifests alone (group key = directory value, counts/min/max =
+    // per-file stats; the manifest-only plan is asserted in-query). The
+    // catalog transform function and the layout share one implementation,
+    // so the pushed grouping is exactly the written partitioning.
+    QDef(
+      "s6_agg_pushdown_days",
+      Some("""SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS INT) AS ts_day,
+             |  COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+             |FROM events GROUP BY 1 ORDER BY ts_day""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s6", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value", "ts")
+          new IceCatalog(s, wh)
+            .createTable("lake", "events_d", ev.schema,
+              partitionBy = Seq("days(ts)"))
+            .append(ev)
+        }
+        s.conf.set("spark.sql.catalog.icelite_s6", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s6.warehouse", wh)
+        val df = s.sql(
+          """SELECT icelite_s6.system.days(ts) AS ts_day, COUNT(*) AS n,
+            |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+            |FROM icelite_s6.lake.events_d
+            |GROUP BY icelite_s6.system.days(ts) ORDER BY ts_day""".stripMargin)
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "days() grouped aggregate must push down to the manifest-only scan")
+        df
+      }),
+
     // The SQL-catalog surface (graft.sources.v2.IceLiteCatalog): address
     // IceLite tables as <catalog>.<ns>.<table> in plain SQL; reads flow
     // through the same pushdown-capable DSv2 scan as format("icelite").
@@ -877,6 +910,16 @@ object IceliteOps {
           .groupBy("_commit_snapshot_id").count().collect()
         require(wCounts.nonEmpty && wCounts.forall(_.getLong(0) > 2),
           s"bounded TVF window must contain only its window: ${wCounts.toSeq}")
+        // timestamp bounds: CDC consumers think in time — an epoch-0 time
+        // `from` resolves below the first snapshot (whole history) and
+        // composes with an id `to`; each bound resolves independently via
+        // the snapshot log (boundary semantics are CatalogSpec's job)
+        val tCounts = s.sql(
+          s"SELECT * FROM icelite_changes('$wh', 'lake.orders_cdc', " +
+            "'1970-01-01T00:00:00Z', 2)")
+          .groupBy("_commit_snapshot_id").count().collect()
+        require(tCounts.nonEmpty && tCounts.forall(_.getLong(0) <= 2),
+          s"time-bounded TVF window must end at its `to`: ${tCounts.toSeq}")
         // the incremental contract: replaying the log reconstructs the
         // table — inserts minus deletes equals the current live row count
         val byType = log.groupBy("_change_type").count().collect()

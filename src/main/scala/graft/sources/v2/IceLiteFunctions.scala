@@ -65,9 +65,20 @@ object IceLiteFunctions {
 
   private def scalar(fname: String, field: DataType => PartField,
       inTypes: Array[DataType], srcType: DataType, out: DataType)
-      : BoundFunction = new ScalarFunction[Any] {
-    private val f = field(srcType)
-    override def inputTypes(): Array[DataType] = inTypes
+      : BoundFunction =
+    TransformScalarFn(fname, field(srcType), inTypes.toSeq, srcType, out)
+
+  /** Bound transform function. A CASE CLASS on purpose: two binds of the
+    * same function over the same types must be `equals` — Catalyst's
+    * `ApplyFunctionExpression` compares the bound-function object when
+    * checking `SELECT f(ts) … GROUP BY f(ts)` semantic equality, and an
+    * anonymous instance per bind() would fail "not in GROUP BY" analysis
+    * (and block aggregate pushdown over transform groupings).
+    */
+  private final case class TransformScalarFn(fname: String, f: PartField,
+      inTypes: Seq[DataType], srcType: DataType, out: DataType)
+      extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = inTypes.toArray
     override def resultType(): DataType = out
     override def name(): String = fname
     override def canonicalName(): String = s"icelite.$fname(${srcType.simpleString})"
@@ -98,18 +109,20 @@ object IceLiteFunctions {
       }, "integral, string or date")
       // n is fixed per spec entry; SQL binding reads it per-row, so the
       // produceResult path re-derives the field from the row's own n
-      new ScalarFunction[Any] {
-        override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
-        override def resultType(): DataType = IntegerType
-        override def name(): String = "bucket"
-        override def canonicalName(): String = s"icelite.bucket(${dt.simpleString})"
-        override def isResultNullable: Boolean = true
-        override def produceResult(input: InternalRow): Any =
-          if (input.isNullAt(0) || input.isNullAt(1)) null
-          else Transforms.applyCatalyst(
-            BucketField(input.getInt(0), "c"), dt, input.get(1, dt))
-      }
+      BucketFn(dt)
     }
+  }
+
+  private final case class BucketFn(dt: DataType) extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"icelite.bucket(${dt.simpleString})"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else Transforms.applyCatalyst(
+        BucketField(input.getInt(0), "c"), dt, input.get(1, dt))
   }
 
   private object Days extends UnboundFunction {
@@ -140,17 +153,19 @@ object IceLiteFunctions {
         case ByteType | ShortType | IntegerType | LongType | StringType => true
         case _ => false
       }, "integral or string")
-      new ScalarFunction[Any] {
-        override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
-        override def resultType(): DataType = dt
-        override def name(): String = "truncate"
-        override def canonicalName(): String = s"icelite.truncate(${dt.simpleString})"
-        override def isResultNullable: Boolean = true
-        override def produceResult(input: InternalRow): Any =
-          if (input.isNullAt(0) || input.isNullAt(1)) null
-          else Transforms.applyCatalyst(
-            TruncateField(input.getInt(0), "c"), dt, input.get(1, dt))
-      }
+      TruncateFn(dt)
     }
+  }
+
+  private final case class TruncateFn(dt: DataType) extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = dt
+    override def name(): String = "truncate"
+    override def canonicalName(): String = s"icelite.truncate(${dt.simpleString})"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else Transforms.applyCatalyst(
+        TruncateField(input.getInt(0), "c"), dt, input.get(1, dt))
   }
 }

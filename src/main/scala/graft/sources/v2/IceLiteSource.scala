@@ -479,6 +479,39 @@ private[v2] object ManifestAgg {
       case _ => None
     }
 
+  /** The hidden-partitioning transform a pushed grouping expression denotes,
+    * when it is one of THIS catalog's own functions over a plain column —
+    * `GROUP BY system.days(ts)` reaches the source as
+    * `UserDefinedScalarFunc("days", "icelite.days(…)", [ts])`. Foreign
+    * functions that merely share a name are screened out by canonicalName.
+    */
+  private def transformKeyOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[graft.icelite.PartField] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, UserDefinedScalarFunc}
+    import graft.icelite._
+    def intLit(x: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      x match {
+        case l: V2Literal[_] if l.dataType == IntegerType =>
+          Some(l.value.asInstanceOf[Number].intValue)
+        case _ => None
+      }
+    e match {
+      case u: UserDefinedScalarFunc if u.canonicalName().startsWith("icelite.") =>
+        (u.name(), u.children().toSeq) match {
+          case ("days", Seq(c)) => colOf(c).map(DaysField)
+          case ("months", Seq(c)) => colOf(c).map(MonthsField)
+          case ("years", Seq(c)) => colOf(c).map(YearsField)
+          case ("hours", Seq(c)) => colOf(c).map(HoursField)
+          case ("bucket", Seq(n, c)) =>
+            for (w <- intLit(n); src <- colOf(c)) yield BucketField(w, src)
+          case ("truncate", Seq(n, c)) =>
+            for (w <- intLit(n); src <- colOf(c)) yield TruncateField(w, src)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** The per-group aggregate (schema, values) over one file subset, or None
     * when the manifest cannot answer exactly.
     */
@@ -536,22 +569,53 @@ private[v2] object ManifestAgg {
     if (pushedFilters.nonEmpty) return None
     if (files.exists(_.rows < 0)) return None // legacy manifest: unknown rows
 
-    val grouping = agg.groupByExpressions().toSeq.map(colOf)
+    val grouping = agg.groupByExpressions().toSeq
     if (grouping.isEmpty)
       return evalAggs(agg, tableSchema, partitionBy, files).map {
         case (schema, vals) =>
           (schema, Seq(new GenericInternalRow(vals.toArray)))
       }
-    // grouped: supported exactly when every grouping key is an identity
-    // partition column of the one-and-only spec era — each file then
-    // belongs to exactly one group, read from its directory values
-    if (specs.nonEmpty || grouping.exists(_.isEmpty)) return None
-    val gcols = grouping.flatten
+    // grouped: supported exactly when every grouping key binds from the
+    // directory layout of the one-and-only spec era — an identity partition
+    // column, or a catalog transform function matching a transform entry of
+    // the spec (GROUP BY system.days(ts) on a days(ts)-partitioned table is
+    // "rows per day" answered from manifests alone). Each file then belongs
+    // to exactly one group, read from its directory values.
+    if (specs.nonEmpty) return None
     val identityNow = graft.icelite.PartField.identityCols(partitionBy0)
-    if (!gcols.forall(identityNow.contains)) return None
-    val groupSchema = StructType(gcols.map(c => tableSchema(c)))
-    val byGroup = files.groupBy(f =>
-      gcols.map(c => PartValues.parse(f.path, identityNow).getOrElse(c, None)))
+    val specNow = graft.icelite.PartField.parseSpec(partitionBy0)
+    // (directory field, served StructField) per grouping expression; the
+    // served type must be exactly the catalyst type of the grouping
+    // expression (the function's resultType) or the rewritten plan above
+    // the scan would read the wrong physical type
+    val keys: Seq[(String, StructField)] = grouping.map { e =>
+      colOf(e) match {
+        case Some(c) if identityNow.contains(c) => (c, tableSchema(c))
+        case Some(_) => return None // non-partition plain column
+        case None => transformKeyOf(e) match {
+          case Some(t) if specNow.contains(t) =>
+            val dt = t match {
+              case graft.icelite.TruncateField(_, src) => tableSchema(src).dataType
+              case _ => IntegerType
+            }
+            (t.fieldName, StructField(t.fieldName, dt, nullable = true))
+          case _ => return None
+        }
+      }
+    }
+    val dirFields = keys.map(_._1)
+    val groupSchema = StructType(keys.map(_._2))
+    // a zero-row data file must not materialize its partition value as a
+    // group: real aggregation emits no row for an empty group. Writers
+    // open files lazily so these should not occur, but the invariant is
+    // kept local rather than assumed.
+    val parsed = files.filter(_.rows > 0)
+      .map(f => f -> PartValues.parse(f.path, dirFields))
+    // a path missing any group directory segment cannot be grouped from
+    // metadata — refuse rather than fold it into the null group
+    if (parsed.exists { case (_, m) => !dirFields.forall(m.contains) }) return None
+    val byGroup = parsed.groupBy { case (_, m) => dirFields.map(m(_)) }
+      .map { case (k, fs) => k -> fs.map(_._1) }
     val rows = Vector.newBuilder[InternalRow]
     var aggSchema: Option[StructType] = None
     val ok = byGroup.toSeq.sortBy(_._1.toString)
@@ -560,7 +624,7 @@ private[v2] object ManifestAgg {
           case Some((schema, vals)) =>
             aggSchema = Some(schema)
             val keyRow = PartValues.internalRow(groupSchema,
-              gcols.zip(key).toMap)
+              dirFields.zip(key).toMap)
             rows += new GenericInternalRow(
               (groupSchema.fields.indices.map(i =>
                 if (keyRow.isNullAt(i)) null

@@ -673,4 +673,51 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       s"SELECT * FROM icelite_appends('$wh', 'lake.cdc', 1)").collect())
   }
+
+  test("icelite_changes TVF: timestamp bounds resolve via the snapshot log") {
+    val wh = configure("tvf-ts")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val tbl = cat.createTable("lake", "cdct",
+      Seq((1L, "v")).toDF("id", "v").schema)
+    // distinct commit times: the ms clock must advance between snapshots
+    // for a time bound to separate them
+    tbl.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    Thread.sleep(5)
+    tbl.append((21L to 30L).map(i => (i, "B")).toDF("id", "v"))
+    Thread.sleep(5)
+    tbl.append((31L to 35L).map(i => (i, "C")).toDF("id", "v"))
+    val snaps = tbl.snapshots.sortBy(_.snapshotId)
+    def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    val t1 = iso(snaps(0).timestampMs)
+    val t2 = iso(snaps(1).timestampMs)
+    // a string `from` at snap1's commit time = "changes since t" = snaps 2+3
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', '$t1')").count() == 15)
+    // both bounds as times: the (snap1, snap2] window
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', '$t1', '$t2')")
+      .count() == 10)
+    // a TIMESTAMP literal works the same (session timezone is pinned UTC)
+    val lit1 = t1.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', TIMESTAMP '$lit1')")
+      .count() == 15)
+    // a `from` before the first commit replays the whole history
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', '1970-01-01T00:00:00Z')")
+      .count() == 35)
+    // ... but a `to` before the first commit has no end state: loud error
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', 0, '1970-01-01')")
+      .collect())
+    // an unparseable string bound fails loudly, not as snapshot id 0
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', 'not-a-time')")
+      .collect())
+    // the appends TVF takes the same time bounds
+    assert(spark.sql(
+      s"SELECT * FROM icelite_appends('$wh', 'lake.cdct', '$t1', '$t2')")
+      .count() == 10)
+  }
 }

@@ -610,6 +610,68 @@ class DsV2Spec extends SparkSpec {
         .orderBy("event_type").collect().toSeq)
   }
 
+  test("grouped agg pushdown over transform partitions (days/bucket)") {
+    val wh = warehouse("aggpush-tf")
+    spark.conf.set("spark.sql.catalog.ice_tf", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_tf.warehouse", wh)
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select("event_id", "event_type", "value", "ts")
+    val tbl = cat.createTable("lake", "ev_d", df.schema,
+      partitionBy = Seq("days(ts)"))
+    tbl.append(df)
+    // "rows per day" on a days(ts)-partitioned table: GROUP BY the catalog
+    // transform function answers from manifests alone
+    val q = spark.sql(
+      """SELECT ice_tf.system.days(ts) AS d, COUNT(*) AS n,
+        |  MIN(event_id) AS lo, MAX(event_id) AS hi
+        |FROM ice_tf.lake.ev_d
+        |GROUP BY ice_tf.system.days(ts) ORDER BY d""".stripMargin)
+    assert(scanDescOf(q).contains("manifest-only"),
+      s"grouped agg on a days() transform must push: ${scanDescOf(q)}")
+    val expect = df
+      .withColumn("d", floor(unix_micros(col("ts")) / lit(86400000000.0)).cast("int"))
+      .groupBy("d").agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .orderBy("d").collect().toSeq
+    assert(q.collect().toSeq == expect)
+    // bucket(N, col) grouping pushes the same way
+    val b = cat.createTable("lake", "ev_b", df.schema,
+      partitionBy = Seq("bucket(4,event_type)"))
+    b.append(df)
+    val qb = spark.sql(
+      """SELECT ice_tf.system.bucket(4, event_type) AS bk, COUNT(*) AS n
+        |FROM ice_tf.lake.ev_b
+        |GROUP BY ice_tf.system.bucket(4, event_type) ORDER BY bk""".stripMargin)
+    assert(scanDescOf(qb).contains("manifest-only"),
+      s"grouped agg on a bucket() transform must push: ${scanDescOf(qb)}")
+    val expectB = df.groupBy(pmod(hash(col("event_type")), lit(4)).as("bk"))
+      .agg(count(lit(1)).as("n")).orderBy("bk").collect().toSeq
+    assert(qb.collect().toSeq == expectB)
+    // a DIFFERENT bucket width than the layout's must refuse (file dirs
+    // answer bucket(4,·) only)
+    val qb8 = spark.sql(
+      """SELECT ice_tf.system.bucket(8, event_type) AS bk, COUNT(*) AS n
+        |FROM ice_tf.lake.ev_b
+        |GROUP BY ice_tf.system.bucket(8, event_type) ORDER BY bk""".stripMargin)
+    assert(!scanDescOf(qb8).contains("aggPushed"),
+      s"mismatched bucket width must not push: ${scanDescOf(qb8)}")
+    // partition evolution makes file->group membership era-dependent:
+    // the transform grouping must refuse too, and stay correct
+    tbl.setPartitionSpec(Nil)
+    tbl.append(df.limit(0)) // new era exists (no rows added)
+    val evolved = spark.sql(
+      """SELECT ice_tf.system.days(ts) AS d, COUNT(*) AS n
+        |FROM ice_tf.lake.ev_d
+        |GROUP BY ice_tf.system.days(ts) ORDER BY d""".stripMargin)
+    assert(!scanDescOf(evolved).contains("aggPushed"),
+      s"evolved layout must refuse transform-grouped pushdown: ${scanDescOf(evolved)}")
+    val expectD = df
+      .withColumn("d", floor(unix_micros(col("ts")) / lit(86400000000.0)).cast("int"))
+      .groupBy("d").agg(count(lit(1)).as("n")).orderBy("d").collect().toSeq
+    assert(evolved.collect().toSeq == expectD)
+  }
+
   test("partitioned tables read through DSv2/SQL catalog with partition pruning") {
     val wh = warehouse("part")
     val cat = new IceCatalog(spark, wh)
