@@ -41,7 +41,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
-      val times = (1 to rounds).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -59,6 +59,20 @@ object Bench {
         System.gc()
         if (ok) dt else -1.0
       }
+      // Adaptive sampling: min-of-2 is noisy exactly on the heavy queries
+      // (round 1 pays fixture builds + per-plan JIT; round 2 inherits page-
+      // cache and GC state). When the best two successful samples disagree
+      // by >25%, take up to two extra rounds — stable queries still stop at
+      // `rounds`, so the extra wall cost lands only where the variance is.
+      val buf = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to rounds).foreach(_ => buf += once())
+      var extra = 0
+      def unstable: Boolean = {
+        val good = buf.filter(_ >= 0).sorted
+        good.length >= 2 && good(1) > good(0) * 1.25
+      }
+      while (extra < 2 && unstable) { buf += once(); extra += 1 }
+      val times = buf.toSeq
       if (only.isDefined)
         System.err.println(f"[bench] $name rounds: ${times.map(t => f"$t%.2f").mkString(", ")}")
       // a transiently-failing query still has a real minimum over its
