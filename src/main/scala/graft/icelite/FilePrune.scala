@@ -186,6 +186,59 @@ object FilePrune {
     proof.getOrElse(true)
   }
 
+  /** Is `f` applied EXACTLY — not merely conservatively — by [[canMatch]]
+    * when every referenced column satisfies `partCol` (an identity
+    * partition column whose value decodes from every file's path)? Such a
+    * filter's evaluation depends only on the file's constant partition
+    * tuple, so "could any row match" coincides with "do all rows match"
+    * and a DSv2 source may claim the filter as fully pushed: file pruning
+    * IS the filter, no row re-evaluation needed — which is what unlocks
+    * aggregate pushdown under partition predicates. Every branch accepted
+    * here must mirror a [[canMatch]]/canBeFalse branch that consults
+    * partValues with full three-valued semantics and whose comparison
+    * cannot fall back to a conservative `true` (hence the [[norm]]
+    * checks on literals: an unnormalizable literal would make
+    * cmpExternal return None and canMatch keep the file).
+    */
+  def exactOnPartitions(f: Filter, schema: StructType,
+      partCol: String => Boolean): Boolean = {
+    def dtOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def cmpOk(c: String, v: Any): Boolean =
+      v != null && partCol(c) && dtOf(c).exists(dt => norm(dt, v).isDefined)
+    def pos(g: Filter): Boolean = g match {
+      case And(l, r) => pos(l) && pos(r)
+      case Or(l, r) => pos(l) && pos(r)
+      case Not(ch) => neg(ch)
+      case EqualTo(c, v) => cmpOk(c, v)
+      case EqualNullSafe(c, null) => partCol(c)
+      case EqualNullSafe(c, v) => cmpOk(c, v)
+      case In(c, vs) => vs != null && vs.nonEmpty && partCol(c) &&
+        vs.forall(v => v == null ||
+          dtOf(c).exists(dt => norm(dt, v).isDefined))
+      case GreaterThan(c, v) => cmpOk(c, v)
+      case GreaterThanOrEqual(c, v) => cmpOk(c, v)
+      case LessThan(c, v) => cmpOk(c, v)
+      case LessThanOrEqual(c, v) => cmpOk(c, v)
+      case IsNull(c) => partCol(c)
+      case IsNotNull(c) => partCol(c)
+      case StringStartsWith(c, p) => p != null && partCol(c)
+      case _ => false
+    }
+    // under NOT, canMatch delegates to canBeFalse, whose partition-exact
+    // branches are only these
+    def neg(g: Filter): Boolean = g match {
+      case And(l, r) => neg(l) && neg(r)
+      case Or(l, r) => neg(l) && neg(r)
+      case Not(ch) => pos(ch)
+      case EqualTo(c, v) => cmpOk(c, v)
+      case IsNull(c) => partCol(c)
+      case IsNotNull(c) => partCol(c)
+      case _ => false
+    }
+    pos(f)
+  }
+
   /** Types the z-order clusterer can normalize into a bit budget. */
   def zorderable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |

@@ -26,9 +26,20 @@ final case class FileStat(
     max: Map[String, String] = Map.empty,
     // null counts as decimal strings: Jackson round-trips Map[String, Long]
     // values as Integer when they fit, which explodes on Scala unboxing
-    nulls: Map[String, String] = Map.empty) {
+    nulls: Map[String, String] = Map.empty,
+    // exact per-file column sums (integral columns, non-null values only),
+    // as decimal strings. Parquet footers carry min/max/nulls but no sums,
+    // so only the DSv2 row-loop writer can produce these without re-reading
+    // data — files written by other paths simply lack them (absent = no SUM
+    // pushdown for scans touching the file). Beyond Iceberg's own manifest
+    // stats: turns "SELECT day, SUM(qty)" on a 100 TB table into a
+    // metadata read.
+    sums: Map[String, String] = Map.empty) {
 
   def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
+
+  def sumOf(c: String): Option[BigInt] =
+    sums.get(c).flatMap(s => scala.util.Try(BigInt(s)).toOption)
 }
 
 /** One immutable table version.

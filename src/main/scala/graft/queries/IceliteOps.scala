@@ -453,6 +453,72 @@ object IceliteOps {
         df
       }),
 
+    // S5c: aggregate pushdown UNDER a partition predicate — a filter whose
+    // references are identity partition columns is applied EXACTLY by file
+    // pruning (every row of a file shares its directory values), so the
+    // source claims it fully pushed and the aggregate still answers from
+    // manifests alone: "rows per type WHERE type IN (…)" with zero file
+    // IO. Data-column predicates keep refusing (DsV2Spec). Reuses the s5
+    // fixture table.
+    QDef(
+      "s9_agg_pushdown_filtered",
+      Some("""SELECT event_type, COUNT(*) AS n, MIN(value) AS min_v,
+             |  MAX(value) AS max_v
+             |FROM events WHERE event_type IN ('click', 'view')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s5", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh)
+            .createTable("lake", "events_p", ev.schema,
+              partitionBy = Seq("event_type"))
+            .append(ev)
+        }
+        val df = s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_p").load()
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .orderBy("event_type")
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "partition-filtered grouped aggregate must stay manifest-only")
+        df
+      }),
+
+    // S5d: SUM pushdown — the DSv2 writer records exact per-file integral
+    // sums in the manifest (parquet footers have min/max/nulls but no
+    // sums), so grouped SUM answers from metadata with zero file IO: the
+    // "daily totals" rollup a 100 TB fact table serves operationally.
+    // Exactness: per-file Long accumulation with an overflow latch; the
+    // BigInt fold refuses rather than wraps. Plan asserted in-query.
+    QDef(
+      "s10_agg_pushdown_sum",
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(user_id) AS BIGINT) AS s_user
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s10", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh).createTable("lake", "events_sum", ev.schema,
+            partitionBy = Seq("event_type"))
+          s.conf.set("spark.sql.catalog.icelite_s10", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_s10.warehouse", wh)
+          ev.writeTo("icelite_s10.lake.events_sum").append()
+        }
+        s.conf.set("spark.sql.catalog.icelite_s10", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s10.warehouse", wh)
+        val df = s.table("icelite_s10.lake.events_sum")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s_user"))
+          .orderBy("event_type")
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "grouped SUM must push down to the manifest-only scan")
+        df
+      }),
+
     // S6b: grouped aggregate pushdown over a TRANSFORM partition — GROUP BY
     // system.days(ts) on a days(ts)-partitioned table is "rows per day",
     // THE operational query on a time-partitioned 100 TB table, answered

@@ -412,24 +412,85 @@ private[v2] class IceLiteScanBuilder(
   private var limit: Int = -1
   private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
-  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) with no GROUP BY answer
-    * straight from the manifest: sums of per-file row/null counts and
-    * fold of per-file min/max. A 100 TB COUNT(*) becomes a metadata-only
-    * query — zero file IO, zero tasks reading parquet. Refused (and left
-    * to the normal scan) whenever any pushed filter exists, any file lacks
-    * the needed stats, or a column is hive-partitioned (its values live in
-    * paths, not file stats).
+  /** Identity-partition columns whose value decodes exactly from EVERY
+    * file's directory path under that file's own era spec — the columns a
+    * filter may reference and still be applied EXACTLY by file pruning.
+    * A renamed column (old dirs carry the old name) or a file from an era
+    * that did not identity-partition it drops the column here
+    * automatically, so the claim below can never outrun the layout.
+    */
+  private lazy val exactPartCols: Set[String] = {
+    val candidates = graft.icelite.PartField.identityCols(partitionBy).toSet
+    candidates.filter { c =>
+      tableSchema.fieldNames.contains(c) && files.forall { f =>
+        val spec =
+          if (specs.isEmpty) partitionBy
+          else {
+            val era = graft.icelite.Renames.eraOf(f.path)
+            specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
+          }
+        graft.icelite.PartField.identityCols(spec).contains(c) && {
+          val raw = PartValues.parse(f.path, Seq(c))
+          PartValues.decodeExternal(tableSchema, Seq(c), raw).contains(c)
+        }
+      }
+    }
+  }
+
+  /** May partition-exact filters be claimed as fully pushed on this scan?
+    * Row-level command scans serve the full row set of affected files,
+    * the changelog relation reads era-mixed delete resolution state, and
+    * the streaming source plans per-batch — all keep filters residual.
+    */
+  private def mayClaimExact: Boolean =
+    rowLevel.isEmpty && !changelogMode && streamFrom.isEmpty
+
+  private def exactOf(fs: Array[Filter]): Array[Filter] =
+    if (!mayClaimExact) Array.empty
+    else fs.filter(f =>
+      FilePrune.exactOnPartitions(f, tableSchema, exactPartCols))
+
+  /** The aggregate answered from the manifest, with any partition-exact
+    * pushed filters applied as exact file pruning first; residual (non-
+    * exact) filters refuse — their totals would be over the wrong rows.
+    */
+  private def evalAgg(agg: Aggregation)
+      : Option[(StructType, Seq[InternalRow])] = {
+    val exact = exactOf(pushed)
+    val residual = pushed.filterNot(exact.contains)
+    val fs =
+      if (exact.isEmpty) files
+      else files.filter { f =>
+        val spec =
+          if (specs.isEmpty) partitionBy
+          else {
+            val era = graft.icelite.Renames.eraOf(f.path)
+            specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
+          }
+        val idCols = graft.icelite.PartField.identityCols(spec)
+        val pv = PartValues.decodeExternal(tableSchema, idCols,
+          PartValues.parse(f.path, idCols))
+        exact.forall(fl => FilePrune.canMatch(fl, tableSchema, f, pv))
+      }
+    ManifestAgg.evaluate(agg, tableSchema, partitionBy, fs, residual, specs)
+  }
+
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) answer straight from the
+    * manifest: sums of per-file row/null counts and fold of per-file
+    * min/max. A 100 TB COUNT(*) becomes a metadata-only query — zero file
+    * IO, zero tasks reading parquet. A pushed filter refuses UNLESS it is
+    * partition-exact (then it already selected exactly the matching files);
+    * missing stats or a hive-partitioned aggregate column also refuse.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    rowLevel.isEmpty && deletes.isEmpty &&
-      ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed, specs).isDefined
+    rowLevel.isEmpty && deletes.isEmpty && evalAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     // a row-level operation's scan must yield full rows of the affected
     // files — never an aggregated answer. Outstanding position deletes
     // make the manifest totals wrong too (they count deleted rows).
     if (rowLevel.isDefined || deletes.nonEmpty) return false
-    val r = ManifestAgg.evaluate(agg, tableSchema, partitionBy, files, pushed, specs)
+    val r = evalAgg(agg)
     aggResult = r
     r.isDefined
   }
@@ -442,15 +503,22 @@ private[v2] class IceLiteScanBuilder(
     wantsPosCol = requiredSchema.fieldNames.contains(IceLiteScan.PosMetaCol)
   }
 
-  /** Every filter stays residual: Spark re-evaluates above the scan with
-    * full three-valued NULL semantics, so no filter shape can ever change
-    * results. The source keeps a copy purely for file-level pruning
-    * (manifest stats + exact partition values), where [[FilePrune]] is
-    * conservative by construction.
+  /** Filters stay residual — Spark re-evaluates above the scan with full
+    * three-valued NULL semantics — with ONE exception: partition-exact
+    * filters ([[FilePrune.exactOnPartitions]] over [[exactPartCols]]) are
+    * claimed as fully pushed. For those, every row of a file shares the
+    * file's partition tuple, so file pruning IS the filter (kept file ⟺
+    * all rows satisfy it) and re-evaluation would be a no-op; claiming
+    * them is what lets an Aggregate push down UNDER a partition predicate
+    * ("rows per day WHERE region = …" from manifests alone). Everything
+    * else — data-column predicates, mixed conjuncts, unnormalizable
+    * literals, evolved/renamed layouts — stays residual, and the copy the
+    * source keeps still drives the conservative file-level pruning.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters
+    val exact = exactOf(filters)
+    filters.filterNot(exact.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -533,6 +601,42 @@ private[v2] object ManifestAgg {
             true
           case _ => false
         }
+      // SUM over an integral data column, answered from the writer-recorded
+      // per-file sums (FileStat.sums): exact BigInt fold, SQL NULL when no
+      // non-null value exists anywhere. Refuses when any contributing file
+      // lacks the stat (written by a non-DSv2 path, or its per-file sum
+      // overflowed), when null counts are unknown, or when the exact total
+      // exceeds Long range (the scan then surfaces Spark's own overflow
+      // semantics instead of a silently wrapped metadata answer).
+      case (sm: org.apache.spark.sql.connector.expressions.aggregate.Sum, i)
+          if !sm.isDistinct =>
+        colOf(sm.column).filterNot(partitionBy.contains) match {
+          case Some(c) if tableSchema.fieldNames.contains(c) &&
+              (tableSchema(c).dataType == IntegerType ||
+                tableSchema(c).dataType == LongType) =>
+            val contrib = files.filter(_.rows > 0)
+            if (!contrib.forall(f => f.nullCount(c).isDefined)) false
+            else if (contrib.forall(f => f.nullCount(c).contains(f.rows))) {
+              schema = schema.add(s"sum_$i", LongType, nullable = true)
+              values += null
+              true
+            } else {
+              // files that contain at least one non-null value must carry
+              // an exact sum; all-null files legitimately contribute 0
+              val needed = contrib.filter(f => f.nullCount(c).get < f.rows)
+              if (!needed.forall(f => f.sumOf(c).isDefined)) false
+              else {
+                val total = needed.map(f => f.sumOf(c).get).sum
+                if (!total.isValidLong) false
+                else {
+                  schema = schema.add(s"sum_$i", LongType, nullable = true)
+                  values += total.toLong
+                  true
+                }
+              }
+            }
+          case _ => false
+        }
       case (m: Min, i) => minMax(m.column, files, tableSchema, partitionBy,
         isMin = true).exists { case (dt, v) =>
           schema = schema.add(s"min_$i", dt, nullable = true)
@@ -565,7 +669,9 @@ private[v2] object ManifestAgg {
     // ordinary data columns with stats in their eras.
     val partitionBy = (graft.icelite.PartField.identityCols(partitionBy0) ++
       specs.flatMap(s => graft.icelite.PartField.identityCols(s.cols))).distinct
-    // any residual filter means the manifest totals are over the wrong row set
+    // any RESIDUAL filter means the manifest totals are over the wrong row
+    // set (callers pre-prune `files` by partition-exact filters and pass
+    // only the rest here)
     if (pushedFilters.nonEmpty) return None
     if (files.exists(_.rows < 0)) return None // legacy manifest: unknown rows
 

@@ -493,6 +493,24 @@ private[v2] class IceLiteDataWriter(
   private var done = Seq.empty[String]
   private var stats = Seq.empty[FileStat]
 
+  // Exact per-open-file sums for integral data columns ([[FileStat.sums]]):
+  // parquet footers carry min/max/nulls but no sums, so this row loop is
+  // the one place a per-file SUM stat exists for free. Long arithmetic
+  // with an overflow latch that drops the stat for that column+file —
+  // the manifest aggregate then refuses SUM pushdown instead of lying.
+  private val sumSlot: Array[Int] = {
+    var j = -1
+    dataSchema.fields.map(_.dataType match {
+      case LongType | IntegerType => j += 1; j
+      case _ => -1
+    })
+  }
+  private val nSums = sumSlot.count(_ >= 0)
+  private val sumNames: Array[String] = dataSchema.fields.zipWithIndex
+    .collect { case (f, o) if sumSlot(o) >= 0 => f.name }
+  private val sumAcc = scala.collection.mutable.Map
+    .empty[String, (Array[Long], Array[Boolean])]
+
   private def openWriter(key: String): org.apache.parquet.hadoop.ParquetWriter[Group] = {
     val dir = if (key.isEmpty) stagingDir else s"$stagingDir/$key"
     val file = f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.parquet"
@@ -510,7 +528,13 @@ private[v2] class IceLiteDataWriter(
       w.close()
       // stats from this task's own freshly-written footer, executor-side —
       // the driver never re-opens data files
-      stats :+= FileStats.fromFooter(conf.value, file)
+      val base = FileStats.fromFooter(conf.value, file)
+      stats :+= (sumAcc.remove(key) match {
+        case Some((acc, bad)) => base.copy(sums = sumNames.indices.collect {
+          case j if !bad(j) => sumNames(j) -> acc(j).toString
+        }.toMap)
+        case None => base // no integral data columns
+      })
       done :+= file
     }
 
@@ -578,14 +602,30 @@ private[v2] class IceLiteDataWriter(
         s"${f.fieldName}=${HivePath.escape(raw)}"
       }.mkString("/")
     val current = writerFor(key)
+    val (acc, bad) =
+      if (nSums == 0) (null: Array[Long], null: Array[Boolean])
+      else {
+        val t = sumAcc.getOrElseUpdate(key,
+          (new Array[Long](nSums), new Array[Boolean](nSums)))
+        (t._1, t._2)
+      }
+    def accumulate(o: Int, v: Long): Unit = {
+      val j = sumSlot(o)
+      if (j >= 0 && !bad(j))
+        try acc(j) = Math.addExact(acc(j), v)
+        catch { case _: ArithmeticException => bad(j) = true }
+    }
     val g: Group = factory.newGroup()
     var o = 0
     while (o < dataIdx.length) {
       val i = dataIdx(o)
       val ri = lead + i
       if (!row.isNullAt(ri)) schema.fields(i).dataType match {
-        case LongType => g.add(o, row.getLong(ri))
-        case IntegerType | DateType => g.add(o, row.getInt(ri))
+        case LongType =>
+          val v = row.getLong(ri); g.add(o, v); accumulate(o, v)
+        case IntegerType =>
+          val v = row.getInt(ri); g.add(o, v); accumulate(o, v.toLong)
+        case DateType => g.add(o, row.getInt(ri))
         case DoubleType => g.add(o, row.getDouble(ri))
         case FloatType => g.add(o, row.getFloat(ri))
         case BooleanType => g.add(o, row.getBoolean(ri))

@@ -610,6 +610,106 @@ class DsV2Spec extends SparkSpec {
         .orderBy("event_type").collect().toSeq)
   }
 
+  test("partition-exact filters push fully; filtered aggs answer from manifests") {
+    val wh = warehouse("aggpush-filt")
+    val cat = new IceCatalog(spark, wh)
+    // null partition values exercise the three-valued claims end to end
+    val df = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select(col("event_id"), col("value"),
+        when(col("event_id") % 97 === 0, lit(null))
+          .otherwise(col("event_type")).as("event_type"))
+    cat.createTable("lake", "ev_f", df.schema, partitionBy = Seq("event_type"))
+      .append(df)
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.ev_f").load()
+    // equality filter on the partition column: agg stays manifest-only
+    val q = load().filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"))
+    assert(scanDescOf(q).contains("manifest-only"),
+      s"partition-filtered agg must push: ${scanDescOf(q)}")
+    assert(q.collect().toSeq ==
+      df.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo")).collect().toSeq)
+    // IN filter + grouping
+    val g = load().filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(scanDescOf(g).contains("manifest-only"))
+    assert(g.orderBy("event_type").collect().toSeq ==
+      df.filter(col("event_type").isin("click", "view"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect().toSeq)
+    // IS NULL selects exactly the hive-null partition
+    val n = load().filter(col("event_type").isNull).agg(count(lit(1)).as("n"))
+    assert(scanDescOf(n).contains("manifest-only"))
+    assert(n.collect()(0).getLong(0) ==
+      df.filter(col("event_type").isNull).count())
+    // negation (NOT =) is exact too, and NULL rows stay excluded
+    val ne = load().filter(col("event_type") =!= "click").agg(count(lit(1)).as("n"))
+    assert(scanDescOf(ne).contains("manifest-only"))
+    assert(ne.collect()(0).getLong(0) ==
+      df.filter(col("event_type") =!= "click").count())
+    // a data-column predicate still refuses aggregate pushdown
+    val d = load().filter(col("value") > 0).agg(count(lit(1)).as("n"))
+    assert(!scanDescOf(d).contains("aggPushed"))
+    assert(d.collect()(0).getLong(0) == df.filter(col("value") > 0).count())
+    // ... and so does a mixed conjunct (only its partition half may claim)
+    val m = load().filter(col("event_type") === "click" && col("value") > 0)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDescOf(m).contains("aggPushed"))
+    assert(m.collect()(0).getLong(0) ==
+      df.filter(col("event_type") === "click" && col("value") > 0).count())
+    // plain (non-agg) scans under claimed filters serve exactly the rows
+    val rowsGot = load().filter(col("event_type") === "view")
+      .orderBy("event_id").collect().toSeq
+    val rowsExp = df.filter(col("event_type") === "view")
+      .select(load().columns.map(col): _*)
+      .orderBy("event_id").collect().toSeq
+    assert(rowsGot == rowsExp)
+  }
+
+  test("SUM pushdown: writer-recorded per-file sums answer from the manifest") {
+    val wh = warehouse("aggpush-sum")
+    spark.conf.set("spark.sql.catalog.ice_sum", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_sum.warehouse", wh)
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        when(col("event_id") % 31 === 0, lit(null)).otherwise(col("user_id"))
+          .as("maybe_user"),
+        lit(null).cast("long").as("all_null"))
+    cat.createTable("lake", "ev_s", df.schema, partitionBy = Seq("event_type"))
+    df.writeTo("ice_sum.lake.ev_s").append() // DSv2 writer records sums
+    def load() = spark.table("ice_sum.lake.ev_s")
+    val q = load().agg(sum(col("user_id")).as("s"),
+      sum(col("maybe_user")).as("sm"), sum(col("all_null")).as("sn"),
+      count(lit(1)).as("n"))
+    assert(scanDescOf(q).contains("manifest-only"),
+      s"integral SUM must answer from writer-recorded sums: ${scanDescOf(q)}")
+    val exp = df.agg(sum(col("user_id")), sum(col("maybe_user")),
+      sum(col("all_null")), count(lit(1))).collect()(0)
+    assert(q.collect()(0) == exp)
+    // grouped + partition-exact filter composition: per-type sums WHERE
+    // type IN (...) — still zero file IO
+    val g = load().filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type").agg(sum(col("user_id")).as("s"))
+    assert(scanDescOf(g).contains("manifest-only"))
+    assert(g.orderBy("event_type").collect().toSeq ==
+      df.filter(col("event_type").isin("click", "view"))
+        .groupBy("event_type").agg(sum(col("user_id")).as("s"))
+        .orderBy("event_type").collect().toSeq)
+    // non-integral SUM refuses (doubles have no exact order-free sum)
+    val d = load().agg(sum(col("value")).as("s"))
+    assert(!scanDescOf(d).contains("aggPushed"))
+    // files written by the non-DSv2 path carry no sums: refuse, stay right
+    val t2 = cat.createTable("lake", "ev_s2", df.schema)
+    t2.append(df)
+    val q2 = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.ev_s2").load()
+      .agg(sum(col("user_id")).as("s"))
+    assert(!scanDescOf(q2).contains("aggPushed"))
+    assert(q2.collect()(0) == df.agg(sum(col("user_id"))).collect()(0))
+  }
+
   test("grouped agg pushdown over transform partitions (days/bucket)") {
     val wh = warehouse("aggpush-tf")
     spark.conf.set("spark.sql.catalog.ice_tf", "graft.sources.v2.IceLiteCatalog")
