@@ -95,6 +95,49 @@ object DedupOps {
     * Forcing a shuffled hash join keys both sides on `s`, which is exactly
     * the partitioning that scales.
     */
+  /** Connected-component labels over the >=0.8-Jaccard near-dup graph:
+    * (doc, label) with label = the component's minimum doc_id. Shared by
+    * x16 (the labels themselves) and x29 (representative selection).
+    */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    // Materialize the edge list ONCE and cut its lineage: every loop
+    // round (and the final result) re-references the edges, and without
+    // the checkpoint each reference re-plans the whole shingle/Jaccard
+    // pipeline — the per-round plans grow with the loop and re-walking
+    // them is what a long, cache-churned session amplifies. The edge
+    // list itself is tiny at any scale (near-dup pairs), so this
+    // truncation is cheap and the loop afterwards touches only it.
+    val edges = pairJaccard(sh, sh)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("d1"), col("d2"))
+      .localCheckpoint() // eager: runs the Jaccard pipeline here
+    // ... which also means the shingle cache is no longer needed
+    releaseArrays(s)
+    val bidir = edges.unionByName(
+      edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    var labels = bidir.select(col("d1").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // adopt the min label among self and neighbors; carrying the old
+      // label through lets the convergence check run on the checkpointed
+      // result instead of re-joining the previous round
+      val next = bidir
+        .join(labels.withColumnRenamed("doc", "d1"), Seq("d1"))
+        .groupBy(col("d2").as("doc"))
+        .agg(min(col("label")).as("nlabel"))
+        .join(labels, Seq("doc"))
+        .select(col("doc"), least(col("label"), col("nlabel")).as("label"),
+          col("label").as("old"))
+        .localCheckpoint() // eager: one job per round, lineage stays flat
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("doc", "label")
+    }
+    labels
+  }
+
   private def pairJaccard(shA: DataFrame, shB: DataFrame): DataFrame =
     shA.as("a")
       .join(shB.as("b").hint("shuffle_hash"),
@@ -254,43 +297,58 @@ object DedupOps {
               |  SELECT b.d2 AS doc, r.label FROM reach r JOIN bidir b ON b.d1 = r.doc)
               |SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        clusterLabels(s, dir)
+          .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")),
+
+    // Canonical-representative selection — the decision step after
+    // clustering: per near-dup cluster keep exactly one document (the
+    // longest; ties break to the smallest doc_id) and mark the rest drop.
+    // Output covers only clustered docs: unclustered documents are their
+    // own representative by definition, so the keep-list a pipeline
+    // applies is "NOT IN (drop set)" — the drop set is what ships. The
+    // window partitions by cluster over the (tiny) clustered subset; the
+    // corpus contributes token counts through a broadcast join and never
+    // shuffles.
+    QDef(
+      "x29_dedup_canonical",
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id d1, b.doc_id d2, count(*) o FROM sh a
+              |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT d1, d2 FROM inter
+              |  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+              |  WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.8),
+              |bidir AS (SELECT d1, d2 FROM edges UNION SELECT d2, d1 FROM edges),
+              |nodes AS (SELECT DISTINCT d1 AS doc FROM bidir),
+              |reach AS (
+              |  SELECT doc, doc AS label FROM nodes
+              |  UNION
+              |  SELECT b.d2 AS doc, r.label FROM reach r JOIN bidir b ON b.d1 = r.doc),
+              |lab AS (SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+              |        FROM reach GROUP BY doc),
+              |tok AS (SELECT doc_id,
+              |          CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+              |        FROM documents)
+              |SELECT l.doc_id, l.cluster_id, t.n_tokens,
+              |  row_number() OVER (PARTITION BY l.cluster_id
+              |                     ORDER BY t.n_tokens DESC, l.doc_id) = 1 AS keep
+              |FROM lab l JOIN tok t USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val sh = shingles(s, dir)
-        // Materialize the edge list ONCE and cut its lineage: every loop
-        // round (and the final result) re-references the edges, and without
-        // the checkpoint each reference re-plans the whole shingle/Jaccard
-        // pipeline — the per-round plans grow with the loop and re-walking
-        // them is what a long, cache-churned session amplifies. The edge
-        // list itself is tiny at any scale (near-dup pairs), so this
-        // truncation is cheap and the loop afterwards touches only it.
-        val edges = pairJaccard(sh, sh)
-          .filter(col("jaccard") >= 0.8)
-          .select(col("d1"), col("d2"))
-          .localCheckpoint() // eager: runs the Jaccard pipeline here
-        // ... which also means the shingle cache is no longer needed
-        releaseArrays(s)
-        val bidir = edges.unionByName(
-          edges.select(col("d2").as("d1"), col("d1").as("d2")))
-        var labels = bidir.select(col("d1").as("doc")).distinct()
-          .withColumn("label", col("doc"))
-          .localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          // adopt the min label among self and neighbors; carrying the old
-          // label through lets the convergence check run on the checkpointed
-          // result instead of re-joining the previous round
-          val next = bidir
-            .join(labels.withColumnRenamed("doc", "d1"), Seq("d1"))
-            .groupBy(col("d2").as("doc"))
-            .agg(min(col("label")).as("nlabel"))
-            .join(labels, Seq("doc"))
-            .select(col("doc"), least(col("label"), col("nlabel")).as("label"),
-              col("label").as("old"))
-            .localCheckpoint() // eager: one job per round, lineage stays flat
-          changed = next.filter(col("label") =!= col("old")).count()
-          labels = next.select("doc", "label")
-        }
-        labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+        import org.apache.spark.sql.expressions.Window
+        val lab = clusterLabels(s, dir)
+          .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        tok.join(broadcast(lab), "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "cluster_id", "n_tokens", "keep")
           .orderBy("doc_id")
       }),
 

@@ -503,6 +503,62 @@ object TextOps {
           .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
           .select(col("doc_id"), col("lang"), col("tokens"))
           .orderBy("doc_id")
+      }),
+
+    // Boilerplate stripping (the C4/RefinedWeb "remove spans repeated
+    // across the corpus" step): docs split into non-overlapping 2-token
+    // chunks; a chunk whose corpus document-frequency exceeds 4% of the
+    // corpus is boilerplate, and every doc is re-emitted with those chunks
+    // removed (order preserved). Shape at 100 TB: ONE shuffle to count
+    // distinct (chunk, doc) pairs, then the over-threshold chunk set —
+    // small by definition (|hot| <= chunks/(0.04·N)) — broadcasts and the
+    // rebuild pass is entirely row-local: the corpus itself never
+    // shuffles for reconstruction. (A real deployment swaps the broadcast
+    // array for a bloom/hash structure; the plan shape is identical.)
+    QDef(
+      "x28_boilerplate_strip",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+             |ch AS (
+             |  SELECT doc_id, CAST(i AS INT) AS i,
+             |    array_to_string(list_slice(tk, CAST(i AS INT)+1, CAST(i AS INT)+2), ' ') AS c
+             |  FROM tk, unnest(range(0, len(tk), 2)) t(i)),
+             |freq AS (SELECT c, count(DISTINCT doc_id) AS df FROM ch GROUP BY c),
+             |tot AS (SELECT count(*) AS n FROM documents),
+             |hot AS (SELECT c FROM freq, tot WHERE df > 0.04 * n),
+             |flag AS (
+             |  SELECT ch.doc_id, ch.i, ch.c, hot.c IS NOT NULL AS is_hot
+             |  FROM ch LEFT JOIN hot ON ch.c = hot.c)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+             |  CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS INT) AS n_removed,
+             |  coalesce(array_to_string(list(c ORDER BY i) FILTER (WHERE NOT is_hot), ' '),
+             |           '') AS clean_text
+             |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tk = docs.select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("tk"))
+        val ch = tk
+          .select(col("doc_id"), col("tk"),
+            explode(expr("sequence(0, size(tk)-1, 2)")).as("i"))
+          .select(col("doc_id"),
+            expr("array_join(slice(tk, i+1, 2), ' ')").as("c"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        val freq = ch.distinct().groupBy("c").agg(count(lit(1)).as("df"))
+        val hot = freq.crossJoin(broadcast(tot))
+          .filter(col("df") > lit(0.04) * col("n")).select("c")
+        val hotArr = hot.agg(collect_set(col("c")).as("hot"))
+        tk.crossJoin(broadcast(hotArr))
+          .select(col("doc_id"),
+            expr("transform(sequence(0, size(tk)-1, 2), " +
+              "i -> array_join(slice(tk, i+1, 2), ' '))").as("cs"),
+            col("hot"))
+          .select(col("doc_id"),
+            size(col("cs")).as("n_chunks"),
+            expr("size(filter(cs, c -> array_contains(hot, c)))").as("n_removed"),
+            expr("array_join(filter(cs, c -> NOT array_contains(hot, c)), ' ')")
+              .as("clean_text"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -11,7 +11,7 @@ class QueriesSpec extends SparkSpec {
   // queries whose result can legitimately be empty at tiny scale
   private val mayBeEmpty = Set("j2_anti_join", "x4_dedup_ngram_jaccard",
     "x2_dedup_minhash_lsh", "x5_dedup_embedding",
-    "x16_dedup_cluster") // empty exactly when x4's pair set is
+    "x16_dedup_cluster", "x29_dedup_canonical") // empty exactly when x4's pair set is
 
   SparkEntry.allDefs.foreach { q =>
     test(s"${q.name} runs on sf0.001") {
