@@ -519,6 +519,38 @@ object IceliteOps {
         df
       }),
 
+    // S5e: aggregates OVER the partition column itself — MIN/MAX/COUNT/
+    // COUNT(DISTINCT) of an identity partition column fold the exact
+    // directory values: "latest partition" / "how many partitions", the
+    // operational pulse checks on any partitioned 100 TB table, with zero
+    // file IO (plan asserted in-query). Reuses the s5 fixture.
+    QDef(
+      "s11_agg_pushdown_partition_stats",
+      Some("""SELECT MIN(event_type) AS first_type, MAX(event_type) AS last_type,
+             |  COUNT(event_type) AS n_typed, COUNT(DISTINCT event_type) AS n_types,
+             |  COUNT(*) AS n
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s5", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh)
+            .createTable("lake", "events_p", ev.schema,
+              partitionBy = Seq("event_type"))
+            .append(ev)
+        }
+        val df = s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_p").load()
+          .agg(min(col("event_type")).as("first_type"),
+            max(col("event_type")).as("last_type"),
+            count(col("event_type")).as("n_typed"),
+            countDistinct(col("event_type")).as("n_types"),
+            count(lit(1)).as("n"))
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "partition-column aggregates must push down to the manifest-only scan")
+        df
+      }),
+
     // S6b: grouped aggregate pushdown over a TRANSFORM partition — GROUP BY
     // system.days(ts) on a days(ts)-partitioned table is "rows per day",
     // THE operational query on a time-partitioned 100 TB table, answered

@@ -559,6 +559,45 @@ object TextOps {
             expr("array_join(filter(cs, c -> NOT array_contains(hot, c)), ' ')")
               .as("clean_text"))
           .orderBy("doc_id")
+      }),
+
+    // Language-model familiarity scoring — the log-prob-free analog of
+    // perplexity filtering: a document's score is the average corpus
+    // frequency of its bigrams (familiar text scores high, out-of-
+    // distribution text low). Exact integer arithmetic with ONE double
+    // division, so both engines agree bit-for-bit — the reason this uses
+    // raw frequencies, not log-probs (libm log() is not cross-engine
+    // reproducible). Shape at 100 TB: the bigram table is bounded by
+    // vocab² — it broadcasts as a map and each doc scores ROW-LOCALLY
+    // (aggregate() over its own bigram array); the corpus shuffles once
+    // for the counts and never for the scoring.
+    QDef(
+      "x30_lm_familiarity",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT doc_id, tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS b
+             |  FROM tk, unnest(range(0, len(tk)-1)) t(i)),
+             |cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |  CAST(sum(c) AS DOUBLE) / count(*) AS familiarity
+             |FROM bg JOIN cnt USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val bgs = tk.select(col("doc_id"), expr(
+          "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))").as("bgs"))
+        val counts = bgs.select(explode(col("bgs")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("c"))
+        val cmap = counts.agg(
+          map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+        bgs.crossJoin(broadcast(cmap))
+          .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
+            (expr("aggregate(bgs, 0L, (acc, b) -> acc + element_at(m, b))")
+              .cast("double") / size(col("bgs"))).as("familiarity"))
+          .orderBy("doc_id")
       })
   )
 }

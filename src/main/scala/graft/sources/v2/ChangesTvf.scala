@@ -11,20 +11,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * `IceTable.changelog` — every committed row change in `(from, to]` with
   * `_change_type`/`_commit_snapshot_id` — so SQL-only consumers
   * (schedulers, BI, notebooks without the library) replay a CDC window.
-  * Bounds are snapshot ids (integer literals) or POINTS IN TIME (TIMESTAMP/
-  * DATE/string literals, resolved against the snapshot log with `TIMESTAMP
-  * AS OF` semantics) — CDC consumers think in time, not snapshot ids.
+  * Bounds are snapshot ids (integer literals), TAG/BRANCH names, or POINTS
+  * IN TIME (TIMESTAMP/DATE/string literals, resolved against the snapshot
+  * log with `TIMESTAMP AS OF` semantics) — CDC consumers think in time and
+  * releases ("what changed between v1 and v2"), not snapshot ids.
   * Arguments must be literals: they select table METADATA, which is
   * exactly the planning-time decision a table function makes.
   */
 object ChangesTvf {
 
-  /** A window bound: a snapshot id (integer literal) or a point in time
-    * (TIMESTAMP/DATE/string literal) resolved against the snapshot log.
+  /** A window bound: a snapshot id (integer literal), a tag/branch name,
+    * or a point in time (TIMESTAMP/DATE/string literal) resolved against
+    * the snapshot log. String bounds try the ref ledger first — "what
+    * changed between release tags" is the natural CDC diff question —
+    * then parse as a timestamp.
     */
   private sealed trait Bound
   private final case class IdBound(id: Long) extends Bound
   private final case class TimeBound(micros: Long) extends Bound
+  private final case class NameBound(s: String) extends Bound
 
   private def tsMicros(fname: String, what: String, s: String): Long = {
     val inst =
@@ -40,8 +45,9 @@ object ChangesTvf {
               catch {
                 case _: java.time.format.DateTimeParseException =>
                   throw new IllegalArgumentException(
-                    s"$fname: $what string '$s' is not a timestamp " +
-                      "(use an integer literal for a snapshot id)")
+                    s"$fname: $what string '$s' is neither a tag/branch " +
+                      "of this table nor a timestamp (use an integer " +
+                      "literal for a snapshot id)")
               }
           }
       }
@@ -56,6 +62,12 @@ object ChangesTvf {
   private def resolve(fname: String, what: String,
       tbl: graft.icelite.IceTable, b: Bound, isFrom: Boolean): Long = b match {
     case IdBound(id) => id
+    case NameBound(s) =>
+      tbl.meta.refSnapshot(s) match {
+        case Some(id) => id
+        case None =>
+          resolve(fname, what, tbl, TimeBound(tsMicros(fname, what, s)), isFrom)
+      }
     case TimeBound(us) =>
       val ms = us / 1000L
       tbl.snapshots.filter(_.timestampMs <= ms).map(_.snapshotId)
@@ -97,7 +109,7 @@ object ChangesTvf {
           TimeBound(v.asInstanceOf[Number].longValue)
         case DateType => // epoch day → midnight UTC
           TimeBound(v.asInstanceOf[Number].longValue * 86400000000L)
-        case StringType => TimeBound(tsMicros(fname, what, v.toString))
+        case StringType => NameBound(v.toString) // ref first, then timestamp
         case other => throw new IllegalArgumentException(
           s"$fname: $what must be an integer snapshot id or a " +
             s"timestamp/date, got ${other.simpleString}")

@@ -248,7 +248,12 @@ private[v2] class IceLiteTable(
     changelogMode: Boolean = false,
     // streaming start offset (`fromSnapshotId` on a readStream): a fresh
     // checkpoint begins at this snapshot instead of replaying full history
-    streamFrom: Option[Long] = None)
+    streamFrom: Option[Long] = None,
+    // filters pushed into the STREAM by StreamScanPruning (Spark never
+    // runs DSv2 pushdown on streaming relations): each micro-batch prunes
+    // its added files against these, conservatively — the Filter node
+    // stays in the plan, so this is purely an IO win
+    private[graft] val streamFilters: Seq[Filter] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -345,7 +350,7 @@ private[v2] class IceLiteTable(
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       renames = renames, widened = widened, specs = specs, deletes = deletes,
       sortOrder = sortOrder, changelogMode = changelogMode,
-      streamFrom = streamFrom)
+      streamFrom = streamFrom, streamFilters = streamFilters)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -371,7 +376,16 @@ private[v2] class IceLiteTable(
       // a PREFIX of the sort order survives any projection: files sorted
       // by (a, b) are sorted by (a)
       sortOrder.takeWhile(names.contains), viaCatalog, tableProps, changelogMode,
-      streamFrom)
+      streamFrom, streamFilters)
+
+  /** This table with stream-planning filters attached (see
+    * [[StreamScanPruning]]); each micro-batch prunes its added files
+    * against them before any IO.
+    */
+  private[graft] def withStreamFilters(fs: Seq[Filter]): IceLiteTable =
+    new IceLiteTable(warehouse, ns, tbl, tableSchema, partitionBy, files,
+      renames, widened, specs, deletes, sortOrder, viaCatalog, tableProps,
+      changelogMode, streamFrom, fs)
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -398,7 +412,9 @@ private[v2] class IceLiteScanBuilder(
     // streaming CDC changelog relation — see IceLiteChangelogStream
     changelogMode: Boolean = false,
     // streaming start offset (fresh checkpoints begin here)
-    streamFrom: Option[Long] = None)
+    streamFrom: Option[Long] = None,
+    // stream-planning filters (StreamScanPruning) — per-batch file pruning
+    streamFilters: Seq[Filter] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -531,7 +547,7 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
         streamMaxFiles, renames, widened, specs, deletes, sortOrder,
-        changelogMode, streamFrom)
+        changelogMode, streamFrom, streamFilters)
   }
 }
 
@@ -580,12 +596,80 @@ private[v2] object ManifestAgg {
     }
   }
 
+  /** Exact identity-partition value per file (catalyst-internal; None for
+    * the hive null partition), when EVERY file's own-era spec identity-
+    * partitions `c` and its directory value decodes. This is what makes
+    * aggregates OVER partition columns metadata-answerable: the values
+    * live in paths, not file stats, but they are exact per-file constants
+    * — `MAX(day)` ("latest partition") is the single most common
+    * operational query on a time-partitioned table.
+    */
+  private def partitionVals(c: String, files: Seq[FileStat],
+      tableSchema: StructType, partitionBy0: Seq[String],
+      specs: Seq[graft.icelite.PartSpecChange])
+      : Option[Seq[(FileStat, Option[Any])]] = {
+    if (!tableSchema.fieldNames.contains(c)) return None
+    val out = Seq.newBuilder[(FileStat, Option[Any])]
+    files.foreach { f =>
+      val spec =
+        if (specs.isEmpty) partitionBy0
+        else {
+          val era = graft.icelite.Renames.eraOf(f.path)
+          specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy0)
+        }
+      if (!graft.icelite.PartField.identityCols(spec).contains(c)) return None
+      val raw = PartValues.parse(f.path, Seq(c))
+      if (!raw.contains(c)) return None
+      raw(c) match {
+        case None => out += f -> None
+        case Some(_) =>
+          val d = PartValues.decodeExternal(tableSchema, Seq(c), raw)
+          if (!d.contains(c)) return None
+          out += f -> Some(d(c))
+      }
+    }
+    Some(out.result())
+  }
+
   /** The per-group aggregate (schema, values) over one file subset, or None
     * when the manifest cannot answer exactly.
     */
   private def evalAggs(agg: Aggregation, tableSchema: StructType,
-      partitionBy: Seq[String], files: Seq[FileStat])
+      partitionBy: Seq[String], files: Seq[FileStat],
+      partitionBy0: Seq[String], specs: Seq[graft.icelite.PartSpecChange])
       : Option[(StructType, Vector[Any])] = {
+    def pvalsOf(c: String) =
+      partitionVals(c, files, tableSchema, partitionBy0, specs)
+    // (exact sum of non-null values, non-null row count) of an integral
+    // column — writer-recorded per-file sums (FileStat.sums) for data
+    // columns, directory value × rows for identity partition columns —
+    // or None when the manifest cannot answer exactly (a file written by
+    // a sum-less path, unknown null counts, a per-file overflow latch).
+    // SUM and AVG both fold through this.
+    def exactSumCount(c: String): Option[(BigInt, Long)] = {
+      if (!tableSchema.fieldNames.contains(c)) return None
+      val dt = tableSchema(c).dataType
+      if (dt != IntegerType && dt != LongType) return None
+      if (partitionBy.contains(c))
+        pvalsOf(c).map { vals =>
+          val contrib = vals.filter(_._1.rows > 0)
+          (contrib.collect { case (f, Some(v)) =>
+            BigInt(v.asInstanceOf[Number].longValue) * f.rows }.sum,
+            contrib.collect { case (f, Some(_)) => f.rows }.sum)
+        }
+      else {
+        val contrib = files.filter(_.rows > 0)
+        if (!contrib.forall(f => f.nullCount(c).isDefined)) None
+        else {
+          // files holding at least one non-null value must carry an exact
+          // sum; all-null files legitimately contribute 0
+          val needed = contrib.filter(f => f.nullCount(c).get < f.rows)
+          if (!needed.forall(f => f.sumOf(c).isDefined)) None
+          else Some((needed.map(f => f.sumOf(c).get).sum,
+            contrib.map(f => f.rows - f.nullCount(c).get).sum))
+        }
+      }
+    }
     val values = Vector.newBuilder[Any]
     var schema = StructType(Nil)
     val ok = agg.aggregateExpressions().zipWithIndex.forall {
@@ -594,11 +678,33 @@ private[v2] object ManifestAgg {
         values += files.map(_.rows).sum
         true
       case (c: Count, i) if !c.isDistinct =>
-        colOf(c.column).filterNot(partitionBy.contains) match {
+        colOf(c.column) match {
+          // identity partition column: a file's rows are ALL null (hive
+          // null dir) or ALL non-null — the null accounting is the layout
+          case Some(col) if partitionBy.contains(col) =>
+            pvalsOf(col).exists { vals =>
+              schema = schema.add(s"count_$i", LongType, nullable = false)
+              values += vals.filter(_._2.isDefined).map(_._1.rows).sum
+              true
+            }
           case Some(col) if files.forall(_.nullCount(col).isDefined) =>
             schema = schema.add(s"count_$i", LongType, nullable = false)
             values += files.map(f => f.rows - f.nullCount(col).get).sum
             true
+          case _ => false
+        }
+      // COUNT(DISTINCT partition_col): the distinct directory values of
+      // non-empty files — exact, because an identity column's value set IS
+      // its directory set ("how many days of data" as a metadata read)
+      case (c: Count, i) if c.isDistinct =>
+        colOf(c.column).filter(partitionBy.contains) match {
+          case Some(col) =>
+            pvalsOf(col).exists { vals =>
+              schema = schema.add(s"count_$i", LongType, nullable = false)
+              values += vals.filter(v => v._1.rows > 0 && v._2.isDefined)
+                .map(_._2.get).distinct.size.toLong
+              true
+            }
           case _ => false
         }
       // SUM over an integral data column, answered from the writer-recorded
@@ -610,32 +716,41 @@ private[v2] object ManifestAgg {
       // semantics instead of a silently wrapped metadata answer).
       case (sm: org.apache.spark.sql.connector.expressions.aggregate.Sum, i)
           if !sm.isDistinct =>
-        colOf(sm.column).filterNot(partitionBy.contains) match {
-          case Some(c) if tableSchema.fieldNames.contains(c) &&
-              (tableSchema(c).dataType == IntegerType ||
-                tableSchema(c).dataType == LongType) =>
-            val contrib = files.filter(_.rows > 0)
-            if (!contrib.forall(f => f.nullCount(c).isDefined)) false
-            else if (contrib.forall(f => f.nullCount(c).contains(f.rows))) {
-              schema = schema.add(s"sum_$i", LongType, nullable = true)
-              values += null
-              true
-            } else {
-              // files that contain at least one non-null value must carry
-              // an exact sum; all-null files legitimately contribute 0
-              val needed = contrib.filter(f => f.nullCount(c).get < f.rows)
-              if (!needed.forall(f => f.sumOf(c).isDefined)) false
-              else {
-                val total = needed.map(f => f.sumOf(c).get).sum
-                if (!total.isValidLong) false
-                else {
-                  schema = schema.add(s"sum_$i", LongType, nullable = true)
-                  values += total.toLong
-                  true
-                }
-              }
-            }
+        colOf(sm.column).flatMap(exactSumCount) match {
+          case Some((total, n)) if n == 0 || total.isValidLong =>
+            schema = schema.add(s"sum_$i", LongType, nullable = true)
+            values += (if (n == 0) null else total.toLong)
+            true
+          case _ => false // exceeds Long: the scan surfaces Spark's own
+                          // overflow semantics instead of a wrapped answer
+        }
+      // AVG = exact total / non-null count, ONE double rounding — at least
+      // as deterministic as any scan-side fold
+      case (av: org.apache.spark.sql.connector.expressions.aggregate.Avg, i)
+          if !av.isDistinct =>
+        colOf(av.column).flatMap(exactSumCount) match {
+          case Some((total, n)) =>
+            schema = schema.add(s"avg_$i", DoubleType, nullable = true)
+            values += (if (n == 0) null
+            else BigDecimal(total).toDouble / n)
+            true
           case _ => false
+        }
+      // MIN/MAX over an identity partition column folds the exact directory
+      // values of non-empty files ("latest partition" as a metadata read)
+      case (m: Min, i) if colOf(m.column).exists(partitionBy.contains) =>
+        partMinMax(colOf(m.column).get, isMin = true, files, tableSchema,
+          partitionBy0, specs).exists { case (dt, v) =>
+          schema = schema.add(s"min_$i", dt, nullable = true)
+          values += v
+          true
+        }
+      case (m: Max, i) if colOf(m.column).exists(partitionBy.contains) =>
+        partMinMax(colOf(m.column).get, isMin = false, files, tableSchema,
+          partitionBy0, specs).exists { case (dt, v) =>
+          schema = schema.add(s"max_$i", dt, nullable = true)
+          values += v
+          true
         }
       case (m: Min, i) => minMax(m.column, files, tableSchema, partitionBy,
         isMin = true).exists { case (dt, v) =>
@@ -677,7 +792,7 @@ private[v2] object ManifestAgg {
 
     val grouping = agg.groupByExpressions().toSeq
     if (grouping.isEmpty)
-      return evalAggs(agg, tableSchema, partitionBy, files).map {
+      return evalAggs(agg, tableSchema, partitionBy, files, partitionBy0, specs).map {
         case (schema, vals) =>
           (schema, Seq(new GenericInternalRow(vals.toArray)))
       }
@@ -726,7 +841,7 @@ private[v2] object ManifestAgg {
     var aggSchema: Option[StructType] = None
     val ok = byGroup.toSeq.sortBy(_._1.toString)
       .forall { case (key, groupFiles) =>
-        evalAggs(agg, tableSchema, partitionBy, groupFiles) match {
+        evalAggs(agg, tableSchema, partitionBy, groupFiles, partitionBy0, specs) match {
           case Some((schema, vals)) =>
             aggSchema = Some(schema)
             val keyRow = PartValues.internalRow(groupSchema,
@@ -742,6 +857,21 @@ private[v2] object ManifestAgg {
     if (!ok || aggSchema.isEmpty) None
     else Some((StructType(groupSchema.fields ++ aggSchema.get.fields), rows.result()))
   }
+
+  /** MIN/MAX of an identity partition column from its exact directory
+    * values (non-empty files only; hive-null partitions yield no value, so
+    * an all-null column folds to SQL NULL).
+    */
+  private def partMinMax(c: String, isMin: Boolean, files: Seq[FileStat],
+      tableSchema: StructType, partitionBy0: Seq[String],
+      specs: Seq[graft.icelite.PartSpecChange]): Option[(DataType, Any)] =
+    partitionVals(c, files, tableSchema, partitionBy0, specs).map { vals =>
+      val dt = tableSchema(c).dataType
+      val nonNull = vals.filter(v => v._1.rows > 0 && v._2.isDefined).map(_._2.get)
+      (dt, if (nonNull.isEmpty) null
+      else nonNull.reduce((a, b) =>
+        if (cmpCatalyst(dt, a, b) <= 0 == isMin) a else b))
+    }
 
   /** Fold per-file min/max stats for `col` into one catalyst value, or None
     * when any file (with rows) lacks usable stats. All-null columns yield a
@@ -1198,7 +1328,9 @@ private[v2] class IceLiteScan(
     // streaming CDC changelog relation — micro-batch only
     changelogMode: Boolean = false,
     // streaming start offset (fresh checkpoints begin here)
-    streamFrom: Option[Long] = None)
+    streamFrom: Option[Long] = None,
+    // stream-planning filters (StreamScanPruning) — per-batch file pruning
+    streamFilters: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -1544,7 +1676,7 @@ private[v2] class IceLiteScan(
         streamMaxFiles, streamFrom.getOrElse(0L))
     else
       new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
-        streamMaxFiles, specs, streamFrom.getOrElse(0L))
+        streamMaxFiles, specs, streamFrom.getOrElse(0L), streamFilters)
 }
 
 /** Snapshot-id offsets for the streaming read. */
@@ -1570,7 +1702,12 @@ private[v2] class IceLiteMicroBatchStream(
     // this snapshot (exclusive) instead of replaying full history — the
     // bound a CDC consumer uses on first attach. Restarted checkpoints
     // resume from their own committed offsets regardless.
-    startSnapshotId: Long = 0L)
+    startSnapshotId: Long = 0L,
+    // filters pushed by StreamScanPruning: each batch's added files prune
+    // against partition values + manifest stats BEFORE any IO. Purely
+    // conservative — the plan's own Filter still runs — so a partitioned
+    // stream consumer pays only for the partitions it watches.
+    pushedFilters: Seq[Filter] = Nil)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1657,6 +1794,23 @@ private[v2] class IceLiteMicroBatchStream(
         specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
       }
     graft.icelite.FileStats.addedInRange(fs, m, from, to, s"streaming read of $ns.$tbl")
+      .filter { f =>
+        pushedFilters.isEmpty || {
+          val spec = specOf(f.path)
+          val idCols = graft.icelite.PartField.identityCols(spec)
+          val pv = PartValues.decodeExternal(tableSchema, idCols,
+            PartValues.parse(f.path, idCols))
+          val tFields = graft.icelite.PartField.parseSpec(spec)
+            .filterNot(_.isIdentity)
+          val tRaw =
+            if (tFields.isEmpty) Map.empty[String, Option[String]]
+            else PartValues.parse(f.path, tFields.map(_.fieldName))
+          pushedFilters.forall(fl =>
+            FilePrune.canMatch(fl, tableSchema, f, pv) &&
+              (tFields.isEmpty ||
+                graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw)))
+        }
+      }
       .map { f =>
         val spec = specOf(f.path)
         if (spec == partitionBy)

@@ -719,5 +719,13 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT * FROM icelite_appends('$wh', 'lake.cdct', '$t1', '$t2')")
       .count() == 10)
+    // tag/branch names resolve as bounds too: the release-diff question
+    tbl.tag("v1", 1L); tbl.tag("v2", 2L)
+    assert(spark.sql(
+      s"SELECT * FROM icelite_changes('$wh', 'lake.cdct', 'v1', 'v2')")
+      .count() == 10)
+    assert(spark.sql(
+      s"SELECT * FROM icelite_appends('$wh', 'lake.cdct', 'v1')")
+      .count() == 15)
   }
 }

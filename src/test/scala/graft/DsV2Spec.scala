@@ -272,6 +272,38 @@ class DsV2Spec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("streaming filter on a partition column prunes batch files before IO") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val wh = warehouse("stream-filt")
+    val cat = new IceCatalog(spark, wh)
+    val ev = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    cat.createTable("lake", "ev_sf", ev.schema, partitionBy = Seq("event_type"))
+      .append(ev)
+    val name = s"stream_filt_${System.nanoTime()}"
+    val q = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.ev_sf").load()
+      .filter(col("event_type") === "click")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-stream-filt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val clicks = ev.filter(col("event_type") === "click")
+    assert(spark.table(name).count() == clicks.count())
+    // the pruning proof: the SOURCE served only the click partition's rows
+    // (without file pruning numInputRows would be the whole table — the
+    // Filter above the scan hides that waste from the result but not from
+    // the progress counters)
+    val served = q.recentProgress.map(_.numInputRows).sum
+    assert(served == clicks.count(),
+      s"stream served $served rows for a one-partition filter " +
+        s"(expected ${clicks.count()}) — batch file pruning inert")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("hidden-partitioned tables: MOR delete, SQL UPDATE, and streaming") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("hp-interop")
@@ -667,6 +699,46 @@ class DsV2Spec extends SparkSpec {
     assert(rowsGot == rowsExp)
   }
 
+  test("aggregates over identity partition columns answer from directory values") {
+    val wh = warehouse("aggpush-part")
+    val cat = new IceCatalog(spark, wh)
+    // string partition column with nulls: MIN/MAX/COUNT/COUNT(DISTINCT)
+    val ev = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select(col("event_id"), col("value"),
+        when(col("event_id") % 97 === 0, lit(null))
+          .otherwise(col("event_type")).as("event_type"))
+    cat.createTable("lake", "ev_p", ev.schema, partitionBy = Seq("event_type"))
+      .append(ev)
+    val q = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.ev_p").load()
+      .agg(min(col("event_type")).as("lo"), max(col("event_type")).as("hi"),
+        count(col("event_type")).as("n"),
+        countDistinct(col("event_type")).as("nd"))
+    assert(scanDescOf(q).contains("manifest-only"),
+      s"partition-column aggregates must answer from dir values: ${scanDescOf(q)}")
+    assert(q.collect()(0) == ev.agg(min(col("event_type")), max(col("event_type")),
+      count(col("event_type")), countDistinct(col("event_type"))).collect()(0))
+    // integral partition column: SUM = dir value × rows, exactly
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    cat.createTable("lake", "nat_p", n.schema, partitionBy = Seq("n_regionkey"))
+      .append(n)
+    val qs = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.nat_p").load()
+      .agg(sum(col("n_regionkey")).as("s"), max(col("n_regionkey")).as("hi"),
+        countDistinct(col("n_regionkey")).as("nd"))
+    assert(scanDescOf(qs).contains("manifest-only"))
+    assert(qs.collect()(0) == n.agg(sum(col("n_regionkey")),
+      max(col("n_regionkey")), countDistinct(col("n_regionkey"))).collect()(0))
+    // COUNT(DISTINCT data_column) has no metadata answer: refuse, stay right
+    val qd = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.nat_p").load()
+      .agg(countDistinct(col("n_name")).as("nd"))
+    assert(!scanDescOf(qd).contains("aggPushed"))
+    assert(qd.collect()(0).getLong(0) ==
+      n.select("n_name").distinct().count())
+  }
+
   test("SUM pushdown: writer-recorded per-file sums answer from the manifest") {
     val wh = warehouse("aggpush-sum")
     spark.conf.set("spark.sql.catalog.ice_sum", "graft.sources.v2.IceLiteCatalog")
@@ -697,6 +769,21 @@ class DsV2Spec extends SparkSpec {
       df.filter(col("event_type").isin("click", "view"))
         .groupBy("event_type").agg(sum(col("user_id")).as("s"))
         .orderBy("event_type").collect().toSeq)
+    // AVG rides the same exact totals: one double rounding, manifest-only
+    val a = load().agg(avg(col("user_id")).as("a"),
+      avg(col("maybe_user")).as("am"), avg(col("all_null")).as("an"))
+    assert(scanDescOf(a).contains("manifest-only"),
+      s"integral AVG must answer from writer-recorded sums: ${scanDescOf(a)}")
+    val aRow = a.collect()(0)
+    val aExp = df.agg(avg(col("user_id")), avg(col("maybe_user")),
+      avg(col("all_null"))).collect()(0)
+    // the scan-side fold rounds per-row (doubles); the metadata answer
+    // rounds once — equal to within ulps
+    assert(math.abs(aRow.getDouble(0) - aExp.getDouble(0))
+      <= 1e-9 * math.abs(aExp.getDouble(0)))
+    assert(math.abs(aRow.getDouble(1) - aExp.getDouble(1))
+      <= 1e-9 * math.abs(aExp.getDouble(1)))
+    assert(aRow.isNullAt(2) && aExp.isNullAt(2))
     // non-integral SUM refuses (doubles have no exact order-free sum)
     val d = load().agg(sum(col("value")).as("s"))
     assert(!scanDescOf(d).contains("aggPushed"))
