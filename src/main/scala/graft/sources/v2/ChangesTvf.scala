@@ -31,28 +31,15 @@ object ChangesTvf {
   private final case class TimeBound(micros: Long) extends Bound
   private final case class NameBound(s: String) extends Bound
 
-  private def tsMicros(fname: String, what: String, s: String): Long = {
-    val inst =
-      try java.time.Instant.parse(s)
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC)
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              try java.time.LocalDate.parse(s).atStartOfDay()
-                .toInstant(java.time.ZoneOffset.UTC)
-              catch {
-                case _: java.time.format.DateTimeParseException =>
-                  throw new IllegalArgumentException(
-                    s"$fname: $what string '$s' is neither a tag/branch " +
-                      "of this table nor a timestamp (use an integer " +
-                      "literal for a snapshot id)")
-              }
-          }
-      }
-    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-  }
+  private def tsMicros(fname: String, what: String, s: String): Long =
+    try IceLiteV2.tsMicros(s"$fname: $what", s)
+    catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$fname: $what string '$s' is neither a tag/branch of this " +
+            "table nor a timestamp (use an integer literal for a " +
+            "snapshot id)")
+    }
 
   /** `TIMESTAMP AS OF` semantics per bound: the table state at time t is
     * the latest snapshot committed at or before t, so a time `from` means
@@ -70,8 +57,8 @@ object ChangesTvf {
       }
     case TimeBound(us) =>
       val ms = us / 1000L
-      tbl.snapshots.filter(_.timestampMs <= ms).map(_.snapshotId)
-        .maxOption.getOrElse {
+      IceLiteV2.snapshotAtOrBefore(tbl.meta, ms)
+        .getOrElse {
           if (isFrom) 0L
           else throw new IllegalArgumentException(
             s"$fname: no snapshot committed at or before the $what bound " +

@@ -71,6 +71,15 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
         throw new IllegalArgumentException(
           s"no tag '$r' on ${meta.namespace}.${meta.name} " +
             s"(tags: ${meta.refs.keys.toSeq.sorted.mkString(", ")})")).toString))
+      .orElse(Option(options.get("asOfTimestamp")).map { t =>
+        // time travel by time on the format() path (the catalog path gets
+        // it from SQL TIMESTAMP AS OF): latest snapshot at or before t
+        val ms = IceLiteV2.tsMicros("asOfTimestamp option", t) / 1000L
+        IceLiteV2.snapshotAtOrBefore(meta, ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot of ${meta.namespace}.${meta.name} at or before " +
+              s"'$t'")).toString
+      })
 
   private def changelogMode(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("changelog", false)
@@ -97,9 +106,17 @@ class IceLiteSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val (meta, fs) = loadMeta(options)
     val warehouse = Option(options.get("warehouse")).get
+    // `fromTimestamp` is `fromSnapshotId` for consumers that think in
+    // time: the boundary is the table state AS OF t (nothing committed
+    // yet -> 0 = the whole history), exactly the TVF bound semantics
+    val fromSnap = Option(options.get("fromSnapshotId")).orElse(
+      Option(options.get("fromTimestamp")).map { t =>
+        val ms = IceLiteV2.tsMicros("fromTimestamp option", t) / 1000L
+        IceLiteV2.snapshotAtOrBefore(meta, ms).getOrElse(0L).toString
+      })
     IceLiteV2.buildTable(warehouse, meta, fs,
       pin(meta, options), Some(schema),
-      Option(options.get("fromSnapshotId")),
+      fromSnap,
       changelogMode = changelogMode(options))
   }
 }
@@ -119,6 +136,35 @@ private[v2] object IceLiteV2 {
         Seq(ns, tbl))
     (MetaIo.read(fs, dir), fs)
   }
+
+  /** Micros since epoch from an ISO-ish timestamp/date string (UTC —
+    * graft sessions pin UTC). Shared by the TVF time bounds and the
+    * asOfTimestamp / fromTimestamp read options.
+    */
+  def tsMicros(context: String, s: String): Long = {
+    val inst =
+      try java.time.Instant.parse(s)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(s).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC)
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"$context: '$s' is not a timestamp")
+              }
+          }
+      }
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** Latest snapshot committed at or before `ms` (TIMESTAMP AS OF). */
+  def snapshotAtOrBefore(meta: graft.icelite.TableMeta, ms: Long): Option[Long] =
+    meta.snapshots.filter(_.timestampMs <= ms).map(_.snapshotId).maxOption
 
   def pinnedSnapshot(meta: graft.icelite.TableMeta,
       snapshotId: Option[String]): graft.icelite.SnapshotMeta =

@@ -699,6 +699,34 @@ class DsV2Spec extends SparkSpec {
     assert(rowsGot == rowsExp)
   }
 
+  test("asOfTimestamp / fromTimestamp options resolve via the snapshot log") {
+    import spark.implicits._
+    val wh = warehouse("ts-opts")
+    val cat = new IceCatalog(spark, wh)
+    val tbl = cat.createTable("lake", "t",
+      Seq((1L, "v")).toDF("id", "v").schema)
+    tbl.append((1L to 10L).map(i => (i, "a")).toDF("id", "v")); Thread.sleep(5)
+    tbl.append((11L to 15L).map(i => (i, "b")).toDF("id", "v")); Thread.sleep(5)
+    tbl.append((16L to 18L).map(i => (i, "c")).toDF("id", "v"))
+    val snaps = tbl.snapshots.sortBy(_.snapshotId)
+    def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    def load(opts: (String, String)*) = {
+      val r = spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "lake.t")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // time travel by time: the state as of snap 2's commit
+    assert(load("asOfTimestamp" -> iso(snaps(1).timestampMs)).count() == 15)
+    // incremental by time: changes since snap 1's commit = snaps 2+3
+    assert(load("fromTimestamp" -> iso(snaps(0).timestampMs)).count() == 8)
+    // epoch-0 from-time replays everything
+    assert(load("fromTimestamp" -> "1970-01-01T00:00:00Z").count() == 18)
+    // a pin before the first commit has no state: loud error
+    intercept[Exception](
+      load("asOfTimestamp" -> "1970-01-01T00:00:00Z").count())
+    intercept[Exception](load("fromTimestamp" -> "not-a-time").count())
+  }
+
   test("aggregates over identity partition columns answer from directory values") {
     val wh = warehouse("aggpush-part")
     val cat = new IceCatalog(spark, wh)

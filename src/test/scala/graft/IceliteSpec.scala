@@ -1075,4 +1075,21 @@ class IceliteSpec extends SparkSpec {
     assert(keys2.contains(paths(5)), "recently-read entry must not be evicted")
     assert(!keys2.contains(paths(6)), "untouched eldest entry must be evicted")
   }
+
+  test("pre-sums manifests parse: absent sums field means no sum stat") {
+    // manifests written before FileStat.sums existed must keep parsing —
+    // their files simply have no sum stat, and SUM pushdown refuses
+    val dir = scratch("legacy-sums")
+    val p = new org.apache.hadoop.fs.Path(dir, "m.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p)
+    out.write(
+      """{"files":[{"path":"f1.parquet","rows":3,"bytes":10,
+        |"min":{"k":"1"},"max":{"k":"3"},"nulls":{"k":"0"}}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    out.close()
+    val stats = graft.icelite.MetaIo.readManifest(fs, p.toString)
+    assert(stats.head.rows == 3 && stats.head.min("k") == "1")
+    assert(stats.head.sums.isEmpty && stats.head.sumOf("k").isEmpty)
+  }
 }
