@@ -699,6 +699,48 @@ class DsV2Spec extends SparkSpec {
     assert(rowsGot == rowsExp)
   }
 
+  test("partition-exact filter claims: shape sweep matches in-memory semantics") {
+    import spark.implicits._
+    val wh = warehouse("exact-sweep")
+    val cat = new IceCatalog(spark, wh)
+    // string partition col with a null partition, plus a data col
+    val df = Seq(
+      ("alpha", 1L), ("alpha", 2L), ("apple", 3L), ("beta", 4L),
+      ("beta", 5L), ("gamma", 6L), (null, 7L), (null, 8L))
+      .toDF("p", "v")
+    cat.createTable("lake", "sweep", df.schema, partitionBy = Seq("p"))
+      .append(df)
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.sweep").load()
+    val shapes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "eq" -> (col("p") === "alpha"),
+      "neq" -> (col("p") =!= "alpha"),
+      "not-eq" -> !(col("p") === "alpha"),
+      "in" -> col("p").isin("alpha", "gamma"),
+      "in-with-null" -> col("p").isin("alpha", null),
+      "is-null" -> col("p").isNull,
+      "is-not-null" -> col("p").isNotNull,
+      "gt" -> (col("p") > "alpha"),
+      "le" -> (col("p") <= "beta"),
+      "starts-with" -> col("p").startsWith("a"),
+      "null-safe-eq" -> (col("p") <=> "alpha"),
+      "null-safe-null" -> (col("p") <=> lit(null)),
+      "or-null" -> (col("p") === "alpha" || col("p").isNull),
+      "and-or" -> ((col("p") === "alpha" || col("p") > "beta") && col("p").isNotNull),
+      "not-in" -> !col("p").isin("alpha", "beta"),
+      "mixed-part-data" -> (col("p") === "alpha" && col("v") > 1L))
+    for ((name, f) <- shapes) {
+      val got = load().filter(f).select("p", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val exp = df.filter(f).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == exp, s"shape '$name': scan=$got expected=$exp")
+      // the pushed-aggregate path must agree under the same filter
+      val n = load().filter(f).agg(count(lit(1))).collect()(0).getLong(0)
+      assert(n == exp.size, s"shape '$name': agg count=$n expected=${exp.size}")
+    }
+  }
+
   test("asOfTimestamp / fromTimestamp options resolve via the snapshot log") {
     import spark.implicits._
     val wh = warehouse("ts-opts")
