@@ -857,6 +857,16 @@ class DsV2Spec extends SparkSpec {
     // non-integral SUM refuses (doubles have no exact order-free sum)
     val d = load().agg(sum(col("value")).as("s"))
     assert(!scanDescOf(d).contains("aggPushed"))
+    // the FANOUT writer (bucket layout: several files open per task) must
+    // accumulate sums per open file, not per task
+    cat.createTable("lake", "ev_b", df.schema,
+      partitionBy = Seq("bucket(4,event_id)"))
+    df.writeTo("ice_sum.lake.ev_b").append()
+    val qb = spark.table("ice_sum.lake.ev_b")
+      .agg(sum(col("user_id")).as("s"), sum(col("maybe_user")).as("sm"))
+    assert(scanDescOf(qb).contains("manifest-only"))
+    assert(qb.collect()(0) ==
+      df.agg(sum(col("user_id")), sum(col("maybe_user"))).collect()(0))
     // files written by the non-DSv2 path carry no sums: refuse, stay right
     val t2 = cat.createTable("lake", "ev_s2", df.schema)
     t2.append(df)
