@@ -1030,6 +1030,81 @@ object IceliteOps {
           .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
+    // K28: INCREMENTAL MATERIALIZED-ROLLUP MAINTENANCE — the flagship CDC
+    // consumer pattern: a per-priority (count, exact price sum) rollup is
+    // materialized from the table AS OF snapshot 1, then brought current
+    // by folding the changelog window into SIGNED deltas (+1 per insert,
+    // -1 per delete; updates cancel naturally as delete+insert pairs) and
+    // MERGE-ing them into the rollup table — never rescanning the fact
+    // table. At 100 TB the rollup refresh costs O(changes), not O(table):
+    // the same MOR history k25 replays, consumed the way a production
+    // pipeline actually would. The oracle recomputes the rollup from the
+    // expected FINAL table state relationally.
+    QDef(
+      "k28_ice_incremental_rollup",
+      Some(s"""WITH fin AS (
+              |  SELECT o_orderpriority, o_totalprice FROM orders
+              |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0 AND o_orderkey > 100
+              |  UNION ALL
+              |  SELECT o_orderpriority, o_totalprice * 1.2 AS o_totalprice FROM orders
+              |  WHERE o_orderkey % 2 = 0 AND o_orderkey > 100)
+              |SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_price
+              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val wh = cachedFixture(s, "k25", dir) { w =>
+          val cat = new IceCatalog(s, w)
+          val fixture = cat.createTable("lake", "orders_cdc", o.schema)
+          fixture.append(o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(2, col("o_orderkey")))
+          fixture.upsertMorEq(
+            o.filter(col("o_orderkey") % 2 === 0)
+              .withColumn("o_orderstatus", lit("E"))
+              .withColumn("o_totalprice", col("o_totalprice") * 1.2),
+            keys = Seq("o_orderkey"))
+          fixture.deleteWhereMor(Seq(
+            org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
+        }
+        val tbl = new IceCatalog(s, wh).loadTable("lake", "orders_cdc")
+        // quantized-long sums (exact; the double face divides once at the end)
+        def quant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+        // the materialized state: rollup of the table AS OF snapshot 1,
+        // in its own warehouse (rebuilt per run — the refresh IS the op)
+        val rwh = QUtil.freshWarehouse(s, "k28")
+        val rcat = new IceCatalog(s, rwh)
+        val base = tbl.scan(snapshotId = Some(1L))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(quant(col("o_totalprice"))).as("sq"))
+        rcat.createTable("lake", "rollup", base.schema).append(base)
+        s.conf.set("spark.sql.catalog.icelite_k28", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k28.warehouse", rwh)
+        // changelog window (1, current] -> signed per-group deltas
+        tbl.changelog(1L)
+          .select(col("o_orderpriority"),
+            when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)).as("sgn"),
+            quant(col("o_totalprice")).as("q"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("q")).as("dq"))
+          .createOrReplaceTempView("k28_delta")
+        s.sql(
+          """MERGE INTO icelite_k28.lake.rollup t USING k28_delta d
+            |ON t.o_orderpriority = d.o_orderpriority
+            |WHEN MATCHED THEN UPDATE SET
+            |  n_orders = t.n_orders + d.dn, sq = t.sq + d.dq
+            |WHEN NOT MATCHED THEN INSERT (o_orderpriority, n_orders, sq)
+            |  VALUES (d.o_orderpriority, d.dn, d.dq)""".stripMargin)
+        // groups whose rows all vanished leave the rollup entirely
+        s.sql("DELETE FROM icelite_k28.lake.rollup WHERE n_orders = 0")
+        s.table("icelite_k28.lake.rollup")
+          .select(col("o_orderpriority"), col("n_orders"),
+            (col("sq").cast("double") / lit(1000000.0)).as("sum_price"))
+          .orderBy("o_orderpriority")
+      }),
+
     // K27: SQL row-level commands on a MERGE-ON-READ table — tables
     // declaring `write.<command>.mode = 'merge-on-read'` route DELETE /
     // UPDATE / MERGE INTO through the DELTA write path
