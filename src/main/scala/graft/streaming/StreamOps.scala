@@ -419,6 +419,93 @@ object StreamOps {
           .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
+    // CONTINUOUSLY-MAINTAINED MATERIALIZED ROLLUP — k28's batch refresh as
+    // a standing pipeline: the CDC changelog STREAM feeds foreachBatch,
+    // each micro-batch folds ITS changes into signed per-group deltas
+    // (+1 insert / -1 delete) and MERGEs them into the rollup table. The
+    // rollup is correct after every epoch, at O(epoch's changes) cost —
+    // the streaming answer to "keep the dashboard aggregate current
+    // against a 100 TB fact table". Exactly-once on restart comes from
+    // pairing the MERGE with st7's epoch-stamp guard in production; the
+    // bounded oracle run replays no epochs. Same oracle as k28: the final
+    // rollup equals a from-scratch recompute of the end state.
+    QDef(
+      "st11_stream_rollup",
+      Some(s"""WITH fin AS (
+              |  SELECT o_orderpriority, o_totalprice FROM orders
+              |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0 AND o_orderkey > 100
+              |  UNION ALL
+              |  SELECT o_orderpriority, o_totalprice * 1.2 AS o_totalprice FROM orders
+              |  WHERE o_orderkey % 2 = 0 AND o_orderkey > 100)
+              |SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |  ${QUtil.dsumSql("o_totalprice")} AS sum_price
+              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val o = QUtil.t(s, dir, "orders")
+        val wh = QUtil.cachedFixture(s, "st10_cdc", dir) { w =>
+          val cat = new graft.icelite.IceCatalog(s, w)
+          val fixture = cat.createTable("lake", "orders_cdcs", o.schema)
+          fixture.append(o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(2, col("o_orderkey")))
+          fixture.upsertMorEq(
+            o.filter(col("o_orderkey") % 2 === 0)
+              .withColumn("o_orderstatus", lit("E"))
+              .withColumn("o_totalprice", col("o_totalprice") * 1.2),
+            keys = Seq("o_orderkey"))
+          fixture.deleteWhereMor(Seq(
+            org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
+        }
+        def quant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+        // empty rollup in its own warehouse; the stream fills it
+        val rwh = QUtil.freshWarehouse(s, "st11")
+        val rcat = new graft.icelite.IceCatalog(s, rwh)
+        rcat.createTable("lake", "rollup", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderpriority STRING, n_orders BIGINT, sq BIGINT"))
+        s.conf.set("spark.sql.catalog.icelite_st11", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_st11.warehouse", rwh)
+        val log = s.readStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.orders_cdcs")
+          .option("changelog", "true")
+          .option("maxFilesPerTrigger", "1") // several epochs, not one
+          .load()
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-st11").toString
+        val view = s"st11_delta_${System.nanoTime()}"
+        val q = log.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.select(col("o_orderpriority"),
+              when(col("_change_type") === "insert", lit(1L))
+                .otherwise(lit(-1L)).as("sgn"),
+              quant(col("o_totalprice")).as("q"))
+              .groupBy("o_orderpriority")
+              .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("q")).as("dq"))
+              .createOrReplaceTempView(view)
+            // the temp view lives in the micro-batch's CLONED session —
+            // the MERGE must run there too (confs, incl. the catalog
+            // registration, are inherited by the clone)
+            b.sparkSession.sql(
+              s"""MERGE INTO icelite_st11.lake.rollup t USING $view d
+                 |ON t.o_orderpriority = d.o_orderpriority
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  n_orders = t.n_orders + d.dn, sq = t.sq + d.dq
+                 |WHEN NOT MATCHED THEN INSERT (o_orderpriority, n_orders, sq)
+                 |  VALUES (d.o_orderpriority, d.dn, d.dq)""".stripMargin)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        s.sql("DELETE FROM icelite_st11.lake.rollup WHERE n_orders = 0")
+        s.table("icelite_st11.lake.rollup")
+          .select(col("o_orderpriority"), col("n_orders"),
+            (col("sq").cast("double") / lit(1000000.0)).as("sum_price"))
+          .orderBy("o_orderpriority")
+      }),
+
     // STREAM-STREAM interval join: clicks joined to the views that follow
     // them within 30 minutes for the same user — the attribution shape
     // (impression->conversion) a continuous pipeline computes online. Both
