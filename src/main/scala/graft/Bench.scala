@@ -83,7 +83,10 @@ object Bench {
       if (good.nonEmpty && errors.contains(name)) { errors -= name; flaky += name }
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
-    def j(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON ("value":12,345)
+    def j(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + j(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -108,6 +108,21 @@ object PartField {
 
   def hasTransforms(spec: Seq[String]): Boolean =
     spec.exists(e => !parse(e).isIdentity)
+
+  /** The partition spec in force for the file at `path` under a partition-
+    * evolution ledger: the entry whose cutoff covers the file's write era,
+    * else the current spec. ONE implementation on purpose — the DSv2
+    * scan's pruning, the exact-filter claim, the manifest aggregate, and
+    * the streaming planner must all resolve eras identically or the
+    * exactness claims silently diverge from the files actually planned.
+    */
+  def specFor(path: String, partitionBy: Seq[String],
+      specs: Seq[PartSpecChange]): Seq[String] =
+    if (specs.isEmpty) partitionBy
+    else {
+      val era = Renames.eraOf(path)
+      specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
+    }
 }
 
 object Transforms {

@@ -1067,9 +1067,6 @@ object IceliteOps {
             org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
         }
         val tbl = new IceCatalog(s, wh).loadTable("lake", "orders_cdc")
-        // quantized-long sums (exact; the double face divides once at the end)
-        def quant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          floor(c * lit(1000000.0) + lit(0.5)).cast("long")
         // the materialized state: rollup of the table AS OF snapshot 1,
         // in its own warehouse (rebuilt per run — the refresh IS the op)
         val rwh = QUtil.freshWarehouse(s, "k28")
@@ -1077,26 +1074,16 @@ object IceliteOps {
         val base = tbl.scan(snapshotId = Some(1L))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_orders"),
-            sum(quant(col("o_totalprice"))).as("sq"))
+            sum(QUtil.rollupQuant(col("o_totalprice"))).as("sq"))
         rcat.createTable("lake", "rollup", base.schema).append(base)
         s.conf.set("spark.sql.catalog.icelite_k28", "graft.sources.v2.IceLiteCatalog")
         s.conf.set("spark.sql.catalog.icelite_k28.warehouse", rwh)
-        // changelog window (1, current] -> signed per-group deltas
-        tbl.changelog(1L)
-          .select(col("o_orderpriority"),
-            when(col("_change_type") === "insert", lit(1L))
-              .otherwise(lit(-1L)).as("sgn"),
-            quant(col("o_totalprice")).as("q"))
-          .groupBy("o_orderpriority")
-          .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("q")).as("dq"))
+        // changelog window (1, current] -> signed per-group deltas, folded
+        // in by the shared MERGE (same fold the streaming face st11 runs)
+        QUtil.rollupDelta(tbl.changelog(1L), "o_orderpriority", "o_totalprice")
           .createOrReplaceTempView("k28_delta")
-        s.sql(
-          """MERGE INTO icelite_k28.lake.rollup t USING k28_delta d
-            |ON t.o_orderpriority = d.o_orderpriority
-            |WHEN MATCHED THEN UPDATE SET
-            |  n_orders = t.n_orders + d.dn, sq = t.sq + d.dq
-            |WHEN NOT MATCHED THEN INSERT (o_orderpriority, n_orders, sq)
-            |  VALUES (d.o_orderpriority, d.dn, d.dq)""".stripMargin)
+        s.sql(QUtil.mergeRollupSql(
+          "icelite_k28.lake.rollup", "k28_delta", "o_orderpriority"))
         // groups whose rows all vanished leave the rollup entirely
         s.sql("DELETE FROM icelite_k28.lake.rollup WHERE n_orders = 0")
         s.table("icelite_k28.lake.rollup")

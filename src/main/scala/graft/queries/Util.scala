@@ -107,4 +107,35 @@ object QUtil {
   /** DuckDB-side spelling of [[davg]]. */
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)}) / COUNT(*)"
+
+  // -- changelog-driven rollup maintenance (k28 batch / st11 streaming) ------
+  // ONE implementation of the delta fold and the MERGE for both faces, so
+  // batch and streaming rollup semantics can never diverge.
+
+  /** Fixed-point 1e-6 quantization (exact long sums; divide once at the end). */
+  def rollupQuant(c: Column): Column =
+    floor(c.cast(DoubleType) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Signed per-group (count, quantized-sum) delta of a changelog slice:
+    * +1 per insert, -1 per delete — updates cancel naturally as pairs.
+    */
+  def rollupDelta(changes: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String): org.apache.spark.sql.DataFrame =
+    changes.select(col(groupCol),
+      when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L)).as("sgn"),
+      rollupQuant(col(valueCol)).as("q"))
+      .groupBy(groupCol)
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("q")).as("dq"))
+
+  /** The MERGE that folds a [[rollupDelta]] view into a rollup table with
+    * (groupCol, n_orders, sq) columns.
+    */
+  def mergeRollupSql(target: String, view: String, groupCol: String): String =
+    s"""MERGE INTO $target t USING $view d
+       |ON t.$groupCol = d.$groupCol
+       |WHEN MATCHED THEN UPDATE SET
+       |  n_orders = t.n_orders + d.dn, sq = t.sq + d.dq
+       |WHEN NOT MATCHED THEN INSERT ($groupCol, n_orders, sq)
+       |  VALUES (d.$groupCol, d.dn, d.dq)""".stripMargin
 }

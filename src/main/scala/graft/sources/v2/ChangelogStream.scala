@@ -153,17 +153,20 @@ private[v2] class IceLiteChangelogStream(
           // era+bounds-eligible files whose key tuples match
           val eligible = pFiles.filter(f =>
             FileStats.eqAppliesTo(d, f, tableStruct))
+          // manifests can mix 'file:/' and 'file:///' spellings depending
+          // on the writer; normalize both sides before the membership
+          // test (as FileStats.isNonRewriting's fallback does) — a raw
+          // string miss here would skip the parent's position debt and
+          // re-emit an already-deleted row as a second delete event.
+          // Normalized ONCE per delete file, not per (file × delete × path).
+          def norm(p: String) = new org.apache.hadoop.fs.Path(p).toString
+          val posDebt = pDeletes.filterNot(_.isEquality)
+            .map(pd => pd.path -> pd.dataFiles.map(norm).toSet)
           eligible.foreach { f =>
-            // manifests can mix 'file:/' and 'file:///' spellings depending
-            // on the writer; normalize both sides before the membership
-            // test (as FileStats.isNonRewriting's fallback does) — a raw
-            // string miss here would skip the parent's position debt and
-            // re-emit an already-deleted row as a second delete event
-            def norm(p: String) = new org.apache.hadoop.fs.Path(p).toString
             val fNorm = norm(f.path)
-            val delFor = pDeletes
-              .filter(pd => !pd.isEquality && pd.dataFiles.exists(norm(_) == fNorm))
-              .map(_.path)
+            val delFor = posDebt.collect {
+              case (path, dataFiles) if dataFiles(fNorm) => path
+            }
             val eqFor = pDeletes.filter(pd =>
               pd.isEquality && FileStats.eqAppliesTo(pd, f, tableStruct))
             // key columns the projection pruned away re-enter the local

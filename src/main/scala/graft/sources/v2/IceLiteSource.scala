@@ -485,12 +485,7 @@ private[v2] class IceLiteScanBuilder(
     val candidates = graft.icelite.PartField.identityCols(partitionBy).toSet
     candidates.filter { c =>
       tableSchema.fieldNames.contains(c) && files.forall { f =>
-        val spec =
-          if (specs.isEmpty) partitionBy
-          else {
-            val era = graft.icelite.Renames.eraOf(f.path)
-            specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
-          }
+        val spec = graft.icelite.PartField.specFor(f.path, partitionBy, specs)
         graft.icelite.PartField.identityCols(spec).contains(c) && {
           val raw = PartValues.parse(f.path, Seq(c))
           PartValues.decodeExternal(tableSchema, Seq(c), raw).contains(c)
@@ -515,20 +510,28 @@ private[v2] class IceLiteScanBuilder(
   /** The aggregate answered from the manifest, with any partition-exact
     * pushed filters applied as exact file pruning first; residual (non-
     * exact) filters refuse — their totals would be over the wrong rows.
+    * Memoized on the Aggregation instance: Spark calls
+    * supportCompletePushDown and pushAggregation back-to-back with the
+    * same object, and the O(files) decode+prune+fold should run once.
     */
+  private var lastAgg: Option[(Aggregation, Option[(StructType, Seq[InternalRow])])] = None
   private def evalAgg(agg: Aggregation)
+      : Option[(StructType, Seq[InternalRow])] = lastAgg match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = evalAggUncached(agg)
+      lastAgg = Some((agg, r))
+      r
+  }
+
+  private def evalAggUncached(agg: Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
     val exact = exactOf(pushed)
     val residual = pushed.filterNot(exact.contains)
     val fs =
       if (exact.isEmpty) files
       else files.filter { f =>
-        val spec =
-          if (specs.isEmpty) partitionBy
-          else {
-            val era = graft.icelite.Renames.eraOf(f.path)
-            specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
-          }
+        val spec = graft.icelite.PartField.specFor(f.path, partitionBy, specs)
         val idCols = graft.icelite.PartField.identityCols(spec)
         val pv = PartValues.decodeExternal(tableSchema, idCols,
           PartValues.parse(f.path, idCols))
@@ -657,12 +660,7 @@ private[v2] object ManifestAgg {
     if (!tableSchema.fieldNames.contains(c)) return None
     val out = Seq.newBuilder[(FileStat, Option[Any])]
     files.foreach { f =>
-      val spec =
-        if (specs.isEmpty) partitionBy0
-        else {
-          val era = graft.icelite.Renames.eraOf(f.path)
-          specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy0)
-        }
+      val spec = graft.icelite.PartField.specFor(f.path, partitionBy0, specs)
       if (!graft.icelite.PartField.identityCols(spec).contains(c)) return None
       val raw = PartValues.parse(f.path, Seq(c))
       if (!raw.contains(c)) return None
@@ -1392,11 +1390,7 @@ private[v2] class IceLiteScan(
 
   /** The partition spec the file at `path` was written under. */
   private def specOf(path: String): Seq[String] =
-    if (specs.isEmpty) partitionBy
-    else {
-      val era = graft.icelite.Renames.eraOf(path)
-      specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
-    }
+    PartField.specFor(path, partitionBy, specs)
 
   /** Dynamic partition pruning: joins on a partition column hand the
     * joined key set to the scan at execution time as an In filter, and
@@ -1834,11 +1828,7 @@ private[v2] class IceLiteMicroBatchStream(
     val partSchema = StructType(
       tableSchema.fields.filter(f => identityBy.contains(f.name)))
     def specOf(path: String): Seq[String] =
-      if (specs.isEmpty) partitionBy
-      else {
-        val era = graft.icelite.Renames.eraOf(path)
-        specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
-      }
+      graft.icelite.PartField.specFor(path, partitionBy, specs)
     graft.icelite.FileStats.addedInRange(fs, m, from, to, s"streaming read of $ns.$tbl")
       .filter { f =>
         pushedFilters.isEmpty || {

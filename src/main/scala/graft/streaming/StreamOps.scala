@@ -455,8 +455,6 @@ object StreamOps {
           fixture.deleteWhereMor(Seq(
             org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
         }
-        def quant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          floor(c * lit(1000000.0) + lit(0.5)).cast("long")
         // empty rollup in its own warehouse; the stream fills it
         val rwh = QUtil.freshWarehouse(s, "st11")
         val rcat = new graft.icelite.IceCatalog(s, rwh)
@@ -477,23 +475,14 @@ object StreamOps {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
-            b.select(col("o_orderpriority"),
-              when(col("_change_type") === "insert", lit(1L))
-                .otherwise(lit(-1L)).as("sgn"),
-              quant(col("o_totalprice")).as("q"))
-              .groupBy("o_orderpriority")
-              .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("q")).as("dq"))
+            // the shared delta fold + MERGE (exactly k28's batch refresh,
+            // applied per epoch). The temp view lives in the micro-batch's
+            // CLONED session — the MERGE must run there too (confs, incl.
+            // the catalog registration, are inherited by the clone).
+            QUtil.rollupDelta(b, "o_orderpriority", "o_totalprice")
               .createOrReplaceTempView(view)
-            // the temp view lives in the micro-batch's CLONED session —
-            // the MERGE must run there too (confs, incl. the catalog
-            // registration, are inherited by the clone)
-            b.sparkSession.sql(
-              s"""MERGE INTO icelite_st11.lake.rollup t USING $view d
-                 |ON t.o_orderpriority = d.o_orderpriority
-                 |WHEN MATCHED THEN UPDATE SET
-                 |  n_orders = t.n_orders + d.dn, sq = t.sq + d.dq
-                 |WHEN NOT MATCHED THEN INSERT (o_orderpriority, n_orders, sq)
-                 |  VALUES (d.o_orderpriority, d.dn, d.dq)""".stripMargin)
+            b.sparkSession.sql(QUtil.mergeRollupSql(
+              "icelite_st11.lake.rollup", view, "o_orderpriority"))
             ()
           }
           .start()
