@@ -604,6 +604,33 @@ object TextOps {
           .select(col("doc_id"), col("nb").cast("int").as("n_bigrams"),
             (col("sc").cast("double") / col("nb")).as("familiarity"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // Deterministic train/val/test corpus split (90/5/5): the assignment is
+    // a pure function of doc_id (first 8 hex digits of md5 against fixed
+    // thresholds), so ANY engine — and any rerun, at any scale, on any
+    // partitioning — derives the identical split. Row-local, zero shuffle;
+    // the property every reproducible training pipeline needs from its
+    // splitter.
+    QDef(
+      "x32_corpus_split",
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  CASE WHEN hx < 'e6666666' THEN 'train'
+             |       WHEN hx < 'f3333333' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("doc_id").cast("string")), 1, 8).as("hx"))
+          .select(col("doc_id"), col("lang"),
+            when(col("hx") < "e6666666", "train")
+              .when(col("hx") < "f3333333", "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id"))
   )
 }
