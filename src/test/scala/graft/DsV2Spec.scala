@@ -923,6 +923,22 @@ class DsV2Spec extends SparkSpec {
         |GROUP BY ice_tf.system.bucket(8, event_type) ORDER BY bk""".stripMargin)
     assert(!scanDescOf(qb8).contains("aggPushed"),
       s"mismatched bucket width must not push: ${scanDescOf(qb8)}")
+    // THE daily-totals query: GROUP BY days(ts) + SUM over a DSv2-written
+    // table (writer-recorded sums) — entirely from metadata
+    spark.conf.set("spark.sql.catalog.ice_tf.warehouse", wh)
+    cat.createTable("lake", "ev_ds", df.schema, partitionBy = Seq("days(ts)"))
+    df.writeTo("ice_tf.lake.ev_ds").append()
+    val qsum = spark.sql(
+      """SELECT ice_tf.system.days(ts) AS d, SUM(event_id) AS s, COUNT(*) AS n
+        |FROM ice_tf.lake.ev_ds
+        |GROUP BY ice_tf.system.days(ts) ORDER BY d""".stripMargin)
+    assert(scanDescOf(qsum).contains("manifest-only"),
+      s"daily SUM totals must stay metadata-only: ${scanDescOf(qsum)}")
+    val expectS = df
+      .withColumn("d", floor(unix_micros(col("ts")) / lit(86400000000.0)).cast("int"))
+      .groupBy("d").agg(sum(col("event_id")).as("s"), count(lit(1)).as("n"))
+      .orderBy("d").collect().toSeq
+    assert(qsum.collect().toSeq == expectS)
     // partition evolution makes file->group membership era-dependent:
     // the transform grouping must refuse too, and stay correct
     tbl.setPartitionSpec(Nil)
