@@ -540,6 +540,44 @@ class IceTable(
     commitSnapshot(m, "compact", Seq(dir), added, carried = Nil)
   }
 
+  /** Selective small-file compaction: rewrite ONLY the data files under
+    * `minFileBytes`, carrying every healthy file untouched — maintenance
+    * cost tracks the small-file DEBT, never table size (the full-rewrite
+    * [[compact]] is O(table), which no 100 TB table can afford for
+    * routine upkeep). Fewer than two small files is a no-op (rewriting
+    * one file buys nothing). Rewritten rows land under the CURRENT
+    * partition spec with the declared sort order enforced by the shared
+    * write funnel. Refuses under outstanding row-level deletes: applying
+    * debt to half the files while carrying it for the rest would need
+    * per-slice delete accounting — fold the debt first (compact /
+    * rewriteDeletes), then binpack.
+    */
+  def binpack(minFileBytes: Long, targetFiles: Int = 1): IceTable = {
+    require(minFileBytes > 0, "minFileBytes must be positive")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val m = meta
+    val current = m.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"nothing to binpack in $namespace.$name"))
+    require(FileStats.deletesOf(fs, current).isEmpty,
+      s"$namespace.$name has outstanding row-level deletes; fold them " +
+        "(compact() / rewriteDeletes()) before binpack")
+    val all = visibleFiles(current)
+    val (small, kept) = all.partition(_.bytes < minFileBytes)
+    if (small.length < 2) return this
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val df0 = readFiles(m, tableSchema, small, FileStats.dataDirsOf(fs, current))
+    // partitioned tables: the write funnel re-clusters by partition dirs
+    // (one file per affected partition); unpartitioned: explicit targetFiles
+    val df = if (m.partitionBy.isEmpty) df0.repartition(targetFiles) else df0
+    val (dir, added) = writeData(df, snapId, m.partitionBy)
+    if (small.forall(_.rows >= 0))
+      require(added.map(_.rows).sum == small.map(_.rows).sum,
+        s"binpack row-count drift: ${added.map(_.rows).sum} != ${small.map(_.rows).sum}")
+    commitSnapshot(m, "compact",
+      FileStats.dataDirsOf(fs, current) :+ dir, added, carried = kept)
+  }
+
   /** The z-order cluster key for `cols`: each column normalized to
     * `[0, 2^bits)` by its global min/max, then bit-interleaved. Bounds come
     * from the committed manifest when every file carries them (the normal

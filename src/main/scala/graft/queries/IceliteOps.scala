@@ -1030,6 +1030,41 @@ object IceliteOps {
           .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
+    // K29: SELECTIVE small-file binpack via the SQL maintenance procedure —
+    // `CALL system.rewrite_data_files(min_file_size_bytes => N)` rewrites
+    // ONLY files under the threshold and carries every healthy file
+    // untouched (asserted by path), so routine upkeep costs O(small-file
+    // debt), not O(table) — the only compaction a 100 TB table can afford
+    // on a schedule. The oracle states the (unchanged) table contents.
+    QDef(
+      "k29_ice_binpack",
+      Some(s"""SELECT ${orderCols.mkString(", ")} FROM orders
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val wh = freshWarehouse(s, "k29")
+        val cat = new IceCatalog(s, wh)
+        val tbl = cat.createTable("lake", "orders_bp", o.schema)
+        tbl.append(o.filter(col("o_orderkey") % 2 === 0).repartition(1)) // big
+        tbl.append(o.filter(col("o_orderkey") % 6 === 1).repartition(1))
+        tbl.append(o.filter(col("o_orderkey") % 6 === 3).repartition(1))
+        tbl.append(o.filter(col("o_orderkey") % 6 === 5).repartition(1))
+        val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+        val big = before.maxBy(_.bytes)
+        s.conf.set("spark.sql.catalog.icelite_k29", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k29.warehouse", wh)
+        val res = s.sql(
+          s"""CALL icelite_k29.system.rewrite_data_files(
+             |  table => 'lake.orders_bp', min_file_size_bytes => ${big.bytes})"""
+            .stripMargin).collect()(0)
+        require(res.getInt(1) == 4 && res.getInt(2) == 2,
+          s"binpack must merge 3 small files into 1 and keep the big one: $res")
+        val after = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+        require(after.exists(_.path == big.path),
+          "the healthy file must be carried, not rewritten")
+        tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
+      }),
+
     // K28: INCREMENTAL MATERIALIZED-ROLLUP MAINTENANCE — the flagship CDC
     // consumer pattern: a per-priority (count, exact price sum) rollup is
     // materialized from the table AS OF snapshot 1, then brought current

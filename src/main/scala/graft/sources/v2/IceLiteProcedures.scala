@@ -47,16 +47,26 @@ object IceLiteProcedures {
     csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private val defs: Map[String, String => UnboundProcedure] = Map(
-    // rewrite_data_files: bin-pack by default; sort_by / zorder_by select
-    // the clustered rewrite strategies (comma-separated column lists)
+    // rewrite_data_files: full rewrite by default; sort_by / zorder_by
+    // select the clustered strategies (comma-separated column lists);
+    // min_file_size_bytes > 0 switches to SELECTIVE binpack — only files
+    // under the threshold rewrite, everything healthy is carried (the
+    // O(small-file-debt) maintenance a 100 TB table actually schedules)
     "rewrite_data_files" -> (wh => new IceProc(wh, "rewrite_data_files",
       Seq(p("table", StringType), pd("target_files", IntegerType, "1"),
-        pd("sort_by", StringType, "''"), pd("zorder_by", StringType, "''")),
+        pd("sort_by", StringType, "''"), pd("zorder_by", StringType, "''"),
+        pd("min_file_size_bytes", LongType, "0")),
       StructType.fromDDL("table STRING, files_before INT, files_after INT"),
       (cat, in) => {
         val tbl = loadTable(cat, s(in, 0))
         val before = tbl.meta.currentSnapshot.map(sn => tbl.visibleFiles(sn).length).getOrElse(0)
-        tbl.compact(in.getInt(1), cols(s(in, 2)), cols(s(in, 3)))
+        val minBytes = in.getLong(4)
+        if (minBytes > 0) {
+          require(cols(s(in, 2)).isEmpty && cols(s(in, 3)).isEmpty,
+            "min_file_size_bytes (binpack) does not combine with " +
+              "sort_by/zorder_by — clustered rewrites are full rewrites")
+          tbl.binpack(minBytes, in.getInt(1))
+        } else tbl.compact(in.getInt(1), cols(s(in, 2)), cols(s(in, 3)))
         val after = tbl.visibleFiles(tbl.meta.currentSnapshot.get).length
         out(s(in, 0), before, after)
       })),

@@ -1076,6 +1076,50 @@ class IceliteSpec extends SparkSpec {
     assert(!keys2.contains(paths(6)), "untouched eldest entry must be evicted")
   }
 
+  test("binpack rewrites only small files; healthy files carried untouched") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("binpack"))
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("ns", "t", df.schema)
+    tbl.append(df.filter(col("id") <= 1500).repartition(1))  // the big file
+    tbl.append(df.filter(col("id") > 1500 && col("id") <= 1600).repartition(1))
+    tbl.append(df.filter(col("id") > 1600 && col("id") <= 1700).repartition(1))
+    tbl.append(df.filter(col("id") > 1700).repartition(1))
+    val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    assert(before.length == 4)
+    val big = before.maxBy(_.bytes)
+    tbl.binpack(minFileBytes = big.bytes)
+    val after = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    // the big file is CARRIED (same path), the three smalls became one
+    assert(after.length == 2, s"expected big+merged, got ${after.map(_.path)}")
+    assert(after.exists(_.path == big.path), "healthy file must not rewrite")
+    assert(tbl.meta.currentSnapshot.get.operation == "compact")
+    assert(tbl.toDF.count() == 2000)
+    assert(tbl.toDF.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // a second pass has nothing to merge: no-op, no new snapshot
+    val snaps = tbl.snapshots.length
+    tbl.binpack(minFileBytes = big.bytes)
+    assert(tbl.snapshots.length == snaps)
+    // partitioned: the rewrite preserves the hive layout per partition
+    val pdf = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("id", "part", "v")
+    val pt = cat.createTable("ns", "tp", pdf.schema, partitionBy = Seq("part"))
+    pt.append(pdf.filter(col("id") <= 300))
+    pt.append(pdf.filter(col("id") > 300 && col("id") <= 350))
+    pt.append(pdf.filter(col("id") > 350))
+    val pBig = pt.visibleFiles(pt.meta.currentSnapshot.get).map(_.bytes).max
+    pt.binpack(minFileBytes = pBig)
+    val pAfter = pt.visibleFiles(pt.meta.currentSnapshot.get)
+    assert(pAfter.forall(f => f.path.contains("part=a") || f.path.contains("part=b")),
+      s"binpacked files must keep the hive layout: ${pAfter.map(_.path)}")
+    assert(pt.toDF.orderBy("id").collect().toSeq ==
+      pdf.orderBy("id").collect().toSeq)
+    // outstanding MOR debt refuses (fold first)
+    tbl.deleteKeysEq(Seq(5L).toDF("id"), Seq("id"))
+    intercept[IllegalArgumentException](tbl.binpack(minFileBytes = 1L << 30))
+  }
+
   test("pre-sums manifests parse: absent sums field means no sum stat") {
     // manifests written before FileStat.sums existed must keep parsing —
     // their files simply have no sum stat, and SUM pushdown refuses
