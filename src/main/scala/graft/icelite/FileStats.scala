@@ -110,6 +110,15 @@ object FileStats {
   def addedCount(snap: SnapshotMeta): Long =
     if (snap.addedFileCount >= 0) snap.addedFileCount else snap.addedFiles.length.toLong
 
+  /** Bytes of the files ADDED by a snapshot — streaming byte-based
+    * admission control. Reads the snapshot's (cached) manifest; cost is
+    * bounded by the admission window, not table history.
+    */
+  def addedBytes(fs: org.apache.hadoop.fs.FileSystem, s: SnapshotMeta): Long = {
+    val addedPaths = addedPathsOf(fs, s).toSet
+    visible(fs, s).filter(f => addedPaths(f.path)).map(_.bytes).sum
+  }
+
   /** Did snapshot `s` keep every file visible at `parent`? Carried files
     * are always a subset of the parent's visible set, so equal counts mean
     * equal sets — O(1) on current metadata via the inline counts; the

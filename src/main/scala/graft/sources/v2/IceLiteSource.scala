@@ -394,6 +394,7 @@ private[v2] class IceLiteTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(warehouse, ns, tbl, tableSchema, partitionBy, files,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      streamMaxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       renames = renames, widened = widened, specs = specs, deletes = deletes,
       sortOrder = sortOrder, changelogMode = changelogMode,
       streamFrom = streamFrom, streamFilters = streamFilters)
@@ -443,8 +444,9 @@ private[v2] class IceLiteScanBuilder(
     // based ops replace exactly those files; delta ops validate against
     // them at commit)
     rowLevel: Option[RowLevelPlanHook] = None,
-    // streaming admission control: cap on data files per micro-batch
+    // streaming admission control: caps on data files / bytes per micro-batch
     streamMaxFiles: Option[Int] = None,
+    streamMaxBytes: Option[Long] = None,
     // metadata-only rename events: map logical -> per-file-era physical names
     renames: Seq[graft.icelite.ColumnRename] = Nil,
     // columns ever type-widened (no row-group predicates on them)
@@ -596,7 +598,7 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
         streamMaxFiles, renames, widened, specs, deletes, sortOrder,
-        changelogMode, streamFrom, streamFilters)
+        changelogMode, streamFrom, streamFilters, streamMaxBytes)
   }
 }
 
@@ -1374,7 +1376,9 @@ private[v2] class IceLiteScan(
     // streaming start offset (fresh checkpoints begin here)
     streamFrom: Option[Long] = None,
     // stream-planning filters (StreamScanPruning) — per-batch file pruning
-    streamFilters: Seq[Filter] = Nil)
+    streamFilters: Seq[Filter] = Nil,
+    // byte-based streaming admission cap (`maxBytesPerTrigger`)
+    streamMaxBytes: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -1716,7 +1720,8 @@ private[v2] class IceLiteScan(
         streamMaxFiles, streamFrom.getOrElse(0L))
     else
       new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
-        streamMaxFiles, specs, streamFrom.getOrElse(0L), streamFilters)
+        streamMaxFiles, specs, streamFrom.getOrElse(0L), streamFilters,
+        streamMaxBytes)
 }
 
 /** Snapshot-id offsets for the streaming read. */
@@ -1747,7 +1752,9 @@ private[v2] class IceLiteMicroBatchStream(
     // against partition values + manifest stats BEFORE any IO. Purely
     // conservative — the plan's own Filter still runs — so a partitioned
     // stream consumer pays only for the partitions it watches.
-    pushedFilters: Seq[Filter] = Nil)
+    pushedFilters: Seq[Filter] = Nil,
+    // byte-based admission cap (`maxBytesPerTrigger`)
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1773,39 +1780,57 @@ private[v2] class IceLiteMicroBatchStream(
 
   /** Admission control: without it, a stream started against a populated
     * table would plan the ENTIRE history as one first micro-batch — the
-    * `maxFilesPerTrigger` option caps each batch's data-file count instead,
-    * so history drains in bounded batches (offsets are snapshot ids, so the
-    * cap rounds to whole snapshots and always admits at least one so the
-    * stream progresses).
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` options cap each batch's
+    * data-file count / byte volume instead, so history drains in bounded
+    * batches (offsets are snapshot ids, so caps round to whole snapshots
+    * and always admit at least one so the stream progresses). Byte caps
+    * are the robust form under skewed file sizes — a file-count cap
+    * admits 10 files whether they are 1 MB or 1 GB each.
     */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes}
     val from = start.asInstanceOf[IceOffset].snapshotId
     val m = currentMeta
     val head = availableNowEnd.getOrElse(m.currentSnapshotId)
-    limit match {
-      case mf: ReadMaxFiles =>
-        val pending = m.snapshots
-          .filter(s => s.snapshotId > from && s.snapshotId <= head)
-          .sortBy(_.snapshotId)
-        var to = from
-        var used = 0
-        var admitted = 0
-        val it = pending.iterator
-        var open = true
-        while (open && it.hasNext) {
-          val s = it.next()
-          val n = graft.icelite.FileStats.addedCount(s).toInt
-          if (admitted == 0 || used + n <= mf.maxFiles()) {
-            to = s.snapshotId; used += n; admitted += 1
-          } else open = false // offsets must stay a contiguous snapshot range
-        }
-        IceOffset(to)
-      case _ => IceOffset(head)
+    val (_, fsys) = IceLiteV2.loadMeta(warehouse, ns, tbl)
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
     }
+    val limits = flatten(limit)
+    val maxF = limits.collectFirst { case mf: ReadMaxFiles => mf.maxFiles() }
+    val maxB = limits.collectFirst { case mb: ReadMaxBytes => mb.maxBytes() }
+    if (maxF.isEmpty && maxB.isEmpty) return IceOffset(head)
+    val pending = m.snapshots
+      .filter(s => s.snapshotId > from && s.snapshotId <= head)
+      .sortBy(_.snapshotId)
+    var to = from
+    var usedF = 0L
+    var usedB = 0L
+    var admitted = 0
+    val it = pending.iterator
+    var open = true
+    while (open && it.hasNext) {
+      val s = it.next()
+      val n = graft.icelite.FileStats.addedCount(s)
+      // bytes read from the snapshot's (cached) manifest only under a
+      // byte cap — the file-count path stays inline-O(1)
+      val b = if (maxB.isDefined) graft.icelite.FileStats.addedBytes(fsys, s) else 0L
+      val fits = maxF.forall(usedF + n <= _) && maxB.forall(usedB + b <= _)
+      if (admitted == 0 || fits) {
+        to = s.snapshotId; usedF += n; usedB += b; admitted += 1
+      } else open = false // offsets must stay a contiguous snapshot range
+    }
+    IceOffset(to)
   }
 
   /** True head of the table, independent of the admitted cap — keeps

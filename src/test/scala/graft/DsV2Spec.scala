@@ -460,6 +460,31 @@ class DsV2Spec extends SparkSpec {
     assert(batches.get() == 4,
       s"expected one batch per snapshot at cap=1 file, got ${batches.get()}")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // BYTE-based admission: a 1-byte cap still admits one snapshot per
+    // batch (progress guarantee) — the robust cap when file sizes skew
+    val seenB = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val batchesB = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qb = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.n")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-admission-b").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("n_nationkey").collect()
+        if (rows.nonEmpty) batchesB.incrementAndGet()
+        rows.foreach(r => seenB.add(r.getInt(0).toLong))
+        ()
+      }
+      .start()
+    qb.awaitTermination()
+    assert(seenB.size == 25, s"byte-capped drain lost rows: ${seenB.size}")
+    assert(batchesB.get() == 4,
+      s"expected one snapshot per batch at a 1-byte cap, got ${batchesB.get()}")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   private def scanDescOf(q: org.apache.spark.sql.DataFrame): String =
