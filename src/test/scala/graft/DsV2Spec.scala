@@ -792,6 +792,29 @@ class DsV2Spec extends SparkSpec {
     intercept[Exception](
       load("asOfTimestamp" -> "1970-01-01T00:00:00Z").count())
     intercept[Exception](load("fromTimestamp" -> "not-a-time").count())
+    // a STREAMING fresh checkpoint attaches from a point in time the same
+    // way (the CDC consumer's "tail from yesterday"): only snaps 2+3 flow
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t")
+      .option("fromTimestamp", iso(snaps(0).timestampMs))
+      .load()
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-fromts").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert({
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet == (11L to 18L).toSet
+    }, s"stream from t(snap1) must tail snaps 2+3 only: $seen")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   test("aggregates over identity partition columns answer from directory values") {
