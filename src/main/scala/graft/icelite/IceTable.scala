@@ -552,7 +552,8 @@ class IceTable(
     * per-slice delete accounting — fold the debt first (compact /
     * rewriteDeletes), then binpack.
     */
-  def binpack(minFileBytes: Long, targetFiles: Int = 1): IceTable = {
+  def binpack(minFileBytes: Long, targetFiles: Int = 1,
+      partitionFilter: Map[String, String] = Map.empty): IceTable = {
     require(minFileBytes > 0, "minFileBytes must be positive")
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val m = meta
@@ -561,8 +562,23 @@ class IceTable(
     require(FileStats.deletesOf(fs, current).isEmpty,
       s"$namespace.$name has outstanding row-level deletes; fold them " +
         "(compact() / rewriteDeletes()) before binpack")
+    // scoped maintenance ("binpack yesterday's partition"): only files
+    // whose directory values match every filter entry are candidates —
+    // everything else is out of scope and carried untouched. Filter keys
+    // must be identity partition columns of the file's own era to match.
+    partitionFilter.keys.foreach { c =>
+      val idCols = (PartField.identityCols(m.partitionBy) ++
+        m.partitionSpecs.flatMap(sp => PartField.identityCols(sp.cols))).toSet
+      require(idCols.contains(c),
+        s"binpack partition filter column $c is not an identity partition " +
+          s"column of $namespace.$name")
+    }
+    def inScope(f: FileStat): Boolean = partitionFilter.isEmpty || {
+      val raw = PartValues.parse(f.path, partitionFilter.keys.toSeq)
+      partitionFilter.forall { case (c, v) => raw.get(c).contains(Some(v)) }
+    }
     val all = visibleFiles(current)
-    val (small, kept) = all.partition(_.bytes < minFileBytes)
+    val (small, kept) = all.partition(f => f.bytes < minFileBytes && inScope(f))
     if (small.length < 2) return this
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1

@@ -55,18 +55,29 @@ object IceLiteProcedures {
     "rewrite_data_files" -> (wh => new IceProc(wh, "rewrite_data_files",
       Seq(p("table", StringType), pd("target_files", IntegerType, "1"),
         pd("sort_by", StringType, "''"), pd("zorder_by", StringType, "''"),
-        pd("min_file_size_bytes", LongType, "0")),
+        pd("min_file_size_bytes", LongType, "0"),
+        // binpack scope: 'col=value[,col=value]' identity-partition match
+        pd("partition_filter", StringType, "''")),
       StructType.fromDDL("table STRING, files_before INT, files_after INT"),
       (cat, in) => {
         val tbl = loadTable(cat, s(in, 0))
         val before = tbl.meta.currentSnapshot.map(sn => tbl.visibleFiles(sn).length).getOrElse(0)
         val minBytes = in.getLong(4)
+        val pf = cols(s(in, 5)).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"partition_filter entry '$kv' is not col=value")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }.toMap
         if (minBytes > 0) {
           require(cols(s(in, 2)).isEmpty && cols(s(in, 3)).isEmpty,
             "min_file_size_bytes (binpack) does not combine with " +
               "sort_by/zorder_by — clustered rewrites are full rewrites")
-          tbl.binpack(minBytes, in.getInt(1))
-        } else tbl.compact(in.getInt(1), cols(s(in, 2)), cols(s(in, 3)))
+          tbl.binpack(minBytes, in.getInt(1), pf)
+        } else {
+          require(pf.isEmpty,
+            "partition_filter applies to binpack (min_file_size_bytes > 0) only")
+          tbl.compact(in.getInt(1), cols(s(in, 2)), cols(s(in, 3)))
+        }
         val after = tbl.visibleFiles(tbl.meta.currentSnapshot.get).length
         out(s(in, 0), before, after)
       })),

@@ -1115,6 +1115,24 @@ class IceliteSpec extends SparkSpec {
       s"binpacked files must keep the hive layout: ${pAfter.map(_.path)}")
     assert(pt.toDF.orderBy("id").collect().toSeq ==
       pdf.orderBy("id").collect().toSeq)
+    // SCOPED binpack: only partition a's small files merge; b untouched
+    val pt2 = cat.createTable("ns", "tps", pdf.schema, partitionBy = Seq("part"))
+    pt2.append(pdf.filter(col("id") <= 200))
+    pt2.append(pdf.filter(col("id") > 200 && col("id") <= 300))
+    pt2.append(pdf.filter(col("id") > 300))
+    val beforeScoped = pt2.visibleFiles(pt2.meta.currentSnapshot.get)
+    val bBefore = beforeScoped.filter(_.path.contains("part=b")).map(_.path).toSet
+    pt2.binpack(minFileBytes = 1L << 30, partitionFilter = Map("part" -> "a"))
+    val afterScoped = pt2.visibleFiles(pt2.meta.currentSnapshot.get)
+    assert(afterScoped.filter(_.path.contains("part=b")).map(_.path).toSet == bBefore,
+      "out-of-scope partition files must be carried untouched")
+    assert(afterScoped.count(_.path.contains("part=a")) == 1,
+      s"scoped binpack must merge partition a: ${afterScoped.map(_.path)}")
+    assert(pt2.toDF.orderBy("id").collect().toSeq ==
+      pdf.orderBy("id").collect().toSeq)
+    // a non-partition filter column refuses
+    intercept[IllegalArgumentException](
+      pt2.binpack(1L << 30, partitionFilter = Map("v" -> "x")))
     // outstanding MOR debt refuses (fold first)
     tbl.deleteKeysEq(Seq(5L).toDF("id"), Seq("id"))
     intercept[IllegalArgumentException](tbl.binpack(minFileBytes = 1L << 30))
