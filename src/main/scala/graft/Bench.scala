@@ -94,16 +94,20 @@ object Bench {
     val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
-    // The full line goes out FIRST and is archived to bench-out.json; a
-    // SHORT summary line (fits any tail-capture window) goes out LAST with
-    // a pointer to the archive — the driver's tail capture truncated the
-    // 128-query line in round 7 and parsed null, so whichever metric line
-    // its window retains must parse.
-    println(full)
+    // A SHORT summary line (fits any tail-capture window) brackets the full
+    // per-query line: printed FIRST and LAST, so whatever window the
+    // driver's tail capture lands on contains at least one COMPLETE copy —
+    // round 8's capture cut the trailing short line mid-byte and parsed
+    // null; a leading copy survives any end-of-window truncation. The full
+    // line is also archived to bench-out.json.
     val outPath = java.nio.file.Paths.get("bench-out.json").toAbsolutePath
+    val short =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"flaky":$flk,"queries_file":"$outPath","sf":"$sfDir"}"""
+    println(short)
+    println(full)
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"flaky":$flk,"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(short)
     spark.stop()
   }
 }

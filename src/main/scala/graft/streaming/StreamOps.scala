@@ -75,11 +75,31 @@ object StreamOps {
     * overhead — the floor holds until the input is large enough to span
     * multiple micro-batches.
     */
+  // Memory-sink tables registered by prior runs: each holds its full result
+  // set on the driver heap for as long as it stays in the catalog. Dropping
+  // the PREVIOUS run's sink when the next run starts keeps at most one alive
+  // (the caller is still consuming the current one), without paying a
+  // driver-side collect/re-encode of large results — round 8's unbounded
+  // accumulation across 11 st queries x 2-4 bench rounds inflated later
+  // streaming queries ~1.5x.
+  private val liveSinks = scala.collection.mutable.Queue.empty[String]
+
   private def runToTable(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
     val spark = df.sparkSession
+    liveSinks.synchronized {
+      liveSinks.dequeueAll(_ => true).foreach(spark.catalog.dropTempView)
+      liveSinks += name
+    }
     val ckpt = Files.createTempDirectory(s"graft-stream-$name").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // State-partition count sized to the fixtures' state volume (~40k rows):
+    // below ~100k state rows the per-partition store-commit overhead (one
+    // delta file + rename per store per partition per batch; a stream-stream
+    // join runs FOUR stores) dominates the work, so fewer partitions win —
+    // measured on the st9 shape at sf0.1: 8 partitions 2.9 s, 4 partitions
+    // 2.2 s, 2 partitions 2.0 s steady-state. 4 keeps a parallelism margin.
+    // A real deployment sizes this to cluster cores x state-per-core.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream
         .format("memory")
@@ -90,10 +110,27 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    // bounded run is done: unload state-store providers and stop their
-    // maintenance threads, so later (batch) queries aren't taxed by them
+    // Bounded run is done: the memory sink's data lives in driver memory
+    // (not the checkpoint), so the throwaway checkpoint and the terminated-
+    // query registration can be released immediately; the sink table itself
+    // is reaped by the NEXT run (liveSinks above) once the caller is done.
+    endStream(spark, ckpt)
+    // unload state-store providers and stop their maintenance threads, so
+    // later (batch) queries aren't taxed by them
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.table(name)
+  }
+
+  /** Post-run session hygiene shared by every bounded streaming query:
+    * clear the terminated-query registry (StreamingQueryManager retains
+    * every finished query's wrapper otherwise) and remove the throwaway
+    * checkpoint directory.
+    */
+  private def endStream(spark: SparkSession, ckpt: String): Unit = {
+    spark.streams.resetTerminated()
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   // -- sessionization state machine ------------------------------------------
@@ -235,6 +272,7 @@ object StreamOps {
           }
           .start()
         q.awaitTermination()
+        endStream(s, ckpt)
         cat.loadTable("lake", "events_s").toDF.orderBy("event_id")
       }),
 
@@ -264,6 +302,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        endStream(s, ckpt)
         require(tbl.snapshots.nonEmpty &&
           tbl.snapshots.forall(sn => sn.operation == "append" && sn.streamCommit.nonEmpty),
           "native sink must stamp append snapshots with the epoch marker")
@@ -318,6 +357,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        endStream(s, ckpt)
         val snaps = tbl.snapshots
         require(snaps.length == 3 && snaps.forall(sn =>
           sn.operation == "upsert" && sn.streamCommit.nonEmpty),
@@ -487,6 +527,7 @@ object StreamOps {
           }
           .start()
         q.awaitTermination()
+        endStream(s, ckpt)
         org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         s.sql("DELETE FROM icelite_st11.lake.rollup WHERE n_orders = 0")
         s.table("icelite_st11.lake.rollup")
