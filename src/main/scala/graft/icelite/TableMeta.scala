@@ -448,11 +448,17 @@ object MetaIo {
   // its window's manifests, independent of what earlier ops left cached.
   // LRU-bounded like the manifest cache itself, so a long-lived driver
   // never accumulates one entry per manifest for the JVM lifetime.
+  // While a spec is proving a property OVER the access set (flag on), the
+  // log must not evict: an act that touches more than the cap — exactly the
+  // buggy case such a proof exists to catch — would otherwise lose its
+  // earliest (out-of-window) entries to the LRU and pass the subset
+  // assertion vacuously. Production leaves the flag off and keeps the bound.
+  @volatile private[graft] var manifestAccessUnbounded = false
   private val docAccesses =
     new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
-        size > ManifestCacheCap
+        !manifestAccessUnbounded && size > ManifestCacheCap
     }
   private def recordAccess(path: String): Unit = docAccesses.synchronized {
     val prev = docAccesses.get(path)

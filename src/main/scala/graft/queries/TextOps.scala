@@ -546,19 +546,42 @@ object TextOps {
         val tot = docs.agg(count(lit(1)).as("n"))
         val freq = ch.distinct().groupBy("c").agg(count(lit(1)).as("df"))
         val hot = freq.crossJoin(broadcast(tot))
-          .filter(col("df") > lit(0.04) * col("n")).select("c")
-        val hotArr = hot.agg(collect_set(col("c")).as("hot"))
-        tk.crossJoin(broadcast(hotArr))
-          .select(col("doc_id"),
-            expr("transform(sequence(0, size(tk)-1, 2), " +
-              "i -> array_join(slice(tk, i+1, 2), ' '))").as("cs"),
-            col("hot"))
-          .select(col("doc_id"),
-            size(col("cs")).as("n_chunks"),
-            expr("size(filter(cs, c -> array_contains(hot, c)))").as("n_removed"),
-            expr("array_join(filter(cs, c -> NOT array_contains(hot, c)), ' ')")
-              .as("clean_text"))
-          .orderBy("doc_id")
+          .filter(col("df") > lit(0.04) * col("n")).select("c").persist()
+        // The 4% document-frequency threshold bounds the hot set in
+        // EXPECTATION (|hot| <= chunks/(0.04·N)), not by construction — a
+        // short-doc corpus can still produce one too large to ship as a
+        // single collected array. Gate on the measured size: within the
+        // cap, the row-local broadcast-array rebuild (the corpus never
+        // shuffles); over it, a left join against the hot set with an
+        // ordered per-doc reassembly — one extra corpus shuffle, no
+        // driver-side materialization of the hot set.
+        val cap = s.conf.get("graft.x28.hotCap", "65536").toLong
+        val out = if (hot.count() <= cap) {
+          val hotArr = hot.agg(collect_set(col("c")).as("hot"))
+          tk.crossJoin(broadcast(hotArr))
+            .select(col("doc_id"),
+              expr("transform(sequence(0, size(tk)-1, 2), " +
+                "i -> array_join(slice(tk, i+1, 2), ' '))").as("cs"),
+              col("hot"))
+            .select(col("doc_id"),
+              size(col("cs")).as("n_chunks"),
+              expr("size(filter(cs, c -> array_contains(hot, c)))").as("n_removed"),
+              expr("array_join(filter(cs, c -> NOT array_contains(hot, c)), ' ')")
+                .as("clean_text"))
+        } else {
+          val chIdx = tk.select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(tk)-1, 2), " +
+              "i -> array_join(slice(tk, i+1, 2), ' '))")))
+            .withColumnRenamed("col", "c")
+          chIdx.join(hot.withColumn("is_hot", lit(true)), Seq("c"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).cast("int").as("n_chunks"),
+              sum(when(col("is_hot"), 1).otherwise(0)).cast("int").as("n_removed"),
+              array_join(expr("transform(array_sort(collect_list(" +
+                "CASE WHEN is_hot IS NULL THEN struct(pos, c) END)), x -> x.c)"),
+                " ").as("clean_text"))
+        }
+        out.orderBy("doc_id")
       }),
 
     // Language-model familiarity scoring — the log-prob-free analog of
@@ -597,8 +620,17 @@ object TextOps {
         val exploded = tk.select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("b"))
           .localCheckpoint() // bigrams explode once, feed counts AND scoring
-        val counts = exploded.groupBy("b").agg(count(lit(1)).as("c"))
-        exploded.join(broadcast(counts), "b")
+        // The bigram-frequency table is vocab²-bounded, which is
+        // broadcastable at any realistic vocab — but that is an expectation,
+        // not a guarantee (a pathological corpus can exceed the broadcast
+        // ceiling). Gate on the MEASURED distinct-bigram count: within the
+        // cap, broadcast (measured 4x over map-lookup at sf0.1); over it,
+        // fall back to a shuffled join — same rows, no ceiling failure.
+        // The count is one cheap job over the persisted aggregate.
+        val cap = s.conf.get("graft.x30.broadcastCap", "2000000").toLong
+        val counts = exploded.groupBy("b").agg(count(lit(1)).as("c")).persist()
+        val dim = if (counts.count() <= cap) broadcast(counts) else counts
+        exploded.join(dim, "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("nb"), sum(col("c")).as("sc"))
           .select(col("doc_id"), col("nb").cast("int").as("n_bigrams"),

@@ -853,26 +853,45 @@ class IceliteSpec extends SparkSpec {
     tbl.append((200L to 209L).map(i => (i, "W1")).toDF("id", "v")) // snap 4
     tbl.append((210L to 219L).map(i => (i, "W2")).toDF("id", "v")) // snap 5
     val window = tbl.snapshots.filter(_.snapshotId > from)
-    // reset rather than diff: the access log is LRU-bounded, so a
-    // before/after delta can silently lose counts to eviction and pass
-    // this subset assertion vacuously — absolute counts from a clean
-    // slate cannot
-    graft.icelite.MetaIo.manifestAccessReset()
-    val log = tbl.changelog(from)
-    assert(log.count() == 20)
-    val accessed = graft.icelite.MetaIo.manifestAccessSnapshot
-      .filter(_._2 > 0).keySet
-    val windowManifests = window.map(_.manifestFile).toSet
-    assert(accessed.subsetOf(windowManifests),
-      s"bounded changelog touched manifests outside its window: " +
-        s"${accessed -- windowManifests}")
-    // and the scan itself reads only the window's added data files
-    // (compare bare paths: Hadoop spells file:/x where Spark says file:///x)
-    def bare(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val windowData = window.flatMap(tbl.addedFilesOf).map(bare).toSet
-    val scanned = log.inputFiles.map(bare).toSet
-    assert(scanned.subsetOf(windowData),
-      s"bounded changelog scanned non-window files: ${scanned -- windowData}")
+    // reset rather than diff, and record UNBOUNDED for the act: the access
+    // log is LRU-bounded in production, so a buggy act touching more paths
+    // than the cap would evict its own earliest (out-of-window) entries and
+    // pass the subset assertion vacuously — absolute counts from a clean
+    // slate with eviction disabled cannot lose anything
+    graft.icelite.MetaIo.manifestAccessUnbounded = true
+    try {
+      graft.icelite.MetaIo.manifestAccessReset()
+      val log = tbl.changelog(from)
+      assert(log.count() == 20)
+      val accessed = graft.icelite.MetaIo.manifestAccessSnapshot
+        .filter(_._2 > 0).keySet
+      val windowManifests = window.map(_.manifestFile).toSet
+      assert(accessed.subsetOf(windowManifests),
+        s"bounded changelog touched manifests outside its window: " +
+          s"${accessed -- windowManifests}")
+      // deliberate-breakage proof that the channel records: touching a
+      // PRE-window manifest must surface in the snapshot and would have
+      // failed the subset assertion above
+      val preWindow = tbl.snapshots.filter(_.snapshotId <= from)
+        .map(_.manifestFile).filterNot(windowManifests)
+      assert(preWindow.nonEmpty, "fixture must have pre-window manifests")
+      val fs = new org.apache.hadoop.fs.Path(preWindow.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.icelite.MetaIo.readManifestDoc(fs, preWindow.head)
+      val after = graft.icelite.MetaIo.manifestAccessSnapshot
+        .filter(_._2 > 0).keySet
+      assert(after.contains(preWindow.head) && !after.subsetOf(windowManifests),
+        "access log failed to record an out-of-window manifest read — " +
+          "the subset assertion above is vacuous")
+      // and the scan itself reads only the window's added data files
+      // (compare bare paths: Hadoop spells file:/x, Spark file:///x)
+      def bare(p: String): String =
+        new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val windowData = window.flatMap(tbl.addedFilesOf).map(bare).toSet
+      val scanned = log.inputFiles.map(bare).toSet
+      assert(scanned.subsetOf(windowData),
+        s"bounded changelog scanned non-window files: ${scanned -- windowData}")
+    } finally graft.icelite.MetaIo.manifestAccessUnbounded = false
   }
 
   test("a MOR delete racing a concurrent append retries and both land") {

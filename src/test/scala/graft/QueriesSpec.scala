@@ -92,6 +92,38 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.x25.candCap")
   }
 
+  // x30's bigram-frequency broadcast is size-gated: cap=0 forces the
+  // shuffled-join fallback. Same rows either way.
+  test("x30 broadcast-cap fallback (shuffled join) matches the broadcast path") {
+    def run() = SparkEntry.queries("x30_lm_familiarity")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val bcast = run()
+    spark.conf.set("graft.x30.broadcastCap", "0")
+    try {
+      val shuffled = run()
+      assert(shuffled == bcast,
+        s"fallback diverges: only-in-shuffled=${shuffled -- bcast} " +
+          s"only-in-bcast=${bcast -- shuffled}")
+      assert(shuffled.nonEmpty, "fixture produced no familiarity rows")
+    } finally spark.conf.unset("graft.x30.broadcastCap")
+  }
+
+  // x28's hot-set array broadcast is size-gated: cap=0 (with a fixture that
+  // has a nonempty hot set) forces the join-based ordered rebuild.
+  test("x28 hot-set-cap fallback (join rebuild) matches the broadcast path") {
+    def run() = SparkEntry.queries("x28_boilerplate_strip")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val bcast = run()
+    spark.conf.set("graft.x28.hotCap", "-1")
+    try {
+      val joined = run()
+      assert(joined == bcast,
+        s"fallback diverges: only-in-join=${joined -- bcast} " +
+          s"only-in-bcast=${bcast -- joined}")
+      assert(joined.nonEmpty, "fixture produced no documents")
+    } finally spark.conf.unset("graft.x28.hotCap")
+  }
+
   test("a3_hll_approx estimates within configured rsd of exact") {
     // the query itself now carries the bound as a column (oracle-gated:
     // DuckDB states exact + literal true); this spec re-asserts it locally
