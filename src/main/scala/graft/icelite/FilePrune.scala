@@ -204,8 +204,18 @@ object FilePrune {
       partCol: String => Boolean): Boolean = {
     def dtOf(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
+    // Claims are restricted to column types our write paths can actually
+    // render into a path segment (PartValues.renderable). A legacy or
+    // externally-written table can carry e.g. a float/double identity
+    // partition column — internalValue still decodes those for pruning —
+    // but its directory values (NaN, signed zero, locale spellings) can
+    // make cmpExternal return None, where canMatch conservatively KEEPS
+    // the file while Spark no longer re-evaluates the claimed filter:
+    // silent wrong rows. Renderable types round-trip unambiguously, so
+    // only they support an exactness claim.
     def cmpOk(c: String, v: Any): Boolean =
-      v != null && partCol(c) && dtOf(c).exists(dt => norm(dt, v).isDefined)
+      v != null && partCol(c) &&
+        dtOf(c).exists(dt => PartValues.renderable(dt) && norm(dt, v).isDefined)
     def pos(g: Filter): Boolean = g match {
       case And(l, r) => pos(l) && pos(r)
       case Or(l, r) => pos(l) && pos(r)
@@ -215,7 +225,7 @@ object FilePrune {
       case EqualNullSafe(c, v) => cmpOk(c, v)
       case In(c, vs) => vs != null && vs.nonEmpty && partCol(c) &&
         vs.forall(v => v == null ||
-          dtOf(c).exists(dt => norm(dt, v).isDefined))
+          dtOf(c).exists(dt => PartValues.renderable(dt) && norm(dt, v).isDefined))
       case GreaterThan(c, v) => cmpOk(c, v)
       case GreaterThanOrEqual(c, v) => cmpOk(c, v)
       case LessThan(c, v) => cmpOk(c, v)

@@ -111,12 +111,18 @@ object FileStats {
     if (snap.addedFileCount >= 0) snap.addedFileCount else snap.addedFiles.length.toLong
 
   /** Bytes of the files ADDED by a snapshot — streaming byte-based
-    * admission control. Reads the snapshot's (cached) manifest; cost is
-    * bounded by the admission window, not table history.
+    * admission control. O(1) from the inline commit-time count on current
+    * metadata; pre-upgrade snapshots fall back to one pass over the
+    * snapshot's (cached) manifest.
     */
   def addedBytes(fs: org.apache.hadoop.fs.FileSystem, s: SnapshotMeta): Long = {
-    val addedPaths = addedPathsOf(fs, s).toSet
-    visible(fs, s).filter(f => addedPaths(f.path)).map(_.bytes).sum
+    if (s.addedByteCount >= 0) return s.addedByteCount
+    // normalize both sides: 'file:/x' vs 'file:///x' spelling differences
+    // between writers would make the membership test silently sum 0 bytes
+    // and disable the byte cap (first batch would plan the whole history)
+    def q(p: String) = new Path(p).toString
+    val addedPaths = addedPathsOf(fs, s).map(q).toSet
+    visible(fs, s).filter(f => addedPaths(q(f.path))).map(_.bytes).sum
   }
 
   /** Did snapshot `s` keep every file visible at `parent`? Carried files

@@ -76,6 +76,11 @@ final case class SnapshotMeta(
     // view and streaming admission control need the COUNT without touching
     // manifests); -1 on pre-upgrade metadata — fall back to addedFiles.
     addedFileCount: Long = -1L,
+    // O(1) inline byte total of the files added by this snapshot — byte-based
+    // streaming admission control stays metadata-only per pending snapshot
+    // instead of scanning each one's full visible manifest per trigger.
+    // -1 on pre-upgrade metadata: FileStats.addedBytes falls back there.
+    addedByteCount: Long = -1L,
     // O(1) inline counts of the files / outstanding delete files VISIBLE at
     // this snapshot. Together with addedFileCount they make the changelog's
     // non-rewriting proof metadata-only: a snapshot kept every parent file
@@ -501,6 +506,15 @@ object MetaIo {
         s.copy(files = Nil, addedFiles = Nil, dataDirs = Nil, deletes = Nil,
           addedFileCount =
             if (s.addedFileCount >= 0) s.addedFileCount else s.addedFiles.length.toLong,
+          addedByteCount =
+            if (s.addedByteCount >= 0) s.addedByteCount
+            else {
+              // path spellings can differ between the added list and the
+              // FileStat list (file:/x vs file:///x) — normalize both
+              val added = s.addedFiles.map(p => new Path(p).toString).toSet
+              s.files.filter(f => added(new Path(f.path).toString))
+                .map(_.bytes).sum
+            },
           totalFileCount = s.files.length.toLong,
           deleteFileCount = s.deletes.length.toLong,
           manifestFile = mf.toString)

@@ -770,8 +770,18 @@ private[v2] object ManifestAgg {
           case _ => false // exceeds Long: the scan surfaces Spark's own
                           // overflow semantics instead of a wrapped answer
         }
-      // AVG = exact total / non-null count, ONE double rounding — at least
-      // as deterministic as any scan-side fold
+      // AVG = exact total / non-null count, ONE double rounding — a
+      // RECORDED DECISION, not an oversight: the non-pushed plan folds
+      // per-row doubles in partition order, so the same query can return
+      // a last-ulp-different double depending on whether pushdown fires
+      // (and, non-pushed, on partitioning). The pushed answer is the
+      // deterministic one — exact integer total, single division — so we
+      // prefer it over bit-compatibility with Spark's order-dependent
+      // fold. Unlike SUM there is no isValidLong refusal: SUM must return
+      // a LONG (an overflowed total cannot, so it refuses and lets the
+      // scan surface Spark's overflow semantics), while AVG's contract is
+      // already a double — BigDecimal(total).toDouble rounds correctly at
+      // any magnitude, nothing overflows.
       case (av: org.apache.spark.sql.connector.expressions.aggregate.Avg, i)
           if !av.isDistinct =>
         colOf(av.column).flatMap(exactSumCount) match {
@@ -1822,8 +1832,11 @@ private[v2] class IceLiteMicroBatchStream(
     while (open && it.hasNext) {
       val s = it.next()
       val n = graft.icelite.FileStats.addedCount(s)
-      // bytes read from the snapshot's (cached) manifest only under a
-      // byte cap — the file-count path stays inline-O(1)
+      // Under a byte cap: O(1) from the commit-time inline byte count on
+      // current metadata (only pre-upgrade snapshots fall back to their
+      // cached manifest), and the loop breaks at the first non-fitting
+      // snapshot — so per-trigger cost tracks the admitted window, not
+      // the pending backlog.
       val b = if (maxB.isDefined) graft.icelite.FileStats.addedBytes(fsys, s) else 0L
       val fits = maxF.forall(usedF + n <= _) && maxB.forall(usedB + b <= _)
       if (admitted == 0 || fits) {

@@ -124,4 +124,24 @@ class FilePruneExactSpec extends AnyFunSuite {
     }
     assert(claimed > 1000, s"generator produced too few claimable filters: $claimed")
   }
+
+  test("exactness is refused on non-renderable partition column types") {
+    // A legacy/externally-written table can have a float/double identity
+    // partition column (internalValue decodes them for pruning), but their
+    // directory spellings (NaN, -0.0) don't round-trip — cmpExternal can
+    // return None and canMatch conservatively KEEPS the file while the
+    // claimed filter is never re-evaluated. Such columns must never
+    // support an exactness claim; conservative pruning remains fine.
+    val dblSchema = StructType(Seq(
+      StructField("d", DoubleType), StructField("p", StringType)))
+    val cols = Set("d", "p")
+    assert(!FilePrune.exactOnPartitions(EqualTo("d", 1.5), dblSchema, cols))
+    assert(!FilePrune.exactOnPartitions(GreaterThan("d", 0.0), dblSchema, cols))
+    assert(!FilePrune.exactOnPartitions(
+      In("d", Array[Any](1.0, 2.0)), dblSchema, cols))
+    assert(!FilePrune.exactOnPartitions(
+      And(EqualTo("p", "a"), LessThan("d", 3.0)), dblSchema, cols))
+    // the renderable column alone still claims
+    assert(FilePrune.exactOnPartitions(EqualTo("p", "a"), dblSchema, cols))
+  }
 }
