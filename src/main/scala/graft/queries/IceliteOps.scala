@@ -125,6 +125,34 @@ object IceliteOps {
         tbl.scan(snapshotId = Some(firstSnap)).orderBy("event_id")
       }),
 
+    // R3b: time travel BY TIMESTAMP through the DSv2 read option — the
+    // format() twin of SQL `TIMESTAMP AS OF` (r3 covers the snapshot-id
+    // path): `asOfTimestamp` resolves to the latest snapshot at or before
+    // the instant, so a reader can pin "the table as of last midnight"
+    // without knowing snapshot ids. Resolution is metadata-only (the
+    // snapshot log carries commit times inline).
+    QDef(
+      "r3b_ice_timetravel_ts",
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM events
+             |WHERE event_id % 2 = 0 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "r3b")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events")
+        val tbl = cat.createTable("lake", "events_tt", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        val t1 = tbl.snapshots.head.timestampMs
+        // the second commit must land at a LATER millisecond or the
+        // at-or-before resolution would legitimately pick it
+        while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+        tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+        s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_tt")
+          .option("asOfTimestamp", java.time.Instant.ofEpochMilli(t1).toString)
+          .load()
+          .orderBy("event_id")
+      }),
+
     // R8b: incremental append scan (the Iceberg incremental-read analog,
     // batch CDC): rows added strictly after a pinned snapshot. Planning is
     // metadata-only over the addedFiles manifests of the (from, to] range,
@@ -581,6 +609,50 @@ object IceliteOps {
             |GROUP BY icelite_s6.system.days(ts) ORDER BY ts_day""".stripMargin)
         require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
           "days() grouped aggregate must push down to the manifest-only scan")
+        df
+      }),
+
+    // S6c: grouped aggregate pushdown over a BUCKET partition — GROUP BY
+    // system.bucket(4, event_type) on a bucket(4,event_type)-partitioned
+    // table is "rows/ids per hash bucket" (the balance check on any
+    // bucket-laid-out 100 TB table), answered from manifests alone: group
+    // key = directory value, counts/min/max = per-file stats (manifest-only
+    // plan asserted in-query). A width MISMATCH (bucket(16,...) over this
+    // layout) must refuse and fall back — DsV2Spec proves that. The oracle
+    // restates Spark's bucket mapping as a CASE over the five event types,
+    // with ids INDEPENDENTLY derived from the public Murmur3 x86_32
+    // algorithm (seed 42, pmod 4) — so this also pins the hash itself.
+    QDef(
+      "s6b_agg_pushdown_bucket",
+      Some("""WITH b AS (
+             |  SELECT CASE event_type
+             |      WHEN 'click' THEN 3 WHEN 'error' THEN 1
+             |      WHEN 'purchase' THEN 0 WHEN 'signup' THEN 0
+             |      WHEN 'view' THEN 1 END AS type_bucket,
+             |    event_id
+             |  FROM events)
+             |SELECT type_bucket, COUNT(*) AS n, MIN(event_id) AS min_id,
+             |  MAX(event_id) AS max_id
+             |FROM b GROUP BY 1 ORDER BY type_bucket""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s6b", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh)
+            .createTable("lake", "events_b", ev.schema,
+              partitionBy = Seq("bucket(4,event_type)"))
+            .append(ev)
+        }
+        s.conf.set("spark.sql.catalog.icelite_s6b", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s6b.warehouse", wh)
+        val df = s.sql(
+          """SELECT icelite_s6b.system.bucket(4, event_type) AS type_bucket,
+            |  COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+            |FROM icelite_s6b.lake.events_b
+            |GROUP BY icelite_s6b.system.bucket(4, event_type)
+            |ORDER BY type_bucket""".stripMargin)
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "bucket() grouped aggregate must push down to the manifest-only scan")
         df
       }),
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.Offset
 import org.apache.spark.sql.types.StructType
 
-import graft.icelite.{FileStats, PartField, PartValues}
+import graft.icelite.{FilePrune, FileStats, PartField, PartValues, TransformPrune}
 
 /** Streaming CDC changelog source: `readStream.format("icelite")
   * .option("changelog", "true")` tails the snapshot log and emits every
@@ -42,10 +42,18 @@ private[v2] class IceLiteChangelogStream(
     tableSchema: StructType,
     partitionBy: Seq[String],
     maxFilesPerTrigger: Option[Int],
-    startSnapshotId: Long = 0L)
+    startSnapshotId: Long = 0L,
+    // filters pushed by StreamScanPruning — prune BOTH change sides before
+    // IO: an added file (insert rows) or a delete-affected parent file
+    // (delete rows) whose partition values / stats cannot match the filter
+    // emits no qualifying change row, so skipping it is conservative.
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    // byte-based admission cap (`maxBytesPerTrigger`)
+    maxBytesPerTrigger: Option[Long] = None)
     extends IceLiteMicroBatchStream(
       warehouse, ns, tbl, tableSchema, partitionBy, maxFilesPerTrigger,
-      startSnapshotId = startSnapshotId) {
+      startSnapshotId = startSnapshotId, pushedFilters = pushedFilters,
+      maxBytesPerTrigger = maxBytesPerTrigger) {
 
   private val identityBy = PartField.identityCols(partitionBy)
   private val constNames: Seq[String] = identityBy ++
@@ -56,49 +64,82 @@ private[v2] class IceLiteChangelogStream(
   private val partSchema = StructType(
     tableSchema.fields.filter(f => constNames.contains(f.name)))
 
+  // Conservative per-file pruning for the pushed stream filters, applied
+  // to BOTH change sides: an added file (insert rows) or a delete-affected
+  // parent file (delete rows) only ever emits rows carrying its own
+  // partition values / within its own stats, so a file that cannot match
+  // the filter contributes no qualifying change row and is skipped before
+  // IO. Changelog mode refuses partition-evolution histories, so the
+  // one-and-only spec is `partitionBy`.
+  private val transformFields =
+    PartField.parseSpec(partitionBy).filterNot(_.isIdentity)
+  private def fileCanMatch(f: graft.icelite.FileStat): Boolean =
+    pushedFilters.isEmpty || {
+      val pv = PartValues.decodeExternal(tableSchema, identityBy,
+        PartValues.parse(f.path, identityBy))
+      val tRaw =
+        if (transformFields.isEmpty) Map.empty[String, Option[String]]
+        else PartValues.parse(f.path, transformFields.map(_.fieldName))
+      pushedFilters.forall(fl =>
+        FilePrune.canMatch(fl, tableSchema, f, pv) &&
+          (transformFields.isEmpty ||
+            TransformPrune.canMatch(fl, tableSchema, transformFields, tRaw)))
+    }
+
   /** Admission control, changelog-aware: the parent charges each snapshot
-    * its ADDED file count, but a delete-bearing snapshot additionally fans
-    * out one partition per affected parent file — a fanout the
-    * snapshot-granular offsets cannot split. Under a maxFilesPerTrigger
-    * cap, a snapshot with NEW delete files therefore CLOSES its batch: at
-    * most one delete-resolution per micro-batch, so the cap keeps meaning
-    * "bounded batches" while draining MOR history. Detection is O(1) via
-    * the inline delete-file counts (conservative when unknown).
+    * its ADDED file count / bytes, but a delete-bearing snapshot
+    * additionally fans out one partition per affected parent file — a
+    * fanout the snapshot-granular offsets cannot split. Under a
+    * maxFilesPerTrigger or maxBytesPerTrigger cap, a snapshot with NEW
+    * delete files therefore CLOSES its batch: at most one
+    * delete-resolution per micro-batch, so the caps keep meaning "bounded
+    * batches" while draining MOR history. Detection is O(1) via the
+    * inline delete-file counts (conservative when unknown). Both cap
+    * kinds (and their composite) flow through the same loop — a byte cap
+    * must never silently degrade to admit-everything here.
     */
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
     val from = start.asInstanceOf[IceOffset].snapshotId
     val m = currentMeta
     val head = availableNowEnd.getOrElse(m.currentSnapshotId)
-    limit match {
-      case mf: ReadMaxFiles =>
-        val pending = m.snapshots
-          .filter(s => s.snapshotId > from && s.snapshotId <= head)
-          .sortBy(_.snapshotId)
-        var to = from
-        var used = 0
-        var admitted = 0
-        var prevDeleteCount =
-          m.snapshots.filter(_.snapshotId <= from)
-            .maxByOption(_.snapshotId).map(_.deleteFileCount).getOrElse(0L)
-        val it = pending.iterator
-        var open = true
-        while (open && it.hasNext) {
-          val s = it.next()
-          val n = FileStats.addedCount(s).toInt
-          if (admitted == 0 || used + n <= mf.maxFiles()) {
-            to = s.snapshotId; used += n; admitted += 1
-            val newDeletes = s.deleteFileCount < 0 || prevDeleteCount < 0 ||
-              s.deleteFileCount != prevDeleteCount
-            if (newDeletes) open = false
-            prevDeleteCount = s.deleteFileCount
-          } else open = false
-        }
-        IceOffset(to)
-      case _ => IceOffset(head)
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
     }
+    val limits = flatten(limit)
+    val maxF = limits.collectFirst { case mf: ReadMaxFiles => mf.maxFiles() }
+    val maxB = limits.collectFirst { case mb: ReadMaxBytes => mb.maxBytes() }
+    if (maxF.isEmpty && maxB.isEmpty) return IceOffset(head)
+    val (_, fsys) = IceLiteV2.loadMeta(warehouse, ns, tbl)
+    val pending = m.snapshots
+      .filter(s => s.snapshotId > from && s.snapshotId <= head)
+      .sortBy(_.snapshotId)
+    var to = from
+    var usedF = 0L
+    var usedB = 0L
+    var admitted = 0
+    var prevDeleteCount =
+      m.snapshots.filter(_.snapshotId <= from)
+        .maxByOption(_.snapshotId).map(_.deleteFileCount).getOrElse(0L)
+    val it = pending.iterator
+    var open = true
+    while (open && it.hasNext) {
+      val s = it.next()
+      val n = FileStats.addedCount(s)
+      val b = if (maxB.isDefined) FileStats.addedBytes(fsys, s) else 0L
+      val fits = maxF.forall(usedF + n <= _) && maxB.forall(usedB + b <= _)
+      if (admitted == 0 || fits) {
+        to = s.snapshotId; usedF += n; usedB += b; admitted += 1
+        val newDeletes = s.deleteFileCount < 0 || prevDeleteCount < 0 ||
+          s.deleteFileCount != prevDeleteCount
+        if (newDeletes) open = false
+        prevDeleteCount = s.deleteFileCount
+      } else open = false
+    }
+    IceOffset(to)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -133,26 +174,32 @@ private[v2] class IceLiteChangelogStream(
       // inserts: the snapshot's own added rows, as written (its own eq
       // delete exempts them; MOR positions only ever target older files)
       val addedPaths = FileStats.addedPathsOf(fs, s).toSet
-      FileStats.visible(fs, s).filter(f => addedPaths(f.path)).foreach { f =>
-        parts += IceLiteInputPartition(f.path, f.bytes, consts("insert", f.path))
-      }
+      FileStats.visible(fs, s)
+        .filter(f => addedPaths(f.path) && fileCanMatch(f)).foreach { f =>
+          parts += IceLiteInputPartition(f.path, f.bytes, consts("insert", f.path))
+        }
       // deletes committed BY this snapshot, resolved to the rows they
       // killed; parent manifests materialize lazily (eq resolution only)
+      def normPath(p: String) = new org.apache.hadoop.fs.Path(p).toString
       lazy val pFiles = parent.map(FileStats.visible(fs, _)).getOrElse(Nil)
       lazy val pDeletes = parent.map(FileStats.deletesOf(fs, _)).getOrElse(Nil)
+      lazy val pByPath = pFiles.map(f => normPath(f.path) -> f).toMap
       for (d <- FileStats.newDeletesOf(fs, parent, s)) {
         if (!d.isEquality) {
           // positions were live when committed (stacked deletes are
-          // excluded at write) — serve the named positions raw
+          // excluded at write) — serve the named positions raw; a target
+          // file that cannot match the pushed filters emits no qualifying
+          // delete row (unknown stat = keep, conservative)
           d.appliesTo.foreach { e =>
-            parts += IceLiteInputPartition(e.path, 0L, consts("delete", e.path),
-              matchDeleteFiles = Seq(d.path))
+            if (pByPath.get(normPath(e.path)).forall(fileCanMatch))
+              parts += IceLiteInputPartition(e.path, 0L, consts("delete", e.path),
+                matchDeleteFiles = Seq(d.path))
           }
         } else {
           // rows live at the PARENT snapshot (its debt applied) in
           // era+bounds-eligible files whose key tuples match
           val eligible = pFiles.filter(f =>
-            FileStats.eqAppliesTo(d, f, tableStruct))
+            FileStats.eqAppliesTo(d, f, tableStruct) && fileCanMatch(f))
           // manifests can mix 'file:/' and 'file:///' spellings depending
           // on the writer; normalize both sides before the membership
           // test (as FileStats.isNonRewriting's fallback does) — a raw

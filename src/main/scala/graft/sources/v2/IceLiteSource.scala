@@ -1727,7 +1727,7 @@ private[v2] class IceLiteScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (changelogMode)
       new IceLiteChangelogStream(warehouse, ns, tbl, tableSchema, partitionBy,
-        streamMaxFiles, streamFrom.getOrElse(0L))
+        streamMaxFiles, streamFrom.getOrElse(0L), streamFilters, streamMaxBytes)
     else
       new IceLiteMicroBatchStream(warehouse, ns, tbl, tableSchema, partitionBy,
         streamMaxFiles, specs, streamFrom.getOrElse(0L), streamFilters,

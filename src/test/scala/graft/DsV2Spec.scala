@@ -304,6 +304,60 @@ class DsV2Spec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("changelog stream: byte-capped admission composes with partition filter") {
+    // the round-8 additions meet here: a partition-filtered CDC stream
+    // under maxBytesPerTrigger must replay a multi-snapshot history across
+    // multiple epochs AND still equal the batch changelog diff — the
+    // likely-regression seam between admission control and stream pruning
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val wh = warehouse("cdc-cap-filt")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", s"v$i"))
+      .toDF("k", "g", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("g"))
+    tbl.append(df.filter(col("k") <= 20))
+    tbl.append(df.filter(col("k") > 20 && col("k") <= 40))
+    tbl.upsertMorEq((1L to 10L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", "UP")).toDF("k", "g", "v"), Seq("k"))
+    tbl.append(df.filter(col("k") > 40))
+    val name = s"cdc_cap_${System.nanoTime()}"
+    val q = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t")
+      .option("changelog", "true")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .filter(col("g") === "a")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("icelite-cdc-cap").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = r.getValuesMap[Any](r.schema.fieldNames)
+    val got = spark.table(name).collect().map(key).toSet
+    val expect = tbl.changelog(0L).filter(col("g") === "a")
+      .collect().map(key).toSet
+    assert(got == expect,
+      s"capped+filtered stream diverges from batch diff: " +
+        s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.nonEmpty, "fixture must produce filtered change rows")
+    // the 1-byte cap admits one snapshot per epoch: the history must have
+    // replayed across several data-carrying batches, not one big one
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3,
+      s"expected multi-epoch replay under the byte cap, got $dataBatches")
+    // and pruning engaged: the source served fewer change rows than the
+    // unfiltered changelog carries
+    val served = q.recentProgress.map(_.numInputRows).sum
+    val full = tbl.changelog(0L).count()
+    assert(served < full,
+      s"stream served $served of $full change rows — partition pruning " +
+        "inert under the byte cap")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("hidden-partitioned tables: MOR delete, SQL UPDATE, and streaming") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("hp-interop")
@@ -678,6 +732,36 @@ class DsV2Spec extends SparkSpec {
     assert(evolved.orderBy("event_type").collect().toSeq ==
       df.groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type").collect().toSeq)
+  }
+
+  test("bucket grouped pushdown: matching width pushes; width mismatch refuses") {
+    val wh = warehouse("aggpush-bkt")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    cat.createTable("lake", "ev_b", df.schema,
+      partitionBy = Seq("bucket(4,event_type)")).append(df)
+    spark.conf.set("spark.sql.catalog.icelite_bw", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.icelite_bw.warehouse", wh)
+    def q(width: Int) = spark.sql(
+      s"""SELECT icelite_bw.system.bucket($width, event_type) AS b, COUNT(*) AS n
+         |FROM icelite_bw.lake.ev_b
+         |GROUP BY icelite_bw.system.bucket($width, event_type)
+         |ORDER BY b""".stripMargin)
+    assert(scanDescOf(q(4)).contains("manifest-only"),
+      s"matching bucket width must push: ${scanDescOf(q(4))}")
+    // GROUP BY bucket(16,...) over a bucket(4,...) layout: directory values
+    // cannot answer the 16-wide grouping — must refuse, fall back row-wise
+    val mism = q(16)
+    assert(!scanDescOf(mism).contains("aggPushed"),
+      s"bucket-width mismatch must refuse grouped pushdown: ${scanDescOf(mism)}")
+    def expect(width: Int) = df
+      .select(pmod(hash(col("event_type")), lit(width)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n")).orderBy("b").collect().toSeq
+    assert(mism.collect().toSeq == expect(16),
+      "width-mismatch fallback must still answer correctly")
+    assert(q(4).collect().toSeq == expect(4),
+      "pushed grouping must equal the row-wise recompute")
   }
 
   test("partition-exact filters push fully; filtered aggs answer from manifests") {
