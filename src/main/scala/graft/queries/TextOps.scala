@@ -546,18 +546,29 @@ object TextOps {
         val tot = docs.agg(count(lit(1)).as("n"))
         val freq = ch.distinct().groupBy("c").agg(count(lit(1)).as("df"))
         val hot = freq.crossJoin(broadcast(tot))
-          .filter(col("df") > lit(0.04) * col("n")).select("c").persist()
-        // The 4% document-frequency threshold bounds the hot set in
-        // EXPECTATION (|hot| <= chunks/(0.04·N)), not by construction — a
-        // short-doc corpus can still produce one too large to ship as a
-        // single collected array. Gate on the measured size: within the
-        // cap, the row-local broadcast-array rebuild (the corpus never
-        // shuffles); over it, a left join against the hot set with an
-        // ordered per-doc reassembly — one extra corpus shuffle, no
-        // driver-side materialization of the hot set.
+          .filter(col("df") > lit(0.04) * col("n")).select("c")
+        // The 4% document-frequency threshold bounds the hot set at
+        // |hot| <= total_chunks/(0.04·N) — real, but in expectation only:
+        // a short-doc corpus can push it past what one collected array
+        // should ship. The cap makes the bound LOCAL at zero added cost:
+        // the fast path asserts |hot| <= cap inside the same aggregation
+        // that builds the array (assert_true, row-local — no extra job,
+        // no driver materialization), failing loudly with the remedy
+        // rather than silently shipping an oversized broadcast. Setting
+        // graft.x28.hotCap=-1 selects the remedy: a left join against the
+        // hot set with an ordered per-doc reassembly — one extra corpus
+        // shuffle, hot set never collected; spec-proven equal.
         val cap = s.conf.get("graft.x28.hotCap", "65536").toLong
-        val out = if (hot.count() <= cap) {
-          val hotArr = hot.agg(collect_set(col("c")).as("hot"))
+        val out = if (cap >= 0) {
+          // the check lives INSIDE the hot column's defining expression
+          // (not a separate assert column Catalyst could prune away)
+          val hotArr = hot.agg(collect_set(col("c")).as("hot0"))
+            .select(when(size(col("hot0")) <= cap, col("hot0"))
+              .otherwise(raise_error(concat(
+                lit("x28: hot set of "), size(col("hot0")),
+                lit(s" chunks exceeds graft.x28.hotCap=$cap — set " +
+                  "graft.x28.hotCap=-1 to use the join fallback"))))
+              .as("hot"))
           tk.crossJoin(broadcast(hotArr))
             .select(col("doc_id"),
               expr("transform(sequence(0, size(tk)-1, 2), " +
@@ -623,13 +634,21 @@ object TextOps {
         // The bigram-frequency table is vocab²-bounded, which is
         // broadcastable at any realistic vocab — but that is an expectation,
         // not a guarantee (a pathological corpus can exceed the broadcast
-        // ceiling). Gate on the MEASURED distinct-bigram count: within the
-        // cap, broadcast (measured 4x over map-lookup at sf0.1); over it,
-        // fall back to a shuffled join — same rows, no ceiling failure.
-        // The count is one cheap job over the persisted aggregate.
+        // ceiling). Two-tier size gate, cheapest-first: TOTAL bigram
+        // occurrences (a row count over the already-materialized local
+        // checkpoint, no recompute) bounds the distinct count from above —
+        // within the cap, broadcast outright (measured 4x over map-lookup
+        // at sf0.1) at ~zero added cost. Only past that bound is the exact
+        // distinct count measured (persisted, one aggregation pass); over
+        // the cap the join runs shuffled — same rows, no ceiling failure.
         val cap = s.conf.get("graft.x30.broadcastCap", "2000000").toLong
-        val counts = exploded.groupBy("b").agg(count(lit(1)).as("c")).persist()
-        val dim = if (counts.count() <= cap) broadcast(counts) else counts
+        val counts0 = exploded.groupBy("b").agg(count(lit(1)).as("c"))
+        val dim =
+          if (exploded.count() <= cap) broadcast(counts0)
+          else {
+            val counts = counts0.persist()
+            if (counts.count() <= cap) broadcast(counts) else counts
+          }
         exploded.join(dim, "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("nb"), sum(col("c")).as("sc"))

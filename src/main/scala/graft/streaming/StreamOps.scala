@@ -245,6 +245,31 @@ object StreamOps {
           .orderBy("event_id")
       }),
 
+    // Watermark-scoped streaming dedup: the at-least-once upstream whose
+    // REPLAY carries a drifted timestamp (same payload, later arrival) —
+    // exactly what st6's dropDuplicates(key, ts) cannot deduplicate (the
+    // composite key differs) and dropDuplicatesWithinWatermark exists
+    // for: duplicates within the watermark delay dedupe on the business
+    // key ALONE, while state still evicts as the watermark passes — the
+    // difference between keying state on (id) forever (unbounded) and
+    // keying it on (id) for the dedup horizon (bounded). Oracle: dedup of
+    // the doubled, time-shifted input equals the original table exactly.
+    QDef(
+      "st12_stream_dedup_watermark",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val replayed = eventStream(s, dir)
+          .withColumn("ts", col("ts") + expr("interval 1 second"))
+        val deduped = eventStream(s, dir).union(replayed)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "user_id", "event_type", "value")
+        runToTable(deduped, OutputMode.Append(),
+          s"st12_sink_${System.nanoTime()}")
+          .orderBy("event_id")
+      }),
+
     // Streaming ingestion into the IceLite table layer via foreachBatch:
     // one append snapshot per micro-batch — exactly the reference writer's
     // batch-loop semantics (C6, one snapshot per Arrow batch, wr:101-110),

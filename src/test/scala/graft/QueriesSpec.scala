@@ -108,9 +108,10 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.x30.broadcastCap")
   }
 
-  // x28's hot-set array broadcast is size-gated: cap=0 (with a fixture that
-  // has a nonempty hot set) forces the join-based ordered rebuild.
-  test("x28 hot-set-cap fallback (join rebuild) matches the broadcast path") {
+  // x28's hot-set array broadcast is capped: hotCap=-1 selects the
+  // join-based ordered rebuild (must match), and an over-cap hot set on
+  // the fast path refuses loudly instead of shipping the broadcast.
+  test("x28 hot-set cap: join fallback matches; over-cap run refuses") {
     def run() = SparkEntry.queries("x28_boilerplate_strip")(spark, sfDir)
       .collect().map(_.toSeq).toSet
     val bcast = run()
@@ -122,6 +123,19 @@ class QueriesSpec extends SparkSpec {
           s"only-in-bcast=${bcast -- joined}")
       assert(joined.nonEmpty, "fixture produced no documents")
     } finally spark.conf.unset("graft.x28.hotCap")
+    // the fixture's hot set is nonempty iff some chunk was removed; only
+    // then can cap=0 prove the refusal fires
+    val anyRemoved = bcast.exists(r => r(2).asInstanceOf[Int] > 0)
+    if (anyRemoved) {
+      spark.conf.set("graft.x28.hotCap", "0")
+      try {
+        val e = intercept[Exception](run())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("exceeds graft.x28.hotCap")),
+          s"expected the documented refusal, got: $e")
+      } finally spark.conf.unset("graft.x28.hotCap")
+    }
   }
 
   test("a3_hll_approx estimates within configured rsd of exact") {
