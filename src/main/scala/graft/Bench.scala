@@ -94,17 +94,16 @@ object Bench {
     val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
-    // A SHORT summary line (fits any tail-capture window) brackets the full
-    // per-query line: printed FIRST and LAST, so whatever window the
-    // driver's tail capture lands on contains at least one COMPLETE copy —
-    // round 8's capture cut the trailing short line mid-byte and parsed
-    // null; a leading copy survives any end-of-window truncation. The full
-    // line is also archived to bench-out.json.
+    // Only SHORT summary lines go to stdout (first and last): the full
+    // per-query line is multiple KB, so any tail-capture window landing
+    // inside it would contain no complete metric line at all — round 8's
+    // capture cut mid-line and parsed null. The full line lives in
+    // bench-out.json (pointed to by queries_file), where the per-query
+    // numbers are read from anyway.
     val outPath = java.nio.file.Paths.get("bench-out.json").toAbsolutePath
     val short =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"flaky":$flk,"queries_file":"$outPath","sf":"$sfDir"}"""
     println(short)
-    println(full)
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(short)

@@ -28,6 +28,16 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
   */
 object FileStats {
 
+  /** The one canonical path spelling for membership tests. Writers and
+    * manifest generations can spell the same file 'file:/x' vs 'file:///x'
+    * (Hadoop vs Spark rendering); EVERY set-membership test between an
+    * added-path list and a FileStat list must normalize BOTH sides through
+    * this, or the intersection silently misses — the changelog stream would
+    * drop a snapshot's inserts, the incremental scan would return an empty
+    * delta, the byte cap would charge 0.
+    */
+  def normPath(p: String): String = new Path(p).toString
+
   /** The complete data-file manifest of a snapshot: loaded from the
     * snapshot's external manifest file (one small immutable JSON, memoized),
     * or the inline `files` list of in-memory / pre-externalization metadata.
@@ -117,12 +127,10 @@ object FileStats {
     */
   def addedBytes(fs: org.apache.hadoop.fs.FileSystem, s: SnapshotMeta): Long = {
     if (s.addedByteCount >= 0) return s.addedByteCount
-    // normalize both sides: 'file:/x' vs 'file:///x' spelling differences
-    // between writers would make the membership test silently sum 0 bytes
-    // and disable the byte cap (first batch would plan the whole history)
-    def q(p: String) = new Path(p).toString
-    val addedPaths = addedPathsOf(fs, s).map(q).toSet
-    visible(fs, s).filter(f => addedPaths(q(f.path))).map(_.bytes).sum
+    // normalized membership (normPath): a spelling mismatch would silently
+    // sum 0 bytes and disable the byte cap (first batch plans the history)
+    val addedPaths = addedPathsOf(fs, s).map(normPath).toSet
+    visible(fs, s).filter(f => addedPaths(normPath(f.path))).map(_.bytes).sum
   }
 
   /** Did snapshot `s` keep every file visible at `parent`? Carried files
@@ -178,9 +186,12 @@ object FileStats {
         s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")
     range.flatMap { s =>
       val addedPaths = addedPathsOf(fs, s)
-      val added = addedPaths.toSet // Seq.contains would be O(files x added)
+      // normalized set membership (normPath): a spelling mismatch would
+      // silently return an EMPTY delta for the snapshot — vanished rows,
+      // not an error. Set, not Seq.contains: O(files + added)
+      val added = addedPaths.map(normPath).toSet
       val manifest = if (s.manifestFile.nonEmpty || s.files.nonEmpty) visible(fs, s) else Nil
-      if (manifest.nonEmpty) manifest.filter(f => added.contains(f.path))
+      if (manifest.nonEmpty) manifest.filter(f => added.contains(normPath(f.path)))
       else addedPaths.map(p => FileStat(p, rows = -1L, bytes = 0L))
     }.sortBy(_.path)
   }

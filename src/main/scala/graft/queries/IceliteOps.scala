@@ -619,9 +619,14 @@ object IceliteOps {
     // key = directory value, counts/min/max = per-file stats (manifest-only
     // plan asserted in-query). A width MISMATCH (bucket(16,...) over this
     // layout) must refuse and fall back — DsV2Spec proves that. The oracle
-    // restates Spark's bucket mapping as a CASE over the five event types,
-    // with ids INDEPENDENTLY derived from the public Murmur3 x86_32
-    // algorithm (seed 42, pmod 4) — so this also pins the hash itself.
+    // restates the bucket mapping as a CASE over the five event types,
+    // with ids INDEPENDENTLY derived from a reimplementation of SPARK'S
+    // Murmur3_x86_32.hashUnsafeBytes (seed 42, pmod 4): 4-byte
+    // little-endian blocks + per-byte SIGNED tail mix. NB this tail
+    // handling deliberately matches Spark's hash(), which DIVERGES from
+    // canonical Murmur3 (and Iceberg's bucket transform) for inputs whose
+    // byte length is not a multiple of 4 — the oracle pins Spark's
+    // variant, the one the layout was written with.
     QDef(
       "s6b_agg_pushdown_bucket",
       Some("""WITH b AS (

@@ -639,16 +639,18 @@ object TextOps {
         // checkpoint, no recompute) bounds the distinct count from above —
         // within the cap, broadcast outright (measured 4x over map-lookup
         // at sf0.1) at ~zero added cost. Only past that bound is the exact
-        // distinct count measured (persisted, one aggregation pass); over
-        // the cap the join runs shuffled — same rows, no ceiling failure.
+        // distinct count measured — recomputed at the join rather than
+        // persisted (a lazily-returned DataFrame has no unpersist point,
+        // and a leaked cache entry outlives the query); the double
+        // aggregation is confined to the pathological over-bound regime.
+        // Over the cap the join runs shuffled — same rows, no ceiling
+        // failure.
         val cap = s.conf.get("graft.x30.broadcastCap", "2000000").toLong
         val counts0 = exploded.groupBy("b").agg(count(lit(1)).as("c"))
         val dim =
-          if (exploded.count() <= cap) broadcast(counts0)
-          else {
-            val counts = counts0.persist()
-            if (counts.count() <= cap) broadcast(counts) else counts
-          }
+          if (exploded.count() <= cap || counts0.count() <= cap)
+            broadcast(counts0)
+          else counts0
         exploded.join(dim, "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("nb"), sum(col("c")).as("sc"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.Offset
 import org.apache.spark.sql.types.StructType
 
-import graft.icelite.{FilePrune, FileStats, PartField, PartValues, TransformPrune}
+import graft.icelite.{FileStats, PartField, PartValues}
 
 /** Streaming CDC changelog source: `readStream.format("icelite")
   * .option("changelog", "true")` tails the snapshot log and emits every
@@ -69,22 +69,10 @@ private[v2] class IceLiteChangelogStream(
   // parent file (delete rows) only ever emits rows carrying its own
   // partition values / within its own stats, so a file that cannot match
   // the filter contributes no qualifying change row and is skipped before
-  // IO. Changelog mode refuses partition-evolution histories, so the
-  // one-and-only spec is `partitionBy`.
-  private val transformFields =
-    PartField.parseSpec(partitionBy).filterNot(_.isIdentity)
+  // IO. Delegates to the parent's one shared predicate; changelog mode
+  // refuses partition-evolution histories, so the one spec is partitionBy.
   private def fileCanMatch(f: graft.icelite.FileStat): Boolean =
-    pushedFilters.isEmpty || {
-      val pv = PartValues.decodeExternal(tableSchema, identityBy,
-        PartValues.parse(f.path, identityBy))
-      val tRaw =
-        if (transformFields.isEmpty) Map.empty[String, Option[String]]
-        else PartValues.parse(f.path, transformFields.map(_.fieldName))
-      pushedFilters.forall(fl =>
-        FilePrune.canMatch(fl, tableSchema, f, pv) &&
-          (transformFields.isEmpty ||
-            TransformPrune.canMatch(fl, tableSchema, transformFields, tRaw)))
-    }
+    fileCanMatchWith(f, partitionBy)
 
   /** Admission control, changelog-aware: the parent charges each snapshot
     * its ADDED file count / bytes, but a delete-bearing snapshot
@@ -101,19 +89,11 @@ private[v2] class IceLiteChangelogStream(
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
     val from = start.asInstanceOf[IceOffset].snapshotId
-    val m = currentMeta
+    val (m, fsys) = currentMetaFs
     val head = availableNowEnd.getOrElse(m.currentSnapshotId)
-    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
-      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
-      case other => Seq(other)
-    }
-    val limits = flatten(limit)
-    val maxF = limits.collectFirst { case mf: ReadMaxFiles => mf.maxFiles() }
-    val maxB = limits.collectFirst { case mb: ReadMaxBytes => mb.maxBytes() }
+    val (maxF, maxB) = readCaps(limit)
     if (maxF.isEmpty && maxB.isEmpty) return IceOffset(head)
-    val (_, fsys) = IceLiteV2.loadMeta(warehouse, ns, tbl)
     val pending = m.snapshots
       .filter(s => s.snapshotId > from && s.snapshotId <= head)
       .sortBy(_.snapshotId)
@@ -173,14 +153,18 @@ private[v2] class IceLiteChangelogStream(
           else Map.empty)
       // inserts: the snapshot's own added rows, as written (its own eq
       // delete exempts them; MOR positions only ever target older files)
-      val addedPaths = FileStats.addedPathsOf(fs, s).toSet
+      // normalized membership (FileStats.normPath): a spelling mismatch
+      // would silently emit NO insert rows for the snapshot while the
+      // admission loop still advances past it — dropped CDC rows
+      val addedPaths = FileStats.addedPathsOf(fs, s).map(FileStats.normPath).toSet
       FileStats.visible(fs, s)
-        .filter(f => addedPaths(f.path) && fileCanMatch(f)).foreach { f =>
+        .filter(f => addedPaths(FileStats.normPath(f.path)) && fileCanMatch(f))
+        .foreach { f =>
           parts += IceLiteInputPartition(f.path, f.bytes, consts("insert", f.path))
         }
       // deletes committed BY this snapshot, resolved to the rows they
       // killed; parent manifests materialize lazily (eq resolution only)
-      def normPath(p: String) = new org.apache.hadoop.fs.Path(p).toString
+      def normPath(p: String) = FileStats.normPath(p)
       lazy val pFiles = parent.map(FileStats.visible(fs, _)).getOrElse(Nil)
       lazy val pDeletes = parent.map(FileStats.deletesOf(fs, _)).getOrElse(Nil)
       lazy val pByPath = pFiles.map(f => normPath(f.path) -> f).toMap
@@ -200,17 +184,14 @@ private[v2] class IceLiteChangelogStream(
           // era+bounds-eligible files whose key tuples match
           val eligible = pFiles.filter(f =>
             FileStats.eqAppliesTo(d, f, tableStruct) && fileCanMatch(f))
-          // manifests can mix 'file:/' and 'file:///' spellings depending
-          // on the writer; normalize both sides before the membership
-          // test (as FileStats.isNonRewriting's fallback does) — a raw
-          // string miss here would skip the parent's position debt and
-          // re-emit an already-deleted row as a second delete event.
-          // Normalized ONCE per delete file, not per (file × delete × path).
-          def norm(p: String) = new org.apache.hadoop.fs.Path(p).toString
+          // normalized membership (FileStats.normPath) — a raw string miss
+          // here would skip the parent's position debt and re-emit an
+          // already-deleted row as a second delete event. Normalized ONCE
+          // per delete file, not per (file × delete × path).
           val posDebt = pDeletes.filterNot(_.isEquality)
-            .map(pd => pd.path -> pd.dataFiles.map(norm).toSet)
+            .map(pd => pd.path -> pd.dataFiles.map(normPath).toSet)
           eligible.foreach { f =>
-            val fNorm = norm(f.path)
+            val fNorm = normPath(f.path)
             val delFor = posDebt.collect {
               case (path, dataFiles) if dataFiles(fNorm) => path
             }

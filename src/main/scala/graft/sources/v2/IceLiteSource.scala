@@ -1806,19 +1806,35 @@ private[v2] class IceLiteMicroBatchStream(
       case _ => ReadLimit.allAvailable()
     }
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+  /** One metadata load serving both the snapshot log and the FileSystem
+    * handle — latestOffset runs per trigger, so loading twice doubles
+    * version-hint + v*.json reads on the streaming hot path.
+    */
+  protected def currentMetaFs: (graft.icelite.TableMeta,
+      org.apache.hadoop.fs.FileSystem) = IceLiteV2.loadMeta(warehouse, ns, tbl)
+
+  /** The (file, byte) caps a ReadLimit carries, composite-flattened. The
+    * ONE decoder both this stream and the changelog subclass use — a new
+    * limit kind handled here reaches both, so they cannot diverge again
+    * (round 8: the subclass pattern-matched ReadMaxFiles only and a byte
+    * cap silently fell through to admit-everything).
+    */
+  protected def readCaps(limit: ReadLimit): (Option[Int], Option[Long]) = {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes}
-    val from = start.asInstanceOf[IceOffset].snapshotId
-    val m = currentMeta
-    val head = availableNowEnd.getOrElse(m.currentSnapshotId)
-    val (_, fsys) = IceLiteV2.loadMeta(warehouse, ns, tbl)
     def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
       case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
       case other => Seq(other)
     }
     val limits = flatten(limit)
-    val maxF = limits.collectFirst { case mf: ReadMaxFiles => mf.maxFiles() }
-    val maxB = limits.collectFirst { case mb: ReadMaxBytes => mb.maxBytes() }
+    (limits.collectFirst { case mf: ReadMaxFiles => mf.maxFiles() },
+      limits.collectFirst { case mb: ReadMaxBytes => mb.maxBytes() })
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IceOffset].snapshotId
+    val (m, fsys) = currentMetaFs
+    val head = availableNowEnd.getOrElse(m.currentSnapshotId)
+    val (maxF, maxB) = readCaps(limit)
     if (maxF.isEmpty && maxB.isEmpty) return IceOffset(head)
     val pending = m.snapshots
       .filter(s => s.snapshotId > from && s.snapshotId <= head)
@@ -1851,6 +1867,28 @@ private[v2] class IceLiteMicroBatchStream(
     */
   override def reportLatestOffset(): Offset = IceOffset(currentMeta.currentSnapshotId)
 
+  /** Conservative pushed-filter admissibility of one file under `spec`:
+    * partition values (identity + transforms) and manifest stats. The ONE
+    * predicate behind both the plain stream's insert pruning and the
+    * changelog stream's two-sided pruning — keep them from diverging.
+    */
+  protected def fileCanMatchWith(f: graft.icelite.FileStat,
+      spec: Seq[String]): Boolean =
+    pushedFilters.isEmpty || {
+      val idCols = graft.icelite.PartField.identityCols(spec)
+      val pv = PartValues.decodeExternal(tableSchema, idCols,
+        PartValues.parse(f.path, idCols))
+      val tFields = graft.icelite.PartField.parseSpec(spec)
+        .filterNot(_.isIdentity)
+      val tRaw =
+        if (tFields.isEmpty) Map.empty[String, Option[String]]
+        else PartValues.parse(f.path, tFields.map(_.fieldName))
+      pushedFilters.forall(fl =>
+        FilePrune.canMatch(fl, tableSchema, f, pv) &&
+          (tFields.isEmpty ||
+            graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw)))
+    }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IceOffset].snapshotId
     val to = end.asInstanceOf[IceOffset].snapshotId
@@ -1868,23 +1906,7 @@ private[v2] class IceLiteMicroBatchStream(
     def specOf(path: String): Seq[String] =
       graft.icelite.PartField.specFor(path, partitionBy, specs)
     graft.icelite.FileStats.addedInRange(fs, m, from, to, s"streaming read of $ns.$tbl")
-      .filter { f =>
-        pushedFilters.isEmpty || {
-          val spec = specOf(f.path)
-          val idCols = graft.icelite.PartField.identityCols(spec)
-          val pv = PartValues.decodeExternal(tableSchema, idCols,
-            PartValues.parse(f.path, idCols))
-          val tFields = graft.icelite.PartField.parseSpec(spec)
-            .filterNot(_.isIdentity)
-          val tRaw =
-            if (tFields.isEmpty) Map.empty[String, Option[String]]
-            else PartValues.parse(f.path, tFields.map(_.fieldName))
-          pushedFilters.forall(fl =>
-            FilePrune.canMatch(fl, tableSchema, f, pv) &&
-              (tFields.isEmpty ||
-                graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw)))
-        }
-      }
+      .filter(f => fileCanMatchWith(f, specOf(f.path)))
       .map { f =>
         val spec = specOf(f.path)
         if (spec == partitionBy)

@@ -891,7 +891,13 @@ class IceliteSpec extends SparkSpec {
       val scanned = log.inputFiles.map(bare).toSet
       assert(scanned.subsetOf(windowData),
         s"bounded changelog scanned non-window files: ${scanned -- windowData}")
-    } finally graft.icelite.MetaIo.manifestAccessUnbounded = false
+    } finally {
+      graft.icelite.MetaIo.manifestAccessUnbounded = false
+      // drop the unbounded-phase entries: LinkedHashMap evicts at most one
+      // eldest per put, so without this the log keeps its high-water size
+      // for the JVM lifetime
+      graft.icelite.MetaIo.manifestAccessReset()
+    }
   }
 
   test("a MOR delete racing a concurrent append retries and both land") {
