@@ -1487,20 +1487,43 @@ class IceTable(
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
     }
     if (candidates.isEmpty) return this // nothing can match: no-op
+    // Whole-file death proof (the DROP PARTITION shape): when every filter
+    // is partition-EXACT for a candidate's own era — the same claim that
+    // backs dropping Spark's filter re-evaluation in the DSv2 scan, so
+    // canMatch(=true) means ALL rows match, three-valued semantics and
+    // hive-null partitions included (FilePruneExactSpec) — the file is
+    // entirely dead and drops from the manifest with zero IO. Rows already
+    // dead under MOR debt are a subset of the file's rows, so dropping
+    // subsumes them. A pure partition-predicate DELETE then commits
+    // metadata only: no read, no write, at any table size. Legacy files
+    // with unknown row counts stay on the rewrite path (their totals
+    // cannot be adjusted blind).
+    val (dead, partial) = candidates.partition { f =>
+      f.rows >= 0 && {
+        val idCols = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+        filters.forall(fl =>
+          FilePrune.exactOnPartitions(fl, tableSchema, idCols.contains))
+      }
+    }
     val currentDirs = FileStats.dataDirsOf(fs, current)
     val curDeletes = FileStats.deletesOf(fs, current)
-    val src = readFiles(m, tableSchema, candidates, currentDirs, curDeletes)
-    // keep rows where the condition is false or NULL
-    val kept = src.filter(!org.apache.spark.sql.functions.coalesce(
-      cond, org.apache.spark.sql.functions.lit(false)))
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val (dir, added) = writeData(kept, snapId, m.partitionBy)
+    val (addedDirs, added) =
+      if (partial.isEmpty) (Nil, Nil) // metadata-only: nothing to rewrite
+      else {
+        val src = readFiles(m, tableSchema, partial, currentDirs, curDeletes)
+        // keep rows where the condition is false or NULL
+        val kept = src.filter(!org.apache.spark.sql.functions.coalesce(
+          cond, org.apache.spark.sql.functions.lit(false)))
+        val (dir, a) = writeData(kept, snapId, m.partitionBy)
+        (Seq(dir), a)
+      }
     val untouchedDirs = currentDirs
       .filter(d => untouched.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
     val carriedDeletes = trimDeletes(curDeletes,
       untouched.map(f => qualify(f.path)).toSet)
     val delDirs = carriedDeletes.map(d => new Path(d.path).getParent.toString).distinct
-    commitSnapshot(m, "delete", untouchedDirs ++ delDirs :+ dir, added,
+    commitSnapshot(m, "delete", untouchedDirs ++ delDirs ++ addedDirs, added,
       carried = untouched, carriedDeletes = carriedDeletes)
   }
 

@@ -1142,6 +1142,40 @@ object IceliteOps {
         tbl.toDF.select(orderCols.map(col): _*).orderBy("o_orderkey")
       }),
 
+    // K30: METADATA-ONLY PARTITION DELETE (the DROP PARTITION shape) —
+    // DELETE WHERE <partition predicate> on a partitioned table proves
+    // every candidate file entirely dead via the partition-EXACT claim
+    // (the same one the DSv2 scan uses to drop filter re-evaluation) and
+    // commits a manifest edit: zero rows read, zero files written, at any
+    // table size. THE way retention ("drop last year's partition") runs
+    // on a 100 TB table — asserted in-query: the delete snapshot adds no
+    // files and every survivor is carried by path.
+    QDef(
+      "k30_ice_partition_delete",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_type <> 'click' ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val wh = freshWarehouse(s, "k30")
+        val cat = new IceCatalog(s, wh)
+        val tbl = cat.createTable("lake", "events_pd", ev.schema,
+          partitionBy = Seq("event_type"))
+        tbl.append(ev)
+        val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get).map(_.path).toSet
+        val t2 = tbl.deleteWhere(Seq(
+          org.apache.spark.sql.sources.EqualTo("event_type", "click")))
+        val snap = t2.meta.currentSnapshot.get
+        require(snap.operation == "delete" &&
+          graft.icelite.FileStats.addedCount(snap) == 0,
+          s"partition delete must be metadata-only (no files written): $snap")
+        val after = t2.visibleFiles(snap).map(_.path).toSet
+        require(after.subsetOf(before) && after.size < before.size,
+          "partition delete must carry survivors by path and drop the " +
+            "partition's files")
+        t2.toDF.orderBy("event_id")
+      }),
+
     // K28: INCREMENTAL MATERIALIZED-ROLLUP MAINTENANCE — the flagship CDC
     // consumer pattern: a per-priority (count, exact price sum) rollup is
     // materialized from the table AS OF snapshot 1, then brought current

@@ -900,6 +900,41 @@ class IceliteSpec extends SparkSpec {
     }
   }
 
+  test("partition-exact DELETE is metadata-only; mixed predicates rewrite partially") {
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("pdel"))
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("k", "g", "v")
+    val tbl = cat.createTable("ns", "t", df.schema, partitionBy = Seq("g"))
+    tbl.append(df)
+    // outstanding MOR debt inside the doomed partition: dropping the file
+    // must subsume it (dead rows are a subset of the file's rows)
+    tbl.deleteWhereMor(Seq(EqualTo("k", 2L)))
+    assert(tbl.toDF.count() == 99)
+    val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get).map(_.path).toSet
+    val t2 = tbl.deleteWhere(Seq(EqualTo("g", "a")))
+    val snap = t2.meta.currentSnapshot.get
+    assert(snap.operation == "delete" &&
+      graft.icelite.FileStats.addedCount(snap) == 0,
+      s"whole-partition delete must write nothing: $snap")
+    val after = t2.visibleFiles(snap).map(_.path).toSet
+    assert(after.subsetOf(before) && after.nonEmpty,
+      "survivors must be carried by path")
+    assert(t2.toDF.count() == 50)
+    assert(t2.toDF.filter(col("g") === "a").count() == 0)
+    // row accounting survives the metadata drop (R10): the dropped
+    // partition's debt must not leak into the carried total
+    assert(snap.totalRows == 50, s"totalRows=${snap.totalRows}")
+    // mixed predicate — partition-exact conjunct + stats conjunct — is NOT
+    // whole-file-exact: survivors of the named partition rewrite, rows
+    // where the condition is false or NULL stay
+    val t3 = t2.deleteWhere(Seq(EqualTo("g", "b"), LessThan("k", 11L)))
+    assert(t3.toDF.count() == 45, s"got ${t3.toDF.count()}")
+    assert(t3.toDF.filter(col("k") < 11 && col("g") === "b").count() == 0)
+    assert(t3.meta.currentSnapshot.get.totalRows == 45)
+  }
+
   test("a MOR delete racing a concurrent append retries and both land") {
     import org.apache.spark.sql.sources.LessThanOrEqual
     import spark.implicits._
