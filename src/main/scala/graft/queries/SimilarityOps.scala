@@ -377,6 +377,54 @@ object SimilarityOps {
             cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.3)
           .orderBy("v1", "v2")
-      })
+      }),
+
+    // Symmetric int8 embedding quantization — the storage-compression step
+    // of a production ANN pipeline (4x smaller vectors before indexing):
+    // per-vector scale = max|x|, code_i = round(x_i/scale*127), emitted
+    // with exact integer checksums and the max reconstruction error.
+    // Entirely ROW-LOCAL (higher-order array functions, zero shuffle, no
+    // explode): the 100 TB shape is a map-only pass. Cross-engine
+    // determinism: every arithmetic step is a single IEEE-754 double op in
+    // a fixed order (cast, /, *, +0.5, floor) and max/sum folds are exact,
+    // so DuckDB reproduces the codes bit-for-bit — no dsum needed.
+    QDef(
+      "x31_embedding_quantize",
+      Some("""WITH s AS (
+             |  SELECT vec_id,
+             |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
+             |    embedding
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(embedding, v -> CASE WHEN scale = 0 THEN 0
+             |      ELSE CAST(floor(CAST(v AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT) END) AS codes,
+             |    embedding
+             |  FROM s)
+             |SELECT vec_id, scale,
+             |  CAST(len(codes) AS INT) AS n_dims,
+             |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+             |  list_max(list_transform(range(1, len(embedding)+1),
+             |    i -> abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             |             - codes[CAST(i AS INT)] * scale / 127.0))) AS max_abs_err
+             |FROM c ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+              "(m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))").as("scale"),
+            col("embedding"))
+          .select(col("vec_id"), col("scale"),
+            expr("transform(embedding, v -> CASE WHEN scale = 0D THEN 0L " +
+              "ELSE CAST(floor(CAST(v AS DOUBLE) / scale * 127.0D + 0.5D) AS LONG) " +
+              "END)").as("codes"),
+            col("embedding"))
+          .select(col("vec_id"), col("scale"),
+            expr("size(codes)").as("n_dims"),
+            expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_code"),
+            expr("aggregate(zip_with(embedding, codes, " +
+              "(v, c) -> abs(CAST(v AS DOUBLE) - c * scale / 127.0D)), " +
+              "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))").as("max_abs_err"))
+          .orderBy("vec_id"))
   )
 }
