@@ -1176,6 +1176,47 @@ object IceliteOps {
         t2.toDF.orderBy("event_id")
       }),
 
+    // K31: DYNAMIC PARTITION OVERWRITE — `writeTo(...).overwritePartitions()`
+    // replaces exactly the partitions the incoming frame produced rows for
+    // (touched set read from the added files' OWN directory values) and
+    // carries every other file untouched, in ONE atomic snapshot: the
+    // idempotent "recompute today's partition" batch-pipeline write. Cost
+    // tracks the overwritten partitions, never the table. Asserted
+    // in-query: op = overwrite, foreign partitions carried by path, the
+    // touched partition's files replaced.
+    QDef(
+      "k31_ice_overwrite_partitions",
+      Some("""SELECT event_id, user_id, event_type,
+             |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val wh = freshWarehouse(s, "k31")
+        val cat = new IceCatalog(s, wh)
+        val tbl = cat.createTable("lake", "events_ow", ev.schema,
+          partitionBy = Seq("event_type"))
+        tbl.append(ev)
+        val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get).map(_.path).toSet
+        s.conf.set("spark.sql.catalog.icelite_k31", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k31.warehouse", wh)
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .writeTo("icelite_k31.lake.events_ow").overwritePartitions()
+        val t2 = cat.loadTable("lake", "events_ow")
+        val snap = t2.meta.currentSnapshot.get
+        require(snap.operation == "overwrite",
+          s"expected an overwrite snapshot: $snap")
+        val after = t2.visibleFiles(snap).map(_.path).toSet
+        val carriedForeign = (after intersect before)
+          .filterNot(_.contains("event_type=click"))
+        require(carriedForeign.nonEmpty,
+          "untouched partitions must be carried by path")
+        require(!after.exists(p => before(p) && p.contains("event_type=click")),
+          "the touched partition's files must be replaced, not carried")
+        t2.toDF.orderBy("event_id")
+      }),
+
     // K28: INCREMENTAL MATERIALIZED-ROLLUP MAINTENANCE — the flagship CDC
     // consumer pattern: a per-priority (count, exact price sum) rollup is
     // materialized from the table AS OF snapshot 1, then brought current

@@ -369,7 +369,8 @@ private[v2] class IceLiteTable(
     partitionBy.map(IceLiteScan.v2Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** SQL `DELETE FROM <catalog>.<ns>.<tbl> WHERE …`: copy-on-write at file
     * granularity via the table layer (see IceTable.deleteWhere). Claim only

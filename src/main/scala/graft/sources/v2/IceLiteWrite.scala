@@ -36,7 +36,18 @@ private[v2] class IceLiteWriteBuilder(
     // the required distribution/ordering (Spark resolves them against the
     // catalog's FunctionCatalog); the format("icelite") path cannot
     viaCatalog: Boolean = false)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  // `df.writeTo(t).overwritePartitions()` / INSERT OVERWRITE under
+  // dynamic partitionOverwriteMode: the commit REPLACES exactly the
+  // partitions the write produced rows for and carries every other file
+  // untouched — the idempotent "rewrite today's partition" batch pattern.
+  private var dynamicOverwrite = false
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true
+    this
+  }
 
   override def build(): Write = {
     val dir = new Path(new Path(warehouse, ns), table)
@@ -67,8 +78,14 @@ private[v2] class IceLiteWriteBuilder(
       require(meta.renames.isEmpty,
         s"streaming upsert into $ns.$table needs a rename-free table")
     }
+    if (dynamicOverwrite)
+      require(meta.partitionSpecs.isEmpty,
+        s"dynamic partition overwrite of $ns.$table requires a single-era " +
+          "partition layout (evolved tables: membership of old-era files " +
+          "in a touched partition is undecidable from their paths)")
     IceLiteWriteShape.of(meta.partitionBy,
-      new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta),
+      new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta,
+        dynamicOverwrite),
       new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
         info.queryId(), upsertKeys),
       sortOrder = meta.sortOrder,
@@ -168,7 +185,11 @@ private[v2] class IceLiteBatchWrite(
     warehouse: String, ns: String, table: String, schema: StructType,
     // metadata as of write BUILD time — the baseline the commit-time
     // schema-race guard validates against (tasks write with this shape)
-    m0: graft.icelite.TableMeta)
+    m0: graft.icelite.TableMeta,
+    // dynamic partition overwrite: commit replaces the touched partitions
+    // (derived from the added files' OWN directory values) and carries the
+    // rest; an unpartitioned table replaces wholesale (Spark semantics)
+    dynamicOverwrite: Boolean = false)
     extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID()}"
@@ -221,9 +242,24 @@ private[v2] class IceLiteBatchWrite(
         st.path.replace(s"data/$stagingName", s"data/$pubName"))).toString))
     }.toSeq.flatten.sortBy(_.path)
     val rows = added.map(_.rows).sum
+    // dynamic overwrite: the touched-partition set is read from the ADDED
+    // files' own directory values — exact by construction (the same
+    // rendering the carried files' membership is tested against)
+    val dirFields = graft.icelite.PartField.parseSpec(m0.partitionBy)
+      .map(_.fieldName)
+    val touched: Set[Seq[Option[String]]] =
+      if (!dynamicOverwrite || dirFields.isEmpty) Set.empty
+      else added.map { f =>
+        val pv = graft.icelite.PartValues.parse(f.path, dirFields)
+        require(dirFields.forall(pv.contains),
+          s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
+        dirFields.map(pv(_))
+      }.toSet
     // optimistic commit retry (append = bag union, valid against any newer
-    // current snapshot), same protocol as IceTable.append; a concurrent
-    // schema change aborts instead of retrying into the wrong shape
+    // current snapshot; dynamic overwrite = last-writer-wins on its touched
+    // partitions, recomputed against the new current each attempt), same
+    // protocol as IceTable.append; a concurrent schema change aborts
+    // instead of retrying into the wrong shape
     var attempts = 0
     while (true) {
       val m = MetaIo.read(fs, tableDir)
@@ -233,21 +269,52 @@ private[v2] class IceLiteBatchWrite(
         s"INSERT into $ns.$table raced a concurrent schema change — aborting")
       val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val prev = m.currentSnapshot
-      val carried: Seq[FileStat] =
+      val visibleNow: Seq[FileStat] =
         prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
+      val carried: Seq[FileStat] =
+        if (!dynamicOverwrite) visibleNow
+        else if (dirFields.isEmpty) Nil // unpartitioned: replace wholesale
+        else visibleNow.filterNot { f =>
+          val pv = graft.icelite.PartValues.parse(f.path, dirFields)
+          require(dirFields.forall(pv.contains),
+            s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
+          touched.contains(dirFields.map(pv(_)))
+        }
+      if (dynamicOverwrite)
+        require(carried.forall(_.rows >= 0),
+          s"overwrite of $ns.$table: carried legacy files have unknown row " +
+            "counts — compact first")
+      val prevDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
+      def qualify(p: String) = fs.makeQualified(new Path(p)).toString
+      val deletes =
+        if (!dynamicOverwrite) prevDeletes
+        else FileStats.trimDeletes(prevDeletes,
+          carried.map(f => qualify(f.path)).toSet)
+      val prevDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
+      val dataDirs =
+        if (!dynamicOverwrite) prevDirs :+ dataDir.toString
+        else {
+          val delDirs = deletes.map(d => new Path(d.path).getParent.toString)
+          (prevDirs.filter(d =>
+            carried.exists(f => qualify(f.path).startsWith(qualify(d) + "/")))
+            ++ delDirs).distinct :+ dataDir.toString
+        }
+      val totalRows =
+        if (!dynamicOverwrite) prev.map(_.totalRows).getOrElse(0L) + rows
+        else carried.map(_.rows).sum + rows - deletes.map(_.rows).sum
       val snap = SnapshotMeta(
         snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-        operation = "append",
-        dataDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
-          :+ dataDir.toString,
+        operation = if (dynamicOverwrite) "overwrite" else "append",
+        dataDirs = dataDirs,
         addedFiles = added.map(_.path), addedRows = rows,
-        totalRows = prev.map(_.totalRows).getOrElse(0L) + rows,
+        totalRows = totalRows,
         addedFileCount = added.length.toLong,
         schemaDdl = m.schemaDdl,
         files = (carried ++ added).sortBy(_.path),
         // appends never touch existing files: outstanding position
-        // deletes carry forward unchanged
-        deletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil),
+        // deletes carry forward unchanged (overwrites trim them to the
+        // surviving carried files above)
+        deletes = deletes,
         parentId = m.currentSnapshotId)
       try {
         MetaIo.commit(fs, tableDir, m.copy(

@@ -358,6 +358,54 @@ class DsV2Spec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("dynamic partition overwrite: touched replaced, debt trimmed, refusals") {
+    import org.apache.spark.sql.sources.EqualTo
+    import spark.implicits._
+    val wh = warehouse("dynover")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("k", "g", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("g"))
+    tbl.append(df)
+    // MOR debt in BOTH partitions: the overwritten one's debt must drop
+    // with its files, the carried one's must keep applying
+    tbl.deleteWhereMor(Seq(EqualTo("k", 2L))) // lives in 'a'
+    tbl.deleteWhereMor(Seq(EqualTo("k", 3L))) // lives in 'b'
+    assert(tbl.toDF.count() == 38)
+    spark.conf.set("spark.sql.catalog.ice_dyn", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_dyn.warehouse", wh)
+    Seq((100L, "a", "x"), (101L, "a", "y"), (102L, "a", "z")).toDF("k", "g", "v")
+      .writeTo("ice_dyn.lake.t").overwritePartitions()
+    val t2 = cat.loadTable("lake", "t")
+    val snap = t2.meta.currentSnapshot.get
+    assert(snap.operation == "overwrite", s"$snap")
+    assert(t2.toDF.filter(col("g") === "a").count() == 3,
+      "touched partition must hold exactly the new rows")
+    assert(t2.toDF.filter(col("g") === "b").count() == 19,
+      "carried partition must keep its rows minus its own MOR debt")
+    assert(t2.toDF.filter(col("g") === "b" && col("k") === 3L).count() == 0,
+      "carried partition's position delete must keep applying")
+    assert(snap.totalRows == 22, s"totalRows=${snap.totalRows}")
+    // unpartitioned table: overwritePartitions replaces wholesale
+    val u = cat.createTable("lake", "u", df.schema)
+    u.append(df)
+    Seq((1L, "z", "only")).toDF("k", "g", "v")
+      .writeTo("ice_dyn.lake.u").overwritePartitions()
+    assert(cat.loadTable("lake", "u").toDF.count() == 1)
+    // evolved layout: membership of old-era files is undecidable — refuse
+    val e = cat.createTable("lake", "e", df.schema, partitionBy = Seq("g"))
+    e.append(df)
+    e.setPartitionSpec(Nil)
+    e.append(df.limit(0))
+    val ex = intercept[Exception](
+      Seq((1L, "a", "w")).toDF("k", "g", "v")
+        .writeTo("ice_dyn.lake.e").overwritePartitions())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("single-era")),
+      s"expected the single-era refusal, got: $ex")
+  }
+
   test("hidden-partitioned tables: MOR delete, SQL UPDATE, and streaming") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("hp-interop")
