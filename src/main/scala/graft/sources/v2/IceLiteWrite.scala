@@ -37,7 +37,8 @@ private[v2] class IceLiteWriteBuilder(
     // catalog's FunctionCatalog); the format("icelite") path cannot
     viaCatalog: Boolean = false)
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   // `df.writeTo(t).overwritePartitions()` / INSERT OVERWRITE under
   // dynamic partitionOverwriteMode: the commit REPLACES exactly the
@@ -46,6 +47,19 @@ private[v2] class IceLiteWriteBuilder(
   private var dynamicOverwrite = false
   override def overwriteDynamicPartitions(): WriteBuilder = {
     dynamicOverwrite = true
+    this
+  }
+
+  // Static INSERT OVERWRITE / writeTo(t).overwrite(cond) / truncate: Spark
+  // hands the overwrite condition as source filters (AlwaysTrue for a full
+  // truncate, the static PARTITION clause's equalities otherwise). The
+  // commit drops exactly the files those filters prove ENTIRELY dead via
+  // the partition-exact claim and refuses anything row-partial — overwrite
+  // semantics are exact, never approximated at file granularity.
+  private var overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    overwriteFilters = Some(filters.toSeq)
     this
   }
 
@@ -78,14 +92,14 @@ private[v2] class IceLiteWriteBuilder(
       require(meta.renames.isEmpty,
         s"streaming upsert into $ns.$table needs a rename-free table")
     }
-    if (dynamicOverwrite)
+    if (dynamicOverwrite || overwriteFilters.isDefined)
       require(meta.partitionSpecs.isEmpty,
-        s"dynamic partition overwrite of $ns.$table requires a single-era " +
+        s"partition overwrite of $ns.$table requires a single-era " +
           "partition layout (evolved tables: membership of old-era files " +
           "in a touched partition is undecidable from their paths)")
     IceLiteWriteShape.of(meta.partitionBy,
       new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta,
-        dynamicOverwrite),
+        dynamicOverwrite, overwriteFilters),
       new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
         info.queryId(), upsertKeys),
       sortOrder = meta.sortOrder,
@@ -189,7 +203,10 @@ private[v2] class IceLiteBatchWrite(
     // dynamic partition overwrite: commit replaces the touched partitions
     // (derived from the added files' OWN directory values) and carries the
     // rest; an unpartitioned table replaces wholesale (Spark semantics)
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    // static overwrite condition (INSERT OVERWRITE / truncate): drop the
+    // files the filters prove entirely dead, refuse row-partial matches
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID()}"
@@ -269,30 +286,58 @@ private[v2] class IceLiteBatchWrite(
         s"INSERT into $ns.$table raced a concurrent schema change — aborting")
       val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val prev = m.currentSnapshot
+      val isOverwrite = dynamicOverwrite || overwriteFilters.isDefined
       val visibleNow: Seq[FileStat] =
         prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
       val carried: Seq[FileStat] =
-        if (!dynamicOverwrite) visibleNow
-        else if (dirFields.isEmpty) Nil // unpartitioned: replace wholesale
-        else visibleNow.filterNot { f =>
-          val pv = graft.icelite.PartValues.parse(f.path, dirFields)
-          require(dirFields.forall(pv.contains),
-            s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
-          touched.contains(dirFields.map(pv(_)))
+        if (dynamicOverwrite) {
+          if (dirFields.isEmpty) Nil // unpartitioned: replace wholesale
+          else visibleNow.filterNot { f =>
+            val pv = graft.icelite.PartValues.parse(f.path, dirFields)
+            require(dirFields.forall(pv.contains),
+              s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
+            touched.contains(dirFields.map(pv(_)))
+          }
+        } else overwriteFilters match {
+          case None => visibleNow
+          case Some(fls)
+              if fls.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) =>
+            Nil // full truncate-and-insert
+          case Some(fls) =>
+            // overwrite is exact or refused: every filter must be
+            // partition-exact, so a file either matches ENTIRELY (drop) or
+            // not at all (carry) — never row-partially
+            val tableSchema = StructType.fromDDL(m.schemaDdl)
+            val idCols = graft.icelite.PartField.identityCols(m.partitionBy)
+            require(fls.forall(fl => graft.icelite.FilePrune.exactOnPartitions(
+              fl, tableSchema, idCols.contains)),
+              s"INSERT OVERWRITE of $ns.$table: condition " +
+                s"${fls.mkString(", ")} is not exact on identity partition " +
+                "columns — a row-partial overwrite would be approximated at " +
+                "file granularity; use DELETE + INSERT or MERGE instead")
+            val refs = fls.flatMap(_.references).distinct.filter(idCols.contains)
+            visibleNow.filterNot { f =>
+              val raw = graft.icelite.PartValues.parse(f.path, refs)
+              require(refs.forall(raw.contains),
+                s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
+              val pv = graft.icelite.PartValues.decodeExternal(tableSchema, refs, raw)
+              fls.forall(fl =>
+                graft.icelite.FilePrune.canMatch(fl, tableSchema, f, pv))
+            }
         }
-      if (dynamicOverwrite)
+      if (isOverwrite)
         require(carried.forall(_.rows >= 0),
           s"overwrite of $ns.$table: carried legacy files have unknown row " +
             "counts — compact first")
       val prevDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
       def qualify(p: String) = fs.makeQualified(new Path(p)).toString
       val deletes =
-        if (!dynamicOverwrite) prevDeletes
+        if (!isOverwrite) prevDeletes
         else FileStats.trimDeletes(prevDeletes,
           carried.map(f => qualify(f.path)).toSet)
       val prevDirs = prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
       val dataDirs =
-        if (!dynamicOverwrite) prevDirs :+ dataDir.toString
+        if (!isOverwrite) prevDirs :+ dataDir.toString
         else {
           val delDirs = deletes.map(d => new Path(d.path).getParent.toString)
           (prevDirs.filter(d =>
@@ -300,11 +345,11 @@ private[v2] class IceLiteBatchWrite(
             ++ delDirs).distinct :+ dataDir.toString
         }
       val totalRows =
-        if (!dynamicOverwrite) prev.map(_.totalRows).getOrElse(0L) + rows
+        if (!isOverwrite) prev.map(_.totalRows).getOrElse(0L) + rows
         else carried.map(_.rows).sum + rows - deletes.map(_.rows).sum
       val snap = SnapshotMeta(
         snapshotId = snapId, timestampMs = System.currentTimeMillis(),
-        operation = if (dynamicOverwrite) "overwrite" else "append",
+        operation = if (isOverwrite) "overwrite" else "append",
         dataDirs = dataDirs,
         addedFiles = added.map(_.path), addedRows = rows,
         totalRows = totalRows,

@@ -404,6 +404,36 @@ class DsV2Spec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("single-era")),
       s"expected the single-era refusal, got: $ex")
+    // SQL INSERT OVERWRITE, static mode (default): full truncate-and-insert
+    spark.sql("INSERT OVERWRITE ice_dyn.lake.u " +
+      "SELECT k, g, v FROM VALUES (9L, 'q', 'qq') AS t(k, g, v)")
+    val uRows = cat.loadTable("lake", "u").toDF.collect()
+    assert(uRows.length == 1 && uRows(0).getLong(0) == 9L,
+      s"static INSERT OVERWRITE must truncate-and-insert: ${uRows.toSeq}")
+    assert(cat.loadTable("lake", "u").meta.currentSnapshot.get.operation
+      == "overwrite")
+    // static PARTITION clause: only the named partition is replaced,
+    // proven by carried-by-path on the foreign partition
+    val p = cat.createTable("lake", "p", df.schema, partitionBy = Seq("g"))
+    p.append(df)
+    val pBefore = p.visibleFiles(p.meta.currentSnapshot.get).map(_.path).toSet
+    spark.sql("INSERT OVERWRITE ice_dyn.lake.p PARTITION (g = 'a') " +
+      "SELECT k, v FROM VALUES (7L, 'seven') AS t(k, v)")
+    val p2 = cat.loadTable("lake", "p")
+    val pAfter = p2.visibleFiles(p2.meta.currentSnapshot.get).map(_.path).toSet
+    assert(p2.toDF.filter(col("g") === "a").count() == 1)
+    assert(p2.toDF.filter(col("g") === "b").count() == 20)
+    assert((pAfter intersect pBefore).exists(!_.contains("event")),
+      "foreign partition must be carried by path")
+    assert(!pAfter.exists(q => pBefore(q) && q.contains("g=a")),
+      "the named partition's files must be replaced")
+    // a row-partial overwrite condition (non-partition column) refuses:
+    // file-granular truncation would approximate it
+    val exPart = intercept[Exception](
+      Seq((1L, "a", "w")).toDF("k", "g", "v")
+        .writeTo("ice_dyn.lake.p").overwrite(col("k") < 5))
+    assert(msgs(exPart).exists(_.contains("not exact on identity partition")),
+      s"expected the exactness refusal, got: $exPart")
   }
 
   test("hidden-partitioned tables: MOR delete, SQL UPDATE, and streaming") {
