@@ -440,6 +440,24 @@ class IceTable(
     this // unreachable
   }
 
+  /** Commit PRE-WRITTEN files as a full-rewrite snapshot — the publish step
+    * of the staged RTAS path (data written by the DSv2 staged writer, the
+    * metadata commit deferred to `StagedTable.commitStagedChanges` for
+    * atomicity). Same semantics as [[replace]]; the caller retries on a
+    * version race (each call re-reads current metadata).
+    */
+  private[graft] def replaceFiles(dataDirs: Seq[String], added: Seq[FileStat],
+      newSchemaDdl: String): IceTable = {
+    val m = meta
+    val newCols = StructType.fromDDL(newSchemaDdl).fieldNames.toSeq
+    val base =
+      if (m.sortOrder.nonEmpty && !m.sortOrder.forall(newCols.contains))
+        m.copy(sortOrder = Nil)
+      else m
+    commitSnapshot(base, "replace", dataDirs, added, carried = Nil,
+      newSchemaDdl = Some(newSchemaDdl))
+  }
+
   /** Full rewrite with the incoming schema (K6 CTAS semantics, `wr:115-124`). */
   def replace(df: DataFrame): IceTable = {
     val m = meta

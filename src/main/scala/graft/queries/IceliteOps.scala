@@ -1217,6 +1217,34 @@ object IceliteOps {
         t2.toDF.orderBy("event_id")
       }),
 
+    // K32: ATOMIC CTAS + RTAS through the SQL catalog
+    // (StagingTableCatalog): CREATE TABLE AS SELECT lands table metadata
+    // AND its data snapshot in one version-CAS commit (no empty-table
+    // window), and CREATE OR REPLACE TABLE AS SELECT atomically swaps in
+    // the new definition while the replaced version stays
+    // time-travelable. Asserted in-query: both statements commit exactly
+    // one replace snapshot each.
+    QDef(
+      "k32_ice_rtas",
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k32")
+        s.conf.set("spark.sql.catalog.icelite_k32", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k32.warehouse", wh)
+        t(s, dir, "events").select("event_id", "event_type")
+          .createOrReplaceTempView("ev_k32")
+        s.sql("CREATE TABLE icelite_k32.lake.agg AS " +
+          "SELECT event_id, event_type FROM ev_k32")
+        s.sql("CREATE OR REPLACE TABLE icelite_k32.lake.agg AS " +
+          "SELECT event_type, COUNT(*) AS n FROM ev_k32 GROUP BY event_type")
+        val tbl = new IceCatalog(s, wh).loadTable("lake", "agg")
+        require(tbl.snapshots.map(_.operation) == Seq("replace", "replace") &&
+          tbl.meta.currentSnapshotId == 2,
+          s"CTAS+RTAS must land as two replace snapshots: ${tbl.snapshots}")
+        s.table("icelite_k32.lake.agg").orderBy("event_type")
+      }),
+
     // K28: INCREMENTAL MATERIALIZED-ROLLUP MAINTENANCE — the flagship CDC
     // consumer pattern: a per-priority (count, exact price sum) rollup is
     // materialized from the table AS OF snapshot 1, then brought current

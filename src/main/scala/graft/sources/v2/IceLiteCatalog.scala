@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.icelite.IceCatalog
@@ -27,7 +27,7 @@ import graft.icelite.IceCatalog
   * component's write modes.
   */
 class IceLiteCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -102,13 +102,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       snapshotId = Some(snap.snapshotId.toString), viaCatalog = true)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // `PARTITIONED BY (col, bucket(N, col), days(ts), truncate(W, col))` —
-    // identity entries become the hive layout; bucket/days/truncate become
-    // hidden-partitioning specs (value computed at write, pruned at plan,
-    // never user-visible — see graft.icelite.Transforms)
-    val partitionBy = partitions.toSeq.map { t =>
+  // `PARTITIONED BY (col, bucket(N, col), days(ts), truncate(W, col))` —
+  // identity entries become the hive layout; bucket/days/truncate become
+  // hidden-partitioning specs (value computed at write, pruned at plan,
+  // never user-visible — see graft.icelite.Transforms)
+  private def partitionSpecOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
       def ref: String = {
         require(t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1,
@@ -133,23 +132,53 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
             s"truncate partitioning; got $other")
       }
     }
-    // `TBLPROPERTIES ('sorted_by' = 'col1,col2')` declares the table write
-    // sort order: every write sorts files on it, every scan reports it
-    // (SupportsReportOrdering), downstream sort-merge joins skip their sorts
-    val sortedBy = Option(properties.get("sorted_by")).toSeq
+
+  // `TBLPROPERTIES ('sorted_by' = 'col1,col2')` declares the table write
+  // sort order: every write sorts files on it, every scan reports it
+  // (SupportsReportOrdering), downstream sort-merge joins skip their sorts
+  private def sortedByOf(properties: util.Map[String, String]): Seq[String] =
+    Option(properties.get("sorted_by")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    // remaining TBLPROPERTIES persist with the table; the engine interprets
-    // write.<delete|update|merge>.mode (validated in IceCatalog), Spark's
-    // own bookkeeping keys (provider/location/owner/...) stay out
-    val stored = {
-      import scala.jdk.CollectionConverters._
-      properties.asScala.toMap --
-        IceLiteCatalog.ReservedProperties - "sorted_by"
-    }
-    cat.createTable(nsOf(ident), ident.name(), schema, partitionBy, sortedBy,
-      stored)
+
+  // remaining TBLPROPERTIES persist with the table; the engine interprets
+  // write.<delete|update|merge>.mode (validated in IceCatalog), Spark's
+  // own bookkeeping keys (provider/location/owner/...) stay out
+  private def storedPropsOf(properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap --
+      IceLiteCatalog.ReservedProperties - "sorted_by"
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    cat.createTable(nsOf(ident), ident.name(), schema,
+      partitionSpecOf(partitions), sortedByOf(properties),
+      storedPropsOf(properties))
     loadTable(ident)
   }
+
+  // -- atomic CTAS / RTAS (StagingTableCatalog) -------------------------------
+  // `CREATE [OR REPLACE] / REPLACE TABLE ... AS SELECT` stage their data
+  // through the DSv2 writer and publish table metadata + first/replace
+  // snapshot in ONE version-CAS commit (IceLiteStagedTable) — readers never
+  // observe an empty or half-written table, and a failed query leaves the
+  // previous table state untouched (Iceberg's StagingTableCatalog shape).
+
+  private def stage(ident: Identifier, info: TableInfo, mode: String): StagedTable =
+    new IceLiteStagedTable(warehouse, nsOf(ident), ident.name(),
+      StructType(info.columns().map(c =>
+        StructField(c.name(), c.dataType(), c.nullable()))),
+      partitionSpecOf(info.partitions()), sortedByOf(info.properties()),
+      storedPropsOf(info.properties()), mode)
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, "create")
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, "replace")
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, "createOrReplace")
 
   /** Schema evolution: ADD / RENAME / DROP COLUMN and lossless type
     * WIDENING are metadata-only commits (no data movement — Iceberg

@@ -821,3 +821,180 @@ private[v2] object HivePath {
   }
 }
 
+
+/** Staged table behind atomic CTAS / RTAS (`CREATE [OR REPLACE] TABLE ...
+  * AS SELECT` on the icelite catalog). The DSv2 write stages task files
+  * into the (future) table's `data/.staging-rtas-*` and `commit()` only
+  * PUBLISHES them (rename to a writer-unique snap dir) and records their
+  * stats here — no metadata is touched until Spark calls
+  * [[commitStagedChanges]], which lands table metadata AND the first /
+  * replace snapshot in one version-CAS commit. Readers therefore never see
+  * an empty or half-written table, and a failed query leaves the previous
+  * table (or its absence) untouched; an aborted run's published-but-
+  * uncommitted dir is unreferenced and reclaimed by orphan GC.
+  */
+private[v2] class IceLiteStagedTable(
+    warehouse: String, ns: String, tbl: String, schema0: StructType,
+    partitionBy: Seq[String], sortedBy: Seq[String],
+    properties: Map[String, String],
+    mode: String /* create | replace | createOrReplace */)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  private def tableDir = new Path(new Path(warehouse, ns), tbl)
+  private def hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs = tableDir.getFileSystem(hadoopConf)
+
+  override def name(): String = s"$ns.$tbl"
+  override def schema(): StructType = schema0
+  // TRUNCATE/OVERWRITE_BY_FILTER: Spark's atomic RTAS writes to the staged
+  // table through OverwriteByExpression(AlwaysTrue) — for a staged table
+  // that IS the semantic (the staged commit replaces by construction), so
+  // the builder accepts it as a marker
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  private val stagingName = s".staging-rtas-${UUID.randomUUID()}"
+  // (published data dir, its file stats), recorded by the batch write's
+  // commit; null until then (plain `REPLACE TABLE t (cols)` never writes)
+  private val staged =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[FileStat])](null)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // replace-by-construction: the truncate marker needs no state
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        require(filters.forall(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]),
+          s"staged table $ns.$tbl accepts only a full-overwrite condition")
+        this
+      }
+      override def build(): Write = IceLiteWriteShape.of(
+        partitionBy,
+        stagedBatch(info.schema()),
+        throw new UnsupportedOperationException(
+          s"streaming write into staged table $ns.$tbl"),
+        sortOrder = sortedBy,
+        transformsResolvable = true)
+    }
+
+  private def stagedBatch(in: StructType): BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      require(schema0.fieldNames.sorted.sameElements(in.fieldNames.sorted),
+        s"schema mismatch staging $ns.$tbl: " +
+          s"incoming ${in.fieldNames.toSeq.sorted} vs declared " +
+          s"${schema0.fieldNames.toSeq.sorted}")
+      partitionBy.foreach(entry =>
+        graft.icelite.Transforms.validate(schema0, entry))
+      new IceLiteWriterFactory(
+        new Path(tableDir, s"data/$stagingName").toString,
+        schema0.toDDL, partitionBy, new SerializableConfiguration(hadoopConf))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // publish only — the candidate id labels the schema era like the
+      // append path's; the final snapshot id is assigned at the metadata
+      // commit in commitStagedChanges
+      val cand =
+        if (!new graft.icelite.IceCatalog(SparkSession.active, warehouse)
+            .tableExists(ns, tbl)) 1L
+        else MetaIo.read(fs, tableDir).snapshots.map(_.snapshotId)
+          .maxOption.getOrElse(0L) + 1
+      val pubName =
+        f"snap-$cand%05d-${stagingName.stripPrefix(".staging-rtas-").take(8)}"
+      val dataDir = new Path(tableDir, s"data/$pubName")
+      val staging = new Path(tableDir, s"data/$stagingName")
+      if (!fs.exists(staging)) fs.mkdirs(staging) // zero-partition write
+      require(fs.rename(staging, dataDir),
+        s"failed to publish staged dir for $ns.$tbl")
+      val added = messages.collect { case msg: IceLiteCommitMessage =>
+        msg.stats.map(st => st.copy(path = fs.makeQualified(new Path(
+          st.path.replace(s"data/$stagingName", s"data/$pubName"))).toString))
+      }.toSeq.flatten.sortBy(_.path)
+      staged.set((dataDir.toString, added))
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val staging = new Path(tableDir, s"data/$stagingName")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      ()
+    }
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val st = Option(staged.get())
+    val added = st.map(_._2).getOrElse(Nil)
+    val dataDirs = st.map(s => Seq(s._1)).getOrElse(Nil)
+    val icat = new graft.icelite.IceCatalog(SparkSession.active, warehouse)
+    val exists = icat.tableExists(ns, tbl)
+    mode match {
+      case "create" if exists =>
+        abortStagedChanges()
+        throw new IllegalStateException(s"table $ns.$tbl already exists")
+      case "replace" if !exists =>
+        abortStagedChanges()
+        throw new IllegalStateException(s"table $ns.$tbl does not exist")
+      case _ => ()
+    }
+    if (!exists) {
+      // atomic create: metadata v1 CARRIES the CTAS snapshot — the commit's
+      // exclusive version claim is also the duplicate-create guard
+      partitionBy.foreach(entry =>
+        graft.icelite.Transforms.validate(schema0, entry))
+      icat.createNamespace(ns)
+      val rows = added.map(_.rows).sum
+      val snaps =
+        if (added.isEmpty && dataDirs.isEmpty) Nil
+        else Seq(SnapshotMeta(
+          snapshotId = 1L, timestampMs = System.currentTimeMillis(),
+          operation = "replace", dataDirs = dataDirs,
+          addedFiles = added.map(_.path), addedRows = rows, totalRows = rows,
+          addedFileCount = added.length.toLong, schemaDdl = schema0.toDDL,
+          files = added.sortBy(_.path), parentId = 0L))
+      MetaIo.commit(fs, tableDir, graft.icelite.TableMeta(
+        formatVersion = 1, namespace = ns, name = tbl,
+        schemaDdl = schema0.toDDL, partitionBy = partitionBy,
+        currentSnapshotId = if (snaps.isEmpty) 0L else 1L,
+        snapshots = snaps, version = 1,
+        sortOrder = sortedBy, properties = properties))
+      ()
+    } else {
+      val t = icat.loadTable(ns, tbl)
+      require(t.meta.partitionBy == partitionBy,
+        s"REPLACE TABLE $ns.$tbl keeps the existing partition layout " +
+          s"(${t.meta.partitionBy.mkString(", ")}); DROP + CREATE to change it")
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          t.replaceFiles(dataDirs, added, schema0.toDDL)
+          done = true
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("concurrent commit") =>
+            attempts += 1
+            if (attempts > 5) throw e
+        }
+      }
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val staging = new Path(tableDir, s"data/$stagingName")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // a published-but-uncommitted dir is referenced by no snapshot: remove
+    // it too when identifiable (otherwise orphan GC reclaims it later)
+    Option(staged.get()).foreach { case (d, _) =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    ()
+  }
+}

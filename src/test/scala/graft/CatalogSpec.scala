@@ -42,6 +42,50 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.tableExists("lake", "t1"))
   }
 
+  test("atomic CTAS / RTAS: one-commit create, replace keeps history, failures inert") {
+    val wh = configure("rtas")
+    val cat = new IceCatalog(spark, wh)
+    // CTAS: table metadata AND the data snapshot land in ONE commit —
+    // version 1 already carries snapshot 1 (no empty-table window)
+    spark.sql("CREATE TABLE icecat_rtas.lake.t AS " +
+      "SELECT k, g FROM VALUES (1L,'a'), (2L,'b'), (3L,'a') AS src(k, g)")
+    val t1 = cat.loadTable("lake", "t")
+    assert(t1.meta.version == 1 && t1.meta.currentSnapshotId == 1L,
+      s"CTAS must commit metadata+snapshot atomically: v${t1.meta.version}")
+    assert(spark.table("icecat_rtas.lake.t").count() == 3)
+    // RTAS: atomic replace — new schema, history grows by one snapshot,
+    // the pre-replace version stays time-travelable
+    spark.sql("CREATE OR REPLACE TABLE icecat_rtas.lake.t AS " +
+      "SELECT k2, v FROM VALUES (9L, 'x') AS src(k2, v)")
+    assert(spark.table("icecat_rtas.lake.t").columns.toSeq == Seq("k2", "v"))
+    assert(spark.table("icecat_rtas.lake.t").count() == 1)
+    assert(spark.sql("SELECT * FROM icecat_rtas.lake.t VERSION AS OF 1").count() == 3,
+      "the replaced version must remain time-travelable")
+    // partitioned CTAS renders the layout
+    spark.sql("CREATE TABLE icecat_rtas.lake.p PARTITIONED BY (g) AS " +
+      "SELECT k, g FROM VALUES (1L,'a'), (2L,'b') AS src(k, g)")
+    val p = cat.loadTable("lake", "p")
+    assert(p.visibleFiles(p.meta.currentSnapshot.get)
+      .forall(_.path.contains("g=")), "partitioned CTAS must render the layout")
+    // replacing with a DIFFERENT layout refuses (era mixing is unsound)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val exLayout = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE icecat_rtas.lake.p AS SELECT 1L AS k, 'z' AS g"))
+    assert(msgs(exLayout).exists(_.contains("partition layout")), s"$exLayout")
+    // REPLACE of a missing table refuses; a FAILED RTAS leaves the previous
+    // table state fully intact (the staged commit never ran)
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE icecat_rtas.lake.missing AS SELECT 1 AS a"))
+    assert(!cat.tableExists("lake", "missing"))
+    intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE icecat_rtas.lake.t AS " +
+        "SELECT raise_error('boom') AS a"))
+    assert(spark.table("icecat_rtas.lake.t").columns.toSeq == Seq("k2", "v"),
+      "a failed RTAS must leave the previous table untouched")
+    assert(spark.table("icecat_rtas.lake.t").count() == 1)
+  }
+
   test("INSERT INTO and writeTo(...).append() commit snapshots") {
     val wh = configure("write")
     val cat = new IceCatalog(spark, wh)
