@@ -1245,6 +1245,42 @@ object IceliteOps {
         s.table("icelite_k32.lake.agg").orderBy("event_type")
       }),
 
+    // K33: full three-clause MERGE — WHEN MATCHED UPDATE / WHEN NOT
+    // MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE, the complete
+    // "make the target mirror the source" synchronization statement
+    // (Spark 4 SQL surface; k12 covers the two-clause upsert form). The
+    // group-based copy-on-write row-level operation serves it unchanged:
+    // the scan selects candidate files, the paired write replaces exactly
+    // them. Target = even event_ids, source = multiples of 3 at doubled
+    // value; the merged table is exactly the source-mirrored state.
+    QDef(
+      "k33_ice_merge_by_source",
+      Some("""SELECT event_id, user_id, event_type, value * 2 AS value
+             |FROM events WHERE event_id % 3 = 0
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val wh = freshWarehouse(s, "k33")
+        s.conf.set("spark.sql.catalog.icelite_k33", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k33.warehouse", wh)
+        new IceCatalog(s, wh).createTable("lake", "events_ms", ev.schema)
+          .append(ev.filter(col("event_id") % 2 === 0))
+        ev.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") * 2)
+          .createOrReplaceTempView("src_k33")
+        s.sql(
+          """MERGE INTO icelite_k33.lake.events_ms t USING src_k33 s
+            |ON t.event_id = s.event_id
+            |WHEN MATCHED THEN UPDATE SET
+            |  user_id = s.user_id, event_type = s.event_type, value = s.value
+            |WHEN NOT MATCHED THEN INSERT
+            |  (event_id, user_id, event_type, value)
+            |  VALUES (s.event_id, s.user_id, s.event_type, s.value)
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        s.table("icelite_k33.lake.events_ms").orderBy("event_id")
+      }),
+
     // K28: INCREMENTAL MATERIALIZED-ROLLUP MAINTENANCE — the flagship CDC
     // consumer pattern: a per-priority (count, exact price sum) rollup is
     // materialized from the table AS OF snapshot 1, then brought current
