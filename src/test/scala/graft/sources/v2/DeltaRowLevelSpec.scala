@@ -90,4 +90,24 @@ class DeltaRowLevelSpec extends SparkSpec {
     assert(tbl.deletesOf(tbl.meta.currentSnapshot.get).isEmpty)
     assert(spark.sql(s"SELECT count(*) FROM $ident").collect()(0).getLong(0) == 105)
   }
+
+  test("MOR three-clause MERGE: NOT MATCHED BY SOURCE deletes as delta too") {
+    val (ident, tbl) = morTable("mormbs")
+    val before = dataPaths(tbl)
+    // source keeps 60..110: rows 1..59 fall to the BY SOURCE delete clause,
+    // 60..100 update, 101..110 insert — the full mirror-the-source sync
+    (60L to 110L).map(i => (i, s"m$i")).toDF("k", "v")
+      .createOrReplaceTempView("mbs_src")
+    spark.sql(
+      s"""MERGE INTO $ident t USING mbs_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(before.subsetOf(dataPaths(tbl)),
+      "MOR three-clause MERGE must not rewrite any pre-existing data file")
+    val got = spark.sql(s"SELECT k, v FROM $ident ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (60L to 110L).map(i => (i, s"m$i")),
+      s"target must exactly mirror the source: ${got.take(5)}...")
+  }
 }
