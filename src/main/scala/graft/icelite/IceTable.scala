@@ -443,18 +443,21 @@ class IceTable(
   /** Commit PRE-WRITTEN files as a full-rewrite snapshot — the publish step
     * of the staged RTAS path (data written by the DSv2 staged writer, the
     * metadata commit deferred to `StagedTable.commitStagedChanges` for
-    * atomicity). Same semantics as [[replace]]; the caller retries on a
-    * version race (each call re-reads current metadata).
+    * atomicity). Unlike [[replace]] (which keeps the table's declarations
+    * because ITS writer enforced them), an RTAS is a NEW table definition:
+    * the declared sort order and properties are replaced wholesale with the
+    * statement's own — the staged writer sorted by exactly `newSortOrder`,
+    * and keeping the old declaration would make scans report an ordering
+    * the new files do not satisfy (downstream sorts would elide, silently
+    * wrong results). The caller retries on a version race.
     */
   private[graft] def replaceFiles(dataDirs: Seq[String], added: Seq[FileStat],
-      newSchemaDdl: String): IceTable = {
+      newSchemaDdl: String, newSortOrder: Seq[String],
+      newProperties: Map[String, String]): IceTable = {
     val m = meta
-    val newCols = StructType.fromDDL(newSchemaDdl).fieldNames.toSeq
-    val base =
-      if (m.sortOrder.nonEmpty && !m.sortOrder.forall(newCols.contains))
-        m.copy(sortOrder = Nil)
-      else m
-    commitSnapshot(base, "replace", dataDirs, added, carried = Nil,
+    commitSnapshot(
+      m.copy(sortOrder = newSortOrder, properties = newProperties),
+      "replace", dataDirs, added, carried = Nil,
       newSchemaDdl = Some(newSchemaDdl))
   }
 

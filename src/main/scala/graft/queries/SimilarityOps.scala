@@ -394,7 +394,7 @@ object SimilarityOps {
              |  SELECT vec_id,
              |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
              |    embedding
-             |  FROM embeddings),
+             |  FROM embeddings WHERE len(embedding) > 0),
              |c AS (
              |  SELECT vec_id, scale,
              |    list_transform(embedding, v -> CASE WHEN scale = 0 THEN 0
@@ -409,7 +409,13 @@ object SimilarityOps {
              |             - codes[CAST(i AS INT)] * scale / 127.0))) AS max_abs_err
              |FROM c ORDER BY vec_id""".stripMargin),
       (s, dir) =>
+        // zero-length vectors are excluded on BOTH sides: Spark's aggregate
+        // folds them to 0.0 where DuckDB's list_max yields NULL — the one
+        // edge where the otherwise bit-identical arithmetic diverges.
+        // (Fixture elements are non-null FLOATs by schema; a NULL element
+        // would diverge the same way and belongs to a cleaning pass.)
         t(s, dir, "embeddings")
+          .filter(size(col("embedding")) > 0)
           .select(col("vec_id"),
             expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
               "(m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))").as("scale"),

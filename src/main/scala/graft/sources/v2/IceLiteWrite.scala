@@ -92,7 +92,12 @@ private[v2] class IceLiteWriteBuilder(
       require(meta.renames.isEmpty,
         s"streaming upsert into $ns.$table needs a rename-free table")
     }
-    if (dynamicOverwrite || overwriteFilters.isDefined)
+    // a full truncate (AlwaysTrue) never consults partition membership, so
+    // it stays legal on evolved layouts; only membership-based overwrites
+    // need the single-era guarantee
+    val consultsMembership = dynamicOverwrite || overwriteFilters.exists(
+      _.exists(f => !f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+    if (consultsMembership)
       require(meta.partitionSpecs.isEmpty,
         s"partition overwrite of $ns.$table requires a single-era " +
           "partition layout (evolved tables: membership of old-era files " +
@@ -316,7 +321,7 @@ private[v2] class IceLiteBatchWrite(
                 "columns — a row-partial overwrite would be approximated at " +
                 "file granularity; use DELETE + INSERT or MERGE instead")
             val refs = fls.flatMap(_.references).distinct.filter(idCols.contains)
-            visibleNow.filterNot { f =>
+            def satisfies(f: FileStat): Boolean = {
               val raw = graft.icelite.PartValues.parse(f.path, refs)
               require(refs.forall(raw.contains),
                 s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
@@ -324,6 +329,15 @@ private[v2] class IceLiteBatchWrite(
               fls.forall(fl =>
                 graft.icelite.FilePrune.canMatch(fl, tableSchema, f, pv))
             }
+            // overwrite may only ADD rows inside its own condition — a
+            // written partition outside it would land NEXT TO the carried
+            // files of that partition as silent duplicates (Iceberg
+            // validates the same way); with partition-exact filters the
+            // added files' directory values decide this exactly
+            added.foreach(f => require(satisfies(f),
+              s"INSERT OVERWRITE of $ns.$table: written file ${f.path} " +
+                s"falls outside the overwrite condition ${fls.mkString(", ")}"))
+            visibleNow.filterNot(satisfies)
         }
       if (isOverwrite)
         require(carried.forall(_.rows >= 0),
@@ -862,6 +876,14 @@ private[v2] class IceLiteStagedTable(
   // commit; null until then (plain `REPLACE TABLE t (cols)` never writes)
   private val staged =
     new java.util.concurrent.atomic.AtomicReference[(String, Seq[FileStat])](null)
+  // schema-ledger baseline of the EXISTING table, captured when the staged
+  // data publishes: a concurrent rename/widen/partition-evolution landing
+  // between the data write and the metadata commit must abort loudly, like
+  // every other commit path (the staged files were written against the
+  // statement's schema; applying a newer ledger to them would misdescribe
+  // their columns at scan)
+  private val baseline =
+    new java.util.concurrent.atomic.AtomicReference[graft.icelite.TableMeta](null)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
@@ -903,8 +925,11 @@ private[v2] class IceLiteStagedTable(
       val cand =
         if (!new graft.icelite.IceCatalog(SparkSession.active, warehouse)
             .tableExists(ns, tbl)) 1L
-        else MetaIo.read(fs, tableDir).snapshots.map(_.snapshotId)
-          .maxOption.getOrElse(0L) + 1
+        else {
+          val m = MetaIo.read(fs, tableDir)
+          baseline.set(m)
+          m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+        }
       val pubName =
         f"snap-$cand%05d-${stagingName.stripPrefix(".staging-rtas-").take(8)}"
       val dataDir = new Path(tableDir, s"data/$pubName")
@@ -942,6 +967,7 @@ private[v2] class IceLiteStagedTable(
         throw new IllegalStateException(s"table $ns.$tbl does not exist")
       case _ => ()
     }
+    graft.icelite.IceCatalog.validateProperties(properties)
     if (!exists) {
       // atomic create: metadata v1 CARRIES the CTAS snapshot — the commit's
       // exclusive version claim is also the duplicate-create guard
@@ -969,11 +995,28 @@ private[v2] class IceLiteStagedTable(
       require(t.meta.partitionBy == partitionBy,
         s"REPLACE TABLE $ns.$tbl keeps the existing partition layout " +
           s"(${t.meta.partitionBy.mkString(", ")}); DROP + CREATE to change it")
+      // concurrent-DDL guard (same contract as the append commit): the
+      // ledgers must not have moved since the staged data published — and
+      // if the table appeared only AFTER the publish (createOrReplace
+      // racing a concurrent create), there is no baseline to verify
+      // against, so abort rather than guess
+      val b = Option(baseline.get()).getOrElse {
+        if (st.isDefined) {
+          abortStagedChanges()
+          throw new IllegalStateException(
+            s"RTAS into $ns.$tbl raced a concurrent table creation — aborting")
+        } else t.meta // no data staged: nothing written against a stale schema
+      }
       var attempts = 0
       var done = false
       while (!done) {
+        val cur = t.meta
+        require(cur.renames == b.renames &&
+          cur.widenedColumns == b.widenedColumns &&
+          cur.partitionSpecs == b.partitionSpecs,
+          s"RTAS into $ns.$tbl raced a concurrent schema change — aborting")
         try {
-          t.replaceFiles(dataDirs, added, schema0.toDDL)
+          t.replaceFiles(dataDirs, added, schema0.toDDL, sortedBy, properties)
           done = true
         } catch {
           case e: IllegalStateException

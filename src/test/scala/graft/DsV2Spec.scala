@@ -423,7 +423,7 @@ class DsV2Spec extends SparkSpec {
     val pAfter = p2.visibleFiles(p2.meta.currentSnapshot.get).map(_.path).toSet
     assert(p2.toDF.filter(col("g") === "a").count() == 1)
     assert(p2.toDF.filter(col("g") === "b").count() == 20)
-    assert((pAfter intersect pBefore).exists(!_.contains("event")),
+    assert((pAfter intersect pBefore).exists(_.contains("g=b")),
       "foreign partition must be carried by path")
     assert(!pAfter.exists(q => pBefore(q) && q.contains("g=a")),
       "the named partition's files must be replaced")
