@@ -17,6 +17,8 @@ object TextOps {
   private def tokens: Column = split(trim(col("text")), "\\s+")
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  // stand-in banned-term set for the blocklist screening op (x34)
+  private val blocklist = Seq("slow", "stream", "window")
   private val enMarkers = Seq("the", "and", "of", "to", "in", "is")
   private val deMarkers = Seq("der", "die", "und", "das", "ist", "nicht")
   private val esMarkers = Seq("el", "la", "los", "que", "por", "con")
@@ -183,6 +185,29 @@ object TextOps {
             && col("punct_ratio") <= 0.10 && col("digit_ratio") <= 0.20
             && col("stopword_ratio") >= 0.01)
           .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")),
+
+    // Blocklist / safety filtering — the term-level screening pass every
+    // production corpus runs before training (banned-term scrub): a
+    // broadcastable term set, a per-doc hit count, and a verdict at a hit
+    // threshold. Entirely row-local (one tokenize + one array filter, no
+    // shuffle, the set ships as literals) — the map-only shape at 100 TB;
+    // a real deployment swaps the literal list for a broadcast
+    // bloom/hash set, same plan. Every doc is emitted WITH its verdict
+    // (not pre-filtered) so downstream stages can audit removal rates.
+    QDef(
+      "x34_blocklist_filter",
+      Some(s"""WITH h AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |         tk -> tk IN (${sqlList(blocklist)}))) AS INT) AS n_hits
+              |  FROM documents)
+              |SELECT doc_id, n_hits, n_hits >= 3 AS flagged
+              |FROM h ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), countIn(blocklist).cast("int").as("n_hits"))
+          .withColumn("flagged", col("n_hits") >= 3)
           .orderBy("doc_id")),
 
     // Stratified sampling: exactly 30 docs per language, selected by a
