@@ -436,6 +436,41 @@ class DsV2Spec extends SparkSpec {
       s"expected the exactness refusal, got: $exPart")
   }
 
+  test("dynamic overwrite racing a concurrent append: retry keeps foreign rows") {
+    import spark.implicits._
+    val wh = warehouse("dynover-race")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+      .toDF("k", "g", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("g"))
+    tbl.append(df)
+    spark.conf.set("spark.sql.catalog.ice_dor", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_dor.warehouse", wh)
+    // the overwrite's commit-retry recomputes carried files against the NEW
+    // current snapshot, so an append landing concurrently must survive when
+    // it touches a FOREIGN partition (and an append into the overwritten
+    // partition loses to the overwrite — last-writer-wins on touched)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future {
+        tbl.append(Seq((200L, "b", "late")).toDF("k", "g", "v"))
+      },
+      Future {
+        Seq((100L, "a", "ow")).toDF("k", "g", "v")
+          .writeTo("ice_dor.lake.t").overwritePartitions()
+      })), 120.seconds)
+    val t2 = cat.loadTable("lake", "t")
+    val a = t2.toDF.filter(col("g") === "a").select("k").as[Long].collect().toSet
+    val b = t2.toDF.filter(col("g") === "b").select("k").as[Long].collect().toSet
+    assert(b.contains(200L),
+      "a concurrent append into a FOREIGN partition must survive the overwrite")
+    assert(b.size == 11, s"b partition must keep all its rows: $b")
+    assert(a == Set(100L),
+      s"the overwritten partition must hold exactly the overwrite's rows: $a")
+  }
+
   test("hidden-partitioned tables: MOR delete, SQL UPDATE, and streaming") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val wh = warehouse("hp-interop")
