@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through RAW (no "[info] " prefix): the driver
+// tail-captures Bench stdout and json-parses lines — sbt's logger
+// decoration made every round's metric line unparseable (r1-r9 all
+// recorded parsed:null). StdoutOutput inherits sbt's own stdout/stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

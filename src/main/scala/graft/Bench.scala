@@ -101,8 +101,23 @@ object Bench {
     // bench-out.json (pointed to by queries_file), where the per-query
     // numbers are read from anyway.
     val outPath = java.nio.file.Paths.get("bench-out.json").toAbsolutePath
+    // Numeric scale factor for the driver's parser ("sf0.1" -> 0.1); the
+    // raw dir stays available as sf_dir. The short line also carries an
+    // inline `queries` map restricted to the headline set so the
+    // spec-shaped fields are all present without pushing the line past a
+    // tail-capture window (the full 148-query map lives in bench-out.json).
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    val headline = Seq("q1_agg_pricing", "q3_join_topk", "q5_join_multi",
+      "q6_skew_twophase_agg", "s4_agg_pushdown", "b2_spj_join", "w2_topk_per_group",
+      "k4_ice_append", "k5_ice_upsert", "k23_ice_mor_upsert", "x1_dedup_exact",
+      "x2_dedup_minhash_lsh", "x16_dedup_cluster", "x27_sim_ivf",
+      "x24_decontaminate", "st1_stream_window", "st9_stream_stream_join")
+    val resMap = results.toMap
+    val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
+      .mkString("{", ",", "}")
     val short =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"flaky":$flk,"queries_file":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$hq,"nqueries":${results.size},"errors":$errs,"flaky":$flk,"queries_file":"$outPath","sf":$sfNum,"sf_dir":"$sfDir"}"""
     println(short)
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -375,12 +375,25 @@ class IceTable(
     val m = base
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val addedRows = added.map(_.rows).sum
-    // legacy (pre-manifest) carried entries have unknown rows (-1); they
-    // only ever arise when the FULL previous file set is carried (append),
-    // so the previous snapshot's total is the correct carried count
+    // legacy (pre-manifest) carried entries have unknown rows (-1); their
+    // total is only derivable when the carried set IS the previous
+    // snapshot's full visible file set (the append shape) — then the
+    // previous total is exact. A PARTIAL carry containing an unknown-row
+    // file (e.g. a metadata-only delete dropping one partition while a
+    // legacy file survives in another) would make totalRows a guess that
+    // still counts the dropped rows, so it is refused instead: VERIFIED,
+    // not assumed (advice r9).
     val carriedRows =
       if (carried.forall(_.rows >= 0)) carried.map(_.rows).sum
-      else m.currentSnapshot.map(_.totalRows).getOrElse(0L)
+      else {
+        val prevPaths = m.currentSnapshot
+          .map(visibleFiles(_).map(_.path).toSet).getOrElse(Set.empty[String])
+        require(carried.map(_.path).toSet == prevPaths,
+          s"$operation on $namespace.$name would carry a PARTIAL file set " +
+            "containing legacy files with unknown row counts — totalRows " +
+            "accounting would be wrong; compact first")
+        m.currentSnapshot.map(_.totalRows).getOrElse(0L)
+      }
     // carried deletes subtract from the carried files' physical row sum
     val carriedDeleteRows = carriedDeletes.map(_.rows).sum
     val snap = SnapshotMeta(
@@ -884,6 +897,70 @@ class IceTable(
       currentSnapshotId = snapshotId,
       version = m.version + 1))
     this
+  }
+
+  /** Cherry-pick: RE-APPLY one snapshot's added files onto the CURRENT
+    * head as a new commit (Iceberg's `cherrypick_snapshot` procedure) —
+    * the recovery move after a [[rollbackTo]] orphaned a good change, or
+    * the selective-publish step over a side lineage. Metadata-only at any
+    * table size: the picked files are re-attached by path, nothing is read
+    * or rewritten.
+    *
+    * Only APPEND snapshots are pickable (their file set is a bag union,
+    * valid against any newer head — the same property that makes append's
+    * commit retry sound). Overwrites/deletes/compactions encode REMOVALS
+    * relative to their own parent, which do not transplant; Iceberg
+    * refuses those too (non-append cherry-picks there require the picked
+    * snapshot's parent to still be current). A file already visible on the
+    * head refuses as a double-pick instead of double-counting its rows.
+    */
+  def cherryPick(snapshotId: Long): IceTable = {
+    val m0 = meta
+    val target = m0.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $snapshotId in $namespace.$name"))
+    require(target.operation == "append",
+      s"cherry-pick of snapshot $snapshotId ($namespace.$name): only " +
+        s"append snapshots transplant onto a new head; '${target.operation}' " +
+        "encodes removals relative to its own parent")
+    require(target.schemaDdl.isEmpty || target.schemaDdl == m0.schemaDdl,
+      s"cherry-pick of snapshot $snapshotId ($namespace.$name): its schema " +
+        "differs from the current table schema")
+    val addedPaths = FileStats.addedPathsOf(fs, target)
+      .map(FileStats.normPath).toSet
+    val pickedStats = FileStats.visible(fs, target)
+      .filter(f => addedPaths.contains(FileStats.normPath(f.path)))
+    require(pickedStats.length == addedPaths.size,
+      s"cherry-pick of snapshot $snapshotId ($namespace.$name): its added " +
+        "files are no longer resolvable from its manifest")
+    val pickedDirs = pickedStats
+      .map(f => new Path(f.path).getParent.toString).distinct
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.partitionSpecs == m0.partitionSpecs,
+        s"cherry-pick into $namespace.$name raced a concurrent schema change")
+      val prev = m.currentSnapshot
+      val visibleNow = prev.map(visibleFiles).getOrElse(Nil)
+      val visiblePaths = visibleNow.map(f => FileStats.normPath(f.path)).toSet
+      val dup = pickedStats.filter(f => visiblePaths(FileStats.normPath(f.path)))
+      require(dup.isEmpty,
+        s"cherry-pick of snapshot $snapshotId ($namespace.$name): " +
+          s"${dup.length} of its files are already visible on the current " +
+          "head (double-pick)")
+      try return commitSnapshot(m, "append",
+        prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) ++ pickedDirs,
+        added = pickedStats, carried = visibleNow,
+        carriedDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
   }
 
   /** Primary-key upsert (K5, `wr:107-108`): matched target rows take the
@@ -1501,12 +1578,19 @@ class IceTable(
         s"delete condition not translatable: ${filters.mkString(", ")}")
     }
     val files = visibleFiles(current)
-    val (candidates, untouched) = files.partition { f =>
-      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
-      val raw = PartValues.parse(f.path, spec)
-      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
-      filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
-    }
+    // Legacy (pre-manifest) files have unknown row counts: a partial carry
+    // that keeps one while dropping dead files (or rewriting partial ones)
+    // cannot produce an exact totalRows — commitSnapshot refuses that
+    // shape. Route legacy tables to the conservative full rewrite instead
+    // (upsert's policy): every file is a candidate, nothing is carried.
+    val (candidates, untouched) =
+      if (files.exists(_.rows < 0)) (files, Nil)
+      else files.partition { f =>
+        val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+        val raw = PartValues.parse(f.path, spec)
+        val pv = PartValues.decodeExternal(tableSchema, spec, raw)
+        filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
+      }
     if (candidates.isEmpty) return this // nothing can match: no-op
     // Whole-file death proof (the DROP PARTITION shape): when every filter
     // is partition-EXACT for a candidate's own era — the same claim that

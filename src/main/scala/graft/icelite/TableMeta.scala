@@ -511,8 +511,11 @@ object MetaIo {
             else {
               // path spellings can differ between the added list and the
               // FileStat list (file:/x vs file:///x) — normalize both
-              val added = s.addedFiles.map(p => new Path(p).toString).toSet
-              s.files.filter(f => added(new Path(f.path).toString))
+              // through the ONE canonical spelling every other membership
+              // test uses (FileStats.normPath), so a change there cannot
+              // silently drift from this site
+              val added = s.addedFiles.map(FileStats.normPath).toSet
+              s.files.filter(f => added(FileStats.normPath(f.path)))
                 .map(_.bytes).sum
             },
           totalFileCount = s.files.length.toLong,

@@ -524,6 +524,90 @@ object DedupOps {
             (col("o") / (col("na") + col("nb") - col("o"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("d_new", "d_old")
+      }),
+
+    // Cross-document repeated-PASSAGE detection (round 10) — the exact-
+    // substring dedup of Lee et al. 2021 ("Deduplicating Training Data
+    // Makes Language Models Better"), reshaped from their suffix-array
+    // construction into the shuffle-friendly rolling-window form: every
+    // W-token window is a key; a window whose text occurs in >= 2 DISTINCT
+    // documents marks a duplicated passage; per document, overlapping or
+    // adjacent duplicate windows merge into maximal spans
+    // (gaps-and-islands). Output is the span table a removal pass consumes:
+    // (doc, token range, window evidence count). Distinct from x4 (doc-
+    // level n-gram Jaccard): this finds WHERE inside each doc the shared
+    // text lives, at sub-document granularity.
+    //
+    // Scale design: the corpus never self-joins. One linear explode, one
+    // map-side-combinable aggregate keyed by window, one equi-join of
+    // windows against the duplicated keys, one doc-partitioned window pass
+    // (the final groupBy reuses that partitioning — doc_id is a subset of
+    // its keys, so no fourth shuffle). The join/aggregate key is
+    // xxhash64(window text) — 8 bytes instead of ~50 on the wire at
+    // 100 TB. The oracle states the same pipeline over the literal window
+    // STRINGS; span output is identical absent a 64-bit collision
+    // (~1e-10 here; a production pass re-verifies candidate spans by
+    // bytes before cutting).
+    QDef(
+      "x35_passage_dedup",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents),
+             |wins AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |    array_to_string(
+             |      list_slice(tk, CAST(i AS INT) + 1, CAST(i AS INT) + 8),
+             |      ' ') AS g
+             |  FROM tk, unnest(range(0, greatest(len(tk) - 7, 0))) t(i)),
+             |dup AS (SELECT g FROM (
+             |    SELECT g, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY g)
+             |  WHERE nd >= 2),
+             |dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (g)),
+             |sp AS (SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+             |    THEN 1 ELSE 0 END AS ns
+             |  FROM dw),
+             |isl AS (SELECT doc_id, pos,
+             |    CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+             |  FROM sp)
+             |SELECT doc_id, span, MIN(pos) AS span_start,
+             |  MAX(pos) + 7 AS span_end, COUNT(*) AS n_windows
+             |FROM isl GROUP BY doc_id, span ORDER BY doc_id, span""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 8
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+          .filter(size(col("tk")) >= W)
+          // single-file fixture: spread the explode across the cluster (a
+          // real corpus scan already has thousands of splits)
+          .repartition(col("doc_id"))
+        val wins = toks.select(col("doc_id"), expr(
+          s"""explode(transform(sequence(0, size(tk) - $W),
+             |  i -> named_struct(
+             |    'pos', CAST(i AS INT),
+             |    'h', xxhash64(array_join(slice(tk, i + 1, $W), ' ')))))"""
+            .stripMargin).as("w"))
+          .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+        val dup = wins.select("h", "doc_id").distinct()
+          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val dw = wins.join(dup, Seq("h")).select("doc_id", "pos")
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        dw
+          .withColumn("prev", lag("pos", 1).over(byDoc))
+          .withColumn("ns",
+            when(col("prev").isNull || col("pos") > col("prev") + W, 1)
+              .otherwise(0))
+          .withColumn("span", sum("ns").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "span")
+          .agg(min("pos").as("span_start"),
+            (max(col("pos")) + lit(W - 1)).as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .orderBy("doc_id", "span")
       })
   )
 }

@@ -612,7 +612,7 @@ object IceliteOps {
         df
       }),
 
-    // S6c: grouped aggregate pushdown over a BUCKET partition — GROUP BY
+    // s6b: grouped aggregate pushdown over a BUCKET partition — GROUP BY
     // system.bucket(4, event_type) on a bucket(4,event_type)-partitioned
     // table is "rows/ids per hash bucket" (the balance check on any
     // bucket-laid-out 100 TB table), answered from manifests alone: group
@@ -643,6 +643,16 @@ object IceliteOps {
         val wh = QUtil.cachedFixture(s, "s6b", dir) { wh =>
           val ev = t(s, dir, "events")
             .select("event_id", "user_id", "event_type", "value")
+          // oracle-integrity guard: the CASE oracle enumerates the bucket
+          // id of exactly these five event types. If the fixture's domain
+          // ever changes, fail LOUDLY here instead of letting the DuckDB
+          // compare silently diverge (advice r9).
+          val expected = Set("click", "error", "purchase", "signup", "view")
+          val observed = ev.select("event_type").distinct()
+            .collect().map(_.getString(0)).toSet
+          require(observed == expected,
+            s"s6b oracle enumerates $expected but events has $observed — " +
+              "update the CASE mapping in the oracle SQL")
           new IceCatalog(s, wh)
             .createTable("lake", "events_b", ev.schema,
               partitionBy = Seq("bucket(4,event_type)"))
@@ -764,6 +774,40 @@ object IceliteOps {
         // the rolled-past snapshot remains pinned-readable (full row count)
         require(tbl.scan(snapshotId = Some(second)).count() == ev.count(),
           "future snapshot must stay time-travelable after rollback")
+        tbl.toDF.orderBy("event_id")
+      }),
+
+    // Cherry-pick (round 10, Iceberg `cherrypick_snapshot`): rollback
+    // orphans a good append; cherryPick re-applies it onto the current head
+    // as a NEW snapshot by re-attaching its files BY PATH — metadata-only
+    // recovery at any table size (zero rows read or written, asserted
+    // in-query from the committed manifest). History stays append-only:
+    // the rolled-past snapshot remains, the pick is a fresh commit.
+    QDef(
+      "k34_ice_cherrypick",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_id % 3 = 0 OR event_id % 3 = 1
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k34"))
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "events_cp", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 3 === 0))
+        tbl.append(ev.filter(col("event_id") % 3 === 1))
+        val Seq(first, second) = tbl.snapshots.map(_.snapshotId)
+        val v1 = tbl.visibleFiles(tbl.meta.snapshot(first).get).map(_.path).toSet
+        val v2 = tbl.visibleFiles(tbl.meta.snapshot(second).get).map(_.path).toSet
+        tbl.rollbackTo(first)
+        tbl.cherryPick(second)
+        val head = tbl.meta.currentSnapshot.get
+        require(head.snapshotId != second && head.parentId == first,
+          "cherry-pick must commit a NEW snapshot on the rolled-back head")
+        require(tbl.visibleFiles(head).map(_.path).toSet == v2,
+          "cherry-pick must re-attach the picked snapshot's files by path " +
+            "(metadata-only), not rewrite them")
+        require(graft.icelite.FileStats.addedCount(head) == (v2 -- v1).size,
+          "cherry-pick must add exactly the picked files")
         tbl.toDF.orderBy("event_id")
       }),
 

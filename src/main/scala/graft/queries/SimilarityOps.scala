@@ -431,6 +431,95 @@ object SimilarityOps {
             expr("aggregate(zip_with(embedding, codes, " +
               "(v, c) -> abs(CAST(v AS DOUBLE) - c * scale / 127.0D)), " +
               "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))").as("max_abs_err"))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // Distributed k-means over the embedding column (round 10) — the
+    // semantic-clustering pass curation pipelines run before SemDeDup-style
+    // per-cluster dedup or cluster-balanced sampling. Two deterministic
+    // Lloyd iterations: seed centroids = the k lowest vec_ids, assignment =
+    // exact argmin of squared L2 in MICRO-QUANTIZED integer space (every
+    // distance a sum of long products — no float accumulation order to
+    // diverge between engines), recompute = per-(cluster, dim) integer
+    // mean. Ties break to the lowest centroid id in both engines.
+    //
+    // Scale design (MLlib's own shape): centroids live on the driver and
+    // broadcast as a k x d literal (bounded, never data-sized); assignment
+    // is a row-local codegen'd fold — zero shuffle; the centroid update
+    // shuffles only k x d partial sums per map task (posexplode feeds a
+    // map-side-combined groupBy), not the data. The iter-1 assignment is
+    // persisted so iteration 2 starts from memory, not a rescan.
+    QDef(
+      "x36_kmeans_cluster",
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |ed AS (SELECT vec_id, CAST(i AS INT) AS dim, q[CAST(i AS INT)] AS xq
+             |       FROM e, unnest(generate_series(1, 64)) t(i)),
+             |c1 AS (SELECT vec_id AS cid, dim, xq AS cq FROM ed WHERE vec_id < 8),
+             |d1 AS (SELECT ed.vec_id, c1.cid, SUM((ed.xq - c1.cq)*(ed.xq - c1.cq)) AS d
+             |       FROM ed JOIN c1 USING (dim) GROUP BY 1, 2),
+             |a1 AS (SELECT vec_id, cid AS c1 FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |c2 AS (SELECT a1.c1 AS cid, ed.dim,
+             |         CAST(floor(CAST(SUM(ed.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+             |       FROM ed JOIN a1 USING (vec_id) GROUP BY 1, 2),
+             |d2 AS (SELECT ed.vec_id, c2.cid, SUM((ed.xq - c2.cq)*(ed.xq - c2.cq)) AS d
+             |       FROM ed JOIN c2 USING (dim) GROUP BY 1, 2),
+             |a2 AS (SELECT vec_id, cid AS c2, CAST(d AS BIGINT) AS d2 FROM (
+             |    SELECT vec_id, cid, d,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             |    FROM d2) WHERE rn = 1)
+             |SELECT a1.vec_id, a1.c1 AS cluster_iter1, a2.c2 AS cluster_iter2,
+             |  a2.d2 AS dist_sq_q
+             |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val k = 8
+        val qdf = t(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000.0D + 0.5D) AS BIGINT))").as("q"))
+        // argmin over a k x d centroid literal, entirely row-local; the
+        // parallel cids array maps fold position back to a cluster id (an
+        // iter-2 cluster can be empty, so ids need not be contiguous)
+        def assign(df: org.apache.spark.sql.DataFrame,
+            cents: Seq[(Long, Seq[Long])], dcol: String): org.apache.spark.sql.DataFrame =
+          df.withColumn("cents",
+              array(cents.map(c => array(c._2.map(lit): _*)): _*))
+            .withColumn("cids", array(cents.map(c => lit(c._1)): _*))
+            .withColumn("best", expr(
+              """aggregate(
+                |  transform(sequence(0, size(cents) - 1),
+                |    i -> named_struct(
+                |      'd', aggregate(zip_with(q, cents[i],
+                |             (a, b) -> (a - b) * (a - b)), 0L, (s2, v) -> s2 + v),
+                |      'i', i)),
+                |  named_struct('d', 9223372036854775807L, 'i', -1),
+                |  (acc, x) -> IF(x.d < acc.d, x, acc))""".stripMargin))
+            .withColumn("cid", expr("cids[best.i]"))
+            .withColumn(dcol, col("best.d"))
+            .drop("cents", "cids", "best")
+        // bounded driver reads: k seed vectors, then k x d centroid stats —
+        // never O(data); this is how Lloyd's iterates on any Spark cluster
+        val seeds = qdf.filter(col("vec_id") < k).orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        val a1 = assign(qdf, seeds.toSeq, "d1")
+          .withColumnRenamed("cid", "c1").persist()
+        val cents2 = a1
+          .select(col("c1"), posexplode(col("q")).as(Seq("dim", "xq")))
+          .groupBy("c1", "dim")
+          .agg(expr("CAST(floor(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+            .as("cq"))
+          .collect()
+          .groupBy(_.getLong(0)).toSeq
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
+          .sortBy(_._1)
+        assign(a1.drop("d1"), cents2, "d2")
+          .select(col("vec_id"), col("c1").as("cluster_iter1"),
+            col("cid").as("cluster_iter2"), col("d2").as("dist_sq_q"))
+          .orderBy("vec_id")
+      })
   )
 }

@@ -44,6 +44,16 @@ private[v2] class IceLiteWriteBuilder(
   // dynamic partitionOverwriteMode: the commit REPLACES exactly the
   // partitions the write produced rows for and carries every other file
   // untouched — the idempotent "rewrite today's partition" batch pattern.
+  //
+  // Isolation contract: overwrites are LAST-WRITER-WINS on their touched
+  // partitions. The touched set is fixed from the added files while carried
+  // files are recomputed per commit retry, so a concurrent append into a
+  // touched partition that lands between this write's build and its winning
+  // commit attempt is silently replaced (snapshot isolation, Iceberg's
+  // default). Callers that need serializable semantics opt in with
+  // `.option("validateNoConflicts", "true")`: the commit then ABORTS when a
+  // file not visible at the write's planning baseline would be dropped —
+  // exactly Iceberg's validateNoConflictingData/overwrite validation shape.
   private var dynamicOverwrite = false
   override def overwriteDynamicPartitions(): WriteBuilder = {
     dynamicOverwrite = true
@@ -102,9 +112,11 @@ private[v2] class IceLiteWriteBuilder(
         s"partition overwrite of $ns.$table requires a single-era " +
           "partition layout (evolved tables: membership of old-era files " +
           "in a touched partition is undecidable from their paths)")
+    val validateNoConflicts =
+      Option(info.options.get("validateNoConflicts")).exists(_.toBoolean)
     IceLiteWriteShape.of(meta.partitionBy,
       new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta,
-        dynamicOverwrite, overwriteFilters),
+        dynamicOverwrite, overwriteFilters, validateNoConflicts),
       new IceLiteStreamingWrite(warehouse, ns, table, info.schema(), meta,
         info.queryId(), upsertKeys),
       sortOrder = meta.sortOrder,
@@ -211,7 +223,12 @@ private[v2] class IceLiteBatchWrite(
     dynamicOverwrite: Boolean = false,
     // static overwrite condition (INSERT OVERWRITE / truncate): drop the
     // files the filters prove entirely dead, refuse row-partial matches
-    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None)
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    // opt-in serializable isolation for overwrites: abort the commit when
+    // it would drop a file that was NOT visible at the planning baseline
+    // (i.e. a concurrent writer landed data this overwrite never saw);
+    // default keeps snapshot-isolation last-writer-wins, Iceberg's default
+    validateNoConflicts: Boolean = false)
     extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID()}"
@@ -345,6 +362,25 @@ private[v2] class IceLiteBatchWrite(
             "counts — compact first")
       val prevDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
       def qualify(p: String) = fs.makeQualified(new Path(p)).toString
+      // opt-in serializable overwrite: any file this commit would DROP
+      // (visible now, not carried) that was not visible at the planning
+      // baseline belongs to a concurrent writer — replacing it would be a
+      // silent lost update, so abort instead of last-writer-winning. The
+      // throw is not the retryable "concurrent commit" shape, so it
+      // surfaces to the caller as a conflict error.
+      if (validateNoConflicts && isOverwrite) {
+        val baseline = m0.currentSnapshot
+          .map(p => FileStats.visible(fs, p).map(f => qualify(f.path)).toSet)
+          .getOrElse(Set.empty[String])
+        val carriedSet = carried.map(f => qualify(f.path)).toSet
+        val clobbered = visibleNow
+          .filterNot(f => carriedSet(qualify(f.path)))
+          .filterNot(f => baseline(qualify(f.path)))
+        if (clobbered.nonEmpty) throw new IllegalStateException(
+          s"overwrite of $ns.$table aborted (validateNoConflicts): a " +
+            "concurrent write added files in an overwritten partition " +
+            s"after this write's baseline: ${clobbered.map(_.path).mkString(", ")}")
+      }
       val deletes =
         if (!isOverwrite) prevDeletes
         else FileStats.trimDeletes(prevDeletes,

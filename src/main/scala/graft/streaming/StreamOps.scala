@@ -637,6 +637,43 @@ object StreamOps {
         runToTable(sessions.toDF(), OutputMode.Update(),
           s"st2_sink_${System.nanoTime()}")
           .orderBy("user_id", "session_ord")
+      }),
+
+    // Stream-static join (round 10): enrich a live event stream with a
+    // slow-changing dimension served from an icelite table — the most
+    // common production streaming shape (clickstream x user tier). The
+    // static side is re-planned per micro-batch at its then-current
+    // snapshot through the same pushdown-capable DSv2 scan as batch reads
+    // (dimension updates are picked up between batches — the semantics
+    // Spark documents for stream-static joins) and BROADCAST into a
+    // stateless join: no stream shuffle, no state store, unbounded-safe.
+    // The oracle restates the fixture dimension's tier relationally.
+    QDef(
+      "st13_stream_static_join",
+      Some("""SELECT event_id, user_id,
+             |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'gold'
+             |    WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier,
+             |  value
+             |FROM events WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "st13_dim", dir) { w =>
+          val cat = new graft.icelite.IceCatalog(s, w)
+          val dim = QUtil.t(s, dir, "events").select(col("user_id")).distinct()
+            .withColumn("tier", expr(
+              "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'gold' " +
+                "WHEN 1 THEN 'silver' ELSE 'bronze' END"))
+          cat.createTable("lake", "user_tier", dim.schema).append(dim)
+          ()
+        }
+        val dim = s.read.format("icelite")
+          .option("warehouse", wh).option("table", "lake.user_tier").load()
+        val out = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .join(broadcast(dim), Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("tier"), col("value"))
+        runToTable(out, OutputMode.Append(), s"st13_sink_${System.nanoTime()}")
+          .orderBy("event_id")
       })
   )
 }

@@ -436,6 +436,29 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.meta.version == v, "rollback to current must not commit")
   }
 
+  test("cherry-pick re-applies an orphaned append; refusals are loud") {
+    val cat = new IceCatalog(spark, scratch("cherrypick"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 10))   // snap 1
+    tbl.append(nation.filter(col("n_nationkey") >= 10))  // snap 2
+    tbl.rollbackTo(1L)
+    tbl.cherryPick(2L)
+    assert(tbl.meta.currentSnapshotId == 3L, "pick commits a NEW snapshot")
+    assert(tbl.toDF.count() == 25, "picked rows land on the restored head")
+    assert(tbl.snapshots.last.totalRows == 25)
+    // double-pick: snap 2's files are already visible via the pick
+    val dup = intercept[IllegalArgumentException](tbl.cherryPick(2L))
+    assert(dup.getMessage.contains("double-pick"), dup.getMessage)
+    // non-append snapshots refuse: removals don't transplant
+    tbl.deleteWhere(Seq(org.apache.spark.sql.sources.LessThan("n_nationkey", 5)))
+    val delSnap = tbl.meta.currentSnapshotId
+    assert(tbl.meta.currentSnapshot.get.operation == "delete")
+    val nonApp = intercept[IllegalArgumentException](tbl.cherryPick(delSnap))
+    assert(nonApp.getMessage.contains("append snapshots"), nonApp.getMessage)
+    // unknown snapshot fails loudly
+    intercept[IllegalArgumentException](tbl.cherryPick(99L))
+  }
+
   test("rollback restores the target snapshot's schema") {
     val cat = new IceCatalog(spark, scratch("rollback_schema"))
     val tbl = cat.createTable("ns", "t", nation.schema)
