@@ -106,7 +106,7 @@ object Bench {
     // inline `queries` map restricted to the headline set so the
     // spec-shaped fields are all present without pushing the line past a
     // tail-capture window (the full 148-query map lives in bench-out.json).
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+    val sfNum = """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     val headline = Seq("q1_agg_pricing", "q3_join_topk", "q5_join_multi",
       "q6_skew_twophase_agg", "s4_agg_pushdown", "b2_spj_join", "w2_topk_per_group",

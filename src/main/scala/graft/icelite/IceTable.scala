@@ -928,8 +928,18 @@ class IceTable(
         "differs from the current table schema")
     val addedPaths = FileStats.addedPathsOf(fs, target)
       .map(FileStats.normPath).toSet
-    val pickedStats = FileStats.visible(fs, target)
-      .filter(f => addedPaths.contains(FileStats.normPath(f.path)))
+    // a legacy (pre-manifest) snapshot records which files it ADDED
+    // nowhere — there is nothing to transplant from it (a vacuous empty
+    // pick here would "succeed" while picking nothing)
+    require(addedPaths.nonEmpty || FileStats.addedCount(target) == 0,
+      s"cherry-pick of snapshot $snapshotId ($namespace.$name): a legacy " +
+        "snapshot does not record its added files — nothing to transplant")
+    // heal unknown-row stats (legacy dir-listing fallback) with footer
+    // reads so the new snapshot's row accounting is exact, never -1
+    val pickedStats = FileStats.ensureRows(
+      spark.sparkContext.hadoopConfiguration,
+      FileStats.visible(fs, target)
+        .filter(f => addedPaths.contains(FileStats.normPath(f.path))))
     require(pickedStats.length == addedPaths.size,
       s"cherry-pick of snapshot $snapshotId ($namespace.$name): its added " +
         "files are no longer resolvable from its manifest")
@@ -939,7 +949,8 @@ class IceTable(
     while (true) {
       val m = meta
       require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
-        m.renames == m0.renames && m.partitionSpecs == m0.partitionSpecs,
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
         s"cherry-pick into $namespace.$name raced a concurrent schema change")
       val prev = m.currentSnapshot
       val visibleNow = prev.map(visibleFiles).getOrElse(Nil)
@@ -949,10 +960,24 @@ class IceTable(
         s"cherry-pick of snapshot $snapshotId ($namespace.$name): " +
           s"${dup.length} of its files are already visible on the current " +
           "head (double-pick)")
+      val headDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
+      // transplanted files keep their PATH-DERIVED era, so any equality
+      // delete on the head with a newer sequence id would re-apply to the
+      // picked rows at read time — though the pick logically happens AFTER
+      // it (Iceberg re-sequences cherry-picked commits; this format cannot
+      // without rewriting paths, so it refuses instead of silently
+      // shrinking the picked rows)
+      val eraClash = headDeletes.filter(d => d.isEquality &&
+        pickedStats.exists(f => Renames.eraOf(f.path) < d.seqId))
+      require(eraClash.isEmpty,
+        s"cherry-pick of snapshot $snapshotId ($namespace.$name): the " +
+          s"current head carries ${eraClash.length} equality delete(s) " +
+          "newer than the picked files' era, which would re-apply to the " +
+          "transplanted rows — fold them first (rewriteDeletes()) and retry")
       try return commitSnapshot(m, "append",
         prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) ++ pickedDirs,
         added = pickedStats, carried = visibleNow,
-        carriedDeletes = prev.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil))
+        carriedDeletes = headDeletes)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
@@ -981,8 +1006,13 @@ class IceTable(
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     val src = conform(df, tableSchema)
     val current = m.currentSnapshot
-    val files = current.map(visibleFiles).getOrElse(Nil)
-    val legacy = files.exists(_.rows < 0)
+    // heal legacy (pre-manifest) entries up front — one parallel footer
+    // read per unknown-row file recovers rows + key stats, so the pruning
+    // below works on legacy tables too instead of degrading to a full
+    // rewrite, and this commit's manifest is permanently healed
+    val files = FileStats.ensureRows(
+      spark.sparkContext.hadoopConfiguration,
+      current.map(visibleFiles).getOrElse(Nil))
 
     // one tiny driver-side job: per-key min/max + null presence of the source
     val keyBounds: SFilter = {
@@ -1002,7 +1032,7 @@ class IceTable(
     }
 
     val (candidates, untouched) =
-      if (legacy || files.isEmpty) (files, Nil)
+      if (files.isEmpty) (files, Nil)
       else files.partition { f =>
         // partition values make pruning work when the key IS (or includes)
         // an identity partition column — those carry no file stats.
@@ -1577,20 +1607,23 @@ class IceTable(
       case _ => throw new IllegalArgumentException(
         s"delete condition not translatable: ${filters.mkString(", ")}")
     }
-    val files = visibleFiles(current)
-    // Legacy (pre-manifest) files have unknown row counts: a partial carry
-    // that keeps one while dropping dead files (or rewriting partial ones)
-    // cannot produce an exact totalRows — commitSnapshot refuses that
-    // shape. Route legacy tables to the conservative full rewrite instead
-    // (upsert's policy): every file is a candidate, nothing is carried.
-    val (candidates, untouched) =
-      if (files.exists(_.rows < 0)) (files, Nil)
-      else files.partition { f =>
-        val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
-        val raw = PartValues.parse(f.path, spec)
-        val pv = PartValues.decodeExternal(tableSchema, spec, raw)
-        filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
-      }
+    // Legacy (pre-manifest) files have unknown row counts, and a partial
+    // carry containing one cannot produce an exact totalRows (commitSnapshot
+    // refuses that shape). HEAL them up front instead of degrading: one
+    // parallel footer read per legacy file (O(legacy), not O(table))
+    // recovers rows + column stats, the normal pruning below stays fully
+    // effective, and this commit's manifest is permanently healed. NB the
+    // whole-file death proof below REQUIRES candidates to be canMatch-
+    // screened first (exactOnPartitions inspects only the filter's shape),
+    // so no route may ever feed unscreened files into it.
+    val files = FileStats.ensureRows(
+      spark.sparkContext.hadoopConfiguration, visibleFiles(current))
+    val (candidates, untouched) = files.partition { f =>
+      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val raw = PartValues.parse(f.path, spec)
+      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
+      filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
+    }
     if (candidates.isEmpty) return this // nothing can match: no-op
     // Whole-file death proof (the DROP PARTITION shape): when every filter
     // is partition-EXACT for a candidate's own era — the same claim that

@@ -650,7 +650,9 @@ object IceliteOps {
           val expected = Set("click", "error", "purchase", "signup", "view")
           val observed = ev.select("event_type").distinct()
             .collect().map(_.getString(0)).toSet
-          require(observed == expected,
+          // subset is harmless (the CASE stays correct for whatever types
+          // occur); only a NEW type outside the enumeration diverges
+          require(observed.subsetOf(expected),
             s"s6b oracle enumerates $expected but events has $observed — " +
               "update the CASE mapping in the oracle SQL")
           new IceCatalog(s, wh)

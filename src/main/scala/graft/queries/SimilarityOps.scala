@@ -26,6 +26,12 @@ import QUtil._
   */
 object SimilarityOps {
 
+  // The one live persisted k-means assignment per session (x36): a lazily-
+  // returned DataFrame has no unpersist point, so each new build releases
+  // the previous one — same discipline as DedupOps.liveArrays.
+  private val liveKmeans =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point. */
   private def elements(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -504,8 +510,12 @@ object SimilarityOps {
         // never O(data); this is how Lloyd's iterates on any Spark cluster
         val seeds = qdf.filter(col("vec_id") < k).orderBy("vec_id").collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        // release the PREVIOUS invocation's persisted assignment before
+        // building the replacement (see liveKmeans)
+        Option(liveKmeans.remove(s)).foreach(_.unpersist())
         val a1 = assign(qdf, seeds.toSeq, "d1")
           .withColumnRenamed("cid", "c1").persist()
+        liveKmeans.put(s, a1)
         val cents2 = a1
           .select(col("c1"), posexplode(col("q")).as(Seq("dim", "xq")))
           .groupBy("c1", "dim")

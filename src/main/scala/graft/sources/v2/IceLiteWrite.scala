@@ -299,6 +299,13 @@ private[v2] class IceLiteBatchWrite(
     // partitions, recomputed against the new current each attempt), same
     // protocol as IceTable.append; a concurrent schema change aborts
     // instead of retrying into the wrong shape
+    // the conflict-validation baseline depends only on the fixed build-time
+    // m0 — compute it once, not per retry attempt (retries are exactly the
+    // contended path, where repeating a manifest read per attempt hurts)
+    lazy val baselinePaths: Set[String] = m0.currentSnapshot
+      .map(p => FileStats.visible(fs, p)
+        .map(f => fs.makeQualified(new Path(f.path)).toString).toSet)
+      .getOrElse(Set.empty[String])
     var attempts = 0
     while (true) {
       val m = MetaIo.read(fs, tableDir)
@@ -369,13 +376,10 @@ private[v2] class IceLiteBatchWrite(
       // throw is not the retryable "concurrent commit" shape, so it
       // surfaces to the caller as a conflict error.
       if (validateNoConflicts && isOverwrite) {
-        val baseline = m0.currentSnapshot
-          .map(p => FileStats.visible(fs, p).map(f => qualify(f.path)).toSet)
-          .getOrElse(Set.empty[String])
         val carriedSet = carried.map(f => qualify(f.path)).toSet
         val clobbered = visibleNow
           .filterNot(f => carriedSet(qualify(f.path)))
-          .filterNot(f => baseline(qualify(f.path)))
+          .filterNot(f => baselinePaths(qualify(f.path)))
         if (clobbered.nonEmpty) throw new IllegalStateException(
           s"overwrite of $ns.$table aborted (validateNoConflicts): a " +
             "concurrent write added files in an overwritten partition " +

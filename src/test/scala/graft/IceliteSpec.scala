@@ -436,6 +436,51 @@ class IceliteSpec extends SparkSpec {
     assert(tbl.meta.version == v, "rollback to current must not commit")
   }
 
+  test("deleteWhere heals legacy stats and never death-proofs foreign partitions") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("legacy-delete"))
+    val df = (1L to 30L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3), s"v$i"))
+      .toDF("k", "g", "v")
+    val tbl = cat.createTable("ns", "t", df.schema, partitionBy = Seq("g"))
+    tbl.append(df)
+    // doctor the committed manifest: the g=c file loses its row count and
+    // stats (the pre-manifest legacy shape); counts/dirs stay inline so
+    // externalize re-writes a fresh manifest with the doctored entries
+    val tableDir = cat.tablePath("ns", "t")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = tbl.meta
+    val cur = m.currentSnapshot.get
+    val doctored = tbl.visibleFiles(cur).map(f =>
+      if (f.path.contains("g=c"))
+        f.copy(rows = -1L, min = Map.empty, max = Map.empty, nulls = Map.empty)
+      else f)
+    graft.icelite.MetaIo.commit(fs, tableDir, m.copy(
+      snapshots = m.snapshots.dropRight(1) :+ cur.copy(
+        files = doctored,
+        addedFiles = graft.icelite.FileStats.addedPathsOf(fs, cur),
+        dataDirs = graft.icelite.FileStats.dataDirsOf(fs, cur),
+        manifestFile = ""),
+      version = m.version + 1))
+    val t2 = cat.loadTable("ns", "t")
+    assert(t2.visibleFiles(t2.meta.currentSnapshot.get).exists(_.rows < 0),
+      "fixture must start with a legacy unknown-row file")
+    // the partition-exact DELETE must drop ONLY g=a — the round-10
+    // regression classified canMatch-unscreened files as whole-file dead,
+    // silently dropping foreign partitions whenever a legacy file existed
+    t2.deleteWhere(Seq(org.apache.spark.sql.sources.EqualTo("g", "a")))
+    val left = t2.toDF
+    assert(left.filter(col("g") === "a").count() == 0)
+    assert(left.filter(col("g") === "b").count() == 10,
+      "foreign partition g=b must survive a DELETE WHERE g='a'")
+    assert(left.filter(col("g") === "c").count() == 10,
+      "the legacy-stats partition g=c must survive too")
+    val snap = t2.meta.currentSnapshot.get
+    assert(snap.totalRows == 20, s"row accounting must stay exact: $snap")
+    // and the commit healed the manifest: no unknown-row entries remain
+    assert(t2.visibleFiles(snap).forall(_.rows >= 0),
+      "deleteWhere must heal legacy entries via footer reads")
+  }
+
   test("cherry-pick re-applies an orphaned append; refusals are loud") {
     val cat = new IceCatalog(spark, scratch("cherrypick"))
     val tbl = cat.createTable("ns", "t", nation.schema)
@@ -457,6 +502,22 @@ class IceliteSpec extends SparkSpec {
     assert(nonApp.getMessage.contains("append snapshots"), nonApp.getMessage)
     // unknown snapshot fails loudly
     intercept[IllegalArgumentException](tbl.cherryPick(99L))
+    // equality-delete era clash: picked files keep their path-derived era,
+    // so a NEWER eq delete on the head would re-apply to the picked rows —
+    // refuse instead of silently shrinking the transplant
+    import spark.implicits._
+    val cat2 = new IceCatalog(spark, scratch("cherrypick-eq"))
+    val t2 = cat2.createTable("ns", "t", nation.schema)
+    t2.append(nation.filter(col("n_nationkey") < 10))   // snap 1, era 1
+    t2.append(nation.filter(col("n_nationkey") >= 10))  // snap 2, era 2
+    t2.rollbackTo(1L)
+    t2.deleteKeysEq(Seq(3L).toDF("n_nationkey"), Seq("n_nationkey")) // newer seq
+    val clash = intercept[IllegalArgumentException](t2.cherryPick(2L))
+    assert(clash.getMessage.contains("equality delete"), clash.getMessage)
+    // folding the head's deletes clears the clash and the pick lands
+    t2.rewriteDeletes()
+    t2.cherryPick(2L)
+    assert(t2.toDF.count() == 24, "9 (post-eq-delete) + 15 picked rows")
   }
 
   test("rollback restores the target snapshot's schema") {
