@@ -342,6 +342,56 @@ object Relational {
           .select(
             col("event_id"),
             get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .orderBy("event_id"))
+          .orderBy("event_id")),
+
+    // Ordered funnel analysis (round 10): per user, the first click, the
+    // first view AFTER that click, the first purchase AFTER that view —
+    // the conversion-funnel report every product-analytics stack ships.
+    // Spark shape: ONE shuffle on user_id, then three dependent window
+    // minima over the same partitioning (no self-joins — the oracle's
+    // 3-join formulation restates it relationally); the final per-user
+    // groupBy reuses the window partitioning, so joins=0, shuffles=1.
+    QDef(
+      "e3_funnel",
+      Some("""WITH c AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS click_us FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id),
+             |v AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS view_us
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > c.click_us
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.view_us
+             |  GROUP BY e.user_id)
+             |SELECT c.user_id AS user_id, c.click_us, v.view_us, p.purchase_us,
+             |  CASE WHEN p.purchase_us IS NOT NULL THEN 3
+             |       WHEN v.view_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+             |FROM c LEFT JOIN v ON c.user_id = v.user_id
+             |LEFT JOIN p ON c.user_id = p.user_id
+             |ORDER BY c.user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("click_us",
+            min(when(col("event_type") === "click", col("us"))).over(w))
+          .withColumn("view_us",
+            min(when(col("event_type") === "view"
+              && col("us") > col("click_us"), col("us"))).over(w))
+          .withColumn("purchase_us",
+            min(when(col("event_type") === "purchase"
+              && col("us") > col("view_us"), col("us"))).over(w))
+          .filter(col("click_us").isNotNull)
+          .groupBy("user_id")
+          .agg(min("click_us").as("click_us"), min("view_us").as("view_us"),
+            min("purchase_us").as("purchase_us"))
+          .withColumn("stage",
+            when(col("purchase_us").isNotNull, 3)
+              .when(col("view_us").isNotNull, 2).otherwise(1))
+          .orderBy("user_id")
+      })
   )
 }

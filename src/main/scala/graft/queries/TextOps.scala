@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QUtil._
 
@@ -208,6 +208,69 @@ object TextOps {
         t(s, dir, "documents")
           .select(col("doc_id"), countIn(blocklist).cast("int").as("n_hits"))
           .withColumn("flagged", col("n_hits") >= 3)
+          .orderBy("doc_id")),
+
+    // The composed quality GATE (round 10): every per-doc signal family —
+    // shape thresholds (x9/x17), repetition (x21), blocklist (x34) — folded
+    // into ONE auditable verdict pass. Unlike x17 (which emits only the
+    // keeps), every document comes out with a per-rule FAIL BITMASK, so the
+    // pipeline can report removal rates per rule and re-litigate any
+    // threshold without re-reading the corpus — the shape production
+    // filter stacks actually ship. Entirely row-local: one tokenize, no
+    // shuffle, map-only at 100 TB.
+    QDef(
+      "x37_quality_gate",
+      Some(s"""WITH q AS (
+              |  SELECT doc_id,
+              |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+              |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+              |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+              |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |         tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+              |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')) AS distinct_ratio,
+              |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |        tk -> tk IN (${sqlList(blocklist)}))) AS block_hits
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |  (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
+              |  + (CASE WHEN punct_ratio > 0.10 THEN 2 ELSE 0 END)
+              |  + (CASE WHEN digit_ratio > 0.20 THEN 4 ELSE 0 END)
+              |  + (CASE WHEN stopword_ratio < 0.01 THEN 8 ELSE 0 END)
+              |  + (CASE WHEN distinct_ratio < 0.30 THEN 16 ELSE 0 END)
+              |  + (CASE WHEN block_hits >= 3 THEN 32 ELSE 0 END) AS fail_mask,
+              |  (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
+              |  + (CASE WHEN punct_ratio > 0.10 THEN 2 ELSE 0 END)
+              |  + (CASE WHEN digit_ratio > 0.20 THEN 4 ELSE 0 END)
+              |  + (CASE WHEN stopword_ratio < 0.01 THEN 8 ELSE 0 END)
+              |  + (CASE WHEN distinct_ratio < 0.30 THEN 16 ELSE 0 END)
+              |  + (CASE WHEN block_hits >= 3 THEN 32 ELSE 0 END) = 0 AS keep
+              |FROM q ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("tk"), col("text"))
+          .withColumn("n_tokens", size(col("tk")))
+          .withColumn("punct_ratio",
+            regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+              / length(col("text")))
+          .withColumn("digit_ratio",
+            regexp_count(col("text"), lit("[0-9]")).cast("double")
+              / length(col("text")))
+          .withColumn("stopword_ratio",
+            countIn(stopwords).cast("double") / size(col("tk")))
+          .withColumn("distinct_ratio",
+            size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+          .withColumn("block_hits", countIn(blocklist))
+          .withColumn("fail_mask",
+            when(!col("n_tokens").between(5, 5000), 1).otherwise(0)
+              + when(col("punct_ratio") > 0.10, 2).otherwise(0)
+              + when(col("digit_ratio") > 0.20, 4).otherwise(0)
+              + when(col("stopword_ratio") < 0.01, 8).otherwise(0)
+              + when(col("distinct_ratio") < 0.30, 16).otherwise(0)
+              + when(col("block_hits") >= 3, 32).otherwise(0))
+          .withColumn("keep", col("fail_mask") === 0)
+          .select("doc_id", "n_tokens", "fail_mask", "keep")
           .orderBy("doc_id")),
 
     // Stratified sampling: exactly 30 docs per language, selected by a
@@ -709,6 +772,164 @@ object TextOps {
             when(col("hx") < "e6666666", "train")
               .when(col("hx") < "f3333333", "val")
               .otherwise("test").as("split"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // BPE tokenizer-vocabulary TRAINING (round 10) — the merge-learning
+    // loop every tokenizer pipeline runs (Sennrich et al. 2016; the
+    // HuggingFace trainer's word-count formulation). The corpus is read
+    // ONCE into a (word, freq) table; every iteration then runs on that
+    // VOCABULARY-sized table, never the corpus: adjacent-symbol pairs are
+    // counted weighted by word frequency (one map-side-combinable
+    // vocab-sized shuffle per merge), the argmax pair (tie-break
+    // lexicographic) becomes the next merge, and the merge is applied to
+    // each word's symbol array as a row-local left fold. Driver traffic is
+    // ONE row per iteration (the argmax) — never data-sized. Output: the
+    // ranked merge table a tokenizer ships. No SQL oracle (the loop is
+    // iterative); TextBpeSpec proves the merges equal an independent
+    // driver-side reference implementation, and the driver's rows>0 check
+    // gates the query.
+    QDef(
+      "x38_bpe_train",
+      None,
+      (s, dir) => bpeTrain(s, dir, merges = 15))
   )
+
+  /** One live persisted BPE word table per session (released on rebuild —
+    * the lazily-returned-DataFrame discipline, see DedupOps.liveArrays).
+    */
+  private val liveBpe =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private[graft] def bpeTrain(s: SparkSession, dir: String, merges: Int,
+      driverVocabCap: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    def release(df: DataFrame): Unit = { df.unpersist(); () }
+    Option(liveBpe.remove(s)).foreach(release)
+    // The corpus pass is the DISTRIBUTED part that matters at 100 TB: one
+    // map-side-combinable word-frequency aggregate. The merge loop then
+    // runs over the DISTINCT-WORD table, which is vocabulary-sized — when
+    // it fits the driver (cap below), iterate there (the HuggingFace
+    // trainer's shape: the word-count dict is in memory; 1M words is tens
+    // of MB) instead of paying ~2 cluster jobs per merge; past the cap the
+    // same loop runs distributed, one vocab-sized shuffle per merge.
+    val wordFreq = t(s, dir, "documents")
+      .select(explode(tokens).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
+    liveBpe.put(s, wordFreq)
+    val vocab = wordFreq.count()
+    val rows: Seq[Row] =
+      if (vocab <= driverVocabCap) {
+        val wf = wordFreq.collect().map(r => r.getString(0) -> r.getLong(1))
+        driverMerges(wf.toMap, merges)
+          .map { case (rank, l, r, m, c) => Row(rank, l, r, m, c) }
+      } else distributedMerges(s, wordFreq, merges)
+    Option(liveBpe.remove(s)).foreach(release)
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** In-memory merge loop over the collected word-frequency map — the
+    * textbook Sennrich formulation, byte-for-byte the same ranking and
+    * tie-break as [[distributedMerges]] (TextBpeSpec proves both against
+    * an independent reimplementation).
+    */
+  private def driverMerges(words: Map[String, Long], merges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var state: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var dry = false
+    while (rank <= merges && !dry) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, l + r, cnt))
+        state = state.map { case (syms, f) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              buf += (l + r); i += 2 // left-to-right, non-overlapping
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.result(), f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed merge loop for corpora whose VOCABULARY exceeds driver
+    * memory: each iteration is one vocab-sized map-side-combined shuffle
+    * (pair counts weighted by word freq) + a single-row argmax collect;
+    * the symbol table is re-persisted per merge so iteration k never
+    * re-derives merges 1..k-1 from lineage.
+    */
+  private def distributedMerges(s: SparkSession, wordFreq: DataFrame,
+      merges: Int): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    def release(df: DataFrame): Unit = { df.unpersist(); () }
+    var words = wordFreq
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .persist()
+    val out = Seq.newBuilder[Row]
+    var rank = 1
+    var dry = false
+    while (rank <= merges && !dry) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded: exactly one row per iteration
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Row(rank, l, r, l + r, cnt)
+        // apply the merge: left-to-right non-overlapping fold. Replacing
+        // the matched tail element with the merged symbol makes overlap
+        // handling automatic ("aaa" under (a,a) -> ["aa","a"]).
+        val fold = aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          array(col("syms").getItem(0)),
+          (acc, x) => when(
+            element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        val next = words.select(col("freq"),
+          when(size(col("syms")) < 2, col("syms")).otherwise(fold).as("syms"))
+          .persist()
+        next.count() // materialize before dropping the parent
+        release(words)
+        words = next
+        rank += 1
+      }
+    }
+    release(words)
+    out.result()
+  }
 }

@@ -98,6 +98,13 @@ object IceLiteProcedures {
         val tbl = loadTable(cat, s(in, 0)).rollbackTo(in.getLong(1))
         out(s(in, 0), tbl.meta.currentSnapshotId)
       })),
+    "cherrypick_snapshot" -> (wh => new IceProc(wh, "cherrypick_snapshot",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      StructType.fromDDL("table STRING, source_snapshot_id BIGINT, current_snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0)).cherryPick(in.getLong(1))
+        out(s(in, 0), in.getLong(1), tbl.meta.currentSnapshotId)
+      })),
     "create_tag" -> (wh => new IceProc(wh, "create_tag",
       Seq(p("table", StringType), p("tag", StringType), p("snapshot_id", LongType)),
       StructType.fromDDL("table STRING, tag STRING, snapshot_id BIGINT"),

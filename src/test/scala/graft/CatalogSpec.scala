@@ -481,6 +481,20 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("CALL icecat_call.system.nope('lake.n')"))
   }
 
+  test("CALL system.cherrypick_snapshot re-applies an orphaned append from SQL") {
+    val wh = configure("callcp")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "ncp", n.schema)
+    tbl.append(n.filter(col("n_nationkey") < 10))
+    tbl.append(n.filter(col("n_nationkey") >= 10))
+    tbl.rollbackTo(1L)
+    val r = spark.sql(
+      "CALL icecat_callcp.system.cherrypick_snapshot('lake.ncp', 2)").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L, s"got $r")
+    assert(tbl.toDF.count() == 25)
+  }
+
   test("ALTER COLUMN TYPE widens decimal precision at fixed scale") {
     val wh = configure("decw")
     val cat = new IceCatalog(spark, wh)

@@ -105,4 +105,32 @@ class PlanSpec extends SparkSpec {
     val s = finalPlan(SparkEntry.queries("s3_dsv2_scan")(spark, sfDir))
     assert(!s.contains("SortMergeJoin") && !s.contains("HashJoin"), s)
   }
+
+  test("x35: passage dedup never self-joins the corpus; window keys shuffle once") {
+    val s = finalPlan(SparkEntry.queries("x35_passage_dedup")(spark, sfDir))
+    // the dup-window probe joins the exploded windows against the small
+    // aggregated key set — a hash/merge join on the 8-byte window hash, and
+    // NO broadcast of the exploded corpus side
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"passage dedup must never do all-pairs work:\n$s")
+    // map-side combine on the window-key aggregate (partial + final)
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial aggregation on window keys:\n$s")
+    // the final span groupBy must REUSE the doc_id window partitioning —
+    // the plan prints root-first, so no Exchange may sit between the span
+    // aggregate (above) and the Window operator (below it)
+    val aggIdx = s.indexOf("HashAggregate(keys=[doc_id")
+    val winIdx = s.indexOf("Window [sum")
+    assert(aggIdx >= 0 && winIdx > aggIdx, s"expected span agg above window:\n$s")
+    assert(!s.substring(aggIdx, winIdx).contains("Exchange"),
+      s"span groupBy must reuse the doc_id partitioning, not re-shuffle:\n$s")
+  }
+
+  test("x36: k-means assignment is row-local — no join, no assignment shuffle") {
+    val s = finalPlan(SparkEntry.queries("x36_kmeans_cluster")(spark, sfDir))
+    // centroids ride in as literals: the assignment pass must plan NO join
+    // operator at all (the update's k x d partial-sum aggregate and the
+    // final orderBy are the only exchanges)
+    assert(!s.contains("Join"), s"assignment must not join centroids:\n$s")
+  }
 }

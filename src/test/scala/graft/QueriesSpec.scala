@@ -66,9 +66,13 @@ class QueriesSpec extends SparkSpec {
       SparkEntry.queries(name)(spark, d).queryExecution.assertAnalyzed()
     }
 
-  // every query is oracle-gated — a3 carries its HLL error bound as a
-  // column so even the sketch op hash-compares against DuckDB
-  private val rowsOnly = Set.empty[String]
+  // every query is oracle-gated except the entries below — a3 carries its
+  // HLL error bound as a column so even the sketch op hash-compares
+  // against DuckDB. x38 (BPE training) is an ITERATIVE loop no single SQL
+  // statement expresses; its correctness gate is TextBpeSpec's independent
+  // reference implementation (both driver and distributed paths), and the
+  // driver records the weaker rows>0 check.
+  private val rowsOnly = Set("x38_bpe_train")
 
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
