@@ -50,8 +50,12 @@ object TextOps {
               |  length(text) AS n_chars_m,
               |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
               |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-              |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
-              |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+              |  CASE WHEN length(text) > 0
+              |    THEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+              |    ELSE 0.0 END AS punct_ratio,
+              |  CASE WHEN length(text) > 0
+              |    THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+              |    ELSE 0.0 END AS digit_ratio,
               |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
               |       tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
               |    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
@@ -65,8 +69,14 @@ object TextOps {
             length(col("text")).as("n_chars_m"),
             size(tokens).as("n_tokens"),
             regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
-            (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / length(col("text"))).as("punct_ratio"),
-            (regexp_count(col("text"), lit("[0-9]")).cast("double") / length(col("text"))).as("digit_ratio"),
+            // length guard keeps the division total under ANSI mode (an
+            // empty text would otherwise throw DIVIDE_BY_ZERO)
+            when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+                / length(col("text"))).otherwise(lit(0.0)).as("punct_ratio"),
+            when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[0-9]")).cast("double")
+                / length(col("text"))).otherwise(lit(0.0)).as("digit_ratio"),
             (countIn(stopwords).cast("double") / size(tokens)).as("stopword_ratio"),
             (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(tokens)).as("avg_token_len"))
           .orderBy("doc_id")),
@@ -162,8 +172,12 @@ object TextOps {
       Some(s"""WITH q AS (
               |  SELECT doc_id, lang,
               |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-              |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
-              |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+              |    CASE WHEN length(text) > 0
+              |      THEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+              |      ELSE 0.0 END AS punct_ratio,
+              |    CASE WHEN length(text) > 0
+              |      THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+              |      ELSE 0.0 END AS digit_ratio,
               |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
               |         tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
               |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
@@ -178,8 +192,12 @@ object TextOps {
           .select(
             col("doc_id"), col("lang"),
             size(tokens).as("n_tokens"),
-            (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / length(col("text"))).as("punct_ratio"),
-            (regexp_count(col("text"), lit("[0-9]")).cast("double") / length(col("text"))).as("digit_ratio"),
+            when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+                / length(col("text"))).otherwise(lit(0.0)).as("punct_ratio"),
+            when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[0-9]")).cast("double")
+                / length(col("text"))).otherwise(lit(0.0)).as("digit_ratio"),
             (countIn(stopwords).cast("double") / size(tokens)).as("stopword_ratio"))
           .filter(col("n_tokens").between(5, 5000)
             && col("punct_ratio") <= 0.10 && col("digit_ratio") <= 0.20
@@ -223,8 +241,12 @@ object TextOps {
       Some(s"""WITH q AS (
               |  SELECT doc_id,
               |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-              |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
-              |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+              |    CASE WHEN length(text) > 0
+              |      THEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+              |      ELSE 0.0 END AS punct_ratio,
+              |    CASE WHEN length(text) > 0
+              |      THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+              |      ELSE 0.0 END AS digit_ratio,
               |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
               |         tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
               |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
@@ -232,43 +254,50 @@ object TextOps {
               |      / len(string_split_regex(trim(text), '\\s+')) AS distinct_ratio,
               |    len(list_filter(string_split_regex(trim(text), '\\s+'),
               |        tk -> tk IN (${sqlList(blocklist)}))) AS block_hits
-              |  FROM documents)
-              |SELECT doc_id, n_tokens,
-              |  (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
-              |  + (CASE WHEN punct_ratio > 0.10 THEN 2 ELSE 0 END)
-              |  + (CASE WHEN digit_ratio > 0.20 THEN 4 ELSE 0 END)
-              |  + (CASE WHEN stopword_ratio < 0.01 THEN 8 ELSE 0 END)
-              |  + (CASE WHEN distinct_ratio < 0.30 THEN 16 ELSE 0 END)
-              |  + (CASE WHEN block_hits >= 3 THEN 32 ELSE 0 END) AS fail_mask,
-              |  (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
-              |  + (CASE WHEN punct_ratio > 0.10 THEN 2 ELSE 0 END)
-              |  + (CASE WHEN digit_ratio > 0.20 THEN 4 ELSE 0 END)
-              |  + (CASE WHEN stopword_ratio < 0.01 THEN 8 ELSE 0 END)
-              |  + (CASE WHEN distinct_ratio < 0.30 THEN 16 ELSE 0 END)
-              |  + (CASE WHEN block_hits >= 3 THEN 32 ELSE 0 END) = 0 AS keep
-              |FROM q ORDER BY doc_id""".stripMargin),
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_id, n_tokens,
+              |    (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
+              |    + (CASE WHEN punct_ratio <= 0.10 THEN 0 ELSE 2 END)
+              |    + (CASE WHEN digit_ratio <= 0.20 THEN 0 ELSE 4 END)
+              |    + (CASE WHEN stopword_ratio >= 0.01 THEN 0 ELSE 8 END)
+              |    + (CASE WHEN distinct_ratio >= 0.30 THEN 0 ELSE 16 END)
+              |    + (CASE WHEN block_hits < 3 THEN 0 ELSE 32 END) AS fail_mask
+              |  FROM q)
+              |SELECT doc_id, n_tokens, fail_mask, fail_mask = 0 AS keep
+              |FROM m ORDER BY doc_id""".stripMargin),
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"), tokens.as("tk"), col("text"))
           .withColumn("n_tokens", size(col("tk")))
+          // length guards keep the divisions total under ANSI mode
+          // (length(text)=0 would throw DIVIDE_BY_ZERO); n_tokens is >= 1
+          // for any non-null text (split('') = ['']), so the token-ratio
+          // divisors need no guard
           .withColumn("punct_ratio",
-            regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
-              / length(col("text")))
+            when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+                / length(col("text"))).otherwise(lit(0.0)))
           .withColumn("digit_ratio",
-            regexp_count(col("text"), lit("[0-9]")).cast("double")
-              / length(col("text")))
+            when(length(col("text")) > 0,
+              regexp_count(col("text"), lit("[0-9]")).cast("double")
+                / length(col("text"))).otherwise(lit(0.0)))
           .withColumn("stopword_ratio",
             countIn(stopwords).cast("double") / size(col("tk")))
           .withColumn("distinct_ratio",
             size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
           .withColumn("block_hits", countIn(blocklist))
+          // every rule is phrased PASS -> 0, else fail: a NULL signal (e.g.
+          // text IS NULL) fails its rule in BOTH engines (when(NULL) takes
+          // the otherwise branch, CASE WHEN NULL takes ELSE) instead of
+          // silently passing the gate
           .withColumn("fail_mask",
-            when(!col("n_tokens").between(5, 5000), 1).otherwise(0)
-              + when(col("punct_ratio") > 0.10, 2).otherwise(0)
-              + when(col("digit_ratio") > 0.20, 4).otherwise(0)
-              + when(col("stopword_ratio") < 0.01, 8).otherwise(0)
-              + when(col("distinct_ratio") < 0.30, 16).otherwise(0)
-              + when(col("block_hits") >= 3, 32).otherwise(0))
+            when(col("n_tokens").between(5, 5000), 0).otherwise(1)
+              + when(col("punct_ratio") <= 0.10, 0).otherwise(2)
+              + when(col("digit_ratio") <= 0.20, 0).otherwise(4)
+              + when(col("stopword_ratio") >= 0.01, 0).otherwise(8)
+              + when(col("distinct_ratio") >= 0.30, 0).otherwise(16)
+              + when(col("block_hits") < 3, 0).otherwise(32))
           .withColumn("keep", col("fail_mask") === 0)
           .select("doc_id", "n_tokens", "fail_mask", "keep")
           .orderBy("doc_id")),
@@ -813,8 +842,13 @@ object TextOps {
     // trainer's shape: the word-count dict is in memory; 1M words is tens
     // of MB) instead of paying ~2 cluster jobs per merge; past the cap the
     // same loop runs distributed, one vocab-sized shuffle per merge.
+    // empty words (whitespace-only docs tokenize to ['']) carry no
+    // symbols: drop them HERE so neither path sees them — the distributed
+    // symbolizer would otherwise hit sequence(1,0) = [1,0] (descending!)
+    // and fabricate a phantom ("","") pair
     val wordFreq = t(s, dir, "documents")
       .select(explode(tokens).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .persist()
     liveBpe.put(s, wordFreq)
@@ -842,10 +876,36 @@ object TextOps {
     * tie-break as [[distributedMerges]] (TextBpeSpec proves both against
     * an independent reimplementation).
     */
+  /** One symbol per Unicode CODE POINT — matching Spark's code-point
+    * `length`/`substring` semantics in [[distributedMerges]] (a UTF-16
+    * code-unit split would shear surrogate pairs and learn different
+    * merges on emoji-bearing corpora).
+    */
+  private def codePointSyms(w: String): Vector[String] = {
+    val buf = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      buf += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    buf.result()
+  }
+
+  /** Spark orders strings by UTF-8 BYTES (UTF8String), not Java's UTF-16
+    * code units — the two disagree between supplementary-plane and
+    * U+E000..U+FFFF characters, so the driver tie-break must compare the
+    * same way the distributed orderBy does.
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   private def driverMerges(words: Map[String, Long], merges: Int)
       : Seq[(Int, String, String, String, Long)] = {
     var state: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      words.toSeq.map { case (w, f) => (codePointSyms(w), f) }
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var dry = false
@@ -861,7 +921,11 @@ object TextOps {
       }
       if (counts.isEmpty) dry = true
       else {
-        val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((l, r), cnt) = counts.foldLeft(("", "") -> -1L) {
+          case (acc @ ((bl, br), bc), kv @ ((a, b), c)) =>
+            if (c > bc || (c == bc &&
+                (utf8Lt(a, bl) || (a == bl && utf8Lt(b, br))))) kv else acc
+        }
         out += ((rank, l, r, l + r, cnt))
         state = state.map { case (syms, f) =>
           val buf = Vector.newBuilder[String]

@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   */
 class TextBpeSpec extends SparkSpec {
 
+  // code-point split (Spark's length/substring semantics) via a different
+  // mechanism than the production codePointSyms
+  private def cps(w: String): Vector[String] = {
+    import scala.jdk.CollectionConverters._
+    w.codePoints().iterator().asScala
+      .map(cp => new String(Character.toChars(cp.intValue))).toVector
+  }
+
   private def referenceMerges(words: Map[String, Long], k: Int)
       : Seq[(Int, String, String, String, Long)] = {
     var state: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      words.toSeq.map { case (w, f) => (cps(w), f) }
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
@@ -28,8 +36,11 @@ class TextBpeSpec extends SparkSpec {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), cnt) = counts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) } // max count, lexicographic tie-break
+        // max count; ties break on UTF-8 byte order (Spark's string order)
+        val ((l, r), cnt) = counts.toSeq.sortWith { case (((a1, b1), c1), ((a2, b2), c2)) =>
+          c1 > c2 || (c1 == c2 && (graft.queries.TextOps.utf8Lt(a1, a2) ||
+            (a1 == a2 && graft.queries.TextOps.utf8Lt(b1, b2))))
+        }.head
         out += ((rank, l, r, l + r, cnt))
         state = state.map { case (syms, f) =>
           val buf = Vector.newBuilder[String]
@@ -47,9 +58,26 @@ class TextBpeSpec extends SparkSpec {
     out.result()
   }
 
+  test("utf8 tie-break and code-point split match Spark's string semantics") {
+    // U+E000 (3 UTF-8 bytes, 0xEE..) sorts BELOW U+1F600 (4 bytes, 0xF0..)
+    // in UTF-8 byte order — but Java's UTF-16 compareTo says the opposite
+    // (surrogate 0xD83D < 0xE000). The driver loop must use the former.
+    assert(graft.queries.TextOps.utf8Lt("", "😀"))
+    assert("😀".compareTo("") < 0,
+      "if this ever flips, the comment above is stale")
+    assert(spark.sql("SELECT '' < '😀' AS lt")
+      .collect()(0).getBoolean(0), "Spark must agree with utf8Lt")
+    // code-point split: one symbol per code point, surrogate pairs intact
+    assert(cps("a😀b") == Vector("a", "😀", "b"))
+    assert(spark.sql("SELECT length('a😀b') AS l")
+      .collect()(0).getInt(0) == 3,
+      "Spark length must be code-point based (the distributed symbolizer relies on it)")
+  }
+
   test("x38: distributed BPE merges equal the driver-side reference") {
     val wordFreqs = graft.queries.QUtil.t(spark, sfDir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = referenceMerges(wordFreqs, 15)
