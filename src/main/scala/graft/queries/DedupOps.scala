@@ -608,6 +608,65 @@ object DedupOps {
             (max(col("pos")) + lit(W - 1)).as("span_end"),
             count(lit(1)).as("n_windows"))
           .orderBy("doc_id", "span")
+      }),
+
+    // Cross-SOURCE contamination matrix (round 10): for every pair of
+    // corpus sources (dumps), how many distinct W-token passages they
+    // share verbatim — the report a curation team reads to decide which
+    // dumps need cross-dedup before mixing (x35 tells you WHERE inside
+    // docs; this tells you WHICH SOURCE PAIRS leak into each other).
+    //
+    // Scale shape: no self-join. Distinct (window, source) pairs are one
+    // map-side-combined shuffle; each window's source SET is collected
+    // (bounded by the source count — dumps number in the thousands, not
+    // the billions) and its pairs explode ROW-LOCALLY; the pair counts
+    // aggregate map-side. The oracle restates it as the classic self-join.
+    // Window key is xxhash64 on the wire, string in the oracle (same
+    // collision argument as x35).
+    QDef(
+      "x39_source_overlap",
+      Some("""WITH tk AS (
+             |  SELECT source, string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents),
+             |wins AS (
+             |  SELECT source,
+             |    array_to_string(
+             |      list_slice(tk, CAST(i AS INT) + 1, CAST(i AS INT) + 8),
+             |      ' ') AS g
+             |  FROM tk, unnest(range(0, greatest(len(tk) - 7, 0))) t(i)),
+             |d AS (SELECT DISTINCT g, source FROM wins),
+             |p AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    COUNT(*) AS shared_windows
+             |  FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, shared_windows FROM p
+             |WHERE shared_windows >= 10
+             |ORDER BY source_a, source_b""".stripMargin),
+      (s, dir) => {
+        val W = 8
+        val wins = t(s, dir, "documents")
+          .select(col("source"), split(trim(col("text")), "\\s+").as("tk"))
+          .filter(size(col("tk")) >= W)
+          .repartition(col("source"))
+          .select(col("source"), explode(expr(
+            s"""transform(sequence(0, size(tk) - $W),
+               |  i -> xxhash64(array_join(slice(tk, i + 1, $W), ' ')))"""
+              .stripMargin)).as("h"))
+        wins.select("h", "source").distinct()
+          .groupBy("h").agg(collect_set(col("source")).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          // array_sort = UTF-8 binary order, the same order the oracle's
+          // a.source < b.source comparison uses
+          .withColumn("ss", array_sort(col("ss")))
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(ss) - 2),
+              |  i -> transform(sequence(i + 1, size(ss) - 1),
+              |    j -> struct(ss[i] AS a, ss[j] AS b))))""".stripMargin)).as("p"))
+          .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+          .agg(count(lit(1)).as("shared_windows"))
+          .filter(col("shared_windows") >= 10)
+          .orderBy("source_a", "source_b")
       })
   )
 }

@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
       s"span groupBy must reuse the doc_id partitioning, not re-shuffle:\n$s")
   }
 
+  test("x39: source-overlap matrix plans ZERO joins (set-collect + row-local pairs)") {
+    val s = finalPlan(SparkEntry.queries("x39_source_overlap")(spark, sfDir))
+    assert(!s.contains("Join"),
+      s"overlap matrix must not self-join the window table:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected map-side-combined aggregates:\n$s")
+  }
+
   test("x36: k-means assignment is row-local — no join, no assignment shuffle") {
     val s = finalPlan(SparkEntry.queries("x36_kmeans_cluster")(spark, sfDir))
     // centroids ride in as literals: the assignment pass must plan NO join
