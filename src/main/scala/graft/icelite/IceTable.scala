@@ -899,6 +899,33 @@ class IceTable(
     this
   }
 
+  /** Table-level approximate distinct count of `col`, answered from the
+    * MANIFEST alone — per-file HLL sketches recorded by the DSv2 writer
+    * (see [[FileStat.ndv]]) union losslessly, so this reads zero data
+    * files at any table size (Iceberg's puffin theta-sketch role; ~1.6%
+    * relative standard error at lgK=12). Returns None when any visible
+    * file lacks a sketch (written by a non-sketching path, or a
+    * non-sketchable column) — refusing beats undercounting. Estimates
+    * reflect WRITTEN rows: outstanding MOR deletes are not subtracted
+    * (a delete cannot un-union a sketch), so with delete debt this is an
+    * upper-bound estimate — fold deletes (rewriteDeletes) to resharpen,
+    * exactly puffin's staleness semantics.
+    */
+  def approxDistinct(col: String): Option[Double] = {
+    val current = meta.currentSnapshot.getOrElse(return Some(0.0))
+    val files = visibleFiles(current)
+    if (files.isEmpty) return Some(0.0)
+    val union = new org.apache.datasketches.hll.Union(12)
+    files.foreach { f =>
+      f.ndvSketch(col) match {
+        case Some(bytes) => union.update(
+          org.apache.datasketches.hll.HllSketch.heapify(bytes))
+        case None => return None
+      }
+    }
+    Some(union.getResult.getEstimate)
+  }
+
   /** Cherry-pick: RE-APPLY one snapshot's added files onto the CURRENT
     * head as a new commit (Iceberg's `cherrypick_snapshot` procedure) —
     * the recovery move after a [[rollbackTo]] orphaned a good change, or

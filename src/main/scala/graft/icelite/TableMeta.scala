@@ -34,12 +34,24 @@ final case class FileStat(
     // pushdown for scans touching the file). Beyond Iceberg's own manifest
     // stats: turns "SELECT day, SUM(qty)" on a 100 TB table into a
     // metadata read.
-    sums: Map[String, String] = Map.empty) {
+    sums: Map[String, String] = Map.empty,
+    // per-file HLL NDV sketches (datasketches HllSketch lgK=12, compact
+    // bytes, base64) for long/int/string/date/timestamp columns — the
+    // puffin-theta-sketch analog, recorded by the DSv2 row-loop writer for
+    // free alongside `sums`. Sketches UNION losslessly across files, so a
+    // table-level approx-distinct answers from manifests alone (zero data
+    // IO) at any table size; files written by other paths lack them
+    // (absent = the table-level estimate refuses rather than undercounts).
+    ndv: Map[String, String] = Map.empty) {
 
   def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
 
   def sumOf(c: String): Option[BigInt] =
     sums.get(c).flatMap(s => scala.util.Try(BigInt(s)).toOption)
+
+  def ndvSketch(c: String): Option[Array[Byte]] =
+    ndv.get(c).flatMap(s =>
+      scala.util.Try(java.util.Base64.getDecoder.decode(s)).toOption)
 }
 
 /** One immutable table version.

@@ -547,6 +547,55 @@ object IceliteOps {
         df
       }),
 
+    // S12: METADATA-ONLY approximate distinct counts — per-file HLL
+    // sketches recorded by the DSv2 row-loop writer (FileStat.ndv, the
+    // puffin theta-sketch role) union losslessly at read time, so
+    // table-level NDV per column answers from the manifest with ZERO data
+    // IO at any table size: the stat every optimizer, layout advisor
+    // ("should this column be a bucket key?"), and data-quality monitor
+    // wants on a 100 TB table without a scan. The oracle pins the EXACT
+    // per-column distinct counts; the sketch estimate is verified in-query
+    // against its published error bound (a3's pattern) and emitted only as
+    // the est_ok flag, since no other engine reproduces HLL internals.
+    QDef(
+      "s12_ndv_stats",
+      Some("""SELECT 'event_id' AS col, COUNT(DISTINCT event_id) AS exact_ndv,
+             |  TRUE AS est_ok FROM events
+             |UNION ALL
+             |SELECT 'event_type', COUNT(DISTINCT event_type), TRUE FROM events
+             |UNION ALL
+             |SELECT 'user_id', COUNT(DISTINCT user_id), TRUE FROM events
+             |ORDER BY col""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s12", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh).createTable("lake", "events_ndv", ev.schema)
+          s.conf.set("spark.sql.catalog.icelite_s12", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_s12.warehouse", wh)
+          ev.writeTo("icelite_s12.lake.events_ndv").append()
+        }
+        s.conf.set("spark.sql.catalog.icelite_s12", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s12.warehouse", wh)
+        val tbl = new IceCatalog(s, wh).loadTable("lake", "events_ndv")
+        val cols = Seq("event_id", "event_type", "user_id")
+        val exactRow = s.table("icelite_s12.lake.events_ndv")
+          .agg(countDistinct(col(cols.head)).as(cols.head),
+            cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+          .collect()(0) // one row: the three exact counts
+        import s.implicits._
+        cols.map { c =>
+          val exact = exactRow.getAs[Long](c)
+          val est = tbl.approxDistinct(c).getOrElse(
+            throw new IllegalStateException(
+              s"s12: writer-recorded NDV sketch missing for $c"))
+          val ok = math.abs(est - exact) <= math.max(1.0, exact * 0.05)
+          require(ok, s"s12: HLL estimate $est for $c breaches the 5% " +
+            s"bound around exact $exact")
+          (c, exact, ok)
+        }.toDF("col", "exact_ndv", "est_ok").orderBy("col")
+      }),
+
     // S5e: aggregates OVER the partition column itself — MIN/MAX/COUNT/
     // COUNT(DISTINCT) of an identity partition column fold the exact
     // directory values: "latest partition" / "how many partitions", the

@@ -677,6 +677,26 @@ private[v2] class IceLiteDataWriter(
   private val sumAcc = scala.collection.mutable.Map
     .empty[String, (Array[Long], Array[Boolean])]
 
+  // Per-open-file HLL NDV sketches ([[FileStat.ndv]]): like `sums`, the
+  // row loop is the one place a per-file distinct-count sketch exists
+  // without re-reading data. lgK=12 -> ~1.6% relative standard error and
+  // <= ~2.5 KB compact per column per file in the manifest; sketches
+  // union losslessly at read time, so table-level NDV is a metadata-only
+  // answer at any scale (Iceberg's puffin theta-sketch role).
+  private val ndvSlot: Array[Int] = {
+    var j = -1
+    dataSchema.fields.map(_.dataType match {
+      case LongType | IntegerType | StringType | DateType |
+           TimestampType | TimestampNTZType => j += 1; j
+      case _ => -1
+    })
+  }
+  private val nNdv = ndvSlot.count(_ >= 0)
+  private val ndvNames: Array[String] = dataSchema.fields.zipWithIndex
+    .collect { case (f, o) if ndvSlot(o) >= 0 => f.name }
+  private val ndvAcc = scala.collection.mutable.Map
+    .empty[String, Array[org.apache.datasketches.hll.HllSketch]]
+
   private def openWriter(key: String): org.apache.parquet.hadoop.ParquetWriter[Group] = {
     val dir = if (key.isEmpty) stagingDir else s"$stagingDir/$key"
     val file = f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.parquet"
@@ -695,11 +715,17 @@ private[v2] class IceLiteDataWriter(
       // stats from this task's own freshly-written footer, executor-side —
       // the driver never re-opens data files
       val base = FileStats.fromFooter(conf.value, file)
-      stats :+= (sumAcc.remove(key) match {
+      val withSums = sumAcc.remove(key) match {
         case Some((acc, bad)) => base.copy(sums = sumNames.indices.collect {
           case j if !bad(j) => sumNames(j) -> acc(j).toString
         }.toMap)
         case None => base // no integral data columns
+      }
+      stats :+= (ndvAcc.remove(key) match {
+        case Some(sk) => withSums.copy(ndv = ndvNames.indices.map(j =>
+          ndvNames(j) -> java.util.Base64.getEncoder
+            .encodeToString(sk(j).toCompactByteArray)).toMap)
+        case None => withSums // no sketch-eligible columns (or zero rows)
       })
       done :+= file
     }
@@ -781,6 +807,14 @@ private[v2] class IceLiteDataWriter(
         try acc(j) = Math.addExact(acc(j), v)
         catch { case _: ArithmeticException => bad(j) = true }
     }
+    val sketches =
+      if (nNdv == 0) null
+      else ndvAcc.getOrElseUpdate(key, Array.fill(nNdv)(
+        new org.apache.datasketches.hll.HllSketch(12)))
+    def sketchLong(o: Int, v: Long): Unit = {
+      val j = ndvSlot(o)
+      if (j >= 0) sketches(j).update(v)
+    }
     val g: Group = factory.newGroup()
     var o = 0
     while (o < dataIdx.length) {
@@ -788,15 +822,22 @@ private[v2] class IceLiteDataWriter(
       val ri = lead + i
       if (!row.isNullAt(ri)) schema.fields(i).dataType match {
         case LongType =>
-          val v = row.getLong(ri); g.add(o, v); accumulate(o, v)
+          val v = row.getLong(ri); g.add(o, v); accumulate(o, v); sketchLong(o, v)
         case IntegerType =>
           val v = row.getInt(ri); g.add(o, v); accumulate(o, v.toLong)
-        case DateType => g.add(o, row.getInt(ri))
+          sketchLong(o, v.toLong)
+        case DateType =>
+          val v = row.getInt(ri); g.add(o, v); sketchLong(o, v.toLong)
         case DoubleType => g.add(o, row.getDouble(ri))
         case FloatType => g.add(o, row.getFloat(ri))
         case BooleanType => g.add(o, row.getBoolean(ri))
-        case StringType => g.add(o, row.getUTF8String(ri).toString)
-        case TimestampType | TimestampNTZType => g.add(o, row.getLong(ri))
+        case StringType =>
+          val v = row.getUTF8String(ri).toString
+          g.add(o, v)
+          val j = ndvSlot(o)
+          if (j >= 0) sketches(j).update(v)
+        case TimestampType | TimestampNTZType =>
+          val v = row.getLong(ri); g.add(o, v); sketchLong(o, v)
         case dt => throw new IllegalStateException(s"unreachable: $dt")
       }
       o += 1
