@@ -906,12 +906,27 @@ class IceTable(
     * relative standard error at lgK=12). Returns None when any visible
     * file lacks a sketch (written by a non-sketching path, or a
     * non-sketchable column) — refusing beats undercounting. Estimates
-    * reflect WRITTEN rows: outstanding MOR deletes are not subtracted
-    * (a delete cannot un-union a sketch), so with delete debt this is an
-    * upper-bound estimate — fold deletes (rewriteDeletes) to resharpen,
-    * exactly puffin's staleness semantics.
+    * reflect WRITTEN rows: outstanding MOR deletes are not subtracted (a
+    * delete cannot un-union a sketch), so with delete debt this is an
+    * upper-bound estimate — puffin's staleness semantics. Coverage
+    * caveat: SQL row-level ops (DELETE/UPDATE/MERGE) rewrite through the
+    * sketching DSv2 writer and keep coverage, but the table-API
+    * maintenance paths ([[compact]], [[rewriteDeletes]], [[upsert]])
+    * write footer-stats-only files — after one of those, the estimate
+    * refuses until the data is re-written through a DSv2 path.
     */
   def approxDistinct(col: String): Option[Double] = {
+    // nonexistent and non-sketchable columns refuse CONSISTENTLY,
+    // including on empty tables — Some(0.0) must mean "sketchable column,
+    // zero rows", never "we didn't check"
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val sketchable = schema.fields.find(_.name == col).exists(_.dataType match {
+      case LongType | IntegerType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (!sketchable) return None
     val current = meta.currentSnapshot.getOrElse(return Some(0.0))
     val files = visibleFiles(current)
     if (files.isEmpty) return Some(0.0)

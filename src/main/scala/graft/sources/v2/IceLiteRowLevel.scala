@@ -141,7 +141,7 @@ private[v2] class IceLiteReplaceGroupsBatchWrite(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
       partitionBy,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-      rowLevel = true)
+      rowLevel = true, ndvCols = IceLiteDataWriter.ndvColsConf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val m = MetaIo.read(fs, tableDir)

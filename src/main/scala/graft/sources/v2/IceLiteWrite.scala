@@ -257,7 +257,8 @@ private[v2] class IceLiteBatchWrite(
       graft.icelite.Transforms.validate(tableSchema, entry))
     new IceLiteWriterFactory(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
-      meta.partitionBy, new SerializableConfiguration(hadoopConf))
+      meta.partitionBy, new SerializableConfiguration(hadoopConf),
+      ndvCols = IceLiteDataWriter.ndvColsConf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -575,12 +576,19 @@ private[v2] class IceLiteStreamingWrite(
 
 private[v2] class IceLiteWriterFactory(
     stagingDir: String, schemaDdl: String, partitionBy: Seq[String],
-    conf: SerializableConfiguration, rowLevel: Boolean = false)
+    conf: SerializableConfiguration, rowLevel: Boolean = false,
+    // NDV-sketch column gate, captured DRIVER-side at build time from
+    // `graft.ndv.columns` ("*" = every eligible column, "" = none,
+    // else a comma list): manifests pay ~2.5 KB per sketched column per
+    // file, so wide tables can scope sketches to the columns whose NDV
+    // anyone will ask for (puffin keeps stats in separate files for the
+    // same reason)
+    ndvCols: String = "*")
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IceLiteDataWriter(stagingDir, StructType.fromDDL(schemaDdl),
-      partitionBy, partitionId, taskId, conf, rowLevel)
+      partitionBy, partitionId, taskId, conf, rowLevel, ndvCols)
 }
 
 /** Writes parquet files via the public parquet-mr Group API — the symmetric
@@ -597,7 +605,7 @@ private[v2] class IceLiteWriterFactory(
 private[v2] class IceLiteDataWriter(
     stagingDir: String, schema: StructType, partitionBy: Seq[String],
     partitionId: Int, taskId: Long, conf: SerializableConfiguration,
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false, ndvCols: String = "*")
     extends DataWriter[InternalRow] {
 
   // partition SOURCE columns are rendered into the directory name (the
@@ -664,16 +672,24 @@ private[v2] class IceLiteDataWriter(
   // the one place a per-file SUM stat exists for free. Long arithmetic
   // with an overflow latch that drops the stat for that column+file —
   // the manifest aggregate then refuses SUM pushdown instead of lying.
-  private val sumSlot: Array[Int] = {
+  /** Dense accumulator slots for the columns `eligible` admits: per-column
+    * slot index (-1 = not tracked), slot count, and slot->name mapping —
+    * shared by the sums and NDV plumbing so eligibility/ordering fixes
+    * land once.
+    */
+  private def statSlots(eligible: StructField => Boolean)
+      : (Array[Int], Int, Array[String]) = {
     var j = -1
-    dataSchema.fields.map(_.dataType match {
-      case LongType | IntegerType => j += 1; j
-      case _ => -1
-    })
+    val slots = dataSchema.fields.map(f => if (eligible(f)) { j += 1; j } else -1)
+    val names = dataSchema.fields.zipWithIndex
+      .collect { case (f, o) if slots(o) >= 0 => f.name }
+    (slots, j + 1, names)
   }
-  private val nSums = sumSlot.count(_ >= 0)
-  private val sumNames: Array[String] = dataSchema.fields.zipWithIndex
-    .collect { case (f, o) if sumSlot(o) >= 0 => f.name }
+
+  private val (sumSlot, nSums, sumNames) = statSlots(_.dataType match {
+    case LongType | IntegerType => true
+    case _ => false
+  })
   private val sumAcc = scala.collection.mutable.Map
     .empty[String, (Array[Long], Array[Boolean])]
 
@@ -683,17 +699,18 @@ private[v2] class IceLiteDataWriter(
   // <= ~2.5 KB compact per column per file in the manifest; sketches
   // union losslessly at read time, so table-level NDV is a metadata-only
   // answer at any scale (Iceberg's puffin theta-sketch role).
-  private val ndvSlot: Array[Int] = {
-    var j = -1
-    dataSchema.fields.map(_.dataType match {
-      case LongType | IntegerType | StringType | DateType |
-           TimestampType | TimestampNTZType => j += 1; j
-      case _ => -1
-    })
+  private val ndvWanted: String => Boolean = ndvCols match {
+    case "*" => _ => true
+    case list =>
+      val set = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      set.contains
   }
-  private val nNdv = ndvSlot.count(_ >= 0)
-  private val ndvNames: Array[String] = dataSchema.fields.zipWithIndex
-    .collect { case (f, o) if ndvSlot(o) >= 0 => f.name }
+  private val (ndvSlot, nNdv, ndvNames) = statSlots(f =>
+    ndvWanted(f.name) && (f.dataType match {
+      case LongType | IntegerType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }))
   private val ndvAcc = scala.collection.mutable.Map
     .empty[String, Array[org.apache.datasketches.hll.HllSketch]]
 
@@ -815,6 +832,14 @@ private[v2] class IceLiteDataWriter(
       val j = ndvSlot(o)
       if (j >= 0) sketches(j).update(v)
     }
+    // datasketches update(String) silently SKIPS empty strings (verified in
+    // 6.2.0 bytecode) — but "" is a real distinct value. The NUL sentinel
+    // prefix keeps every value non-empty and is injective, so per-column
+    // distinctness is preserved exactly.
+    def sketchString(o: Int, v: String): Unit = {
+      val j = ndvSlot(o)
+      if (j >= 0) sketches(j).update("\u0000" + v)
+    }
     val g: Group = factory.newGroup()
     var o = 0
     while (o < dataIdx.length) {
@@ -833,9 +858,7 @@ private[v2] class IceLiteDataWriter(
         case BooleanType => g.add(o, row.getBoolean(ri))
         case StringType =>
           val v = row.getUTF8String(ri).toString
-          g.add(o, v)
-          val j = ndvSlot(o)
-          if (j >= 0) sketches(j).update(v)
+          g.add(o, v); sketchString(o, v)
         case TimestampType | TimestampNTZType =>
           val v = row.getLong(ri); g.add(o, v); sketchLong(o, v)
         case dt => throw new IllegalStateException(s"unreachable: $dt")
@@ -877,6 +900,14 @@ private[v2] object IceLiteDataWriter {
     * buffers a row group per column — unbounded fanout is an executor OOM).
     */
   val MaxOpenWriters = 256
+
+  /** NDV-sketch column gate, read DRIVER-side when a writer factory is
+    * built: `graft.ndv.columns` = "*" (default, every eligible column),
+    * "" (no sketches), or a comma list of column names.
+    */
+  def ndvColsConf: String =
+    scala.util.Try(SparkSession.active.conf.get("graft.ndv.columns", "*"))
+      .getOrElse("*")
 }
 
 /** Hive-style partition path rendering, matching what Spark's own
@@ -996,7 +1027,8 @@ private[v2] class IceLiteStagedTable(
         graft.icelite.Transforms.validate(schema0, entry))
       new IceLiteWriterFactory(
         new Path(tableDir, s"data/$stagingName").toString,
-        schema0.toDDL, partitionBy, new SerializableConfiguration(hadoopConf))
+        schema0.toDDL, partitionBy, new SerializableConfiguration(hadoopConf),
+        ndvCols = IceLiteDataWriter.ndvColsConf)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

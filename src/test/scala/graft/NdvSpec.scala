@@ -56,6 +56,10 @@ class NdvSpec extends SparkSpec {
     val df = Seq((1L, 2.5), (2L, 3.5)).toDF("id", "v")
     val tbl = cat.createTable("lake", "t", df.schema)
     assert(tbl.approxDistinct("id").contains(0.0), "empty table estimates 0")
+    // refusal is CONSISTENT: nonexistent and non-sketchable columns refuse
+    // on empty tables too — Some(0.0) means "sketchable, zero rows"
+    assert(tbl.approxDistinct("nope").isEmpty, "unknown column refuses")
+    assert(tbl.approxDistinct("v").isEmpty, "double refuses even when empty")
     // IceTable.append collects stats from footers only — no sketches —
     // so the table-level estimate must refuse, not undercount
     tbl.append(df)
@@ -71,5 +75,36 @@ class NdvSpec extends SparkSpec {
     val t2 = cat2.loadTable("lake", "t")
     assert(t2.approxDistinct("id").isDefined, "long column sketches")
     assert(t2.approxDistinct("v").isEmpty, "double column has no sketch")
+  }
+
+  test("empty strings count as a distinct value; graft.ndv.columns scopes sketching") {
+    import spark.implicits._
+    // datasketches update(String) skips "" — the writer's sentinel prefix
+    // must keep it countable
+    val wh = scratch("ndv-empty")
+    val cat = new IceCatalog(spark, wh)
+    val df = Seq((1L, ""), (2L, "active"), (3L, ""), (4L, "closed"))
+      .toDF("id", "status")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndve", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndve.warehouse", wh)
+    df.writeTo("ice_ndve.lake.t").append()
+    val est = cat.loadTable("lake", "t").approxDistinct("status").get
+    assert(math.abs(est - 3.0) < 0.5,
+      s"status has 3 distinct values including '' — estimate was $est")
+    // column gate: only the listed column is sketched
+    val wh2 = scratch("ndv-gate")
+    val cat2 = new IceCatalog(spark, wh2)
+    cat2.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndvg", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndvg.warehouse", wh2)
+    spark.conf.set("graft.ndv.columns", "id")
+    try df.writeTo("ice_ndvg.lake.t").append()
+    finally spark.conf.unset("graft.ndv.columns")
+    val t2 = cat2.loadTable("lake", "t")
+    assert(t2.approxDistinct("id").exists(e => math.abs(e - 4.0) < 0.5),
+      "gated-in column still sketches")
+    assert(t2.approxDistinct("status").isEmpty,
+      "gated-out column refuses (no sketch recorded)")
   }
 }
