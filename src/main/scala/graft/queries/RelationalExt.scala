@@ -385,6 +385,63 @@ object RelationalExt {
           .orderBy("id_a", "id_b")
       }),
 
+    // NEAREST as-of join with tolerance (round 10) — pandas
+    // merge_asof(direction='nearest'): each click pairs with the CLOSEST
+    // purchase by the same user within +/-30 min, either direction (j5 is
+    // the backward-only variant). Equi-join rewrite: purchases register
+    // under their own 30-min bucket AND both neighbors, so a click probes
+    // ONE bucket key and still sees every candidate within tolerance —
+    // cost tracks true candidates, never user-cross-products; the argmin
+    // is a per-click window (tie-break: time diff, then earlier purchase,
+    // then id — deterministic in both engines).
+    QDef(
+      "j8_asof_nearest",
+      Some("""WITH c AS (
+             |  SELECT event_id AS cid, user_id, epoch_us(ts) AS cus
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+             |  FROM events WHERE event_type = 'purchase'),
+             |cand AS (
+             |  SELECT c.cid, c.user_id, p.pid, p.pus,
+             |    abs(p.pus - c.cus) AS adt
+             |  FROM c JOIN p ON c.user_id = p.user_id
+             |  WHERE abs(p.pus - c.cus) <= 1800000000)
+             |SELECT cid, user_id, pid, CAST(adt AS BIGINT) AS abs_dt_us FROM (
+             |  SELECT cid, user_id, pid, adt,
+             |    row_number() OVER (PARTITION BY cid ORDER BY adt, pus, pid) AS rn
+             |  FROM cand)
+             |WHERE rn = 1 ORDER BY cid""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tolUs = 1800L * 1000000L // 30 min; also the bucket width
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id"),
+            col("us").as("cus"), (col("us") / tolUs).cast("long").as("bucket"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("us").as("pus"),
+            explode(array(
+              (col("us") / tolUs).cast("long") - 1L,
+              (col("us") / tolUs).cast("long"),
+              (col("us") / tolUs).cast("long") + 1L)).as("bucket"))
+        val byClick = Window.partitionBy("cid")
+          .orderBy(col("adt"), col("pus"), col("pid"))
+        clicks.join(purchases, Seq("user_id", "bucket"))
+          .withColumn("adt", abs(col("pus") - col("cus")))
+          .filter(col("adt") <= tolUs)
+          // each click probes exactly ONE bucket key, so a pair appears at
+          // most once (the replicated side never meets the same click twice)
+          .withColumn("rn", row_number().over(byClick))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("user_id"), col("pid"),
+            col("adt").as("abs_dt_us"))
+          .orderBy("cid")
+      }),
+
     // Window function bundle: offsets, ranks, distribution functions, and
     // frame-bounded first/last over a deterministic (unique-key) ordering.
     QDef(
