@@ -38,6 +38,30 @@ object FileStats {
     */
   def normPath(p: String): String = new Path(p).toString
 
+  /** The one definition of which column types the DSv2 writer sketches for
+    * NDV (FileStat.ndv) — shared by the writer's eligibility slots and
+    * IceTable.approxDistinct's refusal gate so a type added to one side
+    * cannot silently go missing from the other.
+    */
+  def ndvSketchable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Version marker stored alongside the per-column sketches in
+    * FileStat.ndv: v2 = string values hashed with the NUL sentinel prefix
+    * (see the writer). Sketches from a DIFFERENT hashing scheme must not
+    * union — shared values would double-count — so approxDistinct refuses
+    * files whose marker doesn't match.
+    */
+  val NdvVersionKey = "__ndv_version"
+  val NdvVersion = "2"
+
+
   /** The complete data-file manifest of a snapshot: loaded from the
     * snapshot's external manifest file (one small immutable JSON, memoized),
     * or the inline `files` list of in-memory / pre-externalization metadata.

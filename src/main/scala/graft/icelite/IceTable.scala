@@ -916,22 +916,27 @@ class IceTable(
     * refuses until the data is re-written through a DSv2 path.
     */
   def approxDistinct(col: String): Option[Double] = {
+    // ONE metadata read for the whole call: the sketchability gate and the
+    // file walk must see the same table version (a concurrent DDL between
+    // two reads would evaluate the gate against the wrong schema)
+    val m = meta
     // nonexistent and non-sketchable columns refuse CONSISTENTLY,
     // including on empty tables — Some(0.0) must mean "sketchable column,
     // zero rows", never "we didn't check"
-    import org.apache.spark.sql.types._
-    val schema = StructType.fromDDL(meta.schemaDdl)
-    val sketchable = schema.fields.find(_.name == col).exists(_.dataType match {
-      case LongType | IntegerType | StringType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _ => false
-    })
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val sketchable = schema.fields.find(_.name == col)
+      .exists(f => FileStats.ndvSketchable(f.dataType))
     if (!sketchable) return None
-    val current = meta.currentSnapshot.getOrElse(return Some(0.0))
+    val current = m.currentSnapshot.getOrElse(return Some(0.0))
     val files = visibleFiles(current)
     if (files.isEmpty) return Some(0.0)
     val union = new org.apache.datasketches.hll.Union(12)
     files.foreach { f =>
+      // sketches hashed under a different scheme must not union (shared
+      // values would double-count) — an absent or stale version marker
+      // refuses the whole estimate
+      if (!f.ndv.get(FileStats.NdvVersionKey).contains(FileStats.NdvVersion))
+        return None
       f.ndvSketch(col) match {
         case Some(bytes) => union.update(
           org.apache.datasketches.hll.HllSketch.heapify(bytes))

@@ -384,9 +384,10 @@ private[v2] class IceLiteDeltaBatchWrite(
     val ddl = schema.toDDL
     val partBy = partitionBy
     val conf = new SerializableConfiguration(hadoopConf)
+    val ndvCols = IceLiteDataWriter.ndvColsConf // driver-side capture
     (partitionId: Int, taskId: Long) =>
       new IceLiteDeltaWriter(dataStaging, delStaging, ddl, partBy,
-        partitionId, taskId, conf)
+        partitionId, taskId, conf, ndvCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -501,7 +502,7 @@ private[v2] class IceLiteDeltaBatchWrite(
 private[v2] class IceLiteDeltaWriter(
     dataStaging: String, delStaging: String, schemaDdl: String,
     partitionBy: Seq[String], partitionId: Int, taskId: Long,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, ndvCols: String = "*")
     extends DeltaWriter[InternalRow] {
 
   private val schema = StructType.fromDDL(schemaDdl)
@@ -511,7 +512,7 @@ private[v2] class IceLiteDeltaWriter(
   private def dataW: IceLiteDataWriter = {
     if (dataWriter == null)
       dataWriter = new IceLiteDataWriter(dataStaging, schema, partitionBy,
-        partitionId, taskId, conf)
+        partitionId, taskId, conf, ndvCols = ndvCols)
     dataWriter
   }
 

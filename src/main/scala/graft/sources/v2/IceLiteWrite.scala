@@ -476,9 +476,10 @@ private[v2] class IceLiteStreamingWrite(
     val ddl = schema.toDDL
     val partBy = m0.partitionBy
     val conf = new SerializableConfiguration(hadoopConf)
+    val ndvCols = IceLiteDataWriter.ndvColsConf // driver-side capture
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new IceLiteDataWriter(s"$base-e$epochId", StructType.fromDDL(ddl),
-        partBy, partitionId, taskId, conf)
+        partBy, partitionId, taskId, conf, ndvCols = ndvCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -699,18 +700,18 @@ private[v2] class IceLiteDataWriter(
   // <= ~2.5 KB compact per column per file in the manifest; sketches
   // union losslessly at read time, so table-level NDV is a metadata-only
   // answer at any scale (Iceberg's puffin theta-sketch role).
-  private val ndvWanted: String => Boolean = ndvCols match {
+  // Gate spelling is TRIMMED before the "*" match so "* " still means all;
+  // list entries naming no column of THIS table are tolerated silently —
+  // the conf is session-global and may legitimately scope a different
+  // table's columns.
+  private val ndvWanted: String => Boolean = ndvCols.trim match {
     case "*" => _ => true
     case list =>
       val set = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
       set.contains
   }
   private val (ndvSlot, nNdv, ndvNames) = statSlots(f =>
-    ndvWanted(f.name) && (f.dataType match {
-      case LongType | IntegerType | StringType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _ => false
-    }))
+    ndvWanted(f.name) && FileStats.ndvSketchable(f.dataType))
   private val ndvAcc = scala.collection.mutable.Map
     .empty[String, Array[org.apache.datasketches.hll.HllSketch]]
 
@@ -741,7 +742,8 @@ private[v2] class IceLiteDataWriter(
       stats :+= (ndvAcc.remove(key) match {
         case Some(sk) => withSums.copy(ndv = ndvNames.indices.map(j =>
           ndvNames(j) -> java.util.Base64.getEncoder
-            .encodeToString(sk(j).toCompactByteArray)).toMap)
+            .encodeToString(sk(j).toCompactByteArray)).toMap +
+          (FileStats.NdvVersionKey -> FileStats.NdvVersion))
         case None => withSums // no sketch-eligible columns (or zero rows)
       })
       done :+= file
