@@ -122,6 +122,12 @@ object GraftFunctions {
         require(args.nonEmpty && args.length <= 6,
           "zorder_key takes 1-6 normalized long coordinates")
         ZOrderKey(args, 63 / args.length)
+      }),
+    ("ndv_sketch",
+      new ExpressionInfo(classOf[NdvSketchAgg].getName, "ndv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "ndv_sketch(col) takes one column")
+        NdvSketchAgg(args.head)
       }))
 
   /** Imperative registration into an existing session (idempotent). */

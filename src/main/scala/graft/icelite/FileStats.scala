@@ -38,8 +38,9 @@ object FileStats {
     */
   def normPath(p: String): String = new Path(p).toString
 
-  /** The one definition of which column types the DSv2 writer sketches for
-    * NDV (FileStat.ndv) — shared by the writer's eligibility slots and
+  /** The one definition of which column types the NDV writers sketch
+    * (FileStat.ndv) — shared by the DSv2 writer's eligibility slots, the
+    * maintenance read-back sketcher ([[Ndv.sketchFiles]]), and
     * IceTable.approxDistinct's refusal gate so a type added to one side
     * cannot silently go missing from the other.
     */
@@ -50,6 +51,31 @@ object FileStats {
            TimestampType | TimestampNTZType => true
       case _ => false
     }
+  }
+
+  /** Full per-FIELD sketch eligibility: sketchable type AND not the
+    * reserved version-marker name — a column literally named
+    * `__ndv_version` would have its sketch slot collide with the marker in
+    * the shared `FileStat.ndv` map (the sketch silently overwritten, the
+    * estimate then refusing forever), so it is excluded everywhere the
+    * same way instead (writer slots, read-back sketcher, estimate gate).
+    */
+  def ndvEligible(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.name != NdvVersionKey && ndvSketchable(f.dataType)
+
+  /** The one parser for the `graft.ndv.columns` gate spelling ("*" = every
+    * eligible column, "" = none, else a comma list; trimmed so "* " still
+    * means all) — shared by the DSv2 writer factory and the maintenance
+    * read-back sketcher so the two paths can never interpret the same conf
+    * differently. List entries naming no column of a given table are
+    * tolerated silently: the conf is session-global and may legitimately
+    * scope a different table's columns.
+    */
+  def ndvGate(spec: String): String => Boolean = spec.trim match {
+    case "*" => _ => true
+    case list =>
+      val set = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      set.contains
   }
 
   /** Version marker stored alongside the per-column sketches in

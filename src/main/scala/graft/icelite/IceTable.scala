@@ -359,7 +359,15 @@ class IceTable(
       .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
     val stats = FileStats.collect(spark.sparkContext.hadoopConfiguration, paths)
-    (dataDir.toString, stats.sortBy(_.path))
+    // NDV sketches for the new files (one column-pruned read-back pass,
+    // version-"2"-compatible with the DSv2 writer's in-line sketches): the
+    // table-API funnel serves every maintenance rewrite — compact,
+    // rewriteDeletes, copy-on-write upsert/delete — and without this step
+    // ONE routine compaction would erase the table's NDV coverage until a
+    // full DSv2 rewrite. `graft.ndv.columns` scopes or disables the pass
+    // exactly as it scopes the DSv2 writer.
+    val withNdv = Ndv.sketchFiles(spark, df.schema, stats, Ndv.gateConf)
+    (dataDir.toString, withNdv.sortBy(_.path))
   }
 
   /** Commit one snapshot against `base` — the metadata the caller PLANNED
@@ -386,9 +394,13 @@ class IceTable(
     val carriedRows =
       if (carried.forall(_.rows >= 0)) carried.map(_.rows).sum
       else {
+        // normalized spellings on BOTH sides (FileStats.normPath): a caller
+        // passing re-qualified paths (file:/x vs file:///x) must not trip a
+        // false partial-carry refusal on a legacy table
         val prevPaths = m.currentSnapshot
-          .map(visibleFiles(_).map(_.path).toSet).getOrElse(Set.empty[String])
-        require(carried.map(_.path).toSet == prevPaths,
+          .map(visibleFiles(_).map(f => FileStats.normPath(f.path)).toSet)
+          .getOrElse(Set.empty[String])
+        require(carried.map(f => FileStats.normPath(f.path)).toSet == prevPaths,
           s"$operation on $namespace.$name would carry a PARTIAL file set " +
             "containing legacy files with unknown row counts — totalRows " +
             "accounting would be wrong; compact first")
@@ -900,50 +912,25 @@ class IceTable(
   }
 
   /** Table-level approximate distinct count of `col`, answered from the
-    * MANIFEST alone — per-file HLL sketches recorded by the DSv2 writer
-    * (see [[FileStat.ndv]]) union losslessly, so this reads zero data
-    * files at any table size (Iceberg's puffin theta-sketch role; ~1.6%
-    * relative standard error at lgK=12). Returns None when any visible
-    * file lacks a sketch (written by a non-sketching path, or a
-    * non-sketchable column) — refusing beats undercounting. Estimates
-    * reflect WRITTEN rows: outstanding MOR deletes are not subtracted (a
-    * delete cannot un-union a sketch), so with delete debt this is an
-    * upper-bound estimate — puffin's staleness semantics. Coverage
-    * caveat: SQL row-level ops (DELETE/UPDATE/MERGE) rewrite through the
-    * sketching DSv2 writer and keep coverage, but the table-API
-    * maintenance paths ([[compact]], [[rewriteDeletes]], [[upsert]])
-    * write footer-stats-only files — after one of those, the estimate
-    * refuses until the data is re-written through a DSv2 path.
+    * MANIFEST alone — per-file HLL sketches ([[FileStat.ndv]]) union
+    * losslessly, so this reads zero data files at any table size
+    * (Iceberg's puffin theta-sketch role; ~1.6% relative standard error at
+    * lgK=12). Sketches are recorded by BOTH write families: the DSv2
+    * row-loop writer in-line, and the table-API write funnel via a
+    * read-back pass — so routine maintenance (compact / rewriteDeletes /
+    * upsert) preserves coverage instead of erasing it. Per-file resolution
+    * is era-aware (renames / column additions); anything unprovable
+    * refuses (None) — refusing beats undercounting. See [[Ndv.estimate]]
+    * for the exact semantics.
     */
   def approxDistinct(col: String): Option[Double] = {
-    // ONE metadata read for the whole call: the sketchability gate and the
+    // ONE metadata read for the whole call: the eligibility gate and the
     // file walk must see the same table version (a concurrent DDL between
     // two reads would evaluate the gate against the wrong schema)
     val m = meta
-    // nonexistent and non-sketchable columns refuse CONSISTENTLY,
-    // including on empty tables — Some(0.0) must mean "sketchable column,
-    // zero rows", never "we didn't check"
     val schema = StructType.fromDDL(m.schemaDdl)
-    val sketchable = schema.fields.find(_.name == col)
-      .exists(f => FileStats.ndvSketchable(f.dataType))
-    if (!sketchable) return None
-    val current = m.currentSnapshot.getOrElse(return Some(0.0))
-    val files = visibleFiles(current)
-    if (files.isEmpty) return Some(0.0)
-    val union = new org.apache.datasketches.hll.Union(12)
-    files.foreach { f =>
-      // sketches hashed under a different scheme must not union (shared
-      // values would double-count) — an absent or stale version marker
-      // refuses the whole estimate
-      if (!f.ndv.get(FileStats.NdvVersionKey).contains(FileStats.NdvVersion))
-        return None
-      f.ndvSketch(col) match {
-        case Some(bytes) => union.update(
-          org.apache.datasketches.hll.HllSketch.heapify(bytes))
-        case None => return None
-      }
-    }
-    Some(union.getResult.getEstimate)
+    val files = m.currentSnapshot.map(visibleFiles).getOrElse(Nil)
+    Ndv.estimate(m, schema, files, col)
   }
 
   /** Cherry-pick: RE-APPLY one snapshot's added files onto the CURRENT

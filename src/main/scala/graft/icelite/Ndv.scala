@@ -1,0 +1,172 @@
+package graft.icelite
+
+import org.apache.datasketches.hll.{HllSketch, Union}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{call_function, col}
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-level NDV: per-file HLL sketches union losslessly, so a
+  * table-level approximate distinct count is a pure metadata read at any
+  * table size (Iceberg's puffin theta-sketch role; ~1.6% relative standard
+  * error at lgK=12).
+  *
+  * Two producers write the sketches — the DSv2 row-loop writer (in-line,
+  * free) and [[sketchFiles]] (one column-pruned read-back pass, used by the
+  * table-API write funnel so routine maintenance — compact, rewriteDeletes,
+  * copy-on-write upsert — no longer blinds the estimate) — and ONE consumer
+  * interprets them ([[estimate]], behind `IceTable.approxDistinct`, the
+  * DSv2 column statistics, and the `.stats` metadata table). Both producers
+  * hash under the version-"2" scheme (see [[graft.functions.NdvSketchAgg]]),
+  * and the consumer refuses to union anything else.
+  */
+object Ndv {
+
+  /** lgK of every NDV sketch (~1.6% RSE, <= ~2.5 KB compact per column per
+    * file). One constant shared by both producers: sketches of different
+    * lgK would still union, but at the coarser precision — keep them equal.
+    */
+  val LgK = 12
+
+  /** Read the `graft.ndv.columns` gate from the active session (same
+    * default and spelling as the DSv2 writer factory).
+    */
+  def gateConf: String =
+    scala.util.Try(SparkSession.active.conf.get("graft.ndv.columns", "*"))
+      .getOrElse("*")
+
+  /** Attach version-"2" NDV sketches to freshly written files: ONE
+    * distributed, column-pruned pass over `files` (grouped by
+    * `_metadata.file_path`, aggregated with the native `ndv_sketch`
+    * Catalyst aggregate — bit-compatible with the DSv2 writer's in-line
+    * sketches).
+    *
+    * Used by the table-API write funnel (IceTable.writeData) right after
+    * the footer-stat scan: the paths that REWRITE data anyway (compact,
+    * rewriteDeletes, upsert, replace) pay one extra read of the columns
+    * being sketched — the price of not erasing the table's NDV coverage on
+    * every routine maintenance run. `graft.ndv.columns` scopes the work
+    * exactly like it scopes the DSv2 writer ("" disables, a comma list
+    * narrows); with nothing eligible this is a no-op with zero jobs.
+    *
+    * The input files are THIS write's own output: current schema, no
+    * rename eras, no partition-directory binding needed (writers store
+    * partition source columns in data).
+    */
+  def sketchFiles(spark: SparkSession, dataSchema: StructType,
+      files: Seq[FileStat], gate: String): Seq[FileStat] = {
+    val wanted = FileStats.ndvGate(gate)
+    val eligible = dataSchema.fields.toSeq
+      .filter(f => wanted(f.name) && FileStats.ndvEligible(f))
+    if (eligible.isEmpty || files.isEmpty) return files
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    val marker = FileStats.NdvVersionKey -> FileStats.NdvVersion
+    val emptySketch = java.util.Base64.getEncoder
+      .encodeToString(new HllSketch(LgK).toCompactByteArray)
+    val nonEmpty = files.filter(_.rows != 0L)
+    val byPath: Map[String, Map[String, String]] =
+      if (nonEmpty.isEmpty) Map.empty
+      else {
+        val aggs = eligible.map(f =>
+          call_function("ndv_sketch", col(f.name)).as(f.name))
+        spark.read.schema(dataSchema).parquet(nonEmpty.map(_.path): _*)
+          .groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // one row per file: bounded by this WRITE's file count
+          .map { r =>
+            FileStats.normPath(r.getString(0)) -> eligible.indices.map(j =>
+              eligible(j).name -> java.util.Base64.getEncoder
+                .encodeToString(r.getAs[Array[Byte]](j + 1))).toMap
+          }.toMap
+      }
+    files.map { f =>
+      byPath.get(FileStats.normPath(f.path)) match {
+        case Some(m) => f.copy(ndv = m + marker)
+        // a zero-row file has no group row; its sketches are trivially
+        // empty (estimate 0) — recording them keeps the whole-table union
+        // from refusing over a file that contributes nothing
+        case None if f.rows == 0L =>
+          f.copy(ndv = eligible.map(_.name -> emptySketch).toMap + marker)
+        case None => f // unknown rows (legacy path): leave unstamped
+      }
+    }
+  }
+
+  /** Table-level approximate distinct count of logical column `col` over
+    * `files`, answered from the manifest alone (zero data IO).
+    *
+    * Per file, the sketch is looked up under the file's ERA-specific
+    * physical name (renames ledger — a file written before `RENAME x TO y`
+    * carries its sketch under `x`), and a file whose era predates the
+    * column's ADDITION (addedColumns ledger) contributes zero by
+    * construction instead of refusing. Everything else missing — no
+    * sketch, wrong version marker, non-eligible column — refuses (None):
+    * refusing beats undercounting. Estimates reflect WRITTEN rows:
+    * outstanding MOR deletes are not subtracted (a delete cannot un-union
+    * a sketch), so with delete debt this is an upper bound — puffin's
+    * staleness semantics.
+    */
+  def estimate(meta: TableMeta, schema: StructType,
+      files: Seq[FileStat], col: String): Option[Double] =
+    estimate(meta.renames, meta.addedColumns, schema, files, col)
+
+  /** Ledger-level form of [[estimate]] for callers that hold the scan's
+    * captured ledgers rather than a full TableMeta (the DSv2 scan's column
+    * statistics).
+    */
+  def estimate(renames: Seq[ColumnRename], addedColumns: Seq[ColumnAdd],
+      schema: StructType, files: Seq[FileStat], col: String): Option[Double] = {
+    // nonexistent and non-eligible columns refuse CONSISTENTLY, including
+    // on empty tables — Some(0.0) must mean "sketchable column, zero
+    // rows", never "we didn't check"
+    val eligible = schema.fields.find(_.name == col)
+      .exists(FileStats.ndvEligible)
+    if (!eligible) return None
+    if (files.isEmpty) return Some(0.0)
+    val union = new Union(LgK)
+    files.foreach { f =>
+      val era = Renames.eraOf(f.path)
+      val phys = Renames.physicalName(renames, col, era)
+      // column added after this file's era: the file physically lacks it,
+      // every row reads NULL — zero distinct values, by metadata proof
+      // (`a.name == phys` covers add-then-rename: phys IS the add-time name
+      // for pre-add eras; `== col` covers a plain add)
+      val preAdd = addedColumns.exists(a =>
+        a.cutoffSnapshotId >= era && (a.name == phys || a.name == col))
+      if (!preAdd) {
+        // sketches hashed under a different scheme must not union (shared
+        // values would double-count) — an absent or stale version marker
+        // refuses the whole estimate
+        if (!f.ndv.get(FileStats.NdvVersionKey).contains(FileStats.NdvVersion))
+          return None
+        f.ndvSketch(phys) match {
+          case Some(bytes) => union.update(HllSketch.heapify(bytes))
+          case None => return None
+        }
+      }
+    }
+    Some(union.getResult.getEstimate)
+  }
+
+  /** Null-count of `col` over `files` from manifest footer stats, era-aware
+    * like [[estimate]]; None when any file lacks the stat. Pre-add files
+    * contribute their full row count (every row reads NULL).
+    */
+  def nullCount(renames: Seq[ColumnRename], addedColumns: Seq[ColumnAdd],
+      files: Seq[FileStat], col: String): Option[Long] = {
+    var total = 0L
+    files.foreach { f =>
+      val era = Renames.eraOf(f.path)
+      val phys = Renames.physicalName(renames, col, era)
+      val preAdd = addedColumns.exists(a =>
+        a.cutoffSnapshotId >= era && (a.name == phys || a.name == col))
+      if (preAdd) {
+        if (f.rows < 0) return None
+        total += f.rows
+      } else f.nullCount(phys) match {
+        case Some(n) => total += n
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+}

@@ -38,10 +38,12 @@ final case class FileStat(
     // per-file HLL NDV sketches (datasketches HllSketch lgK=12, compact
     // bytes, base64) for long/int/string/date/timestamp columns — the
     // puffin-theta-sketch analog, recorded by the DSv2 row-loop writer for
-    // free alongside `sums`. Sketches UNION losslessly across files, so a
-    // table-level approx-distinct answers from manifests alone (zero data
-    // IO) at any table size; files written by other paths lack them
-    // (absent = the table-level estimate refuses rather than undercounts).
+    // free alongside `sums` AND by the table-API write funnel's read-back
+    // pass (Ndv.sketchFiles), so maintenance rewrites keep coverage.
+    // Sketches UNION losslessly across files, so a table-level
+    // approx-distinct answers from manifests alone (zero data IO) at any
+    // table size; files that still lack one (pre-upgrade, or gate-scoped
+    // out) make the table-level estimate refuse rather than undercount.
     ndv: Map[String, String] = Map.empty) {
 
   def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
@@ -214,6 +216,17 @@ final case class ManifestDoc(
   */
 final case class ColumnRename(cutoffSnapshotId: Long, from: String, to: String)
 
+/** One metadata-only column ADDITION: files of eras `<= cutoffSnapshotId`
+  * were written before the column existed and physically lack it (reads
+  * serve NULL). Recorded so metadata-only consumers — the NDV estimate
+  * above all — can prove "this file cannot contribute values for this
+  * column" without touching a footer: a pre-add file is a zero-contribution
+  * no-op for the column's distinct count, not a refusal. Same cutoff
+  * convention as [[ColumnRename]]: the event applies to a file iff
+  * `cutoffSnapshotId >= eraOf(file)`.
+  */
+final case class ColumnAdd(cutoffSnapshotId: Long, name: String)
+
 /** One partition-spec evolution event: files written in eras at or before
   * `cutoffSnapshotId` were laid out with `cols` as their hive partition
   * columns. The CURRENT spec lives in [[TableMeta.partitionBy]]; this ledger
@@ -288,6 +301,10 @@ final case class TableMeta(
     // would resurrect the wrong column.
     renames: Seq[ColumnRename] = Nil,
     retiredColumns: Seq[String] = Nil,
+    // column-ADDITION ledger (see ColumnAdd): which file eras predate each
+    // added column. Purely additive metadata — scans don't need it (parquet
+    // fills missing columns with NULL), but the manifest NDV estimate does.
+    addedColumns: Seq[ColumnAdd] = Nil,
     // columns whose declared type was ever WIDENED (int->long, float->double
     // ...): files written before the change physically carry the narrower
     // type. The vectorized parquet reader upcasts transparently, but typed

@@ -596,6 +596,58 @@ object IceliteOps {
         }.toDF("col", "exact_ndv", "est_ok").orderBy("col")
       }),
 
+    // D4: the SQL READ SURFACE for the manifest statistics — the `.stats`
+    // metadata table (`SELECT * FROM <cat>.<ns>.<tbl>.stats`) serves
+    // per-column NDV (HLL union over the per-file sketches) and null
+    // counts (footer-stat sums) with zero data IO, so a SQL-only user
+    // gets what IceTable.approxDistinct gives the Scala API. Reuses the
+    // s12 fixture; the oracle pins the EXACT distinct/null counts and the
+    // estimate is verified in-query against the 5% bound (s12's pattern).
+    QDef(
+      "d4_stats_meta",
+      Some("""SELECT 'event_id' AS col, COUNT(DISTINCT event_id) AS exact_ndv,
+             |  COUNT(*) - COUNT(event_id) AS null_count, TRUE AS est_ok FROM events
+             |UNION ALL
+             |SELECT 'event_type', COUNT(DISTINCT event_type),
+             |  COUNT(*) - COUNT(event_type), TRUE FROM events
+             |UNION ALL
+             |SELECT 'user_id', COUNT(DISTINCT user_id),
+             |  COUNT(*) - COUNT(user_id), TRUE FROM events
+             |ORDER BY col""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s12", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          new IceCatalog(s, wh).createTable("lake", "events_ndv", ev.schema)
+          s.conf.set("spark.sql.catalog.icelite_s12", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_s12.warehouse", wh)
+          ev.writeTo("icelite_s12.lake.events_ndv").append()
+        }
+        s.conf.set("spark.sql.catalog.icelite_s12", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s12.warehouse", wh)
+        val cols = Seq("event_id", "event_type", "user_id")
+        // the SQL metadata-table path — NOT the Scala API
+        val fromStats = s.table("icelite_s12.lake.events_ndv.stats")
+          .filter(col("sketched"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+        require(fromStats.keySet == cols.toSet,
+          s"d4: .stats sketched columns ${fromStats.keySet} != expected $cols")
+        val exactRow = s.table("icelite_s12.lake.events_ndv")
+          .agg(countDistinct(col(cols.head)).as(cols.head),
+            cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+          .collect()(0)
+        import s.implicits._
+        cols.map { c =>
+          val exact = exactRow.getAs[Long](c)
+          val (est, nulls) = fromStats(c)
+          val ok = math.abs(est.toDouble - exact) <= math.max(1.0, exact * 0.05)
+          require(ok, s"d4: .stats NDV $est for $c breaches the 5% bound " +
+            s"around exact $exact")
+          (c, exact, nulls, ok)
+        }.toDF("col", "exact_ndv", "null_count", "est_ok").orderBy("col")
+      }),
+
     // S5e: aggregates OVER the partition column itself — MIN/MAX/COUNT/
     // COUNT(DISTINCT) of an identity partition column fold the exact
     // directory values: "latest partition" / "how many partitions", the

@@ -65,6 +65,37 @@ object SimilarityOps {
   private val cosineSql: String =
     "CAST(dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))"
 
+  /** Row-local argmin assignment against a k x d centroid literal in
+    * micro-quantized integer space (zero shuffle; the parallel cids array
+    * maps fold position back to a cluster id, which need not be
+    * contiguous) — the Lloyd-iteration kernel shared by x36 (k-means) and
+    * x41 (SemDeDup's clustering stage).
+    */
+  private def assignToCentroids(df: DataFrame,
+      cents: Seq[(Long, Seq[Long])], dcol: String): DataFrame =
+    df.withColumn("cents",
+        array(cents.map(c => array(c._2.map(lit): _*)): _*))
+      .withColumn("cids", array(cents.map(c => lit(c._1)): _*))
+      .withColumn("best", expr(
+        """aggregate(
+          |  transform(sequence(0, size(cents) - 1),
+          |    i -> named_struct(
+          |      'd', aggregate(zip_with(q, cents[i],
+          |             (a, b) -> (a - b) * (a - b)), 0L, (s2, v) -> s2 + v),
+          |      'i', i)),
+          |  named_struct('d', 9223372036854775807L, 'i', -1),
+          |  (acc, x) -> IF(x.d < acc.d, x, acc))""".stripMargin))
+      .withColumn("cid", expr("cids[best.i]"))
+      .withColumn(dcol, col("best.d"))
+      .drop("cents", "cids", "best")
+
+  /** 10^6 micro-quantization of the embedding column (x36/x41's exact
+    * integer clustering space — distinct from the 2^20 cosine space).
+    */
+  private def microQ: Column =
+    expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+      "* 1000000.0D + 0.5D) AS BIGINT))")
+
   /** Sign pattern of the first 8 dimensions, as an 8-char '0'/'1' string. */
   private def signBucket(embedding: Column): Column =
     expr("concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
@@ -483,29 +514,7 @@ object SimilarityOps {
              |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin),
       (s, dir) => {
         val k = 8
-        val qdf = t(s, dir, "embeddings").select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
-            "* 1000000.0D + 0.5D) AS BIGINT))").as("q"))
-        // argmin over a k x d centroid literal, entirely row-local; the
-        // parallel cids array maps fold position back to a cluster id (an
-        // iter-2 cluster can be empty, so ids need not be contiguous)
-        def assign(df: org.apache.spark.sql.DataFrame,
-            cents: Seq[(Long, Seq[Long])], dcol: String): org.apache.spark.sql.DataFrame =
-          df.withColumn("cents",
-              array(cents.map(c => array(c._2.map(lit): _*)): _*))
-            .withColumn("cids", array(cents.map(c => lit(c._1)): _*))
-            .withColumn("best", expr(
-              """aggregate(
-                |  transform(sequence(0, size(cents) - 1),
-                |    i -> named_struct(
-                |      'd', aggregate(zip_with(q, cents[i],
-                |             (a, b) -> (a - b) * (a - b)), 0L, (s2, v) -> s2 + v),
-                |      'i', i)),
-                |  named_struct('d', 9223372036854775807L, 'i', -1),
-                |  (acc, x) -> IF(x.d < acc.d, x, acc))""".stripMargin))
-            .withColumn("cid", expr("cids[best.i]"))
-            .withColumn(dcol, col("best.d"))
-            .drop("cents", "cids", "best")
+        val qdf = t(s, dir, "embeddings").select(col("vec_id"), microQ.as("q"))
         // bounded driver reads: k seed vectors, then k x d centroid stats —
         // never O(data); this is how Lloyd's iterates on any Spark cluster
         val seeds = qdf.filter(col("vec_id") < k).orderBy("vec_id").collect()
@@ -513,7 +522,7 @@ object SimilarityOps {
         // release the PREVIOUS invocation's persisted assignment before
         // building the replacement (see liveKmeans)
         Option(liveKmeans.remove(s)).foreach(_.unpersist())
-        val a1 = assign(qdf, seeds.toSeq, "d1")
+        val a1 = assignToCentroids(qdf, seeds.toSeq, "d1")
           .withColumnRenamed("cid", "c1").persist()
         liveKmeans.put(s, a1)
         val cents2 = a1
@@ -526,9 +535,139 @@ object SimilarityOps {
           .map { case (cid, rows) =>
             (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
           .sortBy(_._1)
-        assign(a1.drop("d1"), cents2, "d2")
+        assignToCentroids(a1.drop("d1"), cents2, "d2")
           .select(col("vec_id"), col("c1").as("cluster_iter1"),
             col("cid").as("cluster_iter2"), col("d2").as("dist_sq_q"))
+          .orderBy("vec_id")
+      }),
+
+    // SemDeDup (round 11): per-CLUSTER embedding dedup — the composition
+    // curation teams actually run (Abbas et al.): cluster the corpus
+    // (x36's k-means stage), then WITHIN each cluster greedily keep the
+    // first vector (vec_id order) of every near-duplicate neighborhood and
+    // drop later vectors whose cosine to a KEPT representative exceeds
+    // tau, with evidence (the lowest kept representative's id).
+    //
+    // Scale shape: comparisons are CLUSTER-LOCAL by construction — the
+    // pairwise join's key IS the cluster id, so cost is sum(|cluster|^2),
+    // never corpus^2 (that bound is SemDeDup's entire point; PlanSpec
+    // asserts every join is cluster-keyed). The greedy keep-set fold is
+    // row-local per cluster over rank order. Deterministic cross-engine:
+    // assignment in micro-quantized integer space (x36), cosine in 20-bit
+    // fixed point (x5/x6's bit-identical double formulation), greedy
+    // replayed by the oracle as a recursive CTE.
+    QDef(
+      "x41_semdedup",
+      Some(s"""WITH RECURSIVE $elementsSql,
+              |q6 AS (SELECT vec_id,
+              |    list_transform(embedding,
+              |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS q
+              |  FROM embeddings),
+              |ed AS (SELECT vec_id, CAST(i AS INT) AS dim, q[CAST(i AS INT)] AS xq
+              |       FROM q6, unnest(generate_series(1, 64)) t(i)),
+              |c1 AS (SELECT vec_id AS cid, dim, xq AS cq FROM ed WHERE vec_id < 8),
+              |d1 AS (SELECT ed.vec_id, c1.cid, SUM((ed.xq - c1.cq)*(ed.xq - c1.cq)) AS d
+              |       FROM ed JOIN c1 USING (dim) GROUP BY 1, 2),
+              |a1 AS (SELECT vec_id, cid AS cluster FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              |    FROM d1) WHERE rn = 1),
+              |ranked AS (SELECT vec_id, cluster,
+              |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+              |  FROM a1),
+              |dots AS (
+              |  SELECT ra.cluster, ra.rn AS ra, rb.rn AS rb, ra.vec_id AS va,
+              |    rb.vec_id AS vb, CAST(SUM(ea.q*eb.q) AS BIGINT) AS dp
+              |  FROM ranked ra JOIN ranked rb
+              |    ON ra.cluster = rb.cluster AND ra.rn < rb.rn
+              |  JOIN el ea ON ea.vec_id = ra.vec_id
+              |  JOIN el eb ON eb.vec_id = rb.vec_id AND eb.i = ea.i
+              |  GROUP BY 1, 2, 3, 4, 5),
+              |pairs AS (
+              |  SELECT d.cluster, d.rb, d.ra, d.va
+              |  FROM dots d JOIN n2 na ON na.vec_id = d.va
+              |  JOIN n2 nb ON nb.vec_id = d.vb
+              |  WHERE CAST(dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) > 0.3),
+              |preds AS (SELECT cluster, rb, list(ra) AS ras FROM pairs GROUP BY 1, 2),
+              |sizes AS (SELECT cluster, MAX(rn) AS n FROM ranked GROUP BY 1),
+              |g AS (
+              |  SELECT cluster, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+              |  FROM sizes
+              |  UNION ALL
+              |  SELECT g.cluster, g.rn + 1,
+              |    CASE WHEN p.ras IS NOT NULL
+              |              AND len(list_intersect(p.ras, g.kept)) > 0
+              |         THEN g.kept ELSE list_append(g.kept, g.rn + 1) END
+              |  FROM g JOIN sizes s ON s.cluster = g.cluster
+              |  LEFT JOIN preds p ON p.cluster = g.cluster AND p.rb = g.rn + 1
+              |  WHERE g.rn < s.n),
+              |kf AS (SELECT g.cluster, g.kept
+              |       FROM g JOIN sizes s ON s.cluster = g.cluster AND g.rn = s.n),
+              |ev AS (SELECT p.cluster, p.rb, MIN(p.va) AS dup_of
+              |       FROM pairs p JOIN kf ON kf.cluster = p.cluster
+              |       WHERE list_contains(kf.kept, p.ra)
+              |       GROUP BY 1, 2)
+              |SELECT r.vec_id, r.cluster, list_contains(kf.kept, r.rn) AS keep,
+              |  ev.dup_of
+              |FROM ranked r JOIN kf ON kf.cluster = r.cluster
+              |LEFT JOIN ev ON ev.cluster = r.cluster AND ev.rb = r.rn
+              |ORDER BY r.vec_id""".stripMargin),
+      (s, dir) => {
+        val k = 8
+        val tau = 0.3
+        graft.functions.GraftFunctions.register(s) // idempotent
+        val qdf = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), microQ.as("q"))
+        val seeds = qdf.filter(col("vec_id") < k).orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](2)))
+        Option(liveKmeans.remove(s)).foreach(_.unpersist())
+        // clustering stage: one row-local argmin pass (zero shuffle);
+        // persisted because three downstream legs reuse it
+        val ranked = assignToCentroids(qdf, seeds.toSeq, "d1")
+          .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cluster").orderBy("vec_id")).cast("long"))
+          .persist()
+        liveKmeans.put(s, ranked)
+        val a = ranked.select(col("cluster"), col("rn").as("ra"),
+          col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = ranked.select(col("cluster"), col("rn").as("rb"),
+          col("embedding").as("eb"))
+        // CLUSTER-LOCAL pairwise: the equi-join key IS the cluster id, so
+        // no comparison ever crosses clusters; quantized_cosine is the
+        // codegen'd native expression (x13's), bit-identical to the
+        // oracle's fixed-point double formulation
+        val pairs = a.join(b, Seq("cluster"))
+          .filter(col("ra") < col("rb"))
+          .filter(call_function("quantized_cosine", col("ea"), col("eb")) > tau)
+          .select(col("cluster"), col("rb"), col("ra"), col("va"))
+        val sizes = ranked.groupBy("cluster").agg(max("rn").as("n"))
+        val preds = pairs.groupBy("cluster")
+          .agg(collect_list(struct(col("rb"), col("ra"))).as("preds"))
+        // greedy keep-set per cluster, ROW-LOCAL: fold rank order once,
+        // keeping r iff no already-kept predecessor is near it. A cluster
+        // with no near pairs has NULL preds -> exists() yields NULL ->
+        // IF takes the else branch -> every rank kept (no coalesce needed).
+        val keptSets = sizes.join(preds, Seq("cluster"), "left")
+          .withColumn("kept", expr(
+            """aggregate(sequence(1L, n), CAST(array() AS ARRAY<BIGINT>),
+              |  (kept, r) -> IF(exists(preds, p -> p.rb = r
+              |                    AND array_contains(kept, p.ra)),
+              |    kept, concat(kept, array(r))))""".stripMargin))
+          .select(col("cluster"), col("kept"))
+        val flagged = ranked.join(keptSets, Seq("cluster"))
+          .withColumn("keep", array_contains(col("kept"), col("rn")))
+        // evidence: the lowest KEPT representative each dropped vector is
+        // near (kept rows have none by the greedy invariant)
+        val evidence = pairs.join(keptSets, Seq("cluster"))
+          .filter(array_contains(col("kept"), col("ra")))
+          .groupBy(col("cluster").as("ec"), col("rb"))
+          .agg(min(col("va")).as("dup_of"))
+        flagged.join(evidence,
+            flagged("cluster") === evidence("ec") && flagged("rn") === evidence("rb"),
+            "left")
+          .select(col("vec_id"), col("cluster"), col("keep"), col("dup_of"))
           .orderBy("vec_id")
       })
   )

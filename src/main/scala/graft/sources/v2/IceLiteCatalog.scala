@@ -210,6 +210,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     var schema = StructType.fromDDL(meta.schemaDdl)
     var renames = meta.renames
     var retired = meta.retiredColumns
+    var added = meta.addedColumns
     var widened = meta.widenedColumns
     var sortOrd = meta.sortOrder
     var props = meta.properties
@@ -235,6 +236,10 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
           s"column name $name was previously dropped/renamed in $ns.$tbl and " +
             "cannot be re-added (old data files still carry it); use a new name")
         schema = schema.add(name, add.dataType(), nullable = true)
+        // addition ledger: files of eras <= the current snapshot provably
+        // predate this column (same cutoff convention as renames) — the
+        // NDV estimate treats them as zero-contribution instead of refusing
+        added :+= graft.icelite.ColumnAdd(meta.currentSnapshotId, name)
       case ren: TableChange.RenameColumn =>
         val from = topLevel(ren.fieldNames(), "rename")
         val to = ren.newName()
@@ -311,6 +316,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
       version = meta.version + 1,
       renames = renames,
       retiredColumns = retired,
+      addedColumns = added,
       widenedColumns = widened,
       sortOrder = sortOrd,
       properties = props))

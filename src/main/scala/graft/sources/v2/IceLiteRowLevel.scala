@@ -527,19 +527,20 @@ private[v2] class IceLiteDeltaWriter(
         .optional(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
         .named("pos"))
       .named("icelite_deletes")
-  private val delFactory =
-    new org.apache.parquet.example.data.simple.SimpleGroupFactory(delType)
-  private var delWriter: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = null
+  private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
   private var delFile: String = ""
   private val delCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
-  private def delW: org.apache.parquet.hadoop.ParquetWriter[
-      org.apache.parquet.example.data.Group] = {
+  // the row-id projection IS the delete-file row ((_file, _pos) -> 
+  // (file_path, pos)), so the id InternalRow streams through the same
+  // RecordConsumer write support as data rows — no Group per deleted row
+  private def delW: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     if (delWriter == null) {
       delFile = f"$delStaging/del-$partitionId%05d-$taskId.parquet"
-      delWriter = org.apache.parquet.hadoop.example.ExampleParquetWriter
-        .builder(new Path(delFile)).withConf(conf.value).withType(delType).build()
+      delWriter = new InternalRowWriterBuilder(new Path(delFile),
+        new InternalRowWriteSupport(
+          StructType.fromDDL("file_path STRING, pos BIGINT"), delType, lead = 0))
+        .withConf(conf.value).build()
     }
     delWriter
   }
@@ -548,11 +549,7 @@ private[v2] class IceLiteDeltaWriter(
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
-    val pos = id.getLong(1)
-    val g = delFactory.newGroup()
-    g.add(0, file)
-    g.add(1, pos)
-    delW.write(g)
+    delW.write(id)
     delCounts.update(file, delCounts.getOrElse(file, 0L) + 1L)
   }
 

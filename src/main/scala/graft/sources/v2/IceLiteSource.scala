@@ -218,7 +218,8 @@ private[v2] object IceLiteV2 {
       schema.getOrElse(schemaAt(meta, snap)), meta.partitionBy, files,
       meta.renames, meta.widenedColumns, meta.partitionSpecs, deletes,
       meta.sortOrder, viaCatalog, meta.properties, changelogMode,
-      streamFrom = fromSnapshotId.map(_.toLong))
+      streamFrom = fromSnapshotId.map(_.toLong),
+      addedColumns = meta.addedColumns)
   }
 
   /** Build the columnar reader factory: serialized driver Hadoop conf with
@@ -299,7 +300,10 @@ private[v2] class IceLiteTable(
     // runs DSv2 pushdown on streaming relations): each micro-batch prunes
     // its added files against these, conservatively — the Filter node
     // stays in the plan, so this is purely an IO win
-    private[graft] val streamFilters: Seq[Filter] = Nil)
+    private[graft] val streamFilters: Seq[Filter] = Nil,
+    // column-addition ledger: which file eras predate each added column
+    // (zero-contribution proof for the manifest NDV column statistics)
+    addedColumns: Seq[graft.icelite.ColumnAdd] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -399,7 +403,8 @@ private[v2] class IceLiteTable(
       streamMaxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       renames = renames, widened = widened, specs = specs, deletes = deletes,
       sortOrder = sortOrder, changelogMode = changelogMode,
-      streamFrom = streamFrom, streamFilters = streamFilters)
+      streamFrom = streamFrom, streamFilters = streamFilters,
+      addedColumns = addedColumns)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -425,7 +430,7 @@ private[v2] class IceLiteTable(
       // a PREFIX of the sort order survives any projection: files sorted
       // by (a, b) are sorted by (a)
       sortOrder.takeWhile(names.contains), viaCatalog, tableProps, changelogMode,
-      streamFrom, streamFilters)
+      streamFrom, streamFilters, addedColumns)
 
   /** This table with stream-planning filters attached (see
     * [[StreamScanPruning]]); each micro-batch prunes its added files
@@ -434,7 +439,7 @@ private[v2] class IceLiteTable(
   private[graft] def withStreamFilters(fs: Seq[Filter]): IceLiteTable =
     new IceLiteTable(warehouse, ns, tbl, tableSchema, partitionBy, files,
       renames, widened, specs, deletes, sortOrder, viaCatalog, tableProps,
-      changelogMode, streamFrom, fs)
+      changelogMode, streamFrom, fs, addedColumns)
 }
 
 private[v2] class IceLiteScanBuilder(
@@ -464,7 +469,9 @@ private[v2] class IceLiteScanBuilder(
     // streaming start offset (fresh checkpoints begin here)
     streamFrom: Option[Long] = None,
     // stream-planning filters (StreamScanPruning) — per-batch file pruning
-    streamFilters: Seq[Filter] = Nil)
+    streamFilters: Seq[Filter] = Nil,
+    // column-addition ledger (manifest NDV column statistics)
+    addedColumns: Seq[graft.icelite.ColumnAdd] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -600,7 +607,8 @@ private[v2] class IceLiteScanBuilder(
       new IceLiteScan(warehouse, ns, tbl, tableSchema, partitionBy, required,
         files, pushed, limit, rowLevel, wantsFileCol, wantsPosCol,
         streamMaxFiles, renames, widened, specs, deletes, sortOrder,
-        changelogMode, streamFrom, streamFilters, streamMaxBytes)
+        changelogMode, streamFrom, streamFilters, streamMaxBytes,
+        addedColumns = addedColumns)
   }
 }
 
@@ -1039,7 +1047,8 @@ private[v2] case class IceLiteAggPartition(schemaJson: String, rows: Array[Array
 private[v2] object IceLiteMeta {
 
   val names: Set[String] = Set(
-    "snapshots", "files", "refs", "deletes", "history", "manifests", "partitions")
+    "snapshots", "files", "refs", "deletes", "history", "manifests",
+    "partitions", "stats")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
@@ -1124,6 +1133,30 @@ private[v2] object IceLiteMeta {
           new IceLiteMetaTable(
             s"${meta.namespace}.${meta.name}.partitions", schema, Nil)
       }
+    case "stats" =>
+      // per-column table statistics from the CURRENT snapshot's manifest —
+      // the SQL read surface for the writer-recorded NDV sketches (and the
+      // footer null counts): `SELECT * FROM <cat>.<ns>.<tbl>.stats`.
+      // `ndv` is the HLL union estimate (NULL when any visible file cannot
+      // prove coverage — same refusal semantics as IceTable.approxDistinct);
+      // `null_count` sums footer stats; both are zero-data-IO at any size.
+      val schema = StructType.fromDDL(
+        "column STRING, data_type STRING, ndv BIGINT, null_count BIGINT, " +
+          "sketched BOOLEAN")
+      val tableSchema = StructType.fromDDL(meta.schemaDdl)
+      val statFiles = meta.currentSnapshot
+        .map(s => graft.icelite.FileStats.visible(fs, s)).getOrElse(Nil)
+      val rows = tableSchema.fields.toSeq.map { f =>
+        val ndv = graft.icelite.Ndv
+          .estimate(meta, tableSchema, statFiles, f.name)
+          .map(d => math.max(0L, math.round(d)))
+        val nulls = graft.icelite.Ndv
+          .nullCount(meta.renames, meta.addedColumns, statFiles, f.name)
+        Array[Any](f.name, f.dataType.simpleString,
+          ndv.map(Long.box).orNull, nulls.map(Long.box).orNull,
+          Boolean.box(ndv.isDefined))
+      }
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.stats", schema, rows)
     case "snapshots" =>
       val schema = StructType.fromDDL(
         "snapshot_id BIGINT, timestamp_ms BIGINT, operation STRING, " +
@@ -1390,7 +1423,9 @@ private[v2] class IceLiteScan(
     // stream-planning filters (StreamScanPruning) — per-batch file pruning
     streamFilters: Seq[Filter] = Nil,
     // byte-based streaming admission cap (`maxBytesPerTrigger`)
-    streamMaxBytes: Option[Long] = None)
+    streamMaxBytes: Option[Long] = None,
+    // column-addition ledger (manifest NDV column statistics)
+    addedColumns: Seq[graft.icelite.ColumnAdd] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -1672,12 +1707,100 @@ private[v2] class IceLiteScan(
     }.toArray
   }
 
+  /** Decode one manifest min/max stat string to the column's CATALYST
+    * value (what `ColumnStat.min/max` carries — FilterEstimation compares
+    * these against literal bounds). Strings/booleans are skipped: CBO's
+    * range estimation is numeric, and a mistyped object would poison it.
+    * Stat encoding per [[graft.icelite.FileStats]]: dates as epoch days,
+    * timestamps as micros, floats widened exactly to double strings.
+    */
+  private def decodeStat(dt: DataType, s: String): Option[Any] = dt match {
+    case LongType => s.toLongOption
+    case IntegerType => s.toLongOption.map(_.toInt)
+    case DateType => s.toLongOption.map(_.toInt)
+    case TimestampType | TimestampNTZType => s.toLongOption
+    case DoubleType => s.toDoubleOption
+    case FloatType => s.toDoubleOption.map(_.toFloat)
+    case _ => None
+  }
+
+  /** CBO column statistics, manifest-only (zero data IO): distinct counts
+    * union the per-file HLL NDV sketches, null counts sum the footer
+    * stats, min/max fold the per-file bounds — each independently absent
+    * when any planned file cannot prove it (era-aware: renamed columns
+    * resolve per-file physical names; pre-ADD-COLUMN files contribute
+    * zero distincts / all-null / no bounds). Computed over the PLANNED
+    * (statically pruned) file set, so a partition-pruned scan reports the
+    * surviving slice's statistics, and only when CBO is on — without it
+    * Spark ignores attribute stats and the per-column walk would be pure
+    * planning overhead.
+    */
+  private lazy val v2ColumnStats
+      : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    val pfiles = planned.map(_._1)
+    required.fields.filter(f => tableSchema.fieldNames.contains(f.name)).foreach { f =>
+      val ndvEst = graft.icelite.Ndv.estimate(
+        renames, addedColumns, tableSchema, pfiles, f.name)
+      val nulls = graft.icelite.Ndv.nullCount(renames, addedColumns, pfiles, f.name)
+      val bounds: Option[(Any, Any)] = {
+        val perFile = pfiles.map { df =>
+          val era = graft.icelite.Renames.eraOf(df.path)
+          val phys = graft.icelite.Renames.physicalName(renames, f.name, era)
+          val preAdd = addedColumns.exists(a =>
+            a.cutoffSnapshotId >= era && (a.name == phys || a.name == f.name))
+          if (preAdd) Some(None) // no values: contributes no bounds
+          else for {
+            lo <- df.min.get(phys).flatMap(decodeStat(f.dataType, _))
+            hi <- df.max.get(phys).flatMap(decodeStat(f.dataType, _))
+          } yield Some((lo, hi))
+        }
+        if (perFile.exists(_.isEmpty)) None // some file lacks the stat
+        else {
+          val vs = perFile.flatten.flatten
+          if (vs.isEmpty) None
+          else {
+            implicit val ord: Ordering[Any] = (a: Any, b: Any) =>
+              java.lang.Double.compare(
+                a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+            Some((vs.map(_._1).min, vs.map(_._2).max))
+          }
+        }
+      }
+      if (ndvEst.isDefined || nulls.isDefined || bounds.isDefined)
+        out.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          new ColumnStatistics {
+            override def distinctCount(): OptionalLong = ndvEst
+              .map(d => OptionalLong.of(math.max(0L, math.round(d))))
+              .getOrElse(OptionalLong.empty())
+            override def nullCount(): OptionalLong =
+              nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def min(): java.util.Optional[Object] = bounds
+              .map(b => java.util.Optional.of(b._1.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] = bounds
+              .map(b => java.util.Optional.of(b._2.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          })
+    }
+    out
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(planned.map(_._1.bytes).sum)
     override def numRows(): OptionalLong =
       if (planned.exists(_._1.rows < 0)) OptionalLong.empty()
       else OptionalLong.of(planned.map(_._1.rows).sum)
+    override def columnStats()
+        : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled) v2ColumnStats
+      else java.util.Collections.emptyMap()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

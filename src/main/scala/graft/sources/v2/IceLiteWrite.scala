@@ -3,9 +3,9 @@ package graft.sources.v2
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.io.api.{Binary, RecordConsumer}
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -592,10 +592,16 @@ private[v2] class IceLiteWriterFactory(
       partitionBy, partitionId, taskId, conf, rowLevel, ndvCols)
 }
 
-/** Writes parquet files via the public parquet-mr Group API — the symmetric
-  * inverse of the scan's type surface. Uses the driver's Hadoop
-  * configuration (serialized into the factory), so `spark.hadoop.*`
-  * settings — object-store credentials, endpoints — reach parquet-mr.
+/** Writes parquet files straight from `InternalRow` through parquet-mr's
+  * RecordConsumer ([[InternalRowWriteSupport]]) — the symmetric inverse of
+  * the scan's type surface, with NO per-row materialization: no example
+  * Group heap object per row, no boxed adds, and string values stream as
+  * UTF-8 bytes (`UTF8String.getBytes` -> `Binary`) without a String
+  * round-trip. This is the path 100 TB ingest rides (SQL INSERT, CTAS,
+  * streaming sink), so the per-row constant factor matters. Uses the
+  * driver's Hadoop configuration (serialized into the factory), so
+  * `spark.hadoop.*` settings — object-store credentials, endpoints — reach
+  * parquet-mr.
   *
   * Unpartitioned tables: one file per task. Hive-partitioned tables: rows
   * arrive clustered AND sorted by the partition columns (the Write declares
@@ -653,7 +659,6 @@ private[v2] class IceLiteDataWriter(
     }
     b.named("icelite")
   }
-  private val factory = new SimpleGroupFactory(messageType)
 
   // open writers keyed by relative partition dir ("" = unpartitioned).
   // Identity specs hold at most ONE entry (rows arrive sorted by the
@@ -663,7 +668,7 @@ private[v2] class IceLiteDataWriter(
   // an accidental high-cardinality layout into a loud error instead of an
   // executor OOM from thousands of open column writers.
   private val open = scala.collection.mutable.LinkedHashMap
-    .empty[String, (org.apache.parquet.hadoop.ParquetWriter[Group], String)]
+    .empty[String, (ParquetWriter[InternalRow], String)]
   private var fileSeq = 0
   private var done = Seq.empty[String]
   private var stats = Seq.empty[FileStat]
@@ -700,28 +705,30 @@ private[v2] class IceLiteDataWriter(
   // <= ~2.5 KB compact per column per file in the manifest; sketches
   // union losslessly at read time, so table-level NDV is a metadata-only
   // answer at any scale (Iceberg's puffin theta-sketch role).
-  // Gate spelling is TRIMMED before the "*" match so "* " still means all;
-  // list entries naming no column of THIS table are tolerated silently —
-  // the conf is session-global and may legitimately scope a different
-  // table's columns.
-  private val ndvWanted: String => Boolean = ndvCols.trim match {
-    case "*" => _ => true
-    case list =>
-      val set = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
-      set.contains
-  }
+  // Gate parsing is shared with the maintenance read-back sketcher
+  // (FileStats.ndvGate), and eligibility (FileStats.ndvEligible) excludes
+  // the reserved `__ndv_version` marker name — a column spelled like the
+  // marker must never claim the marker's slot in the shared ndv map.
+  private val ndvWanted: String => Boolean = FileStats.ndvGate(ndvCols)
   private val (ndvSlot, nNdv, ndvNames) = statSlots(f =>
-    ndvWanted(f.name) && FileStats.ndvSketchable(f.dataType))
+    ndvWanted(f.name) && FileStats.ndvEligible(f))
   private val ndvAcc = scala.collection.mutable.Map
     .empty[String, Array[org.apache.datasketches.hll.HllSketch]]
 
-  private def openWriter(key: String): org.apache.parquet.hadoop.ParquetWriter[Group] = {
+  // the columns the per-row STAT pass visits: only those holding a sum or
+  // sketch slot — a gated-off or all-double table pays zero stat work
+  private val statCols: Array[Int] =
+    dataIdx.filter(i => sumSlot(i) >= 0 || ndvSlot(i) >= 0)
+
+  private def openWriter(key: String): ParquetWriter[InternalRow] = {
     val dir = if (key.isEmpty) stagingDir else s"$stagingDir/$key"
     val file = f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.parquet"
     fileSeq += 1
-    val w = ExampleParquetWriter.builder(new Path(file))
+    // `lead` is known here: writerFor is only reached from write(), which
+    // resolves the row layout before asking for a writer
+    val w = new InternalRowWriterBuilder(new Path(file),
+      new InternalRowWriteSupport(dataSchema, messageType, lead))
       .withConf(conf.value)
-      .withType(messageType)
       .build()
     open(key) = (w, file)
     w
@@ -749,7 +756,7 @@ private[v2] class IceLiteDataWriter(
       done :+= file
     }
 
-  private def writerFor(key: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+  private def writerFor(key: String): ParquetWriter[InternalRow] =
     open.get(key) match {
       case Some((w, _)) => w
       case None =>
@@ -813,61 +820,67 @@ private[v2] class IceLiteDataWriter(
         s"${f.fieldName}=${HivePath.escape(raw)}"
       }.mkString("/")
     val current = writerFor(key)
-    val (acc, bad) =
-      if (nSums == 0) (null: Array[Long], null: Array[Boolean])
-      else {
-        val t = sumAcc.getOrElseUpdate(key,
-          (new Array[Long](nSums), new Array[Boolean](nSums)))
-        (t._1, t._2)
+    // sums + NDV sketches accumulate in a pass over only the columns that
+    // carry a stat slot (statCols — empty when the table has no integral
+    // columns and sketching is gated off, making this a no-op); the
+    // parquet side streams the full row through the RecordConsumer
+    // (InternalRowWriteSupport) with zero per-row materialization.
+    if (statCols.length > 0) {
+      val (acc, bad) =
+        if (nSums == 0) (null: Array[Long], null: Array[Boolean])
+        else {
+          val t = sumAcc.getOrElseUpdate(key,
+            (new Array[Long](nSums), new Array[Boolean](nSums)))
+          (t._1, t._2)
+        }
+      def accumulate(o: Int, v: Long): Unit = {
+        val j = sumSlot(o)
+        if (j >= 0 && !bad(j))
+          try acc(j) = Math.addExact(acc(j), v)
+          catch { case _: ArithmeticException => bad(j) = true }
       }
-    def accumulate(o: Int, v: Long): Unit = {
-      val j = sumSlot(o)
-      if (j >= 0 && !bad(j))
-        try acc(j) = Math.addExact(acc(j), v)
-        catch { case _: ArithmeticException => bad(j) = true }
-    }
-    val sketches =
-      if (nNdv == 0) null
-      else ndvAcc.getOrElseUpdate(key, Array.fill(nNdv)(
-        new org.apache.datasketches.hll.HllSketch(12)))
-    def sketchLong(o: Int, v: Long): Unit = {
-      val j = ndvSlot(o)
-      if (j >= 0) sketches(j).update(v)
-    }
-    // datasketches update(String) silently SKIPS empty strings (verified in
-    // 6.2.0 bytecode) — but "" is a real distinct value. The NUL sentinel
-    // prefix keeps every value non-empty and is injective, so per-column
-    // distinctness is preserved exactly.
-    def sketchString(o: Int, v: String): Unit = {
-      val j = ndvSlot(o)
-      if (j >= 0) sketches(j).update("\u0000" + v)
-    }
-    val g: Group = factory.newGroup()
-    var o = 0
-    while (o < dataIdx.length) {
-      val i = dataIdx(o)
-      val ri = lead + i
-      if (!row.isNullAt(ri)) schema.fields(i).dataType match {
-        case LongType =>
-          val v = row.getLong(ri); g.add(o, v); accumulate(o, v); sketchLong(o, v)
-        case IntegerType =>
-          val v = row.getInt(ri); g.add(o, v); accumulate(o, v.toLong)
-          sketchLong(o, v.toLong)
-        case DateType =>
-          val v = row.getInt(ri); g.add(o, v); sketchLong(o, v.toLong)
-        case DoubleType => g.add(o, row.getDouble(ri))
-        case FloatType => g.add(o, row.getFloat(ri))
-        case BooleanType => g.add(o, row.getBoolean(ri))
-        case StringType =>
-          val v = row.getUTF8String(ri).toString
-          g.add(o, v); sketchString(o, v)
-        case TimestampType | TimestampNTZType =>
-          val v = row.getLong(ri); g.add(o, v); sketchLong(o, v)
-        case dt => throw new IllegalStateException(s"unreachable: $dt")
+      val sketches =
+        if (nNdv == 0) null
+        else ndvAcc.getOrElseUpdate(key, Array.fill(nNdv)(
+          new org.apache.datasketches.hll.HllSketch(graft.icelite.Ndv.LgK)))
+      def sketchLong(o: Int, v: Long): Unit = {
+        val j = ndvSlot(o)
+        if (j >= 0) sketches(j).update(v)
       }
-      o += 1
+      // datasketches update(String) hashes UTF-8 bytes (verified in 6.2.0
+      // bytecode: getBytes(UTF_8) -> MurmurHash3, seed 9001) and silently
+      // SKIPS empty strings — but "" is a real distinct value. The 0x00
+      // sentinel byte prefix is the byte-level form of the version-"2"
+      // scheme's update("\u0000" + v): identical hashes, every value
+      // non-empty, injective — and it reads the UTF8String's bytes
+      // directly, no java.lang.String ever built.
+      def sketchUtf8(o: Int, u: org.apache.spark.unsafe.types.UTF8String): Unit = {
+        val j = ndvSlot(o)
+        if (j >= 0) {
+          val b = u.getBytes
+          val s = new Array[Byte](b.length + 1) // s(0) stays 0x00
+          System.arraycopy(b, 0, s, 1, b.length)
+          sketches(j).update(s)
+        }
+      }
+      var s = 0
+      while (s < statCols.length) {
+        val i = statCols(s)
+        val ri = lead + i
+        if (!row.isNullAt(ri)) schema.fields(i).dataType match {
+          case LongType =>
+            val v = row.getLong(ri); accumulate(i, v); sketchLong(i, v)
+          case IntegerType =>
+            val v = row.getInt(ri).toLong; accumulate(i, v); sketchLong(i, v)
+          case DateType => sketchLong(i, row.getInt(ri).toLong)
+          case TimestampType | TimestampNTZType => sketchLong(i, row.getLong(ri))
+          case StringType => sketchUtf8(i, row.getUTF8String(ri))
+          case _ => ()
+        }
+        s += 1
+      }
     }
-    current.write(g)
+    current.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -895,6 +908,81 @@ private[v2] class IceLiteDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+/** parquet-mr WriteSupport streaming `InternalRow` slices straight into the
+  * RecordConsumer — the replacement for the example Group API's per-row
+  * heap materialization (a `Group` object + boxed `add` per value + a
+  * `UTF8String.toString` per string value). Strings go UTF-8-bytes ->
+  * `Binary` with no String in between; every primitive rides its unboxed
+  * accessor. `lead` is the bookkeeping-column offset row-level rewrites
+  * prepend (fixed per task before the first file opens).
+  */
+private[v2] class InternalRowWriteSupport(
+    schema: StructType, messageType: MessageType, lead: Int)
+    extends WriteSupport[InternalRow] {
+
+  private var rc: RecordConsumer = _
+  private val names: Array[String] = schema.fields.map(_.name)
+  // dense type tags: an int tableswitch per value instead of a DataType
+  // pattern match (no megamorphic dispatch in the per-value loop)
+  private val TLong = 0; private val TInt = 1; private val TDouble = 2
+  private val TFloat = 3; private val TBool = 4; private val TString = 5
+  private val tags: Array[Int] = schema.fields.map(_.dataType match {
+    case LongType | TimestampType | TimestampNTZType => TLong
+    case IntegerType | DateType => TInt
+    case DoubleType => TDouble
+    case FloatType => TFloat
+    case BooleanType => TBool
+    case StringType => TString
+    case dt => throw new UnsupportedOperationException(
+      s"icelite DSv2 writer: unsupported type $dt")
+  })
+
+  override def init(conf: org.apache.hadoop.conf.Configuration)
+      : WriteSupport.WriteContext =
+    new WriteSupport.WriteContext(
+      messageType, java.util.Collections.emptyMap[String, String]())
+
+  override def prepareForWrite(consumer: RecordConsumer): Unit = rc = consumer
+
+  override def write(row: InternalRow): Unit = {
+    rc.startMessage()
+    var i = 0
+    while (i < tags.length) {
+      val ri = lead + i
+      if (!row.isNullAt(ri)) {
+        rc.startField(names(i), i)
+        tags(i) match {
+          case 0 => rc.addLong(row.getLong(ri))
+          case 1 => rc.addInteger(row.getInt(ri))
+          case 2 => rc.addDouble(row.getDouble(ri))
+          case 3 => rc.addFloat(row.getFloat(ri))
+          case 4 => rc.addBoolean(row.getBoolean(ri))
+          case _ =>
+            // fromReusedByteArray: getBytes usually yields a fresh copy,
+            // but MAY return the UTF8String's shared base array — the
+            // reused flag makes parquet's dictionary writer copy in that
+            // case instead of aliasing bytes we don't own
+            rc.addBinary(Binary.fromReusedByteArray(row.getUTF8String(ri).getBytes))
+        }
+        rc.endField(names(i), i)
+      }
+      i += 1
+    }
+    rc.endMessage()
+  }
+}
+
+/** Minimal ParquetWriter builder carrying [[InternalRowWriteSupport]] (the
+  * example-API `ExampleParquetWriter.builder` equivalent for InternalRow).
+  */
+private[v2] class InternalRowWriterBuilder(
+    path: Path, support: WriteSupport[InternalRow])
+    extends ParquetWriter.Builder[InternalRow, InternalRowWriterBuilder](path) {
+  override def self(): InternalRowWriterBuilder = this
+  override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+      : WriteSupport[InternalRow] = support
 }
 
 private[v2] object IceLiteDataWriter {

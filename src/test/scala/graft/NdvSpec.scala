@@ -60,9 +60,11 @@ class NdvSpec extends SparkSpec {
     // on empty tables too — Some(0.0) means "sketchable, zero rows"
     assert(tbl.approxDistinct("nope").isEmpty, "unknown column refuses")
     assert(tbl.approxDistinct("v").isEmpty, "double refuses even when empty")
-    // IceTable.append collects stats from footers only — no sketches —
-    // so the table-level estimate must refuse, not undercount
-    tbl.append(df)
+    // a file with NO sketch (gate disabled during its write) must refuse
+    // the whole-table estimate, not undercount
+    spark.conf.set("graft.ndv.columns", "")
+    try tbl.append(df)
+    finally spark.conf.unset("graft.ndv.columns")
     assert(tbl.approxDistinct("id").isEmpty,
       "a visible file without a sketch must refuse the estimate")
     // doubles are not sketch-eligible even through the DSv2 writer
@@ -106,5 +108,163 @@ class NdvSpec extends SparkSpec {
       "gated-in column still sketches")
     assert(t2.approxDistinct("status").isEmpty,
       "gated-out column refuses (no sketch recorded)")
+  }
+
+  test("NDV estimates survive maintenance: compact, rewriteDeletes, COW upsert, table-API append") {
+    val wh = scratch("ndv-maint")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, i % 89, s"u${i % 401}"))
+      .toDF("id", "grp", "user")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndvm", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndvm.warehouse", wh)
+    df.writeTo("ice_ndvm.lake.t").append()
+    val tbl = cat.loadTable("lake", "t")
+    def assertClose(c: String, exact: Long): Unit = {
+      val est = tbl.approxDistinct(c).getOrElse(fail(s"no estimate for $c"))
+      assert(math.abs(est - exact) <= math.max(1.0, exact * 0.05),
+        s"$c: estimate $est vs exact $exact breaches the 5% bound")
+    }
+    // ONE ROUTINE COMPACTION must not blind the table (the round-10
+    // weakness): the read-back sketcher re-records sketches for the
+    // rewritten files
+    tbl.compact(targetFiles = 2)
+    assertClose("id", 4000L); assertClose("grp", 89L); assertClose("user", 401L)
+    // copy-on-write upsert: rewritten candidate files sketch too, and the
+    // union reflects the POST-upsert values
+    val up = (3990L to 4200L).map(i => (i, -1L, "fresh")).toDF("id", "grp", "user")
+    tbl.upsert(up, Seq("id"))
+    assertClose("id", 4200L)
+    assertClose("user", 402L) // 401 originals + "fresh"
+    // MOR delete then rewriteDeletes: the fold rewrites affected files and
+    // the estimate still answers (written-rows upper-bound semantics)
+    tbl.deleteWhereMor(Seq(org.apache.spark.sql.sources.LessThan("id", 5L)))
+    tbl.rewriteDeletes()
+    assert(tbl.approxDistinct("grp").isDefined,
+      "estimate must survive a position-delete fold")
+    // plain table-API append sketches through the same funnel
+    tbl.append(Seq((9001L, 7L, "api")).toDF("id", "grp", "user"))
+    assertClose("id", 4197L) // 4196 survivors + the appended id
+  }
+
+  test("NDV resolves era physical names after RENAME and zero-contributes pre-ADD-COLUMN files") {
+    val wh = scratch("ndv-ddl")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"s${i % 37}")).toDF("id", "tag")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndvd", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndvd.warehouse", wh)
+    df.writeTo("ice_ndvd.lake.t").append()
+    // RENAME: the old files' sketches are keyed under the OLD name — the
+    // estimate must resolve the file-era physical name, not refuse
+    spark.sql("ALTER TABLE ice_ndvd.lake.t RENAME COLUMN tag TO label")
+    val t1 = cat.loadTable("lake", "t")
+    val est = t1.approxDistinct("label").getOrElse(fail("rename blinded the NDV"))
+    assert(math.abs(est - 37.0) <= 2.0, s"label estimate $est vs exact 37")
+    // ADD COLUMN: pre-add files physically lack the column — zero
+    // contribution (NOT a refusal); post-add files sketch normally
+    spark.sql("ALTER TABLE ice_ndvd.lake.t ADD COLUMN note STRING")
+    val t2 = cat.loadTable("lake", "t")
+    assert(t2.approxDistinct("note").exists(e => math.abs(e) < 0.5),
+      "all files pre-add: distinct notes = 0")
+    (1L to 50L).map(i => (5000L + i, s"x$i", s"n${i % 11}"))
+      .toDF("id", "label", "note").writeTo("ice_ndvd.lake.t").append()
+    val t3 = cat.loadTable("lake", "t")
+    val estNote = t3.approxDistinct("note").getOrElse(fail("post-add append must estimate"))
+    assert(math.abs(estNote - 11.0) <= 1.0, s"note estimate $estNote vs exact 11")
+    // renamed column still estimates across both eras (old sketches under
+    // 'tag', new under 'label')
+    val estLabel = t3.approxDistinct("label").getOrElse(fail("mixed-era label refused"))
+    assert(math.abs(estLabel - 87.0) <= 5.0, s"label estimate $estLabel vs exact 87")
+  }
+
+  test("CBO column statistics flow from manifest sketches into the optimized plan") {
+    val wh = scratch("ndv-cbo")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (1L to 1000L).map(i =>
+      (i, if (i % 10 == 0) null else s"u${i % 41}")).toDF("id", "user")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_cbo", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_cbo.warehouse", wh)
+    df.writeTo("ice_cbo.lake.t").append()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val q = spark.table("ice_cbo.lake.t")
+      val rel = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.headOption.getOrElse(fail("no DSv2 scan relation in the plan"))
+      val attrStats = rel.stats.attributeStats
+      assert(attrStats.nonEmpty, "CBO must see manifest column statistics")
+      val idStat = attrStats.toSeq.collectFirst {
+        case (a, s) if a.name == "id" => s
+      }.getOrElse(fail("no column stat for id"))
+      assert(idStat.distinctCount.exists(d =>
+        math.abs(d.toDouble - 1000.0) <= 50.0),
+        s"id distinctCount ${idStat.distinctCount} should be ~1000 (sketch union)")
+      assert(idStat.nullCount.contains(BigInt(0)), "id has no nulls")
+      assert(idStat.min.contains(1L) && idStat.max.contains(1000L),
+        s"id bounds ${idStat.min}/${idStat.max} should fold the manifest min/max")
+      val userStat = attrStats.toSeq.collectFirst {
+        case (a, s) if a.name == "user" => s
+      }.getOrElse(fail("no column stat for user"))
+      assert(userStat.distinctCount.exists(d => math.abs(d.toDouble - 41.0) <= 3.0))
+      assert(userStat.nullCount.contains(BigInt(100)),
+        s"user nullCount ${userStat.nullCount} should sum the footer stats (100)")
+      // CBO off: the per-column walk is skipped entirely (planning cost
+      // gate) — attribute stats stay empty
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val rel2 = spark.table("ice_cbo.lake.t").queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+      assert(rel2.stats.attributeStats.isEmpty)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  test(".stats metadata table serves NDV + null counts through SQL") {
+    val wh = scratch("ndv-sqlstats")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq((1L, 2.5, "a"), (2L, 3.5, null), (3L, 4.5, "a"))
+      .toDF("id", "v", "tag")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_sst", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_sst.warehouse", wh)
+    df.writeTo("ice_sst.lake.t").append()
+    val rows = spark.sql("SELECT * FROM ice_sst.lake.t.stats ORDER BY column")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4))).toMap
+    assert(rows.keySet == Set("id", "v", "tag"))
+    assert(rows("id")._1.contains(3L) && rows("id")._3, "id: ndv 3, sketched")
+    assert(rows("v")._1.isEmpty && !rows("v")._3, "double: no sketch, NULL ndv")
+    assert(rows("tag")._1.contains(1L), "tag: one distinct non-null value")
+    assert(rows("tag")._2.contains(1L), "tag: one null")
+  }
+
+  test("a column literally named __ndv_version never collides with the version marker") {
+    val wh = scratch("ndv-reserved")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "__ndv_version")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndvr", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndvr.warehouse", wh)
+    df.writeTo("ice_ndvr.lake.t").append()
+    val tbl = cat.loadTable("lake", "t")
+    // the reserved name is excluded from sketching everywhere: it refuses
+    // loudly instead of silently serving the marker's slot
+    assert(tbl.approxDistinct("__ndv_version").isEmpty,
+      "reserved marker name must refuse, not estimate")
+    // ...and its presence must not poison OTHER columns' sketches
+    assert(tbl.approxDistinct("id").exists(e => math.abs(e - 3.0) < 0.5),
+      "sibling columns sketch normally")
+    // maintenance read-back honors the exclusion the same way
+    tbl.compact()
+    assert(tbl.approxDistinct("__ndv_version").isEmpty)
+    assert(tbl.approxDistinct("id").exists(e => math.abs(e - 3.0) < 0.5))
   }
 }

@@ -46,7 +46,7 @@ class VecMathSpec extends SparkSpec {
 
   test("registered via SparkSessionExtensions wiring list") {
     assert(GraftFunctions.all.map(_._1) ==
-      Seq("quantized_cosine", "nfc_normalize", "zorder_key"))
+      Seq("quantized_cosine", "nfc_normalize", "zorder_key", "ndv_sketch"))
   }
 
   test("nfc_normalize composes decomposed sequences (codegen path)") {
