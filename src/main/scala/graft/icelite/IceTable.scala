@@ -366,7 +366,7 @@ class IceTable(
     // ONE routine compaction would erase the table's NDV coverage until a
     // full DSv2 rewrite. `graft.ndv.columns` scopes or disables the pass
     // exactly as it scopes the DSv2 writer.
-    val withNdv = Ndv.sketchFiles(spark, df.schema, stats, Ndv.gateConf)
+    val withNdv = Ndv.sketchFiles(spark, df.schema, stats, Ndv.gateConf(spark))
     (dataDir.toString, withNdv.sortBy(_.path))
   }
 

@@ -27,11 +27,14 @@ object Ndv {
     */
   val LgK = 12
 
-  /** Read the `graft.ndv.columns` gate from the active session (same
-    * default and spelling as the DSv2 writer factory).
+  /** Read the `graft.ndv.columns` gate from the GIVEN session (same default
+    * and spelling as the DSv2 writer factory). The session is explicit —
+    * `SparkSession.active` would read the wrong session's gate from a
+    * background thread or a multi-session JVM, silently sketching different
+    * columns than the write's own session configured.
     */
-  def gateConf: String =
-    scala.util.Try(SparkSession.active.conf.get("graft.ndv.columns", "*"))
+  def gateConf(spark: SparkSession): String =
+    scala.util.Try(spark.conf.get("graft.ndv.columns", "*"))
       .getOrElse("*")
 
   /** Attach version-"2" NDV sketches to freshly written files: ONE

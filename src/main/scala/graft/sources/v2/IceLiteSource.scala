@@ -1763,9 +1763,18 @@ private[v2] class IceLiteScan(
           val vs = perFile.flatten.flatten
           if (vs.isEmpty) None
           else {
-            implicit val ord: Ordering[Any] = (a: Any, b: Any) =>
-              java.lang.Double.compare(
-                a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+            // per-TYPE ordering: a lossy doubleValue fold would collapse
+            // longs beyond 2^53 to equal doubles and report a wrong bound
+            implicit val ord: Ordering[Any] = (a: Any, b: Any) => f.dataType match {
+              case LongType | TimestampType | TimestampNTZType =>
+                java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+              case IntegerType | DateType =>
+                Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+              case FloatType =>
+                java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+              case _ =>
+                java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+            }
             Some((vs.map(_._1).min, vs.map(_._2).max))
           }
         }
