@@ -273,6 +273,10 @@ object FilePrune {
       s.toDoubleOption.filterNot(_.isNaN).map(d => if (d == 0.0) 0.0 else d)
     case StringType => Some(s)
     case BooleanType => s.toBooleanOption
+    // decimal stats are encoded as scaled plain strings (FileStats);
+    // compare in exact BigDecimal space — never through a lossy double
+    case _: DecimalType =>
+      scala.util.Try(BigDecimal(new java.math.BigDecimal(s))).toOption
     case _ => None
   }
 
@@ -305,12 +309,21 @@ object FilePrune {
       case StringType => Some(x.toString)
       case BooleanType =>
         x match { case b: java.lang.Boolean => Some(b.booleanValue); case _ => None }
+      case _: DecimalType => x match {
+        // DSv2 filter literals carry java.math.BigDecimal for decimal
+        // columns; accept both wrappings, nothing lossy
+        case d: java.math.BigDecimal => Some(BigDecimal(d))
+        case d: BigDecimal => Some(d)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+        case _ => None
+      }
       case _ => None
     }
   }
 
   /** Compare two already-normalized domain values. */
   private def cmpDom(a: Any, b: Any): Int = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)

@@ -369,7 +369,30 @@ object FileStats {
   private def encodeMinMax(pt: PrimitiveType, mins: Seq[AnyRef],
       maxs: Seq[AnyRef]): Option[(String, String)] = {
     import PrimitiveType.PrimitiveTypeName._
+    // decimal columns (INT32/INT64/FIXED_LEN_BYTE_ARRAY physicals) encode
+    // SCALED plain strings ("123.45"), the domain FilePrune's decimal
+    // parse compares in — a raw unscaled long under the column name would
+    // be misread the moment any consumer assumed the logical domain
+    val decScale: Option[Int] = pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
+    def scaled(unscaled: java.math.BigInteger): String =
+      new java.math.BigDecimal(unscaled, decScale.get).toPlainString
     pt.getPrimitiveTypeName match {
+      case INT32 | INT64 if decScale.isDefined =>
+        val lo = mins.map(v => v.asInstanceOf[Number].longValue).min
+        val hi = maxs.map(v => v.asInstanceOf[Number].longValue).max
+        Some((scaled(java.math.BigInteger.valueOf(lo)),
+          scaled(java.math.BigInteger.valueOf(hi))))
+      case FIXED_LEN_BYTE_ARRAY | BINARY if decScale.isDefined =>
+        // sign-extended two's-complement big-endian bytes; numeric order
+        // is BigDecimal order, so reduce in the decoded domain
+        val los = mins.map(v => BigDecimal(new java.math.BigDecimal(
+          new java.math.BigInteger(v.asInstanceOf[Binary].getBytes), decScale.get)))
+        val his = maxs.map(v => BigDecimal(new java.math.BigDecimal(
+          new java.math.BigInteger(v.asInstanceOf[Binary].getBytes), decScale.get)))
+        Some((los.min.underlying.toPlainString, his.max.underlying.toPlainString))
       case INT32 | INT64 =>
         val lo = mins.map(v => v.asInstanceOf[Number].longValue).min
         val hi = maxs.map(v => v.asInstanceOf[Number].longValue).max

@@ -1999,6 +1999,55 @@ object IceliteOps {
         s.read.orc(out).orderBy("event_id")
       }),
 
+    // K35: DECIMAL + BINARY through the SQL write path end to end — the
+    // two types real lake schemas hit first beyond the flat primitives
+    // (the reference's Parquet path passes them through untouched,
+    // wr/src/component.py:102-105). CTAS stages decimal(12,2) (INT64
+    // physical) + binary columns through the staged DSv2 writer, INSERT
+    // INTO appends through the batch writer, and the read-back aggregates
+    // the round-tripped values. Decimals are constructed from exact
+    // strings (never a double cast) so Spark and DuckDB agree
+    // bit-for-bit; the binary column round-trips UTF-8 bytes. In-query
+    // assertion: the table schema preserves decimal(12,2)/binary.
+    QDef(
+      "k35_ice_sql_decimal_binary",
+      Some("""WITH src AS (
+             |  SELECT o_orderkey,
+             |    CAST(CAST(o_orderkey AS VARCHAR) || '.' ||
+             |      lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0')
+             |      AS DECIMAL(12,2)) AS price_dec,
+             |    encode(o_orderpriority) AS prio_bin
+             |  FROM orders)
+             |SELECT decode(prio_bin) AS prio, COUNT(*) AS n,
+             |  CAST(SUM(price_dec) AS VARCHAR) AS sum_price,
+             |  CAST(SUM(octet_length(prio_bin)) AS BIGINT) AS bin_bytes
+             |FROM src GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k35")
+        s.conf.set("spark.sql.catalog.icelite_k35", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k35.warehouse", wh)
+        t(s, dir, "orders").selectExpr(
+            "o_orderkey",
+            "CAST(concat(CAST(o_orderkey AS STRING), '.', " +
+              "lpad(CAST(o_custkey % 100 AS STRING), 2, '0')) " +
+              "AS DECIMAL(12,2)) AS price_dec",
+            "CAST(o_orderpriority AS BINARY) AS prio_bin")
+          .createOrReplaceTempView("src_k35")
+        s.sql("CREATE TABLE icelite_k35.lake.dec_t AS " +
+          "SELECT * FROM src_k35 WHERE o_orderkey % 2 = 0")
+        s.sql("INSERT INTO icelite_k35.lake.dec_t " +
+          "SELECT * FROM src_k35 WHERE o_orderkey % 2 <> 0")
+        val sch = s.table("icelite_k35.lake.dec_t").schema
+        require(sch("price_dec").dataType ==
+          org.apache.spark.sql.types.DecimalType(12, 2) &&
+          sch("prio_bin").dataType == org.apache.spark.sql.types.BinaryType,
+          s"schema must round-trip decimal/binary: $sch")
+        s.sql("""SELECT decode(prio_bin, 'UTF-8') AS prio, COUNT(*) AS n,
+                |  CAST(SUM(price_dec) AS STRING) AS sum_price,
+                |  SUM(length(prio_bin)) AS bin_bytes
+                |FROM icelite_k35.lake.dec_t GROUP BY 1 ORDER BY 1""".stripMargin)
+      }),
+
     // K2: parquet sink round trip (ex:50-55).
     QDef(
       "k2_parquet_sink",

@@ -151,6 +151,12 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // SQL-created tables must be SQL-writable: refuse an unsupported column
+    // type at CREATE TABLE, naming the column — not on the first INSERT
+    // (and never at task time). Nested-typed tables stay creatable through
+    // the Scala table API, whose DataFrame writes handle them.
+    IceLiteWriteSchema.validate(schema,
+      s"CREATE TABLE ${nsOf(ident)}.${ident.name()}")
     cat.createTable(nsOf(ident), ident.name(), schema,
       partitionSpecOf(partitions), sortedByOf(properties),
       storedPropsOf(properties))
@@ -164,12 +170,15 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
   // observe an empty or half-written table, and a failed query leaves the
   // previous table state untouched (Iceberg's StagingTableCatalog shape).
 
-  private def stage(ident: Identifier, info: TableInfo, mode: String): StagedTable =
-    new IceLiteStagedTable(warehouse, nsOf(ident), ident.name(),
-      StructType(info.columns().map(c =>
-        StructField(c.name(), c.dataType(), c.nullable()))),
+  private def stage(ident: Identifier, info: TableInfo, mode: String): StagedTable = {
+    val schema = StructType(info.columns().map(c =>
+      StructField(c.name(), c.dataType(), c.nullable())))
+    IceLiteWriteSchema.validate(schema,
+      s"CREATE/REPLACE TABLE ${nsOf(ident)}.${ident.name()}")
+    new IceLiteStagedTable(warehouse, nsOf(ident), ident.name(), schema,
       partitionSpecOf(info.partitions()), sortedByOf(info.properties()),
       storedPropsOf(info.properties()), mode)
+  }
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
     stage(ident, info, "create")
@@ -235,6 +244,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         require(!retired.contains(name),
           s"column name $name was previously dropped/renamed in $ns.$tbl and " +
             "cannot be re-added (old data files still carry it); use a new name")
+        IceLiteWriteSchema.validate(
+          StructType(Seq(StructField(name, add.dataType()))),
+          s"ALTER TABLE $ns.$tbl ADD COLUMN")
         schema = schema.add(name, add.dataType(), nullable = true)
         // addition ledger: files of eras <= the current snapshot provably
         // predate this column (same cutoff convention as renames) — the

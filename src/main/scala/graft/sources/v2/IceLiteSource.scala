@@ -1721,6 +1721,8 @@ private[v2] class IceLiteScan(
     case TimestampType | TimestampNTZType => s.toLongOption
     case DoubleType => s.toDoubleOption
     case FloatType => s.toDoubleOption.map(_.toFloat)
+    case d: DecimalType => scala.util.Try(org.apache.spark.sql.types.Decimal(
+      BigDecimal(new java.math.BigDecimal(s)), d.precision, d.scale)).toOption
     case _ => None
   }
 
@@ -1772,6 +1774,9 @@ private[v2] class IceLiteScan(
                 Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
               case FloatType =>
                 java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+              case _: DecimalType =>
+                a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                  .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal])
               case _ =>
                 java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
             }

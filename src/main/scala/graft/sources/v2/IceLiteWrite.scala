@@ -74,6 +74,10 @@ private[v2] class IceLiteWriteBuilder(
   }
 
   override def build(): Write = {
+    // fail-fast type gate, driver-side at plan time: a table created (or
+    // widened) through the Scala table API can carry columns this writer
+    // has no layout for — refuse HERE, naming the column, never per-task
+    IceLiteWriteSchema.validate(info.schema(), s"write to $ns.$table")
     val dir = new Path(new Path(warehouse, ns), table)
     val meta = MetaIo.read(fs = dir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration), tableDir = dir)
@@ -121,6 +125,104 @@ private[v2] class IceLiteWriteBuilder(
         info.queryId(), upsertKeys),
       sortOrder = meta.sortOrder,
       transformsResolvable = viaCatalog)
+  }
+}
+
+/** The SQL/DSv2 write path's type surface — one definition shared by the
+  * parquet schema builder, the per-row write support, the catalog's
+  * CREATE/ALTER validation, and the write builders' driver-side fail-fast
+  * check, so a type added to one side cannot silently go missing from
+  * another. Matches the scan's decode surface: every layout written here is
+  * one Spark's vectorized parquet reader (the scan's decoder) reads
+  * natively — decimals as INT32/INT64/FIXED_LEN_BYTE_ARRAY per precision
+  * (Spark's own parquet layout), byte/short as annotated INT32, binary as
+  * plain BINARY.
+  *
+  * Validation runs DRIVER-side, before any task launches: at
+  * `CREATE TABLE` / CTAS staging (the earliest a user can declare an
+  * unsupported column) and again at write-build time (tables created
+  * through the Scala table API can carry nested columns — the DataFrame
+  * path writes them via Spark's native writer — so an `INSERT INTO` such a
+  * table must fail here, naming the column, not per-task).
+  */
+private[v2] object IceLiteWriteSchema {
+
+  def writable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Fail fast, naming every offending column: nothing worse than a write
+    * that plans, launches tasks, and dies per-task on the first row.
+    */
+  def validate(schema: StructType, context: String): Unit = {
+    val bad = schema.fields.filterNot(f => writable(f.dataType))
+    require(bad.isEmpty,
+      s"$context: column${if (bad.length > 1) "s" else ""} " +
+        bad.map(f => s"${f.name} (${f.dataType.simpleString})").mkString(", ") +
+        " cannot be written by the icelite SQL/DSv2 path (supported: " +
+        "boolean, byte/short/int/long, float/double, decimal, string, " +
+        "binary, date, timestamp, timestamp_ntz); nested types stay on the " +
+        "DataFrame table API, whose writes ride Spark's native parquet writer")
+  }
+
+  /** Smallest two's-complement byte width holding any unscaled value of the
+    * given decimal precision — the FIXED_LEN_BYTE_ARRAY length for
+    * precision > 18 (identical to Spark's own minBytesForPrecision table,
+    * derived here from first principles: bitLength(10^p - 1) + sign bit).
+    */
+  private val MinBytes: Array[Int] = (0 to 38).map { p =>
+    if (p == 0) 1
+    else (java.math.BigInteger.TEN.pow(p)
+      .subtract(java.math.BigInteger.ONE).bitLength + 1 + 7) / 8
+  }.toArray
+
+  def minBytesForPrecision(p: Int): Int = MinBytes(p)
+
+  /** The parquet schema for a Spark write schema — layouts chosen to be
+    * exactly what the vectorized reader decodes for each Spark type.
+    */
+  def messageTypeOf(schema: StructType): MessageType = {
+    import PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t: Type = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case ShortType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
+        case ByteType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType => Types.optional(BINARY).named(f.name)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+          .named(f.name)
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+          .named(f.name)
+        case d: DecimalType if d.precision <= 9 => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
+        case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
+        case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
+          .length(minBytesForPrecision(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
+        case dt => throw new UnsupportedOperationException(
+          s"icelite DSv2 writer: unsupported type $dt for ${f.name}")
+      }
+      b.addField(t)
+    }
+    b.named("icelite")
   }
 }
 
@@ -633,32 +735,7 @@ private[v2] class IceLiteDataWriter(
   private val dataSchema = schema
   private val dataIdx: Array[Int] = schema.fields.indices.toArray
 
-  private val messageType: MessageType = {
-    val b = Types.buildMessage()
-    dataSchema.fields.foreach { f =>
-      val t: Type = f.dataType match {
-        case LongType => Types.optional(PrimitiveType.PrimitiveTypeName.INT64).named(f.name)
-        case IntegerType => Types.optional(PrimitiveType.PrimitiveTypeName.INT32).named(f.name)
-        case DoubleType => Types.optional(PrimitiveType.PrimitiveTypeName.DOUBLE).named(f.name)
-        case FloatType => Types.optional(PrimitiveType.PrimitiveTypeName.FLOAT).named(f.name)
-        case BooleanType => Types.optional(PrimitiveType.PrimitiveTypeName.BOOLEAN).named(f.name)
-        case StringType => Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case DateType => Types.optional(PrimitiveType.PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case TimestampType => Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
-          .named(f.name)
-        case TimestampNTZType => Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
-          .named(f.name)
-        case dt => throw new UnsupportedOperationException(
-          s"icelite DSv2 writer: unsupported type $dt for ${f.name}")
-      }
-      b.addField(t)
-    }
-    b.named("icelite")
-  }
+  private val messageType: MessageType = IceLiteWriteSchema.messageTypeOf(dataSchema)
 
   // open writers keyed by relative partition dir ("" = unpartitioned).
   // Identity specs hold at most ONE entry (rows arrive sorted by the
@@ -928,6 +1005,8 @@ private[v2] class InternalRowWriteSupport(
   // pattern match (no megamorphic dispatch in the per-value loop)
   private val TLong = 0; private val TInt = 1; private val TDouble = 2
   private val TFloat = 3; private val TBool = 4; private val TString = 5
+  private val TShort = 6; private val TByte = 7; private val TBinary = 8
+  private val TDecInt = 9; private val TDecLong = 10; private val TDecFixed = 11
   private val tags: Array[Int] = schema.fields.map(_.dataType match {
     case LongType | TimestampType | TimestampNTZType => TLong
     case IntegerType | DateType => TInt
@@ -935,9 +1014,42 @@ private[v2] class InternalRowWriteSupport(
     case FloatType => TFloat
     case BooleanType => TBool
     case StringType => TString
+    case ShortType => TShort
+    case ByteType => TByte
+    case BinaryType => TBinary
+    case d: DecimalType =>
+      if (d.precision <= 9) TDecInt
+      else if (d.precision <= 18) TDecLong
+      else TDecFixed
     case dt => throw new UnsupportedOperationException(
       s"icelite DSv2 writer: unsupported type $dt")
   })
+  // decimal slot geometry (0 where the column is not a decimal): the
+  // InternalRow accessor needs (precision, scale), and the fixed layout
+  // needs its declared byte width for sign-extended padding
+  private val decPrecision: Array[Int] = schema.fields.map(_.dataType match {
+    case d: DecimalType => d.precision
+    case _ => 0
+  })
+  private val decScale: Array[Int] = schema.fields.map(_.dataType match {
+    case d: DecimalType => d.scale
+    case _ => 0
+  })
+  private val decFixedLen: Array[Int] = decPrecision.map(p =>
+    if (p > 18) IceLiteWriteSchema.minBytesForPrecision(p) else 0)
+
+  /** Sign-extend a minimal two's-complement unscaled value to exactly `n`
+    * bytes (big-endian) — the FIXED_LEN_BYTE_ARRAY encoding. The precision
+    * bound guarantees the minimal form fits in `n`.
+    */
+  private def fixedBytes(unscaled: java.math.BigInteger, n: Int): Array[Byte] = {
+    val raw = unscaled.toByteArray
+    val out = new Array[Byte](n)
+    if (unscaled.signum < 0)
+      java.util.Arrays.fill(out, 0, n - raw.length, -1.toByte)
+    System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+    out
+  }
 
   override def init(conf: org.apache.hadoop.conf.Configuration)
       : WriteSupport.WriteContext =
@@ -959,12 +1071,22 @@ private[v2] class InternalRowWriteSupport(
           case 2 => rc.addDouble(row.getDouble(ri))
           case 3 => rc.addFloat(row.getFloat(ri))
           case 4 => rc.addBoolean(row.getBoolean(ri))
-          case _ =>
+          case 5 =>
             // fromReusedByteArray: getBytes usually yields a fresh copy,
             // but MAY return the UTF8String's shared base array — the
             // reused flag makes parquet's dictionary writer copy in that
             // case instead of aliasing bytes we don't own
             rc.addBinary(Binary.fromReusedByteArray(row.getUTF8String(ri).getBytes))
+          case 6 => rc.addInteger(row.getShort(ri).toInt)
+          case 7 => rc.addInteger(row.getByte(ri).toInt)
+          case 8 => rc.addBinary(Binary.fromReusedByteArray(row.getBinary(ri)))
+          case 9 => rc.addInteger(
+            row.getDecimal(ri, decPrecision(i), decScale(i)).toUnscaledLong.toInt)
+          case 10 => rc.addLong(
+            row.getDecimal(ri, decPrecision(i), decScale(i)).toUnscaledLong)
+          case _ => rc.addBinary(Binary.fromConstantByteArray(fixedBytes(
+            row.getDecimal(ri, decPrecision(i), decScale(i))
+              .toJavaBigDecimal.unscaledValue(), decFixedLen(i))))
         }
         rc.endField(names(i), i)
       }
@@ -1098,13 +1220,16 @@ private[v2] class IceLiteStagedTable(
           s"staged table $ns.$tbl accepts only a full-overwrite condition")
         this
       }
-      override def build(): Write = IceLiteWriteShape.of(
-        partitionBy,
-        stagedBatch(info.schema()),
-        throw new UnsupportedOperationException(
-          s"streaming write into staged table $ns.$tbl"),
-        sortOrder = sortedBy,
-        transformsResolvable = true)
+      override def build(): Write = {
+        IceLiteWriteSchema.validate(info.schema(), s"CTAS into $ns.$tbl")
+        IceLiteWriteShape.of(
+          partitionBy,
+          stagedBatch(info.schema()),
+          throw new UnsupportedOperationException(
+            s"streaming write into staged table $ns.$tbl"),
+          sortOrder = sortedBy,
+          transformsResolvable = true)
+      }
     }
 
   private def stagedBatch(in: StructType): BatchWrite = new BatchWrite {

@@ -786,4 +786,83 @@ class CatalogSpec extends SparkSpec {
       s"SELECT * FROM icelite_appends('$wh', 'lake.cdct', 'v1')")
       .count() == 15)
   }
+
+  test("SQL type surface: decimal+binary round-trip; nested types fail fast, named") {
+    val wh = configure("types")
+    val cat = new IceCatalog(spark, wh)
+    // CREATE TABLE with a MAP column fails at DDL time, naming the column —
+    // never on the first INSERT, never per-task
+    val exMap = intercept[Exception](spark.sql(
+      "CREATE TABLE icecat_types.lake.bad (id BIGINT, m MAP<STRING, INT>)"))
+    assert(exMap.getMessage.contains("m (map<string,int>"), s"$exMap")
+    assert(!cat.tableExists("lake", "bad"), "failed CREATE must be inert")
+    // CTAS with an array column fails at staging, before any task launches
+    val exCtas = intercept[Exception](spark.sql(
+      "CREATE TABLE icecat_types.lake.badc AS SELECT array(1, 2) AS arr"))
+    assert(exCtas.getMessage.contains("arr (array<int>"), s"$exCtas")
+    assert(!cat.tableExists("lake", "badc"), "failed CTAS must be inert")
+    // ALTER ADD COLUMN of a nested type is refused the same way
+    spark.sql("CREATE TABLE icecat_types.lake.t (id BIGINT)")
+    val exAdd = intercept[Exception](spark.sql(
+      "ALTER TABLE icecat_types.lake.t ADD COLUMN m MAP<STRING, INT>"))
+    assert(exAdd.getMessage.contains("m (map<string,int>"), s"$exAdd")
+    // a table created through the SCALA API can carry nested columns (the
+    // DataFrame path writes them natively) — INSERT INTO it must fail at
+    // write-BUILD time naming the column, and leave no snapshot behind
+    import spark.implicits._
+    val nested = Seq((1L, Seq("a", "b"))).toDF("id", "tags")
+    val tblNested = cat.createTable("lake", "nested_t", nested.schema)
+    tblNested.append(nested) // DataFrame path handles the array fine
+    val exIns = intercept[Exception](spark.sql(
+      "INSERT INTO icecat_types.lake.nested_t VALUES (2L, array('c'))"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(exIns).exists(_.contains("tags (array<string>")), s"$exIns")
+    assert(cat.loadTable("lake", "nested_t").snapshots.length == 1,
+      "failed INSERT must not commit")
+    // the full supported surface round-trips exactly through SQL writes:
+    // wide decimal (FIXED_LEN_BYTE_ARRAY physical), narrow decimal (INT32),
+    // binary (incl. non-UTF8 bytes), smallint/tinyint, and NULLs of each
+    spark.sql("CREATE TABLE icecat_types.lake.wide (" +
+      "id BIGINT, amt DECIMAL(25,4), pct DECIMAL(5,2), b BINARY, " +
+      "s SMALLINT, y TINYINT)")
+    spark.sql("INSERT INTO icecat_types.lake.wide VALUES " +
+      "(1, CAST('123456789012345678901.2345' AS DECIMAL(25,4)), " +
+      " CAST('99.99' AS DECIMAL(5,2)), CAST('ab' AS BINARY), " +
+      " CAST(7 AS SMALLINT), CAST(3 AS TINYINT)), " +
+      "(2, CAST('-0.0001' AS DECIMAL(25,4)), CAST('-1.50' AS DECIMAL(5,2)), " +
+      " X'00FF', NULL, NULL), " +
+      "(3, NULL, NULL, NULL, CAST(-8 AS SMALLINT), CAST(-2 AS TINYINT))")
+    val rows = spark.table("icecat_types.lake.wide").orderBy("id").collect()
+    assert(rows(0).getDecimal(1) ==
+      new java.math.BigDecimal("123456789012345678901.2345"))
+    assert(rows(0).getDecimal(2) == new java.math.BigDecimal("99.99"))
+    assert(new String(rows(0).getAs[Array[Byte]](3), "UTF-8") == "ab")
+    assert(rows(0).getShort(4) == 7 && rows(0).getByte(5) == 3)
+    assert(rows(1).getDecimal(1) == new java.math.BigDecimal("-0.0001"))
+    assert(rows(1).getAs[Array[Byte]](3).toSeq ==
+      Seq(0x00.toByte, 0xff.toByte), "non-UTF8 binary must round-trip")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+    assert(rows(2).getShort(4) == -8 && rows(2).getByte(5) == -2)
+    // decimal footer stats encode in the SCALED domain and prune files:
+    // the manifest min/max of amt must be plain decimal strings
+    val wideTbl = cat.loadTable("lake", "wide")
+    val stats = wideTbl.visibleFiles(wideTbl.meta.currentSnapshot.get)
+    val amtMins = stats.flatMap(_.min.get("amt"))
+    assert(amtMins.nonEmpty && amtMins.forall(_.contains(".")),
+      s"decimal stats must be scaled plain strings, got $amtMins")
+    // and FilePrune compares them in exact BigDecimal space
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val schemaW = spark.table("icecat_types.lake.wide").schema
+    val statOne = graft.icelite.FileStat("f", rows = 3, bytes = 0,
+      min = Map("amt" -> "10.0000"), max = Map("amt" -> "99.9999"))
+    assert(!graft.icelite.FilePrune.canMatch(
+      EqualTo("amt", new java.math.BigDecimal("5.0000")), schemaW, statOne),
+      "out-of-range decimal equality must prune")
+    assert(graft.icelite.FilePrune.canMatch(
+      EqualTo("amt", new java.math.BigDecimal("50.0000")), schemaW, statOne))
+    assert(!graft.icelite.FilePrune.canMatch(
+      GreaterThan("amt", new java.math.BigDecimal("100.0000")), schemaW, statOne),
+      "decimal range disjointness must prune")
+  }
 }
