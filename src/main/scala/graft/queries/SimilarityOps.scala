@@ -551,7 +551,14 @@ object SimilarityOps {
     // Scale shape: comparisons are CLUSTER-LOCAL by construction — the
     // pairwise join's key IS the cluster id, so cost is sum(|cluster|^2),
     // never corpus^2 (that bound is SemDeDup's entire point; PlanSpec
-    // asserts every join is cluster-keyed). The greedy keep-set fold is
+    // "x41: SemDeDup — every join is cluster-keyed" asserts it on the
+    // executed plan: each join node keyed on the cluster id, no
+    // BroadcastNestedLoopJoin/CartesianProduct anywhere). The per-cluster
+    // near-pair array is capped (graft.x41.predsCap) with a loud refusal:
+    // a near-duplicate-saturated mega-cluster would otherwise materialize
+    // O(|cluster|^2) pair structs in ONE row — the remedy is finer
+    // clustering (more centroids), which is also what SemDeDup's cost
+    // bound assumes. The greedy keep-set fold is
     // row-local per cluster over rank order. Deterministic cross-engine:
     // assignment in micro-quantized integer space (x36), cosine in 20-bit
     // fixed point (x5/x6's bit-identical double formulation), greedy
@@ -643,8 +650,21 @@ object SimilarityOps {
           .filter(call_function("quantized_cosine", col("ea"), col("eb")) > tau)
           .select(col("cluster"), col("rb"), col("ra"), col("va"))
         val sizes = ranked.groupBy("cluster").agg(max("rn").as("n"))
+        // bounded-cluster contract, enforced in-query at zero added cost
+        // (the size check rides the same aggregation): one saturated
+        // mega-cluster would put O(|cluster|^2) pair structs in a single
+        // row — refuse loudly with the remedy instead of OOMing a task
+        val predsCap = s.conf.get("graft.x41.predsCap", "1000000").toInt
         val preds = pairs.groupBy("cluster")
-          .agg(collect_list(struct(col("rb"), col("ra"))).as("preds"))
+          .agg(collect_list(struct(col("rb"), col("ra"))).as("preds0"))
+          .select(col("cluster"),
+            when(size(col("preds0")) <= predsCap, col("preds0"))
+              .otherwise(raise_error(concat(
+                lit("x41: cluster "), col("cluster"), lit(" holds "),
+                size(col("preds0")),
+                lit(s" near-duplicate pairs, over graft.x41.predsCap=" +
+                  s"$predsCap — re-cluster with more centroids (smaller " +
+                  "clusters) or raise the cap")))).as("preds"))
         // greedy keep-set per cluster, ROW-LOCAL: fold rank order once,
         // keeping r iff no already-kept predecessor is near it. A cluster
         // with no near pairs has NULL preds -> exists() yields NULL ->

@@ -134,6 +134,22 @@ class PlanSpec extends SparkSpec {
       s"expected map-side-combined aggregates:\n$s")
   }
 
+  test("x41: SemDeDup — every join is cluster-keyed; no all-pairs operator") {
+    val s = finalPlan(SparkEntry.queries("x41_semdedup")(spark, sfDir))
+    // SemDeDup's entire cost bound is sum(|cluster|^2): nothing may ever
+    // compare vectors across clusters, so no all-pairs operator exists...
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"SemDeDup must never do cross-cluster all-pairs work:\n$s")
+    // ...and EVERY equi-join in the executed plan carries the cluster id in
+    // its key set (the evidence join spells its right side `ec`)
+    val joinLines = s.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.nonEmpty, s"expected cluster-keyed joins in:\n$s")
+    joinLines.foreach(l => assert(l.contains("cluster#") || l.contains("ec#"),
+      s"every join must be keyed on the cluster id; offending node:\n$l"))
+  }
+
   test("x36: k-means assignment is row-local — no join, no assignment shuffle") {
     val s = finalPlan(SparkEntry.queries("x36_kmeans_cluster")(spark, sfDir))
     // centroids ride in as literals: the assignment pass must plan NO join
