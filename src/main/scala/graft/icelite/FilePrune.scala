@@ -274,9 +274,18 @@ object FilePrune {
     case StringType => Some(s)
     case BooleanType => s.toBooleanOption
     // decimal stats are encoded as scaled plain strings (FileStats);
-    // compare in exact BigDecimal space — never through a lossy double
-    case _: DecimalType =>
-      scala.util.Try(BigDecimal(new java.math.BigDecimal(s))).toOption
+    // compare in exact BigDecimal space — never through a lossy double.
+    // Legacy-domain guard: manifests written before the scaled encoder
+    // recorded INT32/INT64-physical decimal bounds as raw UNSCALED longs
+    // (the generic integer branch). There is no stats-version marker, but
+    // for scale>0 the scaled encoder's toPlainString ALWAYS emits a '.',
+    // so a dot-less stat under scale>0 is provably legacy — refuse it
+    // (None => conservative no-prune, the pre-scaled behavior) instead of
+    // misreading "12345" as 12345 when the file really holds 123.45 and
+    // silently pruning matching rows. scale=0 domains coincide: no guard.
+    case d: DecimalType =>
+      if (d.scale > 0 && !s.contains('.')) None
+      else scala.util.Try(BigDecimal(new java.math.BigDecimal(s))).toOption
     case _ => None
   }
 

@@ -1721,8 +1721,13 @@ private[v2] class IceLiteScan(
     case TimestampType | TimestampNTZType => s.toLongOption
     case DoubleType => s.toDoubleOption
     case FloatType => s.toDoubleOption.map(_.toFloat)
-    case d: DecimalType => scala.util.Try(org.apache.spark.sql.types.Decimal(
-      BigDecimal(new java.math.BigDecimal(s)), d.precision, d.scale)).toOption
+    // dot-less under scale>0 = legacy UNSCALED stat (pre-scaled-encoder
+    // manifests; see FilePrune.parseStat) — refuse rather than feed CBO a
+    // bound inflated by 10^scale
+    case d: DecimalType =>
+      if (d.scale > 0 && !s.contains('.')) None
+      else scala.util.Try(org.apache.spark.sql.types.Decimal(
+        BigDecimal(new java.math.BigDecimal(s)), d.precision, d.scale)).toOption
     case _ => None
   }
 

@@ -1298,4 +1298,44 @@ class IceliteSpec extends SparkSpec {
     assert(stats.head.rows == 3 && stats.head.min("k") == "1")
     assert(stats.head.sums.isEmpty && stats.head.sumOf("k").isEmpty)
   }
+
+  test("legacy UNSCALED decimal stats never prune (dot-less under scale>0)") {
+    // manifests written before the scaled decimal encoder recorded
+    // INT32/INT64-physical decimal min/max as raw unscaled longs: a
+    // decimal(12,2) file holding 0.50..0.99 carries stats "50".."99".
+    // Parsed in the scaled domain those bounds are inflated 100x and
+    // WHERE amt = 0.75 would prune the file — silent wrong rows. The
+    // guard: under scale>0 the scaled encoder's toPlainString always
+    // emits a '.', so a dot-less stat is provably legacy and must read
+    // as unparseable => conservative no-prune (the pre-encoder behavior).
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    import graft.icelite.{FilePrune, FileStat}
+    val schema = StructType(Seq(
+      StructField("amt", DecimalType(12, 2)),
+      StructField("qty", DecimalType(10, 0))))
+    val legacy = FileStat("f", rows = 5, bytes = 0,
+      min = Map("amt" -> "50", "qty" -> "50"),
+      max = Map("amt" -> "99", "qty" -> "99"))
+    // scale>0 + dot-less stat => the file must be KEPT for every bound
+    assert(FilePrune.canMatch(
+      EqualTo("amt", new java.math.BigDecimal("0.75")), schema, legacy),
+      "legacy unscaled decimal stat must not prune a matching file")
+    assert(FilePrune.canMatch(
+      LessThan("amt", new java.math.BigDecimal("0.60")), schema, legacy))
+    assert(FilePrune.canMatch(
+      GreaterThan("amt", new java.math.BigDecimal("1000000.00")), schema, legacy))
+    // scale=0: unscaled and scaled domains coincide — pruning stays exact
+    assert(!FilePrune.canMatch(
+      EqualTo("qty", new java.math.BigDecimal("7")), schema, legacy),
+      "scale-0 decimal stats are domain-safe and must still prune")
+    assert(FilePrune.canMatch(
+      EqualTo("qty", new java.math.BigDecimal("75")), schema, legacy))
+    // new-format (dot-full) stats under scale>0 keep pruning exactly
+    val modern = legacy.copy(
+      min = Map("amt" -> "0.50"), max = Map("amt" -> "0.99"))
+    assert(!FilePrune.canMatch(
+      EqualTo("amt", new java.math.BigDecimal("0.25")), schema, modern))
+    assert(FilePrune.canMatch(
+      EqualTo("amt", new java.math.BigDecimal("0.75")), schema, modern))
+  }
 }

@@ -146,7 +146,10 @@ class PlanSpec extends SparkSpec {
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin")).toSeq
     assert(joinLines.nonEmpty, s"expected cluster-keyed joins in:\n$s")
-    joinLines.foreach(l => assert(l.contains("cluster#") || l.contains("ec#"),
+    // anchored: `vec#123` must NOT satisfy the `ec#` alternative — only a
+    // whole attribute named `cluster` or `ec` counts as the cluster key
+    val clusterKey = "(?<![A-Za-z0-9_])(cluster|ec)#".r
+    joinLines.foreach(l => assert(clusterKey.findFirstIn(l).isDefined,
       s"every join must be keyed on the cluster id; offending node:\n$l"))
   }
 
