@@ -128,6 +128,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "ndv_sketch(col) takes one column")
         NdvSketchAgg(args.head)
+      }),
+    ("bpe_encode",
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bpe_encode(word, merges) takes a string and a literal array<array<string>>")
+        BpeEncode(args.head, args(1))
       }))
 
   /** Imperative registration into an existing session (idempotent). */

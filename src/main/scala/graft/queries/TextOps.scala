@@ -820,8 +820,67 @@ object TextOps {
     QDef(
       "x38_bpe_train",
       None,
-      (s, dir) => bpeTrain(s, dir, merges = 15))
+      (s, dir) => bpeTrain(s, dir, merges = 15)),
+
+    // BPE tokenizer ENCODE (round 13) — the APPLY side of x38: turn the
+    // learned merge table into per-document token counts, the pass every
+    // shipped tokenizer runs over the whole corpus. Train once (one corpus
+    // pass + the vocab-sized merge loop), collect the MERGE-COUNT-sized
+    // table (15 rows here, 32k-100k in production — never data- or
+    // vocab-sized), and apply it row-locally via the native `BpeEncode`
+    // expression: per word, repeatedly fold the lowest-rank adjacent pair
+    // left-to-right (the priority formulation; equivalent to sequential
+    // rank replay for trained tables — see BpeTable's scaladoc, proven in
+    // TextBpeSpec). Zero shuffle beyond the final orderBy; the merge table
+    // ships closure-side once per task binary. Losslessness is asserted
+    // IN-QUERY: the tokens of every word must concatenate back to the
+    // document's whitespace-joined text, so a wrong segmentation cannot
+    // return silently. No SQL oracle (DuckDB would have to replay the
+    // iterative fold); TextBpeSpec proves the encoder equals an
+    // independent sequential reference implementation word-for-word, and
+    // the driver's rows>0 check gates the query.
+    QDef(
+      "x40_bpe_encode",
+      None,
+      (s, dir) => {
+        val learned = bpeTrain(s, dir, merges = 15).collect() // bounded: merge-count rows
+          .sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        encodeBpe(t(s, dir, "documents"), learned)
+      })
   )
+
+  /** Corpus pass of x40: whitespace words -> BPE tokens per document, with
+    * the in-query losslessness proof. Factored out so TextBpeSpec can
+    * drive it with an independently-learned table.
+    */
+  private[graft] def encodeBpe(docs: DataFrame,
+      learned: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // idempotent
+    // the merge table rides the plan as ONE foldable literal — evaluated
+    // once per BpeEncode instance into the rank map, never per row
+    val mergesLit = typedlit(learned.map { case (l, r) => Seq(l, r) })
+    val enc = (w: Column) => call_function("bpe_encode", w, mergesLit)
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)")
+          .as("words"))
+      .select(col("doc_id"), col("lang"), col("words"),
+        flatten(transform(col("words"), enc)).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("words")).as("n_words"),
+        // the defining expression of n_tokens carries the losslessness
+        // check (not a separate column Catalyst could prune away):
+        // concatenated tokens must rebuild the concatenated words exactly
+        when(array_join(col("toks"), "") === array_join(col("words"), ""),
+          size(col("toks")))
+          .otherwise(raise_error(concat(lit("x40: BPE tokens fail to "),
+            lit("reassemble doc "), col("doc_id").cast("string"))))
+          .as("n_tokens"),
+        aggregate(transform(col("words"), w => length(w)),
+          lit(0), (a, x) => a + x).as("n_codepoints"))
+      .orderBy("doc_id")
+  }
 
   /** One live persisted BPE word table per session (released on rebuild —
     * the lazily-returned-DataFrame discipline, see DedupOps.liveArrays).

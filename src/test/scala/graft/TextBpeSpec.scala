@@ -100,4 +100,81 @@ class TextBpeSpec extends SparkSpec {
     assert(got.map(_._1) == (1 to got.length))
     assert(got.forall { case (_, l, r, m, _) => m == l + r })
   }
+
+  // x40's encode reference: Sennrich's SEQUENTIAL replay — each learned
+  // merge applied once, in rank order, left-to-right non-overlapping (the
+  // trainer's own apply step). The production BpeEncode runs the PRIORITY
+  // formulation instead (repeatedly fold the lowest-rank pair present);
+  // the two coincide for any TRAINED table because a merge's component
+  // symbols are always learned at strictly lower ranks — this test proves
+  // that equivalence word-for-word on the real corpus.
+  private def refEncode(merges: Seq[(String, String)])(w: String): Vector[String] = {
+    var syms = cps(w)
+    merges.foreach { case (l, r) =>
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          buf += (l + r); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      syms = buf.result()
+    }
+    syms
+  }
+
+  test("x40: native BPE encode equals the sequential reference word-for-word") {
+    import org.apache.spark.sql.Row
+    val docs = graft.queries.QUtil.t(spark, sfDir, "documents")
+    val wordFreqs = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceMerges(wordFreqs, 15).map(t => (t._2, t._3))
+    assert(merges.nonEmpty)
+    val ref = refEncode(merges) _
+
+    // 1) word-level: the native expression over every distinct corpus word
+    graft.functions.GraftFunctions.register(spark)
+    val mergesLit = typedlit(merges.map { case (l, r) => Seq(l, r) })
+    val wordsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(wordFreqs.keys.toSeq.map(Row(_)), 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
+    val got = wordsDf
+      .select(col("w"), call_function("bpe_encode", col("w"), mergesLit).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    wordFreqs.keys.foreach { w =>
+      assert(got(w) == ref(w),
+        s"encode diverges for word '$w': got=${got(w)} exp=${ref(w)}")
+    }
+    // surrogate-pair safety: a supplementary-plane word must split on code
+    // points, not UTF-16 units (no learned merge touches it -> identity)
+    val emoji = spark.range(1).select(
+      call_function("bpe_encode", lit("😀a"), mergesLit).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(emoji == Seq("😀", "a") || emoji == Seq("😀a"),
+      s"code-point split sheared a surrogate pair: $emoji")
+
+    // 2) document-level: the x40 corpus pass agrees with per-word sums and
+    //    its in-query losslessness check passes end to end
+    val x40 = graft.queries.TextOps.encodeBpe(docs, merges).collect()
+    assert(x40.nonEmpty)
+    val expTokens = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> (words.length, words.map(w => ref(w).length).sum,
+        words.map(w => cps(w).length).sum)
+    }.toMap
+    x40.foreach { r =>
+      val (nw, nt, ncp) = expTokens(r.getLong(0))
+      assert(r.getInt(2) == nw && r.getInt(3) == nt && r.getInt(4) == ncp,
+        s"doc ${r.getLong(0)}: got (${r.getInt(2)},${r.getInt(3)},${r.getInt(4)})" +
+          s" exp ($nw,$nt,$ncp)")
+    }
+    // merges must actually fire somewhere: total tokens < total codepoints
+    assert(x40.map(_.getInt(3)).sum < x40.map(_.getInt(4)).sum,
+      "no merge ever applied — encode is vacuous")
+  }
 }
