@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-group HLL NDV sketch (datasketches HllSketch, lgK=12, compact bytes)
   * — BIT-COMPATIBLE with the sketches the icelite DSv2 row-loop writer
-  * records into `FileStat.ndv` (version "2" hashing scheme), so a sketch
+  * records into `FileStat.ndv` (version "3" hashing scheme), so a sketch
   * aggregated by this expression unions losslessly with writer-recorded
   * ones. That compatibility is the whole point: the maintenance read-back
   * sketcher ([[graft.icelite.Ndv.sketchFiles]]) uses this aggregate to give
@@ -27,6 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    6.2.0 bytecode: MurmurHash3 over UTF-8, seed 9001) and silently skips
   *    empty strings — the writer's `update("\u0000" + v)` therefore equals
   *    this byte form exactly, and the sentinel keeps "" a countable value.
+  *  - double / float -> canonical double bits (`Ndv.doubleBits`: one NaN,
+  *    one zero; floats widen to double first), `update(Long)` — the v3
+  *    addition; every other type hashes bit-identically to v2.
   *  - NULLs never update (a sketch counts values, not rows).
   *
   * A TypedImperativeAggregate, not a UDAF: the buffer is the sketch object
@@ -48,7 +51,7 @@ case class NdvSketchAgg(
   override def checkInputDataTypes(): TypeCheckResult =
     if (FileStats.ndvSketchable(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"ndv_sketch supports long/int/string/date/timestamp, got " +
+      s"ndv_sketch supports long/int/string/date/timestamp/double/float, got " +
         child.dataType.simpleString)
 
   override def createAggregationBuffer(): HllSketch =
@@ -66,6 +69,12 @@ case class NdvSketchAgg(
         val sentinel = new Array[Byte](b.length + 1) // [0] stays 0x00
         System.arraycopy(b, 0, sentinel, 1, b.length)
         buf.update(sentinel)
+      // v3: canonical double bits (one NaN, one zero); floats widen first
+      // so float->double widening unions consistently across file eras
+      case DoubleType =>
+        buf.update(graft.icelite.Ndv.doubleBits(v.asInstanceOf[Double]))
+      case FloatType =>
+        buf.update(graft.icelite.Ndv.doubleBits(v.asInstanceOf[Float].toDouble))
       case dt => throw new IllegalStateException(s"unreachable: $dt")
     }
     buf

@@ -49,6 +49,11 @@ object FileStats {
     dt match {
       case LongType | IntegerType | StringType | DateType |
            TimestampType | TimestampNTZType => true
+      // v3: floating metric columns sketch via canonical double bits
+      // (Ndv.doubleBits — one NaN, one zero); floats widen to double
+      // BEFORE hashing so a float->double type widening unions
+      // consistently (old files' float values ARE those doubles)
+      case DoubleType | FloatType => true
       case _ => false
     }
   }
@@ -80,12 +85,37 @@ object FileStats {
 
   /** Version marker stored alongside the per-column sketches in
     * FileStat.ndv: v2 = string values hashed with the NUL sentinel prefix
-    * (see the writer). Sketches from a DIFFERENT hashing scheme must not
-    * union — shared values would double-count — so approxDistinct refuses
-    * files whose marker doesn't match.
+    * (see the writer); v3 = v2 plus double/float eligibility (canonical
+    * double-bits hashing, [[Ndv.doubleBits]]). Sketches from a DIFFERENT
+    * hashing scheme must not union — shared values would double-count —
+    * so approxDistinct refuses files whose marker is incompatible with the
+    * queried column's type ([[ndvVersionOk]]).
     */
   val NdvVersionKey = "__ndv_version"
-  val NdvVersion = "2"
+  val NdvVersion = "3"
+  val NdvVersionV2 = "2"
+
+  /** Whether a file-level sketch written under `marker` may serve an
+    * estimate for a column of type `dt`. v3 is purely ADDITIVE over v2 —
+    * the hash of every v2-era type is bit-identical in v3 — so v2 files
+    * keep serving long/int/string/date/timestamp estimates (a marker bump
+    * must not erase a fleet's existing NDV coverage). Only the newly
+    * eligible floating types demand v3: a v2 file cannot carry a float
+    * sketch, and any OTHER marker (older scheme, corrupted, absent)
+    * refuses outright.
+    */
+  def ndvVersionOk(dt: org.apache.spark.sql.types.DataType,
+      marker: Option[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    marker match {
+      case Some(NdvVersion) => true
+      case Some(NdvVersionV2) => dt match {
+        case DoubleType | FloatType => false
+        case _ => true
+      }
+      case _ => false
+    }
+  }
 
 
   /** The complete data-file manifest of a snapshot: loaded from the

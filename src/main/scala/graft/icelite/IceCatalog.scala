@@ -98,6 +98,14 @@ object IceCatalog {
     Set("write.delete.mode", "write.update.mode", "write.merge.mode")
   private val WriteModes = Set("copy-on-write", "merge-on-read")
 
+  /** Table-property spelling of the overwrite conflict-validation opt-in
+    * (Iceberg's validateNoConflictingData shape): SQL `INSERT OVERWRITE`
+    * users have no `.option()` surface, so the opt-in must be able to
+    * travel WITH the table. Resolved in IceLiteWriteBuilder.build with
+    * option > property > session-conf precedence.
+    */
+  val ValidateConflictsProp = "write.overwrite.validate-conflicts"
+
   /** Reject malformed values of interpreted properties at the door — a typo
     * in a write mode must fail the DDL, not silently fall back to
     * copy-on-write on every later DML.
@@ -107,5 +115,8 @@ object IceCatalog {
       if (WriteModeKeys.contains(k))
         require(WriteModes.contains(v),
           s"invalid $k '$v': expected one of ${WriteModes.toSeq.sorted.mkString(", ")}")
+      if (k == ValidateConflictsProp)
+        require(v == "true" || v == "false",
+          s"invalid $k '$v': expected true or false")
     }
 }

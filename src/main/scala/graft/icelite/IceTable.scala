@@ -360,7 +360,7 @@ class IceTable(
       .map(_.toString).toSeq.sorted
     val stats = FileStats.collect(spark.sparkContext.hadoopConfiguration, paths)
     // NDV sketches for the new files (one column-pruned read-back pass,
-    // version-"2"-compatible with the DSv2 writer's in-line sketches): the
+    // version-"3"-compatible with the DSv2 writer's in-line sketches): the
     // table-API funnel serves every maintenance rewrite — compact,
     // rewriteDeletes, copy-on-write upsert/delete — and without this step
     // ONE routine compaction would erase the table's NDV coverage until a

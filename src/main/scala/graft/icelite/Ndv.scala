@@ -8,7 +8,9 @@ import org.apache.spark.sql.types.StructType
 /** Manifest-level NDV: per-file HLL sketches union losslessly, so a
   * table-level approximate distinct count is a pure metadata read at any
   * table size (Iceberg's puffin theta-sketch role; ~1.6% relative standard
-  * error at lgK=12).
+  * error at lgK=12). Current scheme: version "3" (v2 + float/double via
+  * canonical double bits); v2 files stay serviceable for the v2-era types
+  * (FileStats.ndvVersionOk).
   *
   * Two producers write the sketches — the DSv2 row-loop writer (in-line,
   * free) and [[sketchFiles]] (one column-pruned read-back pass, used by the
@@ -16,7 +18,7 @@ import org.apache.spark.sql.types.StructType
   * copy-on-write upsert — no longer blinds the estimate) — and ONE consumer
   * interprets them ([[estimate]], behind `IceTable.approxDistinct`, the
   * DSv2 column statistics, and the `.stats` metadata table). Both producers
-  * hash under the version-"2" scheme (see [[graft.functions.NdvSketchAgg]]),
+  * hash under the version-"3" scheme (see [[graft.functions.NdvSketchAgg]]),
   * and the consumer refuses to union anything else.
   */
 object Ndv {
@@ -37,7 +39,21 @@ object Ndv {
     scala.util.Try(spark.conf.get("graft.ndv.columns", "*"))
       .getOrElse("*")
 
-  /** Attach version-"2" NDV sketches to freshly written files: ONE
+  /** Canonical hash bits of a floating value under the version-"3" scheme,
+    * shared by BOTH producers (the DSv2 row loop and [[sketchFiles]] via
+    * `NdvSketchAgg`): all NaN payloads collapse to the one canonical NaN
+    * and -0.0 collapses to +0.0, because `NaN != NaN` and `-0.0 == 0.0`
+    * at the bit level would otherwise make the sketch disagree with SQL
+    * DISTINCT semantics (one NaN value, one zero). Floats hash through
+    * their double widening (callers convert first) so a float->double
+    * column widening unions consistently across file eras.
+    */
+  def doubleBits(v: Double): Long =
+    if (java.lang.Double.isNaN(v)) 0x7ff8000000000000L
+    else if (v == 0.0d) 0L // collapses -0.0
+    else java.lang.Double.doubleToRawLongBits(v)
+
+  /** Attach version-"3" NDV sketches to freshly written files: ONE
     * distributed, column-pruned pass over `files` (grouped by
     * `_metadata.file_path`, aggregated with the native `ndv_sketch`
     * Catalyst aggregate — bit-compatible with the DSv2 writer's in-line
@@ -121,9 +137,9 @@ object Ndv {
     // nonexistent and non-eligible columns refuse CONSISTENTLY, including
     // on empty tables — Some(0.0) must mean "sketchable column, zero
     // rows", never "we didn't check"
-    val eligible = schema.fields.find(_.name == col)
-      .exists(FileStats.ndvEligible)
-    if (!eligible) return None
+    val field = schema.fields.find(_.name == col)
+    if (!field.exists(FileStats.ndvEligible)) return None
+    val colType = field.get.dataType
     if (files.isEmpty) return Some(0.0)
     val union = new Union(LgK)
     files.foreach { f =>
@@ -137,9 +153,10 @@ object Ndv {
         a.cutoffSnapshotId >= era && (a.name == phys || a.name == col))
       if (!preAdd) {
         // sketches hashed under a different scheme must not union (shared
-        // values would double-count) — an absent or stale version marker
-        // refuses the whole estimate
-        if (!f.ndv.get(FileStats.NdvVersionKey).contains(FileStats.NdvVersion))
+        // values would double-count) — an absent or incompatible version
+        // marker refuses the whole estimate. v2 files stay serviceable for
+        // the v2-era types (v3 is additive); only float/double demand v3.
+        if (!FileStats.ndvVersionOk(colType, f.ndv.get(FileStats.NdvVersionKey)))
           return None
         f.ndvSketch(phys) match {
           case Some(bytes) => union.update(HllSketch.heapify(bytes))

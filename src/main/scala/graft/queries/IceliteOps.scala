@@ -613,6 +613,9 @@ object IceliteOps {
              |UNION ALL
              |SELECT 'user_id', COUNT(DISTINCT user_id),
              |  COUNT(*) - COUNT(user_id), TRUE FROM events
+             |UNION ALL
+             |SELECT 'value', COUNT(DISTINCT value),
+             |  COUNT(*) - COUNT(value), TRUE FROM events
              |ORDER BY col""".stripMargin),
       (s, dir) => {
         val wh = QUtil.cachedFixture(s, "s12", dir) { wh =>
@@ -625,7 +628,9 @@ object IceliteOps {
         }
         s.conf.set("spark.sql.catalog.icelite_s12", "graft.sources.v2.IceLiteCatalog")
         s.conf.set("spark.sql.catalog.icelite_s12.warehouse", wh)
-        val cols = Seq("event_id", "event_type", "user_id")
+        // `value` (double) rides the v3 sketch scheme — the floating
+        // columns a metric table is MADE of are first-class NDV citizens
+        val cols = Seq("event_id", "event_type", "user_id", "value")
         // the SQL metadata-table path — NOT the Scala API
         val fromStats = s.table("icelite_s12.lake.events_ndv.stats")
           .filter(col("sketched"))
@@ -2046,6 +2051,54 @@ object IceliteOps {
                 |  CAST(SUM(price_dec) AS STRING) AS sum_price,
                 |  SUM(length(prio_bin)) AS bin_bytes
                 |FROM icelite_k35.lake.dec_t GROUP BY 1 ORDER BY 1""".stripMargin)
+      }),
+
+    // K35b: SMALLINT + TINYINT through the SQL write path end to end —
+    // the r12 round added the short/byte row-writer layouts (annotated
+    // INT32) under CatalogSpec coverage only; this puts them under the
+    // DuckDB hash gate too. Same drive shape as k35: CTAS stages half the
+    // rows through the staged DSv2 writer, INSERT INTO appends the rest
+    // through the batch writer, the read-back aggregates the round-tripped
+    // values. Value ranges are constructed to fit the narrow types exactly
+    // (-60..59 for TINYINT, -15000..14999 for SMALLINT) so no overflow
+    // semantics are in play — only the physical layout round-trip.
+    // In-query assertion: the table schema preserves tinyint/smallint.
+    QDef(
+      "k35b_ice_sql_small_ints",
+      Some("""WITH src AS (
+             |  SELECT o_orderkey,
+             |    CAST(o_custkey % 120 - 60 AS TINYINT) AS t8,
+             |    CAST(o_orderkey % 30000 - 15000 AS SMALLINT) AS i16
+             |  FROM orders)
+             |SELECT CAST(abs(t8 % 4) AS INTEGER) AS grp, COUNT(*) AS n,
+             |  CAST(SUM(t8) AS BIGINT) AS sum_t8,
+             |  CAST(SUM(i16) AS BIGINT) AS sum_i16,
+             |  CAST(MIN(t8) AS INTEGER) AS min_t8,
+             |  CAST(MAX(i16) AS INTEGER) AS max_i16
+             |FROM src GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k35b")
+        s.conf.set("spark.sql.catalog.icelite_k35b", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k35b.warehouse", wh)
+        t(s, dir, "orders").selectExpr(
+            "o_orderkey",
+            "CAST(o_custkey % 120 - 60 AS TINYINT) AS t8",
+            "CAST(o_orderkey % 30000 - 15000 AS SMALLINT) AS i16")
+          .createOrReplaceTempView("src_k35b")
+        s.sql("CREATE TABLE icelite_k35b.lake.small_t AS " +
+          "SELECT * FROM src_k35b WHERE o_orderkey % 2 = 0")
+        s.sql("INSERT INTO icelite_k35b.lake.small_t " +
+          "SELECT * FROM src_k35b WHERE o_orderkey % 2 <> 0")
+        val sch = s.table("icelite_k35b.lake.small_t").schema
+        require(sch("t8").dataType == org.apache.spark.sql.types.ByteType &&
+          sch("i16").dataType == org.apache.spark.sql.types.ShortType,
+          s"schema must round-trip tinyint/smallint: $sch")
+        s.sql("""SELECT CAST(abs(t8 % 4) AS INT) AS grp, COUNT(*) AS n,
+                |  CAST(SUM(t8) AS BIGINT) AS sum_t8,
+                |  CAST(SUM(i16) AS BIGINT) AS sum_i16,
+                |  CAST(MIN(t8) AS INT) AS min_t8,
+                |  CAST(MAX(i16) AS INT) AS max_i16
+                |FROM icelite_k35b.lake.small_t GROUP BY 1 ORDER BY 1""".stripMargin)
       }),
 
     // K2: parquet sink round trip (ex:50-55).

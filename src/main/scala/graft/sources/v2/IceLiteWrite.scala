@@ -51,9 +51,13 @@ private[v2] class IceLiteWriteBuilder(
   // touched partition that lands between this write's build and its winning
   // commit attempt is silently replaced (snapshot isolation, Iceberg's
   // default). Callers that need serializable semantics opt in with
-  // `.option("validateNoConflicts", "true")`: the commit then ABORTS when a
-  // file not visible at the write's planning baseline would be dropped —
-  // exactly Iceberg's validateNoConflictingData/overwrite validation shape.
+  // `.option("validateNoConflicts", "true")`, the
+  // `write.overwrite.validate-conflicts` table property (the SQL
+  // `INSERT OVERWRITE` spelling), or the session conf
+  // `graft.write.validateNoConflicts` (resolved in build(), strongest
+  // first): the commit then ABORTS when a file not visible at the write's
+  // planning baseline would be dropped — exactly Iceberg's
+  // validateNoConflictingData/overwrite validation shape.
   private var dynamicOverwrite = false
   override def overwriteDynamicPartitions(): WriteBuilder = {
     dynamicOverwrite = true
@@ -116,8 +120,30 @@ private[v2] class IceLiteWriteBuilder(
         s"partition overwrite of $ns.$table requires a single-era " +
           "partition layout (evolved tables: membership of old-era files " +
           "in a touched partition is undecidable from their paths)")
+    // Conflict-validation opt-in, three spellings with option > table
+    // property > session conf precedence: the write option (DataFrame
+    // callers), the `write.overwrite.validate-conflicts` table property
+    // (travels WITH the table — the only surface a SQL `INSERT OVERWRITE`
+    // user controls per-table), and the `graft.write.validateNoConflicts`
+    // session conf (a job-wide default). An explicit option/property value
+    // of "false" deliberately OVERRIDES the weaker spellings — opting a
+    // single bulk rewrite out of a table-level default must be possible.
+    def asBool(src: String, v: String): Boolean = v.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$src must be true or false, got '$other'")
+    }
+    val conflictProp = graft.icelite.IceCatalog.ValidateConflictsProp
     val validateNoConflicts =
-      Option(info.options.get("validateNoConflicts")).exists(_.toBoolean)
+      Option(info.options.get("validateNoConflicts"))
+        .map(asBool("write option validateNoConflicts", _))
+        .orElse(meta.properties.get(conflictProp)
+          .map(asBool(s"table property $conflictProp", _)))
+        .orElse(SparkSession.active.conf
+          .getOption("graft.write.validateNoConflicts")
+          .map(asBool("session conf graft.write.validateNoConflicts", _)))
+        .getOrElse(false)
     IceLiteWriteShape.of(meta.partitionBy,
       new IceLiteBatchWrite(warehouse, ns, table, info.schema(), meta,
         dynamicOverwrite, overwriteFilters, validateNoConflicts),
@@ -927,7 +953,7 @@ private[v2] class IceLiteDataWriter(
       // datasketches update(String) hashes UTF-8 bytes (verified in 6.2.0
       // bytecode: getBytes(UTF_8) -> MurmurHash3, seed 9001) and silently
       // SKIPS empty strings — but "" is a real distinct value. The 0x00
-      // sentinel byte prefix is the byte-level form of the version-"2"
+      // sentinel byte prefix is the byte-level form of the version-"2"-era
       // scheme's update("\u0000" + v): identical hashes, every value
       // non-empty, injective — and it reads the UTF8String's bytes
       // directly, no java.lang.String ever built.
@@ -952,6 +978,12 @@ private[v2] class IceLiteDataWriter(
           case DateType => sketchLong(i, row.getInt(ri).toLong)
           case TimestampType | TimestampNTZType => sketchLong(i, row.getLong(ri))
           case StringType => sketchUtf8(i, row.getUTF8String(ri))
+          // v3: canonical double bits (Ndv.doubleBits — one NaN, one
+          // zero); floats widen to double before hashing
+          case DoubleType =>
+            sketchLong(i, graft.icelite.Ndv.doubleBits(row.getDouble(ri)))
+          case FloatType =>
+            sketchLong(i, graft.icelite.Ndv.doubleBits(row.getFloat(ri).toDouble))
           case _ => ()
         }
         s += 1

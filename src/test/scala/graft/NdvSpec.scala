@@ -53,13 +53,16 @@ class NdvSpec extends SparkSpec {
     val wh = scratch("ndv-refuse")
     val cat = new IceCatalog(spark, wh)
     import spark.implicits._
-    val df = Seq((1L, 2.5), (2L, 3.5)).toDF("id", "v")
+    val df = Seq((1L, 2.5, true), (2L, 3.5, false)).toDF("id", "v", "flag")
     val tbl = cat.createTable("lake", "t", df.schema)
     assert(tbl.approxDistinct("id").contains(0.0), "empty table estimates 0")
     // refusal is CONSISTENT: nonexistent and non-sketchable columns refuse
     // on empty tables too — Some(0.0) means "sketchable, zero rows"
     assert(tbl.approxDistinct("nope").isEmpty, "unknown column refuses")
-    assert(tbl.approxDistinct("v").isEmpty, "double refuses even when empty")
+    assert(tbl.approxDistinct("v").contains(0.0),
+      "double is v3-eligible: zero rows estimates 0, not a refusal")
+    assert(tbl.approxDistinct("flag").isEmpty,
+      "boolean refuses even when empty (not sketchable)")
     // a file with NO sketch (gate disabled during its write) must refuse
     // the whole-table estimate, not undercount
     spark.conf.set("graft.ndv.columns", "")
@@ -67,7 +70,7 @@ class NdvSpec extends SparkSpec {
     finally spark.conf.unset("graft.ndv.columns")
     assert(tbl.approxDistinct("id").isEmpty,
       "a visible file without a sketch must refuse the estimate")
-    // doubles are not sketch-eligible even through the DSv2 writer
+    // doubles sketch through the DSv2 writer (v3); booleans never do
     val wh2 = scratch("ndv-refuse2")
     val cat2 = new IceCatalog(spark, wh2)
     cat2.createTable("lake", "t", df.schema)
@@ -76,7 +79,68 @@ class NdvSpec extends SparkSpec {
     df.writeTo("ice_ndv2.lake.t").append()
     val t2 = cat2.loadTable("lake", "t")
     assert(t2.approxDistinct("id").isDefined, "long column sketches")
-    assert(t2.approxDistinct("v").isEmpty, "double column has no sketch")
+    assert(t2.approxDistinct("v").exists(e => math.abs(e - 2.0) < 0.5),
+      "double column sketches under v3")
+    assert(t2.approxDistinct("flag").isEmpty, "boolean column has no sketch")
+  }
+
+  test("v3: double/float sketch with canonical NaN and zero; both producers agree") {
+    import spark.implicits._
+    val wh = scratch("ndv-v3")
+    val cat = new IceCatalog(spark, wh)
+    // d: {1.5, 2.5, NaN, -0.0, 0.0} -> 4 distinct under SQL semantics
+    // (one NaN, one zero); f mirrors it in float
+    val rows = Seq(
+      (1L, 1.5d, 1.0f), (2L, 2.5d, -0.0f), (3L, Double.NaN, 0.0f),
+      (4L, -0.0d, Float.NaN), (5L, 0.0d, 3.5f), (6L, 1.5d, 1.0f))
+    val df = rows.toDF("id", "d", "f")
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndv3", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndv3.warehouse", wh)
+    // half through the DSv2 row-loop writer, half through the table-API
+    // funnel (read-back sketcher): the two producers must hash
+    // bit-identically or the union inflates
+    df.filter(col("id") <= 3).writeTo("ice_ndv3.lake.t").append()
+    cat.loadTable("lake", "t").append(df.filter(col("id") > 3))
+    val tbl = cat.loadTable("lake", "t")
+    val d = tbl.approxDistinct("d").getOrElse(fail("no sketch for d"))
+    val f = tbl.approxDistinct("f").getOrElse(fail("no sketch for f"))
+    assert(math.abs(d - 4.0) < 0.5, s"d: {1.5, 2.5, NaN, 0.0} = 4, got $d")
+    assert(math.abs(f - 4.0) < 0.5, s"f: {1.0, 0.0, NaN, 3.5} = 4, got $f")
+  }
+
+  test("NDV version compatibility: v2 markers serve v2-era types, never floats") {
+    import org.apache.spark.sql.types._
+    import graft.icelite.{FileStat, FileStats, Ndv}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    def b64(values: Seq[Long]): String = {
+      val sk = new org.apache.datasketches.hll.HllSketch(Ndv.LgK)
+      values.foreach(sk.update)
+      java.util.Base64.getEncoder.encodeToString(sk.toCompactByteArray)
+    }
+    def stat(marker: String) = FileStat("file:/w/t/data/snap-00001/a.parquet",
+      rows = 3, bytes = 100,
+      ndv = Map("id" -> b64(Seq(1L, 2L, 3L)),
+        "d" -> b64(Seq(10L, 20L)), FileStats.NdvVersionKey -> marker))
+    // a v2 file keeps serving the v2-era types — the marker bump must not
+    // erase a fleet's existing coverage...
+    val v2 = Seq(stat(FileStats.NdvVersionV2))
+    assert(Ndv.estimate(Nil, Nil, schema, v2, "id").exists(e =>
+      math.abs(e - 3.0) < 0.5), "v2 file must still serve a long estimate")
+    // ...but can never serve a float/double estimate: v2 writers were
+    // float-blind, so any double sketch under a v2 marker is foreign
+    assert(Ndv.estimate(Nil, Nil, schema, v2, "d").isEmpty,
+      "v2 marker must refuse double estimates")
+    // unknown/older schemes refuse everything
+    val v1 = Seq(stat("1"))
+    assert(Ndv.estimate(Nil, Nil, schema, v1, "id").isEmpty,
+      "unknown marker refuses")
+    // v3 serves both
+    val v3 = Seq(stat(FileStats.NdvVersion))
+    assert(Ndv.estimate(Nil, Nil, schema, v3, "id").isDefined &&
+      Ndv.estimate(Nil, Nil, schema, v3, "d").isDefined,
+      "v3 marker serves both type families")
   }
 
   test("empty strings count as a distinct value; graft.ndv.columns scopes sketching") {
@@ -240,7 +304,8 @@ class NdvSpec extends SparkSpec {
           r.getBoolean(4))).toMap
     assert(rows.keySet == Set("id", "v", "tag"))
     assert(rows("id")._1.contains(3L) && rows("id")._3, "id: ndv 3, sketched")
-    assert(rows("v")._1.isEmpty && !rows("v")._3, "double: no sketch, NULL ndv")
+    assert(rows("v")._1.contains(3L) && rows("v")._3,
+      "double: sketched under v3, ndv 3")
     assert(rows("tag")._1.contains(1L), "tag: one distinct non-null value")
     assert(rows("tag")._2.contains(1L), "tag: one null")
   }

@@ -71,8 +71,11 @@ class QueriesSpec extends SparkSpec {
   // against DuckDB. x38 (BPE training) is an ITERATIVE loop no single SQL
   // statement expresses; its correctness gate is TextBpeSpec's independent
   // reference implementation (both driver and distributed paths), and the
-  // driver records the weaker rows>0 check.
-  private val rowsOnly = Set("x38_bpe_train")
+  // driver records the weaker rows>0 check. x40 (BPE encode) applies x38's
+  // learned merges — the learned-merge table is equally inexpressible in
+  // one SQL statement; TextBpeSpec gates encode agreement against the same
+  // independent reference implementation.
+  private val rowsOnly = Set("x38_bpe_train", "x40_bpe_encode")
 
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet

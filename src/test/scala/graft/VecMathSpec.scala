@@ -46,7 +46,8 @@ class VecMathSpec extends SparkSpec {
 
   test("registered via SparkSessionExtensions wiring list") {
     assert(GraftFunctions.all.map(_._1) ==
-      Seq("quantized_cosine", "nfc_normalize", "zorder_key", "ndv_sketch"))
+      Seq("quantized_cosine", "nfc_normalize", "zorder_key", "ndv_sketch",
+        "bpe_encode"))
   }
 
   test("nfc_normalize composes decomposed sequences (codegen path)") {
