@@ -351,23 +351,49 @@ class IceTable(
         else df.sortWithinPartitions(inFileOrder.map(col): _*)
       else withDirs.repartition(dirCols.map(col): _*)
         .sortWithinPartitions((dirCols ++ inFileOrder).map(col): _*)
-    val writer = clustered.write.mode("errorifexists")
-    (if (fields.nonEmpty) writer.partitionBy(dirCols: _*) else writer)
-      .parquet(dataDir.toString)
-    val it = fs.listFiles(dataDir, true)
-    val paths = Iterator.continually(it).takeWhile(_.hasNext)
-      .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
-    val stats = FileStats.collect(spark.sparkContext.hadoopConfiguration, paths)
-    // NDV sketches for the new files (one column-pruned read-back pass,
-    // version-"3"-compatible with the DSv2 writer's in-line sketches): the
-    // table-API funnel serves every maintenance rewrite — compact,
-    // rewriteDeletes, copy-on-write upsert/delete — and without this step
-    // ONE routine compaction would erase the table's NDV coverage until a
-    // full DSv2 rewrite. `graft.ndv.columns` scopes or disables the pass
-    // exactly as it scopes the DSv2 writer.
-    val withNdv = Ndv.sketchFiles(spark, df.schema, stats, Ndv.gateConf(spark))
-    (dataDir.toString, withNdv.sortBy(_.path))
+    // `graft.write.rowLoop=false` is the operational kill-switch back to
+    // Spark's native parquet writer (plus the NDV read-back pass) — same
+    // committed results, minus the in-line sums, at one extra read of the
+    // write's own output.
+    val rowLoop = scala.util.Try(
+      spark.conf.get("graft.write.rowLoop", "true")).getOrElse("true") != "false"
+    if (rowLoop &&
+        graft.sources.v2.IceLiteRowWrite.supports(df.schema, partitionBy)) {
+      // Fast path: the DSv2 row-loop writer, driven from an RDD job. Exact
+      // per-file sums and version-"3" NDV sketches accumulate IN-LINE, so
+      // the table-API funnel — every maintenance rewrite (compact,
+      // rewriteDeletes, copy-on-write upsert/delete) plus plain appends —
+      // keeps NDV coverage withOUT re-reading its own output (the old
+      // Ndv.sketchFiles read-back pass: O(write) extra I/O, retired here).
+      // Partition dirs render as `field=value` (the DSv2 spelling);
+      // readers resolve it and the legacy `__p_field=value` alike
+      // (PartValues.parse). Rows must be exactly table-shaped: drop the
+      // `__p_` clustering aliases — a narrow projection, so the
+      // repartition+sortWithinPartitions clustering above survives.
+      val tableShaped =
+        if (fields.isEmpty) clustered
+        else clustered.select(df.columns.map(col).toIndexedSeq: _*)
+      fs.mkdirs(dataDir) // zero-row writes must still leave the snap dir
+      val stats = graft.sources.v2.IceLiteRowWrite.write(tableShaped,
+        fs.makeQualified(dataDir).toString, partitionBy, Ndv.gateConf(spark))
+      (dataDir.toString, stats.sortBy(_.path))
+    } else {
+      // Legacy path (nested-type schemas only): Spark's native parquet
+      // writer, footer-scan manifest, then the one-pass column-pruned NDV
+      // read-back — version-"3"-compatible with the in-line sketches.
+      // `graft.ndv.columns` scopes or disables the pass exactly as it
+      // scopes the row-loop writer.
+      val writer = clustered.write.mode("errorifexists")
+      (if (fields.nonEmpty) writer.partitionBy(dirCols: _*) else writer)
+        .parquet(dataDir.toString)
+      val it = fs.listFiles(dataDir, true)
+      val paths = Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next().getPath).filter(_.getName.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      val stats = FileStats.collect(spark.sparkContext.hadoopConfiguration, paths)
+      val withNdv = Ndv.sketchFiles(spark, df.schema, stats, Ndv.gateConf(spark))
+      (dataDir.toString, withNdv.sortBy(_.path))
+    }
   }
 
   /** Commit one snapshot against `base` — the metadata the caller PLANNED

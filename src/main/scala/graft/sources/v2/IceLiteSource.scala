@@ -705,7 +705,10 @@ private[v2] object ManifestAgg {
     def exactSumCount(c: String): Option[(BigInt, Long)] = {
       if (!tableSchema.fieldNames.contains(c)) return None
       val dt = tableSchema(c).dataType
-      if (dt != IntegerType && dt != LongType) return None
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case _ => return None
+      }
       if (partitionBy.contains(c))
         pvalsOf(c).map { vals =>
           val contrib = vals.filter(_._1.rows > 0)
@@ -978,6 +981,19 @@ private[v2] object ManifestAgg {
     case TimestampType | TimestampNTZType => s.toLongOption
     case StringType => Some(UTF8String.fromString(s))
     case BooleanType => s.toBooleanOption
+    // decimal stats are scaled plain strings; parse in exact decimal space.
+    // Legacy-domain guard (same as FilePrune.parseStat): pre-scaled-encoder
+    // manifests recorded UNSCALED longs for INT32/INT64-physical decimals,
+    // and for scale>0 the scaled encoder ALWAYS emits a '.', so a dot-less
+    // stat under scale>0 is provably legacy — refuse (no pushdown) rather
+    // than serve a bound inflated by 10^scale. scale=0 domains coincide.
+    case d: DecimalType =>
+      if (d.scale > 0 && !s.contains('.')) None
+      else scala.util.Try {
+        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) dec
+        else throw new IllegalArgumentException(s"stat '$s' outside $d")
+      }.toOption
     case _ => None
   }
 
@@ -990,6 +1006,8 @@ private[v2] object ManifestAgg {
     case (x: Float, y: Float) => java.lang.Float.compare(x, y)
     case (x: UTF8String, y: UTF8String) => x.binaryCompare(y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: org.apache.spark.sql.types.Decimal,
+          y: org.apache.spark.sql.types.Decimal) => x.compare(y)
     case _ => throw new IllegalStateException(s"incomparable $a / $b")
   }
 }

@@ -720,6 +720,73 @@ private[v2] class IceLiteWriterFactory(
       partitionBy, partitionId, taskId, conf, rowLevel, ndvCols)
 }
 
+/** Bridge that lets the TABLE-API funnel (`IceTable.writeData`) ride the
+  * DSv2 row-loop writer ([[IceLiteDataWriter]]) from a plain RDD job. The
+  * point is the writer's in-line statistics: exact per-file integral sums
+  * and version-"3" NDV sketches accumulate DURING the write, which retires
+  * the one-pass `Ndv.sketchFiles` read-back the table API used to pay — at
+  * scale that read-back re-reads the write's own output, doubling its I/O.
+  * Maintenance rewrites (compaction, copy-on-write upsert/delete) and
+  * table-API appends all flow through here.
+  *
+  * Task hygiene mirrors the DSv2 path without a commit coordinator:
+  * attempt-unique file names (partitionId + taskAttemptId) make retries
+  * collision-free, a failure listener deletes a failed attempt's files, and
+  * a zombie attempt's survivors are never referenced — `collect()` returns
+  * exactly one winning attempt's stats per partition, the manifest lists
+  * only those files, and scans plan from the manifest (never listings), so
+  * stray files are inert until orphan GC reclaims them.
+  */
+private[graft] object IceLiteRowWrite {
+
+  /** Whether every column (and every partition-field source) fits the
+    * row-loop writer's type surface; callers fall back to Spark's native
+    * parquet writer (plus the read-back sketcher) when it doesn't —
+    * nested types are the one schema family that keeps the legacy path.
+    */
+  def supports(schema: StructType, partitionBy: Seq[String]): Boolean = {
+    val flat = schema.fields.forall(f => IceLiteWriteSchema.writable(f.dataType))
+    flat && graft.icelite.PartField.parseSpec(partitionBy).forall { f =>
+      val dt = schema(f.source).dataType
+      if (f.isIdentity) graft.icelite.PartValues.renderable(dt)
+      else dt match { // the writer's transform-source rendering domain
+        case StringType | LongType | TimestampType | TimestampNTZType |
+             IntegerType | DateType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+  }
+
+  /** Write `df` (exactly table-shaped; pre-clustered by the caller) under
+    * `dataDir`, returning the complete per-file manifest with footer
+    * min/max, exact sums, and in-line NDV sketches. Rows must arrive
+    * clustered by partition value (the caller's repartition+sort) — the
+    * writer holds one open file per partition run (identity specs) or a
+    * bounded fan-out (transform specs), exactly as under DSv2.
+    */
+  def write(df: org.apache.spark.sql.DataFrame, dataDir: String,
+      partitionBy: Seq[String], ndvCols: String): Seq[FileStat] = {
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val schema = df.schema
+    df.queryExecution.toRdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val w = new IceLiteDataWriter(dataDir, schema, partitionBy,
+          tc.partitionId(), tc.taskAttemptId(), conf,
+          rowLevel = false, ndvCols = ndvCols)
+        tc.addTaskFailureListener(new org.apache.spark.util.TaskFailureListener {
+          override def onTaskFailure(ctx: org.apache.spark.TaskContext,
+              error: Throwable): Unit = w.abort()
+        })
+        rows.foreach(w.write)
+        Iterator.single(w.commit().asInstanceOf[IceLiteCommitMessage].stats)
+      }
+    }.collect().iterator.flatten.toSeq
+  }
+}
+
 /** Writes parquet files straight from `InternalRow` through parquet-mr's
   * RecordConsumer ([[InternalRowWriteSupport]]) — the symmetric inverse of
   * the scan's type surface, with NO per-row materialization: no example
@@ -796,7 +863,7 @@ private[v2] class IceLiteDataWriter(
   }
 
   private val (sumSlot, nSums, sumNames) = statSlots(_.dataType match {
-    case LongType | IntegerType => true
+    case LongType | IntegerType | ShortType | ByteType => true
     case _ => false
   })
   private val sumAcc = scala.collection.mutable.Map
@@ -975,6 +1042,9 @@ private[v2] class IceLiteDataWriter(
             val v = row.getLong(ri); accumulate(i, v); sketchLong(i, v)
           case IntegerType =>
             val v = row.getInt(ri).toLong; accumulate(i, v); sketchLong(i, v)
+          // short/byte: sums only (65k/256 possible values make NDV moot)
+          case ShortType => accumulate(i, row.getShort(ri).toLong)
+          case ByteType => accumulate(i, row.getByte(ri).toLong)
           case DateType => sketchLong(i, row.getInt(ri).toLong)
           case TimestampType | TimestampNTZType => sketchLong(i, row.getLong(ri))
           case StringType => sketchUtf8(i, row.getUTF8String(ri))

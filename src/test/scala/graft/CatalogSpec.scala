@@ -393,8 +393,11 @@ class CatalogSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS icecat_fn.lake")
     val dirOf: Map[Long, Int] = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
       .flatMap { f =>
-        val b = f.path.split('/').find(_.startsWith("__p_k_bucket="))
-          .map(_.stripPrefix("__p_k_bucket=").toInt).getOrElse(
+        // either dir spelling is valid on disk (`__p_k_bucket=` native,
+        // `k_bucket=` row-loop writer); the VALUE is the contract
+        val b = f.path.split('/')
+          .find(_.stripPrefix("__p_").startsWith("k_bucket="))
+          .map(_.stripPrefix("__p_").stripPrefix("k_bucket=").toInt).getOrElse(
             fail(s"no bucket dir in ${f.path}"))
         spark.read.parquet(f.path).select("k").collect()
           .map(_.getLong(0) -> b)

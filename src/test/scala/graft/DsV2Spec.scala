@@ -807,9 +807,11 @@ class DsV2Spec extends SparkSpec {
       s"filtered aggregate must not push: ${scanDescOf(filtered)}")
     assert(filtered.collect()(0).getLong(0) ==
       df.filter(col("o_orderkey") > 100).count())
-    // unsupported aggregates (SUM) also fall back, still correct
+    // SUM pushes too: the table-API funnel now rides the row-loop writer,
+    // so even these files carry exact per-file sums in the manifest
     val summed = load().agg(sum(col("o_orderkey")).as("s"))
-    assert(!scanDescOf(summed).contains("aggPushed"))
+    assert(scanDescOf(summed).contains("aggPushed"),
+      s"SUM over sum-carrying files must push: ${scanDescOf(summed)}")
     assert(summed.collect()(0) == df.agg(sum(col("o_orderkey"))).collect()(0))
   }
 
@@ -1125,14 +1127,57 @@ class DsV2Spec extends SparkSpec {
     assert(scanDescOf(qb).contains("manifest-only"))
     assert(qb.collect()(0) ==
       df.agg(sum(col("user_id")), sum(col("maybe_user"))).collect()(0))
-    // files written by the non-DSv2 path carry no sums: refuse, stay right
+    // the table-API funnel rides the row-loop writer too, so its files
+    // carry sums and SUM pushes...
     val t2 = cat.createTable("lake", "ev_s2", df.schema)
     t2.append(df)
-    val q2 = spark.read.format("icelite")
+    def q2() = spark.read.format("icelite")
       .option("warehouse", wh).option("table", "lake.ev_s2").load()
       .agg(sum(col("user_id")).as("s"))
-    assert(!scanDescOf(q2).contains("aggPushed"))
-    assert(q2.collect()(0) == df.agg(sum(col("user_id"))).collect()(0))
+    assert(scanDescOf(q2()).contains("aggPushed"),
+      s"table-API files carry sums now: ${scanDescOf(q2())}")
+    assert(q2().collect()(0) == df.agg(sum(col("user_id"))).collect()(0))
+    // ...but ONE file without sums (here: written under the legacy-path
+    // kill-switch) refuses the whole pushdown — partial sums would lie
+    spark.conf.set("graft.write.rowLoop", "false")
+    try cat.loadTable("lake", "ev_s2").append(df.limit(5))
+    finally spark.conf.unset("graft.write.rowLoop")
+    assert(!scanDescOf(q2()).contains("aggPushed"),
+      s"a sum-less file must refuse SUM pushdown: ${scanDescOf(q2())}")
+    val expect2 = df.agg(sum(col("user_id"))).collect()(0).getLong(0) +
+      df.limit(5).agg(sum(col("user_id"))).collect()(0).getLong(0)
+    assert(q2().collect()(0).getLong(0) == expect2)
+  }
+
+  test("narrow-int SUM and decimal MIN/MAX push down to the manifest") {
+    val wh = warehouse("aggpush-narrow")
+    spark.conf.set("spark.sql.catalog.ice_nw", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_nw.warehouse", wh)
+    val cat = new IceCatalog(spark, wh)
+    // tinyint/smallint sums accumulate exactly like int/long; decimal
+    // bounds come from the r12 scaled-string footer stats
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders").selectExpr(
+      "o_orderkey",
+      "CAST(o_custkey % 120 - 60 AS TINYINT) AS t8",
+      "CAST(o_orderkey % 30000 - 15000 AS SMALLINT) AS i16",
+      "CAST(o_totalprice AS DECIMAL(12,2)) AS amt")
+    cat.createTable("lake", "nw", df.schema)
+    df.writeTo("ice_nw.lake.nw").append()
+    def load() = spark.table("ice_nw.lake.nw")
+    val q = load().agg(sum(col("t8")).as("s8"), sum(col("i16")).as("s16"),
+      min(col("amt")).as("lo"), max(col("amt")).as("hi"))
+    assert(scanDescOf(q).contains("manifest-only"),
+      s"narrow-int sums + decimal bounds must answer from the manifest: ${scanDescOf(q)}")
+    val exp = df.agg(sum(col("t8")), sum(col("i16")),
+      min(col("amt")), max(col("amt"))).collect()(0)
+    assert(q.collect()(0) == exp, s"${q.collect()(0)} != $exp")
+    // AVG over a narrow int rides the same exact totals (one rounding)
+    val a = load().agg(avg(col("t8")).as("a8"))
+    assert(scanDescOf(a).contains("manifest-only"))
+    val aGot = a.collect()(0).getDouble(0)
+    val aExp = df.agg(avg(col("t8"))).collect()(0).getDouble(0)
+    assert(math.abs(aGot - aExp) <= 1e-12 * math.abs(aExp).max(1.0),
+      s"$aGot != $aExp")
   }
 
   test("grouped agg pushdown over transform partitions (days/bucket)") {

@@ -709,10 +709,13 @@ class IceliteSpec extends SparkSpec {
       partitionBy = Seq("days(ts)"))
     t2.append(ts)
     assert(t2.toDF.count() == 2)
+    // both dir spellings are valid on disk (`__p_ts_day=` from the native
+    // writer, `ts_day=` from the row-loop writer); the VALUE is the contract
     val dayDirs = t2.visibleFiles(t2.meta.currentSnapshot.get)
-      .flatMap(_.path.split('/').find(_.startsWith("__p_ts_day="))).toSet
+      .flatMap(_.path.split('/').find(_.stripPrefix("__p_").startsWith("ts_day=")))
+      .map(_.stripPrefix("__p_")).toSet
     // 2024-01-01 / 2024-01-02 = epoch days 19723 / 19724
-    assert(dayDirs == Set("__p_ts_day=19723", "__p_ts_day=19724"),
+    assert(dayDirs == Set("ts_day=19723", "ts_day=19724"),
       s"days(ts) must render epoch-day dirs, got $dayDirs")
     // the coarser temporal grains lay out and render their documented values
     val t3 = cat.createTable("ns", "ts_m", ts.schema,
@@ -721,9 +724,10 @@ class IceliteSpec extends SparkSpec {
       org.apache.spark.sql.functions.add_months(col("ts"), col("id").cast("int") * 2)
         .cast("timestamp")))
     val monthDirs = t3.visibleFiles(t3.meta.currentSnapshot.get)
-      .flatMap(_.path.split('/').find(_.startsWith("__p_ts_month="))).toSet
+      .flatMap(_.path.split('/').find(_.stripPrefix("__p_").startsWith("ts_month=")))
+      .map(_.stripPrefix("__p_")).toSet
     // 2024-03 = (2024-1970)*12 + 2 = 650; 2024-05 = 652
-    assert(monthDirs == Set("__p_ts_month=650", "__p_ts_month=652"),
+    assert(monthDirs == Set("ts_month=650", "ts_month=652"),
       s"months(ts) must render months-since-epoch dirs, got $monthDirs")
     assert(t3.toDF.count() == 2)
   }
@@ -1337,5 +1341,52 @@ class IceliteSpec extends SparkSpec {
       EqualTo("amt", new java.math.BigDecimal("0.25")), schema, modern))
     assert(FilePrune.canMatch(
       EqualTo("amt", new java.math.BigDecimal("0.75")), schema, modern))
+  }
+
+  test("table-API writes ride the row-loop writer: in-line sums + NDV; nested schemas fall back") {
+    val wh = scratch("rowpath")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    // flat, partitioned: the fast path. Exact per-file SUMS are the proof
+    // it ran — only the row-loop writer can record them (footers carry no
+    // sums), and the legacy read-back pass attaches sketches alone.
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 2.5))
+      .toDF("id", "g", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("g"))
+    tbl.append(df)
+    val t1 = cat.loadTable("lake", "t")
+    val files = t1.visibleFiles(t1.snapshots.last)
+    assert(files.nonEmpty && files.map(_.rows).sum == 400L)
+    assert(files.forall(_.sums.contains("id")),
+      s"row-loop path records exact id sums in-line: ${files.map(_.sums)}")
+    assert(files.forall(_.ndv.get(graft.icelite.FileStats.NdvVersionKey)
+      .contains(graft.icelite.FileStats.NdvVersion)),
+      "in-line sketches carry the current version marker")
+    // manifest sums agree with the data exactly
+    assert(files.flatMap(_.sumOf("id")).sum == BigInt(400L * 401L / 2))
+    // the partition layout reads back, per-partition filters included
+    val a = t1.toDF.filter(col("g") === "a")
+      .agg(sum("id")).as[Long].head()
+    assert(a == (2L to 400L by 2).sum, s"partition read-back sum: $a")
+    // NDV answers from the in-line sketches (v3: the double column too)
+    assert(t1.approxDistinct("id").exists(e => math.abs(e - 400.0) <= 20.0))
+    assert(t1.approxDistinct("v").exists(e => math.abs(e - 400.0) <= 20.0))
+    // an empty append still commits (the snap dir must exist on disk)
+    t1.append(df.filter(col("id") < 0))
+    val t2 = cat.loadTable("lake", "t")
+    assert(t2.snapshots.last.addedRows == 0L && t2.toDF.count() == 400L)
+
+    // nested schema: the row writer refuses arrays, so the funnel falls
+    // back to the native parquet writer + read-back sketcher — eligible
+    // columns still sketch, but no file can carry sums
+    val nested = Seq((1L, Seq(1L, 2L)), (2L, Seq(3L))).toDF("k", "xs")
+    val tn = cat.createTable("lake", "n", nested.schema)
+    tn.append(nested)
+    val tn1 = cat.loadTable("lake", "n")
+    val nFiles = tn1.visibleFiles(tn1.snapshots.last)
+    assert(nFiles.map(_.rows).sum == 2L)
+    assert(nFiles.forall(_.sums.isEmpty), "fallback path has no sum stats")
+    assert(tn1.approxDistinct("k").exists(e => math.abs(e - 2.0) < 0.5),
+      "read-back sketcher still covers eligible columns on the fallback path")
   }
 }
