@@ -97,15 +97,69 @@ object FilePrune {
       case Some(null) => false
       case Some(pv) => cmpExternal(schema, c, pv, v).forall(_ == 0)
       case None =>
-        statRange(schema, c, stat) match {
+        (statRange(schema, c, stat) match {
           case Some((lo, hi)) =>
             norm(schema(c).dataType, v) match {
               case Some(nv) => cmpDom(lo, nv) <= 0 && cmpDom(nv, hi) <= 0
               case None => true
             }
           case None => true
-        }
+        }) && bloomMayContain(c, v, schema, stat)
     }
+
+  /** Bloom-filter point probe: `false` ONLY when the file's filter proves
+    * `v` definitely absent (blooms have no false negatives, so that proof
+    * is sound; a false positive merely keeps the file). Conservative `true`
+    * on: no bloom for the column, an unrecognized hashing-scheme marker
+    * (a wrong-scheme probe could manufacture a false absence), undecodable
+    * bytes, or a value that fails to normalize. The hash domain mirrors the
+    * writer exactly: integral/date/timestamp as their Long spelling,
+    * strings as NUL-sentinel UTF-8 bytes.
+    */
+  /** Decoded-filter memo: an IN-list of k values probes the same file k
+    * times, and base64+heapify of a ~60 KB filter per probe would dominate
+    * plan time. Keyed by (file path, column) — data files are immutable
+    * once committed and snapshot dirs are writer-unique, so a path can
+    * never carry two different blooms. Bounded LRU (256 entries ≈ 15 MB
+    * worst case), driver-side only.
+    */
+  private val bloomCache =
+    new java.util.LinkedHashMap[(String, String), Option[
+        org.apache.datasketches.filters.bloomfilter.BloomFilter]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, String),
+          Option[org.apache.datasketches.filters.bloomfilter.BloomFilter]]) =
+        size() > 256
+    }
+
+  private def bloomMayContain(c: String, v: Any, schema: StructType,
+      stat: FileStat): Boolean = {
+    if (stat.bloom.isEmpty) return true
+    if (!stat.bloom.get(FileStats.BloomVersionKey)
+        .contains(FileStats.BloomVersion)) return true
+    val bf = bloomCache.synchronized {
+      bloomCache.computeIfAbsent((stat.path, c), _ =>
+        stat.bloomBytes(c).flatMap { bytes =>
+          try Some(org.apache.datasketches.filters.bloomfilter.BloomFilter
+            .heapify(org.apache.datasketches.memory.Memory.wrap(bytes)))
+          catch { case _: Exception => None }
+        })
+    }.getOrElse(return true)
+    val dt = schema(c).dataType
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType =>
+        norm(dt, v) match {
+          case Some(l: Long) => bf.query(l)
+          case _ => true
+        }
+      case StringType =>
+        val b = v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val s = new Array[Byte](b.length + 1) // s(0) stays 0x00
+        System.arraycopy(b, 0, s, 1, b.length)
+        bf.query(s)
+      case _ => true // non-bloomed domain
+    }
+  }
 
   private def colCanCompare(c: String, v: Any, schema: StructType, stat: FileStat,
       partValues: Map[String, Any])(ok: Int => Boolean): Boolean =
@@ -261,6 +315,10 @@ object FilePrune {
     parseStat(dt, s).collect {
       case l: Long => l.toDouble
       case d: Double => d
+      // z-order normalization only needs an approximate coordinate; the
+      // decimal parse above still applies the legacy dot-guard, so a
+      // pre-scaled-encoder stat can never poison the curve bounds
+      case bd: BigDecimal => bd.toDouble
     }
 
   private def parseStat(dt: DataType, s: String): Option[Any] = dt match {

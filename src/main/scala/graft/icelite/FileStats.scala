@@ -83,6 +83,31 @@ object FileStats {
       set.contains
   }
 
+  /** Bloom-filter column gate and hashing-scheme version ([[FileStat.bloom]]).
+    * Opt-in (default none: blooms cost ~60 KB per column per file, so the
+    * user names the point-lookup keys worth it). Eligible types are the
+    * point-lookup domain — long/int/string/date/timestamp; floats are
+    * excluded (equality on floats is an antipattern) and short/byte (256 /
+    * 65k possible values make a bloom pointless). Scheme v1: integral
+    * values hash via `update(Long)` (ints/dates widened), strings via the
+    * NUL-sentinel UTF-8 byte form shared with the NDV sketches. A filter
+    * under a DIFFERENT marker is ignored by the prune (conservative
+    * no-prune) — a wrong-scheme probe could prove a false absence.
+    */
+  val BloomVersionKey = "__bloom_version"
+  val BloomVersion = "1"
+  val BloomSeed = 9001L // fixed: byte-identical manifests across runs
+  val BloomFpp = 0.01
+
+  def bloomEligible(f: org.apache.spark.sql.types.StructField): Boolean = {
+    import org.apache.spark.sql.types._
+    f.name != BloomVersionKey && (f.dataType match {
+      case LongType | IntegerType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+  }
+
   /** Version marker stored alongside the per-column sketches in
     * FileStat.ndv: v2 = string values hashed with the NUL sentinel prefix
     * (see the writer); v3 = v2 plus double/float eligibility (canonical

@@ -118,5 +118,8 @@ object IceCatalog {
       if (k == ValidateConflictsProp)
         require(v == "true" || v == "false",
           s"invalid $k '$v': expected true or false")
+      if (k == "write.bloom.capacity")
+        require(v.trim.toLongOption.exists(_ > 0),
+          s"invalid $k '$v': expected a positive integer (distinct values per file)")
     }
 }

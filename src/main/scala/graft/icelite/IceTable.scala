@@ -374,8 +374,11 @@ class IceTable(
         if (fields.isEmpty) clustered
         else clustered.select(df.columns.map(col).toIndexedSeq: _*)
       fs.mkdirs(dataDir) // zero-row writes must still leave the snap dir
+      val props = meta.properties
       val stats = graft.sources.v2.IceLiteRowWrite.write(tableShaped,
-        fs.makeQualified(dataDir).toString, partitionBy, Ndv.gateConf(spark))
+        fs.makeQualified(dataDir).toString, partitionBy, Ndv.gateConf(spark),
+        graft.sources.v2.IceLiteDataWriter.bloomColsConf(props),
+        graft.sources.v2.IceLiteDataWriter.bloomCapacityConf(props))
       (dataDir.toString, stats.sortBy(_.path))
     } else {
       // Legacy path (nested-type schemas only): Spark's native parquet

@@ -44,7 +44,20 @@ final case class FileStat(
     // approx-distinct answers from manifests alone (zero data IO) at any
     // table size; files that still lack one (pre-upgrade, or gate-scoped
     // out) make the table-level estimate refuse rather than undercount.
-    ndv: Map[String, String] = Map.empty) {
+    ndv: Map[String, String] = Map.empty,
+    // per-file Bloom filters (datasketches BloomFilter, base64) for OPT-IN
+    // point-lookup columns (`write.bloom.columns` table property /
+    // `graft.bloom.columns` conf): min/max ranges prove nothing on a
+    // randomly-distributed key (every file spans the whole domain), but a
+    // bloom answers "is key k definitely absent from this file?" at plan
+    // time — `WHERE id = k` on a 100 TB table then plans ~1 file instead
+    // of all of them (Databricks' bloom-filter-index role, kept in the
+    // manifest). False positives only cost an extra scanned file, never
+    // correctness; an overfull filter degrades to never-prunes. Sized by
+    // `write.bloom.capacity` (default 50k distinct @ 1% FPP ~ 60 KB) —
+    // like every stat here, at 100 TB these live in manifest FILES, not
+    // inline JSON.
+    bloom: Map[String, String] = Map.empty) {
 
   def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
 
@@ -53,6 +66,10 @@ final case class FileStat(
 
   def ndvSketch(c: String): Option[Array[Byte]] =
     ndv.get(c).flatMap(s =>
+      scala.util.Try(java.util.Base64.getDecoder.decode(s)).toOption)
+
+  def bloomBytes(c: String): Option[Array[Byte]] =
+    bloom.get(c).flatMap(s =>
       scala.util.Try(java.util.Base64.getDecoder.decode(s)).toOption)
 }
 

@@ -547,6 +547,87 @@ object IceliteOps {
         df
       }),
 
+    // S13: DECIMAL aggregate pushdown (round 13) — SUM/MIN/MAX over a
+    // decimal column answered from the manifest alone: per-file sums are
+    // the writer's exact unscaled-long accumulation rendered as scaled
+    // strings, bounds are the r12 scaled-string footer stats, and the fold
+    // is exact BigDecimal arithmetic ("total revenue" on a 100 TB table as
+    // a metadata read). Exact-string decimal construction (k35's pattern)
+    // keeps Spark and DuckDB bit-identical; SUMs are emitted as strings so
+    // the hash compare sees one canonical scaled rendering.
+    QDef(
+      "s13_agg_pushdown_decimal",
+      Some("""WITH src AS (
+             |  SELECT CAST(CAST(o_orderkey AS VARCHAR) || '.' ||
+             |      lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0')
+             |      AS DECIMAL(12,2)) AS amt
+             |  FROM orders)
+             |SELECT COUNT(*) AS n, CAST(SUM(amt) AS VARCHAR) AS s_amt,
+             |  CAST(MIN(amt) AS VARCHAR) AS lo, CAST(MAX(amt) AS VARCHAR) AS hi
+             |FROM src""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s13", dir) { wh =>
+          val o = t(s, dir, "orders").selectExpr(
+            "CAST(concat(CAST(o_orderkey AS STRING), '.', " +
+              "lpad(CAST(o_custkey % 100 AS STRING), 2, '0')) " +
+              "AS DECIMAL(12,2)) AS amt")
+          new IceCatalog(s, wh).createTable("lake", "orders_dec", o.schema)
+          s.conf.set("spark.sql.catalog.icelite_s13", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_s13.warehouse", wh)
+          o.writeTo("icelite_s13.lake.orders_dec").append()
+        }
+        s.conf.set("spark.sql.catalog.icelite_s13", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s13.warehouse", wh)
+        val df = s.table("icelite_s13.lake.orders_dec")
+          .agg(count(lit(1)).as("n"),
+            sum(col("amt")).cast("string").as("s_amt"),
+            min(col("amt")).cast("string").as("lo"),
+            max(col("amt")).cast("string").as("hi"))
+        require(df.queryExecution.executedPlan.toString.contains("manifest-only"),
+          "decimal SUM/MIN/MAX must push down to the manifest-only scan")
+        df
+      }),
+
+    // S14: Bloom-pruned point lookup (round 13) — the fixture interleaves
+    // keys across files (every file spans the full key range, so min/max
+    // stats prove NOTHING) and the `write.bloom.columns` table property
+    // records a per-file bloom for the key. The three probed keys share a
+    // residue, so they live in ONE of the three files — the in-query
+    // assertion demands the planner proved it from the blooms alone. This
+    // is the "find one document by id in 100 TB" plan shape: O(1) files
+    // instead of all of them.
+    QDef(
+      "s14_bloom_point_lookup",
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE o_orderkey IN (2, 512, 1493) ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s14", dir) { wh =>
+          val o = t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+          new IceCatalog(s, wh).createTable("lake", "orders_pk", o.schema,
+            properties = Map("write.bloom.columns" -> "o_orderkey",
+              "write.bloom.capacity" -> "200000"))
+          s.conf.set("spark.sql.catalog.icelite_s14", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_s14.warehouse", wh)
+          (0 until 3).foreach(m =>
+            o.filter(col("o_orderkey") % 3 === m).repartition(1)
+              .writeTo("icelite_s14.lake.orders_pk").append())
+        }
+        s.conf.set("spark.sql.catalog.icelite_s14", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s14.warehouse", wh)
+        val df = s.table("icelite_s14.lake.orders_pk")
+          .filter(col("o_orderkey").isin(2L, 512L, 1493L))
+          .orderBy("o_orderkey")
+        val desc = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString
+        val m = """files=(\d+) planned=(\d+)""".r.findFirstMatchIn(desc)
+          .getOrElse(sys.error(s"no planning counters in: $desc"))
+        require(m.group(1).toInt == 3 && m.group(2).toInt == 1,
+          s"blooms must prune the point lookup to 1 of 3 files: " +
+            s"planned ${m.group(2)} of ${m.group(1)}")
+        df
+      }),
+
     // S12: METADATA-ONLY approximate distinct counts — per-file HLL
     // sketches recorded by the DSv2 row-loop writer (FileStat.ndv, the
     // puffin theta-sketch role) union losslessly at read time, so

@@ -729,6 +729,24 @@ private[v2] object ManifestAgg {
         }
       }
     }
+    // Decimal analog of exactSumCount: fold the scaled-string per-file sums
+    // exactly in BigDecimal space. A parsed sum whose scale exceeds the
+    // column's is malformed and refuses; dot-less strings are fine here
+    // (unlike min/max there is no legacy encoding — decimal sums were born
+    // scaled — and scale-0 strings are legitimately dot-less).
+    def exactDecimalSum(c: String, dt: DecimalType)
+        : Option[(java.math.BigDecimal, Long)] = {
+      val contrib = files.filter(_.rows > 0)
+      if (!contrib.forall(f => f.nullCount(c).isDefined)) return None
+      val needed = contrib.filter(f => f.nullCount(c).get < f.rows)
+      val parsed = needed.map(f => f.sums.get(c).flatMap(s =>
+        scala.util.Try(new java.math.BigDecimal(s)).toOption
+          .filter(_.scale <= dt.scale)))
+      if (parsed.contains(None)) None
+      else Some((parsed.flatten
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).setScale(dt.scale),
+        contrib.map(f => f.rows - f.nullCount(c).get).sum))
+    }
     val values = Vector.newBuilder[Any]
     var schema = StructType(Nil)
     val ok = agg.aggregateExpressions().zipWithIndex.forall {
@@ -775,13 +793,46 @@ private[v2] object ManifestAgg {
       // semantics instead of a silently wrapped metadata answer).
       case (sm: org.apache.spark.sql.connector.expressions.aggregate.Sum, i)
           if !sm.isDistinct =>
-        colOf(sm.column).flatMap(exactSumCount) match {
-          case Some((total, n)) if n == 0 || total.isValidLong =>
-            schema = schema.add(s"sum_$i", LongType, nullable = true)
-            values += (if (n == 0) null else total.toLong)
-            true
-          case _ => false // exceeds Long: the scan surfaces Spark's own
-                          // overflow semantics instead of a wrapped answer
+        colOf(sm.column) match {
+          // SUM over a decimal data column: per-file sums are SCALED plain
+          // strings (the writer's unscaled-long accumulation rendered with
+          // the type's scale); fold exactly in BigDecimal space and serve
+          // Spark's Sum result type DecimalType(min(38, p+10), s). Refuses
+          // when the total cannot fit that type (the scan then surfaces
+          // Spark's own decimal-overflow semantics) or any contributing
+          // file lacks the stat. AVG over decimals needs no case of its
+          // own: Spark rewrites Avg into Sum/Count BEFORE V2 pushdown, so
+          // the exact total+count push and Spark's own Divide applies its
+          // p+4/s+4 HALF_UP average contract above the scan.
+          case Some(c) if tableSchema.fieldNames.contains(c) &&
+              tableSchema(c).dataType.isInstanceOf[DecimalType] &&
+              !partitionBy.contains(c) =>
+            val d = tableSchema(c).dataType.asInstanceOf[DecimalType]
+            val resType = DecimalType(math.min(38, d.precision + 10), d.scale)
+            exactDecimalSum(c, d) match {
+              case Some((_, 0L)) =>
+                schema = schema.add(s"sum_$i", resType, nullable = true)
+                values += null
+                true
+              case Some((total, _)) =>
+                val dec = org.apache.spark.sql.types.Decimal(total)
+                if (!dec.changePrecision(resType.precision, resType.scale))
+                  false // overflow: fall back to the scan's own semantics
+                else {
+                  schema = schema.add(s"sum_$i", resType, nullable = true)
+                  values += dec
+                  true
+                }
+              case None => false
+            }
+          case co => co.flatMap(exactSumCount) match {
+            case Some((total, n)) if n == 0 || total.isValidLong =>
+              schema = schema.add(s"sum_$i", LongType, nullable = true)
+              values += (if (n == 0) null else total.toLong)
+              true
+            case _ => false // exceeds Long: the scan surfaces Spark's own
+                            // overflow semantics instead of a wrapped answer
+          }
         }
       // AVG = exact total / non-null count, ONE double rounding — a
       // RECORDED DECISION, not an oversight: the non-pushed plan folds

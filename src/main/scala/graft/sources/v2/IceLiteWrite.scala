@@ -386,7 +386,9 @@ private[v2] class IceLiteBatchWrite(
     new IceLiteWriterFactory(
       new Path(tableDir, s"data/$stagingName").toString, schema.toDDL,
       meta.partitionBy, new SerializableConfiguration(hadoopConf),
-      ndvCols = IceLiteDataWriter.ndvColsConf)
+      ndvCols = IceLiteDataWriter.ndvColsConf,
+      bloomCols = IceLiteDataWriter.bloomColsConf(meta.properties),
+      bloomCapacity = IceLiteDataWriter.bloomCapacityConf(meta.properties))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -605,9 +607,12 @@ private[v2] class IceLiteStreamingWrite(
     val partBy = m0.partitionBy
     val conf = new SerializableConfiguration(hadoopConf)
     val ndvCols = IceLiteDataWriter.ndvColsConf // driver-side capture
+    val bloomCols = IceLiteDataWriter.bloomColsConf(m0.properties)
+    val bloomCap = IceLiteDataWriter.bloomCapacityConf(m0.properties)
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new IceLiteDataWriter(s"$base-e$epochId", StructType.fromDDL(ddl),
-        partBy, partitionId, taskId, conf, ndvCols = ndvCols)
+        partBy, partitionId, taskId, conf, ndvCols = ndvCols,
+        bloomCols = bloomCols, bloomCapacity = bloomCap)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -712,12 +717,16 @@ private[v2] class IceLiteWriterFactory(
     // file, so wide tables can scope sketches to the columns whose NDV
     // anyone will ask for (puffin keeps stats in separate files for the
     // same reason)
-    ndvCols: String = "*")
+    ndvCols: String = "*",
+    // bloom-filter gate + capacity, captured driver-side from the table
+    // properties / session conf (IceLiteDataWriter.bloomColsConf)
+    bloomCols: String = "", bloomCapacity: Long = 50000L)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IceLiteDataWriter(stagingDir, StructType.fromDDL(schemaDdl),
-      partitionBy, partitionId, taskId, conf, rowLevel, ndvCols)
+      partitionBy, partitionId, taskId, conf, rowLevel, ndvCols,
+      bloomCols, bloomCapacity)
 }
 
 /** Bridge that lets the TABLE-API funnel (`IceTable.writeData`) ride the
@@ -765,7 +774,8 @@ private[graft] object IceLiteRowWrite {
     * bounded fan-out (transform specs), exactly as under DSv2.
     */
   def write(df: org.apache.spark.sql.DataFrame, dataDir: String,
-      partitionBy: Seq[String], ndvCols: String): Seq[FileStat] = {
+      partitionBy: Seq[String], ndvCols: String,
+      bloomCols: String = "", bloomCapacity: Long = 50000L): Seq[FileStat] = {
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val schema = df.schema
@@ -775,7 +785,8 @@ private[graft] object IceLiteRowWrite {
         val tc = org.apache.spark.TaskContext.get()
         val w = new IceLiteDataWriter(dataDir, schema, partitionBy,
           tc.partitionId(), tc.taskAttemptId(), conf,
-          rowLevel = false, ndvCols = ndvCols)
+          rowLevel = false, ndvCols = ndvCols,
+          bloomCols = bloomCols, bloomCapacity = bloomCapacity)
         tc.addTaskFailureListener(new org.apache.spark.util.TaskFailureListener {
           override def onTaskFailure(ctx: org.apache.spark.TaskContext,
               error: Throwable): Unit = w.abort()
@@ -807,7 +818,8 @@ private[graft] object IceLiteRowWrite {
 private[v2] class IceLiteDataWriter(
     stagingDir: String, schema: StructType, partitionBy: Seq[String],
     partitionId: Int, taskId: Long, conf: SerializableConfiguration,
-    rowLevel: Boolean = false, ndvCols: String = "*")
+    rowLevel: Boolean = false, ndvCols: String = "*",
+    bloomCols: String = "", bloomCapacity: Long = 50000L)
     extends DataWriter[InternalRow] {
 
   // partition SOURCE columns are rendered into the directory name (the
@@ -862,12 +874,26 @@ private[v2] class IceLiteDataWriter(
     (slots, j + 1, names)
   }
 
-  private val (sumSlot, nSums, sumNames) = statSlots(_.dataType match {
+  // sum-eligible: anything whose exact total fits unscaled-long arithmetic.
+  // Decimals accumulate in UNSCALED long space (exact; the scale is a type
+  // constant), so only long-backed precisions participate — a FIXED-layout
+  // p>18 column simply carries no sum stat.
+  private val sumEligible: StructField => Boolean = _.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
-  })
+  }
+  private val (sumSlot, nSums, sumNames) = statSlots(sumEligible)
   private val sumAcc = scala.collection.mutable.Map
     .empty[String, (Array[Long], Array[Boolean])]
+  // per-slot decimal scale (0 for integral columns): the manifest entry is
+  // written as a SCALED plain string (`12.50`, same self-describing form as
+  // the min/max stats — never a raw unscaled long a reader could misread)
+  private val sumScale: Array[Int] = dataSchema.fields.filter(sumEligible)
+    .map(_.dataType match {
+      case d: DecimalType => d.scale
+      case _ => 0
+    })
 
   // Per-open-file HLL NDV sketches ([[FileStat.ndv]]): like `sums`, the
   // row loop is the one place a per-file distinct-count sketch exists
@@ -885,10 +911,24 @@ private[v2] class IceLiteDataWriter(
   private val ndvAcc = scala.collection.mutable.Map
     .empty[String, Array[org.apache.datasketches.hll.HllSketch]]
 
-  // the columns the per-row STAT pass visits: only those holding a sum or
-  // sketch slot — a gated-off or all-double table pays zero stat work
+  // Per-open-file Bloom filters ([[FileStat.bloom]]) for the OPT-IN
+  // point-lookup columns: min/max prove nothing on a randomly-distributed
+  // key, a bloom proves definite absence at plan time. Sized for
+  // `bloomCapacity` distinct values at 1% FPP; overfull filters degrade to
+  // never-prunes (false positives are free, false negatives impossible).
+  // Hash domain shared with the prune probe (FilePrune.bloomMayContain):
+  // integral/date/timestamp as update(Long), strings as the NUL-sentinel
+  // UTF-8 byte form (the NDV sketches' spelling).
+  private val bloomWanted: String => Boolean = FileStats.ndvGate(bloomCols)
+  private val (bloomSlot, nBloom, bloomNames) = statSlots(f =>
+    bloomWanted(f.name) && FileStats.bloomEligible(f))
+  private val bloomAcc = scala.collection.mutable.Map
+    .empty[String, Array[org.apache.datasketches.filters.bloomfilter.BloomFilter]]
+
+  // the columns the per-row STAT pass visits: only those holding a sum,
+  // sketch, or bloom slot — a gated-off table pays zero stat work
   private val statCols: Array[Int] =
-    dataIdx.filter(i => sumSlot(i) >= 0 || ndvSlot(i) >= 0)
+    dataIdx.filter(i => sumSlot(i) >= 0 || ndvSlot(i) >= 0 || bloomSlot(i) >= 0)
 
   private def openWriter(key: String): ParquetWriter[InternalRow] = {
     val dir = if (key.isEmpty) stagingDir else s"$stagingDir/$key"
@@ -912,16 +952,25 @@ private[v2] class IceLiteDataWriter(
       val base = FileStats.fromFooter(conf.value, file)
       val withSums = sumAcc.remove(key) match {
         case Some((acc, bad)) => base.copy(sums = sumNames.indices.collect {
-          case j if !bad(j) => sumNames(j) -> acc(j).toString
+          case j if !bad(j) => sumNames(j) -> (if (sumScale(j) == 0)
+            acc(j).toString
+          else java.math.BigDecimal.valueOf(acc(j), sumScale(j)).toPlainString)
         }.toMap)
-        case None => base // no integral data columns
+        case None => base // no sum-eligible data columns
       }
-      stats :+= (ndvAcc.remove(key) match {
+      val withNdv = ndvAcc.remove(key) match {
         case Some(sk) => withSums.copy(ndv = ndvNames.indices.map(j =>
           ndvNames(j) -> java.util.Base64.getEncoder
             .encodeToString(sk(j).toCompactByteArray)).toMap +
           (FileStats.NdvVersionKey -> FileStats.NdvVersion))
         case None => withSums // no sketch-eligible columns (or zero rows)
+      }
+      stats :+= (bloomAcc.remove(key) match {
+        case Some(bf) => withNdv.copy(bloom = bloomNames.indices.map(j =>
+          bloomNames(j) -> java.util.Base64.getEncoder
+            .encodeToString(bf(j).toByteArray)).toMap +
+          (FileStats.BloomVersionKey -> FileStats.BloomVersion))
+        case None => withNdv // bloom gate off (the default) or zero rows
       })
       done :+= file
     }
@@ -1013,9 +1062,17 @@ private[v2] class IceLiteDataWriter(
         if (nNdv == 0) null
         else ndvAcc.getOrElseUpdate(key, Array.fill(nNdv)(
           new org.apache.datasketches.hll.HllSketch(graft.icelite.Ndv.LgK)))
+      val blooms =
+        if (nBloom == 0) null
+        else bloomAcc.getOrElseUpdate(key, Array.fill(nBloom)(
+          org.apache.datasketches.filters.bloomfilter.BloomFilterBuilder
+            .createByAccuracy(bloomCapacity, FileStats.BloomFpp,
+              FileStats.BloomSeed)))
       def sketchLong(o: Int, v: Long): Unit = {
         val j = ndvSlot(o)
         if (j >= 0) sketches(j).update(v)
+        val b = bloomSlot(o)
+        if (b >= 0) blooms(b).update(v)
       }
       // datasketches update(String) hashes UTF-8 bytes (verified in 6.2.0
       // bytecode: getBytes(UTF_8) -> MurmurHash3, seed 9001) and silently
@@ -1026,11 +1083,13 @@ private[v2] class IceLiteDataWriter(
       // directly, no java.lang.String ever built.
       def sketchUtf8(o: Int, u: org.apache.spark.unsafe.types.UTF8String): Unit = {
         val j = ndvSlot(o)
-        if (j >= 0) {
+        val bl = bloomSlot(o)
+        if (j >= 0 || bl >= 0) {
           val b = u.getBytes
           val s = new Array[Byte](b.length + 1) // s(0) stays 0x00
           System.arraycopy(b, 0, s, 1, b.length)
-          sketches(j).update(s)
+          if (j >= 0) sketches(j).update(s)
+          if (bl >= 0) blooms(bl).update(s)
         }
       }
       var s = 0
@@ -1045,6 +1104,10 @@ private[v2] class IceLiteDataWriter(
           // short/byte: sums only (65k/256 possible values make NDV moot)
           case ShortType => accumulate(i, row.getShort(ri).toLong)
           case ByteType => accumulate(i, row.getByte(ri).toLong)
+          // long-backed decimals: exact unscaled-long accumulation (the
+          // overflow latch drops the stat for the file, same as integers)
+          case d: DecimalType if d.precision <= 18 =>
+            accumulate(i, row.getDecimal(ri, d.precision, d.scale).toUnscaledLong)
           case DateType => sketchLong(i, row.getInt(ri).toLong)
           case TimestampType | TimestampNTZType => sketchLong(i, row.getLong(ri))
           case StringType => sketchUtf8(i, row.getUTF8String(ri))
@@ -1209,7 +1272,7 @@ private[v2] class InternalRowWriterBuilder(
       : WriteSupport[InternalRow] = support
 }
 
-private[v2] object IceLiteDataWriter {
+private[graft] object IceLiteDataWriter {
   /** Cap on concurrently open files per fanout task (each parquet writer
     * buffers a row group per column — unbounded fanout is an executor OOM).
     */
@@ -1222,6 +1285,27 @@ private[v2] object IceLiteDataWriter {
   def ndvColsConf: String =
     scala.util.Try(SparkSession.active.conf.get("graft.ndv.columns", "*"))
       .getOrElse("*")
+
+  /** Bloom-filter column gate, resolved DRIVER-side when a writer factory
+    * is built: the `write.bloom.columns` TABLE property wins (the opt-in
+    * travels with the table — same comma-list spelling as the ndv gate,
+    * default "" = no blooms), the `graft.bloom.columns` session conf is the
+    * job-wide fallback.
+    */
+  def bloomColsConf(properties: Map[String, String]): String =
+    properties.getOrElse("write.bloom.columns",
+      scala.util.Try(SparkSession.active.conf.get("graft.bloom.columns", ""))
+        .getOrElse(""))
+
+  /** Per-file bloom capacity (distinct values at 1% FPP): size it to the
+    * table's rows-per-file — an overfull filter stays CORRECT but stops
+    * pruning. Same property-over-conf resolution as the column gate.
+    */
+  def bloomCapacityConf(properties: Map[String, String]): Long =
+    properties.get("write.bloom.capacity").map(_.trim.toLong).getOrElse(
+      scala.util.Try(
+        SparkSession.active.conf.get("graft.bloom.capacity", "50000"))
+        .getOrElse("50000").trim.toLong)
 }
 
 /** Hive-style partition path rendering, matching what Spark's own

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.icelite.{FilePrune, FileStat, FileStats, IceCatalog}
+
+/** Manifest-level Bloom filters: opt-in per-column point-lookup pruning.
+  * Min/max ranges prove nothing on a randomly-distributed key (every file
+  * spans the whole domain); a per-file bloom proves definite ABSENCE at
+  * plan time, so `WHERE id = k` plans O(1) files. False positives only
+  * cost an extra scanned file — the assertions below check both the
+  * pruning win AND the zero-false-negative contract.
+  */
+class BloomSpec extends SparkSpec {
+
+  private def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val desc = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    val m = """files=(\d+) planned=(\d+)""".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no planning counters in scan description: $desc"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("point predicates prune via blooms where min/max cannot; no false negatives") {
+    val wh = scratch("bloom")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    // keys INTERLEAVED across appends so every file spans the full range:
+    // min/max is useless, only the bloom can prune. d rides the long hash
+    // domain through its epoch-day spelling.
+    val df = (0L until 40000L).map(i => (i, s"k$i")).toDF("id", "name")
+      .withColumn("d", date_add(lit(java.time.LocalDate.of(2000, 1, 1)),
+        (col("id") % 20000).cast("int")))
+    val tbl = cat.createTable("lake", "t", df.schema,
+      properties = Map("write.bloom.columns" -> "id,name,d",
+        "write.bloom.capacity" -> "20000"))
+    spark.conf.set("spark.sql.catalog.ice_bloom", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_bloom.warehouse", wh)
+    (0 until 4).foreach(m => df.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_bloom.lake.t").append())
+    val t1 = cat.loadTable("lake", "t")
+    val files = t1.visibleFiles(t1.meta.currentSnapshot.get)
+    assert(files.size == 4, s"expected 4 files, got ${files.size}")
+    assert(files.forall(f => f.bloom.contains("id") && f.bloom.contains("name") &&
+      f.bloom.contains("d") &&
+      f.bloom.get(FileStats.BloomVersionKey).contains(FileStats.BloomVersion)),
+      s"every file must carry versioned blooms: ${files.map(_.bloom.keySet)}")
+
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t").load()
+    // id=4 lives only in the m=0 file; min/max alone would plan all 4
+    val q = load().filter(col("id") === 4L)
+    val (nf, np) = planned(q)
+    assert(nf == 4 && np == 1, s"bloom must prune to 1 of 4 files, planned $np of $nf")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // IN-lists probe per value: ids 4 and 9 live in two different files
+    val qin = load().filter(col("id").isin(4L, 9L))
+    assert(planned(qin)._2 == 2, s"IN must plan exactly the 2 holding files")
+    assert(qin.collect().map(_.getLong(0)).toSet == Set(4L, 9L))
+    // string domain: present key prunes to its file, an in-range absent
+    // key ("k4x" sorts between real keys) proves absent in ALL files
+    assert(planned(load().filter(col("name") === "k4"))._2 == 1)
+    assert(planned(load().filter(col("name") === "k4x"))._2 == 0,
+      "an absent in-range key must plan zero files")
+    assert(load().filter(col("name") === "k4x").count() == 0)
+    // date domain (epoch-day longs): 2000-01-05 = id 4 (and 20004), file 0
+    val qd = load().filter(col("d") === lit(java.time.LocalDate.of(2000, 1, 5)))
+    assert(planned(qd)._2 == 1, s"date bloom must prune: ${planned(qd)}")
+    assert(qd.count() == 2L) // ids 4 and 20004
+    // NO FALSE NEGATIVES: every sampled present key must return its row
+    (0L until 40000L by 977L).foreach { k =>
+      assert(load().filter(col("id") === k).count() == 1L,
+        s"bloom must never prune the file holding id=$k")
+    }
+    // table-API appends ride the same gate (property travels on the table)
+    tbl.append(Seq((90001L, "extra", java.sql.Date.valueOf("2031-01-01")))
+      .toDF("id", "name", "d"))
+    val t2 = cat.loadTable("lake", "t")
+    val newest = t2.visibleFiles(t2.meta.currentSnapshot.get)
+      .filterNot(f => files.map(_.path).contains(f.path))
+    assert(newest.nonEmpty && newest.forall(_.bloom.contains("id")),
+      "the table-API funnel must bloom under the same table property")
+    assert(planned(load().filter(col("id") === 90001L))._2 == 1)
+  }
+
+  test("blooms are opt-in, version-gated, and never prove a false absence") {
+    val wh = scratch("bloom-gate")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    // no property, no conf: the default writes NO blooms
+    val tbl = cat.createTable("lake", "plain", df.schema)
+    tbl.append(df)
+    val t1 = cat.loadTable("lake", "plain")
+    assert(t1.visibleFiles(t1.meta.currentSnapshot.get).forall(_.bloom.isEmpty),
+      "blooms must be opt-in")
+    // an unknown scheme marker is ignored: a wrong-scheme probe could
+    // manufacture a false absence, so the prune must stay conservative
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val real = org.apache.datasketches.filters.bloomfilter.BloomFilterBuilder
+      .createByAccuracy(100, FileStats.BloomFpp, FileStats.BloomSeed)
+    real.update(7L)
+    val b64 = java.util.Base64.getEncoder.encodeToString(real.toByteArray)
+    def stat(marker: String) = FileStat("file:/w/t/data/snap-00001/a.parquet",
+      rows = 1, bytes = 10,
+      bloom = Map("id" -> b64, FileStats.BloomVersionKey -> marker))
+    // current marker: 8 is provably absent, 7 must stay
+    assert(!FilePrune.canMatch(EqualTo("id", 8L), schema, stat(FileStats.BloomVersion)))
+    assert(FilePrune.canMatch(EqualTo("id", 7L), schema, stat(FileStats.BloomVersion)))
+    // foreign marker: ignored, both keep the file
+    assert(FilePrune.canMatch(EqualTo("id", 8L), schema, stat("0")))
+    // corrupted bytes: ignored. NB the distinct path — FilePrune memoizes
+    // decoded filters by (file path, column), which is sound precisely
+    // because committed data-file paths are immutable and writer-unique;
+    // a same-path stat with different bytes cannot exist in production.
+    val junk = stat(FileStats.BloomVersion).copy(
+      path = "file:/w/t/data/snap-00002/junk.parquet",
+      bloom = Map("id" -> "AAAA",
+        FileStats.BloomVersionKey -> FileStats.BloomVersion))
+    assert(FilePrune.canMatch(EqualTo("id", 8L), schema, junk))
+    // empty string is a countable value in the sentinel byte form
+    val sSchema = StructType(Seq(StructField("name", StringType)))
+    val sb = org.apache.datasketches.filters.bloomfilter.BloomFilterBuilder
+      .createByAccuracy(100, FileStats.BloomFpp, FileStats.BloomSeed)
+    sb.update(Array[Byte](0)) // the writer's sentinel form of ""
+    val sStat = FileStat("file:/w/t/data/snap-00001/b.parquet", rows = 1,
+      bytes = 10, bloom = Map("name" ->
+        java.util.Base64.getEncoder.encodeToString(sb.toByteArray),
+        FileStats.BloomVersionKey -> FileStats.BloomVersion))
+    assert(FilePrune.canMatch(EqualTo("name", ""), sSchema, sStat),
+      "empty string must round-trip the sentinel form")
+    assert(!FilePrune.canMatch(EqualTo("name", "x"), sSchema, sStat))
+  }
+}

@@ -1165,12 +1165,21 @@ class DsV2Spec extends SparkSpec {
     df.writeTo("ice_nw.lake.nw").append()
     def load() = spark.table("ice_nw.lake.nw")
     val q = load().agg(sum(col("t8")).as("s8"), sum(col("i16")).as("s16"),
-      min(col("amt")).as("lo"), max(col("amt")).as("hi"))
+      min(col("amt")).as("lo"), max(col("amt")).as("hi"),
+      sum(col("amt")).as("samt"))
     assert(scanDescOf(q).contains("manifest-only"),
-      s"narrow-int sums + decimal bounds must answer from the manifest: ${scanDescOf(q)}")
+      s"narrow-int sums + decimal bounds/sum must answer from the manifest: ${scanDescOf(q)}")
     val exp = df.agg(sum(col("t8")), sum(col("i16")),
-      min(col("amt")), max(col("amt"))).collect()(0)
+      min(col("amt")), max(col("amt")), sum(col("amt"))).collect()(0)
     assert(q.collect()(0) == exp, s"${q.collect()(0)} != $exp")
+    // decimal AVG: Spark itself rewrites Avg into Sum/Count before V2
+    // pushdown, so the scan serves the EXACT decimal total + count and
+    // Spark's own Divide applies its p+4/s+4 HALF_UP contract above the
+    // scan — precision semantics stay Spark's, data IO stays zero
+    val da = load().agg(avg(col("amt")).as("aa"))
+    assert(scanDescOf(da).contains("manifest-only"),
+      s"decimal AVG must ride the pushed sum+count: ${scanDescOf(da)}")
+    assert(da.collect()(0) == df.agg(avg(col("amt"))).collect()(0))
     // AVG over a narrow int rides the same exact totals (one rounding)
     val a = load().agg(avg(col("t8")).as("a8"))
     assert(scanDescOf(a).contains("manifest-only"))
