@@ -2,8 +2,8 @@ package graft.icelite
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
-import org.apache.spark.sql.sources.{And => SAnd, Filter => SFilter, GreaterThanOrEqual => SGte, IsNull => SIsNull, LessThanOrEqual => SLte, Or => SOr}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min, struct, when}
+import org.apache.spark.sql.sources.{And => SAnd, Filter => SFilter, GreaterThanOrEqual => SGte, In => SIn, IsNull => SIsNull, LessThanOrEqual => SLte, Or => SOr}
 import org.apache.spark.sql.types.StructType
 
 /** A versioned Parquet table: snapshot-pinned scans with projection/limit
@@ -1077,21 +1077,60 @@ class IceTable(
       spark.sparkContext.hadoopConfiguration,
       current.map(visibleFiles).getOrElse(Nil))
 
-    // one tiny driver-side job: per-key min/max + null presence of the source
-    val keyBounds: SFilter = {
+    // one tiny driver-side job: per-key min/max + null presence + approx
+    // distinct count of the source (the latter gates the exact-key peek)
+    val boundsNullsNdv: (SFilter, Map[String, Boolean], Long) = {
       val aggs = keys.flatMap(k => Seq(
         min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
-        count(when(col(k).isNull, lit(1))).as(s"__nulls_$k")))
+        count(when(col(k).isNull, lit(1))).as(s"__nulls_$k"))) :+
+        approx_count_distinct(struct(keys.map(col): _*)).as("__ndv")
       val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-      keys.map { k =>
+      val nulls = keys.map(k => k -> (r.getAs[Long](s"__nulls_$k") > 0)).toMap
+      val bounds = keys.map { k =>
         val lo = r.getAs[Any](s"__min_$k")
         val hi = r.getAs[Any](s"__max_$k")
-        val hasNull = r.getAs[Long](s"__nulls_$k") > 0
         val range: SFilter =
           if (lo == null) SIsNull(k) // all-null source key column
           else SAnd(SGte(k, lo), SLte(k, hi))
-        if (hasNull && lo != null) SOr(range, SIsNull(k)) else range
+        if (nulls(k) && lo != null) SOr(range, SIsNull(k)) else range
       }.reduce(SAnd(_, _): SFilter)
+      (bounds, nulls, r.getAs[Long]("__ndv"))
+    }
+    val (keyBounds, keyNulls, srcNdv) = boundsNullsNdv
+
+    // EXACT-KEY candidate refinement: a range test degrades to "rewrite
+    // everything" when the source keys are scattered (every file's [min,
+    // max] intersects [source min, max]). When the source key set is small
+    // — the CDC-upsert shape: thousands of keys against a huge table — a
+    // per-key IN of the DISTINCT source values replaces the range with
+    // exact point containment: min/max proves a value outside the file's
+    // range absent, the opt-in per-file BLOOM proves a scattered value
+    // absent, and a file holding NONE of the source's keys survives
+    // untouched instead of being rewritten. Per-key INs AND'd is a sound
+    // necessary condition for multi-key upserts (a matching row needs
+    // every key column to hit SOME source value). Caps keep the peek
+    // driver-safe: `graft.upsert.keyPeekCap` distinct tuples (default
+    // 10k; 0 disables) and a probe budget so a million-file table never
+    // pays keys x files point probes.
+    val keyIn: Option[SFilter] = {
+      val cap = scala.util.Try(
+        spark.conf.get("graft.upsert.keyPeekCap", "10000").toInt).getOrElse(10000)
+      val probeBudget = 50L * 1000 * 1000
+      if (cap <= 0 || srcNdv > cap ||
+          files.size.toLong * math.max(srcNdv, 1L) > probeBudget) None
+      else {
+        val perKey = keys.map { k =>
+          val vs = src.select(col(k)).where(col(k).isNotNull)
+            .distinct().limit(cap + 1).collect().map(_.get(0))
+          if (vs.length > cap) None // approx NDV undercounted; stay on ranges
+          else Some {
+            val in: SFilter = SIn(k, vs)
+            if (keyNulls(k)) SOr(in, SIsNull(k)) else in
+          }
+        }
+        if (perKey.contains(None)) None
+        else Some(perKey.flatten.reduce(SAnd(_, _): SFilter))
+      }
     }
 
     val (candidates, untouched) =
@@ -1104,7 +1143,8 @@ class IceTable(
         val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
         val raw = PartValues.parse(f.path, spec)
         val pv = PartValues.decodeExternal(tableSchema, spec, raw)
-        FilePrune.canMatch(keyBounds, tableSchema, f, pv)
+        FilePrune.canMatch(keyBounds, tableSchema, f, pv) &&
+          keyIn.forall(FilePrune.canMatch(_, tableSchema, f, pv))
       }
 
     val currentDirs = current.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)

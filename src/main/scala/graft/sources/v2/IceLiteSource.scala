@@ -21,7 +21,7 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.icelite.{FilePrune, FileStat, MetaIo, PartValues}
+import graft.icelite.{FilePrune, FileStat, FileStats, MetaIo, PartValues}
 
 /** DataSource V2 surface for IceLite tables: `spark.read.format("icelite")
   * .option("warehouse", wh).option("table", "ns.tbl").load()`, with optional
@@ -1521,16 +1521,28 @@ private[v2] class IceLiteScan(
     */
   private var runtimeFilters: Array[Filter] = Array.empty
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // row-level scans must plan a DETERMINISTIC file set: a runtime filter
     // could prune a file after it was recorded for replacement, and its
     // unread rows would vanish from the rewrite. SOURCE columns of
     // transform entries participate too: a runtime In(src, keys) prunes
     // through bucket/days/truncate via TransformPrune.
-    if (rowLevel.isDefined) Array.empty
-    else PartField.sources(partitionBy).distinct
+    if (rowLevel.isDefined) return Array.empty
+    val partSrcs = PartField.sources(partitionBy).distinct
       .filter(tableSchema.fieldNames.contains)
+    // bloom-carrying DATA columns participate too: a broadcast join's
+    // build-side key set arrives as a runtime In(c, keys) and the prune's
+    // bloom probe drops every fact file provably holding none of the keys
+    // — runtime file skipping on ANY opted-in join key, not just the
+    // partition layout. Advertising costs nothing when no filter comes;
+    // when one does, canMatch's min/max + bloom path handles it.
+    val bloomed = tableSchema.fieldNames.filter(c =>
+      !partSrcs.contains(c) && files.exists(f =>
+        f.bloom.get(FileStats.BloomVersionKey)
+          .contains(FileStats.BloomVersion) && f.bloom.contains(c)))
+    (partSrcs ++ bloomed)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 

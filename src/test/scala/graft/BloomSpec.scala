@@ -82,6 +82,74 @@ class BloomSpec extends SparkSpec {
     assert(planned(load().filter(col("id") === 90001L))._2 == 1)
   }
 
+  test("broadcast-join keys runtime-filter the fact scan through the blooms") {
+    val wh = scratch("bloom-rt")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val fact = (0L until 20000L).map(i => (i, i % 97)).toDF("id", "grp")
+    cat.createTable("lake", "fact", fact.schema,
+      properties = Map("write.bloom.columns" -> "id",
+        "write.bloom.capacity" -> "20000"))
+    spark.conf.set("spark.sql.catalog.ice_brt", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_brt.warehouse", wh)
+    (0 until 4).foreach(m => fact.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_brt.lake.fact").append())
+    // dim must be file-backed (a LocalRelation's filter constant-folds
+    // before PartitionPruning sees it) — same shape as the DPP test, but
+    // the join key is a DATA column: only the bloom advertisement makes
+    // the scan a runtime-filter target
+    val dimPath = scratch("bloom-rt-dim")
+    Seq((4L, "keep"), (8L, "keep"), (12L, "drop"))
+      .toDF("k", "tag").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("bloom_dim")
+    val q = spark.sql(
+      """SELECT f.id, f.grp, d.tag
+        |FROM ice_brt.lake.fact f JOIN bloom_dim d ON f.id = d.k
+        |WHERE d.tag = 'keep'""".stripMargin)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(4L, 8L),
+      s"join result wrong: ${rows.toSeq}")
+    val runtime = q.queryExecution.executedPlan.toString
+    assert(runtime.contains("dynamicpruningexpression"),
+      s"no runtime filter reached the bloom-advertised data column:\n$runtime")
+  }
+
+  test("COW upsert rewrites only the files that actually hold source keys") {
+    val wh = scratch("bloom-upsert")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (0L until 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema,
+      properties = Map("write.bloom.columns" -> "id",
+        "write.bloom.capacity" -> "20000"))
+    spark.conf.set("spark.sql.catalog.ice_bup", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_bup.warehouse", wh)
+    // interleaved keys: every file spans [0, 8000) — the RANGE candidate
+    // test would rewrite all four files for any source
+    (0 until 4).foreach(m => df.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_bup.lake.t").append())
+    val t1 = cat.loadTable("lake", "t")
+    val before = t1.visibleFiles(t1.meta.currentSnapshot.get).map(_.path).toSet
+    assert(before.size == 4)
+    // source keys all live in the m=1 file; the exact-key refinement
+    // (IN through min/max + blooms) must leave the other three untouched
+    val srcKeys = Seq(1L, 401L, 801L)
+    val source = srcKeys.map(k => (k, "updated")).toDF("id", "v")
+    t1.upsert(source, keys = Seq("id"))
+    val t2 = cat.loadTable("lake", "t")
+    val after = t2.visibleFiles(t2.meta.currentSnapshot.get).map(_.path).toSet
+    val carried = before.intersect(after)
+    assert(carried.size == 3,
+      s"exactly the three key-free files must survive untouched: " +
+        s"carried ${carried.size} of ${before.size}")
+    // and the merge semantics are exactly right
+    val got = t2.toDF.filter(col("id").isin(srcKeys: _*))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("updated"), s"matched rows must take source values: $got")
+    assert(t2.toDF.count() == 8000L)
+    assert(t2.toDF.filter(col("v") === "updated").count() == 3L)
+  }
+
   test("blooms are opt-in, version-gated, and never prove a false absence") {
     val wh = scratch("bloom-gate")
     val cat = new IceCatalog(spark, wh)
