@@ -1051,67 +1051,50 @@ class IceTable(
     this // unreachable
   }
 
-  /** Primary-key upsert (K5, `wr:107-108`): matched target rows take the
-    * source's values, unmatched source rows are inserted, unmatched target
-    * rows survive. Null-safe key equality.
+  /** Candidate screen shared by the COW and MOR upserts: which of `files`
+    * could hold a row matching SOME source key tuple (necessary-condition
+    * pruning — a file screened out provably contains no match and is
+    * carried/skipped; a false positive only costs an unnecessary rewrite
+    * or read). Two layers, both one tiny driver-side source aggregate:
     *
-    * Physically file-granular copy-on-write: one small aggregation computes
-    * the source's per-key-column [min, max] (+ null presence), the manifest
-    * stats prove which target files cannot contain a matching key, and only
-    * the intersecting files are rewritten (anti-join + union). Every other
-    * file is carried into the new snapshot untouched. Files without stats
-    * are conservatively rewritten.
+    * 1. RANGE: per-key [min, max] (+ null presence) of the source against
+    *    each file's footer stats / directory values.
+    * 2. EXACT KEYS: a range test degrades to "rewrite everything" when
+    *    the source keys are scattered (every file's range intersects the
+    *    source's). When the source key set is small — the CDC shape:
+    *    thousands of keys against a huge table — a per-key IN of the
+    *    DISTINCT source values is ANDed on: min/max proves out-of-range
+    *    values absent, the opt-in per-file BLOOM proves scattered values
+    *    absent, and a file holding none of the source's keys survives
+    *    untouched. Per-key INs AND'd stay a sound necessary condition for
+    *    multi-key upserts (a matching row needs every key column to hit
+    *    SOME source value under `<=>`; null-extended when the source has
+    *    null keys). Caps keep the peek driver-safe:
+    *    `graft.upsert.keyPeekCap` distinct tuples (default 10k; 0
+    *    disables) and a probe budget so a million-file table never pays
+    *    keys x files point probes.
     */
-  def upsert(df: DataFrame, keys: Seq[String]): IceTable = {
-    require(keys.nonEmpty,
-      s"upsert into $namespace.$name requires a primary key (config or manifest)")
-    val m = meta
-    val tableSchema = StructType.fromDDL(m.schemaDdl)
-    val src = conform(df, tableSchema)
-    val current = m.currentSnapshot
-    // heal legacy (pre-manifest) entries up front — one parallel footer
-    // read per unknown-row file recovers rows + key stats, so the pruning
-    // below works on legacy tables too instead of degrading to a full
-    // rewrite, and this commit's manifest is permanently healed
-    val files = FileStats.ensureRows(
-      spark.sparkContext.hadoopConfiguration,
-      current.map(visibleFiles).getOrElse(Nil))
-
-    // one tiny driver-side job: per-key min/max + null presence + approx
-    // distinct count of the source (the latter gates the exact-key peek)
-    val boundsNullsNdv: (SFilter, Map[String, Boolean], Long) = {
-      val aggs = keys.flatMap(k => Seq(
-        min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
-        count(when(col(k).isNull, lit(1))).as(s"__nulls_$k"))) :+
-        approx_count_distinct(struct(keys.map(col): _*)).as("__ndv")
-      val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val nulls = keys.map(k => k -> (r.getAs[Long](s"__nulls_$k") > 0)).toMap
-      val bounds = keys.map { k =>
-        val lo = r.getAs[Any](s"__min_$k")
-        val hi = r.getAs[Any](s"__max_$k")
-        val range: SFilter =
-          if (lo == null) SIsNull(k) // all-null source key column
-          else SAnd(SGte(k, lo), SLte(k, hi))
-        if (nulls(k) && lo != null) SOr(range, SIsNull(k)) else range
-      }.reduce(SAnd(_, _): SFilter)
-      (bounds, nulls, r.getAs[Long]("__ndv"))
-    }
-    val (keyBounds, keyNulls, srcNdv) = boundsNullsNdv
-
-    // EXACT-KEY candidate refinement: a range test degrades to "rewrite
-    // everything" when the source keys are scattered (every file's [min,
-    // max] intersects [source min, max]). When the source key set is small
-    // — the CDC-upsert shape: thousands of keys against a huge table — a
-    // per-key IN of the DISTINCT source values replaces the range with
-    // exact point containment: min/max proves a value outside the file's
-    // range absent, the opt-in per-file BLOOM proves a scattered value
-    // absent, and a file holding NONE of the source's keys survives
-    // untouched instead of being rewritten. Per-key INs AND'd is a sound
-    // necessary condition for multi-key upserts (a matching row needs
-    // every key column to hit SOME source value). Caps keep the peek
-    // driver-safe: `graft.upsert.keyPeekCap` distinct tuples (default
-    // 10k; 0 disables) and a probe budget so a million-file table never
-    // pays keys x files point probes.
+  private def keyCandidates(src: DataFrame, keys: Seq[String],
+      files: Seq[FileStat], m: TableMeta, tableSchema: StructType)
+      : (Seq[FileStat], Seq[FileStat]) = {
+    if (files.isEmpty) return (files, Nil)
+    // one driver-side job: per-key min/max + null presence + approx
+    // distinct tuple count (gates the exact-key peek)
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
+      count(when(col(k).isNull, lit(1))).as(s"__nulls_$k"))) :+
+      approx_count_distinct(struct(keys.map(col): _*)).as("__ndv")
+    val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val keyNulls = keys.map(k => k -> (r.getAs[Long](s"__nulls_$k") > 0)).toMap
+    val srcNdv = r.getAs[Long]("__ndv")
+    val keyBounds: SFilter = keys.map { k =>
+      val lo = r.getAs[Any](s"__min_$k")
+      val hi = r.getAs[Any](s"__max_$k")
+      val range: SFilter =
+        if (lo == null) SIsNull(k) // all-null source key column
+        else SAnd(SGte(k, lo), SLte(k, hi))
+      if (keyNulls(k) && lo != null) SOr(range, SIsNull(k)) else range
+    }.reduce(SAnd(_, _): SFilter)
     val keyIn: Option[SFilter] = {
       val cap = scala.util.Try(
         spark.conf.get("graft.upsert.keyPeekCap", "10000").toInt).getOrElse(10000)
@@ -1132,20 +1115,48 @@ class IceTable(
         else Some(perKey.flatten.reduce(SAnd(_, _): SFilter))
       }
     }
+    files.partition { f =>
+      // partition values make pruning work when the key IS (or includes)
+      // an identity partition column — those carry no file stats.
+      // Directory values follow each file's OWN era spec (partition
+      // evolution); transform sources live in data and prune via stats.
+      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val raw = PartValues.parse(f.path, spec)
+      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
+      FilePrune.canMatch(keyBounds, tableSchema, f, pv) &&
+        keyIn.forall(FilePrune.canMatch(_, tableSchema, f, pv))
+    }
+  }
 
-    val (candidates, untouched) =
-      if (files.isEmpty) (files, Nil)
-      else files.partition { f =>
-        // partition values make pruning work when the key IS (or includes)
-        // an identity partition column — those carry no file stats.
-        // Directory values follow each file's OWN era spec (partition
-        // evolution); transform sources live in data and prune via stats.
-        val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
-        val raw = PartValues.parse(f.path, spec)
-        val pv = PartValues.decodeExternal(tableSchema, spec, raw)
-        FilePrune.canMatch(keyBounds, tableSchema, f, pv) &&
-          keyIn.forall(FilePrune.canMatch(_, tableSchema, f, pv))
-      }
+  /** Primary-key upsert (K5, `wr:107-108`): matched target rows take the
+    * source's values, unmatched source rows are inserted, unmatched target
+    * rows survive. Null-safe key equality.
+    *
+    * Physically file-granular copy-on-write: one small aggregation computes
+    * the source's per-key-column [min, max] (+ null presence), the manifest
+    * stats prove which target files cannot contain a matching key — and
+    * when the source key set is small, a per-key IN over manifest blooms
+    * proves even scattered keys absent (see [[keyCandidates]]) — so only
+    * the intersecting files are rewritten (anti-join + union). Every other
+    * file is carried into the new snapshot untouched. Files without stats
+    * are conservatively rewritten.
+    */
+  def upsert(df: DataFrame, keys: Seq[String]): IceTable = {
+    require(keys.nonEmpty,
+      s"upsert into $namespace.$name requires a primary key (config or manifest)")
+    val m = meta
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val src = conform(df, tableSchema)
+    val current = m.currentSnapshot
+    // heal legacy (pre-manifest) entries up front — one parallel footer
+    // read per unknown-row file recovers rows + key stats, so the pruning
+    // below works on legacy tables too instead of degrading to a full
+    // rewrite, and this commit's manifest is permanently healed
+    val files = FileStats.ensureRows(
+      spark.sparkContext.hadoopConfiguration,
+      current.map(visibleFiles).getOrElse(Nil))
+
+    val (candidates, untouched) = keyCandidates(src, keys, files, m, tableSchema)
 
     val currentDirs = current.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil)
     val curDeletes = current.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil)
@@ -1369,29 +1380,10 @@ class IceTable(
     if (keys.exists(idCols.contains))
       return upsert(df, keys)
 
-    // candidate files by source key bounds — same manifest-stat pruning as
-    // the COW upsert (one tiny aggregate over the source)
-    val keyBounds: SFilter = {
-      val aggs = keys.flatMap(k => Seq(
-        min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
-        count(when(col(k).isNull, lit(1))).as(s"__nulls_$k")))
-      val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-      keys.map { k =>
-        val lo = r.getAs[Any](s"__min_$k")
-        val hi = r.getAs[Any](s"__max_$k")
-        val hasNull = r.getAs[Long](s"__nulls_$k") > 0
-        val range: SFilter =
-          if (lo == null) SIsNull(k)
-          else SAnd(SGte(k, lo), SLte(k, hi))
-        if (hasNull && lo != null) SOr(range, SIsNull(k)) else range
-      }.reduce(SAnd(_, _): SFilter)
-    }
-    val (candidates, _) = files.partition { f =>
-      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
-      val raw = PartValues.parse(f.path, spec)
-      val pv = PartValues.decodeExternal(tableSchema, spec, raw)
-      FilePrune.canMatch(keyBounds, tableSchema, f, pv)
-    }
+    // candidate files by source key containment — the same shared screen
+    // as the COW upsert (range + exact-key/bloom refinement): fewer
+    // candidates means a smaller position-scan read below
+    val (candidates, _) = keyCandidates(src, keys, files, m, tableSchema)
 
     // positions of matched target rows: semi-join candidate rows (read with
     // absolute row positions) against the distinct source keys (broadcast —

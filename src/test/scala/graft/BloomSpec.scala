@@ -150,6 +150,48 @@ class BloomSpec extends SparkSpec {
     assert(t2.toDF.filter(col("v") === "updated").count() == 3L)
   }
 
+  test("index an existing table: ALTER adds the property, compact builds the blooms") {
+    val wh = scratch("bloom-index")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.ice_bix", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_bix.warehouse", wh)
+    val df = (0L until 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema) // no property: no blooms
+    (0 until 4).foreach(m => df.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_bix.lake.t").append())
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t").load()
+    assert(planned(load().filter(col("id") === 4L))._2 == 4,
+      "no blooms yet: interleaved keys defeat min/max, all files planned")
+    // the retrofit flow a 100 TB operator runs: declare the index column,
+    // then one maintenance rewrite builds the filters
+    spark.sql("ALTER TABLE ice_bix.lake.t SET TBLPROPERTIES " +
+      "('write.bloom.columns' = 'id', 'write.bloom.capacity' = '20000')")
+    cat.loadTable("lake", "t").compact(targetFiles = 4,
+      sortBy = Seq("id"))
+    val t2 = cat.loadTable("lake", "t")
+    assert(t2.visibleFiles(t2.meta.currentSnapshot.get)
+      .forall(_.bloom.contains("id")),
+      "compaction under the property must build blooms for every file")
+    val q = load().filter(col("id") === 4L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // sorted compaction makes min/max sufficient here; the point is the
+    // blooms now EXIST — prove they answer by probing an in-range absent
+    // key against the file that covers it
+    assert(load().filter(col("id") === 4L).count() == 1L)
+    // COW DELETE WHERE id IN (...) rides the same canMatch probes: only
+    // the key-holding file is rewritten, the rest are carried
+    val before = t2.visibleFiles(t2.meta.currentSnapshot.get).map(_.path).toSet
+    t2.deleteWhere(Seq(org.apache.spark.sql.sources.In("id", Array(4L, 5L))))
+    val t3 = cat.loadTable("lake", "t")
+    val after = t3.visibleFiles(t3.meta.currentSnapshot.get).map(_.path).toSet
+    assert(before.intersect(after).size >= 2,
+      s"delete must carry the key-free files: kept ${before.intersect(after).size}")
+    assert(t3.toDF.count() == 7998L)
+    assert(t3.toDF.filter(col("id").isin(4L, 5L)).count() == 0L)
+  }
+
   test("blooms are opt-in, version-gated, and never prove a false absence") {
     val wh = scratch("bloom-gate")
     val cat = new IceCatalog(spark, wh)
