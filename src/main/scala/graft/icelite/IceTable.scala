@@ -1080,10 +1080,15 @@ class IceTable(
     if (files.isEmpty) return (files, Nil)
     // one driver-side job: per-key min/max + null presence + approx
     // distinct tuple count (gates the exact-key peek)
+    // single-key sources (the common case) skip the per-row struct
+    // allocation the tuple-NDV estimate would pay
+    val ndvExpr =
+      if (keys.lengthCompare(1) == 0) approx_count_distinct(col(keys.head))
+      else approx_count_distinct(struct(keys.map(col): _*))
     val aggs = keys.flatMap(k => Seq(
       min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
       count(when(col(k).isNull, lit(1))).as(s"__nulls_$k"))) :+
-      approx_count_distinct(struct(keys.map(col): _*)).as("__ndv")
+      ndvExpr.as("__ndv")
     val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
     val keyNulls = keys.map(k => k -> (r.getAs[Long](s"__nulls_$k") > 0)).toMap
     val srcNdv = r.getAs[Long]("__ndv")
