@@ -1211,7 +1211,7 @@ private[v2] object IceLiteMeta {
       // `null_count` sums footer stats; both are zero-data-IO at any size.
       val schema = StructType.fromDDL(
         "column STRING, data_type STRING, ndv BIGINT, null_count BIGINT, " +
-          "sketched BOOLEAN")
+          "sketched BOOLEAN, bloomed BOOLEAN")
       val tableSchema = StructType.fromDDL(meta.schemaDdl)
       val statFiles = meta.currentSnapshot
         .map(s => graft.icelite.FileStats.visible(fs, s)).getOrElse(Nil)
@@ -1221,9 +1221,16 @@ private[v2] object IceLiteMeta {
           .map(d => math.max(0L, math.round(d)))
         val nulls = graft.icelite.Ndv
           .nullCount(meta.renames, meta.addedColumns, statFiles, f.name)
+        // full point-lookup coverage: EVERY visible file carries a
+        // current-scheme bloom for the column (per-file pruning still
+        // works under partial coverage; this flag is the operator's
+        // "is the retrofit compaction done?" answer)
+        val bloomed = statFiles.nonEmpty && statFiles.forall(sf =>
+          sf.bloom.get(FileStats.BloomVersionKey)
+            .contains(FileStats.BloomVersion) && sf.bloom.contains(f.name))
         Array[Any](f.name, f.dataType.simpleString,
           ndv.map(Long.box).orNull, nulls.map(Long.box).orNull,
-          Boolean.box(ndv.isDefined))
+          Boolean.box(ndv.isDefined), Boolean.box(bloomed))
       }
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.stats", schema, rows)
     case "snapshots" =>

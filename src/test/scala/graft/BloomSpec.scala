@@ -174,6 +174,12 @@ class BloomSpec extends SparkSpec {
     assert(t2.visibleFiles(t2.meta.currentSnapshot.get)
       .forall(_.bloom.contains("id")),
       "compaction under the property must build blooms for every file")
+    // the .stats metadata table answers "is the retrofit done?"
+    val bloomedCols = spark.table("ice_bix.lake.t.stats")
+      .filter(col("bloomed")).select("column")
+      .collect().map(_.getString(0)).toSet
+    assert(bloomedCols == Set("id"),
+      s".stats must report full bloom coverage for id only: $bloomedCols")
     val q = load().filter(col("id") === 4L)
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
     // sorted compaction makes min/max sufficient here; the point is the
