@@ -150,6 +150,34 @@ class BloomSpec extends SparkSpec {
     assert(t2.toDF.filter(col("v") === "updated").count() == 3L)
   }
 
+  test("the streaming sink builds blooms under the table property") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = scratch("bloom-sink")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("lake", "src", df.schema).append(df)
+    cat.createTable("lake", "dst", df.schema,
+      properties = Map("write.bloom.columns" -> "id"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("icelite-bloom-sink").toString
+    val q = spark.readStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.src").load()
+      .writeStream.format("icelite")
+      .option("warehouse", wh).option("table", "lake.dst")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dst = cat.loadTable("lake", "dst")
+    assert(dst.toDF.count() == 30)
+    val sunk = dst.visibleFiles(dst.meta.currentSnapshot.get)
+    assert(sunk.nonEmpty && sunk.forall(f => f.bloom.contains("id") &&
+      f.bloom.get(FileStats.BloomVersionKey).contains(FileStats.BloomVersion)),
+      s"streaming-sink files must carry blooms: ${sunk.map(_.bloom.keySet)}")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("index an existing table: ALTER adds the property, compact builds the blooms") {
     val wh = scratch("bloom-index")
     val cat = new IceCatalog(spark, wh)
