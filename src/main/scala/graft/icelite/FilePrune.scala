@@ -310,6 +310,12 @@ object FilePrune {
     case _ => false
   }
 
+  /** A stat-encoded key value decoded into the form `canMatch` normalizes
+    * (Long for the integral/date/timestamp family, String, Boolean,
+    * BigDecimal) — the read side of EqDeleteIo's inline key encoding.
+    */
+  def keyValue(dt: DataType, s: String): Option[Any] = parseStat(dt, s)
+
   /** A manifest stat as a double coordinate for z-order normalization. */
   def statDouble(dt: DataType, s: String): Option[Double] =
     parseStat(dt, s).collect {

@@ -215,7 +215,37 @@ object FileStats {
       Renames.eraOf(f.path) < d.seqId &&
       !d.eqExemptDirs.exists(dir => f.path.startsWith(dir + "/")) &&
       d.eqCols.forall(c => FilePrune.statRangesOverlap(schema, c,
-        f.min.get(c), f.max.get(c), d.eqMin.get(c), d.eqMax.get(c)))
+        f.min.get(c), f.max.get(c), d.eqMin.get(c), d.eqMax.get(c))) &&
+      !inlineKeysDisjoint(d, f, schema)
+
+  /** Exact point-containment exemption from the delete's INLINE key values
+    * (recorded for small deletes — the CDC-tombstone shape): a data file
+    * that provably contains NONE of the delete's values for SOME key
+    * column cannot hold a matching row (a match needs every key column to
+    * hit), so it is exempt and stays on the columnar read path even when
+    * scattered keys make the range test demote everything. Each value
+    * probes through the SAME machinery pushed equality filters use —
+    * min/max range containment plus the opt-in per-file bloom
+    * (FilePrune.canMatch on an In) — so every probe is
+    * necessary-condition-sound: absent stats, bloom false positives, or an
+    * undecodable value only fail to exempt.
+    */
+  private def inlineKeysDisjoint(d: DeleteStat, f: FileStat,
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    if (d.eqKeys.isEmpty) return false
+    d.eqCols.exists { c =>
+      d.eqKeys.get(c).exists { vs =>
+        schema.fieldNames.contains(c) && vs.nonEmpty && {
+          val dt = schema(c).dataType
+          val parsed = vs.map(FilePrune.keyValue(dt, _))
+          parsed.forall(_.isDefined) &&
+            !FilePrune.canMatch(
+              org.apache.spark.sql.sources.In(c, parsed.flatten.toArray),
+              schema, f)
+        }
+      }
+    }
+  }
 
   /** Count of files added by a snapshot WITHOUT touching any manifest:
     * the inline O(1) count on current metadata, the inline path list on

@@ -1533,8 +1533,9 @@ class IceTable(
       appendData: Boolean, operation: String): IceTable = {
     val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val written = EqDeleteIo.writeKeyFile(
-      spark, fs, tableDir, snapId0, src.select(keys.map(col): _*), keys)
-    val (delDir, delFile, keyRows, eqMin, eqMax) = written match {
+      spark, fs, tableDir, snapId0, src.select(keys.map(col): _*), keys,
+      m0.properties)
+    val (delDir, delFile, keyRows, eqMin, eqMax, eqKeys) = written match {
       case Some(w) => w
       case None => return this // empty source: nothing to delete or insert
     }
@@ -1558,7 +1559,7 @@ class IceTable(
         path = qualify(delFile), appliesTo = Nil,
         eqCols = keys, eqRows = keyRows, seqId = snapId,
         eqExemptDirs = dataDir.map(qualify).toSeq,
-        eqMin = eqMin, eqMax = eqMax)
+        eqMin = eqMin, eqMax = eqMax, eqKeys = eqKeys)
       val prior = current.map(c => FileStats.deletesOf(fs, c)).getOrElse(Nil)
       val carried = current.map(visibleFiles).getOrElse(Nil)
       val snap = SnapshotMeta(

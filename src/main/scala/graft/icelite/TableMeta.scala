@@ -195,7 +195,17 @@ final case class DeleteStat(
     seqId: Long = 0L,
     eqExemptDirs: Seq[String] = Nil,
     eqMin: Map[String, String] = Map.empty,
-    eqMax: Map[String, String] = Map.empty) {
+    eqMax: Map[String, String] = Map.empty,
+    // The delete's DISTINCT key values per key column, stat-encoded and
+    // inlined when the key set is small (<= EqDeleteIo.InlineKeyCap — the
+    // CDC-tombstone shape): at plan time each value probes a data file's
+    // min/max range and opt-in bloom, and a file that provably contains
+    // NONE of them is exempt from this delete and stays on the columnar
+    // read path (range overlap alone demotes every file when keys are
+    // scattered). Probes are necessary-condition pruning: bloom false
+    // positives or absent stats only fail to exempt. Large key sets leave
+    // this empty and fall back to the range test.
+    eqKeys: Map[String, Seq[String]] = Map.empty) {
 
   def isEquality: Boolean = eqCols.nonEmpty
   /** Exactly-counted deleted rows: position entries only — equality

@@ -649,7 +649,7 @@ private[v2] class IceLiteStreamingWrite(
         SparkSession.active.read.schema(StructType.fromDDL(m0.schemaDdl))
           .parquet(added.map(_.path): _*)
           .select(upsertKeys.map(org.apache.spark.sql.functions.col): _*),
-        upsertKeys)
+        upsertKeys, m0.properties)
     var attempts = 0
     while (true) {
       val m = MetaIo.read(fs, tableDir)
@@ -663,12 +663,13 @@ private[v2] class IceLiteStreamingWrite(
         prev.map(p => FileStats.visible(fs, p)).getOrElse(Nil)
       // the delete's sequence re-pins to the commit snapshot per attempt
       // (state-independent content); the epoch's own data dir is exempt
-      val eqStat = eqWritten.map { case (_, delFile, keyRows, eqMin, eqMax) =>
-        graft.icelite.DeleteStat(
-          path = fs.makeQualified(new Path(delFile)).toString, appliesTo = Nil,
-          eqCols = upsertKeys, eqRows = keyRows, seqId = snapId,
-          eqExemptDirs = Seq(fs.makeQualified(dataDir).toString),
-          eqMin = eqMin, eqMax = eqMax)
+      val eqStat = eqWritten.map {
+        case (_, delFile, keyRows, eqMin, eqMax, eqKeys) =>
+          graft.icelite.DeleteStat(
+            path = fs.makeQualified(new Path(delFile)).toString, appliesTo = Nil,
+            eqCols = upsertKeys, eqRows = keyRows, seqId = snapId,
+            eqExemptDirs = Seq(fs.makeQualified(dataDir).toString),
+            eqMin = eqMin, eqMax = eqMax, eqKeys = eqKeys)
       }
       val snap = SnapshotMeta(
         snapshotId = snapId, timestampMs = System.currentTimeMillis(),

@@ -226,6 +226,43 @@ class BloomSpec extends SparkSpec {
     assert(t3.toDF.filter(col("id").isin(4L, 5L)).count() == 0L)
   }
 
+  test("equality deletes exempt bloom-disjoint files at plan time") {
+    val wh = scratch("bloom-eq")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (0L until 8000L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("lake", "t", df.schema,
+      properties = Map("write.bloom.columns" -> "id",
+        "write.bloom.capacity" -> "20000"))
+    spark.conf.set("spark.sql.catalog.ice_beq", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_beq.warehouse", wh)
+    // interleaved keys: every file's [min, max] spans the whole domain, so
+    // the RANGE test alone would demote all four files to the row-based
+    // probing read path for any scattered delete
+    (0 until 4).foreach(m => df.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_beq.lake.t").append())
+    val t1 = cat.loadTable("lake", "t")
+    // all delete keys live in the m=2 file
+    t1.deleteKeysEq(Seq(2L, 402L, 802L).toDF("id"), keys = Seq("id"))
+    val t2 = cat.loadTable("lake", "t")
+    val snap = t2.meta.currentSnapshot.get
+    val del = t2.deletesOf(snap).find(_.isEquality).getOrElse(
+      fail("expected an equality delete"))
+    assert(del.eqKeys.get("id").exists(_.toSet == Set("2", "402", "802")),
+      s"a small delete must inline its stat-encoded keys: ${del.eqKeys}")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(t2.meta.schemaDdl)
+    val applied = t2.visibleFiles(snap)
+      .filter(f => graft.icelite.FileStats.eqAppliesTo(del, f, schema))
+    assert(applied.size == 1,
+      s"bloom disjointness must exempt the three key-free files; " +
+        s"the delete applies to ${applied.size} of 4")
+    // semantics stay exactly right: the keys are gone, nothing else is
+    assert(t2.toDF.count() == 7997L)
+    assert(t2.toDF.filter(col("id").isin(2L, 402L, 802L)).count() == 0L)
+    assert(t2.toDF.filter(col("id") === 3L).count() == 1L)
+  }
+
   test("blooms are opt-in, version-gated, and never prove a false absence") {
     val wh = scratch("bloom-gate")
     val cat = new IceCatalog(spark, wh)
