@@ -263,6 +263,59 @@ class BloomSpec extends SparkSpec {
     assert(t2.toDF.filter(col("id") === 3L).count() == 1L)
   }
 
+  test("inline-key exemption holds for string and date keys without blooms") {
+    val wh = scratch("eqkeys-typed")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    // three files with DISJOINT sorted key ranges (a*, b*, c*) and
+    // era-correlated dates — no bloom property anywhere: the exemption
+    // must come from inline keys probing min/max point containment
+    def block(p: String, year: Int) = (0 until 500).map(i =>
+      (f"$p$i%04d", java.sql.Date.valueOf(f"$year-01-01").toLocalDate
+        .plusDays(i % 28).toString, i.toLong))
+    val mk = (p: String, y: Int) => block(p, y)
+      .toDF("k", "ds", "v").withColumn("d", col("ds").cast("date")).drop("ds")
+    val tbl = cat.createTable("lake", "t", mk("a", 2020).schema)
+    Seq(("a", 2020), ("b", 2021), ("c", 2022)).foreach { case (p, y) =>
+      tbl.append(mk(p, y).repartition(1)) }
+    val t1 = cat.loadTable("lake", "t")
+    // scattered STRING keys: the delete's [min, max] spans a..c, so the
+    // range test alone would demote all three files; the inline probes
+    // prove the b* file holds neither key
+    t1.deleteKeysEq(Seq("a0005", "c0005").toDF("k"), keys = Seq("k"))
+    val t2 = cat.loadTable("lake", "t")
+    val delK = t2.deletesOf(t2.meta.currentSnapshot.get)
+      .find(_.eqCols == Seq("k")).getOrElse(fail("string delete missing"))
+    assert(delK.eqKeys.get("k").exists(_.toSet == Set("a0005", "c0005")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(t2.meta.schemaDdl)
+    val appliedK = t2.visibleFiles(t2.meta.currentSnapshot.get)
+      .filter(f => graft.icelite.FileStats.eqAppliesTo(delK, f, schema))
+    assert(appliedK.size == 2,
+      s"b* must be exempt from the scattered string delete: ${appliedK.size} of 3")
+    assert(t2.toDF.count() == 1498L)
+    assert(t2.toDF.filter(col("k").isin("a0005", "c0005")).count() == 0L)
+    // scattered DATE keys ride the epoch-day encoding the same way
+    t2.deleteKeysEq(
+      Seq(java.sql.Date.valueOf("2020-01-03"),
+        java.sql.Date.valueOf("2022-01-03")).toDF("d"), keys = Seq("d"))
+    val t3 = cat.loadTable("lake", "t")
+    val delD = t3.deletesOf(t3.meta.currentSnapshot.get)
+      .find(_.eqCols == Seq("d")).getOrElse(fail("date delete missing"))
+    assert(delD.eqKeys.get("d").exists(_.size == 2),
+      s"date keys must inline as epoch days: ${delD.eqKeys}")
+    val appliedD = t3.visibleFiles(t3.meta.currentSnapshot.get)
+      .filter(f => graft.icelite.FileStats.eqAppliesTo(delD, f, schema))
+    assert(appliedD.size == 2,
+      s"the 2021 file must be exempt from the date delete: ${appliedD.size} of 3")
+    // value-level ground truth: exactly the rows with those dates are gone
+    val expect = 1498L - (Seq(("a", 2020), ("b", 2021), ("c", 2022))
+      .map { case (p, y) => block(p, y) }.reduce(_ ++ _)
+      .count(r => !Set("a0005", "c0005").contains(r._1) &&
+        Set(s"2020-01-03", s"2022-01-03").contains(r._2)))
+    assert(t3.toDF.count() == expect,
+      s"date delete must remove exactly the matching rows: got ${t3.toDF.count()}")
+  }
+
   test("blooms are opt-in, version-gated, and never prove a false absence") {
     val wh = scratch("bloom-gate")
     val cat = new IceCatalog(spark, wh)
