@@ -94,16 +94,20 @@ private[graft] object EqDeleteIo {
       s"equality-delete write produced ${stats.length} files, expected 1")
     val delStat = stats.head
     val boundedCols = keys.filter(c => delStat.nullCount(c).contains(0L)).toSet
-    // inline keys: one bounded driver-side peek of the (already distinct)
-    // key set; any null or non-encodable value drops that COLUMN's list
-    // (per-column semantics stay independently sound)
+    // inline keys: one bounded driver-side read of the WRITTEN delete file
+    // (<= InlineKeyCap rows, gated by its exact row count). Reading the
+    // file — not re-collecting the input DataFrame — is load-bearing: a
+    // non-deterministic source recomputed differently could omit a key the
+    // file actually holds, and a missing inline key would wrongly exempt a
+    // file from the delete. Any null or non-encodable value drops that
+    // COLUMN's list (per-column semantics stay independently sound).
     val eqKeys: Map[String, Seq[String]] =
       if (delStat.rows > InlineKeyCap) Map.empty
       else {
-        val schema = sorted.schema
-        val rows = sorted.limit(InlineKeyCap + 1).collect()
-        if (rows.length > InlineKeyCap) Map.empty
-        else keys.zipWithIndex.flatMap { case (k, i) =>
+        val back = spark.read.schema(sorted.schema).parquet(delStat.path)
+        val schema = back.schema
+        val rows = back.collect()
+        keys.zipWithIndex.flatMap { case (k, i) =>
           val dt = schema(k).dataType
           val enc = rows.map(r => encodeKey(dt, r.get(i)))
           if (enc.contains(None)) None

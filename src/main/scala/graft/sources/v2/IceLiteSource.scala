@@ -1543,10 +1543,12 @@ private[v2] class IceLiteScan(
     // — runtime file skipping on ANY opted-in join key, not just the
     // partition layout. Advertising costs nothing when no filter comes;
     // when one does, canMatch's min/max + bloom path handles it.
+    val bloomedCols: Set[String] = files.iterator
+      .filter(_.bloom.get(FileStats.BloomVersionKey)
+        .contains(FileStats.BloomVersion))
+      .flatMap(_.bloom.keysIterator).toSet - FileStats.BloomVersionKey
     val bloomed = tableSchema.fieldNames.filter(c =>
-      !partSrcs.contains(c) && files.exists(f =>
-        f.bloom.get(FileStats.BloomVersionKey)
-          .contains(FileStats.BloomVersion) && f.bloom.contains(c)))
+      !partSrcs.contains(c) && bloomedCols.contains(c))
     (partSrcs ++ bloomed)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
