@@ -87,13 +87,53 @@ object Bench {
     // comma-decimal locale would emit invalid JSON ("value":12,345)
     def j(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
+    // Absolute reference against HISTORY: the in-run >25% variance retry is
+    // blind to a uniformly loaded box (every round of the run inflates
+    // equally — r13's driver run was +42% end-to-end with flaky:[]), so
+    // compare each query's min against the newest archived prior-round
+    // per-query file (bench-out_r<N>.json). A min exceeding 3x its archived
+    // value AND +0.5s absolute (sub-100ms queries triple on scheduler noise
+    // alone) lands in `suspect`: a poisoned run then declares itself in the
+    // JSON the driver captures. Advisory only — a genuine regression trips
+    // it too, which is exactly when a human should look.
+    val suspect: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(".")
+      val archived = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .flatMap { n =>
+          """bench-out_r(\d+)\.json""".r.findFirstMatchIn(n)
+            .map(m => (m.group(1).toInt, n))
+        }.toSeq.sortBy(_._1).lastOption
+      archived match {
+        case None => Nil
+        case Some((_, file)) =>
+          try {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val root = om.readTree(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(file)))
+            val prior = Option(root.get("queries")) match {
+              case None => Map.empty[String, Double]
+              case Some(qn) => qn.properties().asScala.iterator
+                .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+            }
+            results.collect { case (name, v)
+              if v > 0 && prior.get(name).exists(p =>
+                p > 0 && v > p * 3 && v - p > 0.5) => name }
+          } catch { case e: Exception =>
+            System.err.println(s"[bench] suspect check skipped ($file): $e")
+            Nil
+          }
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + j(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"suspect":$sus,"sf":"$sfDir"}"""
     // Only SHORT summary lines go to stdout (first and last): the full
     // per-query line is multiple KB, so any tail-capture window landing
     // inside it would contain no complete metric line at all — round 8's
@@ -117,7 +157,7 @@ object Bench {
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
       .mkString("{", ",", "}")
     val short =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$hq,"nqueries":${results.size},"errors":$errs,"flaky":$flk,"queries_file":"$outPath","sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$hq,"nqueries":${results.size},"errors":$errs,"flaky":$flk,"suspect":$sus,"queries_file":"$outPath","sf":$sfNum,"sf_dir":"$sfDir"}"""
     println(short)
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
