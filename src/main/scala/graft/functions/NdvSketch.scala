@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-group HLL NDV sketch (datasketches HllSketch, lgK=12, compact bytes)
   * — BIT-COMPATIBLE with the sketches the icelite DSv2 row-loop writer
-  * records into `FileStat.ndv` (version "3" hashing scheme), so a sketch
+  * records into `FileStat.ndv` (version "4" hashing scheme), so a sketch
   * aggregated by this expression unions losslessly with writer-recorded
   * ones. That compatibility is the whole point: the maintenance read-back
   * sketcher ([[graft.icelite.Ndv.sketchFiles]]) uses this aggregate to give
@@ -30,6 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - double / float -> canonical double bits (`Ndv.doubleBits`: one NaN,
   *    one zero; floats widen to double first), `update(Long)` — the v3
   *    addition; every other type hashes bit-identically to v2.
+  *  - decimal -> unscaled value at declared scale (`Ndv.decimalHash`):
+  *    `update(Long)` when it fits, two's-complement bytes beyond — the v4
+  *    addition, dispatched by VALUE so precision widenings stay coherent.
   *  - NULLs never update (a sketch counts values, not rows).
   *
   * A TypedImperativeAggregate, not a UDAF: the buffer is the sketch object
@@ -51,8 +54,8 @@ case class NdvSketchAgg(
   override def checkInputDataTypes(): TypeCheckResult =
     if (FileStats.ndvSketchable(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"ndv_sketch supports long/int/string/date/timestamp/double/float, got " +
-        child.dataType.simpleString)
+      s"ndv_sketch supports long/int/string/date/timestamp/double/float/" +
+        s"decimal, got " + child.dataType.simpleString)
 
   override def createAggregationBuffer(): HllSketch =
     new HllSketch(graft.icelite.Ndv.LgK)
@@ -75,6 +78,15 @@ case class NdvSketchAgg(
         buf.update(graft.icelite.Ndv.doubleBits(v.asInstanceOf[Double]))
       case FloatType =>
         buf.update(graft.icelite.Ndv.doubleBits(v.asInstanceOf[Float].toDouble))
+      // v4: decimals hash their unscaled value at declared scale, long
+      // form when it fits (Ndv.decimalHash — dispatch by VALUE, so
+      // fixed-scale precision widenings union across file eras)
+      case _: DecimalType =>
+        graft.icelite.Ndv.decimalHash(v.asInstanceOf[Decimal]
+          .toJavaBigDecimal.unscaledValue()) match {
+          case Left(l) => buf.update(l)
+          case Right(b) => buf.update(b)
+        }
       case dt => throw new IllegalStateException(s"unreachable: $dt")
     }
     buf

@@ -58,6 +58,13 @@ private[graft] object EqDeleteIo {
         Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
       case (StringType, s: String) => Some(s)
       case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+      // decimals inline in the stat-string encoding (scaled plain string
+      // at the column's DECLARED scale — scale>0 always emits a '.', so
+      // the decode side's legacy dot-guard accepts it); values read back
+      // from the written delete file already carry the declared scale, so
+      // setScale is exact (the Try only guards a caller bypassing that)
+      case (d: DecimalType, bd: java.math.BigDecimal) =>
+        scala.util.Try(bd.setScale(d.scale).toPlainString).toOption
       case _ => None
     }
   }
@@ -74,14 +81,22 @@ private[graft] object EqDeleteIo {
     * None (and removes the dir) when the key set is empty.
     */
   def writeKeyFile(spark: SparkSession, fs: FileSystem, tableDir: Path,
-      snapId0: Long, keyDf: DataFrame, keys: Seq[String],
-      properties: Map[String, String] = Map.empty)
+      snapId0: Long, keyDf: DataFrame, keys: Seq[String])
       : Option[(String, String, Long, Map[String, String],
         Map[String, String], Map[String, Seq[String]])] = {
     val delDir = new Path(tableDir,
       f"data/eqdeletes-snap-$snapId0%05d-${java.util.UUID.randomUUID().toString.take(8)}")
     val sorted = keyDf.select(keys.map(col): _*).distinct()
       .repartition(1).sortWithinPartitions(keys.map(col): _*)
+    // the write below rides the row-loop writer unconditionally (its footer
+    // stats ARE the delete's bounds), so refuse driver-side, naming the
+    // column, rather than dying per-task inside parquet-mr. [[keyType]]
+    // keys are all row-writable, so this only fires on a caller bypassing
+    // that gate.
+    require(graft.sources.v2.IceLiteRowWrite.supports(sorted.schema, Nil),
+      s"equality-delete key column(s) ${sorted.schema.fields
+        .map(f => s"${f.name} (${f.dataType.simpleString})").mkString(", ")} " +
+        "outside the row-loop writer's type surface")
     fs.mkdirs(delDir)
     val stats = graft.sources.v2.IceLiteRowWrite.write(
       sorted, fs.makeQualified(delDir).toString, partitionBy = Nil,

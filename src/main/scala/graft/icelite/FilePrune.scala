@@ -118,15 +118,29 @@ object FilePrune {
     */
   /** Decoded-filter memo: an IN-list of k values probes the same file k
     * times, and base64+heapify of a ~60 KB filter per probe would dominate
-    * plan time. Keyed by (file path, column) — data files are immutable
-    * once committed and snapshot dirs are writer-unique, so a path can
-    * never carry two different blooms. Bounded LRU (256 entries ≈ 15 MB
-    * worst case), driver-side only.
+    * plan time. Bounded LRU (256 entries ≈ 15 MB worst case), driver-side
+    * only.
+    *
+    * The key carries the file's byte length and row count alongside (path,
+    * column): the cache is process-global and never invalidated, and while
+    * data files are immutable once committed, a PATH is not globally unique
+    * across table lifetimes — drop/recreate at the same location after a
+    * SparkContext restart in the same JVM (task-attempt ids reset) can
+    * reproduce a file name with different content, and a stale filter
+    * proving a false absence would wrongly prune point lookups AND wrongly
+    * exempt files from equality deletes. Same path + same length + same
+    * rows with DIFFERENT content is not reachable by any writer here
+    * (attempt-unique names within a context; across contexts the collision
+    * would need an identical byte count, which the embedded stats/bloom
+    * payloads of differing data make implausible) — and both discriminators
+    * are already in the manifest, so the check is free.
     */
+  private final case class BloomKey(path: String, bytes: Long, rows: Long,
+      col: String)
   private val bloomCache =
-    new java.util.LinkedHashMap[(String, String), Option[
+    new java.util.LinkedHashMap[BloomKey, Option[
         org.apache.datasketches.filters.bloomfilter.BloomFilter]](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(String, String),
+      override def removeEldestEntry(e: java.util.Map.Entry[BloomKey,
           Option[org.apache.datasketches.filters.bloomfilter.BloomFilter]]) =
         size() > 256
     }
@@ -134,10 +148,13 @@ object FilePrune {
   private def bloomMayContain(c: String, v: Any, schema: StructType,
       stat: FileStat): Boolean = {
     if (stat.bloom.isEmpty) return true
-    if (!stat.bloom.get(FileStats.BloomVersionKey)
-        .contains(FileStats.BloomVersion)) return true
+    // version gate is PER TYPE: v1 filters keep serving v1-era types, only
+    // decimal demands v2; an unknown marker refuses entirely (a
+    // wrong-scheme probe could manufacture a false absence)
+    if (!FileStats.bloomVersionOk(schema(c).dataType,
+        stat.bloom.get(FileStats.BloomVersionKey))) return true
     val bf = bloomCache.synchronized {
-      bloomCache.computeIfAbsent((stat.path, c), _ =>
+      bloomCache.computeIfAbsent(BloomKey(stat.path, stat.bytes, stat.rows, c), _ =>
         stat.bloomBytes(c).flatMap { bytes =>
           try Some(org.apache.datasketches.filters.bloomfilter.BloomFilter
             .heapify(org.apache.datasketches.memory.Memory.wrap(bytes)))
@@ -157,6 +174,20 @@ object FilePrune {
         val s = new Array[Byte](b.length + 1) // s(0) stays 0x00
         System.arraycopy(b, 0, s, 1, b.length)
         bf.query(s)
+      case d: DecimalType =>
+        // v2 domain: the unscaled value at the column's DECLARED scale
+        // (Ndv.decimalHash, the writer's exact form). A literal that does
+        // not normalize or align to the declared scale stays conservative.
+        norm(dt, v) match {
+          case Some(bd: BigDecimal) =>
+            try Ndv.decimalHash(bd.underlying
+                .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+                .unscaledValue()) match {
+              case Left(l) => bf.query(l)
+              case Right(bs) => bf.query(bs)
+            } catch { case _: ArithmeticException => true }
+          case _ => true
+        }
       case _ => true // non-bloomed domain
     }
   }

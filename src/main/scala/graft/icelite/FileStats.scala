@@ -54,6 +54,11 @@ object FileStats {
       // BEFORE hashing so a float->double type widening unions
       // consistently (old files' float values ARE those doubles)
       case DoubleType | FloatType => true
+      // v4: decimals sketch via the unscaled value at declared scale
+      // (Ndv.decimalHash — update(Long) when it fits, two's-complement
+      // bytes beyond; value-dependent dispatch, so fixed-scale precision
+      // widenings union consistently across file eras)
+      case _: DecimalType => true
       case _ => false
     }
   }
@@ -86,16 +91,25 @@ object FileStats {
   /** Bloom-filter column gate and hashing-scheme version ([[FileStat.bloom]]).
     * Opt-in (default none: blooms cost ~60 KB per column per file, so the
     * user names the point-lookup keys worth it). Eligible types are the
-    * point-lookup domain — long/int/string/date/timestamp; floats are
-    * excluded (equality on floats is an antipattern) and short/byte (256 /
-    * 65k possible values make a bloom pointless). Scheme v1: integral
-    * values hash via `update(Long)` (ints/dates widened), strings via the
-    * NUL-sentinel UTF-8 byte form shared with the NDV sketches. A filter
-    * under a DIFFERENT marker is ignored by the prune (conservative
-    * no-prune) — a wrong-scheme probe could prove a false absence.
+    * point-lookup domain — long/int/string/date/timestamp/decimal; floats
+    * are excluded (equality on floats is an antipattern) and short/byte
+    * (256 / 65k possible values make a bloom pointless). Scheme v1:
+    * integral values hash via `update(Long)` (ints/dates widened), strings
+    * via the NUL-sentinel UTF-8 byte form shared with the NDV sketches.
+    * Scheme v2 = v1 + decimals (money-typed point-lookup keys are real):
+    * the unscaled value at the column's DECLARED scale, `update(Long)`
+    * when it fits a long, else its two's-complement bytes — the dispatch
+    * is by VALUE, not by declared precision, so a fixed-scale precision
+    * widening (incl. crossing the long/byte-array physical boundary at
+    * p=18) hashes every shared value identically across file eras
+    * ([[Ndv.decimalHash]], shared with the NDV sketches). A filter under
+    * an incompatible marker is ignored by the prune (conservative
+    * no-prune) — a wrong-scheme probe could prove a false absence; v1
+    * filters stay serviceable for every v1-era type ([[bloomVersionOk]]).
     */
   val BloomVersionKey = "__bloom_version"
-  val BloomVersion = "1"
+  val BloomVersion = "2"
+  val BloomVersionV1 = "1"
   val BloomSeed = 9001L // fixed: byte-identical manifests across runs
   val BloomFpp = 0.01
 
@@ -104,38 +118,74 @@ object FileStats {
     f.name != BloomVersionKey && (f.dataType match {
       case LongType | IntegerType | StringType | DateType |
            TimestampType | TimestampNTZType => true
+      case _: DecimalType => true // v2: unscaled-value hash domain
       case _ => false
     })
   }
 
+  /** May a filter written under `marker` serve a point probe for a column
+    * of type `dt`? v2 is purely ADDITIVE over v1 — every v1-era type
+    * hashes bit-identically in v2 — so v1 filters keep pruning
+    * long/int/string/date/timestamp lookups (a marker bump must not erase
+    * a fleet's existing point-lookup coverage). Only decimal demands v2 (a
+    * v1 filter cannot carry decimal hashes), and any OTHER marker (newer
+    * scheme, corrupted, absent) refuses outright.
+    */
+  def bloomVersionOk(dt: org.apache.spark.sql.types.DataType,
+      marker: Option[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    marker match {
+      case Some(BloomVersion) => true
+      case Some(BloomVersionV1) => dt match {
+        case _: DecimalType => false
+        case _ => true
+      }
+      case _ => false
+    }
+  }
+
+  /** Is `marker` any scheme this build can probe (type-specifics aside)?
+    * The advertisement gate: a column may be offered as a runtime-filter
+    * target when SOME known-scheme filter exists for it — the per-probe
+    * [[bloomVersionOk]] check still decides type compatibility.
+    */
+  def bloomMarkerKnown(marker: Option[String]): Boolean =
+    marker.contains(BloomVersion) || marker.contains(BloomVersionV1)
+
   /** Version marker stored alongside the per-column sketches in
     * FileStat.ndv: v2 = string values hashed with the NUL sentinel prefix
     * (see the writer); v3 = v2 plus double/float eligibility (canonical
-    * double-bits hashing, [[Ndv.doubleBits]]). Sketches from a DIFFERENT
-    * hashing scheme must not union — shared values would double-count —
-    * so approxDistinct refuses files whose marker is incompatible with the
-    * queried column's type ([[ndvVersionOk]]).
+    * double-bits hashing, [[Ndv.doubleBits]]); v4 = v3 plus decimal
+    * eligibility (unscaled-value hashing, [[Ndv.decimalHash]]). Sketches
+    * from a DIFFERENT hashing scheme must not union — shared values would
+    * double-count — so approxDistinct refuses files whose marker is
+    * incompatible with the queried column's type ([[ndvVersionOk]]).
     */
   val NdvVersionKey = "__ndv_version"
-  val NdvVersion = "3"
+  val NdvVersion = "4"
+  val NdvVersionV3 = "3"
   val NdvVersionV2 = "2"
 
   /** Whether a file-level sketch written under `marker` may serve an
-    * estimate for a column of type `dt`. v3 is purely ADDITIVE over v2 —
-    * the hash of every v2-era type is bit-identical in v3 — so v2 files
-    * keep serving long/int/string/date/timestamp estimates (a marker bump
-    * must not erase a fleet's existing NDV coverage). Only the newly
-    * eligible floating types demand v3: a v2 file cannot carry a float
-    * sketch, and any OTHER marker (older scheme, corrupted, absent)
-    * refuses outright.
+    * estimate for a column of type `dt`. Each version is purely ADDITIVE
+    * over its predecessor — the hash of every prior-era type is
+    * bit-identical — so older files keep serving estimates for the types
+    * their scheme could carry (a marker bump must not erase a fleet's
+    * existing NDV coverage). Only the types a scheme ADDED demand it:
+    * float/double demand >= v3, decimal demands v4; any OTHER marker
+    * (older scheme, corrupted, absent) refuses outright.
     */
   def ndvVersionOk(dt: org.apache.spark.sql.types.DataType,
       marker: Option[String]): Boolean = {
     import org.apache.spark.sql.types._
     marker match {
       case Some(NdvVersion) => true
+      case Some(NdvVersionV3) => dt match {
+        case _: DecimalType => false
+        case _ => true
+      }
       case Some(NdvVersionV2) => dt match {
-        case DoubleType | FloatType => false
+        case DoubleType | FloatType | _: DecimalType => false
         case _ => true
       }
       case _ => false

@@ -1073,6 +1073,19 @@ class IceTable(
     *    `graft.upsert.keyPeekCap` distinct tuples (default 10k; 0
     *    disables) and a probe budget so a million-file table never pays
     *    keys x files point probes.
+    *
+    * DETERMINISM CONTRACT: both layers evaluate `src` in Spark jobs
+    * separate from the join/anti-join that later performs the upsert, so
+    * the screen is sound only for a deterministic source — the same
+    * contract the range layer has always carried implicitly (and MERGE
+    * itself: a source whose key set differs between evaluations has no
+    * well-defined match set). A non-deterministic `src` (rand(), an
+    * uncheckpointed shuffle over changing input) recomputed differently
+    * could surface a key absent from the collected IN set and leave a
+    * matching file untouched. Callers with such a source must
+    * localCheckpoint/persist it first; contrast EqDeleteIo.writeKeyFile,
+    * which closes the same hazard structurally by reading keys back from
+    * the written delete file.
     */
   private def keyCandidates(src: DataFrame, keys: Seq[String],
       files: Seq[FileStat], m: TableMeta, tableSchema: StructType)
@@ -1103,7 +1116,10 @@ class IceTable(
     val keyIn: Option[SFilter] = {
       val cap = scala.util.Try(
         spark.conf.get("graft.upsert.keyPeekCap", "10000").toInt).getOrElse(10000)
-      val probeBudget = 50L * 1000 * 1000
+      // shared with the DSv2 runtime re-prune (IceLiteScan.budgetRuntime)
+      val probeBudget = scala.util.Try(
+        spark.conf.get("graft.prune.probeBudget", "50000000").toLong)
+        .getOrElse(50L * 1000 * 1000)
       if (cap <= 0 || srcNdv > cap ||
           files.size.toLong * math.max(srcNdv, 1L) > probeBudget) None
       else {
@@ -1533,8 +1549,7 @@ class IceTable(
       appendData: Boolean, operation: String): IceTable = {
     val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val written = EqDeleteIo.writeKeyFile(
-      spark, fs, tableDir, snapId0, src.select(keys.map(col): _*), keys,
-      m0.properties)
+      spark, fs, tableDir, snapId0, src.select(keys.map(col): _*), keys)
     val (delDir, delFile, keyRows, eqMin, eqMax, eqKeys) = written match {
       case Some(w) => w
       case None => return this // empty source: nothing to delete or insert

@@ -8,8 +8,9 @@ import org.apache.spark.sql.types.StructType
 /** Manifest-level NDV: per-file HLL sketches union losslessly, so a
   * table-level approximate distinct count is a pure metadata read at any
   * table size (Iceberg's puffin theta-sketch role; ~1.6% relative standard
-  * error at lgK=12). Current scheme: version "3" (v2 + float/double via
-  * canonical double bits); v2 files stay serviceable for the v2-era types
+  * error at lgK=12). Current scheme: version "4" (v3 + decimals via the
+  * unscaled-value hash; v3 = v2 + float/double via canonical double bits);
+  * older files stay serviceable for their era's types
   * (FileStats.ndvVersionOk).
   *
   * Two producers write the sketches — the DSv2 row-loop writer (in-line,
@@ -18,7 +19,7 @@ import org.apache.spark.sql.types.StructType
   * copy-on-write upsert — no longer blinds the estimate) — and ONE consumer
   * interprets them ([[estimate]], behind `IceTable.approxDistinct`, the
   * DSv2 column statistics, and the `.stats` metadata table). Both producers
-  * hash under the version-"3" scheme (see [[graft.functions.NdvSketchAgg]]),
+  * hash under the current scheme (see [[graft.functions.NdvSketchAgg]]),
   * and the consumer refuses to union anything else.
   */
 object Ndv {
@@ -39,7 +40,7 @@ object Ndv {
     scala.util.Try(spark.conf.get("graft.ndv.columns", "*"))
       .getOrElse("*")
 
-  /** Canonical hash bits of a floating value under the version-"3" scheme,
+  /** Canonical hash bits of a floating value (introduced by the version-"3" scheme),
     * shared by BOTH producers (the DSv2 row loop and [[sketchFiles]] via
     * `NdvSketchAgg`): all NaN payloads collapse to the one canonical NaN
     * and -0.0 collapses to +0.0, because `NaN != NaN` and `-0.0 == 0.0`
@@ -53,7 +54,23 @@ object Ndv {
     else if (v == 0.0d) 0L // collapses -0.0
     else java.lang.Double.doubleToRawLongBits(v)
 
-  /** Attach version-"3" NDV sketches to freshly written files: ONE
+  /** Canonical hash form of a decimal's UNSCALED value at the column's
+    * declared scale, shared by every producer AND the bloom probe
+    * (version-"4" NDV scheme / version-"2" bloom scheme): `Left(long)`
+    * when the unscaled value fits a long, `Right(bytes)` (minimal
+    * two's-complement) beyond. The dispatch is by VALUE, not declared
+    * precision, so a fixed-scale precision widening — including one that
+    * crosses the long/byte-array physical boundary at p=18 — hashes every
+    * value representable in BOTH eras identically, and sketches/filters
+    * union and probe consistently across the widening. Values are always
+    * stored at the declared scale (scale changes are refused by ALTER),
+    * so equal logical values always share one unscaled spelling.
+    */
+  def decimalHash(unscaled: java.math.BigInteger): Either[Long, Array[Byte]] =
+    if (unscaled.bitLength < 64) Left(unscaled.longValueExact)
+    else Right(unscaled.toByteArray)
+
+  /** Attach current-scheme NDV sketches to freshly written files: ONE
     * distributed, column-pruned pass over `files` (grouped by
     * `_metadata.file_path`, aggregated with the native `ndv_sketch`
     * Catalyst aggregate — bit-compatible with the DSv2 writer's in-line
@@ -154,8 +171,9 @@ object Ndv {
       if (!preAdd) {
         // sketches hashed under a different scheme must not union (shared
         // values would double-count) — an absent or incompatible version
-        // marker refuses the whole estimate. v2 files stay serviceable for
-        // the v2-era types (v3 is additive); only float/double demand v3.
+        // marker refuses the whole estimate. Older markers stay
+        // serviceable for their era's types (each scheme is additive);
+        // only the types a scheme ADDED demand it (ndvVersionOk).
         if (!FileStats.ndvVersionOk(colType, f.ndv.get(FileStats.NdvVersionKey)))
           return None
         f.ndvSketch(phys) match {

@@ -628,6 +628,56 @@ object IceliteOps {
         df
       }),
 
+    // S15: DECIMAL bloom point lookup (round 14) — s14's plan shape on a
+    // money-typed key: the v2 bloom scheme hashes the unscaled value at
+    // declared scale, so `WHERE amt IN (...)` on a 100 TB ledger plans
+    // O(1) files. Keys are interleaved by residue (every file spans the
+    // full amount range — min/max proves nothing) and the three probed
+    // amounts share a residue, so the in-query assertion demands the
+    // planner proved ONE file from the blooms alone. Amounts derive
+    // deterministically from o_orderkey and render as strings on both
+    // sides, keeping the hash compare canonical (s13's pattern).
+    QDef(
+      "s15_bloom_decimal_lookup",
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(CAST(o_orderkey AS VARCHAR) || '.25' AS DECIMAL(12,2)) AS amt
+             |  FROM orders)
+             |SELECT o_orderkey, o_custkey, CAST(amt AS VARCHAR) AS amt_s
+             |FROM src WHERE amt IN (2.25, 512.25, 1493.25)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "s15", dir) { wh =>
+          val o = t(s, dir, "orders").selectExpr("o_orderkey", "o_custkey",
+            "CAST(concat(CAST(o_orderkey AS STRING), '.25') " +
+              "AS DECIMAL(12,2)) AS amt")
+          new IceCatalog(s, wh).createTable("lake", "orders_amt", o.schema,
+            properties = Map("write.bloom.columns" -> "amt",
+              "write.bloom.capacity" -> "200000"))
+          s.conf.set("spark.sql.catalog.icelite_s15", "graft.sources.v2.IceLiteCatalog")
+          s.conf.set("spark.sql.catalog.icelite_s15.warehouse", wh)
+          (0 until 3).foreach(m =>
+            o.filter(col("o_orderkey") % 3 === m).repartition(1)
+              .writeTo("icelite_s15.lake.orders_amt").append())
+        }
+        s.conf.set("spark.sql.catalog.icelite_s15", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_s15.warehouse", wh)
+        val df = s.table("icelite_s15.lake.orders_amt")
+          .filter(col("amt").isin(new java.math.BigDecimal("2.25"),
+            new java.math.BigDecimal("512.25"), new java.math.BigDecimal("1493.25")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("amt").cast("string").as("amt_s"))
+          .orderBy("o_orderkey")
+        val desc = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString
+        val m = """files=(\d+) planned=(\d+)""".r.findFirstMatchIn(desc)
+          .getOrElse(sys.error(s"no planning counters in: $desc"))
+        require(m.group(1).toInt == 3 && m.group(2).toInt == 1,
+          s"decimal blooms must prune the lookup to 1 of 3 files: " +
+            s"planned ${m.group(2)} of ${m.group(1)}")
+        df
+      }),
+
     // S12: METADATA-ONLY approximate distinct counts — per-file HLL
     // sketches recorded by the DSv2 row-loop writer (FileStat.ndv, the
     // puffin theta-sketch role) union losslessly at read time, so

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -1225,9 +1225,11 @@ private[v2] object IceLiteMeta {
         // current-scheme bloom for the column (per-file pruning still
         // works under partial coverage; this flag is the operator's
         // "is the retrofit compaction done?" answer)
+        // serviceability is PER TYPE (bloomVersionOk): a v1-era file still
+        // serves v1-era-type probes, so it counts as covered for those
         val bloomed = statFiles.nonEmpty && statFiles.forall(sf =>
-          sf.bloom.get(FileStats.BloomVersionKey)
-            .contains(FileStats.BloomVersion) && sf.bloom.contains(f.name))
+          FileStats.bloomVersionOk(f.dataType,
+            sf.bloom.get(FileStats.BloomVersionKey)) && sf.bloom.contains(f.name))
         Array[Any](f.name, f.dataType.simpleString,
           ndv.map(Long.box).orNull, nulls.map(Long.box).orNull,
           Boolean.box(ndv.isDefined), Boolean.box(bloomed))
@@ -1528,6 +1530,17 @@ private[v2] class IceLiteScan(
     */
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  // bloom-carrying DATA columns participate in runtime filtering: a
+  // broadcast join's build-side key set arrives as a runtime In(c, keys)
+  // and the prune's bloom probe drops every fact file provably holding
+  // none of the keys — runtime file skipping on ANY opted-in join key,
+  // not just the partition layout. Memoized: filterAttributes can be
+  // consulted more than once per plan and the sweep is O(files).
+  private lazy val bloomedCols: Set[String] = files.iterator
+    .filter(f => FileStats.bloomMarkerKnown(
+      f.bloom.get(FileStats.BloomVersionKey)))
+    .flatMap(_.bloom.keysIterator).toSet - FileStats.BloomVersionKey
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // row-level scans must plan a DETERMINISTIC file set: a runtime filter
     // could prune a file after it was recorded for replacement, and its
@@ -1537,20 +1550,42 @@ private[v2] class IceLiteScan(
     if (rowLevel.isDefined) return Array.empty
     val partSrcs = PartField.sources(partitionBy).distinct
       .filter(tableSchema.fieldNames.contains)
-    // bloom-carrying DATA columns participate too: a broadcast join's
-    // build-side key set arrives as a runtime In(c, keys) and the prune's
-    // bloom probe drops every fact file provably holding none of the keys
-    // — runtime file skipping on ANY opted-in join key, not just the
-    // partition layout. Advertising costs nothing when no filter comes;
-    // when one does, canMatch's min/max + bloom path handles it.
-    val bloomedCols: Set[String] = files.iterator
-      .filter(_.bloom.get(FileStats.BloomVersionKey)
-        .contains(FileStats.BloomVersion))
-      .flatMap(_.bloom.keysIterator).toSet - FileStats.BloomVersionKey
+    // advertising a bloomed column costs nothing when no filter comes;
+    // when one does, canMatch's min/max + bloom path handles it (budgeted
+    // — see budgetRuntime)
     val bloomed = tableSchema.fieldNames.filter(c =>
       !partSrcs.contains(c) && bloomedCols.contains(c))
     (partSrcs ++ bloomed)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  /** Runtime filters whose re-prune cost fits the probe budget.
+    *
+    * A runtime `In(c, keys)` re-prunes at up to |keys| x |files| range +
+    * bloom probes — all driver-side, single-threaded, at execution start,
+    * before the first task launches. On the static path that cost is the
+    * user's own predicate; on the runtime path it arrives unasked from any
+    * broadcast join, and at 10^5 files x 10^5 build-side keys it is 10^10
+    * probes thrashing the 256-entry decoded-bloom LRU. Pruning is an
+    * optimization, never a correctness requirement, so an over-budget
+    * filter is simply DROPPED from the re-prune (per filter — a cheap DPP
+    * partition filter still applies next to an over-budget join-key one)
+    * and the statically planned set stands. Budget shared with the upsert
+    * candidate screen: `graft.prune.probeBudget`, default 50M probes.
+    * Non-In runtime shapes (Spark sends only In today) pass through: their
+    * evaluation is one probe per file.
+    */
+  private def budgetRuntime(fs: Array[Filter]): Array[Filter] = {
+    if (fs.isEmpty) return fs
+    val budget = scala.util.Try(SparkSession.active.conf
+      .get("graft.prune.probeBudget", "50000000").toLong)
+      .getOrElse(50L * 1000 * 1000)
+    val nFiles = files.size.toLong
+    fs.filter {
+      case In(_, vs) =>
+        vs == null || vs.length.toLong * nFiles <= budget
+      case _ => true
+    }
   }
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
@@ -1716,9 +1751,10 @@ private[v2] class IceLiteScan(
     require(!changelogMode,
       s"changelog reads of $tableName are streaming-only " +
         "(readStream; batch consumers use the icelite_changes TVF)")
+    val budgetedRuntime = budgetRuntime(runtimeFilters)
     val effective =
-      if (runtimeFilters.isEmpty) planned
-      else prune((filters ++ runtimeFilters).toSeq)
+      if (budgetedRuntime.isEmpty) planned
+      else prune((filters ++ budgetedRuntime).toSeq)
     // a row-level operation replaces exactly the files its scan planned
     rowLevel.foreach(_.recordPlanned(effective.map(_._1)))
     effective.map { case (f, raw) =>

@@ -649,7 +649,7 @@ private[v2] class IceLiteStreamingWrite(
         SparkSession.active.read.schema(StructType.fromDDL(m0.schemaDdl))
           .parquet(added.map(_.path): _*)
           .select(upsertKeys.map(org.apache.spark.sql.functions.col): _*),
-        upsertKeys, m0.properties)
+        upsertKeys)
     var attempts = 0
     while (true) {
       val m = MetaIo.read(fs, tableDir)
@@ -1075,6 +1075,15 @@ private[v2] class IceLiteDataWriter(
         val b = bloomSlot(o)
         if (b >= 0) blooms(b).update(v)
       }
+      // oversized decimal unscaled values (the p>18 tail that no longer
+      // fits a long) hash their two's-complement bytes — Ndv.decimalHash
+      // picks the form per VALUE so precision widenings stay consistent
+      def sketchBytes(o: Int, v: Array[Byte]): Unit = {
+        val j = ndvSlot(o)
+        if (j >= 0) sketches(j).update(v)
+        val b = bloomSlot(o)
+        if (b >= 0) blooms(b).update(v)
+      }
       // datasketches update(String) hashes UTF-8 bytes (verified in 6.2.0
       // bytecode: getBytes(UTF_8) -> MurmurHash3, seed 9001) and silently
       // SKIPS empty strings — but "" is a real distinct value. The 0x00
@@ -1107,8 +1116,20 @@ private[v2] class IceLiteDataWriter(
           case ByteType => accumulate(i, row.getByte(ri).toLong)
           // long-backed decimals: exact unscaled-long accumulation (the
           // overflow latch drops the stat for the file, same as integers)
+          // + v4 NDV / v2 bloom via the same unscaled long
           case d: DecimalType if d.precision <= 18 =>
-            accumulate(i, row.getDecimal(ri, d.precision, d.scale).toUnscaledLong)
+            val v = row.getDecimal(ri, d.precision, d.scale).toUnscaledLong
+            accumulate(i, v); sketchLong(i, v)
+          // wide decimals: no sums (read-time BigDecimal fold would lose
+          // the exact-long fast path), but NDV/bloom hash by VALUE —
+          // unscaled values still fitting a long hash exactly as they did
+          // under a narrower declared precision
+          case d: DecimalType =>
+            graft.icelite.Ndv.decimalHash(row.getDecimal(ri, d.precision,
+              d.scale).toJavaBigDecimal.unscaledValue()) match {
+              case Left(l) => sketchLong(i, l)
+              case Right(b) => sketchBytes(i, b)
+            }
           case DateType => sketchLong(i, row.getInt(ri).toLong)
           case TimestampType | TimestampNTZType => sketchLong(i, row.getLong(ri))
           case StringType => sketchUtf8(i, row.getUTF8String(ri))

@@ -316,6 +316,39 @@ class BloomSpec extends SparkSpec {
       s"date delete must remove exactly the matching rows: got ${t3.toDF.count()}")
   }
 
+  test("inline-key exemption holds for decimal keys (scaled-string encoding)") {
+    val wh = scratch("eqkeys-dec")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    // three files with DISJOINT amount ranges; scattered delete keys span
+    // all three, so only the inline point probes can exempt the middle
+    def block(base: Int) = (0 until 400).map(i =>
+      (f"$base%d.${i % 100}%02d", base * 1000L + i))
+    def mk(base: Int) = block(base).toDF("a", "v")
+      .select(col("a").cast("decimal(12,2)").as("amt"), col("v"))
+    val tbl = cat.createTable("lake", "t", mk(10).schema)
+    Seq(10, 20, 30).foreach(b => tbl.append(mk(b).repartition(1)))
+    val t1 = cat.loadTable("lake", "t")
+    t1.deleteKeysEq(Seq("10.05", "30.05").toDF("a")
+      .select(col("a").cast("decimal(12,2)").as("amt")), keys = Seq("amt"))
+    val t2 = cat.loadTable("lake", "t")
+    val del = t2.deletesOf(t2.meta.currentSnapshot.get)
+      .find(_.eqCols == Seq("amt")).getOrElse(fail("decimal delete missing"))
+    assert(del.eqKeys.get("amt").exists(_.toSet == Set("10.05", "30.05")),
+      s"decimal keys must inline as scaled strings: ${del.eqKeys}")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(t2.meta.schemaDdl)
+    val applied = t2.visibleFiles(t2.meta.currentSnapshot.get)
+      .filter(f => graft.icelite.FileStats.eqAppliesTo(del, f, schema))
+    assert(applied.size == 2,
+      s"the 20.* file must be exempt from the scattered decimal delete: " +
+        s"${applied.size} of 3")
+    // value-level ground truth: each key matches 4 rows (i % 100 recurs)
+    assert(t2.toDF.count() == 1200L - 8L)
+    assert(t2.toDF.filter(col("amt").isin(
+      new java.math.BigDecimal("10.05"), new java.math.BigDecimal("30.05")))
+      .count() == 0L)
+  }
+
   test("blooms are opt-in, version-gated, and never prove a false absence") {
     val wh = scratch("bloom-gate")
     val cat = new IceCatalog(spark, wh)
@@ -365,5 +398,148 @@ class BloomSpec extends SparkSpec {
     assert(FilePrune.canMatch(EqualTo("name", ""), sSchema, sStat),
       "empty string must round-trip the sentinel form")
     assert(!FilePrune.canMatch(EqualTo("name", "x"), sSchema, sStat))
+  }
+
+  test("decimal blooms prune point lookups; v1 markers refuse the decimal probe") {
+    val wh = scratch("bloom-dec")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    // amounts interleaved across appends so every file spans the range:
+    // only the bloom can prune. `big` (p=30) exercises the byte-form hash.
+    val df = (0L until 20000L).map(i => (i,
+        f"${i % 5000}%d.${i % 100}%02d", f"9999999999999999999${i % 4000}%04d.25"))
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("decimal(10,2)").as("amt"),
+        col("b").cast("decimal(30,2)").as("big"))
+    cat.createTable("lake", "t", df.schema,
+      properties = Map("write.bloom.columns" -> "amt,big",
+        "write.bloom.capacity" -> "20000"))
+    spark.conf.set("spark.sql.catalog.ice_bdec", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_bdec.warehouse", wh)
+    (0 until 4).foreach(m => df.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_bdec.lake.t").append())
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t").load()
+    // amt "4.04" recurs every 5000 ids, all ≡ 0 (mod 4): one file holds
+    // every occurrence, so the bloom prunes to exactly it
+    val amtTarget = new java.math.BigDecimal("4.04")
+    val q = load().filter(col("amt") === lit(amtTarget))
+    assert(planned(q)._2 == 1,
+      s"decimal bloom must prune to 1 of 4 files, got ${planned(q)}")
+    assert(q.count() == df.filter(col("amt") === lit(amtTarget)).count())
+    // byte-form domain (p>18): big of id=5 recurs every 4000 ids, all ≡ 1
+    val bigTarget = new java.math.BigDecimal(f"9999999999999999999${5}%04d.25")
+    val qb = load().filter(col("big") === lit(bigTarget))
+    assert(planned(qb)._2 == 1, s"wide-decimal bloom must prune: ${planned(qb)}")
+    assert(qb.count() == df.filter(col("big") === lit(bigTarget)).count())
+    // an absent in-range value proves absent in ALL files
+    assert(planned(load().filter(
+      col("amt") === lit(new java.math.BigDecimal("4.05"))))._2 == 0)
+    // NO FALSE NEGATIVES: sampled present values always return their rows
+    (0L until 20000L by 977L).foreach { i =>
+      val v = new java.math.BigDecimal(f"${i % 5000}%d.${i % 100}%02d")
+      assert(load().filter(col("amt") === lit(v)).count() >= 1L,
+        s"bloom must never prune the file holding amt=$v")
+    }
+    // a v1-era filter must REFUSE decimal probes (v1 writers were
+    // decimal-blind — probing would manufacture false absences) while
+    // still serving v1-era types
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("m", DecimalType(10, 2))))
+    val bf = org.apache.datasketches.filters.bloomfilter.BloomFilterBuilder
+      .createByAccuracy(100, FileStats.BloomFpp, FileStats.BloomSeed)
+    bf.update(7L)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bf.toByteArray)
+    def stat(marker: String) = FileStat("file:/w/t/data/snap-00001/a.parquet",
+      rows = 1, bytes = 10, bloom = Map("id" -> b64, "m" -> b64,
+        FileStats.BloomVersionKey -> marker))
+    val v1 = stat(FileStats.BloomVersionV1)
+    assert(!FilePrune.canMatch(EqualTo("id", 8L), schema, v1),
+      "v1 filters keep pruning v1-era types")
+    assert(FilePrune.canMatch(
+      EqualTo("m", new java.math.BigDecimal("0.08")), schema, v1),
+      "a v1 marker must not prove a decimal absence")
+    val v2 = stat(FileStats.BloomVersion).copy(
+      path = "file:/w/t/data/snap-00001/b.parquet")
+    assert(!FilePrune.canMatch(
+      EqualTo("m", new java.math.BigDecimal("0.08")), schema, v2),
+      "a v2 filter prunes decimals (0.08 hashes to unscaled 8 != 7)")
+    assert(FilePrune.canMatch(
+      EqualTo("m", new java.math.BigDecimal("0.07")), schema, v2),
+      "unscaled 7 was inserted: must stay")
+  }
+
+  test("decimal bloom probes survive a fixed-scale precision widening") {
+    val wh = scratch("bloom-dwide")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = Seq("12.34", "99.99", "0.01").toDF("a")
+      .select(col("a").cast("decimal(10,2)").as("amt"))
+    cat.createTable("lake", "t", df.schema,
+      properties = Map("write.bloom.columns" -> "amt"))
+    spark.conf.set("spark.sql.catalog.ice_bdw", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_bdw.warehouse", wh)
+    df.writeTo("ice_bdw.lake.t").append()
+    // widen across the long/byte physical boundary: the OLD file's filter
+    // was built from unscaled longs; probes under the widened type must
+    // still find those values (hash dispatch is by VALUE, not precision)
+    spark.sql("ALTER TABLE ice_bdw.lake.t ALTER COLUMN amt TYPE DECIMAL(20,2)")
+    def load() = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t").load()
+    assert(load().filter(
+      col("amt") === lit(new java.math.BigDecimal("12.34"))).count() == 1L,
+      "pre-widening value must stay findable through the old bloom")
+    assert(planned(load().filter(
+      col("amt") === lit(new java.math.BigDecimal("55.55"))))._2 == 0,
+      "absent value still proves absent under the widened type")
+  }
+
+  test("runtime re-prune is probe-budgeted: over-budget In keeps the static plan") {
+    import org.apache.spark.sql.sources.In
+    val wh = scratch("bloom-budget")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (0L until 20000L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("lake", "t", df.schema,
+      properties = Map("write.bloom.columns" -> "id",
+        "write.bloom.capacity" -> "20000"))
+    spark.conf.set("spark.sql.catalog.ice_bb", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_bb.warehouse", wh)
+    (0 until 4).foreach(m => df.filter(col("id") % 4 === m)
+      .repartition(1).writeTo("ice_bb.lake.t").append())
+
+    // drive the runtime path directly: grab the physical scan and hand it
+    // an In the way Spark's runtime filtering does
+    def runtimePlanned(keys: Array[Any]): Int = {
+      val q = spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "lake.t").load()
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](In("id", keys)))
+      scan.toBatch.planInputPartitions().length
+    }
+    val keys: Array[Any] = Array(4L, 9L) // live in 2 different files
+    // in budget (2 keys x 4 files = 8 probes): blooms prune to 2 files
+    assert(runtimePlanned(keys) == 2,
+      "an in-budget runtime In must prune through the blooms")
+    // over budget: the filter is dropped, the static plan (all 4) stands —
+    // pruning is optional, so the fallback is sound, never wrong rows
+    spark.conf.set("graft.prune.probeBudget", "7")
+    try {
+      assert(runtimePlanned(keys) == 4,
+        "an over-budget runtime In must leave the statically planned set")
+      // and the QUERY through a real broadcast join still answers correctly
+      val dimPath = scratch("bloom-budget-dim")
+      Seq((4L, "keep"), (9L, "keep")).toDF("k", "tag").write.parquet(dimPath)
+      spark.read.parquet(dimPath).createOrReplaceTempView("budget_dim")
+      val rows = spark.sql(
+        """SELECT f.id FROM ice_bb.lake.t f
+          |JOIN budget_dim d ON f.id = d.k""".stripMargin).collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(4L, 9L))
+    } finally spark.conf.unset("graft.prune.probeBudget")
   }
 }

@@ -332,4 +332,111 @@ class NdvSpec extends SparkSpec {
     assert(tbl.approxDistinct("__ndv_version").isEmpty)
     assert(tbl.approxDistinct("id").exists(e => math.abs(e - 3.0) < 0.5))
   }
+
+  test("v4: decimals sketch via the unscaled-value hash; both producers agree") {
+    import spark.implicits._
+    val wh = scratch("ndv-v4")
+    val cat = new IceCatalog(spark, wh)
+    // amt (p<=18, long-backed) and big (p>18, byte-backed): 4 distinct
+    // each; `big` straddles the long/byte boundary so both Ndv.decimalHash
+    // arms are exercised in one file set
+    val raw = Seq(
+      ("12.34", "1.50"), ("99.99", "123456789012345678901234.56"),
+      ("12.34", "99999999999999999999.99"), ("0.01", "1.50"),
+      ("-5.00", "-123456789012345678901234.56"), ("99.99", "0.00"))
+      .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+    def slice(p: org.apache.spark.sql.Column) = raw.filter(p)
+      .select(col("a").cast("decimal(10,2)").as("amt"),
+        col("b").cast("decimal(30,2)").as("big"))
+    val df = slice(lit(true))
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndv4", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndv4.warehouse", wh)
+    // half through the DSv2 row-loop writer, half through the table-API
+    // funnel (read-back sketcher): the two producers must hash
+    // bit-identically or the union inflates
+    slice(col("i") < 3).writeTo("ice_ndv4.lake.t").append()
+    cat.loadTable("lake", "t").append(slice(col("i") >= 3))
+    val tbl = cat.loadTable("lake", "t")
+    val amt = tbl.approxDistinct("amt").getOrElse(fail("no sketch for amt"))
+    val big = tbl.approxDistinct("big").getOrElse(fail("no sketch for big"))
+    assert(math.abs(amt - 4.0) < 0.5, s"amt: 4 distinct, got $amt")
+    assert(math.abs(big - 5.0) < 0.5, s"big: 5 distinct, got $big")
+    // the `.stats` metadata table serves the decimal NDV too
+    val st = spark.table("ice_ndv4.lake.t.stats")
+      .filter(col("column") === "amt").collect()(0)
+    assert(st.getAs[Long]("ndv") == math.round(amt))
+    // the ndv_sketch aggregate (the read-back producer) hashes decimals
+    // bit-compatibly with the writer: its own estimate agrees
+    graft.functions.GraftFunctions.register(spark)
+    Seq("amt" -> 4.0, "big" -> 5.0).foreach { case (c, exact) =>
+      val bytes = df.agg(call_function("ndv_sketch", col(c)))
+        .collect()(0).getAs[Array[Byte]](0)
+      val est = org.apache.datasketches.hll.HllSketch.heapify(bytes).getEstimate
+      assert(math.abs(est - exact) < 0.5, s"agg $c: got $est")
+    }
+    // maintenance keeps decimal coverage alive (whatever producer it uses)
+    tbl.compact()
+    val t2 = cat.loadTable("lake", "t")
+    assert(t2.approxDistinct("amt").exists(e => math.abs(e - 4.0) < 0.5) &&
+      t2.approxDistinct("big").exists(e => math.abs(e - 5.0) < 0.5),
+      "compaction must re-record decimal sketches")
+  }
+
+  test("NDV version matrix: decimal demands v4; v3/v2 keep their own eras") {
+    import org.apache.spark.sql.types._
+    import graft.icelite.{FileStat, FileStats, Ndv}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("d", DoubleType), StructField("m", DecimalType(10, 2))))
+    def b64(values: Seq[Long]): String = {
+      val sk = new org.apache.datasketches.hll.HllSketch(Ndv.LgK)
+      values.foreach(sk.update)
+      java.util.Base64.getEncoder.encodeToString(sk.toCompactByteArray)
+    }
+    def stat(marker: String) = FileStat("file:/w/t/data/snap-00001/a.parquet",
+      rows = 3, bytes = 100,
+      ndv = Map("id" -> b64(Seq(1L, 2L, 3L)), "d" -> b64(Seq(10L, 20L)),
+        "m" -> b64(Seq(1234L, 9999L)), FileStats.NdvVersionKey -> marker))
+    def est(marker: String, c: String) =
+      Ndv.estimate(Nil, Nil, schema, Seq(stat(marker)), c)
+    // v4 serves all three type families
+    assert(est(FileStats.NdvVersion, "id").isDefined &&
+      est(FileStats.NdvVersion, "d").isDefined &&
+      est(FileStats.NdvVersion, "m").isDefined)
+    // v3 was decimal-blind: longs and doubles keep serving, decimal refuses
+    assert(est(FileStats.NdvVersionV3, "id").isDefined &&
+      est(FileStats.NdvVersionV3, "d").isDefined)
+    assert(est(FileStats.NdvVersionV3, "m").isEmpty,
+      "a v3 marker must refuse decimal estimates")
+    // v2 was float- and decimal-blind
+    assert(est(FileStats.NdvVersionV2, "id").isDefined)
+    assert(est(FileStats.NdvVersionV2, "d").isEmpty &&
+      est(FileStats.NdvVersionV2, "m").isEmpty)
+    // unknown markers refuse everything
+    assert(est("9", "id").isEmpty)
+  }
+
+  test("decimal sketches survive a fixed-scale precision widening") {
+    import spark.implicits._
+    val wh = scratch("ndv-dwide")
+    val cat = new IceCatalog(spark, wh)
+    val df = Seq("12.34", "99.99", "0.01").toDF("a")
+      .select(col("a").cast("decimal(10,2)").as("amt"))
+    cat.createTable("lake", "t", df.schema)
+    spark.conf.set("spark.sql.catalog.ice_ndvw", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndvw.warehouse", wh)
+    df.writeTo("ice_ndvw.lake.t").append()
+    // widen ACROSS the long/byte physical boundary; old files' sketches
+    // hashed by VALUE, so shared values union consistently with new ones
+    spark.sql("ALTER TABLE ice_ndvw.lake.t ALTER COLUMN amt TYPE DECIMAL(20,2)")
+    Seq("12.34", "123456789012345678.90").toDF("a")
+      .select(col("a").cast("decimal(20,2)").as("amt"))
+      .writeTo("ice_ndvw.lake.t").append()
+    val est = cat.loadTable("lake", "t").approxDistinct("amt")
+      .getOrElse(fail("no sketch after widening"))
+    // {12.34, 99.99, 0.01} U {12.34, 123456789012345678.90} = 4 distinct —
+    // an inconsistent hash would count 12.34 twice (estimate 5)
+    assert(math.abs(est - 4.0) < 0.5, s"expected 4 distinct, got $est")
+  }
 }
