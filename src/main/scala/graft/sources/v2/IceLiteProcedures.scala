@@ -131,6 +131,25 @@ object IceLiteProcedures {
         tbl.rewriteDeletes()
         out(s(in, 0), affected, before.map(_.rows).sum)
       })),
+    // partition evolution for SQL-only operators: a pure metadata commit
+    // changing the layout for FUTURE writes (IceTable.setPartitionSpec's
+    // refusal semantics apply unchanged — rename-entangled sources and
+    // unknown transforms abort). `spec` is an ARRAY of entries because
+    // transform spellings carry commas (bucket(4, k)): CALL
+    // cat.system.set_partition_spec('ns.tbl', array('bucket(4, k)',
+    // 'days(ts)')); array() clears the layout back to unpartitioned.
+    "set_partition_spec" -> (wh => new IceProc(wh, "set_partition_spec",
+      Seq(p("table", StringType), p("spec", ArrayType(StringType))),
+      StructType.fromDDL("table STRING, partition_spec STRING, previous_spec STRING"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val prev = tbl.meta.partitionBy
+        val arr = in.getArray(1)
+        val next = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString.trim).filter(_.nonEmpty)
+        tbl.setPartitionSpec(next)
+        out(s(in, 0), next.mkString(", "), prev.mkString(", "))
+      })),
     "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
       Seq(p("table", StringType),
         pd("older_than_ms", LongType, IceTable.DefaultOrphanGraceMs.toString)),

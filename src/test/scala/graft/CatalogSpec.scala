@@ -484,6 +484,38 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("CALL icecat_call.system.nope('lake.n')"))
   }
 
+  test("CALL system.set_partition_spec evolves the layout from SQL") {
+    val wh = configure("callps")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "nps", n.schema,
+      partitionBy = Seq("n_regionkey"))
+    tbl.append(n.filter(col("n_nationkey") < 10))
+    // evolve identity(n_regionkey) -> bucket(4, n_nationkey): pure metadata,
+    // no rewrite snapshot, old files keep their era's layout
+    val r = spark.sql(
+      "CALL icecat_callps.system.set_partition_spec('lake.nps', " +
+        "array('bucket(4, n_nationkey)'))").collect()(0)
+    assert(r.getString(1) == "bucket(4, n_nationkey)" &&
+      r.getString(2) == "n_regionkey", s"got $r")
+    val evolved = cat.loadTable("lake", "nps")
+    assert(evolved.meta.partitionBy == Seq("bucket(4, n_nationkey)"))
+    assert(evolved.snapshots.length == 1, "evolution must not write a snapshot")
+    evolved.append(n.filter(col("n_nationkey") >= 10))
+    // mixed-era scan serves both layouts; partition-source predicates
+    // still answer correctly across eras
+    assert(spark.table("icecat_callps.lake.nps").count() == 25)
+    assert(spark.sql("SELECT count(*) AS c FROM icecat_callps.lake.nps " +
+      "WHERE n_regionkey = 0").head.getLong(0) == 5)
+    // array() clears back to unpartitioned for future writes
+    spark.sql("CALL icecat_callps.system.set_partition_spec('lake.nps', array())")
+    assert(cat.loadTable("lake", "nps").meta.partitionBy.isEmpty)
+    assert(spark.table("icecat_callps.lake.nps").count() == 25)
+    // refusal semantics ride through: unknown source column aborts
+    intercept[Exception](spark.sql(
+      "CALL icecat_callps.system.set_partition_spec('lake.nps', array('nope'))"))
+  }
+
   test("CALL system.cherrypick_snapshot re-applies an orphaned append from SQL") {
     val wh = configure("callcp")
     val cat = new IceCatalog(spark, wh)
