@@ -598,28 +598,29 @@ object TextOps {
              |FROM d JOIN th ON d.lang = th.lang
              |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
              |ORDER BY d.doc_id""".stripMargin),
-      (s, dir) => {
-        val d = t(s, dir, "documents")
+      (s, dir) =>
+        budgetMix(t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            size(split(trim(col("text")), "\\s+")).as("tokens"))
-        val perLang = d.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
-        val stats = perLang.agg(
-          sum("lang_tokens").as("all_tokens"), count(lit(1)).as("n_langs"))
-        // per-language keep fraction -> an 8-hex-digit md5 threshold. The
-        // arithmetic shapes mirror the oracle exactly (same IEEE op order),
-        // so the thresholds — and therefore the sample — are bit-identical.
-        val thr = perLang.crossJoin(broadcast(stats))
-          .withColumn("f", least(lit(1.0),
-            (lit(0.6) * (col("all_tokens").cast("double") / col("n_langs")))
-              / col("lang_tokens").cast("double")))
-          .withColumn("thr", when(col("f") >= 1.0, lit("g"))
-            .otherwise(format_string("%08x",
-              floor(col("f") * lit(4294967296.0)).cast("long"))))
-          .select("lang", "thr")
-        d.join(broadcast(thr), "lang")
-          .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
-          .select(col("doc_id"), col("lang"), col("tokens"))
-          .orderBy("doc_id")
+            size(split(trim(col("text")), "\\s+")).as("tokens")))),
+
+    // x26 with REAL token counts (round 14): the same budget arithmetic,
+    // but `tokens` is the x40 BPE encoder's output instead of a whitespace
+    // proxy — the form a production mixer actually runs, since budgets are
+    // contracted in model tokens. One extra corpus pass (the encode) over
+    // x26; the mixing plan is shared (budgetMix). No SQL oracle — DuckDB
+    // cannot replay the iterative BPE fold — so the gate is TextBpeSpec's
+    // arithmetic test: an independently-encoded, independently-thresholded
+    // driver-side selection must match row-for-row; the driver records
+    // rows>0.
+    QDef(
+      "x26b_token_budget_mix_bpe",
+      None,
+      (s, dir) => {
+        val learned = bpeTrain(s, dir, merges = 15).collect() // merge-count rows
+          .sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        budgetMix(encodeBpe(t(s, dir, "documents"), learned)
+          .select(col("doc_id"), col("lang"), col("n_tokens").as("tokens")))
       }),
 
     // Boilerplate stripping (the C4/RefinedWeb "remove spans repeated
@@ -846,13 +847,44 @@ object TextOps {
         val learned = bpeTrain(s, dir, merges = 15).collect() // bounded: merge-count rows
           .sortBy(_.getInt(0))
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        encodeBpe(t(s, dir, "documents"), learned)
+        encodeBpe(t(s, dir, "documents"), learned).orderBy("doc_id")
       })
   )
 
+  /** Shared mixing arithmetic of x26/x26b over a (doc_id, lang, tokens)
+    * frame: per-language token budgets (60% of the uniform share) become
+    * md5-hex keep thresholds, and selection is a pure row-local function of
+    * doc_id — reproducible, shuffle-free past the one vocabulary-sized
+    * aggregate, broadcast-joined back onto the corpus. The token
+    * DEFINITION is the caller's: whitespace counts for the oracled x26
+    * (DuckDB restates them), real BPE counts for x26b. The arithmetic
+    * shapes mirror the x26 oracle exactly (same IEEE op order), so the
+    * thresholds — and therefore the sample — are bit-identical across
+    * engines given equal token columns.
+    */
+  private[graft] def budgetMix(d: DataFrame): DataFrame = {
+    val perLang = d.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
+    val stats = perLang.agg(
+      sum("lang_tokens").as("all_tokens"), count(lit(1)).as("n_langs"))
+    val thr = perLang.crossJoin(broadcast(stats))
+      .withColumn("f", least(lit(1.0),
+        (lit(0.6) * (col("all_tokens").cast("double") / col("n_langs")))
+          / col("lang_tokens").cast("double")))
+      .withColumn("thr", when(col("f") >= 1.0, lit("g"))
+        .otherwise(format_string("%08x",
+          floor(col("f") * lit(4294967296.0)).cast("long"))))
+      .select("lang", "thr")
+    d.join(broadcast(thr), "lang")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus pass of x40: whitespace words -> BPE tokens per document, with
     * the in-query losslessness proof. Factored out so TextBpeSpec can
-    * drive it with an independently-learned table.
+    * drive it with an independently-learned table (callers order the
+    * result themselves — x26b feeds it into a join, where a sort would be
+    * dead weight).
     */
   private[graft] def encodeBpe(docs: DataFrame,
       learned: Seq[(String, String)]): DataFrame = {
@@ -879,7 +911,6 @@ object TextOps {
           .as("n_tokens"),
         aggregate(transform(col("words"), w => length(w)),
           lit(0), (a, x) => a + x).as("n_codepoints"))
-      .orderBy("doc_id")
   }
 
   /** One live persisted BPE word table per session (released on rebuild —

@@ -177,4 +177,51 @@ class TextBpeSpec extends SparkSpec {
     assert(x40.map(_.getInt(3)).sum < x40.map(_.getInt(4)).sum,
       "no merge ever applied — encode is vacuous")
   }
+
+  // x26b has no SQL oracle (DuckDB cannot replay the BPE fold), so its
+  // gate is this arithmetic test: tokens counted by the INDEPENDENT
+  // sequential encoder, budgets/thresholds recomputed in plain driver
+  // Scala with the same IEEE op order, selection re-derived per doc — the
+  // query must match row-for-row.
+  test("x26b: BPE token budgets select exactly the independently-computed mix") {
+    val docs = graft.queries.QUtil.t(spark, sfDir, "documents")
+    val wordFreqs = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceMerges(wordFreqs, 15).map(t => (t._2, t._3))
+    val ref = refEncode(merges) _
+    val docTokens: Map[Long, (String, Long)] =
+      docs.select("doc_id", "lang", "text").collect().map { r =>
+        val words = r.getString(2).trim.split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> (r.getString(1),
+          words.map(w => ref(w).length.toLong).sum)
+      }.toMap
+    val perLang = docTokens.values.groupBy(_._1)
+      .map { case (l, vs) => l -> vs.map(_._2).sum }
+    val all = perLang.values.sum.toDouble
+    val nLangs = perLang.size
+    def thr(lang: String): String = {
+      val f = math.min(1.0, (0.6 * (all / nLangs)) / perLang(lang).toDouble)
+      if (f >= 1.0) "g"
+      else f"${math.floor(f * 4294967296.0).toLong}%08x"
+    }
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+    val expect = docTokens.toSeq.collect {
+      case (id, (lang, tk)) if md5hex8(id.toString) < thr(lang) =>
+        (id, lang, tk)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("x26b_token_budget_mix_bpe")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+      .toSeq
+    assert(expect.nonEmpty && got == expect,
+      s"x26b mix diverges: got ${got.size} rows, expected ${expect.size}\n" +
+        s" firstGot=${got.take(3)}\n firstExp=${expect.take(3)}")
+    // the downsample must actually bite on SOME language (otherwise the
+    // threshold path is untested)
+    assert(got.size < docTokens.size, "no language was over budget")
+  }
 }
