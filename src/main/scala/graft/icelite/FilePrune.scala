@@ -334,10 +334,15 @@ object FilePrune {
     pos(f)
   }
 
-  /** Types the z-order clusterer can normalize into a bit budget. */
+  /** Types the z-order clusterer can normalize into a bit budget. Decimals
+    * normalize through their double approximation (round 14) — z-order only
+    * needs a curve coordinate, never exact arithmetic, and the scaled-string
+    * stats already decode to doubles via [[statDouble]].
+    */
   def zorderable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case _: DecimalType => true
     case _ => false
   }
 

@@ -151,9 +151,15 @@ object Transforms {
         require(dt match {
           case ByteType | ShortType | IntegerType | LongType | StringType |
                DateType => true
+          // decimals bucket on the Murmur3 hash of the catalyst Decimal at
+          // the DECLARED precision/scale — both the Column write path
+          // (hash(col)) and applyCatalyst route through Spark's one
+          // Murmur3HashFunction, so the spellings cannot drift; money-typed
+          // join/lookup keys get hidden partitioning like any other
+          case _: DecimalType => true
           case _ => false
         }, s"icelite: bucket source $c has unsupported type ${dt.simpleString} " +
-          "(integral/string/date)")
+          "(integral/string/date/decimal)")
       case DaysField(c) =>
         require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
           s"icelite: days source $c must be a date or timestamp, got ${dt.simpleString}")
@@ -311,6 +317,21 @@ object Transforms {
         case n: Number => Some(n.longValue)
         case _ => None
       }
+      // the Murmur3 hash of a Decimal depends on the DECLARED precision /
+      // scale (p<=18 hashes the unscaled long), so the literal must be
+      // rescaled to the column's type before hashing; a literal that does
+      // not fit rescales to None and the caller stays conservative
+      case d: DecimalType =>
+        val bd = x match {
+          case j: java.math.BigDecimal => Some(j)
+          case s: BigDecimal => Some(s.underlying)
+          case sd: org.apache.spark.sql.types.Decimal => Some(sd.toJavaBigDecimal)
+          case _ => None
+        }
+        bd.flatMap { j =>
+          val dec = org.apache.spark.sql.types.Decimal(j)
+          if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+        }
       case _ => None
     }
   }

@@ -105,8 +105,9 @@ object IceLiteFunctions {
       gate("bucket", dt, dt match {
         case ByteType | ShortType | IntegerType | LongType | StringType |
              DateType => true
+        case _: DecimalType => true
         case _ => false
-      }, "integral, string or date")
+      }, "integral, string, date or decimal")
       // n is fixed per spec entry; SQL binding reads it per-row, so the
       // produceResult path re-derives the field from the row's own n
       BucketFn(dt)

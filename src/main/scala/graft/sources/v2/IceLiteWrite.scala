@@ -762,6 +762,7 @@ private[graft] object IceLiteRowWrite {
       else dt match { // the writer's transform-source rendering domain
         case StringType | LongType | TimestampType | TimestampNTZType |
              IntegerType | DateType | ShortType | ByteType => true
+        case _: DecimalType => true // bucket(N, decimal)
         case _ => false
       }
     }
@@ -1032,6 +1033,7 @@ private[v2] class IceLiteDataWriter(
               case IntegerType | DateType => row.getInt(lead + i)
               case ShortType => row.getShort(lead + i)
               case ByteType => row.getByte(lead + i)
+              case dd: DecimalType => row.getDecimal(lead + i, dd.precision, dd.scale)
               case other => throw new IllegalStateException(
                 s"unreachable transform source type $other")
             }

@@ -1334,6 +1334,44 @@ class DsV2Spec extends SparkSpec {
       df.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("hidden partitioning: bucket(N, decimal) writes, prunes, round-trips") {
+    val wh = warehouse("decbucket")
+    val cat = new IceCatalog(spark, wh)
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, f"${i % 797}%d.${i % 100}%02d"))
+      .toDF("id", "a")
+      .select(col("id"), col("a").cast("decimal(12,2)").as("amt"))
+    val tbl = cat.createTable("lake", "t", df.schema,
+      partitionBy = Seq("bucket(8,amt)"))
+    tbl.append(df) // table-API funnel: row-loop transform-key rendering
+    def read = spark.read.format("icelite")
+      .option("warehouse", wh).option("table", "lake.t").load()
+    val total = tbl.visibleFiles(tbl.meta.currentSnapshot.get).length
+    assert(total >= 8, s"want one file per bucket, got $total")
+    // point predicate on the SOURCE prunes through the bucket transform:
+    // the literal rescales to the column type and hashes via the same
+    // Murmur3 the writer used
+    val target = new java.math.BigDecimal("42.42") // row id=42
+    val q = read.filter(col("amt") === lit(target))
+    val (f1, p1) = plannedOf(scanDescOf(q))
+    assert(f1 == total && p1 < total / 2,
+      s"decimal bucket equality should prune: planned $p1 of $f1")
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      df.filter(col("amt") === lit(target)).collect().map(_.getLong(0)).toSet)
+    // SQL INSERT rides the V2 bucket(int, decimal) function binding for
+    // its clustered write distribution, and lands in a prunable dir
+    spark.conf.set("spark.sql.catalog.ice_dbk", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_dbk.warehouse", wh)
+    spark.sql("INSERT INTO ice_dbk.lake.t VALUES " +
+      "(9999, CAST(31337.55 AS DECIMAL(12,2)))")
+    val q2 = read.filter(col("amt") === lit(new java.math.BigDecimal("31337.55")))
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(9999L))
+    val (f2, p2) = plannedOf(scanDescOf(q2))
+    assert(p2 < f2, s"inserted row's lookup should prune: planned $p2 of $f2")
+    // unfiltered scans stay exact
+    assert(read.count() == 4001L)
+  }
+
   test(".files serves a many-file table from the manifest, not driver rows") {
     val wh = warehouse("manyfiles")
     val cat = new IceCatalog(spark, wh)

@@ -1168,6 +1168,32 @@ class IceliteSpec extends SparkSpec {
     assert(avgSpanOf(t2, "d") < 0.6, "date dimension unclustered")
   }
 
+  test("zorder clusters decimal dimensions through the double approximation") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("zdec"))
+    val n = 2000
+    val df = (0 until n).map(i => (f"$i%d.${i % 100}%02d", (i * 37 % n).toLong))
+      .toDF("a", "v")
+      .select(col("a").cast("decimal(12,2)").as("amt"), col("v"))
+    val tbl = cat.createTable("ns", "t", df.schema)
+    tbl.append(df.repartition(3))
+    tbl.compact(targetFiles = 16, zorderBy = Seq("amt", "v"))
+    val files = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+    assert(files.length == 16)
+    // decimal stats are scaled strings — span in BigDecimal space
+    def avgSpanDec(c: String): Double = {
+      val los = files.map(f => BigDecimal(f.min(c)))
+      val his = files.map(f => BigDecimal(f.max(c)))
+      val global = (his.max - los.min).toDouble.max(1e-9)
+      files.map(f => (BigDecimal(f.max(c)) - BigDecimal(f.min(c))).toDouble)
+        .sum / files.length / global
+    }
+    assert(avgSpanDec("amt") < 0.5,
+      f"decimal dimension unclustered: ${avgSpanDec("amt")}%.2f")
+    assert(avgSpanOf(tbl, "v") < 0.5, "sibling long dimension unclustered")
+    assert(tbl.toDF.count() == n.toLong)
+  }
+
   private def avgSpanOf(t: graft.icelite.IceTable, c: String): Double = {
     val files = t.visibleFiles(t.meta.currentSnapshot.get)
     val los = files.map(_.min(c).toLong)
