@@ -623,6 +623,49 @@ object TextOps {
           .select(col("doc_id"), col("lang"), col("n_tokens").as("tokens")))
       }),
 
+    // Sequence PACKING (round 14) — the concatenate-and-chunk pass that
+    // turns documents into fixed-length training sequences (the GPT-style
+    // pack: docs concatenate in order, the stream is cut every L tokens,
+    // docs may straddle a cut). Per doc: which sequences it lands in —
+    // start_seq/end_seq from the running token total, a pure prefix sum.
+    // Scale shape: packing is SHARDED (doc_id % 32 here; a 100 TB corpus
+    // raises the shard count to its writer parallelism) so the window
+    // runs per shard with no global sort or single-partition stage —
+    // sequence ids are (shard, seq) pairs exactly as a sharded tokenizer
+    // run would emit them. Everything is a deterministic function of the
+    // (doc_id-ordered) corpus, so any engine reproduces the identical
+    // packing; tokens >= 1 for every doc (split of "" is [""]), keeping
+    // cum-1 non-negative where DuckDB's floor-// and Spark's truncating
+    // div would otherwise disagree.
+    QDef(
+      "x42_sequence_pack",
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 32 AS shard,
+             |    len(string_split_regex(trim(text), '\s+')) AS tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, tokens,
+             |        SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM d)
+             |SELECT doc_id, shard, tokens,
+             |  CAST((cum - tokens) // 512 AS BIGINT) AS start_seq,
+             |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+            size(split(trim(col("text")), "\\s+")).as("tokens"))
+          .withColumn("cum", sum("tokens").over(w))
+          .select(col("doc_id"), col("shard"), col("tokens"),
+            expr("(cum - tokens) div 512").as("start_seq"),
+            expr("(cum - 1) div 512").as("end_seq"))
+          .orderBy("doc_id")
+      }),
+
     // Boilerplate stripping (the C4/RefinedWeb "remove spans repeated
     // across the corpus" step): docs split into non-overlapping 2-token
     // chunks; a chunk whose corpus document-frequency exceeds 4% of the

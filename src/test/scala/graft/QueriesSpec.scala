@@ -74,8 +74,11 @@ class QueriesSpec extends SparkSpec {
   // driver records the weaker rows>0 check. x40 (BPE encode) applies x38's
   // learned merges — the learned-merge table is equally inexpressible in
   // one SQL statement; TextBpeSpec gates encode agreement against the same
-  // independent reference implementation.
-  private val rowsOnly = Set("x38_bpe_train", "x40_bpe_encode")
+  // independent reference implementation. x26b feeds x40's BPE counts into
+  // x26's budget arithmetic, inheriting the inexpressibility; TextBpeSpec
+  // re-derives its selection row-for-row from the independent encoder.
+  private val rowsOnly =
+    Set("x38_bpe_train", "x40_bpe_encode", "x26b_token_budget_mix_bpe")
 
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
