@@ -566,7 +566,9 @@ class IceTable(
     * shuffle stays partition-local.
     */
   def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): IceTable = {
+      zorderBy: Seq[String] = Nil, declareSort: Boolean = false): IceTable = {
+    require(!declareSort || sortBy.nonEmpty,
+      "declareSort requires a sortBy order")
     require(targetFiles >= 1, "targetFiles must be >= 1")
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "pass either sortBy or zorderBy, not both")
@@ -612,7 +614,37 @@ class IceTable(
     else
       require(added.map(_.rows).sum == current.totalRows,
         s"compaction row-count drift: ${added.map(_.rows).sum} != ${current.totalRows}")
-    commitSnapshot(m, "compact", Seq(dir), added, carried = Nil)
+    // declareSort (setSortOrder): the declaration and the rewrite that
+    // makes it true land in ONE commit — no window where scans could
+    // report an order the visible files violate
+    commitSnapshot(if (declareSort) m.copy(sortOrder = sortBy) else m,
+      "compact", Seq(dir), added, carried = Nil)
+  }
+
+  /** Declare a NEW table write sort order. Iceberg's `ALTER TABLE ... WRITE
+    * ORDERED BY` declares lazily — existing files may violate the order,
+    * harmless there because Iceberg never reports ordering. This engine
+    * REPORTS the declared order through the scan (SupportsReportOrdering)
+    * so downstream sorts elide; a declaration the visible files do not
+    * satisfy would be silently wrong results. Hence the contract: declaring
+    * a non-empty order over a non-empty table REWRITES the data into that
+    * order in the same atomic commit (compact's machinery — O(table), the
+    * honest price of the report; Iceberg pays it lazily on every
+    * subsequent unsorted read instead). Clearing, and declaring over an
+    * empty table, are pure metadata commits (under-reporting is always
+    * safe; an empty table has no files to violate the order).
+    */
+  def setSortOrder(cols: Seq[String], targetFiles: Int = 1): IceTable = {
+    val m = meta
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    cols.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"sort column $c is not in $namespace.$name"))
+    if (cols == m.sortOrder) return this
+    if (cols.isEmpty || m.currentSnapshot.forall(_.totalRows == 0L)) {
+      MetaIo.commit(fs, tableDir,
+        m.copy(sortOrder = cols, version = m.version + 1))
+      this
+    } else compact(targetFiles, sortBy = cols, declareSort = true)
   }
 
   /** Selective small-file compaction: rewrite ONLY the data files under

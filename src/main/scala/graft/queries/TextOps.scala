@@ -666,6 +666,66 @@ object TextOps {
           .orderBy("doc_id")
       }),
 
+    // DSIR-style importance WEIGHTING (round 14; Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score raw
+    // docs by how target-like their hashed-n-gram distribution is. The
+    // target sample is the doc_id%97 slice (x24's eval split); features
+    // are bigrams hashed to 256 buckets via the first two md5 hex chars
+    // (the hashed-feature trick that keeps the distribution tables
+    // O(buckets), engine-portable as plain strings). DSIR's log-ratio is
+    // restated in EXACT integer arithmetic — per-feature scaled smoothed
+    // ratio r_f = ((c_target+1)*1e6) div (c_raw+1), per-doc score = sum of
+    // r over its bigram instances — so both engines agree bit-for-bit (the
+    // x30 discipline: never sum engine-ordered doubles). target_like marks
+    // docs whose mean ratio exceeds uniform; downstream sampling ranks on
+    // score_num/n_bigrams. Shape at 100 TB: two 256-row broadcast tables,
+    // one corpus explode, everything else row-local — no window, no
+    // self-join.
+    QDef(
+      "x43_dsir_weight",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT doc_id,
+             |    substring(md5(tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2]), 1, 2) AS f
+             |  FROM tk, unnest(range(0, len(tk)-1)) t(i)),
+             |tc AS (SELECT f, count(*) AS ct FROM bg WHERE doc_id % 97 = 0 GROUP BY f),
+             |rc AS (SELECT f, count(*) AS cr FROM bg WHERE doc_id % 97 <> 0 GROUP BY f),
+             |sc AS (SELECT bg.doc_id,
+             |         ((coalesce(tc.ct, 0) + 1) * 1000000) // (rc.cr + 1) AS r
+             |       FROM bg JOIN rc USING (f) LEFT JOIN tc USING (f)
+             |       WHERE bg.doc_id % 97 <> 0)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |  CAST(sum(r) AS BIGINT) AS score_num,
+             |  sum(r) > 1000000 * count(*) AS target_like
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"), tokens.as("tk"))
+          .filter(size(col("tk")) >= 2)
+        // inline explode + checkpoint: x30's measured discipline (the
+        // bigram build must run once, not once per consumer)
+        val bg = tk.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("b"))
+          .select(col("doc_id"), substring(md5(col("b")), 1, 2).as("f"))
+          .localCheckpoint()
+        val tc = bg.filter(col("doc_id") % 97 === 0)
+          .groupBy("f").agg(count(lit(1)).as("ct"))
+        val rc = bg.filter(col("doc_id") % 97 =!= 0)
+          .groupBy("f").agg(count(lit(1)).as("cr"))
+        bg.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(rc), "f")
+          .join(broadcast(tc), Seq("f"), "left")
+          .select(col("doc_id"),
+            expr("((coalesce(ct, 0L) + 1L) * 1000000L) div (cr + 1L)").as("r"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_bigrams"),
+            sum("r").as("score_num"),
+            (sum("r") > count(lit(1)) * lit(1000000L)).as("target_like"))
+          .orderBy("doc_id")
+      }),
+
     // Boilerplate stripping (the C4/RefinedWeb "remove spans repeated
     // across the corpus" step): docs split into non-overlapping 2-token
     // chunks; a chunk whose corpus document-frequency exceeds 4% of the

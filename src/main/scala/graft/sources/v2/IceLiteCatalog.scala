@@ -313,7 +313,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
         // only FUTURE writes)
         require(set.property() != "sorted_by",
           "sorted_by is declared at CREATE TABLE; existing files would not " +
-            "match a changed order — rewrite via replace()/CTAS instead")
+            "match a changed order — use CALL <catalog>.system.set_sort_order" +
+            "(table, array(...)), which rewrites the data and declares the " +
+            "order in one atomic commit")
         props += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
         props -= rm.property()

@@ -150,6 +150,26 @@ object IceLiteProcedures {
         tbl.setPartitionSpec(next)
         out(s(in, 0), next.mkString(", "), prev.mkString(", "))
       })),
+    // post-create sort-order declaration for SQL-only operators. The scan
+    // REPORTS the declared order (downstream sorts elide), so declaring a
+    // non-empty order over a non-empty table rewrites the data into it in
+    // the same atomic commit (see IceTable.setSortOrder); array() clears
+    // (metadata-only). `ALTER TABLE ... SET TBLPROPERTIES('sorted_by')`
+    // stays refused — a declaration without the rewrite would be silently
+    // wrong results.
+    "set_sort_order" -> (wh => new IceProc(wh, "set_sort_order",
+      Seq(p("table", StringType), p("order", ArrayType(StringType)),
+        pd("target_files", IntegerType, "1")),
+      StructType.fromDDL("table STRING, sort_order STRING, previous_order STRING"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val prev = tbl.meta.sortOrder
+        val arr = in.getArray(1)
+        val next = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString.trim).filter(_.nonEmpty)
+        tbl.setSortOrder(next, in.getInt(2))
+        out(s(in, 0), next.mkString(", "), prev.mkString(", "))
+      })),
     "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
       Seq(p("table", StringType),
         pd("older_than_ms", LongType, IceTable.DefaultOrphanGraceMs.toString)),

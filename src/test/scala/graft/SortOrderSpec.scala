@@ -191,4 +191,43 @@ class SortOrderSpec extends SparkSpec {
     val meta = MetaIo.read(fs, cat.tablePath("lake", "t"))
     assert(meta.sortOrder == Seq("a", "b"))
   }
+
+  test("CALL system.set_sort_order declares post-create: rewrite + declaration atomic") {
+    val wh = scratch("sort-declare")
+    val cat = new IceCatalog(spark, wh)
+    val df = graft.queries.QUtil.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(rand(11)) // deliberately unsorted
+    val tbl = cat.createTable("lake", "t", df.schema) // NO declared order
+    tbl.append(df.repartition(3))
+    spark.conf.set("spark.sql.catalog.ice_sso", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_sso.warehouse", wh)
+    val snapsBefore = tbl.snapshots.length
+    val r = spark.sql("CALL ice_sso.system.set_sort_order('lake.t', " +
+      "array('o_custkey'), target_files => 2)").collect()(0)
+    assert(r.getString(1) == "o_custkey" && r.getString(2) == "", s"got $r")
+    val t1 = cat.loadTable("lake", "t")
+    // ONE commit carries both the rewrite and the declaration
+    assert(t1.meta.sortOrder == Seq("o_custkey"))
+    assert(t1.snapshots.length == snapsBefore + 1,
+      "rewrite + declaration must be one atomic commit")
+    assertFilesSorted(dataFiles(t1), "o_custkey")
+    assert(t1.toDF.count() == df.count())
+    // the declaration is live: subsequent appends write sorted
+    t1.append(df.limit(500).orderBy(rand(13)).repartition(2))
+    assertFilesSorted(dataFiles(cat.loadTable("lake", "t")), "o_custkey")
+    // clearing is metadata-only — no new snapshot
+    val preClear = cat.loadTable("lake", "t").snapshots.length
+    spark.sql("CALL ice_sso.system.set_sort_order('lake.t', array())")
+    val t2 = cat.loadTable("lake", "t")
+    assert(t2.meta.sortOrder.isEmpty)
+    assert(t2.snapshots.length == preClear, "clearing must not rewrite")
+    // the TBLPROPERTIES spelling still refuses (no rewrite = wrong report)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE ice_sso.lake.t SET TBLPROPERTIES ('sorted_by' = 'o_orderkey')"))
+    assert(e.getMessage.contains("set_sort_order"))
+    // unknown sort column refuses
+    intercept[Exception](spark.sql(
+      "CALL ice_sso.system.set_sort_order('lake.t', array('nope'))"))
+  }
 }
