@@ -726,6 +726,118 @@ object TextOps {
           .orderBy("doc_id")
       }),
 
+    // The COMPOSED curation pipeline (round 14) — the end-to-end pass a
+    // training-data pipeline actually ships, in ONE declarative plan:
+    // quality gate -> exact dedup -> eval decontamination -> per-language
+    // token budget, over the raw corpus (the non-eval slice; doc_id%97==0
+    // is the held-out eval set, as in x24/x43). EVERY document is emitted
+    // with a per-stage fail BITMASK (bit0 quality, bit1 duplicate, bit2
+    // contaminated, bit3 over-budget) — removal rates stay auditable per
+    // stage, thresholds re-litigable without re-running upstream stages —
+    // and `kept` is the final verdict. Stage order is load-bearing: the
+    // budget thresholds are computed over the SURVIVORS of the first three
+    // stages (budgets meter what you'd actually train on), via the exact
+    // x26 arithmetic (`budgetThresholds`, shared code) so the mix policy
+    // cannot drift from the standalone operator. Shape at 100 TB: two
+    // corpus-keyed shuffles (content-hash dedup group, contamination
+    // doc-id mark), one corpus explode against a broadcast eval-gram set,
+    // thresholds broadcast — no window over the corpus, no self-join; the
+    // tokenized corpus materializes once (localCheckpoint) and feeds all
+    // four stages instead of re-reading parquet per branch.
+    QDef(
+      "x44_pipeline_curate",
+      Some("""WITH raw AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    string_split_regex(trim(text), '\s+') AS tk,
+             |    len(string_split_regex(trim(text), '\s+')) AS tokens,
+             |    md5(text) AS h
+             |  FROM documents),
+             |corpus AS (SELECT * FROM raw WHERE doc_id % 97 <> 0),
+             |grams AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_slice(tk, CAST(i AS INT)+1, CAST(i AS INT)+3), ' ') AS g
+             |  FROM raw, unnest(range(0, greatest(len(tk)-2, 0))) t(i)),
+             |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+             |contam AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+             |           WHERE gr.doc_id % 97 <> 0),
+             |keeper AS (SELECT h, MIN(doc_id) AS keeper FROM corpus GROUP BY h),
+             |staged AS (
+             |  SELECT c.doc_id, c.lang, c.tokens,
+             |    (CASE WHEN c.tokens < 5 OR CAST(c.n_chars AS DOUBLE)/c.tokens > 15.0
+             |          THEN 1 ELSE 0 END
+             |     + CASE WHEN c.doc_id <> k.keeper THEN 2 ELSE 0 END
+             |     + CASE WHEN ct.doc_id IS NOT NULL THEN 4 ELSE 0 END) AS bits3
+             |  FROM corpus c JOIN keeper k USING (h)
+             |    LEFT JOIN contam ct ON ct.doc_id = c.doc_id),
+             |surv AS (SELECT doc_id, lang, tokens FROM staged WHERE bits3 = 0),
+             |pl AS (SELECT lang, SUM(tokens) AS lang_tokens FROM surv GROUP BY lang),
+             |st AS (SELECT SUM(lang_tokens) AS all_tokens, COUNT(*) AS n_langs FROM pl),
+             |fr AS (SELECT lang,
+             |         LEAST(1.0, (0.6 * (CAST(all_tokens AS DOUBLE) / n_langs))
+             |                    / CAST(lang_tokens AS DOUBLE)) AS f
+             |       FROM pl, st),
+             |th AS (SELECT lang, CASE WHEN f >= 1.0 THEN 'g'
+             |         ELSE printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)) END AS thr
+             |       FROM fr),
+             |fin AS (
+             |  SELECT s.doc_id, s.lang, s.tokens,
+             |    s.bits3 + CASE WHEN s.bits3 = 0 AND
+             |        NOT (substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) < th.thr)
+             |      THEN 8 ELSE 0 END AS bits
+             |  FROM staged s LEFT JOIN th USING (lang))
+             |SELECT doc_id, lang, CAST(tokens AS INT) AS n_tokens,
+             |  CAST(bits AS INT) AS fail_bits, bits = 0 AS kept
+             |FROM fin ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val n = 3
+        val raw = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            tokens.as("tk"), md5(col("text")).as("h"))
+          .withColumn("tokens", size(col("tk")))
+        val corpus = raw.filter(col("doc_id") % 97 =!= 0).localCheckpoint()
+        // stage 1 (row-local): shape quality — too short, or suspiciously
+        // long average token (mean chars/token > 15: markup, not prose)
+        val quality = corpus.withColumn("qf",
+          col("tokens") < 5 ||
+            (col("n_chars").cast("double") / col("tokens")) > lit(15.0))
+        // stage 2: exact dedup, x1's shape — group on the content hash,
+        // keep the smallest doc_id (one corpus shuffle on h)
+        val keeper = corpus.groupBy("h").agg(min("doc_id").as("keeper"))
+        // stage 3: decontamination, x24's shape — eval 3-gram set
+        // broadcast, corpus explode, contaminated ids marked (one corpus
+        // shuffle on doc_id for the distinct+mark)
+        val grams = raw.filter(size(col("tk")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(tk) - $n), " +
+              s"i -> array_join(slice(tk, i + 1, $n), ' '))")).as("g"))
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("g").distinct()
+        val contam = grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalGrams), Seq("g"))
+          .select("doc_id").distinct()
+          .withColumn("cf", lit(true))
+        val staged = quality
+          .join(keeper, "h")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("bits3",
+            when(col("qf"), 1).otherwise(0) +
+              when(col("doc_id") =!= col("keeper"), 2).otherwise(0) +
+              when(col("cf").isNotNull, 4).otherwise(0))
+        // stage 4: the x26 budget over stage-1..3 SURVIVORS
+        val thr = budgetThresholds(
+          staged.filter(col("bits3") === 0)
+            .select(col("doc_id"), col("lang"), col("tokens")))
+        staged.join(broadcast(thr), Seq("lang"), "left")
+          .withColumn("fail_bits", (col("bits3") +
+            when(col("bits3") === 0 &&
+              !(substring(md5(col("doc_id").cast("string")), 1, 8)
+                < col("thr")), 8).otherwise(0)).cast("int"))
+          .select(col("doc_id"), col("lang"),
+            col("tokens").cast("int").as("n_tokens"),
+            col("fail_bits"), (col("fail_bits") === 0).as("kept"))
+          .orderBy("doc_id")
+      }),
+
     // Boilerplate stripping (the C4/RefinedWeb "remove spans repeated
     // across the corpus" step): docs split into non-overlapping 2-token
     // chunks; a chunk whose corpus document-frequency exceeds 4% of the
@@ -966,10 +1078,26 @@ object TextOps {
     * engines given equal token columns.
     */
   private[graft] def budgetMix(d: DataFrame): DataFrame = {
+    d.join(broadcast(budgetThresholds(d)), "lang")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-language md5-prefix selection thresholds of the x26 budget
+    * arithmetic (keep iff `substring(md5(doc_id), 1, 8) < thr`): factored
+    * from [[budgetMix]] so x44's composed pipeline can MARK over-budget
+    * docs (audit bitmask) with the exact thresholds x26 selects by — one
+    * arithmetic, one IEEE op order, two consumers that cannot drift.
+    * Input needs `lang` and `tokens`; the caller decides which docs count
+    * toward the budgets (x26: the whole corpus; x44: survivors of the
+    * earlier pipeline stages).
+    */
+  private[graft] def budgetThresholds(d: DataFrame): DataFrame = {
     val perLang = d.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
     val stats = perLang.agg(
       sum("lang_tokens").as("all_tokens"), count(lit(1)).as("n_langs"))
-    val thr = perLang.crossJoin(broadcast(stats))
+    perLang.crossJoin(broadcast(stats))
       .withColumn("f", least(lit(1.0),
         (lit(0.6) * (col("all_tokens").cast("double") / col("n_langs")))
           / col("lang_tokens").cast("double")))
@@ -977,10 +1105,6 @@ object TextOps {
         .otherwise(format_string("%08x",
           floor(col("f") * lit(4294967296.0)).cast("long"))))
       .select("lang", "thr")
-    d.join(broadcast(thr), "lang")
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
-      .select(col("doc_id"), col("lang"), col("tokens"))
-      .orderBy("doc_id")
   }
 
   /** Corpus pass of x40: whitespace words -> BPE tokens per document, with

@@ -134,6 +134,20 @@ class PlanSpec extends SparkSpec {
       s"expected map-side-combined aggregates:\n$s")
   }
 
+  test("x44: composed pipeline — broadcast screens, no all-pairs operator") {
+    val s = finalPlan(SparkEntry.queries("x44_pipeline_curate")(spark, sfDir))
+    // four stages composed, yet the corpus is never self-joined or
+    // cross-joined: the eval-gram screen and the budget thresholds arrive
+    // as broadcasts, dedup is one hash-keyed aggregate
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"the composed pipeline must never do all-pairs work:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"expected broadcast eval-gram + budget-threshold joins:\n$s")
+    // map-side combine on the corpus-keyed aggregates (partial + final)
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected map-side-combined aggregates:\n$s")
+  }
+
   test("x41: SemDeDup — every join is cluster-keyed; no all-pairs operator") {
     val s = finalPlan(SparkEntry.queries("x41_semdedup")(spark, sfDir))
     // SemDeDup's entire cost bound is sum(|cluster|^2): nothing may ever
