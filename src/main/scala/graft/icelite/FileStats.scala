@@ -220,21 +220,21 @@ object FileStats {
     */
   def dataDirsOf(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[String] =
     if (snap.dataDirs.nonEmpty || snap.manifestFile.isEmpty) snap.dataDirs
-    else MetaIo.readManifestDoc(fs, snap.manifestFile).dataDirs
+    else MetaIo.readManifestDocShallow(fs, snap.manifestFile).dataDirs
 
   /** Paths of the files ADDED by a snapshot (inline or from the manifest
     * document — same externalization story as [[dataDirsOf]]).
     */
   def addedPathsOf(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[String] =
     if (snap.addedFiles.nonEmpty || snap.manifestFile.isEmpty) snap.addedFiles
-    else MetaIo.readManifestDoc(fs, snap.manifestFile).addedPaths
+    else MetaIo.readManifestDocShallow(fs, snap.manifestFile).addedPaths
 
   /** Outstanding position-delete files of a snapshot (merge-on-read).
     * Inline on in-memory metadata, in the manifest document on committed.
     */
   def deletesOf(fs: org.apache.hadoop.fs.FileSystem, snap: SnapshotMeta): Seq[DeleteStat] =
     if (snap.deletes.nonEmpty || snap.manifestFile.isEmpty) snap.deletes
-    else MetaIo.readManifestDoc(fs, snap.manifestFile).deletes
+    else MetaIo.readManifestDocShallow(fs, snap.manifestFile).deletes
 
   /** Carry deletes forward across a copy-on-write rewrite of some files.
     * Position entries are trimmed to data files that survive untouched (the

@@ -121,5 +121,8 @@ object IceCatalog {
       if (k == "write.bloom.capacity")
         require(v.trim.toLongOption.exists(_ > 0),
           s"invalid $k '$v': expected a positive integer (distinct values per file)")
+      if (k == "manifest.chain-cap")
+        require(v.trim.toIntOption.exists(_ >= 0),
+          s"invalid $k '$v': expected a non-negative integer (0 disables delta manifests)")
     }
 }

@@ -1861,7 +1861,136 @@ class IceTable(
       if (!referencedDirs.contains(dp) && !fs.listFiles(d.getPath, true).hasNext)
         fs.delete(d.getPath, true)
     }
+    // manifest-document GC: rebases (`rewrite_manifests`, the chain-cap
+    // rollover) and expiry leave manifest files behind once no snapshot's
+    // delta chain resolves through them — a losing commit race leaves one
+    // too. Reachable = the chain closure over every live snapshot; the same
+    // age gate protects a manifest written by an in-flight commit that has
+    // not claimed its version yet.
+    val liveManifests = m.snapshots.filter(_.manifestFile.nonEmpty)
+      .flatMap(s => MetaIo.manifestChain(fs, s.manifestFile))
+      .map(qualify).toSet
+    val metaDir = MetaIo.metadataDir(tableDir)
+    if (fs.exists(metaDir)) fs.listStatus(metaDir).foreach { st =>
+      val p = qualify(st.getPath.toString)
+      if (st.isFile && st.getPath.getName.startsWith("manifest-") &&
+          !liveManifests.contains(p) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        deleted += p
+      }
+    }
     deleted.result()
+  }
+
+  /** Import EXISTING parquet files into the table BY REFERENCE (the
+    * Iceberg `add_files` migration op): no data rewrite, no copy — one
+    * footer read per file (driver pool small, Spark job past
+    * [[FileStats.DistributeThreshold]]) builds real manifest entries with
+    * row counts and min/max/null stats, so imported files prune like
+    * native ones, and a normal append snapshot commits them. Ownership
+    * stays with the caller: the paths live outside the table's `data/`
+    * tree and are NOT recorded in `dataDirs`, so expiry and orphan GC
+    * never delete them — exactly Iceberg's add_files contract. Imported
+    * paths carry no `snap-N` era, so era resolution treats them as newest:
+    * renames resolve to current names and existing equality deletes never
+    * apply to them, both correct for files joining the table NOW.
+    *
+    * Refusals (each names its remedy): partitioned tables (the scan
+    * derives partition values from the table's own directory layout, which
+    * foreign files do not follow — load via INSERT instead), declared sort
+    * orders (the scan REPORTS the order; foreign files of unknown order
+    * would be silently wrong results — clear it first), schema drift
+    * (foreign or type-mismatched columns; a file MISSING a declared column
+    * is fine — reads serve NULL, the column-add evolution contract), and
+    * re-importing an already-referenced path.
+    */
+  def addFiles(source: String): IceTable = {
+    val m0 = meta
+    require(m0.partitionBy.isEmpty,
+      s"add_files into partitioned table $namespace.$name is not " +
+        "supported: partition values ride the table's directory layout, " +
+        "which foreign files do not follow — load them with INSERT/append " +
+        "instead, or import into an unpartitioned table and evolve the " +
+        "spec afterwards")
+    require(m0.sortOrder.isEmpty,
+      s"$namespace.$name declares sort order ${m0.sortOrder.mkString(", ")} " +
+        "which the scan reports to Spark; imported files of unknown order " +
+        "would be silently wrong results — clear it first " +
+        "(CALL system.set_sort_order(table, array()))")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new Path(source)
+    val sfs = srcPath.getFileSystem(conf)
+    require(sfs.exists(srcPath), s"add_files source not found: $source")
+    val paths: Seq[String] =
+      if (sfs.getFileStatus(srcPath).isFile)
+        Seq(sfs.makeQualified(srcPath).toString)
+      else {
+        val it = sfs.listFiles(srcPath, true)
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq.sorted
+      }
+    require(paths.nonEmpty, s"no parquet files under $source")
+    val tableRoot = FileStats.normPath(fs.makeQualified(tableDir).toString)
+    paths.foreach(p => require(
+      !FileStats.normPath(p).startsWith(tableRoot + "/"),
+      s"add_files source $p lies INSIDE the table tree — it is either " +
+        "already referenced or an orphan the GC may delete; import only " +
+        "external files"))
+    val current = m0.currentSnapshot.map(visibleFiles).getOrElse(Nil)
+    val existing = current.map(f => FileStats.normPath(f.path)).toSet
+    paths.foreach(p => require(!existing(FileStats.normPath(p)),
+      s"file already referenced by $namespace.$name: $p"))
+    // schema gate: the merged footer schema must be a same-typed subset of
+    // the table's. Merge catches per-file type conflicts loudly; extras are
+    // refused (a later ADD COLUMN of the same name would resurrect them);
+    // missing columns read as NULL like any pre-ADD-COLUMN era file.
+    val tableSchema = StructType.fromDDL(m0.schemaDdl)
+    val tTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(paths: _*).schema
+    merged.fields.foreach { f =>
+      require(tTypes.contains(f.name),
+        s"foreign column '${f.name}' is not in $namespace.$name " +
+          s"(${tableSchema.fieldNames.mkString(", ")})")
+      require(f.dataType.catalogString == tTypes(f.name).catalogString,
+        s"column '${f.name}' is ${f.dataType.catalogString} in the " +
+          s"imported files but ${tTypes(f.name).catalogString} in " +
+          s"$namespace.$name — widen/convert the table schema first")
+    }
+    val added = FileStats.collect(conf, paths)
+    commitSnapshot(m0, "add_files",
+      m0.currentSnapshot.map(s => FileStats.dataDirsOf(fs, s)).getOrElse(Nil),
+      added, carried = current,
+      carriedDeletes =
+        m0.currentSnapshot.map(s => FileStats.deletesOf(fs, s)).getOrElse(Nil))
+  }
+
+  /** Collapse the current snapshot's manifest delta chain into one full
+    * document (the `rewrite_manifests` maintenance op). Appends keep commit
+    * IO O(change) by writing delta manifests (see [[ManifestDoc]]); this op
+    * — and the automatic rebase every `manifest.chain-cap` commits — bounds
+    * the chain depth readers resolve. Pure metadata: the snapshot id, its
+    * visible files, and every query result are unchanged; only the
+    * REPRESENTATION of the file list rolls up. No-op (no commit) when the
+    * current manifest is already full. Returns the chain length collapsed.
+    */
+  def rewriteManifests(): Int = {
+    val m = meta
+    m.currentSnapshot match {
+      case Some(s) if s.manifestFile.nonEmpty =>
+        val doc = MetaIo.readManifestDoc(fs, s.manifestFile)
+        if (doc.chainLen == 0) 0
+        else {
+          val mf = MetaIo.writeManifestFull(fs, tableDir, s.snapshotId, doc)
+          MetaIo.commit(fs, tableDir, m.copy(version = m.version + 1,
+            snapshots = m.snapshots.map(x =>
+              if (x.snapshotId == s.snapshotId) x.copy(manifestFile = mf)
+              else x)))
+          doc.chainLen
+        }
+      case _ => 0
+    }
   }
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` maintenance op): keep
@@ -1898,9 +2027,13 @@ class IceTable(
       snapshots = keep, version = m.version + 1))
     (droppedDirs -- keepDirs).toSeq.sorted
       .foreach(d => fs.delete(new Path(d), true))
-    // a dropped snapshot's external manifest is referenced by nothing else
-    // (one manifest file per snapshot, written once at its commit)
-    dropped.filter(_.manifestFile.nonEmpty)
+    // a dropped snapshot's manifest file may still be REACHABLE: kept
+    // snapshots' delta-chain documents resolve through their predecessors'
+    // manifests, and those predecessors are exactly what expiry drops.
+    // Delete only what no kept snapshot's chain touches.
+    val reachable = keep.filter(_.manifestFile.nonEmpty)
+      .flatMap(s => MetaIo.manifestChain(fs, s.manifestFile)).toSet
+    dropped.filter(s => s.manifestFile.nonEmpty && !reachable(s.manifestFile))
       .foreach(s => fs.delete(new Path(s.manifestFile), false))
     this
   }

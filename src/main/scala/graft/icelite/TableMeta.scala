@@ -227,12 +227,39 @@ final case class DeleteStat(
   * manifests are a bare JSON array of FileStat (files only, added/dirs
   * still inline in the snapshot) — [[MetaIo.readManifestDoc]] sniffs the
   * format.
+  *
+  * DELTA CHAINS (round 14). A snapshot's visible file list is almost
+  * always its predecessor's list plus a few added files — yet a full
+  * manifest per snapshot makes every commit serialize O(total files) of
+  * FileStat JSON (stats, sketches, blooms): appending one file to a
+  * million-file table would rewrite ~1 GB of metadata, per commit, forever.
+  * So when `base` is non-empty this document stores only the CHANGE in the
+  * `files` dimension against the base manifest: `files` holds just the
+  * entries added (or replaced) by this snapshot, `removedPaths` the exact
+  * path spellings dropped from the base list, and resolution is
+  * `base.files.filterNot(removed) ++ files` — the committer VERIFIES at
+  * write time that this replay reproduces its in-memory sequence
+  * bit-for-bit and falls back to a full document whenever it does not
+  * (rewrites, reorders, anything surprising), so a delta can never change
+  * what any reader sees. `chainLen` bounds resolution depth: once a chain
+  * would exceed the table's `manifest.chain-cap` (default 32, 0 disables
+  * deltas) the commit writes a full document, amortizing the O(files)
+  * rewrite over cap commits. `addedPaths`, `dataDirs` and `deletes` stay
+  * COMPLETE in every document — they are O(snapshot delta) / O(dirs) /
+  * O(outstanding deletes) small, and keeping them self-contained is what
+  * lets bounded incremental readers (changelog windows, streaming
+  * triggers) keep reading ONLY their window's manifests
+  * ([[MetaIo.readManifestDocShallow]]) instead of resolving chains into
+  * history they don't need.
   */
 final case class ManifestDoc(
     files: Seq[FileStat],
     addedPaths: Seq[String] = Nil,
     dataDirs: Seq[String] = Nil,
-    deletes: Seq[DeleteStat] = Nil)
+    deletes: Seq[DeleteStat] = Nil,
+    base: String = "",
+    removedPaths: Seq[String] = Nil,
+    chainLen: Int = 0)
 
 /** One metadata-only column rename: files added by snapshots with id
   * `<= cutoffSnapshotId` physically carry `from` where the logical schema
@@ -471,16 +498,33 @@ object MetaIo {
           e: java.util.Map.Entry[String, ManifestDoc]): Boolean =
         size > ManifestCacheCap
     }
+  // as-written documents (delta form), keyed by path. A full document's raw
+  // and resolved forms are the SAME object (readManifestDoc stores the
+  // shallow reference), so the two caches never double-hold a big list;
+  // delta entries are O(snapshot change) small.
+  private val rawCache =
+    new java.util.LinkedHashMap[String, ManifestDoc](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ManifestDoc]): Boolean =
+        size > ManifestCacheCap
+    }
 
-  /** The manifest document held by one external manifest file. Current
-    * format is a [[ManifestDoc]] object; pre-upgrade manifests are a bare
-    * FileStat array (added/dirs were inline in the snapshot then) — the
-    * first non-whitespace byte disambiguates.
+  /** The manifest document held by one external manifest file, AS WRITTEN —
+    * a delta document's `files` holds only this snapshot's change, not the
+    * visible list. This is the read for the per-snapshot facts every
+    * document carries complete (`addedPaths`, `dataDirs`, `deletes`) and
+    * for chain walking (expiry reachability, rebase): bounded incremental
+    * readers go through here precisely so that reading a window snapshot's
+    * own facts never resolves its chain into pre-window history.
+    * Pre-upgrade manifests are a bare FileStat array (added/dirs were
+    * inline in the snapshot then) — the first non-whitespace byte
+    * disambiguates.
     */
-  def readManifestDoc(fs: FileSystem, path: String): ManifestDoc = {
+  private[graft] def readManifestDocShallow(fs: FileSystem, path: String)
+      : ManifestDoc = {
     recordAccess(path)
-    manifestCache.synchronized {
-      val cached = manifestCache.get(path)
+    rawCache.synchronized {
+      val cached = rawCache.get(path)
       if (cached != null) return cached
     }
     val json = readFile(fs, new Path(path))
@@ -489,8 +533,56 @@ object MetaIo {
       if (legacy) ManifestDoc(mapper.readValue(
         json, new com.fasterxml.jackson.core.`type`.TypeReference[Seq[FileStat]] {}))
       else mapper.readValue(json, classOf[ManifestDoc])
-    manifestCache.synchronized { manifestCache.put(path, parsed) }
+    rawCache.synchronized { rawCache.put(path, parsed) }
     parsed
+  }
+
+  /** The manifest document held by one external manifest file, RESOLVED:
+    * a delta chain is replayed into the complete visible `files` list
+    * (base-first order, exactly the sequence the committer verified), so
+    * every consumer of `files` sees what it always saw. Resolution walks at
+    * most `manifest.chain-cap` hops, each hop cached.
+    */
+  def readManifestDoc(fs: FileSystem, path: String): ManifestDoc = {
+    recordAccess(path)
+    manifestCache.synchronized {
+      val cached = manifestCache.get(path)
+      if (cached != null) return cached
+    }
+    val parsed = readManifestDocShallow(fs, path)
+    val resolved =
+      if (parsed.base.isEmpty) parsed
+      else {
+        val b = readManifestDoc(fs, parsed.base)
+        val rm = parsed.removedPaths.toSet
+        parsed.copy(
+          files = b.files.filterNot(f => rm(f.path)) ++ parsed.files,
+          removedPaths = Nil)
+      }
+    manifestCache.synchronized { manifestCache.put(path, resolved) }
+    resolved
+  }
+
+  /** Every manifest file a resolution of `path` touches (the path itself
+    * plus its base chain, nearest first). Expiry must keep these alive for
+    * every retained snapshot: a chain base is typically an EXPIRED
+    * snapshot's manifest.
+    */
+  private[graft] def manifestChain(fs: FileSystem, path: String): Seq[String] =
+    if (path.isEmpty) Nil
+    else path +: manifestChain(fs, readManifestDocShallow(fs, path).base)
+
+  /** Write `resolved` as a FULL (chain-free) manifest document for
+    * `snapshotId` and return its path — the rebase primitive behind
+    * `rewrite_manifests`.
+    */
+  private[graft] def writeManifestFull(fs: FileSystem, tableDir: Path,
+      snapshotId: Long, resolved: ManifestDoc): String = {
+    val mf = fs.makeQualified(new Path(metadataDir(tableDir),
+      f"manifest-$snapshotId%05d-${java.util.UUID.randomUUID()}.json"))
+    writeFile(fs, mf, mapper.writeValueAsString(
+      resolved.copy(base = "", removedPaths = Nil, chainLen = 0)))
+    mf.toString
   }
 
   /** The FileStat list held by one external manifest file. */
@@ -548,17 +640,70 @@ object MetaIo {
     * version log's per-snapshot entry is CONSTANT-size — O(snapshots)
     * total, not O(snapshots × files) and not O(appends²) via dataDirs.
     */
+  /** The table's delta-chain cap: a manifest chain never exceeds this many
+    * hops before a commit writes a full document (0 disables deltas). The
+    * cap trades commit IO (amortized full-rewrite every cap commits)
+    * against resolution depth (cap metadata reads, each cached).
+    */
+  private[graft] def chainCap(meta: TableMeta): Int =
+    meta.properties.get("manifest.chain-cap")
+      .flatMap(_.trim.toIntOption).getOrElse(32)
+
+  /** The delta form of `full` against its predecessor's resolved manifest,
+    * or None when a delta is not sound or not worth it. Soundness is
+    * checked by CONSTRUCTION: the exact replay a reader will perform
+    * (`parent.files` minus `removedPaths`, then append `files`) must
+    * reproduce the committer's in-memory sequence — order, stats, blooms,
+    * everything — or the commit writes a full document instead. Rewrites
+    * that reorder or replace most of the list (compaction, replace, big
+    * upserts) naturally fall back to full documents, which doubles as the
+    * chain's organic rebase.
+    */
+  private def deltaAgainst(parent: ManifestDoc, parentPath: String,
+      full: ManifestDoc, cap: Int): Option[ManifestDoc] = {
+    if (parent.chainLen + 1 >= cap) return None
+    val byPath = full.files.groupBy(_.path)
+    if (byPath.valuesIterator.exists(_.lengthCompare(1) > 0)) return None
+    val parentPaths = parent.files.iterator.map(_.path).toSet
+    // removed = base entries absent from (or replaced in) the new list;
+    // a same-path entry with ANY field changed is a remove + re-add
+    val removed = parent.files.collect {
+      case f if !byPath.get(f.path).exists(_.contains(f)) => f.path }
+    val rmSet = removed.toSet
+    val added = full.files.filter(f => !parentPaths(f.path) || rmSet(f.path))
+    // worth-it: a delta carrying as many FileStats as the full list saves
+    // nothing and adds a chain hop
+    if (full.files.nonEmpty && added.lengthCompare(full.files.size) >= 0)
+      return None
+    val replay = parent.files.filterNot(f => rmSet(f.path)) ++ added
+    if (replay != full.files) return None
+    Some(full.copy(files = added, base = parentPath,
+      removedPaths = removed, chainLen = parent.chainLen + 1))
+  }
+
   private def externalize(fs: FileSystem, tableDir: Path, meta: TableMeta)
       : (TableMeta, Seq[Path]) = {
     var written = Seq.empty[Path]
+    val cap = chainCap(meta)
+    // nearest preceding snapshot's manifest = the delta base candidate;
+    // already-committed snapshots carry pointers, the new one diffs against
+    // the last pointer seen walking the (append-ordered) snapshot list
+    var prevManifest = ""
     val slim = meta.copy(snapshots = meta.snapshots.map { s =>
-      if (s.files.isEmpty || s.manifestFile.nonEmpty) s
-      else {
+      if (s.files.isEmpty || s.manifestFile.nonEmpty) {
+        if (s.manifestFile.nonEmpty) prevManifest = s.manifestFile
+        s
+      } else {
+        val fullDoc = ManifestDoc(s.files, s.addedFiles, s.dataDirs, s.deletes)
+        val doc =
+          if (prevManifest.isEmpty || cap <= 0) fullDoc
+          else deltaAgainst(readManifestDoc(fs, prevManifest), prevManifest,
+            fullDoc, cap).getOrElse(fullDoc)
         val mf = fs.makeQualified(new Path(metadataDir(tableDir),
           f"manifest-${s.snapshotId}%05d-${java.util.UUID.randomUUID()}.json"))
-        writeFile(fs, mf, mapper.writeValueAsString(
-          ManifestDoc(s.files, s.addedFiles, s.dataDirs, s.deletes)))
+        writeFile(fs, mf, mapper.writeValueAsString(doc))
         written :+= mf
+        prevManifest = mf.toString
         s.copy(files = Nil, addedFiles = Nil, dataDirs = Nil, deletes = Nil,
           addedFileCount =
             if (s.addedFileCount >= 0) s.addedFileCount else s.addedFiles.length.toLong,

@@ -41,6 +41,37 @@ object IceliteOps {
           .orderBy("event_id")
       }),
 
+    // add_files (round 14): import foreign parquet BY REFERENCE — the
+    // Iceberg migration op. Half the orders land natively, the other half
+    // are written as plain parquet OUTSIDE the table tree and imported
+    // with one footer read per file (real row counts + min/max stats, so
+    // they prune like native files); the scan then serves both halves.
+    // In-query assertions pin the by-reference contract: the commit is an
+    // `add_files` snapshot whose added paths all lie outside the table dir.
+    QDef(
+      "k36_ice_add_files",
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k36"))
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val tbl = cat.createTable("lake", "orders_t", o.schema)
+        tbl.append(o.filter(col("o_orderkey") % 2 === 0))
+        val ext = freshWarehouse(s, "k36_external")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .write.mode("overwrite").parquet(ext)
+        tbl.addFiles(ext)
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "add_files", s"got ${snap.operation}")
+        val addedPaths = tbl.addedFilesOf(snap)
+        val tableRoot = cat.tablePath("lake", "orders_t").toString
+        require(addedPaths.nonEmpty &&
+          addedPaths.forall(p => !p.contains(tableRoot)),
+          "imported files must stay outside the table tree (by reference)")
+        tbl.toDF.orderBy("o_orderkey")
+      }),
+
     // K6: replace = drop-and-recreate CTAS semantics (wr:115-124).
     QDef(
       "k6_ice_replace",

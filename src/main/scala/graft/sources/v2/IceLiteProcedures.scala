@@ -170,6 +170,51 @@ object IceLiteProcedures {
         tbl.setSortOrder(next, in.getInt(2))
         out(s(in, 0), next.mkString(", "), prev.mkString(", "))
       })),
+    // migrate an existing parquet directory into a NEW table in one call
+    // (Iceberg's `snapshot` procedure): schema inferred from the files,
+    // data imported BY REFERENCE through add_files — no copy, no rewrite,
+    // the source stays caller-owned. Same refusal surface as add_files; a
+    // failed import leaves no table behind (create + import are one call,
+    // the inert-failed-DDL contract).
+    "snapshot" -> (wh => new IceProc(wh, "snapshot",
+      Seq(p("source", StringType), p("table", StringType)),
+      StructType.fromDDL("table STRING, imported_files BIGINT, imported_rows BIGINT"),
+      (cat, in) => {
+        val ident = s(in, 1)
+        val parts = ident.split("\\.", 2)
+        require(parts.length == 2,
+          s"procedure table argument must be '<namespace>.<table>', got '$ident'")
+        val src = s(in, 0)
+        val schema = SparkSession.active.read.parquet(src).schema
+        val tbl = cat.createTable(parts(0), parts(1), schema)
+        try tbl.addFiles(src)
+        catch { case e: Throwable => cat.dropTable(parts(0), parts(1)); throw e }
+        val snap = tbl.meta.currentSnapshot.get
+        out(ident, snap.addedFileCount, snap.addedRows)
+      })),
+    // import existing parquet files by reference (no rewrite, no copy):
+    // footer-derived manifest entries, caller keeps ownership — see
+    // IceTable.addFiles for the refusal surface
+    "add_files" -> (wh => new IceProc(wh, "add_files",
+      Seq(p("table", StringType), p("source", StringType)),
+      StructType.fromDDL("table STRING, added_files BIGINT, added_rows BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        tbl.addFiles(s(in, 1))
+        val snap = tbl.meta.currentSnapshot.get
+        out(s(in, 0), snap.addedFileCount, snap.addedRows)
+      })),
+    // collapse the current snapshot's manifest delta chain into one full
+    // document (see IceTable.rewriteManifests): commit IO rides deltas,
+    // this bounds the chain readers resolve. No-op on an already-full
+    // manifest; collapsed_chain reports the depth rolled up.
+    "rewrite_manifests" -> (wh => new IceProc(wh, "rewrite_manifests",
+      Seq(p("table", StringType)),
+      StructType.fromDDL("table STRING, collapsed_chain INT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        out(s(in, 0), tbl.rewriteManifests())
+      })),
     "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
       Seq(p("table", StringType),
         pd("older_than_ms", LongType, IceTable.DefaultOrphanGraceMs.toString)),

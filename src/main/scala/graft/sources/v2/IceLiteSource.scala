@@ -1174,14 +1174,18 @@ private[v2] object IceLiteMeta {
     case "manifests" =>
       // one external manifest document per snapshot (the O(snapshots)
       // metadata the version log points at)
+      // chain_len surfaces the delta-chain depth (0 = full document) so a
+      // maintenance policy can see rebase pressure without parsing docs
       val schema = StructType.fromDDL(
-        "snapshot_id BIGINT, path STRING, length_bytes BIGINT, added_files BIGINT")
+        "snapshot_id BIGINT, path STRING, length_bytes BIGINT, " +
+          "added_files BIGINT, chain_len INT")
       val rows = meta.snapshots.filter(_.manifestFile.nonEmpty).map { s =>
-        val len =
-          try fs.getFileStatus(new Path(s.manifestFile)).getLen
-          catch { case _: java.io.FileNotFoundException => -1L }
+        val (len, chain) =
+          try (fs.getFileStatus(new Path(s.manifestFile)).getLen,
+            graft.icelite.MetaIo.readManifestDocShallow(fs, s.manifestFile).chainLen)
+          catch { case _: java.io.FileNotFoundException => (-1L, -1) }
         Array[Any](s.snapshotId, s.manifestFile, len,
-          graft.icelite.FileStats.addedCount(s))
+          graft.icelite.FileStats.addedCount(s), chain)
       }
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.manifests", schema, rows)
     case "partitions" =>

@@ -195,11 +195,20 @@ class IceliteSpec extends SparkSpec {
     assert(math.abs(late - early) <= 24,
       s"version-log growth not constant per append: v9->v10 = $early bytes, " +
         s"v${appends - 1}->v$appends = $late bytes")
-    // expiry drops the orphaned manifests with the snapshots
+    // expiry drops unreachable manifests with the snapshots — but kept
+    // snapshots' delta chains resolve through expired predecessors'
+    // manifests, so exactly the chain CLOSURE survives (here: the last
+    // rebase point onward), nothing more
     tbl.expireSnapshots(keepLast = 2)
+    val keptChains = cat.loadTable("ns", "t").snapshots
+      .filter(_.manifestFile.nonEmpty)
+      .flatMap(s => graft.icelite.MetaIo.manifestChain(fs, s.manifestFile))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     val after = fs.listStatus(metaDir)
       .map(_.getPath.getName).filter(_.startsWith("manifest-"))
-    assert(after.length == 2, s"expected 2 manifest files after expiry, got ${after.toSeq}")
+    assert(after.toSet == keptChains,
+      s"expected exactly the kept chain closure (${keptChains.size} files), got ${after.toSeq}")
+    assert(after.length < appends, "expiry must drop unreachable manifests")
     assert(tbl.toDF.count() == appends.toLong)
   }
 
