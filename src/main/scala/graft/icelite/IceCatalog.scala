@@ -124,5 +124,8 @@ object IceCatalog {
       if (k == "manifest.chain-cap")
         require(v.trim.toIntOption.exists(_ >= 0),
           s"invalid $k '$v': expected a non-negative integer (0 disables delta manifests)")
+      if (k == "write.metadata.previous-versions-max")
+        require(v.trim.toIntOption.exists(_ >= 0),
+          s"invalid $k '$v': expected a non-negative integer (previous version files to retain)")
     }
 }

@@ -1959,11 +1959,35 @@ class IceTable(
           s"$namespace.$name — widen/convert the table schema first")
     }
     val added = FileStats.collect(conf, paths)
-    commitSnapshot(m0, "add_files",
-      m0.currentSnapshot.map(s => FileStats.dataDirsOf(fs, s)).getOrElse(Nil),
-      added, carried = current,
-      carriedDeletes =
-        m0.currentSnapshot.map(s => FileStats.deletesOf(fs, s)).getOrElse(Nil))
+    // optimistic retry, append's shape: the imported files are valid
+    // against any newer current snapshot (a bag union by reference), so a
+    // lost version race just recomputes the carry — nothing is rewritten.
+    // A concurrent schema change aborts loudly (the schema gate above
+    // validated against m0).
+    val importSet = paths.map(FileStats.normPath).toSet
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.sortOrder == m0.sortOrder,
+        s"add_files to $namespace.$name raced a concurrent schema change — aborting")
+      val prev = m.currentSnapshot
+      val cur = prev.map(visibleFiles).getOrElse(Nil)
+      cur.foreach(f => require(!importSet(FileStats.normPath(f.path)),
+        s"file already referenced by $namespace.$name: ${f.path}"))
+      try return commitSnapshot(m, "add_files",
+        prev.map(s => FileStats.dataDirsOf(fs, s)).getOrElse(Nil),
+        added, carried = cur,
+        carriedDeletes =
+          prev.map(s => FileStats.deletesOf(fs, s)).getOrElse(Nil))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
   }
 
   /** Collapse the current snapshot's manifest delta chain into one full

@@ -630,16 +630,6 @@ object MetaIo {
       docAccesses.asScala.map { case (k, v) => k -> v.longValue }.toMap
     }
 
-  /** Move any inline per-snapshot O(files)/O(history) state — the file
-    * manifest, the added-path list, and the cumulative data-dir list — into
-    * one external manifest document per snapshot (named with a UUID so a
-    * losing concurrent committer can never clobber the winner's manifest)
-    * and leave a pointer plus O(1) counts. Called on every commit:
-    * previously committed snapshots already carry pointers, so the
-    * incremental work is one manifest write for the new snapshot, and the
-    * version log's per-snapshot entry is CONSTANT-size — O(snapshots)
-    * total, not O(snapshots × files) and not O(appends²) via dataDirs.
-    */
   /** The table's delta-chain cap: a manifest chain never exceeds this many
     * hops before a commit writes a full document (0 disables deltas). The
     * cap trades commit IO (amortized full-rewrite every cap commits)
@@ -681,6 +671,19 @@ object MetaIo {
       removedPaths = removed, chainLen = parent.chainLen + 1))
   }
 
+  /** Move any inline per-snapshot O(files)/O(history) state — the file
+    * manifest, the added-path list, and the cumulative data-dir list — into
+    * one external manifest document per snapshot (named with a UUID so a
+    * losing concurrent committer can never clobber the winner's manifest)
+    * and leave a pointer plus O(1) counts. Called on every commit:
+    * previously committed snapshots already carry pointers, so the
+    * incremental work is one manifest write for the new snapshot — and
+    * since round 14 that write is usually a DELTA document
+    * ([[deltaAgainst]]), so commit IO tracks the CHANGE, not the table.
+    * The version log's per-snapshot entry stays CONSTANT-size —
+    * O(snapshots) total, not O(snapshots × files) and not O(appends²) via
+    * dataDirs.
+    */
   private def externalize(fs: FileSystem, tableDir: Path, meta: TableMeta)
       : (TableMeta, Seq[Path]) = {
     var written = Seq.empty[Path]
@@ -780,6 +783,23 @@ object MetaIo {
         require(fs.rename(hintTmp, hintFile(tableDir)),
           s"hint swap failed for ${meta.namespace}.${meta.name}")
       }
+      // version-log retention (Iceberg's
+      // write.metadata.previous-versions-max, opt-in): a streaming sink
+      // committing a snapshot per minute accumulates half a million
+      // v*.json files a year — operational poison for object-store
+      // listings. Readers only ever load the HINTED version (snapshots,
+      // time travel, rollback all live inside the current document), so
+      // older version files are purely a metadata-history artifact and
+      // safe to trim. Deletion walks back from the retention horizon and
+      // stops at the first miss: steady state deletes one file per commit,
+      // a backlog (property enabled late) drains across commits. Claim
+      // markers are kept — they are the zero-byte CAS ledger that stops a
+      // stale straggler from ever re-claiming a version number.
+      meta.properties.get("write.metadata.previous-versions-max")
+        .flatMap(_.trim.toIntOption).filter(_ >= 0).foreach { max =>
+          var v = meta.version - max - 1
+          while (v >= 1 && fs.delete(new Path(dir, s"v$v.json"), false)) v -= 1
+        }
     }
   }
 }

@@ -806,13 +806,16 @@ object TextOps {
         // stage 3: decontamination, x24's shape — eval 3-gram set
         // broadcast, corpus explode, contaminated ids marked (one corpus
         // shuffle on doc_id for the distinct+mark)
-        val grams = raw.filter(size(col("tk")) >= n)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, size(tk) - $n), " +
-              s"i -> array_join(slice(tk, i + 1, $n), ' '))")).as("g"))
-        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        def gramsOf(d: org.apache.spark.sql.DataFrame) =
+          d.filter(size(col("tk")) >= n)
+            .select(col("doc_id"), explode(expr(
+              s"transform(sequence(0, size(tk) - $n), " +
+                s"i -> array_join(slice(tk, i + 1, $n), ' '))")).as("g"))
+        // eval grams come off the raw scan (the %97 filter pushes to
+        // parquet); corpus grams re-read the CHECKPOINTED tokenization
+        val evalGrams = gramsOf(raw.filter(col("doc_id") % 97 === 0))
           .select("g").distinct()
-        val contam = grams.filter(col("doc_id") % 97 =!= 0)
+        val contam = gramsOf(corpus)
           .join(broadcast(evalGrams), Seq("g"))
           .select("doc_id").distinct()
           .withColumn("cf", lit(true))

@@ -57,6 +57,24 @@ class ManifestChainSpec extends SparkSpec {
     assert(tbl.toDF.where(col("id") === 142L).count() == 1)
   }
 
+  test("commit IO is O(change): a 1-file append writes a small delta doc") {
+    import spark.implicits._
+    val wh = scratch("mchain-io")
+    val cat = new IceCatalog(spark, wh)
+    val fs = hfs(wh)
+    val df = (1L to 6000L).map(i => (i, s"v$i", i % 97)).toDF("id", "v", "k")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.repartition(60)) // 60-file table, full manifest
+    tbl.append(df.limit(10).repartition(1)) // +1 file, delta manifest
+    val Seq(s0, s1) = tbl.snapshots.sortBy(_.snapshotId).map(_.manifestFile)
+    val full = fs.getFileStatus(new Path(s0)).getLen
+    val delta = fs.getFileStatus(new Path(s1)).getLen
+    assert(delta * 10 < full,
+      s"appending 1 file to a 60-file table wrote $delta bytes of manifest " +
+        s"against a $full-byte full document — commit IO is not O(change)")
+    assert(tbl.toDF.count() == 6010)
+  }
+
   test("rewrites rebase to full documents; chain cap bounds depth") {
     import spark.implicits._
     val wh = scratch("mchain2")
@@ -177,6 +195,35 @@ class ManifestChainSpec extends SparkSpec {
     allManifests.filterNot(liveReach)
       .foreach(m => assert(!fs.exists(new Path(m)), s"dead manifest kept: $m"))
     assert(live.toDF.count() == 80)
+  }
+
+  test("write.metadata.previous-versions-max trims the version log") {
+    import spark.implicits._
+    val wh = scratch("mchain-vmax")
+    val cat = new IceCatalog(spark, wh)
+    val fs = hfs(wh)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema,
+      properties = Map("write.metadata.previous-versions-max" -> "3"))
+    (1 to 10).foreach(_ => tbl.append(df))
+    val metaDir = new Path(cat.tablePath("lake", "t"), "metadata")
+    def vNums = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.json")).map(_.drop(1).dropRight(5).toInt)
+    val curV = tbl.meta.version
+    assert(vNums.min >= curV - 3 && vNums.max == curV,
+      s"expected only the last 3 previous versions, got ${vNums.sorted.toSeq}")
+    // reads, time travel, and rollback are untouched — snapshots live in
+    // the CURRENT version document, not the trimmed history
+    assert(tbl.toDF.count() == 10)
+    val oldest = tbl.snapshots.map(_.snapshotId).min
+    assert(tbl.scan(snapshotId = Some(oldest)).count() == 1)
+    tbl.rollbackTo(oldest + 1)
+    assert(cat.loadTable("lake", "t").toDF.count() == 2)
+    // the zero-byte claim ledger survives (stale stragglers stay locked out)
+    assert(fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".claim")))
+    // malformed values refuse at DDL
+    intercept[IllegalArgumentException](cat.createTable("lake", "t2", df.schema,
+      properties = Map("write.metadata.previous-versions-max" -> "x")))
   }
 
   test("MOR deletes and upserts ride the chain correctly") {

@@ -138,9 +138,16 @@ class PlanSpec extends SparkSpec {
     val s = finalPlan(SparkEntry.queries("x44_pipeline_curate")(spark, sfDir))
     // four stages composed, yet the corpus is never self-joined or
     // cross-joined: the eval-gram screen and the budget thresholds arrive
-    // as broadcasts, dedup is one hash-keyed aggregate
-    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
-      s"the composed pipeline must never do all-pairs work:\n$s")
+    // as broadcasts, dedup is one hash-keyed aggregate. The ONLY permitted
+    // nested-loop is x26's threshold arithmetic crossing the per-language
+    // table with its ONE-ROW global-stats aggregate (O(langs) work,
+    // broadcast build side) — anything shuffled-nested-loop or cartesian
+    // over the corpus is a bug.
+    assert(!s.contains("CartesianProduct"),
+      s"the composed pipeline must never do all-pairs corpus work:\n$s")
+    val bnlj = s.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")),
+      s"only the broadcast one-row stats cross join is permitted:\n$s")
     assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
       s"expected broadcast eval-gram + budget-threshold joins:\n$s")
     // map-side combine on the corpus-keyed aggregates (partial + final)
