@@ -362,10 +362,18 @@ object FileStats {
     * snapshots (their added files are not pure inserts). Manifest cost
     * tracks the snapshots in the RANGE, not table history.
     */
+  /** Snapshot operations whose added files are PURE INSERTS — a bag union
+    * against the parent, removing nothing. These are the ops incremental
+    * readers admit and cherry-pick transplants: `append` writes new rows,
+    * `add_files` references existing foreign files (same algebra, the data
+    * just pre-existed elsewhere).
+    */
+  val PureInsertOps: Set[String] = Set("append", "add_files")
+
   def addedInRange(fs: org.apache.hadoop.fs.FileSystem, meta: TableMeta,
       from: Long, to: Long, context: String): Seq[FileStat] = {
     val range = meta.snapshots.filter(s => s.snapshotId > from && s.snapshotId <= to)
-    val nonAppend = range.filterNot(_.operation == "append")
+    val nonAppend = range.filterNot(s => PureInsertOps(s.operation))
     require(nonAppend.isEmpty,
       s"$context hit non-append snapshots " +
         s"${nonAppend.map(s => s"#${s.snapshotId}(${s.operation})").mkString(", ")}")

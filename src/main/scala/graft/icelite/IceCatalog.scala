@@ -125,7 +125,9 @@ object IceCatalog {
         require(v.trim.toIntOption.exists(_ >= 0),
           s"invalid $k '$v': expected a non-negative integer (0 disables delta manifests)")
       if (k == "write.metadata.previous-versions-max")
-        require(v.trim.toIntOption.exists(_ >= 0),
-          s"invalid $k '$v': expected a non-negative integer (previous version files to retain)")
+        require(v.trim.toIntOption.exists(_ >= 1),
+          s"invalid $k '$v': expected a positive integer (previous version " +
+            "files to retain; at least 1, so a reader racing the hint swap " +
+            "can still resolve the version it just read)")
     }
 }

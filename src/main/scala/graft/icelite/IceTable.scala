@@ -1014,10 +1014,11 @@ class IceTable(
     val target = m0.snapshot(snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot $snapshotId in $namespace.$name"))
-    require(target.operation == "append",
+    require(FileStats.PureInsertOps(target.operation),
       s"cherry-pick of snapshot $snapshotId ($namespace.$name): only " +
-        s"append snapshots transplant onto a new head; '${target.operation}' " +
-        "encodes removals relative to its own parent")
+        s"pure-insert snapshots (append, add_files) transplant onto a new " +
+        s"head; '${target.operation}' encodes removals relative to its own " +
+        "parent")
     require(target.schemaDdl.isEmpty || target.schemaDdl == m0.schemaDdl,
       s"cherry-pick of snapshot $snapshotId ($namespace.$name): its schema " +
         "differs from the current table schema")

@@ -795,8 +795,10 @@ object MetaIo {
       // a backlog (property enabled late) drains across commits. Claim
       // markers are kept — they are the zero-byte CAS ledger that stops a
       // stale straggler from ever re-claiming a version number.
+      // min 1 (DDL-enforced): with 0, a commit could delete the version a
+      // reader racing the hint swap just resolved
       meta.properties.get("write.metadata.previous-versions-max")
-        .flatMap(_.trim.toIntOption).filter(_ >= 0).foreach { max =>
+        .flatMap(_.trim.toIntOption).filter(_ >= 1).foreach { max =>
           var v = meta.version - max - 1
           while (v >= 1 && fs.delete(new Path(dir, s"v$v.json"), false)) v -= 1
         }

@@ -95,6 +95,34 @@ class AddFilesSpec extends SparkSpec {
       tbl.addFiles(wh + "/nope")).getMessage.contains("not found"))
   }
 
+  test("incremental readers flow through an add_files snapshot (pure insert)") {
+    import spark.implicits._
+    val wh = scratch("addf5")
+    val ext = scratch("addf5-external")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.filter(col("id") <= 10).repartition(1))
+    val from = tbl.meta.currentSnapshotId
+    df.filter(col("id") > 10 && col("id") <= 20).repartition(1)
+      .write.mode("overwrite").parquet(ext)
+    tbl.addFiles(ext)
+    val importSnap = tbl.meta.currentSnapshotId
+    tbl.append(df.filter(col("id") > 20).repartition(1))
+    // batch incremental scan: the window contains the import — imported
+    // rows ARE inserts at that snapshot, so they flow, not refuse
+    val inc = tbl.changesSince(from).collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == (11L to 30L), s"got $inc")
+    // the CDC changelog classifies them as inserts at the import snapshot
+    val log = tbl.changelog(from).collect()
+    assert(log.length == 20 && log.forall(_.getString(2) == "insert"))
+    // cherry-pick transplants an import (bag union by reference)
+    tbl.rollbackTo(from)
+    tbl.cherryPick(importSnap)
+    val out = cat.loadTable("lake", "t").toDF.collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == (1L to 20L))
+  }
+
   test("CALL system.snapshot migrates a parquet directory to a new table") {
     import spark.implicits._
     val wh = scratch("addf4")

@@ -508,7 +508,7 @@ class IceliteSpec extends SparkSpec {
     val delSnap = tbl.meta.currentSnapshotId
     assert(tbl.meta.currentSnapshot.get.operation == "delete")
     val nonApp = intercept[IllegalArgumentException](tbl.cherryPick(delSnap))
-    assert(nonApp.getMessage.contains("append snapshots"), nonApp.getMessage)
+    assert(nonApp.getMessage.contains("pure-insert snapshots"), nonApp.getMessage)
     // unknown snapshot fails loudly
     intercept[IllegalArgumentException](tbl.cherryPick(99L))
     // equality-delete era clash: picked files keep their path-derived era,

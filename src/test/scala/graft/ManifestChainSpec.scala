@@ -221,9 +221,12 @@ class ManifestChainSpec extends SparkSpec {
     assert(cat.loadTable("lake", "t").toDF.count() == 2)
     // the zero-byte claim ledger survives (stale stragglers stay locked out)
     assert(fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".claim")))
-    // malformed values refuse at DDL
+    // malformed values refuse at DDL — including 0, which would let a
+    // commit delete the version a reader racing the hint swap just read
     intercept[IllegalArgumentException](cat.createTable("lake", "t2", df.schema,
       properties = Map("write.metadata.previous-versions-max" -> "x")))
+    intercept[IllegalArgumentException](cat.createTable("lake", "t3", df.schema,
+      properties = Map("write.metadata.previous-versions-max" -> "0")))
   }
 
   test("MOR deletes and upserts ride the chain correctly") {
