@@ -1117,7 +1117,7 @@ private[v2] object IceLiteMeta {
 
   val names: Set[String] = Set(
     "snapshots", "files", "refs", "deletes", "history", "manifests",
-    "partitions", "stats")
+    "partitions", "stats", "all_files")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
@@ -1264,6 +1264,32 @@ private[v2] object IceLiteMeta {
             .getOrElse(Nil).map(f => Array[Any](f.path, f.rows, f.bytes))
           new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.files", schema, rows)
       }
+    case "all_files" =>
+      // every data file EVER ADDED, with its committing snapshot — the
+      // lineage/debug view (the Iceberg all_files analog, keyed by the
+      // adding snapshot; files later rewritten away still appear under
+      // the snapshot that introduced them). One input partition PER
+      // SNAPSHOT, each parsing its own manifest executor-side — driver
+      // cost stays O(snapshots) however many files history holds. Tables
+      // with any pre-manifest (in-memory/legacy) snapshot serve inline:
+      // those snapshots are metadata-sized by construction.
+      val schema = StructType.fromDDL(
+        "snapshot_id BIGINT, path STRING, rows BIGINT, bytes BIGINT")
+      val tblName = s"${meta.namespace}.${meta.name}.all_files"
+      // parallel only when every snapshot is fully externalized (legacy
+      // bare-array manifests keep addedFiles INLINE on the snapshot — the
+      // executor-parsed document would not see them)
+      if (meta.snapshots.nonEmpty && meta.snapshots.forall(s =>
+          s.manifestFile.nonEmpty && s.addedFiles.isEmpty))
+        new IceLiteAllFilesTable(tblName, schema,
+          meta.snapshots.map(s => (s.snapshotId, s.manifestFile)))
+      else {
+        val rows = meta.snapshots.flatMap(s =>
+          IceLiteAllFiles.rows(s.snapshotId,
+            graft.icelite.FileStats.addedPathsOf(fs, s),
+            graft.icelite.FileStats.visible(fs, s)))
+        new IceLiteMetaTable(tblName, schema, rows)
+      }
     case other => throw new IllegalArgumentException(
       s"unknown icelite metadata table '$other' (have: ${names.mkString(", ")})")
   }
@@ -1362,6 +1388,75 @@ private[v2] class IceLitePartitionsTable(
                   cur = new GenericInternalRow(Array[Any](
                     UTF8String.fromString(r(0).asInstanceOf[String]),
                     r(1), r(2), r(3)))
+                  true
+                }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+/** Row algebra of `.all_files`: a snapshot's ADDED entries with stats from
+  * its visible manifest; legacy snapshots whose manifest predates per-file
+  * stats degrade to unknown rows (-1) rather than vanishing.
+  */
+private[v2] object IceLiteAllFiles {
+  def rows(snapshotId: Long, addedPaths: Seq[String],
+      visible: Seq[graft.icelite.FileStat]): Seq[Array[Any]] = {
+    val added = addedPaths.map(graft.icelite.FileStats.normPath).toSet
+    val entries = visible.filter(f =>
+      added(graft.icelite.FileStats.normPath(f.path)))
+    if (entries.nonEmpty || addedPaths.isEmpty)
+      entries.map(f => Array[Any](snapshotId, f.path, f.rows, f.bytes))
+    else addedPaths.map(p => Array[Any](snapshotId, p, -1L, 0L))
+  }
+}
+
+/** `.all_files` served manifest-parallel: one partition per snapshot, the
+  * task resolves that snapshot's manifest and emits its added entries.
+  */
+private[v2] case class IceLiteSnapManifestPartition(
+    snapshotId: Long, manifestPath: String) extends InputPartition
+
+private[v2] class IceLiteAllFilesTable(
+    tblName: String, schema0: StructType, snaps: Seq[(Long, String)])
+    extends Table with SupportsRead {
+
+  override def name(): String = tblName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"icelite metadata $tblName (manifest-parallel)"
+      override def planInputPartitions(): Array[InputPartition] =
+        snaps.map { case (id, mp) =>
+          IceLiteSnapManifestPartition(id, mp): InputPartition }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          private val conf = new SerializableConfiguration(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val mp = p.asInstanceOf[IceLiteSnapManifestPartition]
+            val path = new Path(mp.manifestPath)
+            val pfs = path.getFileSystem(conf.value)
+            val doc = MetaIo.readManifestDoc(pfs, mp.manifestPath)
+            val it = IceLiteAllFiles
+              .rows(mp.snapshotId, doc.addedPaths, doc.files).iterator
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean =
+                it.hasNext && {
+                  val r = it.next()
+                  cur = new GenericInternalRow(Array[Any](
+                    r(0), UTF8String.fromString(r(1).asInstanceOf[String]),
+                    r(2), r(3)))
                   true
                 }
               override def get(): InternalRow = cur

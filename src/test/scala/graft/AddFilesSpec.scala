@@ -123,6 +123,41 @@ class AddFilesSpec extends SparkSpec {
     assert(out.toSeq == (1L to 20L))
   }
 
+  test("the streaming source delivers an add_files snapshot as its micro-batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val wh = scratch("addf6")
+    val ext = scratch("addf6-external")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.filter(col("id") <= 10).repartition(1))
+    val ckpt = java.nio.file.Files.createTempDirectory("addf-stream").toString
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("icelite")
+        .option("warehouse", wh).option("table", "lake.t").load()
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => seen.add(r.getLong(0))); ()
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.size == 10, s"initial drain saw $seen")
+    // import lands while the stream is down; resume delivers EXACTLY the
+    // imported rows (an import is that snapshot's inserts)
+    seen.clear()
+    df.filter(col("id") > 10).repartition(2).write.mode("overwrite").parquet(ext)
+    tbl.addFiles(ext)
+    drain()
+    assert(seen.size == 10 && (11L to 20L).forall(seen.contains),
+      s"resume must deliver exactly the imported rows, saw $seen")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("CALL system.snapshot migrates a parquet directory to a new table") {
     import spark.implicits._
     val wh = scratch("addf4")

@@ -197,6 +197,28 @@ class ManifestChainSpec extends SparkSpec {
     assert(live.toDF.count() == 80)
   }
 
+  test(".all_files lists every added file under its committing snapshot") {
+    import spark.implicits._
+    val wh = scratch("mchain-af")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.repartition(2))
+    tbl.append(df.repartition(1)) // delta document
+    tbl.compact(1)                // rewrite: snaps 1-2's files leave the table
+    spark.conf.set("spark.sql.catalog.ice_af", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_af.warehouse", wh)
+    val rows = spark.sql(
+      "SELECT snapshot_id, path, rows FROM ice_af.lake.t.all_files").collect()
+    // 2 + 1 + 1 files ever added — rewritten-away files still appear under
+    // the snapshot that introduced them (the lineage view), with real
+    // stats resolved through the delta chain
+    assert(rows.length == 4, s"got ${rows.toSeq}")
+    val byId = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byId == Map(1L -> 2, 2L -> 1, 3L -> 1), s"got $byId")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
   test("write.metadata.previous-versions-max trims the version log") {
     import spark.implicits._
     val wh = scratch("mchain-vmax")
