@@ -2028,13 +2028,32 @@ class IceTable(
     */
   def expireSnapshots(keepLast: Int): IceTable = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    expireKeeping(sorted => sorted.takeRight(keepLast).map(_.snapshotId).toSet)
+  }
+
+  /** Time-based expiry (Iceberg's `expire_snapshots(older_than)`): drop
+    * snapshots whose commit timestamp is strictly before `olderThanMs`,
+    * always retaining the newest `retainLast` (default 1) regardless of
+    * age — an idle table must never expire itself empty. Refs and the
+    * current snapshot are immune as ever.
+    */
+  def expireSnapshotsOlderThan(olderThanMs: Long, retainLast: Int = 1): IceTable = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    expireKeeping { sorted =>
+      sorted.filter(_.timestampMs >= olderThanMs).map(_.snapshotId).toSet ++
+        sorted.takeRight(retainLast).map(_.snapshotId)
+    }
+  }
+
+  private def expireKeeping(
+      keepIds: Seq[SnapshotMeta] => Set[Long]): IceTable = {
     val m = meta
     val sorted = m.snapshots.sortBy(_.snapshotId)
     // tagged snapshots are immune: a ref means "someone depends on exactly
     // this version" (Iceberg's retain-refs semantics), and the CURRENT
-    // snapshot after a rollback may be older than the keepLast window
+    // snapshot after a rollback may be older than the retention window
     val pinned = m.refIds + m.currentSnapshotId
-    val tail = sorted.takeRight(keepLast).map(_.snapshotId).toSet
+    val tail = keepIds(sorted)
     val keep = sorted.filter(s => tail(s.snapshotId) || pinned(s.snapshotId))
     if (m.currentSnapshotId != 0L)
       require(keep.exists(_.snapshotId == m.currentSnapshotId),

@@ -81,13 +81,20 @@ object IceLiteProcedures {
         val after = tbl.visibleFiles(tbl.meta.currentSnapshot.get).length
         out(s(in, 0), before, after)
       })),
+    // count-based by default; `older_than_ms => <epoch millis>` switches to
+    // time-based expiry (Iceberg's older_than), with keep_last as the
+    // retain-newest floor so an idle table never expires itself empty
     "expire_snapshots" -> (wh => new IceProc(wh, "expire_snapshots",
-      Seq(p("table", StringType), p("keep_last", IntegerType)),
+      Seq(p("table", StringType), pd("keep_last", IntegerType, "1"),
+        pd("older_than_ms", LongType, "-1")),
       StructType.fromDDL("table STRING, expired INT, kept INT"),
       (cat, in) => {
         val tbl = loadTable(cat, s(in, 0))
         val before = tbl.snapshots.length
-        tbl.expireSnapshots(in.getInt(1))
+        val olderThan = in.getLong(2)
+        if (olderThan >= 0L)
+          tbl.expireSnapshotsOlderThan(olderThan, in.getInt(1))
+        else tbl.expireSnapshots(in.getInt(1))
         val after = tbl.snapshots.length
         out(s(in, 0), before - after, after)
       })),

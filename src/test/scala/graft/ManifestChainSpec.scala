@@ -251,6 +251,34 @@ class ManifestChainSpec extends SparkSpec {
       properties = Map("write.metadata.previous-versions-max" -> "0")))
   }
 
+  test("time-based expiry drops by age; refs and the newest floor survive") {
+    import spark.implicits._
+    val wh = scratch("mchain-exts")
+    val cat = new IceCatalog(spark, wh)
+    val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    val tbl = cat.createTable("lake", "t", one.schema)
+    (1 to 4).foreach { _ => tbl.append(one); Thread.sleep(5) }
+    val snaps = tbl.snapshots.sortBy(_.snapshotId)
+    tbl.tag("pinned", snaps(1).snapshotId)
+    // cutoff at snapshot 3's commit time: 1 drops (older, untagged),
+    // 2 survives only via its tag, 3-4 are within the window
+    tbl.expireSnapshotsOlderThan(snaps(2).timestampMs)
+    val kept = cat.loadTable("lake", "t").snapshots.map(_.snapshotId).toSet
+    assert(kept == Set(snaps(1).snapshotId, snaps(2).snapshotId,
+      snaps(3).snapshotId), s"got $kept")
+    assert(tbl.toDF.count() == 4)
+    // far-future cutoff: the retain-newest floor + refs hold — a dormant
+    // table never expires itself empty
+    spark.conf.set("spark.sql.catalog.ice_exts", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_exts.warehouse", wh)
+    val r = spark.sql("CALL ice_exts.system.expire_snapshots('lake.t', " +
+      s"older_than_ms => ${System.currentTimeMillis() + 1000000L})").collect()(0)
+    assert(r.getInt(2) == 2, s"got $r")
+    val kept2 = cat.loadTable("lake", "t").snapshots.map(_.snapshotId).toSet
+    assert(kept2 == Set(snaps(1).snapshotId, snaps(3).snapshotId), s"got $kept2")
+    assert(tbl.toDF.count() == 4)
+  }
+
   test("MOR deletes and upserts ride the chain correctly") {
     import spark.implicits._
     val wh = scratch("mchain5")
