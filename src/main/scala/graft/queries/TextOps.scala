@@ -267,40 +267,7 @@ object TextOps {
               |SELECT doc_id, n_tokens, fail_mask, fail_mask = 0 AS keep
               |FROM m ORDER BY doc_id""".stripMargin),
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"), tokens.as("tk"), col("text"))
-          .withColumn("n_tokens", size(col("tk")))
-          // length guards keep the divisions total under ANSI mode
-          // (length(text)=0 would throw DIVIDE_BY_ZERO); n_tokens is >= 1
-          // for any non-null text (split('') = ['']), so the token-ratio
-          // divisors need no guard
-          .withColumn("punct_ratio",
-            when(length(col("text")) > 0,
-              regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
-                / length(col("text"))).otherwise(lit(0.0)))
-          .withColumn("digit_ratio",
-            when(length(col("text")) > 0,
-              regexp_count(col("text"), lit("[0-9]")).cast("double")
-                / length(col("text"))).otherwise(lit(0.0)))
-          .withColumn("stopword_ratio",
-            countIn(stopwords).cast("double") / size(col("tk")))
-          .withColumn("distinct_ratio",
-            size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
-          .withColumn("block_hits", countIn(blocklist))
-          // every rule is phrased PASS -> 0, else fail: a NULL signal (e.g.
-          // text IS NULL) fails its rule in BOTH engines (when(NULL) takes
-          // the otherwise branch, CASE WHEN NULL takes ELSE) instead of
-          // silently passing the gate
-          .withColumn("fail_mask",
-            when(col("n_tokens").between(5, 5000), 0).otherwise(1)
-              + when(col("punct_ratio") <= 0.10, 0).otherwise(2)
-              + when(col("digit_ratio") <= 0.20, 0).otherwise(4)
-              + when(col("stopword_ratio") >= 0.01, 0).otherwise(8)
-              + when(col("distinct_ratio") >= 0.30, 0).otherwise(16)
-              + when(col("block_hits") < 3, 0).otherwise(32))
-          .withColumn("keep", col("fail_mask") === 0)
-          .select("doc_id", "n_tokens", "fail_mask", "keep")
-          .orderBy("doc_id")),
+        qualityGate(t(s, dir, "documents")).orderBy("doc_id")),
 
     // Stratified sampling: exactly 30 docs per language, selected by a
     // deterministic hash ordering (md5 of doc_id) — reproducible "random"
@@ -1096,6 +1063,47 @@ object TextOps {
     * toward the budgets (x26: the whole corpus; x44: survivors of the
     * earlier pipeline stages).
     */
+  /** The composed row-local quality gate of x37 (shape thresholds +
+    * repetition + blocklist -> per-rule fail bitmask, keep = mask 0).
+    * Deliberately window- and aggregate-free: row-local code gates a batch
+    * corpus and an UNBOUNDED STREAM identically (st14 runs this exact
+    * function per micro-batch with no state store), and one definition
+    * means the two spellings cannot drift. Callers order the result.
+    */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens.as("tk"), col("text"))
+      .withColumn("n_tokens", size(col("tk")))
+      // length guards keep the divisions total under ANSI mode
+      // (length(text)=0 would throw DIVIDE_BY_ZERO); n_tokens is >= 1
+      // for any non-null text (split('') = ['']), so the token-ratio
+      // divisors need no guard
+      .withColumn("punct_ratio",
+        when(length(col("text")) > 0,
+          regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+            / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(length(col("text")) > 0,
+          regexp_count(col("text"), lit("[0-9]")).cast("double")
+            / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        countIn(stopwords).cast("double") / size(col("tk")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+      .withColumn("block_hits", countIn(blocklist))
+      // every rule is phrased PASS -> 0, else fail: a NULL signal (e.g.
+      // text IS NULL) fails its rule in BOTH engines (when(NULL) takes
+      // the otherwise branch, CASE WHEN NULL takes ELSE) instead of
+      // silently passing the gate
+      .withColumn("fail_mask",
+        when(col("n_tokens").between(5, 5000), 0).otherwise(1)
+          + when(col("punct_ratio") <= 0.10, 0).otherwise(2)
+          + when(col("digit_ratio") <= 0.20, 0).otherwise(4)
+          + when(col("stopword_ratio") >= 0.01, 0).otherwise(8)
+          + when(col("distinct_ratio") >= 0.30, 0).otherwise(16)
+          + when(col("block_hits") < 3, 0).otherwise(32))
+      .withColumn("keep", col("fail_mask") === 0)
+      .select("doc_id", "n_tokens", "fail_mask", "keep")
+
   private[graft] def budgetThresholds(d: DataFrame): DataFrame = {
     val perLang = d.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
     val stats = perLang.agg(

@@ -270,6 +270,46 @@ object StreamOps {
           .orderBy("event_id")
       }),
 
+    // Streaming CURATION (round 14): the x37 composed quality gate over an
+    // unbounded DOCUMENT stream. The gate is row-local by construction
+    // (graft.queries.TextOps.qualityGate — the exact function the batch
+    // operator runs, shared so the spellings cannot drift), so it needs no
+    // state store and no watermark: each micro-batch scores its docs and
+    // the icelite sink commits one snapshot per epoch — the shape a
+    // continuously-ingesting corpus pipeline actually ships (score at
+    // ingest, audit later, re-litigate thresholds without re-reading).
+    // Oracle: x37's own SQL, verbatim by reference — the stream's final
+    // table must equal the batch gate's answer.
+    QDef(
+      "st14_stream_quality_gate",
+      graft.queries.TextOps.defs.find(_.name == "x37_quality_gate")
+        .flatMap(_.oracle),
+      (s, dir) => {
+        val cat = new graft.icelite.IceCatalog(s, QUtil.freshWarehouse(s, "st14"))
+        val ckpt = Files.createTempDirectory("graft-stream-st14").toString
+        val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docs = s.readStream
+          .schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.queries.TextOps.qualityGate(docs)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val tbl =
+              if (cat.tableExists("lake", "gate")) cat.loadTable("lake", "gate")
+              else cat.createTable("lake", "gate", batch.schema)
+            tbl.append(batch)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        endStream(s, ckpt)
+        cat.loadTable("lake", "gate").toDF.orderBy("doc_id")
+      }),
+
     // Streaming ingestion into the IceLite table layer via foreachBatch:
     // one append snapshot per micro-batch — exactly the reference writer's
     // batch-loop semantics (C6, one snapshot per Arrow batch, wr:101-110),
