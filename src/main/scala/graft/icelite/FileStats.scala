@@ -262,7 +262,7 @@ object FileStats {
   def eqAppliesTo(d: DeleteStat, f: FileStat,
       schema: org.apache.spark.sql.types.StructType): Boolean =
     d.isEquality &&
-      Renames.eraOf(f.path) < d.seqId &&
+      f.eraOrPath < d.seqId &&
       !d.eqExemptDirs.exists(dir => f.path.startsWith(dir + "/")) &&
       d.eqCols.forall(c => FilePrune.statRangesOverlap(schema, c,
         f.min.get(c), f.max.get(c), d.eqMin.get(c), d.eqMax.get(c))) &&
@@ -462,6 +462,24 @@ object FileStats {
     finally in.close()
   }
 
+  /** One footer read serving BOTH the manifest entry and the file's
+    * parquet schema (as its stable `MessageType` string — converted to a
+    * Spark schema on the DRIVER, where the session's SQLConf governs the
+    * conversion; executor/pool threads see default confs only).
+    */
+  private def fromFooterWithMessage(conf: Configuration, path: String)
+      : (FileStat, String) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val footer = in.getFooter
+      (fromFooter(footer, path, len),
+        footer.getFileMetaData.getSchema.toString)
+    } finally in.close()
+  }
+
   /** Above this many files, footer scans leave the driver: a replace /
     * compact of a 100 TB table commits 10⁴–10⁵ files, and an 8-thread
     * driver pool would serialize the commit path for minutes.
@@ -486,6 +504,48 @@ object FileStats {
           override def call(): FileStat = fromFooter(conf, p)
         }))
       futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** [[collect]] plus each file's Spark-visible schema from the same
+    * footer read — the add_files shape (stats for the manifest, schemas
+    * for the gate, one pass). Same pool/distribute split as [[collect]];
+    * the parquet->Spark conversion runs on the driver under the session's
+    * SQLConf (what an actual read of the file would serve).
+    */
+  def collectWithSchema(conf: Configuration, paths: Seq[String])
+      : Seq[(FileStat, org.apache.spark.sql.types.StructType)] = {
+    if (paths.isEmpty) return Nil
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+    def convert(msg: String): org.apache.spark.sql.types.StructType =
+      conv.convert(org.apache.parquet.schema.MessageTypeParser.parseMessageType(msg))
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (paths.length >= DistributeThreshold && active.isDefined) {
+      val spark = active.get
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val slices = math.min(paths.length,
+        math.max(spark.sparkContext.defaultParallelism, 1) * 2)
+      return spark.sparkContext
+        .parallelize(paths.zipWithIndex, slices)
+        .map { case (p, i) =>
+          val (st, msg) = fromFooterWithMessage(sconf.value, p)
+          (i, st, msg)
+        }
+        .collect()
+        .sortBy(_._1)
+        .map { case (_, st, msg) => (st, convert(msg)) }
+        .toSeq
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, paths.length))
+    try {
+      val futs = paths.map(p => pool.submit(
+        new java.util.concurrent.Callable[(FileStat, String)] {
+          override def call(): (FileStat, String) =
+            fromFooterWithMessage(conf, p)
+        }))
+      futs.map(_.get()).map { case (st, msg) => (st, convert(msg)) }
     } finally pool.shutdown()
   }
 

@@ -1064,7 +1064,7 @@ class IceTable(
       // without rewriting paths, so it refuses instead of silently
       // shrinking the picked rows)
       val eraClash = headDeletes.filter(d => d.isEquality &&
-        pickedStats.exists(f => Renames.eraOf(f.path) < d.seqId))
+        pickedStats.exists(f => f.eraOrPath < d.seqId))
       require(eraClash.isEmpty,
         s"cherry-pick of snapshot $snapshotId ($namespace.$name): the " +
           s"current head carries ${eraClash.length} equality delete(s) " +
@@ -1174,7 +1174,7 @@ class IceTable(
       // an identity partition column — those carry no file stats.
       // Directory values follow each file's OWN era spec (partition
       // evolution); transform sources live in data and prune via stats.
-      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val spec = PartField.identityCols(m.specFor(f.eraOrPath))
       val raw = PartValues.parse(f.path, spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       FilePrune.canMatch(keyBounds, tableSchema, f, pv) &&
@@ -1266,7 +1266,7 @@ class IceTable(
         s"delete condition not translatable: ${filters.mkString(", ")}")
     }
     val (candidates, _) = files.partition { f =>
-      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val spec = PartField.identityCols(m.specFor(f.eraOrPath))
       val raw = PartValues.parse(f.path, spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
@@ -1675,13 +1675,13 @@ class IceTable(
     // transform source — read from data (writers store source columns in
     // data since evolution support; transform dir values are layout-only)
     def specOf(f: FileStat): Seq[String] =
-      PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      PartField.identityCols(m.specFor(f.eraOrPath))
     def baseOf(f: FileStat): String =
       if (specOf(f).isEmpty) ""
       else dirs.find(d => qualify(f.path).startsWith(d + "/"))
         .getOrElse(new Path(f.path).getParent.toString)
     def physOf(f: FileStat): Seq[String] =
-      Renames.physicalNames(m.renames, tableSchema, Renames.eraOf(f.path))
+      Renames.physicalNames(m.renames, tableSchema, f.eraOrPath)
         .getOrElse(tableSchema.fieldNames.toSeq)
     files.groupBy(f => (baseOf(f), physOf(f), specOf(f)))
       .toSeq.sortBy { case ((dir, phys, _), _) => (dir, phys.mkString(",")) }
@@ -1768,7 +1768,7 @@ class IceTable(
     val files = FileStats.ensureRows(
       spark.sparkContext.hadoopConfiguration, visibleFiles(current))
     val (candidates, untouched) = files.partition { f =>
-      val spec = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+      val spec = PartField.identityCols(m.specFor(f.eraOrPath))
       val raw = PartValues.parse(f.path, spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
@@ -1787,7 +1787,7 @@ class IceTable(
     // cannot be adjusted blind).
     val (dead, partial) = candidates.partition { f =>
       f.rows >= 0 && {
-        val idCols = PartField.identityCols(m.specFor(Renames.eraOf(f.path)))
+        val idCols = PartField.identityCols(m.specFor(f.eraOrPath))
         filters.forall(fl =>
           FilePrune.exactOnPartitions(fl, tableSchema, idCols.contains))
       }
@@ -1896,9 +1896,23 @@ class IceTable(
     * renames resolve to current names and existing equality deletes never
     * apply to them, both correct for files joining the table NOW.
     *
-    * Refusals (each names its remedy): partitioned tables (the scan
-    * derives partition values from the table's own directory layout, which
-    * foreign files do not follow — load via INSERT instead), declared sort
+    * Partitioned tables import too — the real hive-migration shape: the
+    * scan binds identity partition values from `col=value` path segments,
+    * so a source already laid out as hive directories matching the
+    * CURRENT spec serves, prunes, and storage-partition-joins exactly
+    * like native files. The gate below runs the same parse+decode the
+    * scan will, per identity column per file, and refuses mismatched
+    * layouts loudly. Transform fields (bucket/days/truncate) must NOT
+    * appear as path segments: their values are engine-computed, a
+    * foreign claim is unverifiable, and a wrong one would silently
+    * corrupt pruning — absent segments are sound (the file's source
+    * column reads from data; it simply never transform-prunes). Should
+    * the data files ALSO carry an identity partition column, the
+    * directory value is authoritative at read time (the hive contract);
+    * the column is never requested from data.
+    *
+    * Refusals (each names its remedy): hive-layout mismatch against a
+    * partitioned table's current spec (above), declared sort
     * orders (the scan REPORTS the order; foreign files of unknown order
     * would be silently wrong results — clear it first), schema drift
     * (foreign or type-mismatched columns; a file MISSING a declared column
@@ -1907,12 +1921,6 @@ class IceTable(
     */
   def addFiles(source: String): IceTable = {
     val m0 = meta
-    require(m0.partitionBy.isEmpty,
-      s"add_files into partitioned table $namespace.$name is not " +
-        "supported: partition values ride the table's directory layout, " +
-        "which foreign files do not follow — load them with INSERT/append " +
-        "instead, or import into an unpartitioned table and evolve the " +
-        "spec afterwards")
     require(m0.sortOrder.isEmpty,
       s"$namespace.$name declares sort order ${m0.sortOrder.mkString(", ")} " +
         "which the scan reports to Spark; imported files of unknown order " +
@@ -1942,24 +1950,58 @@ class IceTable(
     val existing = current.map(f => FileStats.normPath(f.path)).toSet
     paths.foreach(p => require(!existing(FileStats.normPath(p)),
       s"file already referenced by $namespace.$name: $p"))
-    // schema gate: the merged footer schema must be a same-typed subset of
-    // the table's. Merge catches per-file type conflicts loudly; extras are
-    // refused (a later ADD COLUMN of the same name would resurrect them);
-    // missing columns read as NULL like any pre-ADD-COLUMN era file.
     val tableSchema = StructType.fromDDL(m0.schemaDdl)
-    val tTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(paths: _*).schema
-    merged.fields.foreach { f =>
-      require(tTypes.contains(f.name),
-        s"foreign column '${f.name}' is not in $namespace.$name " +
-          s"(${tableSchema.fieldNames.mkString(", ")})")
-      require(f.dataType.catalogString == tTypes(f.name).catalogString,
-        s"column '${f.name}' is ${f.dataType.catalogString} in the " +
-          s"imported files but ${tTypes(f.name).catalogString} in " +
-          s"$namespace.$name — widen/convert the table schema first")
+    // hive-layout gate for partitioned tables: run the exact parse+decode
+    // the scan will, per identity column per file, before committing
+    val partFields = PartField.parseSpec(m0.partitionBy)
+    val idCols = partFields.filter(_.isIdentity).map(_.source)
+    paths.foreach { p =>
+      idCols.foreach { c =>
+        val raw = PartValues.parse(p, Seq(c))
+        require(raw.contains(c),
+          s"add_files source $p carries no '$c=<value>' directory " +
+            s"segment, but $namespace.$name is partitioned by " +
+            s"(${m0.partitionBy.mkString(", ")}) — identity partition " +
+            "values bind from the hive layout at read time; lay the " +
+            "source out as hive directories matching the current " +
+            "partition spec, or import into an unpartitioned table and " +
+            "evolve the spec afterwards")
+        require(raw(c).isEmpty ||
+            PartValues.decodeExternal(tableSchema, Seq(c), raw).contains(c),
+          s"add_files source $p: partition segment '$c=${raw(c).get}' " +
+            s"does not parse as ${tableSchema(c).dataType.simpleString} — " +
+            "fix the directory value or import into an unpartitioned table")
+      }
+      partFields.filterNot(_.isIdentity).foreach { t =>
+        require(!PartValues.parse(p, Seq(t.fieldName)).contains(t.fieldName),
+          s"add_files source $p carries a '${t.fieldName}=' segment for " +
+            s"transform ${t.spec}: transform values are engine-computed " +
+            "and an import cannot verify a foreign claim (a wrong value " +
+            "would silently corrupt pruning) — strip the segment (the " +
+            "file then reads its source column from data and simply " +
+            "never transform-prunes) or load via INSERT")
+      }
     }
-    val added = FileStats.collect(conf, paths)
+    // schema gate, ONE footer pass shared with the stats collection: each
+    // file's Spark-visible schema must be a same-typed subset of the
+    // table's. Extras are refused (a later ADD COLUMN of the same name
+    // would resurrect them); missing columns read as NULL like any
+    // pre-ADD-COLUMN era file (identity partition columns bind from the
+    // directory layout, so they are expected missing in hive sources).
+    val tTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val collected = FileStats.collectWithSchema(conf, paths)
+    collected.foreach { case (st, fileSchema) =>
+      fileSchema.fields.foreach { f =>
+        require(tTypes.contains(f.name),
+          s"foreign column '${f.name}' is not in $namespace.$name " +
+            s"(${tableSchema.fieldNames.mkString(", ")}): ${st.path}")
+        require(f.dataType.catalogString == tTypes(f.name).catalogString,
+          s"column '${f.name}' is ${f.dataType.catalogString} in the " +
+            s"imported files but ${tTypes(f.name).catalogString} in " +
+            s"$namespace.$name — widen/convert the table schema first")
+      }
+    }
+    val added = collected.map(_._1)
     // optimistic retry, append's shape: the imported files are valid
     // against any newer current snapshot (a bag union by reference), so a
     // lost version race just recomputes the carry — nothing is rewritten.
@@ -1976,9 +2018,16 @@ class IceTable(
       val cur = prev.map(visibleFiles).getOrElse(Nil)
       cur.foreach(f => require(!importSet(FileStats.normPath(f.path)),
         s"file already referenced by $namespace.$name: ${f.path}"))
+      // stamp the import snapshot as each entry's era: foreign paths carry
+      // no data/snap-N segment, so without this the files would read as
+      // "newest" FOREVER — a later spec change, rename, or MOR equality
+      // delete would then silently misresolve them (NULL partition values,
+      // NULL renamed columns, undeleteable rows)
+      val importEra = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val stamped = added.map(_.copy(era = importEra))
       try return commitSnapshot(m, "add_files",
         prev.map(s => FileStats.dataDirsOf(fs, s)).getOrElse(Nil),
-        added, carried = cur,
+        stamped, carried = cur,
         carriedDeletes =
           prev.map(s => FileStats.deletesOf(fs, s)).getOrElse(Nil))
       catch {

@@ -160,7 +160,7 @@ object Ndv {
     if (files.isEmpty) return Some(0.0)
     val union = new Union(LgK)
     files.foreach { f =>
-      val era = Renames.eraOf(f.path)
+      val era = f.eraOrPath
       val phys = Renames.physicalName(renames, col, era)
       // column added after this file's era: the file physically lacks it,
       // every row reads NULL — zero distinct values, by metadata proof
@@ -193,7 +193,7 @@ object Ndv {
       files: Seq[FileStat], col: String): Option[Long] = {
     var total = 0L
     files.foreach { f =>
-      val era = Renames.eraOf(f.path)
+      val era = f.eraOrPath
       val phys = Renames.physicalName(renames, col, era)
       val preAdd = addedColumns.exists(a =>
         a.cutoffSnapshotId >= era && (a.name == phys || a.name == col))

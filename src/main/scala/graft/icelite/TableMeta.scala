@@ -57,7 +57,21 @@ final case class FileStat(
     // `write.bloom.capacity` (default 50k distinct @ 1% FPP ~ 60 KB) —
     // like every stat here, at 100 TB these live in manifest FILES, not
     // inline JSON.
-    bloom: Map[String, String] = Map.empty) {
+    bloom: Map[String, String] = Map.empty,
+    // The snapshot era this file joined the table at, recorded ONLY when
+    // the path itself cannot carry it (add_files / snapshot imports:
+    // foreign paths have no `data/snap-N` segment, so Renames.eraOf reads
+    // them as "newest" forever). -1 = derive from the path, the native
+    // case. Era scopes partition-SPEC resolution, RENAME resolution, and
+    // equality-delete application — without a recorded era, a post-import
+    // spec change or rename would silently serve NULLs from imported
+    // files, and a post-import MOR delete would never reach their rows.
+    // Additive (pre-upgrade manifests lack the field and default to -1,
+    // preserving their exact prior behavior).
+    era: Long = -1L) {
+
+  /** Effective era: the recorded one when present, else path-derived. */
+  def eraOrPath: Long = if (era >= 0L) era else Renames.eraOf(path)
 
   def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
 

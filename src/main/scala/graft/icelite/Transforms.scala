@@ -118,11 +118,21 @@ object PartField {
     */
   def specFor(path: String, partitionBy: Seq[String],
       specs: Seq[PartSpecChange]): Seq[String] =
+    specForEra(Renames.eraOf(path), partitionBy, specs)
+
+  /** Same, consulting the manifest entry's RECORDED era first — imported
+    * files (add_files) have no era in their path, so the entry carries the
+    * import snapshot instead. Every consumer holding a [[FileStat]] must
+    * use this form, or imported files resolve to the CURRENT spec forever.
+    */
+  def specFor(f: FileStat, partitionBy: Seq[String],
+      specs: Seq[PartSpecChange]): Seq[String] =
+    specForEra(f.eraOrPath, partitionBy, specs)
+
+  def specForEra(era: Long, partitionBy: Seq[String],
+      specs: Seq[PartSpecChange]): Seq[String] =
     if (specs.isEmpty) partitionBy
-    else {
-      val era = Renames.eraOf(path)
-      specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
-    }
+    else specs.find(_.cutoffSnapshotId >= era).map(_.cols).getOrElse(partitionBy)
 }
 
 object Transforms {

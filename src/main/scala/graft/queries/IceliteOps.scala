@@ -72,6 +72,39 @@ object IceliteOps {
         tbl.toDF.orderBy("o_orderkey")
       }),
 
+    // add_files into a PARTITIONED table (round 15): the hive-migration
+    // shape real users hit most. Orders are partitioned by o_orderstatus;
+    // 'O' rows land natively, the rest are written as a hive-laid-out
+    // parquet tree OUTSIDE the table and imported by reference. Identity
+    // partition values bind from the import paths (the same parse the
+    // scan uses), so a status predicate prunes imported files like native
+    // ones — asserted in-query: planning status='F' must plan ONLY files
+    // under the imported F partition directory.
+    QDef(
+      "k36b_ice_add_files_partitioned",
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val cat = new IceCatalog(s, freshWarehouse(s, "k36b"))
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val tbl = cat.createTable("lake", "orders_p", o.schema,
+          partitionBy = Seq("o_orderstatus"))
+        tbl.append(o.filter(col("o_orderstatus") === "O"))
+        val ext = freshWarehouse(s, "k36b_external")
+        o.filter(col("o_orderstatus") =!= "O")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(ext)
+        tbl.addFiles(ext)
+        val snap = tbl.meta.currentSnapshot.get
+        require(snap.operation == "add_files", s"got ${snap.operation}")
+        val planned = graft.sources.v2.HasPlannedFiles.of(
+          tbl.toDF.where(col("o_orderstatus") === "F"))
+        require(planned.nonEmpty &&
+          planned.forall(_.contains("o_orderstatus=F")),
+          s"status predicate must plan ONLY the imported F partition, got $planned")
+        tbl.toDF.orderBy("o_orderkey")
+      }),
+
     // K6: replace = drop-and-recreate CTAS semantics (wr:115-124).
     QDef(
       "k6_ice_replace",

@@ -496,7 +496,7 @@ private[v2] class IceLiteScanBuilder(
     val candidates = graft.icelite.PartField.identityCols(partitionBy).toSet
     candidates.filter { c =>
       tableSchema.fieldNames.contains(c) && files.forall { f =>
-        val spec = graft.icelite.PartField.specFor(f.path, partitionBy, specs)
+        val spec = graft.icelite.PartField.specFor(f, partitionBy, specs)
         graft.icelite.PartField.identityCols(spec).contains(c) && {
           val raw = PartValues.parse(f.path, Seq(c))
           PartValues.decodeExternal(tableSchema, Seq(c), raw).contains(c)
@@ -542,7 +542,7 @@ private[v2] class IceLiteScanBuilder(
     val fs =
       if (exact.isEmpty) files
       else files.filter { f =>
-        val spec = graft.icelite.PartField.specFor(f.path, partitionBy, specs)
+        val spec = graft.icelite.PartField.specFor(f, partitionBy, specs)
         val idCols = graft.icelite.PartField.identityCols(spec)
         val pv = PartValues.decodeExternal(tableSchema, idCols,
           PartValues.parse(f.path, idCols))
@@ -672,7 +672,7 @@ private[v2] object ManifestAgg {
     if (!tableSchema.fieldNames.contains(c)) return None
     val out = Seq.newBuilder[(FileStat, Option[Any])]
     files.foreach { f =>
-      val spec = graft.icelite.PartField.specFor(f.path, partitionBy0, specs)
+      val spec = graft.icelite.PartField.specFor(f, partitionBy0, specs)
       if (!graft.icelite.PartField.identityCols(spec).contains(c)) return None
       val raw = PartValues.parse(f.path, Seq(c))
       if (!raw.contains(c)) return None
@@ -1605,7 +1605,7 @@ private[v2] class IceLiteScan(
     addedColumns: Seq[graft.icelite.ColumnAdd] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
-    with SupportsReportOrdering {
+    with SupportsReportOrdering with HasPlannedFiles {
 
   import graft.icelite.PartField
 
@@ -1616,9 +1616,11 @@ private[v2] class IceLiteScan(
   // their SOURCE columns are ordinary data columns in every file
   private val identityBy = PartField.identityCols(partitionBy)
 
-  /** The partition spec the file at `path` was written under. */
-  private def specOf(path: String): Seq[String] =
-    PartField.specFor(path, partitionBy, specs)
+  /** The partition spec the file was written under (recorded era first:
+    * imported files carry their era on the manifest entry, not the path).
+    */
+  private def specOf(f: FileStat): Seq[String] =
+    PartField.specFor(f, partitionBy, specs)
 
   /** Dynamic partition pruning: joins on a partition column hand the
     * joined key set to the scan at execution time as an In filter, and
@@ -1723,7 +1725,7 @@ private[v2] class IceLiteScan(
       // that was not a partition column in that era prunes via the file's
       // footer stats instead (post-evolution writers store partition
       // columns in data, so the stats exist)
-      val spec = specOf(f.path)
+      val spec = specOf(f)
       val idCols = PartField.identityCols(spec)
       val raw = PartValues.parse(f.path, idCols)
       val pv = PartValues.decodeExternal(tableSchema, idCols, raw)
@@ -1746,6 +1748,13 @@ private[v2] class IceLiteScan(
   private lazy val planned: Seq[(FileStat, Map[String, Option[String]])] =
     prune(filters.toSeq)
 
+  /** Diagnostic: data-file paths surviving STATIC pruning (pushed filters
+    * + partition values + manifest stats; runtime filters excluded). The
+    * observation channel for pruning assertions — `df.inputFiles` is
+    * file-source-only and returns empty for DSv2 relations.
+    */
+  override def plannedFilePaths: Seq[String] = planned.map(_._1.path)
+
   // ---- storage-partitioned joins ------------------------------------------
   // The layout IS a clustering: every file carries one partition-key tuple
   // in its directory values, so the scan reports a KeyGroupedPartitioning
@@ -1763,7 +1772,7 @@ private[v2] class IceLiteScan(
     else {
       val fs = PartField.parseSpec(partitionBy)
       val uniform = specs.isEmpty ||
-        planned.forall { case (f, _) => specOf(f.path) == partitionBy }
+        planned.forall { case (f, _) => specOf(f) == partitionBy }
       if (uniform && fs.forall(f => tableSchema.fieldNames.contains(f.source))) fs
       else Nil
     }
@@ -1870,7 +1879,7 @@ private[v2] class IceLiteScan(
         if (deletes.isEmpty) Nil
         else deletes.filter(d =>
           graft.icelite.FileStats.eqAppliesTo(d, f, tableSchema))
-      val spec = specOf(f.path)
+      val spec = specOf(f)
       // the file's OWN data/constant column split: the current spec's
       // global split in the common case, its own era's under partition
       // evolution (a permutation then maps the local layout onto the
@@ -1907,7 +1916,7 @@ private[v2] class IceLiteScan(
           StructType(d.eqCols.map(c => tableSchema(c))).json, keyIdx)
       }
       val phys = graft.icelite.Renames.physicalNames(
-        renames, fileData, graft.icelite.Renames.eraOf(f.path))
+        renames, fileData, f.eraOrPath)
       // runtime filters only shrink the planned set, so every effective
       // file has a precomputed key when reporting is on
       val key = spjKeys.map(_(f.path)).getOrElse(Nil)
@@ -1980,7 +1989,7 @@ private[v2] class IceLiteScan(
       val nulls = graft.icelite.Ndv.nullCount(renames, addedColumns, pfiles, f.name)
       val bounds: Option[(Any, Any)] = {
         val perFile = pfiles.map { df =>
-          val era = graft.icelite.Renames.eraOf(df.path)
+          val era = df.eraOrPath
           val phys = graft.icelite.Renames.physicalName(renames, f.name, era)
           val preAdd = addedColumns.exists(a =>
             a.cutoffSnapshotId >= era && (a.name == phys || a.name == f.name))
@@ -2272,17 +2281,17 @@ private[v2] class IceLiteMicroBatchStream(
       tableSchema.fields.filterNot(f => identityBy.contains(f.name)))
     val partSchema = StructType(
       tableSchema.fields.filter(f => identityBy.contains(f.name)))
-    def specOf(path: String): Seq[String] =
-      graft.icelite.PartField.specFor(path, partitionBy, specs)
+    def specOf(f: graft.icelite.FileStat): Seq[String] =
+      graft.icelite.PartField.specFor(f, partitionBy, specs)
     graft.icelite.FileStats.addedInRange(fs, m, from, to, s"streaming read of $ns.$tbl")
-      .filter(f => fileCanMatchWith(f, specOf(f.path)))
+      .filter(f => fileCanMatchWith(f, specOf(f)))
       .map { f =>
-        val spec = specOf(f.path)
+        val spec = specOf(f)
         if (spec == partitionBy)
           IceLiteInputPartition(f.path, f.bytes,
             PartValues.parse(f.path, identityBy),
             graft.icelite.Renames.physicalNames(m.renames, dataSchema,
-              graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil)): InputPartition
+              f.eraOrPath).getOrElse(Nil)): InputPartition
         else {
           // partition evolution mid-stream: same per-file split as the
           // batch scan — this file's spec decides dirs-vs-data, and the
@@ -2304,7 +2313,7 @@ private[v2] class IceLiteMicroBatchStream(
           IceLiteInputPartition(f.path, f.bytes,
             PartValues.parse(f.path, idOfSpec),
             graft.icelite.Renames.physicalNames(m.renames, fileData,
-              graft.icelite.Renames.eraOf(f.path)).getOrElse(Nil),
+              f.eraOrPath).getOrElse(Nil),
             fileDataSchemaJson = fileData.json,
             filePartSchemaJson = filePart.json,
             filePerm = perm): InputPartition

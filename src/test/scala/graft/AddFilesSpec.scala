@@ -33,9 +33,10 @@ class AddFilesSpec extends SparkSpec {
     // zero imported files (min/max pruning on foreign files)
     val snap = tbl.meta.currentSnapshot.get
     assert(snap.operation == "add_files" && snap.addedRows == 50)
-    val planned = tbl.toDF.where(col("id") <= 10L).inputFiles
-    assert(planned.forall(p => !p.contains("addf1-external")),
-      s"imported files not pruned by footer stats: ${planned.toSeq}")
+    val planned = graft.sources.v2.HasPlannedFiles.of(
+      tbl.toDF.where(col("id") <= 10L))
+    assert(planned.nonEmpty && planned.forall(p => !p.contains("addf1-external")),
+      s"imported files not pruned by footer stats: $planned")
     // expiry + orphan GC never touch foreign files (ownership stays out)
     tbl.append(df.limit(3))
     tbl.append(df.limit(3))
@@ -156,6 +157,156 @@ class AddFilesSpec extends SparkSpec {
     assert(seen.size == 10 && (11L to 20L).forall(seen.contains),
       s"resume must deliver exactly the imported rows, saw $seen")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
+  test("partitioned import: hive layout binds, prunes, and mixes with native files") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("addf8"))
+    val ext = scratch("addf8-external")
+    val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b", s"v$i"))
+      .toDF("id", "k", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("k"))
+    tbl.append(df.filter(col("k") === "a"))
+    // hive layout WITHOUT the partition column in data — the migration shape
+    df.filter(col("k") === "b").write.mode("overwrite")
+      .partitionBy("k").parquet(ext)
+    tbl.addFiles(ext)
+    // values bind from the import dirs; content is complete and typed
+    val out = tbl.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 40 && out(25L) == "b" && out(5L) == "a")
+    // a partition predicate prunes across the MIXED native/imported set:
+    // k='b' plans only imported files, k='a' only native ones
+    val plannedB = graft.sources.v2.HasPlannedFiles.of(
+      tbl.toDF.where(col("k") === "b"))
+    assert(plannedB.nonEmpty && plannedB.forall(_.contains("k=b")),
+      s"k='b' must plan only imported files, got $plannedB")
+    val plannedA = graft.sources.v2.HasPlannedFiles.of(
+      tbl.toDF.where(col("k") === "a"))
+    assert(plannedA.nonEmpty && plannedA.forall(p => !p.contains("addf8-external")),
+      s"k='a' must plan only native files, got $plannedA")
+    // manifest-only aggregate still answers (partition-exact claim holds
+    // over the mixed set: every file decodes its identity value)
+    assert(tbl.toDF.where(col("k") === "b").count() == 20)
+  }
+
+  test("partitioned import refusals: layout mismatch, bad value, transform segments") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("addf9"))
+    val df = (1L to 10L).map(i => (i, i % 3, s"v$i")).toDF("id", "part", "v")
+
+    // source with NO hive dirs into a partitioned table: layout mismatch
+    val flat = scratch("addf9-flat")
+    df.repartition(1).write.mode("overwrite").parquet(flat)
+    val pt = cat.createTable("lake", "pt", df.schema, partitionBy = Seq("part"))
+    val e1 = intercept[IllegalArgumentException](pt.addFiles(flat))
+    assert(e1.getMessage.contains("carries no 'part=") &&
+      e1.getMessage.contains("partitioned by"), e1.getMessage)
+
+    // a segment that does not decode as the column type refuses loudly
+    val bad = scratch("addf9-bad")
+    df.drop("part").repartition(1).write.mode("overwrite")
+      .parquet(bad + "/part=abc")
+    val e2 = intercept[IllegalArgumentException](pt.addFiles(bad))
+    assert(e2.getMessage.contains("does not parse as bigint"), e2.getMessage)
+
+    // transform fields: claimed bucket segments are unverifiable → refuse;
+    // the same files WITHOUT segments import fine and read from data
+    val bt = cat.createTable("lake", "bt", df.schema,
+      partitionBy = Seq("bucket(4,id)"))
+    val claimed = scratch("addf9-claimed")
+    df.repartition(1).write.mode("overwrite").parquet(claimed + "/id_bucket=0")
+    val e3 = intercept[IllegalArgumentException](bt.addFiles(claimed))
+    assert(e3.getMessage.contains("id_bucket=") &&
+      e3.getMessage.contains("transform"), e3.getMessage)
+    val plainDir = scratch("addf9-plain")
+    df.repartition(1).write.mode("overwrite").parquet(plainDir)
+    bt.addFiles(plainDir)
+    assert(bt.toDF.where(col("id") === 7L).collect()
+      .map(_.getString(2)).toSeq == Seq("v7"))
+  }
+
+  test("partitioned import survives a LATER spec change (import-era spec sticks)") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("addf10"))
+    val ext = scratch("addf10-external")
+    val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "e" else "o", s"v$i"))
+      .toDF("id", "k", "v")
+    val tbl = cat.createTable("lake", "t", df.schema, partitionBy = Seq("k"))
+    df.write.mode("overwrite").partitionBy("k").parquet(ext)
+    tbl.addFiles(ext)
+    // drop the partitioning afterwards; imported files must KEEP binding k
+    // from their import-time hive dirs (their era predates the change)
+    tbl.setPartitionSpec(Nil)
+    tbl.append(df.limit(0))
+    val out = cat.loadTable("lake", "t").toDF.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 20 && (1L to 20L).forall(i =>
+      out(i) == (if (i % 2 == 0) "e" else "o")),
+      s"imported files must keep serving k from their import-era dirs, got $out")
+  }
+
+  test("post-import evolution: spec change, rename, MOR eq-delete reach imported files") {
+    import spark.implicits._
+
+    // (1) spec evolution AFTER an import: the documented remedy for
+    // partitioned migration is "import unpartitioned, evolve the spec
+    // after" — the imported files' era must resolve to the spec in force
+    // AT IMPORT (no dirs), not to the new identity spec (whose columns
+    // would bind from directories the foreign paths do not have).
+    locally {
+      val cat = new IceCatalog(spark, scratch("addf7a"))
+      val ext = scratch("addf7a-external")
+      val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "v")
+      val tbl = cat.createTable("lake", "t", df.schema)
+      df.filter(col("id") > 10).repartition(1).write.mode("overwrite").parquet(ext)
+      tbl.append(df.filter(col("id") <= 10).repartition(1))
+      tbl.addFiles(ext)
+      tbl.setPartitionSpec(Seq("v"))
+      tbl.append(df.limit(0)) // a post-evolution snapshot exists
+      val out = cat.loadTable("lake", "t").toDF
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(out.length == 20 && out.forall(_._2 != null),
+        s"imported files must keep serving 'v' from data after spec evolution, got ${out.toSeq.sortBy(_._1)}")
+    }
+
+    // (2) column rename AFTER an import: the imported files carry the
+    // import-time physical names; a later rename must map the new logical
+    // name back onto them (era = import snapshot, not "newest").
+    locally {
+      val wh = scratch("addf7b")
+      val ext = scratch("addf7b-external")
+      val cat = new IceCatalog(spark, wh)
+      val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      val tbl = cat.createTable("lake", "t", df.schema)
+      tbl.append(df.filter(col("id") <= 5).repartition(1))
+      df.filter(col("id") > 5).repartition(1).write.mode("overwrite").parquet(ext)
+      tbl.addFiles(ext)
+      spark.conf.set("spark.sql.catalog.ice_addf7", "graft.sources.v2.IceLiteCatalog")
+      spark.conf.set("spark.sql.catalog.ice_addf7.warehouse", wh)
+      spark.sql("ALTER TABLE ice_addf7.lake.t RENAME COLUMN v TO label")
+      val out = spark.sql("SELECT id, label FROM ice_addf7.lake.t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size == 10 && (1L to 10L).forall(i => out(i) == s"v$i"),
+        s"imported files must serve the renamed column from their import-era physical name, got $out")
+    }
+
+    // (3) MOR equality delete AFTER an import: a delete committed after
+    // the import must reach rows living in imported files (their era
+    // precedes the delete's sequence).
+    locally {
+      val cat = new IceCatalog(spark, scratch("addf7c"))
+      val ext = scratch("addf7c-external")
+      val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      val tbl = cat.createTable("lake", "t", df.schema)
+      tbl.append(df.filter(col("id") <= 10).repartition(1))
+      df.filter(col("id") > 10).repartition(1).write.mode("overwrite").parquet(ext)
+      tbl.addFiles(ext)
+      tbl.deleteKeysEq(Seq(3L, 15L).toDF("id"), Seq("id"))
+      val ids = tbl.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L to 20L).filterNot(Set(3L, 15L)),
+        s"post-import equality delete must reach imported files, got $ids")
+    }
   }
 
   test("CALL system.snapshot migrates a parquet directory to a new table") {
