@@ -570,24 +570,46 @@ object TextOps {
           .select(col("doc_id"), col("lang"),
             size(split(trim(col("text")), "\\s+")).as("tokens")))),
 
-    // x26 with REAL token counts (round 14): the same budget arithmetic,
-    // but `tokens` is the x40 BPE encoder's output instead of a whitespace
-    // proxy — the form a production mixer actually runs, since budgets are
-    // contracted in model tokens. One extra corpus pass (the encode) over
-    // x26; the mixing plan is shared (budgetMix). No SQL oracle — DuckDB
-    // cannot replay the iterative BPE fold — so the gate is TextBpeSpec's
-    // arithmetic test: an independently-encoded, independently-thresholded
-    // driver-side selection must match row-for-row; the driver records
-    // rows>0.
+    // x26 with REAL token counts (round 14; oracled round 15): the same
+    // budget arithmetic, but `tokens` is the x40 BPE encoder's output
+    // instead of a whitespace proxy — the form a production mixer actually
+    // runs, since budgets are contracted in model tokens. One extra corpus
+    // pass (the encode) over x26; the mixing plan is shared (budgetMix).
+    // DuckDB cannot replay the iterative BPE fold, but the BUDGET
+    // ARITHMETIC is plain SQL: the per-doc counts are materialized to a
+    // parquet fixture BOTH engines read (the Spark side reads it back so
+    // the compared result and the oracle input are byte-identical), and
+    // the oracle replays the whole mixing decision over that column. The
+    // encode itself stays spec-gated (TextBpeSpec proves it merge-for-
+    // merge against a sequential reference, and re-derives this exact
+    // selection row-for-row).
     QDef(
       "x26b_token_budget_mix_bpe",
-      None,
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, lang, tokens
+             |  FROM read_parquet('$X26bCountsFixture/*.parquet')),
+             |pl AS (SELECT lang, SUM(tokens) AS lang_tokens FROM d GROUP BY lang),
+             |st AS (SELECT SUM(lang_tokens) AS all_tokens, COUNT(*) AS n_langs FROM pl),
+             |fr AS (SELECT lang,
+             |         LEAST(1.0, (0.6 * (CAST(all_tokens AS DOUBLE) / n_langs))
+             |                    / CAST(lang_tokens AS DOUBLE)) AS f
+             |       FROM pl, st),
+             |th AS (SELECT lang, CASE WHEN f >= 1.0 THEN 'g'
+             |         ELSE printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)) END AS thr
+             |       FROM fr)
+             |SELECT d.doc_id, d.lang, d.tokens
+             |FROM d JOIN th ON d.lang = th.lang
+             |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
+             |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => {
         val learned = bpeTrain(s, dir, merges = 15).collect() // merge-count rows
           .sortBy(_.getInt(0))
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        budgetMix(encodeBpe(t(s, dir, "documents"), learned)
-          .select(col("doc_id"), col("lang"), col("n_tokens").as("tokens")))
+        encodeBpe(t(s, dir, "documents"), learned)
+          .select(col("doc_id"), col("lang"), col("n_tokens").as("tokens"))
+          .write.mode("overwrite").parquet(
+            QUtil.freshWarehouse(s, "x26b_bpe_counts"))
+        budgetMix(s.read.parquet(X26bCountsFixture))
       }),
 
     // Sequence PACKING (round 14) — the concatenate-and-chunk pass that
@@ -595,8 +617,10 @@ object TextOps {
     // pack: docs concatenate in order, the stream is cut every L tokens,
     // docs may straddle a cut). Per doc: which sequences it lands in —
     // start_seq/end_seq from the running token total, a pure prefix sum.
-    // Scale shape: packing is SHARDED (doc_id % 32 here; a 100 TB corpus
-    // raises the shard count to its writer parallelism) so the window
+    // Scale shape: packing is SHARDED (`graft.x42.shards`, default 32; a
+    // 100 TB corpus raises the shard count to its writer parallelism —
+    // more shards = more parallel prefix sums, slightly more padding
+    // waste at shard boundaries) so the window
     // runs per shard with no global sort or single-partition stage —
     // sequence ids are (shard, seq) pairs exactly as a sharded tokenizer
     // run would emit them. Everything is a deterministic function of the
@@ -606,9 +630,13 @@ object TextOps {
     // div would otherwise disagree.
     QDef(
       "x42_sequence_pack",
-      Some("""WITH d AS (
-             |  SELECT doc_id, doc_id % 32 AS shard,
-             |    len(string_split_regex(trim(text), '\s+')) AS tokens
+      // the oracle states the DEFAULT shard count (compile-time lockstep
+      // via X42DefaultShards); the conf exists for deployments, and
+      // QueriesSpec proves a non-default count against an independent
+      // sequential reference
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, doc_id % $X42DefaultShards AS shard,
+             |    len(string_split_regex(trim(text), '\\s+')) AS tokens
              |  FROM documents),
              |c AS (SELECT doc_id, shard, tokens,
              |        SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -618,20 +646,10 @@ object TextOps {
              |  CAST((cum - tokens) // 512 AS BIGINT) AS start_seq,
              |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
              |FROM c ORDER BY doc_id""".stripMargin),
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        t(s, dir, "documents")
-          .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
-            size(split(trim(col("text")), "\\s+")).as("tokens"))
-          .withColumn("cum", sum("tokens").over(w))
-          .select(col("doc_id"), col("shard"), col("tokens"),
-            expr("(cum - tokens) div 512").as("start_seq"),
-            expr("(cum - 1) div 512").as("end_seq"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) => sequencePack(
+        t(s, dir, "documents"),
+        s.conf.getOption("graft.x42.shards").map(_.toInt)
+          .getOrElse(X42DefaultShards))),
 
     // DSIR-style importance WEIGHTING (round 14; Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score raw
@@ -1047,6 +1065,42 @@ object TextOps {
     * thresholds — and therefore the sample — are bit-identical across
     * engines given equal token columns.
     */
+  /** x42's default shard count — embedded into BOTH the Spark plan and the
+    * DuckDB oracle string at compile time so they cannot drift; the
+    * `graft.x42.shards` conf overrides the Spark side for deployments
+    * (more shards = more parallel prefix sums, slightly more padding waste
+    * at shard boundaries).
+    */
+  private[graft] final val X42DefaultShards = 32
+
+  /** Where x26b materializes its per-doc BPE token counts: written by the
+    * Spark query (via `QUtil.freshWarehouse(s, "x26b_bpe_counts")`, which
+    * resolves to exactly this path), read back by the SAME query (so the
+    * compared result derives from the file bytes) and by the DuckDB
+    * oracle (which replays the whole mixing decision over the counts).
+    */
+  private[graft] final val X26bCountsFixture = "/root/repo/target/qwh/x26b_bpe_counts"
+
+  /** The x42 sequence-packing plan at a given shard count: per-shard
+    * running prefix sum over doc_id order, no global sort — sequence ids
+    * are (shard, seq) pairs exactly as a sharded tokenizer run emits them.
+    */
+  private[graft] def sequencePack(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 1, s"graft.x42.shards must be >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("tokens"))
+      .withColumn("cum", sum("tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        expr("(cum - tokens) div 512").as("start_seq"),
+        expr("(cum - 1) div 512").as("end_seq"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def budgetMix(d: DataFrame): DataFrame = {
     d.join(broadcast(budgetThresholds(d)), "lang")
       .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))

@@ -74,11 +74,12 @@ class QueriesSpec extends SparkSpec {
   // driver records the weaker rows>0 check. x40 (BPE encode) applies x38's
   // learned merges — the learned-merge table is equally inexpressible in
   // one SQL statement; TextBpeSpec gates encode agreement against the same
-  // independent reference implementation. x26b feeds x40's BPE counts into
-  // x26's budget arithmetic, inheriting the inexpressibility; TextBpeSpec
-  // re-derives its selection row-for-row from the independent encoder.
+  // independent reference implementation. (x26b regained an oracle in
+  // round 15: its per-doc BPE counts are materialized to a parquet fixture
+  // both engines read, so DuckDB replays the budget arithmetic; only the
+  // encode itself stays spec-gated.)
   private val rowsOnly =
-    Set("x38_bpe_train", "x40_bpe_encode", "x26b_token_budget_mix_bpe")
+    Set("x38_bpe_train", "x40_bpe_encode")
 
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
@@ -100,6 +101,39 @@ class QueriesSpec extends SparkSpec {
         s"fallback diverges: only-in-semi=${semi -- inList} only-in-inlist=${inList -- semi}")
       assert(semi.nonEmpty, "fixture produced no incremental near-dup pairs")
     } finally spark.conf.unset("graft.x25.candCap")
+  }
+
+  // x42's shard count is a conf (`graft.x42.shards`, default 32, oracle in
+  // compile-time lockstep with the default). At a NON-default count the
+  // Spark plan must match an independent sequential reference: per-shard
+  // doc_id-ordered prefix sums computed in plain driver Scala.
+  test("x42 shard conf: non-default count matches a sequential reference") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.QUtil.t(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val shards = 7 // non-default, and not a divisor-friendly power of two
+    val expect = base.groupBy(_._1 % shards).iterator.flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, tk) =>
+        cum += tk
+        (id, shard, tk, (cum - tk) / 512, (cum - 1) / 512)
+      }
+    }.toSet
+    spark.conf.set("graft.x42.shards", shards.toString)
+    try {
+      val got = SparkEntry.queries("x42_sequence_pack")(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+          r.getAs[Number](4).longValue))
+        .toSet
+      assert(got == expect,
+        s"shard=$shards packing diverges: only-in-spark=${(got -- expect).take(3)} " +
+          s"only-in-reference=${(expect -- got).take(3)}")
+      assert(got.exists(t => t._4 != t._5), "no doc straddles a cut — vacuous fixture")
+    } finally spark.conf.unset("graft.x42.shards")
   }
 
   // x30's bigram-frequency broadcast is size-gated: cap=0 forces the

@@ -178,11 +178,12 @@ class TextBpeSpec extends SparkSpec {
       "no merge ever applied — encode is vacuous")
   }
 
-  // x26b has no SQL oracle (DuckDB cannot replay the BPE fold), so its
-  // gate is this arithmetic test: tokens counted by the INDEPENDENT
-  // sequential encoder, budgets/thresholds recomputed in plain driver
-  // Scala with the same IEEE op order, selection re-derived per doc — the
-  // query must match row-for-row.
+  // x26b's oracle (round 15) replays the budget arithmetic over the
+  // materialized count fixture, but the COUNTS themselves are only as good
+  // as the encoder — this test is the independent gate: tokens counted by
+  // the INDEPENDENT sequential encoder, budgets/thresholds recomputed in
+  // plain driver Scala with the same IEEE op order, selection re-derived
+  // per doc — the query must match row-for-row.
   test("x26b: BPE token budgets select exactly the independently-computed mix") {
     val docs = graft.queries.QUtil.t(spark, sfDir, "documents")
     val wordFreqs = docs
