@@ -506,11 +506,39 @@ object MetaIo {
   // tables cannot grow without limit yet keeps hot tables' manifests parsed
   // (a clear-all at capacity would re-parse-storm every live table).
   private[graft] val ManifestCacheCap = 256
+
+  /** Memory bound on the RESOLVED-manifest cache, in total cached
+    * `FileStat` entries rather than documents: resolved documents vary by
+    * orders of magnitude (a 10-file table vs a 10^6-file table), so a
+    * count-of-documents LRU alone could pin 256 full file lists. Roughly
+    * ~150 B of seq/pointer overhead per entry -> the default bounds the
+    * cache near 160 MB of resolution overhead while keeping hundreds of
+    * small-table resolutions hot. Mutable for specs.
+    */
+  private[graft] var manifestCacheEntryCap: Long = 1L << 20
+
+  private var manifestCacheEntries: Long = 0L
   private val manifestCache =
-    new java.util.LinkedHashMap[String, ManifestDoc](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, ManifestDoc]): Boolean =
-        size > ManifestCacheCap
+    new java.util.LinkedHashMap[String, ManifestDoc](64, 0.75f, true)
+
+  /** Cache one RESOLVED document and enforce both bounds (document count
+    * and total FileStat entries), evicting eldest-accessed first but never
+    * the document being returned.
+    */
+  private def cacheResolved(path: String, doc: ManifestDoc): Unit =
+    manifestCache.synchronized {
+      val prev = manifestCache.put(path, doc)
+      if (prev != null) manifestCacheEntries -= prev.files.length
+      manifestCacheEntries += doc.files.length
+      val it = manifestCache.entrySet().iterator()
+      while ((manifestCacheEntries > manifestCacheEntryCap ||
+          manifestCache.size > ManifestCacheCap) && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != path) {
+          manifestCacheEntries -= e.getValue.files.length
+          it.remove()
+        }
+      }
     }
   // as-written documents (delta form), keyed by path. A full document's raw
   // and resolved forms are the SAME object (readManifestDoc stores the
@@ -555,7 +583,13 @@ object MetaIo {
     * a delta chain is replayed into the complete visible `files` list
     * (base-first order, exactly the sequence the committer verified), so
     * every consumer of `files` sees what it always saw. Resolution walks at
-    * most `manifest.chain-cap` hops, each hop cached.
+    * most `manifest.chain-cap` hops on the raw (delta) documents — each
+    * O(change) small and cached in `rawCache` — and caches the full
+    * resolution ONLY for the REQUESTED path: a recursive resolve that
+    * cached every hop would pin O(chain x files) seq overhead for one deep
+    * walk (advice r14). Interior snapshots still cache on their own
+    * requests (each snapshot head is some chain's interior), so time
+    * travel stays O(1) after first touch.
     */
   def readManifestDoc(fs: FileSystem, path: String): ManifestDoc = {
     recordAccess(path)
@@ -564,16 +598,35 @@ object MetaIo {
       if (cached != null) return cached
     }
     val parsed = readManifestDocShallow(fs, path)
-    val resolved =
-      if (parsed.base.isEmpty) parsed
-      else {
-        val b = readManifestDoc(fs, parsed.base)
-        val rm = parsed.removedPaths.toSet
-        parsed.copy(
-          files = b.files.filterNot(f => rm(f.path)) ++ parsed.files,
-          removedPaths = Nil)
+    if (parsed.base.isEmpty) {
+      // full document: raw and resolved are the SAME object (no double-hold)
+      cacheResolved(path, parsed)
+      return parsed
+    }
+    // walk the chain shallow, nearest-first, stopping early at any base
+    // whose resolution is already cached
+    val hops = scala.collection.mutable.ArrayBuffer(parsed)
+    var baseFiles: Seq[FileStat] = null
+    var cur = parsed
+    while (baseFiles == null && cur.base.nonEmpty) {
+      val cachedBase =
+        manifestCache.synchronized(Option(manifestCache.get(cur.base)))
+      cachedBase match {
+        case Some(b) => baseFiles = b.files
+        case None =>
+          cur = readManifestDocShallow(fs, cur.base)
+          if (cur.base.nonEmpty) hops += cur
       }
-    manifestCache.synchronized { manifestCache.put(path, resolved) }
+    }
+    if (baseFiles == null) baseFiles = cur.files // deepest doc is full
+    // replay base-first (exactly what the committer verified at write)
+    var files = baseFiles
+    hops.reverseIterator.foreach { d =>
+      val rm = d.removedPaths.toSet
+      files = files.filterNot(f => rm(f.path)) ++ d.files
+    }
+    val resolved = parsed.copy(files = files, removedPaths = Nil)
+    cacheResolved(path, resolved)
     resolved
   }
 
@@ -608,6 +661,17 @@ object MetaIo {
     manifestCache.synchronized {
       import scala.jdk.CollectionConverters._
       manifestCache.keySet().asScala.toSeq
+    }
+
+  /** Test hook: total FileStat entries held by the resolved cache. */
+  private[graft] def manifestCacheEntryTotal: Long =
+    manifestCache.synchronized(manifestCacheEntries)
+
+  /** Test hook: drop all cached resolutions (semantics-neutral). */
+  private[graft] def manifestCacheClear(): Unit =
+    manifestCache.synchronized {
+      manifestCache.clear()
+      manifestCacheEntries = 0L
     }
 
   // Test hook: per-path manifest-document ACCESS counts (cache hits

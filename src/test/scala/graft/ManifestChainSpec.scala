@@ -57,6 +57,60 @@ class ManifestChainSpec extends SparkSpec {
     assert(tbl.toDF.where(col("id") === 142L).count() == 1)
   }
 
+  test("deep-chain resolution caches only the requested head; entry cap bounds memory") {
+    import spark.implicits._
+    val wh = scratch("mchain-cache")
+    val cat = new IceCatalog(spark, wh)
+    val fs = hfs(wh)
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    (1 to 8).foreach(i =>
+      tbl.append(df.filter(col("id") % 8 === i % 8).repartition(1)))
+    val snaps = tbl.snapshots.sortBy(_.snapshotId)
+    assert(MetaIo.readManifestDocShallow(fs, snaps.last.manifestFile).chainLen == 7)
+
+    // one full resolution of the head must cache ONE resolved document —
+    // the head's — not one per hop (a 32-hop chain over a large table
+    // would otherwise pin O(chain x files) seq overhead in the LRU)
+    MetaIo.manifestCacheClear()
+    MetaIo.readManifestDoc(fs, snaps.last.manifestFile)
+    assert(MetaIo.manifestCacheKeys == Seq(snaps.last.manifestFile),
+      s"resolved-cache should hold only the requested head, got ${MetaIo.manifestCacheKeys}")
+    assert(MetaIo.manifestCacheEntryTotal == 8,
+      s"entry accounting off: ${MetaIo.manifestCacheEntryTotal}")
+    // an interior snapshot resolves (and caches) on ITS OWN request
+    MetaIo.readManifestDoc(fs, snaps(3).manifestFile)
+    assert(MetaIo.manifestCacheKeys.toSet ==
+      Set(snaps.last.manifestFile, snaps(3).manifestFile))
+
+    // the entry-weighted cap evicts eldest resolutions (but never the one
+    // being returned): capping at 10 entries fits the 8-file head or the
+    // 4-file interior, not both
+    val prevCap = MetaIo.manifestCacheEntryCap
+    try {
+      MetaIo.manifestCacheEntryCap = 10
+      MetaIo.manifestCacheClear()
+      MetaIo.readManifestDoc(fs, snaps(3).manifestFile) // 4 entries
+      MetaIo.readManifestDoc(fs, snaps.last.manifestFile) // +8 > 10: evict eldest
+      assert(MetaIo.manifestCacheKeys == Seq(snaps.last.manifestFile),
+        s"eldest resolution must evict under the entry cap, got ${MetaIo.manifestCacheKeys}")
+      assert(MetaIo.manifestCacheEntryTotal == 8)
+      // a single resolution larger than the cap still serves (and stays,
+      // as the newest entry — the cache never evicts what it returns)
+      MetaIo.manifestCacheEntryCap = 2
+      MetaIo.manifestCacheClear()
+      val doc = MetaIo.readManifestDoc(fs, snaps.last.manifestFile)
+      assert(doc.files.length == 8 &&
+        MetaIo.manifestCacheKeys == Seq(snaps.last.manifestFile))
+    } finally {
+      MetaIo.manifestCacheEntryCap = prevCap
+      MetaIo.manifestCacheClear()
+    }
+    // behavior unchanged: contents and time travel still exact
+    assert(tbl.toDF.count() == 40)
+    assert(tbl.scan(snapshotId = Some(snaps(3).snapshotId)).count() == 20)
+  }
+
   test("commit IO is O(change): a 1-file append writes a small delta doc") {
     import spark.implicits._
     val wh = scratch("mchain-io")
