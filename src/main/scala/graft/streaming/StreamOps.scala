@@ -646,6 +646,61 @@ object StreamOps {
           .orderBy("click_id", "view_id")
       }),
 
+    // st9's OUTER face (round 15): attribution pipelines need the
+    // unmatched side too — clicks with NO view inside the 30-minute window
+    // emit once, with NULL view columns, when the watermark closes their
+    // interval (Spark evicts the click's state and null-extends it). The
+    // oracle restates it as a batch LEFT JOIN; since the final watermark
+    // (max event time - 1h) never closes the trailing ~90 minutes of
+    // clicks, BOTH sides exclude unmatched rows in that boundary region
+    // (matched rows are complete regardless) — exact-equality eviction at
+    // the boundary is engine-internal, so a 1-minute guard keeps the
+    // comparison deterministic. StreamOuterJoinSpec replays the same plan
+    // across multiple epochs and asserts mid-stream state eviction.
+    QDef(
+      "st9b_stream_outer_interval_join",
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+             |wm AS (SELECT MAX(ts) - INTERVAL 91 MINUTE AS cutoff FROM events),
+             |m AS (SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+             |      FROM c JOIN v ON c.user_id = v.user_id
+             |       AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE),
+             |um AS (SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id, c.user_id
+             |       FROM c, wm
+             |       WHERE c.ts <= wm.cutoff
+             |         AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+             |           AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE))
+             |SELECT * FROM m UNION ALL SELECT * FROM um
+             |ORDER BY click_id, view_id""".stripMargin),
+      (s, dir) => {
+        val src = eventStream(s, dir)
+        val clicks = src
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = src
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("view_uid"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val joined = clicks.join(views,
+          col("user_id") === col("view_uid") &&
+            col("view_ts") >= col("click_ts") &&
+            col("view_ts") <= col("click_ts") + expr("interval 30 minutes"),
+          "left_outer")
+          .select(col("click_id"), col("view_id"), col("user_id"),
+            col("click_ts"))
+        val out = runToTable(joined, OutputMode.Append(),
+          s"st9b_sink_${System.nanoTime()}")
+        val cutoff = QUtil.t(s, dir, "events")
+          .agg((max(col("ts")) - expr("interval 91 minutes")).as("c"))
+          .collect()(0).getTimestamp(0)
+        out.filter(col("view_id").isNotNull || col("click_ts") <= lit(cutoff))
+          .select("click_id", "view_id", "user_id")
+          .orderBy("click_id", "view_id")
+      }),
+
     // Stateful sessionization: 1-hour-gap sessions per user via
     // flatMapGroupsWithState (custom state machine, not a window rewrite).
     QDef(

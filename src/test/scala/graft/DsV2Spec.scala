@@ -16,6 +16,36 @@ class DsV2Spec extends SparkSpec {
     (wh, df)
   }
 
+  // graft.prune.distributedThreshold (round 15, default off): past N files
+  // the per-file admission loop runs as a Spark job. Same predicate object
+  // (PruneEval.admit) either way, so the planned file SET and ORDER must be
+  // bit-identical — asserted here on a many-file table with a pushed
+  // filter, plus proof the distributed path actually executed.
+  test("distributed prune plans the identical file set as the driver loop") {
+    import spark.implicits._
+    val wh = warehouse("distprune")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.repartitionByRange(40, col("id")))
+    def planned() = graft.sources.v2.HasPlannedFiles.of(
+      tbl.toDF.where(col("id") <= 700L))
+    val driverSide = planned()
+    assert(driverSide.nonEmpty && driverSide.length < 40,
+      s"range filter should prune most of 40 files, planned ${driverSide.length}")
+    val before = graft.sources.v2.PruneEval.distributedRuns.get
+    spark.conf.set("graft.prune.distributedThreshold", "10")
+    try {
+      val dist = planned()
+      assert(graft.sources.v2.PruneEval.distributedRuns.get > before,
+        "threshold set below the file count but the distributed path never ran")
+      assert(dist == driverSide,
+        s"strategies disagree: driver=$driverSide distributed=$dist")
+      // and the query itself still answers identically
+      assert(tbl.toDF.where(col("id") <= 700L).count() == 700)
+    } finally spark.conf.unset("graft.prune.distributedThreshold")
+  }
+
   test("format(icelite) reads back exactly what was appended") {
     val (wh, df) = mkTable("roundtrip")
     val back = spark.read.format("icelite")
