@@ -1717,31 +1717,42 @@ private[v2] class IceLiteScan(
 
   /** Files that survive manifest-stat + partition-value pruning under the
     * given filter set, with the raw partition values parsed from their
-    * paths.
+    * paths. Per-file admission is [[PruneEval.admit]] — one predicate for
+    * both execution strategies below.
+    *
+    * Driver-side by default (SURVEY §6's metadata envelope: the FileStat
+    * list is driver-resident anyway, and at fixture file counts a Spark
+    * job costs more in scheduling than it saves). Past
+    * `graft.prune.distributedThreshold` files (0 = off, the default) the
+    * admission loop runs as a Spark job instead: per-file bloom decodes +
+    * probes are the expensive part at 10^6 files x many-key runtime
+    * filters, and they parallelize embarrassingly. Input order is
+    * preserved, so every downstream consumer (SPJ keys, split packing,
+    * row-level replace sets) sees the exact driver-side sequence.
     */
-  private def prune(fs: Seq[Filter]): Seq[(FileStat, Map[String, Option[String]])] =
-    files.flatMap { f =>
-      // each file's directory values follow ITS OWN era's spec; a column
-      // that was not a partition column in that era prunes via the file's
-      // footer stats instead (post-evolution writers store partition
-      // columns in data, so the stats exist)
-      val spec = specOf(f)
-      val idCols = PartField.identityCols(spec)
-      val raw = PartValues.parse(f.path, idCols)
-      val pv = PartValues.decodeExternal(tableSchema, idCols, raw)
-      // hidden-partitioning: predicates on a transform's SOURCE column map
-      // through the transform onto the file's dir value — bucket equality,
-      // days/truncate ranges — before any IO
-      val tFields = PartField.parseSpec(spec).filterNot(_.isIdentity)
-      val tRaw =
-        if (tFields.isEmpty) Map.empty[String, Option[String]]
-        else PartValues.parse(f.path, tFields.map(_.fieldName))
-      if (fs.forall(fl => FilePrune.canMatch(fl, tableSchema, f, pv) &&
-          (tFields.isEmpty ||
-            graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw))))
-        Some((f, raw))
-      else None
-    }
+  private def prune(fs: Seq[Filter]): Seq[(FileStat, Map[String, Option[String]])] = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val threshold = active
+      .flatMap(sp => scala.util.Try(
+        sp.conf.get("graft.prune.distributedThreshold", "0").toInt).toOption)
+      .getOrElse(0)
+    if (threshold > 0 && files.length >= threshold && active.isDefined) {
+      PruneEval.distributedRuns.incrementAndGet()
+      val sc = active.get.sparkContext
+      // locals only in the closure: the Scan itself is not serializable
+      val (schema, pBy, sps, filts) = (tableSchema, partitionBy, specs, fs)
+      val slices = math.min(files.length,
+        math.max(sc.defaultParallelism, 1) * 2)
+      sc.parallelize(files.zipWithIndex, slices)
+        .flatMap { case (f, i) =>
+          PruneEval.admit(f, filts, schema, pBy, sps).map(r => (i, r)) }
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+        .toSeq
+    } else
+      files.flatMap(f => PruneEval.admit(f, fs, tableSchema, partitionBy, specs))
+  }
 
   // static pruning only — description/statistics are plan-time artifacts;
   // runtime filters re-prune in planInputPartitions
@@ -2336,6 +2347,44 @@ private[v2] class IceLiteMicroBatchStream(
     val perm = tableSchema.fieldNames.map(physical.indexOf(_)).toSeq
     IceLiteV2.readerFactory(dataSchema, partSchema, Array.empty, -1,
       if (perm == perm.indices) Nil else perm)
+  }
+}
+
+/** The one per-file admission predicate behind [[IceLiteScan]]'s static
+  * and runtime pruning — shared verbatim by the driver-side loop and the
+  * distributed (`graft.prune.distributedThreshold`) Spark-job path, so the
+  * two strategies cannot plan different file sets. Returns the surviving
+  * file with its raw identity-partition directory values.
+  */
+private[graft] object PruneEval extends Serializable {
+
+  /** Test hook: how many prune calls took the distributed path. */
+  private[graft] val distributedRuns = new java.util.concurrent.atomic.AtomicLong
+
+  def admit(f: FileStat, fs: Seq[Filter], tableSchema: StructType,
+      partitionBy: Seq[String], specs: Seq[graft.icelite.PartSpecChange])
+      : Option[(FileStat, Map[String, Option[String]])] = {
+    import graft.icelite.PartField
+    // each file's directory values follow ITS OWN era's spec; a column
+    // that was not a partition column in that era prunes via the file's
+    // footer stats instead (post-evolution writers store partition
+    // columns in data, so the stats exist)
+    val spec = PartField.specFor(f, partitionBy, specs)
+    val idCols = PartField.identityCols(spec)
+    val raw = PartValues.parse(f.path, idCols)
+    val pv = PartValues.decodeExternal(tableSchema, idCols, raw)
+    // hidden-partitioning: predicates on a transform's SOURCE column map
+    // through the transform onto the file's dir value — bucket equality,
+    // days/truncate ranges — before any IO
+    val tFields = PartField.parseSpec(spec).filterNot(_.isIdentity)
+    val tRaw =
+      if (tFields.isEmpty) Map.empty[String, Option[String]]
+      else PartValues.parse(f.path, tFields.map(_.fieldName))
+    if (fs.forall(fl => FilePrune.canMatch(fl, tableSchema, f, pv) &&
+        (tFields.isEmpty ||
+          graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw))))
+      Some((f, raw))
+    else None
   }
 }
 

@@ -325,6 +325,20 @@ class AddFilesSpec extends SparkSpec {
     // schema was inferred, data serves by reference from the source dir
     assert(spark.sql("SELECT v FROM ice_snap.lake.m WHERE id = 7")
       .collect().map(_.getString(0)).toSeq == Seq("s7"))
+    // a hive-partitioned source KEEPS its partitioning: the migrated table
+    // prunes on the partition column from the first query (round 15)
+    val pext = scratch("addf4-part")
+    df.withColumn("k", col("id") % 2).write.mode("overwrite")
+      .partitionBy("k").parquet(pext)
+    val rp = spark.sql(
+      s"CALL ice_snap.system.snapshot('$pext', 'lake.mp')").collect()(0)
+    assert(rp.getString(3) == "k", s"got $rp")
+    assert(spark.sql("SELECT count(*) FROM ice_snap.lake.mp WHERE k = 0")
+      .collect()(0).getLong(0) == 12)
+    val plannedP = graft.sources.v2.HasPlannedFiles.of(
+      spark.sql("SELECT id FROM ice_snap.lake.mp WHERE k = 1"))
+    assert(plannedP.nonEmpty && plannedP.forall(_.contains("k=1")),
+      s"migrated partitioning must prune, got $plannedP")
     val cat = new IceCatalog(spark, wh)
     // a failing call leaves no table behind
     intercept[Exception](spark.sql(
