@@ -38,6 +38,36 @@ object IceLiteProcedures {
 
   def names: Seq[String] = defs.keys.toSeq.sorted
 
+  /** The hive partition columns of a parquet directory, for `snapshot`:
+    * the `col=value` segment names on the FIRST data file's path under
+    * `source`, outermost-first — exactly the spec Spark's partition
+    * discovery typed into `schema` (discovery appends them after the data
+    * columns, and validates layout consistency while inferring). Column
+    * names not present in the discovered schema are refused rather than
+    * guessed; the partitioned add_files gate then re-validates every
+    * file's segments against the created spec. Empty for a flat layout.
+    */
+  private[v2] def hivePartitionColsOf(spark: SparkSession, source: String,
+      schema: StructType): Seq[String] = {
+    val srcPath = new org.apache.hadoop.fs.Path(source)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(srcPath) || fs.getFileStatus(srcPath).isFile) return Nil
+    val it = fs.listFiles(srcPath, true)
+    val first = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .getOrElse(return Nil)
+    val root = fs.makeQualified(srcPath).toString
+    val rel = fs.makeQualified(first.getPath).toString.stripPrefix(root)
+    val cols = rel.split('/').iterator
+      .filter(seg => seg.indexOf('=') > 0)
+      .map(seg => seg.substring(0, seg.indexOf('=')))
+      .toSeq
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"snapshot source $source carries a '$c=' directory segment that " +
+        "partition discovery did not type — mixed or malformed hive layout"))
+    cols
+  }
+
   def load(warehouse: String, name: String): UnboundProcedure =
     defs.getOrElse(name, throw new IllegalArgumentException(
       s"unknown icelite procedure '$name' (have: ${names.mkString(", ")})"))
@@ -180,12 +210,18 @@ object IceLiteProcedures {
     // migrate an existing parquet directory into a NEW table in one call
     // (Iceberg's `snapshot` procedure): schema inferred from the files,
     // data imported BY REFERENCE through add_files — no copy, no rewrite,
-    // the source stays caller-owned. Same refusal surface as add_files; a
-    // failed import leaves no table behind (create + import are one call,
-    // the inert-failed-DDL contract).
+    // the source stays caller-owned. A hive-partitioned layout KEEPS its
+    // partitioning (round 15): Spark's partition discovery types the
+    // `col=value` columns, the first data file's segment sequence names
+    // the spec (outermost-first), and the partitioned add_files gate then
+    // re-validates every file's layout — so the migrated table prunes on
+    // day one exactly like the hive table did. Same refusal surface as
+    // add_files; a failed import leaves no table behind (create + import
+    // are one call, the inert-failed-DDL contract).
     "snapshot" -> (wh => new IceProc(wh, "snapshot",
       Seq(p("source", StringType), p("table", StringType)),
-      StructType.fromDDL("table STRING, imported_files BIGINT, imported_rows BIGINT"),
+      StructType.fromDDL(
+        "table STRING, imported_files BIGINT, imported_rows BIGINT, partitioned_by STRING"),
       (cat, in) => {
         val ident = s(in, 1)
         val parts = ident.split("\\.", 2)
@@ -193,11 +229,15 @@ object IceLiteProcedures {
           s"procedure table argument must be '<namespace>.<table>', got '$ident'")
         val src = s(in, 0)
         val schema = SparkSession.active.read.parquet(src).schema
-        val tbl = cat.createTable(parts(0), parts(1), schema)
+        val partitionBy = hivePartitionColsOf(
+          SparkSession.active, src, schema)
+        val tbl = cat.createTable(parts(0), parts(1), schema,
+          partitionBy = partitionBy)
         try tbl.addFiles(src)
         catch { case e: Throwable => cat.dropTable(parts(0), parts(1)); throw e }
         val snap = tbl.meta.currentSnapshot.get
-        out(ident, snap.addedFileCount, snap.addedRows)
+        out(ident, snap.addedFileCount, snap.addedRows,
+          partitionBy.mkString(", "))
       })),
     // import existing parquet files by reference (no rewrite, no copy):
     // footer-derived manifest entries, caller keeps ownership — see

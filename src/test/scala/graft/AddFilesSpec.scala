@@ -225,6 +225,39 @@ class AddFilesSpec extends SparkSpec {
       .map(_.getString(2)).toSeq == Seq("v7"))
   }
 
+  test("storage-partitioned join holds across a MIXED native/imported table") {
+    import spark.implicits._
+    val wh = scratch("addf12")
+    val ext = scratch("addf12-external")
+    val cat = new IceCatalog(spark, wh)
+    val a = (1L to 400L).map(k => (k % 8, k, k * 1.5)).toDF("p", "k", "v")
+    val b = (1L to 400L).map(k => (k % 8, k, k * 2.0)).toDF("p", "k", "w")
+    val ta = cat.createTable("lake", "mix_a", a.schema, partitionBy = Seq("p"))
+    val tb = cat.createTable("lake", "mix_b", b.schema, partitionBy = Seq("p"))
+    // half of A lands natively, the other half arrives as a hive-layout
+    // import — the join layout must survive the mixture (every file's key
+    // decodes from its path, native __p_p= and imported p= alike)
+    ta.append(a.filter(col("p") < 4))
+    a.filter(col("p") >= 4).write.mode("overwrite").partitionBy("p").parquet(ext)
+    ta.addFiles(ext)
+    tb.append(b)
+    spark.conf.set("spark.sql.catalog.ice_mix", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_mix.warehouse", wh)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(
+        """SELECT a.p, a.k, b.k AS bk
+          |FROM ice_mix.lake.mix_a a JOIN ice_mix.lake.mix_b b ON a.p = b.p
+          |""".stripMargin)
+      assert(q.count() == 8L * 50 * 50)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"mixed native/imported co-partitioned tables must join shuffle-free: $plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+  }
+
   test("partitioned import survives a LATER spec change (import-era spec sticks)") {
     import spark.implicits._
     val cat = new IceCatalog(spark, scratch("addf10"))
