@@ -342,6 +342,42 @@ class AddFilesSpec extends SparkSpec {
     }
   }
 
+  test("imports survive STACKED evolution: eq-delete, rename, spec change, append") {
+    import spark.implicits._
+    val wh = scratch("addf13")
+    val ext = scratch("addf13-external")
+    val cat = new IceCatalog(spark, wh)
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"v$i", if (i % 2 == 0) "e" else "o")).toDF("id", "v", "k")
+    val tbl = cat.createTable("lake", "t", mk(1 to 10).schema)
+    tbl.append(mk(1 to 10).repartition(1))
+    mk(11 to 20).repartition(1).write.mode("overwrite").parquet(ext)
+    tbl.addFiles(ext)
+    val importSnap = tbl.meta.currentSnapshotId
+    // MOR equality delete reaching BOTH eras (native 5, imported 15)
+    tbl.deleteKeysEq(Seq(5L, 15L).toDF("id"), Seq("id"))
+    // then a rename AND a partition-spec change land on top
+    spark.conf.set("spark.sql.catalog.ice_addf13", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_addf13.warehouse", wh)
+    spark.sql("ALTER TABLE ice_addf13.lake.t RENAME COLUMN v TO label")
+    cat.loadTable("lake", "t").setPartitionSpec(Seq("k"))
+    cat.loadTable("lake", "t").append(
+      mk(21 to 30).toDF("id", "label", "k"))
+    // every era serves correctly: imported files resolve their import-time
+    // name for `label`, their import-time (empty) spec for `k` (from
+    // data), the delete holds, and the new era binds k from its dirs
+    val out = spark.sql("SELECT id, label, k FROM ice_addf13.lake.t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out.size == 28 && !out.contains(5L) && !out.contains(15L), s"ids: ${out.keys.toSeq.sorted}")
+    (1 to 30).filterNot(i => i == 5 || i == 15).foreach { i =>
+      assert(out(i.toLong) == (s"v$i", if (i % 2 == 0) "e" else "o"),
+        s"row $i diverged: ${out(i.toLong)}")
+    }
+    // time travel to the import snapshot still reads pre-evolution state
+    assert(cat.loadTable("lake", "t")
+      .scan(snapshotId = Some(importSnap)).count() == 20)
+  }
+
   test("CALL system.snapshot migrates a parquet directory to a new table") {
     import spark.implicits._
     val wh = scratch("addf4")
