@@ -342,6 +342,37 @@ class AddFilesSpec extends SparkSpec {
     }
   }
 
+  test("compaction FINISHES a migration: imported files rewrite into the table") {
+    import spark.implicits._
+    val wh = scratch("addf14")
+    val ext = scratch("addf14-external")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.filter(col("id") <= 30).repartition(1))
+    df.filter(col("id") > 30).repartition(3)
+      .write.mode("overwrite").parquet(ext)
+    tbl.addFiles(ext)
+    // the Iceberg migration epilogue: compact to take ownership — every
+    // visible file is now INSIDE the table tree (imported entries simply
+    // dereferenced), the foreign originals untouched on disk, content equal
+    tbl.compact(targetFiles = 2)
+    val t2 = cat.loadTable("lake", "t")
+    val tableRoot = cat.tablePath("lake", "t").toString
+    val files = t2.visibleFiles(t2.meta.currentSnapshot.get)
+    assert(files.nonEmpty && files.forall(_.path.contains(tableRoot)),
+      s"post-compact files must all live in the table tree: ${files.map(_.path)}")
+    assert(hfs(ext).listStatus(new Path(ext))
+      .count(_.getPath.getName.endsWith(".parquet")) == 3,
+      "compaction must not touch the caller-owned originals")
+    assert(t2.toDF.count() == 60 &&
+      t2.toDF.where(col("id") === 45L).collect()(0).getString(1) == "v45")
+    // ... and the dereferenced foreign paths are beyond GC's reach forever
+    t2.removeOrphanFiles(graceMs = 0L)
+    assert(hfs(ext).listStatus(new Path(ext))
+      .count(_.getPath.getName.endsWith(".parquet")) == 3)
+  }
+
   test("imports survive STACKED evolution: eq-delete, rename, spec change, append") {
     import spark.implicits._
     val wh = scratch("addf13")
