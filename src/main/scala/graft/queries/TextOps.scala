@@ -651,6 +651,48 @@ object TextOps {
         s.conf.getOption("graft.x42.shards").map(_.toInt)
           .getOrElse(X42DefaultShards))),
 
+    // Sequence-length BUCKETING report (round 15) — the batching-efficiency
+    // pass behind bucketed batch samplers (as in T5 / fairseq batching by
+    // length): pad each doc only to its power-of-two bucket cap instead of
+    // the global max sequence length, and quantify the padding saved. Per
+    // bucket: doc count, true token mass, padding paid at the bucket cap,
+    // and padding the same docs would pay at a global 1024 cap — the
+    // difference is the compute a bucketed sampler saves. Integer-exact
+    // throughout (the x30 discipline); docs beyond 1024 tokens contribute
+    // their truncation cap, as a fixed-context trainer would. Row-local
+    // CASE + one map-side-combinable groupBy over ≤7 keys: at 100 TB this
+    // is a single corpus pass with a 7-row result.
+    QDef(
+      "x45_length_bucket_pack",
+      Some("""WITH d AS (
+             |  SELECT len(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+             |b AS (SELECT t,
+             |        CASE WHEN t<=16 THEN 16 WHEN t<=32 THEN 32 WHEN t<=64 THEN 64
+             |             WHEN t<=128 THEN 128 WHEN t<=256 THEN 256
+             |             WHEN t<=512 THEN 512 ELSE 1024 END AS bucket_cap,
+             |        LEAST(t, 1024) AS tc
+             |      FROM d)
+             |SELECT bucket_cap, count(*) AS n_docs,
+             |  CAST(SUM(tc) AS BIGINT) AS sum_tokens,
+             |  CAST(SUM(bucket_cap - tc) AS BIGINT) AS pad_bucketed,
+             |  CAST(SUM(1024 - tc) AS BIGINT) AS pad_global
+             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(size(split(trim(col("text")), "\\s+")).as("t"))
+          .withColumn("bucket_cap",
+            when(col("t") <= 16, 16).when(col("t") <= 32, 32)
+              .when(col("t") <= 64, 64).when(col("t") <= 128, 128)
+              .when(col("t") <= 256, 256).when(col("t") <= 512, 512)
+              .otherwise(1024))
+          .withColumn("tc", least(col("t"), lit(1024)))
+          .groupBy("bucket_cap").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tc").cast("long")).as("sum_tokens"),
+            sum((col("bucket_cap") - col("tc")).cast("long")).as("pad_bucketed"),
+            sum((lit(1024) - col("tc")).cast("long")).as("pad_global"))
+          .orderBy("bucket_cap")),
+
     // DSIR-style importance WEIGHTING (round 14; Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score raw
     // docs by how target-like their hashed-n-gram distribution is. The
