@@ -342,6 +342,37 @@ class AddFilesSpec extends SparkSpec {
     }
   }
 
+  test("recorded era survives rewrite_manifests and expiry (serialization round-trip)") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("addf15"))
+    val ext = scratch("addf15-external")
+    val df = (1L to 20L).map(i => (i, s"v$i", if (i % 2 == 0) "e" else "o"))
+      .toDF("id", "v", "k")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.filter(col("id") <= 10).repartition(1))
+    df.filter(col("id") > 10).repartition(1).write.mode("overwrite").parquet(ext)
+    tbl.addFiles(ext)
+    val importEra = tbl.meta.currentSnapshotId
+    tbl.append(df.limit(0))
+    // rebase the chain into a FULL document, then expire history: the
+    // imported entries' recorded era must ride the rewrite byte-for-byte
+    tbl.rewriteManifests()
+    tbl.expireSnapshots(keepLast = 1)
+    val t2 = cat.loadTable("lake", "t")
+    val imported = t2.visibleFiles(t2.meta.currentSnapshot.get)
+      .filter(_.path.contains("addf15-external"))
+    assert(imported.nonEmpty && imported.forall(_.era == importEra),
+      s"era lost in rebase/expiry: ${imported.map(f => f.path -> f.era)}")
+    // and it still GOVERNS: a spec change after the rebase keeps imported
+    // files reading k from data (their era precedes the change)
+    t2.setPartitionSpec(Seq("k"))
+    cat.loadTable("lake", "t").append(df.limit(0))
+    val out = cat.loadTable("lake", "t").toDF.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size == 20 && (1L to 20L).forall(i =>
+      out(i) == (if (i % 2 == 0) "e" else "o")), s"got $out")
+  }
+
   test("compaction FINISHES a migration: imported files rewrite into the table") {
     import spark.implicits._
     val wh = scratch("addf14")
