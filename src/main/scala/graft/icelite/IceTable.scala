@@ -681,7 +681,7 @@ class IceTable(
           s"column of $namespace.$name")
     }
     def inScope(f: FileStat): Boolean = partitionFilter.isEmpty || {
-      val raw = PartValues.parse(f.path, partitionFilter.keys.toSeq)
+      val raw = f.partRaw(partitionFilter.keys.toSeq)
       partitionFilter.forall { case (c, v) => raw.get(c).contains(Some(v)) }
     }
     val all = visibleFiles(current)
@@ -1175,7 +1175,7 @@ class IceTable(
       // Directory values follow each file's OWN era spec (partition
       // evolution); transform sources live in data and prune via stats.
       val spec = PartField.identityCols(m.specFor(f.eraOrPath))
-      val raw = PartValues.parse(f.path, spec)
+      val raw = f.partRaw(spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       FilePrune.canMatch(keyBounds, tableSchema, f, pv) &&
         keyIn.forall(FilePrune.canMatch(_, tableSchema, f, pv))
@@ -1267,7 +1267,7 @@ class IceTable(
     }
     val (candidates, _) = files.partition { f =>
       val spec = PartField.identityCols(m.specFor(f.eraOrPath))
-      val raw = PartValues.parse(f.path, spec)
+      val raw = f.partRaw(spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
     }
@@ -1282,7 +1282,7 @@ class IceTable(
         .parquet(candidates.map(_.path): _*)
         .filter(fCoalesce(cond, fLit(false)))
         .withColumn("__mfp", col("_metadata.file_path"))
-        .withColumn("__mpos", col("_metadata.row_index")), prior)
+        .withColumn("__mpos", col("_metadata.row_index")), prior, candidates)
       .select(col("__mfp").as("file_path"), col("__mpos").as("pos"))
     // rows already position-deleted must not be deleted (and counted) twice
     val candSet = candidates.map(f => qualify(f.path)).toSet
@@ -1320,15 +1320,28 @@ class IceTable(
     * the totals. Era scope, key null-safety, and own-dir exemption mirror
     * the scan's application exactly.
     */
-  private def minusEqDeleted(df: DataFrame, deletes: Seq[DeleteStat]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+  private def minusEqDeleted(df: DataFrame, deletes: Seq[DeleteStat],
+      candidates: Seq[FileStat]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, regexp_extract, when}
     val eqs = deletes.filter(_.isEquality)
     if (eqs.isEmpty) return df
     // the delete-key frames are parquet reads too, so referencing
     // `_metadata` inside the join condition would be ambiguous — callers
     // materialize it as __mfp first
     val fp = col("__mfp")
-    val rowEra = regexp_extract(fp, "snap-(\\d+)", 1).cast("long")
+    // per-row write era: path-derived for native files; IMPORTED files
+    // (recorded era — their paths carry no snap-N segment, the regex
+    // would read null and their rows would escape every eq-delete scope)
+    // bind the era recorded on their manifest entry, matched by
+    // scheme-free absolute path (`_metadata.file_path` and FileStat paths
+    // can render file:/ vs file:///). O(imported candidates) expression
+    // nodes — bounded by the eq screen's candidate set, and zero-cost on
+    // tables with no imports.
+    val rowEra = candidates.filter(_.era >= 0L)
+      .map(f => (new Path(qualify(f.path)).toUri.getPath, f.era))
+      .foldLeft(regexp_extract(fp, "snap-(\\d+)", 1).cast("long")) {
+        case (acc, (p, era)) => when(fp.endsWith(lit(p)), lit(era)).otherwise(acc)
+      }
     eqs.foldLeft(df) { (acc, d) =>
       val keys = spark.read.parquet(d.path)
         .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
@@ -1455,7 +1468,7 @@ class IceTable(
             .join(org.apache.spark.sql.functions.broadcast(sk), cond, "left_semi")
             .withColumn("__mfp", col("_metadata.file_path"))
             .withColumn("__mpos", col("_metadata.row_index")),
-          prior)
+          prior, candidates)
           .select(col("__mfp").as("file_path"), col("__mpos").as("pos"))
         val candSet = candidates.map(f => qualify(f.path)).toSet
         val priorApplicable = prior.filter(_.dataFiles.exists(candSet))
@@ -1683,36 +1696,84 @@ class IceTable(
     def physOf(f: FileStat): Seq[String] =
       Renames.physicalNames(m.renames, tableSchema, f.eraOrPath)
         .getOrElse(tableSchema.fieldNames.toSeq)
-    files.groupBy(f => (baseOf(f), physOf(f), specOf(f)))
-      .toSeq.sortBy { case ((dir, phys, _), _) => (dir, phys.mkString(",")) }
-      .map { case ((dir, phys, spec), fsInGroup) =>
+    // imported entries (recorded era) bind identity partition values from
+    // the MANIFEST ENTRY, never from path discovery: foreign paths may
+    // carry misleading `col=value` segments, and basePath discovery under
+    // a foreign parent would serve NULLs (or worse, an ancestor dir's
+    // value). One group per (era, recorded values) — O(imported
+    // partitions), the same cardinality native dir discovery handles.
+    def recordedOf(f: FileStat): Option[(Long, Map[String, Option[String]])] =
+      if (f.era >= 0L) Some((f.era, f.partRaw(specOf(f)))) else None
+    files.groupBy(f => (baseOf(f), physOf(f), specOf(f), recordedOf(f)))
+      .toSeq.sortBy { case ((dir, phys, _, rec), _) =>
+        (dir, phys.mkString(","), rec.toString) }
+      .map { case ((dir, phys, spec, rec), fsInGroup) =>
         val physSchema = StructType(tableSchema.fields.zip(phys).map {
           // partition columns cannot be renamed; keep their logical name so
           // directory-derived values bind
           case (f, p) => if (spec.contains(f.name)) f else f.copy(name = p)
         })
-        val rd = spark.read.schema(physSchema)
-        // select by PHYSICAL name and alias to the logical one: partitioned
-        // reads reorder columns (partition cols last), so a positional
-        // rename would mislabel — names are the only stable handle here.
-        // Physical names never collide with other logical names (rename
-        // targets and re-adds of retired names are refused at DDL time).
-        val cols = physSchema.fields.zip(tableSchema.fields).map {
-          case (p, f) => col(p.name).as(f.name)
+        // per-row write era for the eq-delete scoping below: path-derived
+        // for native files (snap-N segment), the RECORDED era for imported
+        // ones (their paths carry no segment — the regex would read null
+        // and the row would escape every equality delete on compaction)
+        def eraCol: org.apache.spark.sql.Column = rec match {
+          case Some((era, _)) => lit(era)
+          case None => org.apache.spark.sql.functions
+            .regexp_extract(col("_metadata.file_path"), "snap-(\\d+)", 1)
+            .cast("long")
         }
-        val withPos =
-          if (!anyDeletes) cols.toIndexedSeq
-          else cols.toIndexedSeq :+
-            col("_metadata.file_path").as("__fp") :+
-            col("_metadata.row_index").as("__pos")
-        (if (dir.isEmpty) rd else rd.option("basePath", dir))
-          .parquet(fsInGroup.map(_.path): _*)
-          .select(withPos: _*)
+        rec match {
+          case Some((_, raw)) =>
+            // read data columns only (imported hive layouts don't carry
+            // identity partition columns; if a file does, the recorded
+            // directory value is authoritative) and inject the recorded
+            // values as typed literals
+            val dataFields = physSchema.fields.zip(tableSchema.fields)
+              .filterNot { case (_, f) => spec.contains(f.name) }
+            val rd = spark.read.schema(StructType(dataFields.map(_._1)))
+            val cols = tableSchema.fields.map { f =>
+              if (spec.contains(f.name))
+                lit(raw.getOrElse(f.name, None).orNull)
+                  .cast(f.dataType).as(f.name)
+              else {
+                val p = dataFields.find(_._2.name == f.name).get._1
+                col(p.name).as(f.name)
+              }
+            }
+            val withPos =
+              if (!anyDeletes) cols.toIndexedSeq
+              else cols.toIndexedSeq :+
+                col("_metadata.file_path").as("__fp") :+
+                col("_metadata.row_index").as("__pos") :+
+                eraCol.as("__era")
+            rd.parquet(fsInGroup.map(_.path): _*).select(withPos: _*)
+          case None =>
+            val rd = spark.read.schema(physSchema)
+            // select by PHYSICAL name and alias to the logical one:
+            // partitioned reads reorder columns (partition cols last), so a
+            // positional rename would mislabel — names are the only stable
+            // handle here. Physical names never collide with other logical
+            // names (rename targets and re-adds of retired names are
+            // refused at DDL time).
+            val cols = physSchema.fields.zip(tableSchema.fields).map {
+              case (p, f) => col(p.name).as(f.name)
+            }
+            val withPos =
+              if (!anyDeletes) cols.toIndexedSeq
+              else cols.toIndexedSeq :+
+                col("_metadata.file_path").as("__fp") :+
+                col("_metadata.row_index").as("__pos") :+
+                eraCol.as("__era")
+            (if (dir.isEmpty) rd else rd.option("basePath", dir))
+              .parquet(fsInGroup.map(_.path): _*)
+              .select(withPos: _*)
+        }
       }
       .reduce(_ unionByName _) match {
       case base if !anyDeletes => base
       case base0 =>
-        import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+        import org.apache.spark.sql.functions.broadcast
         val base =
           if (applicable.isEmpty) base0
           else {
@@ -1721,10 +1782,11 @@ class IceTable(
             base0.join(dels, Seq("__fp", "__pos"), "left_anti")
           }
         // one anti-join per equality delete (they can key on different
-        // column sets): null-safe key match, era-scoped, own-snapshot data
-        // dir exempt (dir basenames are writer-unique, so a name match is
-        // an identity match regardless of path qualification)
-        val rowEra = regexp_extract(col("__fp"), "snap-(\\d+)", 1).cast("long")
+        // column sets): null-safe key match, era-scoped (per-group __era
+        // column — recorded for imported files, path-derived otherwise),
+        // own-snapshot data dir exempt (dir basenames are writer-unique,
+        // so a name match is an identity match regardless of path
+        // qualification)
         eqApplicable.foldLeft(base) { (acc, d) =>
           val keys = spark.read.parquet(d.path)
             .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
@@ -1732,9 +1794,9 @@ class IceTable(
             .map(dir => !col("__fp").contains(s"/${new Path(dir).getName}/"))
             .reduceOption(_ && _).getOrElse(lit(true))
           val cond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
-            rowEra < lit(d.seqId) && exempt
+            col("__era") < lit(d.seqId) && exempt
           acc.join(broadcast(keys), cond, "left_anti")
-        }.drop("__fp", "__pos")
+        }.drop("__fp", "__pos", "__era")
     }
   }
 
@@ -1769,7 +1831,7 @@ class IceTable(
       spark.sparkContext.hadoopConfiguration, visibleFiles(current))
     val (candidates, untouched) = files.partition { f =>
       val spec = PartField.identityCols(m.specFor(f.eraOrPath))
-      val raw = PartValues.parse(f.path, spec)
+      val raw = f.partRaw(spec)
       val pv = PartValues.decodeExternal(tableSchema, spec, raw)
       filters.forall(FilePrune.canMatch(_, tableSchema, f, pv))
     }
@@ -1874,8 +1936,16 @@ class IceTable(
     val metaDir = MetaIo.metadataDir(tableDir)
     if (fs.exists(metaDir)) fs.listStatus(metaDir).foreach { st =>
       val p = qualify(st.getPath.toString)
-      if (st.isFile && st.getPath.getName.startsWith("manifest-") &&
-          !liveManifests.contains(p) && st.getModificationTime < cutoff) {
+      // torn-commit debris: a committer killed between an aside-file write
+      // and its rename leaves `.v*.json.*.tmp` / `.version-hint.*.tmp`
+      // files behind. Same age gate as everything else — an IN-FLIGHT
+      // commit's aside file is never touched. Claim files are kept: they
+      // are the CAS ledger that fences stale stragglers.
+      val tornTmp = st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".tmp")
+      if (st.isFile && st.getModificationTime < cutoff &&
+          ((st.getPath.getName.startsWith("manifest-") &&
+            !liveManifests.contains(p)) || tornTmp)) {
         fs.delete(st.getPath, false)
         deleted += p
       }
@@ -1896,20 +1966,28 @@ class IceTable(
     * renames resolve to current names and existing equality deletes never
     * apply to them, both correct for files joining the table NOW.
     *
-    * Partitioned tables import too — the real hive-migration shape: the
-    * scan binds identity partition values from `col=value` path segments,
-    * so a source already laid out as hive directories matching the
-    * CURRENT spec serves, prunes, and storage-partition-joins exactly
-    * like native files. The gate below runs the same parse+decode the
-    * scan will, per identity column per file, and refuses mismatched
-    * layouts loudly. Transform fields (bucket/days/truncate) must NOT
-    * appear as path segments: their values are engine-computed, a
-    * foreign claim is unverifiable, and a wrong one would silently
-    * corrupt pruning — absent segments are sound (the file's source
-    * column reads from data; it simply never transform-prunes). Should
-    * the data files ALSO carry an identity partition column, the
-    * directory value is authoritative at read time (the hive contract);
-    * the column is never requested from data.
+    * Partitioned tables import too — the real hive-migration shape: a
+    * source laid out as hive directories matching the CURRENT spec
+    * serves, prunes, and storage-partition-joins exactly like native
+    * files. Partition segments are read RELATIVE TO THE SOURCE ROOT —
+    * a `col=value` directory at or above the root never binds (the
+    * caller's tree layout is not a partition claim) — decoded once here,
+    * and RECORDED on each manifest entry ([[FileStat.partVals]], the
+    * manifest-carries-partition-data shape of an Iceberg DataFile):
+    * readers bind imported files' partition values from the entry, never
+    * by re-parsing the absolute path, so a misleading ancestor directory
+    * (`/data/k=test/...`) can neither fake a layout past this gate nor
+    * skew what the scan serves. A single-FILE source therefore cannot
+    * import into an identity-partitioned table (no segments below the
+    * root): point `add_files` at the hive layout's root directory.
+    * Transform fields (bucket/days/truncate) must NOT appear as segments
+    * below the root: their values are engine-computed, a foreign claim is
+    * unverifiable, and a wrong one would silently corrupt pruning —
+    * absent segments are sound (the file's source column reads from
+    * data; it simply never transform-prunes). Should the data files ALSO
+    * carry an identity partition column, the recorded directory value is
+    * authoritative at read time (the hive contract); the column is never
+    * requested from data.
     *
     * Refusals (each names its remedy): hive-layout mismatch against a
     * partitioned table's current spec (above), declared sort
@@ -1951,21 +2029,35 @@ class IceTable(
     paths.foreach(p => require(!existing(FileStats.normPath(p)),
       s"file already referenced by $namespace.$name: $p"))
     val tableSchema = StructType.fromDDL(m0.schemaDdl)
-    // hive-layout gate for partitioned tables: run the exact parse+decode
-    // the scan will, per identity column per file, before committing
+    // hive-layout gate for partitioned tables: parse + decode each file's
+    // segments BELOW the source root, before committing. Segments are
+    // deliberately blind to everything at or above the root — an ancestor
+    // directory that happens to spell `col=value` (the source living under
+    // /data/k=test/...) is tree layout, not a partition claim, and binding
+    // it would silently serve that value for every imported row.
+    val srcRoot = FileStats.normPath(sfs.makeQualified(srcPath).toString)
+    def relOf(p: String): String = {
+      val n = FileStats.normPath(p)
+      if (n == srcRoot) "" else n.stripPrefix(srcRoot + "/")
+    }
     val partFields = PartField.parseSpec(m0.partitionBy)
     val idCols = partFields.filter(_.isIdentity).map(_.source)
+    // parsed once, validated, then RECORDED on the manifest entries below
+    val rawByPath: Map[String, Map[String, Option[String]]] =
+      paths.map(p => FileStats.normPath(p) ->
+        PartValues.parse(relOf(p), idCols)).toMap
     paths.foreach { p =>
+      val raw = rawByPath(FileStats.normPath(p))
       idCols.foreach { c =>
-        val raw = PartValues.parse(p, Seq(c))
         require(raw.contains(c),
           s"add_files source $p carries no '$c=<value>' directory " +
-            s"segment, but $namespace.$name is partitioned by " +
-            s"(${m0.partitionBy.mkString(", ")}) — identity partition " +
-            "values bind from the hive layout at read time; lay the " +
+            s"segment BELOW the source root $source, but $namespace.$name " +
+            s"is partitioned by (${m0.partitionBy.mkString(", ")}) — " +
+            "identity partition values bind from the hive layout under " +
+            "the root (segments at or above it never count); lay the " +
             "source out as hive directories matching the current " +
-            "partition spec, or import into an unpartitioned table and " +
-            "evolve the spec afterwards")
+            "partition spec and point add_files at their root, or import " +
+            "into an unpartitioned table and evolve the spec afterwards")
         require(raw(c).isEmpty ||
             PartValues.decodeExternal(tableSchema, Seq(c), raw).contains(c),
           s"add_files source $p: partition segment '$c=${raw(c).get}' " +
@@ -1973,7 +2065,8 @@ class IceTable(
             "fix the directory value or import into an unpartitioned table")
       }
       partFields.filterNot(_.isIdentity).foreach { t =>
-        require(!PartValues.parse(p, Seq(t.fieldName)).contains(t.fieldName),
+        require(
+          !PartValues.parse(relOf(p), Seq(t.fieldName)).contains(t.fieldName),
           s"add_files source $p carries a '${t.fieldName}=' segment for " +
             s"transform ${t.spec}: transform values are engine-computed " +
             "and an import cannot verify a foreign claim (a wrong value " +
@@ -2022,9 +2115,13 @@ class IceTable(
       // no data/snap-N segment, so without this the files would read as
       // "newest" FOREVER — a later spec change, rename, or MOR equality
       // delete would then silently misresolve them (NULL partition values,
-      // NULL renamed columns, undeleteable rows)
+      // NULL renamed columns, undeleteable rows). The root-relative
+      // partition values validated above are recorded alongside (recorded
+      // even when EMPTY — era >= 0 is the marker): readers bind imported
+      // partition values from the entry, never from the absolute path.
       val importEra = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-      val stamped = added.map(_.copy(era = importEra))
+      val stamped = added.map(f => f.copy(era = importEra,
+        partVals = PartValues.toRecorded(rawByPath(FileStats.normPath(f.path)))))
       try return commitSnapshot(m, "add_files",
         prev.map(s => FileStats.dataDirsOf(fs, s)).getOrElse(Nil),
         stamped, carried = cur,

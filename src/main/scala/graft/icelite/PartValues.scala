@@ -14,6 +14,23 @@ object PartValues {
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Decode a RECORDED raw-value map ([[FileStat.partVals]] — directory
+    * string encoding, [[HiveDefaultPartition]] = null) for the requested
+    * columns. Columns absent from the recorded map are absent from the
+    * result (= "no such directory segment"), exactly like [[parse]] on a
+    * path without the segment.
+    */
+  def fromRecorded(recorded: Map[String, String], cols: Seq[String])
+      : Map[String, Option[String]] =
+    cols.flatMap(c => recorded.get(c).map(v =>
+      c -> (if (v == HiveDefaultPartition) None else Some(v)))).toMap
+
+  /** Encode parsed raw values into the recorded form (inverse of
+    * [[fromRecorded]]): the directory string, nulls as the hive marker.
+    */
+  def toRecorded(raw: Map[String, Option[String]]): Map[String, String] =
+    raw.map { case (c, v) => c -> v.getOrElse(HiveDefaultPartition) }
+
   /** Directory-column alias used when the DataFrame write path must keep the
     * partition column IN the data file too (partition evolution: files must
     * be self-contained so later specs can read old columns from data).

@@ -68,10 +68,32 @@ final case class FileStat(
     // files, and a post-import MOR delete would never reach their rows.
     // Additive (pre-upgrade manifests lack the field and default to -1,
     // preserving their exact prior behavior).
-    era: Long = -1L) {
+    era: Long = -1L,
+    // Raw hive partition values RECORDED on the entry at import time
+    // (add_files), keyed by identity column, values in the directory
+    // encoding (__HIVE_DEFAULT_PARTITION__ = null). Foreign paths may
+    // carry misleading `col=value` segments ABOVE the import root (e.g. a
+    // source living under /data/k=test/...), so for imported entries the
+    // values parsed RELATIVE to the import root at import time are
+    // authoritative and readers never re-parse the absolute path — the
+    // manifest-carries-partition-data shape of an Iceberg DataFile entry.
+    // Empty + era = -1 means a native file: the path layout is
+    // table-owned and parses safely. Additive like `era`.
+    partVals: Map[String, String] = Map.empty) {
 
   /** Effective era: the recorded one when present, else path-derived. */
   def eraOrPath: Long = if (era >= 0L) era else Renames.eraOf(path)
+
+  /** Raw hive partition values for `cols`: the values RECORDED at import
+    * time for imported entries (era >= 0 — recorded even when EMPTY, so an
+    * import into an unpartitioned/transform-only spec can never pick up a
+    * spurious `col=value` ancestor segment later), else parsed from the
+    * table-owned path. EVERY reader binding partition/transform values
+    * from a FileStat must go through here, never PartValues.parse(f.path).
+    */
+  def partRaw(cols: Seq[String]): Map[String, Option[String]] =
+    if (era >= 0L) PartValues.fromRecorded(partVals, cols)
+    else PartValues.parse(path, cols)
 
   def nullCount(c: String): Option[Long] = nulls.get(c).flatMap(_.toLongOption)
 
@@ -463,6 +485,21 @@ object MetaIo {
     .registerModule(DefaultScalaModule)
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
+  /** Test-only failpoint: the name of a commit step to die at, simulating
+    * a process kill mid-commit ([[TornCommitSpec]]). Steps, in commit
+    * order: "manifests-written" (externalize done, nothing claimed),
+    * "claimed" (version CAS taken, no version file), "vfile-renamed"
+    * (version file durable, hint not swapped), "hint-tmp-written" (hint
+    * aside-file written, not renamed). Production never sets this.
+    */
+  @volatile private[graft] var commitFailpoint: String = ""
+
+  private[graft] final class InjectedCommitCrash(step: String)
+      extends RuntimeException(s"injected commit crash at '$step'")
+
+  private def trip(step: String): Unit =
+    if (commitFailpoint == step) throw new InjectedCommitCrash(step)
+
   private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
     val out = fs.create(p, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -490,15 +527,56 @@ object MetaIo {
         try Some(readFile(fs, hintFile(tableDir)).trim)
         catch { case _: java.io.FileNotFoundException => None } // mid-swap
       raw.flatMap(_.toIntOption) match {
-        case Some(v) =>
-          val json = readFile(fs, new Path(metadataDir(tableDir), s"v$v.json"))
-          return mapper.readValue(json, classOf[TableMeta])
+        case Some(v) => return rollForward(fs, tableDir, v)
         case None if attempt < 20 => attempt += 1; Thread.sleep(5)
         case None => throw new IllegalStateException(
           s"unreadable version hint for $tableDir: '${raw.getOrElse("<absent>")}'")
       }
     }
     null // unreachable
+  }
+
+  /** Load the hinted version, then ROLL FORWARD past it (crash recovery):
+    * a committer that died between its version-file rename and the hint
+    * swap leaves a COMPLETE v{N}.json (tmp+rename — existence implies
+    * integrity) that the hint never points at; without recovery the next
+    * writer CASes on version N forever. The hint is a hint, not the
+    * commit point — the head is the highest CONTIGUOUS version file. One
+    * exists() probe per read in the steady state (v+1 absent); an actual
+    * roll-forward also repairs the hint opportunistically (best-effort —
+    * rename-swapped like the committer's, and a racing newer swap is
+    * self-healing because every reader probes forward again). A v-file
+    * that exists but fails to parse (non-atomic FS mid-write) stops the
+    * walk at the last sound head rather than failing the read.
+    */
+  private def rollForward(fs: FileSystem, tableDir: Path, hinted: Int): TableMeta = {
+    val dir = metadataDir(tableDir)
+    var head = hinted
+    var meta = mapper.readValue(
+      readFile(fs, new Path(dir, s"v$head.json")), classOf[TableMeta])
+    var walking = true
+    while (walking) {
+      val next = new Path(dir, s"v${head + 1}.json")
+      if (!fs.exists(next)) walking = false
+      else scala.util.Try(
+        mapper.readValue(readFile(fs, next), classOf[TableMeta])) match {
+        case scala.util.Success(m2) => head += 1; meta = m2
+        case scala.util.Failure(_) => walking = false
+      }
+    }
+    if (head != hinted) {
+      try {
+        val hintTmp = new Path(dir,
+          s".version-hint.${java.util.UUID.randomUUID()}.tmp")
+        writeFile(fs, hintTmp, head.toString)
+        if (!fs.rename(hintTmp, hintFile(tableDir))) {
+          fs.delete(hintFile(tableDir), false)
+          if (!fs.rename(hintTmp, hintFile(tableDir)))
+            fs.delete(hintTmp, false)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () } // repair is optional
+    }
+    meta
   }
 
   // Manifest files are immutable once written (snapshots never change), so
@@ -821,6 +899,7 @@ object MetaIo {
       val dir = metadataDir(tableDir)
       fs.mkdirs(dir)
       val (meta, newManifests) = externalize(fs, tableDir, meta0)
+      trip("manifests-written")
       val vFile = new Path(dir, s"v${meta.version}.json")
       // Claim the version with create-no-overwrite BEFORE writing anything:
       // local-FS rename() silently REPLACES an existing destination, so
@@ -833,11 +912,34 @@ object MetaIo {
         try { fs.create(claim, false).close(); true }
         catch { case _: java.io.IOException => false }
       if (!claimed) {
-        // this attempt lost the race — its manifest files are unreferenced
-        newManifests.foreach(m => fs.delete(m, false))
-        throw new IllegalStateException(
-          s"concurrent commit detected for ${meta.namespace}.${meta.name} v${meta.version}")
+        // Crash recovery (torn commit): a committer that died BETWEEN its
+        // claim create and its version-file rename leaves a claim with no
+        // v-file — without recovery every later writer of this table
+        // fails the CAS on this version forever (the hint never advances
+        // past it). The claim counts as ABANDONED when its version file
+        // is absent AND the claim is older than `commit.claim-grace-ms`
+        // (default 10 min): a real crash leaves a dead process, so taking
+        // over the version is safe, while a merely-slow claimer inside
+        // the grace keeps its exclusivity. Same-JVM committers are
+        // exactly serialized by the per-table lock above; cross-process
+        // takeover shares the commit protocol's documented best-effort
+        // envelope on non-HDFS stores. If the version file EXISTS the
+        // version genuinely committed — lose the race normally (the
+        // retry re-reads, rolls forward, and rebases on it).
+        val grace = meta.properties.get("commit.claim-grace-ms")
+          .flatMap(_.trim.toLongOption).getOrElse(600000L)
+        val abandoned = !fs.exists(vFile) &&
+          (try System.currentTimeMillis() -
+            fs.getFileStatus(claim).getModificationTime >= grace
+          catch { case _: java.io.IOException => false })
+        if (!abandoned) {
+          // this attempt lost the race — its manifest files are unreferenced
+          newManifests.foreach(m => fs.delete(m, false))
+          throw new IllegalStateException(
+            s"concurrent commit detected for ${meta.namespace}.${meta.name} v${meta.version}")
+        }
       }
+      trip("claimed")
       // tmp + rename keeps READERS atomic (they never see a partial v-file);
       // committer exclusion already happened above
       val tmp = new Path(dir, s".v${meta.version}.json.${java.util.UUID.randomUUID()}.tmp")
@@ -848,6 +950,7 @@ object MetaIo {
         throw new IllegalStateException(
           s"commit rename failed for ${meta.namespace}.${meta.name} v${meta.version}")
       }
+      trip("vfile-renamed")
       // hint swap must be ATOMIC for readers (create(overwrite) truncates
       // first — a concurrent read would see an empty file): write aside,
       // rename over. Rename replaces the destination atomically on
@@ -855,6 +958,7 @@ object MetaIo {
       val hintTmp = new Path(dir,
         s".version-hint.${java.util.UUID.randomUUID()}.tmp")
       writeFile(fs, hintTmp, meta.version.toString)
+      trip("hint-tmp-written")
       if (!fs.rename(hintTmp, hintFile(tableDir))) {
         // local FS may refuse rename-over-existing; fall back to delete+rename
         fs.delete(hintFile(tableDir), false)

@@ -109,21 +109,16 @@ object PartField {
   def hasTransforms(spec: Seq[String]): Boolean =
     spec.exists(e => !parse(e).isIdentity)
 
-  /** The partition spec in force for the file at `path` under a partition-
-    * evolution ledger: the entry whose cutoff covers the file's write era,
-    * else the current spec. ONE implementation on purpose — the DSv2
+  /** The partition spec in force for a file under a partition-evolution
+    * ledger, consulting the manifest entry's RECORDED era first — imported
+    * files (add_files) have no era in their path, so the entry carries the
+    * import snapshot instead. ONE implementation on purpose — the DSv2
     * scan's pruning, the exact-filter claim, the manifest aggregate, and
     * the streaming planner must all resolve eras identically or the
     * exactness claims silently diverge from the files actually planned.
-    */
-  def specFor(path: String, partitionBy: Seq[String],
-      specs: Seq[PartSpecChange]): Seq[String] =
-    specForEra(Renames.eraOf(path), partitionBy, specs)
-
-  /** Same, consulting the manifest entry's RECORDED era first — imported
-    * files (add_files) have no era in their path, so the entry carries the
-    * import snapshot instead. Every consumer holding a [[FileStat]] must
-    * use this form, or imported files resolve to the CURRENT spec forever.
+    * Deliberately NO path-based overload: a path form would resolve
+    * imported files to the wrong (newest) spec — every consumer holds a
+    * [[FileStat]] and must route era resolution through `f.eraOrPath`.
     */
   def specFor(f: FileStat, partitionBy: Seq[String],
       specs: Seq[PartSpecChange]): Seq[String] =

@@ -144,8 +144,12 @@ private[v2] class IceLiteChangelogStream(
           s"#${s.snapshotId} (${s.operation}) — changelog streams are " +
           "defined over append/merge-on-read history only (reset the " +
           "checkpoint past it, or replay via a batch diff)")
-      def consts(tpe: String, path: String): Map[String, Option[String]] =
-        PartValues.parse(path, identityBy) ++
+      // imported (recorded-era) entries bind identity partition values
+      // from their manifest entry, never from the foreign absolute path
+      def consts(tpe: String, path: String,
+          st: Option[graft.icelite.FileStat]): Map[String, Option[String]] =
+        st.map(_.partRaw(identityBy))
+          .getOrElse(PartValues.parse(path, identityBy)) ++
           (if (tableSchema.fieldNames.contains(IceLiteScan.ChangeTypeCol))
             Map(IceLiteScan.ChangeTypeCol -> Some(tpe)) else Map.empty) ++
           (if (tableSchema.fieldNames.contains(IceLiteScan.CommitSnapCol))
@@ -160,7 +164,7 @@ private[v2] class IceLiteChangelogStream(
       FileStats.visible(fs, s)
         .filter(f => addedPaths(FileStats.normPath(f.path)) && fileCanMatch(f))
         .foreach { f =>
-          parts += IceLiteInputPartition(f.path, f.bytes, consts("insert", f.path))
+          parts += IceLiteInputPartition(f.path, f.bytes, consts("insert", f.path, Some(f)))
         }
       // deletes committed BY this snapshot, resolved to the rows they
       // killed; parent manifests materialize lazily (eq resolution only)
@@ -176,7 +180,7 @@ private[v2] class IceLiteChangelogStream(
           // delete row (unknown stat = keep, conservative)
           d.appliesTo.foreach { e =>
             if (pByPath.get(normPath(e.path)).forall(fileCanMatch))
-              parts += IceLiteInputPartition(e.path, 0L, consts("delete", e.path),
+              parts += IceLiteInputPartition(e.path, 0L, consts("delete", e.path, pByPath.get(normPath(e.path))),
                 matchDeleteFiles = Seq(d.path))
           }
         } else {
@@ -214,7 +218,7 @@ private[v2] class IceLiteChangelogStream(
                 StructType(ds.eqCols.map(c => tableStruct(c))).json, keyIdx)
             }
             val base = IceLiteInputPartition(f.path, f.bytes,
-              consts("delete", f.path),
+              consts("delete", f.path, Some(f)),
               deleteFiles = delFor, eqDeletes = eqFor.map(task),
               matchEqDeletes = Seq(task(d)))
             parts +=

@@ -498,7 +498,7 @@ private[v2] class IceLiteScanBuilder(
       tableSchema.fieldNames.contains(c) && files.forall { f =>
         val spec = graft.icelite.PartField.specFor(f, partitionBy, specs)
         graft.icelite.PartField.identityCols(spec).contains(c) && {
-          val raw = PartValues.parse(f.path, Seq(c))
+          val raw = f.partRaw(Seq(c))
           PartValues.decodeExternal(tableSchema, Seq(c), raw).contains(c)
         }
       }
@@ -544,8 +544,7 @@ private[v2] class IceLiteScanBuilder(
       else files.filter { f =>
         val spec = graft.icelite.PartField.specFor(f, partitionBy, specs)
         val idCols = graft.icelite.PartField.identityCols(spec)
-        val pv = PartValues.decodeExternal(tableSchema, idCols,
-          PartValues.parse(f.path, idCols))
+        val pv = PartValues.decodeExternal(tableSchema, idCols, f.partRaw(idCols))
         exact.forall(fl => FilePrune.canMatch(fl, tableSchema, f, pv))
       }
     ManifestAgg.evaluate(agg, tableSchema, partitionBy, fs, residual, specs)
@@ -674,7 +673,7 @@ private[v2] object ManifestAgg {
     files.foreach { f =>
       val spec = graft.icelite.PartField.specFor(f, partitionBy0, specs)
       if (!graft.icelite.PartField.identityCols(spec).contains(c)) return None
-      val raw = PartValues.parse(f.path, Seq(c))
+      val raw = f.partRaw(Seq(c))
       if (!raw.contains(c)) return None
       raw(c) match {
         case None => out += f -> None
@@ -951,7 +950,7 @@ private[v2] object ManifestAgg {
     // open files lazily so these should not occur, but the invariant is
     // kept local rather than assumed.
     val parsed = files.filter(_.rows > 0)
-      .map(f => f -> PartValues.parse(f.path, dirFields))
+      .map(f => f -> f.partRaw(dirFields))
     // a path missing any group directory segment cannot be grouped from
     // metadata — refuse rather than fold it into the null group
     if (parsed.exists { case (_, m) => !dirFields.forall(m.contains) }) return None
@@ -1800,9 +1799,13 @@ private[v2] class IceLiteScan(
     case f => StructField(f.fieldName, IntegerType) // bucket + temporal
   })
 
-  private def spjKeyOf(path: String): Option[Seq[Any]] = {
+  private def spjKeyOf(f: graft.icelite.FileStat): Option[Seq[Any]] = {
     val names = spjFields.map(_.fieldName)
-    val raw = PartValues.parse(path, names)
+    // recorded-era (imported) entries bind from the manifest entry; for a
+    // spec with transform fields the recorded map never carries them
+    // (imports refuse transform segments), so such files yield None and
+    // SPJ reporting stays off — never a fabricated clustering
+    val raw = f.partRaw(names)
     if (names.exists(n => !raw.contains(n))) None
     else
       try {
@@ -1817,7 +1820,7 @@ private[v2] class IceLiteScan(
   private lazy val spjKeys: Option[Map[String, Seq[Any]]] =
     if (spjFields.isEmpty) None
     else {
-      val ks = planned.map { case (f, _) => f.path -> spjKeyOf(f.path) }
+      val ks = planned.map { case (f, _) => f.path -> spjKeyOf(f) }
       if (ks.isEmpty || ks.exists(_._2.isEmpty)) None
       else Some(ks.map { case (p, k) => p -> k.get }.toMap)
     }
@@ -2265,13 +2268,12 @@ private[v2] class IceLiteMicroBatchStream(
       spec: Seq[String]): Boolean =
     pushedFilters.isEmpty || {
       val idCols = graft.icelite.PartField.identityCols(spec)
-      val pv = PartValues.decodeExternal(tableSchema, idCols,
-        PartValues.parse(f.path, idCols))
+      val pv = PartValues.decodeExternal(tableSchema, idCols, f.partRaw(idCols))
       val tFields = graft.icelite.PartField.parseSpec(spec)
         .filterNot(_.isIdentity)
       val tRaw =
         if (tFields.isEmpty) Map.empty[String, Option[String]]
-        else PartValues.parse(f.path, tFields.map(_.fieldName))
+        else f.partRaw(tFields.map(_.fieldName))
       pushedFilters.forall(fl =>
         FilePrune.canMatch(fl, tableSchema, f, pv) &&
           (tFields.isEmpty ||
@@ -2300,7 +2302,7 @@ private[v2] class IceLiteMicroBatchStream(
         val spec = specOf(f)
         if (spec == partitionBy)
           IceLiteInputPartition(f.path, f.bytes,
-            PartValues.parse(f.path, identityBy),
+            f.partRaw(identityBy),
             graft.icelite.Renames.physicalNames(m.renames, dataSchema,
               f.eraOrPath).getOrElse(Nil)): InputPartition
         else {
@@ -2322,7 +2324,7 @@ private[v2] class IceLiteMicroBatchStream(
           require(perm.forall(_ >= 0),
             s"partition-evolution layout mismatch for ${f.path}")
           IceLiteInputPartition(f.path, f.bytes,
-            PartValues.parse(f.path, idOfSpec),
+            f.partRaw(idOfSpec),
             graft.icelite.Renames.physicalNames(m.renames, fileData,
               f.eraOrPath).getOrElse(Nil),
             fileDataSchemaJson = fileData.json,
@@ -2371,7 +2373,7 @@ private[graft] object PruneEval extends Serializable {
     // columns in data, so the stats exist)
     val spec = PartField.specFor(f, partitionBy, specs)
     val idCols = PartField.identityCols(spec)
-    val raw = PartValues.parse(f.path, idCols)
+    val raw = f.partRaw(idCols)
     val pv = PartValues.decodeExternal(tableSchema, idCols, raw)
     // hidden-partitioning: predicates on a transform's SOURCE column map
     // through the transform onto the file's dir value — bucket equality,
@@ -2379,7 +2381,7 @@ private[graft] object PruneEval extends Serializable {
     val tFields = PartField.parseSpec(spec).filterNot(_.isIdentity)
     val tRaw =
       if (tFields.isEmpty) Map.empty[String, Option[String]]
-      else PartValues.parse(f.path, tFields.map(_.fieldName))
+      else f.partRaw(tFields.map(_.fieldName))
     if (fs.forall(fl => FilePrune.canMatch(fl, tableSchema, f, pv) &&
         (tFields.isEmpty ||
           graft.icelite.TransformPrune.canMatch(fl, tableSchema, tFields, tRaw))))

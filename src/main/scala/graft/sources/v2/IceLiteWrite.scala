@@ -420,7 +420,7 @@ private[v2] class IceLiteBatchWrite(
     val touched: Set[Seq[Option[String]]] =
       if (!dynamicOverwrite || dirFields.isEmpty) Set.empty
       else added.map { f =>
-        val pv = graft.icelite.PartValues.parse(f.path, dirFields)
+        val pv = f.partRaw(dirFields)
         require(dirFields.forall(pv.contains),
           s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
         dirFields.map(pv(_))
@@ -453,7 +453,7 @@ private[v2] class IceLiteBatchWrite(
         if (dynamicOverwrite) {
           if (dirFields.isEmpty) Nil // unpartitioned: replace wholesale
           else visibleNow.filterNot { f =>
-            val pv = graft.icelite.PartValues.parse(f.path, dirFields)
+            val pv = f.partRaw(dirFields)
             require(dirFields.forall(pv.contains),
               s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
             touched.contains(dirFields.map(pv(_)))
@@ -477,7 +477,7 @@ private[v2] class IceLiteBatchWrite(
                 "file granularity; use DELETE + INSERT or MERGE instead")
             val refs = fls.flatMap(_.references).distinct.filter(idCols.contains)
             def satisfies(f: FileStat): Boolean = {
-              val raw = graft.icelite.PartValues.parse(f.path, refs)
+              val raw = f.partRaw(refs)
               require(refs.forall(raw.contains),
                 s"overwrite of $ns.$table: cannot read partition values of ${f.path}")
               val pv = graft.icelite.PartValues.decodeExternal(tableSchema, refs, raw)

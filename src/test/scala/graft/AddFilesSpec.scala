@@ -480,6 +480,66 @@ class AddFilesSpec extends SparkSpec {
       s"CALL ice_snap.system.snapshot('$ext', 'lake.m')"))
   }
 
+  test("ancestor 'col=value' directories never bind: segments parse relative to the import root") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("addf16"))
+    val base = scratch("addf16-src")
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", s"v$i"))
+      .toDF("id", "k", "v")
+
+    // (1) flat tree under a misleading ancestor into a k-partitioned
+    // table: an absolute-path parse would silently bind k='test' for
+    // every imported row; the gate must refuse instead
+    val trap = base + "/k=test/dump"
+    df.drop("k").repartition(1).write.mode("overwrite").parquet(trap)
+    val pt = cat.createTable("lake", "pt", df.schema, partitionBy = Seq("k"))
+    val e1 = intercept[IllegalArgumentException](pt.addFiles(trap))
+    assert(e1.getMessage.contains("BELOW the source root"), e1.getMessage)
+
+    // (2) a single FILE cannot import into a partitioned table (no
+    // segments below the root by construction)
+    val oneFile = hfs(trap).listStatus(new Path(trap)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get.toString
+    val e2 = intercept[IllegalArgumentException](pt.addFiles(oneFile))
+    assert(e2.getMessage.contains("BELOW the source root"), e2.getMessage)
+
+    // (3) proper hive layout UNDER a misleading ancestor: the below-root
+    // values are authoritative, RECORDED on the manifest entries, and
+    // nothing ever serves the ancestor's 'zzz'
+    val good = base + "/k=zzz/srcroot"
+    df.write.mode("overwrite").partitionBy("k").parquet(good)
+    pt.addFiles(good)
+    val out = pt.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 20 && out(5L) == "a" && out(15L) == "b", s"got $out")
+    assert(pt.toDF.where(col("k") === "zzz").count() == 0)
+    val entries = pt.visibleFiles(pt.meta.currentSnapshot.get)
+    assert(entries.nonEmpty && entries.forall(f =>
+      f.era >= 0 && f.partVals.keySet == Set("k") &&
+        Set("a", "b").contains(f.partVals("k"))),
+      s"import must record root-relative partition values: $entries")
+
+    // (4) COW rewrite of imported partitioned files binds the RECORDED
+    // values (path discovery under a foreign parent would serve NULLs)
+    pt.upsert(Seq((5L, "a", "UPDATED")).toDF("id", "k", "v"), Seq("id"))
+    val out2 = pt.toDF.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out2.size == 20 && out2(5L) == ("a", "UPDATED") &&
+      out2(6L) == ("a", "v6") && out2(15L) == ("b", "v15"),
+      s"COW rewrite must preserve imported partition values: $out2")
+
+    // (5) a misleading TRANSFORM ancestor neither blocks the import nor
+    // fakes a prune: id_bucket=0 above the root is tree layout, and the
+    // scan must still find ids of every bucket
+    val bt = cat.createTable("lake", "bt", df.schema,
+      partitionBy = Seq("bucket(4,id)"))
+    val tsrc = base + "/id_bucket=0/dump2"
+    df.repartition(1).write.mode("overwrite").parquet(tsrc)
+    bt.addFiles(tsrc)
+    assert((1L to 20L).forall(i =>
+      bt.toDF.where(col("id") === i).count() == 1),
+      "an ancestor transform segment must never prune imported files")
+  }
+
   test("CALL system.add_files reports counts; DML after import stays correct") {
     import spark.implicits._
     val wh = scratch("addf3")
