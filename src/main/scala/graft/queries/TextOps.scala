@@ -13,6 +13,20 @@ import QUtil._
   */
 object TextOps {
 
+  /** Where x26b materializes its per-doc BPE token counts: written by the
+    * Spark query (via `QUtil.freshWarehouse(s, X26bCountsTag)`), read back
+    * by the SAME query (so the compared result derives from the file
+    * bytes) and by the DuckDB oracle (which replays the whole mixing
+    * decision over the counts). Path derived from the ONE shared
+    * QUtil.WarehouseRoot constant — never spelled independently — and
+    * declared ABOVE the query list: a COMPUTED val referenced from the
+    * oracle-string interpolation below would read null under Scala's
+    * textual object-initialization order if it lived after it (exactly
+    * the r16 gate failure that moved it here).
+    */
+  private[graft] final val X26bCountsTag = "x26b_bpe_counts"
+  private[graft] final val X26bCountsFixture = QUtil.fixturePath(X26bCountsTag)
+
   /** Whitespace tokenization shared by the text operators. */
   private def tokens: Column = split(trim(col("text")), "\\s+")
 
@@ -608,7 +622,7 @@ object TextOps {
         encodeBpe(t(s, dir, "documents"), learned)
           .select(col("doc_id"), col("lang"), col("n_tokens").as("tokens"))
           .write.mode("overwrite").parquet(
-            QUtil.freshWarehouse(s, "x26b_bpe_counts"))
+            QUtil.freshWarehouse(s, X26bCountsTag))
         budgetMix(s.read.parquet(X26bCountsFixture))
       }),
 
@@ -1114,14 +1128,6 @@ object TextOps {
     * at shard boundaries).
     */
   private[graft] final val X42DefaultShards = 32
-
-  /** Where x26b materializes its per-doc BPE token counts: written by the
-    * Spark query (via `QUtil.freshWarehouse(s, "x26b_bpe_counts")`, which
-    * resolves to exactly this path), read back by the SAME query (so the
-    * compared result derives from the file bytes) and by the DuckDB
-    * oracle (which replays the whole mixing decision over the counts).
-    */
-  private[graft] final val X26bCountsFixture = "/root/repo/target/qwh/x26b_bpe_counts"
 
   /** The x42 sequence-packing plan at a given shard count: per-shard
     * running prefix sum over doc_id order, no global sort — sequence ids

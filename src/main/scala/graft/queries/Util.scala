@@ -44,9 +44,25 @@ object QUtil {
     case _ => df
   }
 
+  /** Root of every per-query scratch warehouse / materialized fixture.
+    * The ONE spelling shared by writers ([[freshWarehouse]]) and by
+    * oracle SQL templates that read a fixture back ([[fixturePath]]) —
+    * an oracle embedding its own copy of the path could silently read a
+    * stale fixture from a different location after a refactor.
+    */
+  final val WarehouseRoot = "/root/repo/target/qwh"
+
+  /** The on-disk path of a named fixture under [[WarehouseRoot]] — what an
+    * oracle SQL template embeds. The producing query MUST write the
+    * fixture through [[freshWarehouse]] with the same tag (delete-before-
+    * write), so within one harness pass the oracle can only observe the
+    * bytes the Spark side just produced.
+    */
+  def fixturePath(tag: String): String = s"$WarehouseRoot/$tag"
+
   /** Scratch warehouse for one query run (wiped first — reruns idempotent). */
   def freshWarehouse(s: SparkSession, tag: String): String = {
-    val wh = s"/root/repo/target/qwh/$tag"
+    val wh = fixturePath(tag)
     val p = new org.apache.hadoop.fs.Path(wh)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
