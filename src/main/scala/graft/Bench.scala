@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The calibration-normalized suspect gate, PURE so `BenchSpec` can pin
+    * it with a table of cases before it next adjudicates a poisoned run:
+    * a query is suspect when its min exceeds 3x its archived prior AND
+    * +0.5s absolute (sub-100ms queries triple on scheduler noise alone),
+    * with the prior scaled by (calibration_now / calibration_prior) when
+    * the archive carries one — a uniformly slower box must not read as a
+    * fleet-wide regression, and a uniformly faster one must not mask a
+    * real 3x. No prior calibration (pre-round-15 archives) = raw compare.
+    * Failed measurements (-1 on either side) never flag.
+    */
+  private[graft] def suspectOf(results: Seq[(String, Double)],
+      prior: Map[String, Double], priorCalib: Option[Double],
+      calibrationNow: Double): Seq[String] = {
+    val scale = priorCalib.filter(_ > 0).map(calibrationNow / _).getOrElse(1.0)
+    results.collect { case (name, v)
+      if v > 0 && prior.get(name).exists(p =>
+        p > 0 && v > p * scale * 3 && v - p * scale > 0.5) => name }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,10 +159,7 @@ object Bench {
             }
             val priorCalib = Option(root.get("calibration_sec"))
               .map(_.asDouble(-1.0)).filter(_ > 0)
-            val scale = priorCalib.map(calibration / _).getOrElse(1.0)
-            results.collect { case (name, v)
-              if v > 0 && prior.get(name).exists(p =>
-                p > 0 && v > p * scale * 3 && v - p * scale > 0.5) => name }
+            suspectOf(results, prior, priorCalib, calibration)
           } catch { case e: Exception =>
             System.err.println(s"[bench] suspect check skipped ($file): $e")
             Nil
