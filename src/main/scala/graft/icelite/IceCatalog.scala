@@ -124,6 +124,11 @@ object IceCatalog {
       if (k == "manifest.chain-cap")
         require(v.trim.toIntOption.exists(_ >= 0),
           s"invalid $k '$v': expected a non-negative integer (0 disables delta manifests)")
+      if (k == "commit.claim-grace-ms")
+        require(v.trim.toLongOption.exists(_ >= 0),
+          s"invalid $k '$v': expected a non-negative integer (ms a version " +
+            "claim without its version file must age before a writer may " +
+            "take the version over as a torn commit)")
       if (k == "write.metadata.previous-versions-max")
         require(v.trim.toIntOption.exists(_ >= 1),
           s"invalid $k '$v': expected a positive integer (previous version " +

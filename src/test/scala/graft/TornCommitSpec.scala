@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.icelite.{IceCatalog, MetaIo}
+
+/** Torn-commit crash properties: a commit killed at EACH protocol step
+  * (manifest write -> version CAS -> version-file rename -> hint swap;
+  * injected via MetaIo.commitFailpoint, production code paths unchanged)
+  * must leave the table in a state where
+  *
+  *  1. reads are CONSISTENT — the prior version for a pre-version-file
+  *     kill; the torn-but-durable commit for a post-version-file kill
+  *     (rename is atomic, so the version file's existence implies
+  *     integrity: the roll-forward read adopts it rather than losing it);
+  *  2. a subsequent writer SUCCEEDS — abandoned claims (no version file,
+  *     older than `commit.claim-grace-ms`) are taken over, completed-but-
+  *     unswapped versions are rolled past;
+  *  3. orphan GC reclaims the partial artifacts past the age gate (data
+  *     files of the dead attempt, unreferenced manifests, aside `.tmp`
+  *     files) while claim markers — the anti-straggler CAS ledger — and
+  *     all live data survive.
+  */
+class TornCommitSpec extends SparkSpec {
+
+  private def hfs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val steps =
+    Seq("manifests-written", "claimed", "vfile-renamed", "hint-tmp-written")
+
+  test("a commit killed at each protocol step: consistent reads, recoverable writes, GC-able debris") {
+    import spark.implicits._
+    steps.foreach { step =>
+      val wh = scratch(s"torn-$step")
+      val cat = new IceCatalog(spark, wh)
+      val df1 = (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v")
+      val df2 = (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v")
+      val df3 = (21L to 30L).map(i => (i, s"c$i")).toDF("id", "v")
+      val tbl = cat.createTable("lake", "t", df1.schema,
+        properties = Map("commit.claim-grace-ms" -> "0"))
+      tbl.append(df1.repartition(1))
+
+      // kill the next commit at `step` (the failpoint throws where a
+      // process crash would stop; the exception must NOT be the retryable
+      // concurrent-commit shape, or append would paper over it)
+      MetaIo.commitFailpoint = step
+      try intercept[MetaIo.InjectedCommitCrash] {
+        cat.loadTable("lake", "t").append(df2.repartition(1))
+      } finally MetaIo.commitFailpoint = ""
+
+      def ids(): Set[Long] = cat.loadTable("lake", "t").toDF
+        .select("id").collect().map(_.getLong(0)).toSet
+      // (1) reads are consistent: pre-version-file kills serve the prior
+      // version; post-version-file kills serve the durable torn commit
+      val durable = step == "vfile-renamed" || step == "hint-tmp-written"
+      val expectAfterCrash =
+        if (durable) (1L to 20L).toSet else (1L to 10L).toSet
+      assert(ids() == expectAfterCrash, s"[$step] read after crash")
+
+      // (2) a subsequent writer succeeds and lands ON TOP of the
+      // consistent state (no lost update, no version brick)
+      cat.loadTable("lake", "t").append(df3.repartition(1))
+      val expectAfterRecovery = expectAfterCrash ++ (21L to 30L)
+      assert(ids() == expectAfterRecovery, s"[$step] recovery append")
+
+      // (3) orphan GC reclaims the dead attempt's debris past the age
+      // gate; live rows and the claim ledger survive
+      cat.loadTable("lake", "t").removeOrphanFiles(graceMs = 0L)
+      assert(ids() == expectAfterRecovery, s"[$step] GC must not eat live data")
+      val metaDir = hfs(wh).listStatus(
+        new Path(s"$wh/lake/t/metadata")).map(_.getPath.getName)
+      assert(!metaDir.exists(_.endsWith(".tmp")),
+        s"[$step] GC must sweep torn aside-files, got ${metaDir.toSeq}")
+      assert(metaDir.exists(_.endsWith(".claim")),
+        s"[$step] claim markers are the CAS ledger and must survive GC")
+      if (!durable) {
+        // the dead attempt's data files are unreferenced by any snapshot
+        // and must be gone; every remaining file belongs to a manifest
+        val live = {
+          val t = cat.loadTable("lake", "t")
+          t.meta.snapshots.flatMap(s => t.visibleFiles(s))
+            .map(f => hfs(wh).makeQualified(new Path(f.path)).toString).toSet
+        }
+        val it = hfs(wh).listFiles(new Path(s"$wh/lake/t/data"), true)
+        val onDisk = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => hfs(wh).makeQualified(f.getPath).toString).toSet
+        assert(onDisk.subsetOf(live),
+          s"[$step] dead attempt's data files must be GC-ed: ${onDisk -- live}")
+      }
+
+      // (4) the recovered table keeps committing normally (the takeover /
+      // roll-forward left no wedged state behind)
+      cat.loadTable("lake", "t").append(df1.select(col("id") + 100, col("v"))
+        .toDF("id", "v").repartition(1))
+      assert(ids().size == expectAfterRecovery.size + 10, s"[$step] post-recovery append")
+    }
+  }
+
+  test("an in-grace claim is NOT taken over (a slow committer keeps exclusivity)") {
+    import spark.implicits._
+    val wh = scratch("torn-grace")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+    // default grace (10 min): a fresh claim with no version file reads as
+    // in-flight, so the next writer loses the CAS loudly instead of
+    // racing the claimer's imminent version-file rename
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.repartition(1))
+    MetaIo.commitFailpoint = "claimed"
+    try intercept[MetaIo.InjectedCommitCrash] {
+      cat.loadTable("lake", "t").append(df.repartition(1))
+    } finally MetaIo.commitFailpoint = ""
+    val e = intercept[IllegalStateException] {
+      cat.loadTable("lake", "t").append(df.repartition(1))
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+  }
+}
