@@ -46,6 +46,68 @@ class DsV2Spec extends SparkSpec {
     } finally spark.conf.unset("graft.prune.distributedThreshold")
   }
 
+  // the 10^6-files x 10^5-keys scenario the flag exists for, at test
+  // scale: a broadcast join's runtime In re-prunes through the SAME
+  // distributed path as static planning, the probe budget drops an
+  // over-budget runtime filter BEFORE fan-out (pruning is optional;
+  // the statically planned set stands), and both strategies plan the
+  // identical file sequence with the runtime filter active.
+  test("distributed prune under a runtime In filter honors the probe budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.In
+    val wh = warehouse("distrt")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.repartitionByRange(40, col("id")))
+
+    // inject a runtime In straight into the scan (what a broadcast join
+    // sends) and read back the planned file sequence
+    def planWithRuntime(keys: Array[Any]): Seq[String] = {
+      val q = spark.read.format("icelite")
+        .option("warehouse", wh).option("table", "lake.t").load()
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](In("id", keys)))
+      scan.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[Product].productElement(0).toString).toSeq
+    }
+    val keys: Array[Any] = Array(5L, 1500L, 3999L) // three distinct range files
+    val driverSide = planWithRuntime(keys)
+    assert(driverSide.length == 3,
+      s"range stats must prune the runtime In to 3 files, got $driverSide")
+    val before = graft.sources.v2.PruneEval.distributedRuns.get
+    spark.conf.set("graft.prune.distributedThreshold", "10")
+    try {
+      assert(planWithRuntime(keys) == driverSide,
+        "distributed runtime re-prune must plan the driver loop's exact sequence")
+      assert(graft.sources.v2.PruneEval.distributedRuns.get > before,
+        "threshold set below the file count but the distributed path never ran")
+      // over budget (3 keys x 40 files = 120 probes > 100): the runtime
+      // filter drops before fan-out and the static 40-file plan stands
+      spark.conf.set("graft.prune.probeBudget", "100")
+      assert(planWithRuntime(keys).length == 40,
+        "an over-budget runtime In must leave the statically planned set")
+      spark.conf.unset("graft.prune.probeBudget")
+      // and a REAL broadcast join under the distributed path still answers
+      spark.conf.set("spark.sql.catalog.ice_distrt", "graft.sources.v2.IceLiteCatalog")
+      spark.conf.set("spark.sql.catalog.ice_distrt.warehouse", wh)
+      val dimPath = scratch("distrt-dim")
+      Seq((5L, "x"), (1500L, "y"), (3999L, "z")).toDF("k", "tag")
+        .write.parquet(dimPath)
+      spark.read.parquet(dimPath).createOrReplaceTempView("distrt_dim")
+      val rows = spark.sql(
+        """SELECT f.id, d.tag FROM ice_distrt.lake.t f
+          |JOIN distrt_dim d ON f.id = d.k""".stripMargin).collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(5L, 1500L, 3999L))
+    } finally {
+      spark.conf.unset("graft.prune.distributedThreshold")
+      spark.conf.unset("graft.prune.probeBudget")
+    }
+  }
+
   test("format(icelite) reads back exactly what was appended") {
     val (wh, df) = mkTable("roundtrip")
     val back = spark.read.format("icelite")
