@@ -128,6 +128,134 @@ object Multimodal {
     None
   }
 
+  /** REAL pixel decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers ship
+    * with the JVM — no external codec): returns (width, height, grayscale
+    * 0..255 row-major). None for undecodable/empty payloads — callers skip
+    * the row rather than fabricate pixels. Row-local; initialize per
+    * partition like every decode in this module (ImageIO readers are
+    * cheap, but the call sits inside the same mapPartitions batch shape a
+    * JNI codec would).
+    */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        // ITU-R BT.601 integer luma — deterministic, no float rounding
+        gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: box-average
+    * the grayscale image onto a 9x8 grid (each cell averages its whole
+    * pixel box, so codec noise — JPEG quantization, resize resampling —
+    * averages out), then emit one bit per horizontal neighbor comparison
+    * (cell < right-neighbor), 8x8 = 64 bits. Scale-invariant by
+    * construction (the grid samples normalized coordinates), brightness-
+    * shift-invariant (comparisons, not levels), and row-local — the
+    * standard perceptual pre-filter a VLM corpus dedups images with
+    * BEFORE any embedding model runs. Near-duplicates (re-encodes,
+    * resizes, small edits) land within a few bits; distinct images differ
+    * in ~32. None for undecodable payloads or images too small to grid.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    decodeGray(bytes).flatMap { case (w, h, gray) =>
+      if (w < 9 || h < 8) None
+      else {
+        val cells = new Array[Long](72) // sums, 8 rows x 9 cols
+        val counts = new Array[Int](72)
+        var y = 0
+        while (y < h) {
+          val r = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val c = x * 9 / w
+            cells(r * 9 + c) += gray(y * w + x)
+            counts(r * 9 + c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var k = 0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            // compare MEANS via cross-multiplied sums: pure integer math,
+            // no float rounding to diverge across runs
+            val l = cells(r * 9 + c) * counts(r * 9 + c + 1)
+            val rt = cells(r * 9 + c + 1) * counts(r * 9 + c)
+            if (l < rt) bits |= (1L << k)
+            k += 1
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** Deterministic synthetic image: a smooth high-contrast scene seeded by
+    * `seed`, rendered at `side`x`side` in NORMALIZED coordinates (so two
+    * renders of the same seed at different sizes depict the same picture),
+    * encoded with the requested JDK container ("png" lossless / "jpg"
+    * lossy). `brightness` shifts every channel (dHash must ignore it).
+    * StrictMath keeps the pixels bit-identical across JVMs. This is the
+    * test/fixture image source — the container ships no image corpus, and
+    * a production pipeline swaps in its real blobs at exactly this column.
+    */
+  def renderImage(seed: Long, side: Int, format: String,
+      brightness: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val a = (mix64(seed) >>> 33) % 7 + 1
+    val b = (mix64(seed + 1) >>> 33) % 5 + 1
+    val phase = (mix64(seed + 2) >>> 40) % 628 / 100.0
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val u = (x + 0.5) / side
+        val v = (y + 0.5) / side
+        val s = StrictMath.cos(a * u * StrictMath.PI + phase) +
+          StrictMath.sin(b * v * StrictMath.PI - phase) + (u - v)
+        val g0 = ((s + 3.0) / 6.0 * 255.0).toInt + brightness
+        val g = math.max(0, math.min(255, g0))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  private def mix64(z0: Long): Long = {
+    // splitmix64 finalizer — public-domain mixing constants
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media: MediaMeta)
 
   case class DecodedRecord(
