@@ -65,6 +65,19 @@ object IceLiteProcedures {
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"snapshot source $source carries a '$c=' directory segment that " +
         "partition discovery did not type — mixed or malformed hive layout"))
+    // pin the invariant locally instead of relying on discovery's distant
+    // side effect: discovery APPENDS partition columns after the data
+    // columns in spec (nesting) order, so the first file's segment
+    // sequence must be exactly the schema's trailing columns — a mismatch
+    // means files disagree on nesting order (or the first file is not
+    // representative) and a silent wrong spec would follow
+    require(cols.isEmpty ||
+        schema.fieldNames.takeRight(cols.length).sameElements(cols),
+      s"snapshot source $source: first file's partition segments " +
+        s"(${cols.mkString(", ")}) do not match the discovered schema's " +
+        s"trailing partition columns " +
+        s"(${schema.fieldNames.takeRight(cols.length).mkString(", ")}) — " +
+        "inconsistent hive nesting across files; fix the layout")
     cols
   }
 
