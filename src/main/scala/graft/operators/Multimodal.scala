@@ -225,18 +225,25 @@ object Multimodal {
       brightness: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val a = (mix64(seed) >>> 33) % 7 + 1
-    val b = (mix64(seed + 1) >>> 33) % 5 + 1
+    val a = (mix64(seed) >>> 33) % 9 + 1
+    val b = (mix64(seed + 1) >>> 33) % 7 + 1
+    val c = (mix64(seed + 3) >>> 33) % 5 + 1
     val phase = (mix64(seed + 2) >>> 40) % 628 / 100.0
+    val phase2 = (mix64(seed + 4) >>> 40) % 628 / 100.0
     var y = 0
     while (y < side) {
       var x = 0
       while (x < side) {
         val u = (x + 0.5) / side
         val v = (y + 0.5) / side
+        // three seeded frequency terms — enough scene diversity that two
+        // different seeds land ~32 bits apart in dHash space (one or two
+        // low-frequency terms left many seed pairs within the near-dup
+        // threshold)
         val s = StrictMath.cos(a * u * StrictMath.PI + phase) +
-          StrictMath.sin(b * v * StrictMath.PI - phase) + (u - v)
-        val g0 = ((s + 3.0) / 6.0 * 255.0).toInt + brightness
+          StrictMath.sin(b * v * StrictMath.PI - phase) +
+          StrictMath.cos((u + v) * c * StrictMath.PI + phase2) + (u - v)
+        val g0 = ((s + 4.0) / 8.0 * 255.0).toInt + brightness
         val g = math.max(0, math.min(255, g0))
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1

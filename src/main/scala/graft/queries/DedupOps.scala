@@ -17,6 +17,17 @@ import QUtil._
   */
 object DedupOps {
 
+  /** Where x46 materializes its per-image perceptual hashes: written by
+    * the Spark query, read back by the same query AND by the DuckDB
+    * oracle (which replays banding + Hamming verification over the
+    * identical bytes — the x26b fixture pattern). Derived from the one
+    * shared QUtil.WarehouseRoot constant, declared ABOVE the query list
+    * (Scala textual object-init order; a computed val referenced from
+    * the oracle-string interpolation below must exist first).
+    */
+  private[graft] final val X46HashTag = "x46_image_hashes"
+  private[graft] final val X46HashFixture = QUtil.fixturePath(X46HashTag)
+
   // The one live shingle-array cache per session: each new build unpersists
   // the previous one, so repeated dedup queries cannot accumulate cached
   // DataFrames across a long session (each query's own execution happens
@@ -667,6 +678,88 @@ object DedupOps {
           .agg(count(lit(1)).as("shared_windows"))
           .filter(col("shared_windows") >= 10)
           .orderBy("source_a", "source_b")
+      }),
+
+    // Perceptual IMAGE dedup (round 16) — the multimodal pillar's analog
+    // of x2: a VLM corpus dedups images by perceptual hash BEFORE any
+    // embedding model runs, because re-encodes/resizes/brightness tweaks
+    // are the dominant duplicate class and byte hashes miss all of them.
+    // Pipeline: REAL pixel decode (JDK ImageIO) -> 64-bit difference hash
+    // (Multimodal.dHash64: box-averaged 9x8 grid, neighbor comparisons —
+    // scale/brightness invariant, integer-only) -> banded Hamming LSH:
+    // 4 bands x 16 bits, a pair is a candidate iff SOME band matches
+    // exactly (Hamming <= 6 overall makes a clean band likely), candidates
+    // via the (band, bucket) equi-join exactly like x2 — cost tracks
+    // collisions, never all-pairs — then exact Hamming verification via
+    // bit_count(xor). The image corpus is deterministic (one JDK-encoded
+    // image per document; doc_ids sharing doc_id/3 depict the same scene
+    // as PNG / 48px PNG +brightness / JPEG re-encode — the near-dup shape);
+    // a real pipeline reads its payload column at exactly that point. The
+    // per-image hashes are MATERIALIZED to a parquet fixture both engines
+    // read, so the oracle independently replays banding + verification
+    // over identical bytes. LSH recall is probabilistic by design: a pair
+    // whose flips straddle all 4 bands is missed — the documented
+    // tradeoff every banded LSH makes (x2 included).
+    QDef(
+      "x46_image_dedup_phash",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, dhash
+             |  FROM read_parquet('$X46HashFixture/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, dhash,
+             |    CAST(band AS INT) AS band,
+             |    (dhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+             |    CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+             |  FROM b x JOIN b y
+             |    ON x.band = y.band AND x.bucket = y.bucket
+             |      AND x.doc_id < y.doc_id)
+             |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6
+             |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            // decode init lives HERE, once per partition (ImageIO readers
+            // are cheap; a JNI codec would not be)
+            it.map { id =>
+              val payload = (id % 3) match {
+                case 0 => Multimodal.renderImage(id / 3, 32, "png")
+                case 1 => Multimodal.renderImage(id / 3, 48, "png", brightness = 2)
+                case _ => Multimodal.renderImage(id / 3, 32, "jpg")
+              }
+              val h = Multimodal.dHash64(payload).getOrElse(
+                // a corpus image that fails to decode is a data bug, not a
+                // silent skip — the fixture generator must always decode
+                throw new IllegalStateException(
+                  s"x46: undecodable fixture image for doc $id"))
+              (id, h)
+            }
+          }.toDF("doc_id", "dhash")
+        hashes.write.mode("overwrite")
+          .parquet(QUtil.freshWarehouse(s, X46HashTag))
+        val hx = s.read.parquet(X46HashFixture)
+        val b = hx.select(col("doc_id"), col("dhash"),
+          explode(array((0 to 3).map(i => struct(lit(i).as("band"),
+            shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L))
+              .as("bucket"))): _*)).as("bb"))
+          .select(col("doc_id"), col("dhash"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        b.as("x")
+          .join(b.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+              .cast("int").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy("d1", "d2")
       })
   )
 }

@@ -123,6 +123,50 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq.sorted == Seq((3L, 0), (3L, 4), (3L, 8)))
   }
 
+  test("dHash64: re-encoded/resized near-duplicates collide, distinct images don't") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // near-duplicate class: the SAME scene as lossless PNG, a JPEG
+    // re-encode, a 48px resize, and a brightness shift must land within
+    // the banded-LSH verification threshold (<= 6 bits of 64)
+    (0L until 20L).foreach { seed =>
+      val base = Multimodal.dHash64(Multimodal.renderImage(seed, 32, "png")).get
+      val jpeg = Multimodal.dHash64(Multimodal.renderImage(seed, 32, "jpg")).get
+      val resized = Multimodal.dHash64(Multimodal.renderImage(seed, 48, "png")).get
+      val brighter = Multimodal.dHash64(
+        Multimodal.renderImage(seed, 32, "png", brightness = 8)).get
+      assert(ham(base, jpeg) <= 6, s"seed $seed: JPEG re-encode drifted ${ham(base, jpeg)} bits")
+      assert(ham(base, resized) <= 6, s"seed $seed: resize drifted ${ham(base, resized)} bits")
+      assert(ham(base, brighter) <= 2,
+        s"seed $seed: brightness shift must be nearly invisible to comparisons")
+    }
+    // distinct-image class: different scenes must stay far apart — checked
+    // in AGGREGATE (individual low-frequency scenes can genuinely look
+    // alike; a dedup threshold lives on the distribution's far side)
+    val hashes = (100L until 140L).map(s =>
+      Multimodal.dHash64(Multimodal.renderImage(s, 32, "png")).get)
+    val dists = for (i <- hashes.indices; j <- i + 1 until hashes.size)
+      yield ham(hashes(i), hashes(j))
+    assert(dists.count(_ <= 6).toDouble / dists.size <= 0.02,
+      s"more than 2% of distinct scene pairs collide: ${dists.count(_ <= 6)}/${dists.size}")
+    assert(dists.sum.toDouble / dists.size > 15.0,
+      s"mean distinct-pair distance too low: ${dists.sum.toDouble / dists.size}")
+    // undecodable payloads refuse with None instead of fabricating pixels
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash64(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.dHash64(null).isEmpty)
+  }
+
+  test("decodeGray round-trips the JDK encoder's pixels exactly (PNG lossless)") {
+    val bytes = Multimodal.renderImage(7L, 32, "png")
+    val (w, h, gray) = Multimodal.decodeGray(bytes).get
+    assert(w == 32 && h == 32 && gray.length == 1024)
+    assert(gray.forall(g => g >= 0 && g <= 255))
+    // grayscale scene: all three channels equal, so luma == channel value;
+    // two decodes agree bit-for-bit (determinism of the whole path)
+    val again = Multimodal.decodeGray(Multimodal.renderImage(7L, 32, "png")).get._3
+    assert(java.util.Arrays.equals(gray, again))
+  }
+
   test("features feed the vector ops: quantized_cosine over decoded output") {
     graft.functions.GraftFunctions.register(spark)
     val d = Multimodal.decodeAndFeaturize(records, dim = 8).toDF()
