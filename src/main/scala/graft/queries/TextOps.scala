@@ -27,6 +27,27 @@ object TextOps {
   private[graft] final val X26bCountsTag = "x26b_bpe_counts"
   private[graft] final val X26bCountsFixture = QUtil.fixturePath(X26bCountsTag)
 
+  /** Where x40 materializes its learned merge table (rank, left, right):
+    * written by the Spark query, read back by the same query (so the
+    * encoder applies exactly the fixture's bytes) and by the DuckDB
+    * oracle, which REPLAYS the sequential-rank BPE encode per word over
+    * it (see the x40 QDef). Same init-order rule as the x26b fixture.
+    */
+  private[graft] final val X40MergesTag = "x40_bpe_merges"
+  private[graft] final val X40MergesFixture = QUtil.fixturePath(X40MergesTag)
+
+  // Token-boundary markers for the x40 oracle's string-rewriting replay:
+  // a segmentation [t1, t2, ...] is encoded as STX t1 ETX STX t2 ETX ...,
+  // so a merge (l, r) is a plain (non-regex) replace of STX l ETX STX r ETX
+  // with STX l r ETX — matches only COMPLETE adjacent tokens, and
+  // DuckDB's replace() scans left-to-right without rescanning its own
+  // replacement text, which is exactly BPE's fold-occurrences-left-to-
+  // right-non-overlapping pass. Control characters never appear in the
+  // corpus text (a stray one would surface as a loud oracle mismatch,
+  // never a silent agreement).
+  private val Stx = "\u0002"
+  private val Etx = "\u0003"
+
   /** Whitespace tokenization shared by the text operators. */
   private def tokens: Column = split(trim(col("text")), "\\s+")
 
@@ -1098,14 +1119,65 @@ object TextOps {
     // return silently. No SQL oracle (DuckDB would have to replay the
     // iterative fold); TextBpeSpec proves the encoder equals an
     // independent sequential reference implementation word-for-word, and
-    // the driver's rows>0 check gates the query.
+    // ORACLED since round 16: the learned merge table (15 rows at fixture
+    // scale, 32k-100k in production — always merge-count-sized) is
+    // materialized to a parquet fixture, and the DuckDB oracle REPLAYS
+    // Sennrich's sequential-rank encode per word as a bounded recursive
+    // CTE over it: the segmentation rides as a marker-delimited string
+    // (see Stx/Etx above), each recursion step applies merge rank r+1 as
+    // one left-to-right non-overlapping replace(), and token counts fall
+    // out as marker counts. Sequential replay equals the engine's
+    // priority-formulation encode for TRAINED tables (a learned merge's
+    // components are themselves learned at strictly lower ranks —
+    // BpeTable's scaladoc, proven in TextBpeSpec), so the oracle checks
+    // the encode itself, not a restatement. Only x38's training loop
+    // (iterative argmax) remains spec-gated.
     QDef(
       "x40_bpe_encode",
-      None,
+      Some(s"""WITH RECURSIVE m AS (
+             |  SELECT CAST(rank AS INT) AS rank, "left" AS l, "right" AS r
+             |  FROM read_parquet('$X40MergesFixture/*.parquet')),
+             |w AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |seg AS (
+             |  SELECT doc_id, regexp_replace(w, '(.)', '$Stx\\1$Etx', 'g') AS seg,
+             |    0 AS r
+             |  FROM w
+             |  UNION ALL
+             |  SELECT seg.doc_id,
+             |    replace(seg.seg, '$Stx' || m.l || '$Etx$Stx' || m.r || '$Etx',
+             |      '$Stx' || m.l || m.r || '$Etx'),
+             |    seg.r + 1
+             |  FROM seg JOIN m ON m.rank = seg.r + 1),
+             |fin AS (SELECT doc_id, seg FROM seg
+             |        WHERE r = (SELECT count(*) FROM m)),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS INT) AS n_words,
+             |    CAST(SUM(len(seg) - len(replace(seg, '$Stx', ''))) AS INT)
+             |      AS n_tokens,
+             |    CAST(SUM(len(replace(replace(seg, '$Stx', ''), '$Etx', ''))) AS INT)
+             |      AS n_codepoints
+             |  FROM fin GROUP BY doc_id)
+             |SELECT d.doc_id, d.lang,
+             |  COALESCE(a.n_words, 0) AS n_words,
+             |  COALESCE(a.n_tokens, 0) AS n_tokens,
+             |  COALESCE(a.n_codepoints, 0) AS n_codepoints
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val learned = bpeTrain(s, dir, merges = 15).collect() // bounded: merge-count rows
-          .sortBy(_.getInt(0))
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+        bpeTrain(s, dir, merges = 15)
+          .select("rank", "left", "right")
+          .write.mode("overwrite")
+          .parquet(QUtil.freshWarehouse(s, X40MergesTag))
+        // read the table BACK from the fixture, so the encoder applies
+        // exactly the bytes the oracle replays (the x26b pattern)
+        val learned = s.read.parquet(X40MergesFixture).collect()
+          .sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
         encodeBpe(t(s, dir, "documents"), learned).orderBy("doc_id")
       })
   )
