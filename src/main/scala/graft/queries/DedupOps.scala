@@ -760,6 +760,82 @@ object DedupOps {
           .distinct()
           .filter(col("hamming") <= 6)
           .orderBy("d1", "d2")
+      }),
+
+    // FUZZY decontamination (round 16) — x24 catches only VERBATIM eval
+    // leakage (exact n-gram overlap); real eval-leak screens also catch
+    // paraphrased / whitespace-drifted leaks. Composition of existing
+    // machinery: x2's MinHash signatures over BOTH the eval split
+    // (doc_id % 97 = 0, x24's convention) and the corpus, LSH banding,
+    // candidates via the (band, bucket) equi-join — the eval side is
+    // evaluation-suite-sized, so it broadcasts and the corpus is touched
+    // once; NO corpus self-join anywhere (PlanSpec asserts it) — then
+    // exact shingle-Jaccard verification at >= 0.5 on candidates only.
+    // Output is x34's auditable-verdict shape: one row per CONTAMINATED
+    // corpus doc with how many eval docs it leaks and its worst overlap.
+    QDef(
+      "x47_decontaminate_fuzzy",
+      Some(s"""WITH $shinglesSql,
+             |mh AS (
+             |  SELECT doc_id, CAST(h AS INT) h,
+             |    min(md5(CAST(CAST(h AS INT) AS VARCHAR) || '|' || s)) sig
+             |  FROM sh, unnest(range(0, 8)) g(h) GROUP BY doc_id, CAST(h AS INT)),
+             |bk AS (
+             |  SELECT doc_id, h // 2 AS band, md5(string_agg(sig, '|' ORDER BY h)) bucket
+             |  FROM mh GROUP BY doc_id, h // 2),
+             |cand AS (
+             |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+             |  FROM bk c JOIN bk e ON c.band = e.band AND c.bucket = e.bucket
+             |  WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0),
+             |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT cand.doc_id, cand.eval_id, count(*) o FROM cand
+             |  JOIN sh sa ON sa.doc_id = cand.doc_id
+             |  JOIN sh sb ON sb.doc_id = cand.eval_id AND sb.s = sa.s
+             |  GROUP BY cand.doc_id, cand.eval_id),
+             |ver AS (
+             |  SELECT i.doc_id, CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS j
+             |  FROM inter i
+             |  JOIN cnt ca ON ca.doc_id = i.doc_id
+             |  JOIN cnt cb ON cb.doc_id = i.eval_id
+             |  WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.5)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_eval_matches,
+             |  max(j) AS max_jaccard
+             |FROM ver GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sigCols = (0 to 7).map(h =>
+          min(md5(concat(lit(s"$h|"), col("s")))).as(s"sig$h"))
+        val mh = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bk = mh.select(col("doc_id"), explode(array((0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat(col(s"sig${2 * b}"), lit("|"), col(s"sig${2 * b + 1}")))
+              .as("bucket"))): _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+        val evalBk = bk.filter(col("doc_id") % 97 === 0)
+          .withColumnRenamed("doc_id", "eval_id")
+        val cand = bk.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalBk), Seq("band", "bucket"))
+          .select(col("doc_id").as("cd"), col("eval_id")).distinct()
+        // verification probes touch only candidates: broadcast the (tiny)
+        // candidate list, key the one real shuffle on (doc_id, shingle) —
+        // x2's exact shape, so the same scale argument carries over
+        val ver = broadcast(cand)
+          .join(sh.as("sa"), col("cd") === col("sa.doc_id"))
+          .join(sh.as("sb").hint("shuffle_hash"),
+            col("eval_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("cd", "eval_id")
+          .agg(count(lit(1)).as("o"),
+            first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
+          .select(col("cd"),
+            (col("o").cast("double") / (col("na") + col("nb") - col("o"))).as("j"))
+          .filter(col("j") >= 0.5)
+        ver.groupBy("cd")
+          .agg(count(lit(1)).cast("int").as("n_eval_matches"),
+            max(col("j")).as("max_jaccard"))
+          .select(col("cd").as("doc_id"), col("n_eval_matches"), col("max_jaccard"))
+          .orderBy("doc_id")
       })
   )
 }

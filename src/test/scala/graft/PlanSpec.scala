@@ -155,6 +155,25 @@ class PlanSpec extends SparkSpec {
       s"expected map-side-combined aggregates:\n$s")
   }
 
+  test("x47: fuzzy decontamination — candidates are bucket-keyed, never a corpus self-join") {
+    val s = finalPlan(SparkEntry.queries("x47_decontaminate_fuzzy")(spark, sfDir))
+    // the whole scale argument: candidate generation is the (band, bucket)
+    // equi-join against the broadcast eval side — an all-pairs operator
+    // anywhere would make the screen O(corpus^2)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"fuzzy decontamination must never do all-pairs work:\n$s")
+    val joinLines = s.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.nonEmpty, s"expected equi-joins in:\n$s")
+    // the LSH candidate join carries the bucket in its key set, and the
+    // verification shuffle is keyed on the shingle value (both appear)
+    assert(joinLines.exists(l => "(?<![A-Za-z0-9_])bucket#".r.findFirstIn(l).isDefined),
+      s"expected a bucket-keyed LSH candidate join; joins were:\n${joinLines.mkString("\n")}")
+    assert(joinLines.exists(l => "(?<![A-Za-z0-9_])s#".r.findFirstIn(l).isDefined),
+      s"expected the shingle-keyed verification join; joins were:\n${joinLines.mkString("\n")}")
+  }
+
   test("x41: SemDeDup — every join is cluster-keyed; no all-pairs operator") {
     val s = finalPlan(SparkEntry.queries("x41_semdedup")(spark, sfDir))
     // SemDeDup's entire cost bound is sum(|cluster|^2): nothing may ever
