@@ -846,7 +846,9 @@ class IceTable(
     require(m.snapshot(snapshotId).isDefined,
       s"no snapshot $snapshotId in $namespace.$name")
     MetaIo.commit(fs, tableDir, m.copy(
-      refs = m.refs + (tagName -> snapshotId), version = m.version + 1))
+      refs = m.refs + (tagName -> snapshotId),
+      refTypes = m.refTypes + (tagName -> "tag"),
+      version = m.version + 1))
     this
   }
 
@@ -914,6 +916,8 @@ class IceTable(
         MetaIo.commit(fs, tableDir, m.copy(
           snapshots = m.snapshots :+ snap,
           refs = m.refs + (refName -> snapId),
+          // a ref a write has advanced IS a branch, whatever created it
+          refTypes = m.refTypes + (refName -> "branch"),
           version = m.version + 1))
         return this
       } catch {
@@ -941,7 +945,8 @@ class IceTable(
     val m = meta
     require(m.refs.contains(tagName), s"no tag '$tagName' on $namespace.$name")
     MetaIo.commit(fs, tableDir, m.copy(
-      refs = m.refs - tagName, version = m.version + 1))
+      refs = m.refs - tagName, refTypes = m.refTypes - tagName,
+      version = m.version + 1))
     this
   }
 

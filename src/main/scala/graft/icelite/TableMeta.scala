@@ -408,6 +408,12 @@ final case class TableMeta(
     // a non-digit so `VERSION AS OF` can route numerics to ids and
     // everything else to refs.
     refs: Map[String, Long] = Map.empty,
+    // ref KIND ledger ("tag" | "branch"), keyed like `refs`: tags pin a
+    // snapshot forever, branches are refs a write has advanced
+    // (appendToRef). Purely informational for readers (`.refs` serves it);
+    // additive — refs created before the field exists serve NULL rather
+    // than a fabricated kind.
+    refTypes: Map[String, String] = Map.empty,
     // partition evolution ledger (ordered by cutoff): which hive layout each
     // FILE ERA was written with. Empty = the table always had `partitionBy`.
     partitionSpecs: Seq[PartSpecChange] = Nil,

@@ -2138,6 +2138,37 @@ object IceliteOps {
         parts.select(col("partition"), col("row_count")).orderBy("partition")
       }),
 
+    // D5: the `.refs` metadata table (round 16) — named refs with their
+    // recorded KIND. Tags pin "the corpus we trained v1 on"; branches are
+    // WAP staging lines; this SQL listing is how an operator audits both
+    // without touching the metadata JSON. A ref a write has advanced IS a
+    // branch (appendToRef flips the recorded kind), refs from metadata
+    // predating the kind ledger serve NULL. Fixture history is
+    // deterministic, so the oracle pins the exact rows.
+    QDef(
+      "d5_refs_meta",
+      Some("""SELECT 'release_v1' AS name, 'tag' AS type,
+             |  CAST(1 AS BIGINT) AS snapshot_id
+             |UNION ALL
+             |SELECT 'staging', 'branch', CAST(2 AS BIGINT)
+             |ORDER BY name""".stripMargin),
+      (s, dir) => {
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val wh = cachedFixture(s, "d5", dir) { w =>
+          val fcat = new IceCatalog(s, w)
+          val fixture = fcat.createTable("lake", "n_refs", n.schema)
+          fixture.append(n)
+          fixture.tag("release_v1", 1L)
+          fixture.tag("staging", 1L)
+          // advancing 'staging' makes it a branch at snapshot 2
+          fixture.appendToRef("staging", n.limit(3))
+        }
+        s.conf.set("spark.sql.catalog.icelite_d5", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d5.warehouse", wh)
+        s.sql("""SELECT name, type, snapshot_id
+                |FROM icelite_d5.lake.n_refs.refs ORDER BY name""".stripMargin)
+      }),
+
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'
     // branch ref — plain reads stay pinned to the pre-stage snapshot
     // (asserted) while the branch is validated through its ref scan — then

@@ -1121,9 +1121,15 @@ private[v2] object IceLiteMeta {
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
     case "refs" =>
-      val schema = StructType.fromDDL("name STRING, snapshot_id BIGINT")
+      // named refs with their recorded KIND (Iceberg's .refs): 'tag' pins
+      // a snapshot forever, 'branch' is a ref a write has advanced
+      // (appendToRef flips it). Refs created before the kind ledger
+      // existed serve NULL rather than a fabricated kind.
+      val schema = StructType.fromDDL(
+        "name STRING, type STRING, snapshot_id BIGINT")
       val rows = meta.refs.keys.toSeq.sorted
-        .map(n => Array[Any](n, meta.refSnapshot(n).get))
+        .map(n => Array[Any](n, meta.refTypes.getOrElse(n, null),
+          meta.refSnapshot(n).get))
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.refs", schema, rows)
     case "deletes" =>
       // outstanding merge-on-read delete files of the CURRENT snapshot:

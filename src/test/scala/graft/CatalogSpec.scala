@@ -900,4 +900,35 @@ class CatalogSpec extends SparkSpec {
       GreaterThan("amt", new java.math.BigDecimal("100.0000")), schemaW, statOne),
       "decimal range disjointness must prune")
   }
+
+  test(".refs lists tags and branches with their recorded kind; pre-ledger refs serve NULL") {
+    import spark.implicits._
+    val wh = scratch("cat-refs")
+    val cat = new graft.icelite.IceCatalog(spark, wh)
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df)
+    tbl.tag("pin_v1", 1L)
+    tbl.tag("wap", 1L)
+    tbl.appendToRef("wap", df.limit(2)) // advancing a ref makes it a branch
+    spark.conf.set("spark.sql.catalog.ice_refs", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_refs.warehouse", wh)
+    def refs() = spark.sql(
+      "SELECT name, type, snapshot_id FROM ice_refs.lake.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs() == Seq(("pin_v1", "tag", 1L), ("wap", "branch", 2L)), refs())
+    // metadata written before the kind ledger existed (refs without
+    // refTypes): the listing must serve NULL, never a fabricated kind
+    val m = tbl.meta
+    graft.icelite.MetaIo.commit(
+      new org.apache.hadoop.fs.Path(wh).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      cat.tablePath("lake", "t"),
+      m.copy(refTypes = Map.empty, version = m.version + 1))
+    assert(refs() == Seq(("pin_v1", null, 1L), ("wap", null, 2L)), refs())
+    // dropping a ref drops its kind entry with it
+    cat.loadTable("lake", "t").tag("back", 1L)
+    cat.loadTable("lake", "t").dropTag("back")
+    assert(!refs().exists(_._1 == "back"))
+  }
 }
