@@ -36,6 +36,14 @@ object TextOps {
   private[graft] final val X40MergesTag = "x40_bpe_merges"
   private[graft] final val X40MergesFixture = QUtil.fixturePath(X40MergesTag)
 
+  /** Where x48 materializes its per-image patch-token counts (from REAL
+    * decoded dimensions — DuckDB cannot decode images, so the oracle
+    * consumes the fixture and replays everything downstream of the
+    * decode). Same init-order rule as the other fixtures above.
+    */
+  private[graft] final val X48ImageTokTag = "x48_image_tokens"
+  private[graft] final val X48ImageTokFixture = QUtil.fixturePath(X48ImageTokTag)
+
   // Token-boundary markers for the x40 oracle's string-rewriting replay:
   // a segmentation [t1, t2, ...] is encoded as STX t1 ETX STX t2 ETX ...,
   // so a merge (l, r) is a plain (non-regex) replace of STX l ETX STX r ETX
@@ -686,6 +694,71 @@ object TextOps {
         s.conf.getOption("graft.x42.shards").map(_.toInt)
           .getOrElse(X42DefaultShards))),
 
+    // Interleaved MULTIMODAL packing (round 16) — the training-sequence
+    // shape of a vision-language corpus: each document contributes its
+    // text tokens PLUS its image's patch tokens (ceil(w/16) x ceil(h/16)
+    // from REAL decoded dimensions — the ViT patch-grid arithmetic), and
+    // the interleaved stream packs into fixed 512-token sequences in doc
+    // order, sharded exactly like x42 (one shared packWindow — the two
+    // packers cannot drift). Integer-exact throughout. The image corpus
+    // is x46's deterministic one (a real pipeline reads its payload
+    // column at that point); per-image patch counts are materialized to
+    // a parquet fixture because the oracle cannot decode images — DuckDB
+    // replays everything downstream of the decode: text tokenization,
+    // the interleave sum, and the sharded prefix-sum pack.
+    QDef(
+      "x48_vlm_sequence_pack",
+      Some(s"""WITH it AS (
+             |  SELECT doc_id, image_tokens
+             |  FROM read_parquet('$X48ImageTokFixture/*.parquet')),
+             |d AS (
+             |  SELECT d0.doc_id, d0.doc_id % $X42DefaultShards AS shard,
+             |    len(string_split_regex(trim(text), '\\s+')) AS text_tokens,
+             |    it.image_tokens,
+             |    len(string_split_regex(trim(text), '\\s+')) + it.image_tokens AS tokens
+             |  FROM documents d0 JOIN it ON d0.doc_id = it.doc_id),
+             |c AS (SELECT *, SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM d)
+             |SELECT doc_id, shard, text_tokens, image_tokens, tokens,
+             |  CAST((cum - tokens) // 512 AS BIGINT) AS start_seq,
+             |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val imgTok = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            it.map { id =>
+              val payload = (id % 3) match {
+                case 0 => Multimodal.renderImage(id / 3, 32, "png")
+                case 1 => Multimodal.renderImage(id / 3, 48, "png", brightness = 2)
+                case _ => Multimodal.renderImage(id / 3, 32, "jpg")
+              }
+              val (w, h, _) = Multimodal.decodeGray(payload).getOrElse(
+                throw new IllegalStateException(
+                  s"x48: undecodable fixture image for doc $id"))
+              (id, ((w + 15) / 16) * ((h + 15) / 16))
+            }
+          }.toDF("doc_id", "image_tokens")
+        imgTok.write.mode("overwrite")
+          .parquet(QUtil.freshWarehouse(s, X48ImageTokTag))
+        val img = s.read.parquet(X48ImageTokFixture)
+        val shards = s.conf.getOption("graft.x42.shards").map(_.toInt)
+          .getOrElse(X42DefaultShards)
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+            size(split(trim(col("text")), "\\s+")).as("text_tokens"))
+          .join(img, "doc_id") // 1:1 on doc_id — the natural co-keyed join
+          .withColumn("tokens", col("text_tokens") + col("image_tokens"))
+        packWindow(d)
+          .select(col("doc_id"), col("shard"), col("text_tokens"),
+            col("image_tokens"), col("tokens"),
+            col("start_seq"), col("end_seq"))
+          .orderBy("doc_id")
+      }),
+
     // Sequence-length BUCKETING report (round 15) — the batching-efficiency
     // pass behind bucketed batch samplers (as in T5 / fairseq batching by
     // length): pad each doc only to its power-of-two bucket cap instead of
@@ -1207,18 +1280,28 @@ object TextOps {
     */
   private[graft] def sequencePack(docs: DataFrame, shards: Int): DataFrame = {
     require(shards >= 1, s"graft.x42.shards must be >= 1, got $shards")
+    packWindow(docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("tokens")))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        col("start_seq"), col("end_seq"))
+      .orderBy("doc_id")
+  }
+
+  /** The one packing window (x42's arithmetic, factored for x48): given
+    * (doc_id, shard, tokens, ...), append the running per-shard prefix sum
+    * and the 512-token sequence span each doc lands in. One definition —
+    * text-only (x42) and interleaved multimodal (x48) packing cannot
+    * drift.
+    */
+  private def packWindow(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
-        size(split(trim(col("text")), "\\s+")).as("tokens"))
-      .withColumn("cum", sum("tokens").over(w))
-      .select(col("doc_id"), col("shard"), col("tokens"),
-        expr("(cum - tokens) div 512").as("start_seq"),
-        expr("(cum - 1) div 512").as("end_seq"))
-      .orderBy("doc_id")
+    d.withColumn("cum", sum("tokens").over(w))
+      .withColumn("start_seq", expr("(cum - tokens) div 512"))
+      .withColumn("end_seq", expr("(cum - 1) div 512"))
   }
 
   private[graft] def budgetMix(d: DataFrame): DataFrame = {
