@@ -72,14 +72,14 @@ class QueriesSpec extends SparkSpec {
   // statement expresses; its correctness gate is TextBpeSpec's independent
   // reference implementation (both driver and distributed paths), and the
   // driver records the weaker rows>0 check. x40 (BPE encode) applies x38's
-  // learned merges — the learned-merge table is equally inexpressible in
-  // one SQL statement; TextBpeSpec gates encode agreement against the same
-  // independent reference implementation. (x26b regained an oracle in
-  // round 15: its per-doc BPE counts are materialized to a parquet fixture
-  // both engines read, so DuckDB replays the budget arithmetic; only the
-  // encode itself stays spec-gated.)
+  // learned merges — the training loop's iterative argmax is inexpressible
+  // in one SQL statement; TextBpeSpec gates it against an independent
+  // reference implementation. (x26b regained an oracle in round 15 via the
+  // materialized-counts fixture; x40 in round 16 via a recursive-CTE
+  // sequential replay over the materialized merge table — x38's TRAINING
+  // is now the suite's only rows-only check.)
   private val rowsOnly =
-    Set("x38_bpe_train", "x40_bpe_encode")
+    Set("x38_bpe_train")
 
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
