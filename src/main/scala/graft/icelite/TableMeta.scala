@@ -571,15 +571,18 @@ object MetaIo {
       }
     }
     if (head != hinted) {
+      // STRICTLY non-destructive repair: rename-over-existing only (atomic
+      // where supported). No delete+rename fallback here — unlike the
+      // committer's swap this runs outside the per-table lock, and a
+      // deleted-hint window would let a concurrent `exists()` (DDL!) read
+      // the table as absent. Where rename-over refuses (local FS) the
+      // stale hint stays — harmless, since every read probes forward
+      // anyway and the next commit swaps the hint properly.
       try {
         val hintTmp = new Path(dir,
           s".version-hint.${java.util.UUID.randomUUID()}.tmp")
         writeFile(fs, hintTmp, head.toString)
-        if (!fs.rename(hintTmp, hintFile(tableDir))) {
-          fs.delete(hintFile(tableDir), false)
-          if (!fs.rename(hintTmp, hintFile(tableDir)))
-            fs.delete(hintTmp, false)
-        }
+        if (!fs.rename(hintTmp, hintFile(tableDir))) fs.delete(hintTmp, false)
       } catch { case scala.util.control.NonFatal(_) => () } // repair is optional
     }
     meta

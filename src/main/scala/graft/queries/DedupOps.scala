@@ -28,6 +28,43 @@ object DedupOps {
   private[graft] final val X46HashTag = "x46_image_hashes"
   private[graft] final val X46HashFixture = QUtil.fixturePath(X46HashTag)
 
+  /** x49's own hash fixture (memoized per JVM/sf via cachedFixture — the
+    * hash table is FIXTURE for the similarity op, so Bench measures the
+    * search, not the render; separate tag from x46 so the two queries
+    * stay self-contained whatever order they run in).
+    */
+  private[graft] final val X49HashTag = "x49_image_hashes"
+  private[graft] final val X49HashFixture = QUtil.fixturePath(X49HashTag)
+
+  /** Deterministic per-document image hashes (the x46 corpus convention:
+    * doc_id/3 names the scene, doc_id%3 the container/size/brightness
+    * variant), shared by the image dedup and image similarity operators.
+    * A real pipeline reads its payload column here instead.
+    */
+  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        // decode init lives HERE, once per partition (ImageIO readers are
+        // cheap; a JNI codec would not be)
+        it.map { id =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.renderImage(id / 3, 32, "png")
+            case 1 => Multimodal.renderImage(id / 3, 48, "png", brightness = 2)
+            case _ => Multimodal.renderImage(id / 3, 32, "jpg")
+          }
+          val h = Multimodal.dHash64(payload).getOrElse(
+            // a corpus image that fails to decode is a data bug, not a
+            // silent skip — the fixture generator must always decode
+            throw new IllegalStateException(
+              s"undecodable fixture image for doc $id"))
+          (id, h)
+        }
+      }.toDF("doc_id", "dhash")
+  }
+
   // The one live shingle-array cache per session: each new build unpersists
   // the previous one, so repeated dedup queries cannot accumulate cached
   // DataFrames across a long session (each query's own execution happens
@@ -719,28 +756,7 @@ object DedupOps {
              |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6
              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        import s.implicits._
-        import graft.operators.Multimodal
-        val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
-          .repartition(s.sparkContext.defaultParallelism)
-          .mapPartitions { it =>
-            // decode init lives HERE, once per partition (ImageIO readers
-            // are cheap; a JNI codec would not be)
-            it.map { id =>
-              val payload = (id % 3) match {
-                case 0 => Multimodal.renderImage(id / 3, 32, "png")
-                case 1 => Multimodal.renderImage(id / 3, 48, "png", brightness = 2)
-                case _ => Multimodal.renderImage(id / 3, 32, "jpg")
-              }
-              val h = Multimodal.dHash64(payload).getOrElse(
-                // a corpus image that fails to decode is a data bug, not a
-                // silent skip — the fixture generator must always decode
-                throw new IllegalStateException(
-                  s"x46: undecodable fixture image for doc $id"))
-              (id, h)
-            }
-          }.toDF("doc_id", "dhash")
-        hashes.write.mode("overwrite")
+        imageHashes(s, dir).write.mode("overwrite")
           .parquet(QUtil.freshWarehouse(s, X46HashTag))
         val hx = s.read.parquet(X46HashFixture)
         val b = hx.select(col("doc_id"), col("dhash"),
@@ -836,6 +852,53 @@ object DedupOps {
             max(col("j")).as("max_jaccard"))
           .select(col("cd").as("doc_id"), col("n_eval_matches"), col("max_jaccard"))
           .orderBy("doc_id")
+      }),
+
+    // IMAGE similarity search (round 16) — x6's brute-force top-k shape
+    // over perceptual hashes: for each probe image (doc_id % 50 = 0), the
+    // 5 nearest corpus images by Hamming distance over dHash64, ties
+    // broken by doc_id so the ranking is total and engine-independent.
+    // The probe set is query-sized and BROADCAST, so the corpus is
+    // touched once with no shuffle before the per-probe top-k — the
+    // honest exact baseline; at retrieval scale the same hashes route
+    // through x46's banded (band, bucket) equi-join to screen candidates
+    // first (LSH recall tradeoff documented there). The hash table builds
+    // once per JVM/sf (cachedFixture — it is FIXTURE for the search, so
+    // the benchmark measures the search); the oracle replays ranking over
+    // the identical fixture bytes.
+    QDef(
+      "x49_image_sim_topk",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, dhash
+             |  FROM read_parquet('$X49HashFixture/*.parquet')),
+             |d AS (
+             |  SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+             |    CAST(bit_count(xor(q.dhash, c.dhash)) AS INT) AS hamming
+             |  FROM h q JOIN h c ON q.doc_id % 50 = 0 AND q.doc_id <> c.doc_id),
+             |r AS (
+             |  SELECT q_id, n_id, hamming,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rank
+             |  FROM d)
+             |SELECT q_id, rank, n_id, hamming FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, X49HashTag, dir) { w =>
+          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val hx = s.read.parquet(wh)
+        val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("q_id"), col("dhash").as("q_hash")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+        hx.join(probes, col("q_id") =!= col("doc_id"))
+          .select(col("q_id"),
+            col("doc_id").as("n_id"),
+            bit_count(col("q_hash").bitwiseXOR(col("dhash")))
+              .cast("int").as("hamming"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
+          .orderBy("q_id", "rank")
       })
   )
 }
