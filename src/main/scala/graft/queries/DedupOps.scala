@@ -899,6 +899,64 @@ object DedupOps {
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
           .orderBy("q_id", "rank")
+      }),
+
+    // IMAGE decontamination (round 16) — the eval-leak screen for the
+    // visual modality, completing the story across modalities (x24
+    // verbatim text, x47 fuzzy text, this for images): a VLM eval suite's
+    // images must not appear — re-encoded, resized, brightness-tweaked —
+    // in the training corpus. Same split convention as x24/x47 (eval =
+    // doc_id % 97 = 0), same candidate shape as x46: banded Hamming LSH
+    // with the evaluation-suite-sized side BROADCAST, exact
+    // bit_count(xor) verification at <= 6 bits, one auditable verdict row
+    // per contaminated corpus image (eval-match count, closest distance).
+    // Shares x49's once-per-JVM hash fixture; the oracle replays the
+    // whole screen over the identical bytes.
+    QDef(
+      "x50_image_decontaminate",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, dhash
+             |  FROM read_parquet('$X49HashFixture/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, dhash,
+             |    CAST(band AS INT) AS band,
+             |    (dhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             |    CAST(bit_count(xor(c.dhash, e.dhash)) AS INT) AS hamming
+             |  FROM b c JOIN b e ON c.band = e.band AND c.bucket = e.bucket
+             |  WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0),
+             |ver AS (SELECT doc_id, eval_id, hamming FROM cand WHERE hamming <= 6)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_eval_matches,
+             |  min(hamming) AS min_hamming
+             |FROM ver GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, X49HashTag, dir) { w =>
+          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val hx = s.read.parquet(wh)
+        def bands(h: DataFrame): DataFrame =
+          h.select(col("doc_id"), col("dhash"),
+            explode(array((0 to 3).map(i => struct(lit(i).as("band"),
+              shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L))
+                .as("bucket"))): _*)).as("bb"))
+            .select(col("doc_id"), col("dhash"),
+              col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val evalB = bands(hx.filter(col("doc_id") % 97 === 0))
+          .select(col("doc_id").as("eval_id"), col("dhash").as("eval_hash"),
+            col("band"), col("bucket"))
+        val cand = bands(hx.filter(col("doc_id") % 97 =!= 0))
+          .join(broadcast(evalB), Seq("band", "bucket"))
+          .select(col("doc_id"), col("eval_id"),
+            bit_count(col("dhash").bitwiseXOR(col("eval_hash")))
+              .cast("int").as("hamming"))
+          .distinct()
+        cand.filter(col("hamming") <= 6)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_eval_matches"),
+            min(col("hamming")).as("min_hamming"))
+          .orderBy("doc_id")
       })
   )
 }
