@@ -130,6 +130,67 @@ class TornCommitSpec extends SparkSpec {
     assert(t2.meta.snapshots.length == 5, "base append + 4 raced appends")
   }
 
+  test("randomized torn commits inside op sequences always converge to the model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1616)
+    (0 until 4).foreach { trial =>
+      val wh = scratch(s"tornprop-$trial")
+      val cat = new IceCatalog(spark, wh)
+      val schema = Seq((1L, "x")).toDF("id", "v").schema
+      val tbl = cat.createTable("lake", "t", schema,
+        properties = Map("commit.claim-grace-ms" -> "0"))
+      var model = Map.empty[Long, String]
+      var nextId = 1L
+      def df(m: Map[Long, String]) = m.toSeq.toDF("id", "v")
+
+      (0 until 8).foreach { step =>
+        // ~1/3 of ops die mid-commit at a random protocol step. The model
+        // absorbs the op's effect ONLY when the kill point left a durable
+        // version file (rename is the commit point under roll-forward
+        // reads); pre-v-file kills must leave the table exactly as before.
+        val fail = if (rnd.nextInt(3) == 0) steps(rnd.nextInt(steps.length)) else ""
+        val durable = fail == "vfile-renamed" || fail == "hint-tmp-written"
+        MetaIo.commitFailpoint = fail
+        var effect = Map.empty[Long, String]
+        var committed = false
+        try {
+          rnd.nextInt(4) match {
+            case 0 | 1 =>
+              effect = (0 until (1 + rnd.nextInt(3))).map { _ =>
+                val id = nextId; nextId += 1; id -> s"a$id" }.toMap
+              tbl.append(df(effect).repartition(1 + rnd.nextInt(2)))
+              committed = true
+            case 2 =>
+              val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(2))
+              val fresh = { val id = nextId; nextId += 1; Seq(id) }
+              effect = (existing ++ fresh).map(id => id -> s"u$id").toMap
+              tbl.upsert(df(effect), Seq("id"))
+              committed = true
+            case 3 =>
+              // content-neutral: crashing it never changes expected rows
+              if (model.nonEmpty) tbl.compact(1 + rnd.nextInt(2))
+              committed = true
+          }
+        } catch {
+          case _: MetaIo.InjectedCommitCrash => committed = durable
+        } finally MetaIo.commitFailpoint = ""
+        if (committed) model ++= effect
+        val got = cat.loadTable("lake", "t").toDF.collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model,
+          s"trial $trial step $step (fail='$fail'): got ${got.size} rows, " +
+            s"expected ${model.size}; diff=${(got.toSet diff model.toSet).take(5)}")
+      }
+      // the table is never wedged: one more clean append always lands
+      val tail = Map(nextId -> s"z$nextId"); nextId += 1
+      cat.loadTable("lake", "t").append(df(tail).repartition(1))
+      model ++= tail
+      val fin = cat.loadTable("lake", "t").toDF.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fin == model, s"trial $trial: post-sequence append diverged")
+    }
+  }
+
   test("an in-grace claim is NOT taken over (a slow committer keeps exclusivity)") {
     import spark.implicits._
     val wh = scratch("torn-grace")
