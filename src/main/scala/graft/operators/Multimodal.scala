@@ -128,6 +128,167 @@ object Multimodal {
     None
   }
 
+  /** REAL sample decode for the audio modality: parses a RIFF/WAVE container
+    * carrying 16-bit PCM (the interchange format every audio pipeline can
+    * produce) and returns (sampleRateHz, channels, mono samples). Multi-
+    * channel audio is mixed down by integer-averaging each frame's channels
+    * — deterministic, no float rounding. None for anything that is not
+    * 16-bit PCM WAV (compressed codecs need a real decoder; callers skip
+    * the row rather than fabricate samples, the [[decodeGray]] contract).
+    */
+  def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def ascii(i: Int, n: Int) =
+      new String(bytes, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = (le16(i).toLong) | (le16(i + 2).toLong << 16)
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var fmtCode = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = ascii(i, 4)
+      val size = le32(i + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmtCode = le16(i + 8); channels = le16(i + 10)
+        rate = le32(i + 12).toInt; bits = le16(i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || channels <= 0 || rate <= 0 ||
+        dataOff < 0) return None
+    val frameBytes = 2 * channels
+    val nFrames = dataLen / frameBytes
+    if (nFrames <= 0) return None
+    val mono = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + f * frameBytes + 2 * c
+        sum += (le16(o) << 16) >> 16 // sign-extend the little-endian int16
+        c += 1
+      }
+      mono(f) = sum / channels
+      f += 1
+    }
+    Some((rate, channels, mono))
+  }
+
+  /** 64-bit audio fingerprint over REAL decoded samples — the audio analog
+    * of [[dHash64]]: split the clip into 33 equal-DURATION frames
+    * (normalized time, so the same recording at 8 kHz and 44.1 kHz frames
+    * identically), then emit
+    *  - bits 0–31: adjacent-frame LOUDNESS comparisons (mean |sample|,
+    *    compared via cross-multiplied integer sums — the dHash discipline,
+    *    no float rounding). Comparisons, not levels: volume scaling
+    *    cancels.
+    *  - bits 32–63: each frame's ZERO-CROSSING RATE against the clip's
+    *    overall rate (cross-multiplied counts). Crossings are a property
+    *    of the underlying waveform, not the sampling grid, so the bits
+    *    survive resampling; and sign survives volume scaling.
+    * Together: a loudness-envelope half and a pitch-envelope half —
+    * re-encodes (resample, gain change) land within a few bits, distinct
+    * recordings differ in ~32. None for undecodable payloads or clips too
+    * short to frame.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    decodePcm(bytes).flatMap { case (_, _, mono) =>
+      val n = mono.length
+      if (n < 66) None // < 2 samples per frame: the grid is meaningless
+      else {
+        val F = 33
+        val sumAbs = new Array[Long](F)
+        val cnt = new Array[Long](F)
+        val zc = new Array[Long](F)
+        var lastSign = 0
+        var i = 0
+        while (i < n) {
+          val k = (i.toLong * F / n).toInt
+          val s = mono(i)
+          sumAbs(k) += math.abs(s)
+          cnt(k) += 1
+          val sgn = if (s > 0) 1 else if (s < 0) -1 else 0
+          // a crossing is strict positive -> strict negative (or back);
+          // zero samples extend the previous run instead of oscillating
+          if (sgn != 0) {
+            if (lastSign != 0 && sgn != lastSign) zc(k) += 1
+            lastSign = sgn
+          }
+          i += 1
+        }
+        var bits = 0L
+        var totZc = 0L
+        var k = 0
+        while (k < F) { totZc += zc(k); k += 1 }
+        k = 0
+        while (k < 32) {
+          // mean-|s| comparison via cross-multiplied sums: pure integer
+          if (sumAbs(k) * cnt(k + 1) < sumAbs(k + 1) * cnt(k))
+            bits |= (1L << k)
+          // frame ZCR above the clip's overall ZCR (n.toLong = total count)
+          if (zc(k) * n > totZc * cnt(k)) bits |= (1L << (32 + k))
+          k += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** Deterministic synthetic audio clip: a smooth seeded "tune" — a carrier
+    * whose PITCH sweeps (seeded center + sweep rate) under a seeded
+    * LOUDNESS envelope — rendered as 16-bit PCM mono WAV at the requested
+    * sample rate in NORMALIZED time (two renders of one seed at different
+    * rates record the same half-second of sound, i.e. a true resample), at
+    * `volumePct` gain (aHash64 must ignore it). The carrier phase
+    * accumulates per sample from the instantaneous frequency, so crossing
+    * positions track the continuous waveform at any rate. StrictMath keeps
+    * every sample bit-identical across JVMs. This is the test/fixture audio
+    * source — the container ships no audio corpus, and a production
+    * pipeline swaps in its real blobs at exactly this column.
+    */
+  def renderWav(seed: Long, sampleRateHz: Int, volumePct: Int = 100): Array[Byte] = {
+    val durationMs = 500
+    val n = sampleRateHz * durationMs / 1000
+    // loudness-envelope frequencies stay LOW (2..4 / 3..6 cycles per clip)
+    // so adjacent 15 ms frames differ by a solid margin except right at
+    // envelope extrema — the same reasoning as renderImage's scene terms
+    val a = (mix64(seed) >>> 33) % 3 + 2
+    val b = (mix64(seed + 1) >>> 33) % 4 + 3
+    val c = (mix64(seed + 2) >>> 33) % 4 + 2 // pitch-sweep cycles per clip
+    val phase = (mix64(seed + 3) >>> 40) % 628 / 100.0
+    val phase2 = (mix64(seed + 4) >>> 40) % 628 / 100.0
+    val phase3 = (mix64(seed + 5) >>> 40) % 628 / 100.0
+    val f0 = ((mix64(seed + 6) >>> 33) % 500 + 700).toDouble // 700..1199 Hz
+    val pcm = new Array[Byte](n * 2)
+    var ph = 0.0
+    var i = 0
+    while (i < n) {
+      val u = (i + 0.5) / n // normalized clip time, 0..1 at any rate
+      val amp = 0.55 + 0.25 * StrictMath.cos(2 * StrictMath.PI * a * u + phase) +
+        0.20 * StrictMath.sin(2 * StrictMath.PI * b * u + phase2)
+      val f = f0 + 450.0 * StrictMath.cos(2 * StrictMath.PI * c * u + phase3)
+      ph += 2 * StrictMath.PI * f / sampleRateHz
+      val v = amp * StrictMath.sin(ph) * 30000.0 * volumePct / 100.0
+      val s = math.max(-32768L, math.min(32767L, StrictMath.round(v))).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** REAL pixel decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers ship
     * with the JVM — no external codec): returns (width, height, grayscale
     * 0..255 row-major). None for undecodable/empty payloads — callers skip

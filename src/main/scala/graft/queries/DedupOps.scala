@@ -36,6 +36,39 @@ object DedupOps {
   private[graft] final val X49HashTag = "x49_image_hashes"
   private[graft] final val X49HashFixture = QUtil.fixturePath(X49HashTag)
 
+  /** x51's audio-fingerprint fixture — same contract as [[X46HashFixture]]:
+    * written fresh by the Spark query, read back by it AND by the DuckDB
+    * oracle.
+    */
+  private[graft] final val X51HashTag = "x51_audio_hashes"
+  private[graft] final val X51HashFixture = QUtil.fixturePath(X51HashTag)
+
+  /** Deterministic per-document audio fingerprints (the audio analog of
+    * [[imageHashes]]: doc_id/3 names the tune, doc_id%3 the encoding
+    * variant — 8 kHz original, 11.025 kHz resample, half volume — the
+    * re-encode classes an audio corpus dedups across). A real pipeline
+    * reads its payload column here instead.
+    */
+  private def audioHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.renderWav(id / 3, 8000)
+            case 1 => Multimodal.renderWav(id / 3, 11025)
+            case _ => Multimodal.renderWav(id / 3, 8000, volumePct = 50)
+          }
+          val h = Multimodal.aHash64(payload).getOrElse(
+            throw new IllegalStateException(
+              s"undecodable fixture audio for doc $id"))
+          (id, h)
+        }
+      }.toDF("doc_id", "ahash")
+  }
+
   /** Deterministic per-document image hashes (the x46 corpus convention:
     * doc_id/3 names the scene, doc_id%3 the container/size/brightness
     * variant), shared by the image dedup and image similarity operators.
@@ -772,6 +805,64 @@ object DedupOps {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
             bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+              .cast("int").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy("d1", "d2")
+      }),
+
+    // Perceptual AUDIO dedup (round 16) — completes the dedup story across
+    // modalities (x2 text, x46 images, this for audio): a speech/audio
+    // corpus dedups clips by acoustic fingerprint because resamples and
+    // gain changes are the dominant duplicate class and byte hashes miss
+    // all of them. Pipeline: REAL 16-bit PCM decode (Multimodal.decodePcm,
+    // RIFF chunk walk + integer stereo mixdown) -> 64-bit fingerprint
+    // (Multimodal.aHash64: 33 equal-DURATION frames, 32 adjacent-frame
+    // loudness comparisons + 32 frame-vs-clip zero-crossing-rate bits —
+    // resample- and volume-invariant, integer-only) -> the exact x46
+    // candidate machinery: banded Hamming LSH (4 bands x 16 bits,
+    // candidates via the (band, bucket) equi-join, cost tracks collisions
+    // never all-pairs), exact bit_count(xor) verification at <= 6. The
+    // audio corpus is deterministic (doc_ids sharing doc_id/3 record the
+    // same tune as 8 kHz / 11.025 kHz resample / half volume); a real
+    // pipeline reads its payload column at exactly that point. Hashes
+    // materialize to a parquet fixture both engines read, so the oracle
+    // independently replays banding + verification over identical bytes.
+    QDef(
+      "x51_audio_dedup_fp",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, ahash
+             |  FROM read_parquet('$X51HashFixture/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, ahash,
+             |    CAST(band AS INT) AS band,
+             |    (ahash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+             |    CAST(bit_count(xor(x.ahash, y.ahash)) AS INT) AS hamming
+             |  FROM b x JOIN b y
+             |    ON x.band = y.band AND x.bucket = y.bucket
+             |      AND x.doc_id < y.doc_id)
+             |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6
+             |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        audioHashes(s, dir).write.mode("overwrite")
+          .parquet(QUtil.freshWarehouse(s, X51HashTag))
+        val hx = s.read.parquet(X51HashFixture)
+        val b = hx.select(col("doc_id"), col("ahash"),
+          explode(array((0 to 3).map(i => struct(lit(i).as("band"),
+            shiftright(col("ahash"), 16 * i).bitwiseAND(lit(65535L))
+              .as("bucket"))): _*)).as("bb"))
+          .select(col("doc_id"), col("ahash"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        b.as("x")
+          .join(b.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
               .cast("int").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 6)

@@ -156,6 +156,70 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(null).isEmpty)
   }
 
+  test("decodePcm round-trips 16-bit PCM and integer-mixes stereo to mono") {
+    import javax.sound.sampled._
+    def wav(rateHz: Float, samples: Array[Array[Int]]): Array[Byte] = {
+      val channels = samples.head.length
+      val fmt = new AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = new Array[Byte](samples.length * 2 * channels)
+      samples.zipWithIndex.foreach { case (frame, f) =>
+        frame.zipWithIndex.foreach { case (s, c) =>
+          pcm(2 * (f * channels + c)) = (s & 0xff).toByte
+          pcm(2 * (f * channels + c) + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // mono: exact sample round-trip, negative values sign-extended
+    val mono = Array(Array(0), Array(32767), Array(-32768), Array(-1), Array(123))
+    val (rate, ch, got) = Multimodal.decodePcm(wav(16000f, mono)).get
+    assert(rate == 16000 && ch == 1)
+    assert(got.toSeq == Seq(0, 32767, -32768, -1, 123))
+    // stereo: integer per-frame channel average
+    val stereo = Array(Array(100, 200), Array(-101, 100), Array(5, 4))
+    val (_, ch2, mixed) = Multimodal.decodePcm(wav(8000f, stereo)).get
+    assert(ch2 == 2)
+    assert(mixed.toSeq == Seq(150, 0, 4)) // (-101+100)/2 and 9/2 truncate toward 0
+    // refusals: junk, truncation, null — None, never fabricated samples
+    assert(Multimodal.decodePcm("RIFFxxxxWAVEbut-no-chunks".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePcm(wav(8000f, mono).take(30)).isEmpty)
+    assert(Multimodal.decodePcm(null).isEmpty)
+  }
+
+  test("aHash64: resampled/volume-scaled near-duplicates collide, distinct clips don't") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // near-duplicate class: the SAME tune at 8 kHz, resampled to 11.025 kHz
+    // and 44.1 kHz, and at half volume, must land within the banded-LSH
+    // verification threshold (<= 6 bits of 64; measured worst drift 3)
+    (0L until 20L).foreach { seed =>
+      val base = Multimodal.aHash64(Multimodal.renderWav(seed, 8000)).get
+      val res = Multimodal.aHash64(Multimodal.renderWav(seed, 11025)).get
+      val res44 = Multimodal.aHash64(Multimodal.renderWav(seed, 44100)).get
+      val vol = Multimodal.aHash64(Multimodal.renderWav(seed, 8000, volumePct = 50)).get
+      assert(ham(base, res) <= 6, s"seed $seed: 11kHz resample drifted ${ham(base, res)} bits")
+      assert(ham(base, res44) <= 6, s"seed $seed: 44kHz resample drifted ${ham(base, res44)} bits")
+      assert(ham(base, vol) <= 2,
+        s"seed $seed: volume scaling must be nearly invisible to comparisons")
+    }
+    // distinct-clip class: checked in AGGREGATE like dHash64's scenes
+    val hashes = (100L until 140L).map(s =>
+      Multimodal.aHash64(Multimodal.renderWav(s, 8000)).get)
+    val dists = for (i <- hashes.indices; j <- i + 1 until hashes.size)
+      yield ham(hashes(i), hashes(j))
+    assert(dists.count(_ <= 6).toDouble / dists.size <= 0.02,
+      s"more than 2% of distinct clip pairs collide: ${dists.count(_ <= 6)}/${dists.size}")
+    assert(dists.sum.toDouble / dists.size > 15.0,
+      s"mean distinct-pair distance too low: ${dists.sum.toDouble / dists.size}")
+    // undecodable payloads refuse with None instead of fabricating samples
+    assert(Multimodal.aHash64("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.aHash64(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.aHash64(null).isEmpty)
+  }
+
   test("decodeGray round-trips the JDK encoder's pixels exactly (PNG lossless)") {
     val bytes = Multimodal.renderImage(7L, 32, "png")
     val (w, h, gray) = Multimodal.decodeGray(bytes).get
