@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode with a TEMP
+  // FILE; under 32 concurrent decode tasks the create/delete round-trips
+  // serialize the whole stage on the filesystem. Payloads here are
+  // in-memory byte arrays (KBs), so memory-backed streams are strictly
+  // better. Object-init runs once per executor JVM on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media metadata carried beside the payload. */
   case class MediaMeta(
       modality: String, // image | audio | video
@@ -336,9 +343,18 @@ object Multimodal {
     * in ~32. None for undecodable payloads or images too small to grid.
     */
   def dHash64(bytes: Array[Byte]): Option[Long] =
-    decodeGray(bytes).flatMap { case (w, h, gray) =>
-      if (w < 9 || h < 8) None
-      else {
+    decodeGray(bytes).flatMap(dHashOfGray)
+
+  /** [[dHash64]]'s grid+comparison core over an already-decoded grayscale
+    * plane — shared by the single-image path and the per-frame video path
+    * ([[videoHashes]]), so the two hash spaces are identical by
+    * construction (an extracted video frame and the same still image get
+    * the same bits).
+    */
+  private def dHashOfGray(plane: (Int, Int, Array[Int])): Option[Long] = {
+    val (w, h, gray) = plane
+    if (w < 9 || h < 8) None
+    else {
         val cells = new Array[Long](72) // sums, 8 rows x 9 cols
         val counts = new Array[Int](72)
         var y = 0
@@ -370,8 +386,137 @@ object Multimodal {
           r += 1
         }
         Some(bits)
-      }
     }
+  }
+
+  /** REAL multi-frame decode for the video modality: an animated GIF is the
+    * one video container the JVM decodes with no external codec (ImageIO's
+    * GIF reader returns every frame), so it stands in for the mp4/webm
+    * decode a production pipeline plugs in at this exact signature.
+    * Returns each frame as a grayscale plane (BT.601 integer luma, the
+    * [[decodeGray]] convention). None for undecodable payloads or
+    * containers with zero frames.
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val frames = (0 until n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            gray(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, gray)
+      }
+      reader.dispose()
+      Some(frames)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-video perceptual fingerprint: sample `k` frames at NORMALIZED clip
+    * positions — frame floor((2j+1)·n / 2k) is the one whose time span
+    * contains clip position (2j+1)/2k, so a 6-frame and a 9-frame encode of
+    * the same motion sample (nearly) the same instants — and [[dHash64]]
+    * each sampled frame through the shared grid core. The result is k
+    * 64-bit hashes in clip order: re-encodes (frame-rate change, resize,
+    * brightness) drift a few bits per slot, distinct clips differ in ~32
+    * per slot. None if the container fails to decode.
+    */
+  def videoHashes(bytes: Array[Byte], k: Int = 4): Option[Array[Long]] =
+    decodeFrames(bytes).flatMap { frames =>
+      val n = frames.size
+      val hs = (0 until k).map { j =>
+        val idx = math.min(n - 1, (2 * j + 1) * n / (2 * k))
+        dHashOfGray(frames(idx))
+      }
+      // a frame too small to grid refuses the whole clip, never a partial hash
+      if (hs.forall(_.isDefined)) Some(hs.map(_.get).toArray) else None
+    }
+
+  /** Deterministic synthetic video clip: the [[renderImage]] scene family
+    * given MOTION — each seeded frequency term's phase drifts linearly over
+    * normalized clip time, so a render with more frames is a higher-frame-
+    * rate recording of the SAME motion (not a different clip). Encoded as
+    * an animated GIF via the JDK's own sequence writer. Grayscale scenes
+    * quantize losslessly into GIF's 256-entry palette. This is the
+    * test/fixture video source — the container ships no video corpus, and
+    * a production pipeline swaps in its real blobs at exactly this column.
+    */
+  def renderVideo(seed: Long, frames: Int, side: Int,
+      brightness: Int = 0): Array[Byte] = {
+    val a = (mix64(seed) >>> 33) % 9 + 1
+    val b = (mix64(seed + 1) >>> 33) % 7 + 1
+    val c = (mix64(seed + 3) >>> 33) % 5 + 1
+    val phase = (mix64(seed + 2) >>> 40) % 628 / 100.0
+    val phase2 = (mix64(seed + 4) >>> 40) % 628 / 100.0
+    // total phase drift over the clip: 0.30..0.99 rad — visible motion,
+    // slow enough that the <=1/(2k)-clip sampling offset between frame-rate
+    // variants moves each sampled frame's hash only a few bits
+    val motion = ((mix64(seed + 5) >>> 40) % 70 + 30) / 100.0
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var fi = 0
+    while (fi < frames) {
+      val tm = (fi + 0.5) / frames
+      // BYTE_GRAY + raster writes: the GIF encoder skips per-frame RGB
+      // palette quantization for grayscale rasters, and setSample skips
+      // the ColorModel round-trip setRGB pays — the scene is gray anyway
+      val img = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      // the scene is a sum of a row term, a column term, and a diagonal
+      // term — precompute each as an O(side) lookup so the per-pixel loop
+      // does three array reads instead of three StrictMath calls (the
+      // fixture renderer runs once per corpus row; at 5k docs x 3 variants
+      // x N frames the trig would dominate the whole operator)
+      val rowT = Array.tabulate(side)(x =>
+        StrictMath.cos(a * ((x + 0.5) / side) * StrictMath.PI + phase + motion * tm))
+      val colT = Array.tabulate(side)(y =>
+        StrictMath.sin(b * ((y + 0.5) / side) * StrictMath.PI - phase + motion * tm))
+      val diagT = Array.tabulate(2 * side - 1)(d =>
+        StrictMath.cos(((d + 1.0) / side) * c * StrictMath.PI + phase2 - motion * tm))
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val s = rowT(x) + colT(y) + diagT(x + y) + (x - y).toDouble / side
+          val g0 = ((s + 4.0) / 8.0 * 255.0).toInt + brightness
+          val g = math.max(0, math.min(255, g0))
+          raster.setSample(x, y, 0, g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+      fi += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
 
   /** Deterministic synthetic image: a smooth high-contrast scene seeded by
     * `seed`, rendered at `side`x`side` in NORMALIZED coordinates (so two

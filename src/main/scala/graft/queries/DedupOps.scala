@@ -69,6 +69,41 @@ object DedupOps {
       }.toDF("doc_id", "ahash")
   }
 
+  /** x52's video-fingerprint fixture — same contract as [[X46HashFixture]]:
+    * written fresh by the Spark query, read back by it AND by the DuckDB
+    * oracle. Long format: one row per (doc_id, slot) with that sampled
+    * frame's 64-bit hash.
+    */
+  private[graft] final val X52HashTag = "x52_video_hashes"
+  private[graft] final val X52HashFixture = QUtil.fixturePath(X52HashTag)
+
+  /** Deterministic per-document video fingerprints (the video analog of
+    * [[imageHashes]]: doc_id/3 names the motion clip, doc_id%3 the encoding
+    * variant — 6-frame original, 9-frame re-encode, 48px resize — the
+    * re-encode classes a video corpus dedups across). 4 sampled-frame
+    * hashes per document, exploded row-locally to long format. A real
+    * pipeline reads its payload column here instead.
+    */
+  private def videoHashRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.renderVideo(id / 3, 6, 32)
+            case 1 => Multimodal.renderVideo(id / 3, 9, 32)
+            case _ => Multimodal.renderVideo(id / 3, 6, 48)
+          }
+          val hs = Multimodal.videoHashes(payload).getOrElse(
+            throw new IllegalStateException(
+              s"undecodable fixture video for doc $id"))
+          hs.iterator.zipWithIndex.map { case (h, slot) => (id, slot, h) }
+        }
+      }.toDF("doc_id", "slot", "fhash")
+  }
+
   /** Deterministic per-document image hashes (the x46 corpus convention:
     * doc_id/3 names the scene, doc_id%3 the container/size/brightness
     * variant), shared by the image dedup and image similarity operators.
@@ -866,6 +901,79 @@ object DedupOps {
               .cast("int").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 6)
+          .orderBy("d1", "d2")
+      }),
+
+    // Perceptual VIDEO dedup (round 16) — the last modality pillar: a
+    // video corpus dedups clips across frame-rate changes, resizes, and
+    // re-encodes, none of which byte hashes catch. Pipeline: REAL
+    // multi-frame container decode (Multimodal.decodeFrames — ImageIO's
+    // animated-GIF reader, the JVM's codec-free video stand-in, same
+    // signature a production mp4 decoder plugs into) -> per-clip
+    // fingerprint (videoHashes: 4 frames sampled at NORMALIZED clip
+    // positions so different frame rates sample the same instants, each
+    // dHash64'd through the shared grid core) -> banded Hamming LSH per
+    // (slot, band): a pair is a candidate iff SOME sampled frame shares
+    // some 16-bit band — the (slot, band, bucket) equi-join, cost tracks
+    // collisions never all-pairs — then exact verification joins the 4
+    // hash rows back per candidate pair (candidates-bounded) and keeps
+    // pairs within 24 total bits (dHash's per-frame 6 x 4 slots). The
+    // video corpus is deterministic (doc_ids sharing doc_id/3 record the
+    // same motion as 6-frame / 9-frame / 48px encodes); hashes materialize
+    // to a parquet fixture both engines read, so the oracle independently
+    // replays banding + verification over identical bytes.
+    QDef(
+      "x52_video_dedup_phash",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, slot, fhash
+             |  FROM read_parquet('$X52HashFixture/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, slot, fhash,
+             |    CAST(band AS INT) AS band,
+             |    (fhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM b x JOIN b y
+             |    ON x.slot = y.slot AND x.band = y.band AND x.bucket = y.bucket
+             |      AND x.doc_id < y.doc_id),
+             |ver AS (
+             |  SELECT c.d1, c.d2,
+             |    CAST(sum(bit_count(xor(a.fhash, z.fhash))) AS INT) AS hamming
+             |  FROM cand c
+             |  JOIN h a ON a.doc_id = c.d1
+             |  JOIN h z ON z.doc_id = c.d2 AND z.slot = a.slot
+             |  GROUP BY c.d1, c.d2)
+             |SELECT d1, d2, hamming FROM ver WHERE hamming <= 24
+             |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        videoHashRows(s, dir).write.mode("overwrite")
+          .parquet(QUtil.freshWarehouse(s, X52HashTag))
+        val hx = s.read.parquet(X52HashFixture)
+        val b = hx.select(col("doc_id"), col("slot"),
+          explode(array((0 to 3).map(i => struct(lit(i).as("band"),
+            shiftright(col("fhash"), 16 * i).bitwiseAND(lit(65535L))
+              .as("bucket"))): _*)).as("bb"))
+          .select(col("doc_id"), col("slot"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val cand = b.as("x")
+          .join(b.as("y"),
+            col("x.slot") === col("y.slot") &&
+              col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        // verification reads exactly 4 hash rows per candidate side —
+        // cost tracks candidate pairs, never the corpus
+        cand
+          .join(hx.as("a"), col("d1") === col("a.doc_id"))
+          .join(hx.as("z"),
+            col("d2") === col("z.doc_id") && col("a.slot") === col("z.slot"))
+          .groupBy("d1", "d2")
+          .agg(sum(bit_count(col("a.fhash").bitwiseXOR(col("z.fhash"))))
+            .cast("int").as("hamming"))
+          .filter(col("hamming") <= 24)
           .orderBy("d1", "d2")
       }),
 

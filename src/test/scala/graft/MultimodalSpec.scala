@@ -220,6 +220,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash64(null).isEmpty)
   }
 
+  test("videoHashes: frame-rate/resize near-duplicates collide, distinct clips don't") {
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // near-duplicate class: the SAME motion recorded at 6 and 9 frames, at
+    // 48px, and brightness-shifted must land within the verification
+    // threshold (<= 24 bits summed over 4 slots — the per-slot <= 6 of
+    // dHash64; measured worst drift: frame-rate 6, resize 22, brightness 0)
+    (0L until 20L).foreach { seed =>
+      val base = Multimodal.videoHashes(Multimodal.renderVideo(seed, 6, 32)).get
+      assert(base.length == 4)
+      val fr = Multimodal.videoHashes(Multimodal.renderVideo(seed, 9, 32)).get
+      val rs = Multimodal.videoHashes(Multimodal.renderVideo(seed, 6, 48)).get
+      val br = Multimodal.videoHashes(
+        Multimodal.renderVideo(seed, 6, 32, brightness = 8)).get
+      assert(ham(base, fr) <= 24, s"seed $seed: frame-rate change drifted ${ham(base, fr)} bits")
+      assert(ham(base, rs) <= 24, s"seed $seed: resize drifted ${ham(base, rs)} bits")
+      assert(ham(base, br) <= 8,
+        s"seed $seed: brightness shift must be nearly invisible to comparisons")
+    }
+    // distinct-clip class: checked in AGGREGATE like dHash64's scenes
+    val hashes = (100L until 140L).map(s =>
+      Multimodal.videoHashes(Multimodal.renderVideo(s, 6, 32)).get)
+    val dists = for (i <- hashes.indices; j <- i + 1 until hashes.size)
+      yield ham(hashes(i), hashes(j))
+    assert(dists.count(_ <= 24).toDouble / dists.size <= 0.02,
+      s"more than 2% of distinct clip pairs collide: ${dists.count(_ <= 24)}/${dists.size}")
+    assert(dists.sum.toDouble / dists.size > 60.0,
+      s"mean distinct-pair distance too low: ${dists.sum.toDouble / dists.size}")
+    // undecodable payloads refuse with None instead of fabricating frames
+    assert(Multimodal.videoHashes("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.videoHashes(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.videoHashes(null).isEmpty)
+  }
+
+  test("decodeFrames returns every GIF frame; still images are 1-frame videos") {
+    val fs = Multimodal.decodeFrames(Multimodal.renderVideo(3L, 6, 32)).get
+    assert(fs.size == 6)
+    assert(fs.forall { case (w, h, g) => w == 32 && h == 32 && g.length == 1024 })
+    // frames genuinely differ (the motion is real, not a repeated still)
+    assert(fs.head._3.toSeq != fs.last._3.toSeq)
+    // a single still image decodes as a 1-frame clip whose hash slots all
+    // equal the still's dHash64 — the two hash spaces are the same space
+    val still = Multimodal.renderImage(5L, 32, "png")
+    val vh = Multimodal.videoHashes(still).get
+    assert(vh.toSeq == Seq.fill(4)(Multimodal.dHash64(still).get))
+  }
+
   test("decodeGray round-trips the JDK encoder's pixels exactly (PNG lossless)") {
     val bytes = Multimodal.renderImage(7L, 32, "png")
     val (w, h, gray) = Multimodal.decodeGray(bytes).get
