@@ -109,7 +109,7 @@ object DedupOps {
     * variant), shared by the image dedup and image similarity operators.
     * A real pipeline reads its payload column here instead.
     */
-  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def imageHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.Multimodal
     t(s, dir, "documents").select(col("doc_id")).as[Long]

@@ -769,6 +769,116 @@ object StreamOps {
           .select(col("event_id"), col("user_id"), col("tier"), col("value"))
         runToTable(out, OutputMode.Append(), s"st13_sink_${System.nanoTime()}")
           .orderBy("event_id")
+      }),
+
+    // Streaming INGEST-TIME image dedup (round 16) — x25's incremental-
+    // dedup shape for the multimodal pillar: a continuously-arriving image
+    // stream screens against the EXISTING corpus's perceptual-hash index
+    // before anything lands in the lake (admit novel images, route
+    // near-duplicates to a report). The screen is a STATELESS stream-
+    // static join — no watermark, no state store, unbounded-safe by
+    // construction: each incoming image dHashes row-locally in-stream
+    // (the x46 hash through the same shared code), explodes into its 4
+    // LSH bands, equi-joins the banded corpus index on (band, bucket) —
+    // at 100 TB the index is a bucket-partitioned table, x25's layout —
+    // and verifies candidates exactly at <= 6 bits. Incoming model:
+    // even doc_ids re-encode a corpus scene as JPEG (the near-dup class
+    // the screen exists to catch), odd doc_ids are novel scenes (mostly
+    // clean — low-frequency synthetic scenes can genuinely land near a
+    // corpus image, the aggregate behavior x46's spec pins; every
+    // emitted match is perceptually real by the exact <= 6 test).
+    // Oracle: the incoming side's hashes are ALSO materialized by a batch
+    // pass of the same deterministic pipeline, and DuckDB replays the
+    // whole screen over (corpus fixture, incoming fixture) — if the
+    // stream-side hashing or join drifted from batch by one bit, the
+    // match set would differ and the compare would fail.
+    QDef(
+      "st15_stream_image_ingest_dedup",
+      Some(s"""WITH c AS (
+             |  SELECT doc_id, dhash
+             |  FROM read_parquet('${graft.queries.DedupOps.X49HashFixture}/*.parquet')),
+             |i AS (
+             |  SELECT doc_id, dhash
+             |  FROM read_parquet('${QUtil.fixturePath("st15_incoming_hashes")}/*.parquet')),
+             |cb AS (
+             |  SELECT doc_id, dhash, CAST(band AS INT) AS band,
+             |    (dhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM c, unnest(range(0, 4)) t(band)),
+             |ib AS (
+             |  SELECT doc_id, dhash, CAST(band AS INT) AS band,
+             |    (dhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM i, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT ib.doc_id AS in_id, cb.doc_id AS corpus_id, ib.band AS band,
+             |    CAST(bit_count(xor(ib.dhash, cb.dhash)) AS INT) AS hamming
+             |  FROM ib JOIN cb ON ib.band = cb.band AND ib.bucket = cb.bucket)
+             |SELECT in_id, corpus_id, band, hamming FROM cand WHERE hamming <= 6
+             |ORDER BY in_id, corpus_id, band""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        import graft.queries.DedupOps
+        // the incoming pipeline, shared verbatim by the batch fixture pass
+        // and the stream (one function, so the two cannot drift)
+        def hashIncoming(ids: Iterator[Long]): Iterator[(Long, Long)] =
+          ids.map { id =>
+            val payload =
+              if (id % 2 == 0) // JPEG re-encode of an existing corpus scene
+                Multimodal.renderImage((id / 2) % 400, 32, "jpg")
+              else // genuinely novel scene, far outside the corpus seeds
+                Multimodal.renderImage(1000000L + id, 32, "png")
+            (id, Multimodal.dHash64(payload).getOrElse(
+              throw new IllegalStateException(
+                s"undecodable incoming image for doc $id")))
+          }
+        // corpus index: the x49 hash fixture (built once per JVM/sf),
+        // banded fresh per micro-batch — at scale this is a materialized
+        // bucket-partitioned index table
+        val corpusWh = QUtil.cachedFixture(s, DedupOps.X49HashTag, dir) { w =>
+          DedupOps.imageHashes(s, dir).write.mode("overwrite").parquet(w)
+        }
+        def banded(df: DataFrame, idAs: String): DataFrame =
+          df.select(col("doc_id").as(idAs), col("dhash"),
+            explode(array((0 to 3).map(i => struct(lit(i).as("band"),
+              shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L))
+                .as("bucket"))): _*)).as("bb"))
+            .select(col(idAs), col("dhash").as(s"${idAs}_hash"),
+              col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        // batch pass materializes the incoming hashes for the oracle —
+        // memoized per JVM/sf (it exists only so DuckDB has bytes to
+        // replay; the operator under test is the STREAM, which re-derives
+        // every hash on every run)
+        QUtil.cachedFixture(s, "st15_incoming_hashes", dir) { w =>
+          QUtil.t(s, dir, "documents").select(col("doc_id")).as[Long]
+            .repartition(s.sparkContext.defaultParallelism)
+            .mapPartitions(hashIncoming).toDF("doc_id", "dhash")
+            .write.mode("overwrite").parquet(w)
+          ()
+        }
+        val corpusB = banded(s.read.parquet(corpusWh), "corpus_id")
+        // the stream re-derives every incoming hash through the same code
+        val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val incoming = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id")).as[Long]
+          // decode parallelism must follow ROW count, not file-split count
+          // (the Multimodal module's rule): the whole fixture is one file,
+          // so without this the entire micro-batch renders in one task
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions(hashIncoming).toDF("doc_id", "dhash")
+        // one report row per (incoming, corpus, matching band): keying the
+        // report on the band keeps the screen fully STATELESS (a DISTINCT
+        // across bands would need a state store) and makes each match
+        // auditable — which band caught it
+        val matches = banded(incoming, "in_id")
+          .join(broadcast(corpusB), Seq("band", "bucket"))
+          .select(col("in_id"), col("corpus_id"), col("band"),
+            bit_count(col("in_id_hash").bitwiseXOR(col("corpus_id_hash")))
+              .cast("int").as("hamming"))
+          .filter(col("hamming") <= 6)
+        runToTable(matches, OutputMode.Append(),
+          s"st15_sink_${System.nanoTime()}")
+          .orderBy("in_id", "corpus_id", "band")
       })
   )
 }
