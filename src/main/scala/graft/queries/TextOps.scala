@@ -1167,13 +1167,65 @@ object TextOps {
     // lexicographic) becomes the next merge, and the merge is applied to
     // each word's symbol array as a row-local left fold. Driver traffic is
     // ONE row per iteration (the argmax) — never data-sized. Output: the
-    // ranked merge table a tokenizer ships. No SQL oracle (the loop is
-    // iterative); TextBpeSpec proves the merges equal an independent
-    // driver-side reference implementation, and the driver's rows>0 check
-    // gates the query.
+    // ranked merge table a tokenizer ships. TextBpeSpec proves the merges
+    // equal an independent driver-side reference implementation — and
+    // since round 16 the TRAINING LOOP ITSELF is oracled: DuckDB replays
+    // all 15 iterations as a recursive CTE whose working table is the full
+    // per-word segmentation state (x40's marker-delimited string form).
+    // Each recursion step, in one pass over that state: explodes adjacent
+    // symbol pairs per index (overlapping occurrences count, exactly like
+    // the trainer), window-sums pair counts weighted by word frequency,
+    // broadcasts the argmax (count DESC, then left/right ascending — the
+    // utf8Lt tie-break; DuckDB compares strings by UTF-8 bytes) to every
+    // row via FIRST_VALUE over a global ORDER BY frame, and rewrites each
+    // word's segmentation with the same left-to-right non-overlapping
+    // replace() the x40 oracle uses. Single-symbol words ride along via a
+    // NULL right-neighbor (excluded from counting by a NULL weight), so
+    // the state never loses a word. The suite's last rows-only check is
+    // gone: every query is now verified against an independent engine.
     QDef(
       "x38_bpe_train",
-      None,
+      Some(s"""WITH RECURSIVE wf AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w),
+             |st AS (
+             |  SELECT 0 AS rank, w, freq,
+             |    regexp_replace(w, '(.)', '$Stx\\1$Etx', 'g') AS seg,
+             |    CAST(NULL AS VARCHAR) AS m_l, CAST(NULL AS VARCHAR) AS m_r,
+             |    CAST(NULL AS BIGINT) AS m_cnt
+             |  FROM wf
+             |  UNION ALL
+             |  SELECT DISTINCT rank, w, freq,
+             |    replace(seg, '$Stx' || bl || '$Etx$Stx' || br || '$Etx',
+             |      '$Stx' || bl || br || '$Etx') AS seg,
+             |    bl, br, bc
+             |  FROM (
+             |    SELECT rank, w, freq, seg,
+             |      FIRST_VALUE(lft) OVER win AS bl,
+             |      FIRST_VALUE(rgt) OVER win AS br,
+             |      FIRST_VALUE(cnt) OVER win AS bc
+             |    FROM (
+             |      SELECT rank, w, freq, seg, lft, rgt,
+             |        SUM(pw) OVER (PARTITION BY lft, rgt) AS cnt
+             |      FROM (
+             |        SELECT rank + 1 AS rank, w, freq, seg,
+             |          syms[i] AS lft, syms[i + 1] AS rgt,
+             |          CASE WHEN syms[i + 1] IS NULL THEN NULL ELSE freq END AS pw
+             |        FROM (
+             |          SELECT rank, w, freq, seg,
+             |            string_split(substr(seg, 2, length(seg) - 2),
+             |              '$Etx$Stx') AS syms
+             |          FROM st WHERE rank < 15),
+             |          unnest(range(1, greatest(len(syms), 2))) t(i)))
+             |    WINDOW win AS (ORDER BY cnt DESC NULLS LAST,
+             |      lft ASC NULLS LAST, rgt ASC NULLS LAST
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |  WHERE bc IS NOT NULL)
+             |SELECT DISTINCT CAST(rank AS INT) AS rank, m_l AS "left",
+             |  m_r AS "right", m_l || m_r AS merged, m_cnt AS pair_count
+             |FROM st WHERE rank >= 1 ORDER BY rank""".stripMargin),
       (s, dir) => bpeTrain(s, dir, merges = 15)),
 
     // BPE tokenizer ENCODE (round 13) — the APPLY side of x38: turn the

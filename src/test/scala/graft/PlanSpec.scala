@@ -174,6 +174,26 @@ class PlanSpec extends SparkSpec {
       s"expected the shingle-keyed verification join; joins were:\n${joinLines.mkString("\n")}")
   }
 
+  test("x46/x51/x52: perceptual dedup — candidates are bucket-keyed, never all-pairs") {
+    // one scale contract across the three modality screens: candidate
+    // generation is a (band, bucket)-keyed equi-join (x52 adds the frame
+    // slot to the key), so cost tracks hash collisions — an all-pairs
+    // operator anywhere would make the screen O(corpus^2) at 100 TB
+    Seq("x46_image_dedup_phash", "x51_audio_dedup_fp",
+        "x52_video_dedup_phash").foreach { q =>
+      val s = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q must never do all-pairs work:\n$s")
+      val joinLines = s.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")).toSeq
+      assert(joinLines.nonEmpty, s"$q: expected equi-joins in:\n$s")
+      assert(joinLines.exists(l =>
+        "(?<![A-Za-z0-9_])bucket#".r.findFirstIn(l).isDefined),
+        s"$q: expected a bucket-keyed LSH candidate join; joins were:\n${joinLines.mkString("\n")}")
+    }
+  }
+
   test("x41: SemDeDup — every join is cluster-keyed; no all-pairs operator") {
     val s = finalPlan(SparkEntry.queries("x41_semdedup")(spark, sfDir))
     // SemDeDup's entire cost bound is sum(|cluster|^2): nothing may ever

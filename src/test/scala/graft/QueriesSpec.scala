@@ -66,20 +66,18 @@ class QueriesSpec extends SparkSpec {
       SparkEntry.queries(name)(spark, d).queryExecution.assertAnalyzed()
     }
 
-  // every query is oracle-gated except the entries below — a3 carries its
-  // HLL error bound as a column so even the sketch op hash-compares
-  // against DuckDB. x38 (BPE training) is an ITERATIVE loop no single SQL
-  // statement expresses; its correctness gate is TextBpeSpec's independent
-  // reference implementation (both driver and distributed paths), and the
-  // driver records the weaker rows>0 check. x40 (BPE encode) applies x38's
-  // learned merges — the training loop's iterative argmax is inexpressible
-  // in one SQL statement; TextBpeSpec gates it against an independent
-  // reference implementation. (x26b regained an oracle in round 15 via the
-  // materialized-counts fixture; x40 in round 16 via a recursive-CTE
-  // sequential replay over the materialized merge table — x38's TRAINING
-  // is now the suite's only rows-only check.)
-  private val rowsOnly =
-    Set("x38_bpe_train")
+  // EVERY query is oracle-gated — a3 carries its HLL error bound as a
+  // column so even the sketch op hash-compares against DuckDB; x26b
+  // regained an oracle in round 15 via the materialized-counts fixture;
+  // x40 in round 16 via a recursive-CTE sequential replay over the
+  // materialized merge table; and x38 (BPE training, the last hold-out)
+  // in round 16 via a recursive CTE whose working table is the full
+  // per-word segmentation state, replaying every merge iteration —
+  // pair-count window, argmax broadcast, segmentation rewrite — in SQL.
+  // TextBpeSpec additionally gates both BPE paths against an independent
+  // reference implementation. This set stays as the documented mechanism
+  // should a future operator genuinely lack a SQL-expressible oracle.
+  private val rowsOnly = Set.empty[String]
 
   test("every query name has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
