@@ -384,6 +384,132 @@ object SimilarityOps {
           .orderBy("qid", "rn")
       }),
 
+    // The PERSISTED IVF index (round 16) — x27 computes its cell
+    // assignment per query; a production vector store MAINTAINS the index
+    // as a table and serves probes from it. This operator is that shape
+    // on the lake: the assignment table lives as an icelite table
+    // PARTITIONED BY CELL ID, so a probe IS a partition-pruned scan —
+    // nprobe cells touch nprobe partitions' files and the rest of the
+    // index is never read (asserted in-query on the scan's own planned
+    // file set). Maintenance is INCREMENTAL, x25's economics for vectors:
+    // the base corpus builds snapshot 1; a later delta batch assigns ONLY
+    // its own rows (one broadcast argmax pass over the delta, centroids
+    // fixed) and appends snapshot 2 — asserted to add exactly the delta's
+    // rows with zero rewrite. Assignment per row is independent given
+    // fixed centroids, so base∪delta equals assign-everything — which is
+    // exactly what the oracle restates, plus the probe and the exact
+    // fixed-point top-k over candidates from the probed cells only.
+    QDef(
+      "x53_ivf_index_lake",
+      Some(s"""WITH $elementsSql,
+              |cel AS (SELECT vec_id cid, i, q FROM el WHERE vec_id < 8),
+              |adots AS (
+              |  SELECT a.vec_id vid, c.cid, CAST(SUM(a.q*c.q) AS BIGINT) dp
+              |  FROM el a JOIN cel c ON a.i = c.i GROUP BY 1, 2),
+              |ascore AS (
+              |  SELECT vid, cid,
+              |    CAST(dp AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) cs
+              |  FROM adots JOIN n2 nv ON nv.vec_id = vid JOIN n2 nc ON nc.vec_id = cid),
+              |assign AS (
+              |  SELECT vid, cid FROM (
+              |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
+              |    FROM ascore) WHERE rn = 1),
+              |probes AS (
+              |  SELECT vid qid, cid FROM (
+              |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
+              |    FROM ascore WHERE vid >= 8 AND vid < 11) WHERE rn <= 1),
+              |cand AS (
+              |  SELECT p.qid, a.vid nid FROM probes p
+              |  JOIN assign a ON a.cid = p.cid AND a.vid <> p.qid),
+              |dots AS (
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM cand JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY qid, nid),
+              |scored AS (
+              |  SELECT qid, nid, $cosineSql AS cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |  FROM dots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 3
+              |ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val el = elements(s, dir)
+        val n2 = norms(el)
+        val cel = el.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("i"), col("q").as("cq"))
+        val wCell = org.apache.spark.sql.expressions.Window
+          .partitionBy("vid").orderBy(col("cs").desc, col("cid"))
+        // score every (vector, centroid) pair — reused for the argmin
+        // assignment of each maintenance batch and for query probing
+        def scoresOf(sub: DataFrame): DataFrame = sub
+          .join(broadcast(cel), "i")
+          .groupBy(col("vec_id").as("vid"), col("cid"))
+          .agg(sum(col("q") * col("cq")).as("dp"))
+          .join(broadcast(n2.as("nv")), col("vid") === col("nv.vec_id"))
+          .join(broadcast(n2.filter(col("vec_id") < 8).as("nc")),
+            col("cid") === col("nc.vec_id"))
+          .select(col("vid"), col("cid"),
+            cosine(col("dp"), col("nv.nn"), col("nc.nn")).as("cs"))
+        def assignOf(sub: DataFrame): DataFrame =
+          scoresOf(sub).withColumn("rn", row_number().over(wCell))
+            .filter(col("rn") === 1)
+            .select(col("vid").as("vec_id"), col("cid"))
+        // the index table is FIXTURE for the probe (x25's economics: build
+        // once, probe forever) — memoized per JVM/sf, with the incremental-
+        // maintenance assertions inside the build
+        val wh = QUtil.cachedFixture(s, "x53_ivf_index", dir) { w =>
+          val cat = new graft.icelite.IceCatalog(s, w)
+          val idx = cat.createTable("lake", "ivf_index",
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id BIGINT, cid BIGINT"),
+            partitionBy = Seq("cid"))
+          // snapshot 1: the base corpus builds the index
+          idx.append(assignOf(el.filter(col("vec_id") % 2 === 0)))
+          // snapshot 2: a later delta batch assigns ONLY its own rows —
+          // the incremental-maintenance step, cost tracks the delta
+          val delta = assignOf(el.filter(col("vec_id") % 2 =!= 0))
+          val deltaRows = delta.count()
+          idx.append(delta)
+          val snap = idx.meta.currentSnapshot.get
+          require(snap.operation == "append" && snap.addedRows == deltaRows,
+            s"delta maintenance must append exactly the delta " +
+              s"(op=${snap.operation}, added=${snap.addedRows}, delta=$deltaRows)")
+          ()
+        }
+        val idx = new graft.icelite.IceCatalog(s, wh).loadTable("lake", "ivf_index")
+        // query: nprobe=1 probes over the PERSISTED index; the scan must
+        // plan only the probed cells' partitions
+        val probes = scoresOf(
+          el.filter(col("vec_id") >= 8 && col("vec_id") < 11))
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") <= 1).select(col("vid").as("qid"), col("cid"))
+        val probeCells = probes.select("cid").distinct()
+          .collect().map(_.getLong(0)).sorted // query-sized, never corpus-sized
+        val idxScan = idx.toDF.where(col("cid").isin(probeCells: _*))
+        val planned = graft.sources.v2.HasPlannedFiles.of(idxScan)
+        require(planned.nonEmpty && planned.forall(p =>
+          probeCells.exists(c => p.contains(s"/cid=$c/"))),
+          s"probe must plan ONLY probed-cell partitions, got $planned")
+        val cand = broadcast(probes).join(idxScan, "cid")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"))
+        val dots = cand
+          .join(el.as("a"), col("a.vec_id") === col("qid"))
+          .join(el.as("b"),
+            col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
+          .groupBy("qid", "nid")
+          .agg(sum(col("a.q") * col("b.q")).as("dp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        dots
+          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .select(col("qid"), col("nid"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("qid", "rn")
+      }),
+
     // Embedding-cosine near-dup pairs, blocked by label (block key stands in
     // for the coarse-quantizer cell an IVF index would assign at scale).
     QDef(
