@@ -588,6 +588,28 @@ object MetaIo {
     meta
   }
 
+  /** Every durable metadata version of a table, oldest first, as
+    * (version, parsed metadata, version-file path) — the engine behind
+    * the `.metadata_log_entries` metadata table. O(versions) small JSON
+    * reads over the metadata dir only (never data), metadata-sized by
+    * definition and bounded by version-log retention (expired versions
+    * simply aren't listed). A file that fails to parse (non-atomic FS
+    * mid-write) is skipped, mirroring rollForward's head rule.
+    */
+  def versionLog(fs: FileSystem, tableDir: Path)
+      : Seq[(Int, TableMeta, String)] = {
+    val dir = metadataDir(tableDir)
+    val vPat = "^v(\\d+)\\.json$".r
+    fs.listStatus(dir).toSeq
+      .flatMap(st => vPat.findFirstMatchIn(st.getPath.getName)
+        .map(m => m.group(1).toInt -> st.getPath))
+      .sortBy(_._1)
+      .flatMap { case (v, p) =>
+        scala.util.Try(mapper.readValue(readFile(fs, p), classOf[TableMeta]))
+          .toOption.map(m => (v, m, p.toString))
+      }
+  }
+
   // Manifest files are immutable once written (snapshots never change), so
   // parsed manifests memoize safely; bounded LRU so a long session over many
   // tables cannot grow without limit yet keeps hot tables' manifests parsed

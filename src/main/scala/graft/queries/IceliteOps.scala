@@ -2169,6 +2169,39 @@ object IceliteOps {
                 |FROM icelite_d5.lake.n_refs.refs ORDER BY name""".stripMargin)
       }),
 
+    // The version log as a SQL surface (Iceberg's .metadata_log_entries):
+    // one row per durable metadata version — the ops view of commit
+    // history, including versions whose current snapshot later MOVED.
+    // The fixture history makes that visible: create (no snapshot),
+    // two appends, then a rollback — version 4 points BACK at snapshot 1
+    // while both snapshots stay durable (still time-travelable), which
+    // `.history`'s is_current_ancestor view and this log together explain.
+    // Zero data IO: O(versions) metadata reads, bounded by retention.
+    QDef(
+      "d6_metadata_log",
+      Some("""SELECT 1 AS version, CAST(NULL AS BIGINT) AS latest_snapshot_id,
+             |  0 AS snapshot_count
+             |UNION ALL SELECT 2, CAST(1 AS BIGINT), 1
+             |UNION ALL SELECT 3, CAST(2 AS BIGINT), 2
+             |UNION ALL SELECT 4, CAST(1 AS BIGINT), 2
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val wh = cachedFixture(s, "d6", dir) { w =>
+          val fcat = new IceCatalog(s, w)
+          val fixture = fcat.createTable("lake", "n_log", n.schema)
+          fixture.append(n)
+          fixture.append(n.limit(5))
+          fixture.rollbackTo(1L)
+          ()
+        }
+        s.conf.set("spark.sql.catalog.icelite_d6", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d6.warehouse", wh)
+        s.sql("""SELECT version, latest_snapshot_id, snapshot_count
+                |FROM icelite_d6.lake.n_log.metadata_log_entries
+                |ORDER BY version""".stripMargin)
+      }),
+
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'
     // branch ref — plain reads stay pinned to the pre-stage snapshot
     // (asserted) while the branch is validated through its ref scan — then

@@ -64,7 +64,9 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace().length == 2 && IceLiteMeta.names.contains(ident.name())) {
       val Array(ns, tbl) = ident.namespace()
       val (meta, fs) = IceLiteV2.loadMeta(warehouse, ns, tbl)
-      return IceLiteMeta.table(meta, fs, ident.name())
+      return IceLiteMeta.table(meta, fs, ident.name(),
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(warehouse, ns), tbl))
     }
     val (meta, fs) = IceLiteV2.loadMeta(warehouse, nsOf(ident), ident.name())
     IceLiteV2.buildTable(warehouse, meta, fs, snapshotId = None,

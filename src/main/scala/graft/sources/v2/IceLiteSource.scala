@@ -1116,10 +1116,29 @@ private[v2] object IceLiteMeta {
 
   val names: Set[String] = Set(
     "snapshots", "files", "refs", "deletes", "history", "manifests",
-    "partitions", "stats", "all_files")
+    "partitions", "stats", "all_files", "metadata_log_entries")
 
   def table(meta: graft.icelite.TableMeta,
-      fs: org.apache.hadoop.fs.FileSystem, kind: String): Table = kind match {
+      fs: org.apache.hadoop.fs.FileSystem, kind: String,
+      tableDir: Path = null): Table = kind match {
+    case "metadata_log_entries" =>
+      // the version log itself (Iceberg's .metadata_log_entries): one row
+      // per durable metadata version — the ops view of the COMMIT history,
+      // including versions whose current snapshot later moved (rollback)
+      // or whose snapshots expired. latest_snapshot_id is NULL for
+      // versions with no snapshot yet (fresh DDL). O(versions) metadata
+      // reads, bounded by version-log retention.
+      val schema = StructType.fromDDL(
+        "version INT, file STRING, latest_snapshot_id BIGINT, " +
+          "snapshot_count INT")
+      require(tableDir != null,
+        "metadata_log_entries needs the table dir to list version files")
+      val rows = graft.icelite.MetaIo.versionLog(fs, tableDir)
+        .map { case (v, m, path) => Array[Any](v, path,
+          if (m.currentSnapshotId > 0) m.currentSnapshotId else null,
+          m.snapshots.size) }
+      new IceLiteMetaTable(
+        s"${meta.namespace}.${meta.name}.metadata_log_entries", schema, rows)
     case "refs" =>
       // named refs with their recorded KIND (Iceberg's .refs): 'tag' pins
       // a snapshot forever, 'branch' is a ref a write has advanced

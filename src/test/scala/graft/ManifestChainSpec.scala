@@ -297,6 +297,19 @@ class ManifestChainSpec extends SparkSpec {
     assert(cat.loadTable("lake", "t").toDF.count() == 2)
     // the zero-byte claim ledger survives (stale stragglers stay locked out)
     assert(fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".claim")))
+    // .metadata_log_entries serves exactly the RETAINED versions (trimmed
+    // history simply isn't listed), newest last, with the rollback's moved
+    // pointer visible in latest_snapshot_id
+    spark.conf.set("spark.sql.catalog.ice_vmax", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_vmax.warehouse", wh)
+    val log = spark.sql(
+      "SELECT version, latest_snapshot_id FROM ice_vmax.lake.t.metadata_log_entries ORDER BY version")
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val curV2 = cat.loadTable("lake", "t").meta.version
+    assert(log.map(_._1).toSeq == vNums.sorted.toSeq,
+      s"log must list exactly the retained version files, got ${log.toSeq}")
+    assert(log.last == ((curV2, oldest + 1)),
+      s"newest log entry must carry the rolled-back pointer, got ${log.last}")
     // malformed values refuse at DDL — including 0, which would let a
     // commit delete the version a reader racing the hint swap just read
     intercept[IllegalArgumentException](cat.createTable("lake", "t2", df.schema,
