@@ -32,6 +32,10 @@ object SimilarityOps {
   private val liveKmeans =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  // the one live persisted BM25 postings table per session (x54)
+  private val livePost =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point. */
   private def elements(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -382,6 +386,99 @@ object SimilarityOps {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .orderBy("qid", "rn")
+      }),
+
+    // LEXICAL retrieval (round 16) — the OTHER half of similarity search:
+    // embedding ANN (x6/x7/x27/x53) finds semantic neighbors; a corpus
+    // pipeline equally needs TERM-BASED retrieval (more-like-this dedup
+    // triage, RAG candidate generation, contamination forensics). The
+    // classic inverted-index shape: postings = one map-side-combinable
+    // (term, doc, tf) aggregate — the only corpus-sized shuffle; the
+    // query side (distinct terms of each query doc) is query-sized and
+    // BROADCAST, so candidate scoring is an equi-join on the term whose
+    // cost tracks posting-list sizes, never corpus x queries. Scoring is
+    // BM25-shaped but INTEGER-EXACT (the x43 discipline — never sum
+    // engine-ordered doubles): idf and the tf-saturation term are scaled
+    // rationals in 1e6 fixed point with truncating division, so per-term
+    // contributions are int64 and the per-doc sum is order-insensitive
+    // and bit-identical across engines. (Constants bound: contributions
+    // <= ~5e9 x 2.2e6 / 1e6 at this corpus; a 1e11-doc corpus would move
+    // idf scaling to 1e3 to stay in int64.) k1=1.2, b=0.75 — the standard
+    // Robertson parameters, as exact fractions 2200000/1200000/750000.
+    QDef(
+      "x54_bm25_retrieval",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |tok2 AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+             |post AS (
+             |  SELECT doc_id, w, CAST(count(*) AS BIGINT) tf
+             |  FROM tok2 GROUP BY doc_id, w),
+             |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) len FROM tok2 GROUP BY doc_id),
+             |corp AS (
+             |  SELECT CAST(count(*) AS BIGINT) d, CAST(sum(len) AS BIGINT) s
+             |  FROM lens),
+             |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) df FROM post GROUP BY w),
+             |q AS (SELECT doc_id qid, w FROM post WHERE doc_id % 499 = 0),
+             |hit AS (
+             |  SELECT q.qid, p.doc_id nid, p.w, p.tf, l.len
+             |  FROM q JOIN post p ON p.w = q.w AND p.doc_id <> q.qid
+             |  JOIN lens l ON l.doc_id = p.doc_id),
+             |scoredterm AS (
+             |  SELECT qid, nid,
+             |    (((corp.d - f.df + 1) * 1000000) // (f.df + 1)
+             |      * ((h.tf * 2200000 * 1000000)
+             |         // (h.tf * 1000000
+             |            + (1200000 * (250000 + (750000 * h.len * corp.d) // corp.s))
+             |              // 1000000))) // 1000000 AS c
+             |  FROM hit h JOIN dfreq f ON f.w = h.w, corp),
+             |score AS (
+             |  SELECT qid, nid, CAST(sum(c) AS BIGINT) score1e6 FROM scoredterm
+             |  GROUP BY qid, nid),
+             |ranked AS (
+             |  SELECT qid, nid, score1e6,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score1e6 DESC, nid) rn
+             |  FROM score)
+             |SELECT qid, CAST(rn AS INT) AS rank, nid, score1e6
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin),
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        // postings feed four consumers (lens, df, query side, candidate
+        // join): persist once, released on the NEXT build via livePost —
+        // the liveKmeans discipline
+        Option(livePost.remove(s)).foreach(_.unpersist())
+        val post = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          .persist()
+        livePost.put(s, post)
+        val lens = post.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+        // two corpus scalars (doc count, total tokens): one tiny collect
+        val corp = lens.agg(count(lit(1)).as("d"), sum(col("len")).as("s"))
+          .collect()(0)
+        val (dD, sS) = (corp.getLong(0), corp.getLong(1))
+        val dfreq = post.groupBy("w").agg(count(lit(1)).as("df"))
+        val q = broadcast(post.filter(col("doc_id") % 499 === 0)
+          .select(col("doc_id").as("qid"), col("w").as("qw")))
+        val hit = post.as("p").join(q,
+            col("p.w") === col("qw") && col("p.doc_id") =!= col("qid"))
+          .select(col("qid"), col("p.doc_id").as("nid"), col("p.w"), col("p.tf"))
+          .join(lens.withColumnRenamed("doc_id", "nid"), "nid")
+          .join(dfreq.withColumnRenamed("w", "w2"), col("w") === col("w2"))
+        val scored = hit.select(col("qid"), col("nid"),
+          expr(s"""(((${dD}L - df + 1L) * 1000000L) DIV (df + 1L)
+                  | * ((tf * 2200000L * 1000000L)
+                  |    DIV (tf * 1000000L
+                  |         + (1200000L * (250000L + (750000L * len * ${dD}L) DIV ${sS}L))
+                  |           DIV 1000000L))) DIV 1000000L""".stripMargin).as("c"))
+          .groupBy("qid", "nid").agg(sum(col("c")).as("score1e6"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score1e6").desc, col("nid"))
+        val out = scored.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 5)
+          .select("qid", "rank", "nid", "score1e6")
+          .orderBy("qid", "rank")
+        out
       }),
 
     // The PERSISTED IVF index (round 16) — x27 computes its cell
