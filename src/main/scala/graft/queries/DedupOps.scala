@@ -104,6 +104,23 @@ object DedupOps {
       }.toDF("doc_id", "slot", "fhash")
   }
 
+  /** Banded 16-bit buckets of a 64-bit perceptual hash: 4 rows per input
+    * row, (band, bucket) drawn from the hash's four 16-bit slices — the
+    * ONE banding spelling shared by every Hamming-LSH screen (x46 images,
+    * x50 image decontamination, x51 audio, x52 video, st15 streaming
+    * ingest), so their candidate spaces cannot drift apart. `keep` lists
+    * the columns to carry through (include the hash column itself when
+    * the consumer verifies exactly).
+    */
+  private[graft] def hammingBands(df: DataFrame, hashCol: String,
+      keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+
+      explode(array((0 to 3).map(i => struct(lit(i).as("band"),
+        shiftright(col(hashCol), 16 * i).bitwiseAND(lit(65535L))
+          .as("bucket"))): _*)).as("bb"): _*)
+      .select(keep.map(col) :+ col("bb.band").as("band") :+
+        col("bb.bucket").as("bucket"): _*)
+
   /** Deterministic per-document image hashes (the x46 corpus convention:
     * doc_id/3 names the scene, doc_id%3 the container/size/brightness
     * variant), shared by the image dedup and image similarity operators.
@@ -827,12 +844,7 @@ object DedupOps {
         imageHashes(s, dir).write.mode("overwrite")
           .parquet(QUtil.freshWarehouse(s, X46HashTag))
         val hx = s.read.parquet(X46HashFixture)
-        val b = hx.select(col("doc_id"), col("dhash"),
-          explode(array((0 to 3).map(i => struct(lit(i).as("band"),
-            shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L))
-              .as("bucket"))): _*)).as("bb"))
-          .select(col("doc_id"), col("dhash"),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val b = hammingBands(hx, "dhash", Seq("doc_id", "dhash"))
         b.as("x")
           .join(b.as("y"),
             col("x.band") === col("y.band") &&
@@ -885,12 +897,7 @@ object DedupOps {
         audioHashes(s, dir).write.mode("overwrite")
           .parquet(QUtil.freshWarehouse(s, X51HashTag))
         val hx = s.read.parquet(X51HashFixture)
-        val b = hx.select(col("doc_id"), col("ahash"),
-          explode(array((0 to 3).map(i => struct(lit(i).as("band"),
-            shiftright(col("ahash"), 16 * i).bitwiseAND(lit(65535L))
-              .as("bucket"))): _*)).as("bb"))
-          .select(col("doc_id"), col("ahash"),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val b = hammingBands(hx, "ahash", Seq("doc_id", "ahash"))
         b.as("x")
           .join(b.as("y"),
             col("x.band") === col("y.band") &&
@@ -950,12 +957,7 @@ object DedupOps {
         videoHashRows(s, dir).write.mode("overwrite")
           .parquet(QUtil.freshWarehouse(s, X52HashTag))
         val hx = s.read.parquet(X52HashFixture)
-        val b = hx.select(col("doc_id"), col("slot"),
-          explode(array((0 to 3).map(i => struct(lit(i).as("band"),
-            shiftright(col("fhash"), 16 * i).bitwiseAND(lit(65535L))
-              .as("bucket"))): _*)).as("bb"))
-          .select(col("doc_id"), col("slot"),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val b = hammingBands(hx, "fhash", Seq("doc_id", "slot"))
         val cand = b.as("x")
           .join(b.as("y"),
             col("x.slot") === col("y.slot") &&
@@ -1136,12 +1138,7 @@ object DedupOps {
         }
         val hx = s.read.parquet(wh)
         def bands(h: DataFrame): DataFrame =
-          h.select(col("doc_id"), col("dhash"),
-            explode(array((0 to 3).map(i => struct(lit(i).as("band"),
-              shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L))
-                .as("bucket"))): _*)).as("bb"))
-            .select(col("doc_id"), col("dhash"),
-              col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+          hammingBands(h, "dhash", Seq("doc_id", "dhash"))
         val evalB = bands(hx.filter(col("doc_id") % 97 === 0))
           .select(col("doc_id").as("eval_id"), col("dhash").as("eval_hash"),
             col("band"), col("bucket"))
@@ -1152,6 +1149,117 @@ object DedupOps {
               .cast("int").as("hamming"))
           .distinct()
         cand.filter(col("hamming") <= 6)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_eval_matches"),
+            min(col("hamming")).as("min_hamming"))
+          .orderBy("doc_id")
+      }),
+
+    // AUDIO decontamination (round 16) — with this and x56 the eval-leak
+    // screen covers EVERY modality (x24 verbatim text, x47 fuzzy text,
+    // x50 images, x55 audio, x56 video): an eval suite's audio clips must
+    // not appear — resampled, gain-shifted — in the training corpus. The
+    // exact x50 shape over x51's acoustic fingerprints: the evaluation-
+    // suite-sized side broadcasts into the shared hammingBands candidate
+    // join, exact bit_count(xor) verification at <= 6, one auditable
+    // verdict row per contaminated corpus clip.
+    QDef(
+      "x55_audio_decontaminate",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, ahash
+             |  FROM read_parquet('${QUtil.fixturePath("x55_audio_hashes")}/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, ahash,
+             |    CAST(band AS INT) AS band,
+             |    (ahash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             |    CAST(bit_count(xor(c.ahash, e.ahash)) AS INT) AS hamming
+             |  FROM b c JOIN b e ON c.band = e.band AND c.bucket = e.bucket
+             |  WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0),
+             |ver AS (SELECT doc_id, eval_id, hamming FROM cand WHERE hamming <= 6)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_eval_matches,
+             |  min(hamming) AS min_hamming
+             |FROM ver GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, "x55_audio_hashes", dir) { w =>
+          audioHashes(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val hx = s.read.parquet(wh)
+        def bands(h: DataFrame): DataFrame =
+          hammingBands(h, "ahash", Seq("doc_id", "ahash"))
+        val evalB = bands(hx.filter(col("doc_id") % 97 === 0))
+          .select(col("doc_id").as("eval_id"), col("ahash").as("eval_hash"),
+            col("band"), col("bucket"))
+        val cand = bands(hx.filter(col("doc_id") % 97 =!= 0))
+          .join(broadcast(evalB), Seq("band", "bucket"))
+          .select(col("doc_id"), col("eval_id"),
+            bit_count(col("ahash").bitwiseXOR(col("eval_hash")))
+              .cast("int").as("hamming"))
+          .distinct()
+        cand.filter(col("hamming") <= 6)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_eval_matches"),
+            min(col("hamming")).as("min_hamming"))
+          .orderBy("doc_id")
+      }),
+
+    // VIDEO decontamination (round 16) — the last modality's eval-leak
+    // screen: x52's per-slot fingerprints, candidates via the
+    // (slot, band, bucket) equi-join with the eval side broadcast, then
+    // exact verification joins the 4 hash rows back per candidate pair
+    // (candidates-bounded) and keeps pairs within 24 total bits — the
+    // x52 verification threshold. One verdict row per contaminated
+    // corpus clip with its eval-match count and closest distance.
+    QDef(
+      "x56_video_decontaminate",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, slot, fhash
+             |  FROM read_parquet('${QUtil.fixturePath("x56_video_hashes")}/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, slot, fhash,
+             |    CAST(band AS INT) AS band,
+             |    (fhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+             |  FROM b c JOIN b e
+             |    ON c.slot = e.slot AND c.band = e.band AND c.bucket = e.bucket
+             |  WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0),
+             |ver AS (
+             |  SELECT cand.doc_id, cand.eval_id,
+             |    CAST(sum(bit_count(xor(a.fhash, z.fhash))) AS INT) AS hamming
+             |  FROM cand
+             |  JOIN h a ON a.doc_id = cand.doc_id
+             |  JOIN h z ON z.doc_id = cand.eval_id AND z.slot = a.slot
+             |  GROUP BY cand.doc_id, cand.eval_id)
+             |SELECT doc_id, CAST(count(*) AS INT) AS n_eval_matches,
+             |  min(hamming) AS min_hamming
+             |FROM ver WHERE hamming <= 24
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, "x56_video_hashes", dir) { w =>
+          videoHashRows(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val hx = s.read.parquet(wh)
+        def bands(h: DataFrame): DataFrame =
+          hammingBands(h, "fhash", Seq("doc_id", "slot"))
+        val evalB = bands(hx.filter(col("doc_id") % 97 === 0))
+          .select(col("doc_id").as("eval_id"), col("slot"),
+            col("band"), col("bucket"))
+        val cand = bands(hx.filter(col("doc_id") % 97 =!= 0))
+          .join(broadcast(evalB), Seq("slot", "band", "bucket"))
+          .select(col("doc_id").as("cd"), col("eval_id")).distinct()
+        val ver = cand
+          .join(hx.as("a"), col("cd") === col("a.doc_id"))
+          .join(hx.as("z"),
+            col("eval_id") === col("z.doc_id") && col("a.slot") === col("z.slot"))
+          .groupBy(col("cd"), col("eval_id"))
+          .agg(sum(bit_count(col("a.fhash").bitwiseXOR(col("z.fhash"))))
+            .cast("int").as("hamming"))
+          .withColumnRenamed("cd", "doc_id")
+        ver.filter(col("hamming") <= 24)
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("int").as("n_eval_matches"),
             min(col("hamming")).as("min_hamming"))

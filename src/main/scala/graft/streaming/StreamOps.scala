@@ -838,12 +838,10 @@ object StreamOps {
           DedupOps.imageHashes(s, dir).write.mode("overwrite").parquet(w)
         }
         def banded(df: DataFrame, idAs: String): DataFrame =
-          df.select(col("doc_id").as(idAs), col("dhash"),
-            explode(array((0 to 3).map(i => struct(lit(i).as("band"),
-              shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L))
-                .as("bucket"))): _*)).as("bb"))
-            .select(col(idAs), col("dhash").as(s"${idAs}_hash"),
-              col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+          graft.queries.DedupOps
+            .hammingBands(df, "dhash", Seq("doc_id", "dhash"))
+            .select(col("doc_id").as(idAs), col("dhash").as(s"${idAs}_hash"),
+              col("band"), col("bucket"))
         // batch pass materializes the incoming hashes for the oracle —
         // memoized per JVM/sf (it exists only so DuckDB has bytes to
         // replay; the operator under test is the STREAM, which re-derives

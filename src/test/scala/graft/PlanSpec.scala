@@ -194,6 +194,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x54: BM25 — query-term side broadcasts; no all-pairs operator") {
+    val s = finalPlan(SparkEntry.queries("x54_bm25_retrieval")(spark, sfDir))
+    // the scale contract: candidate generation is the term equi-join
+    // against the BROADCAST query side — cost tracks posting-list sizes
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"BM25 must never do all-pairs work:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the query-term side must broadcast into the postings join:\n$s")
+  }
+
   test("x41: SemDeDup — every join is cluster-keyed; no all-pairs operator") {
     val s = finalPlan(SparkEntry.queries("x41_semdedup")(spark, sfDir))
     // SemDeDup's entire cost bound is sum(|cluster|^2): nothing may ever
