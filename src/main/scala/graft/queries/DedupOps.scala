@@ -258,6 +258,30 @@ object DedupOps {
       .localCheckpoint() // eager: runs the Jaccard pipeline here
     // ... which also means the shingle cache is no longer needed
     releaseArrays(s)
+    componentLabels(edges)
+  }
+
+  /** Min-label propagation over an already-materialized (d1, d2) edge
+    * list: (doc, label) with label = the component's minimum member id.
+    * The iterative core shared by the text (x16/x29) and image (x57)
+    * clustering operators — the edge list must have its lineage cut
+    * (localCheckpoint) BEFORE entry, since every round re-references it.
+    * Cost O(rounds x edges), rounds ≈ component diameter — the GraphX
+    * shape, over edge lists that are tiny (near-dup pairs) at any scale.
+    */
+  private def componentLabels(edges: DataFrame): DataFrame = {
+    // The loop runs O(diameter) tiny jobs over a near-dup-pair edge list;
+    // at the session's shuffle-partition count most tasks are empty and
+    // per-round scheduling overhead dominates (measured 10+ s for ~8
+    // rounds on a 5k-edge graph at 32 partitions vs ~2 s at 4). Pin the
+    // loop's partitioning to the data size and restore after — the
+    // runToTable discipline. A 100 TB run sizes this to its real edge
+    // volume; the result's partitioning is irrelevant to callers (both
+    // consumers re-shuffle by cluster/doc anyway).
+    val spark = edges.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     val bidir = edges.unionByName(
       edges.select(col("d2").as("d1"), col("d1").as("d2")))
     var labels = bidir.select(col("d1").as("doc")).distinct()
@@ -268,18 +292,35 @@ object DedupOps {
       // adopt the min label among self and neighbors; carrying the old
       // label through lets the convergence check run on the checkpointed
       // result instead of re-joining the previous round
+      // POINTER JUMP (path compression) rides the same round: beside the
+      // neighbor min, adopt the label OF the current label — a node's
+      // label is always the id of a node in the same component, so its
+      // label is too, and it can only be smaller. Neighbor-min alone
+      // needs O(diameter) rounds (a chance-collision chain at sf0.1
+      // measured diameter ~30 -> 30 rounds x 0.3 s); with the jump the
+      // label distance halves each round -> O(log diameter). The jump
+      // joins the PREVIOUS round's checkpointed labels (never an
+      // uncheckpointed intermediate — that would re-run the propagation
+      // subplan twice per round). Fixpoint identical (component-min
+      // labels), which the recursive-CTE oracles confirm.
+      val parents = labels
+        .select(col("doc").as("pdoc"), col("label").as("plabel"))
       val next = bidir
         .join(labels.withColumnRenamed("doc", "d1"), Seq("d1"))
         .groupBy(col("d2").as("doc"))
         .agg(min(col("label")).as("nlabel"))
         .join(labels, Seq("doc"))
-        .select(col("doc"), least(col("label"), col("nlabel")).as("label"),
+        .join(parents, col("label") === col("pdoc"), "left")
+        .select(col("doc"),
+          least(col("label"), col("nlabel"),
+            coalesce(col("plabel"), col("label"))).as("label"),
           col("label").as("old"))
         .localCheckpoint() // eager: one job per round, lineage stays flat
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("doc", "label")
     }
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private def pairJaccard(shA: DataFrame, shB: DataFrame): DataFrame =
@@ -1152,6 +1193,76 @@ object DedupOps {
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("int").as("n_eval_matches"),
             min(col("hamming")).as("min_hamming"))
+          .orderBy("doc_id")
+      }),
+
+    // IMAGE near-dup clustering + canonical selection (round 16) — the
+    // DECISION step after x46, completing the image pipeline the way
+    // x16+x29 complete the text one: verified near-dup pairs become an
+    // edge list, min-label propagation names each connected component
+    // by its smallest member (the shared componentLabels core), and per
+    // cluster exactly ONE image survives — the highest-DEGREE member
+    // (most verified neighbors: the medoid-ish pick for images, where
+    // x29's keep-the-longest has no analog), ties to the smallest id.
+    // The drop set is what ships. Oracle: DuckDB replays the banding,
+    // verification, transitive closure (recursive CTE), degree count,
+    // and the keep window over the identical fixture bytes.
+    QDef(
+      "x57_image_dedup_canonical",
+      Some(s"""WITH RECURSIVE h AS (
+             |  SELECT doc_id, dhash
+             |  FROM read_parquet('$X49HashFixture/*.parquet')),
+             |b AS (
+             |  SELECT doc_id, dhash,
+             |    CAST(band AS INT) AS band,
+             |    (dhash >> (16 * CAST(band AS INT))) & 65535 AS bucket
+             |  FROM h, unnest(range(0, 4)) t(band)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM b x JOIN b y
+             |    ON x.band = y.band AND x.bucket = y.bucket
+             |      AND x.doc_id < y.doc_id
+             |  WHERE bit_count(xor(x.dhash, y.dhash)) <= 6),
+             |bidir AS (SELECT d1, d2 FROM cand UNION SELECT d2, d1 FROM cand),
+             |nodes AS (SELECT DISTINCT d1 AS doc FROM bidir),
+             |reach AS (
+             |  SELECT doc, doc AS label FROM nodes
+             |  UNION
+             |  SELECT b2.d2 AS doc, r.label FROM reach r JOIN bidir b2 ON b2.d1 = r.doc),
+             |lab AS (SELECT doc, CAST(MIN(label) AS BIGINT) AS cluster_id
+             |        FROM reach GROUP BY doc),
+             |deg AS (SELECT d1 AS doc, CAST(count(*) AS BIGINT) AS degree
+             |        FROM bidir GROUP BY d1)
+             |SELECT l.doc AS doc_id, l.cluster_id, d.degree,
+             |  row_number() OVER (PARTITION BY l.cluster_id
+             |                     ORDER BY d.degree DESC, l.doc) = 1 AS keep
+             |FROM lab l JOIN deg d ON d.doc = l.doc
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, X49HashTag, dir) { w =>
+          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val b = hammingBands(s.read.parquet(wh), "dhash", Seq("doc_id", "dhash"))
+        val edges = b.as("x")
+          .join(b.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))) <= 6)
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+          .localCheckpoint() // cut lineage: the loop re-references edges
+        val lab = componentLabels(edges)
+        val bidir = edges.unionByName(
+          edges.select(col("d2").as("d1"), col("d1").as("d2")))
+        val deg = bidir.groupBy(col("d1").as("doc"))
+          .agg(count(lit(1)).as("degree"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("degree").desc, col("doc_id"))
+        lab.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+          .join(deg.withColumnRenamed("doc", "doc_id"), "doc_id")
+          .withColumn("keep", row_number().over(w2) === 1)
           .orderBy("doc_id")
       }),
 
