@@ -1196,6 +1196,94 @@ object DedupOps {
           .orderBy("doc_id")
       }),
 
+    // AUDIO similarity search (round 16) — x49's brute-force top-k shape
+    // over acoustic fingerprints, completing similarity across the
+    // modalities the way x55/x56 complete decontamination: per probe clip
+    // (doc_id % 50 = 0) the 5 Hamming-nearest corpus clips over aHash64,
+    // ties broken by doc_id so the ranking is total. Probe set broadcast,
+    // corpus touched once, no shuffle before the per-probe top-k; at
+    // retrieval scale candidates screen through x51's banded equi-join
+    // first. Shares x55's once-per-JVM hash fixture; the oracle replays
+    // ranking over the identical fixture bytes.
+    QDef(
+      "x58_audio_sim_topk",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, ahash
+             |  FROM read_parquet('${QUtil.fixturePath("x55_audio_hashes")}/*.parquet')),
+             |d AS (
+             |  SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+             |    CAST(bit_count(xor(q.ahash, c.ahash)) AS INT) AS hamming
+             |  FROM h q JOIN h c ON q.doc_id % 50 = 0 AND q.doc_id <> c.doc_id),
+             |r AS (
+             |  SELECT q_id, n_id, hamming,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rank
+             |  FROM d)
+             |SELECT q_id, rank, n_id, hamming FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, "x55_audio_hashes", dir) { w =>
+          audioHashes(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val hx = s.read.parquet(wh)
+        val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("q_id"), col("ahash").as("q_hash")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+        hx.join(probes, col("q_id") =!= col("doc_id"))
+          .select(col("q_id"), col("doc_id").as("n_id"),
+            bit_count(col("q_hash").bitwiseXOR(col("ahash")))
+              .cast("int").as("hamming"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
+          .orderBy("q_id", "rank")
+      }),
+
+    // VIDEO similarity search (round 16) — the per-clip distance is the
+    // 4-slot Hamming sum of x52's fingerprints (frame-aligned by the
+    // normalized sampling): per probe clip the 5 nearest corpus clips,
+    // ties by doc_id. The probe side is 4 rows per query and broadcasts;
+    // the slot equi-join touches the corpus hash table once and the
+    // per-pair sum is map-side combinable. Shares x56's fixture; the
+    // oracle replays the distance and ranking over identical bytes.
+    QDef(
+      "x59_video_sim_topk",
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, slot, fhash
+             |  FROM read_parquet('${QUtil.fixturePath("x56_video_hashes")}/*.parquet')),
+             |d AS (
+             |  SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+             |    CAST(sum(bit_count(xor(q.fhash, c.fhash))) AS INT) AS hamming
+             |  FROM h q JOIN h c ON q.slot = c.slot
+             |    AND q.doc_id % 50 = 0 AND q.doc_id <> c.doc_id
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT q_id, n_id, hamming,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rank
+             |  FROM d)
+             |SELECT q_id, rank, n_id, hamming FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val wh = cachedFixture(s, "x56_video_hashes", dir) { w =>
+          videoHashRows(s, dir).write.mode("overwrite").parquet(w)
+        }
+        val hx = s.read.parquet(wh)
+        val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("q_id"), col("slot"),
+            col("fhash").as("q_hash")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+        hx.join(probes, Seq("slot"))
+          .filter(col("q_id") =!= col("doc_id"))
+          .groupBy(col("q_id"), col("doc_id").as("n_id"))
+          .agg(sum(bit_count(col("q_hash").bitwiseXOR(col("fhash"))))
+            .cast("int").as("hamming"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
+          .orderBy("q_id", "rank")
+      }),
+
     // IMAGE near-dup clustering + canonical selection (round 16) — the
     // DECISION step after x46, completing the image pipeline the way
     // x16+x29 complete the text one: verified near-dup pairs become an
