@@ -281,32 +281,7 @@ object TextOps {
     // shuffle, map-only at 100 TB.
     QDef(
       "x37_quality_gate",
-      Some(s"""WITH q AS (
-              |  SELECT doc_id,
-              |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-              |    CASE WHEN length(text) > 0
-              |      THEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
-              |      ELSE 0.0 END AS punct_ratio,
-              |    CASE WHEN length(text) > 0
-              |      THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
-              |      ELSE 0.0 END AS digit_ratio,
-              |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-              |         tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
-              |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
-              |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-              |      / len(string_split_regex(trim(text), '\\s+')) AS distinct_ratio,
-              |    len(list_filter(string_split_regex(trim(text), '\\s+'),
-              |        tk -> tk IN (${sqlList(blocklist)}))) AS block_hits
-              |  FROM documents),
-              |m AS (
-              |  SELECT doc_id, n_tokens,
-              |    (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
-              |    + (CASE WHEN punct_ratio <= 0.10 THEN 0 ELSE 2 END)
-              |    + (CASE WHEN digit_ratio <= 0.20 THEN 0 ELSE 4 END)
-              |    + (CASE WHEN stopword_ratio >= 0.01 THEN 0 ELSE 8 END)
-              |    + (CASE WHEN distinct_ratio >= 0.30 THEN 0 ELSE 16 END)
-              |    + (CASE WHEN block_hits < 3 THEN 0 ELSE 32 END) AS fail_mask
-              |  FROM q)
+      Some(s"""WITH $GateSqlCtes
               |SELECT doc_id, n_tokens, fail_mask, fail_mask = 0 AS keep
               |FROM m ORDER BY doc_id""".stripMargin),
       (s, dir) =>
@@ -1379,6 +1354,39 @@ object TextOps {
     * function per micro-batch with no state store), and one definition
     * means the two spellings cannot drift. Callers order the result.
     */
+  /** The x37 gate's oracle CTEs (`q` signals, `m` fail-mask) as one shared
+    * SQL fragment — x37 states it alone, x60 composes it with the image
+    * screens, so the two oracles' gate spellings cannot drift (the same
+    * guarantee `qualityGate` gives the Spark side).
+    */
+  private[graft] lazy val GateSqlCtes: String =
+    s"""q AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+       |      ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+       |      ELSE 0.0 END AS digit_ratio,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |         tk -> tk IN (${sqlList(stopwords)}))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+       |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS distinct_ratio,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        tk -> tk IN (${sqlList(blocklist)}))) AS block_hits
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_tokens,
+       |    (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0 ELSE 1 END)
+       |    + (CASE WHEN punct_ratio <= 0.10 THEN 0 ELSE 2 END)
+       |    + (CASE WHEN digit_ratio <= 0.20 THEN 0 ELSE 4 END)
+       |    + (CASE WHEN stopword_ratio >= 0.01 THEN 0 ELSE 8 END)
+       |    + (CASE WHEN distinct_ratio >= 0.30 THEN 0 ELSE 16 END)
+       |    + (CASE WHEN block_hits < 3 THEN 0 ELSE 32 END) AS fail_mask
+       |  FROM q)""".stripMargin
+
   private[graft] def qualityGate(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens.as("tk"), col("text"))
       .withColumn("n_tokens", size(col("tk")))
