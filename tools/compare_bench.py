@@ -60,4 +60,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. `| head` closing stdout early
+        import os
+        os._exit(0)
