@@ -121,16 +121,22 @@ object Multimodal {
     def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     def le32(i: Int): Long = (le16(i).toLong) | (le16(i + 2).toLong << 16)
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
-    var i = 12
+    // LONG chunk cursor: a corrupt/adversarial header can declare a chunk
+    // size near 2^31, and an Int cursor would wrap negative and throw on
+    // the next ascii() read instead of honoring the None-for-undecodable
+    // contract. Word-aligned stepping, monotonicity-guarded.
+    var i = 12L
     while (i + 8 <= bytes.length) {
-      val id = ascii(i, 4)
-      val size = le32(i + 4)
+      val off = i.toInt // safe: i < bytes.length <= Int.MaxValue here
+      val id = ascii(off, 4)
+      val size = le32(off + 4)
       if (id == "fmt ") {
         if (i + 16 > bytes.length) return None
-        return Some(AudioInfo("wav", le16(i + 10), le32(i + 12).toInt))
+        return Some(AudioInfo("wav", le16(off + 10), le32(off + 12).toInt))
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (size < 0 || size > Int.MaxValue - 8) return None
+      val next = i + 8 + size + (size & 1) // chunks are word-aligned
+      if (next <= i) return None // non-advancing cursor: corrupt header
+      i = next
     }
     None
   }
@@ -152,19 +158,24 @@ object Multimodal {
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     var fmtCode = -1; var channels = 0; var rate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    var i = 12
+    // LONG chunk cursor (same reasoning as [[sniffAudio]]): an Int cursor
+    // wraps negative on adversarial ~2^31 chunk sizes and throws instead
+    // of returning None.
+    var i = 12L
     while (i + 8 <= bytes.length) {
-      val id = ascii(i, 4)
-      val size = le32(i + 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
+      val off = i.toInt // safe: i < bytes.length <= Int.MaxValue here
+      val id = ascii(off, 4)
+      val size = le32(off + 4)
       if (id == "fmt " && i + 24 <= bytes.length) {
-        fmtCode = le16(i + 8); channels = le16(i + 10)
-        rate = le32(i + 12).toInt; bits = le16(i + 22)
+        fmtCode = le16(off + 8); channels = le16(off + 10)
+        rate = le32(off + 12).toInt; bits = le16(off + 22)
       } else if (id == "data") {
-        dataOff = i + 8
+        dataOff = off + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val next = i + 8 + size + (size & 1) // chunks are word-aligned
+      if (next <= i) return None // non-advancing cursor: corrupt header
+      i = next
     }
     if (fmtCode != 1 || bits != 16 || channels <= 0 || rate <= 0 ||
         dataOff < 0) return None
@@ -310,22 +321,31 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
+    grayPlane(img)
+  }
+
+  /** BT.601 integer-luma grayscale plane of a decoded image — the ONE
+    * pixel-read path of the module ([[decodeGray]] and the per-frame video
+    * decode both use it, so the two hash spaces share pixels by
+    * construction). Bulk `getRGB(0,0,w,h,...)` over a row-major buffer:
+    * the same sRGB conversion as per-pixel getRGB, minus a per-pixel
+    * virtual call + ColorModel dispatch (several× faster on large frames;
+    * hash bits unchanged — MultimodalSpec pins exact collide/distinct
+    * cases and the lossless PNG round-trip).
+    */
+  private def grayPlane(img: java.awt.image.BufferedImage)
+      : Option[(Int, Int, Array[Int])] = {
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0) return None
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
     val gray = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        // ITU-R BT.601 integer luma — deterministic, no float rounding
-        gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < gray.length) {
+      val rgb = rgbs(i)
+      // ITU-R BT.601 integer luma — deterministic, no float rounding
+      gray(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      i += 1
     }
     Some((w, h, gray))
   }
@@ -400,33 +420,25 @@ object Multimodal {
   def decodeFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
+      // try/finally on BOTH resources: an exception mid-read is caught and
+      // turned into None, which must not leak the reader or the stream
+      // (memory-backed under setUseCache(false), but hygiene is uniform)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      if (n <= 0) return None
-      val frames = (0 until n).map { i =>
-        val img = reader.read(i)
-        val (w, h) = (img.getWidth, img.getHeight)
-        val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            gray(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
-              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-            x += 1
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val frames = (0 until n).map { i =>
+            grayPlane(reader.read(i)).get // decoded frames have w,h >= 1
           }
-          y += 1
-        }
-        (w, h, gray)
-      }
-      reader.dispose()
-      Some(frames)
+          Some(frames)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -312,16 +312,24 @@ object DedupOps {
     // at the session's shuffle-partition count most tasks are empty and
     // per-round scheduling overhead dominates (measured 10+ s for ~8
     // rounds on a 5k-edge graph at 32 partitions vs ~2 s at 4). Pin the
-    // loop's partitioning to the data size and restore after — the
-    // runToTable discipline. A 100 TB run sizes this to its real edge
-    // volume; the result's partitioning is irrelevant to callers (both
-    // consumers re-shuffle by cluster/doc anyway).
-    val spark = edges.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // loop's partitioning to the data size — in a CLONED session (shared
+    // SparkContext, independent SQL conf), so a query running concurrently
+    // on the caller's session never silently plans with 4 shuffle
+    // partitions. The edge list is already localCheckpointed, so re-homing
+    // it into the clone via its materialized RDD is free; the returned
+    // labels re-home into the caller's session the same way. A 100 TB run
+    // sizes this to its real edge volume; the result's partitioning is
+    // irrelevant to callers (both consumers re-shuffle by cluster/doc).
+    val caller = edges.sparkSession
+    // newSession(): shared SparkContext, ISOLATED SQL conf — the loop only
+    // computes conf-insensitive long joins/aggregates, so inheriting the
+    // builder defaults (rather than the caller's live conf) is safe
+    val spark = caller.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-    val bidir = edges.unionByName(
-      edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    val bidir = {
+      val e = spark.createDataFrame(edges.rdd, edges.schema)
+      e.unionByName(e.select(col("d2").as("d1"), col("d1").as("d2")))
+    }
     var labels = bidir.select(col("d1").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint()
@@ -357,8 +365,9 @@ object DedupOps {
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("doc", "label")
     }
-    labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // re-home the (checkpointed, tiny) result into the caller's session so
+    // downstream plans run under the caller's conf, not the clone's
+    caller.createDataFrame(labels.rdd, labels.schema)
   }
 
   private def pairJaccard(shA: DataFrame, shB: DataFrame): DataFrame =

@@ -18,7 +18,13 @@ import sys
 
 def load(path):
     with open(path) as f:
-        return json.load(f)
+        obj = json.load(f)
+    # the driver's BENCH_r*.json artifacts wrap the bench line under
+    # {"parsed": {...}} — unwrap so driver artifacts and raw bench-out.json
+    # compare with the same command
+    if "queries" not in obj and isinstance(obj.get("parsed"), dict):
+        obj = obj["parsed"]
+    return obj
 
 
 def main():
