@@ -230,4 +230,29 @@ class PlanSpec extends SparkSpec {
     // final orderBy are the only exchanges)
     assert(!s.contains("Join"), s"assignment must not join centroids:\n$s")
   }
+
+  test("x53: probe width follows graft.x53.nprobe; wider probes only improve top-k") {
+    // the in-query requires assert the partition pruning BOTH ways at the
+    // configured nprobe (planned ⊆ probed cells, planned ⊇ live probed
+    // cells) — this case drives them at a NON-default width and checks the
+    // IVF monotonicity contract: more probed cells = a superset of
+    // candidates, so each (qid, rn) score can only improve
+    def runAt(n: Int): Map[(Long, Int), Double] = {
+      spark.conf.set("graft.x53.nprobe", n.toString)
+      try SparkEntry.queries("x53_ivf_index_lake")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+      finally spark.conf.unset("graft.x53.nprobe")
+    }
+    val narrow = runAt(1)
+    val wide = runAt(3)
+    assert(narrow.nonEmpty && wide.size >= narrow.size,
+      s"wider probes must not lose results (${narrow.size} -> ${wide.size})")
+    narrow.foreach { case (key, cs1) =>
+      val cs3 = wide.getOrElse(key,
+        fail(s"rank $key vanished when widening the probe"))
+      assert(cs3 >= cs1 - 1e-12,
+        s"top-k at $key worsened when probing more cells: $cs1 -> $cs3")
+    }
+  }
 }
