@@ -1588,13 +1588,48 @@ object TextOps {
     out.result()
   }
 
-  /** Distributed merge loop for corpora whose VOCABULARY exceeds driver
-    * memory: each iteration is one vocab-sized map-side-combined shuffle
-    * (pair counts weighted by word freq) + a single-row argmax collect;
-    * the symbol table is re-persisted per merge so iteration k never
-    * re-derives merges 1..k-1 from lineage.
+  /** Pass count of the most recent [[distributedMerges]] run — test
+    * observability for the batching guarantee (passes < merges on real
+    * corpora; TextBpeSpec asserts it).
     */
-  private def distributedMerges(s: SparkSession, wordFreq: DataFrame,
+  private[graft] val lastDistributedPasses =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Distributed merge loop for corpora whose VOCABULARY exceeds driver
+    * memory: each PASS is one vocab-sized map-side-combined shuffle (pair
+    * counts weighted by word freq) + a bounded top-N collect; the symbol
+    * table is re-persisted per pass so pass k never re-derives earlier
+    * merges from lineage.
+    *
+    * BATCHED (round 17): one pass learns a BATCH of merges, not one — at
+    * a production 64k vocabulary, one-Spark-job-per-merge means 64k
+    * sequential jobs; batching cuts passes by the batch factor. The batch
+    * is the maximal RANK-ORDER PREFIX of the pair counts that is provably
+    * what sequential iteration would pick:
+    *
+    *  - members are pairwise DISJOINT (no shared symbol): applying one
+    *    cannot change another's count — pre-existing pair counts only
+    *    ever DECREASE under a merge (occurrences are destroyed, never
+    *    created), and a disjoint pair loses none;
+    *  - every member's count is STRICTLY greater than the count of the
+    *    first rank-order pair that OVERLAPS the batch's symbols (and of
+    *    the last fetched row, bounding the unseen tail): a merge (a,b)
+    *    CREATES pairs like (x,ab) with count <= the pre-merge count of
+    *    the overlapping (x,a) — such a creation can tie an equal-count
+    *    candidate and win the lexicographic tie-break, so equal counts
+    *    end the batch (the strict inequality makes created pairs unable
+    *    to outrank any later batch member).
+    *
+    * Under those two rules, sequential replay picks exactly the batch
+    * members in order (each step's argmax count is unchanged; every other
+    * pair is <= it, with created/shrunk pairs strictly below the next
+    * member), so the merge table is IDENTICAL — TextBpeSpec proves it
+    * against the independent sequential reference, including on corpora
+    * with ties. The first pair alone is always safe (that IS the
+    * sequential step), guaranteeing progress when the rules truncate
+    * everything else.
+    */
+  private[graft] def distributedMerges(s: SparkSession, wordFreq: DataFrame,
       merges: Int): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
     def release(df: DataFrame): Unit = { df.unpersist(); () }
@@ -1605,7 +1640,31 @@ object TextOps {
     val out = Seq.newBuilder[Row]
     var rank = 1
     var dry = false
+    var passes = 0
+    // ONE left-to-right non-overlapping fold applying the WHOLE batch:
+    // pairwise disjointness means at most one batch merge can match any
+    // adjacency, and a merge neither breaks nor creates another batch
+    // member's adjacencies — so a single scan equals sequential per-merge
+    // application (TextBpeSpec proves it on adversarial corpora).
+    // Replacing the matched tail element keeps self-overlap handling
+    // automatic ("aaa" under (a,a) -> ["aa","a"]). One fold per PASS, not
+    // per merge: chaining per-merge folds nests the column tree ~4x per
+    // merge — exponential expression size, OOM by batch 10.
+    def foldBatch(syms: Column, batch: Seq[(String, String, Long)]): Column =
+      when(size(syms) < 2, syms).otherwise(aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        array(element_at(syms, 1)),
+        (acc, x) => batch.foldLeft(concat(acc, array(x))) {
+          case (els, (l, r, _)) =>
+            when(element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(els)
+        }))
     while (rank <= merges && !dry) {
+      val remaining = merges - rank + 1
+      // fetch a few times the remaining budget so the disjoint prefix has
+      // room; bounded, so the collect stays driver-safe at any vocabulary
+      val fetch = math.min(1024, math.max(16, 4 * remaining))
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -1614,31 +1673,47 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect() // bounded: exactly one row per iteration
+        .limit(fetch).collect() // bounded: O(batch) rows per pass
       if (top.isEmpty) dry = true
       else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += Row(rank, l, r, l + r, cnt)
-        // apply the merge: left-to-right non-overlapping fold. Replacing
-        // the matched tail element with the merged symbol makes overlap
-        // handling automatic ("aaa" under (a,a) -> ["aa","a"]).
-        val fold = aggregate(
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          array(col("syms").getItem(0)),
-          (acc, x) => when(
-            element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-        val next = words.select(col("freq"),
-          when(size(col("syms")) < 2, col("syms")).otherwise(fold).as("syms"))
+        passes += 1
+        // greedy disjoint prefix + strict-count truncation (see scaladoc).
+        // The scan keeps walking past the selection budget: created pairs
+        // arise only from sources OVERLAPPING a selected merge, so the
+        // truncation bound is the count of the first overlapping pair
+        // ANYWHERE below — not just within the budget window.
+        val used = scala.collection.mutable.Set[String]()
+        val sel = scala.collection.mutable.Buffer[(String, String, Long)]()
+        var stopCnt = -1L // count bound created/overlapping pairs obey
+        var i = 0
+        while (i < top.length && stopCnt < 0) {
+          val (l, r, c) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used(l) || used(r)) stopCnt = c
+          else if (sel.size < remaining) { sel += ((l, r, c)); used += l; used += r }
+          // disjoint-but-over-budget rows neither select nor bound
+          i += 1
+        }
+        if (stopCnt < 0 && top.length == fetch)
+          stopCnt = top.last.getLong(2) // unseen tail bounds created pairs
+        val batch0 =
+          if (stopCnt >= 0) sel.takeWhile(_._3 > stopCnt).toSeq else sel.toSeq
+        // progress guarantee: the argmax alone IS the sequential step
+        val batch = if (batch0.isEmpty) sel.take(1).toSeq else batch0.toSeq
+        batch.foreach { case (l, r, c) =>
+          out += Row(rank, l, r, l + r, c)
+          rank += 1
+        }
+        val next = words
+          .select(col("freq"), foldBatch(col("syms"), batch).as("syms"))
           .persist()
         next.count() // materialize before dropping the parent
         release(words)
         words = next
-        rank += 1
       }
     }
     release(words)
+    lastDistributedPasses.set(passes)
     out.result()
   }
 }

@@ -95,10 +95,59 @@ class TextBpeSpec extends SparkSpec {
     val gotDist = run(0L)
     assert(gotDist == expected,
       s"distributed merges diverge from reference:\n got=$gotDist\n exp=$expected")
+    // the batched loop never exceeds one pass per merge (and the synthetic
+    // batching case below proves it goes genuinely sub-linear when the top
+    // pairs are disjoint — real-text bigrams overlap, so no claim here)
+    val passes = graft.queries.TextOps.lastDistributedPasses.get()
+    assert(passes > 0 && passes <= gotDist.length,
+      s"expected 0 < passes <= ${gotDist.length} merges, got $passes")
     // the learned merges are usable: ranks are dense from 1 and merged
     // symbols concatenate their pair
     assert(got.map(_._1) == (1 to got.length))
     assert(got.forall { case (_, l, r, m, _) => m == l + r })
+  }
+
+  test("x38: batched distributed merges survive ties and created-pair traps") {
+    import spark.implicits._
+    // adversarial corpora: equal counts everywhere (lex tie-breaks decide
+    // every rank), chain words where a merge CREATES a pair that ties the
+    // next candidate (the case that forces the strict-count truncation),
+    // and self-overlap runs ("aaaa")
+    val corpora = Seq(
+      Map("ab" -> 5L, "cd" -> 5L, "ef" -> 5L, "gh" -> 5L, "ij" -> 5L),
+      // merging (a,b) creates (z, ab) with the SAME count as (x, y):
+      // sequential must still decide by lex between them
+      Map("zab" -> 5L, "xy" -> 5L, "w" -> 1L),
+      // overlapping symbols: (a,b) and (b,c) tie, only one can go per pass
+      Map("abc" -> 7L, "bc" -> 7L, "ab" -> 7L),
+      Map("aaaa" -> 3L, "aa" -> 3L, "baa" -> 2L),
+      // deep chain: every merge creates the next round's best pair
+      Map("abcdefgh" -> 9L, "x" -> 1L))
+    corpora.zipWithIndex.foreach { case (words, ci) =>
+      val expected = referenceMerges(words, 10)
+      val wf = words.toSeq.toDF("w", "freq")
+      val got = graft.queries.TextOps.distributedMerges(spark, wf, 10)
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got == expected,
+        s"corpus #$ci: batched merges diverge from sequential reference:\n" +
+          s" got=$got\n exp=$expected")
+    }
+    // and batching genuinely batches: 10 disjoint, strictly-decreasing
+    // pairs learn in ONE pass (one Spark job for 10 merges — the shape a
+    // 64k-vocab production run relies on), bit-identical to sequential
+    val big = (0 until 10)
+      .map(i => (s"${('a' + 2 * i).toChar}${('b' + 2 * i).toChar}",
+        (100 - i).toLong)).toMap
+    val expB = referenceMerges(big, 10)
+    val gotB = graft.queries.TextOps
+      .distributedMerges(spark, big.toSeq.toDF("w", "freq"), 10)
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(gotB == expB, s"got=$gotB\n exp=$expB")
+    assert(graft.queries.TextOps.lastDistributedPasses.get() == 1,
+      s"10 disjoint merges must learn in one pass, took " +
+        s"${graft.queries.TextOps.lastDistributedPasses.get()}")
   }
 
   // x40's encode reference: Sennrich's SEQUENTIAL replay — each learned
