@@ -2202,6 +2202,69 @@ object IceliteOps {
                 |ORDER BY version""".stripMargin)
       }),
 
+    // D7 (round 17): the remaining Iceberg listing surfaces. `.entries` —
+    // manifest entries of the current snapshot with ADD LINEAGE (status
+    // 1 = added by current, 0 = carried; snapshot_id = the adding
+    // snapshot; data_file struct) — is the oracled read. `.all_manifests`
+    // (every manifest document reachable from any snapshot, with its
+    // delta-chain depth) and `.position_deletes` (the outstanding deleted
+    // (file, pos) rows, served delete-file-parallel) are asserted
+    // in-query against independently-derived expectations. Per-file row
+    // splits are write-nondeterministic, so the oracle aggregates entries
+    // by (status, adding snapshot).
+    QDef(
+      "d7_entries_meta",
+      Some("""SELECT 0 AS status, CAST(1 AS BIGINT) AS snapshot_id,
+             |  CAST(2 AS BIGINT) AS n_files,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_rows
+             |UNION ALL
+             |SELECT 1, CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+             |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0)
+             |ORDER BY status""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+        // history: append (2 files) -> MOR position delete -> append
+        // (1 file, the CURRENT snapshot, so both statuses appear)
+        val wh = cachedFixture(s, "d7", dir) { w =>
+          val fcat = new IceCatalog(s, w)
+          val fixture = fcat.createTable("lake", "ev_entries", ev.schema)
+          fixture.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
+          fixture.deleteWhereMor(Seq(
+            org.apache.spark.sql.sources.LessThan("event_id", 50L)))
+          fixture.append(ev.filter(col("event_id") % 2 =!= 0).repartition(1))
+          ()
+        }
+        s.conf.set("spark.sql.catalog.icelite_d7", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d7.warehouse", wh)
+        // .position_deletes: exactly the rows the MOR delete tombstoned
+        // (physical positions of even event_ids below 50), task-parallel
+        val pdq = s.sql(
+          "SELECT count(*) FROM icelite_d7.lake.ev_entries.position_deletes")
+        require(pdq.queryExecution.executedPlan.toString
+          .contains("delete-file-parallel"),
+          "position_deletes must plan one task per delete file")
+        val pd = pdq.collect()(0).getLong(0)
+        val expectedDel = ev.filter(
+          col("event_id") < 50 && col("event_id") % 2 === 0).count()
+        require(pd == expectedDel,
+          s"position_deletes must list exactly the tombstoned rows " +
+            s"(got $pd, expect $expectedDel)")
+        // .all_manifests: one depth-0 head per snapshot, real files all
+        val am = s.sql(
+          """SELECT snapshot_id, depth, length_bytes
+            |FROM icelite_d7.lake.ev_entries.all_manifests""".stripMargin)
+          .collect()
+        require(am.count(_.getInt(1) == 0) == 3 && am.forall(_.getLong(2) > 0),
+          s"all_manifests must list every snapshot's head document: " +
+            am.toSeq.mkString(", "))
+        s.sql(
+          """SELECT status, snapshot_id, count(*) AS n_files,
+            |  sum(data_file.rows) AS n_rows
+            |FROM icelite_d7.lake.ev_entries.entries
+            |GROUP BY status, snapshot_id
+            |ORDER BY status, snapshot_id""".stripMargin)
+      }),
+
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'
     // branch ref — plain reads stay pinned to the pre-stage snapshot
     // (asserted) while the branch is validated through its ref scan — then

@@ -1116,11 +1116,86 @@ private[v2] object IceLiteMeta {
 
   val names: Set[String] = Set(
     "snapshots", "files", "refs", "deletes", "history", "manifests",
-    "partitions", "stats", "all_files", "metadata_log_entries")
+    "partitions", "stats", "all_files", "metadata_log_entries",
+    "entries", "all_manifests", "position_deletes")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String,
       tableDir: Path = null): Table = kind match {
+    case "entries" =>
+      // manifest entries of the CURRENT snapshot (Iceberg's .entries):
+      // status 1 = added by the current snapshot, 0 = existing (carried);
+      // snapshot_id = the snapshot that ADDED the file (its first
+      // appearance in the add ledger); data_file = the entry's stat
+      // struct. Driver cost is O(snapshots) shallow manifest reads +
+      // O(files) rows — the same budget as .all_files' inline path.
+      val schema = StructType.fromDDL(
+        "status INT, snapshot_id BIGINT, " +
+          "data_file STRUCT<path: STRING, rows: BIGINT, bytes: BIGINT>")
+      val addedBy = scala.collection.mutable.Map[String, Long]()
+      meta.snapshots.sortBy(_.snapshotId).foreach { s =>
+        graft.icelite.FileStats.addedPathsOf(fs, s).foreach { p =>
+          val n = graft.icelite.FileStats.normPath(p)
+          if (!addedBy.contains(n)) addedBy(n) = s.snapshotId
+        }
+      }
+      val cur = meta.currentSnapshotId
+      val rows = meta.currentSnapshot
+        .map(s => graft.icelite.FileStats.visible(fs, s)).getOrElse(Nil)
+        .map { f =>
+          val snap = addedBy.getOrElse(
+            graft.icelite.FileStats.normPath(f.path), cur)
+          Array[Any](
+            Int.box(if (snap == cur) 1 else 0), Long.box(snap),
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(f.path), Long.box(f.rows),
+              Long.box(f.bytes))))
+        }
+      new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.entries", schema, rows)
+    case "all_manifests" =>
+      // every manifest DOCUMENT reachable from any snapshot, with the
+      // referencing snapshot and its depth in the delta chain (0 = the
+      // snapshot's own head document) — Iceberg's .all_manifests, extended
+      // with the chain view: the rebase-pressure ledger across history,
+      // where `.manifests` shows only each snapshot's head.
+      // O(snapshots x chain) shallow metadata reads, zero data IO.
+      val schema = StructType.fromDDL(
+        "snapshot_id BIGINT, path STRING, length_bytes BIGINT, " +
+          "depth INT, is_delta BOOLEAN")
+      val rows = meta.snapshots.filter(_.manifestFile.nonEmpty).flatMap { s =>
+        val b = Seq.newBuilder[Array[Any]]
+        var path = s.manifestFile
+        var depth = 0
+        var continue = true
+        while (continue && path.nonEmpty) {
+          val (len, base) =
+            try {
+              val doc = graft.icelite.MetaIo.readManifestDocShallow(fs, path)
+              (fs.getFileStatus(new Path(path)).getLen, doc.base)
+            } catch { case _: java.io.FileNotFoundException => (-1L, "") }
+          b += Array[Any](s.snapshotId, path, len, depth,
+            Boolean.box(base.nonEmpty))
+          if (base.isEmpty || len < 0) continue = false
+          path = base
+          depth += 1
+        }
+        b.result()
+      }
+      new IceLiteMetaTable(
+        s"${meta.namespace}.${meta.name}.all_manifests", schema, rows)
+    case "position_deletes" =>
+      // the outstanding position-delete ROWS of the current snapshot
+      // (Iceberg's .position_deletes): one row per deleted (file, pos) —
+      // the forensic view behind `.deletes`' per-file counts. Served
+      // DELETE-FILE-PARALLEL: the driver ships only delete-file paths,
+      // each task parses its own parquet delete file executor-side.
+      val schema = StructType.fromDDL(
+        "file_path STRING, pos BIGINT, delete_file STRING")
+      val files = meta.currentSnapshot
+        .map(s => graft.icelite.FileStats.deletesOf(fs, s)).getOrElse(Nil)
+        .filterNot(_.isEquality).map(_.path)
+      new IceLitePosDeletesTable(
+        s"${meta.namespace}.${meta.name}.position_deletes", schema, files)
     case "metadata_log_entries" =>
       // the version log itself (Iceberg's .metadata_log_entries): one row
       // per durable metadata version — the ops view of the COMMIT history,
@@ -1485,6 +1560,62 @@ private[v2] class IceLiteAllFilesTable(
                 }
               override def get(): InternalRow = cur
               override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+/** `.position_deletes` served delete-file-parallel: one input partition
+  * per outstanding position-delete file; the task reads its parquet
+  * `(file_path, pos)` rows with the same stripped-predicate GroupReader
+  * the scan's delete application uses.
+  */
+private[v2] case class IceLitePosDeletePartition(deleteFile: String)
+    extends InputPartition
+
+private[v2] class IceLitePosDeletesTable(
+    tblName: String, schema0: StructType, deleteFiles: Seq[String])
+    extends Table with SupportsRead {
+
+  override def name(): String = tblName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"icelite metadata $tblName (delete-file-parallel)"
+      override def planInputPartitions(): Array[InputPartition] =
+        deleteFiles.map(IceLitePosDeletePartition(_): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          private val conf = new SerializableConfiguration(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val df = p.asInstanceOf[IceLitePosDeletePartition].deleteFile
+            val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+              new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              new Path(df)).withConf(conf.value).build()
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                val g = rd.read()
+                if (g == null) false
+                else {
+                  cur = new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(
+                      g.getBinary("file_path", 0).toStringUsingUTF8),
+                    g.getLong("pos", 0),
+                    UTF8String.fromString(df)))
+                  true
+                }
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = rd.close()
             }
           }
         }

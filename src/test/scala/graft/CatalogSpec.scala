@@ -931,4 +931,48 @@ class CatalogSpec extends SparkSpec {
     cat.loadTable("lake", "t").dropTag("back")
     assert(!refs().exists(_._1 == "back"))
   }
+
+  test(".entries/.all_manifests/.position_deletes complete the listing suite") {
+    import spark.implicits._
+    val wh = scratch("cat-entries")
+    val cat = new graft.icelite.IceCatalog(spark, wh)
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    tbl.append(df.filter(col("id") <= 10).repartition(2))
+    tbl.deleteWhereMor(Seq(org.apache.spark.sql.sources.LessThan("id", 4L)))
+    tbl.append(df.filter(col("id") > 10).repartition(1))
+    spark.conf.set("spark.sql.catalog.ice_ent", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ent.warehouse", wh)
+    // .entries: add lineage + status relative to the current snapshot,
+    // data_file struct carries per-file stats
+    val ent = spark.sql(
+      """SELECT status, snapshot_id, count(*), sum(data_file.rows)
+        |FROM ice_ent.lake.t.entries GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ent.toSeq == Seq((0, 1L, 2L, 10L), (1, 3L, 1L, 10L)), ent.toSeq)
+    // .position_deletes: one row per tombstoned (file, pos), paths real
+    val pd = spark.sql(
+      """SELECT file_path, pos, delete_file
+        |FROM ice_ent.lake.t.position_deletes ORDER BY file_path, pos""".stripMargin)
+      .collect()
+    assert(pd.length == 3, s"ids 1..3 are tombstoned: ${pd.toSeq}") // id < 4
+    assert(pd.forall(r => r.getString(0).endsWith(".parquet")
+      && r.getString(2).nonEmpty && r.getLong(1) >= 0), pd.toSeq)
+    // .all_manifests: a depth-0 head per snapshot; any deeper rows are
+    // delta-chain bases and must be flagged as such
+    val am = spark.sql(
+      """SELECT snapshot_id, depth, is_delta, length_bytes
+        |FROM ice_ent.lake.t.all_manifests""".stripMargin).collect()
+    assert(am.count(_.getInt(1) == 0) == 3, am.toSeq)
+    assert(am.forall(_.getLong(3) > 0), am.toSeq)
+    // a snapshot with chain rows below its head must have a DELTA head —
+    // depth>0 rows exist exactly because the head references a base
+    val heads = am.filter(_.getInt(1) == 0)
+    val chained = am.filter(_.getInt(1) > 0).map(_.getLong(0)).distinct
+    assert(chained.forall(sid =>
+      heads.exists(h => h.getLong(0) == sid && h.getBoolean(2))), am.toSeq)
+    // unknown metadata names still refuse instead of resolving
+    intercept[Exception](
+      spark.sql("SELECT * FROM ice_ent.lake.t.nope").collect())
+  }
 }
