@@ -877,6 +877,74 @@ object StreamOps {
         runToTable(matches, OutputMode.Append(),
           s"st15_sink_${System.nanoTime()}")
           .orderBy("in_id", "corpus_id", "band")
+      }),
+
+    // The streaming lake's HOUSEKEEPING loop (round 17): a snapshot-per-
+    // epoch sink (st4/st7) lands one small file set per micro-batch — the
+    // small-file debt every continuously-ingesting table accrues — and the
+    // maintenance pass that pays it down is the SAME selective binpack the
+    // batch table runs (k29), composed here post-stream: three epochs
+    // ingest through the native exactly-once sink, then
+    // `CALL system.rewrite_data_files` merges the debt and the in-query
+    // requires prove the file count dropped at unchanged rows while
+    // HISTORY stayed intact (pre-compaction snapshots pin their own
+    // immutable files — time travel unaffected). The oracle states the
+    // unchanged table contents; debt/paydown arithmetic is in-query.
+    QDef(
+      "st16_stream_compact",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val ev = QUtil.t(s, dir, "events").selectExpr(cols: _*)
+        // 3-epoch feed (fixture): each source snapshot is one micro-batch
+        val whFeed = QUtil.cachedFixture(s, "st16_feed", dir) { w =>
+          val fcat = new graft.icelite.IceCatalog(s, w)
+          val feed = fcat.createTable("lake", "events_st16", ev.schema)
+          (0 until 3).foreach(i =>
+            feed.append(ev.filter(col("event_id") % 3 === i).repartition(1)))
+          ()
+        }
+        val wh = QUtil.freshWarehouse(s, "st16")
+        val cat = new graft.icelite.IceCatalog(s, wh)
+        val tbl = cat.createTable("lake", "events_cp", ev.schema)
+        val ckpt = Files.createTempDirectory("graft-stream-st16").toString
+        val q = s.readStream.format("icelite")
+          .option("warehouse", whFeed).option("table", "lake.events_st16")
+          .option("maxFilesPerTrigger", "1").load()
+          .writeStream.format("icelite")
+          .option("warehouse", wh).option("table", "lake.events_cp")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        endStream(s, ckpt)
+        val before = tbl.visibleFiles(tbl.meta.currentSnapshot.get)
+        require(tbl.snapshots.length == 3 && before.length >= 3,
+          s"3 stream epochs must land 3 snapshots of small files: " +
+            s"${tbl.snapshots.length} snaps, ${before.length} files")
+        val total = before.map(_.rows).sum
+        // the maintenance pass: every streamed file is under the threshold,
+        // so the whole debt merges into one healthy file
+        s.conf.set("spark.sql.catalog.icelite_st16",
+          "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_st16.warehouse", wh)
+        s.sql(
+          s"""CALL icelite_st16.system.rewrite_data_files(
+             |  table => 'lake.events_cp',
+             |  min_file_size_bytes => ${before.map(_.bytes).max + 1})"""
+            .stripMargin).collect()
+        val t2 = cat.loadTable("lake", "events_cp")
+        val after = t2.visibleFiles(t2.meta.currentSnapshot.get)
+        require(after.length < before.length && after.map(_.rows).sum == total,
+          s"binpack must cut the file count at unchanged rows: " +
+            s"${before.length} -> ${after.length} files, " +
+            s"$total -> ${after.map(_.rows).sum} rows")
+        require(t2.snapshots.length == 4 &&
+          t2.snapshots.last.operation == "compact",
+          s"compaction is one more snapshot on the same history: " +
+            s"${t2.snapshots.map(_.operation)}")
+        t2.toDF.orderBy("event_id")
       })
   )
 }
