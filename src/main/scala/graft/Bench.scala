@@ -192,7 +192,12 @@ object Bench {
       "q6_skew_twophase_agg", "s4_agg_pushdown", "b2_spj_join", "w2_topk_per_group",
       "k4_ice_append", "k5_ice_upsert", "k23_ice_mor_upsert", "x1_dedup_exact",
       "x2_dedup_minhash_lsh", "x16_dedup_cluster", "x27_sim_ivf",
-      "x24_decontaminate", "st1_stream_window", "st9_stream_stream_join")
+      "x24_decontaminate", "st1_stream_window", "st9_stream_stream_join",
+      // round-17 pillar additions: perceptual image dedup, the persisted
+      // vector + lexical indexes, and the recall audit — the short line
+      // the driver captures now tracks them round-over-round too
+      "x46_image_dedup_phash", "x53_ivf_index_lake", "x54_bm25_retrieval",
+      "x61_bm25_index_lake", "x62_ann_recall")
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
       .mkString("{", ",", "}")

@@ -2257,6 +2257,20 @@ object IceliteOps {
         require(am.count(_.getInt(1) == 0) == 3 && am.forall(_.getLong(2) > 0),
           s"all_manifests must list every snapshot's head document: " +
             am.toSeq.mkString(", "))
+        // .all_entries: per-snapshot entry sets with per-snapshot status —
+        // 2 added @snap1; the same 2 carried @snap2 (MOR delete adds no
+        // data file); 2 carried + 1 added @snap3 — snapshot-parallel plan
+        val ae = s.sql(
+          """SELECT snapshot_id, status, count(*) AS n
+            |FROM icelite_d7.lake.ev_entries.all_entries
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        require(ae.queryExecution.executedPlan.toString
+          .contains("manifest-parallel"),
+          "all_entries must plan one task per snapshot manifest")
+        val aeRows = ae.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        require(aeRows == Seq((1L, 1, 2L), (2L, 0, 2L), (3L, 0, 2L), (3L, 1, 1L)),
+          s"all_entries must replay each snapshot's own manifest: $aeRows")
         s.sql(
           """SELECT status, snapshot_id, count(*) AS n_files,
             |  sum(data_file.rows) AS n_rows

@@ -835,11 +835,13 @@ object SimilarityOps {
     // engines), beside the method's total candidate budget (the cost side
     // of the recall/cost trade). Methods: m1 the exact baseline (recall
     // 1.0 by identity — the audit audits itself), m2 x7's 8-dim sign-LSH
-    // buckets, m3 x27's IVF at nprobe=2, m4 the PERSISTED x53 lake index
-    // probed at nprobe=2 with the same partition-pruning assertions — m4
-    // must equal m3 exactly (the persisted index serves computed-index
-    // recall; any divergence is an index-maintenance bug), which is why
-    // the oracle restates m4 from the same relational definition as m3.
+    // buckets, m3 x7b's multitable LSH (L=4 x P=8 — tables buy recall),
+    // m4/m5 x27's IVF at nprobe=2/4 (the knob itself, measured), m6 the
+    // PERSISTED x53 lake index probed at nprobe=2 with the same
+    // partition-pruning assertions — m6 must equal m4 exactly (the
+    // persisted index serves computed-index recall; any divergence is an
+    // index-maintenance bug), which is why the oracle restates m6 from
+    // the same relational definition as m4.
     // 100 TB shape: everything is the operators' own plans (broadcast
     // probes, bucket equi-joins, candidate-tracking score cost) plus one
     // queries x corpus exact pass — the audit runs on a SAMPLE of queries
@@ -875,6 +877,29 @@ object SimilarityOps {
               |      row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
               |    FROM ldots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
               |  WHERE rn <= 3),
+              |mplanes AS (SELECT p FROM unnest(range(0, 32)) t(p)),
+              |mproj AS (
+              |  SELECT vec_id, p,
+              |    SUM(CASE WHEN (p*1103515245 + i*12345) % 97 < 48 THEN q ELSE -q END) proj
+              |  FROM el CROSS JOIN mplanes GROUP BY vec_id, p),
+              |mbk AS (
+              |  SELECT vec_id, CAST(p // 8 AS INT) tbl,
+              |    string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) bucket
+              |  FROM mproj GROUP BY vec_id, CAST(p // 8 AS INT)),
+              |mcand AS (
+              |  SELECT DISTINCT q.vec_id qid, c.vec_id nid FROM mbk q
+              |  JOIN mbk c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 50),
+              |mdots AS (
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM mcand JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY qid, nid),
+              |mtop AS (
+              |  SELECT qid, nid FROM (
+              |    SELECT qid, nid,
+              |      row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |    FROM mdots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |  WHERE rn <= 3),
               |cel AS (SELECT vec_id cid, i, q FROM el WHERE vec_id < 8),
               |adots AS (
               |  SELECT a.vec_id vid, c.cid, CAST(SUM(a.q*c.q) AS BIGINT) dp
@@ -886,15 +911,24 @@ object SimilarityOps {
               |assign AS (SELECT vid, cid FROM (
               |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
               |    FROM ascore) WHERE rn = 1),
-              |probes AS (SELECT vid qid, cid FROM (
-              |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
-              |    FROM ascore WHERE vid < 50) WHERE rn <= 2),
+              |pranked AS (
+              |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
+              |  FROM ascore WHERE vid < 50),
+              |probes AS (SELECT vid qid, cid FROM pranked WHERE rn <= 2),
+              |probes4 AS (SELECT vid qid, cid FROM pranked WHERE rn <= 4),
               |icand AS (
               |  SELECT p.qid, a.vid nid FROM probes p
+              |  JOIN assign a ON a.cid = p.cid AND a.vid <> p.qid),
+              |icand4 AS (
+              |  SELECT p.qid, a.vid nid FROM probes4 p
               |  JOIN assign a ON a.cid = p.cid AND a.vid <> p.qid),
               |idots AS (
               |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
               |  FROM icand JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY qid, nid),
+              |idots4 AS (
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM icand4 JOIN el a ON a.vec_id = qid JOIN el b ON b.vec_id = nid AND b.i = a.i
               |  GROUP BY qid, nid),
               |itop AS (
               |  SELECT qid, nid FROM (
@@ -902,15 +936,30 @@ object SimilarityOps {
               |      row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
               |    FROM idots JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
               |  WHERE rn <= 3),
+              |itop4 AS (
+              |  SELECT qid, nid FROM (
+              |    SELECT qid, nid,
+              |      row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |    FROM idots4 JOIN n2 na ON na.vec_id = qid JOIN n2 nb ON nb.vec_id = nid)
+              |  WHERE rn <= 3),
               |lhit AS (SELECT t.qid, CAST(count(*) AS BIGINT) h FROM ltop t
+              |         JOIN xtop e ON e.qid = t.qid AND e.nid = t.nid GROUP BY t.qid),
+              |mhit AS (SELECT t.qid, CAST(count(*) AS BIGINT) h FROM mtop t
               |         JOIN xtop e ON e.qid = t.qid AND e.nid = t.nid GROUP BY t.qid),
               |ihit AS (SELECT t.qid, CAST(count(*) AS BIGINT) h FROM itop t
               |         JOIN xtop e ON e.qid = t.qid AND e.nid = t.nid GROUP BY t.qid),
+              |ihit4 AS (SELECT t.qid, CAST(count(*) AS BIGINT) h FROM itop4 t
+              |          JOIN xtop e ON e.qid = t.qid AND e.nid = t.nid GROUP BY t.qid),
               |irow AS (
               |  SELECT (SELECT n FROM nq) n_queries,
               |    (SELECT CAST(count(*) AS BIGINT) FROM icand) total_candidates,
               |    CAST(SUM(COALESCE(i.h, 0) * 1000000 // x.kq) // (SELECT n FROM nq) AS BIGINT) mean_recall_1e6
-              |  FROM xq x LEFT JOIN ihit i ON i.qid = x.qid)
+              |  FROM xq x LEFT JOIN ihit i ON i.qid = x.qid),
+              |irow4 AS (
+              |  SELECT (SELECT n FROM nq) n_queries,
+              |    (SELECT CAST(count(*) AS BIGINT) FROM icand4) total_candidates,
+              |    CAST(SUM(COALESCE(i.h, 0) * 1000000 // x.kq) // (SELECT n FROM nq) AS BIGINT) mean_recall_1e6
+              |  FROM xq x LEFT JOIN ihit4 i ON i.qid = x.qid)
               |SELECT * FROM (
               |  SELECT 'm1_exact' AS method, (SELECT n FROM nq) AS n_queries,
               |    (SELECT (SELECT n FROM nq) * (n - 1) FROM nv) AS total_candidates,
@@ -921,9 +970,16 @@ object SimilarityOps {
               |    (SELECT CAST(SUM(COALESCE(l.h, 0) * 1000000 // x.kq) // (SELECT n FROM nq) AS BIGINT)
               |     FROM xq x LEFT JOIN lhit l ON l.qid = x.qid)
               |  UNION ALL
-              |  SELECT 'm3_ivf2', n_queries, total_candidates, mean_recall_1e6 FROM irow
+              |  SELECT 'm3_lsh_multi', (SELECT n FROM nq),
+              |    (SELECT CAST(count(*) AS BIGINT) FROM mcand),
+              |    (SELECT CAST(SUM(COALESCE(m.h, 0) * 1000000 // x.kq) // (SELECT n FROM nq) AS BIGINT)
+              |     FROM xq x LEFT JOIN mhit m ON m.qid = x.qid)
               |  UNION ALL
-              |  SELECT 'm4_ivf_lake', n_queries, total_candidates, mean_recall_1e6 FROM irow)
+              |  SELECT 'm4_ivf2', n_queries, total_candidates, mean_recall_1e6 FROM irow
+              |  UNION ALL
+              |  SELECT 'm5_ivf4', n_queries, total_candidates, mean_recall_1e6 FROM irow4
+              |  UNION ALL
+              |  SELECT 'm6_ivf_lake', n_queries, total_candidates, mean_recall_1e6 FROM irow)
               |ORDER BY method""".stripMargin),
       (s, dir) => {
         val el = elements(s, dir)
@@ -969,21 +1025,50 @@ object SimilarityOps {
           .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
         val lshRow = rowOf("m2_lsh8",
           exactTopK(el, n2, lshCand, k).select("qid", "nid"), lshCand.count())
-        // m3: x27's computed IVF at nprobe=2
-        val probes = ivfProbes(el, n2, el.filter(col("vec_id") < 50), 2)
-        val ivfCand = broadcast(probes).join(ivfAssign(el, n2, el), "cid")
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"))
-        val ivfRow = rowOf("m3_ivf2",
+        // m3: x7b's multitable LSH (L=4 tables x P=8 seeded hyperplanes) —
+        // more tables buy back recall at a larger candidate budget, the
+        // middle of the frontier
+        val proj = el.crossJoin(broadcast(s.range(0, 32).toDF("p")))
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(when((col("p") * 1103515245L + col("i") * 12345L) % 97 < 48,
+            col("q")).otherwise(-col("q"))).as("proj"))
+        val mbk = proj
+          .select(col("vec_id"), (col("p") / 8).cast("int").as("tbl"),
+            col("p"), when(col("proj") >= 0, "1").otherwise("0").as("bit"))
+          .groupBy("vec_id", "tbl")
+          .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(p, bit))), x -> x.bit))")
+            .as("bucket"))
+        val multiCand = mbk.filter(col("vec_id") < 50).as("q")
+          .join(mbk.as("c"), col("q.tbl") === col("c.tbl") &&
+            col("q.bucket") === col("c.bucket") &&
+            col("c.vec_id") =!= col("q.vec_id"))
+          .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
+          .distinct()
+        val multiRow = rowOf("m3_lsh_multi",
+          exactTopK(el, n2, multiCand, k).select("qid", "nid"), multiCand.count())
+        // m4/m5: x27's computed IVF at nprobe=2 and 4 — the recall/cost
+        // knob itself, measured (one shared assignment pass)
+        val assign = ivfAssign(el, n2, el)
+        def ivfCandAt(nprobe: Int): DataFrame =
+          broadcast(ivfProbes(el, n2, el.filter(col("vec_id") < 50), nprobe))
+            .join(assign, "cid")
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id").as("nid"))
+        val ivfCand = ivfCandAt(2)
+        val ivfRow = rowOf("m4_ivf2",
           exactTopK(el, n2, ivfCand, k).select("qid", "nid"), ivfCand.count())
-        // m4: the SAME probe set served from the persisted lake index —
+        val ivfCand4 = ivfCandAt(4)
+        val ivfRow4 = rowOf("m5_ivf4",
+          exactTopK(el, n2, ivfCand4, k).select("qid", "nid"), ivfCand4.count())
+        // m6: the nprobe=2 probe set served from the persisted lake index —
         // partition-pruning assertions included (ivfLakeCandidates); must
-        // reproduce m3 exactly or index maintenance broke
+        // reproduce m4 exactly or index maintenance broke
         val wh = ivfLakeWarehouse(s, dir, el, n2)
-        val lakeCand = ivfLakeCandidates(s, wh, probes, "x62")
-        val lakeRow = rowOf("m4_ivf_lake",
+        val lakeCand = ivfLakeCandidates(s, wh,
+          ivfProbes(el, n2, el.filter(col("vec_id") < 50), 2), "x62")
+        val lakeRow = rowOf("m6_ivf_lake",
           exactTopK(el, n2, lakeCand, k).select("qid", "nid"), lakeCand.count())
-        Seq(exactRow, lshRow, ivfRow, lakeRow)
+        Seq(exactRow, lshRow, multiRow, ivfRow, ivfRow4, lakeRow)
           .reduce(_ unionByName _).orderBy("method")
       }),
 

@@ -1138,10 +1138,11 @@ object TextOps {
     // ONCE into a (word, freq) table; every iteration then runs on that
     // VOCABULARY-sized table, never the corpus: adjacent-symbol pairs are
     // counted weighted by word frequency (one map-side-combinable
-    // vocab-sized shuffle per merge), the argmax pair (tie-break
-    // lexicographic) becomes the next merge, and the merge is applied to
-    // each word's symbol array as a row-local left fold. Driver traffic is
-    // ONE row per iteration (the argmax) — never data-sized. Output: the
+    // vocab-sized shuffle per PASS — and since round 17 a pass learns a
+    // whole BATCH of provably-independent merges, see distributedMerges),
+    // the top pairs (tie-break lexicographic) become the next merges,
+    // each applied to the word symbol arrays as one row-local left fold.
+    // Driver traffic is O(batch) rows per pass — never data-sized. The
     // ranked merge table a tokenizer ships. TextBpeSpec proves the merges
     // equal an independent driver-side reference implementation — and
     // since round 16 the TRAINING LOOP ITSELF is oracled: DuckDB replays

@@ -1117,7 +1117,7 @@ private[v2] object IceLiteMeta {
   val names: Set[String] = Set(
     "snapshots", "files", "refs", "deletes", "history", "manifests",
     "partitions", "stats", "all_files", "metadata_log_entries",
-    "entries", "all_manifests", "position_deletes")
+    "entries", "all_entries", "all_manifests", "position_deletes")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String,
@@ -1152,6 +1152,33 @@ private[v2] object IceLiteMeta {
               Long.box(f.bytes))))
         }
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.entries", schema, rows)
+    case "all_entries" =>
+      // manifest entries of EVERY snapshot (Iceberg's .all_entries):
+      // (snapshot, status, data_file) where status is relative to that
+      // snapshot's own manifest (1 = added by it, 0 = carried). Rows are
+      // O(snapshots x files), so like .all_files this serves SNAPSHOT-
+      // PARALLEL when history is fully externalized: each task resolves
+      // its own snapshot's manifest and the status test (path in the
+      // doc's OWN addedPaths) is self-contained — zero driver data.
+      val schema = StructType.fromDDL(
+        "snapshot_id BIGINT, status INT, " +
+          "data_file STRUCT<path: STRING, rows: BIGINT, bytes: BIGINT>")
+      val tblName = s"${meta.namespace}.${meta.name}.all_entries"
+      if (meta.snapshots.nonEmpty && meta.snapshots.forall(s =>
+          s.manifestFile.nonEmpty && s.addedFiles.isEmpty))
+        new IceLiteAllEntriesTable(tblName, schema,
+          meta.snapshots.map(s => (s.snapshotId, s.manifestFile)))
+      else {
+        // pre-manifest (in-memory/legacy) snapshots are metadata-sized
+        // by construction: inline rows
+        val rows = meta.snapshots.flatMap { s =>
+          val added = graft.icelite.FileStats.addedPathsOf(fs, s)
+            .map(graft.icelite.FileStats.normPath).toSet
+          graft.icelite.FileStats.visible(fs, s).map(f =>
+            IceLiteAllEntries.row(s.snapshotId, added, f))
+        }
+        new IceLiteMetaTable(tblName, schema, rows)
+      }
     case "all_manifests" =>
       // every manifest DOCUMENT reachable from any snapshot, with the
       // referencing snapshot and its depth in the delta chain (0 = the
@@ -1556,6 +1583,69 @@ private[v2] class IceLiteAllFilesTable(
                   cur = new GenericInternalRow(Array[Any](
                     r(0), UTF8String.fromString(r(1).asInstanceOf[String]),
                     r(2), r(3)))
+                  true
+                }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+/** Row algebra of `.all_entries`: one internal row per (snapshot, visible
+  * file), status from the snapshot's own add list — shared by the
+  * snapshot-parallel reader and the legacy inline path.
+  */
+private[v2] object IceLiteAllEntries {
+  def row(snapshotId: Long, addedNorm: Set[String],
+      f: graft.icelite.FileStat): Array[Any] = Array[Any](
+    Long.box(snapshotId),
+    Int.box(if (addedNorm(graft.icelite.FileStats.normPath(f.path))) 1 else 0),
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(f.path), Long.box(f.rows), Long.box(f.bytes))))
+}
+
+/** `.all_entries` served snapshot-parallel: one partition per snapshot,
+  * the task resolves that snapshot's manifest (delta chains included) and
+  * emits every visible entry with its status.
+  */
+private[v2] class IceLiteAllEntriesTable(
+    tblName: String, schema0: StructType, snaps: Seq[(Long, String)])
+    extends Table with SupportsRead {
+
+  override def name(): String = tblName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"icelite metadata $tblName (manifest-parallel)"
+      override def planInputPartitions(): Array[InputPartition] =
+        snaps.map { case (id, mp) =>
+          IceLiteSnapManifestPartition(id, mp): InputPartition }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          private val conf = new SerializableConfiguration(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val mp = p.asInstanceOf[IceLiteSnapManifestPartition]
+            val path = new Path(mp.manifestPath)
+            val pfs = path.getFileSystem(conf.value)
+            val doc = MetaIo.readManifestDoc(pfs, mp.manifestPath)
+            val added = doc.addedPaths
+              .map(graft.icelite.FileStats.normPath).toSet
+            val it = doc.files.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean =
+                it.hasNext && {
+                  cur = new GenericInternalRow(
+                    IceLiteAllEntries.row(mp.snapshotId, added, it.next()))
                   true
                 }
               override def get(): InternalRow = cur

@@ -958,6 +958,15 @@ class CatalogSpec extends SparkSpec {
     assert(pd.length == 3, s"ids 1..3 are tombstoned: ${pd.toSeq}") // id < 4
     assert(pd.forall(r => r.getString(0).endsWith(".parquet")
       && r.getString(2).nonEmpty && r.getLong(1) >= 0), pd.toSeq)
+    // .all_entries: every snapshot's own manifest replayed with
+    // per-snapshot status (2 added @1; 2 carried @2; 2 carried + 1
+    // added @3)
+    val ae = spark.sql(
+      """SELECT snapshot_id, status, count(*), sum(data_file.rows)
+        |FROM ice_ent.lake.t.all_entries GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(ae.toSeq == Seq((1L, 1, 2L, 10L), (2L, 0, 2L, 10L),
+      (3L, 0, 2L, 10L), (3L, 1, 1L, 10L)), ae.toSeq)
     // .all_manifests: a depth-0 head per snapshot; any deeper rows are
     // delta-chain bases and must be flagged as such
     val am = spark.sql(
