@@ -980,6 +980,16 @@ class CatalogSpec extends SparkSpec {
     val chained = am.filter(_.getInt(1) > 0).map(_.getLong(0)).distinct
     assert(chained.forall(sid =>
       heads.exists(h => h.getLong(0) == sid && h.getBoolean(2))), am.toSeq)
+    // a SECOND outstanding delete file: .position_deletes plans one input
+    // partition PER delete file (the delete-file-parallel claim), and the
+    // row set is the union of both files' tombstones
+    cat.loadTable("lake", "t").deleteWhereMor(Seq(
+      org.apache.spark.sql.sources.GreaterThan("id", 17L)))
+    val pd2 = spark.sql(
+      "SELECT file_path, pos FROM ice_ent.lake.t.position_deletes")
+    assert(pd2.rdd.getNumPartitions == 2,
+      s"expected one task per delete file, got ${pd2.rdd.getNumPartitions}")
+    assert(pd2.count() == 6, s"ids 1..3 and 18..20 are tombstoned") // 3 + 3
     // unknown metadata names still refuse instead of resolving
     intercept[Exception](
       spark.sql("SELECT * FROM ice_ent.lake.t.nope").collect())
