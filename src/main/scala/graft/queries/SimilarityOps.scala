@@ -693,6 +693,10 @@ object SimilarityOps {
     // corpus scalars sum — no rewrite, no merge (asserted zero-rewrite on
     // the commit). Doc length rides denormalized IN the posting row (the
     // Lucene norms idea), so scoring needs no corpus-sized doclen join.
+    // The df-delta table grows one row per (batch, term); when that ever
+    // binds, the standard maintenance applies as-is — binpack the bucket
+    // partitions (k29) or fold deltas with a grouped replace — without
+    // touching the probe path, which reads only probed buckets either way.
     // Scoring is bit-identical to x54 by construction: both call the ONE
     // bm25TermScore. The query here is the classic few-term shape (the 5
     // lexicographically-first distinct terms of the first query doc) —
@@ -1023,8 +1027,6 @@ object SimilarityOps {
           .join(bk.as("c"), col("q.bucket") === col("c.bucket") &&
             col("c.vec_id") =!= col("q.vec_id"))
           .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
-        val lshRow = rowOf("m2_lsh8",
-          exactTopK(el, n2, lshCand, k).select("qid", "nid"), lshCand.count())
         // m3: x7b's multitable LSH (L=4 tables x P=8 seeded hyperplanes) —
         // more tables buy back recall at a larger candidate budget, the
         // middle of the frontier
@@ -1044,8 +1046,6 @@ object SimilarityOps {
             col("c.vec_id") =!= col("q.vec_id"))
           .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
           .distinct()
-        val multiRow = rowOf("m3_lsh_multi",
-          exactTopK(el, n2, multiCand, k).select("qid", "nid"), multiCand.count())
         // m4/m5: x27's computed IVF at nprobe=2 and 4 — the recall/cost
         // knob itself, measured (one shared assignment pass)
         val assign = ivfAssign(el, n2, el)
@@ -1054,22 +1054,62 @@ object SimilarityOps {
             .join(assign, "cid")
             .filter(col("vec_id") =!= col("qid"))
             .select(col("qid"), col("vec_id").as("nid"))
-        val ivfCand = ivfCandAt(2)
-        val ivfRow = rowOf("m4_ivf2",
-          exactTopK(el, n2, ivfCand, k).select("qid", "nid"), ivfCand.count())
-        val ivfCand4 = ivfCandAt(4)
-        val ivfRow4 = rowOf("m5_ivf4",
-          exactTopK(el, n2, ivfCand4, k).select("qid", "nid"), ivfCand4.count())
         // m6: the nprobe=2 probe set served from the persisted lake index —
         // partition-pruning assertions included (ivfLakeCandidates); must
         // reproduce m4 exactly or index maintenance broke
         val wh = ivfLakeWarehouse(s, dir, el, n2)
         val lakeCand = ivfLakeCandidates(s, wh,
           ivfProbes(el, n2, el.filter(col("vec_id") < 50), 2), "x62")
-        val lakeRow = rowOf("m6_ivf_lake",
-          exactTopK(el, n2, lakeCand, k).select("qid", "nid"), lakeCand.count())
-        Seq(exactRow, lshRow, multiRow, ivfRow, ivfRow4, lakeRow)
-          .reduce(_ unionByName _).orderBy("method")
+        // score ALL five methods in ONE tagged pass: candidate sets union
+        // with a method tag, dot products + per-(method, query) top-3 are
+        // a single plan, candidate budgets one aggregate, recall one
+        // grid-join aggregate — ~4 actions where one-plan-per-method was
+        // ~15 (the audit's wall time is job overhead, not data, at any sf)
+        val methods = Seq("m2_lsh8" -> lshCand, "m3_lsh_multi" -> multiCand,
+          "m4_ivf2" -> ivfCandAt(2), "m5_ivf4" -> ivfCandAt(4),
+          "m6_ivf_lake" -> lakeCand)
+        val tagged = methods.map { case (m, c) =>
+          c.select(lit(m).as("method"), col("qid"), col("nid")) }
+          .reduce(_ unionByName _)
+        val candTotals = tagged.groupBy("method").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dots = tagged
+          .join(el.as("a"), col("a.vec_id") === col("qid"))
+          .join(el.as("b"),
+            col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
+          .groupBy("method", "qid", "nid")
+          .agg(sum(col("a.q") * col("b.q")).as("dp"))
+        val wm = org.apache.spark.sql.expressions.Window
+          .partitionBy("method", "qid").orderBy(col("cos_sim").desc, col("nid"))
+        val tops = dots
+          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .select(col("method"), col("qid"), col("nid"),
+            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+          .withColumn("rn", row_number().over(wm))
+          .filter(col("rn") <= k)
+          .select("method", "qid", "nid")
+        // (method x query) grid left-joined with hits: zero-hit queries
+        // count toward the mean instead of vanishing
+        val mdf = s.createDataset(methods.map(_._1))(
+          org.apache.spark.sql.Encoders.STRING).toDF("method")
+        val hits = exactTop.join(tops, Seq("qid", "nid"))
+          .groupBy("method", "qid").agg(count(lit(1)).as("hits"))
+        val xq = exactTop.groupBy("qid").agg(count(lit(1)).as("kq"))
+        val candTotalCol = candTotals.foldLeft(lit(0L)) {
+          case (acc, (m, n)) => when(col("method") === m, lit(n)).otherwise(acc)
+        }
+        val methodRows = xq.crossJoin(broadcast(mdf))
+          .join(hits, Seq("method", "qid"), "left")
+          .select(col("method"), col("kq"),
+            coalesce(col("hits"), lit(0L)).as("hits"))
+          .groupBy("method")
+          .agg(count(lit(1)).as("nq"),
+            sum(expr("hits * 1000000L DIV kq")).as("rsum"))
+          .select(col("method"), col("nq").as("n_queries"),
+            candTotalCol.as("total_candidates"),
+            expr("rsum DIV nq").as("mean_recall_1e6"))
+        exactRow.unionByName(methodRows).orderBy("method")
       }),
 
     // Embedding-cosine near-dup pairs, blocked by label (block key stands in
