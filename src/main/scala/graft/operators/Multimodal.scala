@@ -130,13 +130,17 @@ object Multimodal {
       val off = i.toInt // safe: i < bytes.length <= Int.MaxValue here
       val id = ascii(off, 4)
       val size = le32(off + 4)
+      // a declared chunk size near/over 2^31 is a lying header, not a
+      // payload this parser could ever see — refuse (None), as before the
+      // Long-cursor fix
+      if (size > Int.MaxValue - 8) return None
       if (id == "fmt ") {
         if (i + 16 > bytes.length) return None
         return Some(AudioInfo("wav", le16(off + 10), le32(off + 12).toInt))
       }
-      val next = i + 8 + size + (size & 1) // chunks are word-aligned
-      if (next <= i) return None // non-advancing cursor: corrupt header
-      i = next
+      // word-aligned advance; le32 is non-negative by construction, so the
+      // cursor is strictly monotone and the loop bound terminates the walk
+      i += 8 + size + (size & 1)
     }
     None
   }
@@ -166,6 +170,9 @@ object Multimodal {
       val off = i.toInt // safe: i < bytes.length <= Int.MaxValue here
       val id = ascii(off, 4)
       val size = le32(off + 4)
+      // lying header (declared chunk near/over 2^31): refuse, as before
+      // the Long-cursor fix — never decode a clamped partial payload of it
+      if (size > Int.MaxValue - 8) return None
       if (id == "fmt " && i + 24 <= bytes.length) {
         fmtCode = le16(off + 8); channels = le16(off + 10)
         rate = le32(off + 12).toInt; bits = le16(off + 22)
@@ -173,9 +180,9 @@ object Multimodal {
         dataOff = off + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
       }
-      val next = i + 8 + size + (size & 1) // chunks are word-aligned
-      if (next <= i) return None // non-advancing cursor: corrupt header
-      i = next
+      // word-aligned advance; le32 is non-negative by construction, so the
+      // cursor is strictly monotone and the loop bound terminates the walk
+      i += 8 + size + (size & 1)
     }
     if (fmtCode != 1 || bits != 16 || channels <= 0 || rate <= 0 ||
         dataOff < 0) return None

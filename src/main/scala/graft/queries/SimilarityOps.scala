@@ -36,9 +36,10 @@ object SimilarityOps {
   private val livePost =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  // the one live persisted exact-ground-truth table per session (x62)
+  // the live persisted x62 frames per session (exact ground truth + the
+  // tagged candidate union), released together on the next build
   private val liveRecall =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Seq[DataFrame]]()
 
   /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point. */
   private def elements(s: SparkSession, dir: String): DataFrame =
@@ -98,9 +99,14 @@ object SimilarityOps {
       .drop("cents", "cids", "best")
 
   /** x53's default probe width — embedded into BOTH the Spark plan and the
-    * DuckDB oracle string at compile time so they cannot drift; the
-    * `graft.x53.nprobe` conf overrides the Spark side for deployments
-    * (more cells probed = more recall, cost tracks nprobe x occupancy).
+    * DuckDB oracle string at compile time so they cannot drift AT THE
+    * DEFAULT; the `graft.x53.nprobe` conf overrides the Spark side for
+    * deployments and specs (more cells probed = more recall, cost tracks
+    * nprobe x occupancy). The oracle string is only valid at the default:
+    * a session that overrides the conf and then runs Verify gets an
+    * honest row mismatch (the plan probed more/fewer cells than the
+    * oracle restates) — unset the conf for oracle comparison, as the
+    * PlanSpec non-default case does.
     */
   private[graft] final val X53DefaultNprobe = 2
 
@@ -141,13 +147,29 @@ object SimilarityOps {
     * doc count and total token count. ONE definition for x54 (per-run
     * recompute) and x61 (persisted index probe) — the scoring cannot
     * drift between the two serving paths.
+    *
+    * The int64 headroom argument has THREE factors, and each fails loudly
+    * instead of wrapping (Spark Long wraps silently; DuckDB raises — the
+    * guard keeps the engines' failure modes aligned):
+    *  - corpus doc count: [[bm25Guard]] bounds dD < 4e6 driver-side;
+    *  - tf: `tf * 2.2e12` wraps past tf ~ 4.19e6 — guarded ROW-LOCALLY
+    *    (a single pathological document can carry such a tf at any
+    *    corpus size);
+    *  - len*dD: `7.5e5 * len * dD` wraps past len*dD ~ 1.23e13 — guarded
+    *    row-locally with the actual dD.
     */
   private def bm25TermScore(dD: Long, sS: Long): Column =
-    expr(s"""(((${dD}L - df + 1L) * 1000000L) DIV (df + 1L)
-            | * ((tf * 2200000L * 1000000L)
-            |    DIV (tf * 1000000L
-            |         + (1200000L * (250000L + (750000L * len * ${dD}L) DIV ${sS}L))
-            |           DIV 1000000L))) DIV 1000000L""".stripMargin)
+    expr(s"""IF(tf <= 4000000L AND len * ${dD}L <= 12000000000000L,
+            |  (((${dD}L - df + 1L) * 1000000L) DIV (df + 1L)
+            |   * ((tf * 2200000L * 1000000L)
+            |      DIV (tf * 1000000L
+            |           + (1200000L * (250000L + (750000L * len * ${dD}L) DIV ${sS}L))
+            |             DIV 1000000L))) DIV 1000000L,
+            |  raise_error(concat('bm25: tf=', CAST(tf AS STRING),
+            |    ' len=', CAST(len AS STRING),
+            |    ' overflows the 1e6 fixed-point int64 budget at d=$dD',
+            |    ' — rescale idf to 1e3 in BOTH engines for this corpus')))"""
+      .stripMargin)
 
   /** int64 headroom check for [[bm25TermScore]], enforced LOUDLY: the
     * per-term contribution multiplies idf_1e6 (<= d*1e6) by the saturation
@@ -291,6 +313,24 @@ object SimilarityOps {
       ()
     }
 
+  /** Live values of an identity partition column, derived from the
+    * driver-resident manifest (FileStat paths) — ZERO data IO. The probe
+    * operators need "which partitions exist" for the coverage half of
+    * their pruning assertion, and must not answer it by scanning the very
+    * index the probe exists to avoid scanning (at 100 TB that full pass
+    * would dominate the probe). Accepts both directory spellings (DSv2
+    * `col=value` and the legacy `__p_col=value` alias).
+    */
+  private def livePartValues(idx: graft.icelite.IceTable,
+      partCol: String): Set[String] = {
+    val re = ("(?:__p_)?" + java.util.regex.Pattern.quote(partCol) +
+      "=([^/]+)/").r
+    idx.meta.currentSnapshot.toSeq
+      .flatMap(sn => idx.visibleFiles(sn))
+      .flatMap(f => re.findFirstMatchIn(f.path).map(_.group(1)))
+      .toSet
+  }
+
   /** Partition-pruned candidate read of the persisted IVF index for a
     * (qid, cid) probe set, with the both-way planned-file assertions
     * (nothing outside the probed cells; every live probed cell planned).
@@ -306,10 +346,9 @@ object SimilarityOps {
     require(planned.nonEmpty && planned.forall(p =>
       probeCells.exists(c => p.contains(s"/cid=$c/"))),
       s"$who: probe must plan ONLY probed-cell partitions, got $planned")
-    // partition-column-only distinct: tiny, and it proves the planned
-    // set COVERS every probed cell that exists in the index
-    val liveCells = idx.toDF.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSet
+    // coverage half: every probed cell that exists must be planned — live
+    // cells come from the manifest paths, never from a scan
+    val liveCells = livePartValues(idx, "cid").map(_.toLong)
     require(probeCells.filter(liveCells).forall(c =>
       planned.exists(_.contains(s"/cid=$c/"))),
       s"$who: probe must plan EVERY live probed cell " +
@@ -783,6 +822,17 @@ object SimilarityOps {
         val qterms = tokensOf(docs.filter(col("doc_id") === qid))
           .select("w").distinct().orderBy("w").limit(5)
           .collect().map(_.getString(0)).toSeq
+        // degenerate-but-valid corpus: a whitespace-only query doc has no
+        // terms — zero results (matching the oracle's empty qterms CTE),
+        // never a tripped pruning assertion over an intentionally-empty
+        // scan. (if/else, not `return`: a non-local return from a stored
+        // lambda throws at runtime.)
+        if (qterms.isEmpty)
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "qid BIGINT, rank INT, nid BIGINT, score1e6 BIGINT"))
+        else {
         val qbkts = s.createDataFrame(
             java.util.Arrays.asList(qterms.map(org.apache.spark.sql.Row(_)): _*),
             org.apache.spark.sql.types.StructType.fromDDL("w STRING"))
@@ -797,8 +847,9 @@ object SimilarityOps {
         require(planned.nonEmpty && planned.forall(p =>
           qbkts.exists(b => p.contains(s"/bkt=$b/"))),
           s"probe must plan ONLY probed-bucket partitions, got $planned")
-        val liveBkts = postT.toDF.select("bkt").distinct()
-          .collect().map(_.getInt(0)).toSet
+        // coverage half from the MANIFEST paths (zero data IO — the index
+        // must never be full-scanned to assert its own pruning)
+        val liveBkts = livePartValues(postT, "bkt").map(_.toInt)
         require(qbkts.filter(liveBkts).forall(b =>
           planned.exists(_.contains(s"/bkt=$b/"))),
           s"probe must plan EVERY live probed bucket (buckets=" +
@@ -828,6 +879,7 @@ object SimilarityOps {
           .filter(col("rank") <= 10)
           .select(lit(qid).as("qid"), col("rank"), col("nid"), col("score1e6"))
           .orderBy("rank")
+        }
       }),
 
     // ANN RECALL AUDIT (round 17) — the one number a production vector
@@ -999,27 +1051,11 @@ object SimilarityOps {
           .join(el.as("b"), col("a.i") === col("b.i") && col("b.vec_id") =!= col("a.qid"))
           .groupBy(col("a.qid"), col("b.vec_id").as("nid"))
           .agg(sum(col("a.qq") * col("b.q")).as("dp"))
-        Option(liveRecall.remove(s)).foreach(_.unpersist())
+        Option(liveRecall.remove(s)).foreach(_.foreach(_.unpersist()))
         val exactTop = rankTopK(bruteDots, n2, k).select("qid", "nid").persist()
-        liveRecall.put(s, exactTop)
-        // one audit row: recall@3 of a method's top-k against the ground
-        // truth, integer-exact, queries with zero hits counted (left join)
-        def rowOf(name: String, top: DataFrame, candTotal: Long): DataFrame = {
-          val xq = exactTop.groupBy("qid").agg(count(lit(1)).as("kq"))
-          val hit = exactTop.join(top, Seq("qid", "nid"))
-            .groupBy("qid").agg(count(lit(1)).as("hits"))
-          xq.join(hit, Seq("qid"), "left")
-            .select(col("kq"), coalesce(col("hits"), lit(0L)).as("hits"))
-            .agg(count(lit(1)).as("nq"),
-              sum(expr("hits * 1000000L DIV kq")).as("rsum"))
-            .select(lit(name).as("method"), col("nq").as("n_queries"),
-              lit(candTotal).as("total_candidates"),
-              expr("rsum DIV nq").as("mean_recall_1e6"))
-        }
-        // m1: the baseline audits itself — bounded scalar reads only
+        // m1's budget: brute force scans everything — bounded scalar reads
         val nVec = n2.count()
         val nQ = exactTop.select("qid").distinct().count()
-        val exactRow = rowOf("m1_exact", exactTop, nQ * (nVec - 1))
         // m2: x7's sign-LSH buckets
         val bk = t(s, dir, "embeddings")
           .select(col("vec_id"), signBucket(col("embedding")).as("bucket"))
@@ -1060,19 +1096,28 @@ object SimilarityOps {
         val wh = ivfLakeWarehouse(s, dir, el, n2)
         val lakeCand = ivfLakeCandidates(s, wh,
           ivfProbes(el, n2, el.filter(col("vec_id") < 50), 2), "x62")
-        // score ALL five methods in ONE tagged pass: candidate sets union
+        // score ALL six methods in ONE tagged pass: candidate sets union
         // with a method tag, dot products + per-(method, query) top-3 are
         // a single plan, candidate budgets one aggregate, recall one
         // grid-join aggregate — ~4 actions where one-plan-per-method was
-        // ~15 (the audit's wall time is job overhead, not data, at any sf)
-        val methods = Seq("m2_lsh8" -> lshCand, "m3_lsh_multi" -> multiCand,
+        // ~15 (the audit's wall time is job overhead, not data, at any
+        // sf). m1 rides the same pass with exactTop as its candidate set
+        // (re-ranking the exact top-k IS the identity — the audit audits
+        // itself), and the union is PERSISTED because two actions consume
+        // it (the budget count and the scoring pass).
+        val methods = Seq("m1_exact" -> exactTop,
+          "m2_lsh8" -> lshCand, "m3_lsh_multi" -> multiCand,
           "m4_ivf2" -> ivfCandAt(2), "m5_ivf4" -> ivfCandAt(4),
           "m6_ivf_lake" -> lakeCand)
         val tagged = methods.map { case (m, c) =>
           c.select(lit(m).as("method"), col("qid"), col("nid")) }
-          .reduce(_ unionByName _)
+          .reduce(_ unionByName _).persist()
+        liveRecall.put(s, Seq(exactTop, tagged))
+        // m1's reported budget is the brute-force cost (nVec-1 per query),
+        // not the size of its precomputed shortcut input
         val candTotals = tagged.groupBy("method").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
+          ("m1_exact" -> nQ * (nVec - 1))
         val dots = tagged
           .join(el.as("a"), col("a.vec_id") === col("qid"))
           .join(el.as("b"),
@@ -1109,7 +1154,7 @@ object SimilarityOps {
           .select(col("method"), col("nq").as("n_queries"),
             candTotalCol.as("total_candidates"),
             expr("rsum DIV nq").as("mean_recall_1e6"))
-        exactRow.unionByName(methodRows).orderBy("method")
+        methodRows.orderBy("method")
       }),
 
     // Embedding-cosine near-dup pairs, blocked by label (block key stands in
