@@ -197,7 +197,10 @@ object Bench {
       // vector + lexical indexes, and the recall audit — the short line
       // the driver captures now tracks them round-over-round too
       "x46_image_dedup_phash", "x53_ivf_index_lake", "x54_bm25_retrieval",
-      "x61_bm25_index_lake", "x62_ann_recall")
+      "x61_bm25_index_lake", "x62_ann_recall",
+      // round 18: x57 is the most expensive non-audit query (decode IS the
+      // operator) — track the image-dedup pillar's cost round-over-round
+      "x57_image_dedup_canonical")
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
       .mkString("{", ",", "}")

@@ -34,6 +34,10 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
     selected.foreach { case (name, fn) =>
+      // per-query start marker on stderr: log WARNINGs interleave with it,
+      // so a warning in the run log is attributable to the query that
+      // emitted it (round 18 used this to hunt a stray pushdown warning)
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -42,3 +42,39 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
+
+/** Integer-exact sibling of [[TopKAggregator]] for int64 fixed-point scores
+  * (the x43/x54 discipline): top-k (score, id) pairs per group ordered by
+  * score descending, id ascending on ties, with no Long→Double round trip.
+  *
+  * Same scale shape: the buffer is a k-capped sorted list, so a per-group
+  * top-k moves k values per partition over the shuffle (partial + final
+  * object-hash aggregation) instead of sorting whole partitions the way a
+  * window formulation does.
+  */
+class TopKLongAggregator(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val (front, back) = buf.span(better(_, x))
+      (front :+ x) ++ back.take(k - front.size - 1)
+    }
+  }
+
+  override def zero: Seq[(Long, Long)] = Nil
+  override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+    insert(buf, in)
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}

@@ -1350,11 +1350,15 @@ class IceTable(
     eqs.foldLeft(df) { (acc, d) =>
       val keys = spark.read.parquet(d.path)
         .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
+      // no exempt dirs → no clause at all (a folded-in `lit(true)` would
+      // reach DSv2 pushdown and log "Can't translate true to source filter"
+      // on every run)
       val exempt = d.eqExemptDirs
         .map(dir => !fp.contains(s"/${new Path(dir).getName}/"))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      val cond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
-        rowEra < lit(d.seqId) && exempt
+        .reduceOption(_ && _)
+      val keyCond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
+        rowEra < lit(d.seqId)
+      val cond = exempt.map(keyCond && _).getOrElse(keyCond)
       acc.join(broadcast(keys), cond, "left_anti")
     }
   }
@@ -1795,11 +1799,15 @@ class IceTable(
         eqApplicable.foldLeft(base) { (acc, d) =>
           val keys = spark.read.parquet(d.path)
             .select(d.eqCols.map(c => col(c).as(s"__ek_$c")): _*).distinct()
+          // no exempt dirs → omit the clause (see the COW-path twin above:
+          // a `lit(true)` here lands in DSv2 pushdown as an untranslatable
+          // AlwaysTrue and pollutes every run's log)
           val exempt = d.eqExemptDirs
             .map(dir => !col("__fp").contains(s"/${new Path(dir).getName}/"))
-            .reduceOption(_ && _).getOrElse(lit(true))
-          val cond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
-            col("__era") < lit(d.seqId) && exempt
+            .reduceOption(_ && _)
+          val keyCond = d.eqCols.map(c => col(c) <=> col(s"__ek_$c")).reduce(_ && _) &&
+            col("__era") < lit(d.seqId)
+          val cond = exempt.map(keyCond && _).getOrElse(keyCond)
           acc.join(broadcast(keys), cond, "left_anti")
         }.drop("__fp", "__pos", "__era")
     }

@@ -307,6 +307,15 @@ object DedupOps {
     * Cost O(rounds x edges), rounds ≈ component diameter — the GraphX
     * shape, over edge lists that are tiny (near-dup pairs) at any scale.
     */
+  /** One low-shuffle-partition session CLONE per SparkContext, for
+    * [[componentLabels]]'s O(diameter) tiny-job loop — cached because a
+    * clone's session state/listeners live on the shared context for its
+    * lifetime (a clone per call would accumulate unboundedly).
+    */
+  private val lowPartSessions =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, SparkSession]()
+
   private def componentLabels(edges: DataFrame): DataFrame = {
     // The loop runs O(diameter) tiny jobs over a near-dup-pair edge list;
     // at the session's shuffle-partition count most tasks are empty and
@@ -323,9 +332,17 @@ object DedupOps {
     val caller = edges.sparkSession
     // newSession(): shared SparkContext, ISOLATED SQL conf — the loop only
     // computes conf-insensitive long joins/aggregates, so inheriting the
-    // builder defaults (rather than the caller's live conf) is safe
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // builder defaults (rather than the caller's live conf) is safe.
+    // ONE cached clone per SparkContext (the livePost/liveKmeans map
+    // discipline): every newSession() registers session state/listeners on
+    // the shared context and never releases them, so a per-call clone
+    // leaks across the hundreds of x1/x2/x16/x29/x57 invocations of a
+    // long Verify/Bench session.
+    val spark = lowPartSessions.computeIfAbsent(caller.sparkContext, _ => {
+      val clone = caller.newSession()
+      clone.conf.set("spark.sql.shuffle.partitions", "4")
+      clone
+    })
     val bidir = {
       val e = spark.createDataFrame(edges.rdd, edges.schema)
       e.unionByName(e.select(col("d2").as("d1"), col("d1").as("d2")))

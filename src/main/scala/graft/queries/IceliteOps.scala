@@ -23,6 +23,41 @@ object IceliteOps {
   private val orderCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** The d2 metadata fixture — append evens (2 files), append odds (2
+    * files), compact to 2 — shared by d2's snapshot-log read and d8's
+    * name-split `data_files`/`all_data_files` reads (cachedFixture
+    * key-shares the build per JVM/sf).
+    */
+  private def d2Fixture(s: SparkSession, dir: String): String = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+    cachedFixture(s, "d2", dir) { w =>
+      val fcat = new IceCatalog(s, w)
+      val fixture = fcat.createTable("lake", "ev_meta", ev.schema)
+      fixture.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
+      fixture.append(ev.filter(col("event_id") % 2 =!= 0).repartition(2))
+      fixture.compact(targetFiles = 2)
+      ()
+    }
+  }
+
+  /** The d7 MOR fixture — append evens (2 files), MOR position delete of
+    * event_id < 50, append odds (1 file) — shared by d7's entry listings
+    * and d8's `delete_files`/`all_delete_files` + d8b's `.all_entries`
+    * history reads.
+    */
+  private def d7Fixture(s: SparkSession, dir: String): String = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+    cachedFixture(s, "d7", dir) { w =>
+      val fcat = new IceCatalog(s, w)
+      val fixture = fcat.createTable("lake", "ev_entries", ev.schema)
+      fixture.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
+      fixture.deleteWhereMor(Seq(
+        org.apache.spark.sql.sources.LessThan("event_id", 50L)))
+      fixture.append(ev.filter(col("event_id") % 2 =!= 0).repartition(1))
+      ()
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // K4: append = bag union, one snapshot per call (wr:110).
@@ -2068,13 +2103,7 @@ object IceliteOps {
         val total = ev.count()
         // the table history is FIXTURE (the operator under test is the
         // metadata-view READ): built once per JVM per scale factor
-        val wh = cachedFixture(s, "d2", dir) { w =>
-          val fcat = new IceCatalog(s, w)
-          val fixture = fcat.createTable("lake", "ev_meta", ev.schema)
-          fixture.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
-          fixture.append(ev.filter(col("event_id") % 2 =!= 0).repartition(2))
-          fixture.compact(targetFiles = 2)
-        }
+        val wh = d2Fixture(s, dir)
         val tbl = new IceCatalog(s, wh).loadTable("lake", "ev_meta")
         // .files view: exactly the compacted manifest
         val files = tbl.filesDF
@@ -2225,15 +2254,7 @@ object IceliteOps {
         val ev = t(s, dir, "events").select("event_id", "user_id", "value")
         // history: append (2 files) -> MOR position delete -> append
         // (1 file, the CURRENT snapshot, so both statuses appear)
-        val wh = cachedFixture(s, "d7", dir) { w =>
-          val fcat = new IceCatalog(s, w)
-          val fixture = fcat.createTable("lake", "ev_entries", ev.schema)
-          fixture.append(ev.filter(col("event_id") % 2 === 0).repartition(2))
-          fixture.deleteWhereMor(Seq(
-            org.apache.spark.sql.sources.LessThan("event_id", 50L)))
-          fixture.append(ev.filter(col("event_id") % 2 =!= 0).repartition(1))
-          ()
-        }
+        val wh = d7Fixture(s, dir)
         s.conf.set("spark.sql.catalog.icelite_d7", "graft.sources.v2.IceLiteCatalog")
         s.conf.set("spark.sql.catalog.icelite_d7.warehouse", wh)
         // .position_deletes: exactly the rows the MOR delete tombstoned
@@ -2277,6 +2298,102 @@ object IceliteOps {
             |FROM icelite_d7.lake.ev_entries.entries
             |GROUP BY status, snapshot_id
             |ORDER BY status, snapshot_id""".stripMargin)
+      }),
+
+    // D8 (round 18): Iceberg's NAME-SPLIT listing spellings — the names a
+    // user porting Iceberg SQL reaches for first. `.data_files` /
+    // `.all_data_files` read the d2 fixture (append 2f, append 2f, compact
+    // to 2 → current 2 files with every row; 6 files ever added summing to
+    // 2× the corpus) and `.delete_files` / `.all_delete_files` read the d7
+    // MOR fixture (one position-delete file tombstoning the even ids below
+    // 50). File counts and row sums are exactly derivable, so all four
+    // views are oracled; row-identity with the merged spellings
+    // (`files`/`all_files`) is asserted in-query.
+    QDef(
+      "d8_name_split_files",
+      Some("""SELECT 'all_data' AS kind, CAST(6 AS BIGINT) AS n_files,
+             |  CAST(2 * (SELECT count(*) FROM events) AS BIGINT) AS n_rows
+             |UNION ALL
+             |SELECT 'all_delete', CAST(1 AS BIGINT), CAST((SELECT count(*)
+             |  FROM events WHERE event_id < 50 AND event_id % 2 = 0) AS BIGINT)
+             |UNION ALL
+             |SELECT 'data', CAST(2 AS BIGINT),
+             |  CAST((SELECT count(*) FROM events) AS BIGINT)
+             |UNION ALL
+             |SELECT 'delete', CAST(1 AS BIGINT), CAST((SELECT count(*)
+             |  FROM events WHERE event_id < 50 AND event_id % 2 = 0) AS BIGINT)
+             |ORDER BY kind""".stripMargin),
+      (s, dir) => {
+        val whData = d2Fixture(s, dir)
+        val whDel = d7Fixture(s, dir)
+        s.conf.set("spark.sql.catalog.icelite_d8a", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d8a.warehouse", whData)
+        s.conf.set("spark.sql.catalog.icelite_d8b", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d8b.warehouse", whDel)
+        // the name-split views must serve row-identical listings to the
+        // merged spellings (both metadata-sized — a driver set compare)
+        def rowsOf(q: String): Set[String] =
+          s.sql(q).collect().map(_.mkString("|")).toSet
+        require(
+          rowsOf("SELECT * FROM icelite_d8a.lake.ev_meta.data_files") ==
+            rowsOf("SELECT * FROM icelite_d8a.lake.ev_meta.files"),
+          "data_files must serve exactly the files view's rows")
+        require(
+          rowsOf("SELECT * FROM icelite_d8a.lake.ev_meta.all_data_files") ==
+            rowsOf("SELECT * FROM icelite_d8a.lake.ev_meta.all_files"),
+          "all_data_files must serve exactly the all_files view's rows")
+        s.sql(
+          """SELECT 'data' AS kind, count(*) AS n_files, sum(rows) AS n_rows
+            |FROM icelite_d8a.lake.ev_meta.data_files
+            |UNION ALL
+            |SELECT 'all_data', count(*), sum(rows)
+            |FROM icelite_d8a.lake.ev_meta.all_data_files
+            |UNION ALL
+            |SELECT 'delete', count(*), sum(rows)
+            |FROM icelite_d8b.lake.ev_entries.delete_files
+            |UNION ALL
+            |SELECT 'all_delete', count(*), sum(rows)
+            |FROM icelite_d8b.lake.ev_entries.all_delete_files
+            |ORDER BY kind""".stripMargin)
+      }),
+
+    // D8b (round 18, promoted from d7's in-query assert): `.all_entries`
+    // status history over the 3-snapshot MOR fixture as its OWN oracle row
+    // set — per-snapshot carried/added statuses with row sums: 2 files
+    // added @snap1 (the evens); the same 2 carried @snap2 (a MOR delete
+    // adds no data file); 2 carried + 1 added @snap3 (the odds). The
+    // oracle derives every row sum from the events table, so the read is
+    // verified by an engine that knows nothing about the manifest format.
+    QDef(
+      "d8b_all_entries_history",
+      Some("""SELECT CAST(1 AS BIGINT) AS snapshot_id, 1 AS status,
+             |  CAST(2 AS BIGINT) AS n_files,
+             |  CAST((SELECT count(*) FROM events WHERE event_id % 2 = 0) AS BIGINT) AS n_rows
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 0, CAST(2 AS BIGINT),
+             |  CAST((SELECT count(*) FROM events WHERE event_id % 2 = 0) AS BIGINT)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 0, CAST(2 AS BIGINT),
+             |  CAST((SELECT count(*) FROM events WHERE event_id % 2 = 0) AS BIGINT)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 1, CAST(1 AS BIGINT),
+             |  CAST((SELECT count(*) FROM events WHERE event_id % 2 <> 0) AS BIGINT)
+             |ORDER BY snapshot_id, status""".stripMargin),
+      (s, dir) => {
+        val wh = d7Fixture(s, dir)
+        s.conf.set("spark.sql.catalog.icelite_d8c", "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d8c.warehouse", wh)
+        val out = s.sql(
+          """SELECT snapshot_id, status, count(*) AS n_files,
+            |  sum(data_file.rows) AS n_rows
+            |FROM icelite_d8c.lake.ev_entries.all_entries
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        // the scale shape, same as d7's assert: one task per snapshot
+        // manifest, zero driver data rows
+        require(out.queryExecution.executedPlan.toString
+          .contains("manifest-parallel"),
+          "all_entries must plan one task per snapshot manifest")
+        out
       }),
 
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'

@@ -1691,7 +1691,18 @@ object TextOps {
           val (l, r, c) =
             (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
           if (used(l) || used(r)) stopCnt = c
-          else if (sel.size < remaining) { sel += ((l, r, c)); used += l; used += r }
+          else if (sel.size < remaining) {
+            sel += ((l, r, c)); used += l; used += r
+            // the CONCATENATION is used too: a later candidate containing
+            // a member's merged symbol (x, l+r) has its true count CHANGED
+            // by that member (applying (l,r) creates l+r occurrences), so
+            // it must END the batch like any overlap — (l, r) alone misses
+            // it. No such state is reachable from char-initialized training
+            // that we could construct (l+r would have to pre-exist as a
+            // symbol while (l,r) is still a live pair), but the proof in
+            // the scaladoc does not close the case, so the guard does.
+            used += (l + r)
+          }
           // disjoint-but-over-budget rows neither select nor bound
           i += 1
         }

@@ -1117,7 +1117,13 @@ private[v2] object IceLiteMeta {
   val names: Set[String] = Set(
     "snapshots", "files", "refs", "deletes", "history", "manifests",
     "partitions", "stats", "all_files", "metadata_log_entries",
-    "entries", "all_entries", "all_manifests", "position_deletes")
+    "entries", "all_entries", "all_manifests", "position_deletes",
+    // Iceberg's name-split spellings: a user porting Iceberg SQL hits
+    // these names first. data variants are the same serving machinery as
+    // `files`/`all_files` (icelite's file listings ARE data-file listings
+    // — delete files live in their own ledger); delete variants collapse
+    // `.deletes`' per-target rows to the delete-FILE grain.
+    "data_files", "delete_files", "all_data_files", "all_delete_files")
 
   def table(meta: graft.icelite.TableMeta,
       fs: org.apache.hadoop.fs.FileSystem, kind: String,
@@ -1132,11 +1138,16 @@ private[v2] object IceLiteMeta {
       val schema = StructType.fromDDL(
         "status INT, snapshot_id BIGINT, " +
           "data_file STRUCT<path: STRING, rows: BIGINT, bytes: BIGINT>")
+      // MOST RECENT add wins (ascending scan overwrites): Iceberg's
+      // .entries reports the manifest entry's own snapshot_id, so a path
+      // removed and later re-added belongs to the re-adding snapshot —
+      // first-add attribution would mis-flag a current-snapshot re-add as
+      // status 0. (icelite commits write fresh paths, so re-adds are
+      // import-shaped edge cases — but the semantics should match.)
       val addedBy = scala.collection.mutable.Map[String, Long]()
       meta.snapshots.sortBy(_.snapshotId).foreach { s =>
         graft.icelite.FileStats.addedPathsOf(fs, s).foreach { p =>
-          val n = graft.icelite.FileStats.normPath(p)
-          if (!addedBy.contains(n)) addedBy(n) = s.snapshotId
+          addedBy(graft.icelite.FileStats.normPath(p)) = s.snapshotId
         }
       }
       val cur = meta.currentSnapshotId
@@ -1375,7 +1386,10 @@ private[v2] object IceLiteMeta {
         graft.icelite.FileStats.addedCount(s),
         s.addedRows, s.totalRows, s.snapshotId == meta.currentSnapshotId))
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.snapshots", schema, rows)
-    case "files" =>
+    // `data_files` is Iceberg's name-split spelling of the same rows:
+    // icelite's visible-file listing IS the data-file listing (delete
+    // files live in the snapshot's delete ledger, served below).
+    case "files" | "data_files" =>
       val schema = StructType.fromDDL("path STRING, rows BIGINT, bytes BIGINT")
       meta.currentSnapshot match {
         // committed snapshots: ship only the manifest PATH to the executor
@@ -1383,14 +1397,57 @@ private[v2] object IceLiteMeta {
         // (both manifest formats parse executor-side)
         case Some(s) if s.manifestFile.nonEmpty =>
           new IceLiteManifestFilesTable(
-            s"${meta.namespace}.${meta.name}.files", schema, Seq(s.manifestFile))
+            s"${meta.namespace}.${meta.name}.$kind", schema, Seq(s.manifestFile))
         // in-memory / pre-upgrade metadata: inline rows (metadata-sized)
         case other =>
           val rows = other.map(s => graft.icelite.FileStats.visible(fs, s))
             .getOrElse(Nil).map(f => Array[Any](f.path, f.rows, f.bytes))
-          new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.files", schema, rows)
+          new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.$kind", schema, rows)
       }
-    case "all_files" =>
+    case "delete_files" =>
+      // the outstanding delete FILES of the current snapshot — Iceberg's
+      // .delete_files grain. `.deletes` explodes position files into one
+      // row per TARGET data file; this view collapses back to the file:
+      // rows = exactly-counted deleted positions for position files, the
+      // DELETE KEY count for equality files (matched rows unknown until
+      // read — DeleteStat.rows' own accounting rule). Metadata-sized by
+      // MOR design.
+      val schema = StructType.fromDDL(
+        "path STRING, kind STRING, rows BIGINT, key_columns STRING")
+      val rows = meta.currentSnapshot
+        .map(s => graft.icelite.FileStats.deletesOf(fs, s)).getOrElse(Nil)
+        .map { d =>
+          if (d.isEquality)
+            Array[Any](d.path, "equality", d.eqRows, d.eqCols.mkString(","))
+          else Array[Any](d.path, "position", d.rows, null)
+        }
+      new IceLiteMetaTable(
+        s"${meta.namespace}.${meta.name}.delete_files", schema, rows)
+    case "all_delete_files" =>
+      // every delete file reachable from ANY snapshot, keyed by the FIRST
+      // snapshot that carries it (delete files join a table at the MOR
+      // commit and are carried until a rewrite folds them, so first-carry
+      // IS the committing snapshot) — the delete-debt lineage across
+      // history, the all_* sibling of `.delete_files`. O(snapshots ×
+      // outstanding deletes) driver rows: metadata-sized, since every
+      // snapshot's delete ledger is.
+      val schema = StructType.fromDDL(
+        "snapshot_id BIGINT, path STRING, kind STRING, rows BIGINT")
+      val seen = scala.collection.mutable.Set[String]()
+      val rows = meta.snapshots.sortBy(_.snapshotId).flatMap { s =>
+        graft.icelite.FileStats.deletesOf(fs, s).flatMap { d =>
+          if (seen(d.path)) None
+          else {
+            seen += d.path
+            Some(
+              if (d.isEquality) Array[Any](s.snapshotId, d.path, "equality", d.eqRows)
+              else Array[Any](s.snapshotId, d.path, "position", d.rows))
+          }
+        }
+      }
+      new IceLiteMetaTable(
+        s"${meta.namespace}.${meta.name}.all_delete_files", schema, rows)
+    case "all_files" | "all_data_files" =>
       // every data file EVER ADDED, with its committing snapshot — the
       // lineage/debug view (the Iceberg all_files analog, keyed by the
       // adding snapshot; files later rewritten away still appear under
@@ -1401,7 +1458,7 @@ private[v2] object IceLiteMeta {
       // those snapshots are metadata-sized by construction.
       val schema = StructType.fromDDL(
         "snapshot_id BIGINT, path STRING, rows BIGINT, bytes BIGINT")
-      val tblName = s"${meta.namespace}.${meta.name}.all_files"
+      val tblName = s"${meta.namespace}.${meta.name}.$kind"
       // parallel only when every snapshot is fully externalized (legacy
       // bare-array manifests keep addedFiles INLINE on the snapshot — the
       // executor-parsed document would not see them)
@@ -1887,6 +1944,17 @@ private[v2] class IceLiteScan(
       f.bloom.get(FileStats.BloomVersionKey)))
     .flatMap(_.bloom.keysIterator).toSet - FileStats.BloomVersionKey
 
+  // Known-benign log noise: when AQE plans a join against this scan and
+  // decides a dynamic-pruning subquery is not worth reusing, it replaces
+  // the pruning expression with Literal(true), and translating that fires
+  // "DataSourceV2Strategy: Can't translate true to source filter" once per
+  // such join (seen on the x53/x62 broadcast-probe joins). Inherent to
+  // advertising SupportsRuntimeFiltering under AQE — Iceberg's own Spark
+  // scan logs the same line — and harmless: the statically pushed filters
+  // already planned the file set. Do NOT chase it back to the engine's own
+  // pushdown: a true filter from OUR code was a bug (fixed round 18,
+  // IceTable eq-delete join conditions) and would show up in `filter()`,
+  // not here.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // row-level scans must plan a DETERMINISTIC file set: a runtime filter
     // could prune a file after it was recorded for replacement, and its

@@ -994,4 +994,36 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("SELECT * FROM ice_ent.lake.t.nope").collect())
   }
+
+  test("Iceberg name-split listing views: data/delete x current/all, via SQL") {
+    val wh = configure("namesplit")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name")
+    val tbl = cat.createTable("lake", "n_split", n.schema)
+    tbl.append(n.repartition(2))
+    cat.loadTable("lake", "n_split").deleteWhereMor(Seq(
+      org.apache.spark.sql.sources.LessThan("n_nationkey", 3L)))
+    def rows(v: String): Set[String] =
+      spark.sql(s"SELECT * FROM icecat_namesplit.lake.n_split.$v")
+        .collect().map(_.mkString("|")).toSet
+    // data spellings are the merged views' exact rows under Iceberg names
+    assert(rows("data_files") == rows("files") && rows("files").size == 2)
+    assert(rows("all_data_files") == rows("all_files") &&
+      rows("all_files").size == 2)
+    // delete spellings collapse to the delete-FILE grain: one position
+    // file tombstoning nationkeys 0..2
+    val del = spark.sql(
+      "SELECT kind, rows FROM icecat_namesplit.lake.n_split.delete_files")
+      .collect()
+    assert(del.length == 1 && del(0).getString(0) == "position" &&
+      del(0).getLong(1) == 3L, s"unexpected delete_files: ${del.toSeq}")
+    val adel = spark.sql(
+      """SELECT snapshot_id, kind, rows
+        |FROM icecat_namesplit.lake.n_split.all_delete_files""".stripMargin)
+      .collect()
+    assert(adel.length == 1 && adel(0).getLong(0) == 2L &&
+      adel(0).getString(1) == "position" && adel(0).getLong(2) == 3L,
+      s"unexpected all_delete_files: ${adel.toSeq}")
+  }
 }

@@ -1424,4 +1424,31 @@ class IceliteSpec extends SparkSpec {
     assert(tn1.approxDistinct("k").exists(e => math.abs(e - 2.0) < 0.5),
       "read-back sketcher still covers eligible columns on the fallback path")
   }
+
+  test("hostile string partition values round-trip structurally") {
+    // A partition value containing '/', '=', '%xx', or spaces breaks any
+    // reader that parses values OUT OF PATH STRINGS with a regex (the
+    // r17 livePartValues); the manifest's structural accessor
+    // (FileStat.partRaw -> PartValues' escaping-aware parse) must return
+    // the exact original strings, and a pruned read must still hit.
+    import spark.implicits._
+    val cat = new IceCatalog(spark, scratch("hostile"))
+    val hostile = Seq(
+      (1L, "a/b=c"), (2L, "x%2Fy"), (3L, "plain"), (4L, "sp ace"))
+      .toDF("id", "k")
+    val tbl = cat.createTable("lake", "hostile_t", hostile.schema,
+      partitionBy = Seq("k"))
+    tbl.append(hostile)
+    val t2 = cat.loadTable("lake", "hostile_t")
+    val vals = t2.meta.currentSnapshot.toSeq
+      .flatMap(sn => t2.visibleFiles(sn))
+      .flatMap(_.partRaw(Seq("k")).get("k").flatten).toSet
+    assert(vals == Set("a/b=c", "x%2Fy", "plain", "sp ace"),
+      s"structural partition values corrupted: $vals")
+    // partition-pruned reads by the hostile values return exactly their rows
+    assert(t2.toDF.where(col("k") === "a/b=c").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t2.toDF.where(col("k") === "x%2Fy").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

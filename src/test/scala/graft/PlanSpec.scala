@@ -255,4 +255,20 @@ class PlanSpec extends SparkSpec {
         s"top-k at $key worsened when probing more cells: $cs1 -> $cs3")
     }
   }
+
+  test("x54/x61: ranking never plans an unpartitioned window") {
+    // An unpartitioned row_number coalesces the WHOLE candidate-score set
+    // into one sort task — the r17 scale finding. x54 ranks per-qid via
+    // the typed TopKLongAggregator (partial + final object-hash aggregate:
+    // 5 pairs per partition per qid cross the shuffle, the group is never
+    // sorted); x61's global top-10 is TakeOrderedAndProject (asserted
+    // in-query on its own executed plan) with rank attached on the k-sized
+    // driver result. Neither plan may contain a Window at all.
+    val s54 = finalPlan(SparkEntry.queries("x54_bm25_retrieval")(spark, sfDir))
+    assert(!s54.contains("Window ["), s"x54 must not rank via a window:\n$s54")
+    assert(s54.contains("ObjectHashAggregate"),
+      s"x54 top-k should be the typed aggregator (partial+final):\n$s54")
+    val s61 = finalPlan(SparkEntry.queries("x61_bm25_index_lake")(spark, sfDir))
+    assert(!s61.contains("Window ["), s"x61 must not rank via a window:\n$s61")
+  }
 }
