@@ -199,8 +199,9 @@ object Bench {
       "x46_image_dedup_phash", "x53_ivf_index_lake", "x54_bm25_retrieval",
       "x61_bm25_index_lake", "x62_ann_recall",
       // round 18: x57 is the most expensive non-audit query (decode IS the
-      // operator) — track the image-dedup pillar's cost round-over-round
-      "x57_image_dedup_canonical")
+      // operator) — track the image-dedup pillar's cost round-over-round;
+      // x63 is the hybrid-retrieval capstone over both persisted indexes
+      "x57_image_dedup_canonical", "x63_hybrid_rrf")
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
       .mkString("{", ",", "}")

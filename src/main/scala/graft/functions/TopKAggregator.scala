@@ -4,24 +4,27 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed top-k aggregator: keeps the k largest (score, id) pairs per group
-  * — ordered by score descending, id ascending on ties — without sorting
-  * the group.
+/** Shared core of the typed top-k aggregators: keeps the k best (score, id)
+  * pairs per group in a bounded sorted buffer — `reduce` is O(k) per row,
+  * `merge` is O(k) per partial — so a top-k over a billion-row group moves
+  * k values per partition over the shuffle instead of the group's rows,
+  * unlike the window-function formulation (w2) which must sort every
+  * partition.
   *
-  * This is the `Aggregator[IN, BUF, OUT]` extension point (SURVEY §7 step 7):
-  * the buffer is a bounded list, `reduce` is O(k) per row, `merge` is O(k)
-  * per partial — so a top-k over a billion-row group moves k values per
-  * partition over the shuffle instead of the group's rows, unlike the
-  * window-function formulation (w2) which must sort every partition.
+  * This is the `Aggregator[IN, BUF, OUT]` extension point (SURVEY §7 step
+  * 7). Leaves supply `better` with PRIMITIVE comparisons (not an Ordering)
+  * so each score type's tie/edge semantics are explicit and bit-stable,
+  * plus the concrete encoders.
   */
-class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+abstract class TopKAggregatorBase[S](k: Int)
+    extends Aggregator[(S, Long), Seq[(S, Long)], Seq[(S, Long)]] {
 
-  // descending score, ascending id — deterministic under any merge order
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Strict total order, best first: score descending, id ascending on
+    * ties — deterministic under any merge order.
+    */
+  protected def better(a: (S, Long), b: (S, Long)): Boolean
 
-  private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+  private def insert(buf: Seq[(S, Long)], x: (S, Long)): Seq[(S, Long)] = {
     // buf is kept sorted best-first and capped at k
     if (buf.size >= k && !better(x, buf.last)) buf
     else {
@@ -30,49 +33,31 @@ class TopKAggregator(k: Int)
     }
   }
 
-  override def zero: Seq[(Double, Long)] = Nil
-  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+  override def zero: Seq[(S, Long)] = Nil
+  override def reduce(buf: Seq[(S, Long)], in: (S, Long)): Seq[(S, Long)] =
     insert(buf, in)
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+  override def merge(a: Seq[(S, Long)], b: Seq[(S, Long)]): Seq[(S, Long)] =
     b.foldLeft(a)(insert)
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+  override def finish(buf: Seq[(S, Long)]): Seq[(S, Long)] = buf
+}
 
+/** Top-k with double scores (w4's per-group top-k by retail price). */
+class TopKAggregator(k: Int) extends TopKAggregatorBase[Double](k) {
+  override protected def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
-/** Integer-exact sibling of [[TopKAggregator]] for int64 fixed-point scores
-  * (the x43/x54 discipline): top-k (score, id) pairs per group ordered by
-  * score descending, id ascending on ties, with no Long→Double round trip.
-  *
-  * Same scale shape: the buffer is a k-capped sorted list, so a per-group
-  * top-k moves k values per partition over the shuffle (partial + final
-  * object-hash aggregation) instead of sorting whole partitions the way a
-  * window formulation does.
+/** Integer-exact sibling for int64 fixed-point scores (the x43/x54
+  * discipline): no Long→Double round trip, so ranking is bit-identical to
+  * the oracle's integer row_number ordering.
   */
-class TopKLongAggregator(k: Int)
-    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-
-  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+class TopKLongAggregator(k: Int) extends TopKAggregatorBase[Long](k) {
+  override protected def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  private def insert(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
-    if (buf.size >= k && !better(x, buf.last)) buf
-    else {
-      val (front, back) = buf.span(better(_, x))
-      (front :+ x) ++ back.take(k - front.size - 1)
-    }
-  }
-
-  override def zero: Seq[(Long, Long)] = Nil
-  override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
-    insert(buf, in)
-  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    b.foldLeft(a)(insert)
-  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
-
   override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
     ExpressionEncoder[Seq[(Long, Long)]]()
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =

@@ -338,6 +338,10 @@ object DedupOps {
     // the shared context and never releases them, so a per-call clone
     // leaks across the hundreds of x1/x2/x16/x29/x57 invocations of a
     // long Verify/Bench session.
+    // evict clones of STOPPED contexts first: a JVM that restarts Spark
+    // between suites would otherwise pin one dead context graph per
+    // restart — the same unbounded-retention class this cache fixes
+    lowPartSessions.keySet.removeIf(_.isStopped)
     val spark = lowPartSessions.computeIfAbsent(caller.sparkContext, _ => {
       val clone = caller.newSession()
       clone.conf.set("spark.sql.shuffle.partitions", "4")

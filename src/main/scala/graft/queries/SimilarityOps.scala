@@ -364,6 +364,138 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("nid"))
   }
 
+  /** Build (once per JVM/sf) the persisted term-bucketed BM25 index —
+    * x61's fixture, SHARED with x63's hybrid fusion so both operators
+    * probe the same lake tables. Incremental-maintenance assertions live
+    * in the build (delta batch = pure append of exactly its own rows).
+    */
+  private def x61Warehouse(s: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    // one index batch: postings + df deltas + corpus scalars, all from
+    // the batch's own docs only — O(batch), never O(index)
+    def batchOf(b: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val tok = tokensOf(b)
+      val post = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val lens = post.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+      val postings = post.join(lens, "doc_id")
+        .select(x61Bucket(col("w")).as("bkt"), col("w"), col("doc_id"),
+          col("tf"), col("len"))
+      val dfd = post.groupBy("w").agg(count(lit(1)).as("df"))
+        .select(x61Bucket(col("w")).as("bkt"), col("w"), col("df"))
+      val corp = lens.agg(count(lit(1)).as("d"), sum(col("len")).as("s"))
+      (postings, dfd, corp)
+    }
+    QUtil.cachedFixture(s, "x61_bm25_index", dir) { w =>
+      val cat = new graft.icelite.IceCatalog(s, w)
+      val postT = cat.createTable("lake", "bm25_postings",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bkt INT, w STRING, doc_id BIGINT, tf BIGINT, len BIGINT"),
+        partitionBy = Seq("bkt"))
+      val dfT = cat.createTable("lake", "bm25_termdf",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bkt INT, w STRING, df BIGINT"),
+        partitionBy = Seq("bkt"))
+      val corpT = cat.createTable("lake", "bm25_corpus",
+        org.apache.spark.sql.types.StructType.fromDDL("d BIGINT, s BIGINT"))
+      // snapshot 1: the base corpus builds the index
+      val (p1, d1, c1) = batchOf(docs.filter(col("doc_id") % 2 === 0))
+      postT.append(p1); dfT.append(d1); corpT.append(c1)
+      // snapshot 2: a later delta batch indexes ONLY its own docs —
+      // cost tracks the delta, and the commit must be pure append
+      val (p2, d2, c2) = batchOf(docs.filter(col("doc_id") % 2 =!= 0))
+      val deltaRows = p2.count()
+      postT.append(p2); dfT.append(d2); corpT.append(c2)
+      val snap = postT.meta.currentSnapshot.get
+      require(snap.operation == "append" && snap.addedRows == deltaRows,
+        s"delta maintenance must append exactly the delta postings " +
+          s"(op=${snap.operation}, added=${snap.addedRows}, delta=$deltaRows)")
+      ()
+    }
+  }
+
+  /** The query derivation x61 and x63 share: the first query doc
+    * (min doc_id with doc_id % 499 == 0; -1 when none — min() over zero
+    * rows is NULL, matching the oracles' qdoc CTE) and its 5
+    * lexicographically-first distinct terms. Query-sized driver reads.
+    */
+  private def bm25QueryOf(s: SparkSession,
+      docs: DataFrame): (Long, Seq[String]) = {
+    val qidRow = docs.filter(col("doc_id") % 499 === 0)
+      .agg(min("doc_id")).collect()(0)
+    if (qidRow.isNullAt(0)) (-1L, Nil)
+    else {
+      val qid = qidRow.getLong(0)
+      (qid, tokensOf(docs.filter(col("doc_id") === qid))
+        .select("w").distinct().orderBy("w").limit(5)
+        .collect().map(_.getString(0)).toSeq)
+    }
+  }
+
+  /** ONE probe of the persisted BM25 index: partition-pruned scan of the
+    * probed term buckets (asserted BOTH ways on the planned file set),
+    * bucket-local candidate scoring through the shared [[bm25TermScore]],
+    * global top-k as TakeOrderedAndProject (asserted on the executed plan
+    * — NEVER a no-partition window: a stop-word-frequency term makes the
+    * candidate set corpus-sized, and an unpartitioned row_number would
+    * coalesce all of it into one sort task). Tables re-loaded per call so
+    * a re-probe sees the current index version (the fold-identity check).
+    * Returns the k best (nid, score1e6), best first. `qterms` must be
+    * non-empty — callers handle the degenerate corpus.
+    */
+  private def bm25LakeTopK(s: SparkSession, wh: String, qid: Long,
+      qterms: Seq[String], k: Int): Seq[(Long, Long)] = {
+    val qbkts = s.createDataFrame(
+        java.util.Arrays.asList(qterms.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType.fromDDL("w STRING"))
+      .select(x61Bucket(col("w")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val cat = new graft.icelite.IceCatalog(s, wh)
+    val postT = cat.loadTable("lake", "bm25_postings")
+    val dfT = cat.loadTable("lake", "bm25_termdf")
+    val corpT = cat.loadTable("lake", "bm25_corpus")
+    // probe = a partition-pruned scan of the probed term buckets only,
+    // asserted BOTH ways (nothing outside them; every live one planned)
+    val idxScan = postT.toDF
+      .where(col("bkt").isin(qbkts.map(Int.box): _*) &&
+        col("w").isin(qterms: _*))
+    val planned = graft.sources.v2.HasPlannedFiles.of(idxScan)
+    require(planned.nonEmpty && planned.forall(p =>
+      qbkts.exists(b => p.contains(s"/bkt=$b/"))),
+      s"probe must plan ONLY probed-bucket partitions, got $planned")
+    // coverage half from the MANIFEST (zero data IO — the index must
+    // never be full-scanned to assert its own pruning)
+    val liveBkts = livePartValues(postT, "bkt").map(_.toInt)
+    require(qbkts.filter(liveBkts).forall(b =>
+      planned.exists(_.contains(s"/bkt=$b/"))),
+      s"probe must plan EVERY live probed bucket (buckets=$qbkts, " +
+        s"planned=$planned)")
+    // df for the probed terms: the SAME pruned-bucket read; per-term df =
+    // the sum of its batch deltas (additive by disjoint batches). bkt
+    // rides in the group key (term determines bucket, cardinality
+    // unchanged) and in the join: the candidate join is bucket-local, and
+    // keeping the partition column REFERENCED keeps Spark's
+    // dynamic-partition-pruning rule resolvable against the pruned scan
+    // output (it throws on a reported-but-pruned key)
+    val dfs = dfT.toDF
+      .where(col("bkt").isin(qbkts.map(Int.box): _*) &&
+        col("w").isin(qterms: _*))
+      .groupBy("bkt", "w").agg(sum(col("df")).as("df"))
+    // corpus scalars: O(batches) rows
+    val corp = corpT.toDF.agg(sum(col("d")), sum(col("s"))).collect()(0)
+    val (dD, sS) = (corp.getLong(0), corp.getLong(1))
+    bm25Guard(dD, "bm25LakeTopK")
+    val scored = idxScan.filter(col("doc_id") =!= qid)
+      .join(broadcast(dfs), Seq("bkt", "w"))
+      .select(col("doc_id").as("nid"), bm25TermScore(dD, sS).as("c"))
+      .groupBy("nid").agg(sum(col("c")).as("score1e6"))
+    val top = scored.orderBy(col("score1e6").desc, col("nid")).limit(k)
+    require(top.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "BM25 top-k must plan as TakeOrderedAndProject (per-partition " +
+        "top-k + k-sized driver merge), not a global sort/window")
+    top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
   /** Sign pattern of the first 8 dimensions, as an 8-char '0'/'1' string. */
   private def signBucket(embedding: Column): Column =
     expr("concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
@@ -790,167 +922,195 @@ object SimilarityOps {
               |FROM ranked WHERE rn <= 10 ORDER BY rank""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // one index batch: postings + df deltas + corpus scalars, all from
-        // the batch's own docs only — O(batch), never O(index)
-        def batchOf(b: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-          val tok = tokensOf(b)
-          val post = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-          val lens = post.groupBy("doc_id").agg(sum(col("tf")).as("len"))
-          val postings = post.join(lens, "doc_id")
-            .select(x61Bucket(col("w")).as("bkt"), col("w"), col("doc_id"),
-              col("tf"), col("len"))
-          val dfd = post.groupBy("w").agg(count(lit(1)).as("df"))
-            .select(x61Bucket(col("w")).as("bkt"), col("w"), col("df"))
-          val corp = lens.agg(count(lit(1)).as("d"), sum(col("len")).as("s"))
-          (postings, dfd, corp)
-        }
         // the index is FIXTURE for the probe (build once, probe forever —
         // x53's economics), with the incremental-maintenance assertions
-        // inside the build
-        val wh = QUtil.cachedFixture(s, "x61_bm25_index", dir) { w =>
-          val cat = new graft.icelite.IceCatalog(s, w)
-          val postT = cat.createTable("lake", "bm25_postings",
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "bkt INT, w STRING, doc_id BIGINT, tf BIGINT, len BIGINT"),
-            partitionBy = Seq("bkt"))
-          val dfT = cat.createTable("lake", "bm25_termdf",
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "bkt INT, w STRING, df BIGINT"),
-            partitionBy = Seq("bkt"))
-          val corpT = cat.createTable("lake", "bm25_corpus",
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "d BIGINT, s BIGINT"))
-          // snapshot 1: the base corpus builds the index
-          val (p1, d1, c1) = batchOf(docs.filter(col("doc_id") % 2 === 0))
-          postT.append(p1); dfT.append(d1); corpT.append(c1)
-          // snapshot 2: a later delta batch indexes ONLY its own docs —
-          // cost tracks the delta, and the commit must be pure append
-          val (p2, d2, c2) = batchOf(docs.filter(col("doc_id") % 2 =!= 0))
-          val deltaRows = p2.count()
-          postT.append(p2); dfT.append(d2); corpT.append(c2)
-          val snap = postT.meta.currentSnapshot.get
-          require(snap.operation == "append" && snap.addedRows == deltaRows,
-            s"delta maintenance must append exactly the delta postings " +
-              s"(op=${snap.operation}, added=${snap.addedRows}, delta=$deltaRows)")
-          ()
-        }
-        val cat = new graft.icelite.IceCatalog(s, wh)
-        // the query: first query doc's 5 lexicographically-first distinct
-        // terms — query-sized driver reads throughout. min() over zero
-        // matching docs is NULL (the oracle's qdoc CTE yields the same),
-        // so the no-query-doc corpus degenerates to empty like the
-        // no-terms one below, never an NPE.
-        val qidRow = docs.filter(col("doc_id") % 499 === 0)
-          .agg(min("doc_id")).collect()(0)
-        val qid = if (qidRow.isNullAt(0)) -1L else qidRow.getLong(0)
-        val qterms =
-          if (qidRow.isNullAt(0)) Seq.empty[String]
-          else tokensOf(docs.filter(col("doc_id") === qid))
-            .select("w").distinct().orderBy("w").limit(5)
-            .collect().map(_.getString(0)).toSeq
-        // degenerate-but-valid corpus: a whitespace-only query doc has no
-        // terms — zero results (matching the oracle's empty qterms CTE),
-        // never a tripped pruning assertion over an intentionally-empty
-        // scan. (if/else, not `return`: a non-local return from a stored
-        // lambda throws at runtime.)
+        // inside the build; SHARED with x63's hybrid fusion
+        val wh = x61Warehouse(s, dir, docs)
+        val (qid, qterms) = bm25QueryOf(s, docs)
+        // degenerate-but-valid corpora: no query doc (qid = -1) or a
+        // whitespace-only query doc — zero results (matching the oracle's
+        // NULL qdoc / empty qterms CTEs), never a tripped pruning
+        // assertion over an intentionally-empty scan. (if/else, not
+        // `return`: a non-local return from a stored lambda throws.)
         if (qterms.isEmpty)
           s.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType.fromDDL(
               "qid BIGINT, rank INT, nid BIGINT, score1e6 BIGINT"))
         else {
-        val qbkts = s.createDataFrame(
-            java.util.Arrays.asList(qterms.map(org.apache.spark.sql.Row(_)): _*),
-            org.apache.spark.sql.types.StructType.fromDDL("w STRING"))
-          .select(x61Bucket(col("w")).as("b")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        // ONE probe pass, re-runnable (tables re-loaded each call so it
-        // sees the current index version): the df-delta FOLD below must
-        // leave it bit-identical. Returns the 10-row ranked result.
-        def probe(): Seq[org.apache.spark.sql.Row] = {
-        val cat2 = new graft.icelite.IceCatalog(s, wh)
-        val postT2 = cat2.loadTable("lake", "bm25_postings")
-        val dfT2 = cat2.loadTable("lake", "bm25_termdf")
-        val corpT2 = cat2.loadTable("lake", "bm25_corpus")
-        // probe = a partition-pruned scan of the probed term buckets only,
-        // asserted BOTH ways (nothing outside them; every live one planned)
-        val idxScan = postT2.toDF
-          .where(col("bkt").isin(qbkts.map(Int.box).toIndexedSeq: _*) &&
-            col("w").isin(qterms: _*))
-        val planned = graft.sources.v2.HasPlannedFiles.of(idxScan)
-        require(planned.nonEmpty && planned.forall(p =>
-          qbkts.exists(b => p.contains(s"/bkt=$b/"))),
-          s"probe must plan ONLY probed-bucket partitions, got $planned")
-        // coverage half from the MANIFEST paths (zero data IO — the index
-        // must never be full-scanned to assert its own pruning)
-        val liveBkts = livePartValues(postT2, "bkt").map(_.toInt)
-        require(qbkts.filter(liveBkts).forall(b =>
-          planned.exists(_.contains(s"/bkt=$b/"))),
-          s"probe must plan EVERY live probed bucket (buckets=" +
-            s"${qbkts.toSeq}, planned=$planned)")
-        // df for the probed terms: the SAME pruned-bucket read; per-term
-        // df = the sum of its batch deltas (additive by disjoint batches).
-        // bkt rides in the group key (term determines bucket, so the
-        // cardinality is unchanged) and in the join below: the candidate
-        // join is bucket-local, and keeping the partition column REFERENCED
-        // keeps Spark's dynamic-partition-pruning rule resolvable against
-        // the pruned scan output (it throws on a reported-but-pruned key)
-        val dfs = dfT2.toDF
-          .where(col("bkt").isin(qbkts.map(Int.box).toIndexedSeq: _*) &&
-            col("w").isin(qterms: _*))
-          .groupBy("bkt", "w").agg(sum(col("df")).as("df"))
-        // corpus scalars: O(batches) rows
-        val corp = corpT2.toDF.agg(sum(col("d")), sum(col("s"))).collect()(0)
-        val (dD, sS) = (corp.getLong(0), corp.getLong(1))
-        bm25Guard(dD, "x61")
-        val scored = idxScan.filter(col("doc_id") =!= qid)
-          .join(broadcast(dfs), Seq("bkt", "w"))
-          .select(col("doc_id").as("nid"), bm25TermScore(dD, sS).as("c"))
-          .groupBy("nid").agg(sum(col("c")).as("score1e6"))
-        // global top-10 as orderBy().limit() — TakeOrderedAndProject: each
-        // partition keeps its own 10 best, the driver merges 10-row partials.
-        // NEVER a no-partition window here: the candidate set is the probed
-        // terms' postings, which a stop-word-frequency term makes
-        // corpus-sized, and an unpartitioned row_number would coalesce all
-        // of it into one sort task. Asserted on the executed plan so the
-        // shape can't regress silently.
-        val top = scored.orderBy(col("score1e6").desc, col("nid")).limit(10)
-        require(top.queryExecution.executedPlan.toString
-            .contains("TakeOrderedAndProject"),
-          "x61 top-k must plan as TakeOrderedAndProject (per-partition " +
-            "top-k + k-sized driver merge), not a global sort/window")
-        top.collect().toSeq
+          // the probe (pruning + TakeOrderedAndProject assertions inside)
+          val first = bm25LakeTopK(s, wh, qid, qterms, 10)
+          // MAINTENANCE EXERCISED, not just documented (scaladoc above):
+          // FOLD the per-(batch, term) df-delta rows with a grouped
+          // replace — one row per term, same bucketed layout (replace
+          // writes under the table's own partitionBy) — then re-probe and
+          // require the served top-10 bit-identical, pruning assertions
+          // included. ONCE per JVM/warehouse (the fixture discipline):
+          // folding is occasional MAINTENANCE, not part of a query —
+          // charging it to every probe would misprice the steady state the
+          // benchmark tracks, while the once-per-JVM run still proves
+          // fold-identity on every Verify and every bench round 1. Later
+          // invocations probe the FOLDED table (df sums are additive by
+          // disjoint batches, so results are asserted identical here and
+          // idempotent thereafter). Cost is O(df table) — term-count-
+          // sized, never corpus-sized.
+          if (!x61FoldDone.contains(wh)) {
+            val dfT = new graft.icelite.IceCatalog(s, wh)
+              .loadTable("lake", "bm25_termdf")
+            dfT.replace(dfT.toDF.groupBy("bkt", "w")
+              .agg(sum(col("df")).as("df")))
+            val second = bm25LakeTopK(s, wh, qid, qterms, 10)
+            require(first == second,
+              s"df-delta fold must not change the served ranking " +
+                s"(before=$first, after=$second)")
+            // marked done only AFTER the identity check passes: a
+            // transient fold failure (or a tripped require) must re-run
+            // next invocation, not silently skip the very path this
+            // exists to exercise. Benign under concurrency — the fold is
+            // idempotent.
+            x61FoldDone.add(wh)
+          }
+          // rank attaches on the k-sized driver result — 10 rows, never
+          // a stage
+          val rows = first.zipWithIndex.map { case ((nid, sc), i) =>
+            org.apache.spark.sql.Row(qid, i + 1, nid, sc)
+          }
+          s.createDataFrame(
+            java.util.Arrays.asList(rows.toIndexedSeq: _*),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "qid BIGINT, rank INT, nid BIGINT, score1e6 BIGINT"))
         }
-        val first = probe()
-        // MAINTENANCE EXERCISED, not just documented (scaladoc above): FOLD
-        // the per-(batch, term) df-delta rows with a grouped replace — one
-        // row per term, same bucketed layout (replace writes under the
-        // table's own partitionBy) — then re-probe and require the served
-        // top-10 bit-identical, pruning assertions included. ONCE per
-        // JVM/warehouse (the fixture discipline): folding is occasional
-        // MAINTENANCE, not part of a query — charging it to every probe
-        // would misprice the steady state the benchmark tracks, while the
-        // once-per-JVM run still proves fold-identity on every Verify and
-        // every bench round 1. Later invocations probe the FOLDED table
-        // (df sums are additive by disjoint batches, so results are
-        // asserted identical here and idempotent thereafter). Cost is
-        // O(df table) — term-count-sized, never corpus-sized.
-        if (x61FoldDone.add(wh)) {
-          val dfTf = cat.loadTable("lake", "bm25_termdf")
-          dfTf.replace(dfTf.toDF.groupBy("bkt", "w").agg(sum(col("df")).as("df")))
-          val second = probe()
-          require(first == second,
-            s"df-delta fold must not change the served ranking " +
-              s"(before=$first, after=$second)")
-        }
-        // rank attaches on the k-sized driver result — 10 rows, not a stage
-        val rows = first.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(qid, i + 1, r.getLong(0), r.getLong(1))
-        }
-        s.createDataFrame(
-          java.util.Arrays.asList(rows.toIndexedSeq: _*),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "qid BIGINT, rank INT, nid BIGINT, score1e6 BIGINT"))
+      }),
+
+    // HYBRID RETRIEVAL (round 18) — reciprocal-rank fusion over BOTH
+    // persisted lake indexes: the lexical candidates come from x61's
+    // term-bucketed BM25 index (partition-pruned probe, TakeOrdered
+    // top-10) and the dense candidates from x53's cell-partitioned IVF
+    // index (nprobe=2 pruned probe, exact fixed-point top-10) — the
+    // production RAG/retrieval shape where neither signal alone suffices
+    // (BM25 misses paraphrase, embeddings miss rare exact terms). Fusion
+    // is RRF (Cormack et al.): score(d) = Σ_systems 1e6 // (60 + rank_s(d))
+    // — rank-based, so no cross-system score calibration is needed, and
+    // INTEGER-EXACT by construction (both input rankings are total orders
+    // with nid tie-breaks; the fusion arithmetic is integer division).
+    // Scale shape: ALL the data work is the two index probes, each a
+    // partition-pruned scan with its own in-query pruning assertions; the
+    // fusion itself touches 2 x k rank rows — driver-k-sized, like x61's
+    // rank attach. The oracle restates both rankings relationally (BM25
+    // over the corpus algebra, IVF over assign-everything — the x53/x61
+    // invariants) and fuses with the same integer RRF.
+    QDef(
+      "x63_hybrid_rrf",
+      Some(s"""WITH $bm25BaseSql,
+              |$elementsSql,
+              |qdoc AS (SELECT min(doc_id) q FROM documents WHERE doc_id % 499 = 0),
+              |qterms AS (
+              |  SELECT DISTINCT w FROM tok2 JOIN qdoc ON tok2.doc_id = qdoc.q
+              |  ORDER BY w LIMIT 5),
+              |lhit AS (
+              |  SELECT p.doc_id nid, p.w, p.tf, l.len
+              |  FROM qterms t JOIN post p ON p.w = t.w
+              |  JOIN lens l ON l.doc_id = p.doc_id, qdoc
+              |  WHERE p.doc_id <> qdoc.q),
+              |lterm AS (
+              |  SELECT nid, $bm25TermScoreSql AS c
+              |  FROM lhit h JOIN dfreq f ON f.w = h.w, corp),
+              |lscore AS (
+              |  SELECT nid, CAST(sum(c) AS BIGINT) s FROM lterm GROUP BY nid),
+              |lex AS (
+              |  SELECT nid, CAST(rn AS INT) lex_rank FROM (
+              |    SELECT nid, row_number() OVER (ORDER BY s DESC, nid) rn
+              |    FROM lscore) WHERE rn <= 10),
+              |cel AS (SELECT vec_id cid, i, q FROM el WHERE vec_id < 8),
+              |adots AS (
+              |  SELECT a.vec_id vid, c.cid, CAST(SUM(a.q*c.q) AS BIGINT) dp
+              |  FROM el a JOIN cel c ON a.i = c.i GROUP BY 1, 2),
+              |ascore AS (
+              |  SELECT vid, cid,
+              |    CAST(dp AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) cs
+              |  FROM adots JOIN n2 nv ON nv.vec_id = vid JOIN n2 nc ON nc.vec_id = cid),
+              |assign AS (SELECT vid, cid FROM (
+              |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) rn
+              |    FROM ascore) WHERE rn = 1),
+              |probes AS (SELECT vid, cid FROM (
+              |    SELECT a.vid, a.cid,
+              |      row_number() OVER (PARTITION BY a.vid ORDER BY a.cs DESC, a.cid) rn
+              |    FROM ascore a JOIN qdoc ON a.vid = qdoc.q) WHERE rn <= 2),
+              |dcand AS (
+              |  SELECT a.vid nid FROM probes p
+              |  JOIN assign a ON a.cid = p.cid AND a.vid <> p.vid),
+              |ddots AS (
+              |  SELECT nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM dcand JOIN qdoc ON true
+              |  JOIN el a ON a.vec_id = qdoc.q
+              |  JOIN el b ON b.vec_id = nid AND b.i = a.i
+              |  GROUP BY nid),
+              |dense AS (
+              |  SELECT nid, CAST(rn AS INT) dense_rank FROM (
+              |    SELECT d.nid, row_number() OVER (ORDER BY
+              |      CAST(d.dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) DESC,
+              |      d.nid) rn
+              |    FROM ddots d JOIN qdoc ON true
+              |    JOIN n2 na ON na.vec_id = qdoc.q
+              |    JOIN n2 nb ON nb.vec_id = d.nid) WHERE rn <= 10),
+              |fused AS (
+              |  SELECT COALESCE(l.nid, d.nid) doc_id, l.lex_rank, d.dense_rank,
+              |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+              |      + COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT) rrf1e6
+              |  FROM lex l FULL OUTER JOIN dense d ON l.nid = d.nid),
+              |ranked AS (
+              |  SELECT doc_id, lex_rank, dense_rank, rrf1e6,
+              |    row_number() OVER (ORDER BY rrf1e6 DESC, doc_id) rn
+              |  FROM fused)
+              |SELECT doc_id, lex_rank, dense_rank, rrf1e6, CAST(rn AS INT) AS rank
+              |FROM ranked WHERE rn <= 10 ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val el = elements(s, dir)
+        val n2v = norms(el)
+        val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lex_rank INT, dense_rank INT, " +
+            "rrf1e6 BIGINT, rank INT")
+        val (qid, qterms) = bm25QueryOf(s, docs)
+        if (qid < 0)
+          // no query doc: the oracle's qdoc is NULL, both rankings empty
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        else {
+          // lexical top-10 from the PERSISTED BM25 index (x61's probe —
+          // pruning + TakeOrderedAndProject assertions inside); a
+          // whitespace-only query doc has no terms, so the lexical list is
+          // empty and fusion degrades to the dense ranking, like the
+          // oracle's empty qterms CTE
+          val whL = x61Warehouse(s, dir, docs)
+          val lexTop: Seq[Long] =
+            if (qterms.isEmpty) Nil
+            else bm25LakeTopK(s, whL, qid, qterms, 10).map(_._1)
+          // dense top-10 from the PERSISTED IVF index (x53's probe —
+          // pruning assertions inside ivfLakeCandidates)
+          val whD = ivfLakeWarehouse(s, dir, el, n2v)
+          val probes = ivfProbes(el, n2v,
+            el.filter(col("vec_id") === qid), 2)
+          val denseTop: Seq[Long] = exactTopK(el, n2v,
+              ivfLakeCandidates(s, whD, probes, "x63"), 10)
+            .orderBy("rn").collect().map(_.getLong(1)).toSeq
+          // RRF fusion over the two k-sized rank lists — 2 x 10 rows,
+          // driver arithmetic like x61's rank attach (rank-based, so no
+          // cross-system score calibration; integer-exact by construction)
+          val lexRank = lexTop.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+          val denseRank = denseTop.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+          val fused = (lexRank.keySet ++ denseRank.keySet).toSeq.map { d =>
+            val lr = lexRank.get(d)
+            val dr = denseRank.get(d)
+            val sc = lr.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+              dr.map(r => 1000000L / (60 + r)).getOrElse(0L)
+            (d, lr, dr, sc)
+          }.sortBy { case (d, _, _, sc) => (-sc, d) }.take(10)
+          val rows = fused.zipWithIndex.map { case ((d, lr, dr, sc), i) =>
+            org.apache.spark.sql.Row(d, lr.map(Int.box).orNull,
+              dr.map(Int.box).orNull, sc, i + 1)
+          }
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
         }
       }),
 

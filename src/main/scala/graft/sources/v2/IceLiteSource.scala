@@ -1131,10 +1131,11 @@ private[v2] object IceLiteMeta {
     case "entries" =>
       // manifest entries of the CURRENT snapshot (Iceberg's .entries):
       // status 1 = added by the current snapshot, 0 = existing (carried);
-      // snapshot_id = the snapshot that ADDED the file (its first
-      // appearance in the add ledger); data_file = the entry's stat
-      // struct. Driver cost is O(snapshots) shallow manifest reads +
-      // O(files) rows — the same budget as .all_files' inline path.
+      // snapshot_id = the snapshot that ADDED the file (the MOST RECENT
+      // add — a removed-then-re-added path belongs to the re-adder, the
+      // manifest entry's own snapshot in Iceberg terms); data_file = the
+      // entry's stat struct. Driver cost is O(snapshots) shallow manifest
+      // reads + O(files) rows — the same budget as .all_files' inline path.
       val schema = StructType.fromDDL(
         "status INT, snapshot_id BIGINT, " +
           "data_file STRUCT<path: STRING, rows: BIGINT, bytes: BIGINT>")

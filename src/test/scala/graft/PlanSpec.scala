@@ -268,7 +268,15 @@ class PlanSpec extends SparkSpec {
     assert(!s54.contains("Window ["), s"x54 must not rank via a window:\n$s54")
     assert(s54.contains("ObjectHashAggregate"),
       s"x54 top-k should be the typed aggregator (partial+final):\n$s54")
+    // x61's TakeOrderedAndProject shape is asserted IN-QUERY on the
+    // probe's own executed plan (the require in x61's body) — the frame
+    // returned here is the k-sized DRIVER rank attach, so the meaningful
+    // pin for this test is that it IS a local relation: a revert to the
+    // old distributed window formulation would surface Window/Sort nodes
+    // in this plan instead and fail both asserts.
     val s61 = finalPlan(SparkEntry.queries("x61_bm25_index_lake")(spark, sfDir))
+    assert(s61.contains("LocalTableScan"),
+      s"x61 must return the k-sized driver rank attach:\n$s61")
     assert(!s61.contains("Window ["), s"x61 must not rank via a window:\n$s61")
   }
 }

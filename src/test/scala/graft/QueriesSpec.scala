@@ -180,6 +180,44 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("x63 degenerate corpora: no query doc is empty; whitespace query doc fuses dense-only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x63deg").toString
+    // 8 one-hot "centroid" vectors (vec_id < 8 ARE the IVF codebook) plus
+    // two near-duplicates of vector 0, so the dense probe of query 0 has
+    // candidates in its own cell
+    val vecs = (0 to 7).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1f else 0f), 0)) ++ Seq(
+      (8L, Array(1f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (9L, Array(1f, 0.2f, 0f, 0f, 0f, 0f, 0f, 0f), 0))
+    vecs.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def writeDocs(ids: Seq[(Long, String)]): Unit =
+      ids.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // case 1: NO query doc (no doc_id % 499 == 0) — the oracle's qdoc CTE
+    // is NULL, both rankings empty, zero rows (and no NPE)
+    writeDocs((1L to 9L).map(i => (i, s"word$i common")))
+    assert(SparkEntry.queries("x63_hybrid_rrf")(spark, dir).count() == 0,
+      "no-query-doc corpus must fuse to zero rows")
+    // case 2: the query doc exists but is WHITESPACE-ONLY — the lexical
+    // list is empty and fusion degrades to the dense ranking alone
+    writeDocs(Seq((0L, "   ")) ++ (1L to 9L).map(i => (i, s"word$i common")))
+    val rows = SparkEntry.queries("x63_hybrid_rrf")(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty, "dense side must still rank")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(1), s"lexical rank must be absent: $r")
+      assert(r.getInt(2) == i + 1, s"dense ranks must be 1..n in order: $r")
+      assert(r.getLong(3) == 1000000L / (60 + i + 1),
+        s"dense-only RRF score must be 1e6/(60+rank): $r")
+      assert(r.getInt(4) == i + 1)
+    }
+    // near-duplicates of the query vector outrank the orthogonal cell-mate
+    assert(Set(8L, 9L).contains(rows(0).getLong(0)),
+      s"nearest neighbor should lead the dense ranking: ${rows.toSeq}")
+  }
+
   test("a3_hll_approx estimates within configured rsd of exact") {
     // the query itself now carries the bound as a column (oracle-gated:
     // DuckDB states exact + literal true); this spec re-asserts it locally
