@@ -524,6 +524,104 @@ object DedupOps {
           .orderBy("d1", "d2")
       }),
 
+    // EXACT set-similarity self-join via PREFIX FILTERING (round 18 —
+    // the AllPairs/PPJoin idea): x4's full shingle equi-join is exact but
+    // its cost is Σ freq(s)² over EVERY shingle — one hot shingle (a
+    // boilerplate phrase shared by a million documents) makes the join
+    // quadratic in that frequency, which is precisely what dies at 100 TB.
+    // Prefix filtering keeps the join EXACT while bounding it: order the
+    // universe of shingles globally (rarest first, value tie-break), and
+    // for Jaccard >= τ=3/5 index only each document's first
+    // n - ceil(τ·n) + 1 shingles in that order. THEOREM (completeness): if
+    // J(a,b) >= τ, the two documents must share at least one shingle
+    // inside both prefixes — if all shared shingles sat past both
+    // prefixes, each set would hold more than ceil(τ·n) unshared-ranked
+    // shingles below them, capping the overlap under τ·min(n). So the
+    // candidate join touches only prefixes — hot shingles rank LAST in
+    // frequency order and fall out of short prefixes entirely — and the
+    // exact verification (row-local array_intersect over the cached
+    // per-doc shingle arrays) touches only candidates. The length filter
+    // (5·min(n1,n2) >= 3·max — J can never reach 3/5 across a bigger size
+    // skew) prunes integer-exactly before verification; the τ threshold
+    // itself is the integer spelling 8o >= 3(n1+n2) on BOTH engines, so no
+    // FP boundary can disagree. THE ORACLE IS THE DEFINITION — the brute
+    // full-join J >= 3/5 — so a hash match PROVES the prefix filter lost
+    // no pair on this corpus, not merely that two copies of the same
+    // algorithm agree.
+    //
+    // Cost honesty at toy scale: the synthetic corpus is SKEWLESS (hottest
+    // shingle frequency ~25 at sf0.1), so x4's brute join is cheap there
+    // and this operator's extra passes (frequency ranking, per-doc prefix
+    // cut, candidate distinct, exact verify) read as pure overhead in the
+    // local bench. The crossover is skew: brute-join work is Σ freq(s)²,
+    // prefix work is ~(1-τ)·corpus + candidates — at web scale, where one
+    // boilerplate shingle appears 10^6 times (10^12 brute pairs from one
+    // key), the prefix path is the only one that finishes.
+    QDef(
+      "x64_exact_simjoin",
+      Some(s"""WITH $shinglesSql,
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id d1, b.doc_id d2, count(*) o FROM sh a
+              |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT d1, d2, CAST(o AS BIGINT) AS o,
+              |  CAST(ca.n AS BIGINT) AS n1, CAST(cb.n AS BIGINT) AS n2,
+              |  CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS jaccard
+              |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+              |WHERE 8*o >= 3*(ca.n + cb.n)
+              |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        val arrs = shingleArrays(s, dir)
+        val sh = arrs.select(col("doc_id"), size(col("arr")).as("n"),
+          explode(col("arr")).as("s"))
+        // global order: frequency ascending (rarest first), shingle value
+        // tie-break — ONE map-side-combinable aggregate + a linear join,
+        // vs the full join's quadratic-in-frequency blowup
+        val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
+        // per-doc prefix: one shuffle back to doc grain, then the sort and
+        // the cut are ROW-LOCAL (sort_array over the doc's own (f, s)
+        // pairs + slice) — a window would sort whole partitions to rank
+        // what is a per-document order. Prefix length is the
+        // integer-exact n - ceil(3n/5) + 1, with ceil(3n/5) = (3n+4) DIV 5
+        // — never an FP ceil, whose ulp error could shorten the prefix
+        // and break the completeness theorem.
+        val prefix = sh.join(freq, "s")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("fs"))
+          .select(col("doc_id"), size(col("fs")).as("n"), expr(
+            "slice(fs, 1, CAST(size(fs) - (3*size(fs) + 4) DIV 5 + 1 AS INT))")
+            .as("pfx"))
+          .select(col("doc_id"), col("n"), explode(col("pfx")).as("p"))
+          .select(col("doc_id"), col("n"), col("p.s").as("s"))
+        // candidate pairs: prefix-only self-join (shuffle-keyed on the
+        // shingle — statistics predate the explode, so AQE would otherwise
+        // "broadcast" an exploded side) + the integer length filter
+        val cand = prefix.as("a")
+          .join(prefix.as("b").hint("shuffle_hash"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .filter(least(col("a.n"), col("b.n")) * 5 >=
+            greatest(col("a.n"), col("b.n")) * 3)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        // exact verification, row-local: intersect the two cached shingle
+        // arrays per candidate pair — no second corpus-sized join. No
+        // join-strategy hint here: the candidate side is usually tiny
+        // (near-dup pairs) and AQE's RUNTIME size converts these joins to
+        // broadcasts, but a pathological corpus can make it large and the
+        // shuffle fallback must stay available.
+        cand
+          .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1")), "d1")
+          .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2")), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("arr1"), col("arr2"))).cast("long").as("o"),
+            size(col("arr1")).cast("long").as("n1"),
+            size(col("arr2")).cast("long").as("n2"))
+          .filter(col("o") * 8 >= (col("n1") + col("n2")) * 3)
+          .withColumn("jaccard",
+            col("o").cast("double") / (col("n1") + col("n2") - col("o")))
+          .orderBy("d1", "d2")
+      }),
+
     // Near-dup clustering: connected components over the >=0.8 Jaccard pair
     // graph — the step that turns pairwise dups into keep/drop decisions.
     // Implemented as iterative min-label propagation: each round every node

@@ -431,19 +431,16 @@ object SimilarityOps {
     }
   }
 
-  /** ONE probe of the persisted BM25 index: partition-pruned scan of the
-    * probed term buckets (asserted BOTH ways on the planned file set),
-    * bucket-local candidate scoring through the shared [[bm25TermScore]],
-    * global top-k as TakeOrderedAndProject (asserted on the executed plan
-    * — NEVER a no-partition window: a stop-word-frequency term makes the
-    * candidate set corpus-sized, and an unpartitioned row_number would
-    * coalesce all of it into one sort task). Tables re-loaded per call so
-    * a re-probe sees the current index version (the fold-identity check).
-    * Returns the k best (nid, score1e6), best first. `qterms` must be
+  /** Partition-pruned read of the persisted BM25 index for a probed term
+    * set, with the both-way planned-file assertions (nothing outside the
+    * probed buckets; every live probed bucket planned). Tables re-loaded
+    * per call so a re-probe sees the current index version (the
+    * fold-identity check). Returns (pruned postings scan, per-term df,
+    * corpus doc count D, corpus token count S). `qterms` must be
     * non-empty — callers handle the degenerate corpus.
     */
-  private def bm25LakeTopK(s: SparkSession, wh: String, qid: Long,
-      qterms: Seq[String], k: Int): Seq[(Long, Long)] = {
+  private def bm25LakeProbe(s: SparkSession, wh: String,
+      qterms: Seq[String]): (DataFrame, DataFrame, Long, Long) = {
     val qbkts = s.createDataFrame(
         java.util.Arrays.asList(qterms.map(org.apache.spark.sql.Row(_)): _*),
         org.apache.spark.sql.types.StructType.fromDDL("w STRING"))
@@ -472,10 +469,10 @@ object SimilarityOps {
     // df for the probed terms: the SAME pruned-bucket read; per-term df =
     // the sum of its batch deltas (additive by disjoint batches). bkt
     // rides in the group key (term determines bucket, cardinality
-    // unchanged) and in the join: the candidate join is bucket-local, and
-    // keeping the partition column REFERENCED keeps Spark's
-    // dynamic-partition-pruning rule resolvable against the pruned scan
-    // output (it throws on a reported-but-pruned key)
+    // unchanged) and in the downstream join: the candidate join is
+    // bucket-local, and keeping the partition column REFERENCED keeps
+    // Spark's dynamic-partition-pruning rule resolvable against the
+    // pruned scan output (it throws on a reported-but-pruned key)
     val dfs = dfT.toDF
       .where(col("bkt").isin(qbkts.map(Int.box): _*) &&
         col("w").isin(qterms: _*))
@@ -483,7 +480,20 @@ object SimilarityOps {
     // corpus scalars: O(batches) rows
     val corp = corpT.toDF.agg(sum(col("d")), sum(col("s"))).collect()(0)
     val (dD, sS) = (corp.getLong(0), corp.getLong(1))
-    bm25Guard(dD, "bm25LakeTopK")
+    bm25Guard(dD, "bm25LakeProbe")
+    (idxScan, dfs, dD, sS)
+  }
+
+  /** Single-query top-k over [[bm25LakeProbe]]: global top-k as
+    * TakeOrderedAndProject (asserted on the executed plan — NEVER a
+    * no-partition window: a stop-word-frequency term makes the candidate
+    * set corpus-sized, and an unpartitioned row_number would coalesce all
+    * of it into one sort task). Returns the k best (nid, score1e6), best
+    * first.
+    */
+  private def bm25LakeTopK(s: SparkSession, wh: String, qid: Long,
+      qterms: Seq[String], k: Int): Seq[(Long, Long)] = {
+    val (idxScan, dfs, dD, sS) = bm25LakeProbe(s, wh, qterms)
     val scored = idxScan.filter(col("doc_id") =!= qid)
       .join(broadcast(dfs), Seq("bkt", "w"))
       .select(col("doc_id").as("nid"), bm25TermScore(dD, sS).as("c"))
@@ -494,6 +504,40 @@ object SimilarityOps {
       "BM25 top-k must plan as TakeOrderedAndProject (per-partition " +
         "top-k + k-sized driver merge), not a global sort/window")
     top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** MULTI-query lexical ranks over [[bm25LakeProbe]]: the (qid, term)
+    * pairs broadcast onto the ONE pruned scan of the union bucket set, so
+    * Q queries cost one index read; per-(qid, nid) BM25 sums aggregate
+    * map-side and the per-qid top-k is the typed [[graft.functions
+    * .TopKLongAggregator]] (x54's shape — k pairs per partition per qid
+    * cross the shuffle, no window sort). Output: (qid, nid, lex_rank),
+    * fully distributed.
+    */
+  private def bm25LakeLexRanks(s: SparkSession, wh: String,
+      qtermPairs: Seq[(Long, String)], k: Int): DataFrame = {
+    val (idxScan, dfs, dD, sS) = bm25LakeProbe(s, wh,
+      qtermPairs.map(_._2).distinct)
+    val pairs = broadcast(s.createDataFrame(
+      java.util.Arrays.asList(qtermPairs.map(p =>
+        org.apache.spark.sql.Row(Long.box(p._1), p._2)): _*),
+      org.apache.spark.sql.types.StructType.fromDDL("qid BIGINT, w STRING")))
+    val scored = idxScan.join(pairs, Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfs), Seq("bkt", "w"))
+      .select(col("qid"), col("doc_id").as("nid"),
+        bm25TermScore(dD, sS).as("c"))
+      .groupBy("qid", "nid").agg(sum(col("c")).as("score1e6"))
+    import s.implicits._
+    val topk = new graft.functions.TopKLongAggregator(k).toColumn
+    scored.select(col("qid"), col("score1e6"), col("nid"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .flatMap { case (q, t) =>
+        t.zipWithIndex.map { case ((_, nid), i) => (q, nid, i + 1) }
+      }
+      .toDF("qid", "nid", "lex_rank")
   }
 
   /** Sign pattern of the first 8 dimensions, as an 8-char '0'/'1' string. */
@@ -983,43 +1027,50 @@ object SimilarityOps {
       }),
 
     // HYBRID RETRIEVAL (round 18) — reciprocal-rank fusion over BOTH
-    // persisted lake indexes: the lexical candidates come from x61's
-    // term-bucketed BM25 index (partition-pruned probe, TakeOrdered
-    // top-10) and the dense candidates from x53's cell-partitioned IVF
-    // index (nprobe=2 pruned probe, exact fixed-point top-10) — the
-    // production RAG/retrieval shape where neither signal alone suffices
-    // (BM25 misses paraphrase, embeddings miss rare exact terms). Fusion
-    // is RRF (Cormack et al.): score(d) = Σ_systems 1e6 // (60 + rank_s(d))
-    // — rank-based, so no cross-system score calibration is needed, and
-    // INTEGER-EXACT by construction (both input rankings are total orders
-    // with nid tie-breaks; the fusion arithmetic is integer division).
-    // Scale shape: ALL the data work is the two index probes, each a
-    // partition-pruned scan with its own in-query pruning assertions; the
-    // fusion itself touches 2 x k rank rows — driver-k-sized, like x61's
-    // rank attach. The oracle restates both rankings relationally (BM25
-    // over the corpus algebra, IVF over assign-everything — the x53/x61
-    // invariants) and fuses with the same integer RRF.
+    // persisted lake indexes, MULTI-QUERY and distributed end to end: the
+    // lexical candidates come from x61's term-bucketed BM25 index (every
+    // query's terms broadcast onto ONE partition-pruned scan of the union
+    // bucket set, per-qid top-10 via the typed TopKLongAggregator) and
+    // the dense candidates from x53's cell-partitioned IVF index (all
+    // queries' probes in one pruned candidate read, per-qid exact
+    // fixed-point top-10) — the production RAG/retrieval shape where
+    // neither signal alone suffices (BM25 misses paraphrase, embeddings
+    // miss rare exact terms). Fusion is RRF (Cormack et al.):
+    // score(d) = Σ_systems 1e6 // (60 + rank_s(d)) — rank-based, so no
+    // cross-system score calibration, and INTEGER-EXACT (both input
+    // rankings are total orders with nid tie-breaks; the fusion
+    // arithmetic is integer division). The fusion itself is a full-outer
+    // join of two (qid, nid, rank) sets — top-k-sized per query, NEVER
+    // corpus-sized — and the final per-qid ranking is again the typed
+    // aggregator, so no stage of the fusion grows with the corpus or
+    // funnels into one task at any query count. Degenerate queries
+    // degrade per-qid exactly like the oracle: a term-less (whitespace)
+    // query doc simply has no lexical rows and fuses dense-only.
     QDef(
       "x63_hybrid_rrf",
       Some(s"""WITH $bm25BaseSql,
               |$elementsSql,
-              |qdoc AS (SELECT min(doc_id) q FROM documents WHERE doc_id % 499 = 0),
-              |qterms AS (
-              |  SELECT DISTINCT w FROM tok2 JOIN qdoc ON tok2.doc_id = qdoc.q
-              |  ORDER BY w LIMIT 5),
+              |qd AS (SELECT doc_id q FROM documents WHERE doc_id % 499 = 0),
+              |qt AS (
+              |  SELECT q qid, w FROM (
+              |    SELECT qd.q, t.w,
+              |      row_number() OVER (PARTITION BY qd.q ORDER BY t.w) rn
+              |    FROM qd JOIN (SELECT DISTINCT doc_id, w FROM tok2) t
+              |      ON t.doc_id = qd.q) WHERE rn <= 5),
               |lhit AS (
-              |  SELECT p.doc_id nid, p.w, p.tf, l.len
-              |  FROM qterms t JOIN post p ON p.w = t.w
-              |  JOIN lens l ON l.doc_id = p.doc_id, qdoc
-              |  WHERE p.doc_id <> qdoc.q),
+              |  SELECT qt.qid, p.doc_id nid, p.w, p.tf, l.len
+              |  FROM qt JOIN post p ON p.w = qt.w AND p.doc_id <> qt.qid
+              |  JOIN lens l ON l.doc_id = p.doc_id),
               |lterm AS (
-              |  SELECT nid, $bm25TermScoreSql AS c
+              |  SELECT qid, nid, $bm25TermScoreSql AS c
               |  FROM lhit h JOIN dfreq f ON f.w = h.w, corp),
               |lscore AS (
-              |  SELECT nid, CAST(sum(c) AS BIGINT) s FROM lterm GROUP BY nid),
+              |  SELECT qid, nid, CAST(sum(c) AS BIGINT) s FROM lterm
+              |  GROUP BY qid, nid),
               |lex AS (
-              |  SELECT nid, CAST(rn AS INT) lex_rank FROM (
-              |    SELECT nid, row_number() OVER (ORDER BY s DESC, nid) rn
+              |  SELECT qid, nid, CAST(rn AS INT) lex_rank FROM (
+              |    SELECT qid, nid,
+              |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) rn
               |    FROM lscore) WHERE rn <= 10),
               |cel AS (SELECT vec_id cid, i, q FROM el WHERE vec_id < 8),
               |adots AS (
@@ -1035,82 +1086,108 @@ object SimilarityOps {
               |probes AS (SELECT vid, cid FROM (
               |    SELECT a.vid, a.cid,
               |      row_number() OVER (PARTITION BY a.vid ORDER BY a.cs DESC, a.cid) rn
-              |    FROM ascore a JOIN qdoc ON a.vid = qdoc.q) WHERE rn <= 2),
+              |    FROM ascore a JOIN qd ON a.vid = qd.q) WHERE rn <= 2),
               |dcand AS (
-              |  SELECT a.vid nid FROM probes p
+              |  SELECT p.vid qid, a.vid nid FROM probes p
               |  JOIN assign a ON a.cid = p.cid AND a.vid <> p.vid),
               |ddots AS (
-              |  SELECT nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
-              |  FROM dcand JOIN qdoc ON true
-              |  JOIN el a ON a.vec_id = qdoc.q
+              |  SELECT qid, nid, CAST(SUM(a.q*b.q) AS BIGINT) dp
+              |  FROM dcand JOIN el a ON a.vec_id = qid
               |  JOIN el b ON b.vec_id = nid AND b.i = a.i
-              |  GROUP BY nid),
+              |  GROUP BY qid, nid),
               |dense AS (
-              |  SELECT nid, CAST(rn AS INT) dense_rank FROM (
-              |    SELECT d.nid, row_number() OVER (ORDER BY
-              |      CAST(d.dp AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) DESC,
-              |      d.nid) rn
-              |    FROM ddots d JOIN qdoc ON true
-              |    JOIN n2 na ON na.vec_id = qdoc.q
-              |    JOIN n2 nb ON nb.vec_id = d.nid) WHERE rn <= 10),
+              |  SELECT qid, nid, CAST(rn AS INT) dense_rank FROM (
+              |    SELECT qid, nid,
+              |      row_number() OVER (PARTITION BY qid ORDER BY $cosineSql DESC, nid) rn
+              |    FROM ddots JOIN n2 na ON na.vec_id = qid
+              |    JOIN n2 nb ON nb.vec_id = nid) WHERE rn <= 10),
               |fused AS (
-              |  SELECT COALESCE(l.nid, d.nid) doc_id, l.lex_rank, d.dense_rank,
+              |  SELECT COALESCE(l.qid, d.qid) qid,
+              |    COALESCE(l.nid, d.nid) doc_id, l.lex_rank, d.dense_rank,
               |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
               |      + COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT) rrf1e6
-              |  FROM lex l FULL OUTER JOIN dense d ON l.nid = d.nid),
+              |  FROM lex l FULL OUTER JOIN dense d
+              |    ON l.qid = d.qid AND l.nid = d.nid),
               |ranked AS (
-              |  SELECT doc_id, lex_rank, dense_rank, rrf1e6,
-              |    row_number() OVER (ORDER BY rrf1e6 DESC, doc_id) rn
+              |  SELECT qid, doc_id, lex_rank, dense_rank, rrf1e6,
+              |    row_number() OVER (PARTITION BY qid ORDER BY rrf1e6 DESC, doc_id) rn
               |  FROM fused)
-              |SELECT doc_id, lex_rank, dense_rank, rrf1e6, CAST(rn AS INT) AS rank
-              |FROM ranked WHERE rn <= 10 ORDER BY rank""".stripMargin),
+              |SELECT qid, doc_id, lex_rank, dense_rank, rrf1e6,
+              |  CAST(rn AS INT) AS rank
+              |FROM ranked WHERE rn <= 10 ORDER BY qid, rank""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val el = elements(s, dir)
         val n2v = norms(el)
         val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, lex_rank INT, dense_rank INT, " +
+          "qid BIGINT, doc_id BIGINT, lex_rank INT, dense_rank INT, " +
             "rrf1e6 BIGINT, rank INT")
-        val (qid, qterms) = bm25QueryOf(s, docs)
-        if (qid < 0)
-          // no query doc: the oracle's qdoc is NULL, both rankings empty
+        // the query set and each query's 5 lexicographically-first
+        // distinct terms — query-sized driver reads (Q rows, then Q x 5)
+        val qids = docs.filter(col("doc_id") % 499 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+        if (qids.isEmpty)
           s.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
         else {
-          // lexical top-10 from the PERSISTED BM25 index (x61's probe —
-          // pruning + TakeOrderedAndProject assertions inside); a
-          // whitespace-only query doc has no terms, so the lexical list is
-          // empty and fusion degrades to the dense ranking, like the
-          // oracle's empty qterms CTE
-          val whL = x61Warehouse(s, dir, docs)
-          val lexTop: Seq[Long] =
-            if (qterms.isEmpty) Nil
-            else bm25LakeTopK(s, whL, qid, qterms, 10).map(_._1)
-          // dense top-10 from the PERSISTED IVF index (x53's probe —
-          // pruning assertions inside ivfLakeCandidates)
+          val wQ = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("w")
+          val qtermPairs = tokensOf(
+              docs.filter(col("doc_id").isin(qids.map(Long.box): _*)))
+            .select("doc_id", "w").distinct()
+            .withColumn("rn", row_number().over(wQ))
+            .filter(col("rn") <= 5)
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          // lexical ranks from the PERSISTED BM25 index: Q queries, ONE
+          // pruned scan (assertions inside bm25LakeProbe); term-less
+          // (whitespace) query docs contribute no pairs and fuse
+          // dense-only, like the oracle's qt CTE
+          val lex =
+            if (qtermPairs.isEmpty)
+              s.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "qid BIGINT, nid BIGINT, lex_rank INT"))
+            else bm25LakeLexRanks(s, x61Warehouse(s, dir, docs),
+              qtermPairs, 10)
+          // dense ranks from the PERSISTED IVF index: all queries' probes
+          // in one pruned candidate read (assertions inside
+          // ivfLakeCandidates), exact fixed-point per-qid top-10
           val whD = ivfLakeWarehouse(s, dir, el, n2v)
           val probes = ivfProbes(el, n2v,
-            el.filter(col("vec_id") === qid), 2)
-          val denseTop: Seq[Long] = exactTopK(el, n2v,
+            el.filter(col("vec_id").isin(qids.map(Long.box): _*)), 2)
+          val dense = exactTopK(el, n2v,
               ivfLakeCandidates(s, whD, probes, "x63"), 10)
-            .orderBy("rn").collect().map(_.getLong(1)).toSeq
-          // RRF fusion over the two k-sized rank lists — 2 x 10 rows,
-          // driver arithmetic like x61's rank attach (rank-based, so no
-          // cross-system score calibration; integer-exact by construction)
-          val lexRank = lexTop.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
-          val denseRank = denseTop.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
-          val fused = (lexRank.keySet ++ denseRank.keySet).toSeq.map { d =>
-            val lr = lexRank.get(d)
-            val dr = denseRank.get(d)
-            val sc = lr.map(r => 1000000L / (60 + r)).getOrElse(0L) +
-              dr.map(r => 1000000L / (60 + r)).getOrElse(0L)
-            (d, lr, dr, sc)
-          }.sortBy { case (d, _, _, sc) => (-sc, d) }.take(10)
-          val rows = fused.zipWithIndex.map { case ((d, lr, dr, sc), i) =>
-            org.apache.spark.sql.Row(d, lr.map(Int.box).orNull,
-              dr.map(Int.box).orNull, sc, i + 1)
-          }
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+            .select(col("qid"), col("nid"), col("rn").cast("int").as("dense_rank"))
+          // RRF fusion, DISTRIBUTED: full-outer join of two top-k-sized
+          // rank sets on (qid, nid), integer-exact reciprocal-rank sum,
+          // per-qid top-10 again via the typed aggregator — no stage
+          // grows with the corpus or funnels into one task
+          val fused = lex.join(dense, Seq("qid", "nid"), "full_outer")
+            .select(col("qid"), col("nid"), col("lex_rank"), col("dense_rank"),
+              expr("""coalesce(CAST(1000000 AS BIGINT) DIV (60 + lex_rank), CAST(0 AS BIGINT))
+                     | + coalesce(CAST(1000000 AS BIGINT) DIV (60 + dense_rank), CAST(0 AS BIGINT))"""
+                .stripMargin.replace("\n", " ")).as("rrf1e6"))
+          import s.implicits._
+          val topk = new graft.functions.TopKLongAggregator(10).toColumn
+          val top = fused.select(col("qid"), col("rrf1e6"), col("nid"))
+            .as[(Long, Long, Long)]
+            .groupByKey(_._1).mapValues(r => (r._2, r._3))
+            .agg(topk.name("topk"))
+            .flatMap { case (q, ts) =>
+              ts.zipWithIndex.map { case ((sc, nid), i) => (q, nid, sc, i + 1) }
+            }
+            .toDF("qid", "doc_id", "rrf1e6", "rank")
+          // attach the per-system input ranks back onto the fused top-k —
+          // both sides top-k-sized
+          top
+            .join(lex.withColumnRenamed("nid", "doc_id"),
+              Seq("qid", "doc_id"), "left")
+            .join(dense.withColumnRenamed("nid", "doc_id"),
+              Seq("qid", "doc_id"), "left")
+            .select(col("qid"), col("doc_id"), col("lex_rank"),
+              col("dense_rank"), col("rrf1e6"), col("rank"))
+            .orderBy("qid", "rank")
         }
       }),
 

@@ -279,4 +279,21 @@ class PlanSpec extends SparkSpec {
       s"x61 must return the k-sized driver rank attach:\n$s61")
     assert(!s61.contains("Window ["), s"x61 must not rank via a window:\n$s61")
   }
+
+  test("x64: prefix-filtered simjoin — shingle-keyed shuffle join, no all-pairs, no window") {
+    val s = finalPlan(SparkEntry.queries("x64_exact_simjoin")(spark, sfDir))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must never be all-pairs:\n$s")
+    // the prefix self-join must key on the shingle value via a shuffled
+    // hash join (plan-time stats predate the explode, so without the hint
+    // AQE would 'broadcast' an exploded side)
+    assert(s.contains("ShuffledHashJoin"),
+      s"prefix self-join should be a shuffle join on the shingle:\n$s")
+    // the per-doc prefix cut is row-local (sort_array + slice after one
+    // groupBy) — a window would sort whole partitions to rank a
+    // per-document order
+    assert(!s.contains("Window ["),
+      s"prefix ranking must be row-local, not a window:\n$s")
+  }
 }

@@ -204,17 +204,20 @@ class QueriesSpec extends SparkSpec {
     // list is empty and fusion degrades to the dense ranking alone
     writeDocs(Seq((0L, "   ")) ++ (1L to 9L).map(i => (i, s"word$i common")))
     val rows = SparkEntry.queries("x63_hybrid_rrf")(spark, dir)
-      .orderBy("rank").collect()
+      .orderBy("qid", "rank").collect()
     assert(rows.nonEmpty, "dense side must still rank")
+    // one query doc (qid 0); schema: qid, doc_id, lex_rank, dense_rank,
+    // rrf1e6, rank
     rows.zipWithIndex.foreach { case (r, i) =>
-      assert(r.isNullAt(1), s"lexical rank must be absent: $r")
-      assert(r.getInt(2) == i + 1, s"dense ranks must be 1..n in order: $r")
-      assert(r.getLong(3) == 1000000L / (60 + i + 1),
+      assert(r.getLong(0) == 0L)
+      assert(r.isNullAt(2), s"lexical rank must be absent: $r")
+      assert(r.getInt(3) == i + 1, s"dense ranks must be 1..n in order: $r")
+      assert(r.getLong(4) == 1000000L / (60 + i + 1),
         s"dense-only RRF score must be 1e6/(60+rank): $r")
-      assert(r.getInt(4) == i + 1)
+      assert(r.getInt(5) == i + 1)
     }
     // near-duplicates of the query vector outrank the orthogonal cell-mate
-    assert(Set(8L, 9L).contains(rows(0).getLong(0)),
+    assert(Set(8L, 9L).contains(rows(0).getLong(1)),
       s"nearest neighbor should lead the dense ranking: ${rows.toSeq}")
   }
 
