@@ -347,6 +347,11 @@ object SimilarityOps {
     val idx = new graft.icelite.IceCatalog(s, wh).loadTable("lake", "ivf_index")
     val probeCells = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted // query-sized, never corpus-sized
+    // an intentionally-empty probe set (no query vector exists — e.g. a
+    // corpus whose query DOCS have no embeddings) yields zero candidates,
+    // never a tripped pruning assertion over a scan that planned nothing
+    if (probeCells.isEmpty)
+      return probes.select(col("qid"), col("qid").as("nid")).limit(0)
     val idxScan = idx.toDF.where(col("cid").isin(probeCells.toIndexedSeq: _*))
     val planned = graft.sources.v2.HasPlannedFiles.of(idxScan)
     require(planned.nonEmpty && planned.forall(p =>
@@ -413,21 +418,30 @@ object SimilarityOps {
     }
   }
 
-  /** The query derivation x61 and x63 share: the first query doc
-    * (min doc_id with doc_id % 499 == 0; -1 when none — min() over zero
-    * rows is NULL, matching the oracles' qdoc CTE) and its 5
-    * lexicographically-first distinct terms. Query-sized driver reads.
+  /** The ONE spelling of the retrieval query workload x61 and x63 share:
+    * the query docs (doc_id % 499 == 0) and every query's 5
+    * lexicographically-first distinct terms as (qid, term) pairs —
+    * query-sized driver reads (Q rows, then Q x 5). Whitespace-only query
+    * docs appear in the qid list but contribute no pairs (their lexical
+    * ranking is empty by definition). x61 queries the FIRST qid; x63
+    * queries them all — both derive the rule from here, so the modulus
+    * and the term cut cannot drift apart.
     */
-  private def bm25QueryOf(s: SparkSession,
-      docs: DataFrame): (Long, Seq[String]) = {
-    val qidRow = docs.filter(col("doc_id") % 499 === 0)
-      .agg(min("doc_id")).collect()(0)
-    if (qidRow.isNullAt(0)) (-1L, Nil)
+  private def bm25QueryTerms(s: SparkSession,
+      docs: DataFrame): (Seq[Long], Seq[(Long, String)]) = {
+    val qids = docs.filter(col("doc_id") % 499 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    if (qids.isEmpty) (Nil, Nil)
     else {
-      val qid = qidRow.getLong(0)
-      (qid, tokensOf(docs.filter(col("doc_id") === qid))
-        .select("w").distinct().orderBy("w").limit(5)
-        .collect().map(_.getString(0)).toSeq)
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("w")
+      val pairs = tokensOf(
+          docs.filter(col("doc_id").isin(qids.map(Long.box): _*)))
+        .select("doc_id", "w").distinct()
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= 5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      (qids, pairs)
     }
   }
 
@@ -516,6 +530,13 @@ object SimilarityOps {
     */
   private def bm25LakeLexRanks(s: SparkSession, wh: String,
       qtermPairs: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    // no (qid, term) pairs (every query doc is term-less): the lexical
+    // ranking is empty by definition — the helper owns its empty frame so
+    // the schema has ONE spelling, derived from the same tuple type the
+    // non-empty path produces
+    if (qtermPairs.isEmpty)
+      return s.emptyDataset[(Long, Long, Int)].toDF("qid", "nid", "lex_rank")
     val (idxScan, dfs, dD, sS) = bm25LakeProbe(s, wh,
       qtermPairs.map(_._2).distinct)
     val pairs = broadcast(s.createDataFrame(
@@ -528,7 +549,6 @@ object SimilarityOps {
       .select(col("qid"), col("doc_id").as("nid"),
         bm25TermScore(dD, sS).as("c"))
       .groupBy("qid", "nid").agg(sum(col("c")).as("score1e6"))
-    import s.implicits._
     val topk = new graft.functions.TopKLongAggregator(k).toColumn
     scored.select(col("qid"), col("score1e6"), col("nid"))
       .as[(Long, Long, Long)]
@@ -970,7 +990,10 @@ object SimilarityOps {
         // x53's economics), with the incremental-maintenance assertions
         // inside the build; SHARED with x63's hybrid fusion
         val wh = x61Warehouse(s, dir, docs)
-        val (qid, qterms) = bm25QueryOf(s, docs)
+        // x61 queries the FIRST query doc (the oracle's min(doc_id) qdoc)
+        val (qids, qpairs) = bm25QueryTerms(s, docs)
+        val qid = qids.headOption.getOrElse(-1L)
+        val qterms = qpairs.filter(_._1 == qid).map(_._2)
         // degenerate-but-valid corpora: no query doc (qid = -1) or a
         // whitespace-only query doc — zero results (matching the oracle's
         // NULL qdoc / empty qterms CTEs), never a tripped pruning
@@ -1041,11 +1064,13 @@ object SimilarityOps {
     // rankings are total orders with nid tie-breaks; the fusion
     // arithmetic is integer division). The fusion itself is a full-outer
     // join of two (qid, nid, rank) sets — top-k-sized per query, NEVER
-    // corpus-sized — and the final per-qid ranking is again the typed
-    // aggregator, so no stage of the fusion grows with the corpus or
-    // funnels into one task at any query count. Degenerate queries
-    // degrade per-qid exactly like the oracle: a term-less (whitespace)
-    // query doc simply has no lexical rows and fuses dense-only.
+    // corpus-sized — and the final per-qid ranking is a window over that
+    // fused set, whose groups are <= 2k rows BY CONSTRUCTION (two top-k
+    // inputs), so no stage of the fusion grows with the corpus or funnels
+    // into one task at any query count. Degenerate queries degrade
+    // per-qid exactly like the oracle: a term-less (whitespace) query doc
+    // has no lexical rows and fuses dense-only; a query doc with no
+    // EMBEDDING yields no probes and fuses lex-only.
     QDef(
       "x63_hybrid_rrf",
       Some(s"""WITH $bm25BaseSql,
@@ -1122,37 +1147,24 @@ object SimilarityOps {
         val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "qid BIGINT, doc_id BIGINT, lex_rank INT, dense_rank INT, " +
             "rrf1e6 BIGINT, rank INT")
-        // the query set and each query's 5 lexicographically-first
-        // distinct terms — query-sized driver reads (Q rows, then Q x 5)
-        val qids = docs.filter(col("doc_id") % 499 === 0)
-          .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+        // the shared workload rule (bm25QueryTerms — ONE spelling with
+        // x61): query docs + each query's 5 first terms, driver-sized
+        val (qids, qtermPairs) = bm25QueryTerms(s, docs)
         if (qids.isEmpty)
           s.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
         else {
-          val wQ = org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy("w")
-          val qtermPairs = tokensOf(
-              docs.filter(col("doc_id").isin(qids.map(Long.box): _*)))
-            .select("doc_id", "w").distinct()
-            .withColumn("rn", row_number().over(wQ))
-            .filter(col("rn") <= 5)
-            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
           // lexical ranks from the PERSISTED BM25 index: Q queries, ONE
           // pruned scan (assertions inside bm25LakeProbe); term-less
           // (whitespace) query docs contribute no pairs and fuse
           // dense-only, like the oracle's qt CTE
-          val lex =
-            if (qtermPairs.isEmpty)
-              s.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](),
-                org.apache.spark.sql.types.StructType.fromDDL(
-                  "qid BIGINT, nid BIGINT, lex_rank INT"))
-            else bm25LakeLexRanks(s, x61Warehouse(s, dir, docs),
-              qtermPairs, 10)
+          val lex = bm25LakeLexRanks(s, x61Warehouse(s, dir, docs),
+            qtermPairs, 10)
           // dense ranks from the PERSISTED IVF index: all queries' probes
           // in one pruned candidate read (assertions inside
-          // ivfLakeCandidates), exact fixed-point per-qid top-10
+          // ivfLakeCandidates; query docs with NO embedding simply yield
+          // no probes and fuse lex-only, like the oracle's empty dcand),
+          // exact fixed-point per-qid top-10
           val whD = ivfLakeWarehouse(s, dir, el, n2v)
           val probes = ivfProbes(el, n2v,
             el.filter(col("vec_id").isin(qids.map(Long.box): _*)), 2)
@@ -1160,32 +1172,23 @@ object SimilarityOps {
               ivfLakeCandidates(s, whD, probes, "x63"), 10)
             .select(col("qid"), col("nid"), col("rn").cast("int").as("dense_rank"))
           // RRF fusion, DISTRIBUTED: full-outer join of two top-k-sized
-          // rank sets on (qid, nid), integer-exact reciprocal-rank sum,
-          // per-qid top-10 again via the typed aggregator — no stage
-          // grows with the corpus or funnels into one task
+          // rank sets on (qid, nid), integer-exact reciprocal-rank sum.
+          // The final ranking is a per-qid window OVER FUSED — fused is
+          // <= 2k rows per qid BY CONSTRUCTION (two top-k inputs), so the
+          // window sorts bounded groups, keeps both input ranks inline,
+          // and reads the lex/dense subtrees exactly ONCE (an aggregator
+          // + rank re-attach would re-execute both subtrees for the
+          // join-back).
           val fused = lex.join(dense, Seq("qid", "nid"), "full_outer")
             .select(col("qid"), col("nid"), col("lex_rank"), col("dense_rank"),
-              expr("""coalesce(CAST(1000000 AS BIGINT) DIV (60 + lex_rank), CAST(0 AS BIGINT))
-                     | + coalesce(CAST(1000000 AS BIGINT) DIV (60 + dense_rank), CAST(0 AS BIGINT))"""
-                .stripMargin.replace("\n", " ")).as("rrf1e6"))
-          import s.implicits._
-          val topk = new graft.functions.TopKLongAggregator(10).toColumn
-          val top = fused.select(col("qid"), col("rrf1e6"), col("nid"))
-            .as[(Long, Long, Long)]
-            .groupByKey(_._1).mapValues(r => (r._2, r._3))
-            .agg(topk.name("topk"))
-            .flatMap { case (q, ts) =>
-              ts.zipWithIndex.map { case ((sc, nid), i) => (q, nid, sc, i + 1) }
-            }
-            .toDF("qid", "doc_id", "rrf1e6", "rank")
-          // attach the per-system input ranks back onto the fused top-k —
-          // both sides top-k-sized
-          top
-            .join(lex.withColumnRenamed("nid", "doc_id"),
-              Seq("qid", "doc_id"), "left")
-            .join(dense.withColumnRenamed("nid", "doc_id"),
-              Seq("qid", "doc_id"), "left")
-            .select(col("qid"), col("doc_id"), col("lex_rank"),
+              expr("coalesce(CAST(1000000 AS BIGINT) DIV (60 + lex_rank), " +
+                "CAST(0 AS BIGINT)) + coalesce(CAST(1000000 AS BIGINT) DIV " +
+                "(60 + dense_rank), CAST(0 AS BIGINT))").as("rrf1e6"))
+          val wF = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("rrf1e6").desc, col("nid"))
+          fused.withColumn("rank", row_number().over(wF).cast("int"))
+            .filter(col("rank") <= 10)
+            .select(col("qid"), col("nid").as("doc_id"), col("lex_rank"),
               col("dense_rank"), col("rrf1e6"), col("rank"))
             .orderBy("qid", "rank")
         }

@@ -280,6 +280,30 @@ class PlanSpec extends SparkSpec {
     assert(!s61.contains("Window ["), s"x61 must not rank via a window:\n$s61")
   }
 
+  test("x63: hybrid fusion — every window qid-partitioned, lex top-k aggregated, no all-pairs") {
+    val s = finalPlan(SparkEntry.queries("x63_hybrid_rrf")(spark, sfDir))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"hybrid fusion must never plan an all-pairs operator:\n$s")
+    // the lexical per-qid top-10 is the typed TopKLongAggregator
+    // (partial + final object-hash aggregation), never a window over the
+    // corpus-sized candidate set
+    assert(s.contains("ObjectHashAggregate"),
+      s"lex top-k should be the typed aggregator:\n$s")
+    // the windows that remain (probe/assignment ranking by vid, dense
+    // exact top-k and fused ranking by qid — all bounded groups) must ALL
+    // carry a partition spec: a partitioned WindowExec prints THREE
+    // bracket groups (functions, partitionSpec, orderSpec — two "], ["
+    // separators), while an UNPARTITIONED one — the one-task funnel —
+    // omits the partition group and prints only two (verified against a
+    // bare Window.orderBy plan: one separator)
+    def seps(l: String): Int = "\\], \\[".r.findAllIn(l).length
+    val winLines = s.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, s"expected partitioned windows:\n$s")
+    winLines.foreach(l => assert(seps(l) >= 2,
+      s"every fusion window must have partition keys: $l"))
+  }
+
   test("x64: prefix-filtered simjoin — shingle-keyed shuffle join, no all-pairs, no window") {
     val s = finalPlan(SparkEntry.queries("x64_exact_simjoin")(spark, sfDir))
     assert(!s.contains("CartesianProduct") &&

@@ -219,6 +219,24 @@ class QueriesSpec extends SparkSpec {
     // near-duplicates of the query vector outrank the orthogonal cell-mate
     assert(Set(8L, 9L).contains(rows(0).getLong(1)),
       s"nearest neighbor should lead the dense ranking: ${rows.toSeq}")
+    // case 3: the query doc has TERMS but no EMBEDDING — zero probes,
+    // fusion degrades to the lexical ranking alone (the inverse of case 2)
+    val dir3 = java.nio.file.Files.createTempDirectory("x63deg3").toString
+    vecs.filter(_._1 != 0L).toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir3/embeddings.parquet")
+    (Seq((0L, "word1 common")) ++ (1L to 9L).map(i => (i, s"word$i common")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+    val rows3 = SparkEntry.queries("x63_hybrid_rrf")(spark, dir3)
+      .orderBy("qid", "rank").collect()
+    assert(rows3.nonEmpty, "lexical side must still rank")
+    rows3.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == 0L)
+      assert(r.getInt(2) == i + 1, s"lex ranks must be 1..n in order: $r")
+      assert(r.isNullAt(3), s"dense rank must be absent: $r")
+      assert(r.getLong(4) == 1000000L / (60 + i + 1),
+        s"lex-only RRF score must be 1e6/(60+rank): $r")
+    }
   }
 
   test("a3_hll_approx estimates within configured rsd of exact") {
