@@ -43,6 +43,35 @@ object DedupOps {
   private[graft] final val X51HashTag = "x51_audio_hashes"
   private[graft] final val X51HashFixture = QUtil.fixturePath(X51HashTag)
 
+  /** Per-probe k-nearest by Hamming distance (ascending, ties n_id asc)
+    * via the typed TopKLongAggregator — NOT a window: a per-probe window
+    * is a one-task sort of that probe's whole candidate set (corpus-sized
+    * for the brute-force top-k operators), while the partial/final
+    * object-hash aggregate moves k pairs per partition per probe over the
+    * shuffle. The aggregator keeps the k BEST (score desc, id asc) pairs,
+    * so the ascending distance rides in NEGATED (score = -hamming) — same
+    * rows, same tie-breaks as the oracles' `ORDER BY hamming, n_id`
+    * row_number. Input: (q_id, n_id, hamming Int). Output:
+    * (q_id, rank Int, n_id, hamming Int), rank 1-based in rank order.
+    */
+  private def hammingTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val topk = new graft.functions.TopKLongAggregator(k).toColumn
+    scored
+      .select(col("q_id"), (-col("hamming")).cast("long").as("negd"), col("n_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case ((negd, nid), i) =>
+          (q, i + 1, nid, (-negd).toInt)
+        }
+      }
+      .toDF("q_id", "rank", "n_id", "hamming")
+  }
+
   /** Deterministic per-document audio fingerprints (the audio analog of
     * [[imageHashes]]: doc_id/3 names the tune, doc_id%3 the encoding
     * variant — 8 kHz original, 11.025 kHz resample, half volume — the
@@ -1296,17 +1325,13 @@ object DedupOps {
         val hx = s.read.parquet(wh)
         val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("q_id"), col("dhash").as("q_hash")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
-        hx.join(probes, col("q_id") =!= col("doc_id"))
-          .select(col("q_id"),
-            col("doc_id").as("n_id"),
-            bit_count(col("q_hash").bitwiseXOR(col("dhash")))
-              .cast("int").as("hamming"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
-          .orderBy("q_id", "rank")
+        hammingTopK(
+          hx.join(probes, col("q_id") =!= col("doc_id"))
+            .select(col("q_id"),
+              col("doc_id").as("n_id"),
+              bit_count(col("q_hash").bitwiseXOR(col("dhash")))
+                .cast("int").as("hamming")),
+          5).orderBy("q_id", "rank")
       }),
 
     // IMAGE decontamination (round 16) — the eval-leak screen for the
@@ -1489,16 +1514,12 @@ object DedupOps {
         val hx = s.read.parquet(wh)
         val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("q_id"), col("ahash").as("q_hash")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
-        hx.join(probes, col("q_id") =!= col("doc_id"))
-          .select(col("q_id"), col("doc_id").as("n_id"),
-            bit_count(col("q_hash").bitwiseXOR(col("ahash")))
-              .cast("int").as("hamming"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
-          .orderBy("q_id", "rank")
+        hammingTopK(
+          hx.join(probes, col("q_id") =!= col("doc_id"))
+            .select(col("q_id"), col("doc_id").as("n_id"),
+              bit_count(col("q_hash").bitwiseXOR(col("ahash")))
+                .cast("int").as("hamming")),
+          5).orderBy("q_id", "rank")
       }),
 
     // VIDEO similarity search (round 16) — the per-clip distance is the
@@ -1533,17 +1554,13 @@ object DedupOps {
         val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("q_id"), col("slot"),
             col("fhash").as("q_hash")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
-        hx.join(probes, Seq("slot"))
-          .filter(col("q_id") =!= col("doc_id"))
-          .groupBy(col("q_id"), col("doc_id").as("n_id"))
-          .agg(sum(bit_count(col("q_hash").bitwiseXOR(col("fhash"))))
-            .cast("int").as("hamming"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
-          .orderBy("q_id", "rank")
+        hammingTopK(
+          hx.join(probes, Seq("slot"))
+            .filter(col("q_id") =!= col("doc_id"))
+            .groupBy(col("q_id"), col("doc_id").as("n_id"))
+            .agg(sum(bit_count(col("q_hash").bitwiseXOR(col("fhash"))))
+              .cast("int").as("hamming")),
+          5).orderBy("q_id", "rank")
       }),
 
     // IMAGE near-dup clustering + canonical selection (round 16) — the

@@ -219,21 +219,54 @@ object SimilarityOps {
   // recall audit) — ONE spelling of the centroid rule, the probe rule, and
   // the exact fixed-point top-k, so the serving paths cannot drift --------
 
+  /** Per-qid top-k of a (qid, nid, cos_sim) scored frame via the typed
+    * TopKAggregator — NOT a window: a per-qid window is a one-task sort of
+    * that query's entire candidate set (for IVF, nprobe × cell occupancy —
+    * a hot cell at 100 TB is the dense twin of the stop-word shape x54/x61
+    * killed in r18), while the partial/final object-hash aggregate moves k
+    * (score, nid) pairs per partition per qid over the shuffle and never
+    * sorts a group. Ordering (cos_sim desc, nid asc) is the aggregator's
+    * own total order, identical to the oracles' row_number spelling.
+    * Output: (qid, nid, cos_sim, rn) — rn in rank order, 1-based Int.
+    *
+    * Cost honesty at toy scale (the x64 discipline): on the skewless sf0.1
+    * corpus the IVF candidate groups are bounded (nprobe x occupancy ~
+    * hundreds of rows), so the typed aggregator's fixed object-hash stage
+    * reads as overhead vs the codegen'd window it replaced — measured raw
+    * +0.2..0.4s per probe query (x27 0.81 -> 1.26s, x53 0.84 -> 1.05s,
+    * x63 2.77 -> 3.18s; brute-force paths moved inside noise). That cost
+    * is FLAT in corpus size; the window's was a one-task sort of a group
+    * that a hot IVF cell makes occupancy-sized — the shape that dies
+    * first at 100 TB.
+    */
+  private[graft] def denseTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored.select(col("qid"), col("cos_sim"), col("nid"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((cs, nid), i) => (qid, nid, cs, i + 1) }
+      }
+      .toDF("qid", "nid", "cos_sim", "rn")
+  }
+
   /** Exact fixed-point top-k tail over a (qid, nid, dp) dot-product frame:
     * cosine from the norms, rank per query (DESC cosine, tie-break nid),
-    * keep rn <= k. Output: (qid, nid, cos_sim, rn).
+    * keep rn <= k — ranking rides [[denseTopK]]'s bounded aggregator.
+    * Output: (qid, nid, cos_sim, rn).
     */
-  private def rankTopK(dots: DataFrame, n2: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-    dots
-      .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
-      .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
-      .select(col("qid"), col("nid"),
-        cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-  }
+  private def rankTopK(dots: DataFrame, n2: DataFrame, k: Int): DataFrame =
+    denseTopK(
+      dots
+        .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+        .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+        .select(col("qid"), col("nid"),
+          cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim")),
+      k)
 
   /** Exact fixed-point top-k over a (qid, nid) CANDIDATE set: dot products
     * for the candidate pairs only, then [[rankTopK]] — the scoring tail
@@ -713,15 +746,13 @@ object SimilarityOps {
         val emb = t(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-        emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
-          .join(broadcast(qs), col("nid") =!= col("qid"))
-          .select(col("qid"), col("nid"),
-            call_function("quantized_cosine", col("qemb"), col("nemb")).as("cos_sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .orderBy("qid", "rn")
+        denseTopK(
+          emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+            .join(broadcast(qs), col("nid") =!= col("qid"))
+            .select(col("qid"), col("nid"),
+              call_function("quantized_cosine", col("qemb"), col("nemb"))
+                .as("cos_sim")),
+          5).orderBy("qid", "rn")
       }),
 
     // IVF-style ANN (the inverted-file scale path next to x7's LSH): a
@@ -1472,16 +1503,25 @@ object SimilarityOps {
             col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
           .groupBy("method", "qid", "nid")
           .agg(sum(col("a.q") * col("b.q")).as("dp"))
-        val wm = org.apache.spark.sql.expressions.Window
-          .partitionBy("method", "qid").orderBy(col("cos_sim").desc, col("nid"))
-        val tops = dots
-          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
-          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
-          .select(col("method"), col("qid"), col("nid"),
-            cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
-          .withColumn("rn", row_number().over(wm))
-          .filter(col("rn") <= k)
-          .select("method", "qid", "nid")
+        // per-(method, qid) top-3 via the typed TopKAggregator, keyed on
+        // the composite group — the denseTopK shape: k pairs per partition
+        // per group cross the shuffle; no group (a method's per-query
+        // candidate set) is ever sorted in one task
+        val tops = {
+          import s.implicits._
+          val topkAgg = new graft.functions.TopKAggregator(k).toColumn
+          dots
+            .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+            .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+            .select(col("method"), col("qid"), col("nid"),
+              cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
+            .as[(String, Long, Long, Double)]
+            .groupByKey(r => (r._1, r._2))
+            .mapValues(r => (r._4, r._3))
+            .agg(topkAgg.name("topk"))
+            .flatMap { case ((m, qid), top) => top.map(p => (m, qid, p._2)) }
+            .toDF("method", "qid", "nid")
+        }
         // (method x query) grid left-joined with hits: zero-hit queries
         // count toward the mean instead of vanishing
         val mdf = s.createDataset(methods.map(_._1))(

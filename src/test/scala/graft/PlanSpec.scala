@@ -17,6 +17,37 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every WindowExec node in the FINAL adaptive plan — collected from the
+    * plan tree itself (descending through AQE wrappers and query stages),
+    * not by parsing the rendered string: partitionSpec is then asserted on
+    * the node, immune to plan-format drift and to window expressions whose
+    * own rendering happens to contain bracket separators.
+    */
+  private def windowExecs(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def walk(p: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** The attribute names a WindowExec partitions by. */
+  private def partNames(
+      w: org.apache.spark.sql.execution.window.WindowExec): Set[String] =
+    w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+
   test("r1: filter and projection are pushed to the parquet scan") {
     val s = finalPlan(SparkEntry.queries("r1_filter_pushdown")(spark, sfDir))
     assert(s.contains("PushedFilters:") && s.contains("l_quantity"),
@@ -290,18 +321,52 @@ class PlanSpec extends SparkSpec {
     // corpus-sized candidate set
     assert(s.contains("ObjectHashAggregate"),
       s"lex top-k should be the typed aggregator:\n$s")
-    // the windows that remain (probe/assignment ranking by vid, dense
-    // exact top-k and fused ranking by qid — all bounded groups) must ALL
-    // carry a partition spec: a partitioned WindowExec prints THREE
-    // bracket groups (functions, partitionSpec, orderSpec — two "], ["
-    // separators), while an UNPARTITIONED one — the one-task funnel —
-    // omits the partition group and prints only two (verified against a
-    // bare Window.orderBy plan: one separator)
-    def seps(l: String): Int = "\\], \\[".r.findAllIn(l).length
-    val winLines = s.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(winLines.nonEmpty, s"expected partitioned windows:\n$s")
-    winLines.foreach(l => assert(seps(l) >= 2,
-      s"every fusion window must have partition keys: $l"))
+    // the windows that remain (probe/assignment ranking by vid, fused
+    // ranking by qid — all bounded groups) must ALL carry a partition
+    // spec, asserted on the WindowExec nodes themselves (partitionSpec
+    // nonEmpty), not by counting rendered bracket separators
+    val wins = windowExecs(SparkEntry.queries("x63_hybrid_rrf")(spark, sfDir))
+    assert(wins.nonEmpty, s"expected partitioned windows in:\n$s")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"every fusion window must have partition keys: $w"))
+    // the dense exact top-k leg rides denseTopK's typed aggregator now, so
+    // NO window may partition by qid except the fused final ranking —
+    // whose input is <= 2k rows per qid by construction. Exactly one
+    // qid-partitioned window is therefore permitted.
+    assert(wins.count(w => partNames(w).contains("qid")) <= 1,
+      s"only the fused ranking may window by qid:\n${wins.mkString("\n")}")
+  }
+
+  test("dense/hamming top-k paths: typed aggregator, never a candidate-set window") {
+    // The r18-r19 scale fix: per-query ranking over a candidate set must
+    // be the bounded TopK aggregator (k pairs per partition per group
+    // cross the shuffle), never a per-qid window (a one-task sort of that
+    // query's whole candidate set — corpus-sized for the brute-force
+    // operators, occupancy-sized for a hot IVF cell).
+    // Brute-force/broadcast paths: NO WindowExec anywhere in the plan.
+    Seq("x6_sim_topk_bruteforce", "x13_sim_native_topk",
+        "x49_image_sim_topk", "x58_audio_sim_topk",
+        "x59_video_sim_topk").foreach { q =>
+      val wins = windowExecs(SparkEntry.queries(q)(spark, sfDir))
+      assert(wins.isEmpty, s"$q must rank via the typed aggregator, " +
+        s"not a window:\n${wins.mkString("\n")}")
+      val s = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(s.contains("ObjectHashAggregate"),
+        s"$q top-k should be the typed aggregator (partial+final):\n$s")
+    }
+    // IVF paths keep their CENTROID-ranking windows (per-vid groups of
+    // <= 8 centroid scores — bounded by C, not by the corpus), but the
+    // candidate scoring tail must not window by qid (or by method for the
+    // x62 audit), and every surviving window must be partitioned.
+    Seq("x53_ivf_index_lake", "x62_ann_recall").foreach { q =>
+      val wins = windowExecs(SparkEntry.queries(q)(spark, sfDir))
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, s"$q: unpartitioned window:\n$w")
+        val names = partNames(w)
+        assert(!names.contains("qid") && !names.contains("method"),
+          s"$q: candidate scoring must not window by qid/method:\n$w")
+      }
+    }
   }
 
   test("x64: prefix-filtered simjoin — shingle-keyed shuffle join, no all-pairs, no window") {
