@@ -941,14 +941,49 @@ class IceTable(
     rollbackTo(head)
   }
 
-  def dropTag(tagName: String): IceTable = {
+  /** Create a named BRANCH ref at a snapshot (Iceberg's `create_branch`):
+    * the same ref machinery as [[tag]] but kind "branch" — the WAP entry
+    * point ([[appendToRef]] advances it, [[fastForward]] publishes it).
+    * Unlike [[tag]] (create-or-move), creating over an existing ref
+    * refuses: a silently-moved branch head would orphan staged commits.
+    */
+  def branch(branchName: String, snapshotId: Long): IceTable = {
+    require(branchName.nonEmpty && !branchName.forall(_.isDigit),
+      s"branch name '$branchName' must contain a non-digit " +
+        "(numeric versions are snapshot ids)")
     val m = meta
-    require(m.refs.contains(tagName), s"no tag '$tagName' on $namespace.$name")
+    require(m.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in $namespace.$name")
+    require(!m.refs.contains(branchName),
+      s"ref '$branchName' already exists on $namespace.$name")
     MetaIo.commit(fs, tableDir, m.copy(
-      refs = m.refs - tagName, refTypes = m.refTypes - tagName,
+      refs = m.refs + (branchName -> snapshotId),
+      refTypes = m.refTypes + (branchName -> "branch"),
       version = m.version + 1))
     this
   }
+
+  /** Drop a ref. When `expectKind` is given AND the ref has a recorded
+    * kind, they must agree — `drop_branch` must not remove a tag and vice
+    * versa (Iceberg's contract); refs from metadata predating the kind
+    * ledger match either spelling (refusing would strand them).
+    */
+  def dropRef(refName: String, expectKind: Option[String] = None): IceTable = {
+    val m = meta
+    require(m.refs.contains(refName), s"no ref '$refName' on $namespace.$name")
+    for (want <- expectKind; actual <- m.refTypes.get(refName))
+      require(actual == want,
+        s"ref '$refName' on $namespace.$name is a $actual, not a $want")
+    MetaIo.commit(fs, tableDir, m.copy(
+      refs = m.refs - refName, refTypes = m.refTypes - refName,
+      version = m.version + 1))
+    this
+  }
+
+  def dropTag(tagName: String): IceTable = dropRef(tagName, Some("tag"))
+
+  def dropBranch(branchName: String): IceTable =
+    dropRef(branchName, Some("branch"))
 
   /** The snapshot a tag pins, if the tag exists. */
   def refSnapshotId(tagName: String): Option[Long] = meta.refSnapshot(tagName)
@@ -975,6 +1010,22 @@ class IceTable(
       currentSnapshotId = snapshotId,
       version = m.version + 1))
     this
+  }
+
+  /** Roll back to the latest ANCESTOR snapshot committed at or before
+    * `tsMs` (Iceberg's `rollback_to_timestamp`): the candidate set is the
+    * current head's parent-pointer lineage, NEVER the whole snapshot log —
+    * after a prior rollback, abandoned "future" snapshots stay in the log
+    * but time-based rollback must not resurrect a branch the table already
+    * abandoned (those remain reachable BY ID via [[rollbackTo]]).
+    */
+  def rollbackToTimestamp(tsMs: Long): IceTable = {
+    val target = meta.currentAncestors.filter(_.timestampMs <= tsMs)
+      .maxByOption(s => (s.timestampMs, s.snapshotId)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no ancestor snapshot of $namespace.$name committed at or " +
+            s"before $tsMs"))
+    rollbackTo(target.snapshotId)
   }
 
   /** Table-level approximate distinct count of `col`, answered from the

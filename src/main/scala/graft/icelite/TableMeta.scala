@@ -470,6 +470,40 @@ final case class TableMeta(
 
   def snapshot(id: Long): Option[SnapshotMeta] =
     snapshots.find(_.snapshotId == id)
+
+  /** The snapshot a commit was made against: the recorded parentId, or —
+    * for pre-upgrade metadata that never recorded one (-1) — the
+    * numerically previous snapshot in the log (ids are monotone, and
+    * before parentId existed no rollback-branching metadata could have
+    * been written, so previous-in-log IS the parent there). 0 = root.
+    */
+  def parentOf(s: SnapshotMeta): Long =
+    if (s.parentId >= 0) s.parentId
+    else snapshots.map(_.snapshotId).filter(_ < s.snapshotId)
+      .maxOption.getOrElse(0L)
+
+  /** The ancestor chain of `id` (that snapshot first, root last), walking
+    * parent pointers — NOT the whole snapshot log: after a rollback, later
+    * "future" snapshots remain in the log but are NOT ancestors of the
+    * restored head, and attribution/lineage semantics (`.entries`,
+    * `.history`, rollback_to_timestamp, ancestors_of) must never credit an
+    * abandoned branch. Cycle-guarded (corrupt metadata stops, not hangs).
+    */
+  def ancestorsOf(id: Long): Seq[SnapshotMeta] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    val b = Seq.newBuilder[SnapshotMeta]
+    val seen = scala.collection.mutable.Set[Long]()
+    var cur = id
+    while (cur > 0 && byId.contains(cur) && !seen(cur)) {
+      seen += cur
+      b += byId(cur)
+      cur = parentOf(byId(cur))
+    }
+    b.result()
+  }
+
+  /** [[ancestorsOf]] the current snapshot (empty for an empty table). */
+  def currentAncestors: Seq[SnapshotMeta] = ancestorsOf(currentSnapshotId)
 }
 
 /** Metadata persistence + commit protocol.

@@ -28,6 +28,53 @@ object IceliteOps {
     * name-split `data_files`/`all_data_files` reads (cachedFixture
     * key-shares the build per JVM/sf).
     */
+  /** The shared MOR CDC fixture (append evens-of-3 → equality-upsert the
+    * evens → position-delete keys <= 100) k25's TVF read and d9's
+    * create_changelog_view read replay — built once per JVM/sf
+    * (cachedFixture key-shares the build).
+    */
+  private def cdcFixture(s: SparkSession, dir: String): String = {
+    val o = t(s, dir, "orders")
+    cachedFixture(s, "k25", dir) { w =>
+      val cat = new IceCatalog(s, w)
+      val fixture = cat.createTable("lake", "orders_cdc", o.schema)
+      fixture.append(o.filter(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(2, col("o_orderkey")))
+      fixture.upsertMorEq(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("E"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.2),
+        keys = Seq("o_orderkey"))
+      fixture.deleteWhereMor(Seq(
+        org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
+      ()
+    }
+  }
+
+  /** The DuckDB restatement of [[cdcFixture]]'s change history — k25 (TVF)
+    * and d9 (view) share it verbatim: two serving paths, one oracle.
+    */
+  private def cdcOracleSql: String =
+    s"""SELECT 'insert' AS _change_type, 1 AS _commit_snapshot_id,
+       |       ${orderCols.mkString(", ")}
+       |FROM orders WHERE o_orderkey % 3 = 0
+       |UNION ALL
+       |SELECT 'insert', 2, o_orderkey, o_custkey, 'E' AS o_orderstatus,
+       |       o_totalprice * 1.2, o_orderdate, o_orderpriority
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |UNION ALL
+       |SELECT 'delete', 2, ${orderCols.mkString(", ")}
+       |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+       |UNION ALL
+       |SELECT 'delete', 3, ${orderCols.mkString(", ")}
+       |FROM orders
+       |WHERE o_orderkey <= 100 AND o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+       |UNION ALL
+       |SELECT 'delete', 3, o_orderkey, o_custkey, 'E' AS o_orderstatus,
+       |       o_totalprice * 1.2, o_orderdate, o_orderpriority
+       |FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0
+       |ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin
+
   private def d2Fixture(s: SparkSession, dir: String): String = {
     val ev = t(s, dir, "events").select("event_id", "user_id", "value")
     cachedFixture(s, "d2", dir) { w =>
@@ -1418,42 +1465,12 @@ object IceliteOps {
     // the full expected change stream relationally.
     QDef(
       "k25_ice_changelog",
-      Some(s"""SELECT 'insert' AS _change_type, 1 AS _commit_snapshot_id,
-              |       ${orderCols.mkString(", ")}
-              |FROM orders WHERE o_orderkey % 3 = 0
-              |UNION ALL
-              |SELECT 'insert', 2, o_orderkey, o_custkey, 'E' AS o_orderstatus,
-              |       o_totalprice * 1.2, o_orderdate, o_orderpriority
-              |FROM orders WHERE o_orderkey % 2 = 0
-              |UNION ALL
-              |SELECT 'delete', 2, ${orderCols.mkString(", ")}
-              |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
-              |UNION ALL
-              |SELECT 'delete', 3, ${orderCols.mkString(", ")}
-              |FROM orders
-              |WHERE o_orderkey <= 100 AND o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
-              |UNION ALL
-              |SELECT 'delete', 3, o_orderkey, o_custkey, 'E' AS o_orderstatus,
-              |       o_totalprice * 1.2, o_orderdate, o_orderpriority
-              |FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0
-              |ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin),
+      Some(cdcOracleSql),
       (s, dir) => {
-        val o = t(s, dir, "orders")
         // the MOR history is FIXTURE (the operator under test is the
-        // changelog READ over it): build once per JVM per scale factor
-        val wh = cachedFixture(s, "k25", dir) { w =>
-          val cat = new IceCatalog(s, w)
-          val fixture = cat.createTable("lake", "orders_cdc", o.schema)
-          fixture.append(o.filter(col("o_orderkey") % 3 === 0)
-            .repartitionByRange(2, col("o_orderkey")))
-          fixture.upsertMorEq(
-            o.filter(col("o_orderkey") % 2 === 0)
-              .withColumn("o_orderstatus", lit("E"))
-              .withColumn("o_totalprice", col("o_totalprice") * 1.2),
-            keys = Seq("o_orderkey"))
-          fixture.deleteWhereMor(Seq(
-            org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 100L)))
-        }
+        // changelog READ over it): built once per JVM per scale factor,
+        // shared with d9's view read (cdcFixture)
+        val wh = cdcFixture(s, dir)
         val tbl = new IceCatalog(s, wh).loadTable("lake", "orders_cdc")
         // the SQL CDC surface: the icelite_changes table function expands
         // to the same bounded change-replay plan as the changelog API
@@ -2396,6 +2413,32 @@ object IceliteOps {
         out
       }),
 
+    // D9 (round 19): `CALL system.create_changelog_view` — the last
+    // Iceberg-named CDC spelling. The changelog already serves as the
+    // icelite_changes TVF (k25) and the streaming source (st10); this
+    // registers the same bounded change-replay plan as a NAMED TEMP VIEW
+    // and returns the view name (Iceberg's contract), which is what
+    // view-oriented SQL consumers join against. Same fixture, same oracle
+    // as k25: three serving paths, one verified change history.
+    QDef(
+      "d9_changelog_view",
+      Some(cdcOracleSql),
+      (s, dir) => {
+        val wh = cdcFixture(s, dir)
+        s.conf.set("spark.sql.catalog.icelite_d9",
+          "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d9.warehouse", wh)
+        val r = s.sql(
+          "CALL icelite_d9.system.create_changelog_view(" +
+            "table => 'lake.orders_cdc')").collect()(0)
+        require(r.getString(0) == "orders_cdc_changes",
+          s"the procedure must return the default view name: $r")
+        s.table("orders_cdc_changes")
+          .withColumn("_commit_snapshot_id",
+            col("_commit_snapshot_id").cast("int"))
+          .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
+      }),
+
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'
     // branch ref — plain reads stay pinned to the pre-stage snapshot
     // (asserted) while the branch is validated through its ref scan — then
@@ -2424,6 +2467,57 @@ object IceliteOps {
           "branch scan must see the full staged chain")
         tbl.fastForward("audit")
         tbl.toDF.orderBy("event_id")
+      }),
+
+    // K37 (round 19): the branch lifecycle from SQL — the remaining
+    // Iceberg procedure spellings a porting user types first:
+    // create_branch pins an audit BRANCH ref at the published head, the
+    // WAP write stages onto it WITHOUT moving main (asserted — k19's
+    // invariant, now reachable for SQL-only operators end to end),
+    // fast_forward publishes atomically, drop_branch removes the ref.
+    // The drop spellings are kind-checked: drop_tag on the branch refuses
+    // (asserted) — a tag's expiry pin and a branch's staging head are
+    // different promises and must not be deletable by each other's
+    // spelling. rollback_to_timestamp / set_current_snapshot /
+    // ancestors_of get CALL coverage in CatalogSpec; the oracle here
+    // states the published end state.
+    QDef(
+      "k37_ice_branch_sql",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k37")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "ev_br", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        val mainRows = tbl.toDF.count()
+        s.conf.set("spark.sql.catalog.icelite_k37",
+          "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k37.warehouse", wh)
+        val cb = s.sql(
+          "CALL icelite_k37.system.create_branch('lake.ev_br', 'audit')")
+          .collect()(0)
+        require(cb.getString(1) == "audit" && cb.getLong(2) == 1L,
+          s"create_branch must default to the current snapshot: $cb")
+        // the WAP write half: stage the odd half on the branch; main must
+        // not see a staged row until publish
+        tbl.appendToRef("audit", ev.filter(col("event_id") % 2 =!= 0))
+        require(tbl.toDF.count() == mainRows,
+          "staged rows must be invisible on main before publish")
+        require(scala.util.Try(s.sql(
+          "CALL icelite_k37.system.drop_tag('lake.ev_br', 'audit')")
+          .collect()).isFailure,
+          "drop_tag must refuse a BRANCH ref (kind check)")
+        s.sql("CALL icelite_k37.system.fast_forward('lake.ev_br', 'audit')")
+          .collect()
+        s.sql("CALL icelite_k37.system.drop_branch('lake.ev_br', 'audit')")
+          .collect()
+        require(cat.loadTable("lake", "ev_br").meta.refs.isEmpty,
+          "the branch ref must be gone after drop_branch")
+        s.sql("""SELECT event_id, user_id, event_type, value
+                |FROM icelite_k37.lake.ev_br ORDER BY event_id""".stripMargin)
       }),
 
     // S7: JSONL source/sink round trip — the third interchange format next

@@ -31,10 +31,14 @@ object IceLiteProcedures {
     ProcedureParameter.in(name, dt).defaultValue(dflt).build()
 
   private def s(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
-  private def out(vals: Any*): Seq[Any] = vals.map {
+  private def row(vals: Seq[Any]): Seq[Any] = vals.map {
     case str: String => UTF8String.fromString(str)
     case v => v
   }
+  /** One-row result (the common procedure shape). */
+  private def out(vals: Any*): Seq[Seq[Any]] = Seq(row(vals))
+  /** Multi-row result (listing procedures like ancestors_of). */
+  private def rowsOut(rs: Seq[Seq[Any]]): Seq[Seq[Any]] = rs.map(row)
 
   def names: Seq[String] = defs.keys.toSeq.sorted
 
@@ -282,6 +286,89 @@ object IceLiteProcedures {
       (cat, in) => {
         val deleted = loadTable(cat, s(in, 0)).removeOrphanFiles(in.getLong(1))
         out(s(in, 0), deleted.length.toLong)
+      })),
+    // branch lifecycle spellings (Iceberg's create_branch / drop_branch /
+    // drop_tag): create pins a BRANCH ref (default: the current snapshot)
+    // for appendToRef staging; the drop spellings are kind-checked — a
+    // drop_branch can never remove a tag's expiry pin, and vice versa
+    "create_branch" -> (wh => new IceProc(wh, "create_branch",
+      Seq(p("table", StringType), p("branch", StringType),
+        pd("snapshot_id", LongType, "-1")),
+      StructType.fromDDL("table STRING, branch STRING, snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val sid =
+          if (in.getLong(2) >= 0) in.getLong(2) else tbl.meta.currentSnapshotId
+        tbl.branch(s(in, 1), sid)
+        out(s(in, 0), s(in, 1), sid)
+      })),
+    "drop_branch" -> (wh => new IceProc(wh, "drop_branch",
+      Seq(p("table", StringType), p("branch", StringType)),
+      StructType.fromDDL("table STRING, branch STRING"),
+      (cat, in) => {
+        loadTable(cat, s(in, 0)).dropBranch(s(in, 1))
+        out(s(in, 0), s(in, 1))
+      })),
+    "drop_tag" -> (wh => new IceProc(wh, "drop_tag",
+      Seq(p("table", StringType), p("tag", StringType)),
+      StructType.fromDDL("table STRING, tag STRING"),
+      (cat, in) => {
+        loadTable(cat, s(in, 0)).dropTag(s(in, 1))
+        out(s(in, 0), s(in, 1))
+      })),
+    // time-based rollback: restores the latest ANCESTOR at or before the
+    // timestamp (lineage-walked — an abandoned branch is unreachable by
+    // time, only by id), Iceberg's rollback_to_timestamp
+    "rollback_to_timestamp" -> (wh => new IceProc(wh, "rollback_to_timestamp",
+      Seq(p("table", StringType), p("timestamp_ms", LongType)),
+      StructType.fromDDL("table STRING, current_snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0)).rollbackToTimestamp(in.getLong(1))
+        out(s(in, 0), tbl.meta.currentSnapshotId)
+      })),
+    // move the head to ANY logged snapshot, ancestor or not (Iceberg's
+    // set_current_snapshot — the deliberate escape hatch that CAN reach an
+    // abandoned branch, unlike the rollback spellings' intent)
+    "set_current_snapshot" -> (wh => new IceProc(wh, "set_current_snapshot",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      StructType.fromDDL("table STRING, current_snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0)).rollbackTo(in.getLong(1))
+        out(s(in, 0), tbl.meta.currentSnapshotId)
+      })),
+    // the lineage listing (Iceberg's ancestors_of): the parent-pointer
+    // chain of the given snapshot (default: current head), newest first —
+    // metadata-sized rows, zero data IO
+    "ancestors_of" -> (wh => new IceProc(wh, "ancestors_of",
+      Seq(p("table", StringType), pd("snapshot_id", LongType, "-1")),
+      StructType.fromDDL("snapshot_id BIGINT, timestamp_ms BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val from =
+          if (in.getLong(1) >= 0) in.getLong(1) else tbl.meta.currentSnapshotId
+        require(from == 0L || tbl.meta.snapshot(from).isDefined,
+          s"no snapshot $from in ${s(in, 0)}")
+        rowsOut(tbl.meta.ancestorsOf(from)
+          .map(a => Seq[Any](a.snapshotId, a.timestampMs)))
+      })),
+    // register the CDC window as a named temp view (Iceberg's
+    // create_changelog_view): the same bounded change-replay plan the
+    // icelite_changes TVF expands to, handed to SQL consumers as a view
+    // name (Iceberg's return contract). Default window = full history;
+    // default name = <table>_changes.
+    "create_changelog_view" -> (wh => new IceProc(wh, "create_changelog_view",
+      Seq(p("table", StringType), pd("changelog_view", StringType, "''"),
+        pd("start_snapshot_id", LongType, "0"),
+        pd("end_snapshot_id", LongType, "-1")),
+      StructType.fromDDL("changelog_view STRING"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val view =
+          if (s(in, 1).nonEmpty) s(in, 1)
+          else s"${s(in, 0).split("\\.", 2)(1)}_changes"
+        val to = if (in.getLong(3) >= 0) Some(in.getLong(3)) else None
+        tbl.changelog(in.getLong(2), to).createOrReplaceTempView(view)
+        out(view)
       })))
 
   private def loadTable(cat: IceCatalog, ident: String): IceTable = {
@@ -293,13 +380,14 @@ object IceLiteProcedures {
 }
 
 /** One icelite procedure: self-binding (parameter types are static) and
-  * side-effecting; `call` runs the table operation and yields a one-row
-  * summary as a LocalScan.
+  * side-effecting; `call` runs the table operation and yields a summary
+  * relation (one row for maintenance ops, many for listings) as a
+  * LocalScan.
   */
 private[v2] class IceProc(
     warehouse: String, procName: String,
     params: Seq[ProcedureParameter], outSchema: StructType,
-    body: (IceCatalog, InternalRow) => Seq[Any])
+    body: (IceCatalog, InternalRow) => Seq[Seq[Any]])
     extends UnboundProcedure with BoundProcedure {
 
   override def name(): String = procName
@@ -310,13 +398,14 @@ private[v2] class IceProc(
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val cat = new IceCatalog(SparkSession.active, warehouse)
-    val row = body(cat, input)
-    util.List.of[Scan](new IceProcResult(outSchema, row)).iterator()
+    val rows = body(cat, input)
+    util.List.of[Scan](new IceProcResult(outSchema, rows)).iterator()
   }
 }
 
-private[v2] class IceProcResult(schema: StructType, row: Seq[Any]) extends LocalScan {
+private[v2] class IceProcResult(schema: StructType, resultRows: Seq[Seq[Any]])
+    extends LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] =
-    Array(new GenericInternalRow(row.toArray))
+    resultRows.map(r => new GenericInternalRow(r.toArray): InternalRow).toArray
 }

@@ -1145,8 +1145,13 @@ private[v2] object IceLiteMeta {
       // first-add attribution would mis-flag a current-snapshot re-add as
       // status 0. (icelite commits write fresh paths, so re-adds are
       // import-shaped edge cases — but the semantics should match.)
+      // The walk covers ONLY the current head's ancestor chain (parent
+      // pointers), never the whole snapshot log: after a rollback, a path
+      // also registered by add_files on an abandoned "future" snapshot
+      // must not steal attribution from its real (ancestor) adder — that
+      // would flip a visible file's status 1 -> 0.
       val addedBy = scala.collection.mutable.Map[String, Long]()
-      meta.snapshots.sortBy(_.snapshotId).foreach { s =>
+      meta.currentAncestors.reverse.foreach { s =>
         graft.icelite.FileStats.addedPathsOf(fs, s).foreach { p =>
           addedBy(graft.icelite.FileStats.normPath(p)) = s.snapshotId
         }
@@ -1293,21 +1298,13 @@ private[v2] object IceLiteMeta {
       val schema = StructType.fromDDL(
         "made_current_at BIGINT, snapshot_id BIGINT, parent_id BIGINT, " +
           "is_current_ancestor BOOLEAN")
-      val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-      val ids = meta.snapshots.map(_.snapshotId).sorted
-      def parentOf(s: graft.icelite.SnapshotMeta): Long =
-        if (s.parentId >= 0) s.parentId
-        else ids.takeWhile(_ < s.snapshotId).lastOption.getOrElse(0L)
-      val ancestors = {
-        val b = scala.collection.mutable.Set[Long]()
-        var cur = meta.currentSnapshotId
-        while (cur > 0 && byId.contains(cur) && !b(cur)) {
-          b += cur; cur = parentOf(byId(cur))
-        }
-        b.toSet
-      }
+      // parent fallback + lineage walk live on TableMeta (parentOf /
+      // currentAncestors) — the ONE spelling `.entries`,
+      // `.all_delete_files`, rollback_to_timestamp, and ancestors_of share
+      val ancestors = meta.currentAncestors.map(_.snapshotId).toSet
       val rows = meta.snapshots.map(s => Array[Any](
-        s.timestampMs, s.snapshotId, parentOf(s), ancestors(s.snapshotId)))
+        s.timestampMs, s.snapshotId, meta.parentOf(s),
+        ancestors(s.snapshotId)))
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.history", schema, rows)
     case "manifests" =>
       // one external manifest document per snapshot (the O(snapshots)
@@ -1431,11 +1428,21 @@ private[v2] object IceLiteMeta {
       // IS the committing snapshot) — the delete-debt lineage across
       // history, the all_* sibling of `.delete_files`. O(snapshots ×
       // outstanding deletes) driver rows: metadata-sized, since every
-      // snapshot's delete ledger is.
+      // snapshot's delete ledger is. Attribution walks the current head's
+      // ANCESTOR chain first (ascending), so a delete file carried on the
+      // live lineage is always keyed to its lineage committer; abandoned
+      // post-rollback branches are walked after — their delete files stay
+      // LISTED (the view's reachability contract) but can never steal a
+      // lineage file's attribution.
       val schema = StructType.fromDDL(
         "snapshot_id BIGINT, path STRING, kind STRING, rows BIGINT")
       val seen = scala.collection.mutable.Set[String]()
-      val rows = meta.snapshots.sortBy(_.snapshotId).flatMap { s =>
+      val ancestors = meta.currentAncestors.reverse
+      val ancestorIds = ancestors.map(_.snapshotId).toSet
+      val walkOrder = ancestors ++
+        meta.snapshots.filterNot(s => ancestorIds(s.snapshotId))
+          .sortBy(_.snapshotId)
+      val rows = walkOrder.flatMap { s =>
         graft.icelite.FileStats.deletesOf(fs, s).flatMap { d =>
           if (seen(d.path)) None
           else {

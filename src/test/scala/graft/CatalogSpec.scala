@@ -995,6 +995,74 @@ class CatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM ice_ent.lake.t.nope").collect())
   }
 
+  test("CALL branch/rollback/ancestry procedures follow the parent-pointer lineage") {
+    val wh = configure("procs19")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val tbl = cat.createTable("lake", "anc", n.schema)
+    (0 until 3).foreach { i =>
+      tbl.append(n.filter(col("n_nationkey") % 3 === i))
+      Thread.sleep(5) // distinct commit timestamps for the time-based tests
+    }
+    def callRows(sql: String) = spark.sql(sql).collect()
+    // ancestors_of: default = the current head's chain, newest first
+    assert(callRows("CALL icecat_procs19.system.ancestors_of('lake.anc')")
+      .map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // rollback_to_timestamp restores the state at snapshot 2's commit time
+    val ts2 = tbl.meta.snapshot(2L).get.timestampMs
+    val rb = callRows("CALL icecat_procs19.system.rollback_to_timestamp(" +
+      s"'lake.anc', ${ts2}L)")(0)
+    assert(rb.getLong(1) == 2L && tbl.meta.currentSnapshotId == 2L, rb)
+    // a post-rollback write BRANCHES: snapshot 4's parent is 2, and the
+    // abandoned snapshot 3 is not among its ancestors...
+    cat.loadTable("lake", "anc").append(n.filter(col("n_nationkey") % 3 === 2))
+    assert(callRows("CALL icecat_procs19.system.ancestors_of('lake.anc')")
+      .map(_.getLong(0)).toSeq == Seq(4L, 2L, 1L))
+    // ...but stays listable by EXPLICIT id
+    assert(callRows(
+      "CALL icecat_procs19.system.ancestors_of('lake.anc', 3)")
+      .map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // time-based rollback can NEVER reach the abandoned branch: at
+    // snapshot 3's own commit time the lineage answer is snapshot 2
+    val ts3 = tbl.meta.snapshot(3L).get.timestampMs
+    val rb3 = callRows("CALL icecat_procs19.system.rollback_to_timestamp(" +
+      s"'lake.anc', ${ts3}L)")(0)
+    assert(rb3.getLong(1) == 2L, s"time rollback must stay on lineage: $rb3")
+    // set_current_snapshot is the deliberate escape hatch that CAN: by id
+    val sc = callRows("CALL icecat_procs19.system.set_current_snapshot(" +
+      "'lake.anc', 3)")(0)
+    assert(sc.getLong(1) == 3L &&
+      cat.loadTable("lake", "anc").toDF.count() == 25)
+  }
+
+  test(".entries attributes adds along the current lineage, never an abandoned branch") {
+    // The advice-r18 scenario: a path imported by an ANCESTOR (snapshot 2)
+    // is also registered by add_files on a LATER, post-rollback-abandoned
+    // snapshot (3). A whole-log walk would attribute the visible file to
+    // the abandoned re-adder (snapshot 3, flipping status 1 -> 0); the
+    // lineage walk keeps it on its real adder.
+    val wh = configure("entattr")
+    val cat = new IceCatalog(spark, wh)
+    val n = graft.queries.QUtil.t(spark, sfDir, "nation")
+    val src = scratch("entattr-src")
+    n.limit(5).write.mode("overwrite").parquet(src)
+    val tbl = cat.createTable("lake", "attr", n.schema)
+    tbl.append(n.filter(col("n_nationkey") >= 20)) // snap 1
+    tbl.addFiles(src)                              // snap 2: imports P
+    tbl.rollbackTo(1L)                             // P off the head
+    cat.loadTable("lake", "attr").addFiles(src)    // snap 3: re-imports P
+    tbl.rollbackTo(2L)   // current = 2; ancestors {2, 1}; 3 abandoned
+    val ent = spark.sql(
+      """SELECT status, snapshot_id, data_file.path
+        |FROM icecat_entattr.lake.attr.entries""".stripMargin).collect()
+    val imported = ent.filter(_.getString(2).contains(src.split('/').last))
+    assert(imported.nonEmpty, s"imported file missing from .entries: ${ent.toSeq}")
+    imported.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getInt(0) == 1,
+        s"attribution must follow the lineage adder (snap 2, status 1): $r")
+    }
+  }
+
   test("Iceberg name-split listing views: data/delete x current/all, via SQL") {
     val wh = configure("namesplit")
     val cat = new IceCatalog(spark, wh)
