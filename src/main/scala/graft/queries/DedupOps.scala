@@ -43,6 +43,17 @@ object DedupOps {
   private[graft] final val X51HashTag = "x51_audio_hashes"
   private[graft] final val X51HashFixture = QUtil.fixturePath(X51HashTag)
 
+  /** x64b's SKEWED corpus fixture: the documents table with one
+    * boilerplate sentence appended to every fifth document, so ONE shingle
+    * ("bq0 bq1 bq2") carries frequency ~N/5 — the hot-key shape (shared
+    * legal footer / site chrome) that makes the brute shingle self-join
+    * quadratic and that x64's prefix filter exists to survive. Written by
+    * the Spark query, read back by it AND by the DuckDB oracle (the
+    * x26b/x46 fixture pattern).
+    */
+  private[graft] final val X64bTag = "x64b_skew_docs"
+  private[graft] final val X64bFixture = QUtil.fixturePath(X64bTag)
+
   /** Per-probe k-nearest by Hamming distance (ascending, ties n_id asc)
     * via the typed TopKLongAggregator — NOT a window: a per-probe window
     * is a one-task sort of that probe's whole candidate set (corpus-sized
@@ -194,7 +205,10 @@ object DedupOps {
     * corpus the scan already has thousands of splits and Catalyst drops the
     * extra exchange into the shuffle `distinct` needs anyway.
     */
-  private def shingleArrays(s: SparkSession, dir: String): DataFrame = {
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    shingleArraysOf(s, t(s, dir, "documents"))
+
+  private def shingleArraysOf(s: SparkSession, docs: DataFrame): DataFrame = {
     // Release BEFORE persisting the replacement: a rebuild over the same dir
     // has the same canonicalized plan, so persist() would alias the existing
     // cache entry and unpersisting the old handle afterwards would silently
@@ -212,7 +226,7 @@ object DedupOps {
     // the whole tokenize+shingle expression many times per document inside
     // the single-input-split scan stage. (At 100 TB this cache would be
     // DISK_ONLY or a staged parquet table.)
-    val arrays = t(s, dir, "documents")
+    val arrays = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -234,15 +248,79 @@ object DedupOps {
     shingleArrays(s, dir)
       .select(col("doc_id"), size(col("arr")).as("n"), explode(col("arr")).as("s"))
 
-  /** DuckDB-side spelling of [[shingles]]. */
-  private val shinglesSql: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents
-      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+  /** DuckDB-side spelling of [[shingles]] over any doc relation (x64b's
+    * oracle shingles a materialized fixture instead of `documents`).
+    */
+  private def shinglesSqlFrom(docsRel: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM $docsRel
+      |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] || ' ' || tk[CAST(i AS INT)+3] AS s
       |  FROM toks, unnest(range(0, len(tk)-2)) g(i))""".stripMargin
+
+  private val shinglesSql: String = shinglesSqlFrom("documents")
+
+  /** The prefix-filtered EXACT set-similarity self-join at τ = 3/5 over a
+    * per-doc shingle-array frame — x64's pipeline, shared verbatim with
+    * the skewed-fixture variant x64b (one spelling, two corpora). Returns
+    * (candidates, verified): `candidates` is the (d1, d2) prefix-join
+    * output BEFORE verification (the quantity the crossover bound
+    * measures), `verified` the exact final answer
+    * (d1, d2, o, n1, n2, jaccard). Completeness theorem and cost argument:
+    * x64's QDef header.
+    */
+  private def prefixSimJoin(arrs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = arrs.select(col("doc_id"), size(col("arr")).as("n"),
+      explode(col("arr")).as("s"))
+    // global order: frequency ascending (rarest first), shingle value
+    // tie-break — ONE map-side-combinable aggregate + a linear join,
+    // vs the full join's quadratic-in-frequency blowup
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
+    // per-doc prefix: one shuffle back to doc grain, then the sort and
+    // the cut are ROW-LOCAL (sort_array over the doc's own (f, s)
+    // pairs + slice) — a window would sort whole partitions to rank
+    // what is a per-document order. Prefix length is the
+    // integer-exact n - ceil(3n/5) + 1, with ceil(3n/5) = (3n+4) DIV 5
+    // — never an FP ceil, whose ulp error could shorten the prefix
+    // and break the completeness theorem.
+    val prefix = sh.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("fs"))
+      .select(col("doc_id"), size(col("fs")).as("n"), expr(
+        "slice(fs, 1, CAST(size(fs) - (3*size(fs) + 4) DIV 5 + 1 AS INT))")
+        .as("pfx"))
+      .select(col("doc_id"), col("n"), explode(col("pfx")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.s").as("s"))
+    // candidate pairs: prefix-only self-join (shuffle-keyed on the
+    // shingle — statistics predate the explode, so AQE would otherwise
+    // "broadcast" an exploded side) + the integer length filter
+    val cand = prefix.as("a")
+      .join(prefix.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")) * 5 >=
+        greatest(col("a.n"), col("b.n")) * 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact verification, row-local: intersect the two cached shingle
+    // arrays per candidate pair — no second corpus-sized join. No
+    // join-strategy hint here: the candidate side is usually tiny
+    // (near-dup pairs) and AQE's RUNTIME size converts these joins to
+    // broadcasts, but a pathological corpus can make it large and the
+    // shuffle fallback must stay available.
+    val verified = cand
+      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("arr1"), col("arr2"))).cast("long").as("o"),
+        size(col("arr1")).cast("long").as("n1"),
+        size(col("arr2")).cast("long").as("n2"))
+      .filter(col("o") * 8 >= (col("n1") + col("n2")) * 3)
+      .withColumn("jaccard",
+        col("o").cast("double") / (col("n1") + col("n2") - col("o")))
+    (cand, verified)
+  }
 
   /** Pairwise Jaccard via one self-equi-join on the shingle value: the join
     * key is hash-partitionable, the groupBy has map-side partial
@@ -585,7 +663,10 @@ object DedupOps {
     // local bench. The crossover is skew: brute-join work is Σ freq(s)²,
     // prefix work is ~(1-τ)·corpus + candidates — at web scale, where one
     // boilerplate shingle appears 10^6 times (10^12 brute pairs from one
-    // key), the prefix path is the only one that finishes.
+    // key), the prefix path is the only one that finishes. That claim is
+    // MEASURED, not argued, since round 19: x64b materializes a skewed
+    // corpus variant and asserts the candidate/brute-pair ratio in-query
+    // (0.6% at sf0.01, 10.9% at sf0.1 — numbers in its header).
     QDef(
       "x64_exact_simjoin",
       Some(s"""WITH $shinglesSql,
@@ -599,56 +680,78 @@ object DedupOps {
               |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
               |WHERE 8*o >= 3*(ca.n + cb.n)
               |ORDER BY d1, d2""".stripMargin),
+      (s, dir) =>
+        prefixSimJoin(shingleArrays(s, dir))._2.orderBy("d1", "d2")),
+
+    // x64 ON THE SKEW IT EXISTS FOR (round 19): the same exact
+    // prefix-filtered join over a corpus fixture where ONE boilerplate
+    // shingle carries frequency ~N/5 (every fifth document ends with the
+    // same appended sentence — the shared-footer shape of web corpora).
+    // This turns x64's scaladoc crossover ARGUMENT into a measured fact,
+    // asserted in-query: the prefix path's candidate-pair count must stay
+    // under a FIFTH of the brute shingle join's Σ f(f-1)/2 pair count
+    // (computed ANALYTICALLY from the frequency aggregate — the brute
+    // join itself is never run on the Spark side; each run prints the
+    // live numbers on stderr as `[x64b] candidates=...`). Measured:
+    // sf0.01 — hot frequency 100, 19,129 brute pairs vs 119 prefix
+    // candidates = 0.6%; sf0.1 — hot frequency 1,000, 1,782,149 brute
+    // pairs vs 194,956 candidates = 10.9%. The hot shingle itself
+    // contributes f(f-1)/2 ≈ 500k of the sf0.1 brute count and ZERO
+    // prefix candidates (it ranks last in frequency order and falls out
+    // of every prefix long enough to cut); the surviving 10.9% is the
+    // corpus's ordinary near-dup collision mass, which both paths pay.
+    // THE ORACLE IS STILL THE DEFINITION — DuckDB runs the brute join
+    // over the identical fixture bytes — so the hash match proves the
+    // filter lost no pair ON THE SKEWED corpus, where the docs whose
+    // ONLY shingle is the boilerplate (empty originals) genuinely match
+    // each other and must survive.
+    QDef(
+      "x64b_exact_simjoin_skew",
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, text FROM read_parquet('$X64bFixture/*.parquet')),
+              |${shinglesSqlFrom("docs")},
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id d1, b.doc_id d2, count(*) o FROM sh a
+              |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT d1, d2, CAST(o AS BIGINT) AS o,
+              |  CAST(ca.n AS BIGINT) AS n1, CAST(cb.n AS BIGINT) AS n2,
+              |  CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS jaccard
+              |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+              |WHERE 8*o >= 3*(ca.n + cb.n)
+              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        val arrs = shingleArrays(s, dir)
-        val sh = arrs.select(col("doc_id"), size(col("arr")).as("n"),
-          explode(col("arr")).as("s"))
-        // global order: frequency ascending (rarest first), shingle value
-        // tie-break — ONE map-side-combinable aggregate + a linear join,
-        // vs the full join's quadratic-in-frequency blowup
-        val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
-        // per-doc prefix: one shuffle back to doc grain, then the sort and
-        // the cut are ROW-LOCAL (sort_array over the doc's own (f, s)
-        // pairs + slice) — a window would sort whole partitions to rank
-        // what is a per-document order. Prefix length is the
-        // integer-exact n - ceil(3n/5) + 1, with ceil(3n/5) = (3n+4) DIV 5
-        // — never an FP ceil, whose ulp error could shorten the prefix
-        // and break the completeness theorem.
-        val prefix = sh.join(freq, "s")
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("fs"))
-          .select(col("doc_id"), size(col("fs")).as("n"), expr(
-            "slice(fs, 1, CAST(size(fs) - (3*size(fs) + 4) DIV 5 + 1 AS INT))")
-            .as("pfx"))
-          .select(col("doc_id"), col("n"), explode(col("pfx")).as("p"))
-          .select(col("doc_id"), col("n"), col("p.s").as("s"))
-        // candidate pairs: prefix-only self-join (shuffle-keyed on the
-        // shingle — statistics predate the explode, so AQE would otherwise
-        // "broadcast" an exploded side) + the integer length filter
-        val cand = prefix.as("a")
-          .join(prefix.as("b").hint("shuffle_hash"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .filter(least(col("a.n"), col("b.n")) * 5 >=
-            greatest(col("a.n"), col("b.n")) * 3)
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        // exact verification, row-local: intersect the two cached shingle
-        // arrays per candidate pair — no second corpus-sized join. No
-        // join-strategy hint here: the candidate side is usually tiny
-        // (near-dup pairs) and AQE's RUNTIME size converts these joins to
-        // broadcasts, but a pathological corpus can make it large and the
-        // shuffle fallback must stay available.
-        cand
-          .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1")), "d1")
-          .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2")), "d2")
-          .select(col("d1"), col("d2"),
-            size(array_intersect(col("arr1"), col("arr2"))).cast("long").as("o"),
-            size(col("arr1")).cast("long").as("n1"),
-            size(col("arr2")).cast("long").as("n2"))
-          .filter(col("o") * 8 >= (col("n1") + col("n2")) * 3)
-          .withColumn("jaccard",
-            col("o").cast("double") / (col("n1") + col("n2") - col("o")))
-          .orderBy("d1", "d2")
+        val wh = cachedFixture(s, X64bTag, dir) { w =>
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              when(col("doc_id") % 5 === 0,
+                concat(col("text"), lit(" bq0 bq1 bq2")))
+                .otherwise(col("text")).as("text"))
+            .write.mode("overwrite").parquet(w)
+        }
+        val arrs = shingleArraysOf(s, s.read.parquet(wh))
+        val (cand, verified) = prefixSimJoin(arrs)
+        // the crossover, measured: brute pair count = Σ f(f-1)/2 over the
+        // shingle frequency table (one aggregate — never the join), vs
+        // the prefix path's actual candidate count; the fixture must
+        // actually be skewed or the bound proves nothing
+        val sh = arrs.select(explode(col("arr")).as("s"))
+        val stat = sh.groupBy("s").agg(count(lit(1)).as("f"))
+          .agg(sum(expr("f * (f - 1) DIV 2")).as("brute"), max("f").as("hot"))
+          .collect()(0)
+        val (brute, hot) = (stat.getLong(0), stat.getLong(1))
+        val nCand = cand.count()
+        // the measured crossover, one stderr line per run — the numbers
+        // the scaladoc cites come from here, re-measurable every round
+        System.err.println(
+          s"[x64b] candidates=$nCand brute_pairs=$brute hot_freq=$hot")
+        require(hot >= 50,
+          s"fixture lost its skew (hottest shingle frequency $hot)")
+        require(nCand * 5 <= brute,
+          s"prefix filtering must beat the brute pair bound by 5x on the " +
+            s"skewed corpus: $nCand candidates vs $brute brute pairs " +
+            s"(hot=$hot)")
+        verified.orderBy("d1", "d2")
       }),
 
     // Near-dup clustering: connected components over the >=0.8 Jaccard pair
