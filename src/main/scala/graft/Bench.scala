@@ -201,7 +201,11 @@ object Bench {
       // round 18: x57 is the most expensive non-audit query (decode IS the
       // operator) — track the image-dedup pillar's cost round-over-round;
       // x63 is the hybrid-retrieval capstone over both persisted indexes
-      "x57_image_dedup_canonical", "x63_hybrid_rrf")
+      "x57_image_dedup_canonical", "x63_hybrid_rrf",
+      // round 19: x64b is the skew-crossover proof (the prefix path on the
+      // corpus shape it exists for); st17 closes the retrieval loop with
+      // streaming maintenance of both persisted indexes
+      "x64b_exact_simjoin_skew", "st17_stream_index_maintain")
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
       .mkString("{", ",", "}")

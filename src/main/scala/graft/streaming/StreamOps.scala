@@ -945,6 +945,71 @@ object StreamOps {
           s"compaction is one more snapshot on the same history: " +
             s"${t2.snapshots.map(_.operation)}")
         t2.toDF.orderBy("event_id")
+      }),
+
+    // STREAMING INDEX MAINTENANCE (round 19) — the retrieval loop closed:
+    // documents arrive as a stream, and each micro-batch epoch
+    // incrementally maintains BOTH persisted retrieval indexes in ONE
+    // foreachBatch — BM25 postings/df-deltas/corpus-scalars append (x61's
+    // append-only algebra: per-term df = Σ batch deltas, so no existing
+    // posting is ever read or rewritten) and IVF cell assignments append
+    // (x53's delta shape: fixed centroids make assignment row-independent,
+    // so stream-built ≡ assign-everything). Every epoch's commits are
+    // asserted PURE APPENDS of exactly the batch's own rows — O(epoch)
+    // maintenance cost however large the index already is, the only
+    // economics a continuously-ingesting 100 TB corpus affords. After the
+    // stream drains, an x63 hybrid RRF probe runs over the STREAM-BUILT
+    // warehouse through the same hybridLegs code as the batch operator —
+    // and the oracle is x63's oracle VERBATIM (the full-corpus
+    // definition), so the hash match proves the stream-maintained indexes
+    // serve exactly what a from-scratch batch build would: replay
+    // equality, the st10/st15 discipline, including results for the docs
+    // that arrived in the LAST epoch.
+    QDef(
+      "st17_stream_index_maintain",
+      Some(graft.queries.SimilarityOps.hybridRrfOracleSql),
+      (s, dir) => {
+        val docs = QUtil.t(s, dir, "documents")
+        // feed: 2 snapshots (even/odd doc_id), one file each, so
+        // maxFilesPerTrigger=1 yields one maintenance epoch per snapshot
+        val whFeed = QUtil.cachedFixture(s, "st17_feed", dir) { w =>
+          val fcat = new graft.icelite.IceCatalog(s, w)
+          val feed = fcat.createTable("lake", "docs_st17", docs.schema)
+          feed.append(docs.filter(col("doc_id") % 2 === 0).repartition(1))
+          feed.append(docs.filter(col("doc_id") % 2 =!= 0).repartition(1))
+          ()
+        }
+        val wh = QUtil.freshWarehouse(s, "st17")
+        val cat = new graft.icelite.IceCatalog(s, wh)
+        graft.queries.SimilarityOps.createRetrievalIndexTables(cat)
+        val ckpt = Files.createTempDirectory("graft-stream-st17").toString
+        val q = s.readStream.format("icelite")
+          .option("warehouse", whFeed).option("table", "lake.docs_st17")
+          .option("maxFilesPerTrigger", "1").load()
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // the maintenance kernel (pure-append assertions inside);
+            // runs in the micro-batch's cloned session
+            graft.queries.SimilarityOps.maintainRetrievalIndexes(cat, dir, b)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        endStream(s, ckpt)
+        // two epochs = exactly two append snapshots per index table,
+        // zero rewrites (asserted per epoch inside the kernel)
+        val postT = cat.loadTable("lake", "bm25_postings")
+        require(postT.snapshots.map(_.operation) == Seq("append", "append"),
+          s"2 epochs must land 2 pure appends: ${postT.snapshots.map(_.operation)}")
+        // probe the STREAM-BUILT warehouse with the batch fusion code —
+        // same code path, same oracle as x63
+        graft.queries.SimilarityOps.hybridLegs(s, dir, wh, wh, 10) match {
+          case None => graft.queries.SimilarityOps.emptyHybridFrame(s)
+          case Some((_, _, fused)) => fused.orderBy("qid", "rank")
+        }
       })
   )
 }

@@ -249,4 +249,44 @@ class QueriesSpec extends SparkSpec {
         s"HLL estimate out of tolerance for ${r.getAs[String]("event_type")}")
     }
   }
+
+  test("IVF rebuild: atomic centroid-drift replace, old index time-travelable") {
+    import org.apache.spark.sql.functions.col
+    // its OWN warehouse, never x53's shared fixture: the rebuild must not
+    // poison the memoized index other queries probe
+    val wh = scratch("ivf-rebuild")
+    val cat = new graft.icelite.IceCatalog(spark, wh)
+    graft.queries.SimilarityOps.createRetrievalIndexTables(cat)
+    val idx = cat.loadTable("lake", "ivf_index")
+    idx.append(graft.queries.SimilarityOps
+      .ivfAssignAll(spark, sfDir, graft.queries.SimilarityOps.IvfDefaultCentroids))
+    def state(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldId = idx.meta.currentSnapshotId
+    val oldState = state(idx.toDF)
+    assert(oldState.values.forall(_ < 8), "default codebook is vec_id 0..7")
+    // the drifted codebook: vectors 8..15 — rebuild re-assigns everything
+    // and commits ONE replace snapshot (atomicity = the commit count)
+    graft.queries.SimilarityOps.rebuildIvfIndex(spark, wh, sfDir, 8L to 15L)
+    val after = cat.loadTable("lake", "ivf_index")
+    assert(after.snapshots.length == 2 &&
+      after.snapshots.last.operation == "replace",
+      s"rebuild must be exactly one atomic replace commit: " +
+        s"${after.snapshots.map(_.operation)}")
+    // zero stale reads: the post-commit table IS the independent recompute
+    // against the new codebook — no old cell survives, no row is lost
+    val newState = state(after.toDF)
+    val expected = state(graft.queries.SimilarityOps
+      .ivfAssignAll(spark, sfDir, 8L to 15L))
+    assert(newState == expected,
+      "post-rebuild index must equal a from-scratch assignment")
+    assert(newState.keySet == oldState.keySet, "rebuild must not lose vectors")
+    assert(newState.values.forall(c => c >= 8 && c < 16),
+      "every cell must come from the new codebook")
+    // the OLD index stays served for readers pinned before the commit:
+    // its snapshot's immutable files are untouched (time travel reads the
+    // exact pre-rebuild assignment)
+    assert(state(after.scan(snapshotId = Some(oldId))) == oldState,
+      "pre-rebuild snapshot must still serve the old assignment")
+  }
 }
