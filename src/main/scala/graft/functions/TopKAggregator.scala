@@ -41,10 +41,19 @@ abstract class TopKAggregatorBase[S](k: Int)
   override def finish(buf: Seq[(S, Long)]): Seq[(S, Long)] = buf
 }
 
-/** Top-k with double scores (w4's per-group top-k by retail price). */
+/** Top-k with double scores (w4's per-group top-k by retail price; the
+  * dense cosine paths' denseTopK). Comparison is `Double.compare`, not
+  * `>`: IEEE `>` is false BOTH ways for NaN, which would make `better`
+  * merge-order-dependent (NaN parked at the front when the buffer is
+  * short, dropped when full) — Double.compare ranks NaN above every
+  * finite score, exactly where the window ordering and DuckDB's
+  * row_number this aggregator replaces put it.
+  */
 class TopKAggregator(k: Int) extends TopKAggregatorBase[Double](k) {
-  override protected def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  override protected def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =

@@ -730,7 +730,11 @@ object DedupOps {
             .write.mode("overwrite").parquet(w)
         }
         val arrs = shingleArraysOf(s, s.read.parquet(wh))
-        val (cand, verified) = prefixSimJoin(arrs)
+        val (cand0, verified) = prefixSimJoin(arrs)
+        // two consumers (the crossover count below + the verification join
+        // inside `verified`): persist, or the prefix self-join — the
+        // operator's real work — executes twice
+        val cand = cand0.persist()
         // the crossover, measured: brute pair count = Σ f(f-1)/2 over the
         // shingle frequency table (one aggregate — never the join), vs
         // the prefix path's actual candidate count; the fixture must

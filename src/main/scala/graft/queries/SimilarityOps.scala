@@ -372,10 +372,11 @@ object SimilarityOps {
       el: DataFrame, n2: DataFrame): String =
     QUtil.cachedFixture(s, "x53_ivf_index", dir) { w =>
       val cat = new graft.icelite.IceCatalog(s, w)
-      val idx = cat.createTable("lake", "ivf_index",
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "vec_id BIGINT, cid BIGINT"),
-        partitionBy = Seq("cid"))
+      // ONE layout spelling (createRetrievalIndexTables) for fixture,
+      // stream, and spec warehouses — the BM25 tables it also creates
+      // stay empty here and are never probed
+      createRetrievalIndexTables(cat)
+      val idx = cat.loadTable("lake", "ivf_index")
       // snapshot 1: the base corpus builds the index
       idx.append(ivfAssign(el, n2, el.filter(col("vec_id") % 2 === 0)))
       // snapshot 2: a later delta batch assigns ONLY its own rows —
@@ -513,11 +514,20 @@ object SimilarityOps {
         s"$who epoch maintenance must append exactly its own rows " +
           s"(op=${snap.operation}, added=${snap.addedRows}, batch=$rows)")
     }
-    val (p, d, c) = bm25IndexBatch(batchDocs)
-    val pRows = p.count()
-    val postT = cat.loadTable("lake", "bm25_postings")
-    postT.append(p)
-    assertPureAppend(postT, pRows, "bm25_postings")
+    // the postings frame feeds TWO actions (the expected-row count and
+    // the append write): persist across them, release before the next
+    // epoch. The df/corpus appends re-derive the batch tokenization —
+    // O(batch) each, accepted: at test scale the batch is tiny, and at
+    // production scale a foreachBatch would persist the incoming batch
+    // itself for the epoch's lifetime.
+    val (p0, d, c) = bm25IndexBatch(batchDocs)
+    val p = p0.persist()
+    try {
+      val pRows = p.count()
+      val postT = cat.loadTable("lake", "bm25_postings")
+      postT.append(p)
+      assertPureAppend(postT, pRows, "bm25_postings")
+    } finally p.unpersist(false)
     cat.loadTable("lake", "bm25_termdf").append(d)
     cat.loadTable("lake", "bm25_corpus").append(c)
     // IVF: assign ONLY the batch's vectors (fixed centroids make the
@@ -526,27 +536,26 @@ object SimilarityOps {
     val n2 = norms(el)
     val ids = batchDocs.select(col("doc_id").as("vec_id")).distinct()
     val sub = el.join(broadcast(ids), "vec_id")
-    val assign = ivfAssign(el, n2, sub)
-    val aRows = assign.count()
-    val ivfT = cat.loadTable("lake", "ivf_index")
-    ivfT.append(assign)
-    assertPureAppend(ivfT, aRows, "ivf_index")
+    val assign = ivfAssign(el, n2, sub).persist()
+    try {
+      val aRows = assign.count()
+      val ivfT = cat.loadTable("lake", "ivf_index")
+      ivfT.append(assign)
+      assertPureAppend(ivfT, aRows, "ivf_index")
+    } finally assign.unpersist(false)
   }
 
   private def x61Warehouse(s: SparkSession, dir: String,
       docs: DataFrame): String =
     QUtil.cachedFixture(s, "x61_bm25_index", dir) { w =>
       val cat = new graft.icelite.IceCatalog(s, w)
-      val postT = cat.createTable("lake", "bm25_postings",
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "bkt INT, w STRING, doc_id BIGINT, tf BIGINT, len BIGINT"),
-        partitionBy = Seq("bkt"))
-      val dfT = cat.createTable("lake", "bm25_termdf",
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "bkt INT, w STRING, df BIGINT"),
-        partitionBy = Seq("bkt"))
-      val corpT = cat.createTable("lake", "bm25_corpus",
-        org.apache.spark.sql.types.StructType.fromDDL("d BIGINT, s BIGINT"))
+      // ONE layout spelling (createRetrievalIndexTables) for fixture,
+      // stream, and spec warehouses — the IVF table it also creates stays
+      // empty here and is never probed
+      createRetrievalIndexTables(cat)
+      val postT = cat.loadTable("lake", "bm25_postings")
+      val dfT = cat.loadTable("lake", "bm25_termdf")
+      val corpT = cat.loadTable("lake", "bm25_corpus")
       // snapshot 1: the base corpus builds the index
       val (p1, d1, c1) = bm25IndexBatch(docs.filter(col("doc_id") % 2 === 0))
       postT.append(p1); dfT.append(d1); corpT.append(c1)
@@ -709,16 +718,19 @@ object SimilarityOps {
     * top-k ranks from the BM25 index at `whLex`, dense top-k ranks from
     * the IVF index at `whDense`, and their integer-exact RRF fusion.
     * Returns None when the corpus has no query docs; otherwise
-    * Some((lex, dense, fused)) with lex = (qid, nid, lex_rank INT),
+    * Some((qids, lex, dense, fused)) with lex = (qid, nid, lex_rank INT),
     * dense = (qid, nid, dense_rank INT), fused = (qid, doc_id, lex_rank,
     * dense_rank, rrf1e6, rank INT), fused cut at rank <= k. ONE spelling
     * serves x63 (the fixture indexes), x65 (recall audit of all three
     * rankings), and st17 (the STREAM-maintained indexes) — the serving
     * path cannot drift between batch and streaming index builds.
+    * `persistLegs` caches lex/dense for callers that consume the legs
+    * BESIDE fused (x65's three-system audit — without it each index probe
+    * subtree executes twice); fused-only callers leave it off.
     */
   private[graft] def hybridLegs(s: SparkSession, dir: String,
-      whLex: String, whDense: String, k: Int)
-      : Option[(DataFrame, DataFrame, DataFrame)] = {
+      whLex: String, whDense: String, k: Int, persistLegs: Boolean = false)
+      : Option[(Seq[Long], DataFrame, DataFrame, DataFrame)] = {
     val docs = t(s, dir, "documents")
     val el = elements(s, dir)
     val n2v = norms(el)
@@ -730,16 +742,19 @@ object SimilarityOps {
       // lexical ranks from the persisted BM25 index: Q queries, ONE
       // pruned scan (assertions inside bm25LakeProbe); term-less
       // (whitespace) query docs contribute no pairs and fuse dense-only
-      val lex = bm25LakeLexRanks(s, whLex, qtermPairs, k)
+      val lex0 = bm25LakeLexRanks(s, whLex, qtermPairs, k)
       // dense ranks from the persisted IVF index: all queries' probes in
       // one pruned candidate read (assertions inside ivfLakeCandidates;
       // query docs with NO embedding yield no probes and fuse lex-only),
       // exact fixed-point per-qid top-k
       val probes = ivfProbes(el, n2v,
         el.filter(col("vec_id").isin(qids.map(Long.box): _*)), 2)
-      val dense = exactTopK(el, n2v,
+      val dense0 = exactTopK(el, n2v,
           ivfLakeCandidates(s, whDense, probes, "hybrid"), k)
         .select(col("qid"), col("nid"), col("rn").cast("int").as("dense_rank"))
+      val (lex, dense) =
+        if (persistLegs) (lex0.persist(), dense0.persist())
+        else (lex0, dense0)
       // RRF fusion, DISTRIBUTED: full-outer join of two top-k-sized rank
       // sets on (qid, nid), integer-exact reciprocal-rank sum. The final
       // ranking is a per-qid window OVER FUSED — fused is <= 2k rows per
@@ -759,7 +774,7 @@ object SimilarityOps {
         .filter(col("rank") <= k)
         .select(col("qid"), col("nid").as("doc_id"), col("lex_rank"),
           col("dense_rank"), col("rrf1e6"), col("rank"))
-      Some((lex, dense, fusedRanked))
+      Some((qids, lex, dense, fusedRanked))
     }
   }
 
@@ -1370,7 +1385,7 @@ object SimilarityOps {
         hybridLegs(s, dir, x61Warehouse(s, dir, docs),
             ivfLakeWarehouse(s, dir, el, n2v), 10) match {
           case None => emptyHybridFrame(s)
-          case Some((_, _, fused)) => fused.orderBy("qid", "rank")
+          case Some((_, _, _, fused)) => fused.orderBy("qid", "rank")
         }
       }),
 
@@ -1387,9 +1402,10 @@ object SimilarityOps {
     // no-embedding/paraphrase cases this SEMANTIC ground truth cannot
     // reward (lex 0 here is the audit being honest about that, not a
     // defect: BM25 ranks term overlap, the truth is cosine). recall(fused)
-    // >= max(lex, dense) holds on the measured corpus and is asserted
-    // in-query, so a fusion regression (a weighting bug demoting true
-    // neighbors) fails loudly.
+    // >= max(lex, dense) holds on the measured corpus and is pinned in
+    // QueriesSpec (a measured property, not an RRF invariant — see the
+    // body comment), so a fusion regression fails the suite loudly while
+    // the production query never asserts corpus luck.
     QDef(
       "x65_hybrid_recall",
       Some(s"""WITH ${hybridCtesSql(10)},
@@ -1432,13 +1448,21 @@ object SimilarityOps {
         val n2 = norms(el)
         val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "method STRING, n_queries BIGINT, mean_recall_1e6 BIGINT")
-        val (qids, _) = bm25QueryTerms(s, docs)
+        val methodNames = Seq("hy1_lex", "hy2_dense", "hy3_fused")
+        // the oracle's UNION-of-scalar-subqueries shape ALWAYS yields one
+        // row per method — on a degenerate corpus (no query docs, or no
+        // query doc with an embedding) each is (method, 0-or-n, NULL),
+        // never an empty relation; both degenerate arms below restate
+        // exactly that
+        def degenerate(nq: Long): DataFrame =
+          s.createDataFrame(
+            java.util.Arrays.asList(methodNames.map(m =>
+              org.apache.spark.sql.Row(m, nq, null)): _*), outSchema)
         hybridLegs(s, dir, x61Warehouse(s, dir, docs),
-            ivfLakeWarehouse(s, dir, el, n2), 10) match {
-          case None =>
-            s.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-          case Some((lex, dense, fused)) =>
+            ivfLakeWarehouse(s, dir, el, n2), 10,
+            persistLegs = true) match {
+          case None => degenerate(0L)
+          case Some((qids, lex, dense, fused)) =>
             // ground truth: exact top-3 per query doc over the whole
             // corpus — the x6 broadcast shape restricted to the retrieval
             // workload's qids (query docs with no embedding have no
@@ -1477,13 +1501,27 @@ object SimilarityOps {
               .select(col("method"), col("nq").as("n_queries"),
                 expr("rsum DIV nq").as("mean_recall_1e6"))
               .orderBy("method")
-            // the fusion contract, asserted on the measured values: RRF
-            // must never lose recall against its stronger input system
-            val m = rows.collect()
-              .map(r => r.getString(0) -> r.getLong(2)).toMap
-            require(m("hy3_fused") >= math.max(m("hy1_lex"), m("hy2_dense")),
-              s"fusion lost recall against an input system: $m")
-            rows
+            // The 3 audited rows are RETURNED as the collected local
+            // relation (the x61 driver-attach shape) — re-executing the
+            // whole audit plan for the caller's count/write would double
+            // the suite's second-most-expensive query for zero new info.
+            // An empty collect means NO query doc had an embedding (xq
+            // empty) — the oracle still emits its three constant rows
+            // with NULL means. The fusion contract recall(fused) >=
+            // max(lex, dense) is a MEASURED property of this corpus, not
+            // an RRF invariant (a lone dense-rank-10 hit CAN be displaced
+            // by ten lex-only docs on some valid corpus), so it is pinned
+            // in QueriesSpec over the test corpus — never asserted inside
+            // the production query — and each run prints the live values
+            // on stderr for the round ledger.
+            val collected = rows.collect()
+            if (collected.isEmpty) degenerate(0L)
+            else {
+              System.err.println("[x65] " + collected.map(r =>
+                s"${r.getString(0)}=${r.get(2)}").mkString(" "))
+              s.createDataFrame(
+                java.util.Arrays.asList(collected.toIndexedSeq: _*), outSchema)
+            }
         }
       }),
 

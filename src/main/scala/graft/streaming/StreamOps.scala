@@ -1008,7 +1008,7 @@ object StreamOps {
         // same code path, same oracle as x63
         graft.queries.SimilarityOps.hybridLegs(s, dir, wh, wh, 10) match {
           case None => graft.queries.SimilarityOps.emptyHybridFrame(s)
-          case Some((_, _, fused)) => fused.orderBy("qid", "rank")
+          case Some((_, _, _, fused)) => fused.orderBy("qid", "rank")
         }
       })
   )

@@ -312,7 +312,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x63: hybrid fusion — every window qid-partitioned, lex top-k aggregated, no all-pairs") {
-    val s = finalPlan(SparkEntry.queries("x63_hybrid_rrf")(spark, sfDir))
+    val df63 = SparkEntry.queries("x63_hybrid_rrf")(spark, sfDir)
+    val wins = windowExecs(df63) // collects once; the plan string reads it
+    val s = df63.queryExecution.executedPlan.toString
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"),
       s"hybrid fusion must never plan an all-pairs operator:\n$s")
@@ -325,7 +327,6 @@ class PlanSpec extends SparkSpec {
     // ranking by qid — all bounded groups) must ALL carry a partition
     // spec, asserted on the WindowExec nodes themselves (partitionSpec
     // nonEmpty), not by counting rendered bracket separators
-    val wins = windowExecs(SparkEntry.queries("x63_hybrid_rrf")(spark, sfDir))
     assert(wins.nonEmpty, s"expected partitioned windows in:\n$s")
     wins.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"every fusion window must have partition keys: $w"))
@@ -347,10 +348,13 @@ class PlanSpec extends SparkSpec {
     Seq("x6_sim_topk_bruteforce", "x13_sim_native_topk",
         "x49_image_sim_topk", "x58_audio_sim_topk",
         "x59_video_sim_topk").foreach { q =>
-      val wins = windowExecs(SparkEntry.queries(q)(spark, sfDir))
+      // ONE build + ONE execution per query: windowExecs collects it, and
+      // the string assertion reads the same finalized plan
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val wins = windowExecs(df)
       assert(wins.isEmpty, s"$q must rank via the typed aggregator, " +
         s"not a window:\n${wins.mkString("\n")}")
-      val s = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      val s = df.queryExecution.executedPlan.toString
       assert(s.contains("ObjectHashAggregate"),
         s"$q top-k should be the typed aggregator (partial+final):\n$s")
     }

@@ -250,8 +250,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("x65 fusion contract: fused recall >= max(lex, dense) on the test corpus") {
+    // a MEASURED property of this corpus, deliberately pinned here and
+    // not inside the production query: RRF does not guarantee it on every
+    // valid corpus (a lone dense-rank-10 hit can be displaced by ten
+    // lex-only docs), but on the fixture corpora it holds and a fusion
+    // weighting regression must fail the suite loudly
+    val m = SparkEntry.queries("x65_hybrid_recall")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(m.keySet == Set("hy1_lex", "hy2_dense", "hy3_fused"),
+      s"audit must always emit its three method rows: $m")
+    val Seq(lex, dense, fused) =
+      Seq("hy1_lex", "hy2_dense", "hy3_fused").map(m(_).getOrElse(0L))
+    assert(fused >= math.max(lex, dense),
+      s"fusion lost recall against an input system: $m")
+    assert(dense > 0L, s"the dense leg must score on the test corpus: $m")
+  }
+
   test("IVF rebuild: atomic centroid-drift replace, old index time-travelable") {
-    import org.apache.spark.sql.functions.col
     // its OWN warehouse, never x53's shared fixture: the rebuild must not
     // poison the memoized index other queries probe
     val wh = scratch("ivf-rebuild")
