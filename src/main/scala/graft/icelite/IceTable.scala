@@ -941,6 +941,87 @@ class IceTable(
     rollbackTo(head)
   }
 
+  /** Stage a WAP append WITHOUT moving the main pointer, stamped with
+    * Iceberg's `wap.id` snapshot-summary marker — the id-based sibling of
+    * [[appendToRef]]'s branch staging (Iceberg's
+    * `spark.wap.id`-session-conf write): the snapshot enters the ordinary
+    * log parented at the CURRENT head, is time-travelable BY ID for the
+    * audit step, and `currentSnapshotId` is untouched until
+    * [[publishChanges]] cherry-picks it. Unlike a branch ref, a
+    * staged-but-unpublished snapshot is NOT expiry-protected — publish or
+    * abandon before expiry runs, exactly Iceberg's contract. Same
+    * optimistic commit retry as [[append]] (staging is the multi-writer
+    * scenario); a duplicate wap.id refuses up front — publish-by-id must
+    * never be ambiguous.
+    */
+  def stageWap(wapId: String, df: DataFrame): IceTable = {
+    require(wapId.nonEmpty, "wap.id must be non-empty")
+    val m0 = meta
+    require(!m0.snapshots.exists(_.summary.get("wap.id").contains(wapId)),
+      s"wap.id '$wapId' already staged on $namespace.$name")
+    val conformed = conform(df, StructType.fromDDL(m0.schemaDdl))
+    val snapId0 = m0.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val (dir, added) =
+      writeData(conformed, snapId0, m0.partitionBy, uniqueDir = true)
+    var attempts = 0
+    while (true) {
+      val m = meta
+      require(m.schemaDdl == m0.schemaDdl && m.partitionBy == m0.partitionBy &&
+        m.renames == m0.renames && m.widenedColumns == m0.widenedColumns &&
+        m.partitionSpecs == m0.partitionSpecs,
+        s"stageWap('$wapId') on $namespace.$name raced a concurrent " +
+          "schema change — aborting")
+      val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val parent = m.currentSnapshot
+      val addedRows = added.map(_.rows).sum
+      val snap = SnapshotMeta(
+        snapshotId = snapId, timestampMs = System.currentTimeMillis(),
+        operation = "append",
+        dataDirs =
+          parent.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) :+ dir,
+        addedFiles = added.map(_.path), addedRows = addedRows,
+        totalRows = parent.map(_.totalRows).getOrElse(0L) + addedRows,
+        addedFileCount = added.length.toLong,
+        schemaDdl = m.schemaDdl,
+        files = (parent.map(visibleFiles).getOrElse(Nil) ++ added)
+          .sortBy(_.path),
+        deletes = parent.map(p => FileStats.deletesOf(fs, p)).getOrElse(Nil),
+        parentId = m.currentSnapshotId,
+        summary = Map("wap.id" -> wapId))
+      try {
+        MetaIo.commit(fs, tableDir, m.copy(
+          snapshots = m.snapshots :+ snap,
+          version = m.version + 1))
+        return this
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    this // unreachable
+  }
+
+  /** Publish a staged WAP snapshot by its wap.id (Iceberg's
+    * `publish_changes`): cherry-pick the snapshot whose summary carries
+    * the id onto the CURRENT head. Metadata-only, and sound against a
+    * head that moved since staging because the staged snapshot is a pure
+    * append (the [[cherryPick]] bag-union argument). A double publish
+    * refuses through cherryPick's already-visible check; an unknown id
+    * refuses by name.
+    */
+  def publishChanges(wapId: String): IceTable = {
+    val staged = meta.snapshots
+      .filter(_.summary.get("wap.id").contains(wapId))
+    require(staged.nonEmpty,
+      s"no staged snapshot with wap.id '$wapId' on $namespace.$name")
+    require(staged.length == 1,
+      s"wap.id '$wapId' on $namespace.$name is ambiguous " +
+        s"(snapshots ${staged.map(_.snapshotId).mkString(", ")})")
+    cherryPick(staged.head.snapshotId)
+  }
+
   /** Create a named BRANCH ref at a snapshot (Iceberg's `create_branch`):
     * the same ref machinery as [[tag]] but kind "branch" — the WAP entry
     * point ([[appendToRef]] advances it, [[fastForward]] publishes it).

@@ -190,7 +190,13 @@ final case class SnapshotMeta(
     // previous-in-log). Rollbacks move the current POINTER without a new
     // snapshot, so later writes branch: parentId is what makes the real
     // lineage (`.history`'s is_current_ancestor) reconstructible.
-    parentId: Long = -1L)
+    parentId: Long = -1L,
+    // free-form snapshot summary (Iceberg's snapshot summary map). The
+    // engine interprets "wap.id" — the staged-write marker stageWap
+    // stamps and publish_changes cherry-picks by. Additive: snapshots
+    // written before the field exists deserialize to empty (the same
+    // old-metadata contract as refTypes).
+    summary: Map[String, String] = Map.empty)
 
 /** Per-data-file slice of one position-delete file: `rows` positions of
   * `path` are deleted. Keeping counts PER data file lets a copy-on-write

@@ -2520,6 +2520,48 @@ object IceliteOps {
                 |FROM icelite_k37.lake.ev_br ORDER BY event_id""".stripMargin)
       }),
 
+    // K38 (round 19): WAP by wap.id — Iceberg's OTHER write-audit-publish
+    // spelling beside k19/k37's branch refs: the staged write lands as an
+    // ordinary snapshot stamped with a `wap.id` summary marker, main never
+    // moves (asserted), the audit reads the staged snapshot BY ID (time
+    // travel — asserted on the full staged content), and `CALL
+    // system.publish_changes(table, wap_id)` cherry-picks it onto the
+    // head, metadata-only. Double publish refuses through cherry-pick's
+    // already-visible check (asserted), so a retried publish job cannot
+    // double-count rows. The oracle states the published end state.
+    QDef(
+      "k38_ice_wap_publish",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wh = freshWarehouse(s, "k38")
+        val cat = new IceCatalog(s, wh)
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val tbl = cat.createTable("lake", "ev_wapid", ev.schema)
+        tbl.append(ev.filter(col("event_id") % 2 === 0))
+        val mainRows = tbl.toDF.count()
+        tbl.stageWap("ingest-odd", ev.filter(col("event_id") % 2 =!= 0))
+        require(tbl.toDF.count() == mainRows,
+          "staged wap.id rows must be invisible on main before publish")
+        val stagedId = tbl.snapshots.map(_.snapshotId).max
+        require(tbl.scan(snapshotId = Some(stagedId)).count() == ev.count(),
+          "the audit scan (time travel by id) must see the staged state")
+        s.conf.set("spark.sql.catalog.icelite_k38",
+          "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_k38.warehouse", wh)
+        val r = s.sql("CALL icelite_k38.system.publish_changes(" +
+          "'lake.ev_wapid', 'ingest-odd')").collect()(0)
+        require(r.getLong(1) == stagedId,
+          s"publish must name the staged snapshot it picked: $r")
+        require(scala.util.Try(s.sql(
+          "CALL icelite_k38.system.publish_changes(" +
+            "'lake.ev_wapid', 'ingest-odd')").collect()).isFailure,
+          "a second publish of the same wap.id must refuse (no double count)")
+        s.sql("""SELECT event_id, user_id, event_type, value
+                |FROM icelite_k38.lake.ev_wapid ORDER BY event_id""".stripMargin)
+      }),
+
     // S7: JSONL source/sink round trip — the third interchange format next
     // to CSV (S2) and parquet (S3/K2), and the lingua franca of LLM corpus
     // distribution. Declared-schema read (no inference drift); content

@@ -336,6 +336,20 @@ object IceLiteProcedures {
         val tbl = loadTable(cat, s(in, 0)).rollbackTo(in.getLong(1))
         out(s(in, 0), tbl.meta.currentSnapshotId)
       })),
+    // publish a staged WAP snapshot by its wap.id summary (Iceberg's
+    // publish_changes): metadata-only cherry-pick of the matching staged
+    // snapshot onto the current head; double publish / unknown id refuse
+    "publish_changes" -> (wh => new IceProc(wh, "publish_changes",
+      Seq(p("table", StringType), p("wap_id", StringType)),
+      StructType.fromDDL(
+        "table STRING, staged_snapshot_id BIGINT, current_snapshot_id BIGINT"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val staged = tbl.meta.snapshots
+          .filter(_.summary.get("wap.id").contains(s(in, 1)))
+        tbl.publishChanges(s(in, 1))
+        out(s(in, 0), staged.head.snapshotId, tbl.meta.currentSnapshotId)
+      })),
     // the lineage listing (Iceberg's ancestors_of): the parent-pointer
     // chain of the given snapshot (default: current head), newest first —
     // metadata-sized rows, zero data IO
