@@ -689,6 +689,46 @@ class IceliteSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("concurrent stageWap writers both land; each wap.id publishes exactly once") {
+    val cat = new IceCatalog(spark, scratch("wapid-race"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 5)) // snap 1 (main)
+    // two writers race their STAGED commits: the loser's version commit
+    // retries against the fresh metadata (data written once), and neither
+    // moves the main pointer
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slices = Seq(
+      "mid" -> nation.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 15),
+      "hi" -> nation.filter(col("n_nationkey") >= 15))
+    Await.result(
+      Future.sequence(slices.map { case (id, df) =>
+        Future(tbl.stageWap(id, df)) }),
+      120.seconds)
+    assert(tbl.toDF.count() == 5, "staged wap data leaked into main")
+    assert(tbl.meta.currentSnapshotId == 1L)
+    // each staged snapshot is auditable by id with ITS OWN content
+    // (parented at main, so base + its slice — independent of the other)
+    val byId = slices.map { case (id, df) =>
+      val sid = tbl.snapshots
+        .find(_.summary.get("wap.id").contains(id)).get.snapshotId
+      assert(tbl.scan(snapshotId = Some(sid)).count() == 5 + df.count(),
+        s"staged '$id' must audit as base + its own slice")
+      id -> sid
+    }.toMap
+    assert(byId.size == 2)
+    // publish both (order-independent by the bag-union argument); a
+    // duplicate wap.id refuses at staging, a re-publish refuses at pick
+    tbl.publishChanges("mid")
+    tbl.publishChanges("hi")
+    assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    intercept[IllegalArgumentException](tbl.stageWap("mid", nation.limit(1)))
+    intercept[IllegalArgumentException](tbl.publishChanges("nope"))
+    intercept[IllegalArgumentException](tbl.publishChanges("mid"))
+  }
+
   test("hidden partitioning composes with partition evolution across eras") {
     val cat = new IceCatalog(spark, scratch("hpevo"))
     val tbl = cat.createTable("ns", "t", nation.schema,
