@@ -295,8 +295,10 @@ class PlanSpec extends SparkSpec {
     // sorted); x61's global top-10 is TakeOrderedAndProject (asserted
     // in-query on its own executed plan) with rank attached on the k-sized
     // driver result. Neither plan may contain a Window at all.
-    val s54 = finalPlan(SparkEntry.queries("x54_bm25_retrieval")(spark, sfDir))
-    assert(!s54.contains("Window ["), s"x54 must not rank via a window:\n$s54")
+    val df54 = SparkEntry.queries("x54_bm25_retrieval")(spark, sfDir)
+    val w54 = windowExecs(df54) // collects once; node-based, not string
+    assert(w54.isEmpty, s"x54 must not rank via a window:\n${w54.mkString("\n")}")
+    val s54 = df54.queryExecution.executedPlan.toString
     assert(s54.contains("ObjectHashAggregate"),
       s"x54 top-k should be the typed aggregator (partial+final):\n$s54")
     // x61's TakeOrderedAndProject shape is asserted IN-QUERY on the
@@ -305,10 +307,12 @@ class PlanSpec extends SparkSpec {
     // pin for this test is that it IS a local relation: a revert to the
     // old distributed window formulation would surface Window/Sort nodes
     // in this plan instead and fail both asserts.
-    val s61 = finalPlan(SparkEntry.queries("x61_bm25_index_lake")(spark, sfDir))
+    val df61 = SparkEntry.queries("x61_bm25_index_lake")(spark, sfDir)
+    val w61 = windowExecs(df61)
+    assert(w61.isEmpty, s"x61 must not rank via a window:\n${w61.mkString("\n")}")
+    val s61 = df61.queryExecution.executedPlan.toString
     assert(s61.contains("LocalTableScan"),
       s"x61 must return the k-sized driver rank attach:\n$s61")
-    assert(!s61.contains("Window ["), s"x61 must not rank via a window:\n$s61")
   }
 
   test("x63: hybrid fusion — every window qid-partitioned, lex top-k aggregated, no all-pairs") {
