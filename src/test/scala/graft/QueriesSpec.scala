@@ -268,6 +268,26 @@ class QueriesSpec extends SparkSpec {
     assert(dense > 0L, s"the dense leg must score on the test corpus: $m")
   }
 
+  test("x66 funnel: budgets are exactly m per query, recall monotone") {
+    // monotonicity is a theorem (superset + exact-top domination) and the
+    // body `require`s it on every run; this pins the BUDGET arithmetic —
+    // each refine arm reranks exactly m candidates per query on a corpus
+    // with >= m+1 vectors — and the three-row contract
+    val m = SparkEntry.queries("x66_sq8_refine")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m.keySet == Set("m1_raw", "m2_refine5", "m3_refine10"),
+      s"audit must always emit its three method rows: $m")
+    val nq = m("m1_raw")._1
+    assert(nq > 0, s"no query vectors on the test corpus: $m")
+    assert(m("m1_raw")._2 == 0L, s"raw arm reranks nothing: $m")
+    assert(m("m2_refine5")._2 == 5 * nq, s"refine5 budget != 5/query: $m")
+    assert(m("m3_refine10")._2 == 10 * nq, s"refine10 budget != 10/query: $m")
+    assert(m("m1_raw")._3 <= m("m2_refine5")._3 &&
+      m("m2_refine5")._3 <= m("m3_refine10")._3,
+      s"funnel recall not monotone: $m")
+  }
+
   test("IVF rebuild: atomic centroid-drift replace, old index time-travelable") {
     // its OWN warehouse, never x53's shared fixture: the rebuild must not
     // poison the memoized index other queries probe
