@@ -1131,6 +1131,75 @@ class IceTable(
     Ndv.estimate(m, schema, files, col)
   }
 
+  /** Iceberg's `compute_table_stats` procedure: compute TABLE-LEVEL NDV
+    * sketches for `cols` (default: every sketchable column) with ONE
+    * column-pruned scan of the current snapshot's LIVE rows, and commit
+    * them as a pure-metadata [[TableStatsEntry]] — no new snapshot, no data
+    * movement, O(1) metadata growth. This is the serviceability backstop
+    * for tables the per-file union refuses on: files imported via
+    * `add_files`/`snapshot` (no sketches, partition values only in
+    * directory names), writes under a narrowed `graft.ndv.columns` gate,
+    * or pre-upgrade history. The scan is PINNED to the snapshot the entry
+    * is stamped with, so a concurrent commit can never mislabel the
+    * sketches (the metadata CAS then fails the stamp loudly; re-run).
+    * Served by [[Ndv.tableStatsEstimate]] strictly while that snapshot is
+    * current — one later commit and consumers refuse again (Iceberg's
+    * snapshot-scoped Puffin staleness), which is why routine recompute
+    * belongs after ingest, exactly like ANALYZE TABLE.
+    *
+    * Live-row semantics: MOR delete debt IS applied (the scan resolves
+    * deletes), unlike the written-rows upper bound of the file union —
+    * both documented on [[TableStatsEntry]].
+    *
+    * Returns the sketched column names.
+    */
+  def computeTableStats(cols: Seq[String] = Nil): Seq[String] = {
+    val m = meta
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val eligible = schema.fields.toSeq.filter(FileStats.ndvEligible)
+    val wanted =
+      if (cols.isEmpty) eligible
+      else cols.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"compute_table_stats: no column $c in $namespace.$name"))
+        require(FileStats.ndvEligible(f),
+          s"compute_table_stats: $c (${f.dataType.simpleString}) is not " +
+            "NDV-sketchable — see FileStats.ndvSketchable for the type gate")
+        f
+      }
+    require(wanted.nonEmpty,
+      s"compute_table_stats: $namespace.$name has no sketchable columns")
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    val live =
+      if (m.currentSnapshotId == 0L) None // empty table: no snapshot to pin
+      else Some(scan(columns = wanted.map(_.name),
+        snapshotId = Some(m.currentSnapshotId)))
+    val sketches: Map[String, String] = live match {
+      case None =>
+        // zero rows by construction: empty sketches, estimate 0
+        val empty = java.util.Base64.getEncoder.encodeToString(
+          new org.apache.datasketches.hll.HllSketch(Ndv.LgK)
+            .toCompactByteArray)
+        wanted.map(_.name -> empty).toMap
+      case Some(df) =>
+        import org.apache.spark.sql.functions.call_function
+        val aggs = wanted.map(f =>
+          call_function("ndv_sketch", col(f.name)).as(f.name))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        wanted.indices.map(j =>
+          wanted(j).name -> java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](j))).toMap
+    }
+    val entry = TableStatsEntry(m.currentSnapshotId,
+      sketches + (FileStats.NdvVersionKey -> FileStats.NdvVersion))
+    MetaIo.commit(fs, tableDir, m.copy(
+      tableStats =
+        m.tableStats.filterNot(_.snapshotId == m.currentSnapshotId) :+ entry,
+      version = m.version + 1))
+    wanted.map(_.name)
+  }
+
   /** Cherry-pick: RE-APPLY one snapshot's added files onto the CURRENT
     * head as a new commit (Iceberg's `cherrypick_snapshot` procedure) —
     * the recovery move after a [[rollbackTo]] orphaned a good change, or

@@ -144,6 +144,33 @@ object Ndv {
   def estimate(meta: TableMeta, schema: StructType,
       files: Seq[FileStat], col: String): Option[Double] =
     estimate(meta.renames, meta.addedColumns, schema, files, col)
+      .orElse(tableStatsEstimate(meta, schema, col))
+
+  /** Table-level statistics fallback ([[TableStatsEntry]], written by
+    * `compute_table_stats`): serves when the per-file union refuses —
+    * legacy files with no sketches, gate-scoped-out columns, imported
+    * partition columns that live only in directory names. Snapshot-scoped:
+    * the entry answers ONLY while its snapshot is still current (any later
+    * commit makes this refuse again — stats that no longer describe the
+    * table are not served), and the same scheme-version gate as the
+    * per-file path applies. Whole-TABLE consumers only (`.stats`,
+    * `approxDistinct`): the DSv2 scan's CBO column statistics deliberately
+    * never fall back here, because they estimate over the PLANNED file
+    * subset and a whole-table count is wrong once pruning dropped files.
+    */
+  def tableStatsEstimate(meta: TableMeta, schema: StructType,
+      col: String): Option[Double] = {
+    val field = schema.fields.find(_.name == col)
+    if (!field.exists(FileStats.ndvEligible)) return None
+    meta.tableStats.find(_.snapshotId == meta.currentSnapshotId).flatMap { e =>
+      if (!FileStats.ndvVersionOk(field.get.dataType,
+          e.sketches.get(FileStats.NdvVersionKey))) None
+      else e.sketches.get(col)
+        .flatMap(s => scala.util.Try(
+          java.util.Base64.getDecoder.decode(s)).toOption)
+        .map(b => HllSketch.heapify(b).getEstimate)
+    }
+  }
 
   /** Ledger-level form of [[estimate]] for callers that hold the scan's
     * captured ledgers rather than a full TableMeta (the DSv2 scan's column

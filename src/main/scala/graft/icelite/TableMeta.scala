@@ -323,6 +323,27 @@ final case class ColumnRename(cutoffSnapshotId: Long, from: String, to: String)
   */
 final case class ColumnAdd(cutoffSnapshotId: Long, name: String)
 
+/** One TABLE-LEVEL statistics entry (the Puffin-stats analog of Iceberg's
+  * `compute_table_stats` procedure): per-column HLL sketches computed by
+  * ONE scan of the LIVE rows of exactly `snapshotId`, committed as pure
+  * metadata. Two deliberate differences from the per-file sketch union
+  * ([[FileStat.ndv]]):
+  *  - live-row semantics — MOR delete debt IS subtracted, because the
+  *    sketch saw the post-delete scan, where the file union counts written
+  *    rows (a delete cannot un-union a sketch);
+  *  - snapshot-scoped freshness — the entry is served ONLY while
+  *    `snapshotId` is still the current snapshot (Iceberg stats carry their
+  *    snapshot id and go stale the same way); any later commit makes the
+  *    consumer refuse again rather than serve a count that no longer
+  *    describes the table.
+  * `sketches` maps logical column names (current era — the scan already
+  * applied rename resolution) to base64 compact HLL bytes, plus the
+  * [[FileStats.NdvVersionKey]] scheme marker under the same rules as the
+  * per-file map.
+  */
+final case class TableStatsEntry(snapshotId: Long,
+    sketches: Map[String, String] = Map.empty)
+
 /** One partition-spec evolution event: files written in eras at or before
   * `cutoffSnapshotId` were laid out with `cols` as their hive partition
   * columns. The CURRENT spec lives in [[TableMeta.partitionBy]]; this ledger
@@ -437,7 +458,11 @@ final case class TableMeta(
     // `write.update.mode` / `write.merge.mode` ('copy-on-write' default,
     // 'merge-on-read' = Iceberg v2 position-delete DML); everything else is
     // stored and served back verbatim.
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    // table-level statistics ledger (see TableStatsEntry): newest-last,
+    // at most one entry per snapshot; compute_table_stats appends/replaces,
+    // consumers serve only the entry matching the CURRENT snapshot.
+    tableStats: Seq[TableStatsEntry] = Nil) {
 
   /** The row-level write mode for one DML command ("delete" | "update" |
     * "merge"): Iceberg's per-command `write.<cmd>.mode` property.

@@ -2439,6 +2439,96 @@ object IceliteOps {
           .orderBy("_commit_snapshot_id", "_change_type", "o_orderkey")
       }),
 
+    // D10 (round 19): compute_table_stats / ANALYZE — the table-level NDV
+    // backstop for tables the per-file sketch union refuses on (legacy or
+    // gate-scoped-out writes, add_files imports whose partition values live
+    // only in directory names). The fixture writes the events projection
+    // with the writer NDV gate DISABLED (graft.ndv.columns=''), proves the
+    // whole `.stats` surface refuses (ndv NULL, sketched false), then CALLs
+    // system.compute_table_stats — ONE column-pruned live-row scan, pure-
+    // metadata commit, snapshot-scoped. The query reads `.stats` back:
+    // ndv is now served by the table-level entry while `sketched` stays
+    // false (the flag pins WHICH path serves), and each estimate is
+    // verified in-query against the exact distinct count at the 5% HLL
+    // bound (the d4/s12 pattern). Staleness — one later commit and the
+    // surface refuses again until recompute — is pinned in NdvSpec.
+    QDef(
+      "d10_compute_stats",
+      Some("""SELECT 'event_id' AS col, COUNT(DISTINCT event_id) AS exact_ndv,
+             |  COUNT(*) - COUNT(event_id) AS null_count,
+             |  TRUE AS est_ok, TRUE AS table_stats_served FROM events
+             |UNION ALL
+             |SELECT 'event_type', COUNT(DISTINCT event_type),
+             |  COUNT(*) - COUNT(event_type), TRUE, TRUE FROM events
+             |UNION ALL
+             |SELECT 'user_id', COUNT(DISTINCT user_id),
+             |  COUNT(*) - COUNT(user_id), TRUE, TRUE FROM events
+             |UNION ALL
+             |SELECT 'value', COUNT(DISTINCT value),
+             |  COUNT(*) - COUNT(value), TRUE, TRUE FROM events
+             |ORDER BY col""".stripMargin),
+      (s, dir) => {
+        val wh = QUtil.cachedFixture(s, "d10", dir) { wh =>
+          val ev = t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+          val prevGate =
+            scala.util.Try(s.conf.get("graft.ndv.columns")).toOption
+          s.conf.set("graft.ndv.columns", "")
+          try {
+            new IceCatalog(s, wh)
+              .createTable("lake", "events_analyze", ev.schema)
+            s.conf.set("spark.sql.catalog.icelite_d10",
+              "graft.sources.v2.IceLiteCatalog")
+            s.conf.set("spark.sql.catalog.icelite_d10.warehouse", wh)
+            ev.writeTo("icelite_d10.lake.events_analyze").append()
+          } finally prevGate match {
+            case Some(g) => s.conf.set("graft.ndv.columns", g)
+            case None => s.conf.unset("graft.ndv.columns")
+          }
+          // the gate-off write left no per-file sketches: every column
+          // refuses BEFORE the ANALYZE — this is the gap the procedure
+          // exists to close, proven once at fixture build
+          val before =
+            s.table("icelite_d10.lake.events_analyze.stats").collect()
+          require(before.forall(r => r.isNullAt(2) && !r.getBoolean(4)),
+            s"d10: gate-off fixture must start with zero NDV coverage: " +
+              before.mkString(", "))
+          s.sql("CALL icelite_d10.system.compute_table_stats(" +
+            "table => 'lake.events_analyze')")
+        }
+        s.conf.set("spark.sql.catalog.icelite_d10",
+          "graft.sources.v2.IceLiteCatalog")
+        s.conf.set("spark.sql.catalog.icelite_d10.warehouse", wh)
+        val cols = Seq("event_id", "event_type", "user_id", "value")
+        val fromStats = s.table("icelite_d10.lake.events_analyze.stats")
+          .collect()
+          .map(r => r.getString(0) ->
+            (Option(if (r.isNullAt(2)) null else Long.box(r.getLong(2))),
+              r.getLong(3), r.getBoolean(4)))
+          .toMap
+        val exactRow = s.table("icelite_d10.lake.events_analyze")
+          .agg(countDistinct(col(cols.head)).as(cols.head),
+            cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+          .collect()(0)
+        import s.implicits._
+        cols.map { c =>
+          val exact = exactRow.getAs[Long](c)
+          val (est, nulls, sketched) = fromStats(c)
+          val servedByTableStats = est.isDefined && !sketched
+          require(servedByTableStats,
+            s"d10: $c must be served by the TABLE-LEVEL entry " +
+              s"(ndv=$est sketched=$sketched) — per-file coverage is " +
+              "impossible on this fixture, so a sketched=true here means " +
+              "the flag no longer pins the serving path")
+          val ok = math.abs(est.get.toDouble - exact) <=
+            math.max(1.0, exact * 0.05)
+          require(ok, s"d10: ANALYZE NDV ${est.get} for $c breaches the " +
+            s"5% bound around exact $exact")
+          (c, exact, nulls, ok, servedByTableStats)
+        }.toDF("col", "exact_ndv", "null_count", "est_ok",
+          "table_stats_served").orderBy("col")
+      }),
+
     // K19: write-audit-publish (WAP). New data is staged on an 'audit'
     // branch ref — plain reads stay pinned to the pre-stage snapshot
     // (asserted) while the branch is validated through its ref scan — then

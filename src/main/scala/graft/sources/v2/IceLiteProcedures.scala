@@ -279,6 +279,21 @@ object IceLiteProcedures {
         val tbl = loadTable(cat, s(in, 0))
         out(s(in, 0), tbl.rewriteManifests())
       })),
+    // Iceberg's compute_table_stats (ANALYZE): one column-pruned scan of
+    // the current snapshot's live rows -> table-level NDV sketches as a
+    // pure-metadata commit, snapshot-scoped (see IceTable.computeTableStats
+    // for the staleness contract). `columns` narrows the sketch set
+    // (comma list; default every sketchable column).
+    "compute_table_stats" -> (wh => new IceProc(wh, "compute_table_stats",
+      Seq(p("table", StringType), pd("columns", StringType, "''")),
+      StructType.fromDDL(
+        "table STRING, snapshot_id BIGINT, columns STRING"),
+      (cat, in) => {
+        val tbl = loadTable(cat, s(in, 0))
+        val cols = s(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sketched = tbl.computeTableStats(cols)
+        out(s(in, 0), tbl.meta.currentSnapshotId, sketched.mkString(","))
+      })),
     "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
       Seq(p("table", StringType),
         pd("older_than_ms", LongType, IceTable.DefaultOrphanGraceMs.toString)),

@@ -1345,9 +1345,11 @@ private[v2] object IceLiteMeta {
       // per-column table statistics from the CURRENT snapshot's manifest —
       // the SQL read surface for the writer-recorded NDV sketches (and the
       // footer null counts): `SELECT * FROM <cat>.<ns>.<tbl>.stats`.
-      // `ndv` is the HLL union estimate (NULL when any visible file cannot
-      // prove coverage — same refusal semantics as IceTable.approxDistinct);
-      // `null_count` sums footer stats; both are zero-data-IO at any size.
+      // `ndv` is the per-file HLL union estimate, falling back to the
+      // snapshot-scoped table-level stats entry (compute_table_stats) when
+      // file coverage refuses — the same serving rule as
+      // IceTable.approxDistinct; NULL when both refuse. `null_count` sums
+      // footer stats; everything here is zero-data-IO at any size.
       val schema = StructType.fromDDL(
         "column STRING, data_type STRING, ndv BIGINT, null_count BIGINT, " +
           "sketched BOOLEAN, bloomed BOOLEAN")
@@ -1355,8 +1357,17 @@ private[v2] object IceLiteMeta {
       val statFiles = meta.currentSnapshot
         .map(s => graft.icelite.FileStats.visible(fs, s)).getOrElse(Nil)
       val rows = tableSchema.fields.toSeq.map { f =>
-        val ndv = graft.icelite.Ndv
-          .estimate(meta, tableSchema, statFiles, f.name)
+        // `ndv` serves the per-file HLL union first, then the snapshot-
+        // scoped table-level stats entry (compute_table_stats) when file
+        // coverage refuses; `sketched` stays strictly "per-file coverage
+        // complete", so it doubles as the "has ANALYZE gone stale into
+        // load-bearing?" probe — ndv non-null + sketched false = the value
+        // is being served by table-level stats alone
+        val fileNdv = graft.icelite.Ndv.estimate(
+          meta.renames, meta.addedColumns, tableSchema, statFiles, f.name)
+        val ndv = fileNdv
+          .orElse(graft.icelite.Ndv
+            .tableStatsEstimate(meta, tableSchema, f.name))
           .map(d => math.max(0L, math.round(d)))
         val nulls = graft.icelite.Ndv
           .nullCount(meta.renames, meta.addedColumns, statFiles, f.name)
@@ -1371,7 +1382,7 @@ private[v2] object IceLiteMeta {
             sf.bloom.get(FileStats.BloomVersionKey)) && sf.bloom.contains(f.name))
         Array[Any](f.name, f.dataType.simpleString,
           ndv.map(Long.box).orNull, nulls.map(Long.box).orNull,
-          Boolean.box(ndv.isDefined), Boolean.box(bloomed))
+          Boolean.box(fileNdv.isDefined), Boolean.box(bloomed))
       }
       new IceLiteMetaTable(s"${meta.namespace}.${meta.name}.stats", schema, rows)
     case "snapshots" =>

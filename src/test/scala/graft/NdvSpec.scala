@@ -439,4 +439,61 @@ class NdvSpec extends SparkSpec {
     // an inconsistent hash would count 12.34 twice (estimate 5)
     assert(math.abs(est - 4.0) < 0.5, s"expected 4 distinct, got $est")
   }
+
+  test("compute_table_stats: serves where files refuse; strictly snapshot-scoped; live-row semantics") {
+    import spark.implicits._
+    val wh = scratch("ndv-analyze")
+    val cat = new IceCatalog(spark, wh)
+    val df = (1L to 3000L).map(i => (i, i % 53, s"u${i % 211}"))
+      .toDF("id", "grp", "user")
+    val tbl = cat.createTable("lake", "t", df.schema)
+    // gate-off write: no per-file sketches anywhere — the gap ANALYZE closes
+    spark.conf.set("graft.ndv.columns", "")
+    try tbl.append(df.filter(col("id") <= 1500))
+    finally spark.conf.unset("graft.ndv.columns")
+    assert(tbl.approxDistinct("id").isEmpty, "sketchless files must refuse")
+    // ANALYZE: one live-row scan, PURE-metadata commit — no new snapshot
+    val snapsBefore = tbl.meta.snapshots.length
+    assert(tbl.computeTableStats().toSet == Set("id", "grp", "user"))
+    assert(tbl.meta.snapshots.length == snapsBefore,
+      "table-level stats must not fabricate a snapshot")
+    val est = tbl.approxDistinct("id")
+      .getOrElse(fail("ANALYZE must serve the refused column"))
+    assert(math.abs(est - 1500.0) <= 75.0, s"id estimate $est vs 1500")
+    // refusal surface: unknown and non-sketchable columns
+    intercept[IllegalArgumentException](tbl.computeTableStats(Seq("nope")))
+    // staleness: ONE later commit and the entry must never serve again
+    spark.conf.set("graft.ndv.columns", "")
+    try tbl.append(df.filter(col("id") > 1500))
+    finally spark.conf.unset("graft.ndv.columns")
+    assert(tbl.approxDistinct("id").isEmpty,
+      "a stale table-stats entry must refuse, not serve yesterday's count")
+    // recompute serves the updated count; a NARROWED recompute replaces
+    // the whole entry, so the un-recomputed column refuses rather than
+    // serving a stale sketch under a fresh snapshot id
+    tbl.computeTableStats(Seq("id"))
+    val est2 = tbl.approxDistinct("id").getOrElse(fail("recompute serves"))
+    assert(math.abs(est2 - 3000.0) <= 150.0, s"id estimate $est2 vs 3000")
+    assert(tbl.approxDistinct("grp").isEmpty,
+      "a narrowed recompute must not serve columns it did not sketch")
+    // LIVE-row semantics: MOR-delete ids > 1000, recompute — the estimate
+    // tracks the post-delete scan (the file union, were it present, would
+    // still count written rows)
+    tbl.deleteWhereMor(Seq(
+      org.apache.spark.sql.sources.GreaterThan("id", 1000L)))
+    assert(tbl.approxDistinct("id").isEmpty, "delete commit stales the entry")
+    tbl.computeTableStats(Seq("id"))
+    val est3 = tbl.approxDistinct("id").getOrElse(fail("post-delete serves"))
+    assert(math.abs(est3 - 1000.0) <= 50.0,
+      s"live-row estimate $est3 vs 1000 post-delete rows")
+    // the SQL surface agrees: .stats serves ndv with sketched=false
+    // (file coverage still absent — the flag pins the serving path)
+    spark.conf.set("spark.sql.catalog.ice_ndva", "graft.sources.v2.IceLiteCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ndva.warehouse", wh)
+    val statRows = spark.table("ice_ndva.lake.t.stats")
+      .filter(col("column") === "id").collect()
+    assert(statRows.length == 1 && !statRows(0).isNullAt(2) &&
+      !statRows(0).getBoolean(4),
+      s".stats must serve table-level ndv with sketched=false: ${statRows.mkString}")
+  }
 }
