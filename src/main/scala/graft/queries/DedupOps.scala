@@ -758,6 +758,114 @@ object DedupOps {
         verified.orderBy("d1", "d2")
       }),
 
+    // CROSS-DOCUMENT DUPLICATE-SPAN REMOVAL (round 19) — the suffix-array
+    // dedup of Lee et al. ("Deduplicating Training Data Makes Language
+    // Models Better"), re-expressed relationally: every document-level
+    // dedup above keeps or drops WHOLE documents, but the worst training
+    // contamination is a boilerplate PASSAGE pasted into thousands of
+    // otherwise-distinct pages. Pipeline: (1) k=8-token sliding windows
+    // per document, generated ROW-LOCALLY (one transform+slice over the
+    // token array — no self-join, no window function, stays in codegen);
+    // (2) a window is duplicated iff its exact token sequence occurs in
+    // >= 2 DISTINCT documents — the shingle IS the join key (tokens are
+    // whitespace-split, so space-joining is injective; at 100 TB you would
+    // key the shuffle on a 128-bit hash of it and carry exactness by
+    // verify, documented trade); (3) keep-one semantics: the globally
+    // first occurrence (min (doc_id, position)) is canonical and survives,
+    // every other occurrence is flagged — dup detection AND canonical
+    // election are ONE map-side-combinable aggregate (min(struct), not a
+    // per-shingle ranking window); (4) flagged windows merge into maximal
+    // removal spans per document via gaps-and-islands (two windows
+    // PARTITIONED BY doc_id — group size bounded by document length, never
+    // corpus size; overlap-only merging is exact: a duplicated region
+    // longer than k always yields overlapping flagged windows, so abutting
+    // non-overlapping spans are genuinely distinct duplicates).
+    // Output: (doc_id, span_start, span_end, tokens_removed), 1-based
+    // token positions, the removal worklist a rewrite pass would apply.
+    // 100 TB shape: one shuffle on the shingle (partial aggs), one
+    // hash-keyed equi-join of occurrences against the (small) duplicate
+    // set — broadcastable, AQE decides — and doc-bounded merge windows.
+    QDef(
+      "x67_span_dedup",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') arr
+             |  FROM documents WHERE len(trim(text)) > 0),
+             |occ AS (
+             |  SELECT doc_id, CAST(p AS BIGINT) p,
+             |    array_to_string(arr[p : p+7], ' ') s
+             |  FROM toks, unnest(range(1, len(arr) - 6)) g(p)
+             |  WHERE len(arr) >= 8),
+             |dup AS (SELECT s FROM occ GROUP BY s
+             |        HAVING COUNT(DISTINCT doc_id) >= 2),
+             |canon AS (
+             |  SELECT s, doc_id cd, p cp FROM (
+             |    SELECT o.s, o.doc_id, o.p,
+             |      row_number() OVER (PARTITION BY o.s ORDER BY o.doc_id, o.p) rn
+             |    FROM occ o JOIN dup d ON d.s = o.s) WHERE rn = 1),
+             |flagged AS (
+             |  SELECT o.doc_id, o.p AS st, o.p + 7 AS en
+             |  FROM occ o JOIN canon c ON c.s = o.s
+             |  WHERE NOT (o.doc_id = c.cd AND o.p = c.cp)),
+             |brks AS (
+             |  SELECT doc_id, st, en,
+             |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= st
+             |         THEN 0 ELSE 1 END brk
+             |  FROM flagged),
+             |isl AS (
+             |  SELECT doc_id, st, en,
+             |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st, en
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) grp_id
+             |  FROM brks)
+             |SELECT doc_id, CAST(MIN(st) AS BIGINT) span_start,
+             |  CAST(MAX(en) AS BIGINT) span_end,
+             |  CAST(MAX(en) - MIN(st) + 1 AS BIGINT) tokens_removed
+             |FROM isl GROUP BY doc_id, grp_id
+             |ORDER BY doc_id, span_start""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val toks = t(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+        // row-local window generation: guard size >= k BEFORE sequence()
+        // (Spark's sequence(1, 0) helpfully counts DOWN)
+        val occ = toks.filter(size(col("arr")) >= k)
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(1, size(arr) - ${k - 1}),
+               |  p -> struct(CAST(p AS BIGINT) AS p,
+               |              concat_ws(' ', slice(arr, p, $k)) AS s))"""
+              .stripMargin)).as("o"))
+          .select(col("doc_id"), col("o.p").as("p"), col("o.s").as("s"))
+        // duplicate detection + canonical election in ONE aggregate:
+        // min(struct(doc_id, p)) is the oracle's row_number-rank-1 without
+        // ranking anything (partial min per partition crosses the shuffle)
+        val dup = occ.groupBy("s")
+          .agg(countDistinct(col("doc_id")).as("nd"),
+            min(struct(col("doc_id"), col("p"))).as("canon"))
+          .filter(col("nd") >= 2)
+          .select(col("s"), col("canon.doc_id").as("cd"),
+            col("canon.p").as("cp"))
+        val flagged = occ.join(dup, "s")
+          .filter(!(col("doc_id") === col("cd") && col("p") === col("cp")))
+          .select(col("doc_id"), col("p").as("st"),
+            (col("p") + (k - 1)).as("en"))
+        // gaps-and-islands: both windows doc_id-partitioned (doc-bounded)
+        val w = Window.partitionBy("doc_id").orderBy(col("st"), col("en"))
+        flagged
+          .withColumn("brk",
+            when(max(col("en")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)) >= col("st"),
+              0).otherwise(1))
+          .withColumn("grp_id", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("grp_id"))
+          .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"),
+            (max(col("en")) - min(col("st")) + 1).as("tokens_removed"))
+          .select("doc_id", "span_start", "span_end", "tokens_removed")
+          .orderBy("doc_id", "span_start")
+      }),
+
     // Near-dup clustering: connected components over the >=0.8 Jaccard pair
     // graph — the step that turns pairwise dups into keep/drop decisions.
     // Implemented as iterative min-label propagation: each round every node

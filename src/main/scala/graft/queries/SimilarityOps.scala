@@ -1662,6 +1662,14 @@ object SimilarityOps {
         // per-qid approx top-10 via the bounded TopKAggregator — persisted:
         // it feeds both refine funnels, the raw arm, and the budget counts
         val top10 = denseTopK(approxScored, 10).persist()
+        val budget10 = top10.count()
+        // x61's in-query discipline: the approx ranking must be the
+        // bounded typed aggregator, never a per-qid window — the plan a
+        // hot query's corpus-sized candidate set would die on first
+        val topPlan = top10.queryExecution.executedPlan.toString
+        require(topPlan.contains("ObjectHashAggregate") &&
+          !topPlan.contains("Window ["),
+          s"x66: approx top-m must rank via the typed aggregator:\n$topPlan")
         val raw3 = top10.filter(col("rn") <= k).select("qid", "nid")
         val refine5 = exactTopK(el, n2,
           top10.filter(col("rn") <= 5).select("qid", "nid"), k)
@@ -1676,7 +1684,6 @@ object SimilarityOps {
           .agg(sum(col("a.aq") * col("b.q")).as("dp"))
         val exactTop = rankTopK(bruteDots, n2, k).select("qid", "nid").persist()
         val budget5 = top10.filter(col("rn") <= 5).count()
-        val budget10 = top10.count()
         val systems = Seq("m1_raw" -> raw3, "m2_refine5" -> refine5,
           "m3_refine10" -> refine10)
         val budgets = Map("m1_raw" -> 0L, "m2_refine5" -> budget5,

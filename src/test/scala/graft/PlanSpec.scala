@@ -393,4 +393,24 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window ["),
       s"prefix ranking must be row-local, not a window:\n$s")
   }
+
+  test("x67: span dedup — doc-bounded windows only, shingle-keyed join, no per-shingle ranking") {
+    val df = SparkEntry.queries("x67_span_dedup")(spark, sfDir)
+    val wins = windowExecs(df)
+    // the ONLY windows are the gaps-and-islands merge, partitioned by
+    // doc_id (group size bounded by document length); canonical election
+    // must be the min(struct) aggregate, never a per-shingle ranking
+    // window (a boilerplate shingle at frequency 10^6 would one-task it)
+    assert(wins.nonEmpty, "interval merge should be windowed")
+    wins.foreach { w =>
+      assert(partNames(w) == Set("doc_id"),
+        s"x67: every window must partition by doc_id alone:\n$w")
+    }
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"duplicate marking must be a shingle-keyed equi-join:\n$s")
+    assert(s.contains("HashAggregate") || s.contains("ObjectHashAggregate"),
+      s"dup detection + canonical election should partial-aggregate:\n$s")
+  }
 }
