@@ -262,6 +262,82 @@ object DedupOps {
 
   private val shinglesSql: String = shinglesSqlFrom("documents")
 
+  /** The span-dedup window width (tokens). The ONE k: the Spark pipeline
+    * ([[dupSpanWindows]] call sites) and the DuckDB spelling
+    * ([[spanCtesSql]], interpolated at object init) both derive from it,
+    * so the worklist and the oracle cannot disagree about span width.
+    */
+  private final val SpanK = 8
+
+  /** The shared duplicate-SPAN pipeline (x67 detection / x67b rewrite),
+    * DuckDB spelling: [[SpanK]]-token sliding windows per document
+    * (1-based positions), cross-document duplicates (>= 2 distinct docs),
+    * the canonical first occurrence (min (doc_id, position)), and the
+    * flagged non-canonical occurrence windows. ONE spelling so the
+    * worklist and the rewrite can never disagree about what a duplicated
+    * span is.
+    */
+  private val spanCtesSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') arr
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |occ AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) p,
+      |    array_to_string(arr[p : p+${SpanK - 1}], ' ') s
+      |  FROM toks, unnest(range(1, len(arr) - ${SpanK - 2})) g(p)
+      |  WHERE len(arr) >= $SpanK),
+      |dup AS (SELECT s FROM occ GROUP BY s
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |canon AS (
+      |  SELECT s, doc_id cd, p cp FROM (
+      |    SELECT o.s, o.doc_id, o.p,
+      |      row_number() OVER (PARTITION BY o.s ORDER BY o.doc_id, o.p) rn
+      |    FROM occ o JOIN dup d ON d.s = o.s) WHERE rn = 1),
+      |flagged AS (
+      |  SELECT o.doc_id, o.p AS st, o.p + ${SpanK - 1} AS en
+      |  FROM occ o JOIN canon c ON c.s = o.s
+      |  WHERE NOT (o.doc_id = c.cd AND o.p = c.cp))""".stripMargin
+
+  /** (doc_id, arr): whitespace token arrays of non-empty documents — the
+    * span-dedup operators' ONE tokenization; span positions are 1-based
+    * indexes into `arr`.
+    */
+  private def docTokenArrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+
+  /** Flagged duplicate k-token windows (doc_id, st, en): every occurrence
+    * of a cross-document duplicated window EXCEPT its canonical (globally
+    * first) one — the Spark spelling of [[spanCtesSql]]. Window generation
+    * is row-local; duplicate detection and canonical election are ONE
+    * map-side-combinable aggregate (min(struct) — never a per-shingle
+    * ranking window, which a boilerplate shingle at frequency 10^6 would
+    * one-task); flag marking is a shingle-keyed equi-join against the
+    * (small) duplicate set.
+    */
+  private def dupSpanWindows(toks: DataFrame, k: Int): DataFrame = {
+    // row-local window generation: guard size >= k BEFORE sequence()
+    // (Spark's sequence(1, 0) helpfully counts DOWN)
+    val occ = toks.filter(size(col("arr")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(arr) - ${k - 1}),
+           |  p -> struct(CAST(p AS BIGINT) AS p,
+           |              concat_ws(' ', slice(arr, p, $k)) AS s))"""
+          .stripMargin)).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.s").as("s"))
+    val dup = occ.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("p"))).as("canon"))
+      .filter(col("nd") >= 2)
+      .select(col("s"), col("canon.doc_id").as("cd"),
+        col("canon.p").as("cp"))
+    occ.join(dup, "s")
+      .filter(!(col("doc_id") === col("cd") && col("p") === col("cp")))
+      .select(col("doc_id"), col("p").as("st"),
+        (col("p") + (k - 1)).as("en"))
+  }
+
   /** The prefix-filtered EXACT set-similarity self-join at τ = 3/5 over a
     * per-doc shingle-array frame — x64's pipeline, shared verbatim with
     * the skewed-fixture variant x64b (one spelling, two corpora). Returns
@@ -787,25 +863,7 @@ object DedupOps {
     // set — broadcastable, AQE decides — and doc-bounded merge windows.
     QDef(
       "x67_span_dedup",
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') arr
-             |  FROM documents WHERE len(trim(text)) > 0),
-             |occ AS (
-             |  SELECT doc_id, CAST(p AS BIGINT) p,
-             |    array_to_string(arr[p : p+7], ' ') s
-             |  FROM toks, unnest(range(1, len(arr) - 6)) g(p)
-             |  WHERE len(arr) >= 8),
-             |dup AS (SELECT s FROM occ GROUP BY s
-             |        HAVING COUNT(DISTINCT doc_id) >= 2),
-             |canon AS (
-             |  SELECT s, doc_id cd, p cp FROM (
-             |    SELECT o.s, o.doc_id, o.p,
-             |      row_number() OVER (PARTITION BY o.s ORDER BY o.doc_id, o.p) rn
-             |    FROM occ o JOIN dup d ON d.s = o.s) WHERE rn = 1),
-             |flagged AS (
-             |  SELECT o.doc_id, o.p AS st, o.p + 7 AS en
-             |  FROM occ o JOIN canon c ON c.s = o.s
-             |  WHERE NOT (o.doc_id = c.cd AND o.p = c.cp)),
+      Some(s"""WITH $spanCtesSql,
              |brks AS (
              |  SELECT doc_id, st, en,
              |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
@@ -824,32 +882,7 @@ object DedupOps {
              |ORDER BY doc_id, span_start""".stripMargin),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val k = 8
-        val toks = t(s, dir, "documents")
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
-        // row-local window generation: guard size >= k BEFORE sequence()
-        // (Spark's sequence(1, 0) helpfully counts DOWN)
-        val occ = toks.filter(size(col("arr")) >= k)
-          .select(col("doc_id"), explode(expr(
-            s"""transform(sequence(1, size(arr) - ${k - 1}),
-               |  p -> struct(CAST(p AS BIGINT) AS p,
-               |              concat_ws(' ', slice(arr, p, $k)) AS s))"""
-              .stripMargin)).as("o"))
-          .select(col("doc_id"), col("o.p").as("p"), col("o.s").as("s"))
-        // duplicate detection + canonical election in ONE aggregate:
-        // min(struct(doc_id, p)) is the oracle's row_number-rank-1 without
-        // ranking anything (partial min per partition crosses the shuffle)
-        val dup = occ.groupBy("s")
-          .agg(countDistinct(col("doc_id")).as("nd"),
-            min(struct(col("doc_id"), col("p"))).as("canon"))
-          .filter(col("nd") >= 2)
-          .select(col("s"), col("canon.doc_id").as("cd"),
-            col("canon.p").as("cp"))
-        val flagged = occ.join(dup, "s")
-          .filter(!(col("doc_id") === col("cd") && col("p") === col("cp")))
-          .select(col("doc_id"), col("p").as("st"),
-            (col("p") + (k - 1)).as("en"))
+        val flagged = dupSpanWindows(docTokenArrays(s, dir), SpanK)
         // gaps-and-islands: both windows doc_id-partitioned (doc-bounded)
         val w = Window.partitionBy("doc_id").orderBy(col("st"), col("en"))
         flagged
@@ -864,6 +897,61 @@ object DedupOps {
             (max(col("en")) - min(col("st")) + 1).as("tokens_removed"))
           .select("doc_id", "span_start", "span_end", "tokens_removed")
           .orderBy("doc_id", "span_start")
+      }),
+
+    // x67b: APPLY the x67 worklist — rewrite each affected document with
+    // its duplicated spans excised, emitting the cleaned text plus the
+    // before/kept/removed token accounting (docs a rewrite pass would
+    // republish; untouched docs pass through a real pipeline unchanged and
+    // are omitted here so the result IS the write set). The rewrite is
+    // row-local: the per-doc flagged windows aggregate to one array
+    // (doc-bounded), join back to the token arrays doc-keyed, and the
+    // surviving tokens are selected by ONE transform+filter expression —
+    // no explode-back-and-regroup, no window, stays in codegen. A doc
+    // whose every token is covered (a page that WAS the boilerplate)
+    // rewrites to the empty string rather than vanishing — the accounting
+    // row is the evidence the dedup ate it.
+    QDef(
+      "x67b_span_rewrite",
+      Some(s"""WITH $spanCtesSql,
+             |kept AS (
+             |  SELECT t.doc_id, g.p, t.arr[CAST(g.p AS INT)] w
+             |  FROM toks t, unnest(range(1, len(t.arr) + 1)) g(p)
+             |  WHERE NOT EXISTS (SELECT 1 FROM flagged f
+             |    WHERE f.doc_id = t.doc_id AND g.p BETWEEN f.st AND f.en)),
+             |rewritten AS (
+             |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) clean_text,
+             |    CAST(count(*) AS BIGINT) tokens_kept
+             |  FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) tokens_before,
+             |  COALESCE(r.tokens_kept, 0) tokens_kept,
+             |  CAST(len(t.arr) AS BIGINT) - COALESCE(r.tokens_kept, 0) tokens_removed,
+             |  COALESCE(r.clean_text, '') clean_text
+             |FROM toks t LEFT JOIN rewritten r ON r.doc_id = t.doc_id
+             |WHERE CAST(len(t.arr) AS BIGINT) - COALESCE(r.tokens_kept, 0) > 0
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = docTokenArrays(s, dir)
+        // per-doc span arrays: doc-bounded aggregation of the worklist
+        val spans = dupSpanWindows(toks, SpanK)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+        // inner join = exactly the affected docs; the rewrite is one
+        // row-local expression over (arr, spans)
+        toks.join(spans, "doc_id")
+          .withColumn("clean", expr(
+            """filter(
+              |  transform(sequence(1, size(arr)),
+              |    i -> IF(exists(spans, sp -> i >= sp.st AND i <= sp.en),
+              |            NULL, element_at(arr, i))),
+              |  x -> x IS NOT NULL)""".stripMargin))
+          .select(col("doc_id"),
+            size(col("arr")).cast("long").as("tokens_before"),
+            size(col("clean")).cast("long").as("tokens_kept"),
+            (size(col("arr")) - size(col("clean"))).cast("long")
+              .as("tokens_removed"),
+            concat_ws(" ", col("clean")).as("clean_text"))
+          .orderBy("doc_id")
       }),
 
     // Near-dup clustering: connected components over the >=0.8 Jaccard pair

@@ -412,5 +412,15 @@ class PlanSpec extends SparkSpec {
       s"duplicate marking must be a shingle-keyed equi-join:\n$s")
     assert(s.contains("HashAggregate") || s.contains("ObjectHashAggregate"),
       s"dup detection + canonical election should partial-aggregate:\n$s")
+    // the rewrite applies the worklist ROW-LOCALLY (transform+filter over
+    // the token array) — no window anywhere, no explode-and-regroup ranks
+    val dfb = SparkEntry.queries("x67b_span_rewrite")(spark, sfDir)
+    val winsB = windowExecs(dfb)
+    assert(winsB.isEmpty,
+      s"x67b rewrite must be row-local, never windowed:\n${winsB.mkString("\n")}")
+    val sb = dfb.queryExecution.executedPlan.toString
+    assert(!sb.contains("CartesianProduct") &&
+      !sb.contains("BroadcastNestedLoopJoin"),
+      s"x67b span attach must be a doc-keyed equi-join:\n$sb")
   }
 }
