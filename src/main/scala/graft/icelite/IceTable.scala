@@ -1151,9 +1151,12 @@ class IceTable(
     * deletes), unlike the written-rows upper bound of the file union —
     * both documented on [[TableStatsEntry]].
     *
-    * Returns the sketched column names.
+    * Returns (the snapshot id the entry was STAMPED with, the sketched
+    * column names) — the stamped id, not a re-read of the current head: a
+    * concurrent commit landing after the stamp must not let a caller
+    * believe the stats describe the newer snapshot.
     */
-  def computeTableStats(cols: Seq[String] = Nil): Seq[String] = {
+  def computeTableStats(cols: Seq[String] = Nil): (Long, Seq[String]) = {
     val m = meta
     val schema = StructType.fromDDL(m.schemaDdl)
     val eligible = schema.fields.toSeq.filter(FileStats.ndvEligible)
@@ -1193,11 +1196,17 @@ class IceTable(
     }
     val entry = TableStatsEntry(m.currentSnapshotId,
       sketches + (FileStats.NdvVersionKey -> FileStats.NdvVersion))
+    // commit prunes as it writes: entries for snapshots that no longer
+    // exist (expired, or replaced under the routine recompute-after-ingest
+    // cycle) can never be served again — dropping them here keeps the
+    // ledger bounded by the LIVE snapshot count, not the analyze count
+    val liveIds = m.snapshots.map(_.snapshotId).toSet + m.currentSnapshotId
     MetaIo.commit(fs, tableDir, m.copy(
-      tableStats =
-        m.tableStats.filterNot(_.snapshotId == m.currentSnapshotId) :+ entry,
+      tableStats = m.tableStats
+        .filter(e => liveIds(e.snapshotId))
+        .filterNot(_.snapshotId == m.currentSnapshotId) :+ entry,
       version = m.version + 1))
-    wanted.map(_.name)
+    (m.currentSnapshotId, wanted.map(_.name))
   }
 
   /** Cherry-pick: RE-APPLY one snapshot's added files onto the CURRENT
@@ -2427,8 +2436,15 @@ class IceTable(
     // commit the trimmed metadata FIRST, delete after: a crash between the
     // two leaves only harmless orphan directories, never committed metadata
     // pointing at deleted paths (Iceberg's ordering)
+    // table-level stats entries ride the same retention: an entry whose
+    // snapshot is expired can never be served again (the freshness gate
+    // requires its snapshot to be CURRENT), so carrying it would grow
+    // every future metadata version for nothing
+    val keptIds = keep.map(_.snapshotId).toSet
     MetaIo.commit(fs, tableDir, m.copy(
-      snapshots = keep, version = m.version + 1))
+      snapshots = keep,
+      tableStats = m.tableStats.filter(e => keptIds(e.snapshotId)),
+      version = m.version + 1))
     (droppedDirs -- keepDirs).toSeq.sorted
       .foreach(d => fs.delete(new Path(d), true))
     // a dropped snapshot's manifest file may still be REACHABLE: kept

@@ -298,12 +298,25 @@ object DedupOps {
       |  FROM occ o JOIN canon c ON c.s = o.s
       |  WHERE NOT (o.doc_id = c.cd AND o.p = c.cp))""".stripMargin
 
+  // session-keyed cache of the exploded span-window occurrence frame
+  // (x67/x67b): the tokenize+window expansion feeds the dup aggregate AND
+  // the occurrence probe, so without the persist its lineage runs once per
+  // consumer; released on the next build (the liveArrays discipline)
+  private val liveSpanOcc =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def releaseSpanOcc(s: SparkSession): Unit =
+    Option(liveSpanOcc.remove(s)).foreach(_.unpersist(false))
+
   /** (doc_id, arr): whitespace token arrays of non-empty documents — the
     * span-dedup operators' ONE tokenization; span positions are 1-based
-    * indexes into `arr`.
+    * indexes into `arr`. The repartition is shingleArraysOf's fix for the
+    * same shape: a small corpus arrives as ONE parquet split, and without
+    * the exchange the whole expansion would run in a single task.
     */
   private def docTokenArrays(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
 
@@ -317,8 +330,11 @@ object DedupOps {
     * (small) duplicate set.
     */
   private def dupSpanWindows(toks: DataFrame, k: Int): DataFrame = {
+    val s = toks.sparkSession
+    releaseSpanOcc(s)
     // row-local window generation: guard size >= k BEFORE sequence()
-    // (Spark's sequence(1, 0) helpfully counts DOWN)
+    // (Spark's sequence(1, 0) helpfully counts DOWN). Persisted: two
+    // consumers below (the dup aggregate and the occurrence probe).
     val occ = toks.filter(size(col("arr")) >= k)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(arr) - ${k - 1}),
@@ -326,6 +342,8 @@ object DedupOps {
            |              concat_ws(' ', slice(arr, p, $k)) AS s))"""
           .stripMargin)).as("o"))
       .select(col("doc_id"), col("o.p").as("p"), col("o.s").as("s"))
+      .persist()
+    liveSpanOcc.put(s, occ)
     val dup = occ.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("nd"),
         min(struct(col("doc_id"), col("p"))).as("canon"))

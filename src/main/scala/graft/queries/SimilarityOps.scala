@@ -1662,58 +1662,78 @@ object SimilarityOps {
         // per-qid approx top-10 via the bounded TopKAggregator — persisted:
         // it feeds both refine funnels, the raw arm, and the budget counts
         val top10 = denseTopK(approxScored, 10).persist()
-        val budget10 = top10.count()
-        // x61's in-query discipline: the approx ranking must be the
-        // bounded typed aggregator, never a per-qid window — the plan a
-        // hot query's corpus-sized candidate set would die on first
-        val topPlan = top10.queryExecution.executedPlan.toString
-        require(topPlan.contains("ObjectHashAggregate") &&
-          !topPlan.contains("Window ["),
-          s"x66: approx top-m must rank via the typed aggregator:\n$topPlan")
-        val raw3 = top10.filter(col("rn") <= k).select("qid", "nid")
-        val refine5 = exactTopK(el, n2,
-          top10.filter(col("rn") <= 5).select("qid", "nid"), k)
-          .select("qid", "nid")
-        val refine10 = exactTopK(el, n2,
-          top10.select("qid", "nid"), k).select("qid", "nid")
-        // ground truth: exact top-3 over the whole corpus (the x62 shape)
-        val bruteDots = broadcast(qel).as("a")
-          .join(el.as("b"),
-            col("a.i") === col("b.i") && col("b.vec_id") =!= col("a.qid"))
-          .groupBy(col("a.qid"), col("b.vec_id").as("nid"))
-          .agg(sum(col("a.aq") * col("b.q")).as("dp"))
-        val exactTop = rankTopK(bruteDots, n2, k).select("qid", "nid").persist()
-        val budget5 = top10.filter(col("rn") <= 5).count()
-        val systems = Seq("m1_raw" -> raw3, "m2_refine5" -> refine5,
-          "m3_refine10" -> refine10)
-        val budgets = Map("m1_raw" -> 0L, "m2_refine5" -> budget5,
-          "m3_refine10" -> budget10)
-        val tagged = systems.map { case (m, c) =>
-          c.select(lit(m).as("method"), col("qid"), col("nid")) }
-          .reduce(_ unionByName _)
-        val xq = exactTop.groupBy("qid").agg(count(lit(1)).as("kq"))
-        val hits = exactTop.join(tagged, Seq("qid", "nid"))
-          .groupBy("method", "qid").agg(count(lit(1)).as("hits"))
-        val mdf = s.createDataset(systems.map(_._1))(
-          org.apache.spark.sql.Encoders.STRING).toDF("method")
-        val budgetCol = budgets.foldLeft(lit(0L)) {
-          case (acc, (m, n)) => when(col("method") === m, lit(n)).otherwise(acc)
-        }
-        val rows = xq.crossJoin(broadcast(mdf))
-          .join(hits, Seq("method", "qid"), "left")
-          .select(col("method"), col("kq"),
-            coalesce(col("hits"), lit(0L)).as("hits"))
-          .groupBy("method")
-          .agg(count(lit(1)).as("nq"),
-            sum(expr("hits * 1000000L DIV kq")).as("rsum"))
-          .select(col("method"), col("nq").as("n_queries"),
-            budgetCol.as("rerank_budget"),
-            expr("rsum DIV nq").as("mean_recall_1e6"))
-          .orderBy("method")
-        // 3-row local relation (the x65 return shape); the funnel
-        // monotonicity is a THEOREM here, so assert it on every corpus
-        val collected = rows.collect()
-        top10.unpersist(); exactTop.unpersist()
+        val collected = try {
+          val budget10 = top10.count()
+          // x61's in-query discipline: the approx ranking must be the
+          // bounded typed aggregator, never a per-qid window — the plan a
+          // hot query's corpus-sized candidate set would die on first
+          val topPlan = top10.queryExecution.executedPlan.toString
+          require(topPlan.contains("ObjectHashAggregate") &&
+            !topPlan.contains("Window ["),
+            s"x66: approx top-m must rank via the typed aggregator:\n$topPlan")
+          val raw3 = top10.filter(col("rn") <= k).select("qid", "nid")
+          // exact rerank dots computed ONCE over the top-10 candidates
+          // (the oracle's rdots CTE), ranked twice: refine5's pairs are a
+          // subset of refine10's, so scoring them independently would
+          // double the 64-dim dot-product work. The approx rank rides the
+          // aggregate (one row per pair, so min(rn) IS the rank) to cut
+          // the refine5 subset without a second join.
+          val rdots = top10.select("qid", "nid", "rn")
+            .join(el.as("a"), col("a.vec_id") === col("qid"))
+            .join(el.as("b"),
+              col("b.vec_id") === col("nid") && col("b.i") === col("a.i"))
+            .groupBy("qid", "nid")
+            .agg(sum(col("a.q") * col("b.q")).as("dp"),
+              min(col("rn")).as("arn"))
+          val refine10 = rankTopK(rdots.select("qid", "nid", "dp"), n2, k)
+            .select("qid", "nid")
+          val refine5 = rankTopK(
+            rdots.filter(col("arn") <= 5).select("qid", "nid", "dp"), n2, k)
+            .select("qid", "nid")
+          // ground truth: exact top-3 over the whole corpus (the x62 shape)
+          val bruteDots = broadcast(qel).as("a")
+            .join(el.as("b"),
+              col("a.i") === col("b.i") && col("b.vec_id") =!= col("a.qid"))
+            .groupBy(col("a.qid"), col("b.vec_id").as("nid"))
+            .agg(sum(col("a.aq") * col("b.q")).as("dp"))
+          val exactTop = rankTopK(bruteDots, n2, k).select("qid", "nid")
+            .persist()
+          try {
+            val budget5 = top10.filter(col("rn") <= 5).count()
+            val systems = Seq("m1_raw" -> raw3, "m2_refine5" -> refine5,
+              "m3_refine10" -> refine10)
+            val budgets = Map("m1_raw" -> 0L, "m2_refine5" -> budget5,
+              "m3_refine10" -> budget10)
+            val tagged = systems.map { case (m, c) =>
+              c.select(lit(m).as("method"), col("qid"), col("nid")) }
+              .reduce(_ unionByName _)
+            val xq = exactTop.groupBy("qid").agg(count(lit(1)).as("kq"))
+            val hits = exactTop.join(tagged, Seq("qid", "nid"))
+              .groupBy("method", "qid").agg(count(lit(1)).as("hits"))
+            val mdf = s.createDataset(systems.map(_._1))(
+              org.apache.spark.sql.Encoders.STRING).toDF("method")
+            val budgetCol = budgets.foldLeft(lit(0L)) {
+              case (acc, (m, n)) =>
+                when(col("method") === m, lit(n)).otherwise(acc)
+            }
+            // 3-row local relation (the x65 return shape); the funnel
+            // monotonicity is a THEOREM here, asserted below on every
+            // corpus. Persisted frames release on EVERY path (a tripped
+            // require must not pin caches for the rest of the session).
+            xq.crossJoin(broadcast(mdf))
+              .join(hits, Seq("method", "qid"), "left")
+              .select(col("method"), col("kq"),
+                coalesce(col("hits"), lit(0L)).as("hits"))
+              .groupBy("method")
+              .agg(count(lit(1)).as("nq"),
+                sum(expr("hits * 1000000L DIV kq")).as("rsum"))
+              .select(col("method"), col("nq").as("n_queries"),
+                budgetCol.as("rerank_budget"),
+                expr("rsum DIV nq").as("mean_recall_1e6"))
+              .orderBy("method")
+              .collect()
+          } finally exactTop.unpersist()
+        } finally top10.unpersist()
         val recall = collected.map(r => r.getString(0) -> r.getLong(3)).toMap
         require(recall("m1_raw") <= recall("m2_refine5") &&
           recall("m2_refine5") <= recall("m3_refine10"),

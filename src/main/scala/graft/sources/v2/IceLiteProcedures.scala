@@ -291,8 +291,10 @@ object IceLiteProcedures {
       (cat, in) => {
         val tbl = loadTable(cat, s(in, 0))
         val cols = s(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val sketched = tbl.computeTableStats(cols)
-        out(s(in, 0), tbl.meta.currentSnapshotId, sketched.mkString(","))
+        // report the snapshot the entry was STAMPED with — never a re-read
+        // head that a concurrent commit could have moved past the stamp
+        val (stampedSnapshot, sketched) = tbl.computeTableStats(cols)
+        out(s(in, 0), stampedSnapshot, sketched.mkString(","))
       })),
     "remove_orphan_files" -> (wh => new IceProc(wh, "remove_orphan_files",
       Seq(p("table", StringType),

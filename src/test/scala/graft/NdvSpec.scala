@@ -454,7 +454,10 @@ class NdvSpec extends SparkSpec {
     assert(tbl.approxDistinct("id").isEmpty, "sketchless files must refuse")
     // ANALYZE: one live-row scan, PURE-metadata commit — no new snapshot
     val snapsBefore = tbl.meta.snapshots.length
-    assert(tbl.computeTableStats().toSet == Set("id", "grp", "user"))
+    val (stamped, analyzed) = tbl.computeTableStats()
+    assert(analyzed.toSet == Set("id", "grp", "user"))
+    assert(stamped == tbl.meta.currentSnapshotId,
+      "the returned stamp must be the snapshot the entry describes")
     assert(tbl.meta.snapshots.length == snapsBefore,
       "table-level stats must not fabricate a snapshot")
     val est = tbl.approxDistinct("id")
@@ -495,5 +498,20 @@ class NdvSpec extends SparkSpec {
     assert(statRows.length == 1 && !statRows(0).isNullAt(2) &&
       !statRows(0).getBoolean(4),
       s".stats must serve table-level ndv with sketched=false: ${statRows.mkString}")
+    // ledger retention: entries only for LIVE snapshots (a rollback can
+    // re-serve them), and expiry prunes them with their snapshots — the
+    // ledger is bounded by snapshot retention, never by analyze count
+    assert(tbl.meta.tableStats.map(_.snapshotId).toSet
+      .subsetOf(tbl.meta.snapshots.map(_.snapshotId).toSet),
+      s"stats ledger must only carry live-snapshot entries")
+    tbl.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000,
+      retainLast = 1)
+    assert(tbl.meta.tableStats.map(_.snapshotId).toSet
+      .subsetOf(tbl.meta.snapshots.map(_.snapshotId).toSet),
+      "expiry must prune stats entries with their snapshots")
+    // the current snapshot is expiry-immune, so its entry survives and
+    // still serves
+    assert(tbl.approxDistinct("id").isDefined,
+      "the current snapshot's entry must survive expiry")
   }
 }
