@@ -207,8 +207,10 @@ object Bench {
       "x57_image_dedup_canonical", "x63_hybrid_rrf",
       // round 19: x64b is the skew-crossover proof (the prefix path on the
       // corpus shape it exists for); st17 closes the retrieval loop with
-      // streaming maintenance of both persisted indexes
-      "x64b_exact_simjoin_skew", "st17_stream_index_maintain")
+      // streaming maintenance of both persisted indexes; st18 is the
+      // ingest-time span screen over the x67 window set
+      "x64b_exact_simjoin_skew", "st17_stream_index_maintain",
+      "st18_stream_span_screen")
     val resMap = results.toMap
     val hq = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + j(v)))
       .mkString("{", ",", "}")

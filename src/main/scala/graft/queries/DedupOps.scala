@@ -267,7 +267,7 @@ object DedupOps {
     * ([[spanCtesSql]], interpolated at object init) both derive from it,
     * so the worklist and the oracle cannot disagree about span width.
     */
-  private final val SpanK = 8
+  private[graft] final val SpanK = 8
 
   /** The shared duplicate-SPAN pipeline (x67 detection / x67b rewrite),
     * DuckDB spelling: [[SpanK]]-token sliding windows per document
@@ -314,7 +314,7 @@ object DedupOps {
     * same shape: a small corpus arrives as ONE parquet split, and without
     * the exchange the whole expansion would run in a single task.
     */
-  private def docTokenArrays(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docTokenArrays(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(length(trim(col("text"))) > 0)

@@ -1010,6 +1010,88 @@ object StreamOps {
           case None => graft.queries.SimilarityOps.emptyHybridFrame(s)
           case Some((_, _, _, fused)) => fused.orderBy("qid", "rank")
         }
+      }),
+
+    // Streaming INGEST-TIME duplicate-span screening (round 19) — x67's
+    // cross-document span dedup composed with the st15 ingest-screen
+    // shape: a continuously-arriving document stream is screened against
+    // the EXISTING corpus's 8-token-window set before anything lands, and
+    // every incoming window whose exact token sequence already exists in
+    // the corpus is reported as (in_id, st, en) — the boilerplate /
+    // verbatim-re-post screen a crawler pipeline runs at admission. The
+    // screen is a STATELESS stream-static equi-join on the window string:
+    // tokenize + window generation are row-local in-stream (the x67
+    // expressions), the corpus side is the DISTINCT window set (at 100 TB
+    // a bucket-partitioned lake table keyed by a 128-bit window hash;
+    // distinct at build time, so the join emits each incoming window at
+    // most once and needs no DISTINCT — no watermark, no state store,
+    // unbounded-safe by construction). Interval MERGING deliberately does
+    // NOT happen in-stream (it would need per-doc state); the emitted
+    // window-granular report is the auditable admission evidence, and the
+    // batch x67 owns span consolidation.
+    // Incoming model (deterministic, restated by the oracle): every third
+    // doc re-posts a corpus document VERBATIM (the screen must flag every
+    // window it has); the rest are novel — same length, every token
+    // suffixed with ~id, so no 8-gram can collide with the corpus.
+    QDef(
+      "st18_stream_span_screen",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') arr
+             |  FROM documents WHERE len(trim(text)) > 0),
+             |corp AS (
+             |  SELECT DISTINCT array_to_string(arr[p : p+7], ' ') s
+             |  FROM toks, unnest(range(1, len(arr) - 6)) g(p)
+             |  WHERE len(arr) >= 8),
+             |inc AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN arr
+             |         ELSE list_transform(arr, t -> t || '~' || CAST(doc_id AS VARCHAR))
+             |    END arr
+             |  FROM toks),
+             |iw AS (
+             |  SELECT doc_id in_id, CAST(p AS BIGINT) st,
+             |    CAST(p + 7 AS BIGINT) en, array_to_string(arr[p : p+7], ' ') s
+             |  FROM inc, unnest(range(1, len(arr) - 6)) g(p)
+             |  WHERE len(arr) >= 8)
+             |SELECT iw.in_id, iw.st, iw.en
+             |FROM iw JOIN corp ON corp.s = iw.s
+             |ORDER BY iw.in_id, iw.st""".stripMargin),
+      (s, dir) => {
+        val k = graft.queries.DedupOps.SpanK // the ONE span width
+        // corpus window set: x67's tokenization (docTokenArrays), DISTINCT
+        // at build time — each incoming window then matches at most one
+        // index row, which is the statelessness lever
+        val corp = graft.queries.DedupOps.docTokenArrays(s, dir)
+          .filter(size(col("arr")) >= k)
+          .select(explode(expr(
+            s"""transform(sequence(1, size(arr) - ${k - 1}),
+               |  p -> concat_ws(' ', slice(arr, p, $k)))""".stripMargin))
+            .as("s"))
+          .distinct()
+        val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val incoming = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr0"))
+          // the deterministic incoming derivation (restated by the oracle)
+          .select(col("doc_id"), expr(
+            """IF(doc_id % 3 = 0, arr0,
+              |   transform(arr0, t -> concat(t, '~', CAST(doc_id AS STRING))))"""
+              .stripMargin).as("arr"))
+          .filter(size(col("arr")) >= k)
+          .select(col("doc_id").as("in_id"), explode(expr(
+            s"""transform(sequence(1, size(arr) - ${k - 1}),
+               |  p -> struct(CAST(p AS BIGINT) AS st,
+               |              CAST(p + ${k - 1} AS BIGINT) AS en,
+               |              concat_ws(' ', slice(arr, p, $k)) AS s))"""
+              .stripMargin)).as("w"))
+          .select(col("in_id"), col("w.st").as("st"), col("w.en").as("en"),
+            col("w.s").as("s"))
+        val flagged = incoming.join(corp, "s")
+          .select(col("in_id"), col("st"), col("en"))
+        runToTable(flagged, OutputMode.Append(),
+          s"st18_sink_${System.nanoTime()}")
+          .orderBy("in_id", "st")
       })
   )
 }
