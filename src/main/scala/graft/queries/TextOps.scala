@@ -207,6 +207,60 @@ object TextOps {
           .orderBy(col("freq").desc, col("bigram"))
           .limit(100)),
 
+    // HEAVY HITTERS via a bounded-memory sketch (round 19) — x15 counts
+    // bigrams with a full groupBy, which shuffles the whole key space; the
+    // n-gram space is quadratic in vocabulary, so at web scale the
+    // counting pass itself must be capacity-bounded. x68 runs the SAME
+    // top-20 through the Misra-Gries typed aggregator
+    // (functions/FreqSketch.scala): ONE global aggregation whose partials
+    // hold <= capacity counters and merge associatively (Agarwal et al.'s
+    // mergeable summaries) — <= capacity (key, count) pairs per partition
+    // cross the shuffle, never the token stream, and any key with true
+    // frequency above N/(capacity+1) is guaranteed to survive. The sketch
+    // SELF-CERTIFIES exactness (an eviction flag in the buffer): on this
+    // corpus distinct bigrams <= capacity, so no count was ever
+    // decremented, the certificate is required in-query (the bm25Guard
+    // discipline — the failure message names the capacity knob and the
+    // lower-bound semantics that take over past it), and the top-20
+    // matches x15's exact oracle BY PROOF, not by luck. Ranking happens on
+    // the capacity-bounded driver-side result (<= 4096 pairs — k-sized,
+    // never a stage).
+    QDef(
+      "x68_heavy_hitters",
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram,
+             |    CAST(COUNT(*) AS BIGINT) freq
+             |  FROM toks, unnest(range(0, len(tk)-1)) g(i) GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS INT) rank,
+             |  bigram, freq
+             |FROM bg ORDER BY freq DESC, bigram LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val capacity = 4096
+        val bigrams = t(s, dir, "documents")
+          .select(tokens.as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+            .as("bigram"))
+        val agg = new graft.functions.FreqSketchAggregator(capacity).toColumn
+        val (pairs, exact) =
+          bigrams.as[String].select(agg.name("hh")).collect()(0)
+        require(exact,
+          s"x68: the Misra-Gries sketch evicted — more than $capacity " +
+            "distinct bigrams, so counts are N/(capacity+1)-error lower " +
+            "bounds, not exact; raise the capacity (memory is " +
+            "O(capacity)) or accept approximate heavy hitters and drop " +
+            "this oracle comparison")
+        val rows = pairs.take(20).zipWithIndex.map { case ((b, c), i) =>
+          (i + 1, b, c)
+        }
+        rows.toSeq.toDF("rank", "bigram", "freq")
+      }),
+
     // Quality filtering: the keep/drop decision a training pipeline makes
     // from the x9 signals — thresholds on length, punctuation/digit ratios,
     // stopword presence, and token shape. Pure row-local predicate.
