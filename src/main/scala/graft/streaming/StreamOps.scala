@@ -1092,6 +1092,70 @@ object StreamOps {
         runToTable(flagged, OutputMode.Append(),
           s"st18_sink_${System.nanoTime()}")
           .orderBy("in_id", "st")
+      }),
+
+    // STREAMING HEAVY HITTERS (round 19) — x68's Misra-Gries sketch AS the
+    // streaming state: the aggregator's capacity-bounded buffer is exactly
+    // what a state store wants on an unbounded stream (O(capacity) state
+    // forever, where a groupBy-count's state grows with the key space —
+    // quadratic in vocabulary for n-grams). Documents arrive over TWO
+    // maintenance epochs (st17's two-snapshot icelite feed,
+    // maxFilesPerTrigger=1), bigrams derive row-locally in-stream, and ONE
+    // global typed aggregation in Complete mode folds each epoch's
+    // partials into the carried state — the PODS mergeable-summaries merge
+    // running operationally inside the state store, not just in a spec.
+    // After the drain the final state must still carry the exactness
+    // certificate (no eviction fired on this corpus), so the result
+    // matches the same exact top-20 oracle as x15/x68: stream-built ≡
+    // batch-built by proof, the st17 discipline for the counting pillar.
+    QDef(
+      "st19_stream_heavy_hitters",
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram,
+             |    CAST(COUNT(*) AS BIGINT) freq
+             |  FROM toks, unnest(range(0, len(tk)-1)) g(i) GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS INT) rank,
+             |  bigram, freq
+             |FROM bg ORDER BY freq DESC, bigram LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = QUtil.t(s, dir, "documents")
+        // st17's feed fixture: two snapshots -> two epochs under
+        // maxFilesPerTrigger=1, so the sketch state must MERGE across
+        // micro-batches, not just within one
+        val whFeed = QUtil.cachedFixture(s, "st17_feed", dir) { w =>
+          val fcat = new graft.icelite.IceCatalog(s, w)
+          val feed = fcat.createTable("lake", "docs_st17", docs.schema)
+          feed.append(docs.filter(col("doc_id") % 2 === 0).repartition(1))
+          feed.append(docs.filter(col("doc_id") % 2 =!= 0).repartition(1))
+          ()
+        }
+        val agg = new graft.functions.FreqSketchAggregator(4096).toColumn
+        val hh = s.readStream.format("icelite")
+          .option("warehouse", whFeed).option("table", "lake.docs_st17")
+          .option("maxFilesPerTrigger", "1").load()
+          .select(split(trim(col("text")), "\\s+").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+            .as("bigram"))
+          .as[String]
+          .select(agg.name("hh"))
+        val sink = runToTable(hh.toDF(), OutputMode.Complete(),
+          s"st19_sink_${System.nanoTime()}")
+        // Complete mode: the sink's (only) row is the final carried state
+        val (pairs, exact) =
+          sink.as[(Seq[(String, Long)], Boolean)].collect()(0)
+        require(exact,
+          "st19: the stream's sketch state evicted — counts are lower " +
+            "bounds; raise the capacity or drop the exact-oracle claim")
+        val rows = pairs.take(20).zipWithIndex.map { case ((b, c), i) =>
+          (i + 1, b, c)
+        }
+        rows.toSeq.toDF("rank", "bigram", "freq")
       })
   )
 }
