@@ -59,6 +59,41 @@ object TextOps {
   /** Whitespace tokenization shared by the text operators. */
   private def tokens: Column = split(trim(col("text")), "\\s+")
 
+  /** The ONE bigram derivation (x15 exact counts, x68 sketch, st19's
+    * streaming sketch): adjacent token pairs built row-locally from any
+    * frame with a `text` column — batch or streaming. A second inline copy
+    * would let a tokenization fix drift the "matches x15's oracle by
+    * proof" claims silently.
+    */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(tokens.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+        .as("bigram"))
+
+  /** Shared DuckDB spelling of [[bigramsOf]] + exact counting (the `bg`
+    * CTE). x15 limits it to 100, x68/st19 rank its top 20.
+    */
+  private[graft] val bigramCtesSql: String =
+    """toks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+      |bg AS (
+      |  SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram,
+      |    CAST(COUNT(*) AS BIGINT) freq
+      |  FROM toks, unnest(range(0, len(tk)-1)) g(i) GROUP BY 1)""".stripMargin
+
+  /** The ranked exact top-20 heavy hitters — x68's AND st19's oracle (one
+    * string, so the batch sketch, the streaming sketch, and the exact
+    * definition cannot drift).
+    */
+  private[graft] val bigramTop20OracleSql: String =
+    s"""WITH $bigramCtesSql
+       |SELECT CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS INT) rank,
+       |  bigram, freq
+       |FROM bg ORDER BY freq DESC, bigram LIMIT 20""".stripMargin
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   // stand-in banned-term set for the blocklist screening op (x34)
   private val blocklist = Seq("slow", "stream", "window")
@@ -191,18 +226,11 @@ object TextOps {
     // (no self-join), then one global aggregation; top 100.
     QDef(
       "x15_bigram_counts",
-      Some("""WITH toks AS (
-             |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
-             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2)
-             |SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram, COUNT(*) AS freq
-             |FROM toks, unnest(range(0, len(tk)-1)) g(i)
-             |GROUP BY 1 ORDER BY freq DESC, bigram LIMIT 100""".stripMargin),
+      Some(s"""WITH $bigramCtesSql
+             |SELECT bigram, freq FROM bg
+             |ORDER BY freq DESC, bigram LIMIT 100""".stripMargin),
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(tokens.as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(explode(
-            expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("bigram"))
+        bigramsOf(t(s, dir, "documents"))
           .groupBy("bigram").agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("bigram"))
           .limit(100)),
@@ -227,25 +255,11 @@ object TextOps {
     // never a stage).
     QDef(
       "x68_heavy_hitters",
-      Some("""WITH toks AS (
-             |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
-             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
-             |bg AS (
-             |  SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram,
-             |    CAST(COUNT(*) AS BIGINT) freq
-             |  FROM toks, unnest(range(0, len(tk)-1)) g(i) GROUP BY 1)
-             |SELECT CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS INT) rank,
-             |  bigram, freq
-             |FROM bg ORDER BY freq DESC, bigram LIMIT 20""".stripMargin),
+      Some(bigramTop20OracleSql),
       (s, dir) => {
         import s.implicits._
         val capacity = 4096
-        val bigrams = t(s, dir, "documents")
-          .select(tokens.as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
-            .as("bigram"))
+        val bigrams = bigramsOf(t(s, dir, "documents"))
         val agg = new graft.functions.FreqSketchAggregator(capacity).toColumn
         val (pairs, exact) =
           bigrams.as[String].select(agg.name("hh")).collect()(0)

@@ -84,7 +84,8 @@ object StreamOps {
   // streaming queries ~1.5x.
   private val liveSinks = scala.collection.mutable.Queue.empty[String]
 
-  private def runToTable(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+  private def runToTable(df: DataFrame, mode: OutputMode, name: String,
+      minBatches: Int = 0): DataFrame = {
     val spark = df.sparkSession
     liveSinks.synchronized {
       liveSinks.dequeueAll(_ => true).foreach(spark.catalog.dropTempView)
@@ -109,6 +110,16 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // queries whose PREMISE is multi-epoch processing (state carried
+      // across micro-batches) assert it here — a source that stops
+      // honoring its trigger pacing must fail the run, not silently skip
+      // the cross-batch path the query exists to exercise
+      if (minBatches > 0) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= minBatches,
+          s"$name: expected >= $minBatches data micro-batches, " +
+            s"saw $dataBatches — the multi-epoch premise broke")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // Bounded run is done: the memory sink's data lives in driver memory
     // (not the checkpoint), so the throwaway checkpoint and the terminated-
@@ -131,6 +142,24 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(ckpt)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     ()
+  }
+
+  /** st17/st19's shared document feed: TWO snapshots (even doc_ids then
+    * odd), one file each, so `maxFilesPerTrigger=1` yields one epoch per
+    * snapshot. ONE builder for the shared cachedFixture tag — the cache is
+    * keyed by tag alone, so a second inline copy of this closure would be
+    * a run-order-dependent drift hazard (whichever query ran first would
+    * decide the fixture contents for both).
+    */
+  private def st17Feed(s: SparkSession, dir: String): String = {
+    val docs = QUtil.t(s, dir, "documents")
+    QUtil.cachedFixture(s, "st17_feed", dir) { w =>
+      val fcat = new graft.icelite.IceCatalog(s, w)
+      val feed = fcat.createTable("lake", "docs_st17", docs.schema)
+      feed.append(docs.filter(col("doc_id") % 2 === 0).repartition(1))
+      feed.append(docs.filter(col("doc_id") % 2 =!= 0).repartition(1))
+      ()
+    }
   }
 
   // -- sessionization state machine ------------------------------------------
@@ -969,16 +998,9 @@ object StreamOps {
       "st17_stream_index_maintain",
       Some(graft.queries.SimilarityOps.hybridRrfOracleSql),
       (s, dir) => {
-        val docs = QUtil.t(s, dir, "documents")
         // feed: 2 snapshots (even/odd doc_id), one file each, so
         // maxFilesPerTrigger=1 yields one maintenance epoch per snapshot
-        val whFeed = QUtil.cachedFixture(s, "st17_feed", dir) { w =>
-          val fcat = new graft.icelite.IceCatalog(s, w)
-          val feed = fcat.createTable("lake", "docs_st17", docs.schema)
-          feed.append(docs.filter(col("doc_id") % 2 === 0).repartition(1))
-          feed.append(docs.filter(col("doc_id") % 2 =!= 0).repartition(1))
-          ()
-        }
+        val whFeed = st17Feed(s, dir)
         val wh = QUtil.freshWarehouse(s, "st17")
         val cat = new graft.icelite.IceCatalog(s, wh)
         graft.queries.SimilarityOps.createRetrievalIndexTables(cat)
@@ -1035,27 +1057,33 @@ object StreamOps {
     // suffixed with ~id, so no 8-gram can collide with the corpus.
     QDef(
       "st18_stream_span_screen",
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') arr
-             |  FROM documents WHERE len(trim(text)) > 0),
-             |corp AS (
-             |  SELECT DISTINCT array_to_string(arr[p : p+7], ' ') s
-             |  FROM toks, unnest(range(1, len(arr) - 6)) g(p)
-             |  WHERE len(arr) >= 8),
-             |inc AS (
-             |  SELECT doc_id,
-             |    CASE WHEN doc_id % 3 = 0 THEN arr
-             |         ELSE list_transform(arr, t -> t || '~' || CAST(doc_id AS VARCHAR))
-             |    END arr
-             |  FROM toks),
-             |iw AS (
-             |  SELECT doc_id in_id, CAST(p AS BIGINT) st,
-             |    CAST(p + 7 AS BIGINT) en, array_to_string(arr[p : p+7], ' ') s
-             |  FROM inc, unnest(range(1, len(arr) - 6)) g(p)
-             |  WHERE len(arr) >= 8)
-             |SELECT iw.in_id, iw.st, iw.en
-             |FROM iw JOIN corp ON corp.s = iw.s
-             |ORDER BY iw.in_id, iw.st""".stripMargin),
+      // interpolated from the ONE SpanK like the Spark side — a literal-8
+      // oracle here would silently diverge if the span width ever moved
+      Some {
+        val k = graft.queries.DedupOps.SpanK
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') arr
+           |  FROM documents WHERE len(trim(text)) > 0),
+           |corp AS (
+           |  SELECT DISTINCT array_to_string(arr[p : p+${k - 1}], ' ') s
+           |  FROM toks, unnest(range(1, len(arr) - ${k - 2})) g(p)
+           |  WHERE len(arr) >= $k),
+           |inc AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN arr
+           |         ELSE list_transform(arr, t -> t || '~' || CAST(doc_id AS VARCHAR))
+           |    END arr
+           |  FROM toks),
+           |iw AS (
+           |  SELECT doc_id in_id, CAST(p AS BIGINT) st,
+           |    CAST(p + ${k - 1} AS BIGINT) en,
+           |    array_to_string(arr[p : p+${k - 1}], ' ') s
+           |  FROM inc, unnest(range(1, len(arr) - ${k - 2})) g(p)
+           |  WHERE len(arr) >= $k)
+           |SELECT iw.in_id, iw.st, iw.en
+           |FROM iw JOIN corp ON corp.s = iw.s
+           |ORDER BY iw.in_id, iw.st""".stripMargin
+      },
       (s, dir) => {
         val k = graft.queries.DedupOps.SpanK // the ONE span width
         // corpus window set: x67's tokenization (docTokenArrays), DISTINCT
@@ -1110,42 +1138,23 @@ object StreamOps {
     // batch-built by proof, the st17 discipline for the counting pillar.
     QDef(
       "st19_stream_heavy_hitters",
-      Some("""WITH toks AS (
-             |  SELECT string_split_regex(trim(text), '\s+') tk FROM documents
-             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
-             |bg AS (
-             |  SELECT tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS bigram,
-             |    CAST(COUNT(*) AS BIGINT) freq
-             |  FROM toks, unnest(range(0, len(tk)-1)) g(i) GROUP BY 1)
-             |SELECT CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS INT) rank,
-             |  bigram, freq
-             |FROM bg ORDER BY freq DESC, bigram LIMIT 20""".stripMargin),
+      Some(graft.queries.TextOps.bigramTop20OracleSql),
       (s, dir) => {
         import s.implicits._
-        val docs = QUtil.t(s, dir, "documents")
-        // st17's feed fixture: two snapshots -> two epochs under
-        // maxFilesPerTrigger=1, so the sketch state must MERGE across
-        // micro-batches, not just within one
-        val whFeed = QUtil.cachedFixture(s, "st17_feed", dir) { w =>
-          val fcat = new graft.icelite.IceCatalog(s, w)
-          val feed = fcat.createTable("lake", "docs_st17", docs.schema)
-          feed.append(docs.filter(col("doc_id") % 2 === 0).repartition(1))
-          feed.append(docs.filter(col("doc_id") % 2 =!= 0).repartition(1))
-          ()
-        }
+        // st17's feed fixture (ONE shared builder): two snapshots -> two
+        // epochs under maxFilesPerTrigger=1, so the sketch state must
+        // MERGE across micro-batches, not just within one — asserted via
+        // runToTable's minBatches below
+        val whFeed = st17Feed(s, dir)
         val agg = new graft.functions.FreqSketchAggregator(4096).toColumn
-        val hh = s.readStream.format("icelite")
-          .option("warehouse", whFeed).option("table", "lake.docs_st17")
-          .option("maxFilesPerTrigger", "1").load()
-          .select(split(trim(col("text")), "\\s+").as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
-            .as("bigram"))
+        val hh = graft.queries.TextOps.bigramsOf(
+            s.readStream.format("icelite")
+              .option("warehouse", whFeed).option("table", "lake.docs_st17")
+              .option("maxFilesPerTrigger", "1").load())
           .as[String]
           .select(agg.name("hh"))
         val sink = runToTable(hh.toDF(), OutputMode.Complete(),
-          s"st19_sink_${System.nanoTime()}")
+          s"st19_sink_${System.nanoTime()}", minBatches = 2)
         // Complete mode: the sink's (only) row is the final carried state
         val (pairs, exact) =
           sink.as[(Seq[(String, Long)], Boolean)].collect()(0)
