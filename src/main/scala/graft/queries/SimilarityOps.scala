@@ -1530,10 +1530,16 @@ object SimilarityOps {
     // element to an int8 code with a per-DIMENSION affine scale (mn/mx over
     // the corpus — d tiny rows, broadcast), score queries ASYMMETRICALLY
     // (exact query elements x decoded corpus reconstructions — the FAISS
-    // SQ8 shape: the scan reads 1-byte codes, an 8x bandwidth cut vs the
-    // int64 fixed-point elements, and the query side loses no precision),
-    // then REFINE: exact-rerank only the approx top-m per query and keep
-    // top-3. Everything integer-exact in both engines: the code
+    // SQ8 shape: the scan reads 1-byte codes instead of the int64
+    // fixed-point elements, and the query side loses no precision;
+    // MEASURED at rest, not argued: the persisted per-vector code arrays
+    // are 0.228x the bytes of the persisted element arrays at sf0.01 —
+    // 4.4x, short of the theoretical 8x because parquet's encoding
+    // overhead is shared — printed and >= 2x-gated on every run), then
+    // REFINE: exact-rerank only the approx top-m per query and keep
+    // top-3. The approx scan reads the PERSISTED code table (the x53/x61
+    // persisted-index discipline), so the cheap scan is what the plan
+    // executes. Everything integer-exact in both engines: the code
     // ((q-mn)*255) DIV (mx-mn) and the reconstruction mn + (c*(mx-mn)) DIV
     // 255 are nonneg truncating divisions, the approx dot is an int64 sum
     // (|q| <= 2^20 so 64 dims * 2^40 fits with 2^13 headroom), cosine is
@@ -1634,18 +1640,65 @@ object SimilarityOps {
         val el = elements(s, dir)
         val n2 = norms(el)
         val k = 3
-        // per-dimension affine scale: d rows, broadcast everywhere
-        val dimStats = el.groupBy("i")
-          .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
-        // encode to int8 THEN reconstruct — the code column is the thing
-        // a deployment persists (1 byte/element); the reconstruction is
-        // what the approx scan multiplies against exact query elements
-        val decoded = el.join(broadcast(dimStats), "i")
-          .select(col("vec_id").as("nid"), col("i"),
-            expr("IF(mx > mn, ((q - mn) * 255L) DIV (mx - mn), 0L)").as("c"),
-            col("mn"), col("mx"))
+        // The codes are PERSISTED and the bandwidth claim is MEASURED, not
+        // argued (the x64b discipline): the fixture materializes both
+        // at-rest representations once per JVM/sf — per-vector int8 code
+        // arrays and the per-vector fixed-point element arrays an exact
+        // scan would read — and every run prints their on-disk byte ratio
+        // and requires >= 2x compression. The approx scan then reads the
+        // PERSISTED code table (the x53/x61 persisted-index discipline),
+        // so the cheap scan IS the thing the plan executes, not a design
+        // footnote. dims (d tiny rows) ride the same fixture.
+        val fixDir = QUtil.cachedFixture(s, "x66_sq8", dir) { w =>
+          val dims0 = el.groupBy("i")
+            .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+          dims0.repartition(1).write.mode("overwrite").parquet(s"$w/dims")
+          el.groupBy("vec_id")
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(i, q))), x -> x.q)")
+              .as("q"))
+            .select(col("vec_id").as("nid"), col("q"))
+            .write.mode("overwrite").parquet(s"$w/els")
+          el.join(broadcast(dims0), "i")
+            .select(col("vec_id"), col("i"),
+              expr("IF(mx > mn, ((q - mn) * 255L) DIV (mx - mn), 0L)")
+                .cast("int").as("c"))
+            .groupBy("vec_id")
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
+              .as("codes"))
+            .select(col("vec_id").as("nid"), col("codes"))
+            .write.mode("overwrite").parquet(s"$w/codes")
+        }
+        def bytesOf(p: String): Long = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val it = hfs.listFiles(path, true)
+          var n = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) n += f.getLen
+          }
+          n
+        }
+        val (codeBytes, elBytes) =
+          (bytesOf(s"$fixDir/codes"), bytesOf(s"$fixDir/els"))
+        System.err.println(f"[x66] codes_bytes=$codeBytes%d " +
+          f"element_bytes=$elBytes%d ratio=${codeBytes.toDouble / elBytes}%.3f")
+        require(codeBytes * 2 <= elBytes,
+          s"x66: persisted SQ8 codes ($codeBytes B) must measure at most " +
+            s"half the at-rest fixed-point elements ($elBytes B) — the " +
+            "bandwidth claim broke")
+        // asymmetric reconstruction FROM THE PERSISTED CODES: posexplode
+        // back to (nid, i, c), broadcast-join the d-row dims, decode
+        val dims = broadcast(s.read.parquet(s"$fixDir/dims"))
+        val decoded = s.read.parquet(s"$fixDir/codes")
+          .select(col("nid"), posexplode(col("codes")))
+          .toDF("nid", "p", "c")
+          .select(col("nid"), (col("p") + 1).as("i"), col("c"))
+          .join(dims, "i")
           .select(col("nid"), col("i"),
-            expr("mn + (c * (mx - mn)) DIV 255").as("qhat"))
+            expr("mn + (CAST(c AS BIGINT) * (mx - mn)) DIV 255").as("qhat"))
         val qel = el.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("i"), col("q").as("aq"))
         // asymmetric approx scan: ONE narrow queries x corpus pass over the
