@@ -198,9 +198,11 @@ object Bench {
       // the driver captures now tracks them round-over-round too
       "x46_image_dedup_phash", "x53_ivf_index_lake", "x54_bm25_retrieval",
       "x61_bm25_index_lake", "x62_ann_recall",
-      // round-19 additions: the SQ8 quantize-and-refine funnel and
-      // cross-document duplicate-span removal
-      "x66_sq8_refine", "x67_span_dedup",
+      // round-19 additions: the SQ8 quantize-and-refine funnel,
+      // cross-document duplicate-span removal, and the heavy-hitters
+      // sketch (batch + streaming)
+      "x66_sq8_refine", "x67_span_dedup", "x68_heavy_hitters",
+      "st19_stream_heavy_hitters",
       // round 18: x57 is the most expensive non-audit query (decode IS the
       // operator) — track the image-dedup pillar's cost round-over-round;
       // x63 is the hybrid-retrieval capstone over both persisted indexes
