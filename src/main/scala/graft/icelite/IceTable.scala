@@ -408,7 +408,8 @@ class IceTable(
   private def commitSnapshot(base: TableMeta, operation: String,
       dataDirs: Seq[String], added: Seq[FileStat], carried: Seq[FileStat],
       newSchemaDdl: Option[String] = None,
-      carriedDeletes: Seq[DeleteStat] = Nil): IceTable = {
+      carriedDeletes: Seq[DeleteStat] = Nil,
+      summary: Map[String, String] = Map.empty): IceTable = {
     val m = base
     val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val addedRows = added.map(_.rows).sum
@@ -446,7 +447,8 @@ class IceTable(
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       files = (carried ++ added).sortBy(_.path),
       deletes = carriedDeletes,
-      parentId = m.currentSnapshotId)
+      parentId = m.currentSnapshotId,
+      summary = summary)
     MetaIo.commit(fs, tableDir, m.copy(
       schemaDdl = newSchemaDdl.getOrElse(m.schemaDdl),
       currentSnapshotId = snapId,
@@ -971,6 +973,15 @@ class IceTable(
         m.partitionSpecs == m0.partitionSpecs,
         s"stageWap('$wapId') on $namespace.$name raced a concurrent " +
           "schema change — aborting")
+      // the duplicate check MUST re-run against the fresh read: two
+      // concurrent stagers with the same id both pass the up-front check
+      // against m0, and the commit CAS only serializes them — the loser
+      // must find the winner's id here and refuse, or the id lands twice
+      // and every later publish throws the ambiguity require forever
+      // (with no API to delete a staged snapshot)
+      require(!m.snapshots.exists(_.summary.get("wap.id").contains(wapId)),
+        s"wap.id '$wapId' already staged on $namespace.$name " +
+          "(a concurrent stager won the race)")
       val snapId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val parent = m.currentSnapshot
       val addedRows = added.map(_.rows).sum
@@ -1007,19 +1018,35 @@ class IceTable(
     * `publish_changes`): cherry-pick the snapshot whose summary carries
     * the id onto the CURRENT head. Metadata-only, and sound against a
     * head that moved since staging because the staged snapshot is a pure
-    * append (the [[cherryPick]] bag-union argument). A double publish
-    * refuses through cherryPick's already-visible check; an unknown id
-    * refuses by name.
+    * append (the [[cherryPick]] bag-union argument).
+    *
+    * A double publish refuses STRUCTURALLY: the publishing commit is
+    * stamped `published.wap.id` and a second publish of the same id finds
+    * the marker — which holds for an EMPTY staged snapshot (no files for
+    * cherryPick's already-visible check to catch — publishing nothing
+    * twice would otherwise "succeed" and append a no-op head per retry)
+    * and survives compaction rewriting the published paths away (the
+    * file-visibility check alone would stop seeing them). cherryPick's
+    * own checks still guard everything else; an unknown id refuses by
+    * name.
     */
   def publishChanges(wapId: String): IceTable = {
-    val staged = meta.snapshots
+    val m = meta
+    val staged = m.snapshots
       .filter(_.summary.get("wap.id").contains(wapId))
     require(staged.nonEmpty,
       s"no staged snapshot with wap.id '$wapId' on $namespace.$name")
     require(staged.length == 1,
       s"wap.id '$wapId' on $namespace.$name is ambiguous " +
         s"(snapshots ${staged.map(_.snapshotId).mkString(", ")})")
-    cherryPick(staged.head.snapshotId)
+    val published = m.snapshots
+      .filter(_.summary.get("published.wap.id").contains(wapId))
+    require(published.isEmpty,
+      s"wap.id '$wapId' on $namespace.$name was already published " +
+        s"(snapshot ${published.map(_.snapshotId).mkString(", ")}) — " +
+        "a staged change publishes exactly once")
+    cherryPick(staged.head.snapshotId,
+      summary = Map("published.wap.id" -> wapId))
   }
 
   /** Create a named BRANCH ref at a snapshot (Iceberg's `create_branch`):
@@ -1224,7 +1251,8 @@ class IceTable(
     * snapshot's parent to still be current). A file already visible on the
     * head refuses as a double-pick instead of double-counting its rows.
     */
-  def cherryPick(snapshotId: Long): IceTable = {
+  def cherryPick(snapshotId: Long,
+      summary: Map[String, String] = Map.empty): IceTable = {
     val m0 = meta
     val target = m0.snapshot(snapshotId).getOrElse(
       throw new IllegalArgumentException(
@@ -1288,7 +1316,7 @@ class IceTable(
       try return commitSnapshot(m, "append",
         prev.map(p => FileStats.dataDirsOf(fs, p)).getOrElse(Nil) ++ pickedDirs,
         added = pickedStats, carried = visibleNow,
-        carriedDeletes = headDeletes)
+        carriedDeletes = headDeletes, summary = summary)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.startsWith("concurrent commit") =>

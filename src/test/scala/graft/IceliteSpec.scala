@@ -729,6 +729,45 @@ class IceliteSpec extends SparkSpec {
     intercept[IllegalArgumentException](tbl.publishChanges("mid"))
   }
 
+  test("same-wap.id racers: exactly one stages; an empty stage publishes exactly once") {
+    val cat = new IceCatalog(spark, scratch("wapid-race2"))
+    val tbl = cat.createTable("ns", "t", nation.schema)
+    tbl.append(nation.filter(col("n_nationkey") < 5))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two stagers race the SAME id. Whatever the interleaving, exactly one
+    // must win: serialized, the loser's up-front check refuses; truly
+    // racing, the commit CAS serializes them and the loser's IN-LOOP
+    // re-check against the fresh read refuses. A double landing would make
+    // the id permanently ambiguous with no API to unstage.
+    val results = Await.result(
+      Future.sequence((0 until 2).map { i =>
+        Future(scala.util.Try(tbl.stageWap("dup",
+          nation.filter(col("n_nationkey") >= 5 + i * 10 &&
+            col("n_nationkey") < 10 + i * 10))))
+      }),
+      120.seconds)
+    assert(results.count(_.isSuccess) == 1,
+      s"exactly one same-id stager may win: $results")
+    assert(results.count(_.isFailure) == 1 &&
+      results.find(_.isFailure).get.failed.get
+        .isInstanceOf[IllegalArgumentException],
+      s"the loser must refuse loudly: $results")
+    assert(tbl.snapshots.count(_.summary.get("wap.id").contains("dup")) == 1,
+      "the id must land exactly once — publish-by-id stays unambiguous")
+    tbl.publishChanges("dup")
+    // EMPTY stage: zero added files, so cherryPick's already-visible
+    // double-pick check is vacuous — the published.wap.id marker must
+    // still make the second publish refuse instead of appending a no-op
+    // head per retry
+    tbl.stageWap("empty", nation.limit(0))
+    val before = tbl.meta.currentSnapshotId
+    tbl.publishChanges("empty")
+    assert(tbl.meta.currentSnapshotId != before, "publish commits a head")
+    intercept[IllegalArgumentException](tbl.publishChanges("empty"))
+  }
+
   test("hidden partitioning composes with partition evolution across eras") {
     val cat = new IceCatalog(spark, scratch("hpevo"))
     val tbl = cat.createTable("ns", "t", nation.schema,
