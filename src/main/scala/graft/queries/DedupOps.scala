@@ -452,7 +452,7 @@ object DedupOps {
   private def imageDupDropsCached(s: SparkSession, dir: String): DataFrame =
     liveImgDrops.computeIfAbsent((s, dir), _ => {
       val wh = cachedFixture(s, X49HashTag, dir) { w =>
-        imageHashes(s, dir).write.mode("overwrite").parquet(w)
+        QUtil.writeSized(imageHashes(s, dir), w)
       }
       val b = hammingBands(s.read.parquet(wh), "dhash", Seq("doc_id", "dhash"))
       val edges = b.as("x")
@@ -546,6 +546,11 @@ object DedupOps {
     val spark = lowPartSessions.computeIfAbsent(caller.sparkContext, _ => {
       val clone = caller.newSession()
       clone.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE stays ON in the clone: the loop's leaves are re-wrapped
+      // RDD-backed frames with default (unknown) size stats, so static
+      // planning would sort-merge every tiny per-round join — AQE's
+      // runtime sizes convert them to broadcasts (measured: AQE off was
+      // ~10% slower on x57 despite fewer stage-jobs).
       clone
     })
     val bidir = {
@@ -573,7 +578,15 @@ object DedupOps {
       // labels), which the recursive-CTE oracles confirm.
       val parents = labels
         .select(col("doc").as("pdoc"), col("label").as("plabel"))
-      val next = bidir
+      // r19 opt round: a SECOND jump hop rides the same round — after the
+      // neighbor-min/first-hop least, join parents once more on the new
+      // label and take its parent's label too. Each hop composes (the
+      // label's label's label), so per-round label distance shrinks ~4x
+      // instead of ~2x and the round count — whose per-round cost here is
+      // plan/codegen/scheduling, not data — drops near half. Fixpoint
+      // unchanged: every adopted label is the id of a same-component node
+      // and can only be smaller (the recursive-CTE oracles confirm).
+      val hop1 = bidir
         .join(labels.withColumnRenamed("doc", "d1"), Seq("d1"))
         .groupBy(col("d2").as("doc"))
         .agg(min(col("label")).as("nlabel"))
@@ -581,9 +594,32 @@ object DedupOps {
         .join(parents, col("label") === col("pdoc"), "left")
         .select(col("doc"),
           least(col("label"), col("nlabel"),
-            coalesce(col("plabel"), col("label"))).as("label"),
+            coalesce(col("plabel"), col("label"))).as("l1"),
           col("label").as("old"))
+      val next0 = hop1
+        .join(parents.withColumnRenamed("pdoc", "p2doc")
+          .withColumnRenamed("plabel", "p2label"),
+          col("l1") === col("p2doc"), "left")
+        .select(col("doc"),
+          least(col("l1"), coalesce(col("p2label"), col("l1"))).as("label"),
+          col("old"))
         .localCheckpoint() // eager: one job per round, lineage stays flat
+      // RE-WRAP the checkpoint as a plain RDD-backed frame (r19 opt
+      // round, the round's one REAL driver scale bug): Spark 4's
+      // Dataset.localCheckpoint PROPAGATES the checkpointed plan's stats
+      // onto the new LogicalRDD leaf (rewriteStatsAndConstraints), and
+      // the size-only stats visitor MULTIPLIES child sizes at every
+      // join — so with each round's plan referencing the previous
+      // round's labels ~4x, the carried sizeInBytes BigInt's BIT LENGTH
+      // grew ~4x per round and the driver spent its time in
+      // million-bit BigInteger.multiply inside stats estimation (jstack:
+      // SizeInBytesOnlyStatsPlanVisitor -> BigInteger.multiplyToomCook3;
+      // measured minutes per checkpoint by round ~12, and a slice of
+      // x16/x57's unexplained driver gap before that). createDataFrame
+      // over the materialized RDD resets the leaf to defaultSizeInBytes,
+      // so every round's stats stay constant-size. The extra Row
+      // conversion is over the tiny label frame.
+      val next = spark.createDataFrame(next0.rdd, next0.schema)
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("doc", "label")
     }
@@ -821,7 +857,7 @@ object DedupOps {
               when(col("doc_id") % 5 === 0,
                 concat(col("text"), lit(" bq0 bq1 bq2")))
                 .otherwise(col("text")).as("text"))
-            .write.mode("overwrite").parquet(w)
+            .hint("rebalance").write.mode("overwrite").parquet(w)
         }
         val arrs = shingleArraysOf(s, s.read.parquet(wh))
         val (cand0, verified) = prefixSimJoin(arrs)
@@ -1641,7 +1677,7 @@ object DedupOps {
              |ORDER BY q_id, rank""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, X49HashTag, dir) { w =>
-          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(imageHashes(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
@@ -1687,7 +1723,7 @@ object DedupOps {
              |FROM ver GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, X49HashTag, dir) { w =>
-          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(imageHashes(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         def bands(h: DataFrame): DataFrame =
@@ -1773,7 +1809,7 @@ object DedupOps {
              |FROM verdict ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, X49HashTag, dir) { w =>
-          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(imageHashes(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         val b = hammingBands(hx, "dhash", Seq("doc_id", "dhash"))
@@ -1830,7 +1866,7 @@ object DedupOps {
              |ORDER BY q_id, rank""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, "x55_audio_hashes", dir) { w =>
-          audioHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(audioHashes(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
@@ -1869,7 +1905,7 @@ object DedupOps {
              |ORDER BY q_id, rank""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, "x56_video_hashes", dir) { w =>
-          videoHashRows(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(videoHashRows(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         val probes = broadcast(hx.filter(col("doc_id") % 50 === 0)
@@ -1928,7 +1964,7 @@ object DedupOps {
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, X49HashTag, dir) { w =>
-          imageHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(imageHashes(s, dir), w)
         }
         val b = hammingBands(s.read.parquet(wh), "dhash", Seq("doc_id", "dhash"))
         val edges = b.as("x")
@@ -1983,7 +2019,7 @@ object DedupOps {
              |FROM ver GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, "x55_audio_hashes", dir) { w =>
-          audioHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(audioHashes(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         def bands(h: DataFrame): DataFrame =
@@ -2039,7 +2075,7 @@ object DedupOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val wh = cachedFixture(s, "x56_video_hashes", dir) { w =>
-          videoHashRows(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(videoHashRows(s, dir), w)
         }
         val hx = s.read.parquet(wh)
         def bands(h: DataFrame): DataFrame =

@@ -46,6 +46,38 @@ object SimilarityOps {
   private val x61FoldDone =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // The one live persisted (elements, norms) pair per session (r19 opt
+  // round, guide §2.4/§5): the multi-action audits (x62/x65/x66) and the
+  // hybrid probe reference the `elements`/`norms` subtrees MANY times
+  // across SEVERAL separate actions (fixture asserts, budget counts, the
+  // final scoring plan). Within one action Spark's ReuseExchange dedupes
+  // identical exchanges; across actions only a persist does — without it
+  // every count/collect re-scans the parquet, re-explodes, and re-runs the
+  // norm aggregate's shuffle. Keyed by sfDir and validated against the
+  // live cache state (`storageLevel`), because both harnesses clearCache()
+  // between runs — a stale handle would silently recompute per reference.
+  // Released on the next build (the liveArrays discipline). At 100 TB this
+  // persist is DISK_ONLY or a staged table (the shingleArrays note).
+  private val liveEls = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame, DataFrame)]()
+
+  private def cachedElements(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val cur = liveEls.get(s)
+    if (cur != null && cur._1 == dir &&
+        cur._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (cur._2, cur._3)
+    else {
+      Option(liveEls.remove(s)).foreach { c =>
+        c._2.unpersist(false); c._3.unpersist(false)
+      }
+      val el = elements(s, dir).persist()
+      val n2 = norms(el).persist()
+      liveEls.put(s, (dir, el, n2))
+      (el, n2)
+    }
+  }
+
   /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point. */
   private def elements(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -418,13 +450,24 @@ object SimilarityOps {
   private def ivfLakeCandidates(s: SparkSession, wh: String,
       probes: DataFrame, who: String): DataFrame = {
     val idx = new graft.icelite.IceCatalog(s, wh).loadTable("lake", "ivf_index")
-    val probeCells = probes.select("cid").distinct()
-      .collect().map(_.getLong(0)).sorted // query-sized, never corpus-sized
+    // ONE execution of the probes subtree (r19 opt round, guide §1.2/§2.4):
+    // the probe set is query-sized (qids x nprobe) by the operator's own
+    // contract, so collect the (qid, cid) PAIRS once and serve both
+    // consumers — the pruning predicate below AND the candidate join —
+    // from the local relation; previously the ivfScores+window pipeline
+    // behind `probes` executed twice (once for the cell collect, again
+    // inside the joined plan).
+    val probeRows = probes.select(col("qid"), col("cid")).collect()
+    val probeCells = probeRows.map(_.getLong(1)).distinct.sorted
     // an intentionally-empty probe set (no query vector exists — e.g. a
     // corpus whose query DOCS have no embeddings) yields zero candidates,
     // never a tripped pruning assertion over a scan that planned nothing
     if (probeCells.isEmpty)
       return probes.select(col("qid"), col("qid").as("nid")).limit(0)
+    val probesLocal = s.createDataFrame(
+      java.util.Arrays.asList(probeRows.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))): _*),
+      org.apache.spark.sql.types.StructType.fromDDL("qid BIGINT, cid BIGINT"))
     val idxScan = idx.toDF.where(col("cid").isin(probeCells.toIndexedSeq: _*))
     val planned = graft.sources.v2.HasPlannedFiles.of(idxScan)
     require(planned.nonEmpty && planned.forall(p =>
@@ -437,7 +480,7 @@ object SimilarityOps {
       planned.exists(_.contains(s"/cid=$c/"))),
       s"$who: probe must plan EVERY live probed cell " +
         s"(cells=${probeCells.toSeq}, planned=$planned)")
-    broadcast(probes).join(idxScan, "cid")
+    broadcast(probesLocal).join(idxScan, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
   }
@@ -462,9 +505,19 @@ object SimilarityOps {
     val postings = post.join(lens, "doc_id")
       .select(x61Bucket(col("w")).as("bkt"), col("w"), col("doc_id"),
         col("tf"), col("len"))
-    val dfd = post.groupBy("w").agg(count(lit(1)).as("df"))
-      .select(x61Bucket(col("w")).as("bkt"), col("w"), col("df"))
-    val corp = lens.agg(count(lit(1)).as("d"), sum(col("len")).as("s"))
+    // df and corpus scalars DERIVE FROM the postings frame (r19 opt round,
+    // guide §1.2 "don't compute things twice"): df per term = the term's
+    // posting-row count (bkt is a function of w, so grouping by (bkt, w)
+    // keeps cardinality and counts identical to the old per-w aggregate);
+    // d = distinct doc count, s = Σ tf = Σ per-doc len. Same committed
+    // values, but a caller that persists `postings` (the st17 epoch
+    // kernel) now pays the tokenize+postings aggregation ONCE per batch
+    // instead of three times — the df/corpus plans re-derived the raw
+    // tokenization before.
+    val dfd = postings.groupBy(col("bkt"), col("w"))
+      .agg(count(lit(1)).as("df"))
+    val corp = postings.agg(countDistinct(col("doc_id")).as("d"),
+      sum(col("tf")).as("s"))
     (postings, dfd, corp)
   }
 
@@ -527,22 +580,36 @@ object SimilarityOps {
       val postT = cat.loadTable("lake", "bm25_postings")
       postT.append(p)
       assertPureAppend(postT, pRows, "bm25_postings")
+      // df/corpus appends run while `p` is still cached: bm25IndexBatch
+      // derives both FROM the postings frame, so these two commits read
+      // the persisted batch postings instead of re-tokenizing the batch
+      // (r19 opt round — was three tokenize+aggregate passes per epoch)
+      cat.loadTable("lake", "bm25_termdf").append(d)
+      cat.loadTable("lake", "bm25_corpus").append(c)
     } finally p.unpersist(false)
-    cat.loadTable("lake", "bm25_termdf").append(d)
-    cat.loadTable("lake", "bm25_corpus").append(c)
     // IVF: assign ONLY the batch's vectors (fixed centroids make the
     // assignment row-independent, so stream-built ≡ assign-everything)
-    val el = elements(s, dir)
-    val n2 = norms(el)
-    val ids = batchDocs.select(col("doc_id").as("vec_id")).distinct()
-    val sub = el.join(broadcast(ids), "vec_id")
-    val assign = ivfAssign(el, n2, sub).persist()
+    val el = elements(s, dir).persist()
     try {
-      val aRows = assign.count()
-      val ivfT = cat.loadTable("lake", "ivf_index")
-      ivfT.append(assign)
-      assertPureAppend(ivfT, aRows, "ivf_index")
-    } finally assign.unpersist(false)
+      val ids = batchDocs.select(col("doc_id").as("vec_id")).distinct()
+      val sub = el.join(broadcast(ids), "vec_id")
+      // norms ONLY for the batch's vectors and the centroid set (r19 opt
+      // round): a vector's norm depends on its own elements alone, so the
+      // values are identical — but the old full-corpus norm aggregate was
+      // exactly the per-epoch O(index) pass this kernel exists to avoid.
+      import org.apache.spark.sql.Encoders
+      val needed = ids.unionByName(
+          s.createDataset(IvfDefaultCentroids)(Encoders.scalaLong)
+            .toDF("vec_id")).distinct()
+      val n2b = norms(el.join(broadcast(needed), "vec_id"))
+      val assign = ivfAssign(el, n2b, sub).persist()
+      try {
+        val aRows = assign.count()
+        val ivfT = cat.loadTable("lake", "ivf_index")
+        ivfT.append(assign)
+        assertPureAppend(ivfT, aRows, "ivf_index")
+      } finally assign.unpersist(false)
+    } finally el.unpersist(false)
   }
 
   private def x61Warehouse(s: SparkSession, dir: String,
@@ -732,8 +799,9 @@ object SimilarityOps {
       whLex: String, whDense: String, k: Int, persistLegs: Boolean = false)
       : Option[(Seq[Long], DataFrame, DataFrame, DataFrame)] = {
     val docs = t(s, dir, "documents")
-    val el = elements(s, dir)
-    val n2v = norms(el)
+    // persisted: the dense leg references el/n2 across several actions
+    // (the probe collect inside ivfLakeCandidates, then the scored plan)
+    val (el, n2v) = cachedElements(s, dir)
     // the shared workload rule (bm25QueryTerms — ONE spelling with x61):
     // query docs + each query's 5 first terms, driver-sized
     val (qids, qtermPairs) = bm25QueryTerms(s, docs)
@@ -1074,8 +1142,7 @@ object SimilarityOps {
               |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 3
               |ORDER BY qid, rn""".stripMargin),
       (s, dir) => {
-        val el = elements(s, dir)
-        val n2 = norms(el)
+        val (el, n2) = cachedElements(s, dir)
         // assignment: one broadcast pass — N x C dot products, map-side
         // combinable into N x C partial sums (ivfScores/ivfAssign)
         val assign = ivfAssign(el, n2, el)
@@ -1218,8 +1285,7 @@ object SimilarityOps {
               |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 3
               |ORDER BY qid, rn""".stripMargin),
       (s, dir) => {
-        val el = elements(s, dir)
-        val n2 = norms(el)
+        val (el, n2) = cachedElements(s, dir)
         // the index table is FIXTURE for the probe (x25's economics: build
         // once, probe forever) — memoized per JVM/sf, with the incremental-
         // maintenance assertions inside the build (ivfLakeWarehouse)
@@ -1380,8 +1446,7 @@ object SimilarityOps {
       Some(hybridRrfOracleSql),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val el = elements(s, dir)
-        val n2v = norms(el)
+        val (el, n2v) = cachedElements(s, dir)
         hybridLegs(s, dir, x61Warehouse(s, dir, docs),
             ivfLakeWarehouse(s, dir, el, n2v), 10) match {
           case None => emptyHybridFrame(s)
@@ -1444,8 +1509,7 @@ object SimilarityOps {
               |ORDER BY method""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val el = elements(s, dir)
-        val n2 = norms(el)
+        val (el, n2) = cachedElements(s, dir)
         val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "method STRING, n_queries BIGINT, mean_recall_1e6 BIGINT")
         val methodNames = Seq("hy1_lex", "hy2_dense", "hy3_fused")
@@ -1637,8 +1701,7 @@ object SimilarityOps {
               |     FROM xq x LEFT JOIN h10 r ON r.qid = x.qid))
               |ORDER BY method""".stripMargin),
       (s, dir) => {
-        val el = elements(s, dir)
-        val n2 = norms(el)
+        val (el, n2) = cachedElements(s, dir)
         val k = 3
         // The codes are PERSISTED and the bandwidth claim is MEASURED, not
         // argued (the x64b discipline): the fixture materializes both
@@ -1982,8 +2045,7 @@ object SimilarityOps {
               |     FROM xq x LEFT JOIN m7hit m ON m.qid = x.qid))
               |ORDER BY method""".stripMargin),
       (s, dir) => {
-        val el = elements(s, dir)
-        val n2 = norms(el)
+        val (el, n2) = cachedElements(s, dir)
         val k = 3
         // ground truth: exact top-3 per query over the whole corpus — the
         // x6 broadcast shape (queries x corpus, one narrow pass). Persisted

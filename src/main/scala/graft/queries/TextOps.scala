@@ -693,7 +693,7 @@ object TextOps {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         encodeBpe(t(s, dir, "documents"), learned)
           .select(col("doc_id"), col("lang"), col("n_tokens").as("tokens"))
-          .write.mode("overwrite").parquet(
+          .hint("rebalance").write.mode("overwrite").parquet(
             QUtil.freshWarehouse(s, X26bCountsTag))
         budgetMix(s.read.parquet(X26bCountsFixture))
       }),
@@ -785,8 +785,7 @@ object TextOps {
               (id, ((w + 15) / 16) * ((h + 15) / 16))
             }
           }.toDF("doc_id", "image_tokens")
-        imgTok.write.mode("overwrite")
-          .parquet(QUtil.freshWarehouse(s, X48ImageTokTag))
+        QUtil.writeSized(imgTok, QUtil.freshWarehouse(s, X48ImageTokTag))
         val img = s.read.parquet(X48ImageTokFixture)
         val shards = s.conf.getOption("graft.x42.shards").map(_.toInt)
           .getOrElse(X42DefaultShards)

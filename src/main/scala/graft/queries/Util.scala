@@ -96,6 +96,19 @@ object QUtil {
         (sfDir, wh)
       })._2
 
+  /** Write a fixture/scratch frame with scale-adaptive output file sizing
+    * (r19 opt round, guide §6): an AQE REBALANCE exchange before the write
+    * lets AQE coalesce a tiny frame into one right-sized file at test scale
+    * and split/spread a large one at cluster scale. The producing stage
+    * (codec decode, BPE encode) keeps its full parallelism — unlike a
+    * `coalesce`, which would propagate down and collapse it. Before this,
+    * each hash fixture landed as 32 ~8 KB files (the decode stage's
+    * partitioning), so every later probe scan scheduled 32 tasks to read
+    * ~250 KB — the small-files tax on every image/audio/video query.
+    */
+  def writeSized(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.hint("rebalance").write.mode("overwrite").parquet(path)
+
   /** Exact (order-insensitive) sum of a double expression, returned as double.
     *
     * Floating-point sums are order-sensitive, and Spark/DuckDB accumulate in

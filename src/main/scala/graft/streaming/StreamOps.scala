@@ -864,7 +864,7 @@ object StreamOps {
         // banded fresh per micro-batch — at scale this is a materialized
         // bucket-partitioned index table
         val corpusWh = QUtil.cachedFixture(s, DedupOps.X49HashTag, dir) { w =>
-          DedupOps.imageHashes(s, dir).write.mode("overwrite").parquet(w)
+          QUtil.writeSized(DedupOps.imageHashes(s, dir), w)
         }
         def banded(df: DataFrame, idAs: String): DataFrame =
           graft.queries.DedupOps
@@ -879,7 +879,7 @@ object StreamOps {
           QUtil.t(s, dir, "documents").select(col("doc_id")).as[Long]
             .repartition(s.sparkContext.defaultParallelism)
             .mapPartitions(hashIncoming).toDF("doc_id", "dhash")
-            .write.mode("overwrite").parquet(w)
+            .hint("rebalance").write.mode("overwrite").parquet(w)
           ()
         }
         val corpusB = banded(s.read.parquet(corpusWh), "corpus_id")
