@@ -294,7 +294,12 @@ object SimilarityOps {
   private def rankTopK(dots: DataFrame, n2: DataFrame, k: Int): DataFrame =
     denseTopK(
       dots
-        .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+        // no explicit broadcast of n2 (r19 opt round, guide §3.1): the
+        // norms table is one row per CORPUS vector — known-small is
+        // exactly what it is not at 100 TB, and the forced broadcast is
+        // the driver-OOM shape. Locally AQE still converts both joins to
+        // runtime broadcasts from the actual (tiny) sizes.
+        .join(n2.as("na"), col("qid") === col("na.vec_id"))
         .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
         .select(col("qid"), col("nid"),
           cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim")),
@@ -339,7 +344,10 @@ object SimilarityOps {
     sub.join(broadcast(ivfCentroids(el, cids)), "i")
       .groupBy(col("vec_id").as("vid"), col("cid"))
       .agg(sum(col("q") * col("cq")).as("dp"))
-      .join(broadcast(n2.as("nv")), col("vid") === col("nv.vec_id"))
+      // nv is corpus-sized (one row per vector): no forced broadcast —
+      // AQE picks the strategy from runtime sizes (guide §3.1); the nc
+      // side below stays hinted (C centroid rows by construction)
+      .join(n2.as("nv"), col("vid") === col("nv.vec_id"))
       .join(broadcast(
           n2.filter(col("vec_id").isin(cids.map(Long.box): _*)).as("nc")),
         col("cid") === col("nc.vec_id"))
@@ -1771,7 +1779,7 @@ object SimilarityOps {
           .groupBy("qid", "nid")
           .agg(sum(col("aq") * col("qhat")).as("dp"))
         val approxScored = adots
-          .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
+          .join(n2.as("na"), col("qid") === col("na.vec_id"))
           .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
           .select(col("qid"), col("nid"),
             cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
@@ -2150,8 +2158,8 @@ object SimilarityOps {
           import s.implicits._
           val topkAgg = new graft.functions.TopKAggregator(k).toColumn
           dots
-            .join(broadcast(n2.as("na")), col("qid") === col("na.vec_id"))
-            .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
+          .join(n2.as("na"), col("qid") === col("na.vec_id"))
+          .join(n2.as("nb"), col("nid") === col("nb.vec_id"))
             .select(col("method"), col("qid"), col("nid"),
               cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
             .as[(String, Long, Long, Double)]
@@ -2208,8 +2216,10 @@ object SimilarityOps {
           .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
           .agg(sum(col("a.q") * col("b.q")).as("dp"))
         dots
-          .join(broadcast(n2.as("na")), col("v1") === col("na.vec_id"))
-          .join(broadcast(n2.as("nb")), col("v2") === col("nb.vec_id"))
+          // n2 is corpus-sized — no forced broadcast (guide §3.1); AQE
+          // runtime-broadcasts it at test scale, shuffles it at 100 TB
+          .join(n2.as("na"), col("v1") === col("na.vec_id"))
+          .join(n2.as("nb"), col("v2") === col("nb.vec_id"))
           .select(col("v1"), col("v2"),
             cosine(col("dp"), col("na.nn"), col("nb.nn")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.3)

@@ -1005,21 +1005,32 @@ object StreamOps {
         val cat = new graft.icelite.IceCatalog(s, wh)
         graft.queries.SimilarityOps.createRetrievalIndexTables(cat)
         val ckpt = Files.createTempDirectory("graft-stream-st17").toString
-        val q = s.readStream.format("icelite")
-          .option("warehouse", whFeed).option("table", "lake.docs_st17")
-          .option("maxFilesPerTrigger", "1").load()
-          .writeStream
-          .outputMode(OutputMode.Append())
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            // the maintenance kernel (pure-append assertions inside);
-            // runs in the micro-batch's cloned session
-            graft.queries.SimilarityOps.maintainRetrievalIndexes(cat, dir, b)
-            ()
-          }
-          .start()
-        q.awaitTermination()
+        // epoch-shuffle sizing (r19 opt round): the maintenance kernel's
+        // ~10 aggregates/joins per epoch run in the micro-batch's cloned
+        // session, which captures this conf at stream start — at the
+        // session default (cpus) every one of them ran 32 reduce tasks
+        // over a few hundred batch rows. Pin to runToTable's measured
+        // streaming partition count for the stream's lifetime, restore
+        // after (a real deployment sizes this to its epoch volume).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = s.readStream.format("icelite")
+            .option("warehouse", whFeed).option("table", "lake.docs_st17")
+            .option("maxFilesPerTrigger", "1").load()
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              // the maintenance kernel (pure-append assertions inside);
+              // runs in the micro-batch's cloned session
+              graft.queries.SimilarityOps.maintainRetrievalIndexes(cat, dir, b)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         endStream(s, ckpt)
         // two epochs = exactly two append snapshots per index table,
         // zero rewrites (asserted per epoch inside the kernel)
@@ -1088,14 +1099,24 @@ object StreamOps {
         val k = graft.queries.DedupOps.SpanK // the ONE span width
         // corpus window set: x67's tokenization (docTokenArrays), DISTINCT
         // at build time — each incoming window then matches at most one
-        // index row, which is the statelessness lever
-        val corp = graft.queries.DedupOps.docTokenArrays(s, dir)
-          .filter(size(col("arr")) >= k)
-          .select(explode(expr(
-            s"""transform(sequence(1, size(arr) - ${k - 1}),
-               |  p -> concat_ws(' ', slice(arr, p, $k)))""".stripMargin))
-            .as("s"))
-          .distinct()
+        // index row, which is the statelessness lever. MATERIALIZED once
+        // per JVM/sf (r19 opt round — st15's corpus-index convention, and
+        // this operator's own stated 100 TB shape: the screen probes a
+        // persisted window index, it does not re-derive the corpus per
+        // batch; a stream-static join re-executes the static side every
+        // micro-batch, so the unmaterialized spelling re-tokenized the
+        // whole corpus per epoch).
+        val corpWh = QUtil.cachedFixture(s, "st18_corpus_windows", dir) { w =>
+          QUtil.writeSized(
+            graft.queries.DedupOps.docTokenArrays(s, dir)
+              .filter(size(col("arr")) >= k)
+              .select(explode(expr(
+                s"""transform(sequence(1, size(arr) - ${k - 1}),
+                   |  p -> concat_ws(' ', slice(arr, p, $k)))""".stripMargin))
+                .as("s"))
+              .distinct(), w)
+        }
+        val corp = s.read.parquet(corpWh)
         val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
         val incoming = s.readStream.schema(docSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
