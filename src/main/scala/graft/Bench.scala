@@ -27,8 +27,10 @@ object Bench {
     // a confirmation pass when a number looks pathological.
     val rounds = args.sliding(2).collectFirst {
       case Array("--rounds", n) => n.toInt }.getOrElse(2)
-    // --only SUBSTR: bench just the matching queries (local profiling aid;
-    // per-round times print to stderr so regressions are attributable)
+    // --only SUBSTR[,SUBSTR...]: bench just the matching queries (local
+    // profiling aid; per-round times print to stderr so regressions are
+    // attributable). Comma-list added r20 so one A/B run covers a change's
+    // whole query set — selection only, the timing loop is untouched.
     val only = args.sliding(2).collectFirst {
       case Array("--only", s) => s }
     val spark = SparkSession.builder()
@@ -74,7 +76,8 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     val flaky = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) =>
+        only.forall(_.split(',').exists(name.contains)) }
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

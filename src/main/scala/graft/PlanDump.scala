@@ -42,7 +42,22 @@ object PlanDump {
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+          // Planned-file evidence (r20, VERDICT r19 #5): per file-source
+          // scan in the optimized plan, the location and how many files it
+          // plans — the checkable artifact behind any small-files /
+          // writeSized claim (icelite scans carry the same evidence via
+          // their pruning assertions + HasPlannedFiles in-query).
+          val fileCounts = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  Some(s"planned files: ${h.location.rootPaths.mkString(",")}" +
+                    s" = ${h.location.inputFiles.length}")
+                case _ => None
+              }
+          }.flatten.distinct
+          Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"),
+            plan + fileCounts.mkString("\n", "\n", "\n"))
         } catch { case e: Throwable =>
           System.err.println(s"[plan] $name FAILED: ${e.getMessage}")
         }

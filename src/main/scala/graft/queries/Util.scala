@@ -109,6 +109,19 @@ object QUtil {
   def writeSized(df: org.apache.spark.sql.DataFrame, path: String): Unit =
     df.hint("rebalance").write.mode("overwrite").parquet(path)
 
+  /** Storage level for the session-lifetime operator caches (the shingle
+    * arrays, the similarity elements/norms pair, the BM25 postings —
+    * guide §5). These frames are corpus-sized (an exploded elements cache
+    * is |corpus| x dims rows): at 100 TB MEMORY_AND_DISK would fight hot
+    * execution memory for storage and thrash evictions, so a deployment
+    * sets `graft.cache.level=DISK_ONLY` (or stages a table); the local
+    * default keeps the bench comparable on a corpus that fits executor
+    * storage many times over.
+    */
+  def cacheLevel(s: SparkSession): org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      s.conf.get("graft.cache.level", "MEMORY_AND_DISK"))
+
   /** Exact (order-insensitive) sum of a double expression, returned as double.
     *
     * Floating-point sums are order-sensitive, and Spark/DuckDB accumulate in

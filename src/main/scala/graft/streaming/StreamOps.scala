@@ -1012,6 +1012,12 @@ object StreamOps {
         // over a few hundred batch rows. Pin to runToTable's measured
         // streaming partition count for the stream's lifetime, restore
         // after (a real deployment sizes this to its epoch volume).
+        // SERIAL-EXECUTION ASSUMPTION (ADVICE r19, same contract as
+        // runToTable's identical set/restore): nothing else plans queries
+        // on this session while the stream drains — both harnesses run
+        // queries strictly one at a time. A concurrent-caller deployment
+        // starts the stream from a cloned session carrying this conf
+        // instead (the componentLabels clone discipline).
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
