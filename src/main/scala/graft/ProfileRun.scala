@@ -33,8 +33,13 @@ object ProfileRun {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = if (record) {
+        // callSite.short is absent on SQL-execution jobs — fall back to the
+        // result stage's name (carries the terminal RDD's call site), which
+        // is what actually attributes AQE stage-jobs (r20)
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.sortBy(-_.stageId).headOption.map(_.name))
+          .getOrElse("?")
         val nTasks = js.stageInfos.map(_.numTasks).sum
         starts.put(js.jobId, (System.nanoTime(), site, nTasks))
       }

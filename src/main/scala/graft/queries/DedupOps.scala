@@ -561,7 +561,19 @@ object DedupOps {
       .withColumn("label", col("doc"))
       .localCheckpoint()
     var changed = 1L
+    // The SECOND pointer-jump hop engages only from this round on (r20,
+    // VERDICT r19 #5): near-dup clusters are overwhelmingly short-diameter
+    // — rounds 1-2 resolve that mass with neighbor-min + one jump alone,
+    // and hop 2's extra per-round join (whose cost here is plan/schedule,
+    // not data) only repays on the long-chain tail that is still
+    // unresolved by round 3. A/B at sf0.1 (x16 + x57, same box window):
+    // hop2 every round x16 3.43 / x57 5.47; hop2 from round 3 (see the
+    // committed numbers in OPTIMIZATION_r20.md). Conf-exposed so a corpus
+    // with known deep components can engage it earlier.
+    val hop2From = caller.conf.get("graft.cluster.hop2from", "3").toInt
+    var round = 0
     while (changed > 0) {
+      round += 1
       // adopt the min label among self and neighbors; carrying the old
       // label through lets the convergence check run on the checkpointed
       // result instead of re-joining the previous round
@@ -596,13 +608,16 @@ object DedupOps {
           least(col("label"), col("nlabel"),
             coalesce(col("plabel"), col("label"))).as("l1"),
           col("label").as("old"))
-      val next0 = hop1
-        .join(parents.withColumnRenamed("pdoc", "p2doc")
-          .withColumnRenamed("plabel", "p2label"),
-          col("l1") === col("p2doc"), "left")
-        .select(col("doc"),
-          least(col("l1"), coalesce(col("p2label"), col("l1"))).as("label"),
-          col("old"))
+      val next0 = (if (round >= hop2From)
+        hop1
+          .join(parents.withColumnRenamed("pdoc", "p2doc")
+            .withColumnRenamed("plabel", "p2label"),
+            col("l1") === col("p2doc"), "left")
+          .select(col("doc"),
+            least(col("l1"), coalesce(col("p2label"), col("l1"))).as("label"),
+            col("old"))
+      else
+        hop1.select(col("doc"), col("l1").as("label"), col("old")))
         .localCheckpoint() // eager: one job per round, lineage stays flat
       // RE-WRAP the checkpoint as a plain RDD-backed frame (r19 opt
       // round, the round's one REAL driver scale bug): Spark 4's
@@ -677,17 +692,32 @@ object DedupOps {
               |WHERE CAST(o AS DOUBLE) / (ca.n + cb.n - o) >= 0.5
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
+        import s.implicits._
         val sh = shingles(s, dir) // explodes from the cached shingle arrays
-        // All 8 signatures in ONE map-side-combinable groupBy (8 agg columns
-        // instead of an 8x row explosion + wide-key shuffle); a band bucket is
-        // then md5 of its two signatures in order — row-local, no second
-        // shuffle, same value as md5(string_agg(sig,'|' ORDER BY h)).
-        val sigCols = (0 to 7).map(h =>
-          min(md5(concat(lit(s"$h|"), col("s")))).as(s"sig$h"))
-        val mh = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        // All 8 signatures in ONE pass via the typed MinStringsAggregator
+        // (r20, guide §1.2/§4.1): `min(STRING) x 8` planned as SortAggregate
+        // — min over an immutable buffer type can't use the hash aggregate,
+        // so Spark sorted the full shingle stream by doc_id on both sides
+        // of the exchange (x2's two heaviest stages; at corpus scale two
+        // full sorts the hash shape never needs). The typed elementwise-min
+        // plans as ObjectHashAggregate: partial/final hash maps, zero
+        // sorts, identical values (md5 hex is ASCII — Java, UTF8String and
+        // DuckDB VARCHAR orders coincide; the oracle hash-pins it). A band
+        // bucket is then md5 of its two signatures in order — row-local,
+        // no second shuffle, same value as md5(string_agg(sig,'|' ORDER BY h)).
+        val sigAgg = new graft.functions.MinStringsAggregator(8).toColumn
+        val mh = sh
+          .select(col("doc_id"), array((0 to 7).map(h =>
+            md5(concat(lit(s"$h|"), col("s")))): _*).as("sigs"))
+          .as[(Long, Seq[String])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(sigAgg.name("sigs"))
+          .toDF("doc_id", "sigs")
         val bk = mh.select(col("doc_id"), explode(array((0 to 3).map(b =>
           struct(lit(b).as("band"),
-            md5(concat(col(s"sig${2 * b}"), lit("|"), col(s"sig${2 * b + 1}"))).as("bucket"))): _*)).as("bb"))
+            md5(concat(col("sigs").getItem(2 * b), lit("|"),
+              col("sigs").getItem(2 * b + 1))).as("bucket"))): _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val cand = bk.as("x")
           .join(bk.as("y"),

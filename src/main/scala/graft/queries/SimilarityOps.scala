@@ -89,9 +89,24 @@ object SimilarityOps {
     (cur._2, cur._3)
   }
 
-  /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point. */
+  /** (vec_id, label, i, q): one row per vector element, 20-bit fixed point.
+    *
+    * The repartition is shingleArraysOf's fix applied to the vector side
+    * (r20, found via ProfileRun): the embeddings fixture is ONE parquet
+    * split, so without the exchange the posexplode+quantize — and, worse,
+    * EVERY stage later fused onto an elements scan (cache materialization,
+    * broadcast builds of the query side, map sides of the dot-product
+    * joins) — ran as a SINGLE task; x66's two 0.8 s one-task broadcast
+    * builds were exactly this. Shuffling the PACKED vectors (pre-explode,
+    * 64x narrower than the element rows) spreads the expansion
+    * cluster-wide; keying by vec_id makes the partitioning reusable by the
+    * norms aggregate. On a real 100 TB corpus the scan already has
+    * thousands of splits and AQE's coalesce right-sizes this exchange the
+    * same way it does shingleArraysOf's.
+    */
   private def elements(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .toDF("vec_id", "label", "p", "v0")
       .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
