@@ -200,7 +200,14 @@ object SimilarityOps {
     * query side), so index-time and query-time terms cannot drift.
     */
   private def tokensOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    // repartition before the explode (the shingleArraysOf fix, r20): the
+    // documents fixture is ONE parquet split, so the tokenize+explode AND
+    // the posting aggregate's map side fused onto it ran as a single task
+    // (x54's whole partial-aggregation stage was serial). Keyed by doc_id;
+    // at scale the scan has real splits and AQE right-sizes the exchange.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
 
   /** The integer-exact BM25 per-term contribution (the x43 discipline —

@@ -878,7 +878,11 @@ object TextOps {
              |  sum(r) > 1000000 * count(*) AS target_like
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
+        // repartition before the explode (the shingleArraysOf fix, r20):
+        // the one-split fixture otherwise builds the bigram checkpoint —
+        // which x44's composed pipeline replays too — on one task
         val tk = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), tokens.as("tk"))
           .filter(size(col("tk")) >= 2)
         // inline explode + checkpoint: x30's measured discipline (the
@@ -1132,7 +1136,11 @@ object TextOps {
              |  CAST(sum(c) AS DOUBLE) / count(*) AS familiarity
              |FROM bg JOIN cnt USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
+        // repartition before the explode (the shingleArraysOf fix, r20):
+        // the one-split fixture otherwise builds the whole bigram
+        // checkpoint — and the count aggregate's map side — on one task
         val tk = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), tokens.as("tk"))
           .filter(size(col("tk")) >= 2)
         // explode the transform() DIRECTLY: exploding a NAMED array column
@@ -1517,6 +1525,12 @@ object TextOps {
     val mergesLit = typedlit(learned.map { case (l, r) => Seq(l, r) })
     val enc = (w: Column) => call_function("bpe_encode", w, mergesLit)
     docs
+      // repartition before the encode (the shingleArraysOf fix, r20): the
+      // documents fixture is ONE parquet split and the whole per-word BPE
+      // encode is row-local — without the exchange the corpus encodes on a
+      // single task; with it the CPU-bound merge replay runs cluster-wide
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), col("lang"),
         expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)")
           .as("words"))
