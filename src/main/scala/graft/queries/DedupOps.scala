@@ -1464,8 +1464,12 @@ object DedupOps {
              |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6
              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        imageHashes(s, dir).write.mode("overwrite")
-          .parquet(QUtil.freshWarehouse(s, X46HashTag))
+        // writeSized (r20): the bare write landed the decode stage's 32
+        // ~8 KB files, so every banding scan — re-planned each run —
+        // scheduled 32 tasks for ~250 KB; PlanDump's planned-file evidence
+        // caught this site missing from r19's sweep
+        QUtil.writeSized(imageHashes(s, dir),
+          QUtil.freshWarehouse(s, X46HashTag))
         val hx = s.read.parquet(X46HashFixture)
         val b = hammingBands(hx, "dhash", Seq("doc_id", "dhash"))
         b.as("x")
@@ -1517,8 +1521,9 @@ object DedupOps {
              |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6
              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        audioHashes(s, dir).write.mode("overwrite")
-          .parquet(QUtil.freshWarehouse(s, X51HashTag))
+        // writeSized (r20): same missing-sweep site as x46
+        QUtil.writeSized(audioHashes(s, dir),
+          QUtil.freshWarehouse(s, X51HashTag))
         val hx = s.read.parquet(X51HashFixture)
         val b = hammingBands(hx, "ahash", Seq("doc_id", "ahash"))
         b.as("x")
@@ -1577,8 +1582,9 @@ object DedupOps {
              |SELECT d1, d2, hamming FROM ver WHERE hamming <= 24
              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        videoHashRows(s, dir).write.mode("overwrite")
-          .parquet(QUtil.freshWarehouse(s, X52HashTag))
+        // writeSized (r20): same missing-sweep site as x46
+        QUtil.writeSized(videoHashRows(s, dir),
+          QUtil.freshWarehouse(s, X52HashTag))
         val hx = s.read.parquet(X52HashFixture)
         val b = hammingBands(hx, "fhash", Seq("doc_id", "slot"))
         val cand = b.as("x")

@@ -1787,26 +1787,31 @@ object SimilarityOps {
         // PERSISTED code table (the x53/x61 persisted-index discipline),
         // so the cheap scan IS the thing the plan executes, not a design
         // footnote. dims (d tiny rows) ride the same fixture.
+        // both at-rest tables ride writeSized (r20): the bare writes landed
+        // the aggregate's 32 tiny files each, so the approx scan — the very
+        // read whose bandwidth the fixture exists to measure — scheduled 32
+        // tasks per probe; the byte-ratio gate compares the SAME layout on
+        // both sides either way
         val fixDir = QUtil.cachedFixture(s, "x66_sq8", dir) { w =>
           val dims0 = el.groupBy("i")
             .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
           dims0.repartition(1).write.mode("overwrite").parquet(s"$w/dims")
-          el.groupBy("vec_id")
-            .agg(expr(
-              "transform(array_sort(collect_list(struct(i, q))), x -> x.q)")
-              .as("q"))
-            .select(col("vec_id").as("nid"), col("q"))
-            .write.mode("overwrite").parquet(s"$w/els")
-          el.join(broadcast(dims0), "i")
-            .select(col("vec_id"), col("i"),
-              expr("IF(mx > mn, ((q - mn) * 255L) DIV (mx - mn), 0L)")
-                .cast("int").as("c"))
-            .groupBy("vec_id")
-            .agg(expr(
-              "transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
-              .as("codes"))
-            .select(col("vec_id").as("nid"), col("codes"))
-            .write.mode("overwrite").parquet(s"$w/codes")
+          QUtil.writeSized(
+            el.groupBy("vec_id")
+              .agg(expr(
+                "transform(array_sort(collect_list(struct(i, q))), x -> x.q)")
+                .as("q"))
+              .select(col("vec_id").as("nid"), col("q")), s"$w/els")
+          QUtil.writeSized(
+            el.join(broadcast(dims0), "i")
+              .select(col("vec_id"), col("i"),
+                expr("IF(mx > mn, ((q - mn) * 255L) DIV (mx - mn), 0L)")
+                  .cast("int").as("c"))
+              .groupBy("vec_id")
+              .agg(expr(
+                "transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
+                .as("codes"))
+              .select(col("vec_id").as("nid"), col("codes")), s"$w/codes")
         }
         def bytesOf(p: String): Long = {
           val path = new org.apache.hadoop.fs.Path(p)

@@ -1345,10 +1345,11 @@ object TextOps {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        bpeTrain(s, dir, merges = 15)
-          .select("rank", "left", "right")
-          .write.mode("overwrite")
-          .parquet(QUtil.freshWarehouse(s, X40MergesTag))
+        // writeSized (r20): the 15-row merge table otherwise lands as one
+        // file per reduce partition — a 32-file scan for 15 rows
+        QUtil.writeSized(
+          bpeTrain(s, dir, merges = 15).select("rank", "left", "right"),
+          QUtil.freshWarehouse(s, X40MergesTag))
         // read the table BACK from the fixture, so the encoder applies
         // exactly the bytes the oracle replays (the x26b pattern)
         val learned = s.read.parquet(X40MergesFixture).collect()
