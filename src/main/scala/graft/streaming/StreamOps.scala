@@ -680,17 +680,28 @@ object StreamOps {
     // emit once, with NULL view columns, when the watermark closes their
     // interval (Spark evicts the click's state and null-extends it). The
     // oracle restates it as a batch LEFT JOIN; since the final watermark
-    // (max event time - 1h) never closes the trailing ~90 minutes of
-    // clicks, BOTH sides exclude unmatched rows in that boundary region
-    // (matched rows are complete regardless) — exact-equality eviction at
-    // the boundary is engine-internal, so a 1-minute guard keeps the
-    // comparison deterministic. StreamOuterJoinSpec replays the same plan
-    // across multiple epochs and asserts mid-stream state eviction.
+    // never closes the trailing ~90 minutes of clicks, BOTH sides exclude
+    // unmatched rows in that boundary region (matched rows are complete
+    // regardless) — exact-equality eviction at the boundary is
+    // engine-internal, so a 1-minute guard keeps the comparison
+    // deterministic. The guard derives from the watermark Spark ACTUALLY
+    // holds (r20 fix, found at sf0.001): with two watermarked inputs and
+    // the default min policy, the global watermark is
+    // min(max click_ts, max view_ts) - 1h — NOT max-over-all-events - 1h.
+    // The old max(ts)-over-everything cutoff overshot whenever the last
+    // event of the fixture was neither a click nor a view by more than the
+    // slack (sf0.001: 3h55m gap), counting unmatched clicks the stream
+    // never evicts. sf0.01's guard value is unchanged by the fix (its
+    // trailing events are clicks/views), so the verified r19 output stands.
+    // StreamOuterJoinSpec replays the same plan across multiple epochs and
+    // asserts mid-stream state eviction.
     QDef(
       "st9b_stream_outer_interval_join",
       Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
              |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-             |wm AS (SELECT MAX(ts) - INTERVAL 91 MINUTE AS cutoff FROM events),
+             |wm AS (SELECT LEAST(MAX(ts) FILTER (WHERE event_type = 'click'),
+             |              MAX(ts) FILTER (WHERE event_type = 'view'))
+             |         - INTERVAL 91 MINUTE AS cutoff FROM events),
              |m AS (SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
              |      FROM c JOIN v ON c.user_id = v.user_id
              |       AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE),
@@ -722,8 +733,14 @@ object StreamOps {
             col("click_ts"))
         val out = runToTable(joined, OutputMode.Append(),
           s"st9b_sink_${System.nanoTime()}")
+        // the guard mirrors the stream's real final watermark: min over the
+        // two watermarked inputs' maxima (see the QDef comment), minus the
+        // 1h delay and the 30min interval plus 1min slack
         val cutoff = QUtil.t(s, dir, "events")
-          .agg((max(col("ts")) - expr("interval 91 minutes")).as("c"))
+          .agg((least(
+            max(when(col("event_type") === "click", col("ts"))),
+            max(when(col("event_type") === "view", col("ts"))))
+            - expr("interval 91 minutes")).as("c"))
           .collect()(0).getTimestamp(0)
         out.filter(col("view_id").isNotNull || col("click_ts") <= lit(cutoff))
           .select("click_id", "view_id", "user_id")
